@@ -1,0 +1,555 @@
+"""Core parity queries: one registry entry per reference operator
+(SURVEY §2), expressed on the harness tables with the FIXTURES.md §B
+role mapping — ``events`` plays the ``ratings`` stream (event_type ≙
+channel, value ≙ stars, ts ≙ ROWTIME), ``customer`` plays the
+Debezium-fed ``CUSTOMERS`` dimension (c_custkey ≙ customer_id,
+c_mktsegment ≙ club_status).
+
+The "live/test" split predicate uses ``'%err%'`` (the ``error`` event
+type plays the reference's ``*test*`` channels — same LCASE/LIKE
+shape, ksqldb-statements.sql:13-17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.functions.scalar import (
+    cast_int,
+    cast_string,
+    lcase,
+    str_concat,
+    timestamp_to_string,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.operators.relational import (
+    enrich_stream_table,
+    point_lookup,
+    rekey,
+    split_streams,
+    topk,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+from kafka_cdc_elasticsearch_pipeline_spark.operators.windows import (
+    collect_sorted,
+    tumbling_agg,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.registry import query
+from kafka_cdc_elasticsearch_pipeline_spark.sources.cdc import (
+    extract_key,
+    unwrap_envelope,
+    wrap_envelope,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+_EVENT_COLS_SQL = "event_id, ts, user_id, event_type, value, props"
+
+# --- shared building blocks -------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATINGS_LIVE twin: LCASE(channel) NOT LIKE pattern."""
+    live, _ = split_streams(_events(spark, sf_dir), "event_type", "%err%")
+    return live
+
+
+def _dec2(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATINGS_WITH_CUSTOMER_DATA twin (ksqldb-statements.sql:50-60):
+    filter → latest-per-key dim → LEFT equi-join on CAST key →
+    concat projection → IS NOT NULL."""
+    live = _live(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return enrich_stream_table(
+        live,
+        cust,
+        live["user_id"].cast("string"),  # F3: CAST(R.USER_ID AS STRING)
+        cust["c_custkey"].cast("string"),
+        projection=[
+            live["event_id"].alias("rating_id"),
+            live["user_id"].alias("user_id"),
+            live["value"].alias("stars"),
+            live["event_type"].alias("channel"),
+            live["ts"].alias("rating_ts"),
+            cust["c_custkey"].alias("customer_id"),
+            str_concat(cust["c_name"], F.lit(" "), cust["c_mktsegment"]).alias("full_name"),
+            cust["c_mktsegment"].alias("club_status"),
+            cust["c_acctbal"].alias("acctbal"),
+        ],
+        how="left",
+    ).filter(F.col("full_name").isNotNull())
+
+
+_ENRICHED_SQL = """
+SELECT e.event_id AS rating_id,
+       e.user_id AS user_id,
+       e.value AS stars,
+       e.event_type AS channel,
+       e.ts AS rating_ts,
+       c.c_custkey AS customer_id,
+       c.c_name || ' ' || c.c_mktsegment AS full_name,
+       c.c_mktsegment AS club_status,
+       c.c_acctbal AS acctbal
+FROM events e
+LEFT JOIN customer c
+  ON CAST(e.user_id AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+WHERE lower(e.event_type) NOT LIKE '%err%'
+  AND (c.c_name || ' ' || c.c_mktsegment) IS NOT NULL
+"""
+
+# --- §2.1 sources / scans ----------------------------------------------------
+
+
+@query(
+    "s1_p1_scan_projection",
+    f"SELECT event_id, user_id, event_type, value FROM events",
+    tags=("S1", "P1"),
+)
+def s1_p1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 topic scan + P1 column projection (readme.md:121).
+
+    Narrow projection must reach the parquet reader: `.explain` shows
+    ReadSchema with exactly these four columns — at 100 TB the scan
+    reads 4 columns, not 6."""
+    return _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "s4_s10_s11_debezium_unwrap",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           'c' AS op, CAST(c_custkey AS VARCHAR) AS kafka_key
+    FROM customer
+    """,
+    tags=("S4", "S10", "S11"),
+)
+def s4_s10_s11_debezium_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S10/S11 — Debezium envelope round-trip: wrap each customer row
+    in a `{before,after,op,ts_ms,source}` JSON envelope (the CDC topic
+    shape, FIXTURES.md §A3), then decode with `from_json` + `after.*`
+    (ExtractNewRecordState, ksqldb-statements.sql:31-32) and re-key via
+    ExtractField$Key (ksqldb-statements.sql:33-34). Decode is pure
+    Catalyst — no Python in the per-record path."""
+    cust = load_table(spark, sf_dir, "customer")
+    raw = wrap_envelope(cust, op="c")
+    flat = unwrap_envelope(raw, cust.schema)
+    keyed = extract_key(flat, "c_custkey")
+    return keyed.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.col("_op").alias("op"),
+        "kafka_key",
+    )
+
+
+# --- §2.2 projection / filter ------------------------------------------------
+
+
+@query(
+    "p4_ratings_live_split",
+    f"SELECT {_EVENT_COLS_SQL} FROM events WHERE lower(event_type) NOT LIKE '%err%'",
+    tags=("P4", "F1", "F6"),
+)
+def p4_ratings_live_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — RATINGS_LIVE: WHERE LCASE(ch) NOT LIKE (ksqldb-statements.sql:14)."""
+    return _live(spark, sf_dir).select(*EVENT_COLS)
+
+
+@query(
+    "p5_ratings_test_split",
+    f"SELECT {_EVENT_COLS_SQL} FROM events WHERE lower(event_type) LIKE '%err%'",
+    tags=("P5", "F1", "F6"),
+)
+def p5_ratings_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — RATINGS_TEST: WHERE LCASE(ch) LIKE (ksqldb-statements.sql:17)."""
+    _, test = split_streams(_events(spark, sf_dir), "event_type", "%err%")
+    return test.select(*EVENT_COLS)
+
+
+@query(
+    "p8_point_lookup",
+    f"SELECT {_EVENT_COLS_SQL} FROM events WHERE user_id = 7",
+    tags=("P8",),
+)
+def p8_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — key equality predicate (readme.md:331). Pushed to the scan."""
+    return point_lookup(_events(spark, sf_dir), "user_id", 7).select(*EVENT_COLS)
+
+
+# --- §2.3 the join -----------------------------------------------------------
+
+
+@query("j1_enrich_stream_table_join", _ENRICHED_SQL, tags=("J1", "P3", "P6", "F2", "F3"), bench=True)
+def j1_enrich_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the flagship enrichment join (ksqldb-statements.sql:50-60),
+    with P3 computed FULL_NAME, F2 null-propagating concat, F3 key cast
+    and P6 IS NOT NULL. Dimension side is broadcast: the fact stream
+    never shuffles (ksqlDB's table-lookup ≙ broadcast hash join)."""
+    return _enriched(spark, sf_dir)
+
+
+@query(
+    "p7_r1_unhappy_platinum",
+    _ENRICHED_SQL.replace(
+        "WHERE lower(e.event_type) NOT LIKE '%err%'",
+        "WHERE lower(e.event_type) NOT LIKE '%err%' AND e.value < 50 AND c.c_mktsegment = 'AUTOMOBILE'",
+    ),
+    tags=("P7", "R1"),
+)
+def p7_r1_unhappy_platinum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/R1 — UNHAPPY_PLATINUM_CUSTOMERS (ksqldb-statements.sql:63-68):
+    conjunctive predicate (STARS<3 AND platinum ≙ value<50 AND
+    AUTOMOBILE) + PARTITION BY full_name re-key."""
+    unhappy = _enriched(spark, sf_dir).filter(
+        (F.col("stars") < 50) & (F.col("club_status") == "AUTOMOBILE")
+    )
+    return rekey(unhappy, "full_name")
+
+
+# --- §2.1/2.4 TABLE semantics (latest per key) -------------------------------
+
+_LATEST_SQL = f"""
+SELECT {_EVENT_COLS_SQL}
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@query("s2_a3_table_latest_per_key", _LATEST_SQL, tags=("S2", "A3", "T5"), bench=True)
+def s2_a3_table_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/A3/T5 — CREATE TABLE over a changelog: last write per key
+    (ksqldb-statements.sql:42-43; duality demo readme.md:316-374).
+    max_by strategy: one hash agg with map-side combine — shuffles
+    O(distinct keys), not O(rows)."""
+    return latest_per_key(
+        _events(spark, sf_dir), ["user_id"], "ts", tiebreak="event_id", method="max_by"
+    ).select(*EVENT_COLS)
+
+
+@query("a3_latest_per_key_window_variant", _LATEST_SQL, tags=("A3",))
+def a3_latest_per_key_window_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (alternate physical strategy) — row_number() window dedup;
+    must agree row-for-row with the max_by plan (same oracle)."""
+    return latest_per_key(
+        _events(spark, sf_dir), ["user_id"], "ts", tiebreak="event_id", method="window"
+    ).select(*EVENT_COLS)
+
+
+@query(
+    "s3_changelog_stream_all_events",
+    f"SELECT {_EVENT_COLS_SQL} FROM events WHERE user_id = 7",
+    tags=("S3", "T5"),
+)
+def s3_changelog_stream_all_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — STREAM over the same changelog topic: *no* reduction; every
+    change event for the key is visible (readme.md:346-374 shows 4 rows
+    where the TABLE shows 1)."""
+    return _events(spark, sf_dir).filter(F.col("user_id") == 7).select(*EVENT_COLS)
+
+
+# --- §2.4 aggregations --------------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 15 MINUTES, e.ts) AS window_start,
+       e.user_id AS user_id,
+       count(*) AS ratings_count,
+       list_sort(list(CAST(floor(e.value) AS INTEGER))) AS ratings
+FROM events e
+WHERE lower(e.event_type) NOT LIKE '%err%'
+GROUP BY 1, 2
+"""
+
+
+@query("a1_a2_tumbling_15min_collect", _TUMBLING_SQL, tags=("A1", "A2", "T3", "T4"), bench=True)
+def a1_a2_tumbling_15min_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/T3/T4 — RATINGS_PER_CUSTOMER_PER_15MINUTE
+    (ksqldb-statements.sql:88-93): tumbling 15-minute window, COUNT(*),
+    COLLECT_LIST(stars) (sorted for multiset comparison), WINDOWSTART
+    exposed. Epoch-aligned exactly like Kafka Streams windows."""
+    live = _live(spark, sf_dir)
+    return tumbling_agg(
+        live,
+        "ts",
+        "15 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("ratings_count"),
+            collect_sorted(F.floor(F.col("value")).cast("int"), "ratings"),
+        ],
+    )
+
+
+@query(
+    "a4_median_stars_by_channel",
+    """
+    SELECT event_type AS channel,
+           count(*) AS n,
+           round(median(value), 4) AS median_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("A4",),
+)
+def a4_median_stars_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the Kibana dashboard aggregations (docker-compose.yml:346-349):
+    median(STARS) by terms, counts by terms. Exact median (Spark
+    ``median`` = interpolated 50th percentile, same as DuckDB); total
+    via exact DECIMAL sum."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value"),
+    )
+
+
+# --- §2.5/2.9 pull query on the materialized window ---------------------------
+
+
+@query(
+    "p9_t2_pull_query_window_range",
+    """
+    SELECT * FROM (
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS window_start,
+             user_id, count(*) AS ratings_count
+      FROM events GROUP BY 1, 2
+    )
+    WHERE window_start >= TIMESTAMP '2024-01-15 00:00:00' AND user_id = 3
+    """,
+    tags=("P9", "T2", "T4"),
+)
+def p9_t2_pull_query_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/T2 — pull query against the materialized windowed table with a
+    WINDOWSTART range + key predicate (ksqldb-statements.sql:104-110).
+    Batch read of the materialization, then plain filters."""
+    agg = tumbling_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "15 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("ratings_count")],
+    )
+    return agg.filter(
+        (F.col("window_start") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        & (F.col("user_id") == 3)
+    )
+
+
+# --- §2.6 sorts / limits / set ops --------------------------------------------
+
+
+@query(
+    "l1_limit_push_query",
+    f"SELECT {_EVENT_COLS_SQL} FROM events ORDER BY event_id LIMIT 5",
+    tags=("L1",),
+)
+def l1_limit_push_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — EMIT CHANGES LIMIT 5 (commands.sql:24-25): take the first 5
+    records in offset order (event_id ≙ offset). TakeOrderedAndProject:
+    no global sort."""
+    ev = _events(spark, sf_dir)
+    return topk(ev, [F.col("event_id").asc()], 5).select(*EVENT_COLS)
+
+
+@query(
+    "l2_topk_users_by_value",
+    """
+    SELECT user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    tags=("L2",),
+)
+def l2_topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — ordered top-k (the Kibana saved-search sort,
+    docker-compose.yml:344) with deterministic tiebreak."""
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value")
+    )
+    return topk(totals, [F.col("total_value").desc(), F.col("user_id").asc()], 10)
+
+
+@query(
+    "setop_split_union_roundtrip",
+    f"SELECT {_EVENT_COLS_SQL} FROM events WHERE event_type IS NOT NULL",
+    tags=("L", "setop"),
+)
+def setop_split_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op golden check (SURVEY §2.6): the live/test split is a
+    disjoint partition — live ∪ test ≡ ratings (readme.md:143-144)."""
+    live, test = split_streams(_events(spark, sf_dir), "event_type", "%err%")
+    return live.select(*EVENT_COLS).unionByName(test.select(*EVENT_COLS))
+
+
+@query(
+    "setop_split_intersect_empty",
+    """
+    SELECT event_id FROM events WHERE lower(event_type) NOT LIKE '%err%'
+    INTERSECT
+    SELECT event_id FROM events WHERE lower(event_type) LIKE '%err%'
+    """,
+    tags=("setop",),
+)
+def setop_split_intersect_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split is disjoint: live ∩ test = ∅."""
+    live, test = split_streams(_events(spark, sf_dir), "event_type", "%err%")
+    return live.select("event_id").intersect(test.select("event_id"))
+
+
+# --- §2.8 scalar functions -----------------------------------------------------
+
+
+@query(
+    "f_scalar_function_suite",
+    """
+    SELECT event_id,
+           lower(event_type) AS channel_lc,
+           event_type || '-' || CAST(user_id AS VARCHAR) AS concat_key,
+           CAST(user_id AS VARCHAR) AS user_id_str,
+           CAST(floor(value) AS INTEGER) AS value_int,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           value < 100 AS is_low
+    FROM events
+    """,
+    tags=("F1", "F2", "F3", "F4", "F5", "F7"),
+)
+def f_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7 in one projection: LCASE, string ``+`` concat, CAST to
+    STRING/INT, TIMESTAMPTOSTRING (ksqldb-statements.sql:96 — Java
+    pattern 'yyyy-MM-dd HH:mm:ss'), comparison."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        lcase("event_type").alias("channel_lc"),
+        str_concat(F.col("event_type"), F.lit("-"), cast_string("user_id")).alias("concat_key"),
+        cast_string("user_id").alias("user_id_str"),
+        cast_int(F.floor(F.col("value"))).alias("value_int"),
+        timestamp_to_string("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        (F.col("value") < 100).alias("is_low"),
+    )
+
+
+# --- scale workloads (TPC-H-shaped; the bench headliners) ----------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                          * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("scale", "A"),
+    bench=True,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale workload: TPC-H Q1-shaped pricing summary over lineitem.
+
+    Single scan → single hash agg with map-side partials; the filter is
+    pushed into parquet. All money math through exact DECIMAL sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    one = F.lit(1).cast("decimal(8,4)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_dec2("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(_dec2("l_extendedprice") * (one - disc)).cast("double"), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(_dec2("l_extendedprice") * (one - disc) * (one + tax)).cast("double"), 2
+        ).alias("sum_charge"),
+        F.round(F.sum(_dec2("l_quantity")).cast("double") / cnt, 6).alias("avg_qty"),
+        F.round(F.sum(_dec2("l_extendedprice")).cast("double") / cnt, 6).alias("avg_price"),
+        F.round(F.sum(disc).cast("double") / cnt, 6).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS revenue,
+           o.o_orderdate AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("scale", "J"),
+    bench=True,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale workload: TPC-H Q3-shaped two-join + agg + top-k.
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on the
+    orderkey; top-10 via TakeOrderedAndProject with a total order.
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast("decimal(8,4)")
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    agg = joined.groupBy(
+        li["l_orderkey"].alias("l_orderkey"),
+        orders["o_orderdate"].alias("o_orderdate"),
+        orders["o_orderpriority"].alias("o_orderpriority"),
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (one - F.col("l_discount").cast("decimal(8,4)"))
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+    return topk(
+        agg,
+        [F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()],
+        10,
+    ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -1,0 +1,93 @@
+"""Harness parquet tables: the engine's batch scan path (SURVEY §2.1 S1/S2).
+
+The grading harness materializes deterministic TPC-H-ish tables plus
+``events`` / ``documents`` / ``embeddings`` at
+``/root/testdata/sf{0.001,0.01,0.1}`` (TESTDATA.md). ``events`` plays
+the reference's ``ratings`` topic, ``customer`` plays the Debezium-fed
+``CUSTOMERS`` dimension (FIXTURES.md §B).
+
+Scale notes
+-----------
+- One `spark.read.parquet` scan per table: Catalyst handles column
+  pruning + predicate pushdown into the parquet reader, which is the
+  whole ballgame at 100 TB (`.explain` shows PushedFilters/ReadSchema).
+- Timestamp normalization happens *here*, once, at the source
+  boundary: harness files store TIMESTAMP(NANOS,false), which Spark
+  cannot read vectorized. With ``nanosAsLong`` they surface as int64
+  nanos; we convert to TIMESTAMP_NTZ (micros) so all downstream
+  event-time logic is timezone-independent. This is a cheap projection
+  — it does not break pushdown on other columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns that the harness wrote as TIMESTAMP(NANOS,false); with
+# nanosAsLong these read as int64 epoch-nanos and need conversion.
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Assert the dynamic conf every load depends on.
+
+    Works with an externally provided session (the grading driver's):
+    nanosAsLong so the scan doesn't throw, UTC so the single
+    LTZ->NTZ cast below is the identity on the underlying instant.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_ts(df: DataFrame, table: str) -> DataFrame:
+    for col in _NANO_TS_COLUMNS.get(table, ()):
+        field = df.schema[col]
+        if isinstance(field.dataType, T.LongType):
+            # int64 nanos -> micros -> NTZ. MUST be integer `div`:
+            # float division loses precision above 2^53 (epoch-nanos is
+            # ~1.7e18) and shifts timestamps by ±1 µs. DuckDB reads the
+            # same file truncated to micros, so both engines then see
+            # identical event times.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+            )
+        elif isinstance(field.dataType, T.TimestampType):
+            df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one harness table (declarative — all pushdown-friendly)."""
+    _prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ts(df, name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
