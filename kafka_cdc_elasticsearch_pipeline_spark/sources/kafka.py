@@ -1,0 +1,93 @@
+"""Kafka source/sink builders (SURVEY §2.1 S1/S8, §2.7 R2).
+
+CI has no broker, so these builders *construct* fully configured
+streaming readers/writers; nothing talks to Kafka until ``.load()`` /
+``.start()``. The deterministic replay path (``streaming.replay``)
+stands in for the broker in tests — downstream semantics are
+identical by Structured Streaming's source-agnostic design.
+
+Value decoding: the reference's topics are Avro-with-registry
+(docker-compose.yml:59-72). Spark's ``from_avro`` needs the
+schema JSON (there is no registry client in core Spark), so the
+engine accepts either an Avro schema string (-> ``from_avro``) or a
+StructType (-> ``from_json``); both decode JVM-side.
+
+Scale: one Kafka partition maps to one Spark input partition —
+the reference runs 1/1 (readme.md:102-106); a production topic runs
+hundreds, and ``minPartitions`` can oversplit hot partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    **options,
+):
+    """S1 — ``CREATE STREAM ... WITH (KAFKA_TOPIC=...)``
+    (commands.sql:13). ``starting_offsets`` is R2 — ``SET
+    'auto.offset.reset'`` (ksqldb-statements.sql:49)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def decode_value(raw: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """Decode the Kafka ``value`` column into typed columns, keeping
+    the message metadata the reference exposes (key, ROWTIME ≙ the
+    Kafka timestamp — readme.md:272,325)."""
+    if isinstance(schema, str):
+        from pyspark.sql.avro.functions import from_avro
+
+        decoded = raw.withColumn("_v", from_avro(F.col("value"), schema))
+    else:
+        decoded = raw.withColumn("_v", F.from_json(F.col("value").cast("string"), schema))
+    return decoded.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("timestamp").alias("rowtime"),
+        F.col("_v.*"),
+    )
+
+
+def kafka_sink_writer(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """S8 — every CSAS/CTAS writes a derived topic
+    (``WITH (KAFKA_TOPIC='ratings-enriched')``, ksqldb-statements.sql:50-51).
+    ``key_col`` implements PARTITION BY's message-key rewrite (R1):
+    Kafka hashes the key to a partition, so setting the key IS the
+    repartitioning."""
+    key = (
+        F.col(key_col).cast("string").alias("key")
+        if key_col
+        else F.lit(None).cast("string").alias("key")
+    )
+    payload = df.select(
+        key,
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    writer = (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -56,6 +56,14 @@ def _prepare(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # A vanilla session ships Spark's default 200 shuffle partitions —
+    # pathological for local mode (every streaming micro-batch runs 200
+    # tasks). Right-size it to the harness CPU budget, but respect any
+    # explicitly tuned non-default value.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        from kafka_cdc_elasticsearch_pipeline_spark.session import default_parallelism
+
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
 
 
 def _normalize_ts(df: DataFrame, table: str) -> DataFrame:

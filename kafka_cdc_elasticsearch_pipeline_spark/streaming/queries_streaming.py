@@ -1,0 +1,138 @@
+"""Correctness-gate entries that run REAL StreamingQuery executions.
+
+Each query replays the ``events`` table as ~8 micro-batches through
+the file streaming source, runs the stateful streaming operator, and
+returns the final materialization — which must hash-match the *batch*
+DuckDB oracle. This is the stream/table duality check (SURVEY §5
+golden check 2) wired into the driver's gate.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.registry import query
+from kafka_cdc_elasticsearch_pipeline_spark.streaming.duality import (
+    streaming_latest_per_key,
+    streaming_tumbling_agg,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+    cleanup,
+    replay_stream,
+    run_to_memory,
+)
+
+_SEQ = itertools.count()
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _run(df: DataFrame, spark: SparkSession, base: str) -> DataFrame:
+    name = f"{base}_{next(_SEQ)}"
+    run_to_memory(df, name, output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "t1_t3_streaming_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS window_start,
+           user_id,
+           count(*) AS ratings_count,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T1", "T3", "T4", "T6", "streaming"),
+)
+def t1_t3_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3 — a real streaming tumbling-window aggregation: events
+    replayed as ~8 micro-batches (earliest-offset order, R2), stateful
+    window state updated per batch, final state returned. Must equal
+    the batch/oracle result exactly — Structured Streaming's unified
+    semantics, demonstrated rather than asserted."""
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        agg = streaming_tumbling_agg(
+            stream,
+            "ts",
+            "15 minutes",
+            ["user_id"],
+            [
+                F.count(F.lit(1)).alias("ratings_count"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                    "total_value"
+                ),
+            ],
+        )
+        return _run(agg, spark, "strm_tumbling")
+    finally:
+        cleanup(tmp)
+
+
+@query(
+    "t5_streaming_table_latest_per_key",
+    f"""
+    SELECT {', '.join(EVENT_COLS)}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("T5", "S2", "streaming"),
+)
+def t5_streaming_table_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — stream/table duality, streaming side: the TABLE view of the
+    events changelog built as stateful last-write-per-key aggregation
+    (one state row per key ≙ ksqlDB's RocksDB table). Shares its oracle
+    with the batch `s2_a3_table_latest_per_key` — stream and batch
+    must converge to the same table."""
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        latest = streaming_latest_per_key(stream, ["user_id"], "ts", tiebreak="event_id")
+        return _run(latest.select(*EVENT_COLS), spark, "strm_latest")
+    finally:
+        cleanup(tmp)
+
+
+@query(
+    "t2_streaming_pull_query",
+    """
+    SELECT * FROM (
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS window_start,
+             user_id, count(*) AS ratings_count
+      FROM events GROUP BY 1, 2
+    )
+    WHERE window_start >= TIMESTAMP '2024-01-20 00:00:00' AND user_id = 5
+    """,
+    tags=("T2", "streaming"),
+)
+def t2_streaming_pull_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — pull query: run the push query to completion, then a
+    point-in-time batch read of its materialization with WINDOWSTART
+    range + key predicates (ksqldb-statements.sql:104-110)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.push_pull import pull
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        agg = streaming_tumbling_agg(
+            stream,
+            "ts",
+            "15 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("ratings_count")],
+        )
+        name = f"strm_pull_{next(_SEQ)}"
+        run_to_memory(agg, name, output_mode="complete")
+        return pull(
+            spark,
+            name,
+            F.col("window_start") >= F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
+            F.col("user_id") == 5,
+        )
+    finally:
+        cleanup(tmp)

@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from kafka_cdc_elasticsearch_pipeline_spark.sources.elasticsearch import (
+    bulk_payload,
+    es_sink_foreach_batch,
+    index_exists_errors,
+    put_index_template,
+)
+
+# Transports are built as closures (factories) so cloudpickle ships
+# them to Spark python workers by VALUE — a module-level function in a
+# test file pickles by reference and the workers can't import it.
+_CAPTURE_DIR = tempfile.mkdtemp(prefix="es_capture_")
+
+
+def make_capturing_transport(capture_dir: str):
+    def transport(url: str, body: str) -> tuple[int, str]:
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(capture_dir, f"req_{abs(hash(body))}.ndjson"), "w") as f:
+            f.write(body)
+        n = sum(1 for _ in body.strip().splitlines()) // 2
+        items = [{"index": {"status": 201}} for _ in range(n)]
+        return 200, _json.dumps({"errors": False, "items": items})
+
+    return transport
+
+
+def make_failing_transport():
+    """Rejects docs whose id field is odd (malformed-doc stand-in)."""
+
+    def transport(url: str, body: str) -> tuple[int, str]:
+        import json as _json
+
+        docs = [_json.loads(line) for line in body.strip().splitlines()][1::2]
+        items = [
+            {"index": {"status": 400 if doc.get("id", 0) % 2 else 201}} for doc in docs
+        ]
+        return 200, _json.dumps({"errors": True, "items": items})
+
+    return transport
+
+
+def test_bulk_payload_with_and_without_id():
+    rows = [{"id": 1, "v": "a"}]
+    with_id = bulk_payload(rows, "idx", "id")
+    action = json.loads(with_id.splitlines()[0])
+    assert action["index"]["_id"] == "1"  # key.ignore=false (S6)
+    no_id = bulk_payload(rows, "idx", None)
+    action = json.loads(no_id.splitlines()[0])
+    assert "_id" not in action["index"]  # key.ignore=true (S7)
+
+
+def test_index_exists_errors_positions():
+    resp = json.dumps(
+        {"errors": True, "items": [{"index": {"status": 201}}, {"index": {"status": 400}}]}
+    )
+    assert index_exists_errors(resp) == [1]
+    assert index_exists_errors(json.dumps({"errors": False, "items": []})) == []
+
+
+def test_sink_happy_path(spark):
+    df = spark.createDataFrame([Row(id=i, v=f"doc{i}") for i in range(10)])
+    sink = es_sink_foreach_batch(
+        "http://fake:9200", "ratings", id_col="id", transport=make_capturing_transport(_CAPTURE_DIR)
+    )
+    sink(df, 0)  # must not raise
+    captured = os.listdir(_CAPTURE_DIR)
+    assert captured, "bulk request was never sent"
+
+
+def test_errors_tolerance_none_raises(spark):
+    df = spark.createDataFrame([Row(id=i, v="x") for i in range(4)])
+    sink = es_sink_foreach_batch(
+        "http://fake:9200", "ratings", id_col="id", transport=make_failing_transport()
+    )
+    with pytest.raises(RuntimeError, match="failed to index"):
+        sink(df, 0)
+
+
+def test_errors_tolerance_all_routes_to_dlq(spark):
+    """T8 — errors.tolerance=all (ksqldb-statements.sql:74-77): failed
+    docs land in the dead-letter path; the query does not fail."""
+    df = spark.createDataFrame([Row(id=i, v="x") for i in range(6)])
+    dlq = tempfile.mkdtemp(prefix="dlq_") + "/out"
+    sink = es_sink_foreach_batch(
+        "http://fake:9200",
+        "ratings",
+        id_col="id",
+        errors_tolerance="all",
+        dead_letter_path=dlq,
+        transport=make_failing_transport(),
+    )
+    sink(df, 0)
+    dead = spark.read.parquet(dlq).collect()
+    assert len(dead) == 3  # odd ids rejected
+    assert all(json.loads(r.doc)["id"] % 2 == 1 for r in dead)
+
+
+def test_put_index_template_payload():
+    sent = {}
+
+    def t(url, body):
+        sent["url"], sent["body"] = url, body
+        return 200, "{}"
+
+    put_index_template("http://fake:9200", transport=t)
+    assert sent["url"].endswith("/_template/kafkaconnect")
+    tmpl = json.loads(sent["body"])
+    assert tmpl["settings"]["number_of_shards"] == 1  # docker-compose.yml:295-300
+    assert tmpl["mappings"]["dynamic_templates"][0]["dates"]["match"] == "*_TS"

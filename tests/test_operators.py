@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.functions.scalar import (
+    str_concat,
+    timestamp_ms_to_string,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.operators.relational import (
+    rekey,
+    split_streams,
+    topk,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+
+def test_split_streams_null_in_neither(spark):
+    """ksqlDB 3VL: NULL channel matches neither LIKE nor NOT LIKE."""
+    df = spark.createDataFrame(
+        [Row(id=1, channel="web"), Row(id=2, channel="web-TEST"), Row(id=3, channel=None)]
+    )
+    live, test = split_streams(df, "channel")
+    assert [r.id for r in live.collect()] == [1]
+    assert [r.id for r in test.collect()] == [2]
+
+
+def test_latest_per_key_strategies_agree(spark, sf_dir):
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = latest_per_key(ev, ["user_id"], "ts", "event_id", method="max_by")
+    b = latest_per_key(ev, ["user_id"], "ts", "event_id", method="window")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_latest_per_key_tiebreak(spark):
+    """Equal timestamps resolve by the monotonic tiebreak (≙ offset)."""
+    df = spark.createDataFrame(
+        [Row(k="a", ts=5, seq=1, v="old"), Row(k="a", ts=5, seq=2, v="new")]
+    )
+    out = latest_per_key(df, ["k"], "ts", "seq").collect()
+    assert len(out) == 1 and out[0].v == "new"
+
+
+def test_topk_deterministic_with_ties(spark):
+    df = spark.createDataFrame([Row(k=i, score=i % 3) for i in range(30)])
+    out1 = topk(df, [F.col("score").desc(), F.col("k").asc()], 5).collect()
+    out2 = topk(df, [F.col("score").desc(), F.col("k").asc()], 5).collect()
+    assert out1 == out2
+    assert [r.k for r in out1] == [2, 5, 8, 11, 14]
+
+
+def test_topk_plan_avoids_global_sort(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("s"))
+    plan = topk(df, [F.col("s").desc(), F.col("k")], 3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rekey_colocates_keys(spark):
+    df = spark.range(100).select((F.col("id") % 4).alias("k"), F.col("id"))
+    out = rekey(df, "k")
+    # every key lives in exactly one partition after the re-key
+    parts = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("k")
+        .agg(F.countDistinct("p").alias("np"))
+        .collect()
+    )
+    assert all(r.np == 1 for r in parts)
+
+
+def test_concat_null_propagates(spark):
+    """F2 risk register: ksqlDB `+` is NULL-propagating; concat_ws would
+    silently differ (SURVEY §7)."""
+    df = spark.createDataFrame([("x", None)], "a string, b string")
+    out = df.select(str_concat(F.col("a"), F.lit(" "), F.col("b")).alias("c")).first()
+    assert out.c is None
+
+
+def test_timestamp_ms_to_string(spark):
+    df = spark.createDataFrame([Row(ms=1594049400000)])  # 2020-07-06T15:30 UTC
+    out = df.select(timestamp_ms_to_string(F.col("ms")).alias("s")).first()
+    assert out.s == "2020-07-06 15:30:00"

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+from kafka_cdc_elasticsearch_pipeline_spark.streaming.duality import (
+    streaming_latest_per_key,
+    streaming_tumbling_agg,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+    cleanup,
+    replay_stream,
+    run_to_memory,
+)
+
+
+def test_stream_table_duality_latest_per_key(spark, sf_dir):
+    """The streaming TABLE converges to the batch TABLE (SURVEY §7's
+    'genuinely non-trivial semantic')."""
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=4)
+    try:
+        latest = streaming_latest_per_key(stream, ["user_id"], "ts", tiebreak="event_id")
+        run_to_memory(latest, "duality_latest", output_mode="complete")
+        got = sorted(map(tuple, spark.table("duality_latest").collect()))
+        want_df = latest_per_key(
+            load_table(spark, sf_dir, "events"), ["user_id"], "ts", "event_id"
+        )
+        want = sorted(map(tuple, want_df.select(*spark.table("duality_latest").columns).collect()))
+        assert got == want
+    finally:
+        cleanup(tmp)
+
+
+def test_append_mode_emits_closed_windows_only(spark, sf_dir):
+    """T6 — append mode + watermark: only windows older than the final
+    watermark are emitted, and those match the batch aggregation."""
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=4)
+    try:
+        agg = streaming_tumbling_agg(
+            stream,
+            "ts",
+            "15 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+            watermark="24 hours",
+        )
+        run_to_memory(agg, "append_windows", output_mode="append")
+        emitted = spark.table("append_windows")
+        ev = load_table(spark, sf_dir, "events")
+        batch = (
+            ev.groupBy(F.window("ts", "15 minutes").start.alias("window_start"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        n_emitted = emitted.count()
+        assert 0 < n_emitted < batch.count()  # closed subset, not everything
+        # every emitted row agrees with the batch result
+        mismatched = emitted.join(batch, ["window_start", "user_id", "n"], "left_anti")
+        assert mismatched.count() == 0
+    finally:
+        cleanup(tmp)
+
+
+def test_replay_is_multi_batch(spark, sf_dir):
+    """The replay source must deliver several micro-batches, or the
+    stateful-streaming tests prove nothing."""
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=4)
+    try:
+        counts = stream.groupBy().count()
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("replay_batches")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(q.recentProgress) >= 4
+    finally:
+        cleanup(tmp)
