@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline set (lower is
+better). Each query is forced with a count-style action (collect on
+small results) so the full plan executes but driver transfer stays
+out of the measurement as much as possible.
+
+Usage:  python bench.py [--all] [names...]
+        --all  benches every registered query, not just bench=True
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--all", action="store_true", help="bench every registered query")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+    from kafka_cdc_elasticsearch_pipeline_spark.session import get_spark
+
+    if args.names:
+        names = args.names
+    elif args.all:
+        names = list(QUERIES)
+    else:
+        names = [n for n, s in QUERIES.items() if s.bench]
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so the timings measure the
+    # query plans, not first-touch JIT/IO noise.
+    for name in names:
+        QUERIES[name].spark(spark, args.sf).limit(1).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(max(1, args.repeat)):
+            t0 = time.time()
+            df = QUERIES[name].spark(spark, args.sf)
+            # Force full execution without shipping giant results to the
+            # driver: a count() runs every stage of the plan.
+            df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,226 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, each with a different recall/cost point, all built as
+shuffle-conscious DataFrame plans (no cross joins — every pairwise
+stage goes through a *blocking* key so candidate generation is an
+equi-join):
+
+- exact            : hash-groupBy on a normalized fingerprint. One
+                     shuffle of (hash, doc_id) pairs — the 100 TB plan
+                     is the same plan.
+- minhash_lsh      : shingle → k MinHash components → band keys →
+                     equi-self-join on (band, key) → verify true
+                     Jaccard on candidates only. Candidates are
+                     O(collisions), never O(n²).
+- simhash          : 16-bit SimHash per doc + near-pair search blocked
+                     on half-signature bytes (a 1-bit-error pair always
+                     shares one half — Hamming ≤ r with r < 16/2).
+- ngram_jaccard    : inverted-index blocking on shared shingles with a
+                     stop-shingle cap (df ≤ MAX_DF drops the "the the
+                     the" keys that would quadratically blow up any
+                     real corpus), then exact Jaccard on candidates.
+- embedding cosine : see ``queries_ext`` — IVF-blocked on the cluster
+                     label, exact cosine within the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
+    LSH_ROWS_PER_BAND,
+    NUM_MINHASH,
+    minhash_signature,
+    poly_hash16,
+    shingles,
+    simhash16,
+    words,
+)
+
+MAX_SHINGLE_DF = 100  # stop-shingle cap for jaccard blocking
+JACCARD_THRESHOLD = 0.4
+
+
+def normalized(text_col: str = "text") -> F.Column:
+    """Canonical text: lowercase, whitespace collapsed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via normalized-md5 fingerprint: one row per distinct
+    content, keeping the smallest doc_id (deterministic representative)
+    plus the duplicate count."""
+    return (
+        docs.select(F.md5(normalized()).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", words("text").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", shingles("w").alias("sh"))
+    )
+
+
+def _jaccard(a_sh: str, b_sh: str) -> F.Column:
+    # int/int division: a single IEEE op, binary-identical across
+    # engines — no rounding needed for the oracle comparison.
+    inter = F.size(F.array_intersect(F.col(a_sh), F.col(b_sh)))
+    union = F.size(F.col(a_sh)) + F.size(F.col(b_sh)) - inter
+    return inter.cast("double") / union
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NUM_MINHASH,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified with true Jaccard.
+
+    Plan shape (the part that matters at 100 TB):
+      1. narrow map: shingle + k MinHash mins per doc (no shuffle);
+      2. explode b band keys per doc → ONE shuffle on (band, key);
+      3. self-join within identical band buckets only — candidate
+         volume is governed by collision probability (s^r per band),
+         not by n²;
+      4. verify candidates with exact Jaccard (array ops) and filter.
+
+    Probability a pair with true Jaccard s collides: 1-(1-s^r)^(k/r);
+    with k=8, r=2: s=0.4 → ~46%, s=0.8 → ~92%. Raise k for recall —
+    cost stays linear in k.
+    """
+    sh = _doc_shingles(docs)
+    sigs = sh.select("doc_id", "sh", *minhash_signature("sh", k))
+    n_bands = k // rows_per_band
+    band_vals = [
+        F.concat(
+            *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select("doc_id", *band_vals)
+    exploded = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index blocking.
+
+    Higher recall than LSH (every pair sharing ≥1 *rare* shingle is
+    considered) at higher candidate cost; the stop-shingle cap is what
+    keeps this viable on a real corpus — without it, one ubiquitous
+    shingle produces a quadratic bucket. (Pairs whose every common
+    shingle is a stop-shingle are missed — that's the documented
+    recall trade of this strategy; LSH covers that regime.)
+    """
+    sh = _doc_shingles(docs)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") <= max_shingle_df
+    )
+    blocked = ex.join(F.broadcast(rare.select("s")), "s")
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(docs: DataFrame) -> DataFrame:
+    """Per-document 16-bit SimHash over word polynomial hashes."""
+    return (
+        docs.select("doc_id", words("text").alias("w"))
+        .select(
+            "doc_id",
+            F.expr(f"transform(filter(w, x -> x <> ''), x -> {poly_hash16('x')})").alias("hs"),
+        )
+        .select("doc_id", simhash16("hs").alias("simhash"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-pairs blocked on signature halves.
+
+    Pigeonhole: Hamming distance ≤ 3 < 2 halves × 2 ⇒ at least one
+    8-bit half is error-free and identical, so blocking on both halves
+    has full recall for the radius while keeping candidate generation
+    an equi-join (at 100 TB, permute-and-block with 4 quarters for
+    radius ≤ 3 guarantees; halves give radius ≤ 1 guarantees per
+    block pair — we take the union of both half-blocks).
+    """
+    t = simhash_table(docs)
+    withhalves = t.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        F.expr("shiftright(simhash, 8)").alias("hi"),
+    )
+    pairs = None
+    for half in ("lo", "hi"):
+        a = withhalves.alias("a")
+        b = withhalves.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.{half}") == F.col(f"b.{half}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(cast(sim_a as int) ^ cast(sim_b as int))"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,431 @@
+"""Correctness-gate entries for the training-data extension operators.
+
+Every oracle mirrors the Spark expression *exactly* — including fold
+order for float arithmetic and the md5-based MinHash permutations — so
+even the randomized-flavored algorithms hash-match bit-for-bit.
+DuckDB dialect notes: ``regexp_replace`` needs the 'g' flag (Spark
+replaces all matches by default); list indexing is 1-based (mirrored
+with ``element_at``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import dedup as dd
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import similarity as sim
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
+    SQL_DOT64,
+    SQL_POLY16,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.registry import query
+from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_DOCS_SHINGLES = """
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+_SQL_JACCARD = (
+    "len(list_intersect(x.sh, y.sh))::DOUBLE"
+    " / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- deduplication -----------------------------------------------------------
+
+
+@query(
+    "ext_dedup_exact",
+    f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint;
+    deterministic representative = min doc_id. One shuffle of
+    (128-bit hash, id) pairs regardless of corpus size."""
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_dedup_minhash_lsh",
+    f"""
+    WITH docs AS ({_SQL_DOCS_SHINGLES}),
+    sigs AS (
+      SELECT doc_id, i, min(md5(s || '#' || i)) AS sig
+      FROM docs, unnest(sh) AS t(s), generate_series(0, 7) AS g(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 2 AS band_idx, string_agg(sig, '' ORDER BY i) AS band_val
+      FROM sigs GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
+    FROM cand c JOIN docs x ON x.doc_id = c.doc_a JOIN docs y ON y.doc_id = c.doc_b
+    WHERE {_SQL_JACCARD} >= 0.4
+    """,
+    tags=("ext", "dedup", "minhash", "lsh"),
+    bench=True,
+)
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(r=2,b=4) near-dup pairs verified with true
+    Jaccard ≥ 0.4. Candidates come only from band-bucket collisions —
+    an equi-self-join, never a cross join."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_dedup_ngram_jaccard",
+    f"""
+    WITH docs AS ({_SQL_DOCS_SHINGLES}),
+    ex AS (SELECT doc_id, s FROM docs, unnest(sh) AS t(s)),
+    rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+    blocked AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
+    FROM cand c JOIN docs x ON x.doc_id = c.doc_a JOIN docs y ON y.doc_id = c.doc_b
+    WHERE {_SQL_JACCARD} >= 0.4
+    """,
+    tags=("ext", "dedup", "jaccard"),
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs with inverted-index blocking
+    and a stop-shingle cap (df ≤ 100) so no single hot shingle can
+    produce a quadratic bucket."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+_SQL_WORD_HASHES = (
+    "list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),"
+    f" x -> {SQL_POLY16.format(col='x')})"
+)
+
+_SQL_SIMHASH = f"""
+  SELECT doc_id,
+         list_reduce(list_prepend(0, list_transform(generate_series(0, 15), b ->
+           CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
+                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
+                  (a, x) -> a + x) > 0
+                THEN (1 << b) ELSE 0 END)), (a, x) -> a + x) AS simhash
+  FROM (SELECT doc_id, {_SQL_WORD_HASHES} AS hs FROM documents)
+"""
+
+
+@query(
+    "ext_dedup_simhash",
+    f"SELECT doc_id, simhash FROM ({_SQL_SIMHASH})",
+    tags=("ext", "dedup", "simhash"),
+)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash (per-bit majority over portable
+    polynomial word hashes) — identical bits in both engines."""
+    return dd.simhash_table(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_dedup_simhash_pairs",
+    f"""
+    WITH t AS ({_SQL_SIMHASH}),
+    h AS (SELECT doc_id, simhash, simhash % 256 AS lo, simhash >> 8 AS hi FROM t),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+      FROM h a JOIN h b ON a.lo = b.lo AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM h a JOIN h b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a::BIGINT, sim_b::BIGINT))::INT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a::BIGINT, sim_b::BIGINT)) <= 3
+    """,
+    tags=("ext", "dedup", "simhash"),
+)
+def ext_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs (Hamming ≤ 3) blocked on signature halves —
+    pigeonhole blocking keeps candidate generation an equi-join."""
+    return dd.simhash_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({SQL_DOT64.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({SQL_DOT64.format(a='a.embedding', b='a.embedding')})
+                * sqrt({SQL_DOT64.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({SQL_DOT64.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({SQL_DOT64.format(a='a.embedding', b='a.embedding')})
+                * sqrt({SQL_DOT64.format(a='b.embedding', b='b.embedding')})), 6) >= 0.4
+    """,
+    tags=("ext", "dedup", "embedding"),
+)
+def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-blocked on the cluster
+    label (bucket-local exact scoring — the 100 TB candidate policy)."""
+    return sim.embedding_neardup_pairs(_embs(spark, sf_dir))
+
+
+# --- similarity search -------------------------------------------------------
+
+_SQL_COS = (
+    f"round({SQL_DOT64.format(a='e.embedding', b='q.embedding')}"
+    f" / (sqrt({SQL_DOT64.format(a='e.embedding', b='e.embedding')})"
+    f" * sqrt({SQL_DOT64.format(a='q.embedding', b='q.embedding')})), 6)"
+)
+
+
+@query(
+    "ext_sim_bruteforce_topk",
+    f"""
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, e.vec_id) AS rank
+    FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    WHERE e.vec_id <> q.vec_id
+    QUALIFY rank <= 10
+    """,
+    tags=("ext", "similarity"),
+    bench=True,
+)
+def ext_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a broadcast query batch: one corpus scan,
+    per-partition top-k heaps, deterministic tie-break on vec_id."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return sim.brute_force_topk(embs, queries)
+
+
+@query(
+    "ext_sim_ivf_topk",
+    f"""
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, e.vec_id) AS rank
+    FROM embeddings e JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      ON e.label = q.label
+    WHERE e.vec_id <> q.vec_id
+    QUALIFY rank <= 10
+    """,
+    tags=("ext", "similarity", "ivf"),
+)
+def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (bucketed) ANN: each query probes only its coarse cluster —
+    candidate volume / n_clusters, the standard recall-for-cost trade."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    return sim.ivf_topk(embs, queries)
+
+
+@query(
+    "ext_sim_ivf_centroids",
+    """
+    SELECT label, list(c ORDER BY pos) AS centroid
+    FROM (
+      SELECT label, pos,
+             round(list_reduce(list_prepend(0.0, list(embedding[pos]::DOUBLE ORDER BY vec_id)),
+                   (a, b) -> a + b) / count(*), 6) AS c
+      FROM embeddings, generate_series(1, 64) AS t(pos)
+      GROUP BY label, pos
+    )
+    GROUP BY label
+    """,
+    tags=("ext", "similarity", "ivf"),
+)
+def ext_sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse quantizer: per-label centroids via positional
+    aggregation. Float sums are folded in vec_id order on BOTH engines,
+    so even the reduction order is reproducible."""
+    exploded = _embs(spark, sf_dir).select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    )
+    per_pos = exploded.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs")
+    ).select(
+        "label",
+        "pos",
+        F.round(
+            F.expr("aggregate(vs, 0.0d, (a, x) -> a + cast(x.v as double))")
+            / F.size("vs"),
+            6,
+        ).alias("c"),
+    )
+    return per_pos.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c").alias("centroid")
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" x -> list_contains([{arr}], x)))"
+    )
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"       {_sql_marker_hits(m)} AS score_{code}"
+    for code, m in sorted(tx.LANG_MARKERS.items())
+)
+
+
+@query(
+    "ext_text_lang_id",
+    f"""
+    SELECT doc_id, lang_true, score_de, score_en, score_es, score_fr,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN score_de = best THEN 'de'
+                WHEN score_en = best THEN 'en'
+                WHEN score_es = best THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang AS lang_true,
+{_LANG_SCORES_SQL},
+             greatest(score_de, score_en, score_es, score_fr) AS best
+      FROM documents
+    )
+    """,
+    tags=("ext", "text"),
+)
+def ext_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic argmax."""
+    return tx.lang_id(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_quality",
+    f"""
+    SELECT doc_id, n_chars, n_words,
+           round(alpha::DOUBLE / n_chars, 6) AS alpha_ratio,
+           round(punct::DOUBLE / n_chars, 6) AS punct_ratio,
+           round(stop::DOUBLE / n_words, 6) AS stopword_ratio,
+           round(n_chars::DOUBLE / n_words, 6) AS avg_word_len,
+           round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+                 * (1.0 - round(punct::DOUBLE / n_chars, 6))
+                 * round(alpha::DOUBLE / n_chars, 6), 6) AS quality
+    FROM (
+      SELECT doc_id, length(text) AS n_chars,
+             len(string_split_regex(lower(text), '\\s+')) AS n_words,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct,
+             {_sql_marker_hits(tx.EN_STOPWORDS)} AS stop
+      FROM documents
+    )
+    """,
+    tags=("ext", "text"),
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training corpus quality filters: length / shape / punctuation
+    / stopword ratios + a composite score, all per-row codegen."""
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+           ceil(length(text) / 4)::BIGINT AS est_llm_tokens
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def ext_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, BPE-ish regex, chars/4 estimate."""
+    return tx.token_counts(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5({_SQL_NORM}) AS md5_fp,
+           {SQL_POLY16.format(col=_SQL_NORM)} AS poly_fp
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def ext_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 + 16-bit polynomial rolling hash."""
+    return tx.fingerprints(_docs(spark, sf_dir))
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@query(
+    "ext_multimodal_decode",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::INT AS byte_len,
+           (64 + octet_length(encode(text)) % 577)::INT AS width,
+           (64 + (octet_length(encode(text)) * 31) % 433)::INT AS height,
+           'RGB' AS mode,
+           'fake-deterministic' AS decoder
+    FROM documents
+    """,
+    tags=("ext", "multimodal"),
+)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode plumbing: binary payload column →
+    Arrow-batched mapInPandas decode stage with a declared schema.
+    The decoder itself is a deterministic fake (no media libs in the
+    harness — labeled in the ``decoder`` column); the Spark-side
+    contract (binary handling, batch iterator, schema) is real and
+    this oracle checks it end-to-end."""
+    return mm.decode_image_metadata(mm.attach_payload(_docs(spark, sf_dir)))
+
+
+@query(
+    "ext_multimodal_frame_sample",
+    """
+    SELECT doc_id, frame_idx::INT AS frame_idx
+    FROM (
+      SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) % 100, 10)) AS frame_idx
+      FROM documents
+    )
+    """,
+    tags=("ext", "multimodal"),
+)
+def ext_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (video pattern): deterministic frame
+    index explode — rows fan out partition-locally, no shuffle."""
+    decoded = mm.decode_image_metadata(mm.attach_payload(_docs(spark, sf_dir)))
+    return mm.frame_sample(decoded).select(
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )

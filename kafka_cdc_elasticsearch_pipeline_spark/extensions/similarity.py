@@ -1,0 +1,118 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+Two paths, as a real vector pipeline would ship them:
+
+- ``brute_force_topk``: the exactness baseline. Query set × corpus
+  with the small side broadcast — the corpus side NEVER shuffles, so
+  at 100 TB this is a single pass: scan, score, per-partition top-k
+  heap, driver merges k·P rows. Works for query batches up to the
+  broadcast limit.
+- ``ivf_topk``: the scale path — Inverted-File (IVF) search. The
+  corpus is bucketed by a coarse quantizer (here the harness's
+  ``label`` column ≙ cluster assignment; ``centroids`` shows the
+  quantizer itself is a one-shuffle aggregation). A query probes only
+  its bucket: candidate volume drops by ~n_clusters× at the cost of
+  recall at bucket borders — the standard IVF trade (nprobe > 1
+  re-adds neighbors by unioning more buckets).
+
+Scoring is an exact left-fold dot product (``textops.dot64``) —
+JVM-side codegen over the arrays; no Python, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import cosine
+
+TOPK = 10
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per query: rank on (rounded score desc, id).
+
+    Rounding before ranking makes the order — not just the values —
+    reproducible across engines (ties broken by vec_id both places).
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query batch, scan the corpus
+    once. ``queries`` must have (query_id, q_embedding)."""
+    scored = embeddings.join(F.broadcast(queries)).select(
+        F.col("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _ranked_topk(scored, k)
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """IVF top-k: probe only the query's bucket. ``queries`` must have
+    (query_id, q_embedding, q_label). The join on the bucket key is an
+    equi-join — at scale both sides partition on label and only
+    bucket-local pairs are scored."""
+    scored = embeddings.join(
+        F.broadcast(queries), embeddings["label"] == queries["q_label"]
+    ).select(
+        F.col("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _ranked_topk(scored, k)
+
+
+def centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """The IVF coarse quantizer: per-label centroid as a one-shuffle
+    positional aggregation (posexplode → avg per (label, pos) →
+    reassemble ordered array). Rounded so the oracle comparison is
+    float-order-independent."""
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    avgs = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    return avgs.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("c")))
+        ).getField("c").alias("centroid")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-blocked: only pairs
+    within the same coarse bucket are scored (exactly the candidate
+    policy a 100 TB near-dup sweep uses; cross-bucket near-dups are
+    the documented recall trade)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

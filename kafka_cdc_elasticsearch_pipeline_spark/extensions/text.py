@@ -1,0 +1,102 @@
+"""Text analysis over the ``documents`` table: language ID, quality
+scoring, token counting, fingerprinting.
+
+All four are narrow per-row projections built from Catalyst expressions
+— at 100 TB they fuse into the scan (one pass, no shuffle, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import poly_hash16, words
+
+# Marker stopwords per language for the n-gram/stopword-hit heuristic.
+# Deterministic argmax with lexicographic tiebreak; 'und' when nothing
+# matches (zh has no latin-script markers — documented miss).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es": ("el", "los", "que", "de", "no", "es", "por", "un"),
+    "fr": ("le", "la", "les", "et", "des", "est", "pas", "une"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _hits(words_col: str, markers: tuple[str, ...]) -> F.Column:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter({words_col}, x -> array_contains(array({arr}), x)))")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: score = marker hits per language,
+    predicted = argmax (ties → lexicographically first, zero → 'und')."""
+    scored = docs.select(
+        "doc_id", "lang", words("text").alias("w")
+    ).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        *[_hits("w", m).alias(f"score_{code}") for code, m in sorted(LANG_MARKERS.items())],
+    )
+    codes = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{c}") for c in codes])
+    pred = F.lit("und")
+    for c in reversed(codes):  # earlier codes win ties -> apply last
+        pred = F.when((best > 0) & (F.col(f"score_{c}") == best), F.lit(c)).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length, word shape, punctuation and
+    stopword ratios — the standard pre-training corpus filters
+    (per-row arithmetic; deterministic doubles)."""
+    w = words("text")
+    n_chars = F.length("text")
+    n_words = F.size(w)
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z]", ""))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?'\"()-]", ""))
+    stop = _hits("w2", EN_STOPWORDS)
+    out = docs.select("doc_id", "text", w.alias("w2")).select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(alpha.cast("double") / n_chars, 6).alias("alpha_ratio"),
+        F.round(punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(stop.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / n_words, 6).alias("avg_word_len"),
+    )
+    score = (
+        F.when(F.col("n_words") >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - F.col("punct_ratio"))
+        * F.col("alpha_ratio")
+    )
+    return out.withColumn("quality", F.round(score, 6))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, and the
+    chars/4 LLM budget estimate."""
+    return docs.select(
+        "doc_id",
+        F.size(words("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4).alias("est_llm_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: md5 of normalized content (exact-dup key)
+    + 16-bit polynomial rolling hash (cheap locality-insensitive id)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("md5_fp"),
+        F.expr(poly_hash16(f"trim(regexp_replace(lower(text), '\\\\s+', ' '))")).alias(
+            "poly_fp"
+        ),
+    )

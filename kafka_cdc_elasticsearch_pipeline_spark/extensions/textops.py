@@ -1,0 +1,115 @@
+"""Shared text primitives for the dedup/text-analysis operators.
+
+Everything is a JVM-side Catalyst expression (higher-order array
+functions) — document-at-a-time Python would be the classic mistake
+here; at 100 TB these run inside whole-stage codegen with zero
+serialization.
+
+The hash primitives are chosen to be *portable*: the DuckDB oracles
+compute the identical values, so even the randomized-flavored
+algorithms (MinHash, SimHash) are exactly checkable:
+
+- md5 (hex) exists in both engines and a lexicographic MIN over
+  fixed-width hex strings equals the numeric MIN — that makes
+  ``min(md5(shingle || '#' || i))`` a valid i-th MinHash permutation
+  with no custom hashing at all.
+- a 16-bit polynomial rolling hash ``fold(chars, h*31+ord(c) mod 2^16``
+  is expressible with array folds in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NUM_MINHASH = 8  # k signature components
+LSH_ROWS_PER_BAND = 2  # r -> b = k/r = 4 bands
+
+
+def words(text: Column | str) -> Column:
+    """Lowercased whitespace tokenization (mirrors
+    ``string_split_regex(lower(text), '\\s+')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def shingles(words_col: str = "w", n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a words-array column.
+
+    1-based element_at to mirror DuckDB list indexing; callers filter
+    ``size(w) >= n`` first (sequence() would run backwards otherwise).
+    """
+    parts = ", ".join(
+        f"element_at({words_col}, i + {j})" for j in range(n)
+    )
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size({words_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})))"
+    )
+
+
+def minhash_signature(shingles_col: str = "sh", k: int = NUM_MINHASH) -> list[Column]:
+    """k MinHash components: min over shingles of md5(s || '#i').
+
+    Fixed-width lowercase hex ⇒ string MIN == numeric MIN, identical
+    in the DuckDB oracle. Pure expression — scales as a narrow map.
+    """
+    return [
+        F.array_min(
+            F.expr(f"transform({shingles_col}, s -> md5(concat(s, '#{i}')))")
+        ).alias(f"sig{i}")
+        for i in range(k)
+    ]
+
+
+def poly_hash16(col_expr: str) -> str:
+    """SQL expression: 16-bit polynomial hash of a string column.
+
+    fold over codepoints: h = (h*31 + ord(c)) mod 65536. Empty chars
+    are filtered (Spark's split('','') edge) so both engines agree.
+    """
+    return (
+        f"aggregate(filter(split({col_expr}, ''), c -> c <> ''),"
+        f" 0, (a, c) -> (a * 31 + ascii(c)) % 65536)"
+    )
+
+
+def simhash16(hashes_col: str = "hs") -> Column:
+    """16-bit SimHash over an array of word hashes: per-bit majority
+    vote of ±1 contributions, then reassemble the sign bits."""
+    return F.expr(
+        f"""aggregate(sequence(0, 15), 0, (acc, b) -> acc +
+             IF(aggregate({hashes_col}, 0,
+                  (s, h) -> s + IF(shiftright(h, b) % 2 = 1, 1, -1)) > 0,
+                shiftleft(1, b), 0))"""
+    )
+
+
+def dot64(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns as an exact left-fold in
+    index order (binary-identical to the oracle's list_reduce)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot64(a, b) / (F.sqrt(dot64(a, a)) * F.sqrt(dot64(b, b)))
+
+
+# The DuckDB-side twins, as SQL fragment builders (kept next to the
+# Spark expressions so drift is visible in review).
+
+SQL_WORDS = "string_split_regex(lower({text}), '\\s+')"
+SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len({w}) - 2),"
+    " i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+)
+SQL_POLY16 = (
+    "list_reduce(list_prepend(0, list_transform("
+    "list_filter(string_split({col}, ''), c -> c <> ''),"
+    " c -> ord(c))), (a, c) -> (a * 31 + c) % 65536)"
+)
+SQL_DOT64 = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+)

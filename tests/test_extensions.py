@@ -1,0 +1,149 @@
+"""Semantic tests for the training-data extension operators
+(dedup / similarity / text / multimodal) on planted fixtures —
+the oracle gate checks sf0.01 parity; these check the *semantics*
+on inputs with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import dedup as dd
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import similarity as sim
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (2, "The  quick Brown fox jumps over the lazy dog near the river bank", "en"),  # ws/case dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bend", "en"),  # near-dup of 1
+        (4, "der hund ist nicht mit der katze und das ist gut so heute", "de"),
+        (5, "el gato no es un perro que vive por la casa de los abuelos", "es"),
+        (6, "completely unrelated text about quantum chromodynamics lattice simulations", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark, docs):
+    out = dd.exact_dedup(docs).collect()
+    by_keep = {r.keep_doc_id: r.n_dups for r in out}
+    assert by_keep[1] == 2  # docs 1 and 2 normalize identically
+    assert sum(by_keep.values()) == 6
+    assert len(out) == 5
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dd.minhash_lsh_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # one-word change
+    assert all(6 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert all(6 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dd.simhash_table(docs).collect()}
+    assert sh[1] == sh[2]
+    assert all(0 <= v < 65536 for v in sh.values())
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # Orthogonal-ish planted vectors: 0≈1 (same direction), 2 orthogonal,
+    # 3 is 0 negated. Labels split {0,1} vs {2,3}.
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),
+    ]
+    assert all(len(r[1]) == dim for r in rows)
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def test_brute_force_topk_ordering(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = sim.brute_force_topk(vectors, queries, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]  # cos ≈ 0.994, 0, -1
+    assert got[0].cosine > 0.99
+    assert got[-1].cosine == -1.0
+
+
+def test_ivf_topk_probes_only_own_bucket(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    got = sim.ivf_topk(vectors, queries, k=3).collect()
+    assert [r.neighbor_id for r in got] == [1]  # only label-0 bucket probed
+
+
+def test_centroids_positional_mean(spark, vectors):
+    cents = {r.label: r.centroid for r in sim.centroids(vectors, dim=4).collect()}
+    assert cents[0] == [0.95, 0.05, 0.0, 0.0]
+    assert cents[1] == [-0.5, 0.5, 0.0, 0.0]
+
+
+def test_embedding_neardup_blocked_by_label(spark, vectors):
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in sim.embedding_neardup_pairs(vectors).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    # 2 vs 3 share a label but are orthogonal → below threshold; cross-label never scored
+    assert (2, 3) not in pairs and (0, 3) not in pairs
+
+
+def test_lang_id_on_marker_sentences(spark, docs):
+    pred = {r.doc_id: r.lang_pred for r in tx.lang_id(docs).collect()}
+    assert pred[1] == "en" and pred[4] == "de" and pred[5] == "es"
+    assert pred[6] == "und"  # no marker words at all → undetermined
+
+
+def test_quality_and_tokens(spark, docs):
+    q = {r.doc_id: r for r in tx.quality_score(docs).collect()}
+    assert q[1].n_words == 13 and q[1].punct_ratio == 0.0
+    assert 0.0 <= q[1].quality <= 1.0
+    t = {r.doc_id: r for r in tx.token_counts(docs).collect()}
+    assert t[1].ws_tokens == 13
+    assert t[1].bpe_ish_tokens == 13  # pure words, no digits/punct
+    assert t[1].est_llm_tokens == (q[1].n_chars + 3) // 4
+
+
+def test_fingerprints_normalization(spark, docs):
+    fp = {r.doc_id: r for r in tx.fingerprints(docs).collect()}
+    assert fp[1].md5_fp == fp[2].md5_fp  # case/ws-insensitive
+    assert fp[1].poly_fp == fp[2].poly_fp
+    assert fp[1].md5_fp != fp[3].md5_fp
+
+
+def test_multimodal_decode_contract(spark, docs):
+    decoded = mm.decode_image_metadata(mm.attach_payload(docs))
+    assert decoded.schema.simpleString() == (
+        "struct<doc_id:bigint,byte_len:int,width:int,height:int,mode:string,decoder:string>"
+    )
+    rows = {r.doc_id: r for r in decoded.collect()}
+    assert len(rows) == 6
+    r = rows[1]
+    assert r.byte_len == 63
+    assert r.width == 64 + 63 % 577 and r.height == 64 + (63 * 31) % 433
+    assert r.decoder == "fake-deterministic"
+
+
+def test_frame_sample_explode(spark, docs):
+    decoded = mm.decode_image_metadata(mm.attach_payload(docs))
+    frames = mm.frame_sample(decoded, every_nth=10)
+    got = frames.filter(F.col("doc_id") == 1).orderBy("frame_idx").collect()
+    # byte_len 63 → frames 0..63 step 10
+    assert [r.frame_idx for r in got] == [0, 10, 20, 30, 40, 50, 60]
