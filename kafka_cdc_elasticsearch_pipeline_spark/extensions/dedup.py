@@ -15,10 +15,10 @@ equi-join):
 - simhash          : 16-bit SimHash per doc + near-pair search blocked
                      on half-signature bytes (a 1-bit-error pair always
                      shares one half — Hamming ≤ r with r < 16/2).
-- ngram_jaccard    : inverted-index blocking on shared shingles with a
-                     stop-shingle cap (df ≤ MAX_DF drops the "the the
-                     the" keys that would quadratically blow up any
-                     real corpus), then exact Jaccard on candidates.
+- ngram_jaccard    : EXACT similarity join via prefix filtering
+                     (AllPairs): each doc indexes only its rarest-first
+                     prefix, which provably covers every pair with
+                     J ≥ t — full recall, no quadratic hot buckets.
 - embedding cosine : see ``queries_ext`` — IVF-blocked on the cluster
                      label, exact cosine within the bucket.
 """
@@ -30,15 +30,18 @@ from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
     LSH_ROWS_PER_BAND,
+    MINHASH_P,
     NUM_MINHASH,
+    base_hashes,
+    explode_expensive,
     minhash_signature,
     poly_hash16,
     shingles,
     simhash16,
+    spread,
     words,
 )
 
-MAX_SHINGLE_DF = 100  # stop-shingle cap for jaccard blocking
 JACCARD_THRESHOLD = 0.4
 
 
@@ -60,9 +63,30 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     return (
-        docs.select("doc_id", words("text").alias("w"))
+        spread(docs)
+        .select("doc_id", words("text").alias("w"))
         .filter(F.size("w") >= 3)
         .select("doc_id", shingles("w").alias("sh"))
+    )
+
+
+def _verify_jaccard(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard, recomputing shingles
+    ONLY for docs that appear in a candidate pair: the candidate-id set
+    is broadcast into the scan, so the verify stage's cost follows the
+    (small) candidate volume, not the corpus — the property that keeps
+    the whole sweep linear at 100 TB."""
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    rsh = _doc_shingles(docs.join(F.broadcast(ids), "doc_id")).persist()
+    x = rsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = rsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -95,21 +119,34 @@ def minhash_lsh_pairs(
     cost stays linear in k.
     """
     sh = _doc_shingles(docs)
-    sigs = sh.select("doc_id", "sh", *minhash_signature("sh", k))
+    hashed = sh.select("doc_id", base_hashes("sh").alias("hs"))
+    sigs = hashed.select("doc_id", *minhash_signature("hs", k))
     n_bands = k // rows_per_band
+    # r=2 band key packed into one BIGINT (sig < p, so lo*p + hi is
+    # collision-free and < 2^62): a fixed-width shuffle key instead of
+    # a concatenated string.
+    assert rows_per_band == 2, "band packing assumes r=2"
     band_vals = [
-        F.concat(
-            *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        (
+            F.col(f"sig{b * rows_per_band}") * F.lit(MINHASH_P).cast("long")
+            + F.col(f"sig{b * rows_per_band + 1}")
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
     banded = sigs.select("doc_id", *band_vals)
-    exploded = banded.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
-            "band_idx", "band_val"
+    # Persisted: 1 + n_bands longs per doc — the ONE full-corpus
+    # shingle+digest pass materializes here; the self-join and the
+    # verify stage read these 40 bytes/doc instead of recomputing the
+    # signature pipeline per join side.
+    exploded = explode_expensive(
+        banded.select(
+            "doc_id",
+            F.array(*[F.col(f"band{b}") for b in range(n_bands)]).alias("bands"),
         ),
-    )
+        "bands",
+        "band_val",
+        pos_col="band_idx",
+    ).persist()
     left = exploded.alias("a")
     right = exploded.alias("b")
     cand = (
@@ -122,59 +159,66 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(docs, cand, threshold)
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
-    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted-index blocking.
+    """EXACT n-gram-Jaccard similarity join via prefix filtering
+    (AllPairs-style: Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07): full recall — returns every pair with
+    Jaccard ≥ t, unlike the probabilistic LSH path.
 
-    Higher recall than LSH (every pair sharing ≥1 *rare* shingle is
-    considered) at higher candidate cost; the stop-shingle cap is what
-    keeps this viable on a real corpus — without it, one ubiquitous
-    shingle produces a quadratic bucket. (Pairs whose every common
-    shingle is a stop-shingle are missed — that's the documented
-    recall trade of this strategy; LSH covers that regime.)
+    Why it scales: J(a,b) ≥ t implies the overlap o ≥ t·|a∪b| ≥
+    t·max(|a|,|b|), and under ANY global token order a pair with
+    overlap ≥ α must share a token within each side's first
+    |x| − α + 1 tokens. So each doc indexes only its *prefix* —
+    rarest-first ordering (df asc, then lexicographic) pushes hot
+    shingles to the suffix where they are never indexed, which is
+    what kills the quadratic hot-bucket blowup. Candidate generation
+    stays an equi-self-join on the indexed token.
     """
     sh = _doc_shingles(docs)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
-        F.col("df_") <= max_shingle_df
+    # One full-corpus shingle pass, persisted as narrow (doc_id, shingle)
+    # rows; the df-count and the prefix build both read it.
+    ex = explode_expensive(sh, "sh", "s").persist()
+    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    # Global rarest-first order = (df, s); per-doc prefix of length
+    # |sh| - ceil(t*|sh|) + 1 under that order.
+    pref = (
+        ex.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_", "s"))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(slice(ordered, 1,"
+                f" size(ordered) - cast(ceil({threshold} * size(ordered)) as int) + 1),"
+                " x -> x.s)"
+            ).alias("pref"),
+        )
+        .transform(lambda df: explode_expensive(df, "pref", "s"))
+        .persist()
     )
-    blocked = ex.join(F.broadcast(rare.select("s")), "s")
     cand = (
-        blocked.alias("a")
+        pref.alias("a")
         .join(
-            blocked.alias("b"),
+            pref.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(docs, cand, threshold)
 
 
 def simhash_table(docs: DataFrame) -> DataFrame:
     """Per-document 16-bit SimHash over word polynomial hashes."""
     return (
-        docs.select("doc_id", words("text").alias("w"))
+        spread(docs)
+        .select("doc_id", words("text").alias("w"))
         .select(
             "doc_id",
             F.expr(f"transform(filter(w, x -> x <> ''), x -> {poly_hash16('x')})").alias("hs"),
@@ -194,12 +238,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     block pair — we take the union of both half-blocks).
     """
     t = simhash_table(docs)
+    # Persisted: 4 small ints per doc; the two half-block self-joins
+    # (4 plan occurrences) read this instead of re-hashing the corpus.
     withhalves = t.select(
         "doc_id",
         "simhash",
         (F.col("simhash") % 256).alias("lo"),
         F.expr("shiftright(simhash, 8)").alias("hi"),
-    )
+    ).persist()
     pairs = None
     for half in ("lo", "hi"):
         a = withhalves.alias("a")

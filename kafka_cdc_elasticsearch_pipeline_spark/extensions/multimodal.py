@@ -19,6 +19,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import spread
+
 DECODED_SCHEMA = (
     "doc_id bigint, byte_len int, width int, height int, mode string, decoder string"
 )
@@ -26,8 +28,10 @@ DECODED_SCHEMA = (
 
 def attach_payload(docs: DataFrame) -> DataFrame:
     """Attach the opaque binary column (here: utf-8 bytes of the text —
-    the harness has no real media; the engine only sees ``binary``)."""
-    return docs.select(
+    the harness has no real media; the engine only sees ``binary``).
+    Spread across tasks first: decode stages are the most expensive
+    per-row step in a real media pipeline."""
+    return spread(docs).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
 

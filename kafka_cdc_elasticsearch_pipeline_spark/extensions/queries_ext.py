@@ -18,6 +18,9 @@ from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
 from kafka_cdc_elasticsearch_pipeline_spark.extensions import similarity as sim
 from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx
 from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     SQL_DOT64,
     SQL_POLY16,
 )
@@ -65,17 +68,28 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir))
 
 
+_MINHASH_A_SQL = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_MINHASH_B_SQL = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+
 @query(
     "ext_dedup_minhash_lsh",
     f"""
     WITH docs AS ({_SQL_DOCS_SHINGLES}),
+    hs AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+      FROM docs, unnest(sh) AS t(s)
+    ),
     sigs AS (
-      SELECT doc_id, i, min(md5(s || '#' || i)) AS sig
-      FROM docs, unnest(sh) AS t(s), generate_series(0, 7) AS g(i)
+      SELECT doc_id, i,
+             min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
+      FROM hs, generate_series(0, 7) AS g(i)
       GROUP BY doc_id, i
     ),
     bands AS (
-      SELECT doc_id, i // 2 AS band_idx, string_agg(sig, '' ORDER BY i) AS band_val
+      SELECT doc_id, i // 2 AS band_idx,
+             min(CASE WHEN i % 2 = 0 THEN sig END) * {MINHASH_P}
+               + min(CASE WHEN i % 2 = 1 THEN sig END) AS band_val
       FROM sigs GROUP BY doc_id, i // 2
     ),
     cand AS (
@@ -100,24 +114,17 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dedup_ngram_jaccard",
     f"""
-    WITH docs AS ({_SQL_DOCS_SHINGLES}),
-    ex AS (SELECT doc_id, s FROM docs, unnest(sh) AS t(s)),
-    rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
-    blocked AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
-    FROM cand c JOIN docs x ON x.doc_id = c.doc_a JOIN docs y ON y.doc_id = c.doc_b
+    WITH docs AS ({_SQL_DOCS_SHINGLES})
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, {_SQL_JACCARD} AS jaccard
+    FROM docs x JOIN docs y ON x.doc_id < y.doc_id
     WHERE {_SQL_JACCARD} >= 0.4
     """,
     tags=("ext", "dedup", "jaccard"),
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs with inverted-index blocking
-    and a stop-shingle cap (df ≤ 100) so no single hot shingle can
-    produce a quadratic bucket."""
+    """EXACT word-3-gram Jaccard similarity join (prefix filtering,
+    AllPairs WWW'07) — full recall, so the oracle is the brute-force
+    all-pairs Jaccard; the Spark plan never materializes O(n²)."""
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 

@@ -26,6 +26,31 @@ NUM_MINHASH = 8  # k signature components
 LSH_ROWS_PER_BAND = 2  # r -> b = k/r = 4 bands
 
 
+# Re-exported from the source layer: repartition-if-under-split, used
+# here ahead of compute-heavy per-row pipelines (digests, char folds,
+# shingling). See sources.tables.spread for the rationale/measurements.
+from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import spread  # noqa: E402, F401
+
+
+def explode_expensive(df, array_col: str, out_col: str, pos_col: str | None = None):
+    """Explode an array built by an expensive expression pipeline.
+
+    Uses the *_outer generator + null filter instead of plain
+    explode/posexplode: with whole-stage codegen, the inner-explode
+    path re-evaluates a codegen-fallback generator input (HOF
+    transforms, digests) per OUTPUT row — measured 8.6s vs 0.38s on
+    the sf0.1 shingle explode. The outer variant runs the interpreted
+    Generate, which evaluates the array once per input row; the null
+    filter restores inner semantics (drops empty/null arrays).
+    """
+    if pos_col is not None:
+        gen = F.posexplode_outer(array_col).alias(pos_col, out_col)
+    else:
+        gen = F.explode_outer(array_col).alias(out_col)
+    other = [c for c in df.columns if c != array_col]
+    return df.select(*other, gen).filter(F.col(out_col).isNotNull())
+
+
 def words(text: Column | str) -> Column:
     """Lowercased whitespace tokenization (mirrors
     ``string_split_regex(lower(text), '\\s+')``)."""
@@ -48,15 +73,35 @@ def shingles(words_col: str = "w", n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles_col: str = "sh", k: int = NUM_MINHASH) -> list[Column]:
-    """k MinHash components: min over shingles of md5(s || '#i').
+#: p and the affine constants for the k permutation functions
+#: h_i(x) = (A[i]*x + B[i]) mod MINHASH_P.  One md5 per shingle gives a
+#: 28-bit base hash; products stay < 2^59, so the arithmetic is exact
+#: (and identical) in both Spark and DuckDB BIGINTs — no overflow
+#: divergence, 8× fewer digest calls than hashing per-permutation.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+MINHASH_A = (1103515245, 1299709, 104729, 15485863, 32452843, 49979687, 67867967, 86028121)
+MINHASH_B = (12345, 7919, 104723, 999331, 50331653, 25165843, 12582917, 6291469)
 
-    Fixed-width lowercase hex ⇒ string MIN == numeric MIN, identical
-    in the DuckDB oracle. Pure expression — scales as a narrow map.
-    """
+
+def base_hashes(shingles_col: str = "sh") -> Column:
+    """array<bigint> of 28-bit base hashes: first 7 hex chars of
+    md5(shingle). The ONLY digest pass — permutations derive from it."""
+    return F.expr(
+        f"transform({shingles_col},"
+        " s -> cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint))"
+    )
+
+
+def minhash_signature(hashes_col: str = "hs", k: int = NUM_MINHASH) -> list[Column]:
+    """k MinHash components over a precomputed base-hash array:
+    sig_i = min over shingles of (A[i]*h + B[i]) mod p. Cheap integer
+    folds — the md5 cost is paid once in ``base_hashes``."""
     return [
         F.array_min(
-            F.expr(f"transform({shingles_col}, s -> md5(concat(s, '#{i}')))")
+            F.expr(
+                f"transform({hashes_col},"
+                f" h -> (h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_P}L)"
+            )
         ).alias(f"sig{i}")
         for i in range(k)
     ]

@@ -84,11 +84,44 @@ def _normalize_ts(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+# Fact-side tables get spread across tasks after the scan; dimension
+# tables stay un-shuffled so they remain broadcast-cheap.
+_FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+_SPREAD_DECISION: dict[str, bool] = {}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the plan's
+    source is under-split.
+
+    The harness parquet is one file with ONE row group per table, so
+    the scan is a single task and every downstream map/partial-agg runs
+    single-core (measured: TPC-H Q1 1.23s → 0.80s, shingle pipeline 12s
+    → <1s at sf0.1). Filters and column pruning still push through the
+    round-robin Exchange into the scan. On a real cluster the scan has
+    splits ≫ cores and this is a no-op — the shuffle is only paid when
+    it buys parallelism."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one harness table (declarative — all pushdown-friendly)."""
     _prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _normalize_ts(df, name)
+    path = f"{sf_dir}/{name}.parquet"
+    df = _normalize_ts(spark.read.parquet(path), name)
+    if name in _FACT_TABLES:
+        # Cache the under-split check per path: getNumPartitions costs a
+        # driver-side plan conversion we don't want on every load.
+        decide = _SPREAD_DECISION.get(path)
+        if decide is None:
+            decide = df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+            _SPREAD_DECISION[path] = decide
+        if decide:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
