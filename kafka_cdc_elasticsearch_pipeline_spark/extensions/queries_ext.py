@@ -255,9 +255,7 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(embs, queries)
 
 
-@query(
-    "ext_sim_ivf_centroids",
-    """
+_SQL_CENTROIDS = """
     SELECT label, list(c ORDER BY pos) AS centroid
     FROM (
       SELECT label, pos,
@@ -267,30 +265,46 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY label, pos
     )
     GROUP BY label
-    """,
+"""
+
+
+@query(
+    "ext_sim_ivf_centroids",
+    _SQL_CENTROIDS,
     tags=("ext", "similarity", "ivf"),
 )
 def ext_sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF coarse quantizer: per-label centroids via positional
     aggregation. Float sums are folded in vec_id order on BOTH engines,
     so even the reduction order is reproducible."""
-    exploded = _embs(spark, sf_dir).select(
-        "label", "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    return sim.centroids(_embs(spark, sf_dir))
+
+
+_SQL_COS_CENT = (
+    f"round({SQL_DOT64.format(a='e.embedding', b='c.centroid')}"
+    f" / (sqrt({SQL_DOT64.format(a='e.embedding', b='e.embedding')})"
+    f" * sqrt({SQL_DOT64.format(a='c.centroid', b='c.centroid')})), 6)"
+)
+
+
+@query(
+    "ext_sim_ivf_assign",
+    f"""
+    WITH cents AS ({_SQL_CENTROIDS})
+    SELECT vec_id, true_label, c_label AS assigned_label, cos_c AS cosine
+    FROM (
+      SELECT e.vec_id, e.label AS true_label, c.label AS c_label, {_SQL_COS_CENT} AS cos_c
+      FROM embeddings e CROSS JOIN cents c
     )
-    per_pos = exploded.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
-        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs")
-    ).select(
-        "label",
-        "pos",
-        F.round(
-            F.expr("aggregate(vs, 0.0d, (a, x) -> a + cast(x.v as double))")
-            / F.size("vs"),
-            6,
-        ).alias("c"),
-    )
-    return per_pos.groupBy("label").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c").alias("centroid")
-    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label) = 1
+    """,
+    tags=("ext", "similarity", "ivf"),
+)
+def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means assignment step of an IVF build: nearest centroid
+    per vector by cosine, centroids broadcast, corpus never shuffled."""
+    embs = _embs(spark, sf_dir)
+    return sim.assign_centroids(embs, sim.centroids(embs))
 
 
 # --- text analysis -----------------------------------------------------------
@@ -390,6 +404,33 @@ def ext_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 + 16-bit polynomial rolling hash."""
     return tx.fingerprints(_docs(spark, sf_dir))
+
+
+_SQL_SCRUBBED = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{tx.PII_URL}', '[URL]', 'g'),"
+    f" '{tx.PII_EMAIL}', '[EMAIL]', 'g'),"
+    f" '{tx.PII_LONG_NUM}', '[NUM]', 'g')"
+)
+
+
+@query(
+    "ext_text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{tx.PII_EMAIL}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '{tx.PII_URL}'))::INT AS n_urls,
+           len(regexp_extract_all(text, '{tx.PII_LONG_NUM}'))::INT AS n_long_nums,
+           length({_SQL_SCRUBBED}) AS scrubbed_len,
+           md5({_SQL_SCRUBBED}) AS scrubbed_fp
+    FROM documents
+    """,
+    tags=("ext", "text", "pii"),
+)
+def ext_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails/URLs/long digit runs with
+    RE2-safe patterns (identical under Java regex and RE2)."""
+    return tx.pii_scrub(_docs(spark, sf_dir))
 
 
 # --- multimodal --------------------------------------------------------------

@@ -75,21 +75,60 @@ def ivf_topk(
     return _ranked_topk(scored, k)
 
 
-def centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+def centroids(embeddings: DataFrame) -> DataFrame:
     """The IVF coarse quantizer: per-label centroid as a one-shuffle
-    positional aggregation (posexplode → avg per (label, pos) →
-    reassemble ordered array). Rounded so the oracle comparison is
-    float-order-independent."""
+    positional aggregation (posexplode → per-(label, pos) mean →
+    reassemble ordered array).
+
+    Determinism: the per-position float sum is folded in vec_id order
+    (array_sort of (vec_id, v) structs, then an ordered aggregate fold)
+    so the mean is bit-identical on every run AND in the DuckDB oracle
+    — naive float avg() depends on reduction order. Rounded to 6
+    decimals; downstream cosine ranking is stable on the rounded
+    values."""
     exploded = embeddings.select(
-        "label", F.posexplode("embedding").alias("pos", "v")
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "v")
     )
-    avgs = exploded.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    per_pos = exploded.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs")
+    ).select(
+        "label",
+        "pos",
+        F.round(
+            F.expr("aggregate(vs, 0.0d, (a, x) -> a + cast(x.v as double))") / F.size("vs"),
+            6,
+        ).alias("c"),
     )
-    return avgs.groupBy("label").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("pos"), F.col("c")))
-        ).getField("c").alias("centroid")
+    return per_pos.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c").alias("centroid")
+    )
+
+
+def assign_centroids(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Apply the coarse quantizer: nearest centroid per vector by
+    cosine (the k-means assignment step every IVF build runs).
+
+    The centroid table is tiny (n_clusters rows) → broadcast nested
+    scoring: corpus scans once, never shuffles; deterministic argmax
+    via (rounded cosine DESC, centroid label ASC)."""
+    scored = embeddings.join(
+        F.broadcast(cents.select(F.col("label").alias("c_label"), "centroid"))
+    ).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("cos_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("c_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+            F.col("cos_c").alias("cosine"),
+        )
     )
 
 

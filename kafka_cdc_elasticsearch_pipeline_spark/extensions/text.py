@@ -89,6 +89,35 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# Deliberately RE2-safe patterns (no backrefs/lookaround): identical
+# semantics under Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_URL = r"https?://[^ \t\n]+"
+PII_LONG_NUM = r"[0-9][0-9][0-9][0-9]+"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII scrubbing pass (pre-training corpus hygiene): count and
+    redact emails, URLs and long digit runs. Pure per-row regex
+    projections — fuses into the scan, no shuffle, no Python."""
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_URL, "[URL]"), PII_EMAIL, "[EMAIL]"
+        ),
+        PII_LONG_NUM,
+        "[NUM]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_LONG_NUM), 0)).alias("n_long_nums"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized content (exact-dup key)
     + 16-bit polynomial rolling hash (cheap locality-insensitive id)."""

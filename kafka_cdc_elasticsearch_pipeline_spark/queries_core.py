@@ -32,6 +32,8 @@ from kafka_cdc_elasticsearch_pipeline_spark.operators.relational import (
 from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
 from kafka_cdc_elasticsearch_pipeline_spark.operators.windows import (
     collect_sorted,
+    hopping_agg,
+    session_agg,
     tumbling_agg,
 )
 from kafka_cdc_elasticsearch_pipeline_spark.registry import query
@@ -315,6 +317,105 @@ def a4_median_stars_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("value"), 4).alias("median_value"),
         F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value"),
     )
+
+
+@query(
+    "t7_hopping_30m_slide_15m",
+    """
+    WITH fan AS (
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS ws, user_id, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts) - INTERVAL 15 MINUTES AS ws, user_id, value
+      FROM events
+    )
+    SELECT ws AS window_start, user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM fan GROUP BY 1, 2
+    """,
+    tags=("T7", "A1"),
+)
+def t7_hopping_30m_slide_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — hopping window (ksqlDB WINDOW HOPPING twin; SURVEY §2.9
+    notes it as a free extension): 30-minute windows sliding by 15 —
+    each event counted in 2 windows, fanned out inside the aggregation
+    (no separate explode). Oracle reproduces the fan-out as a 2-way
+    UNION ALL of slide-aligned buckets."""
+    return hopping_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "30 minutes",
+        "15 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value"),
+        ],
+    )
+
+
+@query(
+    "t7_session_window_30m_gap",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    i AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTES AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM i GROUP BY user_id, sess
+    """,
+    tags=("T7",),
+)
+def t7_session_window_30m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — session window: per-user activity runs closed by 30 min of
+    silence. Spark merges per-event [ts, ts+gap) intervals statefully
+    (``session_window``); the oracle is the classic gaps-and-islands
+    rewrite (lag → break flag → running sum → island group), with the
+    break on diff > gap: Spark merges an event landing EXACTLY at the
+    previous session's end (closed-interval merge, verified)."""
+    return session_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value"),
+        ],
+    )
+
+
+@query(
+    "a4_channel_daily_histogram",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type AS channel,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("A4",),
+)
+def a4_channel_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the Kibana date_histogram × CHANNEL terms panel
+    (docker-compose.yml:348) as a grouped daily bucket count."""
+    return tumbling_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+        window_alias="day",
+    ).select("day", F.col("event_type").alias("channel"), "n")
 
 
 # --- §2.5/2.9 pull query on the materialized window ---------------------------

@@ -93,7 +93,7 @@ def test_ivf_topk_probes_only_own_bucket(spark, vectors):
 
 
 def test_centroids_positional_mean(spark, vectors):
-    cents = {r.label: r.centroid for r in sim.centroids(vectors, dim=4).collect()}
+    cents = {r.label: r.centroid for r in sim.centroids(vectors).collect()}
     assert cents[0] == [0.95, 0.05, 0.0, 0.0]
     assert cents[1] == [-0.5, 0.5, 0.0, 0.0]
 
@@ -147,3 +147,26 @@ def test_frame_sample_explode(spark, docs):
     got = frames.filter(F.col("doc_id") == 1).orderBy("frame_idx").collect()
     # byte_len 63 → frames 0..63 step 10
     assert [r.frame_idx for r in got] == [0, 10, 20, 30, 40, 50, 60]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or https://example.com/x?q=1 ref 123456"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in tx.pii_scrub(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_urls == 1 and out[1].n_long_nums == 1
+    assert out[2].n_emails == 0 and out[2].n_urls == 0 and out[2].n_long_nums == 0
+    assert out[2].scrubbed_len == len("no pii here at all")
+
+
+def test_centroid_assignment_recovers_clusters(spark, vectors):
+    cents = sim.centroids(vectors)
+    got = {r.vec_id: r for r in sim.assign_centroids(vectors, cents).collect()}
+    # vec 0 and 1 point along +x -> label-0 centroid (0.95, 0.05, ...)
+    assert got[0].assigned_label == 0 and got[1].assigned_label == 0
+    # vec 3 = -x: closer (cosine) to the label-1 centroid (-0.5, 0.5)
+    assert got[3].assigned_label == 1

@@ -82,3 +82,43 @@ def test_timestamp_ms_to_string(spark):
     df = spark.createDataFrame([Row(ms=1594049400000)])  # 2020-07-06T15:30 UTC
     out = df.select(timestamp_ms_to_string(F.col("ms")).alias("s")).first()
     assert out.s == "2020-07-06 15:30:00"
+
+
+def test_session_window_islands(spark):
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.windows import session_agg
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (1, "2024-01-01 10:10:00", 20.0),  # same session (10 < 30 min)
+        (1, "2024-01-01 10:41:00", 30.0),  # 31 min after last -> NEW session
+        (2, "2024-01-01 09:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = session_agg(
+        df, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    sess_u1 = sorted(
+        [(r.session_start.isoformat(), r.n) for r in out if r.user_id == 1]
+    )
+    assert sess_u1 == [("2024-01-01T10:00:00", 2), ("2024-01-01T10:41:00", 1)]
+    assert [r.n for r in out if r.user_id == 2] == [1]
+
+
+def test_hopping_window_fanout(spark):
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.windows import hopping_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:20:00", 1.0)], "user_id int, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
+    out = hopping_agg(
+        df, "ts", "30 minutes", "15 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    # one event in a 30/15 hop -> exactly the 10:00 and 10:15 windows
+    assert sorted(r.window_start.isoformat() for r in out) == [
+        "2024-01-01T10:00:00",
+        "2024-01-01T10:15:00",
+    ]
