@@ -601,6 +601,125 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("scale", "J"),
+    bench=True,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale workload: TPC-H Q5-shaped 5-join chain.
+
+    Join strategy at scale: region→nation→supplier collapse to a tiny
+    broadcast dim (filter on region first prunes 4/5 of nations before
+    the build side ships); customer broadcasts; the only big shuffle is
+    lineitem⋈orders on the orderkey. Catalyst/AQE picks this up from
+    the declarative plan — no hand-scheduling.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(8,4)")
+    dim = supp.join(
+        F.broadcast(nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(dim),
+            (li["l_suppkey"] == dim["s_suppkey"])
+            & (cust["c_nationkey"] == dim["s_nationkey"]),
+        )
+    )
+    return joined.groupBy(F.col("n_name")).agg(
+        F.round(
+            F.sum(
+                _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    """
+    SELECT c.c_name AS c_name, c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+           o.o_orderdate AS o_orderdate,
+           round(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice,
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("scale", "J", "A"),
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale workload: TPC-H Q18-shaped HAVING + semi-join + top-k.
+
+    The qualifying-orderkey set (HAVING over a pre-aggregation) comes
+    back as a LEFT SEMI join — at scale the semi side is the small
+    aggregated key list, and the heavy lineitem⋈orders shuffle reuses
+    the same orderkey partitioning across both aggs (no extra
+    exchange).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("q"))
+        .filter(F.col("q") > F.lit(150).cast("decimal(18,2)"))
+        .select("l_orderkey")
+    )
+    agg = (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                li["l_orderkey"] == F.col("b_orderkey"), "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            cust["c_name"].alias("c_name"),
+            cust["c_custkey"].alias("c_custkey"),
+            orders["o_orderkey"].alias("o_orderkey"),
+            orders["o_orderdate"].alias("o_orderdate"),
+            F.round(orders["o_totalprice"].cast("double"), 2).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum(_dec2("l_quantity")).cast("double"), 2).alias("total_qty"))
+    )
+    return topk(agg, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     """
     SELECT l.l_orderkey AS l_orderkey,

@@ -1,0 +1,97 @@
+"""Physical-plan shape tests: lock in the scale-critical properties
+(broadcast joins, pushdown, pruning, map-side partials, no cartesian
+blowups) so a regression that silently de-optimizes a plan fails CI,
+not the 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+
+
+def final_plan(df) -> str:
+    # Execute first so AQE settles on the final physical plan.
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = final_plan(QUERIES[name].spark(spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_enrich_join_broadcasts_dimension(plans):
+    """J1: the stream-table enrichment must be a broadcast hash join —
+    the fact side never shuffles (ksqlDB's local table lookup twin)."""
+    p = plans("j1_enrich_stream_table_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scan_projection_prunes_columns(plans):
+    """P1: a 4-column projection must reach the parquet ReadSchema —
+    at 100 TB reading 6 columns for a 4-column query is a regression."""
+    p = plans("s1_p1_scan_projection")
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "props" not in read and "ts" not in read.split("ReadSchema")[1]
+
+
+def test_point_lookup_pushes_filter(plans):
+    """P8: the key-equality predicate must be pushed into the scan."""
+    p = plans("p8_point_lookup")
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "EqualTo(user_id,7)" in pushed
+
+
+def test_q1_map_side_partial_aggregation(plans):
+    """TPC-H Q1: partial (map-side) aggregation before the exchange —
+    the shuffle carries one row per (group × partition), not 600k."""
+    p = plans("tpch_q1_pricing_summary")
+    assert "partial_sum" in p
+    # shipdate filter pushed into the scan
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_q3_broadcasts_customer_dimension(plans):
+    p = plans("tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    # top-k must not be a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_no_cartesian_blowup(plans):
+    """LSH candidate generation must stay an equi-join on band keys —
+    a cartesian/NLJ here is O(n²) and unrunnable at corpus scale."""
+    p = plans("ext_dedup_minhash_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_prefix_join_no_cartesian(plans):
+    p = plans("ext_dedup_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_uses_take_ordered(plans):
+    """L2: ordered top-k must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a full global Sort."""
+    p = plans("l2_topk_users_by_value")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_latest_per_key_is_single_aggregate(plans):
+    """A3 (max_by strategy): one hash aggregate, shuffling only
+    (key, packed-row) pairs — not a window sort of the full stream."""
+    p = plans("s2_a3_table_latest_per_key")
+    assert "max_by" in p or "HashAggregate" in p
+    assert "Window" not in p
