@@ -100,6 +100,47 @@ def t5_streaming_table_latest_per_key(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "stateful_user_profile_apply_in_pandas",
+    """
+    WITH agg AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(floor(value) AS BIGINT)) AS total_units
+      FROM events GROUP BY user_id
+    ),
+    last AS (
+      SELECT user_id, ts AS last_ts, round(value, 2) AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.n_events, a.total_units, l.last_ts, l.last_value
+    FROM agg a JOIN last l ON a.user_id = l.user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stateful_user_profile_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    profile state maintained across ~8 replayed micro-batches, update
+    log reduced to final state — which must hash-match the batch
+    oracle. The pattern for semantics beyond built-in aggregations
+    (profiles, CDC merge rules, custom eviction)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_profiles,
+        user_profile_stream,
+    )
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        updates = user_profile_stream(stream)
+        name = f"strm_profile_{next(_SEQ)}"
+        run_to_memory(updates, name, output_mode="update")
+        return finalize_profiles(spark.table(name))
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "t2_streaming_pull_query",
     """
     SELECT * FROM (

@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(the escape hatch for semantics Spark's built-in stateful aggregations
+can't express — the reference needs none, but a real pipeline does:
+per-key profiles, CDC merge rules, custom eviction).
+
+Demonstrated here: a per-user PROFILE operator maintaining
+(event count, integer unit total, last event) across micro-batches.
+Every field is order-insensitive or deterministically tie-broken, so
+the final state after a full replay hash-matches a batch DuckDB oracle
+— the custom operator gets the same correctness gate as the built-ins.
+
+Scale notes
+-----------
+- State lives in the state store keyed by user_id (RocksDB provider at
+  scale): one small fixed-width row per key, same shape as ksqlDB's
+  table state.
+- Arrow batches in/out: Python cost is per batch, not per row.
+- Event time is passed as int64 epoch-micros so the pandas path never
+  touches timezone-ambiguous datetime dtypes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_units bigint,"
+    " last_ts_us bigint, last_event_id bigint, last_value double"
+)
+PROFILE_STATE_SCHEMA = (
+    "n bigint, units bigint, ts_us bigint, eid bigint, val double"
+)
+
+
+def _profile_tracker(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, units, ts_us, eid, val = state.get if state.exists else (0, 0, -1, -1, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        units += int(pdf["units"].sum())
+        # last event = max (ts, event_id) — deterministic tiebreak,
+        # vectorized (mask + idxmax, no per-row python)
+        latest = pdf[pdf["ts_us"] == pdf["ts_us"].max()]
+        row = latest.loc[latest["event_id"].idxmax()]
+        if (int(row["ts_us"]), int(row["event_id"])) > (ts_us, eid):
+            ts_us, eid, val = int(row["ts_us"]), int(row["event_id"]), float(row["value"])
+    state.update((n, units, ts_us, eid, val))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_units": [units],
+            "last_ts_us": [ts_us],
+            "last_event_id": [eid],
+            "last_value": [val],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Apply the per-user profile operator to a streaming events frame.
+
+    Emits the updated profile row per user per trigger (update mode —
+    ksqlDB EMIT CHANGES on a table). ``n_events`` is strictly
+    increasing, so the final profile is recoverable from any update log
+    as max-by(n_events)."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor("value").cast("long").alias("units"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _profile_tracker,
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        stateStructType=PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_profiles(updates: DataFrame) -> DataFrame:
+    """Reduce an update log to the final profile per user and restore
+    the event-time column from epoch-micros."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+    final = latest_per_key(updates, ["user_id"], "n_events", method="max_by")
+    return final.select(
+        "user_id",
+        "n_events",
+        "total_units",
+        F.timestamp_micros(F.col("last_ts_us")).cast("timestamp_ntz").alias("last_ts"),
+        F.round("last_value", 2).alias("last_value"),
+    )

@@ -78,3 +78,52 @@ def test_replay_is_multi_batch(spark, sf_dir):
         assert len(q.recentProgress) >= 4
     finally:
         cleanup(tmp)
+
+
+def test_stateful_user_profile_converges_to_batch(spark, sf_dir):
+    """applyInPandasWithState profile operator: final state after the
+    multi-batch replay equals the batch aggregation of the same data."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_profiles,
+        user_profile_stream,
+    )
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=4)
+    try:
+        updates = user_profile_stream(stream)
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("profile_updates")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.user_id: r
+            for r in finalize_profiles(spark.table("profile_updates")).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        want = {
+            r.user_id: r
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor("value").cast("long")).alias("total_units"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for uid, w in want.items():
+            g = got[uid]
+            assert (g.n_events, g.total_units, g.last_ts) == (
+                w.n_events,
+                w.total_units,
+                w.last_ts,
+            )
+        # updates log shows incremental emission (more rows than keys)
+        assert spark.table("profile_updates").count() > len(want)
+    finally:
+        cleanup(tmp)
