@@ -155,6 +155,24 @@ def s4_s10_s11_debezium_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p2_s9_select_star_with_ingest_ts",
+    f"""
+    SELECT {_EVENT_COLS_SQL}, TIMESTAMP '2026-01-01 00:00:00' AS EXTRACT_TS
+    FROM events
+    """,
+    tags=("P2", "S9"),
+)
+def p2_s9_select_star_with_ingest_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — SELECT * passthrough (ksqldb-statements.sql:14) + S9 the
+    InsertField$Value ingest-timestamp SMT (ksqldb-statements.sql:8-10),
+    pinned to a fixed instant so the gate can check it."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.cdc import insert_extract_ts
+
+    ev = _events(spark, sf_dir).select("*")
+    return insert_extract_ts(ev, at="2026-01-01 00:00:00")
+
+
 # --- §2.2 projection / filter ------------------------------------------------
 
 
@@ -291,6 +309,36 @@ def a1_a2_tumbling_15min_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             F.count(F.lit(1)).alias("ratings_count"),
             collect_sorted(F.floor(F.col("value")).cast("int"), "ratings"),
+        ],
+    )
+
+
+@query(
+    "skew_salted_two_phase_agg",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("skew", "A"),
+)
+def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient grouped aggregation: salt → partial → combine.
+    Must produce exactly the plain groupBy result (the oracle IS the
+    unsalted aggregation) — the salt changes the physical data
+    movement, never the answer."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        _events(spark, sf_dir),
+        ["user_id"],
+        partials=[
+            (F.count(F.lit(1)), "pc"),
+            (F.sum(_dec2("value")), "ps"),
+        ],
+        finals=[
+            ("n_events", F.sum("pc")),
+            ("total_value", F.round(F.sum("ps").cast("double"), 2)),
         ],
     )
 

@@ -78,13 +78,19 @@ def extract_key(df: DataFrame, id_col: str, key_col: str = "kafka_key") -> DataF
     return df.withColumn(key_col, F.col(id_col).cast("string"))
 
 
-def insert_extract_ts(df: DataFrame, col_name: str = "EXTRACT_TS") -> Column | DataFrame:
+def insert_extract_ts(
+    df: DataFrame, col_name: str = "EXTRACT_TS", at: str | None = None
+) -> Column | DataFrame:
     """S9 — InsertField$Value (timestamp.field): wall-clock ingest time.
 
-    Nondeterministic by design (wall clock), so it is excluded from
-    oracle-checked projections and exercised by unit tests only.
+    Wall clock is nondeterministic by design; pass ``at`` (an ISO
+    timestamp) to pin it — the replay/oracle path does, so the SMT is
+    still covered by the correctness gate.
     """
-    return df.withColumn(col_name, F.current_timestamp())
+    ts = (
+        F.lit(at).cast("timestamp_ntz") if at is not None else F.current_timestamp()
+    )
+    return df.withColumn(col_name, ts)
 
 
 def wrap_envelope(df: DataFrame, op: str = "c", db: str = "demo", table: str = "customers") -> DataFrame:

@@ -122,3 +122,37 @@ def test_hopping_window_fanout(spark):
         "2024-01-01T10:00:00",
         "2024-01-01T10:15:00",
     ]
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    # one hot key (90% of rows) + a cold tail
+    rows = [(1, float(i % 7)) for i in range(900)] + [
+        (u, float(u)) for u in range(2, 102)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, value double")
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in salted_agg(
+            df,
+            ["user_id"],
+            partials=[
+                (F.count(F.lit(1)), "pc"),
+                (F.sum(F.col("value").cast("decimal(18,2)")), "ps"),
+            ],
+            finals=[("n", F.sum("pc")), ("total", F.sum("ps").cast("double"))],
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
