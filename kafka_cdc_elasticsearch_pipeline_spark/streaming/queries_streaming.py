@@ -141,6 +141,46 @@ def stateful_user_profile_apply_in_pandas(spark: SparkSession, sf_dir: str) -> D
 
 
 @query(
+    "stream_stream_interval_join_attribution",
+    """
+    SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id AS user_id,
+           a.ts AS left_ts, b.ts AS right_ts,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
+    """,
+    tags=("streaming", "J", "stream-stream"),
+)
+def stream_stream_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join (view→purchase attribution within
+    30 min): BOTH sides are the live replayed stream, state bounded by
+    watermark + range condition. Beyond the reference's stream–table
+    join — the remaining Structured Streaming join capability,
+    oracle-checked against the batch range join."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.join import interval_join
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        # Watermark must exceed the max event-time span of a replay
+        # micro-batch (~30 h here: ~10 days / 8 chunks), or the head of
+        # batch k+1 is "late" vs batch k's watermark and gets dropped —
+        # the classic pitfall when replaying history faster than
+        # real time.
+        joined = interval_join(
+            views, purchases, "user_id", within="30 minutes", watermark="72 hours"
+        )
+        name = f"strm_ssj_{next(_SEQ)}"
+        run_to_memory(joined, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "t2_streaming_pull_query",
     """
     SELECT * FROM (

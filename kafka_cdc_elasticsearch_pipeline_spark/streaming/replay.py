@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,6 +48,19 @@ def replay_stream(
     else:
         staged = batch.repartition(chunks)
     staged.write.mode("overwrite").parquet(data_dir)
+    # The file source replays oldest-modification-time first, but the
+    # parallel write finishes parts in arbitrary order — stamp strictly
+    # increasing mtimes in part-index order (repartitionByRange part i
+    # IS range bucket i) so the replay is deterministic event-time
+    # order. Without this, a later-range file can arrive first, jump
+    # the watermark ahead, and make earlier events late (order-
+    # sensitive operators then drop them nondeterministically).
+    parts = sorted(
+        f for f in os.listdir(data_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time() - len(parts) - 60
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(data_dir, f), (base + i, base + i))
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)

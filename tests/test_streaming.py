@@ -127,3 +127,58 @@ def test_stateful_user_profile_converges_to_batch(spark, sf_dir):
         assert spark.table("profile_updates").count() > len(want)
     finally:
         cleanup(tmp)
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """Cross-micro-batch matches must survive: left row buffered in
+    batch k matches a right row arriving in batch k+1."""
+    import os as _os
+    import time as _time
+
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.join import interval_join
+
+    data_dir = str(tmp_path / "data")
+    _os.makedirs(data_dir)
+    rows_b0 = [(100, 1, "2024-01-01 10:00:00", "view")]
+    rows_b1 = [(101, 1, "2024-01-01 10:20:00", "purchase"),
+               (102, 2, "2024-01-01 10:20:00", "purchase")]  # no matching view
+    schema = "event_id long, user_id long, ts string, event_type string"
+    for i, rows in enumerate([rows_b0, rows_b1]):
+        df = spark.createDataFrame(rows, schema).select(
+            "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type"
+        )
+        path = f"{data_dir}/b{i}.parquet"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+    # one file per batch, mtime-ordered
+    files = []
+    for i in (0, 1):
+        d = f"{data_dir}/b{i}.parquet"
+        (part,) = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        dst = f"{data_dir}/f{i}.parquet"
+        _os.rename(f"{d}/{part}", dst)
+        _os.utime(dst, (_time.time() - 10 + i, _time.time() - 10 + i))
+        files.append(dst)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp_ntz, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        within="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_unit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssj_unit").collect()
+    assert [(r.left_id, r.right_id, r.user_id) for r in got] == [(100, 101, 1)]
+    assert got[0].lag_us == 20 * 60 * 1_000_000
