@@ -214,6 +214,60 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(docs, cand, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Dedup clustering: connected components over a near-dup pair list
+    by iterative min-label propagation (what you DO with pair output —
+    pick one representative per duplicate cluster).
+
+    Driver-coordinated convergence loop where each iteration is fully
+    distributed (join + min-aggregate, two shuffles); converges in
+    ≤ graph-diameter iterations — near-dup clusters are shallow, so a
+    handful. The only driver-side value per iteration is the 1-row
+    "did anything change" check. At 100 TB you'd add periodic
+    checkpointing to truncate lineage; structure is otherwise
+    identical (GraphFrames-style).
+
+    Returns (id_col, component_id): component = min doc_id reachable;
+    singletons map to themselves.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
+
+
 def simhash_table(docs: DataFrame) -> DataFrame:
     """Per-document 16-bit SimHash over word polynomial hashes."""
     return (

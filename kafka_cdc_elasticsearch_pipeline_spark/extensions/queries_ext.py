@@ -72,10 +72,8 @@ _MINHASH_A_SQL = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
 _MINHASH_B_SQL = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
 
 
-@query(
-    "ext_dedup_minhash_lsh",
-    f"""
-    WITH docs AS ({_SQL_DOCS_SHINGLES}),
+_SQL_MINHASH_CTES = f"""
+    docs AS ({_SQL_DOCS_SHINGLES}),
     hs AS (
       SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
       FROM docs, unnest(sh) AS t(s)
@@ -96,11 +94,18 @@ _MINHASH_B_SQL = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
+      FROM cand c JOIN docs x ON x.doc_id = c.doc_a JOIN docs y ON y.doc_id = c.doc_b
+      WHERE {_SQL_JACCARD} >= 0.4
     )
-    SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
-    FROM cand c JOIN docs x ON x.doc_id = c.doc_a JOIN docs y ON y.doc_id = c.doc_b
-    WHERE {_SQL_JACCARD} >= 0.4
-    """,
+"""
+
+
+@query(
+    "ext_dedup_minhash_lsh",
+    f"WITH {_SQL_MINHASH_CTES} SELECT doc_a, doc_b, jaccard FROM pairs",
     tags=("ext", "dedup", "minhash", "lsh"),
     bench=True,
 )
@@ -198,6 +203,37 @@ def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-blocked on the cluster
     label (bucket-local exact scoring — the 100 TB candidate policy)."""
     return sim.embedding_neardup_pairs(_embs(spark, sf_dir))
+
+
+@query(
+    "ext_dedup_components",
+    f"""
+    WITH RECURSIVE {_SQL_MINHASH_CTES},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM reach GROUP BY a)
+    SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    tags=("ext", "dedup", "components", "iterative"),
+)
+def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the MinHash near-dup
+    pair graph via iterative distributed label propagation; the oracle
+    computes the same closure with a recursive CTE. Every document gets
+    a cluster id (singletons map to themselves) — pick min doc_id per
+    cluster as the canonical copy."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs)
+    return dd.connected_components(pairs, docs)
 
 
 # --- similarity search -------------------------------------------------------

@@ -170,3 +170,12 @@ def test_centroid_assignment_recovers_clusters(spark, vectors):
     assert got[0].assigned_label == 0 and got[1].assigned_label == 0
     # vec 3 = -x: closer (cosine) to the label-1 centroid (-0.5, 0.5)
     assert got[3].assigned_label == 1
+
+
+def test_connected_components_chain_and_singleton(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id bigint")
+    got = {r.doc_id: r.component_id for r in dd.connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
