@@ -177,6 +177,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(sim_a::BIGINT, sim_b::BIGINT)) <= 3
     """,
     tags=("ext", "dedup", "simhash"),
+    bench=True,
 )
 def ext_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs (Hamming ≤ 3) blocked on signature halves —
@@ -404,6 +405,7 @@ def ext_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("ext", "text"),
+    bench=True,
 )
 def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training corpus quality filters: length / shape / punctuation

@@ -424,6 +424,7 @@ def t7_hopping_30m_slide_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM i GROUP BY user_id, sess
     """,
     tags=("T7",),
+    bench=True,
 )
 def t7_session_window_30m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 — session window: per-user activity runs closed by 30 min of
@@ -729,6 +730,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     LIMIT 20
     """,
     tags=("scale", "J", "A"),
+    bench=True,
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale workload: TPC-H Q18-shaped HAVING + semi-join + top-k.
