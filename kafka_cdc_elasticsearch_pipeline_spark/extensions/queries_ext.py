@@ -471,6 +471,24 @@ def ext_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pii_scrub(_docs(spark, sf_dir))
 
 
+@query(
+    "ext_text_chunking",
+    """
+    SELECT doc_id,
+           ((s - 1) // 15)::INT AS chunk_idx,
+           array_to_string(list_slice(w, s, s + 19), ' ') AS chunk_text,
+           len(list_slice(w, s, s + 19))::INT AS n_words
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         unnest(generate_series(1, len(w), 15)) AS t(s)
+    """,
+    tags=("ext", "text", "chunking"),
+)
+def ext_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 20-word windows every 15 words (5-word
+    overlap) — the context-window prep stage of a training pipeline."""
+    return tx.chunk_documents(_docs(spark, sf_dir))
+
+
 # --- multimodal --------------------------------------------------------------
 
 

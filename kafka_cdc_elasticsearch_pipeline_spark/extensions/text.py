@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import poly_hash16, words
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
+    explode_expensive,
+    poly_hash16,
+    words,
+)
 
 # Marker stopwords per language for the n-gram/stopword-hit heuristic.
 # Deterministic argmax with lexicographic tiebreak; 'und' when nothing
@@ -86,6 +90,30 @@ def token_counts(docs: DataFrame) -> DataFrame:
             "bpe_ish_tokens"
         ),
         F.ceil(F.length("text") / 4).alias("est_llm_tokens"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 20, stride: int = 15
+) -> DataFrame:
+    """Sliding-window document chunking (context-window prep): word
+    windows of ``chunk_size`` every ``stride`` words (overlap =
+    chunk_size - stride); the last chunk per doc may be short.
+
+    Partition-local fan-out: the chunk explode never shuffles — at
+    100 TB this is a map-only stage that feeds straight into the
+    tokenizer. Deterministic chunk ids: (doc_id, chunk_idx).
+    """
+    prepared = docs.select("doc_id", words("text").alias("w")).select(
+        "doc_id", "w", F.expr(f"sequence(1, size(w), {stride})").alias("starts")
+    )
+    exploded = explode_expensive(prepared, "starts", "s")
+    chunk = F.expr(f"slice(w, s, {chunk_size})")
+    return exploded.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_words"),
     )
 
 

@@ -744,25 +744,32 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # Single lineitem pass: the HAVING pre-aggregate per orderkey IS the
+    # output quantity (orderkey is the finest group key — the other
+    # group columns are functionally dependent via orders), so aggregate
+    # once, filter, then enrich with broadcast dims. Halves the scan +
+    # shuffle volume vs the literal agg-join-agg shape; the oracle keeps
+    # the textbook formulation and must match.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec2("l_quantity")).alias("q"))
         .filter(F.col("q") > F.lit(150).cast("decimal(18,2)"))
-        .select("l_orderkey")
+        .select("l_orderkey", F.round(F.col("q").cast("double"), 2).alias("total_qty"))
     )
+    # No broadcast hints here: orders/customer fit broadcast at this SF
+    # (AQE picks it up from runtime sizes) but not at 100 TB, where the
+    # same plan degrades gracefully to shuffle joins on the big keys.
     agg = (
-        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
-                li["l_orderkey"] == F.col("b_orderkey"), "left_semi")
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .groupBy(
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
             cust["c_name"].alias("c_name"),
             cust["c_custkey"].alias("c_custkey"),
             orders["o_orderkey"].alias("o_orderkey"),
             orders["o_orderdate"].alias("o_orderdate"),
             F.round(orders["o_totalprice"].cast("double"), 2).alias("o_totalprice"),
+            F.col("total_qty"),
         )
-        .agg(F.round(F.sum(_dec2("l_quantity")).cast("double"), 2).alias("total_qty"))
     )
     return topk(agg, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20).select(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"

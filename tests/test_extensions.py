@@ -179,3 +179,13 @@ def test_connected_components_chain_and_singleton(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id bigint")
     got = {r.doc_id: r.component_id for r in dd.connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_chunking_overlap_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(1, 36))  # 35 words
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = {r.chunk_idx: r for r in tx.chunk_documents(docs, chunk_size=20, stride=15).collect()}
+    assert sorted(got) == [0, 1, 2]
+    assert got[0].chunk_text.startswith("w1 w2") and got[0].n_words == 20
+    assert got[1].chunk_text.startswith("w16")  # 5-word overlap with chunk 0
+    assert got[2].n_words == 5  # tail chunk: words 31..35
