@@ -1,0 +1,65 @@
+"""SQL entry point (SURVEY §3 EP1/EP2): the reference's control plane
+is SQL text over HTTP; the engine's twin is ``spark.sql`` over
+registered views — same statements, Catalyst compiles them to the same
+plans as the DataFrame API."""
+
+from __future__ import annotations
+
+from kafka_cdc_elasticsearch_pipeline_spark import catalog
+from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+
+
+def test_flagship_csas_as_sql_text(spark, sf_dir):
+    """RATINGS_WITH_CUSTOMER_DATA (ksqldb-statements.sql:50-60) written
+    as SQL text must agree with the DataFrame-API implementation."""
+    catalog.register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT e.event_id AS rating_id,
+               e.user_id,
+               e.value AS stars,
+               e.event_type AS channel,
+               c.c_name || ' ' || c.c_mktsegment AS full_name,
+               c.c_mktsegment AS club_status
+        FROM events e
+        LEFT JOIN customer c
+          ON CAST(e.user_id AS STRING) = CAST(c.c_custkey AS STRING)
+        WHERE lower(e.event_type) NOT LIKE '%err%'
+          AND c.c_name || ' ' || c.c_mktsegment IS NOT NULL
+        """
+    )
+    api = QUERIES["j1_enrich_stream_table_join"].spark(spark, sf_dir)
+    assert sql.count() == api.count()
+    s = {(r.rating_id, r.full_name) for r in sql.collect()}
+    a = {(r.rating_id, r.full_name) for r in api.collect()}
+    assert s == a
+
+
+def test_windowed_ctas_as_sql_text(spark, sf_dir):
+    """The tumbling CTAS (ksqldb-statements.sql:88-93) via SQL window()."""
+    catalog.register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT window(ts, '15 minutes').start AS window_start,
+               user_id, count(*) AS ratings_count
+        FROM events
+        WHERE lower(event_type) NOT LIKE '%err%'
+        GROUP BY 1, 2
+        """
+    )
+    api = QUERIES["a1_a2_tumbling_15min_collect"].spark(spark, sf_dir)
+    assert sql.count() == api.count()
+
+
+def test_sql_and_api_compile_to_same_join_strategy(spark, sf_dir):
+    catalog.register_views(spark, sf_dir)
+    plan = (
+        spark.sql(
+            "SELECT e.event_id, c.c_name FROM events e "
+            "JOIN customer c ON e.user_id = c.c_custkey"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
