@@ -344,6 +344,44 @@ def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.assign_centroids(embs, sim.centroids(embs))
 
 
+@query(
+    "ext_sim_ivf_nprobe2_topk",
+    f"""
+    WITH cents AS ({_SQL_CENTROIDS}),
+    probes AS (
+      SELECT query_id, probe_label FROM (
+        SELECT q.vec_id AS query_id, c.label AS probe_label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_COS_CENT.replace("e.embedding", "q.embedding")} DESC, c.label
+               ) AS pr
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c
+      ) WHERE pr <= 2
+    )
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT p.query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cosine
+      FROM probes p
+      JOIN embeddings e ON e.label = p.probe_label
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE e.vec_id <> p.query_id
+    )
+    QUALIFY rank <= 10
+    """,
+    tags=("ext", "similarity", "ivf", "nprobe"),
+)
+def ext_sim_ivf_nprobe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query probes its two best buckets by
+    centroid cosine — the recall-for-cost knob between single-bucket
+    IVF and brute force."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return sim.ivf_topk_nprobe(embs, queries, sim.centroids(embs), nprobe=2)
+
+
 # --- text analysis -----------------------------------------------------------
 
 

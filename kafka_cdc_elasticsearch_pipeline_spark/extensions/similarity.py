@@ -75,6 +75,47 @@ def ivf_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_topk_nprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int = TOPK,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search with multi-bucket probing: each query scores the
+    (broadcast) centroid table, probes its ``nprobe`` best buckets, and
+    exact-scores only those candidates — the standard recall knob
+    (nprobe=1 is ``ivf_topk``; nprobe=n_clusters is brute force).
+
+    ``queries`` needs (query_id, q_embedding). Candidate volume is
+    nprobe/n_clusters of the corpus per query; everything is equi-joins
+    on the bucket key."""
+    scored_cents = queries.join(
+        F.broadcast(cents.select(F.col("label").alias("probe_label"), "centroid"))
+    ).select(
+        "query_id",
+        "q_embedding",
+        "probe_label",
+        F.round(cosine(F.col("q_embedding"), F.col("centroid")), 6).alias("cos_c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("probe_label").asc()
+    )
+    probes = (
+        scored_cents.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_embedding", "probe_label")
+    )
+    scored = embeddings.join(
+        F.broadcast(probes), embeddings["label"] == probes["probe_label"]
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _ranked_topk(scored, k)
+
+
 def centroids(embeddings: DataFrame) -> DataFrame:
     """The IVF coarse quantizer: per-label centroid as a one-shuffle
     positional aggregation (posexplode → per-(label, pos) mean →

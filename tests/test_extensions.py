@@ -189,3 +189,15 @@ def test_chunking_overlap_and_tail(spark):
     assert got[0].chunk_text.startswith("w1 w2") and got[0].n_words == 20
     assert got[1].chunk_text.startswith("w16")  # 5-word overlap with chunk 0
     assert got[2].n_words == 5  # tail chunk: words 31..35
+
+
+def test_ivf_nprobe_widens_recall(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = sim.centroids(vectors)
+    n1 = {r.neighbor_id for r in sim.ivf_topk_nprobe(vectors, queries, cents, nprobe=1).collect()}
+    n2 = {r.neighbor_id for r in sim.ivf_topk_nprobe(vectors, queries, cents, nprobe=2).collect()}
+    assert n1 <= n2  # more probes never lose neighbors
+    assert n1 == {1}  # own bucket only
+    assert n2 == {1, 2, 3}  # both buckets -> full corpus here
