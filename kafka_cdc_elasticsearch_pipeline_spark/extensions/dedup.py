@@ -186,27 +186,48 @@ def ngram_jaccard_pairs(
     ex = explode_expensive(sh, "sh", "s").persist()
     dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
     # Global rarest-first order = (df, s); per-doc prefix of length
-    # |sh| - ceil(t*|sh|) + 1 under that order.
+    # |sh| - ceil(t*|sh|) + 1 under that order. Keep (pos, n) per
+    # indexed token for the PPJoin positional filter below.
     pref = (
         ex.join(dfc, "s")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df_", "s"))).alias("ordered"))
         .select(
             "doc_id",
+            F.size("ordered").alias("n"),
             F.expr(
                 f"transform(slice(ordered, 1,"
                 f" size(ordered) - cast(ceil({threshold} * size(ordered)) as int) + 1),"
-                " x -> x.s)"
+                " (x, i) -> struct(x.s AS s, i + 1 AS pos))"
             ).alias("pref"),
         )
-        .transform(lambda df: explode_expensive(df, "pref", "s"))
+        .transform(lambda df: explode_expensive(df, "pref", "sp"))
+        .select("doc_id", "n", F.col("sp.s").alias("s"), F.col("sp.pos").alias("pos"))
         .persist()
     )
+    # PPJoin filters on each index hit:
+    # - length: J >= t forces t*|a| <= |b| <= |a|/t;
+    # - positional: overlap upper bound via the hit positions,
+    #   1 + min(n_a - pos_a, n_b - pos_b), must reach the equivalent
+    #   overlap alpha = ceil(t/(1+t) * (n_a + n_b)).
+    # The bound is loosest at the pair's FIRST shared token, so a pair
+    # whose every hit fails cannot reach alpha — pruning is lossless.
+    a, b = pref.alias("a"), pref.alias("b")
+    t_frac = threshold / (1.0 + threshold)
     cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * threshold <= F.col("a.n"))
+            & (F.col("a.n") * threshold <= F.col("b.n"))
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+                >= F.ceil(t_frac * (F.col("a.n") + F.col("b.n")))
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
