@@ -527,6 +527,42 @@ def ext_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(_docs(spark, sf_dir))
 
 
+@query(
+    "ext_split_train_holdout",
+    """
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train' ELSE 'holdout' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    """,
+    tags=("ext", "text", "split"),
+)
+def ext_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-stable 80/20 train/holdout split by id
+    hash — stable across runs/engines/cluster sizes, never rand()."""
+    return tx.train_holdout_split(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_vocab_topk",
+    f"""
+    SELECT s AS shingle, count(*) AS doc_freq
+    FROM ({_SQL_DOCS_SHINGLES}), unnest(sh) AS t(s)
+    GROUP BY s
+    ORDER BY doc_freq DESC, s
+    LIMIT 50
+    """,
+    tags=("ext", "text", "vocab"),
+)
+def ext_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induction: top-50 shingles by document
+    frequency with deterministic tiebreak."""
+    return tx.vocab_top_shingles(_docs(spark, sf_dir))
+
+
 # --- multimodal --------------------------------------------------------------
 
 

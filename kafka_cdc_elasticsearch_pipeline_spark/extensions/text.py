@@ -146,6 +146,40 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
+def train_holdout_split(
+    docs: DataFrame, id_col: str = "doc_id", train_pct: int = 80
+) -> DataFrame:
+    """Deterministic content-stable train/holdout assignment: bucket =
+    first 28 bits of md5(id) mod 100. Stable across runs, engines and
+    cluster sizes (never ``rand()`` — resampling on every run silently
+    leaks holdout into training), and portable to the DuckDB oracle."""
+    bucket = (
+        F.expr(f"cast(conv(substr(md5(cast({id_col} as string)), 1, 7), 16, 10) as bigint)")
+        % 100
+    )
+    return docs.select(
+        id_col,
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("holdout")).alias("split"),
+    )
+
+
+def vocab_top_shingles(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Vocabulary induction: top-k word-3-gram shingles by document
+    frequency (deterministic tiebreak on the shingle itself) — the
+    corpus-statistics pass behind stopword lists and domain filters.
+    Map-side partial counts; only (shingle, count) pairs shuffle."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.dedup import _doc_shingles
+
+    ex = explode_expensive(_doc_shingles(docs), "sh", "s")
+    counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        counts.orderBy(F.col("doc_freq").desc(), F.col("s").asc())
+        .limit(k)
+        .select(F.col("s").alias("shingle"), "doc_freq")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized content (exact-dup key)
     + 16-bit polynomial rolling hash (cheap locality-insensitive id)."""

@@ -201,3 +201,21 @@ def test_ivf_nprobe_widens_recall(spark, vectors):
     assert n1 <= n2  # more probes never lose neighbors
     assert n1 == {1}  # own bucket only
     assert n2 == {1, 2, 3}  # both buckets -> full corpus here
+
+
+def test_train_holdout_split_stable_and_partitioned(spark, docs):
+    s1 = {r.doc_id: (r.bucket, r.split) for r in tx.train_holdout_split(docs).collect()}
+    s2 = {r.doc_id: (r.bucket, r.split) for r in tx.train_holdout_split(docs).collect()}
+    assert s1 == s2  # rerun-stable
+    assert all(0 <= b < 100 for b, _ in s1.values())
+    assert all(s == ("train" if b < 80 else "holdout") for b, s in s1.values())
+
+
+def test_vocab_topk_counts_and_order(spark, docs):
+    got = tx.vocab_top_shingles(docs, k=20).collect()
+    assert len(got) == 20
+    freqs = [r.doc_freq for r in got]
+    assert freqs == sorted(freqs, reverse=True)
+    # "the quick brown" appears in docs 1, 2 (normalized) and 3
+    top = {r.shingle: r.doc_freq for r in got}
+    assert top.get("the quick brown") == 3
