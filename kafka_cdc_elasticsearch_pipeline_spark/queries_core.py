@@ -344,6 +344,37 @@ def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wf_running_total_per_user",
+    """
+    SELECT event_id, user_id, ts,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+    tags=("WF", "analytics"),
+)
+def wf_running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (SURVEY §2.5 — beyond the reference's
+    surface): per-user running total + event sequence number over
+    event time. One shuffle on the partition key, per-key sort, frame
+    scan — exact DECIMAL accumulation so every prefix sum is
+    reproducible cross-engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(_dec2("value")).over(frame).cast("double"), 2).alias("running_total"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@query(
     "a4_median_stars_by_channel",
     """
     SELECT event_type AS channel,
