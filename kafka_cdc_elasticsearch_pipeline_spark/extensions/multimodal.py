@@ -80,6 +80,48 @@ def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+FEATURE_SCHEMA = "doc_id bigint, hist array<int>"
+N_BINS = 16
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Feature-extraction stage: 16-bin byte histogram per payload via
+    Arrow-batched ``mapInPandas`` + numpy — unlike the stubbed image
+    decode this is REAL computation (bytes are bytes), so the whole
+    Python path (Arrow batch in, vectorized numpy, Arrow batch out
+    with an array column) is exercised and oracle-checked end-to-end.
+    """
+
+    def featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hists = [
+                np.bincount(
+                    np.frombuffer(p, dtype=np.uint8) // (256 // N_BINS),
+                    minlength=N_BINS,
+                ).astype("int32")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": hists})
+
+    return with_payload.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def resize_metadata(decoded: DataFrame, scale_num: int = 1, scale_den: int = 2) -> DataFrame:
+    """Resize planning stage: target dimensions from the decoded
+    metadata (pure column math — the actual pixel resample would run
+    inside the decode UDF when a real imaging stack is present)."""
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.ceil(F.col("width") * scale_num / scale_den).cast("int").alias("out_width"),
+        F.ceil(F.col("height") * scale_num / scale_den).cast("int").alias("out_height"),
+    )
+
+
 def frame_sample(decoded: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling stand-in: derive a deterministic frame count from
     the payload size and keep every n-th frame index — the partitioned

@@ -590,6 +590,46 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_multimodal_features",
+    """
+    SELECT doc_id,
+           list_transform(generate_series(0, 15), b ->
+             len(list_filter(
+               list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                              c -> ord(c) // 16),
+               x -> x = b))::INT) AS hist
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "features"),
+)
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction over the binary payload via
+    Arrow-batched mapInPandas + numpy (real computation — the oracle
+    recomputes the same histogram from the ASCII text)."""
+    return mm.extract_features(mm.attach_payload(_docs(spark, sf_dir)))
+
+
+@query(
+    "ext_multimodal_resize",
+    """
+    SELECT doc_id,
+           (64 + octet_length(encode(text)) % 577)::INT AS width,
+           (64 + (octet_length(encode(text)) * 31) % 433)::INT AS height,
+           ceil((64 + octet_length(encode(text)) % 577) / 2.0)::INT AS out_width,
+           ceil((64 + (octet_length(encode(text)) * 31) % 433) / 2.0)::INT AS out_height
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "resize"),
+)
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: half-scale target dimensions from decoded
+    metadata (column math; pixel resample lives in the decode UDF
+    when a real imaging stack exists)."""
+    decoded = mm.decode_image_metadata(mm.attach_payload(_docs(spark, sf_dir)))
+    return mm.resize_metadata(decoded)
+
+
+@query(
     "ext_multimodal_frame_sample",
     """
     SELECT doc_id, frame_idx::INT AS frame_idx

@@ -219,3 +219,20 @@ def test_vocab_topk_counts_and_order(spark, docs):
     # "the quick brown" appears in docs 1, 2 (normalized) and 3
     top = {r.shingle: r.doc_freq for r in got}
     assert top.get("the quick brown") == 3
+
+
+def test_feature_histogram_sums_to_length(spark, docs):
+    feats = {r.doc_id: r.hist for r in mm.extract_features(mm.attach_payload(docs)).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, hist in feats.items():
+        assert len(hist) == 16
+        assert sum(hist) == len(texts[did].encode())
+    # 'a'-'o' (0x61-0x6f) land in bin 6: lowercase-heavy docs dominate there
+    assert feats[1][6] > 0
+
+
+def test_resize_metadata_half_scale(spark, docs):
+    decoded = mm.decode_image_metadata(mm.attach_payload(docs))
+    out = {r.doc_id: r for r in mm.resize_metadata(decoded).collect()}
+    for r in out.values():
+        assert r.out_width == -(-r.width // 2) and r.out_height == -(-r.height // 2)
