@@ -344,6 +344,29 @@ def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_rollup_channel_user",
+    """
+    SELECT event_type AS channel, user_id,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())
+    """,
+    tags=("A", "rollup"),
+)
+def a_rollup_channel_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (channel → user → grand total) in ONE pass:
+    Spark expands the grouping sets inside a single aggregation — three
+    levels of dashboard totals for one scan + one shuffle instead of
+    three queries."""
+    ev = _events(spark, sf_dir)
+    return ev.rollup(F.col("event_type").alias("channel"), "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value"),
+    )
+
+
+@query(
     "wf_running_total_per_user",
     """
     SELECT event_id, user_id, ts,
@@ -804,6 +827,66 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return topk(agg, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20).select(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("scale", "J", "F"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale workload: TPC-H Q7-shaped bidirectional nation-pair trade
+    volume by ship year. The nation filters broadcast into supplier
+    and customer BEFORE the fact joins, so the big lineitem⋈orders
+    shuffle only carries the two qualifying nations' rows; year() on
+    the event time groups without any UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = supp.join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+    c = cust.join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+    one = F.lit(1).cast("decimal(8,4)")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")).agg(
+        F.round(
+            F.sum(
+                _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
+            ).cast("double"),
+            2,
+        ).alias("revenue")
     )
 
 
