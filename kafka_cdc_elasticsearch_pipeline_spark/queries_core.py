@@ -344,6 +344,52 @@ def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_asof_last_purchase_before_view",
+    """
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p0 AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT p0.user_id, p0.ts, p0.event_id, e.value
+      FROM p0 JOIN events e ON e.event_id = p0.event_id
+    )
+    SELECT v.event_id AS view_id, v.user_id AS user_id, v.ts AS view_ts,
+           p.event_id AS asof_event_id, p.ts AS asof_ts, p.value AS asof_value
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+    tags=("J", "asof", "temporal"),
+)
+def j_asof_last_purchase_before_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond the reference; DuckDB's native ASOF JOIN is
+    the oracle): each view event enriched with the user's latest
+    prior-or-simultaneous purchase. Union + running last() — one
+    shuffle + sort over |L|+|R|, never a range explode."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        "event_id",
+    )
+    return asof_join(views, purchases, "user_id", left_ts="view_ts", right_ts="ts").select(
+        "view_id",
+        "user_id",
+        "view_ts",
+        F.col("asof_event_id"),
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )
+
+
+@query(
     "a_rollup_channel_user",
     """
     SELECT event_type AS channel, user_id,
@@ -363,6 +409,46 @@ def a_rollup_channel_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.rollup(F.col("event_type").alias("channel"), "user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "a_distinct_users_per_channel",
+    """
+    SELECT event_type AS channel, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("A", "distinct"),
+)
+def a_distinct_users_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (beyond the reference's surface): exact
+    per-channel user cardinality — Spark expands to a two-stage
+    partial-distinct plan automatically."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "a_approx_distinct_users_per_channel",
+    # No oracle: HLL sketches are implementation-specific — Spark's
+    # HyperLogLog++ and DuckDB's approx_count_distinct give different
+    # estimates by design. The driver records the weaker rows-only
+    # check; the unit test bounds the estimate against the exact count.
+    None,
+    tags=("A", "distinct", "sketch"),
+)
+def a_approx_distinct_users_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation: HyperLogLog++ approximate cardinality — at
+    100 TB the exact distinct's per-key dedup state is the cost center,
+    and a fixed-size sketch (mergeable, map-side combinable) replaces
+    it. rsd=0.01 → ~1% error bound."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
     )
 
 

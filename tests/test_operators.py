@@ -156,3 +156,35 @@ def test_salted_agg_equals_plain_agg(spark):
         .collect()
     }
     assert got == want
+
+
+def test_asof_join_inclusive_and_null_fill(spark):
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 2, 5)], "id int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(100, 1, 10, "a"), (101, 1, 15, "b"), (102, 3, 1, "c")],
+        "rid int, k int, ts int, payload string",
+    )
+    out = {r.id: r for r in asof_join(left, right, "k", left_ts="ts", right_ts="ts").collect()}
+    assert out[1].asof_rid == 100  # inclusive: right at SAME ts matches
+    assert out[2].asof_rid == 101  # latest prior, not first
+    assert out[3].asof_rid is None  # no right rows for key 2 -> NULLs
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+
+    exact = {
+        r.channel: r.n_users
+        for r in QUERIES["a_distinct_users_per_channel"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r.channel: r.n_users_approx
+        for r in QUERIES["a_approx_distinct_users_per_channel"].spark(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for ch, n in exact.items():
+        assert abs(approx[ch] - n) <= max(2, 0.05 * n)  # ~1% rsd, generous bound
