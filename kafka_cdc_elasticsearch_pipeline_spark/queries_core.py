@@ -390,6 +390,40 @@ def j_asof_last_purchase_before_view(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "j_range_band_join_value_tiers",
+    """
+    WITH bands(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 100.0), ('mid', 100.0, 500.0), ('high', 500.0, 1e9)
+    )
+    SELECT b.tier AS tier, count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.tier
+    """,
+    tags=("J", "range"),
+)
+def j_range_band_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join — the non-equi join class: events matched to
+    value tiers by interval containment. The band table is tiny →
+    broadcast nested-loop with a 3-row build side, i.e. effectively a
+    map-side lookup; the fact side never shuffles before the
+    aggregation."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    ev = _events(spark, sf_dir)
+    joined = ev.join(
+        F.broadcast(bands),
+        (ev["value"] >= bands["lo"]) & (ev["value"] < bands["hi"]),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec2("value")).cast("double"), 2).alias("total_value"),
+    )
+
+
+@query(
     "a_rollup_channel_user",
     """
     SELECT event_type AS channel, user_id,
