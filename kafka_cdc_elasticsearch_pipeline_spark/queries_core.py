@@ -641,6 +641,98 @@ def a4_channel_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("day", F.col("event_type").alias("channel"), "n")
 
 
+@query(
+    "a_quantiles_per_channel",
+    """
+    SELECT event_type AS channel,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+    tags=("A", "quantiles"),
+)
+def a_quantiles_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per channel (Spark ``percentile``
+    == DuckDB ``quantile_cont``): the latency-distribution shape every
+    dashboard needs beyond the reference's single median panel."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(F.col("event_type").alias("channel")).agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@query(
+    "a_pivot_channel_by_user_bucket",
+    """
+    SELECT user_id % 4 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("A", "pivot"),
+)
+def a_pivot_channel_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user-bucket event counts, one column per
+    channel. Spark's ``pivot`` with an explicit value list compiles to
+    a single aggregation with FILTERed counts — one scan, one shuffle,
+    no per-column passes (the oracle is that same FILTER form)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy((F.col("user_id") % 4).alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+
+
+@query(
+    "f_scalar_function_suite2",
+    """
+    SELECT event_id,
+           substr(event_type, 2, 3) AS sub,
+           replace(event_type, 'e', '_') AS repl,
+           lpad(CAST(user_id AS VARCHAR), 6, '0') AS padded,
+           strpos(event_type, 'r') AS pos_r,
+           reverse(event_type) AS rev,
+           repeat(left(event_type, 1), 3) AS rep3,
+           coalesce(nullif(event_type, 'error'), 'scrubbed') AS no_error,
+           greatest(CAST(value AS DOUBLE), 50.0) AS at_least_50,
+           CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' ELSE 'high' END AS tier
+    FROM events
+    """,
+    tags=("F", "scalar"),
+)
+def f_scalar_function_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended scalar surface (the wider ksqlDB builtin families the
+    reference doesn't happen to use): substring/replace/pad/position/
+    reverse/repeat string ops, NULLIF/COALESCE, GREATEST, CASE tiers —
+    all whole-stage-codegen expressions."""
+    ev = _events(spark, sf_dir)
+    et = F.col("event_type")
+    return ev.select(
+        "event_id",
+        F.substring(et, 2, 3).alias("sub"),
+        F.regexp_replace(et, "e", "_").alias("repl"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("padded"),
+        F.instr(et, "r").alias("pos_r"),
+        F.reverse(et).alias("rev"),
+        F.repeat(F.substring(et, 1, 1), 3).alias("rep3"),
+        F.coalesce(F.nullif(et, F.lit("error")), F.lit("scrubbed")).alias("no_error"),
+        F.greatest(F.col("value").cast("double"), F.lit(50.0)).alias("at_least_50"),
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+
+
 # --- §2.5/2.9 pull query on the materialized window ---------------------------
 
 
