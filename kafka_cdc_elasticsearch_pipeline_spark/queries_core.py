@@ -733,6 +733,94 @@ def f_scalar_function_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "f_json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS prop_missing
+    FROM events
+    """,
+    tags=("F", "json"),
+)
+def f_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the semi-structured ``props`` column (the
+    serialization-boundary family — the reference parses JSON only in
+    its Debezium envelope; real event streams carry it in-row): path
+    extraction with NULL on missing paths, JVM-side."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.get_json_object("props", "$.missing").cast("int").alias("prop_missing"),
+    )
+
+
+@query(
+    "a_unpivot_quantile_long",
+    """
+    WITH q AS (
+      SELECT event_type AS channel,
+             round(quantile_cont(value, 0.25), 4) AS p25,
+             round(quantile_cont(value, 0.50), 4) AS p50,
+             round(quantile_cont(value, 0.75), 4) AS p75
+      FROM events GROUP BY event_type
+    )
+    SELECT channel, 'p25' AS quantile, p25 AS v FROM q
+    UNION ALL SELECT channel, 'p50', p50 FROM q
+    UNION ALL SELECT channel, 'p75', p75 FROM q
+    """,
+    tags=("A", "unpivot"),
+)
+def a_unpivot_quantile_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of pivot) via ``unpivot`` —
+    a single Expand node over the aggregated frame, not N self-unions
+    (the oracle spells out the UNION ALL it is equivalent to)."""
+    ev = _events(spark, sf_dir)
+    wide = ev.groupBy(F.col("event_type").alias("channel")).agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    return wide.unpivot("channel", ["p25", "p50", "p75"], "quantile", "v")
+
+
+@query(
+    "f_array_functions_per_user",
+    """
+    SELECT user_id,
+           len(vs) AS n_vals,
+           vs[1:3] AS first3,
+           list_contains(vs, 100) AS has_100,
+           len(list_distinct(vs)) AS n_distinct,
+           list_reduce(list_prepend(0, vs), (a, x) -> a + x) AS total_units
+    FROM (
+      SELECT user_id, list_sort(list(CAST(floor(value) AS INTEGER))) AS vs
+      FROM events GROUP BY user_id
+    )
+    """,
+    tags=("F", "array"),
+)
+def f_array_functions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over collected per-user values (the
+    reference's one ARRAY column comes from COLLECT_LIST — this is the
+    full toolbox on top): size, slice, contains, distinct, fold — all
+    higher-order Catalyst expressions on the sorted array."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.floor("value").cast("int"))).alias("vs")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vs").alias("n_vals"),
+        F.slice("vs", 1, 3).alias("first3"),
+        F.array_contains("vs", 100).alias("has_100"),
+        F.size(F.array_distinct("vs")).alias("n_distinct"),
+        F.expr("aggregate(vs, 0, (a, x) -> a + x)").alias("total_units"),
+    )
+
+
 # --- §2.5/2.9 pull query on the materialized window ---------------------------
 
 
