@@ -360,6 +360,7 @@ def skew_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
     """,
     tags=("J", "asof", "temporal"),
+    bench=True,
 )
 def j_asof_last_purchase_before_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond the reference; DuckDB's native ASOF JOIN is

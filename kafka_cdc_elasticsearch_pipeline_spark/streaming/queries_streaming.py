@@ -181,6 +181,32 @@ def stream_stream_interval_join_attribution(spark: SparkSession, sf_dir: str) ->
 
 
 @query(
+    "streaming_dedup_at_least_once",
+    f"""
+    SELECT {', '.join(EVENT_COLS)} FROM events
+    """,
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def streaming_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from at-least-once: the replayed stream is unioned
+    with itself (every event delivered twice — Kafka redelivery twin)
+    and ``dropDuplicates`` on the event id reduces it back; the result
+    must equal the clean batch table. Keyed state per id — with a
+    watermark this is ``dropDuplicatesWithinWatermark`` and the state
+    is bounded; the ES sink's doc-id idempotence (key.ignore=false) is
+    the sink-side half of the same guarantee."""
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        doubled = stream.unionByName(stream)
+        deduped = doubled.dropDuplicates(["event_id"])
+        name = f"strm_dedup_{next(_SEQ)}"
+        run_to_memory(deduped.select(*EVENT_COLS), name, output_mode="append")
+        return spark.table(name)
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "t2_streaming_pull_query",
     """
     SELECT * FROM (
