@@ -422,9 +422,7 @@ def ext_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(_docs(spark, sf_dir))
 
 
-@query(
-    "ext_text_quality",
-    f"""
+_SQL_QUALITY = f"""
     SELECT doc_id, n_chars, n_words,
            round(alpha::DOUBLE / n_chars, 6) AS alpha_ratio,
            round(punct::DOUBLE / n_chars, 6) AS punct_ratio,
@@ -441,7 +439,24 @@ def ext_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_sql_marker_hits(tx.EN_STOPWORDS)} AS stop
       FROM documents
     )
-    """,
+"""
+
+_SQL_REPETITION = """
+    SELECT doc_id, len(w) AS n_words, len(w) - 2 AS n_shingles,
+           round(1 - len(list_distinct(sh_raw))::DOUBLE / (len(w) - 2), 6) AS dup_shingle_ratio,
+           round(1 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_word_ratio
+    FROM (
+      SELECT doc_id, w, list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh_raw
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents)
+      WHERE len(w) >= 3
+    )
+"""
+
+
+@query(
+    "ext_text_quality",
+    _SQL_QUALITY,
     tags=("ext", "text"),
     bench=True,
 )
@@ -449,6 +464,43 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training corpus quality filters: length / shape / punctuation
     / stopword ratios + a composite score, all per-row codegen."""
     return tx.quality_score(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_repetition",
+    _SQL_REPETITION,
+    tags=("ext", "text", "repetition"),
+)
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection: duplicated 3-gram / duplicated word
+    ratios — the strongest boilerplate/spam signal in web corpora."""
+    return tx.repetition_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_gopher_rules",
+    f"""
+    WITH q AS ({_SQL_QUALITY}), r AS ({_SQL_REPETITION})
+    SELECT q.doc_id,
+           (q.n_words >= 10 AND q.n_words <= 100000) AS ok_word_count,
+           (avg_word_len >= 3 AND avg_word_len <= 12) AS ok_word_len,
+           alpha_ratio >= 0.6 AS ok_alpha,
+           stopword_ratio >= 0.01 AS ok_stopwords,
+           coalesce(dup_shingle_ratio, 0.0) <= 0.3 AS ok_repetition,
+           ((q.n_words >= 10 AND q.n_words <= 100000)
+             AND (avg_word_len >= 3 AND avg_word_len <= 12)
+             AND alpha_ratio >= 0.6
+             AND stopword_ratio >= 0.01
+             AND coalesce(dup_shingle_ratio, 0.0) <= 0.3) AS keep
+    FROM q LEFT JOIN r ON q.doc_id = r.doc_id
+    """,
+    tags=("ext", "text", "gopher"),
+)
+def ext_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop policy: word-count window, word-length
+    window, alpha floor, stopword floor, repetition ceiling — per-rule
+    booleans + the conjunction, one pass over the corpus."""
+    return tx.gopher_rules(_docs(spark, sf_dir))
 
 
 @query(

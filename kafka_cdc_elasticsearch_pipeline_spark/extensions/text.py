@@ -180,6 +180,66 @@ def vocab_top_shingles(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition detection (the Gopher/C4 duplicated-n-gram family):
+    how much of a document is repeated 3-grams / repeated words.
+    All-integer arithmetic — exact in any engine. High repetition is
+    the strongest single signal of boilerplate/spam in web corpora."""
+    w = words("text")
+    raw_sh = F.expr(
+        "transform(sequence(1, size(w2) - 2),"
+        " i -> concat_ws(' ', element_at(w2, i), element_at(w2, i+1), element_at(w2, i+2)))"
+    )
+    out = (
+        docs.select("doc_id", w.alias("w2"))
+        .filter(F.size("w2") >= 3)
+        .select(
+            "doc_id",
+            F.size("w2").alias("n_words"),
+            F.size(F.array_distinct("w2")).alias("n_distinct_words"),
+            F.size(raw_sh).alias("n_shingles"),
+            F.size(F.array_distinct(raw_sh)).alias("n_distinct_shingles"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_shingles",
+        F.round(
+            1 - F.col("n_distinct_shingles").cast("double") / F.col("n_shingles"), 6
+        ).alias("dup_shingle_ratio"),
+        F.round(
+            1 - F.col("n_distinct_words").cast("double") / F.col("n_words"), 6
+        ).alias("dup_word_ratio"),
+    )
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style keep/drop policy composed from the engine's quality
+    metrics: word-count window, mean word length window, alpha ratio,
+    stopword floor, repetition ceiling. Returns per-rule booleans plus
+    the conjunction — the filter stage a pre-training pipeline runs
+    over every document (single pass, no shuffle)."""
+    q = quality_score(docs)
+    r = repetition_stats(docs).select("doc_id", "dup_shingle_ratio")
+    j = q.join(r, "doc_id", "left")
+    rules = {
+        "ok_word_count": (F.col("n_words") >= 10) & (F.col("n_words") <= 100000),
+        "ok_word_len": (F.col("avg_word_len") >= 3) & (F.col("avg_word_len") <= 12),
+        "ok_alpha": F.col("alpha_ratio") >= 0.6,
+        "ok_stopwords": F.col("stopword_ratio") >= 0.01,
+        "ok_repetition": F.coalesce(F.col("dup_shingle_ratio"), F.lit(0.0)) <= 0.3,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return j.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized content (exact-dup key)
     + 16-bit polynomial rolling hash (cheap locality-insensitive id)."""

@@ -236,3 +236,30 @@ def test_resize_metadata_half_scale(spark, docs):
     out = {r.doc_id: r for r in mm.resize_metadata(decoded).collect()}
     for r in out.values():
         assert r.out_width == -(-r.width // 2) and r.out_height == -(-r.height // 2)
+
+
+def test_repetition_detects_duplicated_ngrams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "each word here is different from every other one"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in tx.repetition_stats(docs).collect()}
+    assert out[1].dup_shingle_ratio > 0.8  # "spam spam spam" repeated
+    assert out[2].dup_shingle_ratio == 0.0
+    assert out[2].dup_word_ratio == 0.0
+
+
+def test_gopher_rules_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the old house near the big green tree today"),
+            (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in tx.gopher_rules(docs).collect()}
+    assert out[1].keep  # normal English sentence passes all rules
+    assert not out[2].ok_repetition and not out[2].keep
