@@ -621,6 +621,56 @@ def t7_session_window_30m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a4_daily_median_by_club_status",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, e.ts) AS day,
+           c.c_mktsegment AS club_status,
+           round(median(e.value), 4) AS median_stars,
+           count(*) AS n
+    FROM events e
+    JOIN customer c ON CAST(e.user_id AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+    WHERE lower(e.event_type) NOT LIKE '%err%'
+    GROUP BY 1, 2
+    """,
+    tags=("A4",),
+)
+def a4_daily_median_by_club_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the Kibana 'median STARS by date_histogram × CLUB_STATUS
+    terms' panel (docker-compose.yml:347), panel-for-panel: enrich,
+    bucket by day, exact median per (day, status)."""
+    enr = _enriched(spark, sf_dir)
+    return (
+        enr.groupBy(
+            F.date_trunc("DAY", F.col("rating_ts")).cast("timestamp_ntz").alias("day"),
+            "club_status",
+        )
+        .agg(
+            F.round(F.median("stars"), 4).alias("median_stars"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "a4_count_by_full_name",
+    """
+    SELECT c.c_name || ' ' || c.c_mktsegment AS full_name, count(*) AS n
+    FROM events e
+    JOIN customer c ON CAST(e.user_id AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+    WHERE lower(e.event_type) NOT LIKE '%err%'
+    GROUP BY 1
+    """,
+    tags=("A4",),
+)
+def a4_count_by_full_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the Kibana 'count by FULL_NAME terms' panel
+    (docker-compose.yml:349)."""
+    return _enriched(spark, sf_dir).groupBy("full_name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
     "a4_channel_daily_histogram",
     """
     SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type AS channel,
