@@ -31,3 +31,16 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def sql(spark, sf_dir: str, statement: str):
+    """ksql-style entry point: register the harness tables as views and
+    run one SQL statement against them (SURVEY §3 EP1/EP2 twin).
+
+    >>> sql(spark, "/root/testdata/sf0.001",
+    ...     "SELECT count(*) FROM events WHERE lower(event_type) NOT LIKE '%err%'")
+    """
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(statement)

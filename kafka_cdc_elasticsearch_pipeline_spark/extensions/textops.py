@@ -144,11 +144,6 @@ def cosine(a: Column, b: Column) -> Column:
 # The DuckDB-side twins, as SQL fragment builders (kept next to the
 # Spark expressions so drift is visible in review).
 
-SQL_WORDS = "string_split_regex(lower({text}), '\\s+')"
-SQL_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, len({w}) - 2),"
-    " i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
-)
 SQL_POLY16 = (
     "list_reduce(list_prepend(0, list_transform("
     "list_filter(string_split({col}, ''), c -> c <> ''),"

@@ -63,3 +63,14 @@ def test_sql_and_api_compile_to_same_join_strategy(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_package_sql_helper(spark, sf_dir):
+    import kafka_cdc_elasticsearch_pipeline_spark as engine
+
+    n = engine.sql(
+        spark, sf_dir, "SELECT count(*) AS n FROM events WHERE user_id = 7"
+    ).first().n
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    assert n == load_table(spark, sf_dir, "events").filter("user_id = 7").count()
