@@ -12,9 +12,9 @@ equi-join):
                      equi-self-join on (band, key) → verify true
                      Jaccard on candidates only. Candidates are
                      O(collisions), never O(n²).
-- simhash          : 16-bit SimHash per doc + near-pair search blocked
-                     on half-signature bytes (a 1-bit-error pair always
-                     shares one half — Hamming ≤ r with r < 16/2).
+- simhash          : 60-bit SimHash per doc + near-pair search blocked
+                     on 15-bit signature quarters (pigeonhole: ≤3
+                     differing bits ⇒ one quarter exact ⇒ full recall).
 - ngram_jaccard    : EXACT similarity join via prefix filtering
                      (AllPairs): each doc indexes only its rarest-first
                      prefix, which provably covers every pair with
@@ -35,10 +35,10 @@ from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
     base_hashes,
     explode_expensive,
     minhash_signature,
-    poly_hash16,
     shingles,
-    simhash16,
+    simhash60,
     spread,
+    word_hashes60,
     words,
 )
 
@@ -61,6 +61,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+#: 60-bit shingle hash (15 hex chars of md5): the shingle identity used
+#: for candidate generation AND Jaccard verification — 8-byte shuffle
+#: keys instead of ~25-char strings, identical in DuckDB via
+#: ('0x' || substr(md5(s), 1, 15))::BIGINT. Sets are exact up to
+#: 60-bit collisions (P ≈ n²/2^61 — negligible at any corpus size that
+#: fits an engine).
+_SHINGLE_HASH60 = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     return (
         spread(docs)
@@ -70,18 +79,26 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _doc_shingle_hashsets(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — the 60-bit hashed shingle set."""
+    return _doc_shingles(docs).select(
+        "doc_id", F.expr(f"transform(sh, s -> {_SHINGLE_HASH60})").alias("hs")
+    )
+
+
 def _verify_jaccard(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Verify candidate pairs with exact Jaccard, recomputing shingles
-    ONLY for docs that appear in a candidate pair: the candidate-id set
-    is broadcast into the scan, so the verify stage's cost follows the
-    (small) candidate volume, not the corpus — the property that keeps
-    the whole sweep linear at 100 TB."""
+    """Verify candidate pairs with exact Jaccard over the hashed
+    shingle sets, recomputing them ONLY for docs that appear in a
+    candidate pair: the candidate-id set is broadcast into the scan, so
+    the verify stage's cost follows the (small) candidate volume, not
+    the corpus — the property that keeps the whole sweep linear at
+    100 TB."""
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    rsh = _doc_shingles(docs.join(F.broadcast(ids), "doc_id")).persist()
-    x = rsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = rsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    rsh = _doc_shingle_hashsets(docs.join(F.broadcast(ids), "doc_id")).persist()
+    x = rsh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    y = rsh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
@@ -180,13 +197,14 @@ def ngram_jaccard_pairs(
     what kills the quadratic hot-bucket blowup. Candidate generation
     stays an equi-self-join on the indexed token.
     """
-    sh = _doc_shingles(docs)
-    # One full-corpus shingle pass, persisted as narrow (doc_id, shingle)
-    # rows; the df-count and the prefix build both read it.
-    ex = explode_expensive(sh, "sh", "s").persist()
+    sh = _doc_shingle_hashsets(docs)
+    # One full-corpus shingle pass, persisted as narrow (doc_id, hash)
+    # rows — 8-byte keys, not shingle strings — the df-count and the
+    # prefix build both read it.
+    ex = explode_expensive(sh, "hs", "s").persist()
     dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-    # Global rarest-first order = (df, s); per-doc prefix of length
-    # |sh| - ceil(t*|sh|) + 1 under that order. Keep (pos, n) per
+    # Global rarest-first order = (df, hash); per-doc prefix of length
+    # |hs| - ceil(t*|hs|) + 1 under that order. Keep (pos, n) per
     # indexed token for the PPJoin positional filter below.
     pref = (
         ex.join(dfc, "s")
@@ -290,58 +308,64 @@ def connected_components(
 
 
 def simhash_table(docs: DataFrame) -> DataFrame:
-    """Per-document 16-bit SimHash over word polynomial hashes."""
+    """Per-document 60-bit SimHash over md5-derived word hashes.
+
+    60 bits (not 16): the scaling bench measured 16-bit signatures
+    concentrating so hard that Hamming ≤ 3 held for a QUADRATIC number
+    of pairs as the corpus grew — the signature space must dwarf the
+    corpus for near-pair output to track true near-duplicates."""
     return (
         spread(docs)
         .select("doc_id", words("text").alias("w"))
-        .select(
-            "doc_id",
-            F.expr(f"transform(filter(w, x -> x <> ''), x -> {poly_hash16('x')})").alias("hs"),
-        )
-        .select("doc_id", simhash16("hs").alias("simhash"))
+        .select("doc_id", word_hashes60("w").alias("hs"))
+        .select("doc_id", simhash60("hs").alias("simhash"))
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-pairs blocked on signature halves.
+SIMHASH_BANDS = 4  # 4 x 15-bit blocks
+_BAND_MASK = (1 << 15) - 1
 
-    Pigeonhole: Hamming distance ≤ 3 < 2 halves × 2 ⇒ at least one
-    8-bit half is error-free and identical, so blocking on both halves
-    has full recall for the radius while keeping candidate generation
-    an equi-join (at 100 TB, permute-and-block with 4 quarters for
-    radius ≤ 3 guarantees; halves give radius ≤ 1 guarantees per
-    block pair — we take the union of both half-blocks).
-    """
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-pairs (Hamming ≤ 3) blocked on 15-bit signature
+    quarters: with 4 blocks and ≤ 3 differing bits, at least one block
+    is error-free on any qualifying pair (pigeonhole ⇒ FULL recall for
+    the radius), and candidate generation stays an equi-join on
+    (block index, 15-bit value)."""
     t = simhash_table(docs)
-    # Persisted: 4 small ints per doc; the two half-block self-joins
-    # (4 plan occurrences) read this instead of re-hashing the corpus.
-    withhalves = t.select(
-        "doc_id",
-        "simhash",
-        (F.col("simhash") % 256).alias("lo"),
-        F.expr("shiftright(simhash, 8)").alias("hi"),
-    ).persist()
-    pairs = None
-    for half in ("lo", "hi"):
-        a = withhalves.alias("a")
-        b = withhalves.alias("b")
-        p = a.join(
+    # Persisted: (doc_id, simhash, band_idx, band_val) — 4 rows of
+    # 4 longs per doc; both self-join sides read this.
+    banded = explode_expensive(
+        t.select(
+            "doc_id",
+            "simhash",
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}),"
+                f" b -> struct(b AS band_idx,"
+                f" shiftright(simhash, 15 * b) & {_BAND_MASK} AS band_val))"
+            ).alias("bands"),
+        ),
+        "bands",
+        "bv",
+    ).select("doc_id", "simhash", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val")).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
             b,
-            (F.col(f"a.{half}") == F.col(f"b.{half}"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        .distinct()
+    )
     return (
-        pairs.distinct()
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(cast(sim_a as int) ^ cast(sim_b as int))"),
-        )
+        pairs.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -35,9 +35,16 @@ _SQL_DOCS_SHINGLES = """
   WHERE len(w) >= 3
 """
 _SQL_JACCARD = (
-    "len(list_intersect(x.sh, y.sh))::DOUBLE"
-    " / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))"
+    "len(list_intersect(x.hs, y.hs))::DOUBLE"
+    " / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
 )
+
+# 60-bit hashed shingle sets (mirrors dedup._SHINGLE_HASH60): Jaccard
+# runs on 8-byte values in both engines; exact up to 2^-61 collisions.
+_SQL_DOCS_HASHSETS = f"""
+  SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM ({_SQL_DOCS_SHINGLES})
+"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,9 +102,10 @@ _SQL_MINHASH_CTES = f"""
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     ),
+    hsets AS ({_SQL_DOCS_HASHSETS}),
     pairs AS (
       SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
-      FROM cand c JOIN docs x ON x.doc_id = c.doc_a JOIN docs y ON y.doc_id = c.doc_b
+      FROM cand c JOIN hsets x ON x.doc_id = c.doc_a JOIN hsets y ON y.doc_id = c.doc_b
       WHERE {_SQL_JACCARD} >= 0.4
     )
 """
@@ -119,9 +127,9 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dedup_ngram_jaccard",
     f"""
-    WITH docs AS ({_SQL_DOCS_SHINGLES})
+    WITH hsets AS ({_SQL_DOCS_HASHSETS})
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, {_SQL_JACCARD} AS jaccard
-    FROM docs x JOIN docs y ON x.doc_id < y.doc_id
+    FROM hsets x JOIN hsets y ON x.doc_id < y.doc_id
     WHERE {_SQL_JACCARD} >= 0.4
     """,
     tags=("ext", "dedup", "jaccard"),
@@ -135,16 +143,16 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_WORD_HASHES = (
     "list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),"
-    f" x -> {SQL_POLY16.format(col='x')})"
+    " x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
 )
 
 _SQL_SIMHASH = f"""
   SELECT doc_id,
-         list_reduce(list_prepend(0, list_transform(generate_series(0, 15), b ->
+         list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 59), b ->
            CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
                   h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
                   (a, x) -> a + x) > 0
-                THEN (1 << b) ELSE 0 END)), (a, x) -> a + x) AS simhash
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (a, x) -> a + x) AS simhash
   FROM (SELECT doc_id, {_SQL_WORD_HASHES} AS hs FROM documents)
 """
 
@@ -155,8 +163,8 @@ _SQL_SIMHASH = f"""
     tags=("ext", "dedup", "simhash"),
 )
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash (per-bit majority over portable
-    polynomial word hashes) — identical bits in both engines."""
+    """Per-document 60-bit SimHash (per-bit majority over md5-derived
+    word hashes) — identical bits in both engines."""
     return dd.simhash_table(_docs(spark, sf_dir))
 
 
@@ -164,24 +172,27 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_dedup_simhash_pairs",
     f"""
     WITH t AS ({_SQL_SIMHASH}),
-    h AS (SELECT doc_id, simhash, simhash % 256 AS lo, simhash >> 8 AS hi FROM t),
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx, (simhash >> (15 * b)) & 32767 AS band_val
+      FROM t, generate_series(0, 3) AS g(b)
+    ),
     cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
-      FROM h a JOIN h b ON a.lo = b.lo AND a.doc_id < b.doc_id
-      UNION
-      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-      FROM h a JOIN h b ON a.hi = b.hi AND a.doc_id < b.doc_id
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, bit_count(xor(sim_a::BIGINT, sim_b::BIGINT))::INT AS hamming
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
     FROM cand
-    WHERE bit_count(xor(sim_a::BIGINT, sim_b::BIGINT)) <= 3
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """,
     tags=("ext", "dedup", "simhash"),
     bench=True,
 )
 def ext_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs (Hamming ≤ 3) blocked on signature halves —
-    pigeonhole blocking keeps candidate generation an equi-join."""
+    """SimHash near-pairs (Hamming ≤ 3) blocked on 15-bit signature
+    quarters — pigeonhole gives full recall for the radius and keeps
+    candidate generation an equi-join."""
     return dd.simhash_pairs(_docs(spark, sf_dir))
 
 

@@ -119,14 +119,28 @@ def poly_hash16(col_expr: str) -> str:
     )
 
 
-def simhash16(hashes_col: str = "hs") -> Column:
-    """16-bit SimHash over an array of word hashes: per-bit majority
+SIMHASH_BITS = 60  # fits BIGINT with headroom in both engines
+
+
+def word_hashes60(words_col: str = "w") -> Column:
+    """array<bigint> of 60-bit word hashes (15 hex chars of md5) —
+    portable and collision-sparse; 16-bit polynomial hashes were
+    measured to concentrate SimHash values so badly that near-pair
+    output grew quadratically with corpus size."""
+    return F.expr(
+        f"transform(filter({words_col}, x -> x <> ''),"
+        " x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
+    )
+
+
+def simhash60(hashes_col: str = "hs") -> Column:
+    """60-bit SimHash over an array of word hashes: per-bit majority
     vote of ±1 contributions, then reassemble the sign bits."""
     return F.expr(
-        f"""aggregate(sequence(0, 15), 0, (acc, b) -> acc +
+        f"""aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, b) -> acc +
              IF(aggregate({hashes_col}, 0,
                   (s, h) -> s + IF(shiftright(h, b) % 2 = 1, 1, -1)) > 0,
-                shiftleft(1, b), 0))"""
+                shiftleft(1L, b), 0L))"""
     )
 
 

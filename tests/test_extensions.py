@@ -52,7 +52,7 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
 def test_simhash_identical_docs_hamming_zero(spark, docs):
     sh = {r.doc_id: r.simhash for r in dd.simhash_table(docs).collect()}
     assert sh[1] == sh[2]
-    assert all(0 <= v < 65536 for v in sh.values())
+    assert all(0 <= v < (1 << 60) for v in sh.values())
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_pairs(docs).collect()}
     assert pairs[(1, 2)] == 0
 
