@@ -95,3 +95,32 @@ def test_latest_per_key_is_single_aggregate(plans):
     p = plans("s2_a3_table_latest_per_key")
     assert "max_by" in p or "HashAggregate" in p
     assert "Window" not in p
+
+
+def test_asof_join_single_shuffle_no_range_explode(plans):
+    """As-of join must be union + window (one hash exchange on the
+    key), never a range-condition nested-loop join."""
+    p = plans("j_asof_last_purchase_before_view")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p  # running last() formulation
+
+
+def test_band_join_is_broadcast_nlj(plans):
+    """Range containment vs a 3-row band table: broadcast nested loop
+    is the CORRECT strategy (build side is tiny); a cartesian isn't."""
+    p = plans("j_range_band_join_value_tiers")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_simhash_pairs_equi_join_only(plans):
+    p = plans("ext_dedup_simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rollup_single_expand_single_aggregate_pass(plans):
+    """Grouping sets = one Expand + aggregation, not three queries."""
+    p = plans("a_rollup_channel_user")
+    assert "Expand" in p
