@@ -253,6 +253,51 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(docs, cand, threshold)
 
 
+DECONTAM_NGRAM = 8  # industry practice is 8-13 word overlap
+
+
+def decontamination_flags(
+    docs: DataFrame,
+    split: DataFrame,
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Benchmark decontamination: flag TRAIN documents sharing any
+    ``n``-word n-gram with a HOLDOUT/eval document (the standard
+    contamination test run before training on scraped corpora).
+
+    ``split`` is (doc_id, split) with values 'train'/'holdout'. Plan:
+    one n-gram-hash pass over the corpus, explode, equi-join train
+    hashes against (broadcastable, small) eval hashes, distinct flags —
+    candidate volume follows true overlap, never |train|×|eval|.
+    Returns (train_doc_id, eval_doc_id) overlap pairs.
+    """
+    tagged = docs.join(split.select("doc_id", "split"), "doc_id")
+    gram_text = "concat_ws(' ', " + ", ".join(
+        f"element_at(w, i + {j})" for j in range(n)
+    ) + ")"
+    gram_hash = f"cast(conv(substr(md5({gram_text}), 1, 15), 16, 10) as bigint)"
+    grams = (
+        spread(tagged)
+        .select("doc_id", "split", words("text").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            "split",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(w) - {n - 1}), i -> {gram_hash}))"
+            ).alias("gh"),
+        )
+    )
+    ex = explode_expensive(grams, "gh", "g")
+    train = ex.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    ev = ex.filter(F.col("split") == "holdout").select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    return train.join(ev, "g").select("train_doc_id", "eval_doc_id").distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -248,6 +248,42 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs, docs)
 
 
+_SQL_GRAM8 = " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+
+
+@query(
+    "ext_dedup_decontamination",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT d.doc_id, s.split,
+             unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+               i -> ('0x' || substr(md5({_SQL_GRAM8}), 1, 15))::BIGINT))) AS gh
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents) d
+      JOIN s ON s.doc_id = d.doc_id
+      WHERE len(w) >= 8
+    )
+    SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+    FROM g t JOIN g e ON t.gh = e.gh
+    WHERE t.split = 'train' AND e.split = 'holdout'
+    """,
+    tags=("ext", "dedup", "decontamination"),
+)
+def ext_dedup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any 8-word n-gram
+    with a holdout/eval doc (the pre-training contamination sweep),
+    using the engine's content-stable train/holdout split."""
+    docs = _docs(spark, sf_dir)
+    split = tx.train_holdout_split(docs)
+    return dd.decontamination_flags(docs, split)
+
+
 # --- similarity search -------------------------------------------------------
 
 _SQL_COS = (

@@ -263,3 +263,19 @@ def test_gopher_rules_flags(spark):
     out = {r.doc_id: r for r in tx.gopher_rules(docs).collect()}
     assert out[1].keep  # normal English sentence passes all rules
     assert not out[2].ok_repetition and not out[2].keep
+
+
+def test_decontamination_finds_planted_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "xx alpha beta gamma delta epsilon zeta eta theta yy"),  # shares 8-gram with 1
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    split = spark.createDataFrame(
+        [(1, "holdout"), (2, "train"), (3, "train")], "doc_id bigint, split string"
+    )
+    got = {(r.train_doc_id, r.eval_doc_id) for r in dd.decontamination_flags(docs, split).collect()}
+    assert got == {(2, 1)}  # doc 3 shares nothing with the eval doc
