@@ -693,6 +693,61 @@ def a4_channel_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_stats_per_channel",
+    """
+    SELECT channel, n,
+           round(s1 / n, 6) AS mean_value,
+           round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_value,
+           round((n * sxy - s1 * sy) / sqrt((n * s2 - s1 * s1) * (n * sy2 - sy * sy)), 6) AS corr_vk
+    FROM (
+      SELECT event_type AS channel,
+             count(*)::DOUBLE AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))
+                      * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    """,
+    tags=("A", "stats"),
+)
+def a_stats_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment statistics with cross-engine
+    determinism: every AGGREGATE is an exact DECIMAL sum (map-side
+    combinable, order-independent), converted to double ONCE; variance
+    / stddev / correlation are then fixed scalar expression trees over
+    those doubles — bit-identical in any engine, unlike the built-in
+    float accumulators whose result depends on reduction order."""
+    ev = _events(spark, sf_dir)
+    x = _dec2("value")
+    y = F.get_json_object("props", "$.k").cast("decimal(18,2)")
+    agg = ev.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("sy2"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    return agg.select(
+        "channel",
+        "n",
+        F.round(s1 / n, 6).alias("mean_value"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_value"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_value"),
+        F.round(
+            (n * sxy - s1 * sy) / F.sqrt((n * s2 - s1 * s1) * (n * sy2 - sy * sy)), 6
+        ).alias("corr_vk"),
+    )
+
+
+@query(
     "a_quantiles_per_channel",
     """
     SELECT event_type AS channel,

@@ -188,3 +188,32 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for ch, n in exact.items():
         assert abs(approx[ch] - n) <= max(2, 0.05 * n)  # ~1% rsd, generous bound
+
+
+def test_exact_decimal_stats_match_builtins(spark, sf_dir):
+    """The decimal-sum formulation must agree with Spark's built-in
+    var_samp/stddev/corr to float tolerance (the built-ins are the
+    semantic reference; ours adds cross-engine determinism)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    got = {
+        r.channel: r
+        for r in QUERIES["a_stats_per_channel"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.channel: r
+        for r in ev.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.var_samp("value").alias("v"),
+            F.stddev_samp("value").alias("s"),
+            F.corr("value", F.get_json_object("props", "$.k").cast("double")).alias("c"),
+        )
+        .collect()
+    }
+    for ch, g in got.items():
+        w = want[ch]
+        assert abs(g.var_value - w.v) < 1e-4
+        assert abs(g.stddev_value - w.s) < 1e-6
+        assert abs(g.corr_vk - w.c) < 1e-6
