@@ -488,6 +488,25 @@ def a_approx_distinct_users_per_channel(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "a_cube_channel_user_bucket",
+    """
+    SELECT event_type AS channel, user_id % 4 AS user_bucket, count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 4)
+    """,
+    tags=("A", "cube"),
+)
+def a_cube_channel_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping combinations (channel×bucket, channel,
+    bucket, grand total) in one Expand + aggregation pass."""
+    ev = _events(spark, sf_dir)
+    return ev.cube(
+        F.col("event_type").alias("channel"),
+        (F.col("user_id") % 4).alias("user_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "wf_running_total_per_user",
     """
     SELECT event_id, user_id, ts,
