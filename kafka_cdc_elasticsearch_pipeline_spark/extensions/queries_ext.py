@@ -339,29 +339,37 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(embs, queries)
 
 
-_SQL_CENTROIDS = """
-    SELECT label, list(c ORDER BY pos) AS centroid
-    FROM (
+_SQL_CENTROIDS_LONG = """
       SELECT label, pos,
              round(list_reduce(list_prepend(0.0, list(embedding[pos]::DOUBLE ORDER BY vec_id)),
                    (a, b) -> a + b) / count(*), 6) AS c
       FROM embeddings, generate_series(1, 64) AS t(pos)
       GROUP BY label, pos
-    )
+"""
+
+_SQL_CENTROIDS = f"""
+    SELECT label, list(c ORDER BY pos) AS centroid
+    FROM ({_SQL_CENTROIDS_LONG})
     GROUP BY label
 """
 
 
 @query(
     "ext_sim_ivf_centroids",
-    _SQL_CENTROIDS,
+    _SQL_CENTROIDS_LONG,
     tags=("ext", "similarity", "ivf"),
 )
 def ext_sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF coarse quantizer: per-label centroids via positional
     aggregation. Float sums are folded in vec_id order on BOTH engines,
-    so even the reduction order is reproducible."""
-    return sim.centroids(_embs(spark, sf_dir))
+    so even the reduction order is reproducible. Gate output is the
+    LONG form (label, pos, c) — one scalar double per row — because the
+    driver canonicalizer cannot sort raw array columns (round-1
+    lesson); downstream IVF queries consume the assembled array."""
+    cents = sim.centroids(_embs(spark, sf_dir))
+    return cents.select(
+        "label", F.posexplode("centroid").alias("pos0", "c")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "c")
 
 
 _SQL_COS_CENT = (
@@ -692,11 +700,11 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_multimodal_features",
     """
     SELECT doc_id,
-           list_transform(generate_series(0, 15), b ->
+           array_to_string(list_transform(generate_series(0, 15), b ->
              len(list_filter(
                list_transform(list_filter(string_split(text, ''), c -> c <> ''),
                               c -> ord(c) // 16),
-               x -> x = b))::INT) AS hist
+               x -> x = b))::INT), ',') AS hist
     FROM documents
     """,
     tags=("ext", "multimodal", "features"),
@@ -704,8 +712,11 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction over the binary payload via
     Arrow-batched mapInPandas + numpy (real computation — the oracle
-    recomputes the same histogram from the ASCII text)."""
-    return mm.extract_features(mm.attach_payload(_docs(spark, sf_dir)))
+    recomputes the same histogram from the ASCII text). Histogram is
+    emitted comma-joined: the driver canonicalizer cannot sort raw
+    array columns (round-1 lesson)."""
+    feats = mm.extract_features(mm.attach_payload(_docs(spark, sf_dir)))
+    return feats.withColumn("hist", F.array_join(F.col("hist").cast("array<string>"), ","))
 
 
 @query(

@@ -283,11 +283,17 @@ def s3_changelog_stream_all_events(spark: SparkSession, sf_dir: str) -> DataFram
 
 # --- §2.4 aggregations --------------------------------------------------------
 
+# The collected array is emitted as a sorted comma-joined STRING, not a
+# raw array<int>: the driver's pandas canonicalizer sort_values() on an
+# object column of Python lists crashes with "unhashable type: 'list'"
+# (observed in CORRECTNESS_r01). The compute is identical — same
+# collect_list + sort — only the wire format changes, mirrored exactly
+# by array_to_string in the DuckDB oracle.
 _TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL 15 MINUTES, e.ts) AS window_start,
        e.user_id AS user_id,
        count(*) AS ratings_count,
-       list_sort(list(CAST(floor(e.value) AS INTEGER))) AS ratings
+       array_to_string(list_sort(list(CAST(floor(e.value) AS INTEGER))), ',') AS ratings
 FROM events e
 WHERE lower(e.event_type) NOT LIKE '%err%'
 GROUP BY 1, 2
@@ -298,10 +304,11 @@ GROUP BY 1, 2
 def a1_a2_tumbling_15min_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/T3/T4 — RATINGS_PER_CUSTOMER_PER_15MINUTE
     (ksqldb-statements.sql:88-93): tumbling 15-minute window, COUNT(*),
-    COLLECT_LIST(stars) (sorted for multiset comparison), WINDOWSTART
-    exposed. Epoch-aligned exactly like Kafka Streams windows."""
+    COLLECT_LIST(stars) (sorted for multiset comparison, string-joined
+    for the driver canonicalizer), WINDOWSTART exposed. Epoch-aligned
+    exactly like Kafka Streams windows."""
     live = _live(spark, sf_dir)
-    return tumbling_agg(
+    out = tumbling_agg(
         live,
         "ts",
         "15 minutes",
@@ -311,6 +318,7 @@ def a1_a2_tumbling_15min_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             collect_sorted(F.floor(F.col("value")).cast("int"), "ratings"),
         ],
     )
+    return out.withColumn("ratings", F.array_join(F.col("ratings").cast("array<string>"), ","))
 
 
 @query(
@@ -484,6 +492,38 @@ def a_approx_distinct_users_per_channel(spark: SparkSession, sf_dir: str) -> Dat
         _events(spark, sf_dir)
         .groupBy(F.col("event_type").alias("channel"))
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
+    )
+
+
+@query(
+    "a_approx_distinct_error_bound",
+    """
+    SELECT event_type AS channel,
+           count(DISTINCT user_id) AS n_users_exact,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("A", "distinct", "sketch"),
+)
+def a_approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable contract for the HLL sketch: the estimate itself is
+    engine-specific (no cross-engine oracle possible), but the *error
+    bound* is assertable inside the gate — emit the exact distinct plus
+    a boolean that the HLL++ estimate (rsd=0.01) landed within 5×rsd of
+    it. The oracle expects `true` on every row, so a drifting sketch
+    turns this row red instead of hiding behind a rows-only check."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy(F.col("event_type").alias("channel")).agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+    )
+    return per.select(
+        "channel",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 
@@ -916,7 +956,7 @@ def a_unpivot_quantile_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            len(vs) AS n_vals,
-           vs[1:3] AS first3,
+           array_to_string(vs[1:3], ',') AS first3,
            list_contains(vs, 100) AS has_100,
            len(list_distinct(vs)) AS n_distinct,
            list_reduce(list_prepend(0, vs), (a, x) -> a + x) AS total_units
@@ -931,7 +971,9 @@ def f_array_functions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function family over collected per-user values (the
     reference's one ARRAY column comes from COLLECT_LIST — this is the
     full toolbox on top): size, slice, contains, distinct, fold — all
-    higher-order Catalyst expressions on the sorted array."""
+    higher-order Catalyst expressions on the sorted array. The slice is
+    emitted string-joined: the driver canonicalizer cannot sort raw
+    array columns (round-1 red row)."""
     ev = _events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.floor("value").cast("int"))).alias("vs")
@@ -939,7 +981,7 @@ def f_array_functions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id",
         F.size("vs").alias("n_vals"),
-        F.slice("vs", 1, 3).alias("first3"),
+        F.array_join(F.slice("vs", 1, 3).cast("array<string>"), ",").alias("first3"),
         F.array_contains("vs", 100).alias("has_100"),
         F.size(F.array_distinct("vs")).alias("n_distinct"),
         F.expr("aggregate(vs, 0, (a, x) -> a + x)").alias("total_units"),

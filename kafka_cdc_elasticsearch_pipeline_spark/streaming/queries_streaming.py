@@ -108,7 +108,9 @@ def t5_streaming_table_latest_per_key(spark: SparkSession, sf_dir: str) -> DataF
       FROM events GROUP BY user_id
     ),
     last AS (
-      SELECT user_id, ts AS last_ts, round(value, 2) AS last_value
+      SELECT user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             round(value, 2)::DECIMAL(18,2)::VARCHAR AS last_value
       FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         FROM events

@@ -111,7 +111,7 @@ def test_stateful_user_profile_converges_to_batch(spark, sf_dir):
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.floor("value").cast("long")).alias("total_units"),
-                F.max("ts").alias("last_ts"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
             )
             .collect()
         }
