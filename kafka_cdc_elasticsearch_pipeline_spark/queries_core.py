@@ -755,18 +755,32 @@ def a4_channel_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_stats_per_channel",
     """
     SELECT channel, n,
-           round(s1 / n, 6) AS mean_value,
-           round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value,
-           round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_value,
-           round((n * sxy - s1 * sy) / sqrt((n * s2 - s1 * s1) * (n * sy2 - sy * sy)), 6) AS corr_vk
+           round(s1 / nullif(nx, 0), 6) AS mean_value,
+           round((s2 - s1 * s1 / nullif(nx, 0)) / nullif(nx - 1, 0), 6) AS var_value,
+           round(sqrt((s2 - s1 * s1 / nullif(nx, 0)) / nullif(nx - 1, 0)), 6) AS stddev_value,
+           round((np * sxy - sxp * syp)
+                 / nullif(sqrt((np * sx2 - sxp * sxp) * (np * sy2 - syp * syp)), 0), 6)
+             AS corr_vk
     FROM (
       SELECT event_type AS channel,
              count(*)::DOUBLE AS n,
+             count(value)::DOUBLE AS nx,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
              CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
-             CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))
-                      * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+             count(CASE WHEN value IS NOT NULL
+                         AND json_extract_string(props, '$.k') IS NOT NULL THEN 1 END)::DOUBLE AS np,
+             CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sxp,
+             CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                           THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS sx2,
+             CAST(sum(CASE WHEN value IS NOT NULL
+                           THEN CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS syp,
+             CAST(sum(CASE WHEN value IS NOT NULL
+                           THEN CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))
+                                * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS sy2,
              CAST(sum(CAST(value AS DECIMAL(18,2))
                       * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2))) AS DOUBLE) AS sxy
       FROM events GROUP BY event_type
@@ -780,29 +794,28 @@ def a_stats_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable, order-independent), converted to double ONCE; variance
     / stddev / correlation are then fixed scalar expression trees over
     those doubles — bit-identical in any engine, unlike the built-in
-    float accumulators whose result depends on reduction order."""
-    ev = _events(spark, sf_dir)
-    x = _dec2("value")
-    y = F.get_json_object("props", "$.k").cast("decimal(18,2)")
-    agg = ev.groupBy(F.col("event_type").alias("channel")).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("s1"),
-        F.sum(x * x).cast("double").alias("s2"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(y * y).cast("double").alias("sy2"),
-        F.sum(x * y).cast("double").alias("sxy"),
+    float accumulators whose result depends on reduction order.
+
+    NULL semantics (matches var_samp/stddev_samp/corr built-ins):
+    mean/var/stddev use the null-aware count(value); corr uses
+    pairwise-complete sums — every sum in the corr formula is taken
+    over rows where BOTH value and props.$.k are non-null (a product
+    sum like sum(x*y) is pairwise by construction). 0- and 1-row
+    groups yield NULL via nullif, never Inf/NaN (Spark and DuckDB
+    disagree on double division by zero — a latent oracle mismatch
+    flagged in round-1 advice). Implementation:
+    operators/stats.second_moment_stats (unit-tested on planted NULL /
+    single-row groups against the Spark built-ins)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.stats import (
+        second_moment_stats,
     )
-    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
-    return agg.select(
-        "channel",
-        "n",
-        F.round(s1 / n, 6).alias("mean_value"),
-        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_value"),
-        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_value"),
-        F.round(
-            (n * sxy - s1 * sy) / F.sqrt((n * s2 - s1 * s1) * (n * sy2 - sy * sy)), 6
-        ).alias("corr_vk"),
+
+    ev = _events(spark, sf_dir)
+    return second_moment_stats(
+        ev,
+        F.col("event_type").alias("channel"),
+        _dec2("value"),
+        F.get_json_object("props", "$.k").cast("decimal(18,2)"),
     )
 
 

@@ -119,12 +119,19 @@ def es_sink_foreach_batch(
         if errors_tolerance == "all":
             # T8 — warn + dead-letter, never fail the query
             if dead_letter_path is not None:
+                # Exactly ONE action on the side-effecting RDD: the bulk
+                # POSTs run inside this write job. An isEmpty() pre-check
+                # would be a second job that re-runs every partition and
+                # re-sends already-indexed docs — duplicate documents
+                # under id_col=None (the reference's key.ignore=true
+                # sink #2). An all-success batch writes an empty parquet
+                # append (a _SUCCESS marker), which is the cheap side of
+                # that trade.
                 spark = batch_df.sparkSession
                 failed = failed_rdd.map(json.dumps)
-                if not failed.isEmpty():
-                    spark.createDataFrame(failed, "string").toDF("doc").write.mode(
-                        "append"
-                    ).parquet(dead_letter_path)
+                spark.createDataFrame(failed, "string").toDF("doc").write.mode(
+                    "append"
+                ).parquet(dead_letter_path)
             else:
                 failed_rdd.count()  # drain; connector logs-and-drops
         else:

@@ -24,12 +24,37 @@ def make_capturing_transport(capture_dir: str):
     def transport(url: str, body: str) -> tuple[int, str]:
         import json as _json
         import os as _os
+        import uuid as _uuid
 
-        with open(_os.path.join(capture_dir, f"req_{abs(hash(body))}.ndjson"), "w") as f:
+        # uuid per request: repeated sends of an identical body must
+        # produce distinct files, so double-send regressions are
+        # countable (hash(body) naming hid them — and hash() is
+        # per-process randomized anyway).
+        with open(_os.path.join(capture_dir, f"req_{_uuid.uuid4().hex}.ndjson"), "w") as f:
             f.write(body)
         n = sum(1 for _ in body.strip().splitlines()) // 2
         items = [{"index": {"status": 201}} for _ in range(n)]
         return 200, _json.dumps({"errors": False, "items": items})
+
+    return transport
+
+
+def make_capturing_failing_transport(capture_dir: str):
+    """Capture every bulk request AND reject odd-id docs — for
+    asserting the DLQ path performs the sends exactly once."""
+
+    def transport(url: str, body: str) -> tuple[int, str]:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(capture_dir, f"req_{_uuid.uuid4().hex}.ndjson"), "w") as f:
+            f.write(body)
+        docs = [_json.loads(line) for line in body.strip().splitlines()][1::2]
+        items = [
+            {"index": {"status": 400 if doc.get("id", 0) % 2 else 201}} for doc in docs
+        ]
+        return 200, _json.dumps({"errors": True, "items": items})
 
     return transport
 
@@ -103,6 +128,47 @@ def test_errors_tolerance_all_routes_to_dlq(spark):
     dead = spark.read.parquet(dlq).collect()
     assert len(dead) == 3  # odd ids rejected
     assert all(json.loads(r.doc)["id"] % 2 == 1 for r in dead)
+
+
+def test_dlq_path_sends_each_doc_exactly_once(spark):
+    """Regression: the DLQ branch used to run isEmpty() before the DLQ
+    write — TWO jobs over the side-effecting RDD, so every partition's
+    bulk POSTs re-ran and already-indexed docs were re-sent (duplicate
+    ES documents under key.ignore=true). Count actual sends."""
+    capture = tempfile.mkdtemp(prefix="es_once_")
+    df = spark.createDataFrame([Row(id=i, v="x") for i in range(8)]).coalesce(2)
+    sink = es_sink_foreach_batch(
+        "http://fake:9200",
+        "ratings",
+        id_col=None,  # the reference's sink #2: auto ids, dup-prone
+        errors_tolerance="all",
+        dead_letter_path=tempfile.mkdtemp(prefix="dlq_once_") + "/out",
+        transport=make_capturing_failing_transport(capture),
+    )
+    sink(df, 0)
+    sent_ids = []
+    for fn in os.listdir(capture):
+        with open(os.path.join(capture, fn)) as f:
+            docs = [json.loads(line) for line in f.read().strip().splitlines()][1::2]
+        sent_ids.extend(d["id"] for d in docs)
+    assert sorted(sent_ids) == list(range(8)), f"docs sent more than once: {sorted(sent_ids)}"
+
+
+def test_dlq_empty_batch_writes_no_rows(spark):
+    """All-success batch: single write job, DLQ stays row-free."""
+    capture = tempfile.mkdtemp(prefix="es_ok_")
+    dlq = tempfile.mkdtemp(prefix="dlq_ok_") + "/out"
+    df = spark.createDataFrame([Row(id=i, v="x") for i in range(4)])
+    sink = es_sink_foreach_batch(
+        "http://fake:9200",
+        "ratings",
+        id_col=None,
+        errors_tolerance="all",
+        dead_letter_path=dlq,
+        transport=make_capturing_transport(capture),
+    )
+    sink(df, 0)
+    assert spark.read.parquet(dlq).count() == 0
 
 
 def test_put_index_template_payload():

@@ -217,3 +217,66 @@ def test_exact_decimal_stats_match_builtins(spark, sf_dir):
         assert abs(g.var_value - w.v) < 1e-4
         assert abs(g.stddev_value - w.s) < 1e-6
         assert abs(g.corr_vk - w.c) < 1e-6
+
+
+def test_second_moment_stats_null_and_degenerate_groups(spark):
+    """NULL-aware counts + pairwise-complete corr + NULL (not Inf/NaN)
+    on 0/1-row groups — the round-1 advice finding. Planted frame:
+    group 'a' has NULLs in both columns, 'b' is a single row, 'c' has
+    zero variance in y."""
+    import math
+
+    from pyspark.sql import Row
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.stats import (
+        second_moment_stats,
+    )
+
+    rows = [
+        Row(g="a", x=1.0, y=2.0),
+        Row(g="a", x=3.0, y=None),
+        Row(g="a", x=None, y=4.0),
+        Row(g="a", x=5.0, y=6.0),
+        Row(g="a", x=7.0, y=8.0),
+        Row(g="b", x=9.0, y=1.0),
+        Row(g="c", x=1.0, y=5.0),
+        Row(g="c", x=2.0, y=5.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.g: r
+        for r in second_moment_stats(
+            df,
+            F.col("g"),
+            F.col("x").cast("decimal(18,2)"),
+            F.col("y").cast("decimal(18,2)"),
+        ).collect()
+    }
+    # Built-in comparison only on the well-formed group: under ANSI
+    # mode Spark's own corr() THROWS DIVIDE_BY_ZERO on the degenerate
+    # groups (1 row / zero variance) — exactly the failure class the
+    # nullif guards exist to avoid.
+    want = (
+        df.filter(F.col("g") == "a")
+        .groupBy("g")
+        .agg(
+            F.avg("x").alias("m"),
+            F.var_samp("x").alias("v"),
+            F.stddev_samp("x").alias("s"),
+            F.corr("x", "y").alias("c"),
+        )
+        .collect()[0]
+    )
+    a = out["a"]
+    assert abs(a.mean_value - want.m) < 1e-9
+    assert abs(a.var_value - want.v) < 1e-6 and abs(a.stddev_value - want.s) < 1e-6
+    assert abs(a.corr_vk - want.c) < 1e-6
+    assert not math.isnan(a.corr_vk)
+    # n is the raw row count; mean skipped the NULL x in group 'a'
+    assert a.n == 5.0 and abs(a.mean_value - 4.0) < 1e-9
+    # degenerate groups: NULL everywhere a division/√ would blow up
+    b, c = out["b"], out["c"]
+    assert b.var_value is None and b.stddev_value is None and b.corr_vk is None
+    assert abs(b.mean_value - 9.0) < 1e-9
+    assert c.var_value is not None  # two x values → variance exists
+    assert c.corr_vk is None  # but y has zero variance → NULL corr
