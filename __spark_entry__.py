@@ -52,6 +52,7 @@ _GATE_FIRST = [
     "stateful_user_profile_apply_in_pandas",  # hash_match false in r01 — fixed
     "a_approx_distinct_users_per_channel",  # no_oracle in r01 — now has contract twin
     "a_approx_distinct_error_bound",       # new: HLL-vs-exact contract w/ oracle
+    "s1_s4_avro_binary_roundtrip",         # new: S1/S4 Avro decode exercised
 ]
 
 

@@ -124,6 +124,51 @@ def s1_p1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
 
 
+_AVRO_EVENTS_SCHEMA = """
+{"type": "record", "name": "rating", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "user_id", "type": "long"},
+  {"name": "event_type", "type": ["null", "string"]},
+  {"name": "units", "type": "long"},
+  {"name": "value", "type": "double"}
+]}
+"""
+
+
+@query(
+    "s1_s4_avro_binary_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value) AS BIGINT) AS units,
+           round(value, 2) AS value
+    FROM events
+    """,
+    tags=("S1", "S4", "avro"),
+)
+def s1_s4_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 — the reference's topics are Avro (VALUE_FORMAT='AVRO',
+    ksqldb-statements.sql:36-37,42-43). Real binary decode, gated:
+    every event row is Avro-binary ENCODED (with the Schema Registry's
+    Confluent wire frame, docker-compose.yml:59-72) and then DECODED by
+    the engine's registry-less codec; the oracle checks the decoded
+    rows equal the source rows — any varint/zigzag/union/IEEE byte
+    error breaks the hash."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import (
+        avro_decode,
+        avro_encode,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor("value").cast("long").alias("units"),
+        F.round("value", 2).alias("value"),
+    )
+    encoded = avro_encode(ev, _AVRO_EVENTS_SCHEMA, schema_id=1)
+    return avro_decode(encoded, _AVRO_EVENTS_SCHEMA, confluent=True)
+
+
 @query(
     "s4_s10_s11_debezium_unwrap",
     """

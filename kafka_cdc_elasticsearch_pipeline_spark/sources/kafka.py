@@ -62,24 +62,40 @@ def avro_available(spark: SparkSession) -> bool:
         return False
 
 
-def decode_value(raw: DataFrame, schema: T.StructType | str) -> DataFrame:
+def decode_value(
+    raw: DataFrame, schema: T.StructType | str, confluent: bool = False
+) -> DataFrame:
     """Decode the Kafka ``value`` column into typed columns, keeping
     the message metadata the reference exposes (key, ROWTIME ≙ the
-    Kafka timestamp — readme.md:272,325)."""
+    Kafka timestamp — readme.md:272,325).
+
+    Avro path (schema as JSON string): prefers the JVM ``from_avro``
+    when the spark-avro package is on the classpath; otherwise falls
+    back to the engine's own registry-less binary decoder
+    (``sources.avro.avro_decode``, Arrow-batched). ``confluent=True``
+    strips the Schema-Registry 5-byte wire frame first — the format
+    every reference topic actually carries (docker-compose.yml:59-72).
+    """
     if isinstance(schema, str):
-        try:
+        meta = raw.select(
+            F.col("key").cast("string").alias("kafka_key"),
+            F.col("timestamp").alias("rowtime"),
+            "value",
+        )
+        if avro_available(raw.sparkSession):
             from pyspark.sql.avro.functions import from_avro
 
-            decoded = raw.withColumn("_v", from_avro(F.col("value"), schema))
-        except Exception as e:  # noqa: BLE001
-            raise RuntimeError(
-                "Avro decode needs the external spark-avro package "
-                "(spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>); "
-                "pass a StructType for the JSON path instead. "
-                f"Underlying error: {e}"
-            ) from e
-    else:
-        decoded = raw.withColumn("_v", F.from_json(F.col("value").cast("string"), schema))
+            payload = (
+                F.expr("substring(value, 6, 2147483647)") if confluent else F.col("value")
+            )
+            decoded = meta.withColumn("_v", from_avro(payload, schema))
+            return decoded.select("kafka_key", "rowtime", F.col("_v.*"))
+        from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import avro_decode
+
+        return avro_decode(
+            meta, schema, confluent=confluent, keep_cols=("kafka_key", "rowtime")
+        )
+    decoded = raw.withColumn("_v", F.from_json(F.col("value").cast("string"), schema))
     return decoded.select(
         F.col("key").cast("string").alias("kafka_key"),
         F.col("timestamp").alias("rowtime"),

@@ -42,9 +42,23 @@ def test_decode_value_json_path(spark):
     assert out[0].rowtime is not None  # ROWTIME preserved
 
 
-def test_avro_gated_with_helpful_error(spark):
+def test_avro_string_schema_uses_python_fallback(spark):
+    """Without the spark-avro jar, an Avro schema string routes to the
+    engine's own binary decoder (sources.avro) instead of erroring —
+    S1/S4 decode works in registry-less environments. (The richer
+    end-to-end fallback coverage lives in tests/test_avro.py.)"""
     if avro_available(spark):
-        pytest.skip("spark-avro present — gating not exercised")
+        pytest.skip("spark-avro present — fallback not exercised")
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import (
+        encode_record,
+        parse_record_schema,
+    )
+
     schema = '{"type":"record","name":"r","fields":[{"name":"x","type":"int"}]}'
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        decode_value(_raw(spark), schema).collect()
+    fields = parse_record_schema(schema)
+    raw = spark.createDataFrame(
+        [(b"k", encode_record({"x": 9}, fields), "2024-01-01 00:00:00")],
+        "key binary, value binary, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    out = decode_value(raw, schema).collect()
+    assert [(r.kafka_key, r.x) for r in out] == [("k", 9)]
