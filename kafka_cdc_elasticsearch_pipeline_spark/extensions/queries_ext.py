@@ -133,6 +133,9 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_SQL_JACCARD} >= 0.4
     """,
     tags=("ext", "dedup", "jaccard"),
+    # In the bench set so its super-linear tail stays watched
+    # (SCALING.md measured 2.5x wall at 16x corpus).
+    bench=True,
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-3-gram Jaccard similarity join (prefix filtering,
