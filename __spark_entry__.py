@@ -56,12 +56,30 @@ _GATE_FIRST = [
 ]
 
 
+def _previously_gated() -> set[str]:
+    """Names that already have a row in any recorded CORRECTNESS file —
+    they have hard-signal history, so fresh (never-gated) queries can
+    jump ahead of them in a truncated gate window."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
 def _ordered_names() -> list[str]:
     names = list(QUERIES)
+    gated = _previously_gated()
     first = [n for n in _GATE_FIRST if n in names]
-    ext = [n for n in names if n.startswith("ext_") and n not in first]
-    rest = [n for n in names if n not in first and not n.startswith("ext_")]
-    return first + ext + rest
+    fresh = [n for n in names if n not in first and n not in gated]
+    rest = [n for n in names if n not in first and n in gated]
+    return first + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
