@@ -21,7 +21,7 @@ JVM-side codegen over the arrays; no Python, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import cosine
@@ -170,6 +170,117 @@ def assign_centroids(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
             F.col("c_label").alias("assigned_label"),
             F.col("cos_c").alias("cosine"),
         )
+    )
+
+
+RHP_BITS = 16
+EMB_DIM = 64
+
+
+def rhp_planes(dim: int = EMB_DIM, bits: int = RHP_BITS) -> list[list[float]]:
+    """Deterministic random-hyperplane set for cosine LSH (Charikar
+    SimHash for vectors): component (b, j) is an md5-derived integer
+    mapped to [-1, 1] at 1e-6 resolution. Pure-Python constants — the
+    same doubles are embedded as literals in the Spark expression and
+    the DuckDB oracle, so both engines fold identical values."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"rhp_{b}_{j}".encode()).hexdigest()[:15], 16) % 2000001
+             - 1000000)
+            / 1e6
+            for j in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH signature: bit b = sign(dot(vec, plane_b)). All JVM-side
+    zip_with/aggregate folds in index order — no UDF, bit-reproducible."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def rhp_lsh_neardup(
+    embeddings: DataFrame, threshold: float = 0.4, bits: int = RHP_BITS
+) -> DataFrame:
+    """Near-duplicate pairs by random-hyperplane LSH: vectors sharing
+    the full ``bits``-bit signature become candidates (collision
+    probability (1 - theta/pi)^bits — near-identical vectors collide,
+    random pairs survive with p ~ 2^-bits), then exact cosine filters.
+
+    The scale story mirrors MinHash-LSH for text: one signature pass
+    over the corpus (never shuffles the vectors), an equi-self-join on
+    the signature (candidates only — no all-pairs), exact verification
+    on the collision set. Complements IVF blocking: no clustering
+    step, data-independent planes, tunable via bits."""
+    planes = rhp_planes(bits=bits)
+    sigs = embeddings.select(
+        "vec_id", "embedding", rhp_signature(F.col("embedding"), planes).alias("sig")
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "sig"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(b, (F.col("sig") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization per vector (the memory layout ANN
+    serving uses: 4x smaller than float32, SIMD-friendly): scale =
+    max|v|/127, q_i = round(v_i * 127 / max|v|), plus the
+    reconstruction MSE so drift is observable. Emits the codes
+    comma-joined (driver canonicalizer cannot sort raw arrays).
+
+    All arithmetic is per-row JVM fold in index order; at 100 TB this
+    is a map-only pass — no shuffle at all."""
+    maxabs = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    with_scale = embeddings.select(
+        "vec_id", "embedding", maxabs.alias("maxabs")
+    ).filter(F.col("maxabs") > 0)
+    q = F.expr(
+        "transform(embedding,"
+        " v -> cast(round(cast(v as double) * 127.0 / maxabs) as int))"
+    )
+    recon_err = F.expr(
+        """aggregate(
+             zip_with(embedding,
+                      transform(embedding,
+                        v -> cast(round(cast(v as double) * 127.0 / maxabs) as int)),
+                      (v, qv) -> pow(cast(v as double) - qv * maxabs / 127.0, 2)),
+             cast(0.0 as double), (acc, e) -> acc + e)"""
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127.0, 9).alias("scale"),
+        F.array_join(q.cast("array<string>"), ",").alias("q8"),
+        F.round(recon_err / F.size("embedding"), 9).alias("mse"),
     )
 
 

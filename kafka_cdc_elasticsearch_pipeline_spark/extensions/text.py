@@ -251,3 +251,48 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             "poly_fp"
         ),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    idf is the raw rarity ratio N/df (not log-scaled): ln() is libm-
+    dependent and could diverge across engines by an ulp; the ratio
+    ranks identically and both engines derive it from exact integers.
+    score = (tf * N) / df computed exactly in int64 then one IEEE
+    division — bit-identical cross-engine. Ties break on the term.
+
+    Scale: tokenize+tf is one shuffle on (doc_id, term); df is a
+    map-side-combinable count on the already-aggregated tf rows (far
+    smaller than the token stream); the top-k window partitions by
+    doc_id — no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
