@@ -760,3 +760,159 @@ def ext_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(decoded).select(
         "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
     )
+
+
+# --- round 2: sampling / RHP-LSH / quantization / TF-IDF ---------------------
+
+
+_STRATA_RATES = {"src0": 0.1, "src1": 0.25, "src2": 0.5, "src3": 0.75}
+_SQL_RATE_CUT = (
+    "CASE WHEN source = 'src0' THEN 1000 WHEN source = 'src1' THEN 2500"
+    " WHEN source = 'src2' THEN 5000 WHEN source = 'src3' THEN 7500"
+    " ELSE 9000 END"
+)
+
+
+@query(
+    "ext_sample_stratified_hash",
+    f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('samp_' || doc_id::VARCHAR), 1, 7))::BIGINT % 10000
+               AS bucket
+      FROM documents
+    )
+    WHERE bucket < {_SQL_RATE_CUT}
+    """,
+    tags=("ext", "sampling"),
+)
+def ext_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates applied
+    by content-hash bucket, so the sampled corpus is a pure function of
+    the data (reproducible across runs/engines/cluster sizes). Map-only
+    — no shuffle at any scale."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "source", "doc_id", _STRATA_RATES, default_rate=0.9
+    ).select("doc_id", "source")
+
+
+@query(
+    "ext_text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round((tf.tf * n.n_docs)::DOUBLE / dfc.df, 6) AS tfidf
+      FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("ext", "text", "tfidf"),
+)
+def ext_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (rarity ratio N/df instead of
+    log-idf: libm-free, ranks identically, exact cross-engine)."""
+    return tx.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def _rhp_planes_sql() -> str:
+    rows = ", ".join(
+        f"({b}, [{', '.join(repr(x) for x in plane)}])"
+        for b, plane in enumerate(sim.rhp_planes())
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(b, p)"
+
+
+_SQL_RHP_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),"
+    " i -> e.embedding[i]::DOUBLE * p.p[i])), (x, y) -> x + y)"
+)
+_SQL_PAIR_COS = (
+    f"round({SQL_DOT64.format(a='x.embedding', b='y.embedding')}"
+    f" / (sqrt({SQL_DOT64.format(a='x.embedding', b='x.embedding')})"
+    f" * sqrt({SQL_DOT64.format(a='y.embedding', b='y.embedding')})), 6)"
+)
+
+
+@query(
+    "ext_emb_rhp_lsh_neardup",
+    f"""
+    WITH planes AS ({{planes}}),
+    sigs AS (
+      SELECT e.vec_id,
+             sum(CASE WHEN {_SQL_RHP_DOT} > 0
+                      THEN (1::BIGINT << p.b) ELSE 0 END) AS sig
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id
+    ),
+    bands AS (
+      SELECT vec_id, g.i AS band_idx, (sig >> (8 * g.i)) & 255 AS band_val
+      FROM sigs, generate_series(0, 1) AS g(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_SQL_PAIR_COS} AS cosine
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.vec_a
+    JOIN embeddings y ON y.vec_id = c.vec_b
+    WHERE {_SQL_PAIR_COS} >= 0.4
+    """.replace("{planes}", _rhp_planes_sql()),
+    tags=("ext", "similarity", "lsh"),
+)
+def ext_emb_rhp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (cosine) LSH near-dup pairs: 16-bit signature
+    in 2 bands of 8; band collision → exact-cosine verify. The
+    data-independent counterpart to IVF blocking: one map pass to sign
+    16 fixed hyperplane dots, an equi-self-join on (band, value),
+    verification only on collisions — no all-pairs stage at any
+    scale."""
+    return sim.rhp_lsh_neardup(_embs(spark, sf_dir))
+
+
+@query(
+    "ext_emb_quantize_int8",
+    """
+    SELECT vec_id,
+           round(maxabs / 127.0, 9) AS scale,
+           array_to_string(list_transform(embedding,
+             v -> round(v::DOUBLE * 127.0 / maxabs)::INT), ',') AS q8,
+           round(list_reduce(list_prepend(0.0, list_transform(embedding,
+                   v -> pow(v::DOUBLE - round(v::DOUBLE * 127.0 / maxabs)
+                            * maxabs / 127.0, 2))),
+                 (a, b) -> a + b) / len(embedding), 9) AS mse
+    FROM (
+      SELECT vec_id, embedding,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+                 v -> abs(v::DOUBLE))), (a, b) -> greatest(a, b)) AS maxabs
+      FROM embeddings
+    )
+    WHERE maxabs > 0
+    """,
+    tags=("ext", "similarity", "quantization"),
+)
+def ext_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization + reconstruction MSE: the 4x
+    memory cut ANN serving runs on. Map-only pass; codes emitted
+    comma-joined (driver canonicalizer can't sort raw arrays)."""
+    return sim.quantize_int8(_embs(spark, sf_dir))

@@ -196,55 +196,88 @@ def rhp_planes(dim: int = EMB_DIM, bits: int = RHP_BITS) -> list[list[float]]:
     ]
 
 
-def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH signature: bit b = sign(dot(vec, plane_b)). All JVM-side
-    zip_with/aggregate folds in index order — no UDF, bit-reproducible."""
-    sig = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def rhp_signature(vec_sql: str, planes: list[list[float]]) -> Column:
+    """LSH signature: bit b = sign(dot(vec, plane_b)). One nested
+    JVM-side fold over a single 2-D array literal (16 separate
+    zip_with expressions made whole-stage codegen quadratically large
+    — one array<array<double>> keeps the tree small). Index-order
+    folds — bit-reproducible, no UDF."""
+    planes_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in planes
         )
-        sig = sig + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+        + ")"
+    )
+    return F.expr(
+        f"""aggregate(sequence(0, {len(planes) - 1}), 0L, (acc, b) -> acc +
+              IF(aggregate(zip_with({vec_sql}, element_at({planes_sql}, cast(b as int) + 1),
+                             (x, y) -> cast(x as double) * y),
+                           cast(0.0 as double), (a, v) -> a + v) > 0,
+                 shiftleft(1L, cast(b as int)), 0L))"""
+    )
+
+
+RHP_BANDS = 2  # 2 bands x 8 bits: collision prob (1-θ/π)^8 per band
 
 
 def rhp_lsh_neardup(
     embeddings: DataFrame, threshold: float = 0.4, bits: int = RHP_BITS
 ) -> DataFrame:
-    """Near-duplicate pairs by random-hyperplane LSH: vectors sharing
-    the full ``bits``-bit signature become candidates (collision
-    probability (1 - theta/pi)^bits — near-identical vectors collide,
-    random pairs survive with p ~ 2^-bits), then exact cosine filters.
+    """Near-duplicate pairs by random-hyperplane LSH: the 16-bit
+    signature splits into 2 bands of 8 bits; vectors colliding in ANY
+    band become candidates (banding trades precision for recall exactly
+    as MinHash-LSH does), then exact cosine verifies.
 
     The scale story mirrors MinHash-LSH for text: one signature pass
     over the corpus (never shuffles the vectors), an equi-self-join on
-    the signature (candidates only — no all-pairs), exact verification
-    on the collision set. Complements IVF blocking: no clustering
-    step, data-independent planes, tunable via bits."""
+    (band_idx, band_val) — candidates only, no all-pairs — exact
+    verification on the collision set. Complements IVF blocking: no
+    clustering step, data-independent planes, recall tunable via
+    bits-per-band."""
     planes = rhp_planes(bits=bits)
+    band_bits = bits // RHP_BANDS
     sigs = embeddings.select(
-        "vec_id", "embedding", rhp_signature(F.col("embedding"), planes).alias("sig")
+        "vec_id", "embedding", rhp_signature("embedding", planes).alias("sig")
     )
-    a = sigs.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "sig"
+    bands = sigs.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {RHP_BANDS - 1}),"
+                f" i -> struct(i as band_idx,"
+                f" shiftright(sig, {band_bits} * i) & {(1 << band_bits) - 1} as band_val))"
+            )
+        ).alias("bv"),
+    ).select("vec_id", "embedding", "bv.band_idx", "bv.band_val")
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "band_idx",
+        "band_val",
     )
-    b = sigs.select(
+    b = bands.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        F.col("sig").alias("sig_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
     )
-    return (
-        a.join(b, (F.col("sig") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+    cand = (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
         )
-        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "emb_a", "vec_b", "emb_b")
+        .distinct()
     )
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def quantize_int8(embeddings: DataFrame) -> DataFrame:

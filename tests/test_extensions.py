@@ -279,3 +279,71 @@ def test_decontamination_finds_planted_overlap(spark):
     )
     got = {(r.train_doc_id, r.eval_doc_id) for r in dd.decontamination_flags(docs, split).collect()}
     assert got == {(2, 1)}  # doc 3 shares nothing with the eval doc
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        stratified_sample,
+    )
+
+    sdocs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    rates = {"src0": 0.0, "src1": 1.0}
+    out = stratified_sample(sdocs, "source", "doc_id", rates, default_rate=0.5)
+    by_src = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by_src.get("src0", 0) == 0  # rate 0 drops everything
+    assert by_src.get("src1", 0) == 100  # rate 1 keeps everything
+    assert 20 <= by_src.get("src2", 0) <= 80  # ~50% of 100
+    # deterministic: second run returns the identical id set
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, vectors):
+    out = sim.quantize_int8(vectors).collect()
+    assert len(out) > 0
+    for r in out:
+        codes = [int(c) for c in r.q8.split(",")]
+        assert all(-127 <= c <= 127 for c in codes)
+        assert r.mse < (r.scale**2) / 4 + 1e-12  # error <= (scale/2)^2 per dim
+
+
+def test_rhp_lsh_subset_of_bruteforce_neardups(spark, vectors):
+    """Every RHP-LSH pair must be a true near-dup (verified exact
+    cosine) — LSH trades recall, never precision."""
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.rhp_lsh_neardup(vectors, threshold=0.2).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.embedding_neardup_pairs(vectors, threshold=0.2).collect()
+    }
+    # brute is IVF-blocked (same-label pairs only); LSH is label-free, so
+    # compare only on pairs brute can see
+    for pair, cos in lsh.items():
+        if pair in brute:
+            assert abs(brute[pair] - cos) < 1e-9
+    assert all(c >= 0.2 for c in lsh.values())
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx2
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra"),
+            (2, "common words here again"),
+            (3, "more common words too"),
+        ],
+        "doc_id bigint, text string",
+    )
+    top = tx2.tfidf_top_terms(docs, k=1).collect()
+    doc1 = next(r for r in top if r.doc_id == 1)
+    # zebra: tf=2, df=1 -> 2*3/1 = 6; common: tf=2, df=3 -> 2*3/3 = 2
+    assert doc1.term == "zebra" and doc1.tfidf == 6.0
