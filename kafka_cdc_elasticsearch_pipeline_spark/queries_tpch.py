@@ -132,13 +132,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = ps.join(F.broadcast(edim), ps["l_suppkey"] == F.col("s_suppkey")).select(
         "l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name"
     )
-    min_cost = eps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
-    best = eps.join(
-        min_cost,
-        (eps["l_partkey"] == F.col("mc_partkey"))
-        & (eps["unit_cost"] == F.col("min_cost")),
+    # Correlated MIN as a window over the per-part partition: one pass
+    # over eps instead of re-aggregating and equi-joining it back
+    # (which re-ran the whole lineitem aggregation a second time).
+    from pyspark.sql import Window
+
+    w_min = Window.partitionBy("l_partkey")
+    best = eps.withColumn("min_cost", F.min("unit_cost").over(w_min)).filter(
+        F.col("unit_cost") == F.col("min_cost")
     )
     out = best.join(F.broadcast(part), best["l_partkey"] == part["p_partkey"]).select(
         F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
@@ -784,18 +785,28 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     The average is computed as exact-decimal-sum / count in double so
     both engines derive the identical threshold; the 0.2x comparison is
     then per-row IEEE arithmetic.
+
+    Single-scan plan: the brand filter is keyed by p_partkey, and the
+    per-part average only ever feeds rows of that same part — so the
+    broadcast semi-reduction to Brand#5 lineitems happens FIRST, then
+    ONE window over l_partkey yields the threshold (the textbook
+    agg-then-join shape scans lineitem twice; the oracle keeps it and
+    must match).
     """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
-        (F.sum(_dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    branded = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(_dec2("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
-    joined = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(pq, li["l_partkey"] == F.col("pq_partkey"))
-        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    small = branded.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
     )
-    return joined.agg(
+    return small.agg(
         F.round(
             F.sum(_dec2("l_extendedprice")).cast("double") / F.lit(7.0), 2
         ).alias("avg_yearly")
@@ -941,28 +952,31 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt-vs-commit lateness has no harness columns; max-shipdate in
     a shared order is the analogous "everyone waited on you").
 
-    The EXISTS/NOT EXISTS pair collapses into one per-order aggregate
-    (max shipdate + distinct-supplier count) joined back on orderkey —
-    lineitem is shuffled once for the aggregate and once for the probe
-    join, both on the same key, so AQE reuses the exchange.
+    The EXISTS/NOT EXISTS pair collapses into per-order window stats
+    (max shipdate + distinct-supplier count): the per-order values are
+    identical whether computed before or after the orderstatus
+    semi-join (the order's line set doesn't change), so the semi-join
+    runs FIRST and ONE windowed pass over l_orderkey replaces the
+    aggregate-plus-probe-join double scan of lineitem.
     """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
-    order_ship = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-    ).filter(F.col("n_supp") > 1)
-    joined = (
-        li.join(
-            order_ship,
-            (li["l_orderkey"] == F.col("os_orderkey"))
-            & (li["l_shipdate"] == F.col("max_ship")),
-        )
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    finished = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
+    w = Window.partitionBy("l_orderkey")
+    stats = finished.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
     )
-    agg = joined.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    waiting = stats.filter(
+        (F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship"))
+    ).join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+    agg = waiting.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
     return topk(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 25)
 
 
