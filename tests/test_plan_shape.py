@@ -124,3 +124,74 @@ def test_rollup_single_expand_single_aggregate_pass(plans):
     """Grouping sets = one Expand + aggregation, not three queries."""
     p = plans("a_rollup_channel_user")
     assert "Expand" in p
+
+
+def test_q6_full_pushdown_and_pruning(plans):
+    """TPC-H Q6: all three filters reach the parquet scan and the
+    ReadSchema carries only the columns the query touches — at 100 TB
+    the scan IS this query's runtime."""
+    p = plans("tpch_q6_forecast_revenue")
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    schema = read.split("ReadSchema")[1]
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_q2_single_lineitem_aggregation(plans):
+    """TPC-H Q2: the correlated per-part MIN is a window over the
+    derived catalog, NOT a second aggregation of lineitem — exactly one
+    lineitem partial-agg pair in the plan."""
+    p = plans("tpch_q2_min_cost_supplier")
+    assert p.count("partial_min(round((l_extendedprice") == 1
+    assert "Window" in p
+
+
+def test_q17_one_scan_via_window(plans):
+    """TPC-H Q17: the per-part average comes from a window over the
+    brand-filtered join output — lineitem is scanned once."""
+    p = plans("tpch_q17_small_quantity_revenue")
+    li_scans = [
+        line for line in p.splitlines()
+        if "FileScan parquet" in line and "l_quantity" in line
+    ]
+    assert len(li_scans) == 1
+    assert "Window" in p
+
+
+def test_q21_one_scan_via_window(plans):
+    """TPC-H Q21: per-order max-shipdate + distinct-supplier stats as
+    ONE windowed pass over the semi-filtered lineitem."""
+    p = plans("tpch_q21_waiting_suppliers")
+    li_scans = [
+        line for line in p.splitlines()
+        if "FileScan parquet" in line and "l_shipdate" in line
+    ]
+    assert len(li_scans) == 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q19_factored_predicates_push_to_scans(plans):
+    """TPC-H Q19: the branch-common conjuncts (returnflag, quantity
+    envelope, brand set) must push into the scans so the OR residual
+    evaluates on a reduced join input."""
+    p = plans("tpch_q19_discounted_revenue")
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_returnflag" in pushed and "l_quantity" in pushed
+    assert "BroadcastHashJoin" in p
+
+
+def test_q22_anti_join_and_scalar_broadcast(plans):
+    """TPC-H Q22: NOT IN as a broadcast anti-join; the global average
+    as a 1-row broadcast, never a per-row subquery."""
+    p = plans("tpch_q22_sales_opportunity")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_rhp_lsh_no_cartesian(plans):
+    """RHP-LSH: candidate generation must be an equi-join on the band
+    key — a cartesian/NL join here is the O(n^2) failure mode."""
+    p = plans("ext_emb_rhp_lsh_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
