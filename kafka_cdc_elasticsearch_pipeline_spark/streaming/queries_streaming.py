@@ -245,3 +245,48 @@ def t2_streaming_pull_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cleanup(tmp)
+
+
+@query(
+    "t7_streaming_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    i AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTES AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM i GROUP BY user_id, sess
+    """,
+    tags=("T7", "streaming"),
+)
+def t7_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7, streaming side: the SAME session merge as the batch
+    `t7_session_window_30m_gap` run as a stateful StreamingQuery —
+    events replayed in ~8 micro-batches, per-key session state merged
+    incrementally (sessions spanning batch boundaries must fuse), final
+    state hash-matched against the batch gaps-and-islands oracle."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.windows import session_agg
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        sess = session_agg(
+            stream,
+            "ts",
+            "30 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n_events")],
+        )
+        return _run(sess, spark, "strm_session")
+    finally:
+        cleanup(tmp)
