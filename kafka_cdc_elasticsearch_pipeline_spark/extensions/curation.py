@@ -1,0 +1,84 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+run actually executes, as ONE declarative DataFrame — every document
+gets a keep/drop verdict and the FIRST failing stage as its reason:
+
+    1. exact_dup    not the minimum doc_id of its content fingerprint
+    2. near_dup     appears as doc_b of a MinHash-LSH verified pair
+                    (keep-lowest-id policy, matching stage 1's)
+    3. low_quality  fails the Gopher-style keep rules
+    4. sampled_out  dropped by deterministic stratified sampling
+    5. kept
+
+Composing the stages as columns (not sequential filters) means ONE
+pass produces the full audit trail — at 100 TB you want the reasons
+table as much as the kept set, and you never want to re-scan per
+stage. The stage outputs are plain joins on doc_id, so Catalyst
+pipelines them; the only shuffles are the ones the component operators
+already pay (fingerprint window, LSH band join, sampling is map-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.dedup import (
+    minhash_lsh_pairs,
+    normalized,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+    HASH_BUCKETS,
+    hash_bucket,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.text import gopher_rules
+
+
+def curate(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.9,
+) -> DataFrame:
+    """Run the 4-stage curation pipeline; returns
+    (doc_id, source, kept, reason) for every input document."""
+    rates = rates or {}
+
+    fp = docs.select(
+        "doc_id", stratum_col, F.md5(normalized()).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    staged = fp.withColumn("keep_doc_id", F.min("doc_id").over(w))
+
+    near = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    quality = gopher_rules(docs).select("doc_id", F.col("keep").alias("q_keep"))
+
+    cut = F.lit(int(round(default_rate * HASH_BUCKETS)))
+    for value, r in sorted(rates.items()):
+        cut = F.when(
+            F.col(stratum_col) == value, F.lit(int(round(r * HASH_BUCKETS)))
+        ).otherwise(cut)
+    samp_keep = hash_bucket(F.col("doc_id")) < cut
+
+    joined = (
+        staged.join(near, "doc_id", "left")
+        .join(quality, "doc_id")
+        .withColumn("samp_keep", samp_keep)
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_doc_id"), F.lit("exact_dup"))
+        .when(F.col("is_near_dup"), F.lit("near_dup"))
+        .when(~F.col("q_keep"), F.lit("low_quality"))
+        .when(~F.col("samp_keep"), F.lit("sampled_out"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id",
+        stratum_col,
+        reason.alias("reason"),
+        (reason == "kept").alias("kept"),
+    )

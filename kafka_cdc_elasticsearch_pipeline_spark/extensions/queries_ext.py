@@ -916,3 +916,50 @@ def ext_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory cut ANN serving runs on. Map-only pass; codes emitted
     comma-joined (driver canonicalizer can't sort raw arrays)."""
     return sim.quantize_int8(_embs(spark, sf_dir))
+
+
+@query(
+    "ext_curation_pipeline",
+    f"""
+    WITH {_SQL_MINHASH_CTES},
+    q AS ({_SQL_QUALITY}), r AS ({_SQL_REPETITION}),
+    nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    fpx AS (SELECT doc_id, source, md5({_SQL_NORM}) AS fingerprint FROM documents),
+    kd AS (SELECT doc_id, source,
+                  min(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id
+           FROM fpx),
+    g AS (SELECT q.doc_id,
+            ((q.n_words >= 10 AND q.n_words <= 100000)
+             AND (avg_word_len >= 3 AND avg_word_len <= 12)
+             AND alpha_ratio >= 0.6
+             AND stopword_ratio >= 0.01
+             AND coalesce(dup_shingle_ratio, 0.0) <= 0.3) AS q_keep
+          FROM q LEFT JOIN r ON q.doc_id = r.doc_id),
+    sp AS (SELECT doc_id,
+             (('0x' || substr(md5('samp_' || doc_id::VARCHAR), 1, 7))::BIGINT % 10000
+               < {_SQL_RATE_CUT}) AS samp_keep
+           FROM documents)
+    SELECT doc_id, source, reason, reason = 'kept' AS kept FROM (
+      SELECT kd.doc_id, kd.source,
+             CASE WHEN kd.doc_id <> kd.keep_doc_id THEN 'exact_dup'
+                  WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN NOT g.q_keep THEN 'low_quality'
+                  WHEN NOT sp.samp_keep THEN 'sampled_out'
+                  ELSE 'kept' END AS reason
+      FROM kd
+      LEFT JOIN nd ON kd.doc_id = nd.doc_id
+      JOIN g ON kd.doc_id = g.doc_id
+      JOIN sp ON kd.doc_id = sp.doc_id
+    )
+    """,
+    tags=("ext", "curation", "pipeline"),
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pipeline (exact dedup → MinHash-LSH
+    near-dup → Gopher quality rules → stratified sampling) emitting a
+    per-document verdict + first-failing-stage reason in ONE pass —
+    the audit trail a 100 TB curation run needs, with no per-stage
+    re-scan."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import curate
+
+    return curate(_docs(spark, sf_dir), rates=_STRATA_RATES, default_rate=0.9)

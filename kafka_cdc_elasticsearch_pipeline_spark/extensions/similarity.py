@@ -222,10 +222,13 @@ RHP_BANDS = 2  # 2 bands x 8 bits: collision prob (1-θ/π)^8 per band
 
 
 def rhp_lsh_neardup(
-    embeddings: DataFrame, threshold: float = 0.4, bits: int = RHP_BITS
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int = RHP_BITS,
+    bands: int = RHP_BANDS,
 ) -> DataFrame:
-    """Near-duplicate pairs by random-hyperplane LSH: the 16-bit
-    signature splits into 2 bands of 8 bits; vectors colliding in ANY
+    """Near-duplicate pairs by random-hyperplane LSH: the ``bits``-bit
+    signature splits into ``bands`` bands; vectors colliding in ANY
     band become candidates (banding trades precision for recall exactly
     as MinHash-LSH does), then exact cosine verifies.
 
@@ -234,9 +237,16 @@ def rhp_lsh_neardup(
     (band_idx, band_val) — candidates only, no all-pairs — exact
     verification on the collision set. Complements IVF blocking: no
     clustering step, data-independent planes, recall tunable via
-    bits-per-band."""
+    bits-per-band.
+
+    SIZE THE BAND TO THE CORPUS: random collisions per band ≈
+    n²/2^(bits/bands+1), so 8-bit bands degenerate to ~quadratic
+    candidates beyond ~20k vectors (measured 73s @ 80k — SCALING.md);
+    16-bit bands (bits=32, bands=2) keep the candidate set linear into
+    the millions, at lower recall for merely-similar (non-duplicate)
+    vectors — exact copies always collide at any width."""
     planes = rhp_planes(bits=bits)
-    band_bits = bits // RHP_BANDS
+    band_bits = bits // bands
     sigs = embeddings.select(
         "vec_id", "embedding", rhp_signature("embedding", planes).alias("sig")
     )
@@ -245,7 +255,7 @@ def rhp_lsh_neardup(
         "embedding",
         F.explode(
             F.expr(
-                f"transform(sequence(0, {RHP_BANDS - 1}),"
+                f"transform(sequence(0, {bands - 1}),"
                 f" i -> struct(i as band_idx,"
                 f" shiftright(sig, {band_bits} * i) & {(1 << band_bits) - 1} as band_val))"
             )
