@@ -290,3 +290,50 @@ def t7_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run(sess, spark, "strm_session")
     finally:
         cleanup(tmp)
+
+
+@query(
+    "ext_streaming_stratified_sample",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('samp_' || doc_id::VARCHAR), 1, 7))::BIGINT % 10000
+               AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE WHEN source = 'src0' THEN 1000
+                        WHEN source = 'src1' THEN 2500
+                        WHEN source = 'src2' THEN 5000
+                        WHEN source = 'src3' THEN 7500
+                        ELSE 9000 END
+    """,
+    tags=("ext", "sampling", "streaming"),
+)
+def ext_streaming_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling is streaming-safe by construction (pure
+    function of the row, no state): the documents table replayed as ~6
+    micro-batches through the SAME stratified filter must produce
+    exactly the batch sample. This is the property that lets a 100 TB
+    pipeline sample its backfill (batch) and its live tail (stream)
+    with one code path and get one consistent corpus."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        stratified_sample,
+    )
+
+    stream, tmp = replay_stream(
+        spark, sf_dir, "documents", chunks=6, order_col="doc_id"
+    )
+    try:
+        sampled = stratified_sample(
+            stream,
+            "source",
+            "doc_id",
+            {"src0": 0.1, "src1": 0.25, "src2": 0.5, "src3": 0.75},
+            default_rate=0.9,
+        ).select("doc_id", "source")
+        name = f"strm_sample_{next(_SEQ)}"
+        run_to_memory(sampled, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        cleanup(tmp)
