@@ -963,3 +963,54 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import curate
 
     return curate(_docs(spark, sf_dir), rates=_STRATA_RATES, default_rate=0.9)
+
+
+def _sql_centroid_step(src: str) -> str:
+    """Centroid CTE body over a relation (vec_id, embedding, label) —
+    the generalized form of _SQL_CENTROIDS (which is pinned to the
+    embeddings table), identical fold order."""
+    return f"""
+      SELECT label, list(c ORDER BY pos) AS centroid FROM (
+        SELECT label, pos,
+               round(list_reduce(list_prepend(0.0,
+                       list(embedding[pos]::DOUBLE ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*), 6) AS c
+        FROM {src}, generate_series(1, 64) AS t(pos)
+        GROUP BY label, pos
+      ) GROUP BY label
+    """
+
+
+def _sql_assign_step(src: str, cents: str) -> str:
+    """Assignment CTE body: nearest centroid by rounded cosine with
+    label tiebreak, keeping the embedding for the next iteration."""
+    return f"""
+      SELECT vec_id, embedding, c_label AS label, cos_c FROM (
+        SELECT e.vec_id, e.embedding, c.label AS c_label, {_SQL_COS_CENT} AS cos_c
+        FROM {src} e CROSS JOIN {cents} c
+      )
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, c_label) = 1
+    """
+
+
+@query(
+    "ext_sim_kmeans_refine_2iter",
+    f"""
+    WITH a0 AS (SELECT vec_id, embedding, label FROM embeddings),
+    c1 AS ({_sql_centroid_step('a0')}),
+    a1 AS ({_sql_assign_step('a0', 'c1')}),
+    c2 AS ({_sql_centroid_step('a1')}),
+    a2 AS ({_sql_assign_step('a1', 'c2')})
+    SELECT vec_id, label AS final_label, cos_c AS cosine FROM a2
+    """,
+    tags=("ext", "similarity", "ivf", "kmeans", "iterative"),
+)
+def ext_sim_kmeans_refine_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the IVF coarse quantizer — a real
+    iterative distributed algorithm under the full value-hash oracle
+    (the oracle chains the same centroid/assign steps as CTEs). Each
+    iteration is one positional-aggregation shuffle plus one broadcast
+    argmax; the loop composes plans, never collects data to the
+    driver."""
+    return sim.kmeans_refine(_embs(spark, sf_dir), iterations=2)

@@ -350,3 +350,38 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_refine(embeddings: DataFrame, iterations: int = 2) -> DataFrame:
+    """Lloyd's k-means refinement of the coarse IVF quantizer: starting
+    from the existing ``label`` assignment, alternate (centroid
+    recompute → nearest-centroid reassign) ``iterations`` times.
+
+    Each iteration is the two one-shuffle steps the IVF build already
+    exercises (positional centroid aggregation; broadcast-centroid
+    argmax assignment) — the loop composes them with NO driver-side
+    data movement: the only thing that iterates is the plan. Vectors
+    whose cluster empties simply reassign to surviving centroids (both
+    engines agree — no special casing).
+
+    Determinism end-to-end: centroid component sums fold in vec_id
+    order, assignment ties break on (rounded cosine DESC, label ASC).
+    Returns (vec_id, final_label, cosine) after the last reassign.
+
+    Scale note: the composed plan re-derives iteration i's assignment
+    wherever iteration i+1 references it; at production scale persist
+    (or checkpoint, to truncate lineage) each iteration's assignment
+    exactly as ``dedup.connected_components`` does — omitted here
+    because gate queries must not leak cached state into later ones.
+    """
+    assigned = embeddings.select("vec_id", "embedding", "label")
+    last = None
+    for _ in range(iterations):
+        cents = centroids(assigned)
+        last = assign_centroids(assigned, cents)
+        assigned = assigned.select("vec_id", "embedding").join(
+            last.select("vec_id", F.col("assigned_label").alias("label")), "vec_id"
+        )
+    return assigned.join(
+        last.select("vec_id", "cosine"), "vec_id"
+    ).select("vec_id", F.col("label").alias("final_label"), "cosine")
