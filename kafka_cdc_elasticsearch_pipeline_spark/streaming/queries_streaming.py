@@ -337,3 +337,40 @@ def ext_streaming_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.table(name)
     finally:
         cleanup(tmp)
+
+
+@query(
+    "t7_streaming_hopping_window",
+    """
+    WITH fan AS (
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS ws, user_id, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts) - INTERVAL 15 MINUTES AS ws,
+             user_id, value
+      FROM events
+    )
+    SELECT ws AS window_start, user_id, count(*) AS n_events
+    FROM fan GROUP BY 1, 2
+    """,
+    tags=("T7", "streaming"),
+)
+def t7_streaming_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7, streaming side: 30-minute windows sliding by 15 as a
+    stateful StreamingQuery — each event updates TWO window states per
+    micro-batch (the in-aggregation fan-out), final state hash-matched
+    to the batch UNION-ALL oracle."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.windows import hopping_agg
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        agg = hopping_agg(
+            stream,
+            "ts",
+            "30 minutes",
+            "15 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n_events")],
+        )
+        return _run(agg, spark, "strm_hopping")
+    finally:
+        cleanup(tmp)
