@@ -132,3 +132,44 @@ def kafka_sink_writer(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def decode_value_tolerant(
+    raw: DataFrame, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Source-side error tolerance (T8's decode half — the connector's
+    ``errors.tolerance=all`` applies to DEserialization too, not just
+    sink indexing): split the stream into (decoded, dead_letters)
+    instead of failing the query on the first malformed payload.
+
+    The parse runs PERMISSIVE with an explicit corrupt-record column
+    (Spark's partial-results mode would otherwise surface malformed
+    input as an all-null struct, indistinguishable from valid null
+    fields), so the split is two filters over ONE parse — no second
+    decode, no Python. Route ``dead`` to a DLQ sink (parquet/topic)
+    exactly like the ES sink's failed-doc path; both legs stay
+    streaming-safe (stateless projection + filter).
+    """
+    with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("timestamp").alias("rowtime"),
+        F.col("value").cast("string").alias("_raw"),
+    ).withColumn(
+        "_v",
+        F.from_json(
+            F.col("_raw"),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    ok = F.col("_v").isNotNull() & F.col("_v._corrupt").isNull()
+    good = parsed.filter(ok).select(
+        "kafka_key", "rowtime", *[F.col(f"_v.{f.name}") for f in schema.fields]
+    )
+    dead = parsed.filter(~ok & F.col("_raw").isNotNull()).select(
+        "kafka_key", "rowtime", F.col("_raw").alias("raw_value")
+    )
+    return good, dead

@@ -62,3 +62,33 @@ def test_avro_string_schema_uses_python_fallback(spark):
     ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
     out = decode_value(raw, schema).collect()
     assert [(r.kafka_key, r.x) for r in out] == [("k", 9)]
+
+
+def test_decode_value_tolerant_splits_malformed(spark):
+    """T8 source half: malformed payloads route to the DLQ leg, valid
+    ones decode — and the two legs partition the input exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.kafka import (
+        decode_value_tolerant,
+    )
+
+    rows = [
+        ("k1", '{"user_id": 1, "stars": 5}'),
+        ("k2", "{not json at all"),
+        ("k3", '{"user_id": 3, "stars": 2}'),
+        ("k4", ""),          # empty payload -> unparseable
+    ]
+    raw = spark.createDataFrame(
+        [(k, bytearray(v.encode())) for k, v in rows], "key string, value binary"
+    ).withColumn("timestamp", F.current_timestamp())
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("stars", T.IntegerType())]
+    )
+    good, dead = decode_value_tolerant(raw, schema)
+    g = {r.kafka_key: (r.user_id, r.stars) for r in good.collect()}
+    d = {r.kafka_key for r in dead.collect()}
+    assert g == {"k1": (1, 5), "k3": (3, 2)}
+    assert d == {"k2", "k4"}
+    assert good.count() + dead.count() == len(rows)
