@@ -1,0 +1,71 @@
+"""Training-shard layout operators: the last mile of a data pipeline —
+after dedup/filter/sample, the kept corpus must be (a) shuffled into
+shards deterministically and (b) packed into fixed-token-budget
+sequences for the trainer.
+
+Both are pure window/hash constructions: no Python, no state, and the
+decision for every document is reproducible from the data alone (the
+same property the sampling operators guarantee — re-runs and backfills
+produce byte-identical shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shard_shuffle(docs: DataFrame, n_shards: int = 16, salt: str = "shuf") -> DataFrame:
+    """Deterministic global shuffle into ``n_shards``: order = md5 of
+    the doc id (a fixed pseudo-random permutation), shard = hash mod
+    n_shards, position = rank within the shard.
+
+    At 100 TB this is ONE shuffle on the shard key; the per-shard
+    ordering is a within-partition sort. Unlike ``orderBy(rand())``,
+    re-running yields the identical layout — which is what makes
+    resumable shard-by-shard training possible."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "_"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing plan: documents concatenate in
+    ``order_col`` order within each ``group_col`` stream, and the token
+    stream chops into fixed ``seq_len`` windows (documents may span a
+    boundary — the standard packing that wastes no pad tokens).
+
+    Emitted per document: its token count, the running offset of its
+    first token in the group's stream, and the sequence index that
+    token lands in. One window shuffle on the group key; the cumulative
+    sum is exact integer arithmetic, so the layout is reproducible on
+    any engine/cluster."""
+    toks = F.size(F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')"))
+    w = Window.partitionBy(group_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = docs.select(
+        "doc_id", group_col, toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return with_cum.select(
+        "doc_id",
+        group_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / seq_len).cast("bigint").alias("seq_id"),
+    )

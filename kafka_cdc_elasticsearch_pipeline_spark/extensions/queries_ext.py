@@ -1014,3 +1014,56 @@ def ext_sim_kmeans_refine_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax; the loop composes plans, never collects data to the
     driver."""
     return sim.kmeans_refine(_embs(spark, sf_dir), iterations=2)
+
+
+@query(
+    "ext_shard_shuffle",
+    """
+    SELECT doc_id, shard, pos FROM (
+      SELECT doc_id, (h % 16)::INT AS shard,
+             row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuf_' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents
+      )
+    )
+    """,
+    tags=("ext", "layout", "shuffle"),
+)
+def ext_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into 16 training shards:
+    md5-permutation order, one shuffle on the shard key — re-runs give
+    the identical layout (resumable training), unlike rand()."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.packing import shard_shuffle
+
+    return shard_shuffle(_docs(spark, sf_dir), n_shards=16)
+
+
+@query(
+    "ext_pack_sequences",
+    """
+    SELECT doc_id, source, n_tokens,
+           cum_tokens - n_tokens AS start_offset,
+           ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+    tags=("ext", "layout", "packing"),
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing plan: per-source token streams chopped
+    into 2048-token sequences (docs may span boundaries — zero pad
+    waste); exact integer window cumsum, reproducible anywhere."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=2048)
