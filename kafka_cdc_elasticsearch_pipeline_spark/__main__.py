@@ -1,0 +1,117 @@
+"""Command-line entry point — the engine's ksql-CLI twin (SURVEY §3
+EP1/EP2): run registered queries, ad-hoc SQL, or the full reference
+pipeline DAG without writing a driver script.
+
+    python -m kafka_cdc_elasticsearch_pipeline_spark list [--tag ext]
+    python -m kafka_cdc_elasticsearch_pipeline_spark run tpch_q6_forecast_revenue
+    python -m kafka_cdc_elasticsearch_pipeline_spark sql "SELECT count(*) FROM events"
+    python -m kafka_cdc_elasticsearch_pipeline_spark pipeline --rows 600 [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kafka_cdc_elasticsearch_pipeline_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("--tag", help="filter by tag (e.g. ext, streaming, scale)")
+
+    p_run = sub.add_parser("run", help="run a registered query")
+    p_run.add_argument("name")
+    p_run.add_argument("--sf", default=DEFAULT_SF)
+    p_run.add_argument("--limit", type=int, default=20)
+
+    p_sql = sub.add_parser("sql", help="run ad-hoc SQL over the harness tables")
+    p_sql.add_argument("statement")
+    p_sql.add_argument("--sf", default=DEFAULT_SF)
+    p_sql.add_argument("--limit", type=int, default=20)
+
+    p_pipe = sub.add_parser("pipeline", help="run the reference DAG on datagen fixtures")
+    p_pipe.add_argument("--rows", type=int, default=600)
+    p_pipe.add_argument("--out", help="write each sink as parquet under this dir")
+
+    args = ap.parse_args(argv)
+
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+
+    if args.cmd == "list":
+        for name, spec in QUERIES.items():
+            if args.tag and args.tag not in spec.tags:
+                continue
+            marks = ("bench" if spec.bench else "") + ("" if spec.oracle else " no-oracle")
+            print(f"{name:45s} [{', '.join(spec.tags)}]{(' <' + marks + '>') if marks.strip() else ''}")
+        return 0
+
+    from kafka_cdc_elasticsearch_pipeline_spark.session import get_spark
+
+    spark = get_spark("cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "run":
+        if args.name not in QUERIES:
+            print(f"unknown query: {args.name} (try `list`)", file=sys.stderr)
+            return 2
+        QUERIES[args.name].spark(spark, args.sf).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "sql":
+        from kafka_cdc_elasticsearch_pipeline_spark import sql
+
+        sql(spark, args.sf, args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "pipeline":
+        import datetime
+
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from kafka_cdc_elasticsearch_pipeline_spark.plans.pipeline import (
+            ratings_pipeline,
+        )
+        from kafka_cdc_elasticsearch_pipeline_spark.sources.datagen import ratings_batch
+
+        ratings = ratings_batch(spark, args.rows).withColumn(
+            "user_id",
+            F.when(F.col("rating_id") % 7 == 0, 42).otherwise(F.col("user_id")),
+        )
+        base = datetime.datetime(2020, 1, 1)
+        customers = spark.createDataFrame(
+            [
+                Row(
+                    id=i,
+                    first_name=f"First{i}",
+                    last_name=f"Last{i}",
+                    email=f"u{i}@example.com",
+                    gender="F" if i % 2 else "M",
+                    club_status=["bronze", "silver", "gold", "platinum"][i % 4],
+                    comments="seed",
+                    create_ts=base,
+                    update_ts=base,
+                    op_seq=i,
+                )
+                for i in range(1, 43)
+            ]
+        )
+        dag = ratings_pipeline(ratings, customers)
+        for name, df in dag.items():
+            n = df.count()
+            print(f"== {name}: {n} rows")
+            df.show(5, truncate=False)
+            if args.out:
+                df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+                print(f"   wrote {args.out}/{name}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

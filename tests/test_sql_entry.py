@@ -74,3 +74,12 @@ def test_package_sql_helper(spark, sf_dir):
     from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
 
     assert n == load_table(spark, sf_dir, "events").filter("user_id = 7").count()
+
+
+def test_cli_list_and_run(spark, capsys):
+    from kafka_cdc_elasticsearch_pipeline_spark.__main__ import main
+
+    assert main(["list", "--tag", "layout"]) == 0
+    out = capsys.readouterr().out
+    assert "ext_shard_shuffle" in out and "ext_pack_sequences" in out
+    assert main(["run", "no_such_query"]) == 2
