@@ -29,7 +29,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--all", action="store_true", help="bench every registered query")
-    ap.add_argument("--repeat", type=int, default=2, help="best-of-N per query")
+    ap.add_argument("--repeat", type=int, default=3, help="best-of-N per query")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
