@@ -374,3 +374,53 @@ def t7_streaming_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run(agg, spark, "strm_hopping")
     finally:
         cleanup(tmp)
+
+
+@query(
+    "t5_backfill_plus_tail_merge",
+    f"""
+    SELECT {', '.join(EVENT_COLS)}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("T5", "R2", "streaming", "backfill"),
+)
+def t5_backfill_plus_tail_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backfill-consistency property a CDC pipeline lives on: a
+    BATCH pass over the history (events before the cutover) plus a
+    STREAMING pass over the tail (events after it), merged with the
+    same last-write-wins reduce, must equal the one-shot batch table
+    over everything — latest(all) == latest(latest(head) ∪
+    latest(tail)) because max_by is associative on the (ts, event_id)
+    order. This is how a 100 TB deployment bootstraps: parquet backfill
+    for history, the live topic from the cutover offset (R2), no
+    lambda-architecture double bookkeeping."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    head = load_table(spark, sf_dir, "events").filter(F.col("ts") < cut)
+    backfill = latest_per_key(head, ["user_id"], "ts", tiebreak="event_id")
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        tail = stream.filter(F.col("ts") >= cut)
+        tail_latest = streaming_latest_per_key(
+            tail, ["user_id"], "ts", tiebreak="event_id"
+        )
+        name = f"strm_tail_{next(_SEQ)}"
+        run_to_memory(tail_latest, name, output_mode="complete")
+        tail_tbl = spark.table(name).select(*EVENT_COLS)
+    finally:
+        cleanup(tmp)
+
+    merged = latest_per_key(
+        backfill.select(*EVENT_COLS).unionByName(tail_tbl),
+        ["user_id"],
+        "ts",
+        tiebreak="event_id",
+    )
+    return merged.select(*EVENT_COLS)
