@@ -37,6 +37,20 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("--rows", type=int, default=600)
     p_pipe.add_argument("--out", help="write each sink as parquet under this dir")
 
+    p_ksql = sub.add_parser(
+        "ksql", help="run a ksqlDB-dialect .sql script against harness tables"
+    )
+    p_ksql.add_argument("file")
+    p_ksql.add_argument("--sf", default=DEFAULT_SF)
+    p_ksql.add_argument(
+        "--topic",
+        action="append",
+        default=[],
+        help="topic=table mapping (default: every harness table under its own "
+        "name, with rowtime bound to its event-time column)",
+    )
+    p_ksql.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
@@ -65,6 +79,43 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_cdc_elasticsearch_pipeline_spark import sql
 
         sql(spark, args.sf, args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "ksql":
+        from pyspark.sql import functions as F
+
+        from kafka_cdc_elasticsearch_pipeline_spark.ksql import KsqlEngine
+        from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import (
+            TABLE_NAMES,
+            load_table,
+        )
+
+        time_cols = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
+        topics = {}
+        mappings = args.topic or [f"{t}={t}" for t in TABLE_NAMES]
+        for spec in mappings:
+            topic, _, table = spec.partition("=")
+            df = load_table(spark, args.sf, table or topic)
+            tc = time_cols.get(table or topic)
+            topics[topic] = (
+                df.withColumn("rowtime", F.col(tc)) if tc and "rowtime" not in df.columns
+                else df
+            )
+        from kafka_cdc_elasticsearch_pipeline_spark.ksql.translate import (
+            split_statements,
+        )
+
+        engine = KsqlEngine(spark, topics)
+        with open(args.file) as f:
+            statements = split_statements(f.read())
+        for stmt in statements:
+            df = engine.execute(stmt)
+            head = stmt.strip().split(None, 2)
+            if df is not None and head and head[0].upper() == "SELECT":
+                df.show(args.limit, truncate=False)
+            elif head and head[0].upper() == "CREATE":
+                print(f"{head[0].title()} {head[1].lower()}: {stmt.split()[2]}")
+        print("relations:", ", ".join(engine.relations) or "(none)")
         return 0
 
     if args.cmd == "pipeline":

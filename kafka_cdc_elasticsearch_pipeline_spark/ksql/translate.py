@@ -1,0 +1,330 @@
+"""ksqlDB-dialect statement translator: run reference-style ``.sql``
+scripts (the grammar of ksqldb-statements.sql) against the engine.
+
+A user of the reference pipeline writes ksqlDB statements; this module
+lets them bring that script to Spark unchanged. Scope is the statement
+grammar the reference exercises (SURVEY §2) — a deliberate subset, not
+a full SQL frontend:
+
+- ``SET '<prop>' = '<value>';`` (R2 — recorded, applied to sources)
+- ``CREATE STREAM name [(coldefs)] WITH (KAFKA_TOPIC='t', ...);``
+- ``CREATE TABLE name (key TYPE PRIMARY KEY, ...) WITH (...);``
+  (→ latest-per-key reduce, S2/A3)
+- ``CREATE STREAM|TABLE name [WITH (...)] AS SELECT ...
+  [LEFT JOIN ... ON ...] [WHERE ...]
+  [WINDOW TUMBLING (SIZE n MINUTE)] [GROUP BY ...]
+  [PARTITION BY col] [EMIT CHANGES];``
+- transient ``SELECT ... [EMIT CHANGES] [LIMIT n];`` (push/pull)
+
+Dialect translation applied to every SELECT:
+- ``LCASE(x)`` → ``lower(x)``; ``UCASE`` → ``upper``
+- string ``+`` concatenation → ``||`` (detected via adjacent string
+  literals — the ksqlDB idiom ``A + ' ' + B``)
+- ``CAST(x AS VARCHAR)`` → ``CAST(x AS STRING)``
+- ``TIMESTAMPTOSTRING(e, 'fmt')`` → ``date_format(to_timestamp(e /
+  1000.0), 'fmt')`` (epoch-millis → formatted, F5)
+- ``WINDOW TUMBLING (SIZE n M)`` → ``window(ROWTIME, 'n minutes')``
+  group key; ``WINDOWSTART`` exposed as the window start (T3/T4)
+- ``EMIT CHANGES`` stripped (batch mode evaluates the current state;
+  the streaming twins live in ``streaming/``)
+
+Execution model: BATCH over caller-provided source DataFrames (one per
+Kafka topic, decoded, carrying an event-time ``ROWTIME`` column and
+optionally ``KAFKA_KEY``/``KAFKA_OFFSET`` metadata). Every derived
+relation registers as a temp view, so statements compose exactly like
+ksqlDB's catalog. ``SELECT *`` expands to data columns (metadata
+columns stay hidden, matching ksqlDB).
+
+Deviations (documented, deliberate): WINDOWSTART is a TIMESTAMP (not
+epoch-ms BIGINT) — string predicates like ``WINDOWSTART > '2020-07-06
+T15:30:00'`` still work via Spark's literal coercion; ``EMIT CHANGES``
+semantics are the batch fixpoint.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_COLS = ("rowtime", "kafka_key", "kafka_offset")
+
+_TYPE_MAP = {
+    "VARCHAR": "string",
+    "STRING": "string",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "DOUBLE": "double",
+    "BOOLEAN": "boolean",
+}
+
+
+def strip_comments(script: str) -> str:
+    return re.sub(r"--[^\n]*", "", script)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split on ';' outside quotes."""
+    out, buf, in_q = [], [], False
+    for ch in strip_comments(script):
+        if ch == "'":
+            in_q = not in_q
+            buf.append(ch)
+        elif ch == ";" and not in_q:
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def parse_with_props(stmt: str) -> dict[str, str]:
+    m = re.search(r"WITH\s*\((.*?)\)", stmt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return {}
+    props = {}
+    for kv in re.finditer(r"(\w[\w.]*)\s*=\s*'([^']*)'", m.group(1)):
+        props[kv.group(1).upper()] = kv.group(2)
+    for kv in re.finditer(r"(\w[\w.]*)\s*=\s*(\d+)", m.group(1)):
+        props.setdefault(kv.group(1).upper(), kv.group(2))
+    return props
+
+
+def translate_expressions(sql: str) -> str:
+    """Apply the ksqlDB→Spark dialect rewrites to a SELECT body."""
+    out = re.sub(r"\bLCASE\s*\(", "lower(", sql, flags=re.IGNORECASE)
+    out = re.sub(r"\bUCASE\s*\(", "upper(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", out, flags=re.IGNORECASE)
+    out = re.sub(
+        r"\bTIMESTAMPTOSTRING\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
+        r"date_format(to_timestamp(\1 / 1000.0), \2)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    # string '+' concat: any '+' adjacent to a string literal becomes ||
+    for _ in range(8):  # chains: A + ' ' + B + ...
+        new = re.sub(r"\+(\s*'[^']*')", r"||\1", out)
+        new = re.sub(r"('[^']*'\s*)\+", r"\1||", new)
+        if new == out:
+            break
+        out = new
+    return out
+
+
+@dataclass
+class Relation:
+    name: str
+    df: DataFrame
+    kind: str  # "stream" | "table"
+    key_col: str | None = None
+    sink_topic: str | None = None
+    data_cols: list[str] = field(default_factory=list)
+
+
+class KsqlEngine:
+    """Execute a ksqlDB-dialect script against topic DataFrames.
+
+    ``topics`` maps KAFKA_TOPIC name → decoded source DataFrame. Each
+    source must carry ``rowtime`` (event time); ``kafka_key`` /
+    ``kafka_offset`` are optional metadata (the offset is the
+    last-write tiebreak for TABLE reduces, ≙ log position).
+    """
+
+    def __init__(self, spark: SparkSession, topics: dict[str, DataFrame]):
+        self.spark = spark
+        self.topics = topics
+        self.relations: dict[str, Relation] = {}
+        self.properties: dict[str, str] = {}
+
+    # -- public ----------------------------------------------------------
+
+    def execute_script(self, script: str) -> list[DataFrame | None]:
+        return [self.execute(s) for s in split_statements(script)]
+
+    def execute(self, stmt: str) -> DataFrame | None:
+        s = stmt.strip()
+        u = s.upper()
+        if u.startswith("SET "):
+            m = re.match(r"SET\s+'([^']+)'\s*=\s*'([^']*)'", s, re.IGNORECASE)
+            if m:
+                self.properties[m.group(1)] = m.group(2)
+            return None
+        if re.match(r"CREATE\s+(STREAM|TABLE)\s+\w+\s+.*\bAS\s+SELECT\b", u, re.DOTALL):
+            return self._create_as_select(s)
+        if u.startswith(("CREATE STREAM", "CREATE TABLE")):
+            return self._create_source(s)
+        if u.startswith("SELECT"):
+            return self._select(s)
+        raise ValueError(f"unsupported statement: {s[:80]}...")
+
+    def df(self, name: str) -> DataFrame:
+        return self.relations[name.lower()].df
+
+    # -- statement handlers ---------------------------------------------
+
+    def _register(self, rel: Relation) -> None:
+        self.relations[rel.name.lower()] = rel
+        rel.df.createOrReplaceTempView(rel.name)
+
+    def _create_source(self, s: str) -> None:
+        m = re.match(
+            r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*(\(([^)]*)\))?\s*WITH",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE: {s[:80]}")
+        kind, name, _, coldefs = m.group(1).lower(), m.group(2), m.group(3), m.group(4)
+        props = parse_with_props(s)
+        topic = props.get("KAFKA_TOPIC", name)
+        if topic not in self.topics:
+            raise KeyError(f"no source registered for topic '{topic}'")
+        df = self.topics[topic]
+
+        key_col = None
+        if coldefs:
+            for cd in coldefs.split(","):
+                km = re.match(
+                    r"\s*(\w+)\s+(\w+)\s+(PRIMARY\s+KEY|KEY)\s*$", cd, re.IGNORECASE
+                )
+                if km:
+                    key_col, ktype = km.group(1), _TYPE_MAP.get(km.group(2).upper(), "string")
+                    if key_col.lower() not in [c.lower() for c in df.columns]:
+                        if "kafka_key" not in df.columns:
+                            raise ValueError(
+                                f"declared key {key_col} needs a kafka_key column"
+                            )
+                        df = df.withColumn(key_col, F.col("kafka_key").cast(ktype))
+
+        if kind == "table":
+            if key_col is None:
+                raise ValueError("CREATE TABLE requires a PRIMARY KEY column")
+            from kafka_cdc_elasticsearch_pipeline_spark.operators.table import (
+                latest_per_key,
+            )
+
+            tiebreak = "kafka_offset" if "kafka_offset" in df.columns else None
+            df = latest_per_key(df, [key_col], "rowtime", tiebreak=tiebreak)
+
+        data_cols = [c for c in df.columns if c.lower() not in META_COLS]
+        self._register(Relation(name, df, kind, key_col, None, data_cols))
+
+    def _data_cols(self, name: str) -> list[str] | None:
+        rel = self.relations.get(name.lower())
+        return rel.data_cols if rel else None
+
+    def _expand_star(self, select_body: str, from_name: str) -> str:
+        body = select_body.strip()
+        if body == "*":
+            cols = self._data_cols(from_name)
+            if cols:
+                return ", ".join(cols)
+        return body
+
+    def _create_as_select(self, s: str) -> DataFrame:
+        m = re.match(
+            r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*(WITH\s*\([^)]*\))?\s*AS\s+(SELECT\b.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        kind, name, _, select = m.group(1).lower(), m.group(2), m.group(3), m.group(4)
+        props = parse_with_props(s[: m.start(4)])
+        # ksqlDB propagates ROWTIME implicitly through every CSAS; a
+        # derived stream must keep its event time for downstream
+        # windowed aggregations (the FROM side's ROWTIME, like ksqlDB).
+        df, part_col = self._run_select(select, propagate_rowtime=(kind == "stream"))
+        if part_col:
+            df = df.repartition(F.col(part_col))
+        rel = Relation(
+            name,
+            df,
+            kind,
+            key_col=part_col,
+            sink_topic=props.get("KAFKA_TOPIC", name),
+            data_cols=list(df.columns),
+        )
+        self._register(rel)
+        return df
+
+    def _select(self, s: str) -> DataFrame:
+        df, _ = self._run_select(s)
+        return df
+
+    # -- the SELECT core -------------------------------------------------
+
+    def _run_select(
+        self, select: str, propagate_rowtime: bool = False
+    ) -> tuple[DataFrame, str | None]:
+        text = select.strip()
+        # strip EMIT CHANGES (batch mode = current state)
+        text = re.sub(r"\bEMIT\s+CHANGES\b", "", text, flags=re.IGNORECASE)
+
+        # PARTITION BY <col> (ksql re-key; becomes repartition + key)
+        part_col = None
+        pm = re.search(r"\bPARTITION\s+BY\s+(\w+)", text, re.IGNORECASE)
+        if pm:
+            part_col = pm.group(1)
+            text = text[: pm.start()] + text[pm.end():]
+
+        # WINDOW TUMBLING (SIZE n UNIT)
+        window_expr = None
+        wm = re.search(
+            r"\bWINDOW\s+TUMBLING\s*\(\s*SIZE\s+(\d+)\s+(SECOND|MINUTE|HOUR)S?\s*\)",
+            text,
+            re.IGNORECASE,
+        )
+        if wm:
+            n, unit = wm.group(1), wm.group(2).lower()
+            window_expr = f"window(ROWTIME, '{n} {unit}s')"
+            text = text[: wm.start()] + text[wm.end():]
+
+        # SELECT * expansion (hide metadata cols like ksqlDB does)
+        sm = re.match(
+            r"SELECT\s+(.*?)(\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\b.*)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if sm:
+            body = self._expand_star(sm.group(1), sm.group(3))
+            has_group_by = re.search(r"\bGROUP\s+BY\b", text, re.IGNORECASE)
+            if (
+                propagate_rowtime
+                and not has_group_by
+                and not re.search(r"\browtime\b", body, re.IGNORECASE)
+            ):
+                alias = sm.group(4)
+                # the optional FROM alias must not be a keyword match
+                if alias and alias.upper() in ("LEFT", "JOIN", "WHERE", "GROUP", "LIMIT"):
+                    alias = None
+                src = alias or sm.group(3)
+                body = f"{body}, {src}.ROWTIME AS rowtime"
+            text = f"SELECT {body}{sm.group(2)}"
+
+        if window_expr:
+            # windowed aggregate: window key joins the GROUP BY; expose
+            # WINDOWSTART like ksqlDB's windowed-table schema
+            gm = re.search(r"\bGROUP\s+BY\s+(.+)$", text, re.IGNORECASE | re.DOTALL)
+            if not gm:
+                raise ValueError("WINDOW TUMBLING requires GROUP BY")
+            group_keys = gm.group(1).strip()
+            text = (
+                text[: gm.start()]
+                + f"GROUP BY {window_expr}, {group_keys}"
+            )
+            text = re.sub(
+                r"^SELECT\s+",
+                "SELECT window.start AS WINDOWSTART, ",
+                text,
+                count=1,
+                flags=re.IGNORECASE,
+            )
+
+        return self.spark.sql(translate_expressions(text)), part_col

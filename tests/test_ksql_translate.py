@@ -1,0 +1,182 @@
+"""ksqlDB-dialect translator: run an original script written in the
+reference's statement grammar (SURVEY §2 / ksqldb-statements.sql
+SHAPES — same clauses, our own identifiers and data) and check every
+derived relation against plain-DataFrame expectations."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.ksql import KsqlEngine
+
+
+def _ts(minutes: int) -> datetime.datetime:
+    return datetime.datetime(2021, 3, 1, 9, 0) + datetime.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    reviews = spark.createDataFrame(
+        [
+            Row(
+                review_id=i,
+                member_id=i % 6,
+                score=(i * 7) % 5 + 1,
+                channel=["mobile", "kiosk", "qa-test-rig", "web"][i % 4],
+                note=f"note {i}",
+                rowtime=_ts(i * 4),
+            )
+            for i in range(48)
+        ]
+    )
+    members_changes = spark.createDataFrame(
+        [
+            Row(
+                first_name=fn,
+                last_name=ln,
+                tier=tier,
+                kafka_key=str(mid),
+                kafka_offset=off,
+                rowtime=_ts(off),
+            )
+            for mid, fn, ln, tier, off in [
+                (0, "Ada", "Lovelace", "standard", 0),
+                (1, "Grace", "Hopper", "standard", 1),
+                (2, "Edsger", "Dijkstra", "premier", 2),
+                (3, "Barbara", "Liskov", "premier", 3),
+                (4, "Alan", "Turing", "standard", 4),
+                (0, "Ada", "Lovelace", "premier", 10),  # upgrade: last write wins
+            ]
+        ]
+    )
+    return KsqlEngine(
+        spark, {"reviews": reviews, "crm.public.MEMBERS": members_changes}
+    )
+
+
+SCRIPT = """
+SET 'auto.offset.reset' = 'earliest';
+
+CREATE STREAM REVIEWS WITH (KAFKA_TOPIC='reviews', VALUE_FORMAT='JSON');
+
+CREATE STREAM REVIEWS_CLEAN AS
+  SELECT * FROM REVIEWS
+  WHERE LCASE(CHANNEL) NOT LIKE '%test%'
+  EMIT CHANGES;
+
+CREATE STREAM REVIEWS_QA AS
+  SELECT * FROM REVIEWS
+  WHERE LCASE(CHANNEL) LIKE '%test%'
+  EMIT CHANGES;
+
+CREATE TABLE MEMBERS (MEMBER_ID INT PRIMARY KEY)
+  WITH (KAFKA_TOPIC='crm.public.MEMBERS', VALUE_FORMAT='JSON');
+
+CREATE STREAM REVIEWS_ENRICHED WITH (KAFKA_TOPIC='reviews-enriched') AS
+  SELECT R.REVIEW_ID, R.SCORE, R.CHANNEL,
+         M.TIER,
+         M.FIRST_NAME + ' ' + M.LAST_NAME AS FULL_NAME
+  FROM REVIEWS_CLEAN R
+  LEFT JOIN MEMBERS M ON CAST(R.MEMBER_ID AS STRING) = CAST(M.MEMBER_ID AS STRING)
+  WHERE M.FIRST_NAME IS NOT NULL
+  EMIT CHANGES;
+
+CREATE STREAM GRUMPY_PREMIER AS
+  SELECT FULL_NAME, SCORE, CHANNEL
+  FROM REVIEWS_ENRICHED
+  WHERE SCORE < 3 AND TIER = 'premier'
+  PARTITION BY FULL_NAME
+  EMIT CHANGES;
+
+CREATE TABLE REVIEWS_PER_MEMBER_PER_30MINUTE AS
+  SELECT FULL_NAME, COUNT(*) AS REVIEW_COUNT, COLLECT_LIST(SCORE) AS SCORES
+  FROM REVIEWS_ENRICHED
+  WINDOW TUMBLING (SIZE 30 MINUTE)
+  GROUP BY FULL_NAME
+  EMIT CHANGES;
+"""
+
+
+@pytest.fixture(scope="module")
+def ran(engine):
+    engine.execute_script(SCRIPT)
+    return engine
+
+
+def test_set_property_recorded(ran):
+    assert ran.properties["auto.offset.reset"] == "earliest"
+
+
+def test_split_partitions_input(ran):
+    total = ran.df("REVIEWS").count()
+    clean, qa = ran.df("REVIEWS_CLEAN"), ran.df("REVIEWS_QA")
+    assert clean.count() + qa.count() == total
+    assert qa.count() == 12  # every 4th review is 'qa-test-rig'
+    # star expansion hid nothing from the data columns
+    assert "review_id" in [c.lower() for c in clean.columns]
+
+
+def test_table_is_latest_per_key(ran):
+    members = ran.df("MEMBERS")
+    assert members.count() == 5
+    ada = members.filter("MEMBER_ID = 0").collect()[0]
+    assert ada.tier == "premier"  # offset-10 upgrade beat the seed row
+
+
+def test_enrichment_join_and_concat(ran):
+    enriched = ran.df("REVIEWS_ENRICHED")
+    rows = enriched.collect()
+    assert len(rows) == ran.df("REVIEWS_CLEAN").filter("member_id <= 4").count()
+    names = {r.FULL_NAME for r in rows}
+    assert "Ada Lovelace" in names and "Grace Hopper" in names
+
+
+def test_filter_and_rekey(ran):
+    grumpy = ran.df("GRUMPY_PREMIER").collect()
+    assert len(grumpy) > 0
+    assert all(r.SCORE < 3 for r in grumpy)
+    assert {r.FULL_NAME for r in grumpy} <= {"Edsger Dijkstra", "Barbara Liskov", "Ada Lovelace"}
+
+
+def test_windowed_aggregate_with_windowstart(ran, spark):
+    agg = ran.df("REVIEWS_PER_MEMBER_PER_30MINUTE")
+    cols = [c.upper() for c in agg.columns]
+    assert cols[:1] == ["WINDOWSTART"]
+    # totals across windows == enriched row count
+    total = agg.agg(F.sum("REVIEW_COUNT")).collect()[0][0]
+    assert total == ran.df("REVIEWS_ENRICHED").count()
+    # windowstart aligns on the half hour
+    for r in agg.select("WINDOWSTART").distinct().collect():
+        assert r.WINDOWSTART.minute in (0, 30)
+
+
+def test_transient_pull_query_with_windowstart_predicate(ran):
+    got = ran.execute(
+        "SELECT * FROM REVIEWS_PER_MEMBER_PER_30MINUTE"
+        " WHERE WINDOWSTART > '2021-03-01 09:59:00' EMIT CHANGES"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r.WINDOWSTART >= datetime.datetime(2021, 3, 1, 10, 0) for r in rows)
+
+
+def test_transient_push_query_with_limit(ran):
+    got = ran.execute("SELECT REVIEW_ID, SCORE FROM REVIEWS_CLEAN EMIT CHANGES LIMIT 5")
+    assert got.count() == 5
+
+
+def test_timestamptostring_translation(ran):
+    got = ran.execute(
+        "SELECT TIMESTAMPTOSTRING(1593098400000, 'yyyy-MM-dd HH:mm:ss') AS T"
+        " FROM REVIEWS_CLEAN LIMIT 1"
+    ).collect()
+    assert got[0].T == "2020-06-25 15:20:00"
+
+
+def test_unsupported_statement_raises(ran):
+    with pytest.raises(ValueError):
+        ran.execute("DROP STREAM REVIEWS_CLEAN")
