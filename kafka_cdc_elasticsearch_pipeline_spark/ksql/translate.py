@@ -87,13 +87,19 @@ def split_statements(script: str) -> list[str]:
 
 
 def parse_with_props(stmt: str) -> dict[str, str]:
+    """Parse a WITH (...) property map. Keys may be bare identifiers
+    (``KAFKA_TOPIC='x'``) or quoted (connector syntax:
+    ``'connector.class' = 'x'``)."""
     m = re.search(r"WITH\s*\((.*?)\)", stmt, re.IGNORECASE | re.DOTALL)
     if not m:
         return {}
     props = {}
-    for kv in re.finditer(r"(\w[\w.]*)\s*=\s*'([^']*)'", m.group(1)):
+    body = m.group(1)
+    for kv in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", body):
         props[kv.group(1).upper()] = kv.group(2)
-    for kv in re.finditer(r"(\w[\w.]*)\s*=\s*(\d+)", m.group(1)):
+    for kv in re.finditer(r"(?<!')\b(\w[\w.]*)\s*=\s*'([^']*)'", body):
+        props.setdefault(kv.group(1).upper(), kv.group(2))
+    for kv in re.finditer(r"(?<!')\b(\w[\w.]*)\s*=\s*(\d+)", body):
         props.setdefault(kv.group(1).upper(), kv.group(2))
     return props
 
@@ -129,6 +135,13 @@ class Relation:
     data_cols: list[str] = field(default_factory=list)
 
 
+@dataclass
+class Connector:
+    name: str
+    kind: str  # "source" | "sink"
+    props: dict[str, str]
+
+
 class KsqlEngine:
     """Execute a ksqlDB-dialect script against topic DataFrames.
 
@@ -143,6 +156,7 @@ class KsqlEngine:
         self.topics = topics
         self.relations: dict[str, Relation] = {}
         self.properties: dict[str, str] = {}
+        self.connectors: dict[str, Connector] = {}
 
     # -- public ----------------------------------------------------------
 
@@ -157,16 +171,100 @@ class KsqlEngine:
             if m:
                 self.properties[m.group(1)] = m.group(2)
             return None
+        cm = re.match(r"CREATE\s+(SOURCE|SINK)\s+CONNECTOR\s+(\w+)", s, re.IGNORECASE)
+        if cm:
+            self.connectors[cm.group(2).lower()] = Connector(
+                cm.group(2), cm.group(1).lower(), parse_with_props(s)
+            )
+            return None
         if re.match(r"CREATE\s+(STREAM|TABLE)\s+\w+\s+.*\bAS\s+SELECT\b", u, re.DOTALL):
             return self._create_as_select(s)
         if u.startswith(("CREATE STREAM", "CREATE TABLE")):
             return self._create_source(s)
+        if u.startswith(("SHOW ", "DESCRIBE ")):
+            return self._catalog(s)
         if u.startswith("SELECT"):
             return self._select(s)
         raise ValueError(f"unsupported statement: {s[:80]}...")
 
     def df(self, name: str) -> DataFrame:
         return self.relations[name.lower()].df
+
+    def run_sink_connectors(self, transport=None) -> dict[str, int]:
+        """Execute every registered Elasticsearch SINK connector in
+        batch mode: each configured topic's relation bulk-indexes into
+        ``connection.url`` through the engine's ES sink (S6/S7/S12
+        semantics — doc ids from the relation key unless
+        ``key.ignore=true``, DLQ-free 'none' tolerance raises).
+        ``transport`` is injectable for tests. Returns rows indexed per
+        topic."""
+        from kafka_cdc_elasticsearch_pipeline_spark.sources.elasticsearch import (
+            _http_transport,
+            es_sink_foreach_batch,
+        )
+
+        indexed: dict[str, int] = {}
+        for conn in self.connectors.values():
+            cls = conn.props.get("CONNECTOR.CLASS", "")
+            if conn.kind != "sink" or "Elasticsearch" not in cls:
+                continue
+            es_url = conn.props["CONNECTION.URL"].rstrip("/")
+            key_ignore = conn.props.get("KEY.IGNORE", "false").lower() == "true"
+            tolerance = conn.props.get("ERRORS.TOLERANCE", "none")
+            for topic in conn.props.get("TOPICS", "").split(","):
+                topic = topic.strip()
+                if not topic:
+                    continue
+                rel = self._relation_for_topic(topic)
+                if rel is None:
+                    raise KeyError(f"sink connector {conn.name}: no relation "
+                                   f"writes topic '{topic}'")
+                id_col = None if key_ignore else rel.key_col
+                sink = es_sink_foreach_batch(
+                    es_url,
+                    topic.lower(),
+                    id_col=id_col,
+                    errors_tolerance=tolerance,
+                    transport=transport or _http_transport,
+                )
+                sink(rel.df, 0)
+                indexed[topic] = rel.df.count()
+        return indexed
+
+    def _relation_for_topic(self, topic: str) -> Relation | None:
+        for rel in self.relations.values():
+            if rel.sink_topic == topic or rel.name.lower() == topic.lower():
+                return rel
+        return None
+
+    def _catalog(self, s: str) -> DataFrame:
+        u = s.strip().upper()
+        mk = self.spark.createDataFrame
+        if u.startswith("SHOW STREAMS"):
+            rows = [(r.name, r.sink_topic or "-") for r in self.relations.values()
+                    if r.kind == "stream"]
+            return mk(rows or [("", "")], "name string, topic string").filter("name <> ''")
+        if u.startswith("SHOW TABLES"):
+            rows = [(r.name, r.key_col or "-") for r in self.relations.values()
+                    if r.kind == "table"]
+            return mk(rows or [("", "")], "name string, key string").filter("name <> ''")
+        if u.startswith("SHOW TOPICS"):
+            return mk([(t,) for t in self.topics], "name string")
+        if u.startswith("SHOW CONNECTORS"):
+            rows = [(c.name, c.kind, c.props.get("CONNECTOR.CLASS", ""))
+                    for c in self.connectors.values()]
+            return mk(rows or [("", "", "")], "name string, type string, class string").filter("name <> ''")
+        if u.startswith("SHOW PROPERTIES"):
+            return mk(list(self.properties.items()) or [("", "")],
+                      "property string, value string").filter("property <> ''")
+        dm = re.match(r"DESCRIBE\s+(?:EXTENDED\s+)?(\w+)", s, re.IGNORECASE)
+        if dm:
+            rel = self.relations[dm.group(1).lower()]
+            rows = [(f.name, f.dataType.simpleString(),
+                     "KEY" if f.name == rel.key_col else "")
+                    for f in rel.df.schema.fields]
+            return mk(rows, "column string, type string, role string")
+        raise ValueError(f"unsupported catalog statement: {s[:60]}")
 
     # -- statement handlers ---------------------------------------------
 

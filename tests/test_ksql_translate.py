@@ -180,3 +180,61 @@ def test_timestamptostring_translation(ran):
 def test_unsupported_statement_raises(ran):
     with pytest.raises(ValueError):
         ran.execute("DROP STREAM REVIEWS_CLEAN")
+
+
+CONNECTOR_SCRIPT = """
+CREATE SOURCE CONNECTOR CRM_SOURCE WITH (
+    'connector.class' = 'io.debezium.connector.mysql.MySqlConnector',
+    'database.server.name' = 'crm',
+    'table.whitelist' = 'public.MEMBERS');
+
+CREATE SINK CONNECTOR REVIEWS_TO_ES WITH (
+    'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
+    'topics' = 'reviews-enriched',
+    'connection.url' = 'http://elastic.test:9200',
+    'key.ignore' = 'true',
+    'errors.tolerance' = 'all');
+"""
+
+
+def test_connectors_register_and_show(ran):
+    ran.execute_script(CONNECTOR_SCRIPT)
+    shown = {r.name: r.type for r in ran.execute("SHOW CONNECTORS").collect()}
+    assert shown == {"CRM_SOURCE": "source", "REVIEWS_TO_ES": "sink"}
+    streams = {r.name for r in ran.execute("SHOW STREAMS").collect()}
+    assert "REVIEWS_ENRICHED" in streams and "REVIEWS_CLEAN" in streams
+    tables = {r.name for r in ran.execute("SHOW TABLES").collect()}
+    assert "MEMBERS" in tables
+    desc = {r.column: r.role for r in ran.execute("DESCRIBE MEMBERS").collect()}
+    assert desc.get("MEMBER_ID") == "KEY"
+
+
+def test_sink_connector_bulk_indexes_through_transport(ran, tmp_path):
+    import json
+    import os
+
+    capture_dir = str(tmp_path)
+
+    def transport(url, body):
+        import uuid
+
+        with open(os.path.join(capture_dir, f"{uuid.uuid4().hex}.ndjson"), "w") as f:
+            f.write(url + "\n" + body)
+        n = len(body.strip().splitlines()) // 2
+        return 200, json.dumps(
+            {"errors": False, "items": [{"index": {"status": 201}} for _ in range(n)]}
+        )
+
+    ran.execute_script(CONNECTOR_SCRIPT)
+    indexed = ran.run_sink_connectors(transport=transport)
+    assert indexed == {"reviews-enriched": ran.df("REVIEWS_ENRICHED").count()}
+    docs = 0
+    for fn in os.listdir(capture_dir):
+        with open(os.path.join(capture_dir, fn)) as f:
+            lines = f.read().strip().splitlines()
+        assert lines[0].endswith("/_bulk")
+        actions = [json.loads(x) for x in lines[1::2]]
+        # key.ignore=true -> auto ids, no _id in the action line
+        assert all("_id" not in a["index"] for a in actions)
+        docs += len(actions)
+    assert docs == indexed["reviews-enriched"]
