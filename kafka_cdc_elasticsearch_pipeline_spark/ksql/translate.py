@@ -109,6 +109,14 @@ def translate_expressions(sql: str) -> str:
     out = re.sub(r"\bLCASE\s*\(", "lower(", sql, flags=re.IGNORECASE)
     out = re.sub(r"\bUCASE\s*\(", "upper(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", out, flags=re.IGNORECASE)
+    # WINDOWSTART/ROWTIME are TIMESTAMP in this engine (ksql models them
+    # as epoch-ms BIGINT): format directly, no epoch division
+    out = re.sub(
+        r"\bTIMESTAMPTOSTRING\s*\(\s*((?:\w+\.)?(?:WINDOWSTART|ROWTIME))\s*,\s*('[^']*')\s*\)",
+        r"date_format(\1, \2)",
+        out,
+        flags=re.IGNORECASE,
+    )
     out = re.sub(
         r"\bTIMESTAMPTOSTRING\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
         r"date_format(to_timestamp(\1 / 1000.0), \2)",
@@ -219,7 +227,14 @@ class KsqlEngine:
                 if rel is None:
                     raise KeyError(f"sink connector {conn.name}: no relation "
                                    f"writes topic '{topic}'")
-                id_col = None if key_ignore else rel.key_col
+                df = self._apply_smts(rel.df, conn.props)
+                # key.ignore=false -> doc id from the relation key, or
+                # the raw Kafka message key when none is declared
+                id_col = None
+                if not key_ignore:
+                    id_col = rel.key_col or (
+                        "kafka_key" if "kafka_key" in rel.df.columns else None
+                    )
                 sink = es_sink_foreach_batch(
                     es_url,
                     topic.lower(),
@@ -227,9 +242,25 @@ class KsqlEngine:
                     errors_tolerance=tolerance,
                     transport=transport or _http_transport,
                 )
-                sink(rel.df, 0)
-                indexed[topic] = rel.df.count()
+                sink(df, 0)
+                indexed[topic] = df.count()
         return indexed
+
+    @staticmethod
+    def _apply_smts(df: DataFrame, props: dict[str, str]) -> DataFrame:
+        """Connector SMT chain — the one the reference uses:
+        InsertField$Value with a timestamp.field adds the wall-clock
+        ingest time (S9, ksqldb-statements.sql:8-10,82-84)."""
+        for t in props.get("TRANSFORMS", "").split(","):
+            t = t.strip().upper()
+            if not t:
+                continue
+            smt_type = props.get(f"TRANSFORMS.{t}.TYPE", "")
+            if smt_type.endswith("InsertField$Value"):
+                field = props.get(f"TRANSFORMS.{t}.TIMESTAMP.FIELD")
+                if field:
+                    df = df.withColumn(field, F.current_timestamp())
+        return df
 
     def _relation_for_topic(self, topic: str) -> Relation | None:
         for rel in self.relations.values():
