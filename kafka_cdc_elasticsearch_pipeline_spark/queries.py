@@ -13,6 +13,7 @@ from kafka_cdc_elasticsearch_pipeline_spark.registry import QUERIES, QuerySpec, 
 # correctness gate (round-1 lesson — a swallowed ImportError would have
 # hidden 27 queries from the driver with no signal at all).
 import kafka_cdc_elasticsearch_pipeline_spark.queries_core  # noqa: F401, E402
+import kafka_cdc_elasticsearch_pipeline_spark.queries_ksql  # noqa: F401, E402
 import kafka_cdc_elasticsearch_pipeline_spark.queries_tpch  # noqa: F401, E402
 import kafka_cdc_elasticsearch_pipeline_spark.streaming.queries_streaming  # noqa: F401, E402
 import kafka_cdc_elasticsearch_pipeline_spark.extensions.queries_ext  # noqa: F401, E402
