@@ -403,8 +403,9 @@ class KsqlEngine:
             part_col = pm.group(1)
             text = text[: pm.start()] + text[pm.end():]
 
-        # WINDOW TUMBLING (SIZE n UNIT)
+        # WINDOW TUMBLING / HOPPING / SESSION
         window_expr = None
+        session = False
         wm = re.search(
             r"\bWINDOW\s+TUMBLING\s*\(\s*SIZE\s+(\d+)\s+(SECOND|MINUTE|HOUR)S?\s*\)",
             text,
@@ -414,6 +415,28 @@ class KsqlEngine:
             n, unit = wm.group(1), wm.group(2).lower()
             window_expr = f"window(ROWTIME, '{n} {unit}s')"
             text = text[: wm.start()] + text[wm.end():]
+        else:
+            hm = re.search(
+                r"\bWINDOW\s+HOPPING\s*\(\s*SIZE\s+(\d+)\s+(SECOND|MINUTE|HOUR)S?\s*,"
+                r"\s*ADVANCE\s+BY\s+(\d+)\s+(SECOND|MINUTE|HOUR)S?\s*\)",
+                text,
+                re.IGNORECASE,
+            )
+            if hm:
+                n, u1, a, u2 = hm.groups()
+                window_expr = f"window(ROWTIME, '{n} {u1.lower()}s', '{a} {u2.lower()}s')"
+                text = text[: hm.start()] + text[hm.end():]
+            else:
+                sm2 = re.search(
+                    r"\bWINDOW\s+SESSION\s*\(\s*(\d+)\s+(SECOND|MINUTE|HOUR)S?\s*\)",
+                    text,
+                    re.IGNORECASE,
+                )
+                if sm2:
+                    n, unit = sm2.group(1), sm2.group(2).lower()
+                    window_expr = f"session_window(ROWTIME, '{n} {unit}s')"
+                    session = True
+                    text = text[: sm2.start()] + text[sm2.end():]
 
         # SELECT * expansion (hide metadata cols like ksqlDB does)
         sm = re.match(
@@ -439,18 +462,23 @@ class KsqlEngine:
 
         if window_expr:
             # windowed aggregate: window key joins the GROUP BY; expose
-            # WINDOWSTART like ksqlDB's windowed-table schema
+            # WINDOWSTART (and WINDOWEND for sessions) like ksqlDB's
+            # windowed-table schema
             gm = re.search(r"\bGROUP\s+BY\s+(.+)$", text, re.IGNORECASE | re.DOTALL)
             if not gm:
-                raise ValueError("WINDOW TUMBLING requires GROUP BY")
+                raise ValueError("WINDOW clauses require GROUP BY")
             group_keys = gm.group(1).strip()
             text = (
                 text[: gm.start()]
                 + f"GROUP BY {window_expr}, {group_keys}"
             )
+            wcol = "session_window" if session else "window"
+            exposed = f"SELECT {wcol}.start AS WINDOWSTART, "
+            if session:
+                exposed += f"{wcol}.end AS WINDOWEND, "
             text = re.sub(
                 r"^SELECT\s+",
-                "SELECT window.start AS WINDOWSTART, ",
+                exposed,
                 text,
                 count=1,
                 flags=re.IGNORECASE,

@@ -238,3 +238,26 @@ def test_sink_connector_bulk_indexes_through_transport(ran, tmp_path):
         assert all("_id" not in a["index"] for a in actions)
         docs += len(actions)
     assert docs == indexed["reviews-enriched"]
+
+
+def test_hopping_window_grammar(ran):
+    df = ran.execute(
+        "CREATE TABLE HOP_30_15 AS SELECT FULL_NAME, COUNT(*) AS N"
+        " FROM REVIEWS_ENRICHED WINDOW HOPPING (SIZE 30 MINUTE, ADVANCE BY 15 MINUTE)"
+        " GROUP BY FULL_NAME EMIT CHANGES"
+    )
+    # every event lands in exactly 2 hopping windows
+    total = df.agg(F.sum("N")).collect()[0][0]
+    assert total == 2 * ran.df("REVIEWS_ENRICHED").count()
+
+
+def test_session_window_grammar(ran):
+    df = ran.execute(
+        "CREATE TABLE SESS_10 AS SELECT FULL_NAME, COUNT(*) AS N"
+        " FROM REVIEWS_ENRICHED WINDOW SESSION (10 MINUTES)"
+        " GROUP BY FULL_NAME EMIT CHANGES"
+    )
+    cols = [c.upper() for c in df.columns]
+    assert cols[:2] == ["WINDOWSTART", "WINDOWEND"]
+    total = df.agg(F.sum("N")).collect()[0][0]
+    assert total == ran.df("REVIEWS_ENRICHED").count()
