@@ -1,0 +1,91 @@
+"""The same per-user profile operator on Spark 4's NEW stateful API —
+``transformWithStateInPandas`` (SPARK-49770, the successor to
+``applyInPandasWithState``): typed per-key state handles
+(ValueState/ListState/MapState), explicit processor lifecycle, timer
+support, and state-schema evolution.
+
+Both implementations run in the gate against the SAME DuckDB oracle,
+which pins an engine-level claim: the operator contract (deterministic
+per-key fold with tie-broken last-event tracking) is API-independent —
+migrating a 100 TB pipeline from the old stateful API to the new one
+must not change a single output hash.
+
+Scale notes match ``stateful.py``: one fixed-width ValueState row per
+key in the state store (RocksDB at scale), Arrow-batched pandas I/O,
+event time as int64 epoch-micros end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+    PROFILE_OUTPUT_SCHEMA,
+    PROFILE_STATE_SCHEMA,
+)
+
+
+class ProfileProcessor(StatefulProcessor):
+    """Per-user profile: (event count, integer unit total, last event
+    by (ts, event_id) tiebreak) — identical fold as the old-API twin."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("profile", PROFILE_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._state.get() if self._state.exists() else None
+        n, units, ts_us, eid, val = cur if cur is not None else (0, 0, -1, -1, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            units += int(pdf["units"].sum())
+            latest = pdf[pdf["ts_us"] == pdf["ts_us"].max()]
+            row = latest.loc[latest["event_id"].idxmax()]
+            if (int(row["ts_us"]), int(row["event_id"])) > (ts_us, eid):
+                ts_us, eid, val = (
+                    int(row["ts_us"]),
+                    int(row["event_id"]),
+                    float(row["value"]),
+                )
+        self._state.update((n, units, ts_us, eid, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_units": [units],
+                "last_ts_us": [ts_us],
+                "last_event_id": [eid],
+                "last_value": [val],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_stream_v2(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` version of
+    ``stateful.user_profile_stream`` — same input projection, same
+    update-mode emission."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor("value").cast("long").alias("units"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -182,3 +182,45 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     got = spark.table("ssj_unit").collect()
     assert [(r.left_id, r.right_id, r.user_id) for r in got] == [(100, 101, 1)]
     assert got[0].lag_us == 20 * 60 * 1_000_000
+
+
+def test_transform_with_state_matches_old_api(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas twin of the profile
+    operator must produce byte-identical final profiles to the
+    applyInPandasWithState version. SKIPs where the new API's python
+    protobuf dependency is absent (this sandbox ships without it)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs python protobuf"
+    )
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+        run_to_memory,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_profiles,
+        user_profile_stream,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        user_profile_stream_v2,
+    )
+
+    outs = []
+    for fn, label in ((user_profile_stream, "v1"), (user_profile_stream_v2, "v2")):
+        stream, tmp = replay_stream(
+            spark, "/root/testdata/sf0.001", "events", chunks=4
+        )
+        try:
+            run_to_memory(fn(stream), f"twsp_{label}", output_mode="update")
+            outs.append(
+                finalize_profiles(spark.table(f"twsp_{label}"))
+                .orderBy("user_id")
+                .collect()
+            )
+        finally:
+            cleanup(tmp)
+    assert outs[0] == outs[1]
