@@ -191,6 +191,35 @@ class KsqlEngine:
             return self._create_source(s)
         if u.startswith(("SHOW ", "DESCRIBE ")):
             return self._catalog(s)
+        im = re.match(r"INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", s, re.IGNORECASE | re.DOTALL)
+        if im:
+            target = self.relations[im.group(1).lower()]
+            extra, _ = self._run_select(im.group(2), propagate_rowtime=True)
+            merged = target.df.unionByName(
+                extra.select(*target.df.columns), allowMissingColumns=False
+            )
+            self._register(
+                Relation(
+                    target.name, merged, target.kind, target.key_col,
+                    target.sink_topic, target.data_cols,
+                )
+            )
+            return None
+        dm = re.match(r"DROP\s+(STREAM|TABLE)\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+        if dm:
+            rel = self.relations.pop(dm.group(2).lower(), None)
+            if rel is not None:
+                self.spark.catalog.dropTempView(rel.name)
+            return None
+        if u.startswith("TERMINATE"):
+            return None  # batch mode has no continuous queries to stop
+        em = re.match(r"EXPLAIN\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if em:
+            df, _ = self._run_select(em.group(1))
+            plan = df._jdf.queryExecution().toString()
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
         if u.startswith("SELECT"):
             return self._select(s)
         raise ValueError(f"unsupported statement: {s[:80]}...")

@@ -179,7 +179,7 @@ def test_timestamptostring_translation(ran):
 
 def test_unsupported_statement_raises(ran):
     with pytest.raises(ValueError):
-        ran.execute("DROP STREAM REVIEWS_CLEAN")
+        ran.execute("PAUSE QUERY CSAS_REVIEWS_CLEAN_1")
 
 
 CONNECTOR_SCRIPT = """
@@ -261,3 +261,30 @@ def test_session_window_grammar(ran):
     assert cols[:2] == ["WINDOWSTART", "WINDOWEND"]
     total = df.agg(F.sum("N")).collect()[0][0]
     assert total == ran.df("REVIEWS_ENRICHED").count()
+
+
+def test_insert_into_appends(ran, spark):
+    engine = ran
+    engine.execute(
+        "CREATE STREAM INS_TARGET AS SELECT REVIEW_ID, SCORE FROM REVIEWS_CLEAN"
+        " WHERE SCORE >= 4 EMIT CHANGES"
+    )
+    before = engine.df("INS_TARGET").count()
+    engine.execute(
+        "INSERT INTO INS_TARGET SELECT REVIEW_ID, SCORE FROM REVIEWS_CLEAN"
+        " WHERE SCORE = 1"
+    )
+    after = engine.df("INS_TARGET").count()
+    ones = engine.df("REVIEWS_CLEAN").filter("score = 1").count()
+    assert after == before + ones and ones > 0
+
+
+def test_drop_and_explain(ran):
+    engine = ran
+    engine.execute("CREATE STREAM DROP_ME AS SELECT REVIEW_ID FROM REVIEWS_CLEAN")
+    assert "drop_me" in engine.relations
+    engine.execute("DROP STREAM DROP_ME")
+    assert "drop_me" not in engine.relations
+    plan = engine.execute("EXPLAIN SELECT COUNT(*) AS N FROM REVIEWS_CLEAN").collect()
+    assert any("Physical Plan" in r.plan for r in plan)
+    assert engine.execute("TERMINATE ALL") is None
