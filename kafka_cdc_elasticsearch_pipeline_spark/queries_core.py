@@ -1469,3 +1469,53 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()],
         10,
     ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+def _sql_profile_col(table: str, col: str, canon_min: str, canon_max: str) -> str:
+    return f"""
+      SELECT '{col}' AS column, count(*) AS n_rows,
+             sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             count(DISTINCT {col}) AS n_distinct,
+             {canon_min} AS min_value, {canon_max} AS max_value
+      FROM {table}
+    """
+
+
+def _sql_profile(table: str, cols: list[tuple[str, str]]) -> str:
+    parts = []
+    for col, kind in cols:
+        if kind == "double":
+            cmin = f"round(min({col}), 6)::DECIMAL(18,6)::VARCHAR"
+            cmax = f"round(max({col}), 6)::DECIMAL(18,6)::VARCHAR"
+        elif kind == "ts":
+            cmin = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+            cmax = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            cmin, cmax = f"min({col})::VARCHAR", f"max({col})::VARCHAR"
+        parts.append(_sql_profile_col(table, col, cmin, cmax))
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "util_profile_orders",
+    _sql_profile(
+        "orders",
+        [
+            ("o_orderkey", "int"),
+            ("o_custkey", "int"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "double"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ],
+    ),
+    tags=("util", "profile"),
+)
+def util_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: nulls / exact distinct
+    / canonical min-max for every column in ONE aggregation pass
+    (operators/profile.py); the oracle recomputes each column's stats
+    independently."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
