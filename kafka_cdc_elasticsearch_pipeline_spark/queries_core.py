@@ -1519,3 +1519,27 @@ def util_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_elasticsearch_pipeline_spark.operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "s2_scd2_changelog_history",
+    """
+    SELECT event_id, user_id, ts, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events
+    """,
+    tags=("S2", "A3", "scd2", "cdc"),
+)
+def s2_scd2_changelog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 expansion of the changelog (operators/scd.py): every
+    version gets (valid_from, valid_to, is_current) via one window
+    pass — the as-of-time counterpart of the latest-per-key TABLE;
+    its is_current slice equals `s2_a3_table_latest_per_key` by
+    construction (same order + tiebreak)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.scd import scd2_history
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return scd2_history(ev, ["user_id"], "ts", tiebreak="event_id")

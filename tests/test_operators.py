@@ -280,3 +280,37 @@ def test_second_moment_stats_null_and_degenerate_groups(spark):
     assert abs(b.mean_value - 9.0) < 1e-9
     assert c.var_value is not None  # two x values → variance exists
     assert c.corr_vk is None  # but y has zero variance → NULL corr
+
+
+def test_scd2_is_current_slice_equals_latest_per_key(spark):
+    """The SCD2 table's current slice must equal the TABLE reduce —
+    one changelog, two consistent materializations."""
+    from pyspark.sql import Row
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.scd import scd2_history
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, user_id=i % 3, ts=t0 + datetime.timedelta(minutes=i), value=float(i))
+        for i in range(12)
+    ]
+    # planted tie: same ts as event 11 for user 2, higher event_id wins
+    rows.append(Row(event_id=99, user_id=2, ts=t0 + datetime.timedelta(minutes=11), value=99.0))
+    df = spark.createDataFrame(rows)
+
+    scd = scd2_history(df, ["user_id"], "ts", tiebreak="event_id")
+    current = scd.filter("is_current").select("event_id", "user_id", "ts", "value")
+    table = latest_per_key(df, ["user_id"], "ts", tiebreak="event_id")
+    assert sorted(map(tuple, current.collect())) == sorted(map(tuple, table.collect()))
+    # intervals chain: each non-current valid_to equals the successor's valid_from
+    hist = scd.orderBy("user_id", "valid_from", "event_id").collect()
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    for versions in by_user.values():
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from
+        assert versions[-1].is_current and versions[-1].valid_to is None
