@@ -432,6 +432,36 @@ class KsqlEngine:
             part_col = pm.group(1)
             text = text[: pm.start()] + text[pm.end():]
 
+        # stream-stream JOIN ... WITHIN n UNIT (symmetric time band, the
+        # ksql event-correlation join): becomes an extra ROWTIME band on
+        # the join condition (batch form of streaming/join.interval_join)
+        jm = re.search(
+            r"\bFROM\s+\w+\s+(\w+)\s+(?:INNER\s+|LEFT\s+(?:OUTER\s+)?)?JOIN\s+\w+\s+(\w+)"
+            r"\s+WITHIN\s+(\d+)\s+(SECOND|MINUTE|HOUR)S?\s+ON\s+",
+            text,
+            re.IGNORECASE,
+        )
+        if jm:
+            la, ra, n, unit = jm.group(1), jm.group(2), jm.group(3), jm.group(4)
+            text = re.sub(
+                r"\bWITHIN\s+\d+\s+(?:SECOND|MINUTE|HOUR)S?\s+ON\s+",
+                "ON (",
+                text,
+                count=1,
+                flags=re.IGNORECASE,
+            )
+            tail = re.search(
+                r"\b(WHERE|GROUP\s+BY|EMIT|LIMIT|PARTITION)\b",
+                text[jm.start():],
+                re.IGNORECASE,
+            )
+            cut = jm.start() + tail.start() if tail else len(text)
+            band = (
+                f") AND {ra}.ROWTIME BETWEEN {la}.ROWTIME - INTERVAL {n} {unit}"
+                f" AND {la}.ROWTIME + INTERVAL {n} {unit} "
+            )
+            text = text[:cut].rstrip() + band + text[cut:]
+
         # WINDOW TUMBLING / HOPPING / SESSION
         window_expr = None
         session = False

@@ -288,3 +288,33 @@ def test_drop_and_explain(ran):
     plan = engine.execute("EXPLAIN SELECT COUNT(*) AS N FROM REVIEWS_CLEAN").collect()
     assert any("Physical Plan" in r.plan for r in plan)
     assert engine.execute("TERMINATE ALL") is None
+
+
+def test_stream_stream_within_join(ran):
+    """JOIN ... WITHIN: each review correlates only with reviews of the
+    SAME member within the time band."""
+    df = ran.execute(
+        "CREATE STREAM NEARBY AS"
+        " SELECT A.REVIEW_ID AS LEFT_ID, B.REVIEW_ID AS RIGHT_ID"
+        " FROM REVIEWS_CLEAN A JOIN REVIEWS_CLEAN B WITHIN 30 MINUTES"
+        " ON A.MEMBER_ID = B.MEMBER_ID"
+        " WHERE A.REVIEW_ID < B.REVIEW_ID EMIT CHANGES"
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    # verify the band against a hand-computed expectation
+    base = {r.review_id: (r.member_id, r.rowtime) for r in ran.df("REVIEWS_CLEAN")
+            .select("review_id", "member_id", "rowtime").collect()}
+    import datetime
+
+    for r in rows:
+        (m1, t1), (m2, t2) = base[r.LEFT_ID], base[r.RIGHT_ID]
+        assert m1 == m2
+        assert abs(t1 - t2) <= datetime.timedelta(minutes=30)
+    expected = sum(
+        1
+        for a, (m1, t1) in base.items()
+        for b, (m2, t2) in base.items()
+        if a < b and m1 == m2 and abs(t1 - t2) <= datetime.timedelta(minutes=30)
+    )
+    assert len(rows) == expected
