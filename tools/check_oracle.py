@@ -85,6 +85,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            # dedup/similarity queries persist() intermediates; over a
+            # 100+ query sweep the stale cache becomes the workload
+            # (same lesson as bench.py) — drop it between queries
+            spark.catalog.clearCache()
         if spec.oracle is None:
             print(f"rows  {name}: {len(rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
