@@ -1543,3 +1543,54 @@ def s2_scd2_changelog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     return scd2_history(ev, ["user_id"], "ts", tiebreak="event_id")
+
+
+@query(
+    "util_heavy_hitters_lineitem",
+    """
+    SELECT l_suppkey AS key, count(*) AS n,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM lineitem), 6) AS share
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY n DESC, key LIMIT 10
+    """,
+    tags=("util", "skew"),
+)
+def util_heavy_hitters_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: the top-10 heaviest join/shuffle keys with
+    their share of the table — the number you check BEFORE deciding on
+    salting/AQE-skew handling for a 100 TB join. One agg + broadcast
+    scalar + TakeOrderedAndProject; never sorts the full key set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("_total"))
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    shared = per_key.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_total"), 6).alias("share"),
+    )
+    return topk(shared, [F.col("n").desc(), F.col("key").asc()], 10)
+
+
+@query(
+    "util_profile_documents",
+    _sql_profile(
+        "documents",
+        [
+            ("doc_id", "int"),
+            ("text", "str"),
+            ("lang", "str"),
+            ("source", "str"),
+            ("n_chars", "int"),
+        ],
+    ),
+    tags=("util", "profile"),
+)
+def util_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler over the string-heavy documents table (the corpus a
+    curation run lands first) — same one-pass plan as the orders
+    profile."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "documents"))
