@@ -102,11 +102,13 @@ def test_kafka_sink_writer_builder_shape(spark):
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources.kafka import kafka_sink_writer
 
-    df = spark.createDataFrame(
-        [(1, "Ada", 5), (2, "Grace", 3)], "id int, full_name string, stars int"
+    # builder needs a streaming frame (writeStream); rate source, no broker
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("value").alias("id"), F.lit("Ada").alias("full_name"))
     )
     writer = kafka_sink_writer(
-        df, "broker:9092", "derived-topic", key_col="full_name",
+        stream, "broker:9092", "derived-topic", key_col="full_name",
         checkpoint_dir="/tmp/ck-test",
     )
     # builder is configured but nothing started (no broker in CI)
@@ -114,6 +116,9 @@ def test_kafka_sink_writer_builder_shape(spark):
     # the payload projection: key = full_name, value = full-row JSON
     import json
 
+    df = spark.createDataFrame(
+        [(1, "Ada", 5), (2, "Grace", 3)], "id int, full_name string, stars int"
+    )
     payload = df.select(
         F.col("full_name").cast("string").alias("key"),
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
