@@ -1048,8 +1048,8 @@ def ext_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
            ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id
     FROM (
       SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
       FROM (
         SELECT doc_id, source,
                len(list_filter(string_split_regex(lower(text), '\\s+'),

@@ -1474,7 +1474,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_profile_col(table: str, col: str, canon_min: str, canon_max: str) -> str:
     return f"""
       SELECT '{col}' AS column, count(*) AS n_rows,
-             sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             (count(*) - count({col}))::BIGINT AS n_nulls,
              count(DISTINCT {col}) AS n_distinct,
              {canon_min} AS min_value, {canon_max} AS max_value
       FROM {table}

@@ -104,7 +104,7 @@ def t5_streaming_table_latest_per_key(spark: SparkSession, sf_dir: str) -> DataF
     """
     WITH agg AS (
       SELECT user_id, count(*) AS n_events,
-             sum(CAST(floor(value) AS BIGINT)) AS total_units
+             sum(CAST(floor(value) AS BIGINT))::BIGINT AS total_units
       FROM events GROUP BY user_id
     ),
     last AS (
