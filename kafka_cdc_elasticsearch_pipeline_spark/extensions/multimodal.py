@@ -36,48 +36,111 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _real_decode_available() -> bool:
-    try:  # pragma: no cover - harness ships no media libs
-        import PIL.Image  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
     """Decode stage over ``mapInPandas``.
 
-    With a real imaging stack present this would open each payload and
-    emit true (width, height, mode). The harness has none, so the
-    decode is a DETERMINISTIC FAKE derived from the byte length —
-    clearly labeled in the ``decoder`` column — while the Arrow
-    batch-in/batch-out plumbing, schema contract and lazy iterator
-    (no full-partition materialization) are the production shape.
+    PNG payloads get a REAL decode — chunk parse, CRC check, inflate,
+    unfilter — via the stdlib-zlib+numpy codec in ``png.py`` (no
+    imaging library needed), labeled ``png-numpy`` in the ``decoder``
+    column. Non-PNG payloads (the harness's text-bytes stand-ins;
+    JPEG is out of sandbox scope, see png.py docstring) keep the
+    clearly-labeled DETERMINISTIC FAKE derived from byte length. Either
+    way the Arrow batch-in/batch-out plumbing, schema contract and lazy
+    iterator (no full-partition materialization) are the production
+    shape.
     """
-    use_real = _real_decode_available()
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
+            PNG_SIG,
+            png_decode,
+        )
+
         for pdf in batches:
-            blen = pdf["payload"].map(len)
-            if use_real:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode requires PIL; harness runs the fake"
-                )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:8] == PNG_SIG:
+                    w, h, mode, _ = png_decode(data)
+                    rows.append((doc_id, len(data), w, h, mode, "png-numpy"))
+                else:
+                    blen = len(data)
+                    rows.append(
+                        (
+                            doc_id,
+                            blen,
+                            64 + blen % 577,
+                            64 + (blen * 31) % 433,
+                            "RGB",
+                            "fake-deterministic",
+                        )
+                    )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": blen.astype("int32"),
-                    "width": (64 + blen % 577).astype("int32"),
-                    "height": (64 + (blen * 31) % 433).astype("int32"),
-                    "mode": "RGB",
-                    "decoder": "fake-deterministic",
-                }
+                rows,
+                columns=["doc_id", "byte_len", "width", "height", "mode", "decoder"],
             )
 
     return with_payload.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+PNG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, mode string,"
+    " pixel_sum bigint, decoder string"
+)
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL PNG payload per document, deterministically derived
+    from ``doc_id`` (dims, channels, constant fill value) — the harness
+    ships no media files, so the fixture is built in-stage, but the
+    bytes are genuine spec-conformant PNGs cycling through all five
+    scanline filters."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + int(doc_id) % 16
+                h = 8 + (3 * int(doc_id)) % 16
+                ch = 1 if int(doc_id) % 2 else 3
+                v = int(doc_id) % 251
+                px = np.full((h, w, ch) if ch > 1 else (h, w), v, dtype=np.uint8)
+                payloads.append(png_encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_png_stats(with_payload: DataFrame) -> DataFrame:
+    """Real-decode stage with a content check: emits the decoded
+    dimensions AND the sum over all reconstructed pixel bytes — a
+    value only a correct inflate+unfilter pass can produce, which the
+    relational oracle recomputes arithmetically."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, mode, px = png_decode(bytes(payload))
+                rows.append((doc_id, w, h, mode, int(px.sum()), "png-numpy"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mode", "pixel_sum", "decoder"],
+            )
+
+    return with_payload.mapInPandas(decode, schema=PNG_STATS_SCHEMA)
 
 
 FEATURE_SCHEMA = "doc_id bigint, hist array<int>"

@@ -250,7 +250,7 @@ def rhp_lsh_neardup(
     sigs = embeddings.select(
         "vec_id", "embedding", rhp_signature("embedding", planes).alias("sig")
     )
-    bands = sigs.select(
+    banded = sigs.select(
         "vec_id",
         "embedding",
         F.explode(
@@ -261,13 +261,13 @@ def rhp_lsh_neardup(
             )
         ).alias("bv"),
     ).select("vec_id", "embedding", "bv.band_idx", "bv.band_val")
-    a = bands.select(
+    a = banded.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         "band_idx",
         "band_val",
     )
-    b = bands.select(
+    b = banded.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("band_idx").alias("band_idx_b"),

@@ -63,7 +63,23 @@ _TYPE_MAP = {
 
 
 def strip_comments(script: str) -> str:
-    return re.sub(r"--[^\n]*", "", script)
+    """Remove ``--`` line comments, quote-aware: a ``--`` inside a
+    single-quoted literal (e.g. a connector ``connection.url`` value)
+    is data, not a comment."""
+    out, in_q, i, n = [], False, 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            in_q = not in_q
+            out.append(ch)
+            i += 1
+        elif not in_q and ch == "-" and script[i : i + 2] == "--":
+            while i < n and script[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def split_statements(script: str) -> list[str]:
@@ -90,11 +106,25 @@ def parse_with_props(stmt: str) -> dict[str, str]:
     """Parse a WITH (...) property map. Keys may be bare identifiers
     (``KAFKA_TOPIC='x'``) or quoted (connector syntax:
     ``'connector.class' = 'x'``)."""
-    m = re.search(r"WITH\s*\((.*?)\)", stmt, re.IGNORECASE | re.DOTALL)
+    m = re.search(r"WITH\s*\(", stmt, re.IGNORECASE)
     if not m:
         return {}
+    # quote-aware bracket matching: a ')' inside a quoted property
+    # value (e.g. a URL with parens) must not terminate the body
+    body_chars, depth, in_q = [], 1, False
+    for ch in stmt[m.end():]:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        body_chars.append(ch)
     props = {}
-    body = m.group(1)
+    body = "".join(body_chars)
     for kv in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", body):
         props[kv.group(1).upper()] = kv.group(2)
     for kv in re.finditer(r"(?<!')\b(\w[\w.]*)\s*=\s*'([^']*)'", body):
@@ -120,6 +150,16 @@ def translate_expressions(sql: str) -> str:
     out = re.sub(
         r"\bTIMESTAMPTOSTRING\s*\(\s*([^,]+?)\s*,\s*('[^']*')\s*\)",
         r"date_format(to_timestamp(\1 / 1000.0), \2)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    # ksqlDB pull queries compare WINDOWSTART/ROWTIME against epoch-ms
+    # BIGINT literals (reference readme.md:589-597); our engine models
+    # them as TIMESTAMP, so bare 12+-digit literals become
+    # timestamp_millis()
+    out = re.sub(
+        r"\b((?:\w+\.)?(?:WINDOWSTART|WINDOWEND|ROWTIME))\s*(>=|<=|<>|!=|>|<|=)\s*(\d{12,})\b",
+        r"\1 \2 timestamp_millis(\3)",
         out,
         flags=re.IGNORECASE,
     )
@@ -194,6 +234,13 @@ class KsqlEngine:
         im = re.match(r"INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", s, re.IGNORECASE | re.DOTALL)
         if im:
             target = self.relations[im.group(1).lower()]
+            if target.kind == "table":
+                # ksqlDB only permits INSERT INTO streams; appending raw
+                # rows to a table would break its latest-per-key invariant
+                raise ValueError(
+                    f"INSERT INTO a TABLE ({target.name}) is not allowed; "
+                    "ksqlDB permits INSERT INTO streams only"
+                )
             extra, _ = self._run_select(im.group(2), propagate_rowtime=True)
             merged = target.df.unionByName(
                 extra.select(*target.df.columns), allowMissingColumns=False
@@ -233,8 +280,11 @@ class KsqlEngine:
         ``connection.url`` through the engine's ES sink (S6/S7/S12
         semantics — doc ids from the relation key unless
         ``key.ignore=true``, DLQ-free 'none' tolerance raises).
-        ``transport`` is injectable for tests. Returns rows indexed per
-        topic."""
+        ``transport`` is injectable for tests. Returns the number of
+        docs the ES bulk API acknowledged per topic (counted inside the
+        sink job — not a separate count() re-execution, which would
+        disagree under SMT current_timestamp or tolerance-dropped
+        docs)."""
         from kafka_cdc_elasticsearch_pipeline_spark.sources.elasticsearch import (
             _http_transport,
             es_sink_foreach_batch,
@@ -271,8 +321,7 @@ class KsqlEngine:
                     errors_tolerance=tolerance,
                     transport=transport or _http_transport,
                 )
-                sink(df, 0)
-                indexed[topic] = df.count()
+                indexed[topic] = sink(df, 0)
         return indexed
 
     @staticmethod

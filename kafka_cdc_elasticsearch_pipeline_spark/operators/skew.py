@@ -50,3 +50,89 @@ def salted_agg(
         *[expr.alias(name) for expr, name in partials]
     )
     return phase1.groupBy(*keys).agg(*[expr.alias(name) for name, expr in finals])
+
+
+def hot_keys(df: DataFrame, key: str, top_n: int = 10, min_share: float = 0.001) -> list:
+    """The heavy-hitters diagnostic (util_heavy_hitters_lineitem) as a
+    decision input: the top-``top_n`` keys holding at least
+    ``min_share`` of the table. The ONLY driver-side materialization is
+    this bounded top-N key list (≤ top_n scalars) — the decision data a
+    planner needs; the table itself never leaves the executors.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    per_key = df.groupBy(F.col(key).alias("_k")).agg(F.count(F.lit(1)).alias("_n"))
+    top = (
+        per_key.crossJoin(F.broadcast(total))
+        .filter(F.col("_n").cast("double") / F.col("_total") >= min_share)
+        .orderBy(F.col("_n").desc(), F.col("_k"))
+        .limit(top_n)
+        .select("_k")
+        .collect()
+    )
+    return [r._k for r in top]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-small / salt-big equi-join: the manual skew fix when
+    the small side is too big to broadcast whole and AQE's runtime
+    splitting is unavailable (e.g. a pinned shuffle plan).
+
+    The big side gets a deterministic salt in [0, salt_buckets) hashed
+    from its non-key columns; the small side is replicated once per
+    bucket (rows × salt_buckets — cheap for a dim). Joining on
+    (key, salt) spreads one hot key over ``salt_buckets`` reducers.
+    Result is row-identical to the unsalted join for inner/left
+    (each big row meets exactly one copy of each matching small row).
+    """
+    non_keys = [c for c in big.columns if c != big_key] or [big_key]
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in non_keys]), F.lit(salt_buckets)),
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = salted_big.join(
+        replicated_small,
+        on=[salted_big[big_key] == replicated_small[small_key],
+            salted_big["_salt"] == replicated_small["_salt"]],
+        how=how,
+    )
+    return joined.drop(salted_big["_salt"]).drop(replicated_small["_salt"])
+
+
+def skew_aware_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    hot: list,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Split-path inner join driven by the heavy-hitters diagnostic:
+    rows whose key is in ``hot`` go through the salted join (hot keys
+    spread over ``salt_buckets`` reducers against a replicated dim
+    slice); the long cold tail takes the ordinary shuffle join that AQE
+    already handles. ``hot ∪ cold`` reassembles the exact unsalted
+    result — the property the oracle gate checks.
+    """
+    if not hot:
+        return big.join(small, big[big_key] == small[small_key], "inner")
+    hot_lit = F.array(*[F.lit(k) for k in hot])
+    big_hot = big.filter(F.array_contains(hot_lit, F.col(big_key)))
+    big_cold = big.filter(~F.array_contains(hot_lit, F.col(big_key)))
+    small_hot = small.filter(F.array_contains(hot_lit, F.col(small_key)))
+    hot_joined = salted_join(
+        big_hot, small_hot, big_key, small_key, salt_buckets, "inner"
+    )
+    cold_joined = big_cold.join(
+        small, big_cold[big_key] == small[small_key], "inner"
+    )
+    return hot_joined.unionByName(cold_joined.select(*hot_joined.columns))

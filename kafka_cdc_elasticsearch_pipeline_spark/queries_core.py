@@ -1594,3 +1594,45 @@ def util_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_elasticsearch_pipeline_spark.operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "skew_salted_join_lineitem_supplier",
+    """
+    SELECT l.l_suppkey AS suppkey, s.s_name AS s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l.l_extendedprice) AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+    tags=("util", "skew", "J"),
+)
+def skew_salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end skew-aware join gated against the unsalted oracle:
+    the heavy-hitters diagnostic (util_heavy_hitters_lineitem) feeds
+    the chooser — its top keys route through the salted path (hot keys
+    spread over 8 reducers against a replicated dim slice,
+    operators/skew.py:salted_join) while the cold tail takes the plain
+    shuffle join; hot ∪ cold must hash-match the ordinary join+agg.
+    At 100 TB this is the manual fix when one celebrity key funnels a
+    reducer and the dim is too large to broadcast whole; only the
+    bounded top-N hot KEY LIST ever reaches the driver.
+    """
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.skew import (
+        hot_keys,
+        skew_aware_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    hot = hot_keys(li, "l_suppkey", top_n=10, min_share=0.0001)
+    joined = skew_aware_join(li, sup, "l_suppkey", "s_suppkey", hot, salt_buckets=8)
+    return joined.groupBy(
+        F.col("l_suppkey").alias("suppkey"), F.col("s_name").alias("s_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+        .alias("revenue"),
+    )

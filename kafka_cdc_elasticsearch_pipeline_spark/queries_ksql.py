@@ -107,3 +107,50 @@ def ksql_windowed_table_via_translator(spark: SparkSession, sf_dir: str) -> Data
           EMIT CHANGES
         """
     )
+
+@query(
+    "ksql_pull_query_epoch_via_translator",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS ws,
+             user_id AS USER_ID, count(*) AS N_EVENTS
+      FROM events
+      WHERE lower(event_type) NOT LIKE '%err%'
+      GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS WINDOW_START_TS,
+           USER_ID, N_EVENTS
+    FROM w
+    WHERE USER_ID = 42 AND ws > epoch_ms(1705276800000)
+    """,
+    tags=("ksql", "T2", "T4", "F5"),
+)
+def ksql_pull_query_epoch_via_translator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OTHER pull-query form — epoch-ms WINDOWSTART
+    predicate over a materialized windowed table through the REST API
+    (readme.md:589-597: ``WINDOWSTART >= 1593864000000``), alongside
+    the string-literal form already covered
+    (ksqldb-statements.sql:104-110). Exercises TIMESTAMPTOSTRING on the
+    window key plus the translator's epoch-ms → timestamp_millis
+    rewrite."""
+    eng = _engine(spark, sf_dir)
+    eng.execute(
+        "CREATE STREAM LIVE AS SELECT * FROM EVENTS_S"
+        " WHERE LCASE(EVENT_TYPE) NOT LIKE '%err%' EMIT CHANGES"
+    )
+    eng.execute(
+        """
+        CREATE TABLE PER_USER_15M AS
+          SELECT USER_ID, COUNT(*) AS N_EVENTS
+          FROM LIVE
+          WINDOW TUMBLING (SIZE 15 MINUTE)
+          GROUP BY USER_ID
+          EMIT CHANGES
+        """
+    )
+    return eng.execute(
+        "SELECT TIMESTAMPTOSTRING(WINDOWSTART, 'yyyy-MM-dd HH:mm:ss')"
+        " AS WINDOW_START_TS, USER_ID, N_EVENTS"
+        " FROM PER_USER_15M"
+        " WHERE USER_ID = 42 AND WINDOWSTART > 1705276800000"
+    )

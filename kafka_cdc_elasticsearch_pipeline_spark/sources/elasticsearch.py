@@ -89,32 +89,41 @@ def es_sink_foreach_batch(
         ).start()
     """
 
-    def _send_partition(iterator):
-        buf: list[dict] = []
-        failed: list[dict] = []
+    def _foreach_batch(batch_df: DataFrame, batch_id: int) -> int:
+        # at-least-once success metric: counts docs the ES bulk API
+        # acknowledged, accumulated inside the one side-effecting job
+        # (a separate count() would re-execute the plan and disagree
+        # with what was actually indexed, e.g. under an SMT
+        # current_timestamp or when errors.tolerance=all drops docs)
+        ok_acc = batch_df.sparkSession.sparkContext.accumulator(0)
 
-        def flush():
-            if not buf:
-                return
-            body = bulk_payload(buf, index, id_col)
-            try:
-                status, resp = transport(f"{es_url}/_bulk", body)
-                bad = index_exists_errors(resp) if status < 300 else range(len(buf))
-            except Exception:  # noqa: BLE001 — connector-level failure
-                bad = range(len(buf))
-            for i in bad:
-                failed.append(buf[i])
-            buf.clear()
+        def _send_partition(iterator):
+            buf: list[dict] = []
+            failed: list[dict] = []
 
-        for row in iterator:
-            buf.append(row.asDict(recursive=True))
-            if len(buf) >= bulk_size:
-                flush()
-        flush()
-        for f in failed:
-            yield f
+            def flush():
+                if not buf:
+                    return
+                body = bulk_payload(buf, index, id_col)
+                try:
+                    status, resp = transport(f"{es_url}/_bulk", body)
+                    bad = index_exists_errors(resp) if status < 300 else range(len(buf))
+                except Exception:  # noqa: BLE001 — connector-level failure
+                    bad = range(len(buf))
+                bad = list(bad)
+                for i in bad:
+                    failed.append(buf[i])
+                ok_acc.add(len(buf) - len(bad))
+                buf.clear()
 
-    def _foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
+            for row in iterator:
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= bulk_size:
+                    flush()
+            flush()
+            for f in failed:
+                yield f
+
         failed_rdd = batch_df.rdd.mapPartitions(_send_partition)
         if errors_tolerance == "all":
             # T8 — warn + dead-letter, never fail the query
@@ -138,6 +147,7 @@ def es_sink_foreach_batch(
             n_failed = failed_rdd.count()
             if n_failed:
                 raise RuntimeError(f"{n_failed} documents failed to index into {index}")
+        return ok_acc.value
 
     return _foreach_batch
 

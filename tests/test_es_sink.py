@@ -183,3 +183,77 @@ def test_put_index_template_payload():
     tmpl = json.loads(sent["body"])
     assert tmpl["settings"]["number_of_shards"] == 1  # docker-compose.yml:295-300
     assert tmpl["mappings"]["dynamic_templates"][0]["dates"]["match"] == "*_TS"
+
+
+def make_flaky_then_ok_transport(capture_dir: str, state_dir: str):
+    """Fails the ENTIRE first bulk attempt per partition-batch (HTTP
+    503), succeeds on redelivery — the broker-restart / ES-rolling-
+    upgrade shape that at-least-once delivery must absorb."""
+
+    def transport(url: str, body: str) -> tuple[int, str]:
+        import hashlib as _hashlib
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(capture_dir, f"req_{_uuid.uuid4().hex}.ndjson"), "w") as f:
+            f.write(body)
+        marker = _os.path.join(
+            state_dir, _hashlib.sha1(body.encode()).hexdigest()
+        )
+        if not _os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("seen")
+            raise OSError("503 service unavailable (simulated)")
+        n = sum(1 for _ in body.strip().splitlines()) // 2
+        items = [{"index": {"status": 201}} for _ in range(n)]
+        return 200, _json.dumps({"errors": False, "items": items})
+
+    return transport
+
+
+def test_keyed_sink_redelivery_is_idempotent(spark, tmp_path):
+    """At-least-once hardening (round-2 verdict ask): when a bulk batch
+    fails and the SAME batch is replayed (micro-batch retry), the keyed
+    sink (reference key.ignore=false, ksqldb-statements.sql:5) must
+    emit the same explicit _id per doc on both attempts, so ES
+    overwrites instead of duplicating. Asserts (a) redelivery succeeds,
+    (b) every doc appears under exactly one _id, (c) ids are stable
+    across the two attempts."""
+    import uuid
+
+    capture = str(tmp_path / "capture")
+    state = str(tmp_path / "state")
+    os.makedirs(capture)
+    os.makedirs(state)
+    df = spark.createDataFrame(
+        [Row(id=i, body=f"doc-{i}") for i in range(20)]
+    ).coalesce(2)
+
+    sink = es_sink_foreach_batch(
+        "http://es.test:9200",
+        "keyed-idx",
+        id_col="id",
+        errors_tolerance="none",
+        transport=make_flaky_then_ok_transport(capture, state),
+    )
+    # attempt 1: every bulk POST 503s -> strict sink raises (the
+    # streaming engine would fail the micro-batch and replay it)
+    with pytest.raises(RuntimeError, match="failed to index"):
+        sink(df, 0)
+    # attempt 2: same batch redelivered; transport now accepts
+    acked = sink(df, 0)
+    assert acked == 20
+
+    # collect (attempt, _id) pairs from every captured bulk body
+    ids_per_attempt: dict[str, list] = {}
+    for fn in os.listdir(capture):
+        with open(os.path.join(capture, fn)) as f:
+            lines = f.read().strip().splitlines()
+        for action in (json.loads(x) for x in lines[0::2]):
+            ids_per_attempt.setdefault(fn, []).append(action["index"]["_id"])
+    all_ids = [i for ids in ids_per_attempt.values() for i in ids]
+    # both attempts sent the full doc set: 2 × 20 actions total...
+    assert len(all_ids) == 40
+    # ...but only 20 DISTINCT _ids -> ES overwrites, no duplicates
+    assert sorted(set(all_ids)) == sorted(str(i) for i in range(20))

@@ -318,3 +318,72 @@ def test_stream_stream_within_join(ran):
         if a < b and m1 == m2 and abs(t1 - t2) <= datetime.timedelta(minutes=30)
     )
     assert len(rows) == expected
+
+
+def test_comment_stripping_preserves_quoted_dashes():
+    """'--' inside a quoted literal (connector URLs, messages) is data,
+    not a comment; real comments still go."""
+    from kafka_cdc_elasticsearch_pipeline_spark.ksql.translate import (
+        parse_with_props,
+        split_statements,
+        strip_comments,
+    )
+
+    script = (
+        "-- leading comment\n"
+        "CREATE SINK CONNECTOR SINK_ES WITH (\n"
+        "  'connector.class' = 'ElasticsearchSinkConnector', -- trailing\n"
+        "  'connection.url'  = 'http://es--blue-green:9200/a--b'\n"
+        ");\n"
+    )
+    stmts = split_statements(script)
+    assert len(stmts) == 1
+    props = parse_with_props(stmts[0])
+    assert props["CONNECTION.URL"] == "http://es--blue-green:9200/a--b"
+    assert "trailing" not in stmts[0]
+    assert strip_comments("SELECT '--not a comment' -- real\n") == (
+        "SELECT '--not a comment' \n"
+    )
+
+
+def test_with_props_paren_inside_quoted_value():
+    from kafka_cdc_elasticsearch_pipeline_spark.ksql.translate import parse_with_props
+
+    stmt = (
+        "CREATE STREAM X WITH (KAFKA_TOPIC='t', "
+        "'doc.note' = 'half) closed (paren', VALUE_FORMAT='JSON') AS SELECT 1"
+    )
+    props = parse_with_props(stmt)
+    assert props["DOC.NOTE"] == "half) closed (paren"
+    assert props["VALUE_FORMAT"] == "JSON"
+
+
+def test_insert_into_table_raises(ran):
+    """ksqlDB permits INSERT INTO streams only; appending to a TABLE
+    would break its latest-per-key invariant."""
+    with pytest.raises(ValueError, match="INSERT INTO a TABLE"):
+        ran.execute("INSERT INTO MEMBERS SELECT * FROM REVIEWS_CLEAN")
+
+
+def test_sink_connector_reports_acknowledged_count_only(ran, tmp_path):
+    """'rows indexed' = docs the bulk API acknowledged, not a separate
+    count() re-execution: with errors.tolerance=all and a transport that
+    rejects every other doc, the reported count is the acked subset."""
+    import json as _json
+
+    def flaky_transport(url, body):
+        lines = body.strip().splitlines()
+        items = []
+        for doc_line in lines[1::2]:  # source docs (action/source pairs)
+            doc = _json.loads(doc_line)
+            ok = doc["REVIEW_ID"] % 2 == 0  # reject odd ids, deterministic
+            items.append({"index": {"status": 201 if ok else 400}})
+        return 200, _json.dumps({"errors": True, "items": items})
+
+    engine = ran
+    engine.execute_script(CONNECTOR_SCRIPT)
+    indexed = engine.run_sink_connectors(transport=flaky_transport)
+    expected = engine.df("REVIEWS_ENRICHED").filter("REVIEW_ID % 2 = 0").count()
+    total = engine.df("REVIEWS_ENRICHED").count()
+    assert indexed["reviews-enriched"] == expected
+    assert 0 < expected < total
