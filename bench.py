@@ -30,6 +30,13 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--all", action="store_true", help="bench every registered query")
     ap.add_argument("--repeat", type=int, default=3, help="best-of-N per query")
+    ap.add_argument(
+        "--no-clear",
+        action="store_true",
+        help="round-1 protocol: skip clearCache between queries (for A/B "
+        "attribution of protocol changes; the default clearCache number is "
+        "the honest one — see BENCH_NOTES.md)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -74,7 +81,8 @@ def main() -> int:
         # stale cache and GC, not the query under test (measured 8x on
         # simhash in-sweep vs isolated). Each query still benefits from
         # its own persists during its own timing.
-        spark.catalog.clearCache()
+        if not args.no_clear:
+            spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
