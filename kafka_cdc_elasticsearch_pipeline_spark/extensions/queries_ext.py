@@ -1083,6 +1083,7 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("ext", "multimodal", "png"),
+    bench=True,
 )
 def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode behind the multimodal plumbing (round-2

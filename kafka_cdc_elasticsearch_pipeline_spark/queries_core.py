@@ -1606,6 +1606,7 @@ def util_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("util", "skew", "J"),
+    bench=True,
 )
 def skew_salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end skew-aware join gated against the unsalted oracle:

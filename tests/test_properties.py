@@ -106,3 +106,72 @@ def test_session_islands_match_python_reference(spark, rows):
             prev = t
         want.append((k, (EPOCH + datetime.timedelta(minutes=start)).isoformat(), n))
     assert got == sorted(want)
+
+
+# --- media codecs: decode(encode(x)) == x for ANY input ----------------------
+
+import numpy as np  # noqa: E402
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(w, h, ch, seed, filters):
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got_w, got_h, _, out = png_decode(png_encode(px, filter_cycle=tuple(filters)))
+    assert (got_w, got_h) == (w, h)
+    np.testing.assert_array_equal(out.reshape(px.shape), px)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.audio import (
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    arr = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+    got_rate, got_ch, got_n, samples = wav_decode(wav_encode(arr, rate))
+    assert (got_rate, got_ch, got_n) == (rate, ch, n)
+    np.testing.assert_array_equal(samples.reshape(shape), arr.astype(np.int32))
+
+
+@given(
+    timescale=st.integers(min_value=1, max_value=10**6),
+    duration=st.integers(min_value=0, max_value=2**31 - 1),
+    w=st.integers(min_value=0, max_value=8192),
+    h=st.integers(min_value=0, max_value=8192),
+    n_tracks=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_mp4_roundtrip_property(timescale, duration, w, h, n_tracks):
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.video import (
+        mp4_build_minimal,
+        mp4_parse_metadata,
+    )
+
+    got = mp4_parse_metadata(
+        mp4_build_minimal(timescale, duration, w, h, n_tracks=n_tracks)
+    )
+    expect_wh = (w, h) if n_tracks else (0, 0)
+    assert got == (timescale, duration, *expect_wh, n_tracks)
