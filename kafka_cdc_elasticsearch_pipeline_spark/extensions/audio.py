@@ -135,3 +135,77 @@ def decode_wav_stats(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(decode, schema=WAV_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int,"
+    " dominant_bin int, dominant_hz double, decoder string"
+)
+
+TONE_N = 256  # analysis frame length (FFT size)
+
+
+def attach_tone_payload(docs: DataFrame) -> DataFrame:
+    """WAV payloads carrying a PURE TONE at an integer FFT bin derived
+    from ``doc_id`` — a signal whose spectral analysis has a closed
+    form, so the whole decode → FFT feature chain gets an exact
+    arithmetic oracle (an integer-bin sine has zero spectral leakage:
+    argmax|FFT| recovers the bin exactly)."""
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n = np.arange(TONE_N)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 100  # tone bin, < N/2
+                wave_i16 = np.round(
+                    8000.0 * np.sin(2.0 * np.pi * k * n / TONE_N)
+                ).astype("<i2")
+                payloads.append(wav_encode(wave_i16, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def extract_audio_features(with_payload: DataFrame) -> DataFrame:
+    """Feature-extraction stage: decode PCM, run a real FFT (numpy
+    rfft), emit the dominant frequency bin and its Hz value. This is
+    the audio analogue of the image byte-histogram — genuine numerical
+    analysis in the Arrow batch path, not a metadata echo: a broken
+    deinterleave, dtype, or FFT windowing shifts the argmax and fails
+    the oracle."""
+
+    def featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n, samples = wav_decode(bytes(payload))
+                mono = samples.reshape(n, ch).mean(axis=1)
+                spectrum = np.abs(np.fft.rfft(mono))
+                # bin 0 is DC; the dominant tone lives above it
+                k = int(spectrum[1:].argmax()) + 1
+                rows.append(
+                    (doc_id, rate, n, k, k * rate / len(mono), "wav-stdlib+rfft")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "dominant_bin",
+                    "dominant_hz",
+                    "decoder",
+                ],
+            )
+
+    return with_payload.mapInPandas(featurize, schema=AUDIO_FEATURES_SCHEMA)

@@ -1157,3 +1157,31 @@ def ext_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = video.attach_mp4_payload(_docs(spark, sf_dir))
     return video.parse_mp4_stats(payloads)
+
+
+@query(
+    "ext_multimodal_audio_features",
+    """
+    SELECT doc_id,
+           8000 AS sample_rate,
+           256 AS n_samples,
+           (1 + doc_id % 100)::INT AS dominant_bin,
+           round((1 + doc_id % 100) * 8000.0 / 256, 6) AS dominant_hz,
+           'wav-stdlib+rfft' AS decoder
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "audio", "features"),
+)
+def ext_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION (decode → analyze, not just parse):
+    WAV payloads carry a pure tone at an integer FFT bin derived from
+    doc_id; the feature stage PCM-decodes and runs a real numpy rfft,
+    emitting the dominant bin + Hz. Integer-bin sines have zero
+    spectral leakage, so argmax|FFT| has a closed form the oracle
+    recomputes arithmetically — any deinterleave/dtype/FFT bug shifts
+    the argmax and hash-fails."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
+
+    tones = audio.attach_tone_payload(_docs(spark, sf_dir))
+    feats = audio.extract_audio_features(tones)
+    return feats.withColumn("dominant_hz", F.round(F.col("dominant_hz"), 6))

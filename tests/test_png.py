@@ -191,3 +191,22 @@ def test_mp4_mvhd_version1_64bit_times():
     data = _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", mvhd_v1)
     ts, dur, w, h, n = mp4_parse_metadata(data)
     assert (ts, dur, n) == (90000, 2**33, 0)
+
+
+def test_audio_fft_features_recover_tone_bin(spark):
+    """A 17-bin tone must come back as dominant_bin=17 through the
+    full encode → WAV → decode → FFT chain."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.audio import (
+        extract_audio_features,
+        wav_encode,
+    )
+
+    n = np.arange(256)
+    tone = np.round(8000 * np.sin(2 * np.pi * 17 * n / 256)).astype(np.int16)
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(wav_encode(tone, 8000)))])
+    r = extract_audio_features(df).collect()[0]
+    assert r.dominant_bin == 17
+    assert abs(r.dominant_hz - 17 * 8000 / 256) < 1e-9
