@@ -53,6 +53,7 @@ def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_decode
         from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
             PNG_SIG,
             png_decode,
@@ -65,6 +66,9 @@ def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
                 if data[:8] == PNG_SIG:
                     w, h, mode, _ = png_decode(data)
                     rows.append((doc_id, len(data), w, h, mode, "png-numpy"))
+                elif data[:6] in (b"GIF89a", b"GIF87a"):
+                    w, h, _pal, _idx = gif_decode(data)
+                    rows.append((doc_id, len(data), w, h, "P", "gif-lzw"))
                 else:
                     blen = len(data)
                     rows.append(
@@ -195,3 +199,139 @@ def frame_sample(decoded: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), (F.col("byte_len") % 100), F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int,"
+    " px_sum bigint, grad_x_sum bigint, grad_y_sum bigint, decoder string"
+)
+
+
+def attach_gradient_png_payload(docs: DataFrame) -> DataFrame:
+    """PNG payloads carrying a GRADIENT image px(r,c) = r + c (dims
+    small enough that r+c < 256, so no wraparound) — pixel statistics
+    and finite-difference gradients have closed forms the oracle
+    recomputes, while the payload still exercises the full PNG
+    encode/decode (all five scanline filters carry non-trivial
+    residuals on a gradient, unlike a constant fill)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % 16
+                h = 8 + (3 * d) % 16
+                px = (np.arange(h)[:, None] + np.arange(w)[None, :]).astype(np.uint8)
+                payloads.append(png_encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def extract_image_features(with_payload: DataFrame) -> DataFrame:
+    """Image feature stage over RECONSTRUCTED pixels (not raw bytes):
+    decode PNG, compute the pixel sum and the summed horizontal /
+    vertical finite differences with numpy — the image analogue of the
+    audio FFT stage. A broken unfilter pass corrupts the gradient sums
+    even when dimensions parse fine."""
+
+    def featurize(batches):
+        import numpy as np
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, mode, px = png_decode(bytes(payload))
+                plane = px[:, :, 0].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        int(plane.sum()),
+                        int(np.diff(plane, axis=1).sum()),
+                        int(np.diff(plane, axis=0).sum()),
+                        "png-numpy+grad",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "px_sum",
+                    "grad_x_sum",
+                    "grad_y_sum",
+                    "decoder",
+                ],
+            )
+
+    return with_payload.mapInPandas(featurize, schema=IMAGE_FEATURES_SCHEMA)
+
+
+GIF_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_colors int,"
+    " index_sum bigint, decoder string"
+)
+
+_GIF_PALETTE4 = [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]
+
+
+def attach_gif_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL single-frame GIF per document: constant index
+    value v = doc_id % 4 over doc-derived dims. Constant runs drive
+    the LZW dictionary straight into the KwKwK special case, so the
+    decode only matches the oracle if the hard path is right."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_encode
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        pal = np.array(_GIF_PALETTE4, dtype=np.uint8)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % 16
+                h = 8 + (3 * d) % 16
+                idx = np.full((h, w), d % 4, dtype=np.uint8)
+                payloads.append(gif_encode(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_gif_stats(with_payload: DataFrame) -> DataFrame:
+    """LZW decode stage: emits dims, palette size and the sum over all
+    decoded palette indices."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pal, idx = gif_decode(bytes(payload))
+                rows.append((doc_id, w, h, len(pal), int(idx.sum()), "gif-lzw"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_colors", "index_sum", "decoder"],
+            )
+
+    return with_payload.mapInPandas(decode, schema=GIF_STATS_SCHEMA)

@@ -1185,3 +1185,57 @@ def ext_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame
     tones = audio.attach_tone_payload(_docs(spark, sf_dir))
     feats = audio.extract_audio_features(tones)
     return feats.withColumn("dominant_hz", F.round(F.col("dominant_hz"), 6))
+
+
+@query(
+    "ext_multimodal_image_features",
+    """
+    SELECT doc_id,
+           (8 + doc_id % 16)::INT AS width,
+           (8 + (3 * doc_id) % 16)::INT AS height,
+           ((8 + doc_id % 16) * (8 + (3 * doc_id) % 16)
+             * ((8 + doc_id % 16) + (8 + (3 * doc_id) % 16) - 2) // 2)::BIGINT
+             AS px_sum,
+           ((8 + (3 * doc_id) % 16) * ((8 + doc_id % 16) - 1))::BIGINT AS grad_x_sum,
+           ((8 + doc_id % 16) * ((8 + (3 * doc_id) % 16) - 1))::BIGINT AS grad_y_sum,
+           'png-numpy+grad' AS decoder
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "png", "features"),
+)
+def ext_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image FEATURE EXTRACTION over reconstructed pixels: gradient
+    images px(r,c)=r+c round-trip the full PNG codec, then numpy
+    computes pixel-sum and summed finite-difference gradients — all
+    with closed forms (px_sum = wh(w+h-2)/2, grad sums = h(w-1) /
+    w(h-1)) the oracle recomputes. Unlike a constant fill, a gradient
+    leaves non-trivial residuals under every scanline filter, so a
+    broken unfilter pass corrupts the sums even when dims parse."""
+    payloads = mm.attach_gradient_png_payload(_docs(spark, sf_dir))
+    return mm.extract_image_features(payloads)
+
+
+@query(
+    "ext_multimodal_gif_decode",
+    """
+    SELECT doc_id,
+           (8 + doc_id % 16)::INT AS width,
+           (8 + (3 * doc_id) % 16)::INT AS height,
+           4 AS n_colors,
+           ((doc_id % 4) * (8 + doc_id % 16) * (8 + (3 * doc_id) % 16))::BIGINT
+             AS index_sum,
+           'gif-lzw' AS decoder
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "gif"),
+)
+def ext_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image format: single-frame GIF payloads decoded by
+    the pure-Python/numpy LZW codec (extensions/gif.py — variable code
+    widths, dictionary resets, KwKwK case, sub-block reassembly).
+    Constant-index frames drive LZW through its hardest path; the
+    index_sum only matches the arithmetic oracle if the dictionary
+    reconstruction is exact. Complements the deflate-based PNG path
+    with a different compression family."""
+    payloads = mm.attach_gif_payload(_docs(spark, sf_dir))
+    return mm.decode_gif_stats(payloads)

@@ -210,3 +210,21 @@ def test_audio_fft_features_recover_tone_bin(spark):
     r = extract_audio_features(df).collect()[0]
     assert r.dominant_bin == 17
     assert abs(r.dominant_hz - 17 * 8000 / 256) < 1e-9
+
+
+def test_image_gradient_features(spark):
+    """Gradient image r+c: decoded feature sums must match the closed
+    forms (px_sum = wh(w+h-2)/2, grad_x = h(w-1), grad_y = w(h-1))."""
+    from pyspark.sql import Row
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    w, h = 13, 9
+    px = (np.arange(h)[:, None] + np.arange(w)[None, :]).astype(np.uint8)
+    df = spark.createDataFrame([Row(doc_id=5, payload=bytearray(png_encode(px)))])
+    r = mm.extract_image_features(df).collect()[0]
+    assert (r.width, r.height) == (w, h)
+    assert r.px_sum == w * h * (w + h - 2) // 2
+    assert r.grad_x_sum == h * (w - 1)
+    assert r.grad_y_sum == w * (h - 1)
