@@ -42,9 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB HUGEINT columns degrading to float64 under the driver's
 # pandas materialization (see tools/check_oracle.py docstring), fixed
 # with ::BIGINT casts; (b) tpch_q12, never gated but carrying the same
-# latent HUGEINT bug, fixed alongside; (c) the remaining never-gated
-# queries (14 TPC-H + 3 streaming twins) rotate in automatically via
-# _previously_gated(). Harmless if the driver gates everything;
+# latent HUGEINT bug, fixed alongside; (c) every remaining never-gated
+# query rotates in automatically via _previously_gated() — in round 3
+# that is 14 TPC-H + 3 streaming twins from round 2 plus the new
+# round-3 rows (salted skew join, epoch-ms pull query, PNG/GIF/WAV/
+# MP4/audio-FFT/image-gradient/compressed-ingest) ≈ 27 fresh rows,
+# all inside a 50-row window. Harmless if the driver gates everything;
 # maximizes fresh coverage if it truncates.
 _GATE_FIRST = [
     "stateful_user_profile_apply_in_pandas",  # hash-fail r01+r02 — HUGEINT oracle, fixed

@@ -335,3 +335,59 @@ def decode_gif_stats(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(decode, schema=GIF_STATS_SCHEMA)
+
+
+GZIP_TEXT_SCHEMA = "doc_id bigint, n_chars int, n_tokens int, codec string"
+
+
+def compress_text_payload(docs: DataFrame) -> DataFrame:
+    """Model the compressed-at-rest corpus (the .jsonl.gz / .warc.gz
+    reality of web-scale text): each document's utf-8 bytes are
+    deflate-compressed into the binary payload column."""
+
+    def compress(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        zlib.compress(t.encode("utf-8"), level=6) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(
+        compress, schema="doc_id bigint, payload binary"
+    )
+
+
+def decompress_and_analyze(with_payload: DataFrame) -> DataFrame:
+    """Ingest stage for compressed text: inflate each payload and run
+    the basic text measures on the RECOVERED string — the oracle
+    recomputes them from the uncompressed table, so a truncated or
+    corrupted inflate shows up as a value mismatch, not a crash."""
+
+    def analyze(batches: Iterator) -> Iterator:
+        import re
+        import zlib
+
+        import pandas as pd
+
+        # explicit [ \t\n]+ class on BOTH engines (not str.split(),
+        # which spans all Unicode whitespace) — round-2 lesson
+        ws = re.compile(r"[ \t\n]+")
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = zlib.decompress(bytes(payload)).decode("utf-8")
+                tokens = [t for t in ws.split(text) if t]
+                rows.append((doc_id, len(text), len(tokens), "zlib"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chars", "n_tokens", "codec"]
+            )
+
+    return with_payload.mapInPandas(analyze, schema=GZIP_TEXT_SCHEMA)

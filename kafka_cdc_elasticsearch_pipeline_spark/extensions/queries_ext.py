@@ -1239,3 +1239,120 @@ def ext_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a different compression family."""
     payloads = mm.attach_gif_payload(_docs(spark, sf_dir))
     return mm.decode_gif_stats(payloads)
+
+
+@query(
+    "ext_text_compressed_ingest",
+    """
+    SELECT doc_id,
+           length(text)::INT AS n_chars,
+           len(list_filter(string_split_regex(text, '[ \\t\\n]+'), t -> t <> ''))::INT
+             AS n_tokens,
+           'zlib' AS codec
+    FROM documents
+    """,
+    tags=("ext", "text", "compression"),
+)
+def ext_text_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingestion (the .jsonl.gz / .warc.gz shape of
+    web-scale text): documents are deflate-compressed into binary
+    payloads, then an inflate+analyze stage recovers the text and
+    emits char/token counts. The oracle recomputes the counts from the
+    UNCOMPRESSED table — a truncated or corrupt inflate mismatches
+    values instead of crashing. Tokenization uses an explicit
+    [ \\t\\n]+ class on both engines (round-2 canonicalization
+    lesson)."""
+    compressed = mm.compress_text_payload(_docs(spark, sf_dir))
+    return mm.decompress_and_analyze(compressed)
+
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[ \\t\\n]+'), t -> t <> '')"
+)
+
+
+@query(
+    "ext_text_corpus_stats_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents), unnest(ts) AS u(t)
+    ),
+    freq AS (SELECT token, count(*)::BIGINT AS f FROM toks GROUP BY token)
+    SELECT toks.doc_id,
+           count(*)::INT AS n_tokens,
+           sum(f)::BIGINT AS sum_token_freq,
+           sum(CASE WHEN f <= 2 THEN 1 ELSE 0 END)::INT AS n_rare,
+           round(sum(f)::DOUBLE / count(*), 6) AS avg_token_freq
+    FROM toks JOIN freq USING (token)
+    GROUP BY toks.doc_id
+    """,
+    tags=("ext", "text", "quality", "corpus-stats"),
+)
+def ext_text_corpus_stats_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring — the unigram-LM-shaped
+    measure heuristic filters can't provide: every document is scored
+    against the GLOBAL token-frequency table (docs full of rare tokens
+    → low avg frequency → OCR garbage / boilerplate candidates).
+    Plan: one explode+agg builds the frequency table (vocabulary-sized,
+    broadcastable at any corpus scale since vocabularies are ~10^6
+    while corpora are ~10^12 tokens), one join tags each token, one
+    per-doc agg. Integer frequencies keep it canonicalization-proof —
+    no cross-engine libm log calls."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[ \t\n]+"), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("f").cast("bigint").alias("sum_token_freq"),
+            F.sum(F.when(F.col("f") <= 2, 1).otherwise(0)).cast("int").alias("n_rare"),
+            F.round(
+                F.sum("f").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_token_freq"),
+        )
+    )
+
+
+@query(
+    "ext_curation_source_cap",
+    """
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id)::INT
+             AS source_rank,
+           (row_number() OVER (PARTITION BY source
+                               ORDER BY md5(doc_id::VARCHAR), doc_id) <= 100)
+             AS kept
+    FROM documents
+    """,
+    tags=("ext", "curation", "sampling"),
+)
+def ext_curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-representation control: cap every source at N documents,
+    chosen by deterministic content-hash order (not arrival order — so
+    the cap is reproducible across runs, engines, and cluster sizes,
+    like the stratified sampler). One window pass partitioned by
+    source; at 100 TB the per-source partitions are exactly the
+    groups a crawl-dump is already bucketed by."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("int").alias("source_rank"),
+        (F.row_number().over(w) <= 100).alias("kept"),
+    )
