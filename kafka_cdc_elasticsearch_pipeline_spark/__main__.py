@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ksql.add_argument("--limit", type=int, default=20)
 
+    p_serve = sub.add_parser(
+        "serve", help="ksqlDB-shaped REST server (POST /ksql, POST /query)"
+    )
+    p_serve.add_argument("--sf", default=DEFAULT_SF)
+    p_serve.add_argument("--port", type=int, default=8088)
+
     args = ap.parse_args(argv)
 
     from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
@@ -116,6 +122,33 @@ def main(argv: list[str] | None = None) -> int:
             elif head and head[0].upper() == "CREATE":
                 print(f"{head[0].title()} {head[1].lower()}: {stmt.split()[2]}")
         print("relations:", ", ".join(engine.relations) or "(none)")
+        return 0
+
+    if args.cmd == "serve":
+        from pyspark.sql import functions as F
+
+        from kafka_cdc_elasticsearch_pipeline_spark.ksql import KsqlEngine
+        from kafka_cdc_elasticsearch_pipeline_spark.ksql.rest import KsqlRestServer
+        from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import (
+            TABLE_NAMES,
+            load_table,
+        )
+
+        time_cols = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
+        topics = {}
+        for t in TABLE_NAMES:
+            df = load_table(spark, args.sf, t)
+            tc = time_cols.get(t)
+            topics[t] = df.withColumn("rowtime", F.col(tc)) if tc else df
+        server = KsqlRestServer(KsqlEngine(spark, topics), port=args.port).start()
+        print(f"listening on {server.url} (POST /ksql, POST /query, GET /info)")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
         return 0
 
     if args.cmd == "pipeline":

@@ -1,0 +1,123 @@
+"""ksqlDB-shaped REST entry point (SURVEY §3 EP2) over the translator.
+
+The reference drives the same statement set three ways: ksql CLI,
+ksqlDB REST (``POST /ksql`` for DDL, ``POST /query`` for queries —
+rest_example.sh:30-43, readme.md:589-597), and Connect REST. The CLI
+twin is the package CLI (``__main__.py ksql``); this module is the
+REST twin: a stdlib ``http.server`` shim in front of a ``KsqlEngine``
+so a user's curl scripts keep working.
+
+Endpoints (subset the reference exercises):
+- ``POST /ksql``   body ``{"ksql": "<statements>"}`` → JSON array with
+  one entry per statement (``statementText`` + ``status``), like
+  ksqlDB's DDL response shape.
+- ``POST /query``  body ``{"ksql": "SELECT ..."}`` → newline-delimited
+  JSON rows (header object with the column schema first, then one
+  array per row), ksqlDB's streamed pull-query shape.
+- ``GET /info``    liveness probe (the reference's wait loops curl it,
+  readme.md:18-25).
+
+Scale note: this is a CONTROL-plane shim — results stream through the
+driver, so it is for pull queries / DDL / inspection, exactly like
+ksqlDB's own REST query endpoint (which also funnels through the
+server). The data plane (sinks) never touches it.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from kafka_cdc_elasticsearch_pipeline_spark.ksql.translate import (
+    KsqlEngine,
+    split_statements,
+)
+
+
+class KsqlRestServer:
+    """Serve a KsqlEngine over HTTP on an ephemeral (or given) port."""
+
+    def __init__(self, engine: KsqlEngine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet test output
+                pass
+
+            def _json(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 - http.server API
+                if self.path.rstrip("/") in ("", "/info"):
+                    self._json(200, {"KsqlServerInfo": {"version": "spark-engine"}})
+                else:
+                    self._json(404, {"message": f"no such resource {self.path}"})
+
+            def do_POST(self):  # noqa: N802 - http.server API
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    sql = req.get("ksql", "")
+                    if self.path.rstrip("/") == "/ksql":
+                        out = []
+                        for stmt in split_statements(sql):
+                            outer.engine.execute(stmt)
+                            out.append(
+                                {
+                                    "statementText": stmt,
+                                    "commandStatus": {"status": "SUCCESS"},
+                                }
+                            )
+                        self._json(200, out)
+                    elif self.path.rstrip("/") == "/query":
+                        df = outer.engine.execute(sql.rstrip().rstrip(";"))
+                        if df is None:
+                            raise ValueError("not a query statement")
+                        cols = df.columns
+                        lines = [
+                            json.dumps(
+                                {"header": {"schema": ", ".join(cols)}}
+                            ).encode()
+                        ]
+                        for row in df.collect():
+                            lines.append(
+                                json.dumps(
+                                    {"row": {"columns": [row[c] for c in cols]}},
+                                    default=str,
+                                ).encode()
+                            )
+                        body = b"\n".join(lines) + b"\n"
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "application/vnd.ksql.v1+json"
+                        )
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self._json(404, {"message": f"no such resource {self.path}"})
+                except Exception as exc:  # noqa: BLE001 - surface as ksql-style error
+                    self._json(400, {"@type": "statement_error", "message": str(exc)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.port}"
+
+    def start(self) -> "KsqlRestServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
