@@ -39,21 +39,21 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
     """Decode stage over ``mapInPandas``.
 
-    PNG payloads get a REAL decode — chunk parse, CRC check, inflate,
-    unfilter — via the stdlib-zlib+numpy codec in ``png.py`` (no
-    imaging library needed), labeled ``png-numpy`` in the ``decoder``
-    column. Non-PNG payloads (the harness's text-bytes stand-ins;
-    JPEG is out of sandbox scope, see png.py docstring) keep the
-    clearly-labeled DETERMINISTIC FAKE derived from byte length. Either
-    way the Arrow batch-in/batch-out plumbing, schema contract and lazy
-    iterator (no full-partition materialization) are the production
-    shape.
+    PNG, GIF and baseline-JPEG payloads get a REAL decode via the
+    pure-Python/numpy codecs in ``png.py`` / ``gif.py`` / ``jpeg.py``
+    (no imaging library needed), labeled in the ``decoder`` column.
+    Unrecognized payloads (the harness's text-bytes stand-ins) keep
+    the clearly-labeled DETERMINISTIC FAKE derived from byte length.
+    Either way the Arrow batch-in/batch-out plumbing, schema contract
+    and lazy iterator (no full-partition materialization) are the
+    production shape.
     """
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
         from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_decode
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_decode
         from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
             PNG_SIG,
             png_decode,
@@ -69,6 +69,9 @@ def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
                 elif data[:6] in (b"GIF89a", b"GIF87a"):
                     w, h, _pal, _idx = gif_decode(data)
                     rows.append((doc_id, len(data), w, h, "P", "gif-lzw"))
+                elif data[:2] == b"\xff\xd8":
+                    w, h, mode, _ = jpeg_decode(data)
+                    rows.append((doc_id, len(data), w, h, mode, "jpeg-numpy"))
                 else:
                     blen = len(data)
                     rows.append(
@@ -391,3 +394,61 @@ def decompress_and_analyze(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(analyze, schema=GZIP_TEXT_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, mode string,"
+    " pixel_sum bigint, decoder string"
+)
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL baseline JPEG per document: constant grayscale at
+    quality 100 — the one regime where JPEG is exact after rounding
+    (a constant block's DCT is a single integer DC coefficient and
+    every quantizer step is 1), so the full entropy-decode + IDCT
+    chain gets an exact arithmetic oracle."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_encode
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % 16
+                h = 8 + (3 * d) % 16
+                v = d % 251
+                payloads.append(
+                    jpeg_encode(np.full((h, w), v, dtype=np.uint8), quality=100)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_jpeg_stats(with_payload: DataFrame) -> DataFrame:
+    """Full baseline-JPEG decode stage: Huffman entropy decode, DPCM
+    DC, AC run-lengths, dequantize, IDCT, level shift — emitting the
+    reconstructed pixel sum."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, mode, px = jpeg_decode(bytes(payload))
+                rows.append((doc_id, w, h, mode, int(px.sum()), "jpeg-numpy"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mode", "pixel_sum", "decoder"],
+            )
+
+    return with_payload.mapInPandas(decode, schema=JPEG_STATS_SCHEMA)

@@ -8,10 +8,9 @@ of a stub: parse chunks (CRC-verified), inflate IDAT, undo filters
 
 Scope: 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
 non-interlaced — the shapes a training-data pipeline normalizes to
-anyway. JPEG stays out of scope in-sandbox: a correct baseline-JPEG
-entropy decoder (Huffman + IDCT) is an order of magnitude more code
-than its signal here; non-PNG payloads keep the clearly-labeled
-deterministic fake (multimodal.py).
+anyway. Baseline JPEG has its own codec (jpeg.py); unrecognized
+payloads keep the clearly-labeled deterministic fake
+(multimodal.py).
 
 The per-scanline unfilter loop is sequential BY SPEC (filters 1/3/4
 predict from the already-reconstructed left neighbor), so rows can't
