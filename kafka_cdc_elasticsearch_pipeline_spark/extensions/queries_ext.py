@@ -1384,3 +1384,70 @@ def ext_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation."""
     payloads = mm.attach_jpeg_payload(_docs(spark, sf_dir))
     return mm.decode_jpeg_stats(payloads)
+
+
+@query(
+    "ext_text_line_dedup",
+    """
+    WITH lines AS (
+      SELECT doc_id, trim(line) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+           unnest(ls) AS u(line)
+      WHERE trim(line) <> ''
+    ),
+    freq AS (
+      SELECT line, count(*)::BIGINT AS n_docs_with_line
+      FROM (SELECT DISTINCT doc_id, line FROM lines)
+      GROUP BY line
+    )
+    SELECT l.doc_id,
+           count(*)::INT AS n_lines,
+           sum(CASE WHEN f.n_docs_with_line >= 3 THEN 1 ELSE 0 END)::INT
+             AS n_boilerplate,
+           round(sum(CASE WHEN f.n_docs_with_line >= 3 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS boilerplate_ratio
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+    """,
+    tags=("ext", "text", "dedup", "curation"),
+)
+def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (the C4-style cleanup: a line appearing
+    in ≥ 3 distinct documents is boilerplate — headers, footers,
+    cookie banners). Plan: explode lines once, distinct (doc, line),
+    count docs per line (the boilerplate table is ≪ corpus and
+    broadcastable), join back, per-doc ratio. All exact-hashable
+    integers/ratios; one shuffle for the line-frequency agg, one for
+    the per-doc agg."""
+    docs = _docs(spark, sf_dir)
+    lines = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\n")).alias("raw_line"),
+        )
+        .select("doc_id", F.trim(F.col("raw_line")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    freq = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs_with_line"))
+    )
+    return (
+        lines.join(F.broadcast(freq), "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.when(F.col("n_docs_with_line") >= 3, 1).otherwise(0))
+            .cast("int")
+            .alias("n_boilerplate"),
+            F.round(
+                F.sum(F.when(F.col("n_docs_with_line") >= 3, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
+    )

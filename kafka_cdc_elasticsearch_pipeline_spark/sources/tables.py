@@ -100,7 +100,11 @@ def spread(df: DataFrame) -> DataFrame:
     → <1s at sf0.1). Filters and column pruning still push through the
     round-robin Exchange into the scan. On a real cluster the scan has
     splits ≫ cores and this is a no-op — the shuffle is only paid when
-    it buys parallelism."""
+    it buys parallelism. Streaming DataFrames pass through untouched
+    (micro-batch partitioning is the source's concern, and ``.rdd`` is
+    not defined for them)."""
+    if df.isStreaming:
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

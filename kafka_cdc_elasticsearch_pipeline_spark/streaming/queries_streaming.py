@@ -424,3 +424,41 @@ def t5_backfill_plus_tail_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
     )
     return merged.select(*EVENT_COLS)
+
+
+@query(
+    "ext_streaming_media_decode",
+    """
+    SELECT doc_id,
+           (8 + doc_id % 16)::INT AS width,
+           (8 + (3 * doc_id) % 16)::INT AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
+           ((8 + doc_id % 16) * (8 + (3 * doc_id) % 16)
+             * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)
+             * (doc_id % 251))::BIGINT AS pixel_sum,
+           'png-numpy' AS decoder
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "streaming"),
+)
+def ext_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode under Structured Streaming: the SAME Arrow
+    ``mapInPandas`` build+decode chain as the batch PNG gate row
+    (ext_multimodal_png_decode), fed by the documents table replayed
+    as ~6 micro-batches. Decode is stateless, so streaming output ≡
+    batch output row-for-row — the property that lets one decode
+    fleet serve both the backfill scan and the live tail at 100 TB.
+    Exercises mapInPandas inside a real StreamingQuery (Arrow batches
+    per micro-batch, append mode, memory sink)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+
+    stream, tmp = replay_stream(
+        spark, sf_dir, "documents", chunks=6, order_col="doc_id"
+    )
+    try:
+        decoded = mm.decode_png_stats(mm.attach_png_payload(stream))
+        name = f"strm_media_{next(_SEQ)}"
+        run_to_memory(decoded, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        cleanup(tmp)

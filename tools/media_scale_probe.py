@@ -62,6 +62,16 @@ def main() -> int:
             multimodal.attach_png_payload(df)
         ).agg(F.sum("pixel_sum")).collect()
 
+    def gif(df):
+        return multimodal.decode_gif_stats(
+            multimodal.attach_gif_payload(df)
+        ).agg(F.sum("index_sum")).collect()
+
+    def jpeg(df):
+        return multimodal.decode_jpeg_stats(
+            multimodal.attach_jpeg_payload(df)
+        ).agg(F.sum("pixel_sum")).collect()
+
     def wav(df):
         return audio.decode_wav_stats(
             audio.attach_wav_payload(df)
@@ -79,8 +89,8 @@ def main() -> int:
         hot = hot_keys(df, "k", top_n=5, min_share=0.05)
         return skew_aware_join(df, dim, "k", "dk", hot, salt_buckets=8).count()
 
-    ops = {"png_decode": png, "wav_decode": wav, "mp4_metadata": mp4,
-           "salted_skew_join": salted}
+    ops = {"png_decode": png, "gif_decode": gif, "jpeg_decode": jpeg,
+           "wav_decode": wav, "mp4_metadata": mp4, "salted_skew_join": salted}
 
     results: dict[str, dict[int, float]] = {o: {} for o in ops}
     for n in args.sizes:
