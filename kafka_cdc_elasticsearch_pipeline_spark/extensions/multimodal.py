@@ -452,3 +452,37 @@ def decode_jpeg_stats(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(decode, schema=JPEG_STATS_SCHEMA)
+
+
+def attach_mixed_payload(docs: DataFrame) -> DataFrame:
+    """A heterogeneous payload column — PNG / GIF / JPEG / raw text
+    bytes chosen by doc_id — the real shape of a scraped corpus where
+    format routing happens per row, not per table."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_encode
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_encode
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        pal = np.array(_GIF_PALETTE4, dtype=np.uint8)
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                w, h, v = 8 + d % 8, 8 + d % 8, d % 251
+                kind = d % 4
+                if kind == 0:
+                    payloads.append(png_encode(np.full((h, w), v, dtype=np.uint8)))
+                elif kind == 1:
+                    payloads.append(gif_encode(np.full((h, w), d % 4, dtype=np.uint8), pal))
+                elif kind == 2:
+                    payloads.append(jpeg_encode(np.full((h, w), v, dtype=np.uint8)))
+                else:
+                    payloads.append(text.encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id", "text").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )

@@ -1451,3 +1451,34 @@ def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+@query(
+    "ext_multimodal_format_sniff",
+    """
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'png-numpy'
+                           WHEN 1 THEN 'gif-lzw'
+                           WHEN 2 THEN 'jpeg-numpy'
+                           ELSE 'fake-deterministic' END AS decoder,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("ext", "multimodal", "routing"),
+)
+def ext_multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row format routing over a HETEROGENEOUS payload column
+    (PNG / GIF / JPEG / raw bytes interleaved by doc) — the scraped-
+    corpus reality where the decode stage must sniff signatures row by
+    row. The decoder-distribution report only matches the oracle if
+    every signature routed to the right codec and every codec decoded
+    without error."""
+    payloads = mm.attach_mixed_payload(_docs(spark, sf_dir))
+    decoded = mm.decode_image_metadata(payloads)
+    return decoded.groupBy("decoder").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

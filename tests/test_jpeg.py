@@ -124,3 +124,18 @@ def test_jpeg_stats_stage(spark):
     r = mm.decode_jpeg_stats(df).collect()[0]
     assert (r.width, r.height, r.mode) == (4, 6, "L")
     assert r.pixel_sum == 6 * 4 * 100
+
+
+def test_mixed_payload_routing(spark):
+    """Heterogeneous payload column: each row must route to the codec
+    its signature declares."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    decoded = mm.decode_image_metadata(mm.attach_mixed_payload(docs))
+    got = {r.doc_id: r.decoder for r in decoded.collect()}
+    expect = {0: "png-numpy", 1: "gif-lzw", 2: "jpeg-numpy", 3: "fake-deterministic"}
+    for doc_id, decoder in got.items():
+        assert decoder == expect[doc_id % 4]
