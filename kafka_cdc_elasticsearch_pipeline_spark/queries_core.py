@@ -1637,3 +1637,32 @@ def skew_salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> Data
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
         .alias("revenue"),
     )
+
+
+@query("lake_cdc_upsert_compaction", _LATEST_SQL, tags=("S2", "A3", "T5", "lake"))
+def lake_cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upserts compacted into a parquet lake table (sources/
+    lake.py:merge_upsert): the events changelog applied as three
+    successive MERGE batches (copy-on-write: existing ∪ batch →
+    latest-per-key → staged swap) must leave the table identical to
+    one latest-per-key pass over the full log — the associativity
+    that lets a 100 TB lake ingest CDC incrementally and still equal
+    the batch rebuild. Same oracle as the TABLE materialization
+    (s2_a3_table_latest_per_key)."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import merge_upsert
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_upsert_") as tmp:
+        path = f"{tmp}/events_table"
+        for i in range(3):
+            merge_upsert(
+                spark,
+                path,
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                ["user_id"],
+                "ts",
+                tiebreak="event_id",
+            )
+        return spark.read.parquet(path).select(*EVENT_COLS).localCheckpoint()

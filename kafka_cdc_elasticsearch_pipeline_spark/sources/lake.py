@@ -37,3 +37,40 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned lake path; partition columns come back as
     regular columns and predicates on them prune directories."""
     return spark.read.parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> None:
+    """Copy-on-write MERGE of a CDC change batch into a parquet lake
+    table: existing ∪ changes → latest-per-key → staged rewrite →
+    swap. The lakehouse counterpart of the keyed ES sink (doc-id
+    overwrite ≙ key merge) and the batch form of the reference's
+    TABLE materialization.
+
+    This is the format-agnostic COW pattern; a production lake
+    delegates the swap to a table format's transaction log (Delta/
+    Iceberg) and rewrites only the touched files. Semantics — dedup by
+    (ts, tiebreak) last-write-wins — are identical, which is what the
+    gate row checks.
+    """
+    import os
+    import shutil
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+    if os.path.exists(path):
+        merged = spark.read.parquet(path).unionByName(changes)
+    else:
+        merged = changes
+    result = latest_per_key(merged, list(keys), ts_col, tiebreak=tiebreak)
+    staging = path.rstrip("/") + ".__staging__"
+    result.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)

@@ -35,3 +35,37 @@ def test_partitioned_roundtrip_complete(spark, sf_dir, tmp_path):
     ev = with_event_date(load_table(spark, sf_dir, "events"))
     write_partitioned(ev, path, ["event_date"])
     assert read_partitioned(spark, path).count() == ev.count()
+
+
+def test_merge_upsert_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """Three-batch CDC merge == one-shot latest-per-key (associativity
+    of last-write-wins), and a re-merge of an already-applied batch is
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import merge_upsert
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_table")
+    for i in range(3):
+        merge_upsert(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == i),
+            ["user_id"], "ts", tiebreak="event_id",
+        )
+    merged = spark.read.parquet(path)
+    expect = latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id")
+    cols = sorted(merged.columns)
+    assert sorted(tuple(r) for r in merged.select(*cols).collect()) == sorted(
+        tuple(r) for r in expect.select(*cols).collect()
+    )
+    # idempotent redelivery: re-applying batch 0 changes nothing
+    merge_upsert(
+        spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == 0),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    again = spark.read.parquet(path)
+    assert sorted(tuple(r) for r in again.select(*cols).collect()) == sorted(
+        tuple(r) for r in expect.select(*cols).collect()
+    )
