@@ -427,6 +427,88 @@ def t5_backfill_plus_tail_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_checkpoint_recovery_resume",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS window_start,
+           user_id,
+           count(*) AS ratings_count,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T3", "T6", "R2", "streaming", "recovery"),
+)
+def t_checkpoint_recovery_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 + R2 — the reference's restart-and-resume contract
+    (readme.md:497-503; offset replay ksqldb-statements.sql:49) as a
+    hard signal: the tumbling-count query dies after 3 of 8 replay
+    micro-batches, restarts from the same checkpointLocation while the
+    tail arrived, and its compacted update log must hash-match the
+    one-shot batch oracle. Windows split across the kill boundary are
+    the detectors — they come out under-counted unless the restarted
+    query reloads the state store AND skips the committed head files."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import kill_and_resume
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return streaming_tumbling_agg(
+            stream,
+            "ts",
+            "15 minutes",
+            ["user_id"],
+            [
+                F.count(F.lit(1)).alias("ratings_count"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                ).alias("total_value"),
+            ],
+        )
+
+    return kill_and_resume(
+        spark, sf_dir, "events", agg, ["window_start", "user_id"], chunks=8, kill_after=3
+    )
+
+
+@query(
+    "t_checkpoint_recovery_latest_per_key",
+    f"""
+    SELECT {', '.join(EVENT_COLS)}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("T5", "R2", "streaming", "recovery"),
+)
+def t_checkpoint_recovery_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 + R2 — latest-per-key TABLE state surviving a kill/restart.
+    The replay is chunked round-robin (NOT event-time order), so a
+    key's newest event often lands in the pre-kill head: if the
+    restarted query lost its state, its post-restart updates would
+    emit an *older* tail event as a later update, the last-update-wins
+    compaction would keep that wrong row, and the hash check against
+    the batch latest-per-key oracle would fail. Nearly every key is a
+    detector."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import kill_and_resume
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return streaming_latest_per_key(
+            stream, ["user_id"], "ts", tiebreak="event_id"
+        ).select(*EVENT_COLS)
+
+    return kill_and_resume(
+        spark,
+        sf_dir,
+        "events",
+        agg,
+        ["user_id"],
+        chunks=8,
+        kill_after=3,
+        order_col=None,
+    )
+
+
+@query(
     "ext_streaming_media_decode",
     """
     SELECT doc_id,

@@ -129,6 +129,95 @@ def test_stateful_user_profile_converges_to_batch(spark, sf_dir):
         cleanup(tmp)
 
 
+def test_checkpoint_recovery_kill_restart(spark, sf_dir):
+    """R2 durability hard signal: a stateful StreamingQuery is
+    ``stop()``-killed mid-flight (files still unprocessed), a fresh
+    query restarts from the same checkpointLocation, and the compacted
+    update log equals the batch aggregation — which requires BOTH
+    offset resume (committed files not re-read) and state-store
+    recovery (per-user counts keep accumulating, not restart at 0)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        last_update_per_key,
+        log_sink,
+        open_stream,
+        reveal,
+        stage_replay_files,
+    )
+
+    tmp, parts, schema = stage_replay_files(
+        spark, sf_dir, "events", chunks=8, order_col="ts"
+    )
+    try:
+        ckpt = os.path.join(tmp, "ckpt")
+        log_dir = os.path.join(tmp, "log")
+        reveal(tmp, parts)  # all 8 files visible from the start
+
+        def agg(stream):
+            return stream.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor("value").cast("long")).alias("units"),
+            )
+
+        # Phase 1: unthrottled trigger, killed mid-replay. The sink
+        # sleeps per batch so the kill reliably lands with files left.
+        q1 = (
+            agg(open_stream(spark, tmp, schema))
+            .writeStream.foreachBatch(log_sink(log_dir, per_batch_sleep=0.3))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and p["batchId"] >= 2:
+                break
+            time.sleep(0.02)
+        q1.stop()
+        q1.awaitTermination()
+        done_before = {
+            int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+        }
+        assert len(done_before) >= 2, "kill landed before any state was committed"
+        assert len(done_before) < len(parts), "query finished before the kill - no resume to test"
+
+        # Phase 2: restart from the same checkpoint, run to completion.
+        q2 = (
+            agg(open_stream(spark, tmp, schema))
+            .writeStream.foreachBatch(log_sink(log_dir))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        resumed_rows = sum(int(p["numInputRows"]) for p in q2.recentProgress)
+        ev = load_table(spark, sf_dir, "events")
+        total = ev.count()
+        assert 0 < resumed_rows < total, "restart reprocessed everything (or nothing)"
+
+        got = {
+            r.user_id: (r.n, r.units)
+            for r in last_update_per_key(
+                spark.read.parquet(log_dir), ["user_id"]
+            ).collect()
+        }
+        want = {
+            r.user_id: (r.n, r.units)
+            for r in agg(ev).collect()
+        }
+        assert got == want
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     """Cross-micro-batch matches must survive: left row buffered in
     batch k matches a right row arriving in batch k+1."""
