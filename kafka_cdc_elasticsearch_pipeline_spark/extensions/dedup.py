@@ -35,6 +35,7 @@ from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
     base_hashes,
     explode_expensive,
     minhash_signature,
+    reuse,
     shingles,
     simhash60,
     spread,
@@ -96,7 +97,7 @@ def _verify_jaccard(docs: DataFrame, cand: DataFrame, threshold: float) -> DataF
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    rsh = _doc_shingle_hashsets(docs.join(F.broadcast(ids), "doc_id")).persist()
+    rsh = reuse(_doc_shingle_hashsets(docs.join(F.broadcast(ids), "doc_id")))
     x = rsh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     y = rsh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (
@@ -151,19 +152,21 @@ def minhash_lsh_pairs(
         for b in range(n_bands)
     ]
     banded = sigs.select("doc_id", *band_vals)
-    # Persisted: 1 + n_bands longs per doc — the ONE full-corpus
-    # shingle+digest pass materializes here; the self-join and the
-    # verify stage read these 40 bytes/doc instead of recomputing the
-    # signature pipeline per join side.
-    exploded = explode_expensive(
-        banded.select(
-            "doc_id",
-            F.array(*[F.col(f"band{b}") for b in range(n_bands)]).alias("bands"),
-        ),
-        "bands",
-        "band_val",
-        pos_col="band_idx",
-    ).persist()
+    # reuse(): 1 + n_bands longs per doc — the full-corpus
+    # shingle+digest pass lands here and both self-join sides read it
+    # (lazy locally, pinnable via SPARK_GRAFT_PIN_REUSED at scale —
+    # see textops.reuse for the measured tradeoff).
+    exploded = reuse(
+        explode_expensive(
+            banded.select(
+                "doc_id",
+                F.array(*[F.col(f"band{b}") for b in range(n_bands)]).alias("bands"),
+            ),
+            "bands",
+            "band_val",
+            pos_col="band_idx",
+        )
+    )
     left = exploded.alias("a")
     right = exploded.alias("b")
     cand = (
@@ -198,10 +201,10 @@ def ngram_jaccard_pairs(
     stays an equi-self-join on the indexed token.
     """
     sh = _doc_shingle_hashsets(docs)
-    # One full-corpus shingle pass, persisted as narrow (doc_id, hash)
-    # rows — 8-byte keys, not shingle strings — the df-count and the
-    # prefix build both read it.
-    ex = explode_expensive(sh, "hs", "s").persist()
+    # One full-corpus shingle pass as narrow (doc_id, hash) rows —
+    # 8-byte keys, not shingle strings — the df-count and the prefix
+    # build both read it (reuse mark).
+    ex = reuse(explode_expensive(sh, "hs", "s"))
     dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
     # Global rarest-first order = (df, hash); per-doc prefix of length
     # |hs| - ceil(t*|hs|) + 1 under that order. Keep (pos, n) per
@@ -221,7 +224,7 @@ def ngram_jaccard_pairs(
         )
         .transform(lambda df: explode_expensive(df, "pref", "sp"))
         .select("doc_id", "n", F.col("sp.s").alias("s"), F.col("sp.pos").alias("pos"))
-        .persist()
+        .transform(reuse)
     )
     # PPJoin filters on each index hit:
     # - length: J >= t forces t*|a| <= |b| <= |a|/t;
@@ -378,21 +381,28 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     the radius), and candidate generation stays an equi-join on
     (block index, 15-bit value)."""
     t = simhash_table(docs)
-    # Persisted: (doc_id, simhash, band_idx, band_val) — 4 rows of
+    # reuse(): (doc_id, simhash, band_idx, band_val) — 4 rows of
     # 4 longs per doc; both self-join sides read this.
-    banded = explode_expensive(
-        t.select(
+    banded = reuse(
+        explode_expensive(
+            t.select(
+                "doc_id",
+                "simhash",
+                F.expr(
+                    f"transform(sequence(0, {SIMHASH_BANDS - 1}),"
+                    f" b -> struct(b AS band_idx,"
+                    f" shiftright(simhash, 15 * b) & {_BAND_MASK} AS band_val))"
+                ).alias("bands"),
+            ),
+            "bands",
+            "bv",
+        ).select(
             "doc_id",
             "simhash",
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BANDS - 1}),"
-                f" b -> struct(b AS band_idx,"
-                f" shiftright(simhash, 15 * b) & {_BAND_MASK} AS band_val))"
-            ).alias("bands"),
-        ),
-        "bands",
-        "bv",
-    ).select("doc_id", "simhash", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val")).persist()
+            F.col("bv.band_idx").alias("band_idx"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

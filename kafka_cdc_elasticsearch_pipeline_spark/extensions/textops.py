@@ -32,6 +32,15 @@ LSH_ROWS_PER_BAND = 2  # r -> b = k/r = 4 bands
 from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import spread  # noqa: E402, F401
 
 
+# Re-exported for the dedup/similarity family: no-op reuse marker with
+# an opt-in pinned mode — see operators.caching for rationale and the
+# measured persist-vs-lazy numbers.
+from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (  # noqa: E402, F401
+    release_pinned,
+    reuse,
+)
+
+
 def explode_expensive(df, array_col: str, out_col: str, pos_col: str | None = None):
     """Explode an array built by an expensive expression pipeline.
 

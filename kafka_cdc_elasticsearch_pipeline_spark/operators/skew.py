@@ -55,9 +55,25 @@ def salted_agg(
 # ANALYZE-style statistics cache: a planner computes heavy-hitter
 # stats once per (table, key) and reuses them across queries; repeated
 # plan builds (bench repeats, interactive sessions) should not re-scan
-# the fact table. Keyed by the plan's semantic hash, bounded by the
-# handful of (table, key) pairs a session touches.
+# the fact table. Keyed by the plan's semantic hash, LRU-capped.
+#
+# Staleness tradeoff (documented, deliberate): semanticHash is a
+# function of the PLAN, not the data — new files landing under the
+# same source path keep the same hash, so a long session can serve a
+# stale heavy-hitter list. That affects routing quality only (a newly
+# hot key takes the cold path until refresh); join correctness never
+# depends on the list. Call ``invalidate_hot_keys()`` after ingest, or
+# pass ``use_cache=False`` for an always-fresh diagnostic.
 _HOT_KEYS_CACHE: dict[tuple, list] = {}
+_HOT_KEYS_CACHE_CAP = 64
+
+
+def invalidate_hot_keys() -> int:
+    """Drop all cached heavy-hitter lists (call after new data lands
+    under an already-scanned path); returns how many were dropped."""
+    n = len(_HOT_KEYS_CACHE)
+    _HOT_KEYS_CACHE.clear()
+    return n
 
 
 def hot_keys(
@@ -82,7 +98,11 @@ def hot_keys(
         except Exception:  # noqa: BLE001 - streaming/exotic plans: skip cache
             cache_key = None
         if cache_key is not None and cache_key in _HOT_KEYS_CACHE:
-            return _HOT_KEYS_CACHE[cache_key]
+            # LRU touch: move to the young end (dicts iterate in
+            # insertion order, so the eviction below pops the oldest).
+            result = _HOT_KEYS_CACHE.pop(cache_key)
+            _HOT_KEYS_CACHE[cache_key] = result
+            return result
     total = df.agg(F.count(F.lit(1)).alias("_total"))
     per_key = df.groupBy(F.col(key).alias("_k")).agg(F.count(F.lit(1)).alias("_n"))
     top = (
@@ -95,6 +115,8 @@ def hot_keys(
     )
     result = [r._k for r in top]
     if cache_key is not None:
+        while len(_HOT_KEYS_CACHE) >= _HOT_KEYS_CACHE_CAP:
+            _HOT_KEYS_CACHE.pop(next(iter(_HOT_KEYS_CACHE)))
         _HOT_KEYS_CACHE[cache_key] = result
     return result
 

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
 from kafka_cdc_elasticsearch_pipeline_spark.operators.relational import topk
 from kafka_cdc_elasticsearch_pipeline_spark.registry import query
 from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
@@ -510,7 +511,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp_dim), li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_disc_price()).alias("v"))
-        .persist()
+        .transform(reuse)
     )
     threshold = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("thr"))
     out = (
@@ -686,7 +687,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_revenue")).persist()
+    rev = reuse(
+        li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_revenue"))
+    )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -99,6 +99,36 @@ def test_statement_error_shape(server):
     assert "unsupported" in err["message"]
 
 
+def test_select_on_ksql_endpoint_rejected(server):
+    """Real ksqlDB rejects SELECT on /ksql and directs clients to
+    /query (ADVICE r03) — a ported curl script must get a loud
+    statement_error, not a result-less SUCCESS."""
+    status, body = _post(
+        server.url + "/ksql", {"ksql": "SELECT MEMBER_ID FROM SCORES_15M;"}
+    )
+    assert status == 400
+    err = json.loads(body)
+    assert err["@type"] == "statement_error"
+    assert "/query" in err["message"]
+
+
+def test_pull_query_streams_chunked(server):
+    """The /query response is chunked (toLocalIterator-fed), not a
+    single Content-Length body materialized from collect()."""
+    req = urllib.request.Request(
+        server.url + "/query",
+        data=json.dumps({"ksql": "SELECT MEMBER_ID, N FROM SCORES_15M;"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        assert resp.headers.get("Content-Length") is None
+        lines = [json.loads(x) for x in resp.read().decode().strip().splitlines()]
+    assert "schema" in lines[0]["header"]
+    assert len(lines) > 1
+
+
 def test_unknown_resource_404(server):
     status, _ = _post(server.url + "/nope", {"ksql": "SELECT 1"})
     assert status == 404
