@@ -22,14 +22,45 @@ is how es-hadoop scales too.
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Callable
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 
 DEFAULT_BULK_SIZE = 1000
 
+# Mirrors the reference connector's retry knobs (kafka-connect-
+# elasticsearch max.retries=5 / retry.backoff.ms=100): transient
+# rejections are retried with exponential backoff BEFORE
+# errors.tolerance decides their fate.
+DEFAULT_MAX_RETRIES = 5
+DEFAULT_RETRY_BACKOFF_S = 0.1
+
+#: Statuses that mean "back off and resend", not "the doc is bad":
+#: 429 = rejected_execution (bulk queue full), 503 = node unavailable.
+#: Critically these appear BOTH request-level AND as per-item statuses
+#: inside an HTTP 200 bulk response — a full bulk queue rejects a
+#: subset of items while the rest index fine.
+RETRYABLE_STATUSES = frozenset({429, 503})
+
 Transport = Callable[[str, str], tuple[int, str]]
 """(url, body) -> (status_code, response_body). Injectable for tests."""
+
+
+class _PerPartitionCount(AccumulatorParam):
+    """{partition_id: n} with last-write-wins merge: a retried or
+    speculatively duplicated task OVERWRITES its partition's entry
+    instead of adding, so the summed metric is exactly-once per
+    partition even though Spark accumulators in transformations are
+    at-least-once (ADVICE r03)."""
+
+    def zero(self, value):  # noqa: D102 - AccumulatorParam API
+        return {}
+
+    def addInPlace(self, a, b):  # noqa: D102 - AccumulatorParam API
+        a.update(b)
+        return a
 
 
 def _http_transport(url: str, body: str) -> tuple[int, str]:
@@ -69,6 +100,38 @@ def index_exists_errors(response_body: str) -> list[int]:
     ]
 
 
+def classify_bulk_response(
+    status: int, response_body: str, n_items: int
+) -> tuple[list[int], list[int]]:
+    """One bulk attempt → (fatal_positions, retryable_positions).
+
+    Request-level: a retryable status (429/503) marks every item
+    retryable; any other non-2xx marks every item fatal. Item-level
+    (HTTP 200 body with ``"errors": true`` — the shape a real ES
+    returns when the bulk queue rejects a SUBSET): each item's own
+    status decides — 429/503 retryable, other ≥300 fatal, 2xx acked.
+    """
+    if status >= 300:
+        if status in RETRYABLE_STATUSES:
+            return [], list(range(n_items))
+        return list(range(n_items)), []
+    try:
+        resp = json.loads(response_body)
+    except json.JSONDecodeError:
+        return [], []
+    if not resp.get("errors"):
+        return [], []
+    fatal: list[int] = []
+    retryable: list[int] = []
+    for i, item in enumerate(resp.get("items", [])):
+        st = item.get("index", {}).get("status", 200)
+        if st in RETRYABLE_STATUSES:
+            retryable.append(i)
+        elif st >= 300:
+            fatal.append(i)
+    return fatal, retryable
+
+
 def es_sink_foreach_batch(
     es_url: str,
     index: str,
@@ -77,8 +140,18 @@ def es_sink_foreach_batch(
     dead_letter_path: str | None = None,
     bulk_size: int = DEFAULT_BULK_SIZE,
     transport: Transport = _http_transport,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    retry_backoff_s: float = DEFAULT_RETRY_BACKOFF_S,
 ):
     """Build a ``foreachBatch`` function bulk-indexing into ES.
+
+    Retry semantics (reference connector parity): transient rejections
+    — request-level 429/503, network errors, AND per-item 429s inside
+    an HTTP 200 response (a full bulk queue rejects a subset while the
+    rest index) — are retried with exponential backoff, resending ONLY
+    the rejected items; after ``max_retries`` they fall through to
+    ``errors_tolerance`` (DLQ under ``all``, query failure otherwise).
+    Permanently bad docs (mapping conflicts, 400s) skip the retry loop.
 
     Usage::
 
@@ -90,30 +163,51 @@ def es_sink_foreach_batch(
     """
 
     def _foreach_batch(batch_df: DataFrame, batch_id: int) -> int:
-        # at-least-once success metric: counts docs the ES bulk API
-        # acknowledged, accumulated inside the one side-effecting job
-        # (a separate count() would re-execute the plan and disagree
-        # with what was actually indexed, e.g. under an SMT
-        # current_timestamp or when errors.tolerance=all drops docs)
-        ok_acc = batch_df.sparkSession.sparkContext.accumulator(0)
+        # Acked-docs metric, accumulated inside the one side-effecting
+        # job (a separate count() would re-execute the plan and re-send
+        # docs). Keyed by partition id with last-write-wins merge, so a
+        # retried/speculative task replaces rather than adds — the
+        # summed value is exactly-once per partition. It can still
+        # differ from ES truth only in the way at-least-once delivery
+        # itself does: a retried task re-SENDS docs (idempotent
+        # overwrites under id_col, possible duplicates without one).
+        ok_acc = batch_df.sparkSession.sparkContext.accumulator(
+            {}, _PerPartitionCount()
+        )
 
         def _send_partition(iterator):
+            from pyspark import TaskContext
+
             buf: list[dict] = []
             failed: list[dict] = []
+            n_ok = 0
 
             def flush():
+                nonlocal n_ok
                 if not buf:
                     return
-                body = bulk_payload(buf, index, id_col)
-                try:
-                    status, resp = transport(f"{es_url}/_bulk", body)
-                    bad = index_exists_errors(resp) if status < 300 else range(len(buf))
-                except Exception:  # noqa: BLE001 — connector-level failure
-                    bad = range(len(buf))
-                bad = list(bad)
-                for i in bad:
-                    failed.append(buf[i])
-                ok_acc.add(len(buf) - len(bad))
+                pending = list(range(len(buf)))
+                attempt = 0
+                while pending:
+                    body = bulk_payload([buf[i] for i in pending], index, id_col)
+                    try:
+                        status, resp = transport(f"{es_url}/_bulk", body)
+                        fatal, retryable = classify_bulk_response(
+                            status, resp, len(pending)
+                        )
+                    except Exception:  # noqa: BLE001 — network-level, retryable
+                        fatal, retryable = [], list(range(len(pending)))
+                    failed.extend(buf[pending[i]] for i in fatal)
+                    n_ok += len(pending) - len(fatal) - len(retryable)
+                    retry_docs = [pending[i] for i in retryable]
+                    if not retry_docs:
+                        break
+                    if attempt >= max_retries:
+                        failed.extend(buf[i] for i in retry_docs)
+                        break
+                    attempt += 1
+                    time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
+                    pending = retry_docs
                 buf.clear()
 
             for row in iterator:
@@ -121,6 +215,9 @@ def es_sink_foreach_batch(
                 if len(buf) >= bulk_size:
                     flush()
             flush()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else -1
+            ok_acc.add({pid: n_ok})
             for f in failed:
                 yield f
 
@@ -147,7 +244,7 @@ def es_sink_foreach_batch(
             n_failed = failed_rdd.count()
             if n_failed:
                 raise RuntimeError(f"{n_failed} documents failed to index into {index}")
-        return ok_acc.value
+        return sum(ok_acc.value.values())
 
     return _foreach_batch
 

@@ -171,6 +171,179 @@ def test_dlq_empty_batch_writes_no_rows(spark):
     assert spark.read.parquet(dlq).count() == 0
 
 
+def make_realistic_mixed_transport(capture_dir: str):
+    """A faithfully-shaped ES 7.x ``_bulk`` response: HTTP 200 with
+    ``"errors": true`` and full per-item bodies — 201 created for even
+    ids, 400 mapper_parsing_exception for ids ≡ 1 (mod 4), and 429
+    es_rejected_execution_exception for ids ≡ 3 (mod 4). The 429s
+    succeed when resent (the bulk queue drained). This is the partial-
+    bulk-failure case the reference's errors.tolerance=all absorbs
+    (ksqldb-statements.sql:74-77)."""
+
+    def transport(url: str, body: str) -> tuple[int, str]:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        with open(
+            _os.path.join(capture_dir, f"req_{_uuid.uuid4().hex}.ndjson"), "w"
+        ) as f:
+            f.write(body)
+        n_prior = len([x for x in _os.listdir(capture_dir)])
+        docs = [_json.loads(line) for line in body.strip().splitlines()][1::2]
+        items = []
+        any_err = False
+        for doc in docs:
+            i = doc.get("id", 0)
+            if i % 4 == 1:
+                any_err = True
+                items.append(
+                    {
+                        "index": {
+                            "_index": "ratings", "_id": str(i), "status": 400,
+                            "error": {
+                                "type": "mapper_parsing_exception",
+                                "reason": "failed to parse field [v]",
+                            },
+                        }
+                    }
+                )
+            elif i % 4 == 3 and n_prior <= 1:  # first attempt only
+                any_err = True
+                items.append(
+                    {
+                        "index": {
+                            "_index": "ratings", "_id": str(i), "status": 429,
+                            "error": {
+                                "type": "es_rejected_execution_exception",
+                                "reason": "rejected execution of coordinating operation",
+                            },
+                        }
+                    }
+                )
+            else:
+                items.append(
+                    {
+                        "index": {
+                            "_index": "ratings", "_id": str(i), "status": 201,
+                            "result": "created", "_shards": {"successful": 1, "failed": 0},
+                        }
+                    }
+                )
+        return 200, _json.dumps({"took": 7, "errors": any_err, "items": items})
+
+    return transport
+
+
+def test_partial_bulk_failure_200_with_item_errors(spark, tmp_path):
+    """The round-3 verdict's ask: an HTTP 200 bulk response with mixed
+    per-item statuses. Permanent 400s (and only those) land in the
+    DLQ; transient 429s are retried — resending ONLY the rejected
+    items — and end up indexed; the acked metric counts 201s + retried
+    successes exactly."""
+    capture = str(tmp_path / "cap")
+    os.makedirs(capture)
+    dlq = str(tmp_path / "dlq")
+    df = spark.createDataFrame([Row(id=i, v="x") for i in range(16)]).coalesce(1)
+    sink = es_sink_foreach_batch(
+        "http://fake:9200",
+        "ratings",
+        id_col="id",
+        errors_tolerance="all",
+        dead_letter_path=dlq,
+        transport=make_realistic_mixed_transport(capture),
+        max_retries=3,
+        retry_backoff_s=0.0,
+    )
+    acked = sink(df, 0)
+    # ids 1,5,9,13 (400) -> DLQ; everything else indexed (429s retried)
+    dead = sorted(json.loads(r.doc)["id"] for r in spark.read.parquet(dlq).collect())
+    assert dead == [1, 5, 9, 13]
+    assert acked == 12
+    # the retry body contained ONLY the 429-rejected ids
+    bodies = []
+    for fn in sorted(os.listdir(capture)):
+        with open(os.path.join(capture, fn)) as f:
+            bodies.append([json.loads(x) for x in f.read().strip().splitlines()][1::2])
+    assert len(bodies) == 2, "expected exactly one retry request"
+    retry_ids = sorted(d["id"] for d in min(bodies, key=len))
+    assert retry_ids == [3, 7, 11, 15]
+
+
+def test_item_429_exhausted_goes_to_dlq(spark, tmp_path):
+    """429s that never clear fall through to errors.tolerance after
+    max_retries — DLQ'd, not dropped, not fatal to the query."""
+
+    def always_429_some(url, body):
+        import json as _json
+
+        docs = [_json.loads(line) for line in body.strip().splitlines()][1::2]
+        items = [
+            {
+                "index": {
+                    "status": 429 if doc.get("id", 0) % 2 else 201,
+                    "error": {"type": "es_rejected_execution_exception"},
+                }
+            }
+            for doc in docs
+        ]
+        return 200, _json.dumps({"errors": True, "items": items})
+
+    dlq = str(tmp_path / "dlq")
+    df = spark.createDataFrame([Row(id=i, v="x") for i in range(6)]).coalesce(1)
+    sink = es_sink_foreach_batch(
+        "http://fake:9200",
+        "ratings",
+        id_col="id",
+        errors_tolerance="all",
+        dead_letter_path=dlq,
+        transport=always_429_some,
+        max_retries=2,
+        retry_backoff_s=0.0,
+    )
+    acked = sink(df, 0)
+    dead = sorted(json.loads(r.doc)["id"] for r in spark.read.parquet(dlq).collect())
+    assert dead == [1, 3, 5]
+    assert acked == 3
+
+
+def test_request_level_429_retried_then_ok(spark, tmp_path):
+    """A request-level 429 (whole bulk rejected) is retried and then
+    succeeds — no DLQ rows, everything acked."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    def flaky_429(url, body):
+        import json as _json
+        import os as _os
+
+        marker = _os.path.join(state, "seen")
+        if not _os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            return 429, _json.dumps({"error": {"type": "circuit_breaking_exception"}})
+        n = sum(1 for _ in body.strip().splitlines()) // 2
+        return 200, _json.dumps(
+            {"errors": False, "items": [{"index": {"status": 201}}] * n}
+        )
+
+    dlq = str(tmp_path / "dlq")
+    df = spark.createDataFrame([Row(id=i, v="x") for i in range(5)]).coalesce(1)
+    sink = es_sink_foreach_batch(
+        "http://fake:9200",
+        "ratings",
+        id_col="id",
+        errors_tolerance="all",
+        dead_letter_path=dlq,
+        transport=flaky_429,
+        max_retries=2,
+        retry_backoff_s=0.0,
+    )
+    acked = sink(df, 0)
+    assert acked == 5
+    assert spark.read.parquet(dlq).count() == 0
+
+
 def test_put_index_template_payload():
     sent = {}
 
@@ -236,6 +409,7 @@ def test_keyed_sink_redelivery_is_idempotent(spark, tmp_path):
         id_col="id",
         errors_tolerance="none",
         transport=make_flaky_then_ok_transport(capture, state),
+        max_retries=0,  # no in-task retry: force the micro-batch replay path
     )
     # attempt 1: every bulk POST 503s -> strict sink raises (the
     # streaming engine would fail the micro-batch and replay it)
