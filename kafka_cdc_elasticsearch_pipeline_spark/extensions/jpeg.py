@@ -11,8 +11,11 @@ declares (it decodes any baseline 8-bit stream whose tables are in
 the file, ours or not).
 
 Scope: baseline sequential, 8-bit, grayscale (1 component) or YCbCr
-4:4:4 (3 components, no subsampling), no restart intervals, no
-progressive mode. Lossiness: at quality=100 every quantizer step is
+4:4:4 (3 components, no subsampling), no progressive mode. Restart
+intervals ARE supported (DRI + RSTn markers, encode and decode) and
+the marker scanner skips 0xFF fill bytes — both appear routinely in
+third-party baseline files (ADVICE r03). Lossiness: at quality=100
+every quantizer step is
 1, so a CONSTANT block round-trips exactly (its DCT is a single
 integer DC coefficient) — which is what gives the oracle gate an
 exact arithmetic target; general images round-trip within a small
@@ -118,13 +121,25 @@ class _BitWriterMSB:
                 self.cur = 0
                 self.nbits = 0
 
-    def finish(self) -> bytes:
+    def flush_align(self) -> None:
+        """Pad the current byte with 1-bits and emit it (the byte
+        alignment required before a restart marker)."""
         if self.nbits:
             pad = 8 - self.nbits
             self.cur = (self.cur << pad) | ((1 << pad) - 1)  # pad with 1s
             self.out.append(self.cur)
             if self.cur == 0xFF:
                 self.out.append(0x00)
+            self.cur = 0
+            self.nbits = 0
+
+    def write_marker(self, m: int) -> None:
+        """Emit a raw marker (NOT byte-stuffed — markers are how the
+        decoder finds restart points in the entropy stream)."""
+        self.out += bytes([0xFF, m])
+
+    def finish(self) -> bytes:
+        self.flush_align()
         return bytes(self.out)
 
 
@@ -157,6 +172,24 @@ class _BitReaderMSB:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> int:
+        """Byte-align and consume one RSTn marker (skipping 0xFF fill
+        bytes); returns n in 0..7 for the cycle check."""
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill byte
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn marker, got {m:#04x}")
+        self.pos += 2
+        return m - 0xD0
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -186,9 +219,15 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
 # --- encoder -----------------------------------------------------------------
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 100) -> bytes:
+def jpeg_encode(
+    pixels: np.ndarray, quality: int = 100, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
-    baseline JFIF with 4:4:4 sampling and our declared tables."""
+    baseline JFIF with 4:4:4 sampling and our declared tables.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, DC predictors reset) every that-many MCUs — the
+    error-resilience feature real encoders use, and the fixture for
+    the decoder's restart support."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -214,8 +253,16 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 100) -> bytes:
 
     bwtr = _BitWriterMSB()
     pred = [0] * len(comps)
+    mcu = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bwtr.flush_align()
+                bwtr.write_marker(0xD0 + rst % 8)
+                rst += 1
+                pred = [0] * len(comps)
+            mcu += 1
             for ci, c in enumerate(padded):
                 block = c[by * _N : (by + 1) * _N, bx * _N : (bx + 1) * _N] - 128.0
                 coeff = _DCT_M @ block @ _DCT_M.T
@@ -263,6 +310,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 100) -> bytes:
     out += _seg(0xFFC0, sof)  # SOF0 baseline
     out += _seg(0xFFC4, _dht_payload(0x00, _DC_BITS, _DC_VALS))  # DC table 0
     out += _seg(0xFFC4, _dht_payload(0x10, _AC_BITS, _AC_VALS))  # AC table 0
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC 0 / AC 0
@@ -302,8 +351,9 @@ def _read_symbol(br: _BitReaderMSB, table: dict[tuple[int, int], int]) -> int:
 def jpeg_decode(data: bytes):
     """Decode baseline JFIF -> (width, height, mode, pixels uint8).
     mode 'L' (1 comp) or 'RGB' (3 comps, 4:4:4). Honors the tables
-    declared in the stream; raises ValueError on non-JPEG /
-    progressive / subsampled input."""
+    declared in the stream, skips 0xFF fill bytes between segments,
+    and handles DRI/RSTn restart intervals; raises ValueError on
+    non-JPEG / progressive / subsampled input."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -312,9 +362,14 @@ def jpeg_decode(data: bytes):
     ac_tables: dict[int, dict] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # Markers may be preceded by any number of 0xFF fill bytes
+        # (ITU T.81 §B.1.1.2) — real encoders pad with them.
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
@@ -358,6 +413,8 @@ def jpeg_decode(data: bytes):
             frame = (w, h, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
@@ -375,8 +432,20 @@ def jpeg_decode(data: bytes):
     bh, bw = -(-h // _N), -(-w // _N)
     planes = [np.zeros((bh * _N, bw * _N)) for _ in range(nc)]
     pred = [0] * nc
+    mcu = 0
+    rst_expect = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                n = br.restart()
+                if n != rst_expect % 8:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{n},"
+                        f" expected RST{rst_expect % 8}"
+                    )
+                rst_expect += 1
+                pred = [0] * nc
+            mcu += 1
             for ci in range(nc):
                 _cid, tq = comps[ci]
                 dc_t = dc_tables[scan[ci][1] >> 4]

@@ -12,11 +12,18 @@ anyway. Baseline JPEG has its own codec (jpeg.py); unrecognized
 payloads keep the clearly-labeled deterministic fake
 (multimodal.py).
 
-The per-scanline unfilter loop is sequential BY SPEC (filters 1/3/4
-predict from the already-reconstructed left neighbor), so rows can't
-vectorize across bytes; cost is O(bytes) per image and lives inside an
-Arrow-batched ``mapInPandas`` stage — per-partition parallelism is the
-scale lever, exactly like a real decoder fleet.
+Vectorization (round-4): the ENCODE filters predict from *original*
+(unfiltered) neighbor bytes, so every filter type vectorizes across
+the whole scanline — shifted-array arithmetic, no Python byte loop.
+DECODE is different: filters 3/4 (Average/Paeth) predict from the
+already-RECONSTRUCTED left neighbor, a sequential dependency by spec
+— but filter 0 is a copy, filter 2 (Up) is one vector add, and
+filter 1 (Sub) reduces to a per-channel-lane cumulative sum
+(cur[p] = Σ line[0..p] mod 256), all numpy. Only Average/Paeth rows
+keep a sequential walk, vectorized across channels per pixel when
+the row is wide enough for numpy to win. Cost stays O(bytes) per
+image inside an Arrow-batched ``mapInPandas`` stage — per-partition
+parallelism is the fleet-scale lever.
 """
 
 from __future__ import annotations
@@ -71,19 +78,24 @@ def png_encode(pixels: np.ndarray, filter_cycle: tuple[int, ...] = (0, 1, 2, 3, 
             enc = row
         elif ft == 2:  # Up
             enc = (row - prev) % 256
-        else:  # Sub / Average / Paeth need the left neighbor
-            enc = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+        else:
+            # Sub/Average/Paeth predict from ORIGINAL neighbors on the
+            # encode side — whole-scanline vector arithmetic.
+            a = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            if ft == 1:
+                pred = a
+            else:
+                b = prev
+                c = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+                if ft == 3:
                     pred = (a + b) // 2
-                else:
-                    pred = _paeth(a, b, c)
-                enc[i] = (row[i] - pred) % 256
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+            enc = (row - pred) % 256
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
@@ -132,31 +144,49 @@ def png_decode(data: bytes) -> tuple[int, int, str, np.ndarray]:
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int64)
+    npix = w
     for r in range(h):
         off = r * (stride + 1)
         ft = raw[off]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
-            np.int32
+            np.int64
         )
         if ft == 0:
             cur = line
-        elif ft == 2:  # Up
+        elif ft == 2:  # Up — one vector add
             cur = (line + prev) % 256
-        elif ft in (1, 3, 4):
-            cur = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                else:
-                    pred = _paeth(a, b, c)
-
-                cur[i] = (line[i] + pred) % 256
+        elif ft == 1:  # Sub: cur[p] = Σ line[0..p] per channel lane
+            cur = np.cumsum(line.reshape(npix, ch), axis=0).reshape(stride) % 256
+        elif ft in (3, 4):
+            # Average/Paeth reconstruct from the already-reconstructed
+            # LEFT byte — sequential by spec. Plain-int lists beat
+            # numpy element indexing ~10× here (each np scalar access
+            # allocates); the loop body is branch-light inlined ints.
+            ln = line.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    a = cur_l[i - ch] if i >= ch else 0
+                    cur_l[i] = (ln[i] + ((a + pv[i]) >> 1)) & 255
+            else:
+                for i in range(stride):
+                    a = cur_l[i - ch] if i >= ch else 0
+                    b = pv[i]
+                    c = pv[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur_l[i] = (ln[i] + pred) & 255
+            cur = np.asarray(cur_l, dtype=np.int64)
         else:
             raise ValueError(f"unknown scanline filter {ft}")
         out[r] = cur

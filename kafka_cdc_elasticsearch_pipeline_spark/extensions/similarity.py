@@ -247,12 +247,18 @@ def rhp_lsh_neardup(
     vectors — exact copies always collide at any width."""
     planes = rhp_planes(bits=bits)
     band_bits = bits // bands
+    # Candidate generation carries ONLY (vec_id, band) — 16-byte rows.
+    # The old shape dragged the full embedding array through the
+    # band-bucket shuffle AND a distinct() over (ids, embeddings);
+    # measured 4.8× wall at 16× rows (SCALING.md r03). Now the
+    # embeddings are rescanned for candidate ids only, the same
+    # broadcast-ids verify trick as dedup._verify_jaccard — verify
+    # cost follows candidate volume, not corpus volume.
     sigs = embeddings.select(
-        "vec_id", "embedding", rhp_signature("embedding", planes).alias("sig")
+        "vec_id", rhp_signature("embedding", planes).alias("sig")
     )
     banded = sigs.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
@@ -260,16 +266,12 @@ def rhp_lsh_neardup(
                 f" shiftright(sig, {band_bits} * i) & {(1 << band_bits) - 1} as band_val))"
             )
         ).alias("bv"),
-    ).select("vec_id", "embedding", "bv.band_idx", "bv.band_val")
+    ).select("vec_id", "bv.band_idx", "bv.band_val")
     a = banded.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        "band_idx",
-        "band_val",
+        F.col("vec_id").alias("vec_a"), "band_idx", "band_val"
     )
     b = banded.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_val").alias("band_val_b"),
     )
@@ -280,14 +282,25 @@ def rhp_lsh_neardup(
             & (F.col("band_val") == F.col("band_val_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("vec_a", "emb_a", "vec_b", "emb_b")
+        .select("vec_a", "vec_b")
         .distinct()
     )
-    return cand.select(
-        "vec_a",
-        "vec_b",
-        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    ids = cand.select(
+        F.explode(F.array("vec_a", "vec_b")).alias("vec_id")
+    ).distinct()
+    emb = embeddings.join(F.broadcast(ids), "vec_id")
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def quantize_int8(embeddings: DataFrame) -> DataFrame:

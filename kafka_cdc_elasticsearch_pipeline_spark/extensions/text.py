@@ -264,11 +264,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
     Scale: tokenize+tf is one shuffle on (doc_id, term); df is a
     map-side-combinable count on the already-aggregated tf rows (far
-    smaller than the token stream); the top-k window partitions by
-    doc_id — no global sort anywhere.
+    smaller than the token stream); the per-doc top-k is a hash
+    AGGREGATION (collect per doc, sort the per-doc array, slice k) —
+    NOT a row_number window, which would sort every scored row within
+    each shuffle partition. Measured at 16× rows the window version
+    ran 4.7× wall (SCALING.md r03); the aggregation sorts only
+    doc-vocabulary-sized arrays, which is flat per doc no matter the
+    corpus size.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")).alias(
@@ -290,9 +293,19 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "term", "tf", "tfidf", "rank")
+    # struct sort order = (-tfidf asc ≡ tfidf desc, term asc): the same
+    # (score desc, term) ranking the old window produced, tie-stable
+    # because term is unique within a doc.
+    top = scored.groupBy("doc_id").agg(
+        F.expr(
+            f"slice(array_sort(collect_list(struct(-tfidf AS neg, term, tf, tfidf))),"
+            f" 1, {k})"
+        ).alias("_top")
+    )
+    return top.select("doc_id", F.posexplode("_top").alias("_pos", "_t")).select(
+        "doc_id",
+        F.col("_t.term").alias("term"),
+        F.col("_t.tf").alias("tf"),
+        F.col("_t.tfidf").alias("tfidf"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
     )

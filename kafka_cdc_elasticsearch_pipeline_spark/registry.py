@@ -37,12 +37,31 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
-    """Decorator: register a Spark query implementation under ``name``."""
+    """Decorator: register a Spark query implementation under ``name``.
+
+    Each registered callable first releases the PREVIOUS query's
+    ``reuse()``-pinned caches (operators/caching.py): by the time a
+    harness asks for query N+1 it has materialized query N's result,
+    so N's working-set pins are dead weight. This bounds a session's
+    storage memory to one query's pins no matter how many queries run.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(fn, oracle, tuple(tags), bench)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (
+                release_pinned,
+            )
+
+            release_pinned()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = QuerySpec(wrapped, oracle, tuple(tags), bench)
         return fn
 
     return deco

@@ -70,7 +70,19 @@ def merge_upsert(
         merged = changes
     result = latest_per_key(merged, list(keys), ts_col, tiebreak=tiebreak)
     staging = path.rstrip("/") + ".__staging__"
+    old = path.rstrip("/") + ".__old__"
     result.write.mode("overwrite").parquet(staging)
+    # Swap via rename-aside (ADVICE r03): the old rmtree(path) →
+    # replace(staging, path) sequence had a window with NO table at
+    # `path` — a crash there lost the table (data stranded in
+    # .__staging__), and concurrent readers errored. Now a valid table
+    # exists at every step: park the old dir aside, one atomic rename
+    # brings the new table live, then delete the parked copy. A crash
+    # between the renames leaves `path` momentarily absent for at most
+    # one rename (not a full delete+rewrite), and both generations
+    # still on disk for recovery.
+    shutil.rmtree(old, ignore_errors=True)  # debris from a prior crash
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, old)
     os.replace(staging, path)
+    shutil.rmtree(old, ignore_errors=True)

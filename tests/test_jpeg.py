@@ -88,6 +88,46 @@ def test_gray_q100_roundtrip_property(w, h, seed):
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
 
 
+def test_restart_interval_roundtrip_gray_and_rgb():
+    """DRI/RSTn support (ADVICE r03): an image encoded with restart
+    markers every 2 MCUs — including RST index cycling past 7 —
+    decodes exactly at q100; predictors reset at each marker."""
+    rng = np.random.default_rng(11)
+    gray = (np.arange(40)[:, None] * 2 + np.arange(48)[None, :] * 2).astype(np.uint8)
+    data = jpeg_encode(gray, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI segment present
+    # 5x6 blocks = 30 MCUs / interval 2 -> 14 RST markers, cycling >8
+    n_rst = sum(data.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst >= 14
+    w, h, mode, out = jpeg_decode(data)
+    np.testing.assert_array_equal(out, gray)
+    rgb = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    _, _, _, out_rgb = jpeg_decode(jpeg_encode(rgb, restart_interval=3))
+    base = jpeg_decode(jpeg_encode(rgb))[3]
+    np.testing.assert_array_equal(out_rgb, base)  # RSTs change framing only
+
+
+def test_marker_scanner_skips_fill_bytes():
+    """0xFF fill bytes before a marker (ITU T.81 B.1.1.2) must not
+    break the header scan — real encoders pad with them."""
+    px = np.full((8, 8), 55, dtype=np.uint8)
+    data = jpeg_encode(px)
+    # inject two fill bytes before the DQT segment marker
+    at = data.index(b"\xff\xdb")
+    padded = data[:at] + b"\xff\xff" + data[at:]
+    _, _, _, out = jpeg_decode(padded)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_restart_out_of_sequence_rejected():
+    px = np.full((24, 8), 99, dtype=np.uint8)  # 3 MCUs, interval 1
+    data = bytearray(jpeg_encode(px, restart_interval=1))
+    i = data.index(bytes([0xFF, 0xD0]))
+    data[i + 1] = 0xD5  # corrupt the first RST's index
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode(bytes(data))
+
+
 def test_rejects_non_jpeg_and_progressive():
     with pytest.raises(ValueError, match="no SOI"):
         jpeg_decode(b"GIF89a nope")
