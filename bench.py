@@ -37,6 +37,16 @@ def main() -> int:
         "attribution of protocol changes; the default clearCache number is "
         "the honest one — see BENCH_NOTES.md)",
     )
+    ap.add_argument(
+        "--warm-repeats",
+        action="store_true",
+        help="rounds-1..3 protocol: let best-of-N repeats reuse the first "
+        "repeat's reuse()-pinned caches (CacheManager matches the cached "
+        "subtree by plan, so repeats 2..N skipped the signature pipelines). "
+        "The default releases pins at each query entry, making every "
+        "repeat a full cold run — the honest per-query cost. Keep this "
+        "flag for A/B attribution only.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -58,12 +68,21 @@ def main() -> int:
     for name in names:
         QUERIES[name].spark(spark, args.sf).limit(1).collect()
 
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (
+        release_pinned,
+    )
+
     per_query: dict[str, float] = {}
     for name in names:
+        spec_fn = QUERIES[name].spark
+        if args.warm_repeats:
+            # bypass the registry wrapper's release-at-entry so pins
+            # survive across repeats (old protocol)
+            spec_fn = getattr(spec_fn, "__wrapped__", spec_fn)
         best = None
         for _ in range(max(1, args.repeat)):
             t0 = time.time()
-            df = QUERIES[name].spark(spark, args.sf)
+            df = spec_fn(spark, args.sf)
             # Force FULL evaluation (count() would let Catalyst prune
             # projection columns): hash every column, aggregate to one
             # long, ship 8 bytes to the driver.
@@ -82,6 +101,7 @@ def main() -> int:
         # simhash in-sweep vs isolated). Each query still benefits from
         # its own persists during its own timing.
         if not args.no_clear:
+            release_pinned()
             spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)

@@ -1639,7 +1639,9 @@ def skew_salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-@query("lake_cdc_upsert_compaction", _LATEST_SQL, tags=("S2", "A3", "T5", "lake"))
+@query(
+    "lake_cdc_upsert_compaction", _LATEST_SQL, tags=("S2", "A3", "T5", "lake"), bench=True
+)
 def lake_cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upserts compacted into a parquet lake table (sources/
     lake.py:merge_upsert): the events changelog applied as three

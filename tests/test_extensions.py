@@ -203,6 +203,24 @@ def test_ivf_nprobe_widens_recall(spark, vectors):
     assert n2 == {1, 2, 3}  # both buckets -> full corpus here
 
 
+def test_ivf_recall_curve_monotone_and_bounded(spark, sf_dir):
+    """The recall gate row's structural invariants: hits@10 ∈ [0, 10],
+    every (query, nprobe) pair present, and per-query recall
+    non-decreasing in nprobe (more probes never lose true
+    neighbors)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["ext_sim_ivf_recall"].spark(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert 0 <= r.hits_at_10 <= 10
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.hits_at_10
+    assert len(by_q) == 5
+    for q, curve in by_q.items():
+        assert sorted(curve) == [1, 2, 4]
+        assert curve[1] <= curve[2] <= curve[4], f"recall regressed for {q}"
+
+
 def test_train_holdout_split_stable_and_partitioned(spark, docs):
     s1 = {r.doc_id: (r.bucket, r.split) for r in tx.train_holdout_split(docs).collect()}
     s2 = {r.doc_id: (r.bucket, r.split) for r in tx.train_holdout_split(docs).collect()}
