@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_FIRST = [
     "t_checkpoint_recovery_resume",
     "t_checkpoint_recovery_latest_per_key",
+    "t_checkpoint_recovery_stateful_profile",
 ]
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

@@ -509,6 +509,58 @@ def t_checkpoint_recovery_latest_per_key(spark: SparkSession, sf_dir: str) -> Da
 
 
 @query(
+    "t_checkpoint_recovery_stateful_profile",
+    """
+    WITH agg AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(floor(value) AS BIGINT))::BIGINT AS total_units
+      FROM events GROUP BY user_id
+    ),
+    last AS (
+      SELECT user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             round(value, 2)::DECIMAL(18,2)::VARCHAR AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.n_events, a.total_units, l.last_ts, l.last_value
+    FROM agg a JOIN last l ON a.user_id = l.user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState", "R2", "recovery"),
+)
+def t_checkpoint_recovery_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (applyInPandasWithState profiles)
+    under the same kill/restart contract as T3/T5: die after 3 of 8
+    replay micro-batches, restart from the checkpoint, and the
+    compacted update log must hash-match the batch oracle. GroupState
+    rows live in the same checkpoint-backed state store as built-in
+    aggregations — this row proves the escape-hatch operator keeps the
+    reference's restart-and-resume guarantee too. ``n_events`` /
+    ``total_units`` are running accumulations, so EVERY key updated
+    after the restart under-counts if state was lost."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import kill_and_resume
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        user_profile_stream,
+    )
+
+    compacted = kill_and_resume(
+        spark, sf_dir, "events", user_profile_stream, ["user_id"], chunks=8, kill_after=3
+    )
+    return compacted.select(
+        "user_id",
+        "n_events",
+        "total_units",
+        F.date_format(
+            F.timestamp_micros(F.col("last_ts_us")).cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("last_ts"),
+        F.round("last_value", 2).cast("decimal(18,2)").cast("string").alias("last_value"),
+    )
+
+
+@query(
     "ext_streaming_media_decode",
     """
     SELECT doc_id,
