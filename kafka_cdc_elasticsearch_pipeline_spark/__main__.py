@@ -16,6 +16,58 @@ import sys
 DEFAULT_SF = "/root/testdata/sf0.01"
 
 
+def _ksql_repl(engine, limit: int, input_fn=input, out=None) -> int:
+    """Interactive ksql prompt (the reference drives its statements
+    through `ksql http://ksqldb:8088` — readme.md's CLI flow). Reads
+    statements terminated by ';' (multi-line), executes them against
+    the engine, prints SELECT results; `exit`/`quit` (or EOF) leaves.
+    ``input_fn``/``out`` are injectable for tests."""
+    import sys as _sys
+
+    out = out or _sys.stdout
+    try:  # line editing + history when a tty is attached
+        import readline  # noqa: F401
+    except ImportError:
+        pass
+    print(
+        "ksql> interactive mode — statements end with ';', 'exit;' quits.\n"
+        "      SHOW STREAMS | SHOW TABLES | DESCRIBE <name> | SELECT ... ;",
+        file=out,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.ksql.translate import (
+        split_statements,
+    )
+
+    buf: list[str] = []
+    while True:
+        prompt = "ksql> " if not buf else "   -> "
+        try:
+            line = input_fn(prompt)
+        except (EOFError, KeyboardInterrupt):
+            print("", file=out)
+            break
+        s = line.strip()
+        if not buf and s.rstrip(";").lower() in ("exit", "quit"):
+            break
+        if not s and not buf:
+            continue
+        buf.append(line)
+        if not s.endswith(";"):
+            continue
+        text, buf = "\n".join(buf), []
+        for stmt in split_statements(text):
+            try:
+                df = engine.execute(stmt)
+            except Exception as exc:  # noqa: BLE001 — REPL must survive bad input
+                print(f"statement_error: {exc}", file=out)
+                continue
+            if df is not None:
+                df.show(limit, truncate=False)
+            else:
+                print("Executed.", file=out)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kafka_cdc_elasticsearch_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -39,8 +91,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p_ksql = sub.add_parser(
         "ksql", help="run a ksqlDB-dialect .sql script against harness tables"
+        " (omit FILE for an interactive prompt — the ksql-CLI twin, EP1)"
     )
-    p_ksql.add_argument("file")
+    p_ksql.add_argument("file", nargs="?")
     p_ksql.add_argument("--sf", default=DEFAULT_SF)
     p_ksql.add_argument(
         "--topic",
@@ -112,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         engine = KsqlEngine(spark, topics)
+        if args.file is None or args.file == "-":
+            return _ksql_repl(engine, args.limit)
         with open(args.file) as f:
             statements = split_statements(f.read())
         for stmt in statements:

@@ -83,3 +83,47 @@ def test_cli_list_and_run(spark, capsys):
     out = capsys.readouterr().out
     assert "ext_shard_shuffle" in out and "ext_pack_sequences" in out
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_ksql_interactive_repl(spark, capsys):
+    """EP1 parity: the interactive prompt executes multi-line ksql
+    statements, surfaces statement errors without dying, and exits on
+    'exit;'. Driven by a scripted input_fn."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from kafka_cdc_elasticsearch_pipeline_spark.__main__ import _ksql_repl
+    from kafka_cdc_elasticsearch_pipeline_spark.ksql import KsqlEngine
+
+    ratings = spark.createDataFrame(
+        [
+            Row(
+                rating_id=i,
+                user_id=i % 3,
+                stars=i % 5 + 1,
+                channel="web",
+                message="ok",
+                rowtime=datetime.datetime(2021, 3, 1, 9, 0)
+                + datetime.timedelta(minutes=i),
+            )
+            for i in range(12)
+        ]
+    )
+    engine = KsqlEngine(spark, {"ratings": ratings})
+    script = iter(
+        [
+            "CREATE STREAM RATINGS WITH (KAFKA_TOPIC='ratings',",  # multi-line
+            " VALUE_FORMAT='JSON');",
+            "SHOW STREAMS;",
+            "FROB THE TOPIC;",  # must not kill the REPL
+            "SELECT USER_ID, COUNT(*) AS N FROM RATINGS GROUP BY USER_ID;",
+            "exit;",
+        ]
+    )
+    rc = _ksql_repl(engine, limit=20, input_fn=lambda prompt: next(script))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "statement_error" in out  # FROB surfaced as an error
+    assert "Executed." in out  # the CREATE
+    assert "ratings" in engine.relations  # the CREATE registered it
