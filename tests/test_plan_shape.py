@@ -207,6 +207,41 @@ def test_salted_skew_join_no_cartesian_union_of_paths(plans):
     assert "Union" in p
 
 
+def test_tfidf_topk_has_no_window_sort(plans):
+    """Round 4: the per-doc top-k is a hash aggregation over per-doc
+    arrays — the row_number window (whose per-partition sort grew with
+    corpus size; 4.7× wall at 16× rows in r03) must stay gone."""
+    p = plans("ext_text_tfidf_top_terms")
+    assert "Window" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_rhp_candidates_shuffle_ids_not_embeddings(plans):
+    """Round 4: the band-bucket self-join carries only (vec_id, band)
+    — the 64-float embedding arrays must not cross the candidate
+    shuffle; they are re-read for candidate ids only (broadcast-ids
+    verify)."""
+    p = plans("ext_emb_rhp_lsh_neardup")
+    # the distinct() over candidates must aggregate id pairs, not
+    # embedding payloads
+    distinct_lines = [
+        line for line in p.splitlines()
+        if "HashAggregate" in line and "vec_a" in line and "vec_b" in line
+    ]
+    assert distinct_lines, "candidate distinct() not found"
+    assert all("emb" not in line for line in distinct_lines)
+    # verify stage rescans via a broadcast of the candidate-id set
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_ivf_recall_no_cartesian_on_corpus(plans):
+    """Round 4: the recall query's probe join and hit join are
+    equi-joins / broadcasts; the only cross joins are against the
+    bounded centroid table (n_clusters rows), never corpus × corpus."""
+    p = plans("ext_sim_ivf_recall")
+    assert "CartesianProduct" not in p
+
+
 def test_png_decode_single_python_chain_no_shuffle_between_stages(plans):
     """Round 3: build → decode are back-to-back mapInPandas stages —
     no exchange between them (payloads never shuffle; only the initial
