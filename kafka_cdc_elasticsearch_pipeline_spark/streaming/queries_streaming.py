@@ -561,6 +561,76 @@ def t_checkpoint_recovery_stateful_profile(spark: SparkSession, sf_dir: str) -> 
 
 
 @query(
+    "lake_streaming_cdc_merge",
+    f"""
+    SELECT {', '.join(EVENT_COLS)}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("T5", "S2", "R2", "lake", "streaming", "recovery"),
+)
+def lake_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production T5 deployment shape end-to-end: a StreamingQuery
+    whose foreachBatch MERGEs each CDC micro-batch into a parquet lake
+    table (sources/lake.py copy-on-write upsert, rename-aside swap) —
+    killed after 3 of 6 micro-batches and restarted from the same
+    checkpoint. The final LAKE TABLE must equal the one-shot batch
+    latest-per-key. Two guarantees fold together here: offset resume
+    (committed batches not re-read) and merge idempotence (a replayed
+    uncommitted batch re-MERGEs the same keys; last-write-wins by
+    (ts, event_id) makes that a no-op), which is exactly how a 100 TB
+    lakehouse absorbs at-least-once delivery."""
+    import os
+    import shutil
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import merge_upsert
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        open_stream,
+        reveal,
+        stage_replay_files,
+    )
+
+    tmp, parts, schema = stage_replay_files(
+        spark, sf_dir, "events", chunks=6, order_col="ts"
+    )
+    try:
+        ckpt = os.path.join(tmp, "ckpt")
+        table = os.path.join(tmp, "lake_table")
+
+        def sink(batch_df, batch_id):
+            merge_upsert(
+                spark, table, batch_df, keys=["user_id"], ts_col="ts",
+                tiebreak="event_id",
+            )
+
+        def run() -> None:
+            q = (
+                open_stream(spark, tmp, schema)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        reveal(tmp, parts[:3])
+        run()  # consumer dies caught-up mid-replay
+        reveal(tmp, parts[3:])
+        run()  # restart: resumes offsets, re-merges idempotently
+        return (
+            spark.read.parquet(table)
+            .select(*EVENT_COLS)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "ext_streaming_media_decode",
     """
     SELECT doc_id,
