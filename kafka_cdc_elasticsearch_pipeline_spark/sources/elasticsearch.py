@@ -102,8 +102,11 @@ def index_exists_errors(response_body: str) -> list[int]:
 
 def classify_bulk_response(
     status: int, response_body: str, n_items: int
-) -> tuple[list[int], list[int]]:
-    """One bulk attempt → (fatal_positions, retryable_positions).
+) -> tuple[list[tuple[int, int, str]], list[int]]:
+    """One bulk attempt → (fatal, retryable_positions), where each
+    fatal entry is (position, item_status, error_reason) — the
+    provenance the DLQ records, like Kafka Connect's dead-letter
+    headers.
 
     Request-level: a retryable status (429/503) marks every item
     retryable; any other non-2xx marks every item fatal. Item-level
@@ -114,21 +117,24 @@ def classify_bulk_response(
     if status >= 300:
         if status in RETRYABLE_STATUSES:
             return [], list(range(n_items))
-        return list(range(n_items)), []
+        return [(i, status, f"http {status}") for i in range(n_items)], []
     try:
         resp = json.loads(response_body)
     except json.JSONDecodeError:
         return [], []
     if not resp.get("errors"):
         return [], []
-    fatal: list[int] = []
+    fatal: list[tuple[int, int, str]] = []
     retryable: list[int] = []
     for i, item in enumerate(resp.get("items", [])):
-        st = item.get("index", {}).get("status", 200)
+        body = item.get("index", {})
+        st = body.get("status", 200)
         if st in RETRYABLE_STATUSES:
             retryable.append(i)
         elif st >= 300:
-            fatal.append(i)
+            err = body.get("error", {})
+            reason = err.get("type", "") or err.get("reason", "") or f"status {st}"
+            fatal.append((i, st, reason))
     return fatal, retryable
 
 
@@ -197,13 +203,17 @@ def es_sink_foreach_batch(
                         )
                     except Exception:  # noqa: BLE001 — network-level, retryable
                         fatal, retryable = [], list(range(len(pending)))
-                    failed.extend(buf[pending[i]] for i in fatal)
+                    failed.extend(
+                        (buf[pending[i]], st, reason) for i, st, reason in fatal
+                    )
                     n_ok += len(pending) - len(fatal) - len(retryable)
                     retry_docs = [pending[i] for i in retryable]
                     if not retry_docs:
                         break
                     if attempt >= max_retries:
-                        failed.extend(buf[i] for i in retry_docs)
+                        failed.extend(
+                            (buf[i], 429, "retries_exhausted") for i in retry_docs
+                        )
                         break
                     attempt += 1
                     time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
@@ -218,8 +228,8 @@ def es_sink_foreach_batch(
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else -1
             ok_acc.add({pid: n_ok})
-            for f in failed:
-                yield f
+            for doc, st, reason in failed:
+                yield json.dumps(doc, default=str), int(st), reason
 
         failed_rdd = batch_df.rdd.mapPartitions(_send_partition)
         if errors_tolerance == "all":
@@ -233,9 +243,15 @@ def es_sink_foreach_batch(
                 # sink #2). An all-success batch writes an empty parquet
                 # append (a _SUCCESS marker), which is the cheap side of
                 # that trade.
+                # DLQ rows carry error provenance (status, reason,
+                # batch id), the parquet twin of Kafka Connect's
+                # errors.deadletterqueue.context.headers.enable=true.
                 spark = batch_df.sparkSession
-                failed = failed_rdd.map(json.dumps)
-                spark.createDataFrame(failed, "string").toDF("doc").write.mode(
+                from pyspark.sql import functions as F
+
+                spark.createDataFrame(
+                    failed_rdd, "doc string, status int, reason string"
+                ).withColumn("batch_id", F.lit(int(batch_id))).write.mode(
                     "append"
                 ).parquet(dead_letter_path)
             else:

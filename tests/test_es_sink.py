@@ -255,11 +255,16 @@ def test_partial_bulk_failure_200_with_item_errors(spark, tmp_path):
         max_retries=3,
         retry_backoff_s=0.0,
     )
-    acked = sink(df, 0)
+    acked = sink(df, 7)
     # ids 1,5,9,13 (400) -> DLQ; everything else indexed (429s retried)
-    dead = sorted(json.loads(r.doc)["id"] for r in spark.read.parquet(dlq).collect())
+    dead_rows = spark.read.parquet(dlq).collect()
+    dead = sorted(json.loads(r.doc)["id"] for r in dead_rows)
     assert dead == [1, 5, 9, 13]
     assert acked == 12
+    # DLQ provenance: per-item error context + originating batch
+    assert all(r.status == 400 for r in dead_rows)
+    assert all(r.reason == "mapper_parsing_exception" for r in dead_rows)
+    assert all(r.batch_id == 7 for r in dead_rows)
     # the retry body contained ONLY the 429-rejected ids
     bodies = []
     for fn in sorted(os.listdir(capture)):
@@ -302,9 +307,11 @@ def test_item_429_exhausted_goes_to_dlq(spark, tmp_path):
         retry_backoff_s=0.0,
     )
     acked = sink(df, 0)
-    dead = sorted(json.loads(r.doc)["id"] for r in spark.read.parquet(dlq).collect())
+    dead_rows = spark.read.parquet(dlq).collect()
+    dead = sorted(json.loads(r.doc)["id"] for r in dead_rows)
     assert dead == [1, 3, 5]
     assert acked == 3
+    assert all(r.reason == "retries_exhausted" for r in dead_rows)
 
 
 def test_request_level_429_retried_then_ok(spark, tmp_path):
