@@ -62,7 +62,10 @@ def _ksql_repl(engine, limit: int, input_fn=input, out=None) -> int:
                 print(f"statement_error: {exc}", file=out)
                 continue
             if df is not None:
-                df.show(limit, truncate=False)
+                # route the rendered table through `out` (df.show
+                # prints to process stdout and would escape an
+                # injected stream)
+                print(df._jdf.showString(limit, 0, False), file=out)
             else:
                 print("Executed.", file=out)
     return 0

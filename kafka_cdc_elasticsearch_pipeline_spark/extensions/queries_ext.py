@@ -497,12 +497,19 @@ def ext_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaching n_clusters ⇒ brute-force parity. Cost side of the same
     curve: candidate volume is nprobe/n_clusters of the corpus per
     query (every stage an equi-join on the bucket key)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    truth = sim.brute_force_topk(embs, queries).select("query_id", "neighbor_id")
-    cents = sim.centroids(embs)
+    # truth (corpus-scan brute force) and the centroid table are read
+    # by all three nprobe branches of the union — pin them so the
+    # final plan computes each once.
+    truth = reuse(
+        sim.brute_force_topk(embs, queries).select("query_id", "neighbor_id")
+    )
+    cents = reuse(sim.centroids(embs))
     out = None
     for nprobe in (1, 2, 4):
         approx = sim.ivf_topk_nprobe(embs, queries, cents, nprobe=nprobe).select(

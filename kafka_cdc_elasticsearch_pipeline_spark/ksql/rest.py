@@ -43,6 +43,13 @@ class KsqlRestServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # Chunked transfer-encoding is an HTTP/1.1 feature; the
+            # BaseHTTPRequestHandler default (1.0) would make the
+            # /query response spec-invalid (RFC 7230 §3.3.1) — a
+            # compliant client would read raw-until-close and see the
+            # chunk framing interleaved with the rows.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # quiet test output
                 pass
 

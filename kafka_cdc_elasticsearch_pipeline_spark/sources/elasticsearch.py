@@ -121,12 +121,17 @@ def classify_bulk_response(
     try:
         resp = json.loads(response_body)
     except json.JSONDecodeError:
-        return [], []
+        # A 2xx with an unparseable body (an LB's HTML error page, a
+        # truncated response) proves NOTHING was acknowledged — treat
+        # every item as retryable, never as acked (round-4 review
+        # finding: the old [],[] return silently counted them indexed).
+        return [], list(range(n_items))
     if not resp.get("errors"):
         return [], []
     fatal: list[tuple[int, int, str]] = []
     retryable: list[int] = []
-    for i, item in enumerate(resp.get("items", [])):
+    items = resp.get("items", [])
+    for i, item in enumerate(items):
         body = item.get("index", {})
         st = body.get("status", 200)
         if st in RETRYABLE_STATUSES:
@@ -135,6 +140,9 @@ def classify_bulk_response(
             err = body.get("error", {})
             reason = err.get("type", "") or err.get("reason", "") or f"status {st}"
             fatal.append((i, st, reason))
+    # Positions past a truncated items array have no acknowledgement —
+    # retry them rather than assuming success.
+    retryable.extend(range(len(items), n_items))
     return fatal, retryable
 
 
@@ -194,6 +202,7 @@ def es_sink_foreach_batch(
                     return
                 pending = list(range(len(buf)))
                 attempt = 0
+                transport_error = False
                 while pending:
                     body = bulk_payload([buf[i] for i in pending], index, id_col)
                     try:
@@ -201,8 +210,10 @@ def es_sink_foreach_batch(
                         fatal, retryable = classify_bulk_response(
                             status, resp, len(pending)
                         )
+                        transport_error = False
                     except Exception:  # noqa: BLE001 — network-level, retryable
                         fatal, retryable = [], list(range(len(pending)))
+                        transport_error = True
                     failed.extend(
                         (buf[pending[i]], st, reason) for i, st, reason in fatal
                     )
@@ -211,9 +222,15 @@ def es_sink_foreach_batch(
                     if not retry_docs:
                         break
                     if attempt >= max_retries:
-                        failed.extend(
-                            (buf[i], 429, "retries_exhausted") for i in retry_docs
+                        # DLQ provenance must distinguish a dead
+                        # network path from ES bulk-queue rejection —
+                        # they call for different operator responses.
+                        st, why = (
+                            (0, "network_retries_exhausted")
+                            if transport_error
+                            else (429, "retries_exhausted")
                         )
+                        failed.extend((buf[i], st, why) for i in retry_docs)
                         break
                     attempt += 1
                     time.sleep(retry_backoff_s * (2 ** (attempt - 1)))

@@ -64,13 +64,20 @@ def merge_upsert(
 
     from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
 
+    staging = path.rstrip("/") + ".__staging__"
+    old = path.rstrip("/") + ".__old__"
+    # Crash recovery BEFORE reading: a previous run that died between
+    # its two swap renames left `path` absent and the full table parked
+    # at `old` — roll that swap back first, or this merge would treat
+    # the table as empty AND the rmtree below would delete the only
+    # surviving full copy (round-4 review finding).
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)
     if os.path.exists(path):
         merged = spark.read.parquet(path).unionByName(changes)
     else:
         merged = changes
     result = latest_per_key(merged, list(keys), ts_col, tiebreak=tiebreak)
-    staging = path.rstrip("/") + ".__staging__"
-    old = path.rstrip("/") + ".__old__"
     result.write.mode("overwrite").parquet(staging)
     # Swap via rename-aside (ADVICE r03): the old rmtree(path) →
     # replace(staging, path) sequence had a window with NO table at
@@ -79,9 +86,10 @@ def merge_upsert(
     # exists at every step: park the old dir aside, one atomic rename
     # brings the new table live, then delete the parked copy. A crash
     # between the renames leaves `path` momentarily absent for at most
-    # one rename (not a full delete+rewrite), and both generations
-    # still on disk for recovery.
-    shutil.rmtree(old, ignore_errors=True)  # debris from a prior crash
+    # one rename (not a full delete+rewrite), both generations still on
+    # disk, and the recovery branch above completes the rollback on the
+    # next call.
+    shutil.rmtree(old, ignore_errors=True)  # superseded prior generation
     if os.path.exists(path):
         os.replace(path, old)
     os.replace(staging, path)

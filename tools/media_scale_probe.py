@@ -159,12 +159,20 @@ def main() -> int:
     if os.path.exists(scaling_md):
         with open(scaling_md) as f:
             content = f.read()
+        # Replace ONLY this probe's section: splice from the marker to
+        # the next "## " heading, preserving whatever follows (the
+        # fact-table probe section lives after this one).
         marker = "\n## Media decode + skew join scaling"
         if marker in content:
-            content = content[: content.index(marker)]
+            start = content.index(marker)
+            nxt = content.find("\n## ", start + len(marker))
+            tail = content[nxt:] if nxt != -1 else ""
+            content = content[:start] + tail
+        if not section.endswith("\n"):
+            section += "\n"
         with open(scaling_md, "w") as f:
             f.write(content + section)
-        print(f"appended media section to {scaling_md}")
+        print(f"updated media section in {scaling_md}")
     return 0
 
 

@@ -195,8 +195,14 @@ def main() -> int:
         for name in (*ops, *vec_ops):
             times = [results[name][n] for n in args.sizes]
             ratio = times[-1] / times[0] if times[0] else float("inf")
-            m1 = (results[name][mid] - results[name][smallest]) / (mid - smallest)
-            m2 = (results[name][largest] - results[name][mid]) / (largest - mid)
+            # guard the deltas so a 1- or 2-size run still writes the
+            # file instead of dying on a zero denominator
+            m1 = (results[name][mid] - results[name][smallest]) / max(
+                mid - smallest, 1
+            )
+            m2 = (results[name][largest] - results[name][mid]) / max(
+                largest - mid, 1
+            )
             f.write(
                 f"| {name} | "
                 + " | ".join(f"{t:.2f}s" for t in times)
