@@ -1668,3 +1668,76 @@ def lake_cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tiebreak="event_id",
             )
         return spark.read.parquet(path).select(*EVENT_COLS).localCheckpoint()
+
+
+@query(
+    "lake_versioned_merge_latest", _LATEST_SQL, tags=("S2", "T5", "lake", "txnlog")
+)
+def lake_versioned_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC MERGE as a transaction-log commit (sources/lakelog.py —
+    the Delta/Iceberg pattern on stdlib primitives): three change
+    batches become versions 1..3, each an atomic manifest commit over
+    immutable data files (no swap window at all — a crash mid-commit
+    leaves the table at its previous version, never absent). Reading
+    the latest version must equal one latest-per-key pass over the
+    whole changelog, same oracle as the directory-swap MERGE."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_log_") as tmp:
+        table = f"{tmp}/events_table"
+        for i in range(3):
+            lakelog.merge_upsert_versioned(
+                spark,
+                table,
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                ["user_id"],
+                "ts",
+                tiebreak="event_id",
+            )
+        return lakelog.read(spark, table).select(*EVENT_COLS).localCheckpoint()
+
+
+@query(
+    "lake_time_travel_version2",
+    f"""
+    SELECT {_EVENT_COLS_SQL}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 3 < 2
+    )
+    WHERE rn = 1
+    """,
+    tags=("S2", "T5", "lake", "txnlog", "time-travel"),
+)
+def lake_time_travel_version2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after three versioned MERGEs, read the table AS OF
+    version 2 — exactly the snapshot after the first two change
+    batches (the oracle recomputes latest-per-key over events with
+    event_id % 3 < 2). This is what makes a training corpus
+    reproducible: 'the corpus we trained on' is an addressable
+    version, immutable under later ingests."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_tt_") as tmp:
+        table = f"{tmp}/events_table"
+        for i in range(3):
+            lakelog.merge_upsert_versioned(
+                spark,
+                table,
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                ["user_id"],
+                "ts",
+                tiebreak="event_id",
+            )
+        assert lakelog.latest_version(table) == 3
+        return (
+            lakelog.read(spark, table, version=2)
+            .select(*EVENT_COLS)
+            .localCheckpoint()
+        )

@@ -1,0 +1,106 @@
+"""Transaction-log lake (sources/lakelog.py): atomic versioned
+commits, optimistic concurrency, time travel, crash debris, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame([Row(user_id=u, ts=t, event_id=e) for u, t, e in pairs])
+
+
+def test_commit_read_and_versions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
+    v2 = lakelog.commit(table, _rows(spark, [(1, 10, 100), (2, 20, 200)]), "append")
+    assert (v1, v2) == (1, 2)
+    assert lakelog.versions(table) == [1, 2]
+    assert lakelog.read(spark, table).count() == 2
+    assert lakelog.read(spark, table, version=1).count() == 1
+    m = lakelog.read_manifest(table, 2)
+    assert m["parent"] == 1 and m["operation"] == "append" and m["n_rows"] == 2
+
+
+def test_commit_conflict_on_stale_parent(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
+    lakelog.commit(table, _rows(spark, [(2, 20, 200)]), "append")
+    with pytest.raises(lakelog.CommitConflict):
+        lakelog.commit(table, _rows(spark, [(3, 30, 300)]), "append", expect_parent=1)
+
+
+def test_version_claim_is_atomic(spark, tmp_path):
+    """Two writers racing for the same version number: the second
+    manifest link must fail (filesystem-level EEXIST), not overwrite."""
+    table = str(tmp_path / "t")
+    lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
+    # forge a competing manifest for version 2, then try to commit it
+    os.makedirs(lakelog._log_path(table), exist_ok=True)
+    with open(lakelog._manifest_file(table, 2), "w") as f:
+        json.dump({"version": 2, "parent": 1, "data_dirs": [], "n_rows": 0}, f)
+    with pytest.raises(lakelog.CommitConflict):
+        lakelog.commit(table, _rows(spark, [(2, 20, 200)]), "append", expect_parent=1)
+
+
+def test_crash_debris_is_invisible_and_vacuumed(spark, tmp_path):
+    """A data directory without a manifest (crash between data write
+    and commit) must not change any read, and vacuum removes it."""
+    table = str(tmp_path / "t")
+    lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
+    debris = os.path.join(table, "data-deadbeef")
+    _rows(spark, [(9, 90, 900)]).write.parquet(debris)
+    assert lakelog.read(spark, table).count() == 1  # debris invisible
+    removed = lakelog.vacuum(table, keep_last=1)
+    assert "data-deadbeef" in removed
+    assert lakelog.read(spark, table).count() == 1
+
+
+def test_vacuum_keeps_recent_versions_readable(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for i in range(1, 5):
+        lakelog.commit(table, _rows(spark, [(u, u, u) for u in range(i)]), "append")
+    lakelog.vacuum(table, keep_last=2)
+    assert lakelog.versions(table) == [3, 4]
+    assert lakelog.read(spark, table, version=3).count() == 3
+    assert lakelog.read(spark, table, version=4).count() == 4
+    with pytest.raises(FileNotFoundError):
+        lakelog.read_manifest(table, 1)
+
+
+def test_merge_retry_converges_after_race(spark, tmp_path, monkeypatch):
+    """merge_upsert_versioned losing a race re-reads the winner's
+    snapshot and retries; the final table includes BOTH writers'
+    changes (last-write-wins is convergent)."""
+    table = str(tmp_path / "t")
+    lakelog.merge_upsert_versioned(
+        spark, table, _rows(spark, [(1, 10, 100)]), ["user_id"], "ts", "event_id"
+    )
+    real_commit = lakelog.commit
+    raced = {"done": False}
+
+    def racing_commit(tbl, df, op, expect_parent=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # a competing MERGE writer lands version 2 first (commits
+            # are full snapshots, so a correct racer includes the
+            # prior state it merged against)
+            real_commit(
+                tbl, _rows(spark, [(1, 10, 100), (2, 20, 200)]), "merge_upsert"
+            )
+        return real_commit(tbl, df, op, expect_parent=expect_parent)
+
+    monkeypatch.setattr(lakelog, "commit", racing_commit)
+    lakelog.merge_upsert_versioned(
+        spark, table, _rows(spark, [(3, 30, 300)]), ["user_id"], "ts", "event_id"
+    )
+    monkeypatch.undo()
+    final = lakelog.read(spark, table)
+    assert {r.user_id for r in final.collect()} == {1, 2, 3}
+    assert lakelog.latest_version(table) == 3  # 1 + racer + retried merge
