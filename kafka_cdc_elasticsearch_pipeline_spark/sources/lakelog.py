@@ -107,6 +107,7 @@ def commit(
     df: DataFrame,
     operation: str,
     expect_parent: int | None = None,
+    count_rows: bool = False,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit it as
     the next version's FULL snapshot. Returns the committed version.
@@ -114,6 +115,10 @@ def commit(
     ``expect_parent`` (optimistic concurrency): if given and another
     writer has already advanced past it, raise :class:`CommitConflict`
     without writing a manifest — the caller re-reads and retries.
+
+    ``count_rows``: record ``n_rows`` in the manifest. Off by default —
+    it costs an extra scan job over the just-written snapshot, which at
+    scale is per-commit overhead for a metadata nicety.
     """
     os.makedirs(_log_path(table), exist_ok=True)
     parent = latest_version(table)
@@ -124,15 +129,15 @@ def commit(
     data_dir = f"data-{uuid.uuid4().hex}"
     abs_dir = os.path.join(table, data_dir)
     df.write.mode("errorifexists").parquet(abs_dir)
-    n_rows = df.sparkSession.read.parquet(abs_dir).count()
     version = (parent or 0) + 1
     manifest = {
         "version": version,
         "parent": parent,
         "operation": operation,
         "data_dirs": [data_dir],
-        "n_rows": n_rows,
     }
+    if count_rows:
+        manifest["n_rows"] = df.sparkSession.read.parquet(abs_dir).count()
     tmp = _manifest_file(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -177,25 +182,56 @@ def merge_upsert_versioned(
     raise CommitConflict(f"merge into {table} lost {max_retries + 1} races")
 
 
-def vacuum(table: str, keep_last: int = 1) -> list[str]:
+def vacuum(table: str, keep_last: int = 1, min_age_s: float = 3600.0) -> list[str]:
     """Delete data directories referenced only by manifests older than
-    the last ``keep_last`` versions (and drop those manifests).
-    Returns the removed data dirs. Unreferenced directories from
-    crashed commits are removed too."""
+    the last ``keep_last`` versions (and drop those manifests), plus
+    crash debris (unreferenced data dirs, stale ``.tmp`` manifests).
+    Returns the removed data dirs.
+
+    ``min_age_s`` is the retention guard (Delta's
+    ``deletedFileRetentionDuration`` twin): anything younger is left
+    alone, because an UNREFERENCED young directory may be a concurrent
+    commit that has written its data but not yet linked its manifest —
+    deleting it would let that commit land pointing at nothing. Only
+    set 0 in tests / single-writer maintenance windows.
+
+    ``keep_last`` must be ≥ 1: version numbers are an external
+    reproducibility contract ("trained on version 3"), and emptying the
+    log would restart numbering and silently rebind old version ids to
+    new content.
+    """
     import shutil
+    import time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (version ids are immutable)")
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= min_age_s
+        except OSError:
+            return False
 
     vs = versions(table)
-    keep_vs = vs[-keep_last:] if keep_last else []
+    keep_vs = vs[-keep_last:]
     live: set[str] = set()
     for v in keep_vs:
         live.update(read_manifest(table, v)["data_dirs"])
     removed = []
     for entry in os.listdir(table):
+        full = os.path.join(table, entry)
         if entry == _LOG_DIR:
             continue
-        if entry not in live and os.path.isdir(os.path.join(table, entry)):
-            shutil.rmtree(os.path.join(table, entry))
+        if entry not in live and os.path.isdir(full) and _old_enough(full):
+            shutil.rmtree(full)
             removed.append(entry)
-    for v in vs[:-keep_last] if keep_last else vs:
+    for v in vs[:-keep_last]:
         os.unlink(_manifest_file(table, v))
+    # stale temp manifests from crashed commits (never linked)
+    log = _log_path(table)
+    for f in os.listdir(log):
+        full = os.path.join(log, f)
+        if ".tmp-" in f and _old_enough(full):
+            os.unlink(full)
     return removed

@@ -19,13 +19,16 @@ def _rows(spark, pairs):
 def test_commit_read_and_versions(spark, tmp_path):
     table = str(tmp_path / "t")
     v1 = lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
-    v2 = lakelog.commit(table, _rows(spark, [(1, 10, 100), (2, 20, 200)]), "append")
+    v2 = lakelog.commit(
+        table, _rows(spark, [(1, 10, 100), (2, 20, 200)]), "append", count_rows=True
+    )
     assert (v1, v2) == (1, 2)
     assert lakelog.versions(table) == [1, 2]
     assert lakelog.read(spark, table).count() == 2
     assert lakelog.read(spark, table, version=1).count() == 1
     m = lakelog.read_manifest(table, 2)
     assert m["parent"] == 1 and m["operation"] == "append" and m["n_rows"] == 2
+    assert "n_rows" not in lakelog.read_manifest(table, 1)  # off by default
 
 
 def test_commit_conflict_on_stale_parent(spark, tmp_path):
@@ -36,29 +39,48 @@ def test_commit_conflict_on_stale_parent(spark, tmp_path):
         lakelog.commit(table, _rows(spark, [(3, 30, 300)]), "append", expect_parent=1)
 
 
-def test_version_claim_is_atomic(spark, tmp_path):
-    """Two writers racing for the same version number: the second
-    manifest link must fail (filesystem-level EEXIST), not overwrite."""
+def test_version_claim_is_atomic(spark, tmp_path, monkeypatch):
+    """Two writers racing for the same version number: the LOSER's
+    os.link must fail with EEXIST (the atomic-claim branch itself, not
+    the expect_parent precheck). Simulated by having the competing
+    manifest appear AFTER this writer resolved its parent version —
+    monkeypatching latest_version to the stale value."""
     table = str(tmp_path / "t")
     lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
-    # forge a competing manifest for version 2, then try to commit it
-    os.makedirs(lakelog._log_path(table), exist_ok=True)
+    # the competitor lands version 2 on disk...
     with open(lakelog._manifest_file(table, 2), "w") as f:
-        json.dump({"version": 2, "parent": 1, "data_dirs": [], "n_rows": 0}, f)
-    with pytest.raises(lakelog.CommitConflict):
+        json.dump({"version": 2, "parent": 1, "data_dirs": []}, f)
+    # ...but OUR writer still believes parent is 1 (stale read), so it
+    # passes the precheck and reaches the link
+    monkeypatch.setattr(lakelog, "latest_version", lambda t: 1)
+    with pytest.raises(lakelog.CommitConflict, match="already committed"):
         lakelog.commit(table, _rows(spark, [(2, 20, 200)]), "append", expect_parent=1)
+    monkeypatch.undo()
+    # the competitor's manifest is intact (no overwrite), no half state
+    assert json.load(open(lakelog._manifest_file(table, 2)))["data_dirs"] == []
+    assert lakelog.versions(table) == [1, 2]
 
 
 def test_crash_debris_is_invisible_and_vacuumed(spark, tmp_path):
     """A data directory without a manifest (crash between data write
-    and commit) must not change any read, and vacuum removes it."""
+    and commit) must not change any read; vacuum removes it once it is
+    older than the retention window — a YOUNG unreferenced dir may be
+    an in-flight commit and must be left alone."""
     table = str(tmp_path / "t")
     lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
     debris = os.path.join(table, "data-deadbeef")
     _rows(spark, [(9, 90, 900)]).write.parquet(debris)
+    stale_tmp = lakelog._manifest_file(table, 2) + ".tmp-dead"
+    with open(stale_tmp, "w") as f:
+        f.write("{}")
     assert lakelog.read(spark, table).count() == 1  # debris invisible
-    removed = lakelog.vacuum(table, keep_last=1)
+    # retention guard: young debris survives (could be in-flight)
+    assert lakelog.vacuum(table, keep_last=1, min_age_s=3600) == []
+    assert os.path.isdir(debris) and os.path.exists(stale_tmp)
+    # aged out: collected
+    removed = lakelog.vacuum(table, keep_last=1, min_age_s=0)
     assert "data-deadbeef" in removed
+    assert not os.path.exists(stale_tmp)
     assert lakelog.read(spark, table).count() == 1
 
 
@@ -66,12 +88,15 @@ def test_vacuum_keeps_recent_versions_readable(spark, tmp_path):
     table = str(tmp_path / "t")
     for i in range(1, 5):
         lakelog.commit(table, _rows(spark, [(u, u, u) for u in range(i)]), "append")
-    lakelog.vacuum(table, keep_last=2)
+    lakelog.vacuum(table, keep_last=2, min_age_s=0)
     assert lakelog.versions(table) == [3, 4]
     assert lakelog.read(spark, table, version=3).count() == 3
     assert lakelog.read(spark, table, version=4).count() == 4
     with pytest.raises(FileNotFoundError):
         lakelog.read_manifest(table, 1)
+    # version ids are an external contract: emptying the log is refused
+    with pytest.raises(ValueError, match="keep_last"):
+        lakelog.vacuum(table, keep_last=0, min_age_s=0)
 
 
 def test_merge_retry_converges_after_race(spark, tmp_path, monkeypatch):
