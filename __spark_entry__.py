@@ -47,11 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      35 rows were r01-stale while code churned under them).
 # Harmless if the driver gates everything; maximizes signal freshness
 # if it truncates.
-_GATE_FIRST = [
-    "t_checkpoint_recovery_resume",
-    "t_checkpoint_recovery_latest_per_key",
-    "t_checkpoint_recovery_stateful_profile",
-]
+_GATE_FIRST: list[str] = []  # r05: recovery rows went green in r04; let
+# oldest-green-first rotation sweep the r02-stale ext_* backlog.
 
 # Registered (tests + bench + docs) but excluded from the driver gate:
 # permanently oracle-less rows would waste a slot of the ~50-row window

@@ -36,7 +36,18 @@ def _ksql_repl(engine, limit: int, input_fn=input, out=None) -> int:
     )
     from kafka_cdc_elasticsearch_pipeline_spark.ksql.translate import (
         split_statements,
+        strip_comments,
     )
+
+    def _in_open_quote(text: str) -> bool:
+        # mirror split_statements' quote rules: a trailing ';' inside a
+        # still-open string literal (VALUE_FORMAT='JSON;\n...') is data,
+        # not a statement terminator
+        in_q = False
+        for ch in strip_comments(text):
+            if ch == "'":
+                in_q = not in_q
+        return in_q
 
     buf: list[str] = []
     while True:
@@ -52,7 +63,7 @@ def _ksql_repl(engine, limit: int, input_fn=input, out=None) -> int:
         if not s and not buf:
             continue
         buf.append(line)
-        if not s.endswith(";"):
+        if not s.endswith(";") or _in_open_quote("\n".join(buf)):
             continue
         text, buf = "\n".join(buf), []
         for stmt in split_statements(text):

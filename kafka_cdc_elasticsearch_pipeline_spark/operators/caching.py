@@ -33,26 +33,42 @@ Set ``SPARK_GRAFT_PIN_REUSED=0`` to disable pinning entirely
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
+_PINNED_LOCK = threading.Lock()
 
 
 def reuse(df: DataFrame) -> DataFrame:
     """Persist + register a subplan referenced more than once by the
     enclosing query. The pin lives until the next registry query
-    starts or ``release_pinned()`` — see module docstring."""
+    starts or ``release_pinned()`` — see module docstring.
+
+    CONTRACT (sequential sessions): materialize a query's returned
+    DataFrame BEFORE building the next registry query. The registry
+    wrapper releases the previous query's pins at the next query's
+    entry, so interleaving build-B-then-run-A silently unpersists A's
+    subtrees — results stay correct, but the reused pipeline
+    recomputes per join side and the documented speedup vanishes.
+    Concurrent sessions sharing one SparkContext should either pin per
+    query thread-locally (not provided — registry queries are
+    single-threaded by design) or disable pinning via
+    ``SPARK_GRAFT_PIN_REUSED=0``. The lock below makes the list
+    operations themselves safe; the lifecycle contract is the caller's.
+    """
     if os.environ.get("SPARK_GRAFT_PIN_REUSED", "1") != "0":
         df = df.persist()
-        _PINNED.append(df)
+        with _PINNED_LOCK:
+            _PINNED.append(df)
     return df
 
 
 def release_pinned() -> int:
     """Unpersist every ``reuse``-pinned DataFrame; returns how many."""
-    n = len(_PINNED)
-    for df in _PINNED:
+    with _PINNED_LOCK:
+        pinned, _PINNED[:] = list(_PINNED), []
+    for df in pinned:
         df.unpersist()
-    _PINNED.clear()
-    return n
+    return len(pinned)

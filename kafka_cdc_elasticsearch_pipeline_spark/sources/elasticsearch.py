@@ -127,7 +127,14 @@ def classify_bulk_response(
         # finding: the old [],[] return silently counted them indexed).
         return [], list(range(n_items))
     if not resp.get("errors"):
-        return [], []
+        # errors:false still needs one item ack per doc sent — a
+        # truncated-but-parseable body (or a proxy's synthetic
+        # {"errors": false}) must not count missing positions as
+        # indexed. Mirror the truncation guard on the errors:true path.
+        n_acked = len(resp.get("items", []))
+        if n_acked >= n_items:
+            return [], []
+        return [], list(range(n_acked, n_items))
     fatal: list[tuple[int, int, str]] = []
     retryable: list[int] = []
     items = resp.get("items", [])

@@ -438,3 +438,27 @@ def test_keyed_sink_redelivery_is_idempotent(spark, tmp_path):
     assert len(all_ids) == 40
     # ...but only 20 DISTINCT _ids -> ES overwrites, no duplicates
     assert sorted(set(all_ids)) == sorted(str(i) for i in range(20))
+
+
+def test_classify_truncated_success_body_marks_missing_retryable():
+    """A parseable 200 body with errors:false but FEWER item acks than
+    docs sent (truncated response, proxy-synthesized success) must not
+    count the unacknowledged tail as indexed — missing positions are
+    retryable, mirroring the errors:true truncation guard."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.elasticsearch import (
+        classify_bulk_response,
+    )
+
+    body = json.dumps({"errors": False, "items": [{"index": {"status": 201}}] * 2})
+    fatal, retryable = classify_bulk_response(200, body, 5)
+    assert fatal == []
+    assert retryable == [2, 3, 4]
+
+    # missing items key entirely -> nothing acked
+    fatal, retryable = classify_bulk_response(200, json.dumps({"errors": False}), 3)
+    assert fatal == []
+    assert retryable == [0, 1, 2]
+
+    # full ack set -> clean success, no spurious retries
+    body = json.dumps({"errors": False, "items": [{"index": {"status": 201}}] * 3})
+    assert classify_bulk_response(200, body, 3) == ([], [])

@@ -127,3 +127,29 @@ def test_ksql_interactive_repl(spark, capsys):
     assert "statement_error" in out  # FROB surfaced as an error
     assert "Executed." in out  # the CREATE
     assert "ratings" in engine.relations  # the CREATE registered it
+
+
+def test_ksql_repl_semicolon_inside_open_quote(spark, capsys):
+    """A multi-line string literal whose first line ends in ';' must
+    keep buffering (quote still open), not dispatch an incomplete
+    statement — the split is quote-aware like split_statements."""
+    from kafka_cdc_elasticsearch_pipeline_spark.__main__ import _ksql_repl
+    from kafka_cdc_elasticsearch_pipeline_spark.ksql import KsqlEngine
+
+    ratings = spark.createDataFrame([("a",)], ["channel"])
+    engine = KsqlEngine(spark, {"ratings": ratings})
+    script = iter(
+        [
+            # the literal 'JSON;\n' spans two lines; line 1 ends in ';'
+            "CREATE STREAM R2 WITH (KAFKA_TOPIC='ratings', VALUE_FORMAT='JSON;",
+            "');",
+            "exit;",
+        ]
+    )
+    rc = _ksql_repl(engine, limit=20, input_fn=lambda prompt: next(script))
+    assert rc == 0
+    out = capsys.readouterr().out
+    # one statement executed (possibly rejected for the odd format
+    # value), but never a parse of the truncated first line alone
+    assert out.count("statement_error") <= 1
+    assert "r2" in engine.relations or "statement_error" in out

@@ -163,15 +163,18 @@ def main() -> int:
         # the next "## " heading, preserving whatever follows (the
         # fact-table probe section lives after this one).
         marker = "\n## Media decode + skew join scaling"
+        if not section.endswith("\n"):
+            section += "\n"
         if marker in content:
+            # splice IN PLACE so section order is stable across runs
             start = content.index(marker)
             nxt = content.find("\n## ", start + len(marker))
             tail = content[nxt:] if nxt != -1 else ""
-            content = content[:start] + tail
-        if not section.endswith("\n"):
-            section += "\n"
+            content = content[:start] + section.rstrip("\n") + "\n" + tail
+        else:
+            content = content + section
         with open(scaling_md, "w") as f:
-            f.write(content + section)
+            f.write(content)
         print(f"updated media section in {scaling_md}")
     return 0
 
