@@ -561,6 +561,79 @@ def t_checkpoint_recovery_stateful_profile(spark: SparkSession, sf_dir: str) -> 
 
 
 @query(
+    "t6_watermark_late_eviction",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS window_start,
+           user_id,
+           count(*) AS n_events
+    FROM events
+    WHERE NOT (event_id % 13 = 0 AND ts < TIMESTAMP '2024-01-15 00:00:00')
+    GROUP BY 1, 2
+    """,
+    tags=("T6", "streaming", "watermark", "late-data"),
+)
+def t6_watermark_late_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — watermark late-data EVICTION as a hard signal (the last
+    streaming semantic previously taken on faith). The reference
+    inherits ksqlDB's grace period (SURVEY §2.9 T6: windows accept late
+    events only within grace); Structured Streaming's knob is
+    ``withWatermark``. Fixture: the on-time flow (events minus a
+    marked straggler subset) replays first and advances the watermark
+    to ~max(ts) − 2 h ≈ Jan 30; then the stragglers arrive — all with
+    event times before Jan 15, weeks behind the watermark — in a
+    second run restarted from the same checkpoint (watermark state is
+    restored from the commit log, so the eviction decision also
+    survives a restart). The stateful aggregation must DROP every
+    straggler: the final compacted state hash-matches the batch oracle
+    computed over the on-time rows ONLY. Under-eviction (late rows
+    counted) or over-eviction (on-time rows dropped) both flip window
+    counts and fail the hash."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        last_update_per_key,
+        open_stream,
+        reveal,
+        run_until_caught_up,
+        stage_frames,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    late_pred = (F.col("event_id") % 13 == 0) & (
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    )
+    tmp, (ontime_parts, late_parts), schema = stage_frames(
+        [(events.filter(~late_pred), 6, "ts"), (events.filter(late_pred), 1, "ts")],
+        prefix="t6_late",
+    )
+    try:
+        import os
+
+        ckpt = os.path.join(tmp, "ckpt")
+        log_dir = os.path.join(tmp, "log")
+
+        def agg(stream: DataFrame) -> DataFrame:
+            return streaming_tumbling_agg(
+                stream,
+                "ts",
+                "15 minutes",
+                ["user_id"],
+                [F.count(F.lit(1)).alias("n_events")],
+                watermark="2 hours",
+            )
+
+        reveal(tmp, ontime_parts)  # on-time flow; watermark → Jan 30 − 2 h
+        run_until_caught_up(agg(open_stream(spark, tmp, schema)), ckpt, log_dir)
+        reveal(tmp, late_parts)  # stragglers: ts < Jan 15 ≪ watermark
+        run_until_caught_up(agg(open_stream(spark, tmp, schema)), ckpt, log_dir)
+        final = last_update_per_key(
+            spark.read.parquet(log_dir), ["window_start", "user_id"]
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "lake_streaming_cdc_merge",
     f"""
     SELECT {', '.join(EVENT_COLS)}

@@ -87,6 +87,59 @@ def stage_replay_files(
     return tmp, parts, batch.schema
 
 
+def stage_frames(
+    frames: Sequence[tuple[DataFrame, int, str | None]],
+    prefix: str = "frames",
+) -> tuple[str, list[list[str]], T.StructType]:
+    """Stage several DataFrames as consecutive micro-batch file groups
+    under one ``<tmp>/all`` directory, mtimes strictly increasing
+    across the WHOLE sequence (frame 0's chunks replay before frame
+    1's). Each frame is ``(df, chunks, order_col)``. Returns
+    ``(tmp_root, parts_per_frame, schema_of_first_frame)``.
+
+    This is the fixture for ordering-sensitive semantics the
+    single-table ``stage_replay_files`` can't express — e.g. T6 late
+    arrivals: frame 0 = the on-time flow, frame 1 = stragglers whose
+    event times are far behind the watermark frame 0 advanced."""
+    tmp = tempfile.mkdtemp(prefix=f"recov_{prefix}_")
+    all_dir = os.path.join(tmp, "all")
+    os.makedirs(all_dir)
+    parts_per_frame: list[list[str]] = []
+    schema: T.StructType | None = None
+    n_total = sum(chunks for _, chunks, _ in frames)
+    base = time.time() - n_total - 120
+    stamp = 0
+    for fi, (df, chunks, order_col) in enumerate(frames):
+        if schema is None:
+            schema = df.schema
+        stage_dir = os.path.join(tmp, f"stage_{fi}")
+        staged = (
+            df.repartitionByRange(chunks, order_col)
+            if order_col
+            else df.repartition(chunks)
+        )
+        staged.write.mode("overwrite").parquet(stage_dir)
+        parts = sorted(
+            f
+            for f in os.listdir(stage_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        moved = []
+        for f in parts:
+            # part names embed a per-write UUID, so cross-frame moves
+            # into the shared dir can't collide
+            dst = os.path.join(all_dir, f)
+            shutil.move(os.path.join(stage_dir, f), dst)
+            os.utime(dst, (base + stamp, base + stamp))
+            stamp += 1
+            moved.append(f)
+        parts_per_frame.append(moved)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "live"), exist_ok=True)
+    assert schema is not None
+    return tmp, parts_per_frame, schema
+
+
 def reveal(tmp: str, parts: Sequence[str]) -> None:
     """Copy staged chunk files into the live stream directory,
     preserving the chunk-order mtimes (copy2) so the file source

@@ -385,3 +385,87 @@ def test_transform_with_state_matches_old_api(spark, tmp_path):
         finally:
             cleanup(tmp)
     assert outs[0] == outs[1]
+
+
+def test_watermark_late_eviction_drops_stragglers(spark):
+    """T6 hard signal, row-level: events arriving beyond the watermark
+    are ABSENT from the windowed state — a late-only window never
+    materializes, and a mixed window's count excludes the late
+    increment (not merely 'totals happen to match')."""
+    import datetime
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.duality import (
+        streaming_tumbling_agg,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        last_update_per_key,
+        open_stream,
+        reveal,
+        run_until_caught_up,
+        stage_frames,
+    )
+
+    def ev(i, hh, mm, user=1):
+        return Row(
+            event_id=i,
+            ts=datetime.datetime(2024, 3, 1, hh, mm),
+            user_id=user,
+            value=1.0,
+        )
+
+    # On-time flow: 10:00-12:00 (watermark ends at 12:00 - 30min = 11:30)
+    on_time = spark.createDataFrame(
+        [ev(1, 10, 0), ev(2, 10, 5), ev(3, 11, 0), ev(4, 12, 0)]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # Stragglers, all with window end < 11:30: one lands in the mixed
+    # 10:00 window (already has 2 on-time events), one in a window with
+    # NO on-time events at all (08:00)
+    late = spark.createDataFrame(
+        [ev(100, 10, 7), ev(101, 8, 0)]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    tmp, (head, tail), schema = stage_frames(
+        [(on_time, 2, "ts"), (late, 1, "ts")], prefix="t6_unit"
+    )
+    try:
+        ckpt = os.path.join(tmp, "ckpt")
+        log_dir = os.path.join(tmp, "log")
+
+        def agg(stream):
+            return streaming_tumbling_agg(
+                stream,
+                "ts",
+                "15 minutes",
+                ["user_id"],
+                [F.count(F.lit(1)).alias("n_events")],
+                watermark="30 minutes",
+            )
+
+        reveal(tmp, head)
+        run_until_caught_up(agg(open_stream(spark, tmp, schema)), ckpt, log_dir)
+        reveal(tmp, tail)
+        run_until_caught_up(agg(open_stream(spark, tmp, schema)), ckpt, log_dir)
+
+        final = last_update_per_key(
+            spark.read.parquet(log_dir), ["window_start", "user_id"]
+        )
+        rows = {
+            r["window_start"].strftime("%H:%M"): r["n_events"]
+            for r in final.collect()
+        }
+        # late-only window (08:00) never materialized
+        assert "08:00" not in rows
+        # mixed window keeps its on-time count only: 10:00 has events
+        # 1,2 on time; the late event 100 (10:07) must NOT bump it to 3
+        assert rows["10:00"] == 2
+        assert rows["11:00"] == 1
+        assert rows["12:00"] == 1
+        assert set(rows) == {"10:00", "11:00", "12:00"}
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
