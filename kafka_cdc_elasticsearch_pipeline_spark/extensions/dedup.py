@@ -116,26 +116,14 @@ def _jaccard(a_sh: str, b_sh: str) -> F.Column:
     return inter.cast("double") / union
 
 
-def minhash_lsh_pairs(
+def minhash_candidates(
     docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
     k: int = NUM_MINHASH,
     rows_per_band: int = LSH_ROWS_PER_BAND,
 ) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs, verified with true Jaccard.
-
-    Plan shape (the part that matters at 100 TB):
-      1. narrow map: shingle + k MinHash mins per doc (no shuffle);
-      2. explode b band keys per doc → ONE shuffle on (band, key);
-      3. self-join within identical band buckets only — candidate
-         volume is governed by collision probability (s^r per band),
-         not by n²;
-      4. verify candidates with exact Jaccard (array ops) and filter.
-
-    Probability a pair with true Jaccard s collides: 1-(1-s^r)^(k/r);
-    with k=8, r=2: s=0.4 → ~46%, s=0.8 → ~92%. Raise k for recall —
-    cost stays linear in k.
-    """
+    """LSH band-collision candidate pairs (doc_a, doc_b), unverified —
+    the candidate-generation stage of ``minhash_lsh_pairs``, factored
+    out so other operators (the ngram df-cap fallback) can reuse it."""
     sh = _doc_shingles(docs)
     hashed = sh.select("doc_id", base_hashes("sh").alias("hs"))
     sigs = hashed.select("doc_id", *minhash_signature("hs", k))
@@ -179,12 +167,47 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return cand
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NUM_MINHASH,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified with true Jaccard.
+
+    Plan shape (the part that matters at 100 TB):
+      1. narrow map: shingle + k MinHash mins per doc (no shuffle);
+      2. explode b band keys per doc → ONE shuffle on (band, key);
+      3. self-join within identical band buckets only — candidate
+         volume is governed by collision probability (s^r per band),
+         not by n²;
+      4. verify candidates with exact Jaccard (array ops) and filter.
+
+    Probability a pair with true Jaccard s collides: 1-(1-s^r)^(k/r);
+    with k=8, r=2: s=0.4 → ~46%, s=0.8 → ~92%. Raise k for recall —
+    cost stays linear in k.
+    """
+    cand = minhash_candidates(docs, k, rows_per_band)
     return _verify_jaccard(docs, cand, threshold)
+
+
+#: Document-frequency cap for the AllPairs prefix index: an index
+#: bucket holds at most DF_CAP entries, so main-join candidate volume
+#: is bounded by DF_CAP × |index| — linear in the corpus for a fixed
+#: cap. Docs whose PREFIX contains a hotter token (only low-entropy /
+#: templated docs — rarest-first ordering pushes hot shingles out of
+#: natural docs' prefixes) are additionally routed through the MinHash
+#: candidate generator, which is flat-cost on exactly such corpora.
+DF_CAP_DEFAULT = 256
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
+    df_cap: int | None = DF_CAP_DEFAULT,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard similarity join via prefix filtering
     (AllPairs-style: Bayardo et al., "Scaling Up All Pairs Similarity
@@ -199,33 +222,55 @@ def ngram_jaccard_pairs(
     shingles to the suffix where they are never indexed, which is
     what kills the quadratic hot-bucket blowup. Candidate generation
     stays an equi-self-join on the indexed token.
+
+    Everything before the self-join is WINDOW functions over the
+    narrow (doc_id, shingle-hash) rows — df = count over (s), prefix
+    membership = row_number over (doc_id ORDER BY df, s) — so the plan
+    is exactly three hash shuffles (by s, by doc_id, join by s) with
+    no corpus-sized build sides. The previous formulation joined a
+    (s → df) aggregate back onto the exploded rows; Spark chose to
+    BROADCAST that corpus-sized aggregate (4.6M entries at 80k docs,
+    rebuilt per join side), which was the measured super-linear term
+    in SCALING.md r04 — a window cannot be broadcast, so the failure
+    mode is gone by construction (plan-guarded in test_plan_shape).
+
+    ``df_cap`` bounds the index: entries whose token df exceeds the
+    cap are dropped from the equi-join (bucket size ≤ cap ⇒ candidate
+    volume ≤ cap × |index|, linear). Recall contract: every pair
+    sharing at least one NON-hot prefix token is still found exactly;
+    docs whose prefix contains a hot token (possible only for
+    low-entropy/templated docs) are ADDITIONALLY routed through the
+    MinHash-LSH candidate generator, so pairs whose only shared
+    prefix evidence is hot tokens degrade to LSH's probabilistic
+    recall — precisely the "use MinHash on low-entropy corpora"
+    advice from SCALING.md, now enforced by the operator itself
+    instead of left to the caller. ``df_cap=None`` restores the
+    unconditionally-exact (and unboundedly hot-bucketed) join.
     """
+    from pyspark.sql import Window
+
     sh = _doc_shingle_hashsets(docs)
     # One full-corpus shingle pass as narrow (doc_id, hash) rows —
-    # 8-byte keys, not shingle strings — the df-count and the prefix
-    # build both read it (reuse mark).
+    # 8-byte keys, not shingle strings (reuse mark: the hot-doc check
+    # and the prefix build both read it).
     ex = reuse(explode_expensive(sh, "hs", "s"))
-    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-    # Global rarest-first order = (df, hash); per-doc prefix of length
-    # |hs| - ceil(t*|hs|) + 1 under that order. Keep (pos, n) per
-    # indexed token for the PPJoin positional filter below.
+    w_s = Window.partitionBy("s")
+    w_doc = Window.partitionBy("doc_id")
+    w_doc_ord = Window.partitionBy("doc_id").orderBy("df_", "s")
+    # Global rarest-first order = (df, hash); per-doc prefix = the
+    # first |hs| - ceil(t*|hs|) + 1 entries under that order. (pos, n)
+    # per indexed token feed the PPJoin positional filter below.
     pref = (
-        ex.join(dfc, "s")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df_", "s"))).alias("ordered"))
-        .select(
-            "doc_id",
-            F.size("ordered").alias("n"),
-            F.expr(
-                f"transform(slice(ordered, 1,"
-                f" size(ordered) - cast(ceil({threshold} * size(ordered)) as int) + 1),"
-                " (x, i) -> struct(x.s AS s, i + 1 AS pos))"
-            ).alias("pref"),
+        ex.withColumn("df_", F.count(F.lit(1)).over(w_s))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .withColumn("pos", F.row_number().over(w_doc_ord))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
         )
-        .transform(lambda df: explode_expensive(df, "pref", "sp"))
-        .select("doc_id", "n", F.col("sp.s").alias("s"), F.col("sp.pos").alias("pos"))
         .transform(reuse)
     )
+    idx = pref.filter(F.col("df_") <= df_cap) if df_cap is not None else pref
     # PPJoin filters on each index hit:
     # - length: J >= t forces t*|a| <= |b| <= |a|/t;
     # - positional: overlap upper bound via the hit positions,
@@ -233,7 +278,7 @@ def ngram_jaccard_pairs(
     #   overlap alpha = ceil(t/(1+t) * (n_a + n_b)).
     # The bound is loosest at the pair's FIRST shared token, so a pair
     # whose every hit fails cannot reach alpha — pruning is lossless.
-    a, b = pref.alias("a"), pref.alias("b")
+    a, b = idx.alias("a"), idx.alias("b")
     t_frac = threshold / (1.0 + threshold)
     cand = (
         a.join(
@@ -253,6 +298,15 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if df_cap is not None:
+        # Hot-prefix docs: prefixes that reach into tokens with
+        # df > cap. Natural corpora have none (the isEmpty probe is a
+        # LIMIT-1 scan of the pinned prefix table); templated corpora
+        # route them through the flat-cost LSH generator.
+        hot_ids = pref.filter(F.col("df_") > df_cap).select("doc_id").distinct()
+        if not hot_ids.isEmpty():
+            hot_docs = docs.join(hot_ids, "doc_id")
+            cand = cand.unionByName(minhash_candidates(hot_docs)).distinct()
     return _verify_jaccard(docs, cand, threshold)
 
 

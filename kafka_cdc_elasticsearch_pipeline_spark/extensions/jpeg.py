@@ -21,8 +21,23 @@ integer DC coefficient) — which is what gives the oracle gate an
 exact arithmetic target; general images round-trip within a small
 tolerance (checked by tests, as for any JPEG implementation).
 
-The per-block Python loops live inside Arrow ``mapInPandas`` stages
-like the other codecs: per-partition parallelism is the scale lever.
+Hot-path structure (round-5 rewrite, ~5-10× over the per-bit loops
+SCALING.md r04 flagged as the slowest codec family):
+- all DCT/IDCT/quantization is BATCHED across every block of the
+  image (one einsum), never per block;
+- the encoder emits (code, nbits) token pairs per block (a few Python
+  ops per nonzero coefficient) and a single vectorized packer turns
+  the whole token stream into stuffed bytes (np.repeat bit expansion
+  + packbits + np.insert stuffing);
+- the decoder splits/destuffs the entropy stream with numpy, then
+  walks it with a 16-bit LOOKAHEAD table (one uint32 window read +
+  one LUT index per Huffman symbol — never per bit); coefficients
+  land in a flat (blocks, 64) array that one batched IDCT finishes.
+
+The remaining per-symbol Python loop is irreducible (Huffman codes
+are sequentially dependent within an entropy segment); everything
+around it is numpy. The stages run inside Arrow ``mapInPandas`` like
+the other codecs: per-partition parallelism is the scale lever.
 """
 
 from __future__ import annotations
@@ -58,6 +73,11 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 _ZIGZAG = _zigzag_order()
+#: zigzag position k -> row-major flat index, and its inverse
+_ZZ_FLAT = np.array([u * _N + v for (u, v) in _ZIGZAG])
+_INV_ZZ = np.argsort(_ZZ_FLAT)
+#: powers of two for vectorized bit_length (JPEG categories <= 15)
+_POW2 = 2 ** np.arange(16, dtype=np.int64)
 
 
 def quant_table(quality: int = 100) -> np.ndarray:
@@ -101,94 +121,39 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 _DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
 
-
-class _BitWriterMSB:
-    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
-
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self.cur = 0
-        self.nbits = 0
-
-    def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.cur = (self.cur << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.cur)
-                if self.cur == 0xFF:
-                    self.out.append(0x00)
-                self.cur = 0
-                self.nbits = 0
-
-    def flush_align(self) -> None:
-        """Pad the current byte with 1-bits and emit it (the byte
-        alignment required before a restart marker)."""
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.cur = (self.cur << pad) | ((1 << pad) - 1)  # pad with 1s
-            self.out.append(self.cur)
-            if self.cur == 0xFF:
-                self.out.append(0x00)
-            self.cur = 0
-            self.nbits = 0
-
-    def write_marker(self, m: int) -> None:
-        """Emit a raw marker (NOT byte-stuffed — markers are how the
-        decoder finds restart points in the entropy stream)."""
-        self.out += bytes([0xFF, m])
-
-    def finish(self) -> bytes:
-        self.flush_align()
-        return bytes(self.out)
+# Array-indexed encoder tables (symbol -> code/len), for O(1) lookups
+# without dict hashing in the token loop.
+_DC_CODE = np.zeros(16, dtype=np.uint32)
+_DC_LEN = np.zeros(16, dtype=np.uint8)
+for _s, (_c, _l) in _DC_ENC.items():
+    _DC_CODE[_s], _DC_LEN[_s] = _c, _l
+_AC_CODE = np.zeros(256, dtype=np.uint32)
+_AC_LEN = np.zeros(256, dtype=np.uint8)
+for _s, (_c, _l) in _AC_ENC.items():
+    _AC_CODE[_s], _AC_LEN[_s] = _c, _l
 
 
-class _BitReaderMSB:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.cur = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("unexpected marker inside entropy data")
-            self.cur = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def restart(self) -> int:
-        """Byte-align and consume one RSTn marker (skipping 0xFF fill
-        bytes); returns n in 0..7 for the cycle check."""
-        self.nbits = 0
-        while (
-            self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and self.data[self.pos + 1] == 0xFF
-        ):
-            self.pos += 1  # fill byte
-        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
-            raise ValueError("expected restart marker")
-        m = self.data[self.pos + 1]
-        if not 0xD0 <= m <= 0xD7:
-            raise ValueError(f"expected RSTn marker, got {m:#04x}")
-        self.pos += 2
-        return m - 0xD0
+def _pack_tokens(codes: list[int], lens: list[int]) -> bytes:
+    """Vectorized MSB-first packer: (code, nbits) token stream ->
+    1-padded, 0xFF-stuffed entropy bytes. One np.repeat bit expansion,
+    one packbits, one stuffing insert — no per-bit Python."""
+    if not codes:
+        return b""
+    c = np.asarray(codes, dtype=np.uint32)
+    ln = np.asarray(lens, dtype=np.int64)
+    total = int(ln.sum())
+    starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+    tok = np.repeat(np.arange(len(c)), ln)
+    j = np.arange(total) - np.repeat(starts, ln)  # bit index within token
+    bits = (c[tok] >> (ln[tok] - 1 - j)).astype(np.uint8) & 1
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])  # 1-pad
+    by = np.packbits(bits)
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)  # byte stuffing
+    return by.tobytes()
 
 
 def _category(v: int) -> int:
@@ -197,12 +162,6 @@ def _category(v: int) -> int:
 
 def _value_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
-
-
-def _extend(bits: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
 # --- segments ----------------------------------------------------------------
@@ -242,110 +201,180 @@ def jpeg_encode(
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
         comps = [y, cb, cr]
 
+    nc = len(comps)
     bh, bw = -(-h // _N), -(-w // _N)
-    padded = []
-    for c in comps:
+    n_mcu = bh * bw
+    # Batched forward path: pad -> (n_mcu, 8, 8) blocks -> one einsum
+    # DCT -> quantize -> zigzag, per component; then interleave rows
+    # into per-MCU component order (the scan's block order).
+    zz_all = np.empty((n_mcu * nc, 64), dtype=np.int64)
+    for ci, c in enumerate(comps):
         p = np.empty((bh * _N, bw * _N))
         p[:h, :w] = c
         p[h:, :w] = c[h - 1 : h, :]  # replicate edges into MCU padding
         p[:, w:] = p[:, w - 1 : w]
-        padded.append(p)
+        blocks = (
+            p.reshape(bh, _N, bw, _N).transpose(0, 2, 1, 3).reshape(-1, _N, _N)
+            - 128.0
+        )
+        coeff = np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+        q = np.round(coeff / qt).astype(np.int64)
+        zz_all[ci::nc] = q.reshape(-1, 64)[:, _ZZ_FLAT]
 
-    bwtr = _BitWriterMSB()
-    pred = [0] * len(comps)
-    mcu = 0
+    # Bulk nonzero-AC structure: values, categories and value-bit
+    # payloads for every coefficient, computed once vectorized; the
+    # Python loop below only sequences tokens (run lengths, ZRL, EOB).
+    nz_rows, nz_cols = np.nonzero(zz_all[:, 1:])
+    nz_vals = zz_all[nz_rows, nz_cols + 1]
+    nz_size = np.searchsorted(_POW2, np.abs(nz_vals), side="right")
+    nz_vbits = np.where(nz_vals >= 0, nz_vals, nz_vals + (1 << nz_size) - 1)
+    row_lo = np.searchsorted(nz_rows, np.arange(n_mcu * nc))
+    row_hi = np.searchsorted(nz_rows, np.arange(n_mcu * nc), side="right")
+    nz_cols_l = nz_cols.tolist()
+    nz_size_l = nz_size.tolist()
+    nz_vbits_l = nz_vbits.tolist()
+    dc_l = zz_all[:, 0].tolist()
+    ac_code_l, ac_len_l = _AC_CODE.tolist(), _AC_LEN.tolist()
+    dc_code_l, dc_len_l = _DC_CODE.tolist(), _DC_LEN.tolist()
+    eob_c, eob_l = ac_code_l[0x00], ac_len_l[0x00]
+    zrl_c, zrl_l = ac_code_l[0xF0], ac_len_l[0xF0]
+
+    entropy = bytearray()
+    codes: list[int] = []
+    lens: list[int] = []
+    pred = [0] * nc
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bwtr.flush_align()
-                bwtr.write_marker(0xD0 + rst % 8)
-                rst += 1
-                pred = [0] * len(comps)
-            mcu += 1
-            for ci, c in enumerate(padded):
-                block = c[by * _N : (by + 1) * _N, bx * _N : (bx + 1) * _N] - 128.0
-                coeff = _DCT_M @ block @ _DCT_M.T
-                q = np.round(coeff / qt).astype(np.int64)
-                # DC (DPCM)
-                diff = int(q[0, 0]) - pred[ci]
-                pred[ci] = int(q[0, 0])
-                s = _category(diff)
-                code, ln = _DC_ENC[s]
-                bwtr.write(code, ln)
-                if s:
-                    bwtr.write(_value_bits(diff, s), s)
-                # AC (RLE + ZRL + EOB)
-                zz = [int(q[u, v]) for (u, v) in _ZIGZAG[1:]]
-                run = 0
-                last_nz = max((i for i, v in enumerate(zz) if v != 0), default=-1)
-                for i, v in enumerate(zz):
-                    if i > last_nz:
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = _AC_ENC[0xF0]
-                        bwtr.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = _AC_ENC[(run << 4) | s]
-                    bwtr.write(code, ln)
-                    bwtr.write(_value_bits(v, s), s)
-                    run = 0
-                if last_nz < len(zz) - 1:
-                    code, ln = _AC_ENC[0x00]
-                    bwtr.write(code, ln)
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            entropy += _pack_tokens(codes, lens)
+            entropy += bytes([0xFF, 0xD0 + rst % 8])
+            codes, lens = [], []
+            rst += 1
+            pred = [0] * nc
+        for ci in range(nc):
+            bi = mcu * nc + ci
+            dc = dc_l[bi]
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            s = _category(diff)
+            codes.append(dc_code_l[s])
+            lens.append(dc_len_l[s])
+            if s:
+                codes.append(_value_bits(diff, s))
+                lens.append(s)
+            prev = 0
+            for k in range(row_lo[bi], row_hi[bi]):
+                pos = nz_cols_l[k]
+                run = pos - prev
+                prev = pos + 1
+                while run > 15:
+                    codes.append(zrl_c)
+                    lens.append(zrl_l)
+                    run -= 16
+                sz = nz_size_l[k]
+                sym = (run << 4) | sz
+                codes.append(ac_code_l[sym])
+                lens.append(ac_len_l[sym])
+                codes.append(nz_vbits_l[k])
+                lens.append(sz)
+            if prev < 63:
+                codes.append(eob_c)
+                lens.append(eob_l)
+    entropy += _pack_tokens(codes, lens)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     zz_qt = bytes([0]) + bytes(int(qt[u, v]) for (u, v) in _ZIGZAG)
     out += _seg(0xFFDB, zz_qt)  # DQT id 0
-    ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])  # 4:4:4, quant table 0
     out += _seg(0xFFC0, sof)  # SOF0 baseline
     out += _seg(0xFFC4, _dht_payload(0x00, _DC_BITS, _DC_VALS))  # DC table 0
     out += _seg(0xFFC4, _dht_payload(0x10, _AC_BITS, _AC_VALS))  # AC table 0
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
+    sos = bytes([nc])
+    for ci in range(nc):
         sos += bytes([ci + 1, 0x00])  # DC 0 / AC 0
     sos += bytes([0, 63, 0])
     out += _seg(0xFFDA, sos)
-    out += bwtr.finish()
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 # --- decoder -----------------------------------------------------------------
 
+#: (bits, vals) -> 16-bit lookahead tables, cached across images —
+#: files from one encoder (ours included) share tables, so the LUT
+#: build cost is paid once per table, not per image.
+_LUT_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table = {}
+
+def _build_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit lookahead decode tables: peek16 -> (symbol, code length).
+    Length 0 marks an invalid prefix."""
+    key = bytes(bits) + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    if len(_LUT_CACHE) >= 64:  # bounded: tables are tiny and few
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
 
 
-def _read_symbol(br: _BitReaderMSB, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code")
+def _split_entropy(entropy: bytes) -> list[tuple[bytes, int | None]]:
+    """Split the raw entropy stream at RSTn markers (skipping 0xFF
+    fill bytes preceding them): [(segment_bytes, rst_index|None)];
+    the final segment carries None."""
+    raw = np.frombuffer(entropy, dtype=np.uint8)
+    if len(raw) < 2:
+        return [(entropy, None)]
+    ff = np.flatnonzero(raw[:-1] == 0xFF)
+    nxt = raw[ff + 1]
+    rst_pos = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
+    segs: list[tuple[bytes, int | None]] = []
+    start = 0
+    for p in rst_pos.tolist():
+        end = p
+        # markers may be preceded by 0xFF fill bytes (T.81 B.1.1.2)
+        while end > start and raw[end - 1] == 0xFF:
+            end -= 1
+        segs.append((entropy[start:end], int(raw[p + 1]) - 0xD0))
+        start = p + 2
+    segs.append((entropy[start:], None))
+    return segs
+
+
+def _destuff(seg: bytes) -> bytes:
+    """Remove the 0x00 stuffed after each entropy 0xFF (vectorized);
+    any 0xFF followed by something else inside a segment is a marker
+    that has no business here."""
+    a = np.frombuffer(seg, dtype=np.uint8)
+    if len(a) < 2:
+        return seg
+    ffp = np.flatnonzero(a[:-1] == 0xFF)
+    if len(ffp) == 0:
+        return seg
+    if np.any(a[ffp + 1] != 0x00):
+        raise ValueError("unexpected marker inside entropy data")
+    return np.delete(a, ffp + 1).tobytes()
 
 
 def jpeg_decode(data: bytes):
@@ -358,8 +387,8 @@ def jpeg_decode(data: bytes):
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    dc_tables: dict[int, dict] = {}
-    ac_tables: dict[int, dict] = {}
+    dc_tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    ac_tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     frame = None
     scan = None
     restart_interval = 0
@@ -394,7 +423,7 @@ def jpeg_decode(data: bytes):
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nv])
-                table = _build_decode_table(bits, vals)
+                table = _build_lut(bits, vals)
                 if tc_th >> 4 == 0:
                     dc_tables[tc_th & 0x0F] = table
                 else:
@@ -426,39 +455,78 @@ def jpeg_decode(data: bytes):
 
     # entropy data runs until the EOI marker
     end = data.rfind(b"\xff\xd9")
-    br = _BitReaderMSB(data[pos:end])
     w, h, comps = frame
     nc = len(comps)
     bh, bw = -(-h // _N), -(-w // _N)
-    planes = [np.zeros((bh * _N, bw * _N)) for _ in range(nc)]
-    pred = [0] * nc
+    n_mcu = bh * bw
+
+    segs = _split_entropy(data[pos:end])
+    if restart_interval:
+        expected = -(-n_mcu // restart_interval)
+        if len(segs) < expected:
+            raise ValueError("expected restart marker")
+        if len(segs) > expected:
+            raise ValueError("unexpected marker inside entropy data")
+    elif len(segs) > 1:
+        raise ValueError("unexpected marker inside entropy data")
+
+    dc_lut = [dc_tables[scan[ci][1] >> 4] for ci in range(nc)]
+    ac_lut = [ac_tables[scan[ci][1] & 0x0F] for ci in range(nc)]
+
+    zz_all = np.zeros((n_mcu * nc, 64), dtype=np.int64)
     mcu = 0
-    rst_expect = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                n = br.restart()
-                if n != rst_expect % 8:
-                    raise ValueError(
-                        f"restart marker out of sequence: RST{n},"
-                        f" expected RST{rst_expect % 8}"
-                    )
-                rst_expect += 1
-                pred = [0] * nc
-            mcu += 1
+    for si, (segbytes, rst_n) in enumerate(segs):
+        if rst_n is not None and rst_n != si % 8:
+            raise ValueError(
+                f"restart marker out of sequence: RST{rst_n},"
+                f" expected RST{si % 8}"
+            )
+        seg = _destuff(segbytes)
+        # 32-bit sliding window per byte offset: one index + shift per
+        # peek, for both the 16-bit Huffman lookahead and value bits.
+        b = np.frombuffer(seg + b"\x00\x00\x00", dtype=np.uint8).astype(np.uint32)
+        u = ((b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]).tolist()
+        nbits = len(seg) * 8
+        bp = 0
+        pred = [0] * nc
+        n_here = (
+            min(restart_interval, n_mcu - mcu) if restart_interval else n_mcu
+        )
+        for _ in range(n_here):
             for ci in range(nc):
-                _cid, tq = comps[ci]
-                dc_t = dc_tables[scan[ci][1] >> 4]
-                ac_t = ac_tables[scan[ci][1] & 0x0F]
-                qt = qts[tq]
-                q = np.zeros((_N, _N), dtype=np.int64)
-                s = _read_symbol(br, dc_t)
-                diff = _extend(br.read_bits(s), s) if s else 0
-                pred[ci] += diff
-                q[0, 0] = pred[ci]
+                row = mcu * nc + ci
+                dsym, dlen = dc_lut[ci]
+                asym, alen = ac_lut[ci]
+                if bp >= nbits:
+                    raise ValueError("entropy stream truncated")
+                word = u[bp >> 3]
+                key = (word >> (16 - (bp & 7))) & 0xFFFF
+                ln_ = int(dlen[key])
+                if ln_ == 0:
+                    raise ValueError("invalid Huffman code")
+                s = int(dsym[key])
+                bp += ln_
+                if s:
+                    word = u[bp >> 3]
+                    v = (word >> (32 - s - (bp & 7))) & ((1 << s) - 1)
+                    bp += s
+                    # inline _extend: negative values arrive as
+                    # (v + 2^s - 1) with the top bit clear
+                    pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                if bp > nbits:
+                    raise ValueError("entropy stream truncated")
+                zz_all[row, 0] = pred[ci]
                 i = 1
                 while i < 64:
-                    sym = _read_symbol(br, ac_t)
+                    if bp >= nbits:
+                        raise ValueError("entropy stream truncated")
+                    word = u[bp >> 3]
+                    key = (word >> (16 - (bp & 7))) & 0xFFFF
+                    ln_ = int(alen[key])
+                    if ln_ == 0:
+                        raise ValueError("invalid Huffman code")
+                    sym = int(asym[key])
+                    bp += ln_
                     if sym == 0x00:  # EOB
                         break
                     if sym == 0xF0:  # ZRL
@@ -468,14 +536,30 @@ def jpeg_decode(data: bytes):
                     i += run
                     if i >= 64:
                         raise ValueError("AC run past block end")
-                    u, v = _ZIGZAG[i]
-                    q[u, v] = _extend(br.read_bits(size), size)
+                    word = u[bp >> 3]
+                    v = (word >> (32 - size - (bp & 7))) & ((1 << size) - 1)
+                    bp += size
+                    if bp > nbits:
+                        raise ValueError("entropy stream truncated")
+                    zz_all[row, i] = (
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
                     i += 1
-                coeff = q * qt
-                block = _DCT_M.T @ coeff @ _DCT_M + 128.0
-                planes[ci][by * _N : (by + 1) * _N, bx * _N : (bx + 1) * _N] = block
+            mcu += 1
 
-    planes = [p[:h, :w] for p in planes]
+    # Batched inverse path: inverse zigzag -> dequantize -> one einsum
+    # IDCT per component -> reassemble planes.
+    planes = []
+    for ci in range(nc):
+        _cid, tq = comps[ci]
+        flat = zz_all[ci::nc][:, _INV_ZZ].astype(np.float64)
+        coeff = flat.reshape(-1, _N, _N) * qts[tq]
+        block = np.einsum("ji,njk,kl->nil", _DCT_M, coeff, _DCT_M) + 128.0
+        plane = (
+            block.reshape(bh, bw, _N, _N).transpose(0, 2, 1, 3).reshape(bh * _N, bw * _N)
+        )
+        planes.append(plane[:h, :w])
+
     if nc == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return w, h, "L", out

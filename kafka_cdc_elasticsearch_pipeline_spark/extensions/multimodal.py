@@ -402,12 +402,19 @@ JPEG_STATS_SCHEMA = (
 )
 
 
-def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
-    """Attach a REAL baseline JPEG per document: constant grayscale at
-    quality 100 — the one regime where JPEG is exact after rounding
-    (a constant block's DCT is a single integer DC coefficient and
-    every quantizer step is 1), so the full entropy-decode + IDCT
-    chain gets an exact arithmetic oracle."""
+def attach_jpeg_payload(
+    docs: DataFrame, px_base: int = 8, px_range: int = 16, gradient: bool = False
+) -> DataFrame:
+    """Attach a REAL baseline JPEG per document. Default: constant
+    grayscale at quality 100 — the one regime where JPEG is exact
+    after rounding (a constant block's DCT is a single integer DC
+    coefficient and every quantizer step is 1), so the full
+    entropy-decode + IDCT chain gets an exact arithmetic oracle.
+    ``gradient=True`` swaps in a deterministic 2-D ramp (every block
+    carries AC energy — the realistic sparse-coefficient shape) for
+    throughput probes where the oracle is a timing, not a value;
+    ``px_base``/``px_range`` size the image (w in
+    [px_base, px_base+px_range))."""
     from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_encode
 
     def build(batches: Iterator) -> Iterator:
@@ -418,12 +425,17 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                w = 8 + d % 16
-                h = 8 + (3 * d) % 16
+                w = px_base + d % px_range
+                h = px_base + (3 * d) % px_range
                 v = d % 251
-                payloads.append(
-                    jpeg_encode(np.full((h, w), v, dtype=np.uint8), quality=100)
-                )
+                if gradient:
+                    px = (
+                        (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5 + v)
+                        % 256
+                    ).astype(np.uint8)
+                else:
+                    px = np.full((h, w), v, dtype=np.uint8)
+                payloads.append(jpeg_encode(px, quality=100))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(

@@ -1671,7 +1671,12 @@ def lake_cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lake_versioned_merge_latest", _LATEST_SQL, tags=("S2", "T5", "lake", "txnlog")
+    "lake_versioned_merge_latest",
+    _LATEST_SQL,
+    tags=("S2", "T5", "lake", "txnlog"),
+    # Benched next to the COW path (lake_cdc_upsert_compaction) so the
+    # txn-log O(1)-commit claim carries a tracked number (r04 verdict #6).
+    bench=True,
 )
 def lake_versioned_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC MERGE as a transaction-log commit (sources/lakelog.py —

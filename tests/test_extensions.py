@@ -49,6 +49,36 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all(6 not in p for p in pairs)
 
 
+def test_ngram_df_cap_routes_hot_docs_without_losing_dups(spark):
+    """df-cap recall contract: with a cap small enough that a
+    templated corpus's shared shingles all go hot, (a) pairs that
+    share a NON-hot prefix token are still found by the exact join,
+    and (b) fully-templated duplicate pairs (whose every shared token
+    is hot) are recovered via the MinHash fallback — identical docs
+    collide in every LSH band, so exact duplicates can never be lost
+    to the cap."""
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, template) for i in range(1, 7)]  # 6 identical docs: df=6 > cap
+    rows += [
+        (10, "unique snow leopard prowls frozen ridge line at dawn quietly"),
+        (11, "unique snow leopard prowls frozen ridge line at dusk quietly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, df_cap=3).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, df_cap=None).collect()
+    }
+    # the near-dup pair shares rare (df=2) prefix tokens -> exact path
+    assert capped[(10, 11)] == uncapped[(10, 11)] > 0.4
+    # all 15 templated duplicate pairs recovered through the fallback
+    assert all(capped[(a, b)] == 1.0 for a in range(1, 7) for b in range(a + 1, 7))
+    assert capped == uncapped
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs):
     sh = {r.doc_id: r.simhash for r in dd.simhash_table(docs).collect()}
     assert sh[1] == sh[2]

@@ -105,3 +105,141 @@ def test_merge_upsert_incremental_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in again.select(*cols).collect()) == sorted(
         tuple(r) for r in expect.select(*cols).collect()
     )
+
+
+def _crash_nth(monkeypatch, module, attr, nth):
+    """Monkeypatch ``module.attr`` to raise on its ``nth`` call —
+    the crash-injection primitive for the swap-window tests."""
+    real = getattr(module, attr)
+    state = {"n": 0}
+
+    def wrapper(*a, **k):
+        state["n"] += 1
+        if state["n"] == nth:
+            raise RuntimeError("injected crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(module, attr, wrapper)
+    return state
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_merge_upsert_crash_between_renames_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """REAL crash injection in the park-aside window (r04 verdict #4):
+    merge_upsert dies after `path -> .__old__` but before
+    `.__staging__ -> path`. Invariant in the crashed state: the full
+    previous generation is still on disk (parked); the next merge
+    rolls the swap back and converges to the correct table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import merge_upsert
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "t_crash_mid")
+    merge_upsert(spark, path, b1, ["user_id"], "ts", tiebreak="event_id")
+    gen1 = _rows(spark.read.parquet(path))
+
+    with monkeypatch.context() as m:
+        # non-recovery call with an existing table: replace #1 parks
+        # path aside, replace #2 would bring staging live — crash there
+        _crash_nth(m, os, "replace", 2)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            merge_upsert(spark, path, b2, ["user_id"], "ts", tiebreak="event_id")
+
+    # crashed state: path absent for at most this window, but the FULL
+    # previous generation is parked — nothing is lost
+    assert not os.path.exists(path)
+    assert _rows(spark.read.parquet(path + ".__old__")) == gen1
+
+    merge_upsert(spark, path, b2, ["user_id"], "ts", tiebreak="event_id")
+    expect = latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id")
+    assert _rows(spark.read.parquet(path)) == _rows(expect)
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__staging__")
+
+
+def test_merge_upsert_crash_after_swap_keeps_table_live(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash AFTER `.__staging__ -> path` but before the parked copy is
+    deleted: the table at `path` is already the new generation (readers
+    never see anything stale), and the next merge clears the leftover
+    without resurrecting old rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import merge_upsert
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+    path = str(tmp_path / "t_crash_post")
+    merge_upsert(spark, path, parts[0], ["user_id"], "ts", tiebreak="event_id")
+
+    with monkeypatch.context() as m:
+        # rmtree #1 clears any stale .__old__ pre-swap; #2 is the
+        # post-swap cleanup of the parked generation — crash there
+        _crash_nth(m, shutil, "rmtree", 2)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            merge_upsert(spark, path, parts[1], ["user_id"], "ts", tiebreak="event_id")
+
+    # the swap completed: readers already see the merged generation
+    two = latest_per_key(
+        parts[0].unionByName(parts[1]), ["user_id"], "ts", tiebreak="event_id"
+    )
+    assert _rows(spark.read.parquet(path)) == _rows(two)
+    assert os.path.exists(path + ".__old__")  # leftover, superseded
+
+    merge_upsert(spark, path, parts[2], ["user_id"], "ts", tiebreak="event_id")
+    expect = latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id")
+    assert _rows(spark.read.parquet(path)) == _rows(expect)
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__staging__")
+
+
+def test_merge_upsert_crash_before_park_leaves_table_untouched(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash on the park rename itself (`path -> .__old__` never
+    happens): the live table is untouched and a retry converges."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import merge_upsert
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "t_crash_pre")
+    merge_upsert(spark, path, b1, ["user_id"], "ts", tiebreak="event_id")
+    gen1 = _rows(spark.read.parquet(path))
+
+    with monkeypatch.context() as m:
+        _crash_nth(m, os, "replace", 1)  # the park rename
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            merge_upsert(spark, path, b2, ["user_id"], "ts", tiebreak="event_id")
+
+    assert _rows(spark.read.parquet(path)) == gen1  # untouched
+
+    merge_upsert(spark, path, b2, ["user_id"], "ts", tiebreak="event_id")
+    expect = latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id")
+    assert _rows(spark.read.parquet(path)) == _rows(expect)
+    assert not os.path.exists(path + ".__old__")

@@ -82,6 +82,25 @@ def test_ngram_prefix_join_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_ngram_df_is_window_not_broadcast_join(plans):
+    """The shingle document-frequency must come from a window over the
+    exploded rows, never a (s → df) aggregate joined back: Spark
+    broadcast that corpus-sized aggregate (4.6M entries at 80k docs,
+    rebuilt per join side) — the super-linear term SCALING.md r04
+    measured. A BroadcastHashJoin keyed on the shingle hash reappearing
+    is that regression."""
+    p = plans("ext_dedup_ngram_jaccard")
+    assert "Window" in p
+    # At fixture scale AQE may broadcast the (small) candidate
+    # self-join — fine. The regression signature is a df AGGREGATE
+    # keyed on the shingle hash (it only exists to be joined back,
+    # and Spark broadcasts it): no such node may exist.
+    import re
+
+    bad = re.search(r"HashAggregate\(keys=\[s#\d+L?\], functions=\[(partial_)?count", p)
+    assert bad is None, f"(s -> df) aggregate join-back is back: {bad.group(0)}"
+
+
 def test_topk_uses_take_ordered(plans):
     """L2: ordered top-k must compile to TakeOrderedAndProject (per-
     partition heaps + driver merge), never a full global Sort."""

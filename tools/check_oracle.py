@@ -189,7 +189,31 @@ def main() -> int:
         print("fragile oracle types:", ", ".join(warned))
     if failures:
         print("failures:", ", ".join(failures))
+    _print_gate_staleness()
     return 1 if failures else 0
+
+
+def _print_gate_staleness() -> None:
+    """One-line freshness summary of the driver's hard signal: how many
+    registered queries' latest GREEN CORRECTNESS_r*.json row is from
+    which round. Keeps the oldest-green-first gate rotation honest —
+    if the tail ages past ~2 rounds, the window is too small for the
+    registry and the claim in __spark_entry__._ordered_names() needs
+    shrinking."""
+    try:
+        import __spark_entry__ as entry
+
+        rounds = entry._latest_green_round()
+        names = entry._ordered_names()
+    except Exception:  # noqa: BLE001 - summary is best-effort
+        return
+    from collections import Counter
+
+    dist = Counter(rounds.get(n, 0) for n in names)
+    parts = ", ".join(
+        f"r{r:02d}×{c}" if r else f"never×{c}" for r, c in sorted(dist.items())
+    )
+    print(f"gate staleness (latest green round × queries): {parts}")
 
 
 if __name__ == "__main__":

@@ -72,6 +72,14 @@ def main() -> int:
             multimodal.attach_jpeg_payload(df)
         ).agg(F.sum("pixel_sum")).collect()
 
+    # Realistic-size row: 96-128 px gradient images (every block has
+    # AC energy) — the tiny-fixture rows measure per-row overhead; this
+    # one measures the codec.
+    def jpeg_hd(df):
+        return multimodal.decode_jpeg_stats(
+            multimodal.attach_jpeg_payload(df, px_base=96, px_range=32, gradient=True)
+        ).agg(F.sum("pixel_sum")).collect()
+
     def wav(df):
         return audio.decode_wav_stats(
             audio.attach_wav_payload(df)
@@ -90,6 +98,7 @@ def main() -> int:
         return skew_aware_join(df, dim, "k", "dk", hot, salt_buckets=8).count()
 
     ops = {"png_decode": png, "gif_decode": gif, "jpeg_decode": jpeg,
+           "jpeg_decode_96px": jpeg_hd,
            "wav_decode": wav, "mp4_metadata": mp4, "salted_skew_join": salted}
     # Payload builders matching each decode op, for the bytes-decoded
     # throughput metric (fleet sizing: MB/s per core).
@@ -97,6 +106,9 @@ def main() -> int:
         "png_decode": multimodal.attach_png_payload,
         "gif_decode": multimodal.attach_gif_payload,
         "jpeg_decode": multimodal.attach_jpeg_payload,
+        "jpeg_decode_96px": lambda df: multimodal.attach_jpeg_payload(
+            df, px_base=96, px_range=32, gradient=True
+        ),
         "wav_decode": audio.attach_wav_payload,
         "mp4_metadata": video.attach_mp4_payload,
     }
@@ -110,9 +122,15 @@ def main() -> int:
         for op, fn in ops.items():
             src = fact if op == "salted_skew_join" else docs
             fn(src)  # warm
-            t0 = time.time()
-            fn(src)
-            results[op][n] = round(time.time() - t0, 2)
+            # best-of-2: single-shot wall times at these sizes carry
+            # ±1s scheduler/GC noise that swamps the ratio signal
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(src)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results[op][n] = round(best, 2)
             if op in payloads:
                 total = payloads[op](src).agg(
                     F.sum(F.length("payload"))
@@ -124,12 +142,17 @@ def main() -> int:
     lo, hi = args.sizes[0], args.sizes[-1]
     note = (
         f"cores={cores}; throughput = payload bytes / wall / cores at the"
-        " largest size. The probe fixtures are TINY images (8-24 px), so"
-        " per-image Python overhead dominates and the MB/s/core figures"
-        " are a floor; on realistic payloads the codec itself sustains"
-        " ~8 MB/s/core for a mixed-filter 256x256 RGB PNG (117 MB/s/core"
-        " when scanlines use the vectorizable Up filter, 3.6 for"
-        " all-Paeth — the sequential-by-spec worst case). Fleet sizing at"
+        " largest size. Most probe fixtures are TINY images (8-24 px), so"
+        " per-image Python overhead dominates and those MB/s/core figures"
+        " are a floor — `jpeg_decode_96px` (96-128 px gradient images,"
+        " every block carrying AC coefficients) isolates the codec itself."
+        " On realistic payloads the codecs sustain: PNG ~8 MB/s/core for"
+        " a mixed-filter 256x256 RGB (117 with the vectorizable Up"
+        " filter, 3.6 for all-Paeth — the sequential-by-spec worst case);"
+        " JPEG ~1.5 MB/s/core even on 256x256 NOISE (worst case: every"
+        " AC nonzero) after the round-5 rewrite (batched einsum IDCT +"
+        " 16-bit lookahead Huffman — the r04 per-bit loops measured"
+        " ~0.3). Fleet sizing at"
         " 100 TB: corpus_bytes / (MB/s/core x cores), e.g. 100 TB of"
         " PNG at 8 MB/s/core on 1000 x 16 cores ~= 13 min of decode."
     )

@@ -91,6 +91,16 @@ def main() -> int:
     ap.add_argument("--sizes", type=int, nargs="*", default=[5000, 20000, 80000])
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.md"))
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=2,
+        help="best-of-N timed runs per op (each honest-cold: pins "
+        "released between runs). Single-shot timings at these corpus "
+        "sizes carry ±1s scheduler/GC noise that swamps the marginal-"
+        "cost signal; min-of-2 keeps the protocol honest-cold while "
+        "suppressing one-off hiccups.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -141,30 +151,45 @@ def main() -> int:
         # materialize the corpus once so generation cost is excluded
         docs = synth_docs(spark, n).persist()
         docs.count()
-        for name, fn in ops.items():
-            fn(docs)  # warm (JIT, plans, python pools)
+        def timed(fn, src, name):
+            fn(src)  # warm (JIT, plans, python pools)
             release_pinned()  # warm run's reuse() pins
-            t0 = time.time()
-            out_n = fn(docs)
-            results[name][n] = round(time.time() - t0, 2)
+            best, out_n = None, 0
+            for _ in range(max(1, args.repeat)):
+                t0 = time.time()
+                out_n = fn(src)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                release_pinned()
+            results[name][n] = round(best, 2)
             outputs[name][n] = out_n
-            release_pinned()
+
+        for name, fn in ops.items():
+            timed(fn, docs, name)
         docs.unpersist()
         vecs = synth_vectors(spark, n).persist()
         vecs.count()
         for name, fn in vec_ops.items():
-            fn(vecs)
-            release_pinned()
-            t0 = time.time()
-            out_n = fn(vecs)
-            results[name][n] = round(time.time() - t0, 2)
-            outputs[name][n] = out_n
-            release_pinned()
+            timed(fn, vecs, name)
         vecs.unpersist()
         print(json.dumps({"n_docs": n, **{k: v[n] for k, v in results.items()}}))
 
     smallest, largest = args.sizes[0], args.sizes[-1]
     scale = largest / smallest
+    # Preserve the sections other probes maintain (media/skew, fact-
+    # table) — this tool owns only the header + operator table.
+    tail = ""
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = f.read()
+        for marker in (
+            "\n## Media decode + skew join scaling",
+            "\n## Fact-table scale probe",
+        ):
+            at = old.find(marker)
+            if at != -1:
+                tail = old[at:]
+                break
     with open(args.out, "w") as f:
         f.write(
             "# Operator scaling (synthetic corpora, local[32])\n\n"
@@ -221,19 +246,26 @@ def main() -> int:
             "Reading this table: `simhash_pairs` has a FLAT marginal cost "
             "(~150 µs/doc — the 60-bit signature fold) — linear, the "
             "headline ratio is overhead amortization under the honest-cold "
-            "protocol. `ngram_jaccard_pairs` marginal cost grows ~3× — the "
-            "exact AllPairs index pays real candidate growth as shingle "
-            "document-frequencies rise with corpus size; that is the price "
-            "of FULL recall, and the documented escape hatch for corpora "
-            "where it bites is the MinHash path (probabilistic recall, "
-            "flat cost). `tfidf_top_terms` marginal cost FALLS (55→16) — "
-            "the round-4 per-doc aggregation rewrite removed the window "
-            "sort that previously grew with corpus size.\n"
+            "protocol. `ngram_jaccard_pairs` was the one GROWING row in "
+            "r04 (47→158 µs/doc); profiling showed the growth was not "
+            "candidate volume (799 pairs at 80k — flat) but the plan: the "
+            "(shingle → df) aggregate joined back onto the exploded rows "
+            "was corpus-sized, and Spark chose to BROADCAST it (4.6M-entry "
+            "hash relation, rebuilt per join side). Round 5 rewrote df and "
+            "prefix selection as WINDOW functions over the narrow rows — "
+            "three hash shuffles, no corpus-sized build side (plan-guarded "
+            "in test_plan_shape) — and added a df-cap that bounds index "
+            "buckets with a MinHash fallback for hot-prefix docs. "
+            "`tfidf_top_terms` marginal cost FALLS — the round-4 per-doc "
+            "aggregation rewrite removed the window sort that previously "
+            "grew with corpus size.\n"
             "\nVector ops (`rhp_lsh_neardup`, `quantize_int8`) run on "
             "synthetic 64-dim embeddings with 1% planted exact duplicates; "
             "the RHP verify threshold is 0.9 (near-dup regime) with 16-bit bands (bits=32) — 8-bit bands were measured ~quadratic past 20k vectors (73s @ 80k), the vector twin of the SimHash signature-width finding below; exact duplicates collide at any band width.\n"
         )
         f.write(FINDING)
+        if tail:
+            f.write(tail)
     print(f"wrote {args.out}")
     return 0
 
