@@ -37,7 +37,6 @@ from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
     minhash_signature,
     reuse,
     shingles,
-    simhash60,
     spread,
     word_hashes60,
     words,
@@ -409,18 +408,72 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
 
 
+def _simhash60_arrow():
+    """Arrow-vectorized twin of ``textops.simhash60`` (same integer
+    result, pinned equal in tests): per-bit majority vote of ±1
+    contributions over the doc's word hashes, sign bits reassembled.
+
+    Why not the Catalyst expression in the hot path: the nested
+    ``aggregate(sequence(0,59), aggregate(hs, ...))`` HOF falls out of
+    whole-stage codegen into interpreted evaluation — 60 re-folds of
+    the hash array per document, measured ~150 µs/doc wall at 80k docs
+    (the slowest dedup family in SCALING.md r04/r05). The numpy form
+    is one bit-unpack + one segmented reduce — the same work at memory
+    bandwidth. Row-chunked so peak memory stays ~30 MB per worker
+    regardless of Arrow batch size."""
+    import pandas as pd  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash60_np(hs):
+        # (pd.Series of list<int64>) -> pd.Series[int64]; hints omitted
+        # because `from __future__ import annotations` stringifies them
+        # out of pandas_udf's reach — returnType carries the contract.
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(60, dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        vals = hs.to_numpy()
+        chunk = 2000
+        for lo in range(0, len(vals), chunk):
+            rows = vals[lo : lo + chunk]
+            lens = np.array([len(r) for r in rows], dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if len(nz) == 0:
+                continue
+            flat = np.concatenate([np.asarray(rows[i], dtype=np.int64) for i in nz])
+            # ±1 contribution per (hash, bit); int32 headroom for docs
+            # up to 2^31 words (reduceat keeps the input dtype)
+            contrib = (
+                ((flat[:, None] >> bit_idx) & 1).astype(np.int32) * 2 - 1
+            )
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            counts = np.add.reduceat(contrib, starts, axis=0)
+            sigs = ((counts > 0).astype(np.int64) << bit_idx).sum(axis=1)
+            out[lo + nz] = sigs
+        return pd.Series(out)
+
+    return simhash60_np
+
+
 def simhash_table(docs: DataFrame) -> DataFrame:
     """Per-document 60-bit SimHash over md5-derived word hashes.
 
     60 bits (not 16): the scaling bench measured 16-bit signatures
     concentrating so hard that Hamming ≤ 3 held for a QUADRATIC number
     of pairs as the corpus grew — the signature space must dwarf the
-    corpus for near-pair output to track true near-duplicates."""
+    corpus for near-pair output to track true near-duplicates.
+
+    The word hashes stay JVM-side (md5 digests inside codegen); the
+    60-bit majority fold runs as an Arrow pandas_udf — see
+    ``_simhash60_arrow`` for why, and ``textops.simhash60`` for the
+    Catalyst executable spec it must (and is tested to) agree with."""
     return (
         spread(docs)
         .select("doc_id", words("text").alias("w"))
         .select("doc_id", word_hashes60("w").alias("hs"))
-        .select("doc_id", simhash60("hs").alias("simhash"))
+        .select("doc_id", _simhash60_arrow()(F.col("hs")).alias("simhash"))
     )
 
 

@@ -24,7 +24,7 @@ tolerance (checked by tests, as for any JPEG implementation).
 Hot-path structure (round-5 rewrite, ~5-10× over the per-bit loops
 SCALING.md r04 flagged as the slowest codec family):
 - all DCT/IDCT/quantization is BATCHED across every block of the
-  image (one einsum), never per block;
+  image (one BLAS batched matmul pair), never per block;
 - the encoder emits (code, nbits) token pairs per block (a few Python
   ops per nonzero coefficient) and a single vectorized packer turns
   the whole token stream into stuffed bytes (np.repeat bit expansion
@@ -217,7 +217,7 @@ def jpeg_encode(
             p.reshape(bh, _N, bw, _N).transpose(0, 2, 1, 3).reshape(-1, _N, _N)
             - 128.0
         )
-        coeff = np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+        coeff = np.matmul(np.matmul(_DCT_M, blocks), _DCT_M.T)
         q = np.round(coeff / qt).astype(np.int64)
         zz_all[ci::nc] = q.reshape(-1, 64)[:, _ZZ_FLAT]
 
@@ -307,36 +307,38 @@ def jpeg_encode(
 
 # --- decoder -----------------------------------------------------------------
 
-#: (bits, vals) -> 16-bit lookahead tables, cached across images —
+#: (bits, vals) -> 16-bit lookahead table, cached across images —
 #: files from one encoder (ours included) share tables, so the LUT
-#: build cost is paid once per table, not per image.
-_LUT_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+#: build cost is paid once per table, not per image. The table is a
+#: plain Python list of (symbol << 8 | code_length) — ONE list index
+#: per Huffman symbol in the decode loop (numpy scalar indexing plus
+#: two int() casts measured ~40% slower per symbol); 0 marks an
+#: invalid prefix.
+_LUT_CACHE: dict[bytes, list[int]] = {}
 
 
-def _build_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
-    """16-bit lookahead decode tables: peek16 -> (symbol, code length).
-    Length 0 marks an invalid prefix."""
+def _build_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit lookahead decode table: peek16 -> symbol << 8 | length."""
     key = bytes(bits) + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    sym = np.zeros(1 << 16, dtype=np.int16)
-    ln = np.zeros(1 << 16, dtype=np.uint8)
+    packed = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             lo = code << (16 - length)
             hi = lo + (1 << (16 - length))
-            sym[lo:hi] = vals[k]
-            ln[lo:hi] = length
+            packed[lo:hi] = (vals[k] << 8) | length
             code += 1
             k += 1
         code <<= 1
+    lut = packed.tolist()
     if len(_LUT_CACHE) >= 64:  # bounded: tables are tiny and few
         _LUT_CACHE.clear()
-    _LUT_CACHE[key] = (sym, ln)
-    return sym, ln
+    _LUT_CACHE[key] = lut
+    return lut
 
 
 def _split_entropy(entropy: bytes) -> list[tuple[bytes, int | None]]:
@@ -387,8 +389,8 @@ def jpeg_decode(data: bytes):
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    dc_tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    ac_tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    dc_tables: dict[int, list[int]] = {}
+    ac_tables: dict[int, list[int]] = {}
     frame = None
     scan = None
     restart_interval = 0
@@ -473,7 +475,11 @@ def jpeg_decode(data: bytes):
     dc_lut = [dc_tables[scan[ci][1] >> 4] for ci in range(nc)]
     ac_lut = [ac_tables[scan[ci][1] & 0x0F] for ci in range(nc)]
 
-    zz_all = np.zeros((n_mcu * nc, 64), dtype=np.int64)
+    # Coefficients accumulate as (flat index, value) Python lists — one
+    # vectorized scatter at the end beats a numpy scalar setitem per
+    # coefficient by ~2×.
+    idxs: list[int] = []
+    vals_out: list[int] = []
     mcu = 0
     for si, (segbytes, rst_n) in enumerate(segs):
         if rst_n is not None and rst_n != si % 8:
@@ -494,18 +500,17 @@ def jpeg_decode(data: bytes):
         )
         for _ in range(n_here):
             for ci in range(nc):
-                row = mcu * nc + ci
-                dsym, dlen = dc_lut[ci]
-                asym, alen = ac_lut[ci]
+                row64 = (mcu * nc + ci) << 6
+                dlut = dc_lut[ci]
+                alut = ac_lut[ci]
                 if bp >= nbits:
                     raise ValueError("entropy stream truncated")
                 word = u[bp >> 3]
-                key = (word >> (16 - (bp & 7))) & 0xFFFF
-                ln_ = int(dlen[key])
-                if ln_ == 0:
+                e = dlut[(word >> (16 - (bp & 7))) & 0xFFFF]
+                if e == 0:
                     raise ValueError("invalid Huffman code")
-                s = int(dsym[key])
-                bp += ln_
+                s = e >> 8
+                bp += e & 0xFF
                 if s:
                     word = u[bp >> 3]
                     v = (word >> (32 - s - (bp & 7))) & ((1 << s) - 1)
@@ -515,18 +520,18 @@ def jpeg_decode(data: bytes):
                     pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 if bp > nbits:
                     raise ValueError("entropy stream truncated")
-                zz_all[row, 0] = pred[ci]
+                idxs.append(row64)
+                vals_out.append(pred[ci])
                 i = 1
                 while i < 64:
                     if bp >= nbits:
                         raise ValueError("entropy stream truncated")
                     word = u[bp >> 3]
-                    key = (word >> (16 - (bp & 7))) & 0xFFFF
-                    ln_ = int(alen[key])
-                    if ln_ == 0:
+                    e = alut[(word >> (16 - (bp & 7))) & 0xFFFF]
+                    if e == 0:
                         raise ValueError("invalid Huffman code")
-                    sym = int(asym[key])
-                    bp += ln_
+                    sym = e >> 8
+                    bp += e & 0xFF
                     if sym == 0x00:  # EOB
                         break
                     if sym == 0xF0:  # ZRL
@@ -541,11 +546,17 @@ def jpeg_decode(data: bytes):
                     bp += size
                     if bp > nbits:
                         raise ValueError("entropy stream truncated")
-                    zz_all[row, i] = (
+                    idxs.append(row64 + i)
+                    vals_out.append(
                         v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                     )
                     i += 1
             mcu += 1
+
+    zz_all = np.zeros(n_mcu * nc * 64, dtype=np.int64)
+    if idxs:
+        zz_all[idxs] = vals_out
+    zz_all = zz_all.reshape(-1, 64)
 
     # Batched inverse path: inverse zigzag -> dequantize -> one einsum
     # IDCT per component -> reassemble planes.
@@ -554,7 +565,7 @@ def jpeg_decode(data: bytes):
         _cid, tq = comps[ci]
         flat = zz_all[ci::nc][:, _INV_ZZ].astype(np.float64)
         coeff = flat.reshape(-1, _N, _N) * qts[tq]
-        block = np.einsum("ji,njk,kl->nil", _DCT_M, coeff, _DCT_M) + 128.0
+        block = np.matmul(np.matmul(_DCT_M.T, coeff), _DCT_M) + 128.0
         plane = (
             block.reshape(bh, bw, _N, _N).transpose(0, 2, 1, 3).reshape(bh * _N, bw * _N)
         )

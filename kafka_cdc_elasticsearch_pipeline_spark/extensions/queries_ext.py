@@ -144,6 +144,79 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+@query(
+    "ext_dedup_ngram_df_capped",
+    f"""
+    WITH hsets AS ({_SQL_DOCS_HASHSETS}),
+    ex AS (SELECT doc_id, unnest(hs) AS s FROM hsets),
+    pref AS (
+      SELECT * FROM (
+        SELECT doc_id, s, df_,
+               count(*) OVER (PARTITION BY doc_id) AS n,
+               row_number() OVER (PARTITION BY doc_id ORDER BY df_, s) AS pos
+        FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df_ FROM ex)
+      ) WHERE pos <= n - CAST(ceil(0.4 * n) AS INT) + 1
+    ),
+    cand_main AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND a.df_ <= 2 AND b.df_ <= 2
+       AND b.n * 0.4 <= a.n AND a.n * 0.4 <= b.n
+       AND 1 + least(a.n - a.pos, b.n - b.pos)
+             >= ceil(0.28571428571428575 * (a.n + b.n))
+    ),
+    hot AS (SELECT DISTINCT doc_id FROM pref WHERE df_ > 2),
+    hdocs AS (
+      SELECT d.* FROM ({_SQL_DOCS_SHINGLES}) d JOIN hot h ON h.doc_id = d.doc_id
+    ),
+    hhs AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+      FROM hdocs, unnest(sh) AS t(s)
+    ),
+    hsigs AS (
+      SELECT doc_id, i,
+             min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
+      FROM hhs, generate_series(0, 7) AS g(i)
+      GROUP BY doc_id, i
+    ),
+    hbands AS (
+      SELECT doc_id, i // 2 AS band_idx,
+             min(CASE WHEN i % 2 = 0 THEN sig END) * {MINHASH_P}
+               + min(CASE WHEN i % 2 = 1 THEN sig END) AS band_val
+      FROM hsigs GROUP BY doc_id, i // 2
+    ),
+    cand_hot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hbands a JOIN hbands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT * FROM cand_main UNION ALL SELECT * FROM cand_hot
+      )
+    )
+    SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
+    FROM cand c JOIN hsets x ON x.doc_id = c.doc_a JOIN hsets y ON y.doc_id = c.doc_b
+    WHERE {_SQL_JACCARD} >= 0.4
+    """,
+    tags=("ext", "dedup", "jaccard", "df-cap"),
+)
+def ext_dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-cap scale guard (round-5: the r04 verdict's one remaining
+    super-linear risk) exercised END TO END at the gate: with the cap
+    forced down to 2, the gate corpus's hotter shingles (df up to 7)
+    leave the prefix index, hot-prefix docs route through the MinHash
+    fallback, and the result must match an oracle that models the
+    capped-exact-join ∪ LSH-fallback union EXACTLY — window-function
+    df/pos, PPJoin length+positional filters, band keys and all. This
+    pins the capped path's semantics, not just that it returns rows;
+    the default-cap row (`ext_dedup_ngram_jaccard`, cap=256 ≫ max df)
+    keeps pinning full exact recall."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), df_cap=2)
+
+
 _SQL_WORD_HASHES = (
     "list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),"
     " x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"

@@ -144,7 +144,13 @@ def word_hashes60(words_col: str = "w") -> Column:
 
 def simhash60(hashes_col: str = "hs") -> Column:
     """60-bit SimHash over an array of word hashes: per-bit majority
-    vote of ±1 contributions, then reassemble the sign bits."""
+    vote of ±1 contributions, then reassemble the sign bits.
+
+    This is the EXECUTABLE SPEC (and the shape the DuckDB oracle
+    mirrors); the hot path uses the Arrow-vectorized twin
+    ``dedup._simhash60_arrow`` — the nested HOF here evaluates
+    interpreted (60 re-folds of the array per doc, ~150 µs/doc at
+    80k docs). A unit test pins the two equal on every fixture doc."""
     return F.expr(
         f"""aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, b) -> acc +
              IF(aggregate({hashes_col}, 0,

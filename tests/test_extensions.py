@@ -410,3 +410,31 @@ def test_kmeans_until_converged_reaches_fixpoint(spark, vectors):
     moved = again.filter(F.col("true_label") != F.col("assigned_label")).count()
     assert moved == 0
     final.unpersist()
+
+
+def test_simhash_arrow_equals_catalyst_spec(spark, docs):
+    """The Arrow-vectorized simhash (hot path) must produce the exact
+    integer signature of the Catalyst expression in textops.simhash60
+    (the executable spec the DuckDB oracle mirrors), doc for doc —
+    including empty/degenerate word lists."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
+        simhash60,
+        spread,
+        word_hashes60,
+        words,
+    )
+
+    extra = spark.createDataFrame(
+        [(100, ""), (101, "one"), (102, "x " * 200)], "doc_id bigint, text string"
+    )
+    sample = docs.select("doc_id", "text").unionByName(extra)
+    hashed = (
+        spread(sample)
+        .select("doc_id", words("text").alias("w"))
+        .select("doc_id", word_hashes60("w").alias("hs"))
+    )
+    spec = {r.doc_id: r.s for r in hashed.select("doc_id", simhash60("hs").alias("s")).collect()}
+    got = {r.doc_id: r.simhash for r in dd.simhash_table(sample).collect()}
+    assert got == spec

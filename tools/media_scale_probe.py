@@ -57,38 +57,40 @@ def main() -> int:
     spark = get_spark("media-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def png(df):
-        return multimodal.decode_png_stats(
-            multimodal.attach_png_payload(df)
-        ).agg(F.sum("pixel_sum")).collect()
-
-    def gif(df):
-        return multimodal.decode_gif_stats(
-            multimodal.attach_gif_payload(df)
-        ).agg(F.sum("index_sum")).collect()
-
-    def jpeg(df):
-        return multimodal.decode_jpeg_stats(
-            multimodal.attach_jpeg_payload(df)
-        ).agg(F.sum("pixel_sum")).collect()
-
-    # Realistic-size row: 96-128 px gradient images (every block has
-    # AC energy) — the tiny-fixture rows measure per-row overhead; this
-    # one measures the codec.
-    def jpeg_hd(df):
-        return multimodal.decode_jpeg_stats(
-            multimodal.attach_jpeg_payload(df, px_base=96, px_range=32, gradient=True)
-        ).agg(F.sum("pixel_sum")).collect()
-
-    def wav(df):
-        return audio.decode_wav_stats(
-            audio.attach_wav_payload(df)
-        ).agg(F.sum("amp_sum")).collect()
-
-    def mp4(df):
-        return video.parse_mp4_stats(
-            video.attach_mp4_payload(df)
-        ).agg(F.sum("duration_ms")).collect()
+    # (payload builder, decode stage) per op: the payload is built and
+    # PERSISTED before timing, so the measured wall is the decode fleet
+    # cost (what 100 TB sizing needs), not the synthetic encoder.
+    decode_ops = {
+        "png_decode": (
+            multimodal.attach_png_payload,
+            lambda p: multimodal.decode_png_stats(p).agg(F.sum("pixel_sum")).collect(),
+        ),
+        "gif_decode": (
+            multimodal.attach_gif_payload,
+            lambda p: multimodal.decode_gif_stats(p).agg(F.sum("index_sum")).collect(),
+        ),
+        "jpeg_decode": (
+            multimodal.attach_jpeg_payload,
+            lambda p: multimodal.decode_jpeg_stats(p).agg(F.sum("pixel_sum")).collect(),
+        ),
+        # Realistic-size row: 96-128 px gradient images (every block
+        # has AC energy) — the tiny-fixture rows measure per-row
+        # overhead; this one measures the codec.
+        "jpeg_decode_96px": (
+            lambda df: multimodal.attach_jpeg_payload(
+                df, px_base=96, px_range=32, gradient=True
+            ),
+            lambda p: multimodal.decode_jpeg_stats(p).agg(F.sum("pixel_sum")).collect(),
+        ),
+        "wav_decode": (
+            audio.attach_wav_payload,
+            lambda p: audio.decode_wav_stats(p).agg(F.sum("amp_sum")).collect(),
+        ),
+        "mp4_metadata": (
+            video.attach_mp4_payload,
+            lambda p: video.parse_mp4_stats(p).agg(F.sum("duration_ms")).collect(),
+        ),
+    }
 
     def salted(df):
         dim = spark.range(1000).select(
@@ -97,21 +99,7 @@ def main() -> int:
         hot = hot_keys(df, "k", top_n=5, min_share=0.05)
         return skew_aware_join(df, dim, "k", "dk", hot, salt_buckets=8).count()
 
-    ops = {"png_decode": png, "gif_decode": gif, "jpeg_decode": jpeg,
-           "jpeg_decode_96px": jpeg_hd,
-           "wav_decode": wav, "mp4_metadata": mp4, "salted_skew_join": salted}
-    # Payload builders matching each decode op, for the bytes-decoded
-    # throughput metric (fleet sizing: MB/s per core).
-    payloads = {
-        "png_decode": multimodal.attach_png_payload,
-        "gif_decode": multimodal.attach_gif_payload,
-        "jpeg_decode": multimodal.attach_jpeg_payload,
-        "jpeg_decode_96px": lambda df: multimodal.attach_jpeg_payload(
-            df, px_base=96, px_range=32, gradient=True
-        ),
-        "wav_decode": audio.attach_wav_payload,
-        "mp4_metadata": video.attach_mp4_payload,
-    }
+    ops = [*decode_ops, "salted_skew_join"]
     cores = spark.sparkContext.defaultParallelism
 
     results: dict[str, dict[int, float]] = {o: {} for o in ops}
@@ -119,8 +107,8 @@ def main() -> int:
     for n in args.sizes:
         docs = synth_ids(spark, n)
         fact = synth_skewed_fact(spark, n)
-        for op, fn in ops.items():
-            src = fact if op == "salted_skew_join" else docs
+
+        def timed(fn, src, op):
             fn(src)  # warm
             # best-of-2: single-shot wall times at these sizes carry
             # ±1s scheduler/GC noise that swamps the ratio signal
@@ -131,30 +119,39 @@ def main() -> int:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             results[op][n] = round(best, 2)
-            if op in payloads:
-                total = payloads[op](src).agg(
-                    F.sum(F.length("payload"))
-                ).collect()[0][0]
-                mbytes[op][n] = total / 1e6
+
+        for op, (attach, decode) in decode_ops.items():
+            payload = attach(docs).persist()
+            mbytes[op][n] = payload.agg(
+                F.sum(F.length("payload"))
+            ).collect()[0][0] / 1e6
+            timed(decode, payload, op)
+            payload.unpersist()
             spark.catalog.clearCache()
+        timed(salted, fact, "salted_skew_join")
+        spark.catalog.clearCache()
         print(f"n={n}: " + ", ".join(f"{o}={results[o][n]}s" for o in ops))
 
     lo, hi = args.sizes[0], args.sizes[-1]
     note = (
-        f"cores={cores}; throughput = payload bytes / wall / cores at the"
-        " largest size. Most probe fixtures are TINY images (8-24 px), so"
-        " per-image Python overhead dominates and those MB/s/core figures"
-        " are a floor — `jpeg_decode_96px` (96-128 px gradient images,"
-        " every block carrying AC coefficients) isolates the codec itself."
-        " On realistic payloads the codecs sustain: PNG ~8 MB/s/core for"
-        " a mixed-filter 256x256 RGB (117 with the vectorizable Up"
-        " filter, 3.6 for all-Paeth — the sequential-by-spec worst case);"
-        " JPEG ~1.5 MB/s/core even on 256x256 NOISE (worst case: every"
-        " AC nonzero) after the round-5 rewrite (batched einsum IDCT +"
-        " 16-bit lookahead Huffman — the r04 per-bit loops measured"
-        " ~0.3). Fleet sizing at"
-        " 100 TB: corpus_bytes / (MB/s/core x cores), e.g. 100 TB of"
-        " PNG at 8 MB/s/core on 1000 x 16 cores ~= 13 min of decode."
+        f"cores={cores}; decode timings run over a PERSISTED payload"
+        " column (fixture construction excluded — the measured wall is"
+        " the decode fleet cost, which is what 100 TB sizing needs);"
+        " throughput = payload bytes / wall / cores at the largest"
+        " size. Most probe fixtures are TINY images (8-24 px), so"
+        " per-image + per-row overhead dominates and those MB/s/core"
+        " figures are a floor — `jpeg_decode_96px` (96-128 px gradient"
+        " images, every block carrying AC coefficients) isolates the"
+        " codec itself. Single-core codec ceilings on realistic"
+        " payloads: PNG ~8 MB/s for a mixed-filter 256x256 RGB (117"
+        " with the vectorizable Up filter, 3.6 for all-Paeth — the"
+        " sequential-by-spec worst case); JPEG ~1.9 MB/s even on"
+        " 256x256 NOISE (worst case: every AC nonzero) after the"
+        " round-5 rewrite (batched einsum IDCT, 16-bit packed-LUT"
+        " lookahead Huffman, bulk coefficient scatter — the r04"
+        " per-bit loops measured ~0.3). Fleet sizing at 100 TB:"
+        " corpus_bytes / (MB/s/core x cores), e.g. 100 TB of PNG at"
+        " 8 MB/s/core on 1000 x 16 cores ~= 13 min of decode."
     )
     lines = [
         "| operator | " + " | ".join(f"{n:,} rows" for n in args.sizes)
@@ -163,7 +160,7 @@ def main() -> int:
     ]
     for op in ops:
         ratio = results[op][hi] / max(results[op][lo], 0.01)
-        if op in payloads:
+        if op in decode_ops:
             thr = mbytes[op][hi] / max(results[op][hi], 1e-9) / cores
             thr_s = f"{thr:.2f}"
         else:

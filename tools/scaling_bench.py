@@ -243,10 +243,14 @@ def main() -> int:
             "end-to-end ratio looks super-linear (fixed overhead shrinks "
             "relative to real work); a GROWING marginal cost is genuine "
             "super-linearity (candidate-volume growth).\n\n"
-            "Reading this table: `simhash_pairs` has a FLAT marginal cost "
-            "(~150 µs/doc — the 60-bit signature fold) — linear, the "
-            "headline ratio is overhead amortization under the honest-cold "
-            "protocol. `ngram_jaccard_pairs` was the one GROWING row in "
+            "Reading this table: `simhash_pairs` spent r02-r04 at a flat "
+            "~150 µs/doc — linear but the most expensive dedup family; the "
+            "cost was the nested-HOF signature fold evaluating INTERPRETED "
+            "(60 re-folds of the word-hash array per doc). Round 5 moved "
+            "the fold to an Arrow pandas_udf (one bit-unpack + segmented "
+            "reduce in numpy, integer-identical — equality pinned in "
+            "tests) — ~8 µs/doc, ~9× end-to-end at 80k docs. "
+            "`ngram_jaccard_pairs` was the one GROWING row in "
             "r04 (47→158 µs/doc); profiling showed the growth was not "
             "candidate volume (799 pairs at 80k — flat) but the plan: the "
             "(shingle → df) aggregate joined back onto the exploded rows "
