@@ -438,3 +438,41 @@ def test_simhash_arrow_equals_catalyst_spec(spark, docs):
     spec = {r.doc_id: r.s for r in hashed.select("doc_id", simhash60("hs").alias("s")).collect()}
     got = {r.doc_id: r.simhash for r in dd.simhash_table(sample).collect()}
     assert got == spec
+
+
+def test_rhp_signature_arrow_equals_catalyst_spec(spark):
+    """The Arrow RHP signature (hot path) must equal the Catalyst
+    fold in similarity.rhp_signature bit for bit — the strict
+    left-fold (cumsum) ordering matters: pairwise summation could flip
+    sign bits for dots near zero."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.similarity import (
+        _rhp_signature_arrow,
+        rhp_planes,
+        rhp_signature,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64).astype(np.float32)])
+            for i in range(200)]
+    # near-zero-dot stressor: tiny vectors whose partial sums hover at 0
+    rows += [(1000 + i, [((-1.0) ** j) * 1e-7 for j in range(64)]) for i in range(5)]
+    # dim-mismatch: zip_with null-pads -> fold poisoned -> signature 0
+    rows += [(2000, [1.0, -2.0, 3.0, -4.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    planes = rhp_planes(bits=32)
+    spec = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", rhp_signature("embedding", planes).alias("s")
+        ).collect()
+    }
+    got = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", _rhp_signature_arrow(planes)(F.col("embedding")).alias("s")
+        ).collect()
+    }
+    assert got == spec
