@@ -209,6 +209,42 @@ def streaming_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_dedup_within_watermark",
+    f"""
+    SELECT {', '.join(EVENT_COLS)} FROM events
+    """,
+    tags=("streaming", "dedup", "T6", "exactly-once", "bounded-state"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE form of exactly-once dedup: the doubled
+    replay stream deduped with ``dropDuplicatesWithinWatermark`` —
+    unlike the plain ``dropDuplicates`` row (whose key state grows
+    forever), the watermark evicts each key once event time passes
+    it, so state size follows the redelivery window, not the topic's
+    lifetime. That is the only form that survives at 100 TB: Kafka
+    redelivers within seconds-to-minutes, so a 72 h window bounds
+    state at (events within 72 h), while results still equal the
+    clean batch table because every duplicate here arrives within the
+    window. Complements `t6_watermark_late_eviction` (T6 eviction of
+    late DATA) with T6 eviction of dedup STATE."""
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        doubled = stream.unionByName(stream)
+        # NTZ -> LTZ cast as in streaming_tumbling_agg (instant-
+        # preserving under the loader's pinned UTC session tz)
+        deduped = (
+            doubled.withColumn("_evt", F.col("ts").cast("timestamp"))
+            .withWatermark("_evt", "72 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        name = f"strm_dedup_wm_{next(_SEQ)}"
+        run_to_memory(deduped.select(*EVENT_COLS), name, output_mode="append")
+        return spark.table(name)
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "t2_streaming_pull_query",
     """
     SELECT * FROM (

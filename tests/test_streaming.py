@@ -469,3 +469,50 @@ def test_watermark_late_eviction_drops_stragglers(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_within_watermark_bounds_state(spark, sf_dir):
+    """The bounded-state dedup claim, observed in the state store: a
+    doubled replay deduped with dropDuplicatesWithinWatermark must (a)
+    reproduce the clean table exactly and (b) finish holding only the
+    keys still inside the watermark window — plain dropDuplicates
+    holds every key ever seen."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+    )
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        total = load_table(spark, sf_dir, "events").count()
+        doubled = stream.unionByName(stream)
+        deduped = (
+            doubled.withColumn("_evt", F.col("ts").cast("timestamp"))
+            .withWatermark("_evt", "24 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_wm_")
+        q = (
+            deduped.select("event_id").writeStream.format("memory")
+            .queryName("dedup_wm_state")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        state_rows = progress["stateOperators"][0]["numRowsTotal"]
+        out = spark.table("dedup_wm_state")
+        assert out.count() == total  # every duplicate suppressed
+        assert out.select("event_id").distinct().count() == total
+        # the events span ~30 days; a 24 h watermark must have evicted
+        # the overwhelming majority of key state by the final batch
+        assert 0 < state_rows < total // 2, state_rows
+    finally:
+        cleanup(tmp)
