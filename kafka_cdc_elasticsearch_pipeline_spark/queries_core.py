@@ -169,6 +169,72 @@ def s1_s4_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avro_decode(encoded, _AVRO_EVENTS_SCHEMA, confluent=True)
 
 
+_AVRO_V1_SCHEMA = """
+{"type": "record", "name": "event", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "user_id", "type": "int"},
+  {"name": "legacy_flag", "type": "string"}
+]}
+"""
+
+_AVRO_V2_SCHEMA = """
+{"type": "record", "name": "event", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "user_id", "type": "long"},
+  {"name": "event_type", "type": ["null", "string"], "default": null},
+  {"name": "units", "type": "long", "default": -1}
+]}
+"""
+
+
+@query(
+    "s1_avro_schema_evolution_mixed",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN event_id % 2 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(floor(value) AS BIGINT) END AS units
+    FROM events
+    """,
+    tags=("S1", "S4", "avro", "evolution"),
+)
+def s1_avro_schema_evolution_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-Registry EVOLUTION, gated end-to-end: one topic carries
+    two producer generations — even event_ids Avro-encoded under the
+    v1 schema (schema id 1: int user_id, a legacy field v2 dropped),
+    odd ids under v2 (id 2: event_type + units added with defaults,
+    user_id widened int→long). The consumer decodes every frame
+    against its OWN writer schema resolved to the fixed v2 reader
+    (``avro.resolve_schemas`` — field-by-name matching, skipped
+    writer-only bytes, reader defaults, int→long promotion), which is
+    exactly the backward-compatible upgrade the reference's registry
+    enforces (docker-compose.yml:59-72; Confluent compatibility
+    checks). Oracle: v1 rows surface defaults, v2 rows their values."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import (
+        avro_decode_evolved,
+        avro_encode,
+    )
+
+    ev = _events(spark, sf_dir)
+    v1_rows = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.col("user_id").cast("int").alias("user_id"),
+        F.lit("legacy").alias("legacy_flag"),
+    )
+    v2_rows = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor("value").cast("long").alias("units"),
+    )
+    mixed = avro_encode(v1_rows, _AVRO_V1_SCHEMA, schema_id=1).unionByName(
+        avro_encode(v2_rows, _AVRO_V2_SCHEMA, schema_id=2)
+    )
+    return avro_decode_evolved(
+        mixed, {1: _AVRO_V1_SCHEMA, 2: _AVRO_V2_SCHEMA}, _AVRO_V2_SCHEMA
+    )
+
+
 @query(
     "s4_s10_s11_debezium_unwrap",
     """

@@ -186,6 +186,201 @@ def decode_record(buf: bytes, fields: list[tuple[str, str, bool]]) -> dict:
     return row
 
 
+# --- schema resolution (registry evolution contract) -------------------------
+
+#: legal primitive promotions, writer → readers (Avro spec "Schema
+#: Resolution"); string↔bytes is the representational pair.
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def _fields_with_defaults(schema_json: str) -> list[tuple[str, str, bool, bool, object]]:
+    """[(name, primitive, nullable, has_default, default)]."""
+    schema = json.loads(schema_json)
+    if schema.get("type") != "record":
+        raise ValueError("top-level schema must be a record")
+    out = []
+    for f in schema["fields"]:
+        prim, nullable = _field_type(f["type"])
+        out.append((f["name"], prim, nullable, "default" in f, f.get("default")))
+    return out
+
+
+def resolve_schemas(writer_json: str, reader_json: str) -> list[tuple]:
+    """Avro schema-resolution plan: how to decode a record WRITTEN
+    under ``writer_json`` into the shape of ``reader_json`` — the
+    contract a Schema Registry consumer lives by (reader schema fixed,
+    writer schema varies per message by schema id).
+
+    Rules (Avro spec "Schema Resolution", the subset matching this
+    codec's record-of-primitives scope): fields match by NAME;
+    writer-only fields are skipped (their bytes still consumed);
+    reader-only fields take the reader's default (an error if none —
+    the incompatibility a registry's backward-compatibility check
+    rejects at registration time); primitive promotions int→long/
+    float/double, long→float/double, float→double, string↔bytes.
+
+    Returns ops executed in writer order, then defaults:
+      ("decode", out_name, writer_prim, nullable, reader_prim)
+      ("skip",   writer_prim, nullable)
+      ("default", out_name, value)
+    """
+    writer = _fields_with_defaults(writer_json)
+    reader = _fields_with_defaults(reader_json)
+    rmap = {name: (prim, nullable) for name, prim, nullable, _, _ in reader}
+    plan: list[tuple] = []
+    seen = set()
+    for name, wprim, wnull, _, _ in writer:
+        if name not in rmap:
+            plan.append(("skip", wprim, wnull))
+            continue
+        rprim, rnull = rmap[name]
+        if rprim not in _PROMOTIONS[wprim]:
+            raise ValueError(
+                f"field {name}: cannot promote writer {wprim} to reader {rprim}"
+            )
+        if wnull and not rnull:
+            raise ValueError(
+                f"field {name}: writer is nullable but reader is not"
+            )
+        plan.append(("decode", name, wprim, wnull, rprim))
+        seen.add(name)
+    for name, rprim, rnull, has_default, default in reader:
+        if name in seen:
+            continue
+        if not has_default:
+            raise ValueError(
+                f"reader field {name} missing from writer schema and has no"
+                " default — schemas are not backward compatible"
+            )
+        if default is None and not rnull and rprim != "null":
+            raise ValueError(f"reader field {name}: null default on non-nullable")
+        plan.append(("default", name, default))
+    return plan
+
+
+def _skip_value(buf, pos: int, prim: str) -> int:
+    if prim in ("int", "long"):
+        _, pos = _read_long(buf, pos)
+    elif prim in ("string", "bytes"):
+        n, pos = _read_long(buf, pos)
+        pos += n
+    elif prim == "double":
+        pos += 8
+    elif prim == "float":
+        pos += 4
+    elif prim == "boolean":
+        pos += 1
+    elif prim == "null":
+        pass
+    else:
+        raise ValueError(f"unsupported avro primitive: {prim}")
+    return pos
+
+
+def decode_record_resolved(buf: bytes, plan: list[tuple]) -> dict:
+    """Decode a writer-encoded body through a ``resolve_schemas``
+    plan → dict shaped like the reader schema."""
+    pos = 0
+    row: dict = {}
+    for op in plan:
+        if op[0] == "default":
+            _, name, default = op
+            row[name] = default
+            continue
+        if op[0] == "skip":
+            _, prim, nullable = op
+            if nullable:
+                branch, pos = _read_long(buf, pos)
+                if branch == 0:
+                    continue
+            pos = _skip_value(buf, pos, prim)
+            continue
+        _, name, wprim, nullable, rprim = op
+        if nullable:
+            branch, pos = _read_long(buf, pos)
+            if branch == 0:
+                row[name] = None
+                continue
+        if wprim in ("int", "long"):
+            v, pos = _read_long(buf, pos)
+            row[name] = float(v) if rprim in ("float", "double") else v
+        elif wprim == "string":
+            n, pos = _read_long(buf, pos)
+            raw = bytes(buf[pos : pos + n])
+            pos += n
+            row[name] = raw if rprim == "bytes" else raw.decode("utf-8")
+        elif wprim == "bytes":
+            n, pos = _read_long(buf, pos)
+            raw = bytes(buf[pos : pos + n])
+            pos += n
+            row[name] = raw.decode("utf-8") if rprim == "string" else raw
+        elif wprim == "double":
+            (row[name],) = struct.unpack_from("<d", buf, pos)
+            pos += 8
+        elif wprim == "float":
+            (v,) = struct.unpack_from("<f", buf, pos)
+            pos += 4
+            row[name] = v
+        elif wprim == "boolean":
+            row[name] = buf[pos] != 0
+            pos += 1
+        elif wprim == "null":
+            row[name] = None
+        else:
+            raise ValueError(f"unsupported avro primitive: {wprim}")
+    return row
+
+
+def avro_decode_evolved(
+    df: DataFrame,
+    writer_schemas: dict[int, str],
+    reader_schema: str,
+    value_col: str = "value",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Registry-consumer decode under SCHEMA EVOLUTION: each payload's
+    Confluent frame names its writer schema by id (the registry
+    lookup); the body is decoded against that writer schema RESOLVED
+    to the fixed ``reader_schema`` — so one stream can interleave
+    records produced before and after a compatible schema change
+    (field added with default, field dropped, int widened to long...)
+    and every row comes out in the reader's shape. Unknown schema ids
+    raise, like a consumer whose registry lacks the id."""
+    plans = {
+        sid: resolve_schemas(w_json, reader_schema)
+        for sid, w_json in writer_schemas.items()
+    }
+    decoded_schema = spark_schema_for(reader_schema)
+    kept = [df.schema[c] for c in keep_cols]
+    out_schema = T.StructType(list(kept) + list(decoded_schema.fields))
+    decoded_names = [f.name for f in decoded_schema.fields]
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[value_col]:
+                sid, body = strip_confluent_frame(bytes(payload))
+                plan = plans.get(sid)
+                if plan is None:
+                    raise ValueError(f"unknown schema id {sid} (not in registry)")
+                rows.append(decode_record_resolved(body, plan))
+            decoded = pd.DataFrame(rows, columns=decoded_names)
+            for c in reversed(keep_cols):
+                decoded.insert(0, c, pdf[c].reset_index(drop=True))
+            yield decoded
+
+    return df.select(*keep_cols, value_col).mapInPandas(_dec, out_schema)
+
+
 def confluent_frame(body: bytes, schema_id: int) -> bytes:
     """Wrap a record body in the registry wire format."""
     return struct.pack(">bI", CONFLUENT_MAGIC, schema_id) + body

@@ -117,3 +117,109 @@ def test_decode_value_python_fallback_keeps_metadata(spark):
     assert out["k1"].a == 10 and out["k1"].b == "x"
     assert out["k2"].a == -5 and out["k2"].b == "yz"
     assert out["k1"].rowtime == ts
+
+
+V1_SCHEMA = """
+{"type": "record", "name": "rating", "fields": [
+  {"name": "rating_id", "type": "int"},
+  {"name": "stars", "type": "int"},
+  {"name": "legacy_code", "type": "string"}
+]}
+"""
+
+V2_SCHEMA = """
+{"type": "record", "name": "rating", "fields": [
+  {"name": "rating_id", "type": "long"},
+  {"name": "stars", "type": "int"},
+  {"name": "channel", "type": "string", "default": "web"},
+  {"name": "score", "type": "double", "default": 0.0}
+]}
+"""
+
+
+def test_schema_resolution_plan_and_decode():
+    """Registry evolution contract: v1-written records decode into the
+    v2 reader shape — legacy field skipped (bytes still consumed),
+    added fields defaulted, int promoted to long."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import (
+        decode_record_resolved,
+        resolve_schemas,
+    )
+
+    plan = resolve_schemas(V1_SCHEMA, V2_SCHEMA)
+    body = encode_record(
+        {"rating_id": 7, "stars": 5, "legacy_code": "zzz"},
+        parse_record_schema(V1_SCHEMA),
+    )
+    row = decode_record_resolved(body, plan)
+    assert row == {"rating_id": 7, "stars": 5, "channel": "web", "score": 0.0}
+    # identity resolution: v2 against itself round-trips incl. promotion target
+    plan2 = resolve_schemas(V2_SCHEMA, V2_SCHEMA)
+    body2 = encode_record(
+        {"rating_id": 2**40, "stars": 1, "channel": "app", "score": 4.5},
+        parse_record_schema(V2_SCHEMA),
+    )
+    assert decode_record_resolved(body2, plan2) == {
+        "rating_id": 2**40, "stars": 1, "channel": "app", "score": 4.5,
+    }
+
+
+def test_schema_resolution_incompatible_rejected():
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import resolve_schemas
+
+    # reader-only field without a default = not backward compatible
+    no_default = '{"type":"record","name":"t","fields":[{"name":"x","type":"int"},{"name":"y","type":"int"}]}'
+    v1 = '{"type":"record","name":"t","fields":[{"name":"x","type":"int"}]}'
+    with pytest.raises(ValueError, match="no"):
+        resolve_schemas(v1, no_default)
+    # narrowing promotion rejected
+    narrower = '{"type":"record","name":"t","fields":[{"name":"x","type":"int"}]}'
+    wider = '{"type":"record","name":"t","fields":[{"name":"x","type":"long"}]}'
+    with pytest.raises(ValueError, match="promote"):
+        resolve_schemas(wider, narrower)
+
+
+def test_avro_decode_evolved_mixed_stream(spark):
+    """One topic, two producer generations: records framed with
+    schema id 1 (v1) and id 2 (v2) interleave; the consumer's fixed
+    v2 reader schema shapes every row (string<->bytes and long
+    promotion included), and an unregistered id raises."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import (
+        avro_decode_evolved,
+    )
+
+    v1_fields = parse_record_schema(V1_SCHEMA)
+    v2_fields = parse_record_schema(V2_SCHEMA)
+    payloads = [
+        confluent_frame(
+            encode_record({"rating_id": i, "stars": i % 5, "legacy_code": "x"}, v1_fields), 1
+        )
+        for i in range(3)
+    ] + [
+        confluent_frame(
+            encode_record(
+                {"rating_id": 100 + i, "stars": 1, "channel": "app", "score": 1.5}, v2_fields
+            ),
+            2,
+        )
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        [Row(k=i, value=bytearray(p)) for i, p in enumerate(payloads)]
+    )
+    out = avro_decode_evolved(
+        df, {1: V1_SCHEMA, 2: V2_SCHEMA}, V2_SCHEMA, keep_cols=("k",)
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[0].channel == "web" and rows[0].score == 0.0  # v1 defaults
+    assert rows[3].channel == "app" and rows[3].score == 1.5  # v2 native
+    assert out.schema["rating_id"].dataType.simpleString() == "bigint"
+    # unknown id -> registry-miss error
+    bad = spark.createDataFrame([Row(k=9, value=bytearray(
+        confluent_frame(encode_record({"rating_id": 1, "stars": 1, "legacy_code": ""}, v1_fields), 99)
+    ))])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown schema id"):
+        avro_decode_evolved(bad, {1: V1_SCHEMA}, V2_SCHEMA).collect()
