@@ -62,3 +62,54 @@ def interval_join(
         F.col("r_ts").cast("timestamp_ntz").alias("right_ts"),
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
     )
+
+
+def interval_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER form of ``interval_join``: unmatched left events
+    surface with a NULL right side — the funnel-drop/abandonment query
+    (views that never converted).
+
+    Streaming semantics worth naming: an outer NULL row can only be
+    emitted once the engine is SURE no match can still arrive — i.e.
+    when the watermark passes the left row's match window and its
+    state is evicted. So unmatched rows within ``watermark + within``
+    of the stream's head are still pending (correctly — their match
+    may yet come), while every older unmatched row has been released.
+    Matched rows emit immediately, as in the inner join. Same bounded
+    state as the inner form; the NULL-row latency IS the correctness
+    guarantee, not a defect."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    joined = l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts > l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("left_id"),
+        F.col("right_id"),
+        F.col("l_key").alias(key),
+        F.col("l_ts").cast("timestamp_ntz").alias("left_ts"),
+        F.col("r_ts").cast("timestamp_ntz").alias("right_ts"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )

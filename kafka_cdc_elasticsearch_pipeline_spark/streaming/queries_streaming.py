@@ -183,6 +183,102 @@ def stream_stream_interval_join_attribution(spark: SparkSession, sf_dir: str) ->
 
 
 @query(
+    "stream_stream_interval_left_join_funnel_drop",
+    """
+    SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id AS user_id,
+           a.ts AS left_ts, b.ts AS right_ts,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-25 00:00:00') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
+    """,
+    tags=("streaming", "J", "stream-stream", "outer"),
+)
+def stream_stream_interval_left_join_funnel_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream–stream LEFT OUTER interval join (funnel drop: views that
+    never converted within 30 min surface with a NULL purchase). The
+    semantic under test is OUTER-ROW RELEASE: a NULL row may only be
+    emitted once the watermark proves no match can still arrive — the
+    state store evicts the left row and releases it. The view side is
+    bounded to ts < Jan 25 (well inside the final watermark of
+    ~Jan 28 given the 72 h grace), so by stream end every view is
+    either matched (emitted on arrival of the match) or evicted (NULL
+    row emitted) — making the full outer result deterministic and
+    batch-oracle-checkable. Views nearer the head than
+    watermark+30 min would still be pending, which is why the bound
+    exists — that pendingness is the guarantee, not a defect."""
+    import shutil
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.join import (
+        interval_left_join,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        open_stream,
+        reveal,
+        stage_frames,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # Watermark-flush sentinels, delivered as the two final
+    # micro-batches. Three subtleties they solve: (1) the view side is
+    # time-bounded to Jan 25, and watermarks are computed per-side
+    # AFTER filters — so without a sentinel the LEFT watermark stalls
+    # at Jan 25 − 72 h = Jan 22 (the global watermark is the MIN of
+    # both sides) and the Jan 22-25 unmatched views are never
+    # released; (2) a batch evicts with the watermark computed at the
+    # END of the PREVIOUS batch, so the first sentinel's advance only
+    # takes effect in a batch after it — hence the second sentinel
+    # batch; (3) they ride the VIEW side (pass that filter) and join
+    # nothing (user_id −1). They need no output filter: their own
+    # event time (Jan 31) stays above the final watermark, so their
+    # NULL rows are never released — and an explicit left_id filter
+    # would be WORSE than unnecessary: predicates on the preserved
+    # side of an outer join push down through it into the scan, which
+    # would eliminate the sentinels before the watermark operator ever
+    # saw them (found the hard way).
+    def _sentinel(eid: int):
+        return events.limit(1).select(
+            F.lit(eid).cast("long").alias("event_id"),
+            F.lit("2024-01-31 00:00:00").cast("timestamp_ntz").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    tmp, (data_parts, flush1, flush2), schema = stage_frames(
+        [(events, 8, "ts"), (_sentinel(-1), 1, None), (_sentinel(-2), 1, None)],
+        prefix="ssloj",
+    )
+    try:
+        reveal(tmp, data_parts)
+        reveal(tmp, flush1)
+        reveal(tmp, flush2)
+        stream = open_stream(spark, tmp, schema)
+        views = stream.filter(
+            (F.col("event_type") == "view")
+            & (
+                (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp_ntz"))
+                | (F.col("event_id") < 0)
+            )
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = interval_left_join(
+            views, purchases, "user_id", within="30 minutes", watermark="72 hours"
+        )
+        name = f"strm_ssloj_{next(_SEQ)}"
+        run_to_memory(joined, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "streaming_dedup_at_least_once",
     f"""
     SELECT {', '.join(EVENT_COLS)} FROM events
