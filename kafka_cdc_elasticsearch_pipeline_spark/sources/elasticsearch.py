@@ -73,15 +73,24 @@ def _http_transport(url: str, body: str) -> tuple[int, str]:
         return resp.status, resp.read().decode()
 
 
-def bulk_payload(rows: list[dict], index: str, id_col: str | None) -> str:
-    """Render one _bulk request body (action+source NDJSON pairs)."""
+def bulk_payload(
+    rows: list[dict],
+    index: str,
+    id_col: str | None,
+    actions: list[str] | None = None,
+) -> str:
+    """Render one _bulk request body. ``actions[i]`` is ``"index"``
+    (action + source line pair) or ``"delete"`` (action line only —
+    the tombstone removal); defaults to all-index."""
     lines = []
-    for row in rows:
-        action: dict = {"index": {"_index": index}}
+    for i, row in enumerate(rows):
+        act = actions[i] if actions is not None else "index"
+        action: dict = {act: {"_index": index}}
         if id_col is not None:
-            action["index"]["_id"] = str(row[id_col])
+            action[act]["_id"] = str(row[id_col])
         lines.append(json.dumps(action, default=str))
-        lines.append(json.dumps(row, default=str))
+        if act == "index":
+            lines.append(json.dumps(row, default=str))
     return "\n".join(lines) + "\n"
 
 
@@ -96,8 +105,24 @@ def index_exists_errors(response_body: str) -> list[int]:
     return [
         i
         for i, item in enumerate(resp.get("items", []))
-        if item.get("index", {}).get("status", 200) >= 300
+        if _item_failed(item)
     ]
+
+
+def _item_body(item: dict) -> tuple[str, dict]:
+    """A bulk response item is ``{action: {...}}`` — unwrap it."""
+    act = next(iter(item), "index")
+    return act, item.get(act, {})
+
+
+def _item_failed(item: dict) -> bool:
+    act, body = _item_body(item)
+    st = body.get("status", 200)
+    # deleting an absent doc answers 404/result=not_found — the
+    # connector treats that as success (the doc is gone either way)
+    if act == "delete" and st == 404:
+        return False
+    return st >= 300
 
 
 def classify_bulk_response(
@@ -139,10 +164,12 @@ def classify_bulk_response(
     retryable: list[int] = []
     items = resp.get("items", [])
     for i, item in enumerate(items):
-        body = item.get("index", {})
+        act, body = _item_body(item)
         st = body.get("status", 200)
         if st in RETRYABLE_STATUSES:
             retryable.append(i)
+        elif act == "delete" and st == 404:
+            continue  # delete of an absent doc = success (see _item_failed)
         elif st >= 300:
             err = body.get("error", {})
             reason = err.get("type", "") or err.get("reason", "") or f"status {st}"
@@ -163,6 +190,7 @@ def es_sink_foreach_batch(
     transport: Transport = _http_transport,
     max_retries: int = DEFAULT_MAX_RETRIES,
     retry_backoff_s: float = DEFAULT_RETRY_BACKOFF_S,
+    null_value_behavior: str = "ignore",
 ):
     """Build a ``foreachBatch`` function bulk-indexing into ES.
 
@@ -174,6 +202,14 @@ def es_sink_foreach_batch(
     ``errors_tolerance`` (DLQ under ``all``, query failure otherwise).
     Permanently bad docs (mapping conflicts, 400s) skip the retry loop.
 
+    ``null_value_behavior`` is the connector's ``behavior.on.null.
+    values`` — what a TOMBSTONE (keyed row whose every value column is
+    NULL, the Kafka shape of a CDC delete) means: ``ignore`` (default,
+    drop it), ``delete`` (issue a bulk delete for the doc id — a
+    Debezium delete removes the ES document; deleting an absent doc is
+    success), ``fail`` (reject the batch). Requires ``id_col`` for
+    ``delete`` — without a key there is nothing addressable to remove.
+
     Usage::
 
         df.writeStream.foreachBatch(
@@ -182,6 +218,17 @@ def es_sink_foreach_batch(
                                   dead_letter_path="/dlq/ratings")
         ).start()
     """
+
+    if null_value_behavior not in ("ignore", "delete", "fail"):
+        raise ValueError(
+            f"behavior.on.null.values must be ignore|delete|fail,"
+            f" got {null_value_behavior!r}"
+        )
+    if null_value_behavior == "delete" and id_col is None:
+        raise ValueError(
+            "behavior.on.null.values=delete requires id_col — without a"
+            " key there is no document to address"
+        )
 
     def _foreach_batch(batch_df: DataFrame, batch_id: int) -> int:
         # Acked-docs metric, accumulated inside the one side-effecting
@@ -199,7 +246,7 @@ def es_sink_foreach_batch(
         def _send_partition(iterator):
             from pyspark import TaskContext
 
-            buf: list[dict] = []
+            buf: list[tuple[dict, str]] = []  # (row, action)
             failed: list[dict] = []
             n_ok = 0
 
@@ -211,7 +258,12 @@ def es_sink_foreach_batch(
                 attempt = 0
                 transport_error = False
                 while pending:
-                    body = bulk_payload([buf[i] for i in pending], index, id_col)
+                    body = bulk_payload(
+                        [buf[i][0] for i in pending],
+                        index,
+                        id_col,
+                        actions=[buf[i][1] for i in pending],
+                    )
                     try:
                         status, resp = transport(f"{es_url}/_bulk", body)
                         fatal, retryable = classify_bulk_response(
@@ -222,7 +274,7 @@ def es_sink_foreach_batch(
                         fatal, retryable = [], list(range(len(pending)))
                         transport_error = True
                     failed.extend(
-                        (buf[pending[i]], st, reason) for i, st, reason in fatal
+                        (buf[pending[i]][0], st, reason) for i, st, reason in fatal
                     )
                     n_ok += len(pending) - len(fatal) - len(retryable)
                     retry_docs = [pending[i] for i in retryable]
@@ -237,7 +289,7 @@ def es_sink_foreach_batch(
                             if transport_error
                             else (429, "retries_exhausted")
                         )
-                        failed.extend((buf[i], st, why) for i in retry_docs)
+                        failed.extend((buf[i][0], st, why) for i in retry_docs)
                         break
                     attempt += 1
                     time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
@@ -245,7 +297,21 @@ def es_sink_foreach_batch(
                 buf.clear()
 
             for row in iterator:
-                buf.append(row.asDict(recursive=True))
+                d = row.asDict(recursive=True)
+                tombstone = id_col is not None and all(
+                    v is None for k, v in d.items() if k != id_col
+                )
+                if tombstone:
+                    if null_value_behavior == "ignore":
+                        continue
+                    if null_value_behavior == "fail":
+                        raise ValueError(
+                            f"tombstone for id {d.get(id_col)} with"
+                            " behavior.on.null.values=fail"
+                        )
+                    buf.append(({id_col: d[id_col]}, "delete"))
+                else:
+                    buf.append((d, "index"))
                 if len(buf) >= bulk_size:
                     flush()
             flush()

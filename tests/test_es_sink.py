@@ -462,3 +462,96 @@ def test_classify_truncated_success_body_marks_missing_retryable():
     # full ack set -> clean success, no spurious retries
     body = json.dumps({"errors": False, "items": [{"index": {"status": 201}}] * 3})
     assert classify_bulk_response(200, body, 3) == ([], [])
+
+
+def make_delete_aware_transport(capture_dir: str, missing_ids=()):
+    """Capture bulk bodies; answer index actions 201, delete actions
+    200 (or 404 for ids in ``missing_ids`` — absent docs)."""
+    missing = {str(i) for i in missing_ids}
+
+    def transport(url: str, body: str) -> tuple[int, str]:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(capture_dir, f"req_{_uuid.uuid4().hex}.ndjson"), "w") as f:
+            f.write(body)
+        items = []
+        lines = body.strip().splitlines()
+        i = 0
+        while i < len(lines):
+            action = _json.loads(lines[i])
+            act = next(iter(action))
+            if act == "index":
+                items.append({"index": {"status": 201}})
+                i += 2
+            else:
+                _id = action["delete"].get("_id", "")
+                st = 404 if _id in missing else 200
+                items.append({"delete": {"status": st,
+                                         "result": "not_found" if st == 404 else "deleted"}})
+                i += 1
+        errors = any(next(iter(it.values()))["status"] >= 300 for it in items)
+        return 200, _json.dumps({"errors": errors, "items": items})
+
+    return transport
+
+
+def test_tombstone_behaviors(spark, tmp_path):
+    """behavior.on.null.values: the CDC-delete tombstone (keyed row,
+    all value columns NULL) is ignored / turned into a bulk delete /
+    fails the batch — and deleting an absent doc (404) is success."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    rows = [
+        Row(id=1, v="a", w=1.0),
+        Row(id=2, v=None, w=None),   # tombstone
+        Row(id=3, v="c", w=3.0),
+        Row(id=4, v=None, w=None),   # tombstone for an absent doc
+    ]
+    df = spark.createDataFrame(rows).coalesce(1)
+
+    # ignore (connector default): tombstones dropped, 2 docs indexed
+    cap1 = str(tmp_path / "c1"); os.makedirs(cap1)
+    acked = es_sink_foreach_batch(
+        "http://es.test:9200", "idx", id_col="id",
+        transport=make_delete_aware_transport(cap1),
+    )(df, 0)
+    assert acked == 2
+
+    # delete: 2 index + 2 delete actions, all acked (incl. the 404)
+    cap2 = str(tmp_path / "c2"); os.makedirs(cap2)
+    acked = es_sink_foreach_batch(
+        "http://es.test:9200", "idx", id_col="id",
+        null_value_behavior="delete",
+        transport=make_delete_aware_transport(cap2, missing_ids=[4]),
+    )(df, 0)
+    assert acked == 4
+    bodies = []
+    for fn in os.listdir(cap2):
+        with open(os.path.join(cap2, fn)) as f:
+            bodies.append(f.read())
+    all_lines = [json.loads(x) for b in bodies for x in b.strip().splitlines()]
+    deletes = [x for x in all_lines if "delete" in x]
+    assert sorted(d["delete"]["_id"] for d in deletes) == ["2", "4"]
+    # delete actions carry no source line: 2 action+source pairs + 2 actions
+    assert len(all_lines) == 6
+
+    # fail: the tombstone kills the batch
+    with _pytest.raises(Exception, match="tombstone"):
+        es_sink_foreach_batch(
+            "http://es.test:9200", "idx", id_col="id",
+            null_value_behavior="fail",
+            transport=make_delete_aware_transport(str(tmp_path)),
+        )(df, 0)
+
+    # config validation
+    with _pytest.raises(ValueError, match="requires id_col"):
+        es_sink_foreach_batch(
+            "http://es.test:9200", "idx", null_value_behavior="delete"
+        )
+    with _pytest.raises(ValueError, match="ignore"):
+        es_sink_foreach_batch(
+            "http://es.test:9200", "idx", id_col="id", null_value_behavior="nope"
+        )
