@@ -1737,6 +1737,57 @@ def lake_cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_cdc_deletes_tombstone_read",
+    f"""
+    SELECT {', '.join(EVENT_COLS)}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("S2", "S4", "T5", "lake", "cdc-delete"),
+)
+def lake_cdc_deletes_tombstone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETES through the lake MERGE: 'error' events stand in for
+    Debezium op='d' rows. The merge stores a winning delete as a
+    TOMBSTONE (a normal last-write-wins row) rather than physically
+    removing the key — physical removal would lose the delete's
+    (ts, event_id) position and let a late-arriving OLDER update
+    resurrect the row on a later merge (the classic tombstone-
+    retention problem; see lake.active_rows). The active view filters
+    tombstones at read; the oracle is latest-per-key over the full
+    changelog minus keys whose LATEST change is a delete. Batches are
+    applied out of key order (pmod split), so cross-batch
+    delete-vs-update ordering is genuinely exercised."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import (
+        active_rows,
+        merge_upsert,
+    )
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_del_") as tmp:
+        path = f"{tmp}/events_table"
+        for i in range(3):
+            merge_upsert(
+                spark,
+                path,
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                ["user_id"],
+                "ts",
+                tiebreak="event_id",
+            )
+        table = spark.read.parquet(path)
+        return (
+            active_rows(table, F.col("event_type") == "error")
+            .select(*EVENT_COLS)
+            .localCheckpoint()
+        )
+
+
+@query(
     "lake_versioned_merge_latest",
     _LATEST_SQL,
     tags=("S2", "T5", "lake", "txnlog"),

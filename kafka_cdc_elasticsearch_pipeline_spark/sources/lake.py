@@ -39,6 +39,21 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def active_rows(table: DataFrame, delete_pred) -> DataFrame:
+    """Tombstone-aware read of a CDC lake table: rows matching
+    ``delete_pred`` are RETAINED deletes, filtered out of the active
+    view here rather than physically removed by the MERGE.
+
+    Why retain: a delete physically removed at merge time loses its
+    (ts, tiebreak) position, so a LATE-arriving older update for the
+    same key would resurrect the row on a later merge. Stored as a
+    winning tombstone, the delete keeps beating older changes in the
+    last-write-wins reduce — exactly Delta/Iceberg/Kafka-compaction
+    semantics (tombstones held for a retention horizon, reclaimed by
+    vacuum — ``lakelog.vacuum`` on the txn-log path)."""
+    return table.filter(~delete_pred)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

@@ -243,3 +243,48 @@ def test_merge_upsert_crash_before_park_leaves_table_untouched(spark, sf_dir, tm
     expect = latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id")
     assert _rows(spark.read.parquet(path)) == _rows(expect)
     assert not os.path.exists(path + ".__old__")
+
+
+def test_tombstone_survives_late_old_update(spark, tmp_path):
+    """Why deletes are stored as tombstones, not removed: after a key
+    is deleted (ts=9), a LATE batch delivering an OLDER update (ts=3)
+    must not resurrect it — the retained tombstone keeps winning the
+    last-write-wins reduce."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import (
+        active_rows,
+        merge_upsert,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp_ntz, op string, v string"
+        )
+
+    path = str(tmp_path / "t_tomb")
+    import datetime
+
+    t = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    merge_upsert(
+        spark, path,
+        batch([(1, t("2024-01-01T00:05"), "u", "a5"), (2, t("2024-01-01T00:01"), "u", "b1")]),
+        ["user_id"], "ts",
+    )
+    merge_upsert(
+        spark, path,
+        batch([(1, t("2024-01-01T00:09"), "d", None)]),  # delete key 1
+        ["user_id"], "ts",
+    )
+    merge_upsert(
+        spark, path,
+        batch([(1, t("2024-01-01T00:03"), "u", "a3")]),  # LATE older update
+        ["user_id"], "ts",
+    )
+    active = active_rows(
+        spark.read.parquet(path), F.col("op") == "d"
+    ).collect()
+    assert {r.user_id: r.v for r in active} == {2: "b1"}  # key 1 stays deleted
+    # the tombstone itself is still in the table (retention)
+    full = spark.read.parquet(path).collect()
+    assert {r.user_id for r in full} == {1, 2}
