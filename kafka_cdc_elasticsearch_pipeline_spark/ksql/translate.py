@@ -314,12 +314,16 @@ class KsqlEngine:
                     id_col = rel.key_col or (
                         "kafka_key" if "kafka_key" in rel.df.columns else None
                     )
+                null_behavior = conn.props.get(
+                    "BEHAVIOR.ON.NULL.VALUES", "ignore"
+                ).lower()
                 sink = es_sink_foreach_batch(
                     es_url,
                     topic.lower(),
                     id_col=id_col,
                     errors_tolerance=tolerance,
                     transport=transport or _http_transport,
+                    null_value_behavior=null_behavior if id_col else "ignore",
                 )
                 indexed[topic] = sink(df, 0)
         return indexed
