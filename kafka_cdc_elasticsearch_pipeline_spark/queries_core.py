@@ -1737,6 +1737,37 @@ def lake_cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_append_log_compaction",
+    f"""
+    SELECT {', '.join(EVENT_COLS)} FROM events
+    """,
+    tags=("S2", "lake", "txnlog", "append", "compaction"),
+)
+def lake_append_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-only ingest shape a 100 TB event log actually runs:
+    four micro-batches land as O(delta) APPEND commits (each version
+    references the parent's immutable data dirs plus one new delta
+    dir — the commit writes the batch, never the table), then
+    ``compact`` rewrites the snapshot into one dir (Delta OPTIMIZE
+    twin) as version 5. Reading the compacted head must equal the full
+    events table — compaction changes layout, never content; versions
+    1-4 stay time-travel-readable until vacuum."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_append_") as tmp:
+        table = f"{tmp}/events_log"
+        for i in range(4):
+            lakelog.append_commit(
+                spark, table, ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            )
+        lakelog.compact(spark, table)
+        return lakelog.read(spark, table).select(*EVENT_COLS).localCheckpoint()
+
+
+@query(
     "lake_cdc_deletes_tombstone_read",
     f"""
     SELECT {', '.join(EVENT_COLS)}

@@ -108,9 +108,15 @@ def commit(
     operation: str,
     expect_parent: int | None = None,
     count_rows: bool = False,
+    inherit_dirs: Sequence[str] | None = None,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit it as
-    the next version's FULL snapshot. Returns the committed version.
+    the next version. Returns the committed version.
+
+    Without ``inherit_dirs`` the new version is a FULL snapshot (one
+    data dir). With ``inherit_dirs`` (the parent's data dirs) the new
+    version REFERENCES them plus the new delta dir — the O(delta)
+    append commit (see :func:`append_commit`).
 
     ``expect_parent`` (optimistic concurrency): if given and another
     writer has already advanced past it, raise :class:`CommitConflict`
@@ -134,7 +140,7 @@ def commit(
         "version": version,
         "parent": parent,
         "operation": operation,
-        "data_dirs": [data_dir],
+        "data_dirs": list(inherit_dirs or []) + [data_dir],
     }
     if count_rows:
         manifest["n_rows"] = df.sparkSession.read.parquet(abs_dir).count()
@@ -180,6 +186,51 @@ def merge_upsert_versioned(
         except CommitConflict:
             continue
     raise CommitConflict(f"merge into {table} lost {max_retries + 1} races")
+
+
+def append_commit(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    max_retries: int = 3,
+) -> int:
+    """APPEND as an O(delta) commit: version N+1 references the
+    parent's data dirs unchanged plus one new delta dir holding only
+    ``df``. This is the shape a 100 TB event log actually ingests
+    with — each commit writes the micro-batch, never the table; the
+    manifest rename is the only metadata operation. The cost shows up
+    as accumulating small dirs, which :func:`compact` reclaims.
+    Conflicts with concurrent writers retry against the new parent
+    (appends commute, so the retry is trivially convergent)."""
+    for _ in range(max_retries + 1):
+        parent = latest_version(table)
+        dirs = read_manifest(table, parent)["data_dirs"] if parent else []
+        try:
+            return commit(
+                table, df, "append", expect_parent=parent, inherit_dirs=dirs
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append into {table} lost {max_retries + 1} races")
+
+
+def compact(spark: SparkSession, table: str, max_retries: int = 3) -> int:
+    """Rewrite the latest snapshot as ONE data directory and commit it
+    (the Delta OPTIMIZE / Iceberg rewrite-data-files twin): contents
+    identical, data-dir count back to 1, prior versions still readable
+    until :func:`vacuum` reclaims them. Races against concurrent
+    appends resolve by retrying over the new parent — compaction never
+    loses rows because it only rewrites what the parent referenced."""
+    for _ in range(max_retries + 1):
+        parent = latest_version(table)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        snapshot = read(spark, table, parent)
+        try:
+            return commit(table, snapshot, "compact", expect_parent=parent)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"compact of {table} lost {max_retries + 1} races")
 
 
 def vacuum(table: str, keep_last: int = 1, min_age_s: float = 3600.0) -> list[str]:

@@ -129,3 +129,46 @@ def test_merge_retry_converges_after_race(spark, tmp_path, monkeypatch):
     final = lakelog.read(spark, table)
     assert {r.user_id for r in final.collect()} == {1, 2, 3}
     assert lakelog.latest_version(table) == 3  # 1 + racer + retried merge
+
+
+def test_append_commit_is_o_delta_and_compact_restores_layout(spark, tmp_path):
+    """Append commits reference the parent's dirs + one delta dir (the
+    manifest grows, the data doesn't move); compact rewrites to ONE dir
+    with identical content; pre-compact versions stay readable; vacuum
+    then reclaims the fragmented generations."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    table = str(tmp_path / "append_log")
+    for i in range(4):
+        v = lakelog.append_commit(
+            spark, table, ev.filter(F.pmod("event_id", F.lit(4)) == i)
+        )
+        assert v == i + 1
+        assert len(lakelog.read_manifest(table, v)["data_dirs"]) == i + 1
+
+    total = ev.count()
+    assert lakelog.read(spark, table).count() == total
+
+    v5 = lakelog.compact(spark, table)
+    assert v5 == 5
+    assert len(lakelog.read_manifest(table, 5)["data_dirs"]) == 1
+    assert lakelog.read_manifest(table, 5)["operation"] == "compact"
+    assert lakelog.read(spark, table).count() == total
+    # content identical, not just counts
+    cols = sorted(ev.columns)
+    assert sorted(map(tuple, lakelog.read(spark, table).select(*cols).collect())) == \
+        sorted(map(tuple, ev.select(*cols).collect()))
+    # time travel into the fragmented history still works
+    assert lakelog.read(spark, table, version=2).select("event_id").count() == \
+        ev.filter(F.pmod("event_id", F.lit(4)) <= 1).count()
+
+    # vacuum reclaims the four delta dirs once only v5 is retained
+    removed = lakelog.vacuum(table, keep_last=1, min_age_s=0.0)
+    assert len(removed) == 4
+    assert lakelog.read(spark, table).count() == total
