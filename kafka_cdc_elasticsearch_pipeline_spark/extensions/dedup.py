@@ -309,6 +309,80 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(docs, cand, threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    df_cap: int | None = DF_CAP_DEFAULT,
+) -> DataFrame:
+    """EXACT shingle-CONTAINMENT join: directed pairs where
+    C(A→B) = |A∩B| / |A| ≥ t — the "document quoted/wrapped inside a
+    bigger document" detector that symmetric Jaccard structurally
+    misses (a 50-shingle doc fully embedded in a 5000-shingle doc has
+    J ≈ 0.01 but C = 1.0). Training-corpus use: boilerplate wrappers,
+    quote-chains, README-embedded licenses.
+
+    Prefix filter, containment form: C(A→B) ≥ t forces overlap ≥
+    ⌈t·|A|⌉, so under any global token order A must share one of its
+    first |A| − ⌈t·|A|⌉ + 1 tokens with B — the CONTAINED side probes
+    with its rarest-first prefix. The container side has no such
+    shrinking bound (its matching token can sit anywhere), so it
+    indexes every token — candidate generation is still an equi-join
+    on the token, with per-token fan-out = df. ``df_cap`` bounds that
+    fan-out by dropping hot tokens from BOTH sides; unlike the Jaccard
+    join there is no LSH fallback (MinHash bands estimate resemblance,
+    not containment), so the capped mode's documented trade is: pairs
+    whose contained doc's prefix is entirely hot tokens may be missed
+    — on natural corpora a prefix is hot-only for templated docs.
+    ``df_cap=None`` restores unconditional exactness.
+    Verification recomputes shingle sets only for candidate docs
+    (broadcast-ids rescan, as the Jaccard paths do)."""
+    from pyspark.sql import Window
+
+    sh = _doc_shingle_hashsets(docs)
+    ex = reuse(explode_expensive(sh, "hs", "s"))
+    w_s = Window.partitionBy("s")
+    w_doc = Window.partitionBy("doc_id")
+    w_doc_ord = Window.partitionBy("doc_id").orderBy("df_", "s")
+    tok = reuse(
+        ex.withColumn("df_", F.count(F.lit(1)).over(w_s))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .withColumn("pos", F.row_number().over(w_doc_ord))
+    )
+    probe = tok.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
+    )
+    idx = tok
+    if df_cap is not None:
+        probe = probe.filter(F.col("df_") <= df_cap)
+        idx = idx.filter(F.col("df_") <= df_cap)
+    a, b = probe.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("contained"), F.col("b.doc_id").alias("container")
+        )
+        .distinct()
+    )
+    ids = cand.select(
+        F.explode(F.array("contained", "container")).alias("doc_id")
+    ).distinct()
+    rsh = reuse(_doc_shingle_hashsets(docs.join(F.broadcast(ids), "doc_id")))
+    x = rsh.select(F.col("doc_id").alias("contained"), F.col("hs").alias("sh_a"))
+    y = rsh.select(F.col("doc_id").alias("container"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(x, "contained")
+        .join(y, "container")
+        .select(
+            "contained",
+            "container",
+            (inter.cast("double") / F.size("sh_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 DECONTAM_NGRAM = 8  # industry practice is 8-13 word overlap
 
 

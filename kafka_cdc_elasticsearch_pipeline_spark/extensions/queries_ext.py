@@ -217,6 +217,25 @@ def ext_dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), df_cap=2)
 
 
+@query(
+    "ext_dedup_containment",
+    f"""
+    WITH hsets AS ({_SQL_DOCS_HASHSETS})
+    SELECT x.doc_id AS contained, y.doc_id AS container,
+           len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs) AS containment
+    FROM hsets x JOIN hsets y ON x.doc_id <> y.doc_id
+    WHERE len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs) >= 0.8
+    """,
+    tags=("ext", "dedup", "containment"),
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-containment join at C ≥ 0.8 (directed: contained →
+    container) — the quoted/wrapped-document detector Jaccard misses.
+    Full recall at the gate (cap ≫ max df), so the oracle is the
+    brute-force all-directed-pairs containment."""
+    return dd.containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
 _SQL_WORD_HASHES = (
     "list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),"
     " x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"

@@ -476,3 +476,31 @@ def test_rhp_signature_arrow_equals_catalyst_spec(spark):
         ).collect()
     }
     assert got == spec
+
+
+def test_containment_finds_embedded_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    1.0 even though Jaccard is far below any dedup threshold — and the
+    direction is (contained -> container), never reversed."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i:03d} word{i:03d} token{i:03d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler),
+            (3, "entirely different content about lattice quantum chromodynamics"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.contained, r.container): r.containment
+        for r in dd.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # the big doc is not contained in the quote
+    assert all(3 not in p for p in got)
+    jacc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    assert jacc.get((1, 2), 0.0) < 0.2  # Jaccard can't see it
