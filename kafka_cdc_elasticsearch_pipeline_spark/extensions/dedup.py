@@ -309,6 +309,78 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(docs, cand, threshold)
 
 
+def minhash_cross_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = NUM_MINHASH,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
+    """CROSS-corpus MinHash near-dedup: which NEW documents near-
+    duplicate something already in the CORPUS — the shape every crawl
+    refresh runs (dedup the increment against the accumulated corpus,
+    never the corpus against itself again). Plan: band signatures for
+    both sides, equi-join new-bands × corpus-bands on (band, key) —
+    candidate volume follows collisions, the corpus side is scanned
+    once and never self-joined — then exact-Jaccard verification over
+    candidate ids only. Returns (doc_a=new id, doc_b=corpus id,
+    jaccard). At 100 TB the corpus band table is the persisted
+    artifact: each increment joins against it and appends its own
+    bands, so marginal cost follows the increment, not the corpus."""
+
+    def bands_for(docs: DataFrame, side: str) -> DataFrame:
+        sh = _doc_shingles(docs)
+        hashed = sh.select("doc_id", base_hashes("sh").alias("hs"))
+        sigs = hashed.select("doc_id", *minhash_signature("hs", k))
+        n_bands = k // rows_per_band
+        assert rows_per_band == 2, "band packing assumes r=2"
+        band_vals = [
+            (
+                F.col(f"sig{b * rows_per_band}") * F.lit(MINHASH_P).cast("long")
+                + F.col(f"sig{b * rows_per_band + 1}")
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        banded = sigs.select("doc_id", *band_vals)
+        return reuse(
+            explode_expensive(
+                banded.select(
+                    "doc_id",
+                    F.array(*[F.col(f"band{b}") for b in range(n_bands)]).alias(
+                        "bands"
+                    ),
+                ),
+                "bands",
+                "band_val",
+                pos_col="band_idx",
+            )
+        ).select(
+            F.col("doc_id").alias(f"{side}_id"), "band_idx", "band_val"
+        )
+
+    a = bands_for(new_docs, "new")
+    b = bands_for(corpus, "old")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .select(F.col("new_id").alias("doc_a"), F.col("old_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify over the union of both sides' candidate docs
+    ids = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    both = new_docs.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
+    )
+    rsh = reuse(_doc_shingle_hashsets(both.join(F.broadcast(ids), "doc_id")))
+    x = rsh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    y = rsh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

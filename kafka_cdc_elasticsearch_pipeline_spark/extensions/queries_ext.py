@@ -218,6 +218,52 @@ def ext_dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_dedup_minhash_cross_corpus",
+    f"""
+    WITH docs AS ({_SQL_DOCS_SHINGLES}),
+    hs AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+      FROM docs, unnest(sh) AS t(s)
+    ),
+    sigs AS (
+      SELECT doc_id, i,
+             min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
+      FROM hs, generate_series(0, 7) AS g(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 2 AS band_idx,
+             min(CASE WHEN i % 2 = 0 THEN sig END) * {MINHASH_P}
+               + min(CASE WHEN i % 2 = 1 THEN sig END) AS band_val
+      FROM sigs GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    hsets AS ({_SQL_DOCS_HASHSETS})
+    SELECT c.doc_a, c.doc_b, {_SQL_JACCARD} AS jaccard
+    FROM cand c JOIN hsets x ON x.doc_id = c.doc_a JOIN hsets y ON y.doc_id = c.doc_b
+    WHERE {_SQL_JACCARD} >= 0.4
+    """,
+    tags=("ext", "dedup", "minhash", "cross-corpus"),
+)
+def ext_dedup_minhash_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: odd doc_ids play the NEW increment,
+    even ids the accumulated CORPUS; MinHash bands of the increment
+    equi-join the corpus's band table (no self-join of either side),
+    exact Jaccard verifies. The oracle models the band collisions
+    exactly — a band value is a pure function of the doc, so the
+    split-then-band and band-then-split formulations agree."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return dd.minhash_cross_pairs(new, corpus)
+
+
+@query(
     "ext_dedup_containment",
     f"""
     WITH hsets AS ({_SQL_DOCS_HASHSETS})

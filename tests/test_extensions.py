@@ -504,3 +504,27 @@ def test_containment_finds_embedded_doc_jaccard_misses(spark):
         for r in dd.ngram_jaccard_pairs(docs, threshold=0.05).collect()
     }
     assert jacc.get((1, 2), 0.0) < 0.2  # Jaccard can't see it
+
+
+def test_minhash_cross_corpus_directed_and_no_self_pairs(spark):
+    """Cross-corpus dedup only pairs NEW docs against CORPUS docs —
+    near-dups WITHIN either side never surface (that is the self-join's
+    job, already paid for the corpus), and exact duplicates across the
+    boundary always collide."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [(2, base), (4, base)],  # internal corpus dup: must NOT pair
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (3, "completely unrelated text about lattice gauge theory today")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.minhash_cross_pairs(new, corpus).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(1, 4)] == 1.0
+    assert (2, 4) not in got and (4, 2) not in got  # corpus-internal
+    assert all(p[0] in (1, 3) and p[1] in (2, 4) for p in got)
+    assert not any(p[0] == 3 for p in got)  # unrelated new doc pairs nothing
