@@ -235,6 +235,53 @@ def s1_avro_schema_evolution_mixed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_AVRO_DECIMAL_SCHEMA = """
+{"type": "record", "name": "acct", "fields": [
+  {"name": "c_custkey", "type": "long"},
+  {"name": "acctbal",
+   "type": {"type": "bytes", "logicalType": "decimal",
+            "precision": 18, "scale": 2}}
+]}
+"""
+
+
+@query(
+    "s4_avro_decimal_debezium",
+    """
+    SELECT c_custkey,
+           (CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DECIMAL(18,2))
+              / 100)::DECIMAL(18,2)::VARCHAR AS acctbal
+    FROM customer
+    """,
+    tags=("S4", "avro", "decimal", "debezium"),
+)
+def s4_avro_decimal_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium's DECIMAL encoding end-to-end: SQL DECIMAL columns
+    arrive as Avro ``bytes`` with logicalType decimal — a
+    two's-complement big-endian UNSCALED integer plus a schema-carried
+    scale (the default decimal.handling.mode=precise). Every customer
+    balance is rounded to exact cents, encoded through that wire shape,
+    decoded back to DecimalType(18,2), and emitted as a canonical
+    string (representation-stable under the driver's pandas
+    canonicalization, which degrades raw DECIMAL columns to float)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import (
+        avro_decode,
+        avro_encode,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100).cast("long").cast("decimal(18,2)") / 100)
+        .cast("decimal(18,2)")
+        .alias("acctbal"),
+    )
+    encoded = avro_encode(cust, _AVRO_DECIMAL_SCHEMA, schema_id=7)
+    decoded = avro_decode(encoded, _AVRO_DECIMAL_SCHEMA, confluent=True)
+    return decoded.select(
+        "c_custkey", F.col("acctbal").cast("string").alias("acctbal")
+    )
+
+
 @query(
     "s4_s10_s11_debezium_unwrap",
     """

@@ -39,8 +39,17 @@ CONFLUENT_MAGIC = 0
 
 
 def _field_type(t) -> tuple[str, bool]:
-    """Normalize an Avro field type → (primitive name, nullable)."""
-    if isinstance(t, dict):  # logical types ride on the base primitive
+    """Normalize an Avro field type → (primitive name, nullable).
+    The decimal logical type (Debezium's encoding for SQL DECIMAL
+    columns: two's-complement big-endian unscaled value in ``bytes``)
+    normalizes to the synthetic primitive ``decimal:P:S``; other
+    logical types (timestamp-millis/micros) ride their base primitive
+    and decode to the raw long, cast downstream."""
+    if isinstance(t, dict):
+        if t.get("logicalType") == "decimal":
+            if t["type"] != "bytes":
+                raise ValueError("decimal logical type only supported on bytes")
+            return f"decimal:{t.get('precision', 38)}:{t.get('scale', 0)}", False
         return t["type"], False
     if isinstance(t, list):  # union — only ["null", X] / [X, "null"]
         non_null = [x for x in t if x != "null"]
@@ -74,11 +83,18 @@ _SPARK_TYPES = {
 }
 
 
+def _spark_type(prim: str) -> T.DataType:
+    if prim.startswith("decimal:"):
+        _, p, s = prim.split(":")
+        return T.DecimalType(int(p), int(s))
+    return _SPARK_TYPES[prim]
+
+
 def spark_schema_for(schema_json: str) -> T.StructType:
     """The StructType the decoded frame carries (drives mapInPandas)."""
     return T.StructType(
         [
-            T.StructField(name, _SPARK_TYPES[prim], nullable=True)
+            T.StructField(name, _spark_type(prim), nullable=True)
             for name, prim, _ in parse_record_schema(schema_json)
         ]
     )
@@ -130,6 +146,16 @@ def encode_record(row: dict, fields: list[tuple[str, str, bool]]) -> bytes:
             raise ValueError(f"null in non-nullable field {name}")
         if prim in ("int", "long"):
             _write_long(out, int(v))
+        elif prim.startswith("decimal:"):
+            # Debezium decimal: two's-complement big-endian unscaled
+            # value, minimal length, as an Avro bytes value
+            import decimal as _dec
+
+            scale = int(prim.split(":")[2])
+            unscaled = int(_dec.Decimal(v).scaleb(scale).to_integral_value())
+            raw = unscaled.to_bytes(unscaled.bit_length() // 8 + 1, "big", signed=True)
+            _write_long(out, len(raw))
+            out += raw
         elif prim == "string":
             raw = str(v).encode("utf-8")
             _write_long(out, len(raw))
@@ -162,6 +188,14 @@ def decode_record(buf: bytes, fields: list[tuple[str, str, bool]]) -> dict:
                 continue
         if prim in ("int", "long"):
             row[name], pos = _read_long(buf, pos)
+        elif prim.startswith("decimal:"):
+            import decimal as _dec
+
+            scale = int(prim.split(":")[2])
+            n, pos = _read_long(buf, pos)
+            unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+            pos += n
+            row[name] = _dec.Decimal(unscaled).scaleb(-scale)
         elif prim == "string":
             n, pos = _read_long(buf, pos)
             row[name] = bytes(buf[pos : pos + n]).decode("utf-8")
@@ -243,7 +277,9 @@ def resolve_schemas(writer_json: str, reader_json: str) -> list[tuple]:
             plan.append(("skip", wprim, wnull))
             continue
         rprim, rnull = rmap[name]
-        if rprim not in _PROMOTIONS[wprim]:
+        # synthetic decimal:P:S primitives resolve only to themselves
+        allowed = _PROMOTIONS.get(wprim, {wprim})
+        if rprim not in allowed:
             raise ValueError(
                 f"field {name}: cannot promote writer {wprim} to reader {rprim}"
             )
@@ -270,7 +306,7 @@ def resolve_schemas(writer_json: str, reader_json: str) -> list[tuple]:
 def _skip_value(buf, pos: int, prim: str) -> int:
     if prim in ("int", "long"):
         _, pos = _read_long(buf, pos)
-    elif prim in ("string", "bytes"):
+    elif prim in ("string", "bytes") or prim.startswith("decimal:"):
         n, pos = _read_long(buf, pos)
         pos += n
     elif prim == "double":
@@ -313,6 +349,14 @@ def decode_record_resolved(buf: bytes, plan: list[tuple]) -> dict:
         if wprim in ("int", "long"):
             v, pos = _read_long(buf, pos)
             row[name] = float(v) if rprim in ("float", "double") else v
+        elif wprim.startswith("decimal:"):
+            import decimal as _dec
+
+            scale = int(wprim.split(":")[2])
+            n, pos = _read_long(buf, pos)
+            unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+            pos += n
+            row[name] = _dec.Decimal(unscaled).scaleb(-scale)
         elif wprim == "string":
             n, pos = _read_long(buf, pos)
             raw = bytes(buf[pos : pos + n])

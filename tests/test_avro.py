@@ -223,3 +223,50 @@ def test_avro_decode_evolved_mixed_stream(spark):
 
     with _pytest.raises(Exception, match="unknown schema id"):
         avro_decode_evolved(bad, {1: V1_SCHEMA}, V2_SCHEMA).collect()
+
+
+def test_decimal_logical_type_golden_bytes():
+    """Debezium decimal wire shape: unscaled two's-complement
+    big-endian in a length-prefixed bytes value. 123.45 at scale 2 ->
+    unscaled 12345 -> 0x3039 (2 bytes); -0.01 -> -1 -> 0xFF."""
+    import decimal
+
+    schema = """
+    {"type": "record", "name": "t", "fields": [
+      {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                             "precision": 10, "scale": 2}}
+    ]}
+    """
+    fields = parse_record_schema(schema)
+    assert fields == [("d", "decimal:10:2", False)]
+    enc = encode_record({"d": decimal.Decimal("123.45")}, fields)
+    # len 2 -> zigzag 4 -> 0x04, then big-endian 0x30 0x39
+    assert enc == b"\x04\x30\x39"
+    assert decode_record(enc, fields) == {"d": decimal.Decimal("123.45")}
+    neg = encode_record({"d": decimal.Decimal("-0.01")}, fields)
+    assert neg == b"\x02\xff"
+    assert decode_record(neg, fields) == {"d": decimal.Decimal("-0.01")}
+
+
+def test_decimal_dataframe_roundtrip(spark):
+    import decimal
+
+    from pyspark.sql import Row
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.avro import avro_decode
+
+    schema = """
+    {"type": "record", "name": "t", "fields": [
+      {"name": "k", "type": "long"},
+      {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                             "precision": 18, "scale": 2}}
+    ]}
+    """
+    src = spark.createDataFrame(
+        [Row(k=1, d=decimal.Decimal("0.05")), Row(k=2, d=decimal.Decimal("-12345678.90"))],
+        "k bigint, d decimal(18,2)",
+    )
+    out = avro_decode(avro_encode(src, schema), schema)
+    assert out.schema["d"].dataType.simpleString() == "decimal(18,2)"
+    got = {r.k: str(r.d) for r in out.collect()}
+    assert got == {1: "0.05", 2: "-12345678.90"}
