@@ -1815,6 +1815,54 @@ def lake_append_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_skipping_pruned_scan",
+    f"""
+    SELECT {_EVENT_COLS_SQL} FROM events
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    """,
+    tags=("S2", "lake", "txnlog", "data-skipping"),
+)
+def lake_skipping_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping (lakelog ``stat_cols`` — the
+    Delta/Iceberg pattern): four weekly micro-batches land as append
+    commits that each record per-FILE [min, max] of ``ts`` in the
+    manifest (one O(delta) aggregate per commit, the table is never
+    rescanned). A reader asking for the last week prunes every file
+    whose recorded ts range cannot match BEFORE Spark lists or
+    schedules it — at 100 TB that is the difference between planning
+    over millions of files and over one week's worth; parquet
+    row-group stats still apply inside survivors. The query asserts
+    files were actually skipped (the weekly batches make old files
+    provably out of range), and the result must equal a plain filtered
+    scan of the full events table."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    bounds = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    cut = "2024-01-22 00:00:00"
+    with tempfile.TemporaryDirectory(prefix="lake_skip_") as tmp:
+        table = f"{tmp}/events_log"
+        batches = [
+            ev.filter(F.col("ts") < bounds[0]),
+            ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+            ev.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+            ev.filter(F.col("ts") >= bounds[2]),
+        ]
+        for b in batches:
+            lakelog.append_commit(spark, table, b, stat_cols=["ts"])
+        manifest = lakelog.read_manifest(table, lakelog.latest_version(table))
+        kept, skipped = lakelog.plan_scan(table, manifest, [("ts", ">=", cut)])
+        assert skipped > 0, "stats should refute every pre-cut file"
+        return (
+            lakelog.read(spark, table, where=[("ts", ">=", cut)])
+            .select(*EVENT_COLS)
+            .localCheckpoint()
+        )
+
+
+@query(
     "lake_cdc_deletes_tombstone_read",
     f"""
     SELECT {', '.join(EVENT_COLS)}

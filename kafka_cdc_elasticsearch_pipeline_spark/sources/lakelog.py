@@ -49,7 +49,8 @@ import os
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _VERSION_DIGITS = 20
@@ -91,15 +92,163 @@ def read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
-def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Data skipping: per-file min/max column stats in the manifest
+# ---------------------------------------------------------------------------
+#
+# The Delta/Iceberg "data skipping" pattern: each commit records, for a
+# chosen set of columns, the [min, max] of every data FILE it writes.
+# A reader with a comparison predicate prunes files whose range cannot
+# match BEFORE Spark ever lists or schedules them — at 100 TB this is
+# the difference between planning a scan over millions of files and
+# over the handful that can contain the answer. Parquet row-group
+# statistics still apply inside the surviving files; manifest stats act
+# one level up, at file-listing time, where the driver cost lives.
+#
+# Representation: numbers (int/float) are stored natively; everything
+# else (timestamp, date, string) is stored as ``str(value)`` — Spark's
+# timestamp str() is '%Y-%m-%d %H:%M:%S[.ffffff]', which compares
+# correctly as a string, so predicate values for non-numeric columns
+# must be passed in the same lexicographically-ordered form. min/max
+# cover non-null values only; because every supported predicate op is
+# null-rejecting, a file whose non-null range cannot match is safely
+# pruned even if it also holds nulls, and an all-null file ([None,
+# None]) is always pruned.
+
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def _stat_value(v):
+    if v is None or isinstance(v, (int, float)):
+        return v
+    return str(v)
+
+
+def collect_file_stats(
+    spark: SparkSession, abs_dir: str, stat_cols: Sequence[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``stat_cols`` over one just-written data
+    directory: a single O(delta) aggregate job grouped on
+    ``input_file_name()`` — the table is never rescanned."""
+    df = spark.read.parquet(abs_dir)
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()  # bounded: one row per data file in ONE delta dir
+    )
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        rel = os.path.basename(r["__file"])
+        out[rel] = {
+            c: [_stat_value(r[f"__mn_{c}"]), _stat_value(r[f"__mx_{c}"])]
+            for c in stat_cols
+        }
+    return out
+
+
+def _file_may_match(stats: dict[str, list], col: str, op: str, value) -> bool:
+    """Conservative: True unless the file's [min, max] PROVES no row can
+    satisfy ``col op value``. Unknown column or type-mismatched bound
+    keeps the file."""
+    if col not in stats:
+        return True
+    mn, mx = stats[col]
+    if mn is None and mx is None:
+        return False  # all-null file; every supported op is null-rejecting
+    pv = _stat_value(value)
+    # Never compare across kinds (a numeric bound vs string stats) —
+    # keep the file rather than guess an ordering.
+    if isinstance(pv, str) != isinstance(mn, str):
+        return True
+    if op == "==":
+        return mn <= pv <= mx
+    if op == ">=":
+        return mx >= pv
+    if op == ">":
+        return mx > pv
+    if op == "<=":
+        return mn <= pv
+    if op == "<":
+        return mn < pv
+    raise ValueError(f"unsupported prune op {op!r}; use one of {_PRUNE_OPS}")
+
+
+def plan_scan(
+    table: str,
+    manifest: dict,
+    where: Sequence[tuple[str, str, object]] | None,
+) -> tuple[list[str], int]:
+    """Resolve the manifest to concrete file paths, pruning files whose
+    stats refute every conjunct of ``where``. Returns (files to read,
+    number of files skipped). Directories without recorded stats (older
+    commits, or stat-less columns) contribute all their files —
+    skipping is an optimization and must never drop a possible match."""
+    all_stats = manifest.get("file_stats", {})
+    kept: list[str] = []
+    skipped = 0
+    for d in manifest["data_dirs"]:
+        abs_dir = os.path.join(table, d)
+        dir_stats = all_stats.get(d)
+        files = sorted(
+            f for f in os.listdir(abs_dir) if f.endswith(".parquet")
+        )
+        for f in files:
+            st = dir_stats.get(f) if dir_stats else None
+            if st is not None and where:
+                if not all(_file_may_match(st, c, op, v) for c, op, v in where):
+                    skipped += 1
+                    continue
+            kept.append(os.path.join(abs_dir, f))
+    return kept, skipped
+
+
+def _where_expr(where: Sequence[tuple[str, str, object]]) -> Column:
+    expr = F.lit(True)
+    for c, op, v in where:
+        col = F.col(c)
+        cond = {
+            "==": col == v,
+            "<": col < v,
+            "<=": col <= v,
+            ">": col > v,
+            ">=": col >= v,
+        }[op]
+        expr = expr & cond
+    return expr
+
+
+def read(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    where: Sequence[tuple[str, str, object]] | None = None,
+) -> DataFrame:
     """Read the snapshot at ``version`` (default: latest). Time travel
-    is just picking an older manifest — the data files are immutable."""
+    is just picking an older manifest — the data files are immutable.
+
+    ``where`` — a conjunction of ``(col, op, value)`` with op in
+    ``("==", "<", "<=", ">", ">=")`` — prunes data files via the
+    manifest's per-file stats (see :func:`plan_scan`) and then applies
+    the same predicate as a real Spark filter, so the result is exact
+    whether or not any file could be skipped."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
     manifest = read_manifest(table, v)
-    paths = [os.path.join(table, d) for d in manifest["data_dirs"]]
-    return spark.read.parquet(*paths)
+    if where is None:
+        paths = [os.path.join(table, d) for d in manifest["data_dirs"]]
+        return spark.read.parquet(*paths)
+    files, _ = plan_scan(table, manifest, where)
+    if not files:
+        # Every file pruned: preserve the schema via a zero-row read of
+        # one arbitrary file (cheap — footer only) with a false filter.
+        any_dir = os.path.join(table, manifest["data_dirs"][0])
+        return spark.read.parquet(any_dir).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(_where_expr(where))
 
 
 def commit(
@@ -109,6 +258,7 @@ def commit(
     expect_parent: int | None = None,
     count_rows: bool = False,
     inherit_dirs: Sequence[str] | None = None,
+    stat_cols: Sequence[str] | None = None,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit it as
     the next version. Returns the committed version.
@@ -125,6 +275,12 @@ def commit(
     ``count_rows``: record ``n_rows`` in the manifest. Off by default —
     it costs an extra scan job over the just-written snapshot, which at
     scale is per-commit overhead for a metadata nicety.
+
+    ``stat_cols``: record per-file [min, max] of these columns for the
+    NEW data directory (one O(delta) aggregate — see
+    :func:`collect_file_stats`); inherited directories carry their
+    stats forward from the parent manifest unchanged. Readers use them
+    for file skipping (:func:`plan_scan`).
     """
     os.makedirs(_log_path(table), exist_ok=True)
     parent = latest_version(table)
@@ -136,12 +292,24 @@ def commit(
     abs_dir = os.path.join(table, data_dir)
     df.write.mode("errorifexists").parquet(abs_dir)
     version = (parent or 0) + 1
+    file_stats: dict[str, dict] = {}
+    if inherit_dirs and parent is not None:
+        parent_stats = read_manifest(table, parent).get("file_stats", {})
+        file_stats.update(
+            {d: parent_stats[d] for d in inherit_dirs if d in parent_stats}
+        )
+    if stat_cols:
+        file_stats[data_dir] = collect_file_stats(
+            df.sparkSession, abs_dir, stat_cols
+        )
     manifest = {
         "version": version,
         "parent": parent,
         "operation": operation,
         "data_dirs": list(inherit_dirs or []) + [data_dir],
     }
+    if file_stats:
+        manifest["file_stats"] = file_stats
     if count_rows:
         manifest["n_rows"] = df.sparkSession.read.parquet(abs_dir).count()
     tmp = _manifest_file(table, version) + f".tmp-{uuid.uuid4().hex}"
@@ -166,6 +334,7 @@ def merge_upsert_versioned(
     ts_col: str,
     tiebreak: str | None = None,
     max_retries: int = 3,
+    stat_cols: Sequence[str] | None = None,
 ) -> int:
     """CDC MERGE as a versioned commit: latest snapshot ∪ changes →
     latest-per-key → commit as version N+1. Prior versions remain
@@ -182,7 +351,13 @@ def merge_upsert_versioned(
             merged = read(spark, table, parent).unionByName(changes)
         result = latest_per_key(merged, list(keys), ts_col, tiebreak=tiebreak)
         try:
-            return commit(table, result, "merge_upsert", expect_parent=parent)
+            return commit(
+                table,
+                result,
+                "merge_upsert",
+                expect_parent=parent,
+                stat_cols=stat_cols,
+            )
         except CommitConflict:
             continue
     raise CommitConflict(f"merge into {table} lost {max_retries + 1} races")
@@ -193,6 +368,7 @@ def append_commit(
     table: str,
     df: DataFrame,
     max_retries: int = 3,
+    stat_cols: Sequence[str] | None = None,
 ) -> int:
     """APPEND as an O(delta) commit: version N+1 references the
     parent's data dirs unchanged plus one new delta dir holding only
@@ -207,27 +383,103 @@ def append_commit(
         dirs = read_manifest(table, parent)["data_dirs"] if parent else []
         try:
             return commit(
-                table, df, "append", expect_parent=parent, inherit_dirs=dirs
+                table,
+                df,
+                "append",
+                expect_parent=parent,
+                inherit_dirs=dirs,
+                stat_cols=stat_cols,
             )
         except CommitConflict:
             continue
     raise CommitConflict(f"append into {table} lost {max_retries + 1} races")
 
 
-def compact(spark: SparkSession, table: str, max_retries: int = 3) -> int:
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:
+    """Z-order (Morton) key over numeric/timestamp columns, built
+    entirely from JVM expressions (no UDF): each column is scaled into
+    ``2**bits`` uniform buckets between its global min and max (one
+    tiny aggregate job), and the bucket bits are interleaved
+    most-significant-first. Sorting by this key clusters the data so
+    per-file min/max stats are TIGHT ON EVERY clustered column at
+    once — a linear sort gives perfect skipping on its leading column
+    and none on the rest; the Z-curve trades a little of the first
+    column's locality for skipping on all of them. Nulls map to bucket
+    0. Uniform buckets are the simplest correct choice; heavily skewed
+    columns would want quantile boundaries instead (same interleave,
+    different bucketizer).
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    nb = 1 << bits
+    buckets = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            buckets.append(F.lit(0))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        b = F.floor(scaled * nb).cast("int")
+        buckets.append(
+            F.coalesce(F.least(F.greatest(b, F.lit(0)), F.lit(nb - 1)), F.lit(0))
+        )
+    z = F.lit(0)
+    for bit in range(bits - 1, -1, -1):
+        for b in buckets:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1))
+            )
+    return z
+
+
+def compact(
+    spark: SparkSession,
+    table: str,
+    max_retries: int = 3,
+    cluster_by: Sequence[str] | None = None,
+    n_files: int | None = None,
+    stat_cols: Sequence[str] | None = None,
+    zorder_bits: int = 8,
+) -> int:
     """Rewrite the latest snapshot as ONE data directory and commit it
     (the Delta OPTIMIZE / Iceberg rewrite-data-files twin): contents
     identical, data-dir count back to 1, prior versions still readable
     until :func:`vacuum` reclaims them. Races against concurrent
     appends resolve by retrying over the new parent — compaction never
-    loses rows because it only rewrites what the parent referenced."""
+    loses rows because it only rewrites what the parent referenced.
+
+    ``cluster_by`` turns the rewrite into Delta's ``OPTIMIZE ZORDER
+    BY``: rows are range-partitioned and sorted by :func:`zorder_key`
+    over those columns (a single column degenerates to a plain range
+    sort), so the per-file stats recorded via ``stat_cols`` become
+    tight on every clustered column and :func:`read`'s file skipping
+    is effective on each of them. ``n_files`` caps the rewritten file
+    count (default 8)."""
     for _ in range(max_retries + 1):
         parent = latest_version(table)
         if parent is None:
             raise FileNotFoundError(f"no committed version in {table}")
         snapshot = read(spark, table, parent)
+        if cluster_by:
+            key = zorder_key(snapshot, cluster_by, bits=zorder_bits)
+            snapshot = (
+                snapshot.withColumn("__z", key)
+                .repartitionByRange(n_files or 8, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif n_files:
+            snapshot = snapshot.repartition(n_files)
         try:
-            return commit(table, snapshot, "compact", expect_parent=parent)
+            return commit(
+                table,
+                snapshot,
+                "compact",
+                expect_parent=parent,
+                stat_cols=stat_cols,
+            )
         except CommitConflict:
             continue
     raise CommitConflict(f"compact of {table} lost {max_retries + 1} races")

@@ -1,0 +1,191 @@
+"""Manifest-level data skipping + Z-order clustering (sources/lakelog.py).
+
+The contract under test: per-file [min, max] stats recorded at commit
+time let a reader PROVE files irrelevant to a comparison predicate and
+skip them at file-listing time, and a Z-ordered compaction makes that
+skipping effective on every clustered column at once. Pruning is an
+optimization only — every test also checks the result is exactly the
+filtered full scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+
+def _mk(spark, lo, hi, n=100):
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("k"),
+        (F.lit(lo) + F.pmod(F.col("id"), F.lit(hi - lo))).alias("v"),
+    )
+
+
+def _table(tmp_path, name):
+    return os.path.join(str(tmp_path), name)
+
+
+def test_commit_records_per_file_stats(spark, tmp_path):
+    t = _table(tmp_path, "t1")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    lakelog.commit(t, df.repartition(4), "full", stat_cols=["k", "v"])
+    man = lakelog.read_manifest(t, 1)
+    stats = man["file_stats"][man["data_dirs"][0]]
+    assert len(stats) >= 2  # several part files
+    ks = [s["k"] for s in stats.values()]
+    assert min(mn for mn, _ in ks) == 0
+    assert max(mx for _, mx in ks) == 999
+    for mn, mx in (s["v"] for s in stats.values()):
+        assert mn % 2 == 0 and mx % 2 == 0
+
+
+@pytest.mark.parametrize(
+    "op,val,expect",
+    [
+        ("==", 5, True),
+        ("==", 11, False),
+        ("==", -1, False),
+        (">=", 10, True),
+        (">=", 11, False),
+        (">", 10, False),
+        (">", 9, True),
+        ("<=", 0, True),
+        ("<=", -1, False),
+        ("<", 0, False),
+        ("<", 1, True),
+    ],
+)
+def test_file_may_match_ops(op, val, expect):
+    stats = {"c": [0, 10]}
+    assert lakelog._file_may_match(stats, "c", op, val) is expect
+
+
+def test_file_may_match_edge_cases():
+    # all-null file: every supported op is null-rejecting => prune
+    assert lakelog._file_may_match({"c": [None, None]}, "c", ">=", 0) is False
+    # unknown column or kind mismatch: keep (never guess an ordering)
+    assert lakelog._file_may_match({"c": [0, 10]}, "other", "==", 5) is True
+    assert lakelog._file_may_match({"c": ["a", "z"]}, "c", ">=", 5) is True
+    with pytest.raises(ValueError):
+        lakelog._file_may_match({"c": [0, 10]}, "c", "!=", 5)
+
+
+def test_append_commits_inherit_stats_and_prune(spark, tmp_path):
+    t = _table(tmp_path, "t2")
+    for lo in (0, 1000, 2000, 3000):
+        batch = spark.range(lo, lo + 1000).select(F.col("id").alias("k"))
+        lakelog.append_commit(spark, t, batch.coalesce(1), stat_cols=["k"])
+    man = lakelog.read_manifest(t, 4)
+    # stats carried forward: all four dirs statted in the head manifest
+    assert set(man["file_stats"]) == set(man["data_dirs"])
+
+    kept, skipped = lakelog.plan_scan(t, man, [("k", ">=", 3000)])
+    assert len(kept) == 1 and skipped == 3
+
+    got = lakelog.read(spark, t, where=[("k", ">=", 2500)])
+    full = lakelog.read(spark, t).filter(F.col("k") >= 2500)
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+
+
+def test_prune_everything_returns_empty_with_schema(spark, tmp_path):
+    t = _table(tmp_path, "t3")
+    lakelog.commit(
+        t,
+        spark.range(0, 10).select(F.col("id").alias("k")),
+        "full",
+        stat_cols=["k"],
+    )
+    got = lakelog.read(spark, t, where=[("k", ">", 99)])
+    assert got.columns == ["k"]
+    assert got.count() == 0
+
+
+def test_unstatted_dirs_are_never_pruned(spark, tmp_path):
+    t = _table(tmp_path, "t4")
+    lakelog.commit(t, spark.range(0, 10).select(F.col("id").alias("k")), "full")
+    man = lakelog.read_manifest(t, 1)
+    kept, skipped = lakelog.plan_scan(t, man, [("k", ">", 99)])
+    assert skipped == 0 and len(kept) >= 1
+    assert lakelog.read(spark, t, where=[("k", ">", 99)]).count() == 0
+
+
+def test_timestamp_stats_prune_as_strings(spark, tmp_path):
+    t = _table(tmp_path, "t5")
+    df = spark.createDataFrame(
+        [Row(k=i, ts=f"2024-01-{d:02d} 12:00:00") for i, d in enumerate([1, 2, 3])]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    for d in range(3):
+        lakelog.append_commit(
+            spark, t, df.filter(F.col("k") == d).coalesce(1), stat_cols=["ts"]
+        )
+    man = lakelog.read_manifest(t, 3)
+    kept, skipped = lakelog.plan_scan(
+        t, man, [("ts", ">=", "2024-01-03 00:00:00")]
+    )
+    assert len(kept) == 1 and skipped == 2
+    got = lakelog.read(spark, t, where=[("ts", ">=", "2024-01-03 00:00:00")])
+    assert [r.k for r in got.collect()] == [2]
+
+
+def _skip_fraction(t, man, where):
+    kept, skipped = lakelog.plan_scan(t, man, where)
+    return skipped / (len(kept) + skipped)
+
+
+def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
+    """Z-order vs linear sort: after OPTIMIZE ZORDER BY (x, y), a range
+    predicate on EITHER column must prune a substantial file fraction;
+    a linear sort on x prunes nothing for the same y predicate."""
+    n, files = 4096, 16
+    grid = spark.range(0, n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+    )
+
+    tz = _table(tmp_path, "tz")
+    lakelog.commit(tz, grid, "full", stat_cols=["x", "y"])
+    lakelog.compact(
+        spark, tz, cluster_by=["x", "y"], n_files=files, stat_cols=["x", "y"]
+    )
+    man_z = lakelog.read_manifest(tz, lakelog.latest_version(tz))
+
+    tl = _table(tmp_path, "tl")
+    lakelog.commit(tl, grid, "full", stat_cols=["x", "y"])
+    lakelog.compact(spark, tl, cluster_by=["x"], n_files=files, stat_cols=["x", "y"])
+    man_l = lakelog.read_manifest(tl, lakelog.latest_version(tl))
+
+    x_pred = [("x", "<", 8)]
+    y_pred = [("y", "<", 8)]
+    # Z-order: meaningful skipping on BOTH dimensions
+    assert _skip_fraction(tz, man_z, x_pred) >= 0.5
+    assert _skip_fraction(tz, man_z, y_pred) >= 0.5
+    # linear: near-perfect on the sort column, nothing on the other
+    assert _skip_fraction(tl, man_l, x_pred) >= 0.5
+    assert _skip_fraction(tl, man_l, y_pred) == 0.0
+
+    # clustering never changes content
+    got = sorted(
+        (r.x, r.y) for r in lakelog.read(spark, tz, where=y_pred).collect()
+    )
+    want = sorted((r.x, r.y) for r in grid.filter(F.col("y") < 8).collect())
+    assert got == want
+
+
+def test_zorder_key_null_and_constant_columns(spark):
+    df = spark.createDataFrame(
+        [Row(a=None, b=7), Row(a=1.0, b=7), Row(a=2.0, b=7)]
+    )
+    out = df.withColumn("z", lakelog.zorder_key(df, ["a", "b"], bits=4)).collect()
+    zs = {r.a: r.z for r in out}
+    # constant column contributes 0 bits; null maps to bucket 0
+    assert zs[None] == 0
+    assert zs[1.0] == 0  # min of range -> bucket 0
+    assert zs[2.0] > zs[1.0]
