@@ -669,6 +669,137 @@ def ext_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Product quantization, shared oracle CTEs: codebook by sampling
+# (subspace mi of vec_id < 16), per-(vector, subspace) argmin over
+# rounded squared-L2 with code-ascending ties — the exact mirror of
+# similarity.pq_codebook / pq_encode.
+_SQL_PQ_CTES = """
+    cb AS (
+      SELECT g.m, vec_id AS code, embedding[g.m*8+1 : g.m*8+8] AS sub
+      FROM embeddings, generate_series(0, 7) AS g(m)
+      WHERE vec_id < 16
+    ),
+    sv AS (
+      SELECT vec_id, g.m, embedding[g.m*8+1 : g.m*8+8] AS sub
+      FROM embeddings, generate_series(0, 7) AS g(m)
+    ),
+    pq_dist AS (
+      SELECT sv.vec_id, sv.m, cb.code,
+             round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+               i -> (sv.sub[i]::DOUBLE - cb.sub[i]::DOUBLE)
+                    * (sv.sub[i]::DOUBLE - cb.sub[i]::DOUBLE))),
+               (x, y) -> x + y), 6) AS d
+      FROM sv JOIN cb ON sv.m = cb.m
+    ),
+    pq_codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d ASC, code ASC) AS rn
+        FROM pq_dist
+      ) WHERE rn = 1
+    )
+"""
+
+_SQL_COS_RECON = (
+    f"round({SQL_DOT64.format(a='r.recon', b='q.embedding')}"
+    f" / (sqrt({SQL_DOT64.format(a='r.recon', b='r.recon')})"
+    f" * sqrt({SQL_DOT64.format(a='q.embedding', b='q.embedding')})), 6)"
+)
+
+
+@query(
+    "ext_sim_pq_codes",
+    f"""
+    WITH {_SQL_PQ_CTES}
+    SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY m) AS pq_codes
+    FROM pq_codes GROUP BY vec_id
+    """,
+    tags=("ext", "similarity", "pq"),
+)
+def ext_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization index build: every 64-dim float32 vector
+    becomes 8 one-byte codes (argmin per 8-dim subspace against a
+    sampled 16-entry codebook) — 32× smaller than the raw floats,
+    which is what lets a 100 TB corpus's ANN index live in cluster
+    RAM. The corpus scans once against a broadcast codebook; the
+    argmin is a map-side-combinable min, not a data shuffle. Code
+    assignments are rounded-distance argmins with deterministic ties,
+    so the whole index is a hash-checkable fact."""
+    return sim.pq_codes_table(_embs(spark, sf_dir))
+
+
+@query(
+    "ext_sim_pq_recall",
+    f"""
+    WITH {_SQL_PQ_CTES},
+    recon AS (
+      SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+      FROM pq_codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+      GROUP BY c.vec_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_COS} DESC, e.vec_id) AS rank
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+        FROM recon r, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE r.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT a.query_id, count(*)::BIGINT AS h
+      FROM approx a JOIN truth t
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id, coalesce(h.h, 0)::BIGINT AS hits_at_10
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+    LEFT JOIN hits h ON h.query_id = q.vec_id
+    """,
+    tags=("ext", "similarity", "pq", "recall"),
+)
+def ext_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization error, measured as recall: per query, hits@10 =
+    |ADC top-10 ∩ exact brute-force top-10|, where ADC scores the
+    exact query against RECONSTRUCTED corpus vectors — after the
+    encode pass, ranking touches only codes + codebook (8 bytes/vec),
+    never the original embeddings. The same integer-hits methodology
+    as ext_sim_ivf_recall turns the compression/recall trade into a
+    hash-checkable fact (and the two compose: IVF picks the buckets,
+    PQ scores inside them — combining is a join of the two plans)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    truth = reuse(
+        sim.brute_force_topk(embs, queries).select("query_id", "neighbor_id")
+    )
+    approx = sim.pq_adc_topk(embs, queries).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits_at_10"),
+        )
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 

@@ -418,6 +418,135 @@ def embedding_neardup_pairs(
     )
 
 
+PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+PQ_KS = 16  # codes per subspace codebook
+
+
+def pq_codebook(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """Product-quantization codebooks by corpus sampling: subspace
+    ``mi``'s codebook is the ``mi``-th subvector of the first ``ks``
+    vectors (exactly k-means++-style init without the iterations —
+    deterministic, so both engines derive identical codebooks; a
+    production build would Lloyd-refine each subspace with
+    :func:`kmeans_refine`'s loop discipline, which changes the
+    codebook quality, not any plan shape below).
+
+    Output: (m, code, sub) — m*ks rows, broadcastable always (a
+    codebook is KB-sized regardless of corpus size: that is the whole
+    point of PQ)."""
+    sub = EMB_DIM // m
+    return (
+        embeddings.filter(F.col("vec_id") < ks)
+        .select(F.col("vec_id").alias("code"), "embedding")
+        .select(
+            "code",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), mi -> struct(mi AS m,"
+                    f" slice(embedding, mi * {sub} + 1, {sub}) AS sub))"
+                )
+            ).alias("s"),
+        )
+        .select(F.col("s.m").alias("m"), "code", F.col("s.sub").alias("sub"))
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 between two float arrays: exact left-fold in index
+    order (the oracle's list_reduce twin), rounded for stable argmins."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.round(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v), 6)
+
+
+def pq_encode(
+    embeddings: DataFrame, codebook: DataFrame, m: int = PQ_M
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte codes: per subspace,
+    argmin squared-L2 against the (broadcast) codebook — ties break on
+    code ascending over rounded distances, so the assignment is a
+    cross-engine fact. The corpus scans ONCE and never shuffles for
+    the scoring join (codebook broadcast); the only shuffle is the
+    per-(vec_id, m) argmin, carrying (vec_id, m, code, d) rows — at
+    100 TB this is a map-side-combinable min, not a data shuffle.
+
+    Output: (vec_id, m, code)."""
+    sub = EMB_DIM // m
+    sv = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), mi -> struct(mi AS m,"
+                f" slice(embedding, mi * {sub} + 1, {sub}) AS sub))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("v_sub"))
+    dist = sv.join(
+        F.broadcast(codebook.withColumnRenamed("sub", "c_sub")), "m"
+    ).select("vec_id", "m", "code", _l2sq(F.col("v_sub"), F.col("c_sub")).alias("d"))
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("code").asc()
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def pq_codes_table(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """The stored PQ index: (vec_id, pq_codes) with codes comma-joined
+    in subspace order — 8 bytes of code per vector standing in for 256
+    bytes of float32: the 32× compression that lets a 100 TB corpus's
+    index live in cluster RAM."""
+    codes = pq_encode(embeddings, pq_codebook(embeddings, m, ks), m)
+    return codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("m", "code"))).getField("code"),
+            ",",
+        ).alias("pq_codes")
+    )
+
+
+def pq_reconstruct(codes: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Decode: concatenate each vector's codebook entries in subspace
+    order. Reconstruction copies codebook floats verbatim (no
+    arithmetic), so both engines rebuild bit-identical vectors."""
+    return (
+        codes.join(F.broadcast(codebook), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("m", "sub"))).getField("sub")
+            ).alias("recon")
+        )
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOPK,
+    m: int = PQ_M, ks: int = PQ_KS,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the EXACT query scores RECONSTRUCTED
+    corpus vectors — after encoding, the ranking touches only codes +
+    codebook, never the original embeddings (the serving memory
+    story; with a transposed layout this becomes the classic
+    lookup-table ADC scan, same result). Recall loss vs brute force is
+    quantization error, measured by ``ext_sim_pq_recall``."""
+    cb = pq_codebook(embeddings, m, ks)
+    recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb)
+    scored = recon.join(F.broadcast(queries)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("recon"), F.col("q_embedding")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _ranked_topk(scored, k)
+
+
 def kmeans_refine(embeddings: DataFrame, iterations: int = 2) -> DataFrame:
     """Lloyd's k-means refinement of the coarse IVF quantizer: starting
     from the existing ``label`` assignment, alternate (centroid

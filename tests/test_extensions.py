@@ -528,3 +528,60 @@ def test_minhash_cross_corpus_directed_and_no_self_pairs(spark):
     assert (2, 4) not in got and (4, 2) not in got  # corpus-internal
     assert all(p[0] in (1, 3) and p[1] in (2, 4) for p in got)
     assert not any(p[0] == 3 for p in got)  # unrelated new doc pairs nothing
+
+
+# --- product quantization ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_pq_codebook_shape(spark, embs):
+    cb = sim.pq_codebook(embs).collect()
+    assert len(cb) == sim.PQ_M * sim.PQ_KS
+    assert all(len(r.sub) == sim.EMB_DIM // sim.PQ_M for r in cb)
+    assert {r.m for r in cb} == set(range(sim.PQ_M))
+    assert {r.code for r in cb} == set(range(sim.PQ_KS))
+
+
+def test_pq_self_encoding_is_lossless(spark, embs):
+    """Sampled codebook vectors reconstruct EXACTLY: their own
+    subvectors sit in the codebook at distance 0 (a tie only happens on
+    an identical subvector, which reconstructs identically anyway)."""
+    cb = sim.pq_codebook(embs)
+    recon = sim.pq_reconstruct(sim.pq_encode(embs, cb), cb)
+    joined = (
+        recon.filter(F.col("vec_id") < sim.PQ_KS)
+        .join(embs.select("vec_id", "embedding"), "vec_id")
+        .collect()
+    )
+    assert len(joined) == sim.PQ_KS
+    for r in joined:
+        assert list(r.recon) == list(r.embedding)
+
+
+def test_pq_codes_table_is_m_codes_per_vector(spark, embs):
+    rows = sim.pq_codes_table(embs).collect()
+    assert len(rows) == embs.count()
+    for r in rows[:50]:
+        codes = [int(c) for c in r.pq_codes.split(",")]
+        assert len(codes) == sim.PQ_M
+        assert all(0 <= c < sim.PQ_KS for c in codes)
+
+
+def test_pq_adc_topk_bounds_and_determinism(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    a = sim.pq_adc_topk(embs, queries).collect()
+    b = sim.pq_adc_topk(embs, queries).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    assert all(len(v) == sim.TOPK for v in per_q.values())
