@@ -500,6 +500,89 @@ def decontamination_flags(
     return train.join(ev, "g").select("train_doc_id", "eval_doc_id").distinct()
 
 
+SUBSTR_NGRAM = 8
+
+
+def substring_span_dedup(docs: DataFrame, n: int = SUBSTR_NGRAM) -> DataFrame:
+    """Exact substring-span dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" policy, word-gram
+    granularity): any ``n``-word span appearing in MORE THAN ONE
+    document is removed from every document except its lowest-doc_id
+    occurrence; the surviving tokens re-join in position order. This
+    catches shared boilerplate/quotes INSIDE otherwise-distinct
+    documents — the duplication mode doc-level MinHash/SimHash can't
+    see and line-level dedup only catches at line boundaries.
+
+    Plan at 100 TB: one token-level pass builds (doc, position,
+    gram-hash) occurrences — linear, the same row volume as the tfidf
+    pipeline; a single hash shuffle on the gram elects keepers
+    (min doc_id, map-side combinable); removal volume then follows
+    TRUE duplication, never corpus². No all-pairs join exists
+    anywhere: a span shared by k docs costs k rows, not k².
+
+    Within-doc repeats are NOT removed (nd counts distinct docs) —
+    intra-doc repetition is the repetition filter's job. Overlapping
+    removed spans merge naturally via the distinct covered-position
+    set. Returns (doc_id, n_tokens, n_removed, cleaned_text) for every
+    input document (short or fully-deduped docs included)."""
+    base = spread(docs).select("doc_id", words("text").alias("w"))
+    gram_text = "concat_ws(' ', " + ", ".join(
+        f"element_at(w, i + {j})" for j in range(n)
+    ) + ")"
+    gram_hash = f"cast(conv(substr(md5({gram_text}), 1, 15), 16, 10) as bigint)"
+    grams = base.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> struct(i AS i, {gram_hash} AS g))"
+        ).alias("gs"),
+    )
+    occ = explode_expensive(grams, "gs", "o").select(
+        "doc_id", F.col("o.i").alias("i"), F.col("o.g").alias("g")
+    )
+    keepers = (
+        occ.groupBy("g")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("g", "keeper")
+    )
+    removal = (
+        occ.join(keepers, "g")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "i")
+    )
+    covered = removal.select(
+        "doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("pos")
+    ).distinct()
+    toks = base.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "word"))).getField("word"),
+            " ",
+        ).alias("cleaned_text")
+    )
+    removed_counts = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+        .join(removed_counts, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -1814,6 +1814,69 @@ def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SUBSTR_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+
+
+@query(
+    "ext_dedup_substring_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(w) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(w) - 7),
+               i -> ('0x' || substr(md5({_SQL_SUBSTR_GRAM}), 1, 15))::BIGINT)) AS g
+      FROM t WHERE len(w) >= 8
+    ),
+    keepers AS (
+      SELECT g, min(doc_id) AS keeper FROM grams
+      GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    removal AS (
+      SELECT gr.doc_id, gr.i FROM grams gr
+      JOIN keepers k ON gr.g = k.g WHERE gr.doc_id <> k.keeper
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, i + j AS pos
+      FROM removal, generate_series(0, 7) AS s(j)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, unnest(w) AS word
+      FROM t
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.word
+      FROM toks tk LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT t.doc_id,
+           len(t.w)::BIGINT AS n_tokens,
+           coalesce(cv.n, 0)::BIGINT AS n_removed,
+           coalesce(k.txt, '') AS cleaned_text
+    FROM t
+    LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM covered GROUP BY doc_id) cv
+      USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS txt
+               FROM kept GROUP BY doc_id) k
+      USING (doc_id)
+    """,
+    tags=("ext", "dedup", "substring"),
+)
+def ext_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al.): 8-word spans appearing
+    in more than one document are cut from every doc but the
+    lowest-doc_id occurrence, and the survivors re-join in position
+    order — the shared-boilerplate/quotation duplication that
+    doc-level MinHash can't see and line-level dedup only catches at
+    line boundaries. One token-level pass, one gram-hash shuffle to
+    elect keepers, removal volume follows true duplication (a span
+    shared by k docs costs k rows, never k²). The full cleaned text of
+    every document is under the value hash."""
+    return dd.substring_span_dedup(_docs(spark, sf_dir))
+
+
 @query(
     "ext_multimodal_format_sniff",
     """

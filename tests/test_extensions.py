@@ -585,3 +585,53 @@ def test_pq_adc_topk_bounds_and_determinism(spark, embs):
         per_q.setdefault(r.query_id, []).append(r)
         assert r.neighbor_id != r.query_id
     assert all(len(v) == sim.TOPK for v in per_q.values())
+
+
+# --- substring-span dedup ----------------------------------------------------
+
+
+def test_substring_span_dedup_removes_shared_span_from_non_keeper(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    rows = [
+        (1, f"intro one {shared} outro one"),
+        (2, f"other beginning {shared} different ending here"),
+        (3, "totally unrelated text with fewer than eight shared words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in dd.substring_span_dedup(docs).collect()}
+
+    # keeper (lowest doc_id) keeps the span intact
+    assert got[1].n_removed == 0
+    assert got[1].cleaned_text == rows[0][1].lower()
+    # non-keeper loses exactly the 8 shared tokens
+    assert got[2].n_removed == 8
+    assert got[2].cleaned_text == "other beginning different ending here"
+    # untouched doc round-trips
+    assert got[3].n_removed == 0
+    assert got[3].cleaned_text == rows[2][1].lower()
+    assert got[3].n_tokens == 9
+
+
+def test_substring_span_dedup_overlapping_spans_merge(spark):
+    # 10 shared words => three overlapping dup 8-grams in doc 2; the
+    # covered set must merge to exactly 10 removed tokens, not 24.
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(1, f"keeper text {shared}"), (2, f"{shared} trailing words")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dd.substring_span_dedup(docs).collect()}
+    assert got[2].n_removed == 10
+    assert got[2].cleaned_text == "trailing words"
+
+
+def test_substring_span_dedup_ignores_within_doc_repeats(spark):
+    span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(1, f"{span} middle {span}"), (2, "nothing in common with that")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dd.substring_span_dedup(docs).collect()}
+    # the repeat is intra-doc only: nd counts distinct docs, nothing removed
+    assert got[1].n_removed == 0
+    assert got[1].n_tokens == 17
