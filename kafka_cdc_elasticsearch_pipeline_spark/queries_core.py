@@ -1863,6 +1863,89 @@ def lake_skipping_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_metadata_only_stats",
+    """
+    SELECT count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts FROM events
+    """,
+    tags=("S2", "lake", "txnlog", "metadata-only"),
+)
+def lake_metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (lakelog.metadata_stats — Delta's
+    COUNT(*)-from-the-log optimization): COUNT/MIN/MAX answered from
+    the manifest's per-file stats WITHOUT opening one data file — the
+    commits already paid the O(delta) stat aggregates, so 'how many
+    rows, what date range?' is a driver-side JSON read at any table
+    size. The result must equal the full-scan aggregate over events;
+    stat-less snapshots raise instead of guessing (pinned in
+    tests/test_lakelog_skipping.py)."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_meta_") as tmp:
+        table = f"{tmp}/events_log"
+        for i in range(4):
+            lakelog.append_commit(
+                spark,
+                table,
+                ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i),
+                stat_cols=["ts"],
+            )
+        stats = lakelog.metadata_stats(table, cols=["ts"])
+        mn, mx = stats["cols"]["ts"]
+        return spark.range(1).select(
+            F.lit(stats["n_rows"]).cast("bigint").alias("n_rows"),
+            F.lit(mn).cast("timestamp").alias("min_ts"),
+            F.lit(mx).cast("timestamp").alias("max_ts"),
+        )
+
+
+@query(
+    "lake_bloom_point_lookup",
+    f"""
+    SELECT {_EVENT_COLS_SQL} FROM events WHERE event_id = 4242
+    """,
+    tags=("S2", "P8", "lake", "bloom"),
+)
+def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through per-file BLOOM filters: event_id is
+    hash-distributed across the four appended batches, so every file's
+    [min, max] spans the whole id domain and range stats prune NOTHING
+    — the situation every high-cardinality key (doc id, user id) is in
+    on an unclustered table. The bloom bitmaps recorded at commit time
+    prove absence for the files that cannot hold the key (false
+    negatives impossible, false positives just scan); the query
+    asserts range stats alone keep everything while bloom pruning
+    actually skips files, then returns the looked-up row, which must
+    equal the plain filtered scan."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_bloom_") as tmp:
+        table = f"{tmp}/events_log"
+        for i in range(4):
+            lakelog.append_commit(
+                spark,
+                table,
+                ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i).coalesce(1),
+                stat_cols=["event_id"],
+                bloom_cols=["event_id"],
+                bloom_m=65536,  # ~26 bits/key at sf0.01 batch sizes
+            )
+        manifest = lakelog.read_manifest(table, lakelog.latest_version(table))
+        _, skipped = lakelog.plan_scan(table, manifest, [("event_id", "==", 4242)])
+        assert skipped >= 1, "bloom should refute files without the key"
+        return (
+            lakelog.read(spark, table, where=[("event_id", "==", 4242)])
+            .select(*EVENT_COLS)
+            .localCheckpoint()
+        )
+
+
+@query(
     "lake_cdc_deletes_tombstone_read",
     f"""
     SELECT {', '.join(EVENT_COLS)}

@@ -105,8 +105,10 @@ def read_manifest(table: str, version: int) -> dict:
 # statistics still apply inside the surviving files; manifest stats act
 # one level up, at file-listing time, where the driver cost lives.
 #
-# Representation: numbers (int/float) are stored natively; everything
-# else (timestamp, date, string) is stored as ``str(value)`` — Spark's
+# Representation: a per-file entry is ``{"n": row_count, "cols": {col:
+# [min, max]}, "bloom": {col: {"m", "k", "b64"}}}``. Numbers
+# (int/float) are stored natively in [min, max]; everything else
+# (timestamp, date, string) is stored as ``str(value)`` — Spark's
 # timestamp str() is '%Y-%m-%d %H:%M:%S[.ffffff]', which compares
 # correctly as a string, so predicate values for non-numeric columns
 # must be passed in the same lexicographically-ordered form. min/max
@@ -114,8 +116,27 @@ def read_manifest(table: str, version: int) -> dict:
 # null-rejecting, a file whose non-null range cannot match is safely
 # pruned even if it also holds nulls, and an all-null file ([None,
 # None]) is always pruned.
+#
+# Bloom filters (``bloom_cols``) cover the case min/max cannot: a
+# POINT LOOKUP on a high-cardinality, unclustered key (user_id, doc
+# id), where every file's [min, max] spans the whole domain and range
+# stats prune nothing. Each file stores a base64-packed ``m``-bit
+# bitmap; a value sets ``k`` md5-derived bits, and an equality probe
+# keeps the file only if ALL k bits are set. False positives cost a
+# wasted scan (correct, just slower); false negatives are impossible —
+# the same guarantee as Parquet/Delta bloom indexes. Size ``m`` to
+# ~10 bits per expected distinct value per file (the default suits
+# file row-groups up to a few hundred distinct keys; pass
+# ``bloom_m``). The md5 bit derivation is computed identically
+# JVM-side (at commit) and Python-side (at prune), which is why the
+# hash is md5-over-string rather than an engine-private hash; bloom
+# columns must therefore be int or string (their Spark string cast
+# equals Python ``str()``).
 
 _PRUNE_OPS = ("==", "<", "<=", ">", ">=")
+
+BLOOM_BITS = 4096
+BLOOM_K = 4
 
 
 def _stat_value(v):
@@ -124,39 +145,122 @@ def _stat_value(v):
     return str(v)
 
 
+def _bloom_bits_py(value, m: int = BLOOM_BITS, k: int = BLOOM_K) -> list[int]:
+    """The k bit positions of ``value`` — Python twin of the JVM
+    expression in :func:`collect_file_stats` (md5 over the string form,
+    first 60 bits, mod table size)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}#{j}".encode()).hexdigest()[:15], 16) % m
+        for j in range(k)
+    ]
+
+
+def _pack_bloom(positions, m: int, k: int) -> dict:
+    import base64
+
+    buf = bytearray(m // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(buf)).decode()}
+
+
+def _bloom_has(bloom: dict, value) -> bool:
+    import base64
+
+    buf = base64.b64decode(bloom["b64"])
+    return all(
+        buf[p >> 3] & (1 << (p & 7))
+        for p in _bloom_bits_py(value, bloom["m"], bloom["k"])
+    )
+
+
 def collect_file_stats(
-    spark: SparkSession, abs_dir: str, stat_cols: Sequence[str]
-) -> dict[str, dict[str, list]]:
-    """Per-file [min, max] for ``stat_cols`` over one just-written data
-    directory: a single O(delta) aggregate job grouped on
-    ``input_file_name()`` — the table is never rescanned."""
+    spark: SparkSession,
+    abs_dir: str,
+    stat_cols: Sequence[str],
+    bloom_cols: Sequence[str] = (),
+    bloom_m: int = BLOOM_BITS,
+    bloom_k: int = BLOOM_K,
+) -> dict[str, dict]:
+    """Per-file stats for one just-written data directory: row count,
+    [min, max] per ``stat_cols``, bloom bitmaps per ``bloom_cols`` —
+    ONE O(delta) aggregate job grouped on ``input_file_name()``; the
+    table is never rescanned."""
     df = spark.read.parquet(abs_dir)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
+    for c in bloom_cols:
+        for j in range(bloom_k):
+            bit = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(c).cast("string"), F.lit(f"#{j}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint") % bloom_m
+            aggs.append(
+                F.collect_set(F.when(F.col(c).isNotNull(), bit)).alias(
+                    f"__bl_{j}_{c}"
+                )
+            )
     rows = (
         df.groupBy(F.input_file_name().alias("__file"))
         .agg(*aggs)
         .collect()  # bounded: one row per data file in ONE delta dir
     )
-    out: dict[str, dict[str, list]] = {}
+    out: dict[str, dict] = {}
     for r in rows:
         rel = os.path.basename(r["__file"])
-        out[rel] = {
-            c: [_stat_value(r[f"__mn_{c}"]), _stat_value(r[f"__mx_{c}"])]
-            for c in stat_cols
-        }
+        entry: dict = {"n": r["__n"]}
+        if stat_cols:
+            entry["cols"] = {
+                c: [_stat_value(r[f"__mn_{c}"]), _stat_value(r[f"__mx_{c}"])]
+                for c in stat_cols
+            }
+        if bloom_cols:
+            entry["bloom"] = {
+                c: _pack_bloom(
+                    set().union(*(r[f"__bl_{j}_{c}"] for j in range(bloom_k))),
+                    bloom_m,
+                    bloom_k,
+                )
+                for c in bloom_cols
+            }
+        out[rel] = entry
+    # Zero-row part files produce no aggregate group but still exist on
+    # disk: record them as empty (prunable by everything, n = 0) so
+    # metadata-only aggregation stays exact.
+    for f in os.listdir(abs_dir):
+        if f.endswith(".parquet") and f not in out:
+            entry = {"n": 0}
+            if stat_cols:
+                entry["cols"] = {c: [None, None] for c in stat_cols}
+            if bloom_cols:
+                entry["bloom"] = {
+                    c: _pack_bloom((), bloom_m, bloom_k) for c in bloom_cols
+                }
+            out[f] = entry
     return out
 
 
-def _file_may_match(stats: dict[str, list], col: str, op: str, value) -> bool:
-    """Conservative: True unless the file's [min, max] PROVES no row can
+def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
+    """Conservative: True unless the file's stats PROVE no row can
     satisfy ``col op value``. Unknown column or type-mismatched bound
     keeps the file."""
-    if col not in stats:
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"unsupported prune op {op!r}; use one of {_PRUNE_OPS}")
+    bloom = entry.get("bloom", {})
+    if op == "==" and col in bloom:
+        if not _bloom_has(bloom[col], value):
+            return False
+    cols = entry.get("cols", {})
+    if col not in cols:
         return True
-    mn, mx = stats[col]
+    mn, mx = cols[col]
     if mn is None and mx is None:
         return False  # all-null file; every supported op is null-rejecting
     pv = _stat_value(value)
@@ -174,7 +278,57 @@ def _file_may_match(stats: dict[str, list], col: str, op: str, value) -> bool:
         return mn <= pv
     if op == "<":
         return mn < pv
-    raise ValueError(f"unsupported prune op {op!r}; use one of {_PRUNE_OPS}")
+    raise AssertionError("unreachable")
+
+
+def metadata_stats(
+    table: str, version: int | None = None, cols: Sequence[str] = ()
+) -> dict:
+    """Answer COUNT(*)/MIN/MAX from the manifest ALONE — zero data
+    files opened (Delta's metadata-only query optimization). At 100 TB
+    this turns "how many rows, what date range?" from a full scan into
+    a driver-side JSON read: the numbers were already paid for, one
+    O(delta) aggregate per commit.
+
+    Returns ``{"n_rows": int, "cols": {c: [min, max]}}``. Raises
+    ``ValueError`` if any file in the snapshot lacks the needed stats
+    (older stat-less commits) — the caller must fall back to a scan
+    rather than get a silently wrong answer."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = read_manifest(table, v)
+    all_stats = manifest.get("file_stats", {})
+    n_rows = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for d in manifest["data_dirs"]:
+        abs_dir = os.path.join(table, d)
+        dir_stats = all_stats.get(d, {})
+        files = [f for f in os.listdir(abs_dir) if f.endswith(".parquet")]
+        for f in files:
+            entry = dir_stats.get(f)
+            if entry is None or "n" not in entry:
+                raise ValueError(
+                    f"{d}/{f} has no recorded stats; metadata-only "
+                    "aggregation would be wrong — fall back to a scan"
+                )
+            n_rows += entry["n"]
+            for c in cols:
+                if c not in entry.get("cols", {}):
+                    raise ValueError(
+                        f"{d}/{f} has no [min, max] for {c!r}; fall back "
+                        "to a scan"
+                    )
+                mn, mx = entry["cols"][c]
+                if mn is not None and (c not in mins or mn < mins[c]):
+                    mins[c] = mn
+                if mx is not None and (c not in maxs or mx > maxs[c]):
+                    maxs[c] = mx
+    return {
+        "n_rows": n_rows,
+        "cols": {c: [mins.get(c), maxs.get(c)] for c in cols},
+    }
 
 
 def plan_scan(
@@ -259,6 +413,8 @@ def commit(
     count_rows: bool = False,
     inherit_dirs: Sequence[str] | None = None,
     stat_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_m: int = BLOOM_BITS,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit it as
     the next version. Returns the committed version.
@@ -276,11 +432,13 @@ def commit(
     it costs an extra scan job over the just-written snapshot, which at
     scale is per-commit overhead for a metadata nicety.
 
-    ``stat_cols``: record per-file [min, max] of these columns for the
-    NEW data directory (one O(delta) aggregate — see
-    :func:`collect_file_stats`); inherited directories carry their
-    stats forward from the parent manifest unchanged. Readers use them
-    for file skipping (:func:`plan_scan`).
+    ``stat_cols`` / ``bloom_cols``: record per-file row counts,
+    [min, max] ranges and equality bloom bit-sets for the NEW data
+    directory (one O(delta) aggregate — see :func:`collect_file_stats`);
+    inherited directories carry their stats forward from the parent
+    manifest unchanged. Readers use them for file skipping
+    (:func:`plan_scan`) and metadata-only aggregates
+    (:func:`metadata_stats`).
     """
     os.makedirs(_log_path(table), exist_ok=True)
     parent = latest_version(table)
@@ -298,9 +456,10 @@ def commit(
         file_stats.update(
             {d: parent_stats[d] for d in inherit_dirs if d in parent_stats}
         )
-    if stat_cols:
+    if stat_cols or bloom_cols:
         file_stats[data_dir] = collect_file_stats(
-            df.sparkSession, abs_dir, stat_cols
+            df.sparkSession, abs_dir, stat_cols or (), bloom_cols or (),
+            bloom_m=bloom_m,
         )
     manifest = {
         "version": version,
@@ -369,6 +528,8 @@ def append_commit(
     df: DataFrame,
     max_retries: int = 3,
     stat_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_m: int = BLOOM_BITS,
 ) -> int:
     """APPEND as an O(delta) commit: version N+1 references the
     parent's data dirs unchanged plus one new delta dir holding only
@@ -389,6 +550,8 @@ def append_commit(
                 expect_parent=parent,
                 inherit_dirs=dirs,
                 stat_cols=stat_cols,
+                bloom_cols=bloom_cols,
+                bloom_m=bloom_m,
             )
         except CommitConflict:
             continue
@@ -441,6 +604,7 @@ def compact(
     cluster_by: Sequence[str] | None = None,
     n_files: int | None = None,
     stat_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
     zorder_bits: int = 8,
 ) -> int:
     """Rewrite the latest snapshot as ONE data directory and commit it
@@ -479,6 +643,7 @@ def compact(
                 "compact",
                 expect_parent=parent,
                 stat_cols=stat_cols,
+                bloom_cols=bloom_cols,
             )
         except CommitConflict:
             continue

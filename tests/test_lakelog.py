@@ -110,7 +110,7 @@ def test_merge_retry_converges_after_race(spark, tmp_path, monkeypatch):
     real_commit = lakelog.commit
     raced = {"done": False}
 
-    def racing_commit(tbl, df, op, expect_parent=None):
+    def racing_commit(tbl, df, op, expect_parent=None, **kw):
         if not raced["done"]:
             raced["done"] = True
             # a competing MERGE writer lands version 2 first (commits
@@ -119,7 +119,7 @@ def test_merge_retry_converges_after_race(spark, tmp_path, monkeypatch):
             real_commit(
                 tbl, _rows(spark, [(1, 10, 100), (2, 20, 200)]), "merge_upsert"
             )
-        return real_commit(tbl, df, op, expect_parent=expect_parent)
+        return real_commit(tbl, df, op, expect_parent=expect_parent, **kw)
 
     monkeypatch.setattr(lakelog, "commit", racing_commit)
     lakelog.merge_upsert_versioned(

@@ -39,10 +39,11 @@ def test_commit_records_per_file_stats(spark, tmp_path):
     man = lakelog.read_manifest(t, 1)
     stats = man["file_stats"][man["data_dirs"][0]]
     assert len(stats) >= 2  # several part files
-    ks = [s["k"] for s in stats.values()]
+    assert sum(s["n"] for s in stats.values()) == 1000
+    ks = [s["cols"]["k"] for s in stats.values()]
     assert min(mn for mn, _ in ks) == 0
     assert max(mx for _, mx in ks) == 999
-    for mn, mx in (s["v"] for s in stats.values()):
+    for mn, mx in (s["cols"]["v"] for s in stats.values()):
         assert mn % 2 == 0 and mx % 2 == 0
 
 
@@ -63,18 +64,31 @@ def test_commit_records_per_file_stats(spark, tmp_path):
     ],
 )
 def test_file_may_match_ops(op, val, expect):
-    stats = {"c": [0, 10]}
-    assert lakelog._file_may_match(stats, "c", op, val) is expect
+    entry = {"cols": {"c": [0, 10]}}
+    assert lakelog._file_may_match(entry, "c", op, val) is expect
 
 
 def test_file_may_match_edge_cases():
     # all-null file: every supported op is null-rejecting => prune
-    assert lakelog._file_may_match({"c": [None, None]}, "c", ">=", 0) is False
+    e = {"cols": {"c": [None, None]}}
+    assert lakelog._file_may_match(e, "c", ">=", 0) is False
     # unknown column or kind mismatch: keep (never guess an ordering)
-    assert lakelog._file_may_match({"c": [0, 10]}, "other", "==", 5) is True
-    assert lakelog._file_may_match({"c": ["a", "z"]}, "c", ">=", 5) is True
+    assert lakelog._file_may_match({"cols": {"c": [0, 10]}}, "other", "==", 5) is True
+    assert lakelog._file_may_match({"cols": {"c": ["a", "z"]}}, "c", ">=", 5) is True
     with pytest.raises(ValueError):
-        lakelog._file_may_match({"c": [0, 10]}, "c", "!=", 5)
+        lakelog._file_may_match({"cols": {"c": [0, 10]}}, "c", "!=", 5)
+
+
+def test_file_may_match_bloom():
+    bits = lakelog._bloom_bits_py(42)
+    entry = {"bloom": {"c": lakelog._pack_bloom(bits, lakelog.BLOOM_BITS, lakelog.BLOOM_K)}}
+    assert lakelog._file_may_match(entry, "c", "==", 42) is True
+    # a value whose bits are absent is provably not in the file
+    other = lakelog._bloom_bits_py(43)
+    assert set(other) != set(bits)
+    assert lakelog._file_may_match(entry, "c", "==", 43) is False
+    # bloom never affects range ops
+    assert lakelog._file_may_match(entry, "c", ">=", 43) is True
 
 
 def test_append_commits_inherit_stats_and_prune(spark, tmp_path):
@@ -189,3 +203,55 @@ def test_zorder_key_null_and_constant_columns(spark):
     assert zs[None] == 0
     assert zs[1.0] == 0  # min of range -> bucket 0
     assert zs[2.0] > zs[1.0]
+
+
+def test_bloom_point_lookup_prunes_unclustered_files(spark, tmp_path):
+    """Keys hash-distributed across files: every file's [min, max]
+    spans the domain (range stats prune nothing), but the bloom
+    bit-sets prove absence for most files on a point lookup."""
+    t = _table(tmp_path, "tb")
+    # 16 files, each holding a DISJOINT but interleaved key set whose
+    # min/max nearly spans [0, 4096)
+    df = spark.range(0, 4096).select(F.col("id").alias("k"))
+    lakelog.commit(
+        t, df.repartition(16, "k"), "full", stat_cols=["k"], bloom_cols=["k"]
+    )
+    man = lakelog.read_manifest(t, 1)
+
+    # range predicate on the hash-distributed key: useless
+    kept_r, skipped_r = lakelog.plan_scan(t, man, [("k", ">=", 4000)])
+    assert skipped_r == 0
+
+    # point lookup: bloom prunes most files (k=1234 lives in exactly one)
+    kept_p, skipped_p = lakelog.plan_scan(t, man, [("k", "==", 1234)])
+    assert skipped_p >= 8, f"bloom should prune most files, skipped {skipped_p}"
+    got = lakelog.read(spark, t, where=[("k", "==", 1234)]).collect()
+    assert [r.k for r in got] == [1234]
+
+    # absent key: may prune everything, result must still be empty+typed
+    got2 = lakelog.read(spark, t, where=[("k", "==", 99999)])
+    assert got2.count() == 0 and got2.columns == ["k"]
+
+
+def test_metadata_only_stats(spark, tmp_path):
+    t = _table(tmp_path, "tm")
+    for lo in (0, 500, 1000):
+        lakelog.append_commit(
+            spark,
+            t,
+            spark.range(lo, lo + 500).select(F.col("id").alias("k")),
+            stat_cols=["k"],
+        )
+    stats = lakelog.metadata_stats(t, cols=["k"])
+    assert stats["n_rows"] == 1500
+    assert stats["cols"]["k"] == [0, 1499]
+    # time travel: version 2's metadata reflects only two appends
+    stats_v2 = lakelog.metadata_stats(t, version=2, cols=["k"])
+    assert stats_v2["n_rows"] == 1000 and stats_v2["cols"]["k"] == [0, 999]
+
+
+def test_metadata_stats_refuses_statless_snapshots(spark, tmp_path):
+    t = _table(tmp_path, "tn")
+    lakelog.commit(t, spark.range(5).select(F.col("id").alias("k")), "full")
+    with pytest.raises(ValueError, match="fall back"):
+        lakelog.metadata_stats(t)
