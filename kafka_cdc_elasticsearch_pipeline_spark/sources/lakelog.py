@@ -415,9 +415,17 @@ def commit(
     stat_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
     bloom_m: int = BLOOM_BITS,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit it as
     the next version. Returns the committed version.
+
+    ``txn`` — ``(app_id, batch_id)`` — records an application
+    transaction watermark in the manifest (Delta's txnAppId/txnVersion
+    idempotence pattern; see :func:`txn_append_commit`). Watermarks
+    from the parent manifest are ALWAYS carried forward, whatever the
+    operation — compaction or a merge must never amnesia a sink's
+    exactly-once state.
 
     Without ``inherit_dirs`` the new version is a FULL snapshot (one
     data dir). With ``inherit_dirs`` (the parent's data dirs) the new
@@ -461,12 +469,19 @@ def commit(
             df.sparkSession, abs_dir, stat_cols or (), bloom_cols or (),
             bloom_m=bloom_m,
         )
+    txns: dict[str, int] = {}
+    if parent is not None:
+        txns.update(read_manifest(table, parent).get("txns", {}))
+    if txn is not None:
+        txns[txn[0]] = txn[1]
     manifest = {
         "version": version,
         "parent": parent,
         "operation": operation,
         "data_dirs": list(inherit_dirs or []) + [data_dir],
     }
+    if txns:
+        manifest["txns"] = txns
     if file_stats:
         manifest["file_stats"] = file_stats
     if count_rows:
@@ -556,6 +571,56 @@ def append_commit(
         except CommitConflict:
             continue
     raise CommitConflict(f"append into {table} lost {max_retries + 1} races")
+
+
+def txn_append_commit(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    app_id: str,
+    batch_id: int,
+    max_retries: int = 3,
+    stat_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+) -> int | None:
+    """IDEMPOTENT append — the exactly-once lake sink for an
+    at-least-once stream (Delta's txnAppId/txnVersion pattern): the
+    manifest tracks, per ``app_id``, the highest ``batch_id`` already
+    committed; a redelivered batch (foreachBatch replay after a crash,
+    a double-delivering upstream) is recognized BY THE TABLE and
+    skipped, so the append lands exactly once no matter how many times
+    the sink retries it. Returns the committed version, or None if the
+    batch was already in (the skip is the success path, not an error).
+
+    Why the watermark lives in the manifest and not the sink: the
+    check and the append commit ATOMICALLY (same manifest link), so a
+    crash between "did I write it?" and "did I record that I wrote
+    it?" cannot exist — the two are one filesystem operation. Batch
+    ids must be monotonically increasing per app (Structured
+    Streaming's foreachBatch contract)."""
+    for _ in range(max_retries + 1):
+        parent = latest_version(table)
+        if parent is not None:
+            manifest = read_manifest(table, parent)
+            if manifest.get("txns", {}).get(app_id, -1) >= batch_id:
+                return None  # already committed: replay is a no-op
+            dirs = manifest["data_dirs"]
+        else:
+            dirs = []
+        try:
+            return commit(
+                table,
+                df,
+                "txn_append",
+                expect_parent=parent,
+                inherit_dirs=dirs,
+                stat_cols=stat_cols,
+                bloom_cols=bloom_cols,
+                txn=(app_id, batch_id),
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"txn append into {table} lost {max_retries + 1} races")
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:

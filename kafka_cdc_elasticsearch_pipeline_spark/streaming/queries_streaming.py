@@ -836,6 +836,80 @@ def lake_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_streaming_append_exactly_once",
+    f"SELECT {', '.join(EVENT_COLS)} FROM events",
+    tags=("T5", "S2", "R2", "lake", "txnlog", "streaming", "exactly-once"),
+)
+def lake_streaming_append_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingest into the transaction-log lake:
+    an at-least-once stream (every micro-batch is deliberately
+    DELIVERED TWICE, and the query is killed after 3 of 6 batches and
+    restarted) appends through ``lakelog.txn_append_commit``, which
+    records per-app batch watermarks in the SAME manifest link that
+    commits the data — the dedup check and the append are one atomic
+    filesystem operation, so "wrote the data but lost the marker" has
+    no window to happen in. The final table must equal the full events
+    table EXACTLY: without the idempotence the doubled deliveries
+    would double every row and the value hash would explode. This is
+    Delta's txnAppId/txnVersion contract rebuilt on the manifest log
+    (the MERGE twin above absorbs redelivery via last-write-wins; this
+    absorbs it for pure appends, where rewriting is not a no-op)."""
+    import os
+    import shutil
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        open_stream,
+        reveal,
+        stage_replay_files,
+    )
+
+    tmp, parts, schema = stage_replay_files(
+        spark, sf_dir, "events", chunks=6, order_col="ts"
+    )
+    try:
+        ckpt = os.path.join(tmp, "ckpt")
+        table = os.path.join(tmp, "lake_table")
+
+        def sink(batch_df, batch_id):
+            first = lakelog.txn_append_commit(
+                spark, table, batch_df, app_id="ingest", batch_id=batch_id
+            )
+            # simulated at-least-once upstream: the same batch arrives
+            # again; the table itself must recognize and skip it
+            second = lakelog.txn_append_commit(
+                spark, table, batch_df, app_id="ingest", batch_id=batch_id
+            )
+            assert first is not None and second is None
+
+        def run() -> None:
+            q = (
+                open_stream(spark, tmp, schema)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        reveal(tmp, parts[:3])
+        run()  # dies caught-up after 3 batches (6 deliveries)
+        reveal(tmp, parts[3:])
+        run()  # restart: offsets resume, doubled deliveries keep skipping
+        assert lakelog.read_manifest(table, lakelog.latest_version(table))[
+            "txns"
+        ] == {"ingest": 5}
+        return (
+            lakelog.read(spark, table)
+            .select(*EVENT_COLS)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "ext_streaming_media_decode",
     """
     SELECT doc_id,

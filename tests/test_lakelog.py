@@ -172,3 +172,42 @@ def test_append_commit_is_o_delta_and_compact_restores_layout(spark, tmp_path):
     removed = lakelog.vacuum(table, keep_last=1, min_age_s=0.0)
     assert len(removed) == 4
     assert lakelog.read(spark, table).count() == total
+
+
+def test_txn_append_skips_redelivered_batch(spark, tmp_path):
+    t = str(tmp_path / "txn")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    assert lakelog.txn_append_commit(spark, t, df, "app", 0) == 1
+    # redelivery of batch 0: skipped, table unchanged
+    assert lakelog.txn_append_commit(spark, t, df, "app", 0) is None
+    assert lakelog.latest_version(t) == 1
+    assert lakelog.read(spark, t).count() == 10
+    # a LATE older batch id is also refused (watermark is monotone)
+    assert lakelog.txn_append_commit(spark, t, df, "app", 1) == 2
+    assert lakelog.txn_append_commit(spark, t, df, "app", 0) is None
+    assert lakelog.read(spark, t).count() == 20
+
+
+def test_txn_watermarks_survive_compaction_and_merge(spark, tmp_path):
+    t = str(tmp_path / "txn2")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("user_id"), F.col("id").alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    lakelog.txn_append_commit(spark, t, df, "app", 7)
+    lakelog.compact(spark, t)
+    # compaction must not amnesia the sink's exactly-once state
+    assert lakelog.read_manifest(t, lakelog.latest_version(t))["txns"] == {"app": 7}
+    assert lakelog.txn_append_commit(spark, t, df, "app", 7) is None
+    lakelog.merge_upsert_versioned(spark, t, df, ["user_id"], "ts", "event_id")
+    assert lakelog.read_manifest(t, lakelog.latest_version(t))["txns"] == {"app": 7}
+
+
+def test_txn_watermarks_are_per_app(spark, tmp_path):
+    t = str(tmp_path / "txn3")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    lakelog.txn_append_commit(spark, t, df, "app_a", 3)
+    # a different app's batch 0 is NOT blocked by app_a's watermark
+    assert lakelog.txn_append_commit(spark, t, df, "app_b", 0) == 2
+    man = lakelog.read_manifest(t, 2)
+    assert man["txns"] == {"app_a": 3, "app_b": 0}
