@@ -92,16 +92,28 @@ def _latest_green_round() -> dict[str, int]:
 
 
 def _ordered_names() -> list[str]:
+    # Priority = staleness risk against the ~50-row gate window.
+    # Never-gated queries need their FIRST hard signal, but rows whose
+    # last green is >= 2 rounds old are about to age past the
+    # "no signal older than ~2 rounds" bar and code churns under them
+    # every round — so severely-stale rows (green <= R-2, where R is
+    # the latest recorded round) outrank first-signals, which in turn
+    # outrank mildly-stale rows (R-1, R). A first-signal pushed one
+    # round is still covered locally (tools/check_oracle.py + pytest
+    # run every registered query's oracle); a 3-round-stale green is
+    # covered by nothing current.
     names = [n for n in QUERIES if n not in _GATE_EXCLUDE]
     reg_pos = {n: i for i, n in enumerate(names)}
     rounds = _latest_green_round()
+    latest_round = max(rounds.values(), default=0)
     first = [n for n in _GATE_FIRST if n in names]
-    fresh = [n for n in names if n not in first and n not in rounds]
-    rest = sorted(
-        (n for n in names if n not in first and n in rounds),
-        key=lambda n: (rounds[n], reg_pos[n]),
-    )
-    return first + fresh + rest
+    fresh_key = latest_round - 1.5  # between R-2 (severely stale) and R-1
+
+    def key(n: str):
+        return (rounds.get(n, fresh_key), reg_pos[n])
+
+    rest = sorted((n for n in names if n not in first), key=key)
+    return first + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
