@@ -268,3 +268,23 @@ def test_png_decode_single_python_chain_no_shuffle_between_stages(plans):
     p = plans("ext_multimodal_png_decode")
     assert p.count("Exchange") <= 1  # the spread() repartition only
     assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_substring_span_dedup_no_cartesian(plans):
+    """Substring-span dedup is a token explode + gram-hash equi-joins;
+    any cartesian/NLJ would be O(corpus²) token pairs."""
+    p = plans("ext_dedup_substring_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_encode_broadcasts_codebook(plans):
+    """PQ encode: the corpus scans once against a BROADCAST codebook
+    (KB-sized at any corpus size — the point of PQ); the corpus side
+    must never shuffle for the scoring join."""
+    p = plans("ext_sim_pq_codes")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the argmin is a window over (vec_id, m) — a hash shuffle of narrow
+    # (vec_id, m, code, d) rows, not a sort-merge join of data
+    assert "SortMergeJoin" not in p

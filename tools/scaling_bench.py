@@ -128,6 +128,7 @@ def main() -> int:
         "exact_dedup": lambda d: dd.exact_dedup(d).count(),
         "minhash_lsh_pairs": lambda d: dd.minhash_lsh_pairs(d).count(),
         "ngram_jaccard_pairs": lambda d: dd.ngram_jaccard_pairs(d).count(),
+        "substring_spans": lambda d: dd.substring_span_dedup(d).count(),
         "simhash_pairs": lambda d: dd.simhash_pairs(d).count(),
         "quality_score": lambda d: tx.quality_score(d).count(),
         "gopher_rules": lambda d: tx.gopher_rules(d).count(),
@@ -143,6 +144,7 @@ def main() -> int:
             v, threshold=0.9, bits=32, bands=2
         ).count(),
         "quantize_int8": lambda v: sim.quantize_int8(v).count(),
+        "pq_encode": lambda v: sim.pq_codes_table(v).count(),
     }
 
     results: dict[str, dict[int, float]] = {k: {} for k in (*ops, *vec_ops)}
@@ -266,6 +268,14 @@ def main() -> int:
             "\nVector ops (`rhp_lsh_neardup`, `quantize_int8`) run on "
             "synthetic 64-dim embeddings with 1% planted exact duplicates; "
             "the RHP verify threshold is 0.9 (near-dup regime) with 16-bit bands (bits=32) — 8-bit bands were measured ~quadratic past 20k vectors (73s @ 80k), the vector twin of the SimHash signature-width finding below; exact duplicates collide at any band width.\n"
+            "\n`substring_spans` (r05) is the Lee-et-al. exact span dedup: "
+            "a token-level explode (~60 rows/doc, same volume class as "
+            "tfidf), one gram-hash shuffle electing keepers, removal rows "
+            "proportional to TRUE duplication — on this corpus the 1% "
+            "planted dup docs. `pq_encode` (r05) is the product-"
+            "quantization index build: corpus × (broadcast 128-entry "
+            "codebook) scoring + a map-side-combinable argmin — a strictly "
+            "per-row pass, so its marginal cost must stay flat.\n"
         )
         f.write(FINDING)
         if tail:
