@@ -800,6 +800,51 @@ def ext_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_sim_ivfpq_topk",
+    f"""
+    WITH {_SQL_PQ_CTES},
+    recon AS (
+      SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+      FROM pq_codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+      GROUP BY c.vec_id
+    ),
+    cents AS ({_SQL_CENTROIDS}),
+    ranked_probes AS (
+      SELECT q.vec_id AS query_id, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_COS_CENT.replace("e.embedding", "q.embedding")} DESC, c.label
+             ) AS pr
+      FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.query_id, r.vec_id AS neighbor_id, {_SQL_COS_RECON} AS cosine,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+      FROM ranked_probes p
+      JOIN embeddings e ON e.label = p.probe_label
+      JOIN recon r ON r.vec_id = e.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE p.pr <= 2 AND r.vec_id <> p.query_id
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "ivf", "pq"),
+)
+def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (the FAISS/SCaNN composition): the coarse quantizer
+    probes each query's 2 best buckets, PQ codes score the candidates —
+    compute bounded by the probe fraction, memory by the 8-byte codes.
+    The full ranked answer is under the value hash; its two error
+    sources are measured separately by ext_sim_ivf_recall (bucket
+    misses) and ext_sim_pq_recall (quantization)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return sim.ivfpq_topk(embs, queries, sim.centroids(embs), nprobe=2)
+
+
 # --- text analysis -----------------------------------------------------------
 
 

@@ -547,6 +547,56 @@ def pq_adc_topk(
     return _ranked_topk(scored, k)
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int = TOPK,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """IVF-PQ — the industry-standard ANN index composed from this
+    module's two halves: the COARSE quantizer picks each query's
+    ``nprobe`` best buckets (candidate volume = nprobe/n_clusters of
+    the corpus), and PRODUCT-quantized codes score the candidates
+    (memory touched per candidate = m bytes + the broadcast codebook,
+    never the float vectors). At 100 TB: bucket probing bounds compute,
+    PQ bounds memory — which is exactly why FAISS/SCaNN-class systems
+    ship this composition. Both error sources (bucket misses,
+    quantization) are measured separately by ``ext_sim_ivf_recall``
+    and ``ext_sim_pq_recall``; this operator's ranked output is the
+    composed index's answer."""
+    cb = pq_codebook(embeddings, m, ks)
+    recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    scored_cents = queries.join(
+        F.broadcast(cents.select(F.col("label").alias("probe_label"), "centroid"))
+    ).select(
+        "query_id",
+        "q_embedding",
+        "probe_label",
+        F.round(cosine(F.col("q_embedding"), F.col("centroid")), 6).alias("cos_c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("probe_label").asc()
+    )
+    probes = (
+        scored_cents.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_embedding", "probe_label")
+    )
+    scored = recon.join(
+        F.broadcast(probes), recon["label"] == probes["probe_label"]
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("recon"), F.col("q_embedding")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _ranked_topk(scored, k)
+
+
 def kmeans_refine(embeddings: DataFrame, iterations: int = 2) -> DataFrame:
     """Lloyd's k-means refinement of the coarse IVF quantizer: starting
     from the existing ``label`` assignment, alternate (centroid

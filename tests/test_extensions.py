@@ -635,3 +635,29 @@ def test_substring_span_dedup_ignores_within_doc_repeats(spark):
     # the repeat is intra-doc only: nd counts distinct docs, nothing removed
     assert got[1].n_removed == 0
     assert got[1].n_tokens == 17
+
+
+def test_ivfpq_full_probe_equals_adc_bruteforce(spark, embs):
+    """nprobe = n_clusters degenerates IVF-PQ to plain ADC brute force
+    — the composed index's bucket stage must add no other effect."""
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = sim.centroids(embs)
+    n_clusters = cents.count()
+    full = sim.ivfpq_topk(embs, queries, cents, nprobe=n_clusters).collect()
+    adc = sim.pq_adc_topk(embs, queries).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, adc))
+
+
+def test_ivfpq_probe_restricts_candidates(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = sim.ivfpq_topk(embs, queries, sim.centroids(embs), nprobe=1).collect()
+    labels = {r.vec_id: r.label for r in embs.select("vec_id", "label").collect()}
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, set()).add(labels[r.neighbor_id])
+    # with nprobe=1 every neighbor comes from ONE bucket per query
+    assert all(len(ls) == 1 for ls in per_q.values())
