@@ -1206,6 +1206,68 @@ def ext_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+# Skewed source tag for the temperature-mix row (the harness corpus is
+# uniform 20×25): source k gets ~(2k+1)/400 of the docs, a 39× spread.
+_SQL_SKEW_SRC = (
+    "'src' || CAST(CAST(floor(sqrt(CAST(doc_id % 400 AS DOUBLE))) AS INT)"
+    " AS VARCHAR)"
+)
+
+
+@query(
+    "ext_curation_temperature_mix",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, {_SQL_SKEW_SRC} AS source FROM documents
+    ),
+    s AS (SELECT source, count(*)::BIGINT AS n FROM tagged GROUP BY source),
+    tot AS (SELECT sum(n)::BIGINT AS n_total FROM s),
+    w AS (SELECT source, n, n_total, sqrt(n::DOUBLE / n_total) AS w FROM s, tot),
+    ww AS (
+      SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                         (a, b) -> a + b) AS w_sum
+      FROM w
+    ),
+    cut AS (
+      SELECT source,
+             CAST(round(least(1.0, 0.5 * n_total * w / w_sum / n) * 10000.0)
+               AS BIGINT) AS cutoff
+      FROM w, ww
+    )
+    SELECT t.doc_id, t.source
+    FROM tagged t JOIN cut c USING (source)
+    WHERE ('0x' || substr(md5('temp_' || t.doc_id::VARCHAR), 1, 7))::BIGINT % 10000
+          < c.cutoff
+    """,
+    tags=("ext", "sampling", "curation", "temperature"),
+)
+def ext_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (sampling.temperature_resample,
+    the GPT-3/Pile α-weighting): at α=0.5 over a 39×-skewed source
+    distribution, big sources downsample toward √-proportional shares
+    while the smallest keep everything (rate caps at 1, no
+    replication). Every keep decision is a content-hash fact and the
+    whole per-source rate table derives from closed-form IEEE
+    arithmetic — the oracle replays the exact kept set. Map-only over
+    the corpus; the rate table is dim-sized and broadcast."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        temperature_resample,
+    )
+
+    tagged = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("src"),
+            F.floor(F.sqrt((F.col("doc_id") % 400).cast("double")))
+            .cast("int")
+            .cast("string"),
+        ).alias("source"),
+    )
+    return temperature_resample(
+        tagged, "source", "doc_id", alpha=0.5, budget_frac=0.5
+    ).select("doc_id", "source")
+
+
 @query(
     "ext_text_tfidf_top_terms",
     """

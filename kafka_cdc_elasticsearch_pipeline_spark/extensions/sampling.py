@@ -49,6 +49,75 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def temperature_resample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based source mixing (the GPT-3/Pile recipe): sample
+    source ``s`` with probability ∝ n_s^alpha instead of its natural
+    share n_s — ``alpha < 1`` flattens the mix so huge crawl sources
+    stop drowning small high-quality ones. Given a total budget of
+    ``budget_frac × N`` documents, source ``s`` keeps
+    ``min(1, B·p_s/n_s)`` of its docs where ``p_s = n_s^alpha / Σ``
+    (no replication: a source whose target exceeds its size caps at
+    keeping everything — the leftover budget is deliberately NOT
+    redistributed, so every source's keep rate is a closed-form,
+    replayable number).
+
+    Per-doc decisions are the same content-hash buckets as
+    :func:`stratified_sample` — re-runs and the oracle replay keep/drop
+    identically. The per-source rate table is dim-sized and broadcast;
+    the corpus pass is map-only.
+
+    Cross-engine float determinism: ``alpha`` ∈ {1.0, 0.5, 0.25} only,
+    computed as chained ``sqrt`` (correctly rounded by IEEE 754 in
+    both engines, unlike ``pow``); the Σ over sources folds in
+    source-name order on both sides. Arbitrary alphas would need a
+    tolerance oracle instead of a value hash.
+    """
+    chains = {1.0: 0, 0.5: 1, 0.25: 2}
+    if alpha not in chains:
+        raise ValueError(
+            "alpha must be one of 1.0, 0.5, 0.25 (sqrt-chains are "
+            "correctly rounded cross-engine; pow is not)"
+        )
+    per = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("n_total"))  # not "N": Spark resolves case-insensitively
+    w_expr: Column = F.col("n").cast("double") / F.col("n_total")
+    for _ in range(chains[alpha]):
+        w_expr = F.sqrt(w_expr)
+    w = per.crossJoin(F.broadcast(tot)).select(
+        source_col, "n", "n_total", w_expr.alias("w")
+    )
+    total_w = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(source_col, "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("w_sum")
+    )
+    cut = w.crossJoin(F.broadcast(total_w)).select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac) * F.col("n_total") * F.col("w") / F.col("w_sum")
+                / F.col("n"),
+            )
+            * F.lit(HASH_BUCKETS).cast("double")
+        )
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    return df.join(F.broadcast(cut), source_col).filter(
+        hash_bucket(F.col(key_col), salt) < F.col("cutoff")
+    )
+
+
 # (The related train/holdout split lives in ``text.train_holdout_split``
 # — same hash-bucket idea at 1/100 resolution, gated as
 # ``ext_split_train_holdout``.)

@@ -661,3 +661,51 @@ def test_ivfpq_probe_restricts_candidates(spark, embs):
         per_q.setdefault(r.query_id, set()).add(labels[r.neighbor_id])
     # with nprobe=1 every neighbor comes from ONE bucket per query
     assert all(len(ls) == 1 for ls in per_q.values())
+
+
+# --- temperature source mixing ----------------------------------------------
+
+
+def test_temperature_resample_flattens_skew(spark):
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        temperature_resample,
+    )
+
+    # two sources, 10:1 skew
+    rows = [(i, "big" if i < 1000 else "small") for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = temperature_resample(df, "source", "doc_id", alpha=0.5,
+                                budget_frac=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # alpha=0.5: w_big=sqrt(10/11), w_small=sqrt(1/11); budget 550.
+    # big target ≈ 550*0.76=418 of 1000 (rate .42); small ≈ 132 of 100
+    # -> capped at keeping ALL 100.
+    assert by_src["small"] == 100  # rate capped at 1: everything kept
+    assert 0.35 <= by_src["big"] / 1000 <= 0.49  # ~0.42 ± hash noise
+    # alpha=1 is proportional sampling: both sources keep ~budget_frac
+    kept1 = temperature_resample(df, "source", "doc_id", alpha=1.0,
+                                 budget_frac=0.5).collect()
+    by1 = {}
+    for r in kept1:
+        by1[r.source] = by1.get(r.source, 0) + 1
+    assert 0.42 <= by1["big"] / 1000 <= 0.58
+    assert 0.38 <= by1["small"] / 100 <= 0.62
+
+
+def test_temperature_resample_is_deterministic_and_validates_alpha(spark):
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id bigint, source string"
+    )
+    a = sorted(r.doc_id for r in
+               temperature_resample(df, "source", "doc_id").collect())
+    b = sorted(r.doc_id for r in
+               temperature_resample(df, "source", "doc_id").collect())
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "source", "doc_id", alpha=0.7)
