@@ -1946,6 +1946,85 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_purge_user_rows",
+    f"""
+    SELECT {_EVENT_COLS_SQL} FROM events WHERE user_id <> 7
+    """,
+    tags=("S2", "lake", "txnlog", "purge", "gdpr"),
+)
+def lake_purge_user_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style targeted delete (lakelog.purge_rows): the events log
+    lands as four micro-batch appends partitioned by user hash, so
+    user 7's rows live in exactly ONE data directory; the purge
+    rewrites that directory alone — the per-file bloom index PROVES
+    the other three clean and they are inherited by reference
+    (asserted). At 100 TB this is the difference between rewriting a
+    table and rewriting the few micro-batches a user ever touched.
+    Reading the purged head must equal events minus the user;
+    deletion completes at vacuum (prior versions still time-travel,
+    by design)."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_purge_") as tmp:
+        table = f"{tmp}/events_log"
+        for i in range(4):
+            lakelog.append_commit(
+                spark,
+                table,
+                ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == i).coalesce(1),
+                stat_cols=["user_id"],
+                bloom_cols=["user_id"],
+                bloom_m=65536,
+            )
+        _, rewritten, inherited = lakelog.purge_rows(
+            spark, table, "user_id", [7],
+            stat_cols=["user_id"], bloom_cols=["user_id"], bloom_m=65536,
+        )
+        assert rewritten == 1 and inherited == 3, (rewritten, inherited)
+        return (
+            lakelog.read(spark, table).select(*EVENT_COLS).localCheckpoint()
+        )
+
+
+@query(
+    "lake_schema_evolution_read",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value,
+           CASE WHEN event_id % 2 = 0 THEN NULL ELSE props END AS props
+    FROM events
+    """,
+    tags=("S2", "lake", "txnlog", "schema-evolution"),
+)
+def lake_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake (Delta mergeSchema parity): the
+    first producer generation lands WITHOUT the ``props`` column, a
+    later generation adds it; ``read(merge_schema=True)`` resolves the
+    union schema across footers and old files surface ``props`` as
+    NULL — no rewrite of historical data, which at 100 TB is the only
+    acceptable cost for adding a column. The oracle models exactly
+    that: even-id rows (generation 1) have NULL props."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_schevo_") as tmp:
+        table = f"{tmp}/events_log"
+        gen1 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).drop("props")
+        gen2 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+        lakelog.append_commit(spark, table, gen1)
+        lakelog.append_commit(spark, table, gen2)
+        return (
+            lakelog.read(spark, table, merge_schema=True)
+            .select(*EVENT_COLS)
+            .localCheckpoint()
+        )
+
+
+@query(
     "lake_cdc_deletes_tombstone_read",
     f"""
     SELECT {', '.join(EVENT_COLS)}

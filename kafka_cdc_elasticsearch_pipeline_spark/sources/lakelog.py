@@ -380,6 +380,7 @@ def read(
     table: str,
     version: int | None = None,
     where: Sequence[tuple[str, str, object]] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the snapshot at ``version`` (default: latest). Time travel
     is just picking an older manifest — the data files are immutable.
@@ -388,21 +389,29 @@ def read(
     ``("==", "<", "<=", ">", ">=")`` — prunes data files via the
     manifest's per-file stats (see :func:`plan_scan`) and then applies
     the same predicate as a real Spark filter, so the result is exact
-    whether or not any file could be skipped."""
+    whether or not any file could be skipped.
+
+    ``merge_schema`` — SCHEMA EVOLUTION on read (Delta's mergeSchema):
+    when later appends added columns, the union schema is resolved
+    across all parquet footers and older files surface the new columns
+    as NULL. Off by default because the footer sweep costs a per-file
+    read at planning time; a production deployment caches the resolved
+    schema in the manifest at commit instead."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
     manifest = read_manifest(table, v)
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if where is None:
         paths = [os.path.join(table, d) for d in manifest["data_dirs"]]
-        return spark.read.parquet(*paths)
+        return reader.parquet(*paths)
     files, _ = plan_scan(table, manifest, where)
     if not files:
         # Every file pruned: preserve the schema via a zero-row read of
         # one arbitrary file (cheap — footer only) with a false filter.
         any_dir = os.path.join(table, manifest["data_dirs"][0])
-        return spark.read.parquet(any_dir).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(_where_expr(where))
+        return reader.parquet(any_dir).filter(F.lit(False))
+    return reader.parquet(*files).filter(_where_expr(where))
 
 
 def commit(
@@ -621,6 +630,78 @@ def txn_append_commit(
         except CommitConflict:
             continue
     raise CommitConflict(f"txn append into {table} lost {max_retries + 1} races")
+
+
+def purge_rows(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    values: Sequence,
+    max_retries: int = 3,
+    stat_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_m: int = BLOOM_BITS,
+) -> tuple[int, int, int]:
+    """Targeted hard delete (the GDPR right-to-be-forgotten shape):
+    commit a new version with every row where ``col`` ∈ ``values``
+    REMOVED — but rewrite only the data directories whose stats/bloom
+    CANNOT rule the keys out; provably-clean directories are inherited
+    by reference, untouched. At 100 TB, a delete of one user touches
+    the handful of micro-batch dirs that ever saw that user (the same
+    per-file bloom index that serves point lookups proves absence for
+    the rest) instead of rewriting the table.
+
+    Returns ``(version, n_dirs_rewritten, n_dirs_inherited)``.
+    Granularity is the data DIRECTORY — the manifest's unit of
+    reference — which is a micro-batch under the append-commit ingest
+    shape; directories without stats are conservatively rewritten.
+
+    Deletion COMPLETES only at vacuum: prior versions still reference
+    the old files (that is what time travel means), so the compliance
+    workflow is purge → retention window → ``vacuum`` — identical to
+    Delta's delete-then-VACUUM contract."""
+    for _ in range(max_retries + 1):
+        parent = latest_version(table)
+        if parent is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        manifest = read_manifest(table, parent)
+        all_stats = manifest.get("file_stats", {})
+        touched, clean = [], []
+        for d in manifest["data_dirs"]:
+            dir_stats = all_stats.get(d)
+            if dir_stats is None:
+                touched.append(d)  # unstatted: cannot prove absence
+                continue
+            abs_dir = os.path.join(table, d)
+            files = [f for f in os.listdir(abs_dir) if f.endswith(".parquet")]
+            may = any(
+                _file_may_match(dir_stats.get(f, {}), col, "==", v)
+                for f in files
+                for v in values
+            )
+            (touched if may else clean).append(d)
+        if not touched:
+            return parent, 0, len(clean)  # nothing can hold the keys
+        # keep NULL keys: ~isin is NULL (not true) for them and a plain
+        # filter would silently drop every null-keyed row
+        survivors = spark.read.parquet(
+            *[os.path.join(table, d) for d in touched]
+        ).filter(F.col(col).isNull() | ~F.col(col).isin(list(values)))
+        try:
+            version = commit(
+                table,
+                survivors,
+                "purge",
+                expect_parent=parent,
+                inherit_dirs=clean,
+                stat_cols=stat_cols,
+                bloom_cols=bloom_cols,
+                bloom_m=bloom_m,
+            )
+            return version, len(touched), len(clean)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"purge of {table} lost {max_retries + 1} races")
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:

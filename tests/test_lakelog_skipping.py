@@ -255,3 +255,74 @@ def test_metadata_stats_refuses_statless_snapshots(spark, tmp_path):
     lakelog.commit(t, spark.range(5).select(F.col("id").alias("k")), "full")
     with pytest.raises(ValueError, match="fall back"):
         lakelog.metadata_stats(t)
+
+
+def test_purge_rewrites_only_dirty_dirs(spark, tmp_path):
+    t = _table(tmp_path, "tp")
+    for lo in (0, 1000, 2000, 3000):
+        lakelog.append_commit(
+            spark,
+            t,
+            spark.range(lo, lo + 1000).select(F.col("id").alias("k")).coalesce(1),
+            stat_cols=["k"],
+            bloom_cols=["k"],
+        )
+    before = lakelog.read_manifest(t, 4)["data_dirs"]
+    version, rewritten, inherited = lakelog.purge_rows(
+        spark, t, "k", [1500, 1501], stat_cols=["k"], bloom_cols=["k"]
+    )
+    assert (version, rewritten, inherited) == (5, 1, 3)
+    after = lakelog.read_manifest(t, 5)["data_dirs"]
+    # three dirs inherited BY REFERENCE (same names), one replaced
+    assert len(set(before) & set(after)) == 3
+    got = sorted(r.k for r in lakelog.read(spark, t).collect())
+    assert len(got) == 3998 and 1500 not in got and 1501 not in got
+    # time travel still sees the pre-purge data (deletion completes at vacuum)
+    assert lakelog.read(spark, t, version=4).filter(F.col("k") == 1500).count() == 1
+
+
+def test_purge_no_match_is_metadata_only(spark, tmp_path):
+    t = _table(tmp_path, "tp2")
+    lakelog.append_commit(
+        spark,
+        t,
+        spark.range(0, 100).select(F.col("id").alias("k")),
+        stat_cols=["k"],
+    )
+    version, rewritten, inherited = lakelog.purge_rows(spark, t, "k", [999])
+    # range stats prove absence: no new version, nothing rewritten
+    assert (version, rewritten, inherited) == (1, 0, 1)
+    assert lakelog.latest_version(t) == 1
+
+
+def test_purge_keeps_null_keys(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = _table(tmp_path, "tp3")
+    df = spark.createDataFrame(
+        [Row(k=1), Row(k=2), Row(k=None)], "k int"
+    )
+    lakelog.commit(t, df, "full", stat_cols=["k"])
+    lakelog.purge_rows(spark, t, "k", [1])
+    got = sorted(
+        (r.k if r.k is not None else -1) for r in lakelog.read(spark, t).collect()
+    )
+    assert got == [-1, 2]  # the NULL row survives the anti-filter
+
+
+def test_merge_schema_read_unions_generations(spark, tmp_path):
+    t = _table(tmp_path, "ts")
+    lakelog.append_commit(
+        spark, t, spark.range(0, 5).select(F.col("id").alias("k"))
+    )
+    lakelog.append_commit(
+        spark,
+        t,
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        ),
+    )
+    merged = lakelog.read(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert rows[0] is None and rows[9] == 18
