@@ -1990,6 +1990,40 @@ def lake_purge_user_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_change_feed_incremental",
+    f"SELECT {_EVENT_COLS_SQL} FROM events",
+    tags=("S2", "S3", "T5", "lake", "txnlog", "change-feed"),
+)
+def lake_change_feed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake as a STREAM SOURCE (lakelog.read_changes — Delta's
+    change-data-feed reduced to the append case): a consumer polls the
+    log by version, reading only the delta directories each commit
+    added — (0→1], (1→3], (3→4] here — and the union of its increments
+    must equal the full table, with no row seen twice and no rescan
+    ever. This closes stream/table duality in the other direction:
+    CDC streams INTO the lake, training jobs stream OUT of it by
+    checkpointed version. Non-additive commits (merge/compact/purge)
+    make the reader refuse rather than guess (unit-pinned)."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_cdf_") as tmp:
+        table = f"{tmp}/events_log"
+        for i in range(4):
+            lakelog.append_commit(
+                spark, table, ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            )
+        feed = (
+            lakelog.read_changes(spark, table, 0, 1)
+            .unionByName(lakelog.read_changes(spark, table, 1, 3))
+            .unionByName(lakelog.read_changes(spark, table, 3, 4))
+        )
+        return feed.select(*EVENT_COLS).localCheckpoint()
+
+
+@query(
     "lake_schema_evolution_read",
     f"""
     SELECT event_id, ts, user_id, event_type, value,

@@ -632,6 +632,54 @@ def txn_append_commit(
     raise CommitConflict(f"txn append into {table} lost {max_retries + 1} races")
 
 
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental change feed over the append log (Delta's streaming
+    source / Change Data Feed reduced to the append case): the rows
+    ADDED by versions ``(from_version, to_version]``, i.e. exactly the
+    delta directories those commits introduced — a consumer that
+    checkpoints its last-seen version and calls this per poll gets
+    every appended row exactly once, without ever rescanning the
+    table. This closes the lake's stream/table duality in the other
+    direction: CDC streams INTO the lake (merge/append commits), and
+    downstream training jobs stream OUT of it by version.
+
+    Only ``append``/``txn_append`` commits are incremental; an
+    intervening rewrite commit (merge_upsert/compact/purge) changes
+    history non-additively, and this reader refuses to guess —
+    ``ValueError`` tells the consumer to re-read the snapshot and
+    resume from there (compact is content-identical, but the feed
+    cannot prove that from the manifest alone)."""
+    head = latest_version(table)
+    if head is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    to_v = head if to_version is None else to_version
+    new_dirs: list[str] = []
+    for v in range(from_version + 1, to_v + 1):
+        manifest = read_manifest(table, v)
+        if manifest["operation"] not in ("append", "txn_append"):
+            raise ValueError(
+                f"version {v} is a {manifest['operation']!r} commit — "
+                "non-additive; re-read the snapshot and resume from "
+                f"version {v}"
+            )
+        parent_dirs = (
+            read_manifest(table, manifest["parent"])["data_dirs"]
+            if manifest["parent"]
+            else []
+        )
+        added = [d for d in manifest["data_dirs"] if d not in set(parent_dirs)]
+        new_dirs.extend(added)
+    if not new_dirs:
+        any_dir = os.path.join(table, read_manifest(table, to_v)["data_dirs"][0])
+        return spark.read.parquet(any_dir).filter(F.lit(False))
+    return spark.read.parquet(*[os.path.join(table, d) for d in new_dirs])
+
+
 def purge_rows(
     spark: SparkSession,
     table: str,

@@ -326,3 +326,33 @@ def test_merge_schema_read_unions_generations(spark, tmp_path):
     assert set(merged.columns) == {"k", "extra"}
     rows = {r.k: r.extra for r in merged.collect()}
     assert rows[0] is None and rows[9] == 18
+
+
+def test_change_feed_increments_partition_the_table(spark, tmp_path):
+    t = _table(tmp_path, "cf")
+    for lo in (0, 100, 200):
+        lakelog.append_commit(
+            spark, t, spark.range(lo, lo + 100).select(F.col("id").alias("k"))
+        )
+    a = {r.k for r in lakelog.read_changes(spark, t, 0, 1).collect()}
+    b = {r.k for r in lakelog.read_changes(spark, t, 1).collect()}  # to head
+    assert a == set(range(100))
+    assert b == set(range(100, 300))
+    # caught-up consumer: empty increment, schema preserved
+    empty = lakelog.read_changes(spark, t, 3)
+    assert empty.count() == 0 and empty.columns == ["k"]
+
+
+def test_change_feed_refuses_non_additive_commits(spark, tmp_path):
+    t = _table(tmp_path, "cf2")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("user_id"), F.col("id").alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    lakelog.append_commit(spark, t, df)
+    lakelog.compact(spark, t)
+    with pytest.raises(ValueError, match="non-additive"):
+        lakelog.read_changes(spark, t, 0)
+    # resuming AFTER the rewrite works again
+    lakelog.append_commit(spark, t, df)
+    assert lakelog.read_changes(spark, t, 2).count() == 10
