@@ -632,6 +632,25 @@ def txn_append_commit(
     raise CommitConflict(f"txn append into {table} lost {max_retries + 1} races")
 
 
+def history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY twin: one row per committed version, newest
+    first — version, operation, parent, number of data dirs, recorded
+    txn watermarks. A driver-side JSON sweep of the log; no Spark job."""
+    out = []
+    for v in reversed(versions(table)):
+        m = read_manifest(table, v)
+        out.append(
+            {
+                "version": m["version"],
+                "operation": m["operation"],
+                "parent": m["parent"],
+                "n_data_dirs": len(m["data_dirs"]),
+                "txns": m.get("txns", {}),
+            }
+        )
+    return out
+
+
 def read_changes(
     spark: SparkSession,
     table: str,

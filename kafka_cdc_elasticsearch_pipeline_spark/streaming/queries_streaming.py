@@ -858,6 +858,9 @@ def lake_streaming_append_exactly_once(spark: SparkSession, sf_dir: str) -> Data
     import shutil
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.lake_sink import (
+        lake_append_sink,
+    )
     from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
         open_stream,
         reveal,
@@ -870,16 +873,13 @@ def lake_streaming_append_exactly_once(spark: SparkSession, sf_dir: str) -> Data
     try:
         ckpt = os.path.join(tmp, "ckpt")
         table = os.path.join(tmp, "lake_table")
+        once = lake_append_sink(spark, table, app_id="ingest")
 
         def sink(batch_df, batch_id):
-            first = lakelog.txn_append_commit(
-                spark, table, batch_df, app_id="ingest", batch_id=batch_id
-            )
+            first = once(batch_df, batch_id)
             # simulated at-least-once upstream: the same batch arrives
             # again; the table itself must recognize and skip it
-            second = lakelog.txn_append_commit(
-                spark, table, batch_df, app_id="ingest", batch_id=batch_id
-            )
+            second = once(batch_df, batch_id)
             assert first is not None and second is None
 
         def run() -> None:

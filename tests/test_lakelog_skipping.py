@@ -356,3 +356,73 @@ def test_change_feed_refuses_non_additive_commits(spark, tmp_path):
     # resuming AFTER the rewrite works again
     lakelog.append_commit(spark, t, df)
     assert lakelog.read_changes(spark, t, 2).count() == 10
+
+
+def test_history_lists_versions_newest_first(spark, tmp_path):
+    t = _table(tmp_path, "th")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    lakelog.append_commit(spark, t, df)
+    lakelog.txn_append_commit(spark, t, df, "app", 0)
+    lakelog.compact(spark, t)
+    h = lakelog.history(t)
+    assert [r["version"] for r in h] == [3, 2, 1]
+    assert [r["operation"] for r in h] == ["compact", "txn_append", "append"]
+    assert h[0]["txns"] == {"app": 0}  # carried through the compact
+    assert h[0]["n_data_dirs"] == 1 and h[1]["n_data_dirs"] == 2
+
+
+def test_purge_then_vacuum_removes_bytes_on_disk(spark, tmp_path):
+    """The GDPR completion contract: purge makes the key invisible,
+    VACUUM makes it physically gone — no remaining parquet file under
+    the table contains the key."""
+    t = _table(tmp_path, "tv")
+    for lo in (0, 1000):
+        lakelog.append_commit(
+            spark,
+            t,
+            spark.range(lo, lo + 1000).select(F.col("id").alias("k")).coalesce(1),
+            stat_cols=["k"],
+        )
+    lakelog.purge_rows(spark, t, "k", [1500], stat_cols=["k"])
+    # pre-vacuum: time travel still reaches the bytes (by design)
+    assert lakelog.read(spark, t, version=2).filter(F.col("k") == 1500).count() == 1
+    lakelog.vacuum(t, keep_last=1, min_age_s=0)
+    # every parquet file still on disk is free of the key
+    leftovers = spark.read.parquet(os.path.join(t, "data-*")).filter(
+        F.col("k") == 1500
+    )
+    assert leftovers.count() == 0
+    assert lakelog.read(spark, t).count() == 1999
+
+
+def test_lake_append_sink_is_exactly_once_through_writestream(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.lake_sink import (
+        lake_append_sink,
+    )
+
+    src = _table(tmp_path, "src")
+    t = _table(tmp_path, "sink_t")
+    ckpt = _table(tmp_path, "ckpt")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    df.coalesce(1).write.parquet(src)
+
+    sink = lake_append_sink(spark, t, app_id="ingest")
+
+    def double_delivering(batch_df, batch_id):
+        first = sink(batch_df, batch_id)
+        second = sink(batch_df, batch_id)
+        assert first is not None and second is None
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(double_delivering)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert lakelog.read(spark, t).count() == 100
