@@ -537,8 +537,13 @@ def substring_span_dedup(docs: DataFrame, n: int = SUBSTR_NGRAM) -> DataFrame:
             f" i -> struct(i AS i, {gram_hash} AS g))"
         ).alias("gs"),
     )
-    occ = explode_expensive(grams, "gs", "o").select(
-        "doc_id", F.col("o.i").alias("i"), F.col("o.g").alias("g")
+    # reuse(): occ feeds BOTH the keeper election and the removal join —
+    # without the pin Spark re-evaluates the md5 gram explode (the
+    # dominant token-level cost) once per consumer
+    occ = reuse(
+        explode_expensive(grams, "gs", "o").select(
+            "doc_id", F.col("o.i").alias("i"), F.col("o.g").alias("g")
+        )
     )
     keepers = (
         occ.groupBy("g")

@@ -113,8 +113,17 @@ def temperature_resample(
         .cast("bigint")
         .alias("cutoff"),
     )
-    return df.join(F.broadcast(cut), source_col).filter(
-        hash_bucket(F.col(key_col), salt) < F.col("cutoff")
+    # Null-safe rate join: a NULL source forms its own stratum (groupBy
+    # already gave it a row in the rate table); a plain equi-join would
+    # silently DROP every null-source row while still counting them in
+    # n_total. Cross-engine note: with null sources present, the fold
+    # order of w_sum is engine-defined — oracle users should coalesce
+    # the source first (the gate row synthesizes non-null sources).
+    rate = F.broadcast(cut.withColumnRenamed(source_col, "__rate_src"))
+    return (
+        df.join(rate, F.col(source_col).eqNullSafe(F.col("__rate_src")))
+        .filter(hash_bucket(F.col(key_col), salt) < F.col("cutoff"))
+        .drop("__rate_src", "cutoff")
     )
 
 

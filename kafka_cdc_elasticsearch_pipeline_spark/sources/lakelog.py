@@ -157,18 +157,39 @@ def _bloom_bits_py(value, m: int = BLOOM_BITS, k: int = BLOOM_K) -> list[int]:
     ]
 
 
-def _pack_bloom(positions, m: int, k: int) -> dict:
+def _pack_bloom(positions, m: int, k: int, kind: str) -> dict:
     import base64
 
     buf = bytearray(m // 8)
     for p in positions:
         buf[p >> 3] |= 1 << (p & 7)
-    return {"m": m, "k": k, "b64": base64.b64encode(bytes(buf)).decode()}
+    return {
+        "m": m,
+        "k": k,
+        "kind": kind,  # "i" integral / "s" string — see _bloom_may_contain
+        "b64": base64.b64encode(bytes(buf)).decode(),
+    }
 
 
-def _bloom_has(bloom: dict, value) -> bool:
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """False only when the bitmap PROVES absence. The probe must hash
+    the same string the JVM cast produced at commit time, so it only
+    prunes when the probe value's Python kind matches the indexed
+    column's recorded kind ("i": int probe vs integral column, "s":
+    str probe vs string column) — Python str(1234.0) = '1234.0' is NOT
+    the Spark string cast of bigint 1234, and guessing would turn a
+    false positive into a silently wrong (empty) read."""
     import base64
 
+    kind = bloom.get("kind")
+    if kind == "i":
+        if not isinstance(value, int) or isinstance(value, bool):
+            return True
+    elif kind == "s":
+        if not isinstance(value, str):
+            return True
+    else:
+        return True  # unknown kind: never prune
     buf = base64.b64decode(bloom["b64"])
     return all(
         buf[p >> 3] & (1 << (p & 7))
@@ -189,6 +210,18 @@ def collect_file_stats(
     ONE O(delta) aggregate job grouped on ``input_file_name()``; the
     table is never rescanned."""
     df = spark.read.parquet(abs_dir)
+    bloom_kind: dict[str, str] = {}
+    for c in bloom_cols:
+        t = df.schema[c].dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            bloom_kind[c] = "i"
+        elif t == "string":
+            bloom_kind[c] = "s"
+        else:
+            raise ValueError(
+                f"bloom_cols supports int/string columns; {c!r} is {t} "
+                "(its Spark string cast has no stable Python twin)"
+            )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -227,6 +260,7 @@ def collect_file_stats(
                     set().union(*(r[f"__bl_{j}_{c}"] for j in range(bloom_k))),
                     bloom_m,
                     bloom_k,
+                    bloom_kind[c],
                 )
                 for c in bloom_cols
             }
@@ -241,7 +275,8 @@ def collect_file_stats(
                 entry["cols"] = {c: [None, None] for c in stat_cols}
             if bloom_cols:
                 entry["bloom"] = {
-                    c: _pack_bloom((), bloom_m, bloom_k) for c in bloom_cols
+                    c: _pack_bloom((), bloom_m, bloom_k, bloom_kind[c])
+                    for c in bloom_cols
                 }
             out[f] = entry
     return out
@@ -255,7 +290,7 @@ def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
         raise ValueError(f"unsupported prune op {op!r}; use one of {_PRUNE_OPS}")
     bloom = entry.get("bloom", {})
     if op == "==" and col in bloom:
-        if not _bloom_has(bloom[col], value):
+        if not _bloom_may_contain(bloom[col], value):
             return False
     cols = entry.get("cols", {})
     if col not in cols:
@@ -407,9 +442,10 @@ def read(
         return reader.parquet(*paths)
     files, _ = plan_scan(table, manifest, where)
     if not files:
-        # Every file pruned: preserve the schema via a zero-row read of
-        # one arbitrary file (cheap — footer only) with a false filter.
-        any_dir = os.path.join(table, manifest["data_dirs"][0])
+        # Every file pruned: preserve the schema via a zero-row read
+        # (footers only) of the NEWEST data dir — under schema
+        # evolution the oldest dir would be missing later-added columns.
+        any_dir = os.path.join(table, manifest["data_dirs"][-1])
         return reader.parquet(any_dir).filter(F.lit(False))
     return reader.parquet(*files).filter(_where_expr(where))
 
@@ -467,9 +503,10 @@ def commit(
     abs_dir = os.path.join(table, data_dir)
     df.write.mode("errorifexists").parquet(abs_dir)
     version = (parent or 0) + 1
+    parent_manifest = read_manifest(table, parent) if parent is not None else {}
     file_stats: dict[str, dict] = {}
-    if inherit_dirs and parent is not None:
-        parent_stats = read_manifest(table, parent).get("file_stats", {})
+    if inherit_dirs:
+        parent_stats = parent_manifest.get("file_stats", {})
         file_stats.update(
             {d: parent_stats[d] for d in inherit_dirs if d in parent_stats}
         )
@@ -478,9 +515,7 @@ def commit(
             df.sparkSession, abs_dir, stat_cols or (), bloom_cols or (),
             bloom_m=bloom_m,
         )
-    txns: dict[str, int] = {}
-    if parent is not None:
-        txns.update(read_manifest(table, parent).get("txns", {}))
+    txns: dict[str, int] = dict(parent_manifest.get("txns", {}))
     if txn is not None:
         txns[txn[0]] = txn[1]
     manifest = {
@@ -591,6 +626,7 @@ def txn_append_commit(
     max_retries: int = 3,
     stat_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    bloom_m: int = BLOOM_BITS,
 ) -> int | None:
     """IDEMPOTENT append — the exactly-once lake sink for an
     at-least-once stream (Delta's txnAppId/txnVersion pattern): the
@@ -625,6 +661,7 @@ def txn_append_commit(
                 inherit_dirs=dirs,
                 stat_cols=stat_cols,
                 bloom_cols=bloom_cols,
+                bloom_m=bloom_m,
                 txn=(app_id, batch_id),
             )
         except CommitConflict:
@@ -694,7 +731,8 @@ def read_changes(
         added = [d for d in manifest["data_dirs"] if d not in set(parent_dirs)]
         new_dirs.extend(added)
     if not new_dirs:
-        any_dir = os.path.join(table, read_manifest(table, to_v)["data_dirs"][0])
+        # newest dir for the schema (see read()'s empty-result note)
+        any_dir = os.path.join(table, read_manifest(table, to_v)["data_dirs"][-1])
         return spark.read.parquet(any_dir).filter(F.lit(False))
     return spark.read.parquet(*[os.path.join(table, d) for d in new_dirs])
 
@@ -785,6 +823,11 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:
     columns would want quantile boundaries instead (same interleave,
     different bucketizer).
     """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder key needs {bits * len(cols)} bits; max 63 "
+            "(lower bits or cluster_by fewer columns)"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
@@ -801,11 +844,13 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:
         buckets.append(
             F.coalesce(F.least(F.greatest(b, F.lit(0)), F.lit(nb - 1)), F.lit(0))
         )
-    z = F.lit(0)
+    # LongType accumulator: an int z wraps at 32 interleaved bits and
+    # silently destroys the clustering for >=4 columns at 8 bits each
+    z = F.lit(0).cast("long")
     for bit in range(bits - 1, -1, -1):
         for b in buckets:
             z = F.shiftleft(z, 1).bitwiseOR(
-                F.shiftright(b, bit).bitwiseAND(F.lit(1))
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)).cast("long")
             )
     return z
 

@@ -34,6 +34,7 @@ def lake_append_sink(
     app_id: str,
     stat_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    bloom_m: int = lakelog.BLOOM_BITS,
 ):
     """foreachBatch callable: exactly-once append of each micro-batch.
     Returns the committed version, or None when the batch was already
@@ -48,6 +49,7 @@ def lake_append_sink(
             batch_id=batch_id,
             stat_cols=stat_cols,
             bloom_cols=bloom_cols,
+            bloom_m=bloom_m,
         )
 
     return sink

@@ -81,7 +81,11 @@ def test_file_may_match_edge_cases():
 
 def test_file_may_match_bloom():
     bits = lakelog._bloom_bits_py(42)
-    entry = {"bloom": {"c": lakelog._pack_bloom(bits, lakelog.BLOOM_BITS, lakelog.BLOOM_K)}}
+    entry = {
+        "bloom": {
+            "c": lakelog._pack_bloom(bits, lakelog.BLOOM_BITS, lakelog.BLOOM_K, "i")
+        }
+    }
     assert lakelog._file_may_match(entry, "c", "==", 42) is True
     # a value whose bits are absent is provably not in the file
     other = lakelog._bloom_bits_py(43)
@@ -426,3 +430,71 @@ def test_lake_append_sink_is_exactly_once_through_writestream(spark, tmp_path):
     )
     q.awaitTermination()
     assert lakelog.read(spark, t).count() == 100
+
+
+def test_bloom_type_mismatch_never_prunes(spark, tmp_path):
+    """A probe value whose Python string form differs from the JVM
+    string cast (float vs bigint column) must KEEP files, not prune
+    them — the guard that turns a wrong hash into a slow read instead
+    of a silently empty one."""
+    t = _table(tmp_path, "tbk")
+    lakelog.commit(
+        t,
+        spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1),
+        "full",
+        bloom_cols=["k"],
+    )
+    man = lakelog.read_manifest(t, 1)
+    kept_f, skipped_f = lakelog.plan_scan(t, man, [("k", "==", 42.0)])
+    assert skipped_f == 0  # float probe vs integral column: no pruning
+    got = lakelog.read(spark, t, where=[("k", "==", 42.0)]).collect()
+    assert [r.k for r in got] == [42]
+    # unsupported bloom column types are refused at commit time
+    with pytest.raises(ValueError, match="int/string"):
+        lakelog.commit(
+            _table(tmp_path, "tbk2"),
+            spark.range(3).select((F.col("id") * 1.5).alias("x")),
+            "full",
+            bloom_cols=["x"],
+        )
+
+
+def test_empty_pruned_read_uses_newest_schema(spark, tmp_path):
+    t = _table(tmp_path, "tns")
+    lakelog.append_commit(
+        spark, t, spark.range(0, 5).select(F.col("id").alias("k")),
+        stat_cols=["k"],
+    )
+    lakelog.append_commit(
+        spark,
+        t,
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        ),
+        stat_cols=["k"],
+    )
+    got = lakelog.read(spark, t, where=[("k", ">", 99)], merge_schema=True)
+    assert got.count() == 0
+    assert "extra" in got.columns  # newest generation's schema survives
+    empty_feed = lakelog.read_changes(spark, t, 2)
+    assert empty_feed.count() == 0 and "extra" in empty_feed.columns
+
+
+def test_zorder_key_rejects_overflow_and_uses_long(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(a=float(i), b=float(i)) for i in range(4)])
+    with pytest.raises(ValueError, match="63"):
+        lakelog.zorder_key(df, ["a", "b", "c", "d"], bits=16)
+    # 4 cols x 8 bits = 32 interleaved bits: must not wrap negative
+    df4 = spark.createDataFrame(
+        [Row(a=float(i), b=float(i), c=float(i), d=float(i)) for i in range(64)]
+    )
+    zs = [
+        r.z
+        for r in df4.withColumn(
+            "z", lakelog.zorder_key(df4, ["a", "b", "c", "d"], bits=8)
+        ).collect()
+    ]
+    assert all(z >= 0 for z in zs)
+    assert max(zs) > 2**31  # top of the range actually uses bits >= 32

@@ -74,18 +74,10 @@ def main() -> int:
                 lakelog.append_commit(spark, t, batch(i), stat_cols=["k"])
             x_rows = n_batches * args.batch
 
-            # timed append of ONE more fixed batch (new dir each repeat
-            # is fine — appends accumulate, cost unaffected)
-            next_i = [n_batches]
-
-            def do_append():
-                lakelog.append_commit(
-                    spark, t, batch(next_i[0]), stat_cols=["k"]
-                )
-                next_i[0] += 1
-
-            t_append = best_of(do_append)
-
+            # reads/metadata FIRST, while the table holds exactly
+            # x_rows — the timed appends below grow it, and measuring
+            # after them would publish numbers for a bigger table than
+            # the row is labeled with
             t_meta = best_of(lambda: lakelog.metadata_stats(t, cols=["k"]))
 
             lo, hi = 0, args.batch  # first batch's key range
@@ -99,6 +91,18 @@ def main() -> int:
                 .filter((F.col("k") >= lo) & (F.col("k") < hi))
                 .count()
             )
+
+            # timed append of ONE more fixed batch (new dir each repeat
+            # is fine — appends accumulate, cost unaffected)
+            next_i = [n_batches]
+
+            def do_append():
+                lakelog.append_commit(
+                    spark, t, batch(next_i[0]), stat_cols=["k"]
+                )
+                next_i[0] += 1
+
+            t_append = best_of(do_append)
 
             # COW merge of the same-size batch into a SEPARATE table of
             # size X (merge rewrites the snapshot; appends above already
