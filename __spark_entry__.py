@@ -93,21 +93,20 @@ def _latest_green_round() -> dict[str, int]:
 
 def _ordered_names() -> list[str]:
     # Priority = staleness risk against the ~50-row gate window.
-    # Never-gated queries need their FIRST hard signal, but rows whose
-    # last green is >= 2 rounds old are about to age past the
-    # "no signal older than ~2 rounds" bar and code churns under them
-    # every round — so severely-stale rows (green <= R-2, where R is
-    # the latest recorded round) outrank first-signals, which in turn
-    # outrank mildly-stale rows (R-1, R). A first-signal pushed one
-    # round is still covered locally (tools/check_oracle.py + pytest
-    # run every registered query's oracle); a 3-round-stale green is
-    # covered by nothing current.
+    # Rule (round-2 original, reaffirmed by the round-5 verdict): NEW
+    # code needs its FIRST hard signal before stale refreshes — a
+    # never-gated query has no driver evidence at all, while a stale
+    # green is still covered by the local check_oracle.py sweep. So:
+    #   never-gated (fresh_key < any round) > failed/errored rows (0)
+    #   > oldest-green-first rotation through the stale backlog.
+    # (The r05 key of latest_round-1.5 inverted this and would have
+    # made the 8 r05 operators wait behind 50 r03-stale refreshes
+    # until r07 — VERDICT.md round 5, "What's missing" #1.)
     names = [n for n in QUERIES if n not in _GATE_EXCLUDE]
     reg_pos = {n: i for i, n in enumerate(names)}
     rounds = _latest_green_round()
-    latest_round = max(rounds.values(), default=0)
     first = [n for n in _GATE_FIRST if n in names]
-    fresh_key = latest_round - 1.5  # between R-2 (severely stale) and R-1
+    fresh_key = -1.0  # below every recorded round: first-signal wins
 
     def key(n: str):
         return (rounds.get(n, fresh_key), reg_pos[n])
