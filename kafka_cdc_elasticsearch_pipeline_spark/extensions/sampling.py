@@ -111,7 +111,7 @@ def temperature_resample(
             * F.lit(HASH_BUCKETS).cast("double")
         )
         .cast("bigint")
-        .alias("cutoff"),
+        .alias("__tr_cutoff"),
     )
     # Null-safe rate join: a NULL source forms its own stratum (groupBy
     # already gave it a row in the rate table); a plain equi-join would
@@ -119,11 +119,20 @@ def temperature_resample(
     # n_total. Cross-engine note: with null sources present, the fold
     # order of w_sum is engine-defined — oracle users should coalesce
     # the source first (the gate row synthesizes non-null sources).
-    rate = F.broadcast(cut.withColumnRenamed(source_col, "__rate_src"))
+    # Both rate-table columns carry the reserved __tr_ prefix so a
+    # caller column named `cutoff` (or the source itself) can never
+    # make the post-join filter ambiguous at analysis time.
+    rate = F.broadcast(cut.withColumnRenamed(source_col, "__tr_src"))
+    for reserved in ("__tr_src", "__tr_cutoff"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input column {reserved!r} collides with "
+                "temperature_resample's reserved internal namespace"
+            )
     return (
-        df.join(rate, F.col(source_col).eqNullSafe(F.col("__rate_src")))
-        .filter(hash_bucket(F.col(key_col), salt) < F.col("cutoff"))
-        .drop("__rate_src", "cutoff")
+        df.join(rate, F.col(source_col).eqNullSafe(F.col("__tr_src")))
+        .filter(hash_bucket(F.col(key_col), salt) < F.col("__tr_cutoff"))
+        .drop("__tr_src", "__tr_cutoff")
     )
 
 

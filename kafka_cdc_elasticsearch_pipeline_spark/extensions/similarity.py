@@ -422,6 +422,19 @@ PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
 PQ_KS = 16  # codes per subspace codebook
 
 
+def _pq_subdim(m: int) -> int:
+    """Subspace width, failing loudly on a non-divisor ``m``: EMB_DIM
+    // m would silently drop the trailing dimensions from codes and
+    reconstruction, and pq_adc_topk's zip_with over unequal-length
+    arrays yields NULL scores instead of an error."""
+    if m <= 0 or EMB_DIM % m:
+        raise ValueError(
+            f"PQ subspace count m={m} must evenly divide the embedding "
+            f"dimension {EMB_DIM}; got remainder {EMB_DIM % m if m > 0 else m}"
+        )
+    return EMB_DIM // m
+
+
 def pq_codebook(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
     """Product-quantization codebooks by corpus sampling: subspace
     ``mi``'s codebook is the ``mi``-th subvector of the first ``ks``
@@ -434,7 +447,7 @@ def pq_codebook(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFr
     Output: (m, code, sub) — m*ks rows, broadcastable always (a
     codebook is KB-sized regardless of corpus size: that is the whole
     point of PQ)."""
-    sub = EMB_DIM // m
+    sub = _pq_subdim(m)
     return (
         embeddings.filter(F.col("vec_id") < ks)
         .select(F.col("vec_id").alias("code"), "embedding")
@@ -475,7 +488,7 @@ def pq_encode(
     100 TB this is a map-side-combinable min, not a data shuffle.
 
     Output: (vec_id, m, code)."""
-    sub = EMB_DIM // m
+    sub = _pq_subdim(m)
     sv = embeddings.select(
         "vec_id",
         F.explode(

@@ -288,6 +288,11 @@ def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
     keeps the file."""
     if op not in _PRUNE_OPS:
         raise ValueError(f"unsupported prune op {op!r}; use one of {_PRUNE_OPS}")
+    if value is None:
+        # Every supported op is null-rejecting (SQL 3VL): no row can
+        # satisfy `col op NULL`, so a None probe prunes every file
+        # instead of crashing on `mn <= None` below.
+        return False
     bloom = entry.get("bloom", {})
     if op == "==" and col in bloom:
         if not _bloom_may_contain(bloom[col], value):

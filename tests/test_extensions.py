@@ -548,6 +548,18 @@ def test_pq_codebook_shape(spark, embs):
     assert {r.code for r in cb} == set(range(sim.PQ_KS))
 
 
+def test_pq_rejects_nondivisor_m(spark, embs):
+    # r05 advice item: m that does not divide EMB_DIM used to silently
+    # truncate codes/reconstruction and NULL out ADC scores.
+    import pytest
+
+    for bad_m in (3, 7, 0, -2):
+        with pytest.raises(ValueError, match="divide"):
+            sim.pq_codebook(embs, m=bad_m)
+        with pytest.raises(ValueError, match="divide"):
+            sim.pq_encode(embs, sim.pq_codebook(embs), m=bad_m)
+
+
 def test_pq_self_encoding_is_lossless(spark, embs):
     """Sampled codebook vectors reconstruct EXACTLY: their own
     subvectors sit in the codebook at distance 0 (a tie only happens on
@@ -709,3 +721,24 @@ def test_temperature_resample_is_deterministic_and_validates_alpha(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="alpha"):
         temperature_resample(df, "source", "doc_id", alpha=0.7)
+
+
+def test_temperature_resample_survives_caller_cutoff_column(spark):
+    # r05 advice item: internal rate-table columns must not collide
+    # with caller columns — a pre-existing `cutoff` column used to make
+    # the post-join filter ambiguous at analysis time.
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 10) for i in range(300)],
+        "doc_id bigint, source string, cutoff bigint",
+    )
+    kept = temperature_resample(df, "source", "doc_id").collect()
+    assert len(kept) > 0
+    assert {c for c in df.columns} == set(kept[0].asDict())  # cutoff preserved
+    with pytest.raises(ValueError, match="reserved"):
+        temperature_resample(
+            df.withColumnRenamed("cutoff", "__tr_cutoff"), "source", "doc_id"
+        )

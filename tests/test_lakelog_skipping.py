@@ -77,6 +77,11 @@ def test_file_may_match_edge_cases():
     assert lakelog._file_may_match({"cols": {"c": ["a", "z"]}}, "c", ">=", 5) is True
     with pytest.raises(ValueError):
         lakelog._file_may_match({"cols": {"c": [0, 10]}}, "c", "!=", 5)
+    # None probe: null-rejecting ops can never match -> prune cleanly
+    # instead of TypeError on `mn <= None` (r05 advice item)
+    for op in ("==", ">=", ">", "<=", "<"):
+        assert lakelog._file_may_match({"cols": {"c": [0, 10]}}, "c", op, None) is False
+    assert lakelog._file_may_match({"cols": {"c": ["a", "z"]}}, "c", "==", None) is False
 
 
 def test_file_may_match_bloom():
