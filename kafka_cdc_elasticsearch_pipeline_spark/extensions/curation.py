@@ -38,9 +38,19 @@ def curate(
     stratum_col: str = "source",
     rates: dict[str, float] | None = None,
     default_rate: float = 0.9,
+    temperature_alpha: float | None = None,
+    temperature_budget: float = 0.5,
 ) -> DataFrame:
     """Run the 4-stage curation pipeline; returns
-    (doc_id, source, kept, reason) for every input document."""
+    (doc_id, source, kept, reason) for every input document.
+
+    ``temperature_alpha`` adds a FIFTH stage: temperature-based source
+    mixing (``sampling.temperature_cutoffs``) applied to the documents
+    that SURVIVE stages 1-4 — the per-source budgets are computed over
+    the survivor counts, not the raw corpus, so dedup and quality
+    drops genuinely change the mix (a source whose docs are mostly
+    duplicates gets a budget matching its deduped size). Surviving
+    docs dropped by the budget get reason ``temp_mixed_out``."""
     rates = rates or {}
 
     fp = docs.select(
@@ -76,9 +86,37 @@ def curate(
         .when(~F.col("samp_keep"), F.lit("sampled_out"))
         .otherwise(F.lit("kept"))
     )
-    return joined.select(
+    base = joined.select(
         "doc_id",
         stratum_col,
         reason.alias("reason"),
         (reason == "kept").alias("kept"),
+    )
+    if temperature_alpha is None:
+        return base
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        temperature_cutoffs,
+    )
+
+    # Budgets over the SURVIVORS of stages 1-4 (one extra dim-sized
+    # aggregate on rows the plan already computed — the corpus still
+    # scans once); the rate table is broadcast back onto the verdict.
+    cuts = temperature_cutoffs(
+        base.filter(F.col("kept")), stratum_col, temperature_alpha,
+        temperature_budget,
+    )
+    rate = F.broadcast(cuts.withColumnRenamed(stratum_col, "__tr_src"))
+    temp_keep = hash_bucket(F.col("doc_id"), "temp") < F.col("__tr_cutoff")
+    reason5 = F.when(
+        F.col("kept") & ~temp_keep, F.lit("temp_mixed_out")
+    ).otherwise(F.col("reason"))
+    return (
+        base.join(rate, F.col(stratum_col).eqNullSafe(F.col("__tr_src")), "left")
+        .select(
+            "doc_id",
+            stratum_col,
+            reason5.alias("reason"),
+            (reason5 == "kept").alias("kept"),
+        )
     )

@@ -845,6 +845,100 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk(embs, queries, sim.centroids(embs), nprobe=2)
 
 
+@query(
+    "ext_sim_ivfpq_recall",
+    f"""
+    WITH {_SQL_PQ_CTES},
+    recon AS (
+      SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+      FROM pq_codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+      GROUP BY c.vec_id
+    ),
+    cents AS ({_SQL_CENTROIDS}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_COS} DESC, e.vec_id) AS rank
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    ranked_probes AS (
+      SELECT q.vec_id AS query_id, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_COS_CENT.replace("e.embedding", "q.embedding")} DESC, c.label
+             ) AS pr
+      FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c
+    ),
+    ns AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    approx AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT n.nprobe, p.query_id, r.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY n.nprobe, p.query_id
+                                  ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+        FROM ns n
+        JOIN ranked_probes p ON p.pr <= n.nprobe
+        JOIN embeddings e ON e.label = p.probe_label
+        JOIN recon r ON r.vec_id = e.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE r.vec_id <> p.query_id
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT a.nprobe, a.query_id, count(*)::BIGINT AS h
+      FROM approx a JOIN truth t
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT q.vec_id AS query_id, n.nprobe::INT AS nprobe,
+           coalesce(h.h, 0)::BIGINT AS hits_at_10
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+    CROSS JOIN ns n
+    LEFT JOIN hits h ON h.query_id = q.vec_id AND h.nprobe = n.nprobe
+    """,
+    tags=("ext", "similarity", "ivf", "pq", "recall"),
+)
+def ext_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the COMPOSED IVF-PQ index vs exact brute force at
+    nprobe ∈ {1, 2, 4} — the number a user actually sizes the index
+    with (round-5 verdict #4): both error sources at once, bucket
+    misses (IVF) on top of quantization error (PQ). Integer hit counts
+    against a deterministic ground truth keep the curve under the
+    value hash; compare with ext_sim_ivf_recall's rows to read off how
+    much recall the 32× PQ compression costs at each probe budget."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    truth = reuse(
+        sim.brute_force_topk(embs, queries).select("query_id", "neighbor_id")
+    )
+    cents = reuse(sim.centroids(embs))
+    out = None
+    for nprobe in (1, 2, 4):
+        approx = sim.ivfpq_topk(embs, queries, cents, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        hits = approx.join(truth, ["query_id", "neighbor_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("h"))
+        rows = (
+            queries.select("query_id")
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits_at_10"),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
 # --- text analysis -----------------------------------------------------------
 
 
@@ -1430,6 +1524,91 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import curate
 
     return curate(_docs(spark, sf_dir), rates=_STRATA_RATES, default_rate=0.9)
+
+
+# The 4-stage verdict as a reusable CTE body (identical to the
+# ext_curation_pipeline SELECT) so the temperature variant can stack a
+# fifth stage on top without duplicating the stage logic inline.
+_SQL_CURATION_BASE = f"""
+    SELECT doc_id, source, reason, reason = 'kept' AS kept FROM (
+      SELECT kd.doc_id, kd.source,
+             CASE WHEN kd.doc_id <> kd.keep_doc_id THEN 'exact_dup'
+                  WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN NOT g.q_keep THEN 'low_quality'
+                  WHEN NOT sp.samp_keep THEN 'sampled_out'
+                  ELSE 'kept' END AS reason
+      FROM kd
+      LEFT JOIN nd ON kd.doc_id = nd.doc_id
+      JOIN g ON kd.doc_id = g.doc_id
+      JOIN sp ON kd.doc_id = sp.doc_id
+    )
+"""
+
+
+@query(
+    "ext_curation_pipeline_temperature",
+    f"""
+    WITH {_SQL_MINHASH_CTES},
+    q AS ({_SQL_QUALITY}), r AS ({_SQL_REPETITION}),
+    nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    fpx AS (SELECT doc_id, source, md5({_SQL_NORM}) AS fingerprint FROM documents),
+    kd AS (SELECT doc_id, source,
+                  min(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id
+           FROM fpx),
+    g AS (SELECT q.doc_id,
+            ((q.n_words >= 10 AND q.n_words <= 100000)
+             AND (avg_word_len >= 3 AND avg_word_len <= 12)
+             AND alpha_ratio >= 0.6
+             AND stopword_ratio >= 0.01
+             AND coalesce(dup_shingle_ratio, 0.0) <= 0.3) AS q_keep
+          FROM q LEFT JOIN r ON q.doc_id = r.doc_id),
+    sp AS (SELECT doc_id,
+             (('0x' || substr(md5('samp_' || doc_id::VARCHAR), 1, 7))::BIGINT % 10000
+               < {_SQL_RATE_CUT}) AS samp_keep
+           FROM documents),
+    base AS ({_SQL_CURATION_BASE}),
+    surv AS (SELECT source, count(*)::BIGINT AS n FROM base
+             WHERE reason = 'kept' GROUP BY source),
+    tot AS (SELECT sum(n)::BIGINT AS n_total FROM surv),
+    w AS (SELECT source, n, n_total, sqrt(n::DOUBLE / n_total) AS w FROM surv, tot),
+    ww AS (
+      SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                         (a, b) -> a + b) AS w_sum
+      FROM w
+    ),
+    cutt AS (
+      SELECT source,
+             CAST(round(least(1.0, 0.5 * n_total * w / w_sum / n) * 10000.0)
+               AS BIGINT) AS cutoff
+      FROM w, ww
+    )
+    SELECT b.doc_id, b.source,
+           CASE WHEN b.reason = 'kept'
+                 AND ('0x' || substr(md5('temp_' || b.doc_id::VARCHAR), 1, 7))::BIGINT
+                     % 10000 >= c.cutoff
+                THEN 'temp_mixed_out' ELSE b.reason END AS reason,
+           (b.reason = 'kept'
+            AND ('0x' || substr(md5('temp_' || b.doc_id::VARCHAR), 1, 7))::BIGINT
+                % 10000 < c.cutoff) AS kept
+    FROM base b LEFT JOIN cutt c USING (source)
+    """,
+    tags=("ext", "curation", "pipeline", "temperature"),
+)
+def ext_curation_pipeline_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-stage curation pipeline (round-5 verdict #8): temperature
+    mixing composed ON TOP of exact dedup → near-dup → quality →
+    sampling, with the per-source α=0.5 budgets computed over the
+    SURVIVORS of the first four stages — so dedup and Gopher drops
+    change the mix a source receives (the interaction a standalone
+    mix row can't show). Per-document verdicts carry the first failing
+    stage, now including ``temp_mixed_out``; the whole audit trail is
+    still one corpus pass plus a dim-sized broadcast rate table."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import curate
+
+    return curate(
+        _docs(spark, sf_dir), rates=_STRATA_RATES, default_rate=0.9,
+        temperature_alpha=0.5, temperature_budget=0.5,
+    )
 
 
 def _sql_centroid_step(src: str) -> str:

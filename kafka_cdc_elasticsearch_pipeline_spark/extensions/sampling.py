@@ -79,6 +79,41 @@ def temperature_resample(
     source-name order on both sides. Arbitrary alphas would need a
     tolerance oracle instead of a value hash.
     """
+    cut = temperature_cutoffs(df, source_col, alpha, budget_frac)
+    # Both rate-table columns carry the reserved __tr_ prefix so a
+    # caller column named `cutoff` (or the source itself) can never
+    # make the post-join filter ambiguous at analysis time.
+    rate = F.broadcast(cut.withColumnRenamed(source_col, "__tr_src"))
+    for reserved in ("__tr_src", "__tr_cutoff"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input column {reserved!r} collides with "
+                "temperature_resample's reserved internal namespace"
+            )
+    # Null-safe rate join: a NULL source forms its own stratum (groupBy
+    # already gave it a row in the rate table); a plain equi-join would
+    # silently DROP every null-source row while still counting them in
+    # n_total. Cross-engine note: with null sources present, the fold
+    # order of w_sum is engine-defined — oracle users should coalesce
+    # the source first (the gate row synthesizes non-null sources).
+    return (
+        df.join(rate, F.col(source_col).eqNullSafe(F.col("__tr_src")))
+        .filter(hash_bucket(F.col(key_col), salt) < F.col("__tr_cutoff"))
+        .drop("__tr_src", "__tr_cutoff")
+    )
+
+
+def temperature_cutoffs(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """The per-source keep-rate table behind :func:`temperature_resample`
+    — (source, __tr_cutoff) with the cutoff an integer hash-bucket
+    bound in [0, HASH_BUCKETS]. Exposed separately so composed
+    pipelines (``curation.curate``) can LABEL rows against the table
+    instead of filtering, keeping the audit-trail shape."""
     chains = {1.0: 0, 0.5: 1, 0.25: 2}
     if alpha not in chains:
         raise ValueError(
@@ -113,27 +148,7 @@ def temperature_resample(
         .cast("bigint")
         .alias("__tr_cutoff"),
     )
-    # Null-safe rate join: a NULL source forms its own stratum (groupBy
-    # already gave it a row in the rate table); a plain equi-join would
-    # silently DROP every null-source row while still counting them in
-    # n_total. Cross-engine note: with null sources present, the fold
-    # order of w_sum is engine-defined — oracle users should coalesce
-    # the source first (the gate row synthesizes non-null sources).
-    # Both rate-table columns carry the reserved __tr_ prefix so a
-    # caller column named `cutoff` (or the source itself) can never
-    # make the post-join filter ambiguous at analysis time.
-    rate = F.broadcast(cut.withColumnRenamed(source_col, "__tr_src"))
-    for reserved in ("__tr_src", "__tr_cutoff"):
-        if reserved in df.columns:
-            raise ValueError(
-                f"input column {reserved!r} collides with "
-                "temperature_resample's reserved internal namespace"
-            )
-    return (
-        df.join(rate, F.col(source_col).eqNullSafe(F.col("__tr_src")))
-        .filter(hash_bucket(F.col(key_col), salt) < F.col("__tr_cutoff"))
-        .drop("__tr_src", "__tr_cutoff")
-    )
+    return cut
 
 
 # (The related train/holdout split lives in ``text.train_holdout_split``

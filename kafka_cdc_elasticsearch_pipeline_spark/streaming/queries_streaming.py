@@ -100,6 +100,47 @@ def t5_streaming_table_latest_per_key(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "t5_latest_per_key_ttl_eviction",
+    f"""
+    SELECT {', '.join(EVENT_COLS)}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("T5", "S2", "streaming", "bounded-state", "ttl"),
+)
+def t5_latest_per_key_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 latest-per-key with BOUNDED state (round-5 verdict #6): the
+    same table as `t5_streaming_table_latest_per_key`, built by a
+    custom applyInPandasWithState operator whose per-key state is
+    EVICTED once the watermark passes the key's last event time + a
+    2 h TTL. The events span ~30 days with per-user gaps mostly above
+    2 h, so every user's state is dropped and re-created MANY times
+    during the replay — and the final materialization must still
+    hash-match the batch latest-per-key oracle, proving evicted keys
+    re-enter without losing or resurrecting updates. The unbounded
+    variant holds one state row per key ever seen (state-store death
+    at 100 TB of user ids); this is the form that survives.
+    State-size bound is pinned in tests/test_streaming.py
+    (numRowsTotal over user-day keys)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_latest,
+        latest_per_key_ttl_stream,
+    )
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        updates = latest_per_key_ttl_stream(stream, ttl="2 hours")
+        name = f"strm_latest_ttl_{next(_SEQ)}"
+        run_to_memory(updates, name, output_mode="update")
+        return finalize_latest(spark.table(name)).select(*EVENT_COLS)
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "stateful_user_profile_apply_in_pandas",
     """
     WITH agg AS (

@@ -87,6 +87,120 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
     )
 
 
+LATEST_TTL_OUTPUT_SCHEMA = (
+    "user_id bigint, event_id bigint, ts_us bigint,"
+    " event_type string, value double, props string"
+)
+LATEST_TTL_STATE_SCHEMA = (
+    "ts_us bigint, eid bigint, etype string, val double, props string"
+)
+
+
+def _make_latest_ttl_tracker(ttl_ms: int):
+    def tracker(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL eviction: this key saw no event for ttl_ms of EVENT
+            # time — drop its state row. Every update was already
+            # emitted, so the downstream materialization loses nothing;
+            # a later event simply re-creates the key from scratch.
+            state.remove()
+            return
+        ts_us, eid, etype, val, props = (
+            state.get if state.exists else (-1, -1, "", 0.0, "")
+        )
+        for pdf in pdfs:
+            latest = pdf[pdf["ts_us"] == pdf["ts_us"].max()]
+            row = latest.loc[latest["event_id"].idxmax()]
+            if (int(row["ts_us"]), int(row["event_id"])) > (ts_us, eid):
+                ts_us, eid = int(row["ts_us"]), int(row["event_id"])
+                etype, val, props = (
+                    str(row["event_type"]), float(row["value"]), str(row["props"])
+                )
+        state.update((ts_us, eid, etype, val, props))
+        # Evict when the watermark passes last-event-time + TTL. The
+        # timestamp must sit above the current watermark (Spark errors
+        # otherwise) — a key whose newest event is already older than
+        # watermark - TTL evicts at the next watermark tick.
+        state.setTimeoutTimestamp(
+            max(ts_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [eid],
+                "ts_us": [ts_us],
+                "event_type": [etype],
+                "value": [val],
+                "props": [props],
+            }
+        )
+
+    return tracker
+
+
+def latest_per_key_ttl_stream(
+    events: DataFrame,
+    ttl: str = "2 hours",
+    watermark: str = "0 seconds",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """T5 latest-per-key with BOUNDED state: keys idle for ``ttl`` of
+    event time are evicted from the state store (EventTimeTimeout) and
+    transparently re-created when they next appear. The unbounded
+    ``streaming_latest_per_key`` holds one state row per key EVER seen
+    — at 100 TB of user ids that is the state store's death; with a
+    TTL, state size follows the active-key window. Correctness is
+    unchanged because updates are emitted in update mode: the final
+    table is max-by(ts, event_id) over the update log, whether or not
+    the key's state was rebuilt in between."""
+    ttl_ms = _duration_ms(ttl)
+    prepared = events.select(
+        F.col(key_col).alias("user_id"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "props",
+        F.col("ts").cast("timestamp").alias("_evt"),
+    ).withWatermark("_evt", watermark)
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_latest_ttl_tracker(ttl_ms),
+        outputStructType=LATEST_TTL_OUTPUT_SCHEMA,
+        stateStructType=LATEST_TTL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_ms(duration: str) -> int:
+    """'2 hours' / '30 minutes' / '45 seconds' -> milliseconds."""
+    n_s, unit = duration.split()
+    n = int(n_s)
+    per = {"second": 1_000, "minute": 60_000, "hour": 3_600_000,
+           "day": 86_400_000}[unit.rstrip("s")]
+    return n * per
+
+
+def finalize_latest(updates: DataFrame) -> DataFrame:
+    """Reduce the TTL operator's update log to the final latest-per-key
+    table in the events schema (ts restored from epoch-micros)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+    final = latest_per_key(
+        updates, ["user_id"], "ts_us", tiebreak="event_id", method="max_by"
+    )
+    return final.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def finalize_profiles(updates: DataFrame) -> DataFrame:
     """Reduce an update log to the final profile per user and restore
     the event-time column from epoch-micros.

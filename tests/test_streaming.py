@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
@@ -469,6 +470,77 @@ def test_watermark_late_eviction_drops_stragglers(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_latest_per_key_ttl_bounds_state(spark, sf_dir):
+    """The TTL latest-per-key claim, observed in the state store: with
+    user-DAY keys (keys go permanently cold once their day passes) and
+    a 24 h TTL, the final state must hold only the recently-active tail
+    of the key space — while the materialized table still equals the
+    batch latest-per-key over ALL keys, including the thousands whose
+    state was evicted (and sometimes re-created) along the way."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_latest,
+        latest_per_key_ttl_stream,
+    )
+
+    def with_user_day(df):
+        return df.withColumn(
+            "user_day", F.col("user_id") * 100 + F.dayofmonth("ts")
+        )
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        batch = with_user_day(load_table(spark, sf_dir, "events"))
+        n_keys = batch.select("user_day").distinct().count()
+        updates = latest_per_key_ttl_stream(
+            with_user_day(stream), ttl="24 hours", key_col="user_day"
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_latest_ttl_")
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("latest_ttl_state")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        # ~30 days of user-day keys, 24 h TTL: only the last ~2 days of
+        # keys may still hold state at the end
+        assert 0 < state_rows < n_keys // 4, (state_rows, n_keys)
+        # correctness over ALL keys, evicted ones included
+        final = finalize_latest(
+            spark.table("latest_ttl_state")
+        ).withColumnRenamed("user_id", "user_day")
+        expect = (
+            batch.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_day").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter("rn = 1")
+            .select("user_day", "event_id")
+        )
+        got = final.select("user_day", "event_id")
+        assert got.count() == n_keys
+        assert expect.exceptAll(got).count() == 0
+        assert got.exceptAll(expect).count() == 0
+    finally:
+        cleanup(tmp)
 
 
 def test_dedup_within_watermark_bounds_state(spark, sf_dir):
