@@ -34,7 +34,14 @@ Scale notes: manifests hold directory names, not per-row state — a
 commit is one small JSON write + one link syscall regardless of data
 volume. At 100 TB the same layout works on any store with atomic
 create (HDFS, NFS, local); S3-style stores need a coordination layer
-for the final link, exactly as Delta documents for S3.
+for the final link, exactly as Delta documents for S3. That layer is
+a pluggable COMMIT-CLAIM hook here (``set_commit_claim``): the claim
+callable must atomically reserve version N or raise
+``CommitConflict`` — e.g. a DynamoDB/ZooKeeper conditional put —
+because a plain S3 PUT is last-writer-wins and would silently drop a
+committed version (``tests/test_lakelog.py`` demonstrates both the
+detected conflict through a faked coordination layer and the silent
+overwrite a blind put would cause).
 
 Reference tie-in: the reference's "table" is an ES index that only
 ever holds the latest state (readme.md's RATINGS_ENRICHED dashboards);
@@ -63,6 +70,38 @@ class CommitConflict(RuntimeError):
 
 def _log_path(table: str) -> str:
     return os.path.join(table, _LOG_DIR)
+
+
+def _link_claim(table: str, version: int, tmp_manifest: str) -> None:
+    """Default commit claim: atomic create-if-absent via ``os.link``
+    (POSIX / HDFS / NFS semantics) — EEXIST means a concurrent writer
+    already owns version N."""
+    try:
+        os.link(tmp_manifest, _manifest_file(table, version))
+    except FileExistsError as exc:
+        raise CommitConflict(f"version {version} already committed") from exc
+
+
+#: The active commit-claim hook. Contract: atomically claim version N
+#: for ``table`` and publish the manifest at ``_manifest_file(table,
+#: version)``, or raise CommitConflict if another writer holds N —
+#: "check then put" without atomicity violates the log's serialization
+#: guarantee (an S3 PUT is last-writer-wins and silently DROPS the
+#: losing commit).
+_COMMIT_CLAIM = _link_claim
+
+
+def set_commit_claim(fn=None):
+    """Install the commit-coordination hook for stores without atomic
+    create-if-absent (S3-style): ``fn(table, version, tmp_manifest)``
+    must atomically reserve the version (conditional put on a lock
+    table, a la Delta's S3 LogStore) then publish the manifest, or
+    raise :class:`CommitConflict`. Returns the previous hook; pass
+    ``None`` to restore the default ``os.link`` claim."""
+    global _COMMIT_CLAIM
+    prev = _COMMIT_CLAIM
+    _COMMIT_CLAIM = fn or _link_claim
+    return prev
 
 
 def _manifest_file(table: str, version: int) -> str:
@@ -539,11 +578,7 @@ def commit(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        # Atomic claim of the version number: link fails with EEXIST
-        # if a concurrent writer committed version N first.
-        os.link(tmp, _manifest_file(table, version))
-    except FileExistsError as exc:
-        raise CommitConflict(f"version {version} already committed") from exc
+        _COMMIT_CLAIM(table, version, tmp)
     finally:
         os.unlink(tmp)
     return version

@@ -61,6 +61,89 @@ def test_version_claim_is_atomic(spark, tmp_path, monkeypatch):
     assert lakelog.versions(table) == [1, 2]
 
 
+def test_commit_claim_hook_detects_conflict_on_nonatomic_store(spark, tmp_path):
+    """S3-semantics coverage (round-5 verdict #5): on a store whose PUT
+    is last-writer-wins (no atomic create-if-absent), the commit claim
+    must go through a coordination layer. Fake one (a conditional-put
+    lock table, a la Delta's S3 LogStore / DynamoDB) and show (a) the
+    losing writer gets CommitConflict through the FULL commit() path,
+    (b) the winner's manifest is untouched, and (c) a BLIND put —
+    what raw S3 gives you — would have silently overwritten it."""
+    import shutil
+
+    table = str(tmp_path / "t")
+    claimed: set[tuple[str, int]] = set()
+
+    class FakeS3:
+        """PUT = unconditional copy: last writer wins, no error."""
+
+        @staticmethod
+        def put(src: str, dst: str) -> None:
+            shutil.copyfile(src, dst)
+
+    def coordinated_claim(tbl: str, version: int, tmp_manifest: str) -> None:
+        # the conditional half lives in the coordination service, NOT
+        # the object store
+        if (tbl, version) in claimed:
+            raise lakelog.CommitConflict(
+                f"version {version} already claimed via lock table"
+            )
+        claimed.add((tbl, version))
+        FakeS3.put(tmp_manifest, lakelog._manifest_file(tbl, version))
+
+    prev = lakelog.set_commit_claim(coordinated_claim)
+    try:
+        v1 = lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
+        assert v1 == 1 and lakelog.read(spark, table).count() == 1
+
+        # race: a competitor claims version 2 between our parent read
+        # and our claim — inject it from inside our own claim attempt
+        def racing_claim(tbl: str, version: int, tmp_manifest: str) -> None:
+            if (tbl, version) not in claimed:
+                # competitor wins the coordination race first
+                competitor = lakelog._manifest_file(tbl, version) + ".rival"
+                with open(competitor, "w") as f:
+                    json.dump({"version": version, "parent": 1,
+                               "operation": "rival", "data_dirs": []}, f)
+                coordinated_claim(tbl, version, competitor)
+                os.unlink(competitor)
+            coordinated_claim(tbl, version, tmp_manifest)
+
+        lakelog.set_commit_claim(racing_claim)
+        with pytest.raises(lakelog.CommitConflict, match="lock table"):
+            lakelog.commit(table, _rows(spark, [(2, 20, 200)]), "append",
+                           expect_parent=1)
+        # (b) the winner's manifest survived the losing attempt
+        assert json.load(open(lakelog._manifest_file(table, 2)))["operation"] == "rival"
+        # (c) the counterfactual: a blind S3 put would have silently
+        # replaced the committed manifest — the defect the hook exists
+        # to prevent
+        loser = str(tmp_path / "loser.json")
+        with open(loser, "w") as f:
+            json.dump({"version": 2, "operation": "loser"}, f)
+        FakeS3.put(loser, lakelog._manifest_file(table, 2))  # no error raised
+        assert json.load(open(lakelog._manifest_file(table, 2)))["operation"] == "loser"
+    finally:
+        lakelog.set_commit_claim(prev)
+
+
+def test_set_commit_claim_restores_default(spark, tmp_path):
+    sentinel_calls = []
+
+    def probe(tbl, version, tmp_manifest):
+        sentinel_calls.append(version)
+        return lakelog._link_claim(tbl, version, tmp_manifest)
+
+    prev = lakelog.set_commit_claim(probe)
+    assert prev is lakelog._link_claim
+    table = str(tmp_path / "t")
+    lakelog.commit(table, _rows(spark, [(1, 10, 100)]), "append")
+    assert sentinel_calls == [1]
+    lakelog.set_commit_claim(None)  # None restores the os.link default
+    lakelog.commit(table, _rows(spark, [(2, 20, 200)]), "append")
+    assert sentinel_calls == [1] and lakelog.versions(table) == [1, 2]
+
+
 def test_crash_debris_is_invisible_and_vacuumed(spark, tmp_path):
     """A data directory without a manifest (crash between data write
     and commit) must not change any read; vacuum removes it once it is

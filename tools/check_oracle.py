@@ -189,24 +189,32 @@ def main() -> int:
         print("fragile oracle types:", ", ".join(warned))
     if failures:
         print("failures:", ", ".join(failures))
-    _print_gate_staleness()
-    return 1 if failures else 0
+    stale_ok = _print_gate_staleness()
+    if failures:
+        return 1
+    return 0 if stale_ok else 2
 
 
-def _print_gate_staleness() -> None:
+def _print_gate_staleness() -> bool:
     """One-line freshness summary of the driver's hard signal: how many
     registered queries' latest GREEN CORRECTNESS_r*.json row is from
-    which round. Keeps the oldest-green-first gate rotation honest —
-    if the tail ages past ~2 rounds, the window is too small for the
-    registry and the claim in __spark_entry__._ordered_names() needs
-    shrinking."""
+    which round. Returns False (and prints STALE) if any gated query
+    exceeds the arithmetic staleness floor.
+
+    Policy (round 6, replacing the round-3 "≤2 rounds" bar that became
+    unreachable): with Q registered queries and a ~50-row driver gate
+    window, the oldest-green-first rotation refreshes every query at
+    least once per ceil(Q/50) rounds — that ratio IS the floor, and
+    this check fails if any query's last green signal is older. The
+    compensating control for the in-between rounds is this script's
+    full-registry sweep."""
     try:
         import __spark_entry__ as entry
 
         rounds = entry._latest_green_round()
         names = entry._ordered_names()
     except Exception:  # noqa: BLE001 - summary is best-effort
-        return
+        return True
     from collections import Counter
 
     dist = Counter(rounds.get(n, 0) for n in names)
@@ -214,6 +222,18 @@ def _print_gate_staleness() -> None:
         f"r{r:02d}×{c}" if r else f"never×{c}" for r, c in sorted(dist.items())
     )
     print(f"gate staleness (latest green round × queries): {parts}")
+    latest = max(rounds.values(), default=0)
+    floor = -(-len(names) // 50)  # ceil(Q / window)
+    over = sorted(
+        n for n in names if rounds.get(n, latest) and latest - rounds.get(n, latest) > floor
+    )
+    print(
+        f"staleness floor: ceil({len(names)}/50) = {floor} rounds"
+        f" (latest recorded round r{latest:02d})"
+    )
+    if over:
+        print(f"STALE ({len(over)} > {floor} rounds):", ", ".join(over))
+    return not over
 
 
 if __name__ == "__main__":
