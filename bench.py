@@ -68,6 +68,24 @@ def main() -> int:
     for name in names:
         QUERIES[name].spark(spark, args.sf).limit(1).collect()
 
+    # Warm the PYTHON worker fleet once: the mapInPandas queries pay
+    # worker spawn + numpy import per worker when the pool is cold
+    # (r06 A/B: png_decode best-of-3 swung 0.72-1.18s in one session
+    # purely on pool state; steady state is 0.73-0.80s). A fleet of
+    # long-lived executors has warm workers — that is the cost the
+    # bench should record.
+    cores = spark.sparkContext.defaultParallelism
+
+    def _warm_workers(iterator):
+        import numpy  # noqa: F401
+        import pandas as pd  # noqa: F401
+
+        yield from iterator
+
+    spark.range(cores * 4, numPartitions=cores).mapInPandas(
+        _warm_workers, schema="id long"
+    ).count()
+
     from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (
         release_pinned,
     )
