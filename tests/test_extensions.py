@@ -548,6 +548,27 @@ def test_pq_codebook_shape(spark, embs):
     assert {r.code for r in cb} == set(range(sim.PQ_KS))
 
 
+def test_pq_refinement_distortion_is_nonincreasing(spark, embs):
+    """Lloyd's guarantee: each refinement iteration can only lower the
+    total quantization distortion (ties allowed if assignment is
+    already a fixed point)."""
+    rows = sim.pq_refinement_distortion(embs, iterations=3).collect()
+    by_iter = {r.iteration: r.total_distortion for r in rows}
+    assert sorted(by_iter) == [0, 1, 2, 3]
+    for i in range(3):
+        assert by_iter[i + 1] <= by_iter[i], by_iter
+    assert by_iter[3] < by_iter[0]  # some progress over 3 iterations
+
+
+def test_pq_refined_codebook_shape_and_fallback(spark, embs):
+    """Refined codebooks keep the (m, code) grid intact: every
+    subspace still has all ks entries (empty codes fall back to the
+    previous entry instead of vanishing)."""
+    cb = sim.pq_codebook_refined(embs, iterations=2).collect()
+    assert len(cb) == sim.PQ_M * sim.PQ_KS
+    assert all(len(r.sub) == sim.EMB_DIM // sim.PQ_M for r in cb)
+
+
 def test_pq_rejects_nondivisor_m(spark, embs):
     # r05 advice item: m that does not divide EMB_DIM used to silently
     # truncate codes/reconstruction and NULL out ADC scores.
