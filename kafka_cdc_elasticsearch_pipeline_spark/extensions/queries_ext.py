@@ -845,6 +845,58 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk(embs, queries, sim.centroids(embs), nprobe=2)
 
 
+_SQL_COS_AB = (
+    f"round({SQL_DOT64.format(a='a.embedding', b='b.embedding')}"
+    f" / (sqrt({SQL_DOT64.format(a='a.embedding', b='a.embedding')})"
+    f" * sqrt({SQL_DOT64.format(a='b.embedding', b='b.embedding')})), 6)"
+)
+
+
+@query(
+    "ext_dedup_semdedup",
+    f"""
+    WITH cents AS ({_SQL_CENTROIDS}),
+    ccos AS (
+      SELECT e.vec_id, e.label, {_SQL_COS_CENT.replace('c.centroid', 'cents.centroid')} AS centroid_cosine
+      FROM embeddings e JOIN cents ON e.label = cents.label
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_SQL_COS_AB} >= 0.4
+    ),
+    sym AS (
+      SELECT vec_a AS vec_id, vec_b AS partner FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    dropped AS (
+      SELECT DISTINCT s.vec_id
+      FROM sym s
+      JOIN ccos m ON m.vec_id = s.vec_id
+      JOIN ccos t ON t.vec_id = s.partner
+      WHERE t.centroid_cosine < m.centroid_cosine
+         OR (t.centroid_cosine = m.centroid_cosine AND t.vec_id < m.vec_id)
+    )
+    SELECT c.vec_id, c.label, c.centroid_cosine,
+           d.vec_id IS NULL AS kept
+    FROM ccos c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """,
+    tags=("ext", "dedup", "embedding", "semdedup"),
+)
+def ext_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the
+    diversity-preserving keep policy — among same-cluster examples
+    whose pairwise cosine ≥ 0.4, keep the one LEAST similar to its
+    cluster centroid (prototypes are redundant with the cluster;
+    outliers carry information). Per-vector verdicts under the full
+    value hash; complements ext_dedup_embedding_cosine (the pair list)
+    with the decision a curation run actually applies. Label-blocked
+    candidates, broadcast centroids — never all-pairs."""
+    return sim.semdedup(_embs(spark, sf_dir))
+
+
 def _sql_pq_dist_step(sv: str, cb: str) -> str:
     """Distance CTE body: rounded squared-L2 of every subvector against
     every code of ``cb`` — the exact mirror of similarity._pq_assign's

@@ -418,6 +418,70 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus (the IVF coarse
+    labels here), score near-duplicate pairs ONLY within clusters, and
+    among mutually-similar examples keep the one with the LOWEST
+    cosine to its cluster centroid (the paper's diversity-preserving
+    policy: prototypical members are redundant with the cluster,
+    outliers carry information).
+
+    Drop rule, deterministic and transitivity-free (the paper's
+    sorted-scan formulation): example x is dropped iff some same-
+    cluster y with cosine(x, y) ≥ threshold ranks AHEAD of x by
+    (centroid_cosine ASC, vec_id ASC). One ranked verdict per input
+    vector: (vec_id, label, centroid_cosine, kept).
+
+    At 100 TB: candidate generation is the same label-blocked
+    equi-join as :func:`embedding_neardup_pairs` (never all-pairs),
+    the centroid table is broadcast, and the verdict join carries
+    (vec_id, rank) pairs only."""
+    ccos = embeddings.join(
+        F.broadcast(centroids(embeddings)), "label"
+    ).select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+            "centroid_cosine"
+        ),
+    )
+    pairs = embedding_neardup_pairs(embeddings, threshold)
+    sym = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("partner"))
+    )
+    mine = ccos.select(
+        "vec_id",
+        F.col("centroid_cosine").alias("my_c"),
+    )
+    theirs = ccos.select(
+        F.col("vec_id").alias("partner"),
+        F.col("centroid_cosine").alias("their_c"),
+    )
+    dropped = (
+        sym.join(mine, "vec_id")
+        .join(theirs, "partner")
+        .filter(
+            (F.col("their_c") < F.col("my_c"))
+            | ((F.col("their_c") == F.col("my_c")) & (F.col("partner") < F.col("vec_id")))
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        ccos.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "centroid_cosine",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
 PQ_KS = 16  # codes per subspace codebook
 

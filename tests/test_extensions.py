@@ -548,6 +548,37 @@ def test_pq_codebook_shape(spark, embs):
     assert {r.code for r in cb} == set(range(sim.PQ_KS))
 
 
+def test_semdedup_keeps_least_prototypical(spark):
+    """The SemDeDup keep policy on a crafted cluster: two near-identical
+    vectors plus one outlier. The near-dup pair member MORE similar to
+    the centroid is dropped; the other member and the outlier are
+    kept."""
+    import numpy as np
+
+    def vec(*head):
+        v = np.zeros(sim.EMB_DIM, dtype=float)
+        v[: len(head)] = head
+        return [float(x) for x in v]
+
+    rows = [
+        (0, vec(1.0, 0.0), 7),        # near-dup pair member
+        (1, vec(0.98, 0.02), 7),      # near-dup pair member
+        (2, vec(0.0, 1.0), 7),        # outlier, dissimilar to both
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    out = {r.vec_id: r for r in sim.semdedup(embs, threshold=0.9).collect()}
+    assert len(out) == 3
+    assert out[2].kept  # the outlier never pairs above threshold
+    pair = [out[0], out[1]]
+    kept = [r for r in pair if r.kept]
+    dropped = [r for r in pair if not r.kept]
+    assert len(kept) == 1 and len(dropped) == 1
+    # the dropped one is the MORE prototypical (higher centroid cosine)
+    assert dropped[0].centroid_cosine >= kept[0].centroid_cosine
+
+
 def test_pq_refinement_distortion_is_nonincreasing(spark, embs):
     """Lloyd's guarantee: each refinement iteration can only lower the
     total quantization distortion (ties allowed if assignment is
