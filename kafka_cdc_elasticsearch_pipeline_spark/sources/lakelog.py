@@ -121,9 +121,56 @@ def versions(table: str) -> list[int]:
     return sorted(out)
 
 
+_HINT_FILE = "_latest.hint"
+
+
 def latest_version(table: str) -> int | None:
-    vs = versions(table)
-    return vs[-1] if vs else None
+    """Resolve the newest committed version WITHOUT listing the log
+    when possible — Delta's ``_last_checkpoint`` pattern. Every commit
+    leaves an advisory hint file naming its version; resolution reads
+    the hint and probes FORWARD with existence checks until the next
+    version is absent. The hint is non-atomic and may be stale (a
+    crash between the manifest link and the hint write), never ahead
+    (it is written only after a successful claim) — the forward probe
+    absorbs staleness at one extra existence check per missed commit.
+    Why it matters at scale: a directory listing is O(total commits)
+    and paged on object stores, so the read path of a table with 10^5
+    commits would pay ~100 LIST calls just to find "latest"; hint +
+    probe is O(1 + gap) GET/HEAD calls. Falls back to the listing when
+    no hint exists (pre-hint tables)."""
+    hint_path = os.path.join(_log_path(table), _HINT_FILE)
+    v: int | None = None
+    try:
+        with open(hint_path) as f:
+            hinted = int(f.read().strip())
+        if os.path.exists(_manifest_file(table, hinted)):
+            v = hinted
+    except (OSError, ValueError):
+        v = None
+    if v is None:
+        vs = versions(table)
+        if not vs:
+            return None
+        v = vs[-1]
+    while os.path.exists(_manifest_file(table, v + 1)):
+        v += 1
+    return v
+
+
+def _write_latest_hint(table: str, version: int) -> None:
+    """Best-effort advisory hint (never load-bearing: latest_version
+    probes forward past it, and correctness never depends on it)."""
+    hint_path = os.path.join(_log_path(table), _HINT_FILE)
+    tmp = hint_path + f".tmp-{uuid.uuid4().hex}"
+    try:
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint_path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def read_manifest(table: str, version: int) -> dict:
@@ -581,6 +628,7 @@ def commit(
         _COMMIT_CLAIM(table, version, tmp)
     finally:
         os.unlink(tmp)
+    _write_latest_hint(table, version)
     return version
 
 

@@ -144,6 +144,38 @@ def test_set_commit_claim_restores_default(spark, tmp_path):
     assert sentinel_calls == [1] and lakelog.versions(table) == [1, 2]
 
 
+def test_latest_version_hint_is_advisory_never_load_bearing(spark, tmp_path):
+    """O(1) latest-version resolution (the _last_checkpoint pattern):
+    commits leave a hint file; a stale, corrupt, or missing hint must
+    never change the answer — the forward existence probe / listing
+    fallback absorbs every failure mode."""
+    table = str(tmp_path / "t")
+    for i in range(3):
+        lakelog.commit(table, _rows(spark, [(i, i * 10, i * 100)]), "append")
+    hint = os.path.join(table, "_log", lakelog._HINT_FILE)
+    assert os.path.exists(hint) and open(hint).read() == "3"
+    assert lakelog.latest_version(table) == 3
+    # stale hint (crash between manifest link and hint write)
+    with open(hint, "w") as f:
+        f.write("1")
+    assert lakelog.latest_version(table) == 3  # forward probe recovers
+    # corrupt hint
+    with open(hint, "w") as f:
+        f.write("not-a-number")
+    assert lakelog.latest_version(table) == 3  # listing fallback
+    # missing hint (pre-hint table)
+    os.unlink(hint)
+    assert lakelog.latest_version(table) == 3
+    # hint ahead of reality (hand-edited / restored from backup):
+    # the hinted manifest does not exist, so the hint is ignored
+    with open(hint, "w") as f:
+        f.write("9")
+    assert lakelog.latest_version(table) == 3
+    # reads resolve through the same path (each commit here snapshots
+    # one row; version 3's manifest references only its own data dir)
+    assert lakelog.read(spark, table).count() == 1
+
+
 def test_crash_debris_is_invisible_and_vacuumed(spark, tmp_path):
     """A data directory without a manifest (crash between data write
     and commit) must not change any read; vacuum removes it once it is
