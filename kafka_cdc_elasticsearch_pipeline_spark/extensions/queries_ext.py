@@ -1317,6 +1317,45 @@ def ext_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_top_shingles(_docs(spark, sf_dir))
 
 
+@query(
+    "ext_text_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, count(*)::BIGINT AS wf FROM words
+      GROUP BY word HAVING length(word) >= 2
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair,
+             wf
+      FROM vocab
+    ),
+    counts AS (SELECT pair, sum(wf)::BIGINT AS pair_count FROM pairs GROUP BY pair)
+    SELECT pair, pair_count,
+           row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+    FROM counts
+    QUALIFY rank <= 50
+    """,
+    tags=("ext", "text", "tokenizer", "bpe"),
+)
+def ext_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer counting step (Sennrich et al. 2016): corpus-
+    weighted adjacent-symbol pair frequencies, ranked — the argmax row
+    is the next merge a tokenizer trainer would learn. The load-
+    bearing scale trick is counting over the DISTINCT-WORD vocabulary
+    weighted by word frequency, not over raw tokens: a 10^12-token
+    corpus has a ~10^6-row vocabulary, so each merge iteration's pair
+    scan touches vocab-sized data after one corpus-sized word count
+    that all iterations share. Top-50 ranked pairs under the value
+    hash with deterministic (count DESC, pair ASC) ties."""
+    return tx.bpe_pair_counts(_docs(spark, sf_dir))
+
+
 # --- multimodal --------------------------------------------------------------
 
 

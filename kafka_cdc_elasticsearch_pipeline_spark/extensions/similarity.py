@@ -561,10 +561,16 @@ def pq_codebook_refined(
     vec_id order and round to 6 decimals; a code that attracts no
     subvectors keeps its previous entry (both engines agree via the
     same LEFT JOIN + COALESCE)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
     cb = pq_codebook(embeddings, m, ks)
     sv = _subvectors(embeddings, m)
     for _ in range(iterations):
-        cb = _pq_refine_step(sv, cb, m)
+        # pin each iteration's codebook (m×ks rows — KB-sized at any
+        # corpus scale): without the pin, iteration i's plan re-derives
+        # every earlier iteration's corpus-wide assign wherever cb is
+        # referenced, and the lineage grows multiplicatively
+        cb = reuse(_pq_refine_step(sv, cb, m))
     return cb
 
 
@@ -633,6 +639,8 @@ def pq_refinement_distortion(
     0..``iterations``. One corpus-sized assign per iteration (broadcast
     codebook, shuffle carries (vec_id, m) argmin rows only); the loop
     composes plans like :func:`kmeans_refine`, no driver data moves."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
     cb = pq_codebook(embeddings, m, ks)
     sv = _subvectors(embeddings, m)
     out = None
@@ -644,7 +652,11 @@ def pq_refinement_distortion(
         ).select(F.lit(it).cast("int").alias("iteration"), "total_distortion")
         out = total if out is None else out.unionByName(total)
         if it < iterations:
-            cb = _pq_refine_step(sv, cb, m)
+            # pin the KB-sized codebook between iterations: otherwise
+            # iteration i's distortion plan re-derives every earlier
+            # corpus-wide assign (measured 2.9× the single-assign cost
+            # at 80k vectors for ONE iteration, growing with depth)
+            cb = reuse(_pq_refine_step(sv, cb, m))
     return out
 
 

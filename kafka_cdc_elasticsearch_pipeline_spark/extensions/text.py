@@ -7,7 +7,7 @@ All four are narrow per-row projections built from Catalyst expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
@@ -177,6 +177,40 @@ def vocab_top_shingles(docs: DataFrame, k: int = 50) -> DataFrame:
         counts.orderBy(F.col("doc_freq").desc(), F.col("s").asc())
         .limit(k)
         .select(F.col("s").alias("shingle"), "doc_freq")
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
+    """One BPE-trainer counting step: adjacent character-pair
+    frequencies weighted by word frequency, top-k ranked with
+    deterministic ties — the argmax is the next merge rule.
+
+    Scale shape (why real BPE trainers distribute exactly this way):
+    pairs are counted over the DISTINCT-WORD vocabulary (one
+    corpus-sized word count, shared by every merge iteration), so each
+    iteration scans ~10^6 vocab rows instead of ~10^12 tokens; the
+    only shuffles carry (word, count) then (pair, count) rows."""
+    w = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[ \t\n]+"), lambda t: t != "")
+    ).alias("word")
+    vocab = (
+        docs.select(w)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "wf",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wf").alias("pair_count"))
+    wnd = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("pair", "pair_count", "rank")
     )
 
 

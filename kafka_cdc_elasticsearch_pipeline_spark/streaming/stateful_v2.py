@@ -72,6 +72,97 @@ class ProfileProcessor(StatefulProcessor):
         pass
 
 
+class LatestPerKeyTTLProcessor(StatefulProcessor):
+    """TTL latest-per-key on the new API: same fold and eviction
+    contract as ``stateful.latest_per_key_ttl_stream``, with the TTL
+    expressed through the v2 TIMER primitives (registerTimer /
+    handleExpiredTimer) instead of GroupStateTimeout — one live timer
+    per key, replaced on every update, state cleared when it fires."""
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+            LATEST_TTL_STATE_SCHEMA,
+        )
+
+        self._handle = handle
+        self._state = handle.getValueState("latest", LATEST_TTL_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._state.get() if self._state.exists() else None
+        ts_us, eid, etype, val, props = (
+            cur if cur is not None else (-1, -1, "", 0.0, "")
+        )
+        for pdf in rows:
+            latest = pdf[pdf["ts_us"] == pdf["ts_us"].max()]
+            row = latest.loc[latest["event_id"].idxmax()]
+            if (int(row["ts_us"]), int(row["event_id"])) > (ts_us, eid):
+                ts_us, eid = int(row["ts_us"]), int(row["event_id"])
+                etype, val, props = (
+                    str(row["event_type"]), float(row["value"]), str(row["props"])
+                )
+        self._state.update((ts_us, eid, etype, val, props))
+        # exactly one live timer per key: replace on every update
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        wm = timerValues.getCurrentWatermarkInMs()
+        self._handle.registerTimer(max(ts_us // 1000 + self._ttl_ms, wm + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [eid],
+                "ts_us": [ts_us],
+                "event_type": [etype],
+                "value": [val],
+                "props": [props],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # TTL eviction: every update was already emitted, so dropping
+        # the state row loses nothing; the key re-enters from scratch.
+        self._state.clear()
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def latest_per_key_ttl_stream_v2(
+    events: DataFrame,
+    ttl: str = "2 hours",
+    watermark: str = "0 seconds",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """``transformWithStateInPandas`` version of
+    ``stateful.latest_per_key_ttl_stream`` — same input projection,
+    same update-mode emission, timers in EventTime mode."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        LATEST_TTL_OUTPUT_SCHEMA,
+        _duration_ms,
+    )
+
+    prepared = events.select(
+        F.col(key_col).alias("user_id"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "props",
+        F.col("ts").cast("timestamp").alias("_evt"),
+    ).withWatermark("_evt", watermark)
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=LatestPerKeyTTLProcessor(_duration_ms(ttl)),
+        outputStructType=LATEST_TTL_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
 def user_profile_stream_v2(events: DataFrame) -> DataFrame:
     """``transformWithStateInPandas`` version of
     ``stateful.user_profile_stream`` — same input projection, same

@@ -278,6 +278,25 @@ def test_substring_span_dedup_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_semdedup_no_cartesian_label_blocked(plans):
+    """SemDeDup candidates come from the label equi-join (same policy
+    as the pair query); centroids and the drop-set join stay broadcast
+    — corpus × corpus never appears."""
+    p = plans("ext_dedup_semdedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_refinement_assign_broadcasts_codebook_every_iteration(plans):
+    """Each Lloyd iteration re-scores the corpus against a BROADCAST
+    codebook (the codebook stays KB-sized no matter the corpus); no
+    iteration may degrade to a cartesian or shuffle the subvectors for
+    scoring."""
+    p = plans("ext_sim_pq_refined_distortion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_pq_encode_broadcasts_codebook(plans):
     """PQ encode: the corpus scans once against a BROADCAST codebook
     (KB-sized at any corpus size — the point of PQ); the corpus side

@@ -388,6 +388,54 @@ def test_transform_with_state_matches_old_api(spark, tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_latest_per_key_ttl_v1_v2_equivalence(spark):
+    """API-independence of the TTL latest-per-key contract: the
+    applyInPandasWithState (GroupStateTimeout) and
+    transformWithStateInPandas (registerTimer/handleExpiredTimer)
+    implementations must converge to the identical final table on the
+    same replay — migrating the eviction pattern to the new stateful
+    API may not change a single row."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs python protobuf"
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+        run_to_memory,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_latest,
+        latest_per_key_ttl_stream,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        latest_per_key_ttl_stream_v2,
+    )
+
+    outs = []
+    for fn, label in (
+        (latest_per_key_ttl_stream, "v1"),
+        (latest_per_key_ttl_stream_v2, "v2"),
+    ):
+        stream, tmp = replay_stream(
+            spark, "/root/testdata/sf0.001", "events", chunks=4
+        )
+        try:
+            run_to_memory(
+                fn(stream, ttl="2 hours"), f"ttl_{label}", output_mode="update"
+            )
+            outs.append(
+                finalize_latest(spark.table(f"ttl_{label}"))
+                .orderBy("user_id")
+                .collect()
+            )
+        finally:
+            cleanup(tmp)
+    assert len(outs[0]) > 0
+    assert outs[0] == outs[1]
+
+
 def test_watermark_late_eviction_drops_stragglers(spark):
     """T6 hard signal, row-level: events arriving beyond the watermark
     are ABSENT from the windowed state — a late-only window never

@@ -145,6 +145,26 @@ def main() -> int:
         ).count(),
         "quantize_int8": lambda v: sim.quantize_int8(v).count(),
         "pq_encode": lambda v: sim.pq_codes_table(v).count(),
+        # label from the duplicate SEED (recomputed from vec_id: the
+        # synth drops it) so planted dups share a bucket and the
+        # IVF-blocked candidate policy still finds them; 64 clusters —
+        # bucket size grows with n, candidate volume with bucket size
+        # × true-dup density, the shape to watch.
+        "semdedup": lambda v: sim.semdedup(
+            v.withColumn(
+                "label",
+                F.expr(
+                    "pmod(xxhash64(vec_id - cast(pmod(vec_id, 100) < 1 as int),"
+                    " 0), 64)"
+                ),
+            ),
+            threshold=0.9,
+        ).count(),
+        # one Lloyd iteration = two broadcast-codebook assigns + one
+        # positional-mean shuffle; marginal cost must track pq_encode
+        "pq_refine_1iter": lambda v: sim.pq_refinement_distortion(
+            v, iterations=1
+        ).count(),
     }
 
     results: dict[str, dict[int, float]] = {k: {} for k in (*ops, *vec_ops)}
