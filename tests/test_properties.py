@@ -175,3 +175,80 @@ def test_mp4_roundtrip_property(timescale, duration, w, h, n_tracks):
     )
     expect_wh = (w, h) if n_tracks else (0, 0)
     assert got == (timescale, duration, *expect_wh, n_tracks)
+
+
+# --- r06 operators -----------------------------------------------------------
+
+docs_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),      # source bucket
+        st.text(
+            alphabet="ab cd", min_size=0, max_size=24
+        ),                                          # low-entropy text
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=docs_corpora)
+@settings(**_SETTINGS)
+def test_bpe_pair_counts_match_python_reference(spark, rows):
+    """The distinct-word-weighted pair count must equal the naive
+    per-token recount on ANY corpus (the vocabulary factorization is
+    an optimization, not an approximation)."""
+    from collections import Counter
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    got = {
+        r.pair: r.pair_count for r in bpe_pair_counts(df, k=10_000).collect()
+    }
+    want: Counter = Counter()
+    for _, text in rows:
+        for word in text.lower().split():
+            for i in range(len(word) - 1):
+                want[word[i : i + 2]] += 1
+    assert got == dict(want)
+
+
+@given(
+    rows=docs_corpora,
+    alpha=st.sampled_from([1.0, 0.5, 0.25]),
+    budget=st.sampled_from([0.25, 0.5, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_temperature_resample_invariants(spark, rows, alpha, budget):
+    """On ANY corpus/alpha/budget: the kept set is a subset of the
+    input, keep decisions are per-row deterministic (a row's fate
+    never depends on the others beyond its source's rate), and
+    alpha=1.0 keep-rates never exceed... the budget times source share
+    cap (every source's cutoff <= HASH_BUCKETS)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        HASH_BUCKETS,
+        temperature_cutoffs,
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{srcb}") for i, (srcb, _) in enumerate(rows)],
+        "doc_id long, source string",
+    )
+    kept = temperature_resample(df, "source", "doc_id", alpha=alpha,
+                                budget_frac=budget)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    all_ids = {r.doc_id for r in df.collect()}
+    assert kept_ids <= all_ids
+    cuts = {
+        r.source: r.__getattr__("__tr_cutoff")
+        for r in temperature_cutoffs(df, "source", alpha, budget).collect()
+    }
+    assert all(0 <= c <= HASH_BUCKETS for c in cuts.values())
+    # determinism: a second plan build keeps the identical set
+    kept2 = {r.doc_id for r in
+             temperature_resample(df, "source", "doc_id", alpha=alpha,
+                                  budget_frac=budget).collect()}
+    assert kept_ids == kept2
