@@ -243,7 +243,7 @@ def test_temperature_resample_invariants(spark, rows, alpha, budget):
     all_ids = {r.doc_id for r in df.collect()}
     assert kept_ids <= all_ids
     cuts = {
-        r.source: r.__getattr__("__tr_cutoff")
+        r["source"]: r["__tr_cutoff"]
         for r in temperature_cutoffs(df, "source", alpha, budget).collect()
     }
     assert all(0 <= c <= HASH_BUCKETS for c in cuts.values())
