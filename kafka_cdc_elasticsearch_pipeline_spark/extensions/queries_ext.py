@@ -1900,6 +1900,66 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_multimodal_image_neardup",
+    """
+    WITH px AS (
+      SELECT doc_id, p,
+             ((seed % 239 + 1) * p * p + (seed % 251 + 3) * p + seed % 241
+              + CASE WHEN doc_id % 50 = 1 AND (p = 0 OR p = 16)
+                     THEN 128 ELSE 0 END) % 256 AS v
+      FROM (
+        SELECT d.doc_id, g.p,
+               d.doc_id - CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END AS seed
+        FROM documents d, generate_series(0, 255) AS g(p)
+      )
+    ),
+    cells AS (
+      SELECT doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
+             sum(v)::BIGINT AS cell_sum
+      FROM px GROUP BY doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2)
+    ),
+    tot AS (SELECT doc_id, sum(cell_sum)::BIGINT AS img_sum FROM cells GROUP BY doc_id),
+    hashes AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.cell_sum * 64 > t.img_sum THEN '1' ELSE '0' END,
+                        '' ORDER BY c.cell) AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, ahash, b.b AS band, substr(ahash, b.b * 16 + 1, 16) AS bits
+      FROM hashes, generate_series(0, 3) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.ahash AS hash_a, b.ahash AS hash_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             len(list_filter(generate_series(1, 64),
+                 i -> substr(hash_a, i, 1) <> substr(hash_b, i, 1)))::INT AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+    tags=("ext", "multimodal", "dedup", "image"),
+)
+def ext_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the multimodal half of corpus
+    dedup: textured 16×16 PNGs (planted near-dups: same texture, two
+    pixels shifted) are REALLY decoded (inflate + unfilter), average-
+    hashed into 64-bit fingerprints (8×8 integer cell sums vs the
+    image sum — exact on both engines), then paired by 16-bit banded
+    Hamming with pigeonhole guarantee ≤3, SimHash-style. The oracle
+    recomputes the whole chain arithmetically from the closed-form
+    pixel function — a wrong unfilter, pool, threshold, band split, or
+    Hamming count all flip the value hash. One Arrow decode pass;
+    only (doc_id, hash) rows leave it; candidates are band equi-joins."""
+    return mm.image_neardup_pairs(_docs(spark, sf_dir))
+
+
+@query(
     "ext_multimodal_png_decode",
     """
     SELECT doc_id,

@@ -171,6 +171,37 @@ def test_multimodal_decode_contract(spark, docs):
     assert r.decoder == "fake-deterministic"
 
 
+def test_image_neardup_finds_planted_pairs_via_real_decode(spark):
+    """The aHash near-dup chain on 100 synthetic docs: every planted
+    near-duplicate (doc_id % 50 == 1, two pixels shifted) pairs with
+    its predecessor at small Hamming distance; the fingerprints come
+    from REALLY decoded PNGs, pinned by cross-checking one fingerprint
+    against the closed-form pixel formula."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id bigint"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in mm.image_neardup_pairs(docs).collect()}
+    for d in (1, 51):
+        assert (d - 1, d) in pairs and pairs[(d - 1, d)] <= 3
+    # fingerprint cross-check: doc 7's hash equals the formula's
+    got = {
+        r.doc_id: r.ahash
+        for r in mm.image_ahash(mm.attach_texture_png_payload(docs)).collect()
+    }
+    y, x = np.mgrid[0:16, 0:16]
+    p = (x + 16 * y).astype(np.int64)
+    seed = 7
+    px = ((seed % 239 + 1) * p * p + (seed % 251 + 3) * p + seed % 241) % 256
+    cells = px.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+    want = "".join(
+        "1" if b else "0" for b in (cells * 64 > px.sum()).ravel()
+    )
+    assert got[7] == want
+
+
 def test_frame_sample_explode(spark, docs):
     decoded = mm.decode_image_metadata(mm.attach_payload(docs))
     frames = mm.frame_sample(decoded, every_nth=10)

@@ -297,6 +297,16 @@ def test_pq_refinement_assign_broadcasts_codebook_every_iteration(plans):
     assert "BroadcastHashJoin" in p
 
 
+def test_image_neardup_band_equijoin_no_cartesian(plans):
+    """Image aHash pairing: candidates come from the 16-bit band
+    equi-join (pigeonhole), pixels never leave the decode stage —
+    no cartesian, no nested-loop join of fingerprints."""
+    p = plans("ext_multimodal_image_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
 def test_pq_encode_broadcasts_codebook(plans):
     """PQ encode: the corpus scans once against a BROADCAST codebook
     (KB-sized at any corpus size — the point of PQ); the corpus side
