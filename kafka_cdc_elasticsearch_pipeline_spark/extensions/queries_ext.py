@@ -830,6 +830,7 @@ def ext_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rank <= 10
     """,
     tags=("ext", "similarity", "ivf", "pq"),
+    bench=True,
 )
 def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (the FAISS/SCaNN composition): the coarse quantizer
@@ -1944,6 +1945,7 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE hamming <= 3
     """,
     tags=("ext", "multimodal", "dedup", "image"),
+    bench=True,
 )
 def ext_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate detection — the multimodal half of corpus
