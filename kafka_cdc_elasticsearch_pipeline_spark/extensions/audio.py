@@ -29,6 +29,7 @@ import wave
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import spread
 
@@ -94,6 +95,116 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
+    )
+
+
+#: texture formula shared by the builder and the SQL oracle, over
+#: sample index t on a 256-sample mono clip:
+#:   s(t) = ((seed%239+1)·t² + (seed%251+3)·t + seed%241) mod 2048 − 1024
+#: (coprime-moduli quadratic mix — constant-amplitude clips collapse
+#: every energy fingerprint, exactly like flat images; see
+#: multimodal.attach_texture_png_payload). A planted near-dup
+#: (doc_id % 50 == 1) reuses its predecessor's seed with samples
+#: t ∈ {0, 1} shifted by +512.
+AUDIO_SAMPLES = 256
+
+
+def attach_texture_wav_payload(docs: DataFrame) -> DataFrame:
+    """Textured mono 16-bit WAVs for audio NEAR-DUP fixtures, with
+    planted near-duplicates — genuine RIFF containers built in-stage."""
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                near_dup = d % 50 == 1
+                seed = d - 1 if near_dup else d
+                s = (
+                    (seed % 239 + 1) * t * t + (seed % 251 + 3) * t + seed % 241
+                ) % 2048 - 1024
+                if near_dup:
+                    s = s.copy()
+                    s[0:2] += 512
+                payloads.append(wav_encode(s.astype(np.int16), 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def audio_energy_fingerprint(with_payload: DataFrame) -> DataFrame:
+    """32-bit audio fingerprints from REAL WAV decode: parse the RIFF
+    container, deinterleave PCM, frame the clip into 32×8-sample
+    windows, bit f = (frame_energy × 32 > clip_energy) — all-integer
+    (energies are exact int64 sums of squares), so the fingerprint is
+    a cross-engine fact. The audio twin of ``multimodal.image_ahash``;
+    one Arrow pass, only (doc_id, 32-char hash) rows leave it."""
+
+    def fingerprint(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n, samples = wav_decode(bytes(payload))
+                s = samples.astype(np.int64)
+                if ch > 1:  # average channels (integer floor division)
+                    s = s.reshape(-1, ch).sum(axis=1) // ch
+                frame = len(s) // 32
+                e = (s[: frame * 32] ** 2).reshape(32, frame).sum(axis=1)
+                bits = (e * 32 > e.sum()).astype(np.uint8)
+                rows.append((doc_id, "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    return with_payload.mapInPandas(fingerprint, schema="doc_id bigint, fp string")
+
+
+def audio_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-duplicate pairs by banded energy fingerprints: 4×8-bit
+    bands — Hamming ≤ 3 guarantees an equal band (pigeonhole) —
+    equi-join candidates, verify exact Hamming. Same candidate policy
+    as SimHash text dedup and aHash image dedup; pairs volume follows
+    band collisions, never all-pairs."""
+    hashes = audio_energy_fingerprint(attach_texture_wav_payload(docs))
+    bands = hashes.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> struct(b AS band, substring(fp, b * 8 + 1, 8) AS bits))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "fp", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band", "bits"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "band", "bits"
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "size(filter(sequence(1, 32),"
+                " i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -1992,6 +1992,66 @@ def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_multimodal_audio_neardup",
+    """
+    WITH s AS (
+      SELECT doc_id, t,
+             ((seed % 239 + 1) * t * t + (seed % 251 + 3) * t + seed % 241) % 2048
+               - 1024
+               + CASE WHEN doc_id % 50 = 1 AND t < 2 THEN 512 ELSE 0 END AS v
+      FROM (
+        SELECT d.doc_id, g.t,
+               d.doc_id - CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END AS seed
+        FROM documents d, generate_series(0, 255) AS g(t)
+      )
+    ),
+    frames AS (
+      SELECT doc_id, t // 8 AS frame, sum(v * v)::BIGINT AS e
+      FROM s GROUP BY doc_id, t // 8
+    ),
+    tot AS (SELECT doc_id, sum(e)::BIGINT AS e_tot FROM frames GROUP BY doc_id),
+    hashes AS (
+      SELECT f.doc_id,
+             string_agg(CASE WHEN f.e * 32 > t.e_tot THEN '1' ELSE '0' END,
+                        '' ORDER BY f.frame) AS fp
+      FROM frames f JOIN tot t USING (doc_id)
+      GROUP BY f.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, fp, b.b AS band, substr(fp, b.b * 8 + 1, 8) AS bits
+      FROM hashes, generate_series(0, 3) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.fp AS fp_a, b.fp AS fp_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             len(list_filter(generate_series(1, 32),
+                 i -> substr(fp_a, i, 1) <> substr(fp_b, i, 1)))::INT AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+    tags=("ext", "multimodal", "dedup", "audio"),
+)
+def ext_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection — completing the modality dedup
+    set (text: MinHash/SimHash/ngram; embeddings: RHP-LSH/SemDeDup;
+    images: aHash): textured mono WAVs (planted near-dups: same
+    waveform, first two samples shifted) are REALLY decoded (RIFF
+    parse + PCM deinterleave), fingerprinted by 32-frame integer
+    energy profile vs the clip mean, and paired by 8-bit banded
+    Hamming ≤3 with pigeonhole guarantee. The oracle recomputes
+    decode→frame→energy→threshold→band→Hamming from the closed-form
+    sample function. One Arrow pass; candidates are band equi-joins."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
+
+    return audio.audio_neardup_pairs(_docs(spark, sf_dir))
+
+
+@query(
     "ext_multimodal_wav_decode",
     """
     SELECT doc_id,

@@ -202,6 +202,34 @@ def test_image_neardup_finds_planted_pairs_via_real_decode(spark):
     assert got[7] == want
 
 
+def test_audio_neardup_finds_planted_pairs_via_real_decode(spark):
+    """The audio fingerprint chain on 100 synthetic docs: planted
+    near-dup clips (two samples shifted) pair with their predecessor
+    at small Hamming; one fingerprint cross-checked against the
+    closed-form sample formula."""
+    import numpy as np
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in audio.audio_neardup_pairs(docs).collect()}
+    for d in (1, 51):
+        assert (d - 1, d) in pairs and pairs[(d - 1, d)] <= 3
+    got = {
+        r.doc_id: r.fp
+        for r in audio.audio_energy_fingerprint(
+            audio.attach_texture_wav_payload(docs)
+        ).collect()
+    }
+    t = np.arange(256, dtype=np.int64)
+    seed = 7
+    s = ((seed % 239 + 1) * t * t + (seed % 251 + 3) * t + seed % 241) % 2048 - 1024
+    e = (s * s).reshape(32, 8).sum(axis=1)
+    want = "".join("1" if b else "0" for b in (e * 32 > e.sum()))
+    assert got[7] == want
+
+
 def test_frame_sample_explode(spark, docs):
     decoded = mm.decode_image_metadata(mm.attach_payload(docs))
     frames = mm.frame_sample(decoded, every_nth=10)

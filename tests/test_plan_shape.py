@@ -307,6 +307,16 @@ def test_image_neardup_band_equijoin_no_cartesian(plans):
     assert "MapInPandas" in p or "ArrowEvalPython" in p
 
 
+def test_audio_neardup_band_equijoin_no_cartesian(plans):
+    """Audio fingerprint pairing: same band equi-join policy as the
+    image/SimHash dedups — no cartesian, samples never leave the
+    decode stage."""
+    p = plans("ext_multimodal_audio_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
 def test_pq_encode_broadcasts_codebook(plans):
     """PQ encode: the corpus scans once against a BROADCAST codebook
     (KB-sized at any corpus size — the point of PQ); the corpus side
