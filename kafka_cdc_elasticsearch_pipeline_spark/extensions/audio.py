@@ -139,12 +139,17 @@ def attach_texture_wav_payload(docs: DataFrame) -> DataFrame:
 
 
 def audio_energy_fingerprint(with_payload: DataFrame) -> DataFrame:
-    """32-bit audio fingerprints from REAL WAV decode: parse the RIFF
-    container, deinterleave PCM, frame the clip into 32×8-sample
-    windows, bit f = (frame_energy × 32 > clip_energy) — all-integer
-    (energies are exact int64 sums of squares), so the fingerprint is
-    a cross-engine fact. The audio twin of ``multimodal.image_ahash``;
-    one Arrow pass, only (doc_id, 32-char hash) rows leave it."""
+    """64-bit audio fingerprints from REAL WAV decode: parse the RIFF
+    container, deinterleave PCM, frame the clip into 64 windows,
+    bit f = (frame_energy × 64 > clip_energy) — all-integer (energies
+    are exact int64 sums of squares), so the fingerprint is a
+    cross-engine fact. The audio twin of ``multimodal.image_ahash``;
+    one Arrow pass, only (doc_id, 64-char hash) rows leave it.
+
+    64 bits, not 32: banding needs 16-bit bands to stay selective —
+    an 8-bit band space (256 buckets) measured ~quadratic candidate
+    growth past 20k clips (19.2s at 80k vs 2.1s at 20k), the exact
+    degeneracy SCALING.md records for 8-bit RHP-LSH bands."""
 
     def fingerprint(batches: Iterator) -> Iterator:
         import numpy as np
@@ -157,9 +162,9 @@ def audio_energy_fingerprint(with_payload: DataFrame) -> DataFrame:
                 s = samples.astype(np.int64)
                 if ch > 1:  # average channels (integer floor division)
                     s = s.reshape(-1, ch).sum(axis=1) // ch
-                frame = len(s) // 32
-                e = (s[: frame * 32] ** 2).reshape(32, frame).sum(axis=1)
-                bits = (e * 32 > e.sum()).astype(np.uint8)
+                frame = len(s) // 64
+                e = (s[: frame * 64] ** 2).reshape(64, frame).sum(axis=1)
+                bits = (e * 64 > e.sum()).astype(np.uint8)
                 rows.append((doc_id, "".join("1" if b else "0" for b in bits)))
             yield pd.DataFrame(rows, columns=["doc_id", "fp"])
 
@@ -167,19 +172,25 @@ def audio_energy_fingerprint(with_payload: DataFrame) -> DataFrame:
 
 
 def audio_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Audio near-duplicate pairs by banded energy fingerprints: 4×8-bit
-    bands — Hamming ≤ 3 guarantees an equal band (pigeonhole) —
-    equi-join candidates, verify exact Hamming. Same candidate policy
-    as SimHash text dedup and aHash image dedup; pairs volume follows
-    band collisions, never all-pairs."""
-    hashes = audio_energy_fingerprint(attach_texture_wav_payload(docs))
+    """Audio near-duplicate pairs by banded energy fingerprints:
+    4×16-bit bands — Hamming ≤ 3 guarantees an equal band (pigeonhole)
+    — equi-join candidates, verify exact Hamming. Same candidate
+    policy as SimHash text dedup and aHash image dedup; pairs volume
+    follows band collisions, never all-pairs.
+
+    ``docs`` may be (doc_id) rows — payloads get built in-stage — or a
+    prebuilt (doc_id, payload) frame (scale probes persist payloads)."""
+    with_payload = (
+        docs if "payload" in docs.columns else attach_texture_wav_payload(docs)
+    )
+    hashes = audio_energy_fingerprint(with_payload)
     bands = hashes.select(
         "doc_id",
         "fp",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3),"
-                " b -> struct(b AS band, substring(fp, b * 8 + 1, 8) AS bits))"
+                " b -> struct(b AS band, substring(fp, b * 16 + 1, 16) AS bits))"
             )
         ).alias("s"),
     ).select("doc_id", "fp", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
@@ -199,7 +210,7 @@ def audio_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.withColumn(
             "hamming",
             F.expr(
-                "size(filter(sequence(1, 32),"
+                "size(filter(sequence(1, 64),"
                 " i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
             ),
         )

@@ -40,6 +40,7 @@ def curate(
     default_rate: float = 0.9,
     temperature_alpha: float | None = None,
     temperature_budget: float = 0.5,
+    image_neardup: bool = False,
 ) -> DataFrame:
     """Run the 4-stage curation pipeline; returns
     (doc_id, source, kept, reason) for every input document.
@@ -50,7 +51,14 @@ def curate(
     the survivor counts, not the raw corpus, so dedup and quality
     drops genuinely change the mix (a source whose docs are mostly
     duplicates gets a budget matching its deduped size). Surviving
-    docs dropped by the budget get reason ``temp_mixed_out``."""
+    docs dropped by the budget get reason ``temp_mixed_out``.
+
+    ``image_neardup`` adds the MULTIMODAL stage: documents whose image
+    payload is a near-duplicate of a lower-id document's (aHash banded
+    Hamming, ``multimodal.image_neardup_pairs``) drop with reason
+    ``image_dup`` — text and image dedup signals in the same one-pass
+    audit trail, the shape a web-scale multimodal corpus actually
+    curates with."""
     rates = rates or {}
 
     fp = docs.select(
@@ -79,9 +87,24 @@ def curate(
         .join(quality, "doc_id")
         .withColumn("samp_keep", samp_keep)
     )
+    if image_neardup:
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.multimodal import (
+            image_neardup_pairs,
+        )
+
+        img = (
+            image_neardup_pairs(docs.select("doc_id"))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_image_dup", F.lit(True))
+        )
+        joined = joined.join(img, "doc_id", "left")
+    else:
+        joined = joined.withColumn("is_image_dup", F.lit(None).cast("boolean"))
     reason = (
         F.when(F.col("doc_id") != F.col("keep_doc_id"), F.lit("exact_dup"))
         .when(F.col("is_near_dup"), F.lit("near_dup"))
+        .when(F.col("is_image_dup"), F.lit("image_dup"))
         .when(~F.col("q_keep"), F.lit("low_quality"))
         .when(~F.col("samp_keep"), F.lit("sampled_out"))
         .otherwise(F.lit("kept"))

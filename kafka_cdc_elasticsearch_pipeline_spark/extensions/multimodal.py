@@ -218,8 +218,15 @@ def image_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     one equal band (pigeonhole, the same policy as SimHash text
     dedup) — equi-join candidates on (band index, band bits), verify
     exact Hamming on the candidates. Candidate volume follows band
-    collisions, never all-pairs."""
-    hashes = image_ahash(attach_texture_png_payload(docs))
+    collisions, never all-pairs.
+
+    ``docs`` may be (doc_id) rows — payloads get built in-stage — or a
+    prebuilt (doc_id, payload) frame (scale probes persist payloads so
+    the timed wall is decode+hash+pair, not the synthetic encoder)."""
+    with_payload = (
+        docs if "payload" in docs.columns else attach_texture_png_payload(docs)
+    )
+    hashes = image_ahash(with_payload)
     bands = hashes.select(
         "doc_id",
         "ahash",

@@ -1900,10 +1900,10 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), seq_len=2048)
 
 
-@query(
-    "ext_multimodal_image_neardup",
-    """
-    WITH px AS (
+# The image aHash pair chain as reusable CTEs (the image-neardup gate
+# row and the multimodal curation pipeline share them verbatim).
+_SQL_IMAGE_PAIR_CTES = """
+    px AS (
       SELECT doc_id, p,
              ((seed % 239 + 1) * p * p + (seed % 251 + 3) * p + seed % 241
               + CASE WHEN doc_id % 50 = 1 AND (p = 0 OR p = 16)
@@ -1927,22 +1927,32 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells c JOIN tot t USING (doc_id)
       GROUP BY c.doc_id
     ),
-    bands AS (
+    ibands AS (
       SELECT doc_id, ahash, b.b AS band, substr(ahash, b.b * 16 + 1, 16) AS bits
       FROM hashes, generate_series(0, 3) AS b(b)
     ),
-    cand AS (
+    icand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       a.ahash AS hash_a, b.ahash AS hash_b
-      FROM bands a JOIN bands b
+      FROM ibands a JOIN ibands b
         ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    ),
+    image_pairs AS (
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               len(list_filter(generate_series(1, 64),
+                   i -> substr(hash_a, i, 1) <> substr(hash_b, i, 1)))::INT AS hamming
+        FROM icand
+      ) WHERE hamming <= 3
     )
-    SELECT doc_a, doc_b, hamming FROM (
-      SELECT doc_a, doc_b,
-             len(list_filter(generate_series(1, 64),
-                 i -> substr(hash_a, i, 1) <> substr(hash_b, i, 1)))::INT AS hamming
-      FROM cand
-    ) WHERE hamming <= 3
+"""
+
+
+@query(
+    "ext_multimodal_image_neardup",
+    f"""
+    WITH {_SQL_IMAGE_PAIR_CTES}
+    SELECT doc_a, doc_b, hamming FROM image_pairs
     """,
     tags=("ext", "multimodal", "dedup", "image"),
     bench=True,
@@ -2006,19 +2016,19 @@ def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     frames AS (
-      SELECT doc_id, t // 8 AS frame, sum(v * v)::BIGINT AS e
-      FROM s GROUP BY doc_id, t // 8
+      SELECT doc_id, t // 4 AS frame, sum(v * v)::BIGINT AS e
+      FROM s GROUP BY doc_id, t // 4
     ),
     tot AS (SELECT doc_id, sum(e)::BIGINT AS e_tot FROM frames GROUP BY doc_id),
     hashes AS (
       SELECT f.doc_id,
-             string_agg(CASE WHEN f.e * 32 > t.e_tot THEN '1' ELSE '0' END,
+             string_agg(CASE WHEN f.e * 64 > t.e_tot THEN '1' ELSE '0' END,
                         '' ORDER BY f.frame) AS fp
       FROM frames f JOIN tot t USING (doc_id)
       GROUP BY f.doc_id
     ),
     bands AS (
-      SELECT doc_id, fp, b.b AS band, substr(fp, b.b * 8 + 1, 8) AS bits
+      SELECT doc_id, fp, b.b AS band, substr(fp, b.b * 16 + 1, 16) AS bits
       FROM hashes, generate_series(0, 3) AS b(b)
     ),
     cand AS (
@@ -2029,7 +2039,7 @@ def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, hamming FROM (
       SELECT doc_a, doc_b,
-             len(list_filter(generate_series(1, 32),
+             len(list_filter(generate_series(1, 64),
                  i -> substr(fp_a, i, 1) <> substr(fp_b, i, 1)))::INT AS hamming
       FROM cand
     ) WHERE hamming <= 3
@@ -2498,3 +2508,91 @@ def ext_multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --- multimodal curation capstone (needs fragments defined above) -----------
+
+@query(
+    "ext_curation_pipeline_multimodal",
+    f"""
+    WITH {_SQL_IMAGE_PAIR_CTES},
+    {_SQL_MINHASH_CTES},
+    q AS ({_SQL_QUALITY}), r AS ({_SQL_REPETITION}),
+    nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    ind AS (SELECT DISTINCT doc_b AS doc_id FROM image_pairs),
+    fpx AS (SELECT doc_id, source, md5({_SQL_NORM}) AS fingerprint FROM documents),
+    kd AS (SELECT doc_id, source,
+                  min(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id
+           FROM fpx),
+    g AS (SELECT q.doc_id,
+            ((q.n_words >= 10 AND q.n_words <= 100000)
+             AND (avg_word_len >= 3 AND avg_word_len <= 12)
+             AND alpha_ratio >= 0.6
+             AND stopword_ratio >= 0.01
+             AND coalesce(dup_shingle_ratio, 0.0) <= 0.3) AS q_keep
+          FROM q LEFT JOIN r ON q.doc_id = r.doc_id),
+    sp AS (SELECT doc_id,
+             (('0x' || substr(md5('samp_' || doc_id::VARCHAR), 1, 7))::BIGINT % 10000
+               < {_SQL_RATE_CUT}) AS samp_keep
+           FROM documents),
+    base AS (
+      SELECT doc_id, source, reason, reason = 'kept' AS kept FROM (
+        SELECT kd.doc_id, kd.source,
+               CASE WHEN kd.doc_id <> kd.keep_doc_id THEN 'exact_dup'
+                    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN ind.doc_id IS NOT NULL THEN 'image_dup'
+                    WHEN NOT g.q_keep THEN 'low_quality'
+                    WHEN NOT sp.samp_keep THEN 'sampled_out'
+                    ELSE 'kept' END AS reason
+        FROM kd
+        LEFT JOIN nd ON kd.doc_id = nd.doc_id
+        LEFT JOIN ind ON kd.doc_id = ind.doc_id
+        JOIN g ON kd.doc_id = g.doc_id
+        JOIN sp ON kd.doc_id = sp.doc_id
+      )
+    ),
+    surv AS (SELECT source, count(*)::BIGINT AS n FROM base
+             WHERE reason = 'kept' GROUP BY source),
+    ttot AS (SELECT sum(n)::BIGINT AS n_total FROM surv),
+    w AS (SELECT source, n, n_total, sqrt(n::DOUBLE / n_total) AS w FROM surv, ttot),
+    ww AS (
+      SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                         (a, b) -> a + b) AS w_sum
+      FROM w
+    ),
+    cutt AS (
+      SELECT source,
+             CAST(round(least(1.0, 0.5 * n_total * w / w_sum / n) * 10000.0)
+               AS BIGINT) AS cutoff
+      FROM w, ww
+    )
+    SELECT b.doc_id, b.source,
+           CASE WHEN b.reason = 'kept'
+                 AND ('0x' || substr(md5('temp_' || b.doc_id::VARCHAR), 1, 7))::BIGINT
+                     % 10000 >= c.cutoff
+                THEN 'temp_mixed_out' ELSE b.reason END AS reason,
+           (b.reason = 'kept'
+            AND ('0x' || substr(md5('temp_' || b.doc_id::VARCHAR), 1, 7))::BIGINT
+                % 10000 < c.cutoff) AS kept
+    FROM base b LEFT JOIN cutt c USING (source)
+    """,
+    tags=("ext", "curation", "pipeline", "multimodal"),
+)
+def ext_curation_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multimodal curation pipeline — six stages, one pass:
+    exact text dedup → MinHash near-dup → IMAGE near-dup (aHash over
+    really-decoded PNGs) → Gopher quality → stratified sampling →
+    temperature mixing over the survivors. Per-document verdicts carry
+    the first failing stage (`image_dup` joins the reason set), so the
+    audit trail spans text AND image dedup signals — the shape a
+    web-scale multimodal corpus actually curates with. Cost shape: the
+    text stages share one corpus scan, the image stage is one Arrow
+    decode pass emitting (doc_id, hash) rows, every join is on doc_id
+    or a broadcast rate table."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import curate
+
+    return curate(
+        _docs(spark, sf_dir), rates=_STRATA_RATES, default_rate=0.9,
+        temperature_alpha=0.5, temperature_budget=0.5, image_neardup=True,
+    )
+

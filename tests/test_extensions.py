@@ -225,9 +225,39 @@ def test_audio_neardup_finds_planted_pairs_via_real_decode(spark):
     t = np.arange(256, dtype=np.int64)
     seed = 7
     s = ((seed % 239 + 1) * t * t + (seed % 251 + 3) * t + seed % 241) % 2048 - 1024
-    e = (s * s).reshape(32, 8).sum(axis=1)
-    want = "".join("1" if b else "0" for b in (e * 32 > e.sum()))
+    e = (s * s).reshape(64, 4).sum(axis=1)
+    want = "".join("1" if b else "0" for b in (e * 64 > e.sum()))
     assert got[7] == want
+
+
+def test_curation_multimodal_stage_precedence(spark):
+    """The 6-stage pipeline's image stage: docs whose synthetic image
+    is a planted near-dup (doc_id % 50 == 1) get reason image_dup —
+    unless an earlier text stage already dropped them — and verdict
+    reasons stay a partition of the corpus."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import curate
+
+    rows = []
+    for i in range(100):
+        tag = "".join(chr(97 + int(d)) for d in str(i))  # letters only
+        body = " ".join(f"{tag}{c}{tag}" for c in "abcdefghijkl")
+        text = f"{body} the and of this that keeps quality rules happy"
+        if i == 3:
+            text = rows[2][2]  # exact text dup: stage 1 must win
+        rows.append((i, f"s{i % 4}", text))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r.doc_id: r for r in curate(
+        docs, rates={}, default_rate=1.0, image_neardup=True
+    ).collect()}
+    assert len(out) == 100
+    assert out[1].reason == "image_dup" and not out[1].kept
+    assert out[51].reason == "image_dup"
+    assert out[3].reason == "exact_dup"  # text stage outranks image
+    assert out[0].kept and out[50].kept  # keep-lowest-id side survives
+    assert {r.reason for r in out.values()} <= {
+        "exact_dup", "near_dup", "image_dup", "low_quality",
+        "sampled_out", "kept",
+    }
 
 
 def test_frame_sample_explode(spark, docs):

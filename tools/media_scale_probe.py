@@ -86,6 +86,16 @@ def main() -> int:
             audio.attach_wav_payload,
             lambda p: audio.decode_wav_stats(p).agg(F.sum("amp_sum")).collect(),
         ),
+        # full near-dup chains (decode + fingerprint + banded pairing):
+        # pair volume must follow planted density, wall must follow rows
+        "image_neardup": (
+            multimodal.attach_texture_png_payload,
+            lambda p: multimodal.image_neardup_pairs(p).count(),
+        ),
+        "audio_neardup": (
+            audio.attach_texture_wav_payload,
+            lambda p: audio.audio_neardup_pairs(p).count(),
+        ),
         "mp4_metadata": (
             video.attach_mp4_payload,
             lambda p: video.parse_mp4_stats(p).agg(F.sum("duration_ms")).collect(),
