@@ -986,3 +986,63 @@ def ext_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         cleanup(tmp)
+
+
+@query(
+    "ext_streaming_image_dedup_index",
+    """
+    WITH px AS (
+      SELECT doc_id, p,
+             ((seed % 239 + 1) * p * p + (seed % 251 + 3) * p + seed % 241
+              + CASE WHEN doc_id % 50 = 1 AND (p = 0 OR p = 16)
+                     THEN 128 ELSE 0 END) % 256 AS v
+      FROM (
+        SELECT d.doc_id, g.p,
+               d.doc_id - CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END AS seed
+        FROM documents d, generate_series(0, 255) AS g(p)
+      )
+    ),
+    cells AS (
+      SELECT doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
+             sum(v)::BIGINT AS cell_sum
+      FROM px GROUP BY doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2)
+    ),
+    tot AS (SELECT doc_id, sum(cell_sum)::BIGINT AS img_sum FROM cells GROUP BY doc_id),
+    hashes AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.cell_sum * 64 > t.img_sum THEN '1' ELSE '0' END,
+                        '' ORDER BY c.cell) AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT ahash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM hashes GROUP BY ahash
+    """,
+    tags=("ext", "multimodal", "dedup", "streaming"),
+)
+def ext_streaming_image_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image dedup: fingerprints from real PNG decode
+    (stateless Arrow mapInPandas per micro-batch) feed a stateful
+    per-hash aggregation — (ahash, min doc_id keeper, copy count) —
+    i.e. the dedup INDEX a live ingest maintains so every new image
+    joins against it instead of rescanning the corpus. min/count are
+    associative, so the materialization is arrival-order-independent
+    (unlike streaming dropDuplicates, whose within-batch winner is
+    arbitrary) and must hash-match the batch oracle over the
+    closed-form pixel function. State is one row per DISTINCT image —
+    the bounded form would add a watermark TTL exactly like
+    t5_latest_per_key_ttl_eviction."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+
+    stream, tmp = replay_stream(
+        spark, sf_dir, "documents", chunks=6, order_col="doc_id"
+    )
+    try:
+        hashes = mm.image_ahash(mm.attach_texture_png_payload(stream))
+        index = hashes.groupBy("ahash").agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        return _run(index, spark, "strm_imgdedup")
+    finally:
+        cleanup(tmp)
