@@ -262,6 +262,53 @@ def image_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def image_decontamination(docs: DataFrame, split: DataFrame) -> DataFrame:
+    """IMAGE-level benchmark decontamination: training documents whose
+    image fingerprint is a near-duplicate (banded aHash, Hamming ≤ 3)
+    of a holdout/eval document's — the multimodal twin of the 8-gram
+    text sweep (``dedup.decontamination_flags``): text decontamination
+    alone misses an eval image re-encoded alongside different captions.
+    ``split`` is (doc_id, split) from ``text.train_holdout_split``.
+    Candidates are cross-split band equi-joins; fingerprints come from
+    the same real-decode pass as ``image_neardup_pairs``."""
+    hashes = image_ahash(attach_texture_png_payload(docs)).join(split, "doc_id")
+    bands = hashes.select(
+        "doc_id",
+        "split",
+        "ahash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> struct(b AS band, substring(ahash, b * 16 + 1, 16) AS bits))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "split", "ahash", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
+    t = bands.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), F.col("ahash").alias("hash_t"),
+        "band", "bits",
+    )
+    e = bands.filter(F.col("split") == "holdout").select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("ahash").alias("hash_e"),
+        "band", "bits",
+    )
+    cand = (
+        t.join(e, ["band", "bits"])
+        .select("train_doc_id", "eval_doc_id", "hash_t", "hash_e")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "size(filter(sequence(1, 64),"
+                " i -> substring(hash_t, i, 1) <> substring(hash_e, i, 1)))"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("train_doc_id", "eval_doc_id", "hamming")
+    )
+
+
 def decode_png_stats(with_payload: DataFrame) -> DataFrame:
     """Real-decode stage with a content check: emits the decoded
     dimensions AND the sum over all reconstructed pixel bytes — a

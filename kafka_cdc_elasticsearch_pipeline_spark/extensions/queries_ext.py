@@ -1949,6 +1949,48 @@ _SQL_IMAGE_PAIR_CTES = """
 
 
 @query(
+    "ext_multimodal_image_decontamination",
+    f"""
+    WITH {_SQL_IMAGE_PAIR_CTES},
+    s AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ),
+    hb AS (
+      SELECT h.doc_id, s.split, h.ahash, b.b AS band,
+             substr(h.ahash, b.b * 16 + 1, 16) AS bits
+      FROM hashes h JOIN s USING (doc_id), generate_series(0, 3) AS b(b)
+    ),
+    dcand AS (
+      SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+                      t.ahash AS hash_t, e.ahash AS hash_e
+      FROM hb t JOIN hb e ON t.band = e.band AND t.bits = e.bits
+      WHERE t.split = 'train' AND e.split = 'holdout'
+    )
+    SELECT train_doc_id, eval_doc_id, hamming FROM (
+      SELECT train_doc_id, eval_doc_id,
+             len(list_filter(generate_series(1, 64),
+                 i -> substr(hash_t, i, 1) <> substr(hash_e, i, 1)))::INT AS hamming
+      FROM dcand
+    ) WHERE hamming <= 3
+    """,
+    tags=("ext", "multimodal", "dedup", "decontamination"),
+)
+def ext_multimodal_image_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level benchmark decontamination: train docs whose image
+    fingerprint near-matches (banded aHash, Hamming ≤3) a holdout
+    doc's — the multimodal twin of the 8-gram text sweep, catching the
+    eval image that re-enters the training crawl under a different
+    caption. Same content-stable split as the text row; cross-split
+    band equi-join candidates; full value-hash oracle over the
+    closed-form pixel chain."""
+    docs = _docs(spark, sf_dir)
+    return mm.image_decontamination(docs, tx.train_holdout_split(docs))
+
+
+@query(
     "ext_multimodal_image_neardup",
     f"""
     WITH {_SQL_IMAGE_PAIR_CTES}
