@@ -162,6 +162,14 @@ def audio_energy_fingerprint(with_payload: DataFrame) -> DataFrame:
                 s = samples.astype(np.int64)
                 if ch > 1:  # average channels (integer floor division)
                     s = s.reshape(-1, ch).sum(axis=1) // ch
+                if len(s) < 64:
+                    # 64 frames need ≥1 sample each; shorter clips
+                    # would silently fingerprint as all-zeros and
+                    # "match" every other short clip
+                    raise ValueError(
+                        f"audio fingerprint needs ≥64 samples, got"
+                        f" {len(s)} (doc_id={int(doc_id)})"
+                    )
                 frame = len(s) // 64
                 e = (s[: frame * 64] ** 2).reshape(64, frame).sum(axis=1)
                 bits = (e * 64 > e.sum()).astype(np.uint8)

@@ -197,6 +197,14 @@ def image_ahash(with_payload: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, mode, px = png_decode(bytes(payload))
+                if w < 8 or h < 8:
+                    # an 8×8 pooled grid needs ≥1 pixel per cell; a
+                    # smaller image would silently hash to all-zeros
+                    # (every such image "matches" every other)
+                    raise ValueError(
+                        f"image_ahash needs images ≥8×8, got {w}×{h}"
+                        f" (doc_id={int(doc_id)})"
+                    )
                 g = px if px.ndim == 2 else px.mean(axis=2).astype(np.int64)
                 g = g.astype(np.int64)
                 ch, cw = h // 8, w // 8

@@ -176,10 +176,16 @@ def latest_per_key_ttl_stream(
 
 def _duration_ms(duration: str) -> int:
     """'2 hours' / '30 minutes' / '45 seconds' -> milliseconds."""
-    n_s, unit = duration.split()
-    n = int(n_s)
-    per = {"second": 1_000, "minute": 60_000, "hour": 3_600_000,
-           "day": 86_400_000}[unit.rstrip("s")]
+    try:
+        n_s, unit = duration.split()
+        n = int(n_s)
+        per = {"second": 1_000, "minute": 60_000, "hour": 3_600_000,
+               "day": 86_400_000}[unit.rstrip("s")]
+    except (ValueError, KeyError) as exc:
+        raise ValueError(
+            f"unsupported duration {duration!r}: use '<n>"
+            " seconds|minutes|hours|days'"
+        ) from exc
     return n * per
 
 

@@ -230,6 +230,35 @@ def test_audio_neardup_finds_planted_pairs_via_real_decode(spark):
     assert got[7] == want
 
 
+def test_fingerprint_guards_reject_degenerate_inputs(spark):
+    """Sub-grid media must fail loudly, not hash to all-zeros (where
+    every degenerate payload 'matches' every other): images <8x8 and
+    clips <64 samples raise; bad TTL duration strings raise."""
+    import numpy as np
+    import pytest
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import _duration_ms
+
+    tiny_img = spark.createDataFrame(
+        [(1, bytearray(png_encode(np.zeros((4, 4), dtype=np.uint8))))],
+        "doc_id bigint, payload binary",
+    )
+    with pytest.raises(Exception, match="8.8|8×8"):
+        mm.image_ahash(tiny_img).collect()
+    tiny_wav = spark.createDataFrame(
+        [(1, bytearray(audio.wav_encode(np.zeros(16, dtype=np.int16), 8000)))],
+        "doc_id bigint, payload binary",
+    )
+    with pytest.raises(Exception, match="64 samples"):
+        audio.audio_energy_fingerprint(tiny_wav).collect()
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_ms("5 fortnights")
+    with pytest.raises(ValueError, match="unsupported duration"):
+        _duration_ms("soon")
+
+
 def test_curation_multimodal_stage_precedence(spark):
     """The 6-stage pipeline's image stage: docs whose synthetic image
     is a planted near-dup (doc_id % 50 == 1) get reason image_dup —
