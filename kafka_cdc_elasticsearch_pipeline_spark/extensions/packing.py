@@ -69,3 +69,42 @@ def pack_sequences(
         start.alias("start_offset"),
         F.floor(start / seq_len).cast("bigint").alias("seq_id"),
     )
+
+
+def length_bucket_batches(
+    docs: DataFrame, batch_size: int = 8, bucket_width: int = 16
+) -> DataFrame:
+    """Length-bucketed INFERENCE batching: group documents into
+    fixed-size batches of similar token length so each batch pads to
+    its own maximum instead of the corpus maximum — the standard
+    serving-layout trick (a batch of 20-token docs next to one
+    4000-token doc wastes ~99.5% of its compute on pad tokens).
+
+    bucket = n_tokens // bucket_width; within a bucket, docs order by
+    doc_id and chop into ``batch_size`` batches; ``pad_waste`` is the
+    per-doc padding cost (batch max − own length) the layout actually
+    pays, so Σ pad_waste is the metric a layout change optimizes.
+    Deterministic end-to-end. Plan shape: one shuffle on the bucket
+    key, one window pass — no global sort; the bucket key is derived,
+    so the shuffle is as balanced as the length distribution."""
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), "[ \t\n]+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    bucketed = toks.withColumn(
+        "bucket", F.floor(F.col("n_tokens") / bucket_width).cast("int")
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    batched = bucketed.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("int")
+    )
+    wb = Window.partitionBy("bucket", "batch_id")
+    return batched.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "batch_id",
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_waste"),
+    )

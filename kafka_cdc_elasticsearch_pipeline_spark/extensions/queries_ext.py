@@ -1900,6 +1900,44 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), seq_len=2048)
 
 
+@query(
+    "ext_pack_length_buckets",
+    """
+    SELECT doc_id, n_tokens, bucket, batch_id,
+           (max(n_tokens) OVER (PARTITION BY bucket, batch_id) - n_tokens)::INT
+             AS pad_waste
+    FROM (
+      SELECT doc_id, n_tokens, bucket,
+             ((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8)::INT
+               AS batch_id
+      FROM (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                               t -> t <> ''))::INT AS n_tokens,
+               (len(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                                t -> t <> '')) // 16)::INT AS bucket
+        FROM documents
+      )
+    )
+    """,
+    tags=("ext", "layout", "packing", "inference"),
+)
+def ext_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed INFERENCE batching: batches of 8 docs with
+    similar token counts (bucket = n_tokens // 16), each batch padding
+    to its own max — the serving layout that stops one long document
+    from making every batchmate pay its padding. The emitted
+    ``pad_waste`` column is the per-doc cost the layout actually pays
+    (Σ pad_waste is what a layout change optimizes), all under the
+    value hash. One shuffle on the derived bucket key + one window —
+    no global sort at any corpus size."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.packing import (
+        length_bucket_batches,
+    )
+
+    return length_bucket_batches(_docs(spark, sf_dir))
+
+
 # The image aHash pair chain as reusable CTEs (the image-neardup gate
 # row and the multimodal curation pipeline share them verbatim).
 _SQL_IMAGE_PAIR_CTES = """
