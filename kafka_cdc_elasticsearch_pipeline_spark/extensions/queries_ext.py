@@ -898,6 +898,70 @@ def ext_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup(_embs(spark, sf_dir))
 
 
+@query(
+    "ext_dedup_semdedup_threshold_curve",
+    f"""
+    WITH cents AS ({_SQL_CENTROIDS}),
+    ccos AS (
+      SELECT e.vec_id, e.label, {_SQL_COS_CENT.replace('c.centroid', 'cents.centroid')} AS centroid_cosine
+      FROM embeddings e JOIN cents ON e.label = cents.label
+    ),
+    ts AS (SELECT unnest([30, 40, 50]) AS thr_pct),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_COS_AB} AS cos_ab
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_SQL_COS_AB} >= 0.3
+    ),
+    sym AS (
+      SELECT thr_pct, vec_a AS vec_id, vec_b AS partner
+      FROM ts JOIN pairs ON cos_ab >= thr_pct / 100.0
+      UNION ALL
+      SELECT thr_pct, vec_b, vec_a
+      FROM ts JOIN pairs ON cos_ab >= thr_pct / 100.0
+    ),
+    dropped AS (
+      SELECT DISTINCT s.thr_pct, s.vec_id
+      FROM sym s
+      JOIN ccos m ON m.vec_id = s.vec_id
+      JOIN ccos t ON t.vec_id = s.partner
+      WHERE t.centroid_cosine < m.centroid_cosine
+         OR (t.centroid_cosine = m.centroid_cosine AND t.vec_id < m.vec_id)
+    )
+    SELECT t.thr_pct::INT AS thr_pct,
+           coalesce(d.n, 0)::BIGINT AS n_dropped
+    FROM ts t LEFT JOIN (
+      SELECT thr_pct, count(*)::BIGINT AS n FROM dropped GROUP BY thr_pct
+    ) d ON d.thr_pct = t.thr_pct
+    """,
+    tags=("ext", "dedup", "semdedup", "curve"),
+)
+def ext_dedup_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's sizing knob, measured: documents dropped at cosine
+    threshold τ ∈ {0.30, 0.40, 0.50} — n_dropped must be
+    non-increasing in τ (tighter thresholds drop fewer), which with
+    integer counts under the value hash gives the aggressiveness curve
+    a user tunes ε-dedup with, the same way ext_sim_ivf_recall curves
+    nprobe. One label-blocked candidate join at the LOOSEST τ serves
+    every curve point (tighter thresholds filter the same pairs)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    embs = _embs(spark, sf_dir)
+    pairs = reuse(sim.embedding_neardup_pairs(embs, threshold=0.3))
+    out = None
+    for thr_pct in (30, 40, 50):
+        filtered = pairs.filter(F.col("cosine") >= thr_pct / 100.0)
+        verdict = sim.semdedup_from_pairs(embs, filtered)
+        n = verdict.filter(~F.col("kept")).agg(
+            F.count(F.lit(1)).alias("n_dropped")
+        ).select(
+            F.lit(thr_pct).cast("int").alias("thr_pct"),
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        )
+        out = n if out is None else out.unionByName(n)
+    return out
+
+
 def _sql_pq_dist_step(sv: str, cb: str) -> str:
     """Distance CTE body: rounded squared-L2 of every subvector against
     every code of ``cb`` — the exact mirror of similarity._pq_assign's

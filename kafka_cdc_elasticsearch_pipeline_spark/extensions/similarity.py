@@ -437,6 +437,15 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     equi-join as :func:`embedding_neardup_pairs` (never all-pairs),
     the centroid table is broadcast, and the verdict join carries
     (vec_id, rank) pairs only."""
+    return semdedup_from_pairs(
+        embeddings, embedding_neardup_pairs(embeddings, threshold)
+    )
+
+
+def semdedup_from_pairs(embeddings: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The SemDeDup verdict given an already-computed near-dup pair
+    set (vec_a, vec_b[, cosine]) — lets threshold sweeps reuse one
+    candidate join across curve points."""
     ccos = embeddings.join(
         F.broadcast(centroids(embeddings)), "label"
     ).select(
@@ -446,7 +455,6 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
             "centroid_cosine"
         ),
     )
-    pairs = embedding_neardup_pairs(embeddings, threshold)
     sym = pairs.select(
         F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner")
     ).unionByName(
