@@ -697,6 +697,21 @@ def test_semdedup_keeps_least_prototypical(spark):
     assert dropped[0].centroid_cosine >= kept[0].centroid_cosine
 
 
+def test_semdedup_threshold_curve_is_monotone(spark, embs):
+    """Looser cosine thresholds can only drop MORE documents."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    pairs = reuse(sim.embedding_neardup_pairs(embs, threshold=0.3))
+    dropped = {}
+    for thr in (0.3, 0.4, 0.5):
+        v = sim.semdedup_from_pairs(
+            embs, pairs.filter(F.col("cosine") >= thr)
+        )
+        dropped[thr] = v.filter(~F.col("kept")).count()
+    assert dropped[0.3] >= dropped[0.4] >= dropped[0.5]
+    assert dropped[0.3] > 0
+
+
 def test_pq_refinement_distortion_is_nonincreasing(spark, embs):
     """Lloyd's guarantee: each refinement iteration can only lower the
     total quantization distortion (ties allowed if assignment is
