@@ -47,8 +47,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #      35 rows were r01-stale while code churned under them).
 # Harmless if the driver gates everything; maximizes signal freshness
 # if it truncates.
-_GATE_FIRST: list[str] = []  # r05: recovery rows went green in r04; let
-# oldest-green-first rotation sweep the r02-stale ext_* backlog.
+_GATE_FIRST: list[str] = [
+    # r06: the round-5 verdict's top demand — the 8 r05 operators that
+    # have never received a driver row MUST get their first hard
+    # signal this round. The fresh_key ordering below already puts all
+    # never-gated queries first; this explicit list additionally pins
+    # these eight at the very head in case the window shrinks.
+    "ext_dedup_ngram_df_capped",
+    "ext_dedup_containment",
+    "ext_dedup_minhash_cross_corpus",
+    "ext_dedup_substring_spans",
+    "ext_sim_pq_codes",
+    "ext_sim_pq_recall",
+    "ext_sim_ivfpq_topk",
+    "ext_curation_temperature_mix",
+]
 
 # Registered (tests + bench + docs) but excluded from the driver gate:
 # permanently oracle-less rows would waste a slot of the ~50-row window
