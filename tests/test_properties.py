@@ -252,3 +252,33 @@ def test_temperature_resample_invariants(spark, rows, alpha, budget):
              temperature_resample(df, "source", "doc_id", alpha=alpha,
                                   budget_frac=budget).collect()}
     assert kept_ids == kept2
+
+
+@given(rows=docs_corpora, batch=st.sampled_from([2, 4, 8]))
+@settings(**_SETTINGS)
+def test_length_bucket_batches_invariants(spark, rows, batch):
+    """On ANY corpus: every doc appears exactly once, batches never
+    exceed the batch size, every batch holds docs of one bucket, and
+    pad_waste is exactly batch-max minus own length (non-negative,
+    zero for the longest member)."""
+    from collections import Counter
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.packing import (
+        length_bucket_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    out = length_bucket_batches(df, batch_size=batch, bucket_width=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(rows)))
+    groups: dict = {}
+    for r in out:
+        assert r.bucket == r.n_tokens // 4
+        assert r.pad_waste >= 0
+        groups.setdefault((r.bucket, r.batch_id), []).append(r)
+    for members in groups.values():
+        assert len(members) <= batch
+        mx = max(m.n_tokens for m in members)
+        for m in members:
+            assert m.pad_waste == mx - m.n_tokens
