@@ -47,21 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #      35 rows were r01-stale while code churned under them).
 # Harmless if the driver gates everything; maximizes signal freshness
 # if it truncates.
-_GATE_FIRST: list[str] = [
-    # r06: the round-5 verdict's top demand — the 8 r05 operators that
-    # have never received a driver row MUST get their first hard
-    # signal this round. The fresh_key ordering below already puts all
-    # never-gated queries first; this explicit list additionally pins
-    # these eight at the very head in case the window shrinks.
-    "ext_dedup_ngram_df_capped",
-    "ext_dedup_containment",
-    "ext_dedup_minhash_cross_corpus",
-    "ext_dedup_substring_spans",
-    "ext_sim_pq_codes",
-    "ext_sim_pq_recall",
-    "ext_sim_ivfpq_topk",
-    "ext_curation_temperature_mix",
-]
+# r07: cleared (round-6 verdict #2) — the r06 pin served its purpose
+# (all 8 r05 operators got their first hard signal and are green), so
+# the whole window now goes to never-gated r07 queries followed by the
+# oldest-green rotation (the 21 rows last gated in r03 are at the
+# 4-round staleness floor this round).
+_GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:
 # permanently oracle-less rows would waste a slot of the ~50-row window

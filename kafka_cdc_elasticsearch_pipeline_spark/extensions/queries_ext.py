@@ -2195,9 +2195,10 @@ def ext_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (text: MinHash/SimHash/ngram; embeddings: RHP-LSH/SemDeDup;
     images: aHash): textured mono WAVs (planted near-dups: same
     waveform, first two samples shifted) are REALLY decoded (RIFF
-    parse + PCM deinterleave), fingerprinted by 32-frame integer
-    energy profile vs the clip mean, and paired by 8-bit banded
-    Hamming ≤3 with pigeonhole guarantee. The oracle recomputes
+    parse + PCM deinterleave), fingerprinted by a 64-frame integer
+    energy profile vs the clip mean, and paired by 4×16-bit banded
+    Hamming ≤3 with pigeonhole guarantee (16-bit bands: the 8-bit
+    variant was measured degenerate — buckets too coarse). The oracle recomputes
     decode→frame→energy→threshold→band→Hamming from the closed-form
     sample function. One Arrow pass; candidates are band equi-joins."""
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio

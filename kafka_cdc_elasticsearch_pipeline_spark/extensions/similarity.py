@@ -738,7 +738,8 @@ def pq_adc_topk(
     lookup-table ADC scan, same result). Recall loss vs brute force is
     quantization error, measured by ``ext_sim_pq_recall``; pass a
     Lloyd-refined ``codebook`` to measure how much of it refinement
-    recovers (``ext_sim_pq_refined_recall``)."""
+    recovers (distortion drop pinned by
+    ``ext_sim_pq_refined_distortion``)."""
     cb = codebook if codebook is not None else pq_codebook(embeddings, m, ks)
     recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb)
     scored = recon.join(F.broadcast(queries)).select(

@@ -184,6 +184,100 @@ def stateful_user_profile_apply_in_pandas(spark: SparkSession, sf_dir: str) -> D
 
 
 @query(
+    "stateful_user_profile_tws_v2",
+    """
+    WITH agg AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(floor(value) AS BIGINT))::BIGINT AS total_units
+      FROM events GROUP BY user_id
+    ),
+    last AS (
+      SELECT user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             round(value, 2)::DECIMAL(18,2)::VARCHAR AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.n_events, a.total_units, l.last_ts, l.last_value
+    FROM agg a JOIN last l ON a.user_id = l.user_id
+    """,
+    tags=("streaming", "stateful", "transformWithStateInPandas", "spark4"),
+)
+def stateful_user_profile_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user profile operator on Spark 4's NEW stateful API
+    (``transformWithStateInPandas``, typed ValueState handles, RocksDB
+    state store) against the SAME batch oracle as
+    `stateful_user_profile_apply_in_pandas` — the executed proof that
+    migrating a pipeline between the two stateful APIs does not change
+    a single output hash. Raises (never silently falls back to the old
+    API) when the python protobuf runtime the v2 state protocol needs
+    is absent; see compat/protobuf_shim.py for how this sandbox gets
+    one."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_profiles,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        require_protobuf,
+        rocksdb_state_store,
+        user_profile_stream_v2,
+    )
+
+    require_protobuf()
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        with rocksdb_state_store(spark):
+            updates = user_profile_stream_v2(stream)
+            name = f"strm_profile_v2_{next(_SEQ)}"
+            run_to_memory(updates, name, output_mode="update")
+        return finalize_profiles(spark.table(name))
+    finally:
+        cleanup(tmp)
+
+
+@query(
+    "t5_latest_per_key_ttl_tws_v2",
+    f"""
+    SELECT {', '.join(EVENT_COLS)}
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("T5", "streaming", "bounded-state", "ttl", "transformWithStateInPandas", "spark4"),
+)
+def t5_latest_per_key_ttl_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-bounded latest-per-key on the NEW stateful API: the eviction
+    contract of `t5_latest_per_key_ttl_eviction` re-expressed with v2
+    TIMER primitives (registerTimer / handleExpiredTimer, EventTime
+    mode) instead of GroupStateTimeout — one live timer per key,
+    replaced on update, state cleared when it fires. Same oracle as the
+    old-API row: eviction plus re-entry must still converge to the
+    batch latest-per-key table."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_latest,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        latest_per_key_ttl_stream_v2,
+        require_protobuf,
+        rocksdb_state_store,
+    )
+
+    require_protobuf()
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        with rocksdb_state_store(spark):
+            updates = latest_per_key_ttl_stream_v2(stream, ttl="2 hours")
+            name = f"strm_latest_ttl_v2_{next(_SEQ)}"
+            run_to_memory(updates, name, output_mode="update")
+        return finalize_latest(spark.table(name)).select(*EVENT_COLS)
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "stream_stream_interval_join_attribution",
     """
     SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id AS user_id,

@@ -27,6 +27,57 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from kafka_cdc_elasticsearch_pipeline_spark.compat import ensure_protobuf
+
+# The v2 state protocol needs google.protobuf; install the vendored-copy
+# shim if the pip package is absent. Import-time so Spark workers that
+# unpickle these processor classes get it before the API client's lazy
+# StateMessage_pb2 imports run (see compat/protobuf_shim.py).
+PROTOBUF_OK = ensure_protobuf()
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def require_protobuf() -> None:
+    """Fail LOUDLY when the v2 API can't run — a silent fallback to the
+    old API would defeat the hash-equality claim the gate row exists
+    to test."""
+    if not PROTOBUF_OK and not ensure_protobuf():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and neither "
+            "the pip package nor a vendorable pure-python copy is present "
+            "(see compat/protobuf_shim.py). Refusing to silently fall back "
+            "to applyInPandasWithState."
+        )
+
+
+class rocksdb_state_store:
+    """Context manager: transformWithState requires the RocksDB state
+    store provider (multiple column families — one per state variable
+    plus timers); set it for the streaming run, restore after."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._old: str | None = None
+
+    def __enter__(self):
+        try:
+            self._old = self._spark.conf.get(self._KEY)
+        except Exception:
+            self._old = None
+        self._spark.conf.set(self._KEY, _ROCKSDB_PROVIDER)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._old is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._old)
+
 from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
     PROFILE_OUTPUT_SCHEMA,
     PROFILE_STATE_SCHEMA,
