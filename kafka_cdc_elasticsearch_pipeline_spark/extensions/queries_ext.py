@@ -962,6 +962,69 @@ def ext_dedup_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> Data
     return out
 
 
+@query(
+    "ext_dedup_semdedup_capped",
+    f"""
+    WITH cents AS ({_SQL_CENTROIDS}),
+    ccos AS (
+      SELECT e.vec_id, e.label, {_SQL_COS_CENT.replace('c.centroid', 'cents.centroid')} AS centroid_cosine
+      FROM embeddings e JOIN cents ON e.label = cents.label
+    ),
+    ranked AS (
+      SELECT vec_id, label, centroid_cosine,
+             CAST(floor((row_number() OVER (
+               PARTITION BY label ORDER BY centroid_cosine ASC, vec_id ASC
+             ) - 1) / 20) AS INT) AS sub
+      FROM ccos
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN ranked ra ON a.vec_id = ra.vec_id
+      JOIN ranked rb ON ra.label = rb.label AND ra.sub = rb.sub
+      JOIN embeddings b ON b.vec_id = rb.vec_id
+      WHERE a.vec_id < b.vec_id AND {_SQL_COS_AB} >= 0.4
+    ),
+    sym AS (
+      SELECT vec_a AS vec_id, vec_b AS partner FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    dropped AS (
+      SELECT DISTINCT s.vec_id
+      FROM sym s
+      JOIN ccos m ON m.vec_id = s.vec_id
+      JOIN ccos t ON t.vec_id = s.partner
+      WHERE t.centroid_cosine < m.centroid_cosine
+         OR (t.centroid_cosine = m.centroid_cosine AND t.vec_id < m.vec_id)
+    )
+    SELECT c.vec_id, c.label, r.sub, c.centroid_cosine,
+           d.vec_id IS NULL AS kept
+    FROM ccos c
+    JOIN ranked r ON c.vec_id = r.vec_id
+    LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """,
+    tags=("ext", "dedup", "embedding", "semdedup", "bounded"),
+)
+def ext_dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's CLUSTER-SIZE CAP (round-6 verdict #3):
+    coarse labels above 20 members are re-split into contiguous
+    centroid-cosine rank runs before pairing, bounding candidate
+    volume per label to ~n·(cap−1)/2 instead of O(n²) — the guard a
+    100 TB run needs against skewed/low-entropy embedding spaces. At
+    this scale factor every label (~50 members) actually splits into
+    3 blocks, so the gate pins the split rule itself, the bounded pair
+    set, AND the unchanged keep-ranking (still against the ORIGINAL
+    cluster centroid). Recall trade (pairs straddling a rank boundary)
+    is the paper's own; the planted-skew bound is unit-pinned in
+    tests/test_plan_shape.py and tests/test_extensions.py."""
+    embs = _embs(spark, sf_dir)
+    verdict = sim.semdedup(embs, threshold=0.4, max_cluster_size=20)
+    subs = sim.cap_cluster_sizes(embs, 20).select("vec_id", "sub")
+    return verdict.join(subs, "vec_id").select(
+        "vec_id", "label", "sub", "centroid_cosine", "kept"
+    )
+
+
 def _sql_pq_dist_step(sv: str, cb: str) -> str:
     """Distance CTE body: rounded squared-L2 of every subvector against
     every code of ``cb`` — the exact mirror of similarity._pq_assign's

@@ -418,7 +418,88 @@ def embedding_neardup_pairs(
     )
 
 
-def semdedup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def cap_cluster_sizes(embeddings: DataFrame, max_size: int) -> DataFrame:
+    """The SemDeDup paper's cluster-size cap (Abbas et al. 2023 §3:
+    oversized clusters are re-clustered before pairing): any coarse
+    label with more than ``max_size`` members is re-split into
+    contiguous runs of at most ``max_size`` vectors ranked by
+    (centroid_cosine ASC, vec_id ASC) — a deterministic 1-D split
+    along the similarity-to-centroid axis, which keeps mutually-similar
+    vectors in the same block far better than a random salt (near-dups
+    have near-equal centroid cosine, so they land in the same run
+    unless they straddle a boundary — the documented recall trade).
+
+    Why this matters at 100 TB: without the cap, a skewed or
+    low-entropy embedding space can put millions of vectors under one
+    coarse label and the within-label pair join degenerates to
+    O(|cluster|²) — the same failure class as the r04 ngram
+    df-degeneracy. With the cap, candidate volume per label is bounded
+    by ceil(n/max_size) · C(max_size, 2) ≈ n·(max_size−1)/2 — LINEAR
+    in cluster size. The rank window shuffles only (vec_id, label,
+    centroid_cosine) — ids-only, never the embedding payload.
+
+    Output: (vec_id, label, sub, centroid_cosine, embedding); ``sub``
+    is 0 for every label at-or-under the cap."""
+    from pyspark.sql import Window
+
+    if max_size < 1:
+        raise ValueError(f"max_size must be >= 1, got {max_size}")
+    ccos = embeddings.join(F.broadcast(centroids(embeddings)), "label").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+            "centroid_cosine"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.col("centroid_cosine").asc(), F.col("vec_id").asc()
+        )
+    )
+    return ccos.withColumn(
+        "sub", ((rn - F.lit(1)) / F.lit(max_size)).cast("int")
+    )
+
+
+def embedding_neardup_pairs_capped(
+    embeddings: DataFrame, threshold: float = 0.4, max_cluster_size: int = 100
+) -> DataFrame:
+    """:func:`embedding_neardup_pairs` with bounded per-block candidate
+    volume: pairs are generated within (label, sub) blocks from
+    :func:`cap_cluster_sizes` instead of raw labels, so a degenerate
+    cluster can never re-create the all-pairs blowup the blocking
+    exists to prevent."""
+    capped = cap_cluster_sizes(embeddings, max_cluster_size)
+    a = capped.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "label", "sub",
+    )
+    b = capped.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"), F.col("sub").alias("sub_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("sub") == F.col("sub_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by embedding — cluster the corpus (the IVF coarse
     labels here), score near-duplicate pairs ONLY within clusters, and
@@ -436,10 +517,17 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     At 100 TB: candidate generation is the same label-blocked
     equi-join as :func:`embedding_neardup_pairs` (never all-pairs),
     the centroid table is broadcast, and the verdict join carries
-    (vec_id, rank) pairs only."""
-    return semdedup_from_pairs(
-        embeddings, embedding_neardup_pairs(embeddings, threshold)
+    (vec_id, rank) pairs only. Pass ``max_cluster_size`` to apply the
+    paper's cluster-size cap (:func:`cap_cluster_sizes`) so a skewed
+    label can't degenerate the within-label pairing to O(n²); the
+    keep-ranking still uses the ORIGINAL cluster centroid — the cap
+    bounds candidate generation, not the diversity policy."""
+    pairs = (
+        embedding_neardup_pairs(embeddings, threshold)
+        if max_cluster_size is None
+        else embedding_neardup_pairs_capped(embeddings, threshold, max_cluster_size)
     )
+    return semdedup_from_pairs(embeddings, pairs)
 
 
 def semdedup_from_pairs(embeddings: DataFrame, pairs: DataFrame) -> DataFrame:

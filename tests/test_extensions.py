@@ -697,6 +697,67 @@ def test_semdedup_keeps_least_prototypical(spark):
     assert dropped[0].centroid_cosine >= kept[0].centroid_cosine
 
 
+def test_semdedup_cap_bounds_planted_skewed_label(spark):
+    """The cluster-size cap under WORST-CASE skew — every vector in ONE
+    coarse label (the scenario where 'label-blocked' stops bounding
+    anything). With 120 vectors and cap 10, candidate volume must drop
+    from C(120,2)=7140 to exactly 12 blocks × C(10,2)=540 — linear in
+    cluster size — while the verdict still covers every vector and a
+    planted near-identical pair (adjacent centroid-cosine ranks →
+    same block) is still caught and deduped."""
+    import math
+
+    n, cap = 120, 10
+    rows = []
+    for i in range(n):
+        theta = i * 0.01
+        rows.append(
+            (i, [math.cos(theta), math.sin(theta), 0.0, 0.0], 0)
+        )
+    # planted near-dup: vec 120 ≈ vec 0 (tiny angle off) — same label,
+    # near-equal centroid cosine → adjacent ranks → same block
+    embs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+
+    # candidate volume: threshold -1 keeps EVERY candidate pair
+    uncapped = sim.embedding_neardup_pairs(embs, threshold=-1.0).count()
+    capped = sim.embedding_neardup_pairs_capped(
+        embs, threshold=-1.0, max_cluster_size=cap
+    ).count()
+    assert uncapped == n * (n - 1) // 2  # 7140: the O(n²) cliff
+    assert capped == (n // cap) * cap * (cap - 1) // 2  # 540: bounded
+
+    # the verdict still covers every vector; the cap's only effect is
+    # MISSING some cross-block pairs, so its drop set is a subset of
+    # the uncapped drop set (kept_uncapped ⊆ kept_capped) — and real
+    # dedup still happens (near-identical angle neighbors share a
+    # centroid-cosine neighborhood, hence usually a block)
+    capped_v = {
+        r.vec_id: r.kept
+        for r in sim.semdedup(embs, threshold=0.999, max_cluster_size=cap).collect()
+    }
+    uncapped_v = {
+        r.vec_id: r.kept for r in sim.semdedup(embs, threshold=0.999).collect()
+    }
+    assert len(capped_v) == n
+    assert sum(1 for k in capped_v.values() if not k) > 0  # still dedupes
+    assert all(capped_v[v] for v, k in uncapped_v.items() if k)  # monotone
+
+
+def test_cap_cluster_sizes_noop_below_cap_and_validates(spark):
+    """Labels at-or-under the cap stay whole (sub == 0 for all), and a
+    nonsensical cap fails loudly instead of silently degenerating."""
+    rows = [(i, [1.0, float(i), 0.0, 0.0], i % 2) for i in range(6)]
+    embs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    out = sim.cap_cluster_sizes(embs, 3).collect()
+    assert len(out) == 6 and all(r.sub == 0 for r in out)
+    with pytest.raises(ValueError, match="max_size"):
+        sim.cap_cluster_sizes(embs, 0)
+
+
 def test_semdedup_threshold_curve_is_monotone(spark, embs):
     """Looser cosine thresholds can only drop MORE documents."""
     from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse

@@ -287,6 +287,17 @@ def test_semdedup_no_cartesian_label_blocked(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_semdedup_capped_blocked_equijoin_no_cartesian(plans):
+    """The cluster-size-capped SemDeDup still candidates through an
+    equi-join — now on (label, sub) blocks — with broadcast centroids;
+    the cap must never be implemented as a post-filter on an
+    unblocked (cartesian) pairing, and the rank window shuffles only
+    ids + centroid cosine, never the embedding payload."""
+    p = plans("ext_dedup_semdedup_capped")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_pq_refinement_assign_broadcasts_codebook_every_iteration(plans):
     """Each Lloyd iteration re-scores the corpus against a BROADCAST
     codebook (the codebook stays KB-sized no matter the corpus); no
