@@ -1124,8 +1124,8 @@ def ext_streaming_image_dedup_index(spark: SparkSession, sf_dir: str) -> DataFra
     (unlike streaming dropDuplicates, whose within-batch winner is
     arbitrary) and must hash-match the batch oracle over the
     closed-form pixel function. State is one row per DISTINCT image —
-    the bounded form would add a watermark TTL exactly like
-    t5_latest_per_key_ttl_eviction."""
+    the bounded form (`ext_streaming_image_dedup_index_ttl`) adds a
+    watermark TTL exactly like t5_latest_per_key_ttl_eviction."""
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
 
     stream, tmp = replay_stream(
@@ -1140,3 +1140,108 @@ def ext_streaming_image_dedup_index(spark: SparkSession, sf_dir: str) -> DataFra
         return _run(index, spark, "strm_imgdedup")
     finally:
         cleanup(tmp)
+
+
+@query(
+    "ext_streaming_image_dedup_index_ttl",
+    """
+    WITH px AS (
+      SELECT doc_id, p,
+             ((seed % 239 + 1) * p * p + (seed % 251 + 3) * p + seed % 241
+              + CASE WHEN doc_id % 50 = 1 AND (p = 0 OR p = 16)
+                     THEN 128 ELSE 0 END) % 256 AS v
+      FROM (
+        SELECT d.doc_id, g.p,
+               d.doc_id - CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END AS seed
+        FROM documents d, generate_series(0, 255) AS g(p)
+      )
+    ),
+    cells AS (
+      SELECT doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cell,
+             sum(v)::BIGINT AS cell_sum
+      FROM px GROUP BY doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2)
+    ),
+    tot AS (SELECT doc_id, sum(cell_sum)::BIGINT AS img_sum FROM cells GROUP BY doc_id),
+    hashes AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.cell_sum * 64 > t.img_sum THEN '1' ELSE '0' END,
+                        '' ORDER BY c.cell) AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    ),
+    ttls AS (SELECT unnest([30, 180]) AS ttl_min),
+    marks AS (
+      SELECT t.ttl_min, h.ahash, h.doc_id,
+             CASE WHEN (h.doc_id - lag(h.doc_id) OVER (
+                          PARTITION BY t.ttl_min, h.ahash ORDER BY h.doc_id
+                        )) * 60 > t.ttl_min
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM hashes h CROSS JOIN ttls t
+    ),
+    sess AS (
+      SELECT ttl_min, ahash, doc_id,
+             sum(new_sess) OVER (
+               PARTITION BY ttl_min, ahash ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM marks
+    ),
+    last AS (SELECT ttl_min, ahash, max(sid) AS msid FROM sess GROUP BY 1, 2)
+    SELECT s.ttl_min::INT AS ttl_minutes, s.ahash,
+           min(s.doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS n_copies
+    FROM sess s JOIN last l
+      ON s.ttl_min = l.ttl_min AND s.ahash = l.ahash AND s.sid = l.msid
+    GROUP BY s.ttl_min, s.ahash
+    """,
+    tags=("ext", "multimodal", "dedup", "streaming", "bounded-state", "ttl"),
+)
+def ext_streaming_image_dedup_index_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED form of the streaming image dedup index (round-6
+    verdict #4): per-fingerprint state is evicted once the watermark
+    passes its last sighting + TTL, and an evicted fingerprint
+    re-enters as a fresh keeper — state follows the ACTIVE window, not
+    every distinct image ever seen. Event time is doc_id hours (the
+    replay is doc_id-ordered, so arrival is event-time-ordered) and
+    the query runs BOTH a 30-minute and a 3-hour TTL: planted
+    near-dup pairs are adjacent doc_ids (1 h apart), so the short TTL
+    visibly SPLITS every pair into two sessions (keeper = the later
+    doc, count 1) while the long TTL keeps them merged (keeper = the
+    earlier doc, count 2) — eviction and re-entry are pinned in the
+    value hash, not just state-size counters. The session-gap rule
+    lives in the fold itself, so the result is micro-batch-
+    independent; the oracle replays it as a gap-sessionization window.
+    State-size bound asserted in tests/test_streaming.py
+    (numRowsTotal <= distinct active fingerprints)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_image_index,
+        image_index_ttl_stream,
+    )
+
+    out = None
+    for ttl_min in (30, 180):
+        stream, tmp = replay_stream(
+            spark, sf_dir, "documents", chunks=6, order_col="doc_id"
+        )
+        try:
+            hashes = mm.image_ahash(mm.attach_texture_png_payload(stream)).select(
+                "doc_id",
+                "ahash",
+                # +1: doc 0 at exactly epoch 0 sits ON the initial
+                # watermark and is dropped as late data; the oracle's
+                # sessionization only sees GAPS, so the offset is free
+                ((F.col("doc_id") + 1) * F.lit(3_600_000_000)).alias("ts_us"),
+            )
+            updates = image_index_ttl_stream(hashes, ttl=f"{ttl_min} minutes")
+            name = f"strm_imgdedup_ttl_{next(_SEQ)}"
+            run_to_memory(updates, name, output_mode="update")
+            final = finalize_image_index(spark.table(name)).select(
+                F.lit(ttl_min).cast("int").alias("ttl_minutes"),
+                "ahash",
+                "keeper_doc_id",
+                "n_copies",
+            )
+            out = final if out is None else out.unionByName(final)
+        finally:
+            cleanup(tmp)
+    return out

@@ -174,6 +174,98 @@ def latest_per_key_ttl_stream(
     )
 
 
+IMG_INDEX_OUTPUT_SCHEMA = (
+    "ahash string, keeper_doc_id bigint, n_copies bigint, last_seen_us bigint"
+)
+IMG_INDEX_STATE_SCHEMA = "keeper bigint, n bigint, last_us bigint"
+
+
+def _make_image_index_ttl_tracker(ttl_ms: int):
+    ttl_us = ttl_ms * 1000
+
+    def tracker(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Idle fingerprint: state row dropped; a later identical
+            # image re-enters as a NEW keeper (session semantics).
+            state.remove()
+            return
+        keeper, n, last_us = state.get if state.exists else (-1, 0, -1)
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts_us", "doc_id"])
+            for doc_id, ts_us in zip(ordered["doc_id"], ordered["ts_us"]):
+                d, t = int(doc_id), int(ts_us)
+                # The session-gap rule lives in the FOLD, not only in
+                # the timeout: two same-hash arrivals separated by more
+                # than the TTL start a new session even when they land
+                # in the same micro-batch (no watermark tick between
+                # them) — this is what keeps the materialization
+                # batching-independent and oracle-expressible.
+                if n == 0 or t - last_us > ttl_us:
+                    keeper, n = d, 0
+                n += 1
+                last_us = t
+        state.update((keeper, n, last_us))
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "ahash": [key[0]],
+                "keeper_doc_id": [keeper],
+                "n_copies": [n],
+                "last_seen_us": [last_us],
+            }
+        )
+
+    return tracker
+
+
+def image_index_ttl_stream(
+    hashes: DataFrame, ttl: str = "3 hours"
+) -> DataFrame:
+    """BOUNDED-state streaming image dedup index (round-6 verdict #4):
+    the per-fingerprint (keeper, copy-count) index of
+    `ext_streaming_image_dedup_index`, with per-key state EVICTED once
+    the watermark passes the fingerprint's last sighting + ``ttl`` —
+    state size follows the ACTIVE fingerprint window instead of every
+    distinct image ever ingested (the unbounded form's 100 TB death).
+    An evicted fingerprint re-enters as a fresh keeper: the index
+    answers "have I seen this image RECENTLY", which is the dedup
+    question a rolling ingest actually asks.
+
+    Input: (doc_id, ahash, ts_us) rows. Emits one update row per
+    (micro-batch × fingerprint); reduce with
+    :func:`finalize_image_index`."""
+    ttl_ms = _duration_ms(ttl)
+    prepared = hashes.select(
+        "doc_id",
+        "ahash",
+        "ts_us",
+        F.timestamp_micros(F.col("ts_us")).alias("_evt"),
+    ).withWatermark("_evt", "0 seconds")
+    return prepared.groupBy("ahash").applyInPandasWithState(
+        _make_image_index_ttl_tracker(ttl_ms),
+        outputStructType=IMG_INDEX_OUTPUT_SCHEMA,
+        stateStructType=IMG_INDEX_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def finalize_image_index(updates: DataFrame) -> DataFrame:
+    """Reduce the TTL index's update log to the final per-fingerprint
+    row: the LAST session's (keeper, count), i.e. latest update by
+    last-seen time (strictly increasing within and across sessions)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+    final = latest_per_key(
+        updates, ["ahash"], "last_seen_us", tiebreak="n_copies", method="max_by"
+    )
+    return final.select("ahash", "keeper_doc_id", "n_copies")
+
+
 def _duration_ms(duration: str) -> int:
     """'2 hours' / '30 minutes' / '45 seconds' -> milliseconds."""
     try:

@@ -439,6 +439,66 @@ def test_latest_per_key_ttl_v1_v2_equivalence(spark, sf_dir):
     assert outs[0] == outs[1]
 
 
+def test_image_dedup_index_ttl_bounds_state_and_reenters(spark, sf_dir):
+    """The BOUNDED streaming image dedup index: with event time =
+    (doc_id+1) hours and a 30-minute TTL, every fingerprint idles past
+    its TTL before the run ends, so (a) the final state store holds
+    only the not-yet-evicted tail — a fraction of all distinct
+    fingerprints — and (b) each planted near-dup pair (adjacent
+    doc_ids, 1 h apart > TTL) visibly SPLITS: its final index row is
+    the LATER doc re-entering as a fresh keeper with count 1."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import multimodal as mm
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful import (
+        finalize_image_index,
+        image_index_ttl_stream,
+    )
+
+    stream, tmp = replay_stream(
+        spark, sf_dir, "documents", chunks=6, order_col="doc_id"
+    )
+    try:
+        hashes = mm.image_ahash(mm.attach_texture_png_payload(stream)).select(
+            "doc_id",
+            "ahash",
+            ((F.col("doc_id") + 1) * F.lit(3_600_000_000)).alias("ts_us"),
+        )
+        updates = image_index_ttl_stream(hashes, ttl="30 minutes")
+        ckpt = tempfile.mkdtemp(prefix="ckpt_imgidx_ttl_")
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("imgidx_ttl_state")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        final = finalize_image_index(spark.table("imgidx_ttl_state"))
+        rows = {r.keeper_doc_id: r.n_copies for r in final.collect()}
+        n_distinct = len(rows)
+        # state bound: only the final micro-batch's fingerprints (~1/6
+        # of the corpus) can still hold state — never the whole corpus
+        assert 0 < state_rows < n_distinct // 2, (state_rows, n_distinct)
+        # re-entry: every planted pair's keeper is the LATER doc with
+        # a restarted count (the earlier member's session was evicted)
+        pair_later = [d for d in rows if d % 50 == 1]
+        assert pair_later, "no planted pairs in fixture"
+        assert all(rows[d] == 1 for d in pair_later)
+        # and the earlier members are NOT keepers of any final row
+        assert all(d - 1 not in rows for d in pair_later)
+    finally:
+        cleanup(tmp)
+
+
 def test_watermark_late_eviction_drops_stragglers(spark):
     """T6 hard signal, row-level: events arriving beyond the watermark
     are ABSENT from the windowed state — a late-only window never
