@@ -188,42 +188,15 @@ def audio_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     ``docs`` may be (doc_id) rows — payloads get built in-stage — or a
     prebuilt (doc_id, payload) frame (scale probes persist payloads)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.multimodal import (
+        banded_hamming_pairs,
+    )
+
     with_payload = (
         docs if "payload" in docs.columns else attach_texture_wav_payload(docs)
     )
-    hashes = audio_energy_fingerprint(with_payload)
-    bands = hashes.select(
-        "doc_id",
-        "fp",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3),"
-                " b -> struct(b AS band, substring(fp, b * 16 + 1, 16) AS bits))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "fp", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band", "bits"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "band", "bits"
-    )
-    cand = (
-        a.join(b, ["band", "bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.expr(
-                "size(filter(sequence(1, 64),"
-                " i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
-            ),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return banded_hamming_pairs(
+        audio_energy_fingerprint(with_payload), "fp", max_hamming
     )
 
 

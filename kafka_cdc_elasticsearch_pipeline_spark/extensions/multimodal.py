@@ -220,36 +220,31 @@ def image_ahash(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(fingerprint, schema="doc_id bigint, ahash string")
 
 
-def image_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Image near-duplicate pairs by banded aHash: split the 64-bit
-    fingerprint into 4×16-bit bands — Hamming ≤ 3 guarantees at least
-    one equal band (pigeonhole, the same policy as SimHash text
+def banded_hamming_pairs(
+    hashes: DataFrame, hash_col: str = "ahash", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs over any 64-bit bitstring fingerprint
+    column: split into 4×16-bit bands — Hamming ≤ 3 guarantees at
+    least one equal band (pigeonhole, the same policy as SimHash text
     dedup) — equi-join candidates on (band index, band bits), verify
-    exact Hamming on the candidates. Candidate volume follows band
-    collisions, never all-pairs.
-
-    ``docs`` may be (doc_id) rows — payloads get built in-stage — or a
-    prebuilt (doc_id, payload) frame (scale probes persist payloads so
-    the timed wall is decode+hash+pair, not the synthetic encoder)."""
-    with_payload = (
-        docs if "payload" in docs.columns else attach_texture_png_payload(docs)
-    )
-    hashes = image_ahash(with_payload)
+    exact Hamming on candidates only. Candidate volume follows band
+    collisions, never all-pairs. Shared by the image (aHash), audio
+    (energy profile) and video (frame-majority aHash) dedup paths."""
     bands = hashes.select(
         "doc_id",
-        "ahash",
+        F.col(hash_col).alias("fp"),
         F.explode(
             F.expr(
-                "transform(sequence(0, 3),"
-                " b -> struct(b AS band, substring(ahash, b * 16 + 1, 16) AS bits))"
+                f"transform(sequence(0, 3),"
+                f" b -> struct(b AS band, substring({hash_col}, b * 16 + 1, 16) AS bits))"
             )
         ).alias("s"),
-    ).select("doc_id", "ahash", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
+    ).select("doc_id", "fp", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"), "band", "bits"
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("hash_a"), "band", "bits"
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"), "band", "bits"
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("hash_b"), "band", "bits"
     )
     cand = (
         a.join(b, ["band", "bits"])
@@ -268,6 +263,19 @@ def image_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def image_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by banded aHash
+    (:func:`banded_hamming_pairs` over :func:`image_ahash`).
+
+    ``docs`` may be (doc_id) rows — payloads get built in-stage — or a
+    prebuilt (doc_id, payload) frame (scale probes persist payloads so
+    the timed wall is decode+hash+pair, not the synthetic encoder)."""
+    with_payload = (
+        docs if "payload" in docs.columns else attach_texture_png_payload(docs)
+    )
+    return banded_hamming_pairs(image_ahash(with_payload), "ahash", max_hamming)
 
 
 def image_decontamination(docs: DataFrame, split: DataFrame) -> DataFrame:

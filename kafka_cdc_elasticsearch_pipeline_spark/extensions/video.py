@@ -170,3 +170,159 @@ def parse_mp4_stats(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(parse, schema=MP4_META_SCHEMA)
+
+
+# --- video near-duplicate detection (round-6 verdict #6) ---------------------
+#
+# Completes the every-modality dedup map (text / image / audio / video):
+# frame-sampled perceptual fingerprints over REAL container + image
+# decode, paired by the same 4×16-bit banded Hamming policy as the
+# image and audio paths.
+
+VIDEO_FRAME_SIDE = 16  # 16×16 grayscale frames, like the image fixture
+VIDEO_FP_SCHEMA = "doc_id bigint, n_frames int, vhash string"
+
+
+def _video_frame_count(seed0: int) -> int:
+    return 8 + seed0 % 5
+
+
+def _video_frame_seed(seed0: int, f: int) -> int:
+    return seed0 * 31 + f * 7
+
+
+def attach_texture_mp4_payload(docs: DataFrame) -> DataFrame:
+    """REAL playable-shape MP4 per document: ftyp + moov (true box
+    tree, dims/duration from doc_id) + an ``mdat`` box holding the
+    frame stream as length-prefixed PNG-encoded 16×16 textured frames
+    (frame f's pixel function is the closed-form hash ramp seeded by
+    seed0*31 + f*7, so the relational oracle can recompute every
+    sampled frame arithmetically). Every doc with ``doc_id % 50 == 1``
+    is a PLANTED near-duplicate VIDEO of its predecessor — identical
+    frame stream (same seed0, same frame count) except frame 0 carries
+    the two-pixel +128 shift — i.e. a re-encode with one edited frame,
+    the case video dedup exists to catch."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        side = VIDEO_FRAME_SIDE
+        y, x = np.mgrid[0:side, 0:side]
+        p = (x + side * y).astype(np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                near_dup = d % 50 == 1
+                seed0 = d - 1 if near_dup else d
+                frames = b""
+                for f in range(_video_frame_count(seed0)):
+                    sf = _video_frame_seed(seed0, f)
+                    px = (sf % 239 + 1) * p * p + (sf % 251 + 3) * p + sf % 241
+                    if near_dup and f == 0:
+                        px = px + np.where((p == 0) | (p == side), 128, 0)
+                    enc = png_encode((px % 256).astype(np.uint8))
+                    frames += struct.pack(">I", len(enc)) + enc
+                head = mp4_build_minimal(
+                    timescale=1000,
+                    duration=_video_frame_count(seed0) * 40,  # 25 fps
+                    width=side,
+                    height=side,
+                    n_tracks=1,
+                )
+                payloads.append(head + _box(b"mdat", frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build, schema="doc_id bigint, payload binary"
+    )
+
+
+def mp4_extract_frames(data: bytes) -> list[bytes]:
+    """Walk the top-level box tree, find ``mdat``, split its payload at
+    the 4-byte length prefixes. Raises on truncated frames — a wrong
+    walk reads garbage lengths and fails loudly, not silently."""
+    frames: list[bytes] = []
+    for tag, s, e in _walk(data, 0, len(data)):
+        if tag != b"mdat":
+            continue
+        pos = s
+        while pos < e:
+            if pos + 4 > e:
+                raise ValueError(f"truncated frame length at {pos}")
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            if pos + 4 + ln > e:
+                raise ValueError(f"truncated frame payload at {pos}: {ln}")
+            frames.append(data[pos + 4 : pos + 4 + ln])
+            pos += 4 + ln
+    return frames
+
+
+def video_fingerprint(with_payload: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampled video fingerprint from REAL decode: walk the MP4
+    container, pull every ``every_nth``-th frame from mdat, PNG-decode
+    it, aHash it (8×8 integer cell sums vs the frame sum — the exact
+    image-path arithmetic), then MAJORITY-VOTE each of the 64 bits
+    across the sampled frames. Near-duplicate videos (same content,
+    a frame edited / re-encoded) agree on most frame hashes, so the
+    majority bits — and hence the banded pairing — survive the edit;
+    the strict-majority tie rule (ties → 0) keeps the fingerprint an
+    exact cross-engine fact.
+
+    One Arrow mapInPandas pass: container walk + frame decode + hash
+    never shuffle; only (doc_id, n_frames, 64-char vhash) rows leave
+    the stage — at 100 TB of video that is the whole point."""
+
+    def fingerprint(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = mp4_extract_frames(bytes(payload))
+                if not frames:
+                    raise ValueError(f"no mdat frames (doc_id={int(doc_id)})")
+                sampled = frames[::every_nth]
+                votes = np.zeros(64, dtype=np.int64)
+                for enc in sampled:
+                    w, h, mode, px = png_decode(enc)
+                    g = px if px.ndim == 2 else px.mean(axis=2).astype(np.int64)
+                    g = g.astype(np.int64)
+                    ch, cw = h // 8, w // 8
+                    cells = (
+                        g[: ch * 8, : cw * 8].reshape(8, ch, 8, cw).sum(axis=(1, 3))
+                    )
+                    votes += (cells * 64 > g.sum()).astype(np.int64).ravel()
+                bits = (votes * 2 > len(sampled)).astype(np.uint8)
+                rows.append(
+                    (doc_id, len(frames), "".join("1" if b else "0" for b in bits))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "vhash"])
+
+    return with_payload.mapInPandas(fingerprint, schema=VIDEO_FP_SCHEMA)
+
+
+def video_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Video near-duplicate pairs: frame-majority fingerprints paired
+    by the shared 4×16-bit banded-Hamming policy
+    (:func:`multimodal.banded_hamming_pairs`) — candidate volume
+    follows band collisions, never all-pairs, same as the image and
+    audio modalities.
+
+    ``docs`` may be (doc_id) rows — payloads get built in-stage — or a
+    prebuilt (doc_id, payload) frame (scale probes persist payloads)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.multimodal import (
+        banded_hamming_pairs,
+    )
+
+    with_payload = (
+        docs if "payload" in docs.columns else attach_texture_mp4_payload(docs)
+    )
+    return banded_hamming_pairs(
+        video_fingerprint(with_payload), "vhash", max_hamming
+    )

@@ -431,6 +431,43 @@ def test_gopher_rules_flags(spark):
     assert not out[2].ok_repetition and not out[2].keep
 
 
+def test_video_neardup_finds_planted_pairs_via_real_decode(spark):
+    """The video chain on 100 synthetic docs: every planted near-dup
+    video (doc_id % 50 == 1: same frame stream, frame 0 edited) pairs
+    with its predecessor through REAL container walk + frame PNG
+    decode + majority aHash, and no cross-content false pair
+    appears."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import video as vid
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in vid.video_neardup_pairs(docs).collect()}
+    planted = {(d - 1, d) for d in range(100) if d % 50 == 1 and d > 0}
+    assert planted <= set(pairs), (planted, set(pairs))
+    # the edit touches one frame of >=4 sampled: majority bits barely
+    # move, so planted pairs sit well inside the Hamming budget
+    assert all(pairs[p] <= 3 for p in planted)
+    # distinct-content videos must not collide
+    assert all((a, b) in planted or b - a == 1 for (a, b) in pairs), pairs
+
+
+def test_mp4_frame_roundtrip_and_truncation_fails_loudly(spark):
+    """mdat frame extraction: length-prefixed frames round-trip, and a
+    truncated stream raises instead of yielding garbage frames."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import video as vid
+
+    head = vid.mp4_build_minimal(1000, 400, 16, 16)
+    frames = [b"abc", b"defgh", b""]
+    mdat = b"".join(struct.pack(">I", len(f)) + f for f in frames)
+    data = head + vid._box(b"mdat", mdat)
+    assert vid.mp4_extract_frames(data) == frames
+    with _pytest.raises(ValueError, match="truncated"):
+        vid.mp4_extract_frames(head + vid._box(b"mdat", mdat[:-2]))
+
+
 def test_decontamination_finds_planted_overlap(spark):
     docs = spark.createDataFrame(
         [

