@@ -1547,6 +1547,94 @@ def ext_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _sql_bpe_iter(i: int) -> str:
+    """One BPE trainer iteration in SQL: pair counts over vocab{i},
+    argmax merge rule, greedy left-to-right application (within a run
+    of consecutive candidate positions — only possible when left ==
+    right — every other one merges, the reference implementation's
+    overlap rule), re-tokenized vocab{i+1}."""
+    return f"""
+    pairs{i} AS (
+      SELECT v.word, v.wf, v.pos, v.sym AS a, n.sym AS b
+      FROM vocab{i} v JOIN vocab{i} n ON n.word = v.word AND n.pos = v.pos + 1
+    ),
+    topc{i} AS (
+      SELECT a, b, c FROM (
+        SELECT a, b, sum(wf)::BIGINT AS c FROM pairs{i} GROUP BY a, b
+      ) ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ),
+    cand{i} AS (
+      SELECT p.word, p.pos FROM pairs{i} p
+      JOIN topc{i} t ON p.a = t.a AND p.b = t.b
+    ),
+    runs{i} AS (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS rid
+      FROM cand{i}
+    ),
+    mpos{i} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos, min(pos) OVER (PARTITION BY word, rid) AS rstart
+        FROM runs{i}
+      ) WHERE (pos - rstart) % 2 = 0
+    ),
+    vocab{i + 1} AS (
+      SELECT word, wf,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM (
+        SELECT v.word, v.wf, v.pos,
+               CASE WHEN m.pos IS NOT NULL THEN v.sym || nx.sym
+                    ELSE v.sym END AS sym
+        FROM vocab{i} v
+        LEFT JOIN mpos{i} m ON m.word = v.word AND m.pos = v.pos
+        LEFT JOIN mpos{i} m2 ON m2.word = v.word AND m2.pos = v.pos - 1
+        LEFT JOIN vocab{i} nx ON nx.word = v.word AND nx.pos = v.pos + 1
+        WHERE m2.pos IS NULL
+      )
+    )"""
+
+
+@query(
+    "ext_text_bpe_merge_steps",
+    """
+    WITH vocab1 AS (
+      SELECT word, wf, pos, substr(word, pos, 1) AS sym FROM (
+        SELECT word, wf, unnest(generate_series(1, length(word))) AS pos
+        FROM (
+          SELECT word, count(*)::BIGINT AS wf FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                                      t -> t <> '')) AS word
+            FROM documents
+          ) GROUP BY word HAVING length(word) >= 2
+        )
+      )
+    ),
+    """
+    + ",\n".join(_sql_bpe_iter(i) for i in (1, 2, 3, 4))
+    + """
+    SELECT 1::INT AS step, a AS left_sym, b AS right_sym,
+           a || b AS merged, c AS pair_count FROM topc1
+    UNION ALL SELECT 2, a, b, a || b, c FROM topc2
+    UNION ALL SELECT 3, a, b, a || b, c FROM topc3
+    UNION ALL SELECT 4, a, b, a || b, c FROM topc4
+    """,
+    tags=("ext", "text", "tokenizer", "bpe", "iterative"),
+)
+def ext_text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge LOOP (round-6 verdict #7) — four full trainer
+    iterations, each counting symbol pairs over the evolving
+    distinct-word vocabulary, learning the argmax merge, and APPLYING
+    it greedily left-to-right before re-counting; the output is the
+    4-row merge table a tokenizer would ship. The oracle replays the
+    identical loop relationally (per-position token table, every-
+    other-candidate overlap rule), so a wrong merge application —
+    overlap handling, tie order, absorbed-symbol cleanup — flips
+    later steps' argmax and the value hash. Iterations scan the vocab
+    (distinct-word trick), never raw tokens; merge application is a
+    JVM array fold."""
+    return tx.bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
 # --- multimodal --------------------------------------------------------------
 
 

@@ -214,6 +214,116 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def bpe_train(docs: DataFrame, n_merges: int = 4) -> DataFrame:
+    """The BPE merge LOOP (round-6 verdict #7): run ``n_merges``
+    trainer iterations — count adjacent symbol pairs over the
+    distinct-word vocabulary, take the argmax as the next merge rule,
+    APPLY it to every word (greedy left-to-right, the original BPE
+    paper's semantics), re-count. Output is the merge TABLE the
+    tokenizer ships: (step, left_sym, right_sym, merged, pair_count).
+
+    Scale shape: every iteration scans the ~10^6-row vocab (one
+    corpus-sized word count shared by all iterations, the same
+    distinct-word trick as :func:`bpe_pair_counts`), never the 10^12
+    raw tokens; the merge application is a JVM-side array fold per
+    vocab row — no Python, no extra shuffle. The per-iteration
+    ``limit(1).collect()`` pulls ONE merge rule to the driver: the
+    merge table is K-row by definition (it IS the result), the same
+    bounded-collect discipline as the skew-key sampler."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    spark = docs.sparkSession
+    w = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[ \t\n]+"), lambda t: t != "")
+    ).alias("word")
+    vocab = (
+        docs.select(w)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "wf",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    vocab = reuse(vocab)
+    rules: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        # filter BEFORE the explode: a fully-merged single-symbol word
+        # has no pairs, and Spark's sequence(1, 0) counts DOWN ([1,0]),
+        # so an unguarded transform would index past the array
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        " element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("wf", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wf").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, int(top[0].c)
+        rules.append((step, a, b, a + b, c))
+        # apply the merge: greedy left-to-right fold over each word's
+        # symbol array ('skip' consumes the absorbed right symbol, so
+        # overlapping occurrences like a,a,a under (a,a) merge as the
+        # reference implementation does). Literals bind through F.lit —
+        # never interpolated into SQL text (words carry arbitrary
+        # chars).
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        merged = F.aggregate(
+            F.expr("sequence(1, size(syms))"),
+            F.struct(
+                F.expr("cast(array() as array<string>)").alias("acc"),
+                F.lit(0).alias("skip"),
+            ),
+            lambda st, i: F.when(
+                st["skip"] == 1,
+                F.struct(st["acc"].alias("acc"), F.lit(0).alias("skip")),
+            )
+            .when(
+                (i < F.size("syms"))
+                & (F.element_at(F.col("syms"), i) == la)
+                & (F.element_at(F.col("syms"), i + F.lit(1)) == lb),
+                F.struct(
+                    F.concat(st["acc"], F.array(lab)).alias("acc"),
+                    F.lit(1).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        st["acc"], F.array(F.element_at(F.col("syms"), i))
+                    ).alias("acc"),
+                    F.lit(0).alias("skip"),
+                )
+            ),
+            lambda st: st["acc"],
+        )
+        vocab = reuse(vocab.select("word", "wf", merged.alias("syms")))
+    return spark.createDataFrame(
+        rules,
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count bigint",
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Repetition detection (the Gopher/C4 duplicated-n-gram family):
     how much of a document is repeated 3-grams / repeated words.

@@ -215,6 +215,59 @@ def test_bpe_pair_counts_match_python_reference(spark, rows):
     assert got == dict(want)
 
 
+@given(rows=docs_corpora)
+@settings(**_SETTINGS)
+def test_bpe_train_matches_python_reference_trainer(spark, rows):
+    """The full merge LOOP must equal a naive per-word python BPE
+    trainer on ANY corpus — argmax tie order, greedy left-to-right
+    application, and overlap consumption (a,a,a under (a,a) merges
+    once) all included; a divergence in any iteration cascades into
+    different later merges."""
+    from collections import Counter
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    n_merges = 3
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(df, n_merges=n_merges).orderBy("step").collect()
+    ]
+
+    vocab: Counter = Counter()
+    for _, text in rows:
+        for word in text.lower().split():
+            if len(word) >= 2:
+                vocab[word] += 1
+    syms = {w: [c for c in w] for w in vocab}
+    want = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, wf in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += wf
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, a, b, a + b, c))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == want
+
+
 @given(
     rows=docs_corpora,
     alpha=st.sampled_from([1.0, 0.5, 0.25]),
