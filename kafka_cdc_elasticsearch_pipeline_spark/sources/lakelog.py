@@ -590,9 +590,64 @@ def commit(
         raise CommitConflict(
             f"expected parent version {expect_parent}, found {parent}"
         )
+    data_dir, stats_entry, n_rows = _stage_data_dir(
+        table, df, stat_cols, bloom_cols, bloom_m, count_rows
+    )
+    return _link_version(
+        table,
+        parent=parent,
+        operation=operation,
+        data_dir=data_dir,
+        inherit_dirs=inherit_dirs,
+        stats_entry=stats_entry,
+        txn=txn,
+        n_rows=n_rows,
+    )
+
+
+def _stage_data_dir(
+    table: str,
+    df: DataFrame,
+    stat_cols: Sequence[str] | None,
+    bloom_cols: Sequence[str] | None,
+    bloom_m: int,
+    count_rows: bool = False,
+) -> tuple[str, dict | None, int | None]:
+    """Write ``df`` as an immutable (not-yet-referenced) data directory
+    and compute its per-file stats. Staging is commit-independent: the
+    dir's contents never depend on which version ends up referencing
+    it, which is what makes append rebase possible without rewriting
+    the batch. An orphaned stage (its link lost every retry) is
+    unreferenced by any manifest and reclaimed by :func:`vacuum`."""
     data_dir = f"data-{uuid.uuid4().hex}"
     abs_dir = os.path.join(table, data_dir)
     df.write.mode("errorifexists").parquet(abs_dir)
+    stats_entry = None
+    if stat_cols or bloom_cols:
+        stats_entry = collect_file_stats(
+            df.sparkSession, abs_dir, stat_cols or (), bloom_cols or (),
+            bloom_m=bloom_m,
+        )
+    n_rows = (
+        df.sparkSession.read.parquet(abs_dir).count() if count_rows else None
+    )
+    return data_dir, stats_entry, n_rows
+
+
+def _link_version(
+    table: str,
+    parent: int | None,
+    operation: str,
+    data_dir: str,
+    inherit_dirs: Sequence[str] | None,
+    stats_entry: dict | None,
+    txn: tuple[str, int] | None,
+    n_rows: int | None = None,
+) -> int:
+    """Publish a staged data dir as version ``parent``+1 — the
+    metadata-only half of a commit. Raises :class:`CommitConflict` if
+    another writer claims the version first; the caller may re-read
+    the new parent and re-link the SAME staged dir (append rebase)."""
     version = (parent or 0) + 1
     parent_manifest = read_manifest(table, parent) if parent is not None else {}
     file_stats: dict[str, dict] = {}
@@ -601,11 +656,8 @@ def commit(
         file_stats.update(
             {d: parent_stats[d] for d in inherit_dirs if d in parent_stats}
         )
-    if stat_cols or bloom_cols:
-        file_stats[data_dir] = collect_file_stats(
-            df.sparkSession, abs_dir, stat_cols or (), bloom_cols or (),
-            bloom_m=bloom_m,
-        )
+    if stats_entry is not None:
+        file_stats[data_dir] = stats_entry
     txns: dict[str, int] = dict(parent_manifest.get("txns", {}))
     if txn is not None:
         txns[txn[0]] = txn[1]
@@ -619,8 +671,8 @@ def commit(
         manifest["txns"] = txns
     if file_stats:
         manifest["file_stats"] = file_stats
-    if count_rows:
-        manifest["n_rows"] = df.sparkSession.read.parquet(abs_dir).count()
+    if n_rows is not None:
+        manifest["n_rows"] = n_rows
     tmp = _manifest_file(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -684,21 +736,31 @@ def append_commit(
     with — each commit writes the micro-batch, never the table; the
     manifest rename is the only metadata operation. The cost shows up
     as accumulating small dirs, which :func:`compact` reclaims.
-    Conflicts with concurrent writers retry against the new parent
-    (appends commute, so the retry is trivially convergent)."""
+
+    Concurrency (round-6 verdict #8, retry-with-REBASE): the batch is
+    STAGED exactly once; on a lost race — whether the stale-parent
+    precheck or the commit claim itself fires CommitConflict — the
+    retry only re-reads the new head and re-LINKS the same staged dir
+    under the new parent's dir list. Appends commute, so the rebase is
+    convergent, two interleaved appenders both land on consecutive
+    versions with no caller intervention, and the losing writer never
+    rewrites its data."""
+    os.makedirs(_log_path(table), exist_ok=True)
+    data_dir, stats_entry, _ = _stage_data_dir(
+        table, df, stat_cols, bloom_cols, bloom_m
+    )
     for _ in range(max_retries + 1):
         parent = latest_version(table)
         dirs = read_manifest(table, parent)["data_dirs"] if parent else []
         try:
-            return commit(
+            return _link_version(
                 table,
-                df,
-                "append",
-                expect_parent=parent,
+                parent=parent,
+                operation="append",
+                data_dir=data_dir,
                 inherit_dirs=dirs,
-                stat_cols=stat_cols,
-                bloom_cols=bloom_cols,
-                bloom_m=bloom_m,
+                stats_entry=stats_entry,
+                txn=None,
             )
         except CommitConflict:
             continue
@@ -730,7 +792,16 @@ def txn_append_commit(
     crash between "did I write it?" and "did I record that I wrote
     it?" cannot exist — the two are one filesystem operation. Batch
     ids must be monotonically increasing per app (Structured
-    Streaming's foreachBatch contract)."""
+    Streaming's foreachBatch contract).
+
+    Rebase discipline: the batch stages once and conflicts re-link
+    (see :func:`append_commit`) — but every rebase RE-CHECKS the
+    watermark against the NEW parent first: if the racer that beat us
+    was ourselves-redelivered (same app, same batch), the staged dir
+    is abandoned (unreferenced → vacuum reclaims it) and the replay
+    stays a no-op."""
+    staged: str | None = None
+    stats_entry: dict | None = None
     for _ in range(max_retries + 1):
         parent = latest_version(table)
         if parent is not None:
@@ -740,16 +811,19 @@ def txn_append_commit(
             dirs = manifest["data_dirs"]
         else:
             dirs = []
+        if staged is None:
+            os.makedirs(_log_path(table), exist_ok=True)
+            staged, stats_entry, _ = _stage_data_dir(
+                table, df, stat_cols, bloom_cols, bloom_m
+            )
         try:
-            return commit(
+            return _link_version(
                 table,
-                df,
-                "txn_append",
-                expect_parent=parent,
+                parent=parent,
+                operation="txn_append",
+                data_dir=staged,
                 inherit_dirs=dirs,
-                stat_cols=stat_cols,
-                bloom_cols=bloom_cols,
-                bloom_m=bloom_m,
+                stats_entry=stats_entry,
                 txn=(app_id, batch_id),
             )
         except CommitConflict:
