@@ -1275,6 +1275,158 @@ def ext_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "ext_sim_ivfpq_residual_recall",
+    f"""
+    WITH {_SQL_PQ_CTES},
+    recon AS (
+      SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+      FROM pq_codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+      GROUP BY c.vec_id
+    ),
+    cents AS ({_SQL_CENTROIDS}),
+    rese AS (
+      SELECT e.vec_id, e.label,
+             list_transform(generate_series(1, 64),
+               i -> round(e.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
+      FROM embeddings e JOIN cents ON e.label = cents.label
+    ),
+    rcb AS (
+      SELECT g.m, vec_id AS code, embedding[g.m*8+1 : g.m*8+8] AS sub
+      FROM rese, generate_series(0, 7) AS g(m)
+      WHERE vec_id < 16
+    ),
+    rsv AS (
+      SELECT vec_id, g.m, embedding[g.m*8+1 : g.m*8+8] AS sub
+      FROM rese, generate_series(0, 7) AS g(m)
+    ),
+    rd AS ({_sql_pq_dist_step('r0', 'rcb', sv_table='rsv')}),
+    rcodes AS ({_sql_pq_argmin('rd')}),
+    rrecon AS (
+      SELECT rr.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> round(rr.rres[i] + cents.centroid[i], 6)) AS recon
+      FROM (
+        SELECT c.vec_id, flatten(list(rcb.sub ORDER BY c.m)) AS rres
+        FROM rcodes c JOIN rcb ON rcb.m = c.m AND rcb.code = c.code
+        GROUP BY c.vec_id
+      ) rr
+      JOIN embeddings e ON e.vec_id = rr.vec_id
+      JOIN cents ON e.label = cents.label
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_COS} DESC, e.vec_id) AS rank
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    ranked_probes AS (
+      SELECT q.vec_id AS query_id, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_COS_CENT.replace("e.embedding", "q.embedding")} DESC, c.label
+             ) AS pr
+      FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c
+    ),
+    ns AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    approx_raw AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT n.nprobe, p.query_id, r.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY n.nprobe, p.query_id
+                                  ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+        FROM ns n
+        JOIN ranked_probes p ON p.pr <= n.nprobe
+        JOIN embeddings e ON e.label = p.probe_label
+        JOIN recon r ON r.vec_id = e.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE r.vec_id <> p.query_id
+      ) WHERE rank <= 10
+    ),
+    approx_res AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT n.nprobe, p.query_id, r.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY n.nprobe, p.query_id
+                                  ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+        FROM ns n
+        JOIN ranked_probes p ON p.pr <= n.nprobe
+        JOIN embeddings e ON e.label = p.probe_label
+        JOIN rrecon r ON r.vec_id = e.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE r.vec_id <> p.query_id
+      ) WHERE rank <= 10
+    ),
+    hr AS (
+      SELECT a.nprobe, a.query_id, count(*)::BIGINT AS h
+      FROM approx_raw a JOIN truth t
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2
+    ),
+    hs AS (
+      SELECT a.nprobe, a.query_id, count(*)::BIGINT AS h
+      FROM approx_res a JOIN truth t
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT q.vec_id AS query_id, n.nprobe::INT AS nprobe,
+           coalesce(hr.h, 0)::BIGINT AS hits_raw,
+           coalesce(hs.h, 0)::BIGINT AS hits_residual
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+    CROSS JOIN ns n
+    LEFT JOIN hr ON hr.query_id = q.vec_id AND hr.nprobe = n.nprobe
+    LEFT JOIN hs ON hs.query_id = q.vec_id AND hs.nprobe = n.nprobe
+    """,
+    tags=("ext", "similarity", "ivf", "pq", "residual", "recall"),
+)
+def ext_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw vs RESIDUAL IVF-PQ recall@10 at nprobe ∈ {1, 2, 4},
+    side-by-side per query (round-6 verdict #5's comparison, recorded
+    as MEASURED): on this near-isotropic fixture the coarse centroids
+    explain ~2% of variance, so the per-query hit counts move within
+    noise in BOTH directions across nprobe — the distortion gate
+    (`ext_sim_pq_residual_distortion`) carries the deterministic
+    residual-≤-raw ordering, this row carries the honest recall
+    picture a user would actually see (and the reason FAISS ships
+    ``by_residual`` as a switch, not an always-on)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    truth = reuse(
+        sim.brute_force_topk(embs, queries).select("query_id", "neighbor_id")
+    )
+    cents = reuse(sim.centroids(embs))
+    out = None
+    for nprobe in (1, 2, 4):
+        cols = {}
+        for variant, residual in (("raw", False), ("residual", True)):
+            approx = sim.ivfpq_topk(
+                embs, queries, cents, nprobe=nprobe, residual=residual
+            ).select("query_id", "neighbor_id")
+            cols[variant] = approx.join(truth, ["query_id", "neighbor_id"]).groupBy(
+                "query_id"
+            ).agg(F.count(F.lit(1)).alias(f"h_{variant}"))
+        rows = (
+            queries.select("query_id")
+            .join(cols["raw"], "query_id", "left")
+            .join(cols["residual"], "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.coalesce(F.col("h_raw"), F.lit(0)).cast("bigint").alias("hits_raw"),
+                F.coalesce(F.col("h_residual"), F.lit(0))
+                .cast("bigint")
+                .alias("hits_residual"),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
 # --- text analysis -----------------------------------------------------------
 
 
