@@ -1706,11 +1706,11 @@ def _sql_bpe_iter(i: int) -> str:
     right — every other one merges, the reference implementation's
     overlap rule), re-tokenized vocab{i+1}."""
     return f"""
-    pairs{i} AS (
+    pairs{i} AS MATERIALIZED (
       SELECT v.word, v.wf, v.pos, v.sym AS a, n.sym AS b
       FROM vocab{i} v JOIN vocab{i} n ON n.word = v.word AND n.pos = v.pos + 1
     ),
-    topc{i} AS (
+    topc{i} AS MATERIALIZED (
       SELECT a, b, c FROM (
         SELECT a, b, sum(wf)::BIGINT AS c FROM pairs{i} GROUP BY a, b
       ) ORDER BY c DESC, a ASC, b ASC LIMIT 1
@@ -1730,7 +1730,7 @@ def _sql_bpe_iter(i: int) -> str:
         FROM runs{i}
       ) WHERE (pos - rstart) % 2 = 0
     ),
-    vocab{i + 1} AS (
+    vocab{i + 1} AS MATERIALIZED (
       SELECT word, wf,
              row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
       FROM (
@@ -1749,7 +1749,7 @@ def _sql_bpe_iter(i: int) -> str:
 @query(
     "ext_text_bpe_merge_steps",
     """
-    WITH vocab1 AS (
+    WITH vocab1 AS MATERIALIZED (
       SELECT word, wf, pos, substr(word, pos, 1) AS sym FROM (
         SELECT word, wf, unnest(generate_series(1, length(word))) AS pos
         FROM (
@@ -1785,6 +1785,51 @@ def ext_text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-word trick), never raw tokens; merge application is a
     JVM array fold."""
     return tx.bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
+@query(
+    "ext_text_bpe_tokenize",
+    """
+    WITH vocab1 AS MATERIALIZED (
+      SELECT word, wf, pos, substr(word, pos, 1) AS sym FROM (
+        SELECT word, wf, unnest(generate_series(1, length(word))) AS pos
+        FROM (
+          SELECT word, count(*)::BIGINT AS wf FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                                      t -> t <> '')) AS word
+            FROM documents
+          ) GROUP BY word HAVING length(word) >= 2
+        )
+      )
+    ),
+    """
+    + ",\n".join(_sql_bpe_iter(i) for i in (1, 2, 3, 4))
+    + """,
+    wtoks AS (SELECT word, count(*)::BIGINT AS n_toks FROM vocab5 GROUP BY word),
+    docw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id,
+           sum(CASE WHEN length(d.word) >= 2 THEN w.n_toks ELSE 1 END)::BIGINT AS n_tokens
+    FROM docw d LEFT JOIN wtoks w ON d.word = w.word
+    GROUP BY d.doc_id
+    """,
+    tags=("ext", "text", "tokenizer", "bpe"),
+)
+def ext_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned tokenizer: per-document token counts under the
+    4-rule merge table from `ext_text_bpe_merge_steps` — training and
+    application gated as one contract (sequence lengths, packing
+    budgets and per-source token accounting all start from this
+    number). The trainer's final vocab already IS every word's token
+    split, so application costs one corpus explode joined against the
+    broadcast word→n_tokens map; sub-2-char words never entered the
+    trainer vocab and count as one token. The oracle replays the four
+    merges relationally and re-counts."""
+    return tx.bpe_token_counts(_docs(spark, sf_dir), n_merges=4)
 
 
 # --- multimodal --------------------------------------------------------------

@@ -267,6 +267,25 @@ def test_bpe_train_matches_python_reference_trainer(spark, rows):
             syms[w] = out
     assert got == want
 
+    # tokenizer APPLICATION: per-doc counts under the learned merges
+    # must equal the reference tokenization (sub-2-char words = 1)
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.text import (
+        bpe_token_counts,
+    )
+
+    got_counts = {
+        r.doc_id: r.n_tokens
+        for r in bpe_token_counts(df, n_merges=n_merges).collect()
+    }
+    want_counts: dict[int, int] = {}
+    for i, (_, text) in enumerate(rows):
+        toks = 0
+        for word in text.lower().split():
+            toks += len(syms[word]) if len(word) >= 2 else 1
+        if text.lower().split():
+            want_counts[i] = toks
+    assert got_counts == want_counts
+
 
 @given(
     rows=docs_corpora,

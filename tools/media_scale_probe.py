@@ -100,6 +100,12 @@ def main() -> int:
             video.attach_mp4_payload,
             lambda p: video.parse_mp4_stats(p).agg(F.sum("duration_ms")).collect(),
         ),
+        # r07: full video chain — container walk + ~5 sampled frame
+        # PNG decodes per doc + majority hash + banded pairing
+        "video_neardup": (
+            video.attach_texture_mp4_payload,
+            lambda p: video.video_neardup_pairs(p).count(),
+        ),
     }
 
     def salted(df):
