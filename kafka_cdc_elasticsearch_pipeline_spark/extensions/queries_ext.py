@@ -2526,9 +2526,7 @@ def ext_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_neardup_pairs(_docs(spark, sf_dir))
 
 
-@query(
-    "ext_multimodal_video_neardup",
-    """
+_SQL_VIDEO_NEARDUP = """
     WITH vdocs AS (
       SELECT d.doc_id,
              d.doc_id - CASE WHEN d.doc_id % 50 = 1 THEN 1 ELSE 0 END AS seed0,
@@ -2571,7 +2569,12 @@ def ext_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i -> substr(a.vhash, i, 1) <> substr(b.vhash, i, 1)))::INT AS hamming
       FROM vh a JOIN vh b ON a.doc_id < b.doc_id
     ) WHERE hamming <= 3
-    """,
+    """
+
+
+@query(
+    "ext_multimodal_video_neardup",
+    _SQL_VIDEO_NEARDUP,
     tags=("ext", "multimodal", "dedup", "video"),
 )
 def ext_multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2623,9 +2626,7 @@ def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_png_stats(payloads)
 
 
-@query(
-    "ext_multimodal_audio_neardup",
-    """
+_SQL_AUDIO_NEARDUP = """
     WITH s AS (
       SELECT doc_id, t,
              ((seed % 239 + 1) * t * t + (seed % 251 + 3) * t + seed % 241) % 2048
@@ -2665,7 +2666,12 @@ def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i -> substr(fp_a, i, 1) <> substr(fp_b, i, 1)))::INT AS hamming
       FROM cand
     ) WHERE hamming <= 3
-    """,
+    """
+
+
+@query(
+    "ext_multimodal_audio_neardup",
+    _SQL_AUDIO_NEARDUP,
     tags=("ext", "multimodal", "dedup", "audio"),
 )
 def ext_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2682,6 +2688,81 @@ def ext_multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
 
     return audio.audio_neardup_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_dedup_cross_modal",
+    f"""
+    WITH u AS (
+      SELECT doc_a, doc_b, 'text' AS modality
+      FROM (WITH {_SQL_MINHASH_CTES} SELECT doc_a, doc_b FROM pairs)
+      UNION ALL
+      SELECT doc_a, doc_b, 'image'
+      FROM (WITH {_SQL_IMAGE_PAIR_CTES} SELECT doc_a, doc_b FROM image_pairs)
+      UNION ALL
+      SELECT doc_a, doc_b, 'audio' FROM ({_SQL_AUDIO_NEARDUP})
+      UNION ALL
+      SELECT doc_a, doc_b, 'video' FROM ({_SQL_VIDEO_NEARDUP})
+    )
+    SELECT doc_a, doc_b,
+           max(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)::INT AS in_text,
+           max(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)::INT AS in_image,
+           max(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END)::INT AS in_audio,
+           max(CASE WHEN modality = 'video' THEN 1 ELSE 0 END)::INT AS in_video,
+           count(DISTINCT modality)::BIGINT AS n_modalities
+    FROM u GROUP BY doc_a, doc_b
+    """,
+    tags=("ext", "dedup", "multimodal", "cross-modal"),
+)
+def ext_dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL dedup verdicts — the union a real curation run acts
+    on: a document pair is a duplicate if ANY modality says so (text
+    MinHash-LSH on the real document text; image aHash, audio energy
+    fingerprint, video frame-majority hash on the per-doc media
+    payloads), with per-modality flags and an agreement count. The
+    planted media near-dups (doc_id % 50 == 1) surface in all three
+    media modalities at once (n_modalities >= 3) while text pairs come
+    from genuine text similarity — so the row also measures modality
+    AGREEMENT, the quantity that decides whether one cheap modality
+    can gate the expensive ones at 100 TB. Each modality keeps its own
+    banded/blocked candidate policy; the union touches only
+    already-verified (doc_a, doc_b) pairs."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        audio as aud,
+        dedup as dd2,
+        video as vid,
+    )
+
+    docs = _docs(spark, sf_dir)
+    parts = [
+        dd2.minhash_lsh_pairs(docs).select("doc_a", "doc_b").withColumn(
+            "modality", F.lit("text")
+        ),
+        mm.image_neardup_pairs(docs).select("doc_a", "doc_b").withColumn(
+            "modality", F.lit("image")
+        ),
+        aud.audio_neardup_pairs(docs).select("doc_a", "doc_b").withColumn(
+            "modality", F.lit("audio")
+        ),
+        vid.video_neardup_pairs(docs).select("doc_a", "doc_b").withColumn(
+            "modality", F.lit("video")
+        ),
+    ]
+    u = parts[0]
+    for pdf in parts[1:]:
+        u = u.unionByName(pdf)
+    flag = lambda m: F.max(
+        F.when(F.col("modality") == m, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return u.groupBy("doc_a", "doc_b").agg(
+        flag("text").alias("in_text"),
+        flag("image").alias("in_image"),
+        flag("audio").alias("in_audio"),
+        flag("video").alias("in_video"),
+        F.count_distinct(F.col("modality")).cast("bigint").alias("n_modalities"),
+    )
+
+
 
 
 @query(

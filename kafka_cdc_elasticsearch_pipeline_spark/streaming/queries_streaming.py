@@ -237,6 +237,46 @@ def stateful_user_profile_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stateful_event_type_counts_tws_v2",
+    """
+    SELECT user_id, event_type, count(*)::BIGINT AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "stateful", "transformWithStateInPandas", "spark4", "mapstate"),
+)
+def stateful_event_type_counts_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 MAP state: per-user running counts keyed by event type held
+    in a typed MapState (one map entry per event type), emitted as
+    update rows across ~8 replayed micro-batches and reduced by max()
+    per (user, event_type) — counts are monotone, so the final table
+    must equal the batch GROUP BY. Pins the v2 MapState protocol
+    (containsKey/getValue/updateValue round-trips through the state
+    server) the way the profile row pins ValueState and the TTL row
+    pins timers — the three state primitives a migrating pipeline
+    actually uses, each with an executed oracle row."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        event_type_counts_stream_v2,
+        require_protobuf,
+        rocksdb_state_store,
+    )
+
+    require_protobuf()
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        with rocksdb_state_store(spark):
+            updates = event_type_counts_stream_v2(stream)
+            name = f"strm_etype_v2_{next(_SEQ)}"
+            run_to_memory(updates, name, output_mode="update")
+        return (
+            spark.table(name)
+            .groupBy("user_id", "event_type")
+            .agg(F.max("n_events").cast("bigint").alias("n_events"))
+        )
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "t5_latest_per_key_ttl_tws_v2",
     f"""
     SELECT {', '.join(EVENT_COLS)}

@@ -231,3 +231,53 @@ def user_profile_stream_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+class EventTypeCountsProcessor(StatefulProcessor):
+    """Per-user MAP state on the v2 API: one MapState entry per event
+    type holding its running count — the state shape ksqlDB gives a
+    `GROUP BY user_id, event_type` table, expressed with the new
+    API's typed map primitive instead of a flat composite key. Pins
+    the v2 MapState protocol (getValue/updateValue round-trips through
+    the state server) the way the ValueState rows pin value state."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "etype_counts", "event_type string", "n bigint"
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        local: dict[str, int] = {}
+        for pdf in rows:
+            for et in pdf["event_type"]:
+                s = str(et)
+                local[s] = local.get(s, 0) + 1
+        out = []
+        for et in sorted(local):
+            cur = (
+                self._counts.getValue((et,))
+                if self._counts.containsKey((et,))
+                else None
+            )
+            n = (int(cur[0]) if cur is not None else 0) + local[et]
+            self._counts.updateValue((et,), (n,))
+            out.append((key[0], et, n))
+        yield pd.DataFrame(out, columns=["user_id", "event_type", "n_events"])
+
+    def close(self) -> None:
+        pass
+
+
+def event_type_counts_stream_v2(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` + MapState: per-(user, event
+    type) running counts, emitted in update mode — reduce with max()
+    per pair (counts are monotone) to materialize the final table."""
+    prepared = events.select("user_id", "event_type")
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EventTypeCountsProcessor(),
+        outputStructType="user_id bigint, event_type string, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -468,6 +468,26 @@ def test_mp4_frame_roundtrip_and_truncation_fails_loudly(spark):
         vid.mp4_extract_frames(head + vid._box(b"mdat", mdat[:-2]))
 
 
+def test_cross_modal_union_flags_planted_media_pairs(spark, sf_dir):
+    """The cross-modal verdict table: every planted media near-dup
+    pair (doc_id % 50 == 1 with its predecessor) must be flagged by
+    ALL THREE media modalities at once (image + audio + video share
+    the planting), and each row's n_modalities must equal the sum of
+    its flags."""
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["ext_dedup_cross_modal"].spark(spark, sf_dir).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    n_docs = 500
+    planted = [(d - 1, d) for d in range(1, n_docs) if d % 50 == 1]
+    assert planted
+    for p in planted:
+        r = by_pair[p]
+        assert (r.in_image, r.in_audio, r.in_video) == (1, 1, 1), (p, r)
+    for r in rows:
+        assert r.n_modalities == r.in_text + r.in_image + r.in_audio + r.in_video
+
+
 def test_decontamination_finds_planted_overlap(spark):
     docs = spark.createDataFrame(
         [
