@@ -1121,6 +1121,77 @@ def ext_sim_pq_refined_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "ext_sim_index_persist_roundtrip",
+    f"""
+    WITH {_SQL_PQ_CTES},
+    recon AS (
+      SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+      FROM pq_codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             {_SQL_COS_RECON} AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+      FROM recon r, (SELECT * FROM embeddings WHERE vec_id < 3) q
+      WHERE r.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "pq", "lake", "composition"),
+)
+def ext_sim_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index PERSISTENCE round-trip — the composition a serving stack
+    actually runs: build the PQ index (codebook + codes), COMMIT both
+    as versioned lake tables (txn-log manifests, same machinery as
+    every lake row), read them back from the committed snapshot, and
+    answer ADC top-k FROM THE PERSISTED ARTIFACTS. The result must
+    hash-match the pure in-memory ADC oracle — pinning that the index
+    survives parquet serialization bit-exactly (float32 subvector
+    arrays, code assignments, subspace ordering) and that a query node
+    needs only the lake snapshot, never the builder's memory. At
+    100 TB this is the boundary between the (batch) index build and
+    the (serving) scan fleet."""
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    embs = reuse(_embs(spark, sf_dir))
+    cb = sim.pq_codebook(embs)
+    codes = sim.pq_encode(embs, cb)
+
+    root = tempfile.mkdtemp(prefix="pq_index_lake_")
+    try:
+        cb_table = f"{root}/pq_codebook"
+        codes_table = f"{root}/pq_codes"
+        lakelog.commit(cb_table, cb, "append")
+        lakelog.commit(codes_table, codes, "append")
+
+        cb_read = lakelog.read(spark, cb_table)
+        codes_read = lakelog.read(spark, codes_table)
+        recon = sim.pq_reconstruct(codes_read, cb_read)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        scored = recon.join(F.broadcast(queries)).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim.cosine(F.col("recon"), F.col("q_embedding")), 6).alias(
+                "cosine"
+            ),
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        out = sim._ranked_topk(scored, 10)
+        # materialize BEFORE the temp lake dir disappears
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "ext_sim_pq_residual_distortion",
     f"""
     WITH cb AS (

@@ -978,6 +978,30 @@ def test_ivfpq_probe_restricts_candidates(spark, embs):
     assert all(len(ls) == 1 for ls in per_q.values())
 
 
+def test_index_persist_roundtrip_equals_in_memory(spark, sf_dir):
+    """The lake-persisted PQ index must answer identically to the
+    in-memory build: same codebook, same codes, same ADC ranking —
+    parquet serialization of the float32 subvector arrays is
+    bit-exact."""
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+
+    persisted = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in QUERIES["ext_sim_index_persist_roundtrip"].spark(spark, sf_dir).collect()
+    }
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    embs2 = load_table(spark, sf_dir, "embeddings")
+    queries = embs2.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    mem = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sim.pq_adc_topk(embs2, queries, k=10).collect()
+    }
+    assert persisted == mem
+
+
 def test_pq_residual_distortion_residual_never_worse(spark, embs):
     """Residual encoding quantizes vec − coarse-centroid: the residual
     corpus has ≤ the raw corpus's variance (centroids explain the
