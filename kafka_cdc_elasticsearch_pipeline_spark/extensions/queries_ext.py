@@ -2277,6 +2277,52 @@ _SQL_CURATION_BASE = f"""
 
 
 @query(
+    "ext_curation_target_overlap_selection",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM toks WHERE len(w) >= 2
+    ),
+    tset AS (
+      SELECT bg FROM bg WHERE source = 'src0' GROUP BY bg HAVING count(*) >= 2
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           round(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS target_overlap,
+           round(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) >= 0.5 AS selected
+    FROM bg LEFT JOIN tset t USING (bg)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+    tags=("ext", "curation", "selection", "dsir"),
+)
+def ext_curation_target_overlap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-domain data selection (the DSIR / quality-classifier
+    family, integer-exact form): every non-target document scored by
+    the fraction of its word bigrams appearing >=2 times in the
+    'src0' target corpus, selected at overlap >= 0.5 (measured median
+    0.47 on this fixture — a real split, not all-true/all-false). The
+    log-ratio importance weight needs transcendental math that is not
+    correctly-rounded cross-engine; the hit-fraction form keeps every
+    quantity integer until one final division. Target dictionary is
+    broadcast; the raw corpus streams past it map-side."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import (
+        target_overlap_scores,
+    )
+
+    return target_overlap_scores(_docs(spark, sf_dir))
+
+
+@query(
     "ext_curation_pipeline_temperature",
     f"""
     WITH {_SQL_MINHASH_CTES},

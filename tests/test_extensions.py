@@ -1040,6 +1040,27 @@ def test_ivfpq_residual_returns_valid_ranked_topk(spark, embs):
     assert all(len(ls) <= 2 for ls in probed.values())
 
 
+def test_target_overlap_selection_splits_and_bounds(spark, sf_dir):
+    """Target-domain selection must produce a real split (both kept
+    and dropped docs), exclude the target source itself, and keep
+    hits <= bigrams with overlap = hits/bigrams exactly."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import (
+        target_overlap_scores,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = target_overlap_scores(docs, target_source="src0").collect()
+    target_ids = {
+        r.doc_id for r in docs.filter(F.col("source") == "src0").collect()
+    }
+    assert target_ids.isdisjoint({r.doc_id for r in out})
+    assert any(r.selected for r in out) and any(not r.selected for r in out)
+    for r in out:
+        assert 0 <= r.n_hits <= r.n_bigrams
+        assert abs(r.target_overlap - round(r.n_hits / r.n_bigrams, 6)) < 1e-9
+
+
 # --- temperature source mixing ----------------------------------------------
 
 
