@@ -43,6 +43,7 @@ def pack_sequences(
     seq_len: int = 2048,
     group_col: str = "source",
     order_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing plan: documents concatenate in
     ``order_col`` order within each ``group_col`` stream, and the token
@@ -53,14 +54,23 @@ def pack_sequences(
     first token in the group's stream, and the sequence index that
     token lands in. One window shuffle on the group key; the cumulative
     sum is exact integer arithmetic, so the layout is reproducible on
-    any engine/cluster."""
-    toks = F.size(F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')"))
+    any engine/cluster.
+
+    ``counts``: optional (doc_id, n_tokens) frame replacing the
+    default whitespace count — pass ``text.bpe_token_counts`` output
+    to lay out sequences under the REAL tokenizer's lengths (the
+    budget a training run actually packs against)."""
+    if counts is None:
+        toks = F.size(F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')"))
+        base = docs.select("doc_id", group_col, toks.alias("n_tokens"))
+    else:
+        base = docs.select("doc_id", group_col).join(
+            counts.select("doc_id", "n_tokens"), "doc_id"
+        )
     w = Window.partitionBy(group_col).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    with_cum = docs.select(
-        "doc_id", group_col, toks.alias("n_tokens")
-    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    with_cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     start = F.col("cum_tokens") - F.col("n_tokens")
     return with_cum.select(
         "doc_id",

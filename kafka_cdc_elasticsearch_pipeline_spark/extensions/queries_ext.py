@@ -2493,6 +2493,67 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_pack_sequences_bpe",
+    """
+    WITH vocab1 AS MATERIALIZED (
+      SELECT word, wf, pos, substr(word, pos, 1) AS sym FROM (
+        SELECT word, wf, unnest(generate_series(1, length(word))) AS pos
+        FROM (
+          SELECT word, count(*)::BIGINT AS wf FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                                      t -> t <> '')) AS word
+            FROM documents
+          ) GROUP BY word HAVING length(word) >= 2
+        )
+      )
+    ),
+    """
+    + ",\n".join(_sql_bpe_iter(i) for i in (1, 2, 3, 4))
+    + """,
+    wtoks AS (SELECT word, count(*)::BIGINT AS n_toks FROM vocab5 GROUP BY word),
+    docw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n]+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT d.doc_id,
+             sum(CASE WHEN length(d.word) >= 2 THEN w.n_toks ELSE 1 END)::BIGINT AS n_tokens
+      FROM docw d LEFT JOIN wtoks w ON d.word = w.word
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_tokens - n_tokens AS start_offset,
+           ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id
+    FROM (
+      SELECT c.doc_id, doc.source, c.n_tokens,
+             (sum(c.n_tokens) OVER (PARTITION BY doc.source ORDER BY c.doc_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+      FROM counts c JOIN documents doc ON doc.doc_id = c.doc_id
+    )
+    """,
+    tags=("ext", "layout", "packing", "bpe", "composition"),
+)
+def ext_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the REAL tokenizer: the GPT-style packing
+    layout of `ext_pack_sequences`, but budgeted by the learned BPE
+    tokenizer's per-doc counts (`bpe_token_counts`, 4 merges) instead
+    of whitespace tokens — trainer, tokenizer application and layout
+    composed end-to-end under one value hash. Token counts under BPE
+    run ~4-5x the whitespace counts on this corpus, so the sequence
+    boundaries move materially; the packing window itself is the same
+    exact-integer cumsum."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.packing import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    counts = tx.bpe_token_counts(docs, n_merges=4)
+    return pack_sequences(docs, seq_len=2048, counts=counts)
+
+
+@query(
     "ext_pack_length_buckets",
     """
     SELECT doc_id, n_tokens, bucket, batch_id,
