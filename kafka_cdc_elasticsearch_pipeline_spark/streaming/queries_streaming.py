@@ -868,6 +868,64 @@ def t_checkpoint_recovery_stateful_profile(spark: SparkSession, sf_dir: str) -> 
 
 
 @query(
+    "t_checkpoint_recovery_tws_v2",
+    """
+    WITH agg AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(floor(value) AS BIGINT))::BIGINT AS total_units
+      FROM events GROUP BY user_id
+    ),
+    last AS (
+      SELECT user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             round(value, 2)::DECIMAL(18,2)::VARCHAR AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.n_events, a.total_units, l.last_ts, l.last_value
+    FROM agg a JOIN last l ON a.user_id = l.user_id
+    """,
+    tags=("streaming", "stateful", "transformWithStateInPandas", "spark4", "R2", "recovery"),
+)
+def t_checkpoint_recovery_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill/restart on the NEW stateful API: the v2 profile processor
+    dies after 3 of 8 replay micro-batches and restarts from the same
+    checkpoint — typed ValueState rows live in RocksDB column families
+    under the checkpoint, and the restarted query must resume the
+    running accumulations exactly (every key updated post-restart
+    under-counts if v2 state was lost). Same oracle as the old-API
+    recovery row: the migration keeps the restart-and-resume
+    guarantee, not just the steady-state fold."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        kill_and_resume,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        require_protobuf,
+        rocksdb_state_store,
+        user_profile_stream_v2,
+    )
+
+    require_protobuf()
+    with rocksdb_state_store(spark):
+        compacted = kill_and_resume(
+            spark, sf_dir, "events", user_profile_stream_v2, ["user_id"],
+            chunks=8, kill_after=3,
+        )
+    return compacted.select(
+        "user_id",
+        "n_events",
+        "total_units",
+        F.date_format(
+            F.timestamp_micros(F.col("last_ts_us")).cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("last_ts"),
+        F.round("last_value", 2).cast("decimal(18,2)").cast("string").alias("last_value"),
+    )
+
+
+@query(
     "t6_watermark_late_eviction",
     """
     SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS window_start,
