@@ -435,6 +435,57 @@ _SQL_COS = (
 
 
 @query(
+    "ext_search_hybrid_lexical_rerank",
+    f"""
+    WITH dw AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS word
+      FROM documents
+    ),
+    qw AS (SELECT doc_id AS query_id, word FROM dw WHERE doc_id IN (0, 1, 2)),
+    ovl AS (
+      SELECT qw.query_id, d.doc_id, count(*)::BIGINT AS lex_overlap
+      FROM dw d JOIN qw ON d.word = qw.word
+      WHERE d.doc_id <> qw.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, doc_id, lex_overlap FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY lex_overlap DESC, doc_id ASC) AS lr
+        FROM ovl
+      ) WHERE lr <= 20
+    ),
+    scored AS (
+      SELECT c.query_id, c.doc_id, c.lex_overlap, {_SQL_COS} AS cosine
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.doc_id
+      JOIN embeddings q ON q.vec_id = c.query_id
+    )
+    SELECT query_id, doc_id, lex_overlap, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "search", "hybrid"),
+)
+def ext_search_hybrid_lexical_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank hybrid search — the two-stage shape RAG
+    data pipelines run: cheap lexical candidates (distinct-word
+    overlap with the query doc, the integer skeleton of BM25) feed an
+    embedding-cosine rerank that touches ONLY the 20 candidates per
+    query, never the corpus. Query word sets and embeddings broadcast;
+    candidate generation is a word equi-join (an inverted index in
+    relational form). Recall is bounded by the lexical stage — the
+    trade the two-stage design makes on purpose, and why the vector
+    stage's cost is independent of corpus size."""
+    docs = _docs(spark, sf_dir)
+    return sim.hybrid_search_topk(docs, _embs(spark, sf_dir))
+
+
+@query(
     "ext_sim_bruteforce_topk",
     f"""
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_SQL_COS} AS cosine,

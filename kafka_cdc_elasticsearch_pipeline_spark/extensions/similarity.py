@@ -1041,3 +1041,77 @@ def kmeans_until_converged(
         if changed == 0:
             break
     return assigned, iters
+
+
+def hybrid_search_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    lexical_k: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieve-then-rerank hybrid search — the two-stage shape every
+    RAG data pipeline runs: a CHEAP lexical stage proposes candidates
+    (distinct-word overlap with the query document, the integer
+    skeleton of BM25 — exact cross-engine), then the EXPENSIVE vector
+    stage reranks only those ``lexical_k`` candidates by embedding
+    cosine. Output: (query_id, doc_id, lex_overlap, cosine, rank),
+    top-``k`` per query with deterministic (cosine DESC, doc_id) ties.
+
+    At 100 TB: the query-side word sets and embeddings broadcast
+    (queries are few); candidate generation is a word equi-join
+    against the corpus (an inverted index in relational form — never
+    all-pairs); the vector join touches lexical_k × |queries| rows, so
+    the expensive cosine never scans the corpus. Recall is bounded by
+    the lexical stage — the documented trade the two-stage design
+    makes on purpose."""
+    from pyspark.sql import Window as W
+
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+            )
+        ).alias("word"),
+    )
+    qw = (
+        dw.filter(F.col("doc_id").isin(list(query_ids)))
+        .select(F.col("doc_id").alias("query_id"), "word")
+    )
+    overlap = (
+        dw.join(F.broadcast(qw), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lex_overlap"))
+    )
+    wl = W.partitionBy("query_id").orderBy(
+        F.col("lex_overlap").desc(), F.col("doc_id").asc()
+    )
+    cands = (
+        overlap.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= lexical_k)
+        .drop("lex_rank")
+    )
+    q_emb = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    reranked = (
+        cands.join(embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_overlap",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
