@@ -302,6 +302,27 @@ def test_video_neardup_band_equijoin_single_decode_chain(plans):
     assert "MapInPandas" in p or "ArrowEvalPython" in p
 
 
+def test_target_overlap_broadcasts_dictionary(plans):
+    """DSIR-style selection: the target bigram dictionary must
+    BROADCAST (the raw corpus streams past it map-side); a shuffled
+    join here would move the whole corpus's bigrams for a
+    dictionary-sized build side."""
+    p = plans("ext_curation_target_overlap_selection")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_hybrid_search_rerank_stays_candidate_sized(plans):
+    """Retrieve-then-rerank: candidate generation is the word
+    equi-join, the rerank joins broadcast query embeddings onto the
+    candidate set — corpus × corpus never appears and no
+    nested-loop join of embeddings exists."""
+    p = plans("ext_search_hybrid_lexical_rerank")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_semdedup_capped_blocked_equijoin_no_cartesian(plans):
     """The cluster-size-capped SemDeDup still candidates through an
     equi-join — now on (label, sub) blocks — with broadcast centroids;
