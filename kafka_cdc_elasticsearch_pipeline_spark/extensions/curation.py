@@ -150,6 +150,9 @@ def target_overlap_scores(
     target_source: str = "src0",
     min_target_count: int = 2,
     threshold: float = 0.5,
+    use_bloom: bool = False,
+    bloom_hashes: int = 4,
+    bloom_bits: int = 262_144,
 ) -> DataFrame:
     """Importance-based data SELECTION against a target domain (the
     DSIR / CCNet-classifier family, integer-exact form): score every
@@ -190,16 +193,56 @@ def target_overlap_scores(
         .select("bg")
     )
     raw = bigrams.filter(F.col("source") != target_source)
-    scored = (
-        raw.join(
-            F.broadcast(target_set.withColumn("hit", F.lit(1))), "bg", "left"
+    if use_bloom:
+        # the promised scale path: when the target dictionary outgrows
+        # broadcast range, ship a BLOOM BIT-SET instead — built
+        # RELATIONALLY (k xxhash64 positions per dict entry, bit_or
+        # aggregation into 64-bit words, map_from_entries into one
+        # scalar row) and probed via a broadcast crossJoin like every
+        # scalar in this repo. ~2 KB/dict-thousand at these settings.
+        # False positives only INFLATE overlap — the conservative
+        # direction for selection: bloom-selected ⊇ exact-selected,
+        # pinned in tests/test_extensions.py.
+        k, m = bloom_hashes, bloom_bits
+        positions = (
+            f"transform(sequence(0, {k - 1}), j -> pmod(xxhash64(bg, j), {m}))"
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        sparse = (
+            target_set.select(F.explode(F.expr(positions)).alias("pos"))
+            .select(
+                F.expr("cast(pos div 64 as int)").alias("wi"),
+                F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("b"),
+            )
+            .groupBy("wi")
+            .agg(F.expr("bit_or(b)").alias("bits"))
         )
-    )
+        bloom = sparse.agg(
+            F.map_from_entries(F.collect_list(F.struct("wi", "bits"))).alias("bfmap")
+        )
+        hit = F.expr(
+            f"cast(forall({positions},"
+            f" p -> (coalesce(element_at(bfmap, cast(p div 64 as int)), 0L)"
+            f" & shiftleft(1L, cast(pmod(p, 64) as int))) != 0) as int)"
+        )
+        scored = (
+            raw.crossJoin(F.broadcast(bloom))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum(hit).cast("bigint").alias("n_hits"),
+            )
+        )
+    else:
+        scored = (
+            raw.join(
+                F.broadcast(target_set.withColumn("hit", F.lit(1))), "bg", "left"
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            )
+        )
     overlap = F.round(F.col("n_hits") / F.col("n_bigrams"), 6)
     return scored.select(
         "doc_id",

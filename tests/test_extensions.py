@@ -1061,6 +1061,31 @@ def test_target_overlap_selection_splits_and_bounds(spark, sf_dir):
         assert abs(r.target_overlap - round(r.n_hits / r.n_bigrams, 6)) < 1e-9
 
 
+def test_target_overlap_bloom_path_is_conservative(spark, sf_dir):
+    """The Bloom scale path may only INFLATE overlap (false positives
+    add hits, never remove them): per-doc bloom hits >= exact hits,
+    so bloom-selected ⊇ exact-selected — the conservative direction
+    for selection."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.curation import (
+        target_overlap_scores,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: r for r in target_overlap_scores(docs).collect()}
+    bloom = {
+        r.doc_id: r
+        for r in target_overlap_scores(docs, use_bloom=True).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d, b in bloom.items():
+        e = exact[d]
+        assert b.n_bigrams == e.n_bigrams
+        assert b.n_hits >= e.n_hits
+        if e.selected:
+            assert b.selected
+
+
 # --- temperature source mixing ----------------------------------------------
 
 
