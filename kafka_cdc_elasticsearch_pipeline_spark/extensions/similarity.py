@@ -435,8 +435,10 @@ def cap_cluster_sizes(embeddings: DataFrame, max_size: int) -> DataFrame:
     O(|cluster|²) — the same failure class as the r04 ngram
     df-degeneracy. With the cap, candidate volume per label is bounded
     by ceil(n/max_size) · C(max_size, 2) ≈ n·(max_size−1)/2 — LINEAR
-    in cluster size. The rank window shuffles only (vec_id, label,
-    centroid_cosine) — ids-only, never the embedding payload.
+    in cluster size. The rank window partitions by label and carries
+    the embedding through that ONE shuffle — deliberately: the pair
+    join needs the vectors anyway, and shipping them once through the
+    window is cheaper than a second ids-to-payload join shuffle.
 
     Output: (vec_id, label, sub, centroid_cosine, embedding); ``sub``
     is 0 for every label at-or-under the cap."""

@@ -327,8 +327,9 @@ def test_semdedup_capped_blocked_equijoin_no_cartesian(plans):
     """The cluster-size-capped SemDeDup still candidates through an
     equi-join — now on (label, sub) blocks — with broadcast centroids;
     the cap must never be implemented as a post-filter on an
-    unblocked (cartesian) pairing, and the rank window shuffles only
-    ids + centroid cosine, never the embedding payload."""
+    unblocked (cartesian) pairing. (The rank window carries the
+    embedding through its one label shuffle on purpose — the pair
+    join needs the vectors anyway; see cap_cluster_sizes.)"""
     p = plans("ext_dedup_semdedup_capped")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
