@@ -2082,6 +2082,40 @@ def ext_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@query(
+    "ext_sample_reservoir_per_group",
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('res_' || doc_id::VARCHAR), 1, 7))::BIGINT
+                          % 10000,
+                        doc_id) AS sample_rank
+      FROM documents) t
+    WHERE sample_rank <= 8
+    """,
+    tags=("ext", "sampling", "reservoir"),
+)
+def ext_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-group sampling (reservoir semantics, k=8 docs per
+    source) — the "give me exactly k exemplars of every stratum" op
+    that rate-based sampling can't express. Deterministic: each group
+    keeps the k smallest (content-hash, key) rows, so the oracle
+    replays the exact subset. Runs the SALTED two-phase form
+    (``n_salts=4``: parallel bounded per-subgroup top-k, then a rank
+    over ≤ k·S survivors) that at 100 TB replaces one straggler sort
+    per giant group — provably identical output to the single-phase
+    form (unit-pinned)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
+        reservoir_sample_per_group,
+    )
+
+    return reservoir_sample_per_group(
+        _docs(spark, sf_dir), "source", "doc_id", k=8, n_salts=4
+    ).select("doc_id", "source", "sample_rank")
+
+
 # Skewed source tag for the temperature-mix row (the harness corpus is
 # uniform 20×25): source k gets ~(2k+1)/400 of the docs, a 39× spread.
 _SQL_SKEW_SRC = (

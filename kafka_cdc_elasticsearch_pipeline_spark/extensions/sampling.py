@@ -151,6 +151,51 @@ def temperature_cutoffs(
     return cut
 
 
+def reservoir_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "res",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Deterministic fixed-size-per-group sample: each group keeps the
+    ``k`` rows with the smallest ``(hash_bucket(key), key)`` — classic
+    reservoir-sampling semantics (uniform k-subset per group) but as a
+    pure function of the data, so re-runs, engines, and cluster
+    layouts agree row-for-row and the oracle replays the exact subset.
+    Appends ``sample_rank`` (1..k within the group).
+
+    Scale path: a plain per-group ``row_number`` sorts every group in
+    one task — a 10⁹-row group is one straggler. With ``n_salts=S``,
+    stage 1 takes a per-(group, hash-subgroup) top-k over S
+    hash-derived subgroups (S parallel bounded sorts), and stage 2
+    ranks only the ≤ k·S survivors per group. The union of
+    per-subgroup top-k contains the group's global top-k for ANY
+    subgroup assignment (each subgroup's top-k retains every one of
+    its members that is in the global top-k), so the two forms are
+    bit-identical (unit-pinned in tests/test_sketches.py).
+    """
+    from pyspark.sql import Window
+
+    order = [hash_bucket(F.col(key_col), salt), F.col(key_col)]
+    if n_salts:
+        sub = F.pmod(
+            F.xxhash64(F.lit(salt + ":sub"), F.col(key_col).cast("string")),
+            F.lit(n_salts),
+        )
+        w1 = Window.partitionBy(F.col(group_col), sub).orderBy(*order)
+        df = (
+            df.withColumn("__res_rn1", F.row_number().over(w1))
+            .filter(F.col("__res_rn1") <= k)
+            .drop("__res_rn1")
+        )
+    w2 = Window.partitionBy(F.col(group_col)).orderBy(*order)
+    return df.withColumn("sample_rank", F.row_number().over(w2)).filter(
+        F.col("sample_rank") <= k
+    )
+
+
 # (The related train/holdout split lives in ``text.train_holdout_split``
 # — same hash-bucket idea at 1/100 resolution, gated as
 # ``ext_split_train_holdout``.)

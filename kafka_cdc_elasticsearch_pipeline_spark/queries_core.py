@@ -1003,6 +1003,107 @@ def a_quantiles_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_approx_quantile_error_bound",
+    """
+    SELECT event_type AS channel,
+           round(quantile_cont(value, 0.50), 4) AS p50_exact,
+           round(quantile_cont(value, 0.95), 4) AS p95_exact,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("A", "quantiles", "sketch"),
+)
+def a_approx_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable contract for the mergeable quantile sketch
+    (Greenwald-Khanna via ``percentile_approx``), in the same style as
+    the HLL row ``a_approx_distinct_error_bound``: the sketch estimate
+    itself is engine-specific, so the gate asserts its ERROR BOUND
+    instead. ``accuracy=10000`` guarantees rank error ≤ n/10000, far
+    inside the ±0.01-quantile envelope asserted here — the boolean
+    goes red if the sketch ever drifts outside it.
+
+    Why the sketch matters at 100 TB: exact ``percentile`` holds every
+    value of a group in memory to sort; the GK summary is fixed-size
+    and map-side combinable, so per-channel p50/p95 over 10¹² events
+    aggregates like a count."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy(F.col("event_type").alias("channel")).agg(
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_exact"),
+        F.percentile("value", F.lit(0.49)).alias("_p50_lo"),
+        F.percentile("value", F.lit(0.51)).alias("_p50_hi"),
+        F.percentile("value", F.lit(0.94)).alias("_p95_lo"),
+        F.percentile("value", F.lit(0.96)).alias("_p95_hi"),
+        F.percentile_approx("value", F.lit(0.50), F.lit(10000)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("_a95"),
+    )
+    within = (
+        (F.col("_a50") >= F.col("_p50_lo"))
+        & (F.col("_a50") <= F.col("_p50_hi"))
+        & (F.col("_a95") >= F.col("_p95_lo"))
+        & (F.col("_a95") <= F.col("_p95_hi"))
+    )
+    return per.select("channel", "p50_exact", "p95_exact", within.alias("within_bound"))
+
+
+@query(
+    "a_cms_heavy_hitters_bound",
+    """
+    SELECT user_id, n_exact, true AS within_bound
+    FROM (
+      SELECT user_id, count(*) AS n_exact
+      FROM events GROUP BY user_id
+      ORDER BY n_exact DESC, user_id LIMIT 20
+    ) t
+    """,
+    tags=("A", "sketch", "heavy-hitters"),
+)
+def a_cms_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters with a gated error contract: sketch the
+    per-user event frequency (operators/sketches.py — a d×w counter
+    matrix AS a DataFrame, mergeable by union+re-sum), probe it for
+    the top-20 exact heavy hitters, and assert the classic CMS bound
+    per key: estimate ≥ exact (never undercounts) and
+    estimate − exact ≤ ⌈e·N/w⌉. The oracle expects `true` on every
+    row, so a broken hash/merge turns the row red.
+
+    100 TB story: exact per-key counts shuffle the key domain; the
+    sketch shuffles ≤ d×w rows per partition no matter the input, and
+    per-shard sketches merge without rescanning (tests pin
+    mergeability: sketch(a∪b) == merge(sketch(a), sketch(b)))."""
+    import math
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    depth, width = 4, 1024
+    ev = _events(spark, sf_dir)
+    sketch = cms_build(ev, F.col("user_id"), depth=depth, width=width)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(20)
+    )
+    est = cms_estimate(top, sketch, "user_id", depth=depth, width=width)
+    tot = ev.agg(F.count(F.lit(1)).alias("__n_total"))
+    slack = F.ceil(F.col("__n_total").cast("double") * F.lit(math.e / width))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_exact",
+            (
+                (F.col("cms_estimate") >= F.col("n_exact"))
+                & ((F.col("cms_estimate") - F.col("n_exact")) <= slack)
+            ).alias("within_bound"),
+        )
+    )
+
+
+@query(
     "a_pivot_channel_by_user_bucket",
     """
     SELECT user_id % 4 AS user_bucket,

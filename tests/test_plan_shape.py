@@ -375,3 +375,24 @@ def test_pq_encode_broadcasts_codebook(plans):
     # the argmin is a window over (vec_id, m) — a hash shuffle of narrow
     # (vec_id, m, code, d) rows, not a sort-merge join of data
     assert "SortMergeJoin" not in p
+
+
+def test_cms_probe_broadcasts_sketch(plans):
+    """Count-min estimate: the sketch side is ≤ d×w rows BY
+    CONSTRUCTION and must broadcast — shuffling probe keys to meet a
+    fixed-size sketch would move the whole probe set for nothing. No
+    cartesian anywhere (the only crossJoin is the scalar N_total)."""
+    p = plans("a_cms_heavy_hitters_bound")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_reservoir_two_phase_no_cartesian_bounded_windows(plans):
+    """Salted reservoir: both phases are hash-partitioned window
+    top-k — no join at all, so no cartesian / NLJ can appear, and
+    stage 2's sort runs over ≤ k·S rows per group."""
+    p = plans("ext_sample_reservoir_per_group")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
