@@ -2102,17 +2102,18 @@ def ext_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFram
     source) — the "give me exactly k exemplars of every stratum" op
     that rate-based sampling can't express. Deterministic: each group
     keeps the k smallest (content-hash, key) rows, so the oracle
-    replays the exact subset. Runs the SALTED two-phase form
-    (``n_salts=4``: parallel bounded per-subgroup top-k, then a rank
-    over ≤ k·S survivors) that at 100 TB replaces one straggler sort
-    per giant group — provably identical output to the single-phase
-    form (unit-pinned)."""
+    replays the exact subset. At 100 TB the giant-group straggler is
+    handled by Catalyst itself: the ``row_number() <= k`` shape plans
+    Partial+Final WindowGroupLimit — map-side per-partition top-k
+    before the one exchange (plan-guarded; the manual salted two-phase
+    fallback is unit-pinned bit-identical and measured slower on
+    Spark, tools/sketch_scale_probe.py)."""
     from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
         reservoir_sample_per_group,
     )
 
     return reservoir_sample_per_group(
-        _docs(spark, sf_dir), "source", "doc_id", k=8, n_salts=4
+        _docs(spark, sf_dir), "source", "doc_id", k=8
     ).select("doc_id", "source", "sample_rank")
 
 

@@ -166,15 +166,24 @@ def reservoir_sample_per_group(
     layouts agree row-for-row and the oracle replays the exact subset.
     Appends ``sample_rank`` (1..k within the group).
 
-    Scale path: a plain per-group ``row_number`` sorts every group in
-    one task — a 10⁹-row group is one straggler. With ``n_salts=S``,
-    stage 1 takes a per-(group, hash-subgroup) top-k over S
-    hash-derived subgroups (S parallel bounded sorts), and stage 2
-    ranks only the ≤ k·S survivors per group. The union of
-    per-subgroup top-k contains the group's global top-k for ANY
-    subgroup assignment (each subgroup's top-k retains every one of
-    its members that is in the global top-k), so the two forms are
-    bit-identical (unit-pinned in tests/test_sketches.py).
+    Scale path — let Catalyst do it: a ``row_number() <= k`` filter
+    over a window makes Spark ≥3.5 plan Partial + Final
+    ``WindowGroupLimit`` — a map-side per-partition top-k BEFORE the
+    exchange, so each task holds at most k rows per (group, partition)
+    and the post-shuffle sort ranks ≤ k·partitions survivors, never
+    the raw group (plan-guarded in test_plan_shape). That is exactly
+    the classic manual salted-two-phase rewrite, built in.
+
+    ``n_salts=S`` still runs the rewrite by hand (stage 1: per-(group,
+    hash-subgroup) top-k; stage 2: rank the ≤ k·S survivors) for
+    engines without the rule — the union of per-subgroup top-k
+    contains the group's global top-k for ANY subgroup assignment, so
+    the two forms are bit-identical (unit-pinned in
+    tests/test_sketches.py). On Spark it is strictly redundant: the
+    probe (tools/sketch_scale_probe.py) measured it slower than the
+    built-in at every size up to a planted 64M-row single group
+    (9.1s vs 10.8s) because both phases re-shuffle the full input
+    while WindowGroupLimit prunes before the one shuffle.
     """
     from pyspark.sql import Window
 

@@ -388,11 +388,12 @@ def test_cms_probe_broadcasts_sketch(plans):
     assert "SortMergeJoin" not in p
 
 
-def test_reservoir_two_phase_no_cartesian_bounded_windows(plans):
-    """Salted reservoir: both phases are hash-partitioned window
-    top-k — no join at all, so no cartesian / NLJ can appear, and
-    stage 2's sort runs over ≤ k·S rows per group."""
+def test_reservoir_plans_map_side_window_group_limit(plans):
+    """Reservoir top-k: the row_number()<=k shape must keep Catalyst's
+    Partial WindowGroupLimit (map-side per-partition top-k BEFORE the
+    exchange) — lose it and a planted giant group becomes one
+    straggler task sorting the whole group."""
     p = plans("ext_sample_reservoir_per_group")
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "Window" in p
+    assert p.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "Partial" in p.split("WindowGroupLimit")[2]
