@@ -2286,3 +2286,68 @@ def lake_time_travel_version2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*EVENT_COLS)
             .localCheckpoint()
         )
+
+
+@query(
+    "lake_ivm_incremental_agg",
+    """
+    SELECT event_type AS channel, count(*) AS n_rows,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+    tags=("S2", "T5", "lake", "txnlog", "ivm", "cdf"),
+)
+def lake_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the row-level CHANGE DATA FEED
+    (Delta CDF pattern, sources/lakelog.py `merge_upsert_cdf`): three
+    CDC merge commits each stage their exact signed row deltas
+    (insert / update_preimage / update_postimage) alongside the
+    snapshot, and a per-channel count+sum view is maintained by
+    folding ONLY those deltas — O(changed rows) per commit, the base
+    table is never re-aggregated (operators/ivm.py). The oracle
+    recomputes the same aggregate from the final snapshot, so any
+    missed/duplicated/missigned delta shows up as a value mismatch.
+
+    At 100 TB: a downstream freshness job reads a commit's change dir
+    (batch-sized) instead of the table; updates subtract their exact
+    preimage, so the view is right even when a user's latest event
+    switches channels."""
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.ivm import (
+        delta_aggregate,
+        ivm_merge,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    ev = _events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lake_ivm_") as tmp:
+        table = f"{tmp}/events_table"
+        view = None
+        for i in range(3):
+            lakelog.merge_upsert_cdf(
+                spark,
+                table,
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                ["user_id"],
+                "ts",
+                tiebreak="event_id",
+            )
+            feed = lakelog.read_row_changes(spark, table, i, i + 1)
+            view = ivm_merge(
+                view,
+                delta_aggregate(feed, ["event_type"], ["value"]),
+                ["event_type"],
+            )
+        return view.select(
+            F.col("event_type").alias("channel"),
+            F.col("n_rows"),
+            F.round(F.col("sum_value").cast("double"), 2).alias("total_value"),
+        ).localCheckpoint()

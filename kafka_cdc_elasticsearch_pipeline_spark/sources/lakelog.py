@@ -552,6 +552,7 @@ def commit(
     bloom_cols: Sequence[str] | None = None,
     bloom_m: int = BLOOM_BITS,
     txn: tuple[str, int] | None = None,
+    change_dir: str | None = None,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit it as
     the next version. Returns the committed version.
@@ -583,6 +584,12 @@ def commit(
     manifest unchanged. Readers use them for file skipping
     (:func:`plan_scan`) and metadata-only aggregates
     (:func:`metadata_stats`).
+
+    ``change_dir``: a pre-staged row-level change-data-feed directory
+    (see :func:`merge_upsert_cdf`) recorded in the manifest so
+    :func:`read_row_changes` can serve this commit's deltas without
+    diffing snapshots. Like data dirs, it must be staged BEFORE the
+    manifest links it — the commit stays atomic-at-the-manifest.
     """
     os.makedirs(_log_path(table), exist_ok=True)
     parent = latest_version(table)
@@ -602,6 +609,7 @@ def commit(
         stats_entry=stats_entry,
         txn=txn,
         n_rows=n_rows,
+        change_dir=change_dir,
     )
 
 
@@ -643,6 +651,7 @@ def _link_version(
     stats_entry: dict | None,
     txn: tuple[str, int] | None,
     n_rows: int | None = None,
+    change_dir: str | None = None,
 ) -> int:
     """Publish a staged data dir as version ``parent``+1 — the
     metadata-only half of a commit. Raises :class:`CommitConflict` if
@@ -673,6 +682,8 @@ def _link_version(
         manifest["file_stats"] = file_stats
     if n_rows is not None:
         manifest["n_rows"] = n_rows
+    if change_dir is not None:
+        manifest["change_dir"] = change_dir
     tmp = _manifest_file(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -719,6 +730,155 @@ def merge_upsert_versioned(
         except CommitConflict:
             continue
     raise CommitConflict(f"merge into {table} lost {max_retries + 1} races")
+
+
+#: Row-level change types (Delta Change Data Feed vocabulary).
+CHANGE_TYPES = ("insert", "update_preimage", "update_postimage", "delete")
+
+
+def merge_upsert_cdf(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+    max_retries: int = 3,
+    stat_cols: Sequence[str] | None = None,
+) -> int:
+    """CDC MERGE with a row-level CHANGE DATA FEED (Delta CDF): commits
+    the merged snapshot like :func:`merge_upsert_versioned` AND stages
+    the commit's row-level deltas — ``_change_type`` ∈ ``insert`` /
+    ``update_preimage`` / ``update_postimage`` — into a change
+    directory the manifest references, so downstream consumers
+    (:func:`read_row_changes`) get exact signed deltas without ever
+    diffing snapshots.
+
+    The deltas are computed from rows the merge TOUCHES anyway: only
+    keys present in the change batch can change, so the old/new
+    comparison joins the parent snapshot and the merge result against
+    the batch's distinct keys (batch-sized, broadcastable), never
+    snapshot × snapshot. A change row that loses the (ts, tiebreak)
+    race produces NO feed rows — the feed records what happened to the
+    TABLE, not what the producer attempted. Deletes don't arise here
+    (this merge is upsert-only; the tombstone flow models deletes).
+
+    At 100 TB this is what makes incremental downstream maintenance
+    (:mod:`..operators.ivm`) possible: consumers apply O(changed rows)
+    per commit instead of recomputing over O(table)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+    key_list = list(keys)
+    for _ in range(max_retries + 1):
+        parent = latest_version(table)
+        if parent is None:
+            result = latest_per_key(changes, key_list, ts_col, tiebreak=tiebreak)
+            feed = result.select(
+                "*", F.lit("insert").alias("_change_type")
+            )
+        else:
+            snap = read(spark, table, parent)
+            result = latest_per_key(
+                snap.unionByName(changes), key_list, ts_col, tiebreak=tiebreak
+            )
+            batch_keys = changes.select(*key_list).distinct()
+            data_cols = [c for c in result.columns if c not in key_list]
+            old = snap.join(batch_keys, key_list).select(
+                *key_list, F.struct(*data_cols).alias("__old")
+            )
+            new = result.join(batch_keys, key_list).select(
+                *key_list, F.struct(*data_cols).alias("__new")
+            )
+            pair = new.join(old, key_list, "left")
+            inserts = pair.filter(F.col("__old").isNull()).select(
+                *key_list,
+                F.col("__new.*"),
+                F.lit("insert").alias("_change_type"),
+            )
+            changed = pair.filter(
+                F.col("__old").isNotNull()
+                & ~F.col("__old").eqNullSafe(F.col("__new"))
+            )
+            pre = changed.select(
+                *key_list,
+                F.col("__old.*"),
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            post = changed.select(
+                *key_list,
+                F.col("__new.*"),
+                F.lit("update_postimage").alias("_change_type"),
+            )
+            feed = inserts.unionByName(pre).unionByName(post)
+        change_dir = f"changes-{uuid.uuid4().hex}"
+        feed.write.mode("errorifexists").parquet(os.path.join(table, change_dir))
+        try:
+            return commit(
+                table,
+                result,
+                "merge_upsert",
+                expect_parent=parent,
+                stat_cols=stat_cols,
+                change_dir=change_dir,
+            )
+        except CommitConflict:
+            # staged data + change dirs are unreferenced debris;
+            # vacuum reclaims them like any crashed commit's
+            continue
+    raise CommitConflict(f"merge into {table} lost {max_retries + 1} races")
+
+
+def read_row_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed for versions ``(from_version, to_version]``
+    — the CDF superset of :func:`read_changes`: every row carries
+    ``_change_type`` (insert / update_preimage / update_postimage) and
+    ``_commit_version``. Commits made by :func:`merge_upsert_cdf`
+    serve their staged change dir; plain ``append``/``txn_append``
+    commits synthesize ``insert`` rows from their delta dirs (an
+    append IS its own change feed); any other commit without a change
+    dir (merge without CDF, compact, purge) raises — the feed refuses
+    to guess, same contract as :func:`read_changes`."""
+    head = latest_version(table)
+    if head is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    to_v = head if to_version is None else to_version
+    parts: list[DataFrame] = []
+    for v in range(from_version + 1, to_v + 1):
+        manifest = read_manifest(table, v)
+        if manifest.get("change_dir"):
+            part = spark.read.parquet(os.path.join(table, manifest["change_dir"]))
+        elif manifest["operation"] in ("append", "txn_append"):
+            parent_dirs = (
+                set(read_manifest(table, manifest["parent"])["data_dirs"])
+                if manifest["parent"]
+                else set()
+            )
+            added = [d for d in manifest["data_dirs"] if d not in parent_dirs]
+            if not added:
+                continue
+            part = spark.read.parquet(
+                *[os.path.join(table, d) for d in added]
+            ).select("*", F.lit("insert").alias("_change_type"))
+        else:
+            raise ValueError(
+                f"version {v} is a {manifest['operation']!r} commit without "
+                "a change feed — re-read the snapshot and resume from "
+                f"version {v}"
+            )
+        parts.append(part.select("*", F.lit(v).alias("_commit_version")))
+    if not parts:
+        raise ValueError(
+            f"empty version range ({from_version}, {to_v}] for {table}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def append_commit(
@@ -1105,7 +1265,10 @@ def vacuum(table: str, keep_last: int = 1, min_age_s: float = 3600.0) -> list[st
     keep_vs = vs[-keep_last:]
     live: set[str] = set()
     for v in keep_vs:
-        live.update(read_manifest(table, v)["data_dirs"])
+        m = read_manifest(table, v)
+        live.update(m["data_dirs"])
+        if m.get("change_dir"):
+            live.add(m["change_dir"])
     removed = []
     for entry in os.listdir(table):
         full = os.path.join(table, entry)

@@ -1,0 +1,158 @@
+"""Row-level change data feed (lakelog.merge_upsert_cdf /
+read_row_changes) and incremental view maintenance (operators/ivm.py):
+the feed must record exactly what happened to the TABLE (inserts,
+pre/post update pairs, nothing for lost races), and the maintained
+aggregate must equal a recompute after every commit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.operators.ivm import (
+    delta_aggregate,
+    ivm_merge,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=t, event_id=e, channel=c, value=float(v))
+         for u, t, e, c, v in rows]
+    )
+
+
+def test_first_cdf_commit_is_all_inserts(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lakelog.merge_upsert_cdf(
+        spark, table,
+        _batch(spark, [(1, 10, 100, "a", 1.0), (2, 10, 101, "b", 2.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    feed = lakelog.read_row_changes(spark, table, 0).collect()
+    assert {r._change_type for r in feed} == {"insert"}
+    assert {r._commit_version for r in feed} == {1}
+    assert len(feed) == lakelog.read(spark, table).count() == 2
+
+
+def test_update_emits_pre_post_pair_and_lost_race_emits_nothing(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lakelog.merge_upsert_cdf(
+        spark, table,
+        _batch(spark, [(1, 10, 100, "a", 1.0), (2, 50, 101, "b", 2.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    # user 1: newer ts -> real update; user 2: OLDER ts -> loses, no feed
+    # user 3: unseen -> insert
+    lakelog.merge_upsert_cdf(
+        spark, table,
+        _batch(spark, [(1, 20, 102, "c", 5.0), (2, 40, 103, "b", 9.0),
+                       (3, 10, 104, "a", 7.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    feed = {(r._change_type, r.user_id): r
+            for r in lakelog.read_row_changes(spark, table, 1, 2).collect()}
+    assert set(feed) == {
+        ("update_preimage", 1), ("update_postimage", 1), ("insert", 3)
+    }
+    assert feed[("update_preimage", 1)].value == 1.0
+    assert feed[("update_postimage", 1)].value == 5.0
+    assert feed[("update_postimage", 1)].channel == "c"
+    # the table itself still holds user 2's ORIGINAL row
+    snap = {r.user_id: r for r in lakelog.read(spark, table).collect()}
+    assert snap[2].value == 2.0
+
+
+def test_append_commit_synthesizes_insert_feed(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df1 = _batch(spark, [(1, 10, 100, "a", 1.0)])
+    lakelog.append_commit(spark, table, df1)
+    lakelog.append_commit(spark, table, _batch(spark, [(2, 20, 101, "b", 2.0)]))
+    feed = lakelog.read_row_changes(spark, table, 1, 2).collect()
+    assert len(feed) == 1
+    assert feed[0]._change_type == "insert" and feed[0].user_id == 2
+
+
+def test_row_changes_refuses_commits_without_feed(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lakelog.merge_upsert_cdf(
+        spark, table, _batch(spark, [(1, 10, 100, "a", 1.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    # a non-CDF merge commit in the middle of the range
+    lakelog.merge_upsert_versioned(
+        spark, table, _batch(spark, [(1, 20, 101, "b", 2.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    with pytest.raises(ValueError, match="without\na change feed|without a change feed"):
+        lakelog.read_row_changes(spark, table, 1, 2)
+
+
+def test_ivm_equals_recompute_after_every_commit(spark, sf_dir, tmp_path):
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = str(tmp_path / "events_table")
+    view = None
+    for i in range(3):
+        lakelog.merge_upsert_cdf(
+            spark, table,
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ["user_id"], "ts", tiebreak="event_id",
+        )
+        feed = lakelog.read_row_changes(spark, table, i, i + 1)
+        view = ivm_merge(
+            view, delta_aggregate(feed, ["event_type"], ["value"]),
+            ["event_type"],
+        ).localCheckpoint()
+        recomputed = (
+            lakelog.read(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(28,2)").alias("sum_value"),
+            )
+        )
+        got = {r.event_type: (r.n_rows, r.sum_value) for r in view.collect()}
+        want = {r.event_type: (r.n_rows, r.sum_value) for r in recomputed.collect()}
+        assert got == want, f"divergence after version {i + 1}"
+
+
+def test_ivm_drops_groups_that_reach_zero(spark):
+    feed1 = spark.createDataFrame(
+        [Row(g="x", value=1.0, _change_type="insert")]
+    )
+    feed2 = spark.createDataFrame(
+        [Row(g="x", value=1.0, _change_type="update_preimage"),
+         Row(g="y", value=3.0, _change_type="update_postimage")]
+    )
+    view = ivm_merge(None, delta_aggregate(feed1, ["g"], ["value"]), ["g"])
+    view = ivm_merge(view, delta_aggregate(feed2, ["g"], ["value"]), ["g"])
+    rows = {r.g: r.n_rows for r in view.collect()}
+    assert rows == {"y": 1}  # x's count hit zero and disappeared
+
+
+def test_delta_aggregate_rejects_unknown_change_type(spark):
+    feed = spark.createDataFrame([Row(g="x", value=1.0, _change_type="bogus")])
+    with pytest.raises(Exception, match="unknown _change_type"):
+        delta_aggregate(feed, ["g"], ["value"]).collect()
+
+
+def test_vacuum_keeps_kept_versions_change_dirs(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lakelog.merge_upsert_cdf(
+        spark, table, _batch(spark, [(1, 10, 100, "a", 1.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    lakelog.merge_upsert_cdf(
+        spark, table, _batch(spark, [(1, 20, 101, "b", 2.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    lakelog.vacuum(table, keep_last=1, min_age_s=0.0)
+    # version 2's change dir survived; its feed still reads
+    feed = lakelog.read_row_changes(spark, table, 1, 2).collect()
+    assert {r._change_type for r in feed} == {
+        "update_preimage", "update_postimage"
+    }
