@@ -71,3 +71,63 @@ def lake_merge_sink(
         )
 
     return sink
+
+
+def lake_ivm_sink(
+    spark: SparkSession,
+    source_table: str,
+    view_table: str,
+    keys: Sequence[str],
+    ts_col: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    tiebreak: str | None = None,
+    app_id: str = "ivm",
+):
+    """foreachBatch callable: CDC MERGE with change-data-feed
+    (``merge_upsert_cdf``) into ``source_table``, then fold the
+    commit's signed row deltas into a MAINTAINED group-by view
+    (``view_table`` — itself a versioned lakelog table), so the view
+    follows the stream at O(changed rows) per micro-batch while the
+    base table is never re-aggregated.
+
+    Crash safety without a second checkpoint: the view's manifest
+    carries an ``app_id`` transaction watermark = the highest SOURCE
+    version folded in. Each batch folds every unapplied version
+    ``(applied, v]`` — a crash between the source commit and the view
+    commit replays as a catch-up, a redelivered batch whose version is
+    already ≤ the watermark skips the fold entirely, and the fold +
+    watermark land in ONE atomic view commit. (The view snapshot is
+    rewritten per refresh — it is aggregate-sized by construction;
+    the O(delta) economics live on the source side.)"""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.ivm import (
+        delta_aggregate,
+        ivm_merge,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        v = lakelog.merge_upsert_cdf(
+            spark, source_table, batch_df, keys, ts_col, tiebreak=tiebreak
+        )
+        view_v = lakelog.latest_version(view_table)
+        applied = 0
+        view = None
+        if view_v is not None:
+            manifest = lakelog.read_manifest(view_table, view_v)
+            applied = manifest.get("txns", {}).get(app_id, 0)
+            view = lakelog.read(spark, view_table, view_v)
+        if v <= applied:
+            return view_v  # redelivered batch: already folded
+        feed = lakelog.read_row_changes(spark, source_table, applied, v)
+        new_view = ivm_merge(
+            view, delta_aggregate(feed, group_cols, sum_cols), group_cols
+        )
+        return lakelog.commit(
+            view_table,
+            new_view,
+            "ivm_refresh",
+            expect_parent=view_v,
+            txn=(app_id, v),
+        )
+
+    return sink

@@ -156,3 +156,100 @@ def test_vacuum_keeps_kept_versions_change_dirs(spark, tmp_path):
     assert {r._change_type for r in feed} == {
         "update_preimage", "update_postimage"
     }
+
+
+def test_streaming_ivm_sink_view_follows_stream(spark, sf_dir, tmp_path):
+    """End-to-end: a 4-chunk CDC replay through lake_ivm_sink — the
+    maintained per-channel view after the stream equals a recompute
+    over the final source snapshot, and its watermark names the last
+    source version folded."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.lake_sink import (
+        lake_ivm_sink,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+    )
+
+    src_table = str(tmp_path / "src")
+    view_table = str(tmp_path / "view")
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=4)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lake_ivm_sink(
+                    spark, src_table, view_table,
+                    keys=["user_id"], ts_col="ts",
+                    group_cols=["event_type"], sum_cols=["value"],
+                    tiebreak="event_id",
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        cleanup(tmp)
+    view = lakelog.read(spark, view_table)
+    recomputed = (
+        lakelog.read(spark, src_table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)").alias("sum_value"),
+        )
+    )
+    got = {r.event_type: (r.n_rows, r.sum_value) for r in view.collect()}
+    want = {r.event_type: (r.n_rows, r.sum_value) for r in recomputed.collect()}
+    assert got == want
+    src_head = lakelog.latest_version(src_table)
+    m = lakelog.read_manifest(view_table, lakelog.latest_version(view_table))
+    assert m["txns"]["ivm"] == src_head
+
+
+def test_ivm_sink_catches_up_after_crash_between_commits(spark, tmp_path):
+    """Crash simulation: a source version committed WITHOUT its fold
+    (merge landed, view commit lost). The next sink invocation folds
+    every unapplied version, not just its own."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.lake_sink import (
+        lake_ivm_sink,
+    )
+
+    src, view_t = str(tmp_path / "src"), str(tmp_path / "view")
+    sink = lake_ivm_sink(
+        spark, src, view_t, keys=["user_id"], ts_col="ts",
+        group_cols=["channel"], sum_cols=["value"], tiebreak="event_id",
+    )
+    sink(_batch(spark, [(1, 10, 100, "a", 1.0)]), 0)
+    # "crash": the merge commits but the fold never runs
+    lakelog.merge_upsert_cdf(
+        spark, src, _batch(spark, [(2, 10, 101, "b", 2.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    # next live batch: must fold BOTH unapplied versions
+    sink(_batch(spark, [(3, 10, 102, "b", 4.0)]), 1)
+    got = {r.channel: (r.n_rows, float(r.sum_value))
+           for r in lakelog.read(spark, view_t).collect()}
+    assert got == {"a": (1, 1.0), "b": (2, 6.0)}
+
+
+def test_ivm_sink_skips_redelivered_batch(spark, tmp_path):
+    """Redelivery: replaying an identical batch produces a no-change
+    source version (empty feed) and the view value is unchanged."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.lake_sink import (
+        lake_ivm_sink,
+    )
+
+    src, view_t = str(tmp_path / "src"), str(tmp_path / "view")
+    sink = lake_ivm_sink(
+        spark, src, view_t, keys=["user_id"], ts_col="ts",
+        group_cols=["channel"], sum_cols=["value"], tiebreak="event_id",
+    )
+    batch = _batch(spark, [(1, 10, 100, "a", 1.0), (2, 10, 101, "b", 2.0)])
+    sink(batch, 0)
+    before = sorted(map(tuple, lakelog.read(spark, view_t).collect()))
+    sink(batch, 0)  # redelivered verbatim
+    after = sorted(map(tuple, lakelog.read(spark, view_t).collect()))
+    assert before == after
