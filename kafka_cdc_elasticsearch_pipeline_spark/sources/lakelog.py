@@ -553,6 +553,7 @@ def commit(
     bloom_m: int = BLOOM_BITS,
     txn: tuple[str, int] | None = None,
     change_dir: str | None = None,
+    content_identical: bool = False,
 ) -> int:
     """Write ``df`` as a new immutable data directory and commit it as
     the next version. Returns the committed version.
@@ -590,6 +591,12 @@ def commit(
     :func:`read_row_changes` can serve this commit's deltas without
     diffing snapshots. Like data dirs, it must be staged BEFORE the
     manifest links it — the commit stays atomic-at-the-manifest.
+
+    ``content_identical``: the WRITER asserts this commit's snapshot
+    holds exactly the parent's rows (a layout-only rewrite — compact /
+    Z-order). Recorded in the manifest so change-feed readers can skip
+    the version instead of refusing; trusted at the same level as
+    ``data_dirs`` itself (both are writer claims the log records).
     """
     os.makedirs(_log_path(table), exist_ok=True)
     parent = latest_version(table)
@@ -610,6 +617,7 @@ def commit(
         txn=txn,
         n_rows=n_rows,
         change_dir=change_dir,
+        content_identical=content_identical,
     )
 
 
@@ -652,6 +660,7 @@ def _link_version(
     txn: tuple[str, int] | None,
     n_rows: int | None = None,
     change_dir: str | None = None,
+    content_identical: bool = False,
 ) -> int:
     """Publish a staged data dir as version ``parent``+1 — the
     metadata-only half of a commit. Raises :class:`CommitConflict` if
@@ -684,6 +693,8 @@ def _link_version(
         manifest["n_rows"] = n_rows
     if change_dir is not None:
         manifest["change_dir"] = change_dir
+    if content_identical:
+        manifest["content_identical"] = True
     tmp = _manifest_file(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -850,6 +861,8 @@ def read_row_changes(
     parts: list[DataFrame] = []
     for v in range(from_version + 1, to_v + 1):
         manifest = read_manifest(table, v)
+        if manifest.get("content_identical"):
+            continue  # layout-only rewrite (compact/Z-order): no row changes
         if manifest.get("change_dir"):
             part = spark.read.parquet(os.path.join(table, manifest["change_dir"]))
         elif manifest["operation"] in ("append", "txn_append"):
@@ -872,8 +885,20 @@ def read_row_changes(
             )
         parts.append(part.select("*", F.lit(v).alias("_commit_version")))
     if not parts:
-        raise ValueError(
-            f"empty version range ({from_version}, {to_v}] for {table}"
+        if from_version >= to_v:
+            raise ValueError(
+                f"empty version range ({from_version}, {to_v}] for {table}"
+            )
+        # every version in range was a layout-only rewrite: a real,
+        # zero-row feed (schema from the snapshot + the feed columns)
+        return (
+            read(spark, table, to_v)
+            .filter(F.lit(False))
+            .select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(to_v).alias("_commit_version"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1027,11 +1052,13 @@ def read_changes(
     downstream training jobs stream OUT of it by version.
 
     Only ``append``/``txn_append`` commits are incremental; an
-    intervening rewrite commit (merge_upsert/compact/purge) changes
-    history non-additively, and this reader refuses to guess —
-    ``ValueError`` tells the consumer to re-read the snapshot and
-    resume from there (compact is content-identical, but the feed
-    cannot prove that from the manifest alone)."""
+    intervening rewrite commit (merge_upsert/purge) changes history
+    non-additively, and this reader refuses to guess — ``ValueError``
+    tells the consumer to re-read the snapshot and resume from there.
+    Layout-only rewrites (compact / Z-order) record
+    ``content_identical`` in their manifest at commit time, so the
+    feed SKIPS them: zero rows changed, by the writer's own recorded
+    claim."""
     head = latest_version(table)
     if head is None:
         raise FileNotFoundError(f"no committed version in {table}")
@@ -1039,6 +1066,8 @@ def read_changes(
     new_dirs: list[str] = []
     for v in range(from_version + 1, to_v + 1):
         manifest = read_manifest(table, v)
+        if manifest.get("content_identical"):
+            continue  # layout-only rewrite: zero row changes
         if manifest["operation"] not in ("append", "txn_append"):
             raise ValueError(
                 f"version {v} is a {manifest['operation']!r} commit — "
@@ -1224,6 +1253,7 @@ def compact(
                 expect_parent=parent,
                 stat_cols=stat_cols,
                 bloom_cols=bloom_cols,
+                content_identical=True,
             )
         except CommitConflict:
             continue

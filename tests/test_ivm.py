@@ -253,3 +253,37 @@ def test_ivm_sink_skips_redelivered_batch(spark, tmp_path):
     sink(batch, 0)  # redelivered verbatim
     after = sorted(map(tuple, lakelog.read(spark, view_t).collect()))
     assert before == after
+
+
+def test_feed_skips_content_identical_compact(spark, tmp_path):
+    """A compact between two CDF merges records content_identical; both
+    feed readers skip it — the row feed across the whole range carries
+    only the real changes, and a range holding ONLY the compact is a
+    zero-row feed, not an error."""
+    table = str(tmp_path / "t")
+    lakelog.merge_upsert_cdf(
+        spark, table, _batch(spark, [(1, 10, 100, "a", 1.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    lakelog.compact(spark, table)  # version 2, layout-only
+    lakelog.merge_upsert_cdf(
+        spark, table, _batch(spark, [(1, 20, 101, "b", 2.0)]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    assert lakelog.read_manifest(table, 2)["content_identical"] is True
+    feed = lakelog.read_row_changes(spark, table, 1, 3).collect()
+    assert sorted(r._change_type for r in feed) == [
+        "update_postimage", "update_preimage"
+    ]
+    only_compact = lakelog.read_row_changes(spark, table, 1, 2)
+    assert only_compact.count() == 0
+    assert "_change_type" in only_compact.columns
+
+
+def test_append_feed_skips_compact_too(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lakelog.append_commit(spark, table, _batch(spark, [(1, 10, 100, "a", 1.0)]))
+    lakelog.compact(spark, table)
+    lakelog.append_commit(spark, table, _batch(spark, [(2, 20, 101, "b", 2.0)]))
+    rows = lakelog.read_changes(spark, table, 1, 3).collect()
+    assert [r.user_id for r in rows] == [2]
