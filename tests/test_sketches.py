@@ -124,3 +124,28 @@ def test_reservoir_small_group_keeps_all(spark, sf_dir):
     k_huge = 10_000_000
     out = reservoir_sample_per_group(docs, "source", "doc_id", k=k_huge, n_salts=4)
     assert out.count() == docs.count()
+
+
+def test_cms_streaming_twin_equals_batch_sketch(spark, sf_dir):
+    """The sketch is a groupBy of additive counters, so a streaming
+    'complete'-mode aggregation over a micro-batched replay IS the
+    incremental sketch — after the replay drains, every counter equals
+    the batch build's (the streaming face of mergeability)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+        run_to_memory,
+    )
+
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=4)
+    try:
+        streamed = cms_build(stream, F.col("user_id"), depth=DEPTH, width=WIDTH)
+        run_to_memory(streamed, "cms_stream", output_mode="complete")
+        got = sorted(map(tuple, spark.table("cms_stream").collect()))
+    finally:
+        cleanup(tmp)
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(tuple, cms_build(ev, F.col("user_id"), depth=DEPTH, width=WIDTH).collect())
+    )
+    assert got == want
