@@ -353,6 +353,9 @@ def test_change_feed_increments_partition_the_table(spark, tmp_path):
 
 
 def test_change_feed_refuses_non_additive_commits(spark, tmp_path):
+    """compact records ``content_identical`` so feeds SKIP it (the
+    layout-only claim); a rewrite WITHOUT the claim — purge — still
+    refuses, because rows genuinely changed under the consumer."""
     t = _table(tmp_path, "cf2")
     df = spark.range(0, 10).select(
         F.col("id").alias("user_id"), F.col("id").alias("ts"),
@@ -360,11 +363,14 @@ def test_change_feed_refuses_non_additive_commits(spark, tmp_path):
     )
     lakelog.append_commit(spark, t, df)
     lakelog.compact(spark, t)
+    # feed across the compact: the appended rows, rewrite skipped
+    assert lakelog.read_changes(spark, t, 0).count() == 10
+    lakelog.purge_rows(spark, t, "user_id", [3])
     with pytest.raises(ValueError, match="non-additive"):
         lakelog.read_changes(spark, t, 0)
     # resuming AFTER the rewrite works again
     lakelog.append_commit(spark, t, df)
-    assert lakelog.read_changes(spark, t, 2).count() == 10
+    assert lakelog.read_changes(spark, t, 3).count() == 10
 
 
 def test_history_lists_versions_newest_first(spark, tmp_path):
