@@ -53,11 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-green rotation (the 21 rows last gated in r03 are at the
 # 4-round staleness floor this round).
 #
-# r08 window math (written r07 for continuity): r07 registers 20 new
-# queries, so its 50-row window = 20 never + 21 r03 + 9 r04; the
-# remaining ~41 r04 rows reach the 4-round floor exactly at r08. The
+# r08 window math (written r07 for continuity): r07 registers 23 new
+# queries, so its 50-row window = 23 never + 21 r03 + 6 r04; the
+# remaining ~44 r04 rows reach the 4-round floor exactly at r08. The
 # oldest-first rotation already puts them ahead, but r08 should keep
-# NEW query registrations ≤ ~9 (or split across rounds) so the floor
+# NEW query registrations ≤ ~6 (or split across rounds) so the floor
 # holds without a pin.
 _GATE_FIRST: list[str] = []
 

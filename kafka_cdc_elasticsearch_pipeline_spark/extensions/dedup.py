@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
     LSH_ROWS_PER_BAND,
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_P,
     NUM_MINHASH,
     base_hashes,
@@ -765,3 +767,198 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def cluster_canonical(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Quality-aware canonical selection over duplicate clusters: the
+    stage after pair-finding and clustering where a curation pipeline
+    decides WHICH copy of each near-duplicate group survives. Keeper =
+    highest :func:`text.quality_score` in the component, ties broken by
+    the smaller doc_id (min-id alone — what ``exact_dedup`` uses — is
+    the wrong policy for near-dups, where copies differ and one is
+    usually cleaner).
+
+    Plan shape: the pair graph and components come from the existing
+    linear-cost stages (banded LSH candidates, iterative min-label
+    propagation); this adds one doc-keyed equi-join (quality is a
+    map-side projection) and one component-keyed window. The window
+    partitions by component_id, so its sort is bounded by the largest
+    duplicate cluster — bounded in turn by the LSH band df behavior,
+    never by the corpus.
+
+    Returns (doc_id, component_id, keeper_id, is_keeper) for every
+    document; singletons are their own keeper.
+    """
+    from pyspark.sql import Window
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.text import quality_score
+
+    pairs = minhash_lsh_pairs(docs, threshold)
+    comp = connected_components(pairs, docs)
+    q = quality_score(docs).select("doc_id", "quality")
+    wnd = (
+        Window.partitionBy("component_id")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        comp.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "component_id",
+            F.first("doc_id").over(wnd).alias("keeper_id"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
+    )
+
+
+def corpus_overlap_matrix(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Corpus-level overlap audit: for every pair of sources, the exact
+    shingle-set Jaccard AND its mergeable-MinHash estimate — the
+    dataset-composition table a pipeline publishes before mixing
+    corpora (the Pile/Dolma-style overlap matrix).
+
+    Two paths on purpose:
+    - EXACT: distinct (source, shingle-hash) pairs, self equi-join on
+      the hash (sources sharing a shingle meet; never all-pairs), count
+      per source pair. One corpus-wide shuffle of 8-byte keys — the
+      audit you can afford occasionally.
+    - ESTIMATE: per-source MinHash signature, sig_i = min over the
+      source's shingles of perm_i — a MERGEABLE fold (min), so at
+      100 TB it comes out of per-partition partial aggregates with no
+      distinct materialization; pair agreement / k estimates Jaccard.
+      The always-on path; the exact column is here to show its error.
+
+    The pairwise stage joins the 20-row per-source dim table with
+    itself under ``src_a < src_b`` — a broadcast nested-loop over a
+    dim×dim domain, same bounded-crossJoin discipline as the scalar
+    broadcasts (sources are a catalog, not data).
+    """
+    sh = (
+        spread(docs)
+        .select(group_col, words("text").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(group_col, shingles("w").alias("sh"))
+    )
+    sh = reuse(sh)
+    ex60 = (
+        explode_expensive(
+            sh.select(group_col, F.expr(f"transform(sh, s -> {_SHINGLE_HASH60})").alias("hs")),
+            "hs",
+            "h",
+        )
+        .select(group_col, "h")
+        .distinct()
+    )
+    ex60 = reuse(ex60)
+    sizes = ex60.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ex60.alias("a")
+        .join(
+            ex60.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("src_a"),
+            F.col(f"b.{group_col}").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    base = explode_expensive(
+        sh.select(group_col, base_hashes("sh").alias("hs")), "hs", "h"
+    )
+    sigs = base.groupBy(group_col).agg(
+        *[
+            F.min(
+                (F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"sig{i}")
+            for i in range(NUM_MINHASH)
+        ]
+    )
+    dims = sizes.join(sigs, group_col)
+    agree = None
+    for i in range(NUM_MINHASH):
+        term = F.when(F.col(f"a.sig{i}") == F.col(f"b.sig{i}"), 1).otherwise(0)
+        agree = term if agree is None else (agree + term)
+    pairs = (
+        dims.alias("a")
+        .join(
+            F.broadcast(dims.alias("b")),
+            F.col(f"a.{group_col}") < F.col(f"b.{group_col}"),
+        )
+        .select(
+            F.col(f"a.{group_col}").alias("src_a"),
+            F.col(f"b.{group_col}").alias("src_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            agree.cast("int").alias("mh_agree"),
+        )
+    )
+    out = pairs.join(inter, ["src_a", "src_b"], "left")
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        n_inter.alias("n_inter"),
+        (
+            n_inter.cast("double")
+            / (F.col("n_a") + F.col("n_b") - n_inter)
+        ).alias("jaccard"),
+        "mh_agree",
+        (F.col("mh_agree") / F.lit(8.0)).alias("jaccard_est"),
+    )
+
+
+def lsh_plan(
+    threshold: float,
+    k_max: int = NUM_MINHASH,
+    fn_weight: float = 10.0,
+) -> dict:
+    """Pick (b bands × r rows) for a MinHash-LSH run targeting a
+    Jaccard threshold — the sizing calculation an operator otherwise
+    does by folklore. For every factorization b·r ≤ k_max, integrate
+    the S-curve p(s) = 1 − (1 − s^r)^b: false-negative mass above the
+    threshold (pairs we OWE the caller — weighted ``fn_weight``×,
+    since the verify stage removes false positives but nothing
+    recovers a missed candidate) plus false-positive mass below it
+    (wasted verify work). Deterministic: fixed 1000-point midpoint
+    grid, ties broken toward more bands (recall) then smaller k.
+
+    Returns {b, r, k, implied_threshold, fn_area, fp_area, cost}:
+    ``implied_threshold`` is the classic (1/b)^(1/r) S-curve midpoint.
+    Driver-side planning only — nothing here touches data."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if k_max < 1:
+        raise ValueError(f"k_max must be >= 1, got {k_max}")
+    best = None
+    n_grid = 1000
+    for r in range(1, k_max + 1):
+        for b in range(1, k_max // r + 1):
+            fn = fp = 0.0
+            for i in range(n_grid):
+                s = (i + 0.5) / n_grid
+                p = 1.0 - (1.0 - s**r) ** b
+                if s >= threshold:
+                    fn += (1.0 - p) / n_grid
+                else:
+                    fp += p / n_grid
+            cost = fn_weight * fn + fp
+            key = (cost, -b, b * r)
+            if best is None or key < best[0]:
+                best = (key, {
+                    "b": b,
+                    "r": r,
+                    "k": b * r,
+                    "implied_threshold": round((1.0 / b) ** (1.0 / r), 6),
+                    "fn_area": round(fn, 6),
+                    "fp_area": round(fp, 6),
+                    "cost": round(cost, 6),
+                })
+    return best[1]

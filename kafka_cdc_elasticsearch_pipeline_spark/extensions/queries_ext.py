@@ -3564,3 +3564,161 @@ def ext_curation_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFr
         temperature_alpha=0.5, temperature_budget=0.5, image_neardup=True,
     )
 
+
+
+# --- round 7 second wave: canonical keepers, LM scoring, corpus audit --------
+
+
+@query(
+    "ext_dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE {_SQL_MINHASH_CTES},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM reach GROUP BY a),
+    allc AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    q AS ({_SQL_QUALITY})
+    SELECT doc_id, component_id, keeper_id, doc_id = keeper_id AS is_keeper
+    FROM (
+      SELECT a.doc_id, a.component_id,
+             first_value(a.doc_id) OVER (
+               PARTITION BY a.component_id
+               ORDER BY q.quality DESC, a.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS keeper_id
+      FROM allc a JOIN q ON q.doc_id = a.doc_id
+    )
+    """,
+    tags=("ext", "dedup", "curation", "canonical"),
+)
+def ext_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (MinHash
+    pairs → connected components) keep their HIGHEST-quality member
+    (ties → smaller doc_id) instead of blind min-id — the policy stage
+    between dedup and sampling in a curation pipeline. One doc-keyed
+    join plus one component-bounded window on top of the existing
+    linear stages."""
+    return dd.cluster_canonical(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_bigram_lm_score",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ),
+    b2 AS MATERIALIZED (SELECT * FROM base WHERE len(w) >= 2),
+    tr AS (SELECT w FROM b2 WHERE split = 'train'),
+    uni AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS c_a
+      FROM tr, unnest(w) AS t(word) GROUP BY word
+    ),
+    vocab AS (SELECT count(*)::BIGINT AS v FROM uni),
+    big AS MATERIALIZED (
+      SELECT a, b, count(*)::BIGINT AS c_ab FROM (
+        SELECT w[i] AS a, w[i + 1] AS b FROM (
+          SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM tr))
+      GROUP BY 1, 2
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, split, i AS pos, w[i] AS a, w[i + 1] AS b FROM (
+        SELECT doc_id, split, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM b2)
+    ),
+    sc AS (
+      SELECT p.doc_id, p.split, p.pos,
+             (coalesce(bg.c_ab, 0) + 1)::DOUBLE / (coalesce(u.c_a, 0) + v.v) AS p,
+             CASE WHEN bg.c_ab IS NULL THEN 1 ELSE 0 END AS oov
+      FROM pos p
+      LEFT JOIN big bg ON bg.a = p.a AND bg.b = p.b
+      LEFT JOIN uni u ON u.word = p.a
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id, split,
+           count(*)::BIGINT AS n_bigrams,
+           sum(oov)::BIGINT AS n_oov,
+           round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate,
+           round(list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                             (x, y) -> x + y) / count(*), 6) AS lm_score
+    FROM sc GROUP BY doc_id, split
+    """,
+    tags=("ext", "text", "lm", "quality"),
+)
+def ext_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: add-1 bigram LM trained on the
+    hash-stable 80% train split scores every document's mean smoothed
+    bigram probability + OOV-bigram rate. Counting is map-side
+    combinable; scoring is vocabulary-sized equi-joins; the per-doc
+    mean is an ordered fold (exact cross-engine — see
+    text.bigram_lm_score for the ln/libm note)."""
+    return tx.bigram_lm_score(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_dedup_corpus_overlap_matrix",
+    f"""
+    WITH docsh AS MATERIALIZED (
+      SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS w FROM documents)
+      WHERE len(w) >= 3
+    ),
+    ex AS MATERIALIZED (
+      SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM docsh
+    ),
+    sizes AS (SELECT source, count(*)::BIGINT AS n FROM ex GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter
+      FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+      SELECT source, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM docsh
+    ),
+    sigs AS (
+      SELECT source, i,
+             min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
+      FROM base, generate_series(0, 7) AS g(i)
+      GROUP BY source, i
+    ),
+    sigv AS (SELECT source, list(sig ORDER BY i) AS sv FROM sigs GROUP BY source),
+    dims AS (SELECT s.source, s.n, v.sv FROM sizes s JOIN sigv v USING (source)),
+    prs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+             list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+               i -> CASE WHEN a.sv[i] = b.sv[i] THEN 1 ELSE 0 END)),
+               (x, y) -> x + y)::INT AS mh_agree
+      FROM dims a JOIN dims b ON a.source < b.source
+    )
+    SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           coalesce(i.n_inter, 0)::DOUBLE
+             / (p.n_a + p.n_b - coalesce(i.n_inter, 0)) AS jaccard,
+           p.mh_agree, p.mh_agree / 8.0 AS jaccard_est
+    FROM prs p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+    """,
+    tags=("ext", "dedup", "corpus", "audit"),
+)
+def ext_dedup_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition audit: per source pair, EXACT shingle-set
+    Jaccard (distinct (source, hash) self equi-join — affordable
+    occasionally) next to the mergeable per-source MinHash estimate
+    (min-fold signatures, the always-on 100 TB path) so the estimate's
+    error is visible in the same row. The pairwise stage is a
+    broadcast over the 20-row source dim."""
+    return dd.corpus_overlap_matrix(_docs(spark, sf_dir))

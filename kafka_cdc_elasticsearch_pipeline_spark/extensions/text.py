@@ -492,3 +492,102 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         F.col("_t.tfidf").alias("tfidf"),
         (F.col("_pos") + 1).cast("int").alias("rank"),
     )
+
+
+def bigram_lm_score(docs: DataFrame, train_pct: int = 80) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-1
+    smoothed bigram LM on the (hash-stable) train split, score EVERY
+    document by its mean smoothed bigram probability plus its
+    out-of-vocabulary bigram rate — the "does this read like the
+    reference corpus" filter a pre-training pipeline runs after the
+    heuristic passes (CCNet trains a 5-gram LM on Wikipedia and buckets
+    by perplexity; same architecture, smaller order).
+
+    p(b|a) = (c(a,b) + 1) / (c(a) + V): every count is an exact int64,
+    each probability is ONE IEEE division, and the per-document mean
+    folds the probabilities in token-position order — bit-identical
+    cross-engine. The production variant sums log-probabilities
+    (geometric mean / perplexity); ln is libm-territory (not
+    correctly-rounded in either engine), so this engine keeps the
+    arithmetic mean — same filter architecture, exactly checkable
+    (the tfidf ratio-idf discipline).
+
+    Scale shape: counting is two map-side-combinable aggregations over
+    the train split's token stream; scoring is two equi-joins of the
+    corpus's bigram stream against the count tables — (a, b)-keyed and
+    a-keyed shuffles whose build sides are vocabulary-sized, far below
+    the corpus, with AQE handling the inevitable hot-bigram skew. The
+    per-doc mean aggregates a doc-bounded array (ordered fold), never
+    a corpus-wide sort.
+
+    Returns (doc_id, split, n_bigrams, n_oov, oov_rate, lm_score) for
+    every document with ≥ 2 tokens; the holdout rows are the actual
+    use case (scored by a model they never trained).
+    """
+    wf = F.filter(words("text"), lambda t: t != "")
+    bucket = (
+        F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)")
+        % 100
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            wf.alias("w"),
+            F.when(bucket < train_pct, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+        .filter(F.size("w") >= 2)
+    )
+    train = base.filter(F.col("split") == "train")
+    uni = (
+        train.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    bigram_pairs = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+    )
+    big = (
+        train.select(F.explode(bigram_pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("v"))
+    pos = (
+        base.select("doc_id", "split", F.posexplode(bigram_pairs).alias("pos", "p"))
+        .select("doc_id", "split", "pos", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    scored = (
+        pos.join(big, ["a", "b"], "left")
+        .join(uni.withColumnRenamed("word", "a"), "a", "left")
+        .crossJoin(F.broadcast(vocab_n))  # 1-row scalar
+        .select(
+            "doc_id",
+            "split",
+            "pos",
+            (
+                (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v"))
+            ).alias("p"),
+            F.when(F.col("c_ab").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    per = scored.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.array_sort(F.collect_list(F.struct("pos", "p"))).alias("ps"),
+    )
+    fold = F.aggregate(
+        F.col("ps"), F.lit(0.0), lambda acc, s: acc + s["p"]
+    )
+    return per.select(
+        "doc_id",
+        "split",
+        "n_bigrams",
+        "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_bigrams"), 6).alias("oov_rate"),
+        F.round(fold / F.col("n_bigrams"), 6).alias("lm_score"),
+    )

@@ -1153,3 +1153,174 @@ def test_temperature_resample_survives_caller_cutoff_column(spark):
         temperature_resample(
             df.withColumnRenamed("cutoff", "__tr_cutoff"), "source", "doc_id"
         )
+
+
+# --- round-7 second wave: canonical keepers, LM scoring, corpus audit --------
+
+
+def test_cluster_canonical_keeps_highest_quality_not_min_id(spark):
+    """Two near-dups where the HIGHER id is the cleaner copy: doc 11
+    carries doubled whitespace (same word sequence, so Jaccard = 1.0,
+    but more chars → lower alpha_ratio → lower quality). Min-id would
+    keep 11; the quality policy must keep 12."""
+    clean = "the quick brown fox jumps over the lazy dog near the river bank"
+    noisy = clean.replace(" ", "  ")  # same words, lower quality
+    rows = [
+        (11, noisy, "en"),
+        (12, clean, "en"),
+        (30, "completely unrelated text about quantum chromodynamics lattice", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in dd.cluster_canonical(docs).collect()}
+    assert len(out) == 3
+    assert out[11].component_id == 11 and out[12].component_id == 11
+    assert out[11].keeper_id == 12 and out[12].keeper_id == 12
+    assert not out[11].is_keeper and out[12].is_keeper
+    # singleton is its own keeper
+    assert out[30].keeper_id == 30 and out[30].is_keeper
+
+
+def test_cluster_canonical_one_keeper_per_component(spark, docs):
+    out = dd.cluster_canonical(docs)
+    per_comp = (
+        out.groupBy("component_id")
+        .agg(F.sum(F.col("is_keeper").cast("int")).alias("nk"))
+        .collect()
+    )
+    assert all(r.nk == 1 for r in per_comp)
+    assert out.count() == docs.count()
+
+
+def test_corpus_overlap_matrix_identical_and_disjoint_sources(spark):
+    """Sources A and B hold identical text, C is disjoint: the exact
+    Jaccard must be 1.0 / 0.0 and the MinHash estimate must agree on
+    the identical pair (identical shingle sets → identical sigs)."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, t1, "A"), (2, t2, "A"),
+        (3, t1, "B"), (4, t2, "B"),
+        (5, "red orange yellow green blue indigo violet ultraviolet", "C"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {(r.src_a, r.src_b): r for r in dd.corpus_overlap_matrix(docs).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab.n_a == ab.n_b == ab.n_inter and ab.jaccard == 1.0
+    assert ab.mh_agree == 8 and ab.jaccard_est == 1.0
+    ac = out[("A", "C")]
+    assert ac.n_inter == 0 and ac.jaccard == 0.0
+
+
+def _lm_reference(rows, train_pct=80):
+    """Plain-python replica of bigram_lm_score for planted fixtures."""
+    import hashlib
+    import re
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 100
+        return "train" if b < train_pct else "holdout"
+
+    toks = {
+        d: [t for t in re.split(r"\s+", txt.lower()) if t != ""]
+        for d, txt in rows
+    }
+    toks = {d: w for d, w in toks.items() if len(w) >= 2}
+    uni: dict = {}
+    big: dict = {}
+    for d, w in toks.items():
+        if split_of(d) != "train":
+            continue
+        for t in w:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    exp = {}
+    for d, w in toks.items():
+        ps, oov = [], 0
+        for a, b in zip(w, w[1:]):
+            c_ab = big.get((a, b))
+            if c_ab is None:
+                oov += 1
+            ps.append(((c_ab or 0) + 1) / (uni.get(a, 0) + v))
+        s = 0.0
+        for p in ps:  # ordered fold, same as both engines
+            s += p
+        n = len(ps)
+        exp[d] = (split_of(d), n, oov, round(oov / n, 6), round(s / n, 6))
+    return exp
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    rows = [
+        (i, txt)
+        for i, txt in enumerate(
+            [
+                "the cat sat on the mat",
+                "the cat sat on the hat",
+                "the dog sat on the mat",
+                "a cat and a dog sat",
+                "zzz qqq www vvv uuu",
+                "the cat",
+                "single",
+            ]
+            * 3
+        )
+    ]
+    # *3 re-uses texts under fresh ids so both splits are populated
+    docs = spark.createDataFrame(
+        [(d, t, "en") for d, t in rows], "doc_id bigint, text string, lang string"
+    )
+    got = {
+        r.doc_id: (r.split, r.n_bigrams, r.n_oov, r.oov_rate, r.lm_score)
+        for r in tx.bigram_lm_score(docs).collect()
+    }
+    exp = _lm_reference(rows)
+    assert got == exp
+    # both splits must actually be exercised by the fixture
+    assert {s for s, *_ in got.values()} == {"train", "holdout"}
+
+
+def test_bigram_lm_score_oov_doc_scores_below_in_vocab_doc(spark):
+    """The filter's point: a holdout doc made of train-vocabulary
+    bigrams outscores gibberish the LM never saw."""
+    rows = [(i, "the cat sat on the mat and the dog sat on the mat") for i in range(30)]
+    # 104 and 113 hash into the holdout bucket (md5 % 100 >= 80)
+    rows += [(104, "the cat sat on the mat"), (113, "zzz qqq www vvv uuu ttt")]
+    docs = spark.createDataFrame(
+        [(d, t, "en") for d, t in rows], "doc_id bigint, text string, lang string"
+    )
+    out = {r.doc_id: r for r in tx.bigram_lm_score(docs).collect()}
+    assert out[104].split == "holdout" and out[113].split == "holdout"
+    assert out[104].lm_score > out[113].lm_score
+    assert out[113].oov_rate == 1.0
+
+
+def test_lsh_plan_recovers_engine_default_shape():
+    """At the engine's own operating point (t=0.4, k=8) the planner
+    must land on a low-r high-recall shape; its implied threshold must
+    sit below the target (candidates err toward recall)."""
+    plan = dd.lsh_plan(0.4, k_max=8)
+    assert plan["b"] * plan["r"] == plan["k"] <= 8
+    assert plan["r"] <= 2
+    assert plan["implied_threshold"] <= 0.4 + 0.1
+
+
+def test_lsh_plan_higher_threshold_means_more_rows_per_band():
+    """Raising the target similarity must (weakly) raise r — the
+    S-curve steepens to reject the now-larger dissimilar mass."""
+    rs = [dd.lsh_plan(t, k_max=16)["r"] for t in (0.2, 0.5, 0.8)]
+    assert rs == sorted(rs)
+    assert rs[-1] > rs[0]
+
+
+def test_lsh_plan_validates_inputs():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dd.lsh_plan(0.0)
+    with _pt.raises(ValueError):
+        dd.lsh_plan(1.2)
+    with _pt.raises(ValueError):
+        dd.lsh_plan(0.5, k_max=0)

@@ -397,3 +397,34 @@ def test_reservoir_plans_map_side_window_group_limit(plans):
     assert "CartesianProduct" not in p
     assert p.count("WindowGroupLimit") >= 2  # Partial + Final
     assert "Partial" in p.split("WindowGroupLimit")[2]
+
+
+def test_cluster_canonical_no_cartesian_window_on_component(plans):
+    """Canonical keeper selection: the quality join is doc-keyed, the
+    keeper pick is a component-partitioned window — corpus × corpus
+    never appears anywhere in the composed plan."""
+    p = plans("ext_dedup_cluster_canonical")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_bigram_lm_joins_are_equi_no_cartesian(plans):
+    """LM scoring: bigram and unigram lookups are hash equi-joins; the
+    only nested-loop is the broadcast 1-row vocabulary scalar."""
+    p = plans("ext_text_bigram_lm_score")
+    assert "CartesianProduct" not in p
+    # the V scalar is the single permitted nested-loop (1-row build)
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_corpus_overlap_exact_path_is_hash_equijoin(plans):
+    """Corpus overlap: the exact-intersection self-join meets on the
+    shingle hash (equi), never corpus × corpus; the one nested-loop is
+    the 20-row source-dim pairing (a catalog, not data)."""
+    p = plans("ext_dedup_corpus_overlap_matrix")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
