@@ -136,6 +136,14 @@ def main() -> int:
         "stratified_sample": lambda d: stratified_sample(
             _with_source(d), "source", "doc_id", {"src0": 0.1, "src1": 0.5}, 0.9
         ).count(),
+        # r07 second wave: keeper policy (components + window), LM
+        # scoring (vocab-sized equi-joins + ordered fold), corpus audit
+        # (distinct (source,hash) equi-join + mergeable signatures)
+        "cluster_canonical": lambda d: dd.cluster_canonical(d).count(),
+        "bigram_lm_score": lambda d: tx.bigram_lm_score(d).count(),
+        "corpus_overlap_matrix": lambda d: dd.corpus_overlap_matrix(
+            _with_source(d)
+        ).count(),
     }
     vec_ops = {
         # 16-bit bands (bits=32): 8-bit bands degenerate quadratically past
@@ -205,6 +213,14 @@ def main() -> int:
         with open(args.out) as f:
             old = f.read()
         for marker in (
+            # earliest-first: preserve every section another probe (or a
+            # round's manual finding) owns — regenerating this tool's
+            # table must never eat them
+            "\n## Finding: SemDeDup under planted label skew",
+            "\n## Finding: old vs new stateful API cost",
+            "\n## Finding: sketch shuffle volume",
+            "\n## Lake commit scaling",
+            "\n## Round-7 second wave",
             "\n## Media decode + skew join scaling",
             "\n## Fact-table scale probe",
         ):
