@@ -3612,9 +3612,7 @@ def ext_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cluster_canonical(_docs(spark, sf_dir))
 
 
-@query(
-    "ext_text_bigram_lm_score",
-    """
+_SQL_BIGRAM_LM = """
     WITH base AS MATERIALIZED (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w,
@@ -3656,7 +3654,12 @@ def ext_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
                              (x, y) -> x + y) / count(*), 6) AS lm_score
     FROM sc GROUP BY doc_id, split
-    """,
+    """
+
+
+@query(
+    "ext_text_bigram_lm_score",
+    _SQL_BIGRAM_LM,
     tags=("ext", "text", "lm", "quality"),
 )
 def ext_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3722,3 +3725,24 @@ def ext_dedup_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     error is visible in the same row. The pairwise stage is a
     broadcast over the 20-row source dim."""
     return dd.corpus_overlap_matrix(_docs(spark, sf_dir))
+
+
+@query(
+    "ext_text_lm_quality_buckets",
+    f"""
+    WITH lm AS MATERIALIZED ({_SQL_BIGRAM_LM}),
+    cuts AS (SELECT quantile_cont(lm_score, [1.0 / 3, 2.0 / 3]) AS c FROM lm)
+    SELECT doc_id, split, lm_score,
+           CASE WHEN lm_score > c[2] THEN 'head'
+                WHEN lm_score > c[1] THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm, cuts
+    """,
+    tags=("ext", "text", "lm", "curation"),
+)
+def ext_text_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: LM-score tertile cutoffs from
+    ONE percentile aggregation, broadcast back for a per-row bucket
+    assignment — never a global rank sort. Composes the trained bigram
+    LM end-to-end: train → score → bucket."""
+    return tx.lm_quality_buckets(_docs(spark, sf_dir))

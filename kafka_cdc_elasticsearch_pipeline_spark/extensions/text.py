@@ -591,3 +591,35 @@ def bigram_lm_score(docs: DataFrame, train_pct: int = 80) -> DataFrame:
         F.round(F.col("n_oov").cast("double") / F.col("n_bigrams"), 6).alias("oov_rate"),
         F.round(fold / F.col("n_bigrams"), 6).alias("lm_score"),
     )
+
+
+def lm_quality_buckets(docs: DataFrame, train_pct: int = 80) -> DataFrame:
+    """CCNet's final stage: bucket every document into head / middle /
+    tail thirds by its LM quality score (CCNet splits the corpus into
+    perplexity tertiles and trains preferentially on the head). The
+    two cutoffs are ONE interpolated-percentile aggregation broadcast
+    back over the corpus — never a global row_number sort, which is
+    the tempting-but-wrong plan at 100 TB (the cutoff aggregation is
+    map-side combinable; the bucket assignment is a per-row
+    comparison). Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (both R-7 linear interpolation — the equivalence the
+    a_quantiles_per_channel gate row already pins on this host).
+
+    Higher lm_score = more like the training corpus = head.
+    """
+    lm = bigram_lm_score(docs, train_pct)
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    lm = reuse(lm)
+    cuts = lm.agg(
+        F.expr("percentile(lm_score, array(1.0D / 3, 2.0D / 3))").alias("c")
+    )
+    return lm.crossJoin(F.broadcast(cuts)).select(  # 1-row scalar
+        "doc_id",
+        "split",
+        "lm_score",
+        F.when(F.col("lm_score") > F.col("c")[1], F.lit("head"))
+        .when(F.col("lm_score") > F.col("c")[0], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
