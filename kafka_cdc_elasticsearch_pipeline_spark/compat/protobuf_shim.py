@@ -82,6 +82,12 @@ class _ProtobufAliasFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
     def find_spec(self, fullname, path=None, target=None):
         if fullname != "google" and not fullname.startswith("google.protobuf"):
             return None
+        if fullname == "google":
+            # The finder sits at meta_path[0]; only claim the bare
+            # ``google`` namespace when nothing real provides it — a
+            # genuine namespace package (google.auth, …) must win.
+            if importlib.machinery.PathFinder.find_spec("google") is not None:
+                return None
         return importlib.machinery.ModuleSpec(fullname, self, is_package=True)
 
     def create_module(self, spec):
@@ -130,7 +136,15 @@ def ensure_protobuf() -> bool:
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     if _VENDOR_ROOT not in sys.path:
         sys.path.append(_VENDOR_ROOT)  # append: never shadow real packages
-    sys.meta_path.append(_ProtobufAliasFinder())
+    # insert(0), not append: a dotted ``import google.protobuf.X``
+    # resolves the submodule via the meta_path ORDER, and PathFinder
+    # (searching the aliased parent's vendor __path__) would otherwise
+    # win and execute the file a SECOND time under the google.* name —
+    # two module objects, duplicate descriptor-pool registration.  The
+    # finder only ever matches google/google.protobuf* names, and this
+    # branch is only reached after the real-install check above failed,
+    # so nothing genuine is shadowed.
+    sys.meta_path.insert(0, _ProtobufAliasFinder())
     # Eagerly alias the package itself: worker processes can carry a
     # file-less ``google.protobuf`` namespace portion on sys.path that
     # PathFinder resolves ahead of our appended finder — a sys.modules

@@ -911,7 +911,7 @@ def corpus_overlap_matrix(docs: DataFrame, group_col: str = "source") -> DataFra
             / (F.col("n_a") + F.col("n_b") - n_inter)
         ).alias("jaccard"),
         "mh_agree",
-        (F.col("mh_agree") / F.lit(8.0)).alias("jaccard_est"),
+        (F.col("mh_agree") / F.lit(float(NUM_MINHASH))).alias("jaccard_est"),
     )
 
 

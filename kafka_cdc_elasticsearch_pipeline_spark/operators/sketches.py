@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_RESERVED = ("row_idx", "bucket", "cnt")
+_RESERVED = ("row_idx", "bucket", "cnt", "__cms_rid")
 
 
 def cms_coords(key: Column, depth: int, width: int, salt: str = "cms") -> Column:
@@ -96,20 +96,27 @@ def cms_estimate(
     ``cms_estimate`` = min over the key's d counters. The sketch side
     is broadcast (d×w rows by construction), so the probe is a
     map-side join — no shuffle of the probe set beyond the final
-    per-key min (which groups on the probe's own rows)."""
+    per-key min (which groups on the probe's own rows).
+
+    Output cardinality == input cardinality: the min-fold groups on a
+    generated per-row id, so duplicate probe rows and NULL-key rows
+    each keep their own output row instead of collapsing."""
     for col in _RESERVED:
         if col in keys_df.columns:
             raise ValueError(
                 f"probe column {col!r} collides with the sketch schema; "
                 "rename it before cms_estimate"
             )
-    probes = keys_df.select(
+    probes = keys_df.withColumn(
+        "__cms_rid", F.monotonically_increasing_id()
+    ).select(
         "*", F.explode(cms_coords(F.col(key_col), depth, width, salt)).alias("__cms_c")
     ).select("*", "__cms_c.row_idx", "__cms_c.bucket").drop("__cms_c")
     return (
         probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
-        .groupBy(*keys_df.columns)
+        .groupBy("__cms_rid", *keys_df.columns)
         # A key that was sketched always hits a counter ≥ its true
         # count; coalesce(0) only fires for never-seen probe keys.
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+        .drop("__cms_rid")
     )

@@ -756,6 +756,7 @@ def merge_upsert_cdf(
     tiebreak: str | None = None,
     max_retries: int = 3,
     stat_cols: Sequence[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """CDC MERGE with a row-level CHANGE DATA FEED (Delta CDF): commits
     the merged snapshot like :func:`merge_upsert_versioned` AND stages
@@ -776,7 +777,14 @@ def merge_upsert_cdf(
 
     At 100 TB this is what makes incremental downstream maintenance
     (:mod:`..operators.ivm`) possible: consumers apply O(changed rows)
-    per commit instead of recomputing over O(table)."""
+    per commit instead of recomputing over O(table).
+
+    ``txn`` — ``(app_id, batch_id)`` — recorded in the manifest like
+    :func:`commit`'s; a sink can read the watermark back and skip a
+    redelivered batch BEFORE merging (see
+    ``streaming.lake_sink.lake_ivm_sink``) instead of relying on the
+    merge being a value-level no-op, which would still burn a source
+    version per replay."""
     from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
 
     key_list = list(keys)
@@ -831,6 +839,7 @@ def merge_upsert_cdf(
                 expect_parent=parent,
                 stat_cols=stat_cols,
                 change_dir=change_dir,
+                txn=txn,
             )
         except CommitConflict:
             # staged data + change dirs are unreferenced debris;
@@ -853,18 +862,34 @@ def read_row_changes(
     commits synthesize ``insert`` rows from their delta dirs (an
     append IS its own change feed); any other commit without a change
     dir (merge without CDF, compact, purge) raises — the feed refuses
-    to guess, same contract as :func:`read_changes`."""
+    to guess, same contract as :func:`read_changes`. A range whose
+    manifests or change dirs :func:`vacuum` has reclaimed raises the
+    same re-read-snapshot ValueError rather than a raw path error."""
     head = latest_version(table)
     if head is None:
         raise FileNotFoundError(f"no committed version in {table}")
     to_v = head if to_version is None else to_version
     parts: list[DataFrame] = []
     for v in range(from_version + 1, to_v + 1):
-        manifest = read_manifest(table, v)
+        try:
+            manifest = read_manifest(table, v)
+        except (FileNotFoundError, OSError) as e:
+            raise ValueError(
+                f"version {v}'s manifest has been vacuumed — the change "
+                "feed before the retention window is gone; re-read the "
+                f"snapshot and resume from version {head}"
+            ) from e
         if manifest.get("content_identical"):
             continue  # layout-only rewrite (compact/Z-order): no row changes
         if manifest.get("change_dir"):
-            part = spark.read.parquet(os.path.join(table, manifest["change_dir"]))
+            cd = os.path.join(table, manifest["change_dir"])
+            if not os.path.isdir(cd):
+                raise ValueError(
+                    f"version {v}'s change feed has been vacuumed — "
+                    "re-read the snapshot and resume from version "
+                    f"{head}"
+                )
+            part = spark.read.parquet(cd)
         elif manifest["operation"] in ("append", "txn_append"):
             parent_dirs = (
                 set(read_manifest(table, manifest["parent"])["data_dirs"])

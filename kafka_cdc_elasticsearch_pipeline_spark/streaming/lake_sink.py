@@ -91,24 +91,40 @@ def lake_ivm_sink(
     follows the stream at O(changed rows) per micro-batch while the
     base table is never re-aggregated.
 
-    Crash safety without a second checkpoint: the view's manifest
-    carries an ``app_id`` transaction watermark = the highest SOURCE
-    version folded in. Each batch folds every unapplied version
-    ``(applied, v]`` — a crash between the source commit and the view
-    commit replays as a catch-up, a redelivered batch whose version is
-    already ≤ the watermark skips the fold entirely, and the fold +
-    watermark land in ONE atomic view commit. (The view snapshot is
-    rewritten per refresh — it is aggregate-sized by construction;
-    the O(delta) economics live on the source side.)"""
+    Crash safety without a second checkpoint, via TWO watermarks:
+
+    - the SOURCE manifest carries ``(app_id, batch_id)`` — a
+      redelivered micro-batch is recognized BEFORE merging and skips
+      the merge entirely (no replay-burned source versions);
+    - the VIEW manifest carries ``(app_id, source_version)`` = the
+      highest source version folded in. Each batch folds every
+      unapplied version ``(applied, v]`` — a crash between the source
+      commit and the view commit replays as a catch-up, a fully
+      applied redelivery returns without touching either table, and
+      the fold + watermark land in ONE atomic view commit. (The view
+      snapshot is rewritten per refresh — it is aggregate-sized by
+      construction; the O(delta) economics live on the source side.)"""
     from kafka_cdc_elasticsearch_pipeline_spark.operators.ivm import (
         delta_aggregate,
         ivm_merge,
     )
 
     def sink(batch_df: DataFrame, batch_id: int):
-        v = lakelog.merge_upsert_cdf(
-            spark, source_table, batch_df, keys, ts_col, tiebreak=tiebreak
-        )
+        src_head = lakelog.latest_version(source_table)
+        src_wm = -1
+        if src_head is not None:
+            src_wm = (
+                lakelog.read_manifest(source_table, src_head)
+                .get("txns", {})
+                .get(app_id, -1)
+            )
+        if batch_id <= src_wm:
+            v = src_head  # redelivered batch: the merge already landed
+        else:
+            v = lakelog.merge_upsert_cdf(
+                spark, source_table, batch_df, keys, ts_col,
+                tiebreak=tiebreak, txn=(app_id, batch_id),
+            )
         view_v = lakelog.latest_version(view_table)
         applied = 0
         view = None

@@ -236,8 +236,9 @@ def test_ivm_sink_catches_up_after_crash_between_commits(spark, tmp_path):
 
 
 def test_ivm_sink_skips_redelivered_batch(spark, tmp_path):
-    """Redelivery: replaying an identical batch produces a no-change
-    source version (empty feed) and the view value is unchanged."""
+    """Redelivery: the source txn watermark recognizes the replayed
+    batch_id BEFORE merging — no new source version is burned and the
+    view value is unchanged."""
     from kafka_cdc_elasticsearch_pipeline_spark.streaming.lake_sink import (
         lake_ivm_sink,
     )
@@ -250,9 +251,12 @@ def test_ivm_sink_skips_redelivered_batch(spark, tmp_path):
     batch = _batch(spark, [(1, 10, 100, "a", 1.0), (2, 10, 101, "b", 2.0)])
     sink(batch, 0)
     before = sorted(map(tuple, lakelog.read(spark, view_t).collect()))
+    src_head = lakelog.latest_version(src)
     sink(batch, 0)  # redelivered verbatim
     after = sorted(map(tuple, lakelog.read(spark, view_t).collect()))
     assert before == after
+    # the replay was skipped at the source watermark — zero versions
+    assert lakelog.latest_version(src) == src_head
 
 
 def test_feed_skips_content_identical_compact(spark, tmp_path):

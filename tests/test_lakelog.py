@@ -401,3 +401,20 @@ def test_txn_append_rebase_rechecks_watermark(spark, tmp_path):
     # the loser's staged dir is orphaned (vacuum's job), never referenced
     head = lakelog.read_manifest(table, lakelog.latest_version(table))
     assert len(head["data_dirs"]) == 2
+
+
+def test_read_row_changes_after_vacuum_raises_resume_signal(spark, tmp_path):
+    """A change-feed range vacuum has reclaimed fails with the same
+    clear 're-read the snapshot' ValueError as a feed-less commit —
+    never a raw parquet path error (round-7 advice)."""
+    table = str(tmp_path / "t")
+    for i in range(1, 4):
+        lakelog.merge_upsert_cdf(
+            spark, table, _rows(spark, [(i, 10 * i, 100 + i)]),
+            ["user_id"], "ts", tiebreak="event_id",
+        )
+    lakelog.vacuum(table, keep_last=1, min_age_s=0)
+    with pytest.raises(ValueError, match="vacuumed.*re-read the snapshot"):
+        lakelog.read_row_changes(spark, table, 0)
+    # the retained head version is still fully readable
+    assert lakelog.read(spark, table).count() == 3

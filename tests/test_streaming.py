@@ -699,3 +699,31 @@ def test_dedup_within_watermark_bounds_state(spark, sf_dir):
         assert 0 < state_rows < total // 2, state_rows
     finally:
         cleanup(tmp)
+
+
+def test_protobuf_shim_shared_identity_across_import_styles():
+    """`import google.protobuf.X` (dotted) and `from google.protobuf
+    import X` must yield the SAME module object — the alias finder
+    sits ahead of PathFinder, so the dotted form can't re-execute the
+    vendored file under the google.* name (duplicate descriptor-pool
+    registration; round-7 advice). Skips where a REAL protobuf is
+    installed (then the shim never engages and identity is trivial)."""
+    import importlib
+    import sys
+
+    import pytest
+
+    from kafka_cdc_elasticsearch_pipeline_spark.compat import protobuf_shim
+
+    if not protobuf_shim.ensure_protobuf():
+        pytest.skip("no python protobuf and no vendorable copy on this host")
+    if not protobuf_shim._installed:
+        pytest.skip("real protobuf install: shim not engaged")
+    _VENDOR_PKG = protobuf_shim._VENDOR_PKG
+    dotted = importlib.import_module("google.protobuf.duration_pb2")
+    from google.protobuf import duration_pb2 as from_style
+
+    vendored = importlib.import_module(_VENDOR_PKG + ".duration_pb2")
+    assert dotted is from_style is vendored
+    # and the package itself is one object under both names
+    assert sys.modules["google.protobuf"] is sys.modules[_VENDOR_PKG]
