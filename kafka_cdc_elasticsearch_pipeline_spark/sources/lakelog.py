@@ -1244,9 +1244,20 @@ def compact(
     """Rewrite the latest snapshot as ONE data directory and commit it
     (the Delta OPTIMIZE / Iceberg rewrite-data-files twin): contents
     identical, data-dir count back to 1, prior versions still readable
-    until :func:`vacuum` reclaims them. Races against concurrent
-    appends resolve by retrying over the new parent — compaction never
-    loses rows because it only rewrites what the parent referenced.
+    until :func:`vacuum` reclaims them.
+
+    Concurrency (round-7 verdict #7): the rewrite is STAGED once; when
+    an append races it, the retry REBASES rather than recompacting —
+    every version between the staged parent and the new head that is
+    additive (``append`` / ``txn_append``) commutes with a layout-only
+    rewrite, so the new commit links the already-staged compacted dir
+    PLUS the racers' delta dirs (compact(parent) ∪ deltas ≡ head,
+    still ``content_identical``). The appender is never blocked (its
+    own rebase is independent), no version is lost, and the 100 TB
+    rewrite job never runs twice because someone appended a micro-
+    batch mid-flight. Only a NON-additive racer (merge / purge /
+    another compact) forces a restage, because its commit rewrote rows
+    the staged dir no longer represents.
 
     ``cluster_by`` turns the rewrite into Delta's ``OPTIMIZE ZORDER
     BY``: rows are range-partitioned and sorted by :func:`zorder_key`
@@ -1255,29 +1266,57 @@ def compact(
     tight on every clustered column and :func:`read`'s file skipping
     is effective on each of them. ``n_files`` caps the rewritten file
     count (default 8)."""
+    def _additive_since(base: int, head: int) -> bool:
+        return all(
+            read_manifest(table, v)["operation"] in ("append", "txn_append")
+            for v in range(base + 1, head + 1)
+        )
+
+    staged_parent: int | None = None
+    staged_dir: str | None = None
+    stats_entry: dict | None = None
     for _ in range(max_retries + 1):
-        parent = latest_version(table)
-        if parent is None:
+        head = latest_version(table)
+        if head is None:
             raise FileNotFoundError(f"no committed version in {table}")
-        snapshot = read(spark, table, parent)
-        if cluster_by:
-            key = zorder_key(snapshot, cluster_by, bits=zorder_bits)
-            snapshot = (
-                snapshot.withColumn("__z", key)
-                .repartitionByRange(n_files or 8, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
+        if staged_parent is None or not _additive_since(staged_parent, head):
+            # (re)compact the full snapshot at the current head. The
+            # abandoned previous stage (non-additive race only) is
+            # unreferenced debris; vacuum reclaims it.
+            snapshot = read(spark, table, head)
+            if cluster_by:
+                key = zorder_key(snapshot, cluster_by, bits=zorder_bits)
+                snapshot = (
+                    snapshot.withColumn("__z", key)
+                    .repartitionByRange(n_files or 8, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif n_files:
+                snapshot = snapshot.repartition(n_files)
+            staged_dir, stats_entry, _ = _stage_data_dir(
+                table, snapshot, stat_cols, bloom_cols, BLOOM_BITS
             )
-        elif n_files:
-            snapshot = snapshot.repartition(n_files)
+            staged_parent = head
+            inherit: list[str] = []
+        else:
+            # rebase: the head advanced by appends only — inherit the
+            # delta dirs committed since the stage, rewrite nothing.
+            base_dirs = set(read_manifest(table, staged_parent)["data_dirs"])
+            inherit = [
+                d
+                for d in read_manifest(table, head)["data_dirs"]
+                if d not in base_dirs
+            ]
         try:
-            return commit(
+            return _link_version(
                 table,
-                snapshot,
-                "compact",
-                expect_parent=parent,
-                stat_cols=stat_cols,
-                bloom_cols=bloom_cols,
+                parent=head,
+                operation="compact",
+                data_dir=staged_dir,
+                inherit_dirs=inherit,
+                stats_entry=stats_entry,
+                txn=None,
                 content_identical=True,
             )
         except CommitConflict:
