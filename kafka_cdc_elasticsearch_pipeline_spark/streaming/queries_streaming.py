@@ -926,6 +926,76 @@ def t_checkpoint_recovery_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_state_schema_evolution_tws_v2",
+    """
+    WITH agg AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(floor(value) AS BIGINT))::BIGINT AS total_units
+      FROM events GROUP BY user_id
+    ),
+    last AS (
+      SELECT user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             round(value, 2)::DECIMAL(18,2)::VARCHAR AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.n_events, a.total_units, l.last_ts, l.last_value
+    FROM agg a JOIN last l ON a.user_id = l.user_id
+    """,
+    tags=(
+        "streaming", "stateful", "transformWithStateInPandas", "spark4",
+        "schema-evolution", "recovery",
+    ),
+)
+def t_state_schema_evolution_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE SCHEMA EVOLUTION on the v2 API — the stated reason
+    transformWithStateInPandas exists beyond typed state and timers
+    (round-7 verdict #6). Run 1 writes the 5-field profile ValueState
+    for 3 of 8 replay micro-batches under Avro state encoding; run 2
+    restarts from the SAME checkpoint with the state widened by a
+    trailing ``units_plus_n`` column. Avro schema resolution must
+    decode every pre-evolution row with the added field null; the
+    evolved processor backfills it from the surviving fields and
+    checks ``units_plus_n == n_events + total_units`` on every
+    subsequent read — a wrong default or field misalignment poisons
+    ``n_events`` and fails the hash, while a decode refusal kills the
+    restarted query outright. Same batch oracle as the recovery rows:
+    an evolved restart must also still resume the accumulations
+    exactly."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.recovery import (
+        kill_and_resume,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        avro_state_encoding,
+        require_protobuf,
+        rocksdb_state_store,
+        user_profile_stream_v2,
+        user_profile_stream_v2_evolved,
+    )
+
+    require_protobuf()
+    with rocksdb_state_store(spark), avro_state_encoding(spark):
+        compacted = kill_and_resume(
+            spark, sf_dir, "events", user_profile_stream_v2, ["user_id"],
+            chunks=8, kill_after=3,
+            agg_builder2=user_profile_stream_v2_evolved,
+        )
+    return compacted.select(
+        "user_id",
+        "n_events",
+        "total_units",
+        F.date_format(
+            F.timestamp_micros(F.col("last_ts_us")).cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("last_ts"),
+        F.round("last_value", 2).cast("decimal(18,2)").cast("string").alias("last_value"),
+    )
+
+
+@query(
     "t6_watermark_late_eviction",
     """
     SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS window_start,

@@ -233,6 +233,127 @@ def user_profile_stream_v2(events: DataFrame) -> DataFrame:
     )
 
 
+class avro_state_encoding:
+    """Context manager: Avro state-store encoding — the prerequisite
+    for STATE SCHEMA EVOLUTION (the UnsafeRow default is positional
+    and refuses any schema change; Avro resolves old state rows
+    against the new reader schema, nulling added fields). Must be on
+    from the FIRST run of a query that will later evolve."""
+
+    _KEY = "spark.sql.streaming.stateStore.encodingFormat"
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._old: str | None = None
+
+    def __enter__(self):
+        try:
+            self._old = self._spark.conf.get(self._KEY)
+        except Exception:
+            self._old = None
+        self._spark.conf.set(self._KEY, "avro")
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._old is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._old)
+
+
+#: ProfileProcessor's state plus one ADDED trailing field — the shape
+#: of a live migration: ``units_plus_n`` is derivable from the fields
+#: that were always tracked, so the evolved processor can BACKFILL it
+#: on first touch of a pre-evolution key and the final output stays
+#: independent of where the schema change happened.
+#: Field names must MATCH the v1 schema exactly — Avro resolves state
+#: rows by name, so a renamed field silently reads as null (verified:
+#: naming these ``event_id``/``value`` nulled the old rows' values).
+EVOLVED_PROFILE_STATE_SCHEMA = PROFILE_STATE_SCHEMA + ", units_plus_n bigint"
+
+
+class EvolvedProfileProcessor(StatefulProcessor):
+    """ProfileProcessor after a STATE SCHEMA EVOLUTION: same fold,
+    state widened by a trailing ``units_plus_n`` column. Old 5-field
+    state rows written before the evolution decode under the 6-field
+    reader schema with the added field null (Avro resolution); the
+    processor backfills it from the surviving fields and maintains it
+    incrementally afterwards.
+
+    The invariant ``units_plus_n == n + units`` is checked on every
+    read: a violated backfill (wrong default, field misalignment,
+    stale decode) POISONS ``n_events`` so the gate row's hash check
+    against the batch oracle fails loudly instead of silently passing
+    on the 5 unchanged columns."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "profile", EVOLVED_PROFILE_STATE_SCHEMA
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._state.get() if self._state.exists() else None
+        if cur is None:
+            n, units, ts_us, eid, val = 0, 0, -1, -1, 0.0
+        else:
+            n, units, ts_us, eid, val = (
+                int(cur[0]), int(cur[1]), int(cur[2]), int(cur[3]),
+                float(cur[4]),
+            )
+            combo = cur[5]
+            if combo is None:
+                combo = n + units  # pre-evolution row: backfill
+            if int(combo) != n + units:
+                n = -(10**15)  # poison: evolution mangled the state
+        for pdf in rows:
+            n += len(pdf)
+            units += int(pdf["units"].sum())
+            latest = pdf[pdf["ts_us"] == pdf["ts_us"].max()]
+            row = latest.loc[latest["event_id"].idxmax()]
+            if (int(row["ts_us"]), int(row["event_id"])) > (ts_us, eid):
+                ts_us, eid, val = (
+                    int(row["ts_us"]),
+                    int(row["event_id"]),
+                    float(row["value"]),
+                )
+        self._state.update((n, units, ts_us, eid, val, n + units))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_units": [units],
+                "last_ts_us": [ts_us],
+                "last_event_id": [eid],
+                "last_value": [val],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_stream_v2_evolved(events: DataFrame) -> DataFrame:
+    """The evolved-schema twin of :func:`user_profile_stream_v2` —
+    same projection and output schema, state widened by one field.
+    Restart THIS builder over the checkpoint the original wrote (under
+    :class:`avro_state_encoding`) to exercise state schema evolution."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor("value").cast("long").alias("units"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EvolvedProfileProcessor(),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class EventTypeCountsProcessor(StatefulProcessor):
     """Per-user MAP state on the v2 API: one MapState entry per event
     type holding its running count — the state shape ksqlDB gives a

@@ -727,3 +727,58 @@ def test_protobuf_shim_shared_identity_across_import_styles():
     assert dotted is from_style is vendored
     # and the package itself is one object under both names
     assert sys.modules["google.protobuf"] is sys.modules[_VENDOR_PKG]
+
+
+def test_state_schema_evolution_v2_resumes_exactly(spark, sf_dir):
+    """Kill/restart where the RESTARTED query carries an evolved
+    6-field ValueState schema (trailing units_plus_n) over the 5-field
+    checkpoint, under Avro state encoding. The final compacted table
+    must equal the batch fold — pre-evolution state rows decoded with
+    the added field null, backfilled, and resumed exactly. The
+    processor poisons n_events when the backfill invariant breaks, so
+    equality here also certifies the decode."""
+    import pytest
+
+    from kafka_cdc_elasticsearch_pipeline_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no python protobuf and no vendorable copy on this host")
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    got = (
+        QUERIES["t_state_schema_evolution_tws_v2"]
+        .spark(spark, sf_dir)
+        .orderBy("user_id")
+        .collect()
+    )
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor("value").cast("long")).alias("total_units"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "value")
+    )
+    want = (
+        agg.join(last, "user_id")
+        .select(
+            "user_id", "n_events", "total_units",
+            F.date_format(
+                F.col("ts").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("last_ts"),
+            F.round("value", 2).cast("decimal(18,2)").cast("string")
+            .alias("last_value"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert len(got) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
