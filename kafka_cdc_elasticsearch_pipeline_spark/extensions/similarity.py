@@ -1117,3 +1117,173 @@ def hybrid_search_topk(
         reranked.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_scored_candidates(
+    docs: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Robertson-Sparck Jones) scores for every document sharing
+    at least one term with a query document — the real weighting the
+    hybrid row's raw word-overlap stage is the integer skeleton of:
+
+        score(q,d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|d|/avgdl))
+
+    with ratio-idf ``(N-df+0.5)/(df+0.5)`` instead of its logarithm —
+    ln is libm territory (not correctly rounded, engine-dependent),
+    while this form is a handful of IEEE ops in a FIXED order, so both
+    engines produce bit-identical doubles (the engine-wide ratio-idf /
+    one-division discipline; same trade as the bigram LM's arithmetic
+    mean). The per-(query,doc) term sum folds in word order — an
+    ordered, doc-bounded fold, never an unordered double sum.
+
+    Plan shape at 100 TB: tf/dl/df are map-side-combinable aggregates
+    over the token stream; candidate generation is the postings-list
+    equi-join on word against the BROADCAST query term set (an
+    inverted index in relational form — never all-pairs); df and the
+    (N, sum_dl) scalar broadcast (vocabulary-sized / 1 row). Output:
+    (query_id, doc_id, n_terms, bm25)."""
+    wf = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    toks = docs.select("doc_id", F.explode(wf).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qw = (
+        tf.filter(F.col("doc_id").isin(list(query_ids)))
+        .select(F.col("doc_id").alias("query_id"), "word")
+    )
+    cand = (
+        tf.join(F.broadcast(qw), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_t), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar
+    )
+    # Constants folded in PYTHON so the oracle can inline the same
+    # doubles; every sub-expression parenthesized to pin eval order.
+    one_minus_b = 1.0 - b
+    k1_plus_1 = k1 + 1.0
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(one_minus_b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+    )
+    s = idf * ((F.col("tf").cast("double") * F.lit(k1_plus_1)) / denom)
+    per = (
+        cand.select("query_id", "doc_id", "word", s.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.array_sort(F.collect_list(F.struct("word", "s"))).alias("ws"),
+        )
+    )
+    fold = F.aggregate(F.col("ws"), F.lit(0.0), lambda acc, x: acc + x["s"])
+    return per.select("query_id", "doc_id", "n_terms", fold.alias("bm25"))
+
+
+def search_method_recall(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 10,
+    pool: int = 20,
+) -> DataFrame:
+    """Lexical-overlap vs BM25 vs hybrid (BM25 retrieve → cosine
+    rerank), each scored as recall@k against the brute-force cosine
+    truth set — the side-by-side a retrieval stack is actually chosen
+    by. One row per (query_id, method): (n_hits, recall).
+
+    Hybrid's candidate pool is ``pool`` (> k): the rerank stage can
+    recover cosine-relevant docs the pure-BM25 top-k ordering missed,
+    which is exactly the effect this row makes measurable. All three
+    method top-k sets and the truth set use deterministic (score DESC,
+    doc_id ASC) ties, so membership — and therefore every recall value
+    — is exact cross-engine."""
+    from pyspark.sql import Window as W
+
+    queries = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    truth = brute_force_topk(embeddings, queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.lit(1).alias("hit")
+    )
+
+    wf = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    dw = docs.select(
+        "doc_id", F.explode(F.array_distinct(wf)).alias("word")
+    )
+    qw = dw.filter(F.col("doc_id").isin(list(query_ids))).select(
+        F.col("doc_id").alias("query_id"), "word"
+    )
+    overlap = (
+        dw.join(F.broadcast(qw), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lex_overlap"))
+    )
+    w_lex = W.partitionBy("query_id").orderBy(
+        F.col("lex_overlap").desc(), F.col("doc_id").asc()
+    )
+    lex_k = (
+        overlap.withColumn("r", F.row_number().over(w_lex))
+        .filter(F.col("r") <= k)
+        .select("query_id", "doc_id")
+    )
+
+    bm = bm25_scored_candidates(docs, query_ids)
+    w_bm = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    bm_ranked = bm.withColumn("r", F.row_number().over(w_bm))
+    bm_k = bm_ranked.filter(F.col("r") <= k).select("query_id", "doc_id")
+
+    cand = bm_ranked.filter(F.col("r") <= pool).select("query_id", "doc_id")
+    w_cos = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    hyb_k = (
+        cand.join(
+            embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("r", F.row_number().over(w_cos))
+        .filter(F.col("r") <= k)
+        .select("query_id", "doc_id")
+    )
+
+    def method_recall(topk: DataFrame, name: str) -> DataFrame:
+        return (
+            topk.join(truth, ["query_id", "doc_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+            .select(
+                "query_id",
+                F.lit(name).alias("method"),
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    return (
+        method_recall(lex_k, "lexical")
+        .unionByName(method_recall(bm_k, "bm25"))
+        .unionByName(method_recall(hyb_k, "hybrid"))
+    )

@@ -1324,3 +1324,39 @@ def test_lsh_plan_validates_inputs():
         dd.lsh_plan(1.2)
     with _pt.raises(ValueError):
         dd.lsh_plan(0.5, k_max=0)
+
+
+def test_bm25_ranking_effects_on_planted_corpus(spark):
+    """BM25's three defining behaviors, pinned where they're real
+    (the gate row's synthetic corpus has no text↔embedding alignment,
+    so it pins arithmetic, not ranking quality):
+    - a near-duplicate of the query outranks a doc sharing one word;
+    - a RARE shared term outranks a COMMON shared term (idf);
+    - equal tf in a longer doc scores lower (length normalization)."""
+    rows = [
+        (0, "rust ownership borrow checker lifetimes"),          # query
+        (1, "rust ownership borrow checker lifetimes traits"),   # near-dup
+        (2, "checker game board"),       # shares the COMMON term, 3 tokens
+        (3, "lifetimes in gardening"),   # shares the RARE term, 3 tokens
+        (4, "lifetimes in gardening with many extra words about soil "
+            "compost watering sunlight pruning mulching and weeds"),  # same tf, longer
+        (5, "the the the the the the"),                          # no overlap signal
+        (6, "checker checker pattern fabric"),
+        (7, "unrelated text entirely different topic"),
+        (8, "checker pieces boxed set"),   # pads df('checker') to 5 vs 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in sim.bm25_scored_candidates(docs, query_ids=(0,)).collect()
+    }
+    # near-duplicate dominates everything
+    assert got[(0, 1)] == max(got.values())
+    # idf: docs 2 and 3 are the same length with tf=1 on their one
+    # shared term, so ONLY df separates them — 'lifetimes' (df=4)
+    # must beat 'checker' (df=5)
+    assert got[(0, 3)] > got[(0, 2)]
+    # length normalization: same shared term, same tf=1, longer doc lower
+    assert got[(0, 3)] > got[(0, 4)]
+    # no-overlap docs produce no candidate row at all (postings join)
+    assert (0, 5) not in got and (0, 7) not in got

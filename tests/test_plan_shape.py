@@ -428,3 +428,14 @@ def test_corpus_overlap_exact_path_is_hash_equijoin(plans):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_bm25_rerank_broadcasts_terms_and_stats(plans):
+    """BM25 three-way recall: candidate generation must be the
+    postings equi-join against BROADCAST query terms, df joins as a
+    broadcast (vocabulary-sized), and the only nested-loop/cross
+    shapes allowed are the 1-row (n_docs, sum_dl) scalar attach —
+    corpus × corpus never appears."""
+    p = plans("ext_search_bm25_rerank")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
