@@ -317,7 +317,14 @@ def _bpe_learn(docs: DataFrame, n_merges: int = 4):
             ),
             lambda st: st["acc"],
         )
-        vocab = reuse(vocab.select("word", "wf", merged.alias("syms")))
+        # localCheckpoint, not persist: each merge nests another fold
+        # into the plan, and an unbounded lineage chain OOMs the
+        # driver near ~16 chained merges (measured,
+        # tools/bpe_batch_probe.py) — truncate per iteration so plan
+        # depth stays O(1) however many merges the trainer runs.
+        vocab = vocab.select("word", "wf", merged.alias("syms")).localCheckpoint(
+            eager=True
+        )
     rules_df = spark.createDataFrame(
         rules,
         "step int, left_sym string, right_sym string, merged string,"
@@ -330,6 +337,172 @@ def bpe_train(docs: DataFrame, n_merges: int = 4) -> DataFrame:
     """The merge TABLE from ``n_merges`` BPE trainer iterations — see
     :func:`_bpe_learn` for the loop itself."""
     rules, _ = _bpe_learn(docs, n_merges)
+    return rules
+
+
+def _bpe_learn_batched(
+    docs: DataFrame,
+    n_steps: int = 2,
+    merges_per_step: int = 4,
+    window: int = 64,
+):
+    """BATCHED BPE training (round-7 verdict #5): each iteration
+    counts pairs ONCE, then learns up to ``merges_per_step``
+    pairwise-SYMBOL-DISJOINT merge rules from the top-``window``
+    candidate pairs (greedy in (count DESC, a, b) order, skipping any
+    pair sharing a symbol with an already-selected rule) and applies
+    them all in a single left-to-right pass. This is the standard
+    scale form of the trainer: the expensive vocab-scan+shuffle count
+    job amortizes over K merges, so a 32k-merge production train does
+    32k/K driver round-trips instead of 32k.
+
+    Why disjointness makes the one-pass apply well-defined: two
+    candidate positions can only be ADJACENT when they match the same
+    ``(a, a)`` rule (an adjacent cross-rule match would need the
+    rules to share a symbol), so the sequential trainer's
+    every-other-candidate overlap rule carries over unchanged, and at
+    any position at most one rule can fire (left symbols are distinct
+    across the batch by disjointness — the apply fold keys a literal
+    MAP on the left symbol).
+
+    The candidate WINDOW is part of the algorithm, not an
+    implementation detail: selection scans only the top-``window``
+    pairs (a batch trainer's candidate queue), which keeps the
+    driver collect W-row-bounded AND makes the relational oracle
+    replay the identical selection. With ``merges_per_step=1`` the
+    batched trainer is the sequential trainer (property-pinned).
+
+    Returns (rules DataFrame — (step, sel, left_sym, right_sym,
+    merged, pair_count) — final tokenized vocab)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    spark = docs.sparkSession
+    w = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[ \t\n]+"), lambda t: t != "")
+    ).alias("word")
+    vocab = (
+        docs.select(w)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "wf",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    vocab = reuse(vocab)
+    rules: list[tuple[int, int, str, str, str, int]] = []
+    for step in range(1, n_steps + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        " element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("wf", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+        # ONE count job per step; the collect is window-row-bounded.
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wf").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(window)
+            .collect()
+        )
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            if len(batch) == merges_per_step:
+                break
+            if row.a in used or row.b in used:
+                continue
+            batch.append((row.a, row.b, int(row.c)))
+            used.update((row.a, row.b))
+        if not batch:
+            break
+        for sel, (a, b, c) in enumerate(batch, start=1):
+            rules.append((step, sel, a, b, a + b, c))
+        # apply every batch rule in ONE greedy left-to-right pass:
+        # the literal map keys on the (batch-distinct) left symbol.
+        mp = F.create_map(
+            *[
+                x
+                for (a, b, _) in batch
+                for x in (
+                    F.lit(a),
+                    F.struct(F.lit(b).alias("r"), F.lit(a + b).alias("m")),
+                )
+            ]
+        )
+        merged = F.aggregate(
+            F.expr("sequence(1, size(syms))"),
+            F.struct(
+                F.expr("cast(array() as array<string>)").alias("acc"),
+                F.lit(0).alias("skip"),
+            ),
+            lambda st, i: F.when(
+                st["skip"] == 1,
+                F.struct(st["acc"].alias("acc"), F.lit(0).alias("skip")),
+            )
+            .when(
+                (i < F.size("syms"))
+                & mp[F.element_at(F.col("syms"), i)].isNotNull()
+                & (
+                    F.element_at(F.col("syms"), i + F.lit(1))
+                    == mp[F.element_at(F.col("syms"), i)]["r"]
+                ),
+                F.struct(
+                    F.concat(
+                        st["acc"],
+                        F.array(mp[F.element_at(F.col("syms"), i)]["m"]),
+                    ).alias("acc"),
+                    F.lit(1).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        st["acc"], F.array(F.element_at(F.col("syms"), i))
+                    ).alias("acc"),
+                    F.lit(0).alias("skip"),
+                )
+            ),
+            lambda st: st["acc"],
+        )
+        # localCheckpoint, not persist: each merge nests another fold
+        # into the plan, and an unbounded lineage chain OOMs the
+        # driver near ~16 chained merges (measured,
+        # tools/bpe_batch_probe.py) — truncate per iteration so plan
+        # depth stays O(1) however many merges the trainer runs.
+        vocab = vocab.select("word", "wf", merged.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    rules_df = spark.createDataFrame(
+        rules,
+        "step int, sel int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+    return rules_df, vocab
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_steps: int = 2,
+    merges_per_step: int = 4,
+    window: int = 64,
+) -> DataFrame:
+    """The merge table from the BATCHED trainer — see
+    :func:`_bpe_learn_batched`."""
+    rules, _ = _bpe_learn_batched(docs, n_steps, merges_per_step, window)
     return rules
 
 

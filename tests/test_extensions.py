@@ -1360,3 +1360,100 @@ def test_bm25_ranking_effects_on_planted_corpus(spark):
     assert got[(0, 3)] > got[(0, 4)]
     # no-overlap docs produce no candidate row at all (postings join)
     assert (0, 5) not in got and (0, 7) not in got
+
+
+def test_bpe_batched_k1_equals_sequential(spark, docs):
+    """merges_per_step=1 degenerates the batched trainer to the
+    sequential one — identical merge table on any corpus (the
+    provable-agreement case of round-7 verdict #5)."""
+    seq = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in tx.bpe_train(docs, n_merges=4).collect()
+    ]
+    bat = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in tx.bpe_train_batched(
+            docs, n_steps=4, merges_per_step=1
+        ).collect()
+    ]
+    assert seq == bat
+
+
+def test_bpe_batched_agrees_with_sequential_on_disjoint_words(spark):
+    """When each frequent pair lives in its own words (applying one
+    rule cannot change another's count), one batched step of K rules
+    must equal K sequential steps — the other provable-agreement
+    class. Word weights force a strict count order."""
+    rows = (
+        [("ab",)] * 50 + [("cd",)] * 40 + [("ef",)] * 30 + [("gh",)] * 20
+    )
+    docs = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+    seq = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in tx.bpe_train(docs, n_merges=4).collect()
+    ]
+    bat = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in tx.bpe_train_batched(
+            docs, n_steps=1, merges_per_step=4
+        ).collect()
+    ]
+    assert seq == bat == [
+        ("a", "b", 50), ("c", "d", 40), ("e", "f", 30), ("g", "h", 20)
+    ]
+
+
+def test_bpe_batched_skips_conflicting_rules_within_step(spark):
+    """A candidate sharing a symbol with an already-selected rule is
+    skipped THIS step (one-pass apply would be ambiguous) and becomes
+    eligible next step once the symbols have moved on."""
+    rows = [("er",)] * 50 + [("or",)] * 40 + [("in",)] * 30
+    docs = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+    got = [
+        (r.step, r.sel, r.left_sym, r.right_sym)
+        for r in tx.bpe_train_batched(
+            docs, n_steps=2, merges_per_step=2
+        ).collect()
+    ]
+    # step 1: (e,r) wins; (o,r) conflicts on 'r' -> (i,n) takes sel 2;
+    # step 2: (o,r) is the only remaining pair
+    assert got == [(1, 1, "e", "r"), (1, 2, "i", "n"), (2, 1, "o", "r")]
+
+
+def test_bpe_batched_one_pass_apply_matches_rule_by_rule(spark):
+    """The combined one-pass apply must produce the same final vocab
+    as applying the step's disjoint rules one at a time (order
+    irrelevant by disjointness) — including the (a,a) self-overlap
+    run rule inside a batch."""
+    rows = [("aabb",)] * 10 + [("aaab",)] * 5 + [("ccdd",)] * 3
+    docs = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+    _, vocab = tx._bpe_learn_batched(docs, n_steps=1, merges_per_step=2)
+    got = {r.word: list(r.syms) for r in vocab.collect()}
+    # top pairs: (a,a) c=20 (aabb:10 + aaab:5 every-other counts once each...
+    # counts: aabb contributes 1 (a,a); aaab contributes 2 -> c=20? verify
+    # via the invariant instead: whatever was learned, one-pass == seq
+    rules = tx.bpe_train_batched(docs, n_steps=1, merges_per_step=2).collect()
+    assert len(rules) == 2
+    # replay rule-by-rule in python (greedy left-to-right with skip)
+    def apply_rule(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for word in ("aabb", "aaab", "ccdd"):
+        syms = list(word)
+        for r in rules:
+            syms = apply_rule(syms, r.left_sym, r.right_sym)
+        assert got[word] == syms, (word, got[word], syms)
