@@ -1,0 +1,114 @@
+"""Round-7 verdict #8 probe: bigram-LM scoring on both sides of the
+broadcast cliff.
+
+SCALING.md claims the `bigram_lm_score` plan "degrades gracefully to a
+hash shuffle join" when the bigram count table outgrows the broadcast
+threshold. MEASURE it: run the identical operator (a) at the default
+autoBroadcastJoinThreshold and (b) with broadcast disabled
+(threshold = -1), record wall + which strategy ACTUALLY ran (from the
+post-execution adaptive plan — AQE converts at runtime). On this
+synthetic corpus bigrams are near-unique, so the count table itself
+crosses the cliff between the probe sizes: the default side flips
+from broadcast to shuffle with no code change, which is precisely
+the graceful-degradation claim.
+
+    python tools/lm_broadcast_probe.py [--sizes 20000 80000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*", default=[20_000, 80_000])
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx
+    from tools.scaling_bench import synth_docs
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .appName("lm_broadcast_probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    thresholds = {
+        "broadcast": None,  # session default: count tables broadcast
+        "shuffle": "-1",    # past the cliff: hash shuffle join forced
+    }
+    results: dict[tuple[str, int], float] = {}
+    strategies: dict[tuple[str, int], str] = {}
+    for n in args.sizes:
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        for side, thr in thresholds.items():
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            if thr is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+            try:
+                out = tx.bigram_lm_score(docs)
+                best = None
+                for _ in range(max(1, args.repeat)):
+                    t0 = time.monotonic()
+                    out.count()
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                # AQE decides broadcast at RUNTIME — inspect the final
+                # adaptive plan AFTER execution, not the static one.
+                # The default side is NOT asserted to broadcast: on this
+                # synthetic corpus bigrams are near-unique, so the count
+                # table itself crosses the cliff between the probe sizes
+                # (that crossing is the measurement).
+                plan = out._jdf.queryExecution().executedPlan().toString()
+                has_bc = "BroadcastHashJoin" in plan
+                if side == "shuffle":
+                    assert not has_bc, (
+                        "threshold=-1 must push every LM join past the "
+                        "broadcast cliff"
+                    )
+                strategies[(side, n)] = "broadcast" if has_bc else "shuffle"
+                results[(side, n)] = best
+                print(
+                    f"{side:>10} n={n:6d} wall={best:.2f}s "
+                    f"ran_as={strategies[(side, n)]}"
+                )
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        docs.unpersist()
+
+    lines = [
+        "| docs | default threshold (ran as) | threshold=-1 (ran as) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n in args.sizes:
+        b, s = results[("broadcast", n)], results[("shuffle", n)]
+        lines.append(
+            f"| {n:,} | {b:.2f}s ({strategies[('broadcast', n)]}) "
+            f"| {s:.2f}s ({strategies[('shuffle', n)]}) | {s / b:.2f}× |"
+        )
+    if len(args.sizes) >= 2:
+        n0, n1 = args.sizes[0], args.sizes[-1]
+        for side in ("broadcast", "shuffle"):
+            marg = (results[(side, n1)] - results[(side, n0)]) / (n1 - n0) * 1e6
+            lines.append(f"<!-- {side} marginal: {marg:.1f} us/doc -->")
+    print("\n".join(lines))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
