@@ -277,6 +277,54 @@ def stateful_event_type_counts_tws_v2(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "stateful_recent_events_tws_v2",
+    """
+    SELECT user_id,
+           (list(event_id ORDER BY ts DESC, event_id DESC))[1:3]
+             AS recent_event_ids
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "transformWithStateInPandas", "spark4", "liststate"),
+)
+def stateful_recent_events_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 LIST state — the last v2 state primitive without a gate row
+    (ValueState: profile; MapState: event-type counts; timers: TTL;
+    recovery + schema evolution: their own rows). Per-user top-3
+    recent event ids by (ts, event_id), the list held in a typed
+    ListState whose append/iterate/replace protocol each batch
+    round-trips (appendList the batch, get the grown list, put the
+    trimmed top-k). Update-log compaction is max_by on the flattened
+    ranked (ts, eid) key — lexicographically monotone as events
+    arrive — and the final table must equal the batch top-3, so a
+    dropped append, a stale get, or a put that failed to replace all
+    flip the hash."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.stateful_v2 import (
+        recent_events_stream_v2,
+        require_protobuf,
+        rocksdb_state_store,
+    )
+
+    require_protobuf()
+    stream, tmp = replay_stream(spark, sf_dir, "events", chunks=8)
+    try:
+        with rocksdb_state_store(spark):
+            updates = recent_events_stream_v2(stream)
+            name = f"strm_recent_v2_{next(_SEQ)}"
+            run_to_memory(updates, name, output_mode="update")
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max_by("recent_event_ids", "recent_sort_key").alias(
+                    "recent_event_ids"
+                )
+            )
+        )
+    finally:
+        cleanup(tmp)
+
+
+@query(
     "t5_latest_per_key_ttl_tws_v2",
     f"""
     SELECT {', '.join(EVENT_COLS)}

@@ -233,6 +233,73 @@ def user_profile_stream_v2(events: DataFrame) -> DataFrame:
     )
 
 
+class RecentEventsProcessor(StatefulProcessor):
+    """Per-user top-``k`` recent events held in a typed LIST state —
+    the v2 primitive the ValueState/MapState/timer gate rows don't
+    touch. Each batch round-trips all three list operations:
+    ``appendList`` the batch's (ts_us, event_id) pairs onto the state,
+    ``get`` the grown list back, and ``put`` the trimmed top-k —
+    exercising the list protocol's append/iterate/replace paths, not
+    just a value row that happens to hold an array. Emits the current
+    top-k ids per key; update-mode compaction keeps the last emission,
+    which must equal the batch top-k by (ts, event_id) DESC."""
+
+    def __init__(self, k: int = 3) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState(
+            "recent", "ts_us bigint, event_id bigint"
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch: list[tuple[int, int]] = []
+        for pdf in rows:
+            batch.extend(
+                (int(t), int(e))
+                for t, e in zip(pdf["ts_us"], pdf["event_id"])
+            )
+        self._recent.appendList(batch)
+        grown = [(int(r[0]), int(r[1])) for r in self._recent.get()]
+        top = sorted(grown, reverse=True)[: self._k]
+        self._recent.put(top)
+        # recent_sort_key flattens the ranked (ts, eid) pairs: it is
+        # lexicographically NON-DECREASING as more events arrive (the
+        # ranked prefix only improves), so update-log compaction is
+        # max_by on it — no separate monotone counter state needed.
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "recent_event_ids": [[e for _, e in top]],
+                "recent_sort_key": [[x for pair in top for x in pair]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def recent_events_stream_v2(events: DataFrame, k: int = 3) -> DataFrame:
+    """``transformWithStateInPandas`` + ListState: per-user top-``k``
+    most recent event ids by (ts, event_id)."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentEventsProcessor(k),
+        outputStructType=(
+            "user_id bigint, recent_event_ids array<bigint>,"
+            " recent_sort_key array<bigint>"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class avro_state_encoding:
     """Context manager: Avro state-store encoding — the prerequisite
     for STATE SCHEMA EVOLUTION (the UnsafeRow default is positional

@@ -782,3 +782,45 @@ def test_state_schema_evolution_v2_resumes_exactly(spark, sf_dir):
     )
     assert len(got) > 0
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_liststate_recent_events_matches_batch_topk(spark, sf_dir):
+    """v2 ListState: the streaming per-user top-3 recent events
+    (appendList → get → put each batch) must equal the batch top-3 by
+    (ts, event_id) DESC after max_by compaction on the monotone
+    flattened sort key."""
+    import pytest
+
+    from kafka_cdc_elasticsearch_pipeline_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no python protobuf and no vendorable copy on this host")
+    from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    got = {
+        r.user_id: list(r.recent_event_ids)
+        for r in QUERIES["stateful_recent_events_tws_v2"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r.user_id: list(r.ids)
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("rn", "event_id")).alias("s"))
+        .select(
+            "user_id",
+            F.expr("transform(array_sort(s), x -> x.event_id)").alias("ids"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == want
