@@ -59,6 +59,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first rotation already puts them ahead, but r08 should keep
 # NEW query registrations ≤ ~6 (or split across rounds) so the floor
 # holds without a pin.
+#
+# r09 window math (written r08): r08 registers exactly 4 new queries
+# (schema evolution, BM25, batched BPE, ListState), so its window =
+# 4 never + 45 r04 + 1 r05 — the r04 backlog clears precisely. That
+# leaves 49 rows whose latest green is r05; they reach the 4-round
+# floor at r09, so r09's budget is ≤ 1 new registration at a 200-row
+# registry... UNLESS the registry grows past 200: the floor is
+# ceil(n_registered / 50) rounds, so registering 2+ new queries
+# (n ≥ 202) moves the floor to 5 rounds and the 49 r05 rows only
+# breach at r10. Either keep r09 to ≤ 1 new query, or register ≥ 2
+# and verify `tools/check_oracle.py`'s floor line prints 5.
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:
