@@ -21,6 +21,7 @@ from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    NUM_MINHASH,
     SQL_DOT64,
     SQL_POLY16,
 )
@@ -3932,14 +3933,14 @@ def ext_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs AS (
       SELECT source, i,
              min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
-      FROM base, generate_series(0, 7) AS g(i)
+      FROM base, generate_series(0, {NUM_MINHASH - 1}) AS g(i)
       GROUP BY source, i
     ),
     sigv AS (SELECT source, list(sig ORDER BY i) AS sv FROM sigs GROUP BY source),
     dims AS (SELECT s.source, s.n, v.sv FROM sizes s JOIN sigv v USING (source)),
     prs AS (
       SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
-             list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+             list_reduce(list_prepend(0, list_transform(generate_series(1, {NUM_MINHASH}),
                i -> CASE WHEN a.sv[i] = b.sv[i] THEN 1 ELSE 0 END)),
                (x, y) -> x + y)::INT AS mh_agree
       FROM dims a JOIN dims b ON a.source < b.source
@@ -3948,7 +3949,7 @@ def ext_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(i.n_inter, 0) AS n_inter,
            coalesce(i.n_inter, 0)::DOUBLE
              / (p.n_a + p.n_b - coalesce(i.n_inter, 0)) AS jaccard,
-           p.mh_agree, p.mh_agree / 8.0 AS jaccard_est
+           p.mh_agree, p.mh_agree / {float(NUM_MINHASH)} AS jaccard_est
     FROM prs p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
     """,
     tags=("ext", "dedup", "corpus", "audit"),

@@ -1045,6 +1045,77 @@ def kmeans_until_converged(
     return assigned, iters
 
 
+def _query_embeddings(embeddings, query_ids):
+    """(query_id, q_embedding) rows for the query batch — broadcast by
+    every caller (queries are few)."""
+    return embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+
+
+def _lexical_overlap(docs: DataFrame, query_ids) -> DataFrame:
+    """(query_id, doc_id, lex_overlap): distinct-word overlap with each
+    query document — the inverted-index equi-join both the hybrid row
+    and the recall comparison retrieve with (one implementation so the
+    tokenization, self-exclusion and tie semantics can't diverge)."""
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+            )
+        ).alias("word"),
+    )
+    qw = (
+        dw.filter(F.col("doc_id").isin(list(query_ids)))
+        .select(F.col("doc_id").alias("query_id"), "word")
+    )
+    return (
+        dw.join(F.broadcast(qw), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lex_overlap"))
+    )
+
+
+def _cosine_rerank_topk(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Rerank a (query_id, doc_id, ...) candidate set by embedding
+    cosine against the broadcast query batch; keep top-``k`` per query
+    with (cosine DESC, doc_id ASC) ties. Carries every extra candidate
+    column through and appends (cosine, rank)."""
+    from pyspark.sql import Window as W
+
+    carry = [c for c in cands.columns if c not in ("query_id", "doc_id")]
+    reranked = (
+        cands.join(
+            embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            *carry,
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hybrid_search_topk(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -1069,53 +1140,17 @@ def hybrid_search_topk(
     makes on purpose."""
     from pyspark.sql import Window as W
 
-    dw = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-            )
-        ).alias("word"),
-    )
-    qw = (
-        dw.filter(F.col("doc_id").isin(list(query_ids)))
-        .select(F.col("doc_id").alias("query_id"), "word")
-    )
-    overlap = (
-        dw.join(F.broadcast(qw), "word")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("lex_overlap"))
-    )
     wl = W.partitionBy("query_id").orderBy(
         F.col("lex_overlap").desc(), F.col("doc_id").asc()
     )
     cands = (
-        overlap.withColumn("lex_rank", F.row_number().over(wl))
+        _lexical_overlap(docs, query_ids)
+        .withColumn("lex_rank", F.row_number().over(wl))
         .filter(F.col("lex_rank") <= lexical_k)
         .drop("lex_rank")
     )
-    q_emb = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
-    )
-    reranked = (
-        cands.join(embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
-        .join(F.broadcast(q_emb), "query_id")
-        .select(
-            "query_id",
-            "doc_id",
-            "lex_overlap",
-            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    wr = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("doc_id").asc()
-    )
-    return (
-        reranked.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
+    return _cosine_rerank_topk(
+        cands, embeddings, _query_embeddings(embeddings, query_ids), k
     )
 
 
@@ -1208,32 +1243,17 @@ def search_method_recall(
     — is exact cross-engine."""
     from pyspark.sql import Window as W
 
-    queries = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-    )
+    queries = _query_embeddings(embeddings, query_ids)
     truth = brute_force_topk(embeddings, queries, k=k).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), F.lit(1).alias("hit")
     )
 
-    wf = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-    dw = docs.select(
-        "doc_id", F.explode(F.array_distinct(wf)).alias("word")
-    )
-    qw = dw.filter(F.col("doc_id").isin(list(query_ids))).select(
-        F.col("doc_id").alias("query_id"), "word"
-    )
-    overlap = (
-        dw.join(F.broadcast(qw), "word")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("lex_overlap"))
-    )
     w_lex = W.partitionBy("query_id").orderBy(
         F.col("lex_overlap").desc(), F.col("doc_id").asc()
     )
     lex_k = (
-        overlap.withColumn("r", F.row_number().over(w_lex))
+        _lexical_overlap(docs, query_ids)
+        .withColumn("r", F.row_number().over(w_lex))
         .filter(F.col("r") <= k)
         .select("query_id", "doc_id")
     )
@@ -1246,25 +1266,8 @@ def search_method_recall(
     bm_k = bm_ranked.filter(F.col("r") <= k).select("query_id", "doc_id")
 
     cand = bm_ranked.filter(F.col("r") <= pool).select("query_id", "doc_id")
-    w_cos = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("doc_id").asc()
-    )
-    hyb_k = (
-        cand.join(
-            embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
-            "doc_id",
-        )
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
-                "cosine"
-            ),
-        )
-        .withColumn("r", F.row_number().over(w_cos))
-        .filter(F.col("r") <= k)
-        .select("query_id", "doc_id")
+    hyb_k = _cosine_rerank_topk(cand, embeddings, queries, k).select(
+        "query_id", "doc_id"
     )
 
     def method_recall(topk: DataFrame, name: str) -> DataFrame:

@@ -215,122 +215,27 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
 
 
 def _bpe_learn(docs: DataFrame, n_merges: int = 4):
-    """The BPE merge LOOP (round-6 verdict #7): run ``n_merges``
-    trainer iterations — count adjacent symbol pairs over the
-    distinct-word vocabulary, take the argmax as the next merge rule,
-    APPLY it to every word (greedy left-to-right, the original BPE
-    paper's semantics), re-count. Returns (merge-table DataFrame —
+    """The SEQUENTIAL BPE merge LOOP (round-6 verdict #7): count
+    adjacent symbol pairs over the distinct-word vocabulary, take the
+    argmax as the next merge rule, apply it greedily left-to-right,
+    re-count — ``n_merges`` times. Returns (merge-table DataFrame —
     (step, left_sym, right_sym, merged, pair_count) — final tokenized
     vocab (word, wf, syms)).
 
-    Scale shape: every iteration scans the ~10^6-row vocab (one
-    corpus-sized word count shared by all iterations, the same
-    distinct-word trick as :func:`bpe_pair_counts`), never the 10^12
-    raw tokens; the merge application is a JVM-side array fold per
-    vocab row — no Python, no extra shuffle. The per-iteration
-    ``limit(1).collect()`` pulls ONE merge rule to the driver: the
-    merge table is K-row by definition (it IS the result), the same
-    bounded-collect discipline as the skew-key sampler."""
-    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
-
-    spark = docs.sparkSession
-    w = F.explode(
-        F.filter(F.split(F.lower(F.col("text")), "[ \t\n]+"), lambda t: t != "")
-    ).alias("word")
-    vocab = (
-        docs.select(w)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wf"))
-        .filter(F.length("word") >= 2)
-        .select(
-            "word",
-            "wf",
-            F.expr(
-                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
+    One implementation, two forms: the sequential trainer IS the
+    batched trainer at ``merges_per_step=1, window=1`` (each count
+    job's top-1 candidate is the argmax, a 1-rule batch can't
+    conflict, and the one-rule map apply is the single-rule fold) —
+    property-pinned in tests/test_extensions.py, so delegating keeps
+    exactly one copy of the subtle greedy-apply expression and the
+    lineage-truncation fix (round-8 review finding #4)."""
+    rules6, vocab = _bpe_learn_batched(
+        docs, n_steps=n_merges, merges_per_step=1, window=1
     )
-    vocab = reuse(vocab)
-    rules: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        # filter BEFORE the explode: a fully-merged single-symbol word
-        # has no pairs, and Spark's sequence(1, 0) counts DOWN ([1,0]),
-        # so an unguarded transform would index past the array
-        pairs = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "wf",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(element_at(syms, i) AS a,"
-                        " element_at(syms, i + 1) AS b))"
-                    )
-                ).alias("p"),
-            )
-            .select("wf", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        )
-        top = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("wf").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b, c = top[0].a, top[0].b, int(top[0].c)
-        rules.append((step, a, b, a + b, c))
-        # apply the merge: greedy left-to-right fold over each word's
-        # symbol array ('skip' consumes the absorbed right symbol, so
-        # overlapping occurrences like a,a,a under (a,a) merge as the
-        # reference implementation does). Literals bind through F.lit —
-        # never interpolated into SQL text (words carry arbitrary
-        # chars).
-        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
-        merged = F.aggregate(
-            F.expr("sequence(1, size(syms))"),
-            F.struct(
-                F.expr("cast(array() as array<string>)").alias("acc"),
-                F.lit(0).alias("skip"),
-            ),
-            lambda st, i: F.when(
-                st["skip"] == 1,
-                F.struct(st["acc"].alias("acc"), F.lit(0).alias("skip")),
-            )
-            .when(
-                (i < F.size("syms"))
-                & (F.element_at(F.col("syms"), i) == la)
-                & (F.element_at(F.col("syms"), i + F.lit(1)) == lb),
-                F.struct(
-                    F.concat(st["acc"], F.array(lab)).alias("acc"),
-                    F.lit(1).alias("skip"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.concat(
-                        st["acc"], F.array(F.element_at(F.col("syms"), i))
-                    ).alias("acc"),
-                    F.lit(0).alias("skip"),
-                )
-            ),
-            lambda st: st["acc"],
-        )
-        # localCheckpoint, not persist: each merge nests another fold
-        # into the plan, and an unbounded lineage chain OOMs the
-        # driver near ~16 chained merges (measured,
-        # tools/bpe_batch_probe.py) — truncate per iteration so plan
-        # depth stays O(1) however many merges the trainer runs.
-        vocab = vocab.select("word", "wf", merged.alias("syms")).localCheckpoint(
-            eager=True
-        )
-    rules_df = spark.createDataFrame(
-        rules,
-        "step int, left_sym string, right_sym string, merged string,"
-        " pair_count bigint",
+    rules = rules6.select(
+        "step", "left_sym", "right_sym", "merged", "pair_count"
     )
-    return rules_df, vocab
+    return rules, vocab
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 4) -> DataFrame:

@@ -891,11 +891,23 @@ def read_row_changes(
                 )
             part = spark.read.parquet(cd)
         elif manifest["operation"] in ("append", "txn_append"):
-            parent_dirs = (
-                set(read_manifest(table, manifest["parent"])["data_dirs"])
-                if manifest["parent"]
-                else set()
-            )
+            # the insert feed is the dirs ADDED over the parent — a
+            # vacuumed parent manifest makes that diff uncomputable,
+            # so it gets the same resume signal as a vacuumed change
+            # dir, not a raw path error
+            try:
+                parent_dirs = (
+                    set(read_manifest(table, manifest["parent"])["data_dirs"])
+                    if manifest["parent"]
+                    else set()
+                )
+            except (FileNotFoundError, OSError) as e:
+                raise ValueError(
+                    f"version {v}'s parent manifest has been vacuumed — "
+                    "the change feed before the retention window is "
+                    "gone; re-read the snapshot and resume from version "
+                    f"{head}"
+                ) from e
             added = [d for d in manifest["data_dirs"] if d not in parent_dirs]
             if not added:
                 continue

@@ -493,3 +493,20 @@ def test_compact_restages_over_concurrent_merge(spark, tmp_path):
     [row] = lakelog.read(spark, table).collect()
     assert (row.user_id, row.ts, row.event_id) == (1, 99, 999)
     assert len(lakelog.read_manifest(table, 3)["data_dirs"]) == 1
+
+
+def test_read_row_changes_vacuumed_parent_of_append_raises_resume_signal(spark, tmp_path):
+    """An append version whose PARENT manifest vacuum reclaimed cannot
+    compute its added-dirs diff — it must fail with the same re-read
+    ValueError as a vacuumed change dir, not a raw FileNotFoundError
+    (round-8 review finding: the merge/CDF test masked this branch)."""
+    table = str(tmp_path / "t")
+    for i in range(1, 6):
+        lakelog.append_commit(spark, table, _rows(spark, [(i, 10 * i, 100 + i)]))
+    lakelog.vacuum(table, keep_last=3, min_age_s=0)  # manifests 1-2 gone
+    # v=3's manifest survives but its parent (2) did not
+    with pytest.raises(ValueError, match="vacuumed.*re-read the snapshot"):
+        lakelog.read_row_changes(spark, table, 2)
+    # a range fully inside the retention window still serves
+    feed = lakelog.read_row_changes(spark, table, 3)
+    assert feed.count() == 2  # versions 4 and 5, one insert row each

@@ -32,17 +32,15 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx
+    from kafka_cdc_elasticsearch_pipeline_spark.session import get_spark
     from tools.scaling_bench import synth_docs
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .appName("lm_broadcast_probe")
-        .getOrCreate()
+    # get_spark: the bare-builder session's 1g default driver heap
+    # OOMs when the 80k-doc physical plan executes unpruned
+    spark = get_spark(
+        "lm_broadcast_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -61,6 +59,15 @@ def main() -> int:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
             try:
                 out = tx.bigram_lm_score(docs)
+                # Execute through the DataFrame's OWN QueryExecution:
+                # count() builds a separate QE, so inspecting out's
+                # plan after count() would read a never-executed
+                # AdaptiveSparkPlan (isFinalPlan=false — the static
+                # choice, not what ran). Running the physical plan's
+                # RDD finalizes the adaptive plan without collecting
+                # rows to the driver (collect() OOMed at 80k docs on
+                # the probe session's default driver memory).
+                out._jdf.queryExecution().executedPlan().execute().count()
                 best = None
                 for _ in range(max(1, args.repeat)):
                     t0 = time.monotonic()
@@ -74,6 +81,7 @@ def main() -> int:
                 # table itself crosses the cliff between the probe sizes
                 # (that crossing is the measurement).
                 plan = out._jdf.queryExecution().executedPlan().toString()
+                assert "isFinalPlan=true" in plan, "plan did not execute"
                 has_bc = "BroadcastHashJoin" in plan
                 if side == "shuffle":
                     assert not has_bc, (
