@@ -144,6 +144,15 @@ def main() -> int:
         "corpus_overlap_matrix": lambda d: dd.corpus_overlap_matrix(
             _with_source(d)
         ).count(),
+        # r08: BM25 candidate scoring (postings equi-join vs broadcast
+        # query terms + ordered term fold) and one batched-BPE step
+        # (one count job learning 4 disjoint rules; the jobs/merge
+        # story lives in tools/bpe_batch_probe.py — this row tracks the
+        # per-doc marginal of the counting pass itself)
+        "bm25_candidates": lambda d: sim.bm25_scored_candidates(d).count(),
+        "bpe_batched_step": lambda d: tx.bpe_train_batched(
+            d, n_steps=1, merges_per_step=4
+        ).count(),
     }
     vec_ops = {
         # 16-bit bands (bits=32): 8-bit bands degenerate quadratically past
