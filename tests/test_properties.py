@@ -354,3 +354,96 @@ def test_length_bucket_batches_invariants(spark, rows, batch):
         mx = max(m.n_tokens for m in members)
         for m in members:
             assert m.pad_waste == mx - m.n_tokens
+
+
+# small word alphabet over 3 symbols -> frequent pairs, frequent
+# conflicts (shared symbols), and (a,a) self-overlap runs all arise
+bpe_corpora = st.lists(
+    st.text(alphabet="abc", min_size=2, max_size=6),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(words=bpe_corpora)
+@settings(**_SETTINGS)
+def test_bpe_batched_k1_equals_sequential_on_any_corpus(spark, words):
+    """merges_per_step=1 IS the sequential trainer for ANY corpus —
+    the delegation in text._bpe_learn rests on this equivalence, so it
+    must hold beyond the fixture corpora (conflict-free by k=1,
+    window=1 argmax, single-rule map apply == single-rule fold)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    bat = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in tx.bpe_train_batched(
+            docs, n_steps=3, merges_per_step=1, window=1
+        ).collect()
+    ]
+    # python reference: count weighted adjacent pairs over the distinct
+    # vocab, argmax by (count desc, a, b), greedy left-to-right apply
+    from collections import Counter
+
+    vocab = Counter(w for w in words if len(w) >= 2)
+    syms = {w: list(w) for w in vocab}
+    want = []
+    for step in range(1, 4):
+        counts = Counter()
+        for w, wf in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += wf
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, a, b, a + b, c))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert bat == want
+
+
+@given(words=bpe_corpora)
+@settings(**_SETTINGS)
+def test_bpe_batched_one_pass_apply_equals_rule_replay_on_any_corpus(spark, words):
+    """For ANY corpus, the batched one-pass apply of a step's
+    symbol-disjoint rules equals applying them one at a time — the
+    property the single-pass map fold (and its (a,a) self-overlap run
+    handling) must never break."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    rules, vocab = tx._bpe_learn_batched(docs, n_steps=1, merges_per_step=3)
+    got = {r.word: list(r.syms) for r in vocab.collect()}
+    learned = [(r.left_sym, r.right_sym) for r in rules.collect()]
+
+    def apply_rule(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    for w in {w for w in words if len(w) >= 2}:
+        s = list(w)
+        for a, b in learned:
+            s = apply_rule(s, a, b)
+        assert got[w] == s, (w, got[w], s)
