@@ -510,3 +510,37 @@ def test_read_row_changes_vacuumed_parent_of_append_raises_resume_signal(spark, 
     # a range fully inside the retention window still serves
     feed = lakelog.read_row_changes(spark, table, 3)
     assert feed.count() == 2  # versions 4 and 5, one insert row each
+
+
+def test_compact_rebases_over_two_consecutive_append_races(spark, tmp_path):
+    """The rebase loop must converge under repeated interference: two
+    appends land inside the compactor's first two claim attempts; the
+    compactor re-links the SAME staged rewrite over the accumulated
+    deltas each time and lands on the third claim."""
+    table = str(tmp_path / "t")
+    lakelog.append_commit(spark, table, _rows(spark, [(1, 10, 100)]))
+
+    default_claim = lakelog._link_claim
+    fired = {"n": 0}
+
+    def racing_claim(tbl, version, tmp_manifest):
+        if fired["n"] < 2:
+            fired["n"] += 1
+            lakelog.append_commit(
+                spark, tbl, _rows(spark, [(version + 10, 20, 200 + version)])
+            )
+        default_claim(tbl, version, tmp_manifest)
+
+    prev = lakelog.set_commit_claim(racing_claim)
+    try:
+        v = lakelog.compact(spark, table)
+    finally:
+        lakelog.set_commit_claim(prev)
+
+    assert v == 4  # base + two racers + the compact
+    got = sorted(r.user_id for r in lakelog.read(spark, table).collect())
+    assert len(got) == 3  # no row lost, no row duplicated
+    head = lakelog.read_manifest(table, 4)
+    # one staged rewrite + both racers' deltas
+    assert len(head["data_dirs"]) == 3
+    assert head["content_identical"] is True
