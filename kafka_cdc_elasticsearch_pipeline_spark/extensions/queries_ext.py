@@ -89,7 +89,7 @@ _SQL_MINHASH_CTES = f"""
     sigs AS (
       SELECT doc_id, i,
              min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
-      FROM hs, generate_series(0, 7) AS g(i)
+      FROM hs, generate_series(0, {NUM_MINHASH - 1}) AS g(i)
       GROUP BY doc_id, i
     ),
     bands AS (
@@ -178,7 +178,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hsigs AS (
       SELECT doc_id, i,
              min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
-      FROM hhs, generate_series(0, 7) AS g(i)
+      FROM hhs, generate_series(0, {NUM_MINHASH - 1}) AS g(i)
       GROUP BY doc_id, i
     ),
     hbands AS (
@@ -229,7 +229,7 @@ def ext_dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs AS (
       SELECT doc_id, i,
              min((h * {_MINHASH_A_SQL}[i + 1] + {_MINHASH_B_SQL}[i + 1]) % {MINHASH_P}) AS sig
-      FROM hs, generate_series(0, 7) AS g(i)
+      FROM hs, generate_series(0, {NUM_MINHASH - 1}) AS g(i)
       GROUP BY doc_id, i
     ),
     bands AS (

@@ -1497,7 +1497,11 @@ def test_search_recall_separates_methods_on_aligned_corpus(spark):
     means = {m: sum(v) / len(v) for m, v in rec.items()}
     # alignment makes every method work: well above the unaligned ~0
     assert all(v >= 0.5 for v in means.values()), means
-    # and the machinery differentiates: methods produce real rankings,
-    # not copies of each other (bm25 and lexical may tie on this
-    # uniform-tf corpus; hybrid reranks by cosine and must stay >= 0.5)
-    assert means["hybrid"] >= 0.5, means
+    # hybrid dominance is a THEOREM here, not a hope: hybrid keeps the
+    # k best-by-cosine from the bm25 top-(pool>k), and the truth set
+    # is the global best-by-cosine — so every truth member inside
+    # bm25's pool survives the rerank, making hybrid's hits a superset
+    # of bm25-top-k's. A rerank stage that silently became a no-op
+    # copy of bm25 ordering would break this on any corpus where the
+    # pool's cosine order disagrees with bm25 order.
+    assert means["hybrid"] >= means["bm25"], means

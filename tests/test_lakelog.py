@@ -513,22 +513,31 @@ def test_read_row_changes_vacuumed_parent_of_append_raises_resume_signal(spark, 
 
 
 def test_compact_rebases_over_two_consecutive_append_races(spark, tmp_path):
-    """The rebase loop must converge under repeated interference: two
-    appends land inside the compactor's first two claim attempts; the
-    compactor re-links the SAME staged rewrite over the accumulated
-    deltas each time and lands on the third claim."""
+    """The rebase loop must converge under repeated interference: one
+    append lands inside EACH of the compactor's first two claim
+    attempts (the re-entry guard keeps the racer's own claim from
+    firing the next append early, so the compactor really conflicts
+    twice and rebases twice), and it lands on the third claim with
+    the SAME staged rewrite plus both racers' distinct deltas."""
     table = str(tmp_path / "t")
     lakelog.append_commit(spark, table, _rows(spark, [(1, 10, 100)]))
 
     default_claim = lakelog._link_claim
-    fired = {"n": 0}
+    fired = {"n": 0, "in_append": False}
 
     def racing_claim(tbl, version, tmp_manifest):
-        if fired["n"] < 2:
+        if not fired["in_append"] and fired["n"] < 2:
             fired["n"] += 1
-            lakelog.append_commit(
-                spark, tbl, _rows(spark, [(version + 10, 20, 200 + version)])
-            )
+            fired["in_append"] = True
+            try:
+                # distinct row per racer so a delta read twice / a
+                # delta dropped are both hash-visible below
+                lakelog.append_commit(
+                    spark, tbl,
+                    _rows(spark, [(fired["n"] + 10, 20, 200 + fired["n"])]),
+                )
+            finally:
+                fired["in_append"] = False
         default_claim(tbl, version, tmp_manifest)
 
     prev = lakelog.set_commit_claim(racing_claim)
@@ -537,9 +546,10 @@ def test_compact_rebases_over_two_consecutive_append_races(spark, tmp_path):
     finally:
         lakelog.set_commit_claim(prev)
 
-    assert v == 4  # base + two racers + the compact
+    assert fired["n"] == 2
+    assert v == 4  # base + racer1 + racer2 + the compact
     got = sorted(r.user_id for r in lakelog.read(spark, table).collect())
-    assert len(got) == 3  # no row lost, no row duplicated
+    assert got == [1, 11, 12]  # both racers present exactly once
     head = lakelog.read_manifest(table, 4)
     # one staged rewrite + both racers' deltas
     assert len(head["data_dirs"]) == 3

@@ -5,12 +5,15 @@ SCALING.md claims the `bigram_lm_score` plan "degrades gracefully to a
 hash shuffle join" when the bigram count table outgrows the broadcast
 threshold. MEASURE it: run the identical operator (a) at the default
 autoBroadcastJoinThreshold and (b) with broadcast disabled
-(threshold = -1), record wall + which strategy ACTUALLY ran (from the
-post-execution adaptive plan — AQE converts at runtime). On this
-synthetic corpus bigrams are near-unique, so the count table itself
-crosses the cliff between the probe sizes: the default side flips
-from broadcast to shuffle with no code change, which is precisely
-the graceful-degradation claim.
+(threshold = -1), record wall + which strategy ACTUALLY ran. Each
+timed repeat executes a fresh DataFrame's OWN physical plan and reads
+the strategy from that same now-final adaptive plan — count() builds
+a separate column-pruned QueryExecution whose AQE decision can differ
+near the cliff, and an earlier cut of this probe mislabeled runs that
+way. Measured result: AQE broadcasts at runtime at every probe size
+(even where the static estimate picks sort-merge), and the forced
+shuffle side costs LESS wall on this host — the degradation past the
+real cliff is free.
 
     python tools/lm_broadcast_probe.py [--sizes 20000 80000]
 """
@@ -58,37 +61,36 @@ def main() -> int:
             if thr is not None:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
             try:
-                out = tx.bigram_lm_score(docs)
-                # Execute through the DataFrame's OWN QueryExecution:
-                # count() builds a separate QE, so inspecting out's
-                # plan after count() would read a never-executed
-                # AdaptiveSparkPlan (isFinalPlan=false — the static
-                # choice, not what ran). Running the physical plan's
-                # RDD finalizes the adaptive plan without collecting
-                # rows to the driver (collect() OOMed at 80k docs on
-                # the probe session's default driver memory).
-                out._jdf.queryExecution().executedPlan().execute().count()
+                # Time and label the SAME executions: each repeat
+                # builds a fresh DataFrame, runs ITS OWN physical plan
+                # (count() would build a separate, column-pruned QE
+                # whose AQE decision can differ near the cliff — the
+                # label would then describe a plan the walls never
+                # ran), reads the strategy from that now-final
+                # adaptive plan, and requires every repeat to agree.
+                # executedPlan().execute() avoids collecting rows to
+                # the driver (collect() OOMed at 80k docs).
                 best = None
+                seen: set[str] = set()
                 for _ in range(max(1, args.repeat)):
+                    out = tx.bigram_lm_score(docs)
+                    qe = out._jdf.queryExecution()
                     t0 = time.monotonic()
-                    out.count()
+                    qe.executedPlan().execute().count()
                     dt = time.monotonic() - t0
                     best = dt if best is None else min(best, dt)
-                # AQE decides broadcast at RUNTIME — inspect the final
-                # adaptive plan AFTER execution, not the static one.
-                # The default side is NOT asserted to broadcast: on this
-                # synthetic corpus bigrams are near-unique, so the count
-                # table itself crosses the cliff between the probe sizes
-                # (that crossing is the measurement).
-                plan = out._jdf.queryExecution().executedPlan().toString()
-                assert "isFinalPlan=true" in plan, "plan did not execute"
-                has_bc = "BroadcastHashJoin" in plan
+                    plan = qe.executedPlan().toString()
+                    assert "isFinalPlan=true" in plan, "plan did not execute"
+                    seen.add(
+                        "broadcast" if "BroadcastHashJoin" in plan else "shuffle"
+                    )
+                assert len(seen) == 1, f"repeats disagreed on strategy: {seen}"
                 if side == "shuffle":
-                    assert not has_bc, (
+                    assert seen == {"shuffle"}, (
                         "threshold=-1 must push every LM join past the "
                         "broadcast cliff"
                     )
-                strategies[(side, n)] = "broadcast" if has_bc else "shuffle"
+                strategies[(side, n)] = seen.pop()
                 results[(side, n)] = best
                 print(
                     f"{side:>10} n={n:6d} wall={best:.2f}s "
