@@ -10,7 +10,12 @@ Determinism rules every query follows (so the value-hash can be exact):
 - double aggregates go through DECIMAL (exact) sums, then a single
   cast to double (+ round) — never naive float summation, whose
   result depends on reduction order;
-- ``collect_list`` arrays are sorted (multiset compare);
+- ``collect_list`` arrays are sorted, then STRING-JOINED
+  (``array_join`` / ``array_to_string``) in the final projection —
+  the driver canonicalizer pandas-sorts every column and dies on
+  unhashable list cells, so no gated query may emit an
+  array/map/struct column (lint: ``tools/check_oracle.py``,
+  ``tests/test_registry_lint.py``);
 - top-k orderings always include a unique tiebreak column;
 - event-time logic is NTZ/UTC end-to-end.
 """

@@ -280,8 +280,9 @@ def stateful_event_type_counts_tws_v2(spark: SparkSession, sf_dir: str) -> DataF
     "stateful_recent_events_tws_v2",
     """
     SELECT user_id,
-           (list(event_id ORDER BY ts DESC, event_id DESC))[1:3]
-             AS recent_event_ids
+           array_to_string(
+             (list(event_id ORDER BY ts DESC, event_id DESC))[1:3], ','
+           ) AS recent_event_ids
     FROM events GROUP BY user_id
     """,
     tags=("streaming", "stateful", "transformWithStateInPandas", "spark4", "liststate"),
@@ -315,9 +316,15 @@ def stateful_recent_events_tws_v2(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.table(name)
             .groupBy("user_id")
             .agg(
-                F.max_by("recent_event_ids", "recent_sort_key").alias(
-                    "recent_event_ids"
-                )
+                # String-join the array for the driver canonicalizer
+                # (pandas sort_values dies on list cells) — same
+                # discipline as a1_a2 / f_array_functions_per_user.
+                F.array_join(
+                    F.max_by("recent_event_ids", "recent_sort_key").cast(
+                        "array<string>"
+                    ),
+                    ",",
+                ).alias("recent_event_ids")
             )
         )
     finally:

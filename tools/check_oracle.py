@@ -56,6 +56,39 @@ sys.path.insert(0, REPO)
 _PANDAS_DEGRADING = ("HUGEINT", "UHUGEINT", "DECIMAL", "DATE")
 
 
+def complex_oracle_cols(con, sql: str) -> list[tuple[str, str]]:
+    """Columns of the oracle result whose declared DuckDB type is
+    complex (LIST ``T[]``, STRUCT, MAP, UNION). The driver's
+    canonicalizer pandas-sorts every column and raises
+    ``TypeError: unhashable type`` on list/dict cells (round-8 red row
+    ``stateful_recent_events_tws_v2``), so a gated query may not emit
+    one — string-join it (``array_to_string`` / ``array_join``) in the
+    final projection on BOTH sides instead. Uses DESCRIBE (plans, does
+    not execute), so the full registry lints in milliseconds."""
+    try:
+        rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception:  # noqa: BLE001 - execution-time errors reported elsewhere
+        return []
+    return [
+        (r[0], r[1])
+        for r in rows
+        if r[1].endswith("[]")
+        or any(r[1].startswith(t) for t in ("STRUCT", "MAP", "UNION"))
+    ]
+
+
+def complex_spark_cols(schema) -> list[tuple[str, str]]:
+    """Spark-side twin of :func:`complex_oracle_cols`: fields of a
+    DataFrame schema whose type is ArrayType/MapType/StructType."""
+    from pyspark.sql import types as T
+
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def canon(v) -> str:
     if v is None or v is pd.NaT:
         return "∅"
@@ -131,6 +164,15 @@ def main() -> int:
         t0 = time.time()
         try:
             df = spec.spark(spark, args.sf)
+            bad = complex_spark_cols(df.schema)
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: complex-typed output columns {bad} — "
+                    "the driver canonicalizer cannot sort list/dict cells; "
+                    "string-join in the final projection (registry.py rules)"
+                )
+                continue
             pdf = df.toPandas()
             cols = list(pdf.columns)
             rows = list(pdf.itertuples(index=False, name=None))
@@ -150,6 +192,14 @@ def main() -> int:
         if fragile:
             warned.append(name)
             print(f"WARN  {name}: pandas-degrading oracle types: {fragile}")
+        bad_o = complex_oracle_cols(con, spec.oracle)
+        if bad_o:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: complex-typed oracle columns {bad_o} — "
+                "string-join (array_to_string) in the oracle projection"
+            )
+            continue
         try:
             odf = con.execute(spec.oracle).df()
             ocols = list(odf.columns)
