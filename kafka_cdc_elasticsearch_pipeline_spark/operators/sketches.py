@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_RESERVED = ("row_idx", "bucket", "cnt", "__cms_rid")
+_RESERVED = ("row_idx", "bucket", "cnt", "__cms_mult")
 
 
 def cms_coords(key: Column, depth: int, width: int, salt: str = "cms") -> Column:
@@ -98,25 +98,38 @@ def cms_estimate(
     map-side join — no shuffle of the probe set beyond the final
     per-key min (which groups on the probe's own rows).
 
-    Output cardinality == input cardinality: the min-fold groups on a
-    generated per-row id, so duplicate probe rows and NULL-key rows
-    each keep their own output row instead of collapsing."""
+    Output cardinality == input cardinality: duplicate probe rows (and
+    NULL-key rows) are grouped BY VALUE with their multiplicity, the
+    d-way min is folded once per distinct row, and ``sequence``-explode
+    restores the copies. An earlier version grouped on a
+    ``monotonically_increasing_id`` generated before the explode —
+    nondeterministic under partial-stage retry, which could recompute
+    a probe partition with fresh ids after some depth rows had already
+    shuffled, splitting one probe row's min-fold into several rows
+    with partial (inflated) minima (round-8 advice). Value-grouping is
+    retry-deterministic and strictly cheaper when probes repeat."""
     for col in _RESERVED:
         if col in keys_df.columns:
             raise ValueError(
                 f"probe column {col!r} collides with the sketch schema; "
                 "rename it before cms_estimate"
             )
-    probes = keys_df.withColumn(
-        "__cms_rid", F.monotonically_increasing_id()
-    ).select(
+    distinct = keys_df.groupBy(*keys_df.columns).agg(
+        F.count(F.lit(1)).alias("__cms_mult")
+    )
+    probes = distinct.select(
         "*", F.explode(cms_coords(F.col(key_col), depth, width, salt)).alias("__cms_c")
     ).select("*", "__cms_c.row_idx", "__cms_c.bucket").drop("__cms_c")
     return (
         probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
-        .groupBy("__cms_rid", *keys_df.columns)
+        .groupBy("__cms_mult", *keys_df.columns)
         # A key that was sketched always hits a counter ≥ its true
         # count; coalesce(0) only fires for never-seen probe keys.
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
-        .drop("__cms_rid")
+        .select(
+            *keys_df.columns,
+            "cms_estimate",
+            F.explode(F.sequence(F.lit(1), F.col("__cms_mult"))).alias("__cms_i"),
+        )
+        .drop("__cms_mult", "__cms_i")
     )

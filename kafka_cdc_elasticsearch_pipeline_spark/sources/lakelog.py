@@ -661,11 +661,20 @@ def _link_version(
     n_rows: int | None = None,
     change_dir: str | None = None,
     content_identical: bool = False,
+    data_dir_first: bool = False,
 ) -> int:
     """Publish a staged data dir as version ``parent``+1 — the
     metadata-only half of a commit. Raises :class:`CommitConflict` if
     another writer claims the version first; the caller may re-read
-    the new parent and re-link the SAME staged dir (append rebase)."""
+    the new parent and re-link the SAME staged dir (append rebase).
+
+    ``data_dirs`` ordering is a schema contract: readers treat the
+    LAST entry as the newest-schema dir (:func:`read`'s all-files-
+    pruned path, :func:`read_row_changes`). An append's new dir is the
+    newest, so the default appends ``data_dir`` last; a REBASED compact
+    links a staged dir whose content predates the inherited racer
+    deltas — it must pass ``data_dir_first=True`` so a racer's
+    schema-evolving append stays last."""
     version = (parent or 0) + 1
     parent_manifest = read_manifest(table, parent) if parent is not None else {}
     file_stats: dict[str, dict] = {}
@@ -683,7 +692,11 @@ def _link_version(
         "version": version,
         "parent": parent,
         "operation": operation,
-        "data_dirs": list(inherit_dirs or []) + [data_dir],
+        "data_dirs": (
+            [data_dir] + list(inherit_dirs or [])
+            if data_dir_first
+            else list(inherit_dirs or []) + [data_dir]
+        ),
     }
     if txns:
         manifest["txns"] = txns
@@ -1279,10 +1292,17 @@ def compact(
     is effective on each of them. ``n_files`` caps the rewritten file
     count (default 8)."""
     def _additive_since(base: int, head: int) -> bool:
-        return all(
-            read_manifest(table, v)["operation"] in ("append", "txn_append")
-            for v in range(base + 1, head + 1)
-        )
+        try:
+            return all(
+                read_manifest(table, v)["operation"] in ("append", "txn_append")
+                for v in range(base + 1, head + 1)
+            )
+        except (FileNotFoundError, OSError):
+            # A concurrent vacuum reclaimed an intermediate manifest:
+            # the (base, head] history is unreadable, so treat it as
+            # non-additive and restage at the current head rather than
+            # surfacing a raw error from inside the retry loop.
+            return False
 
     staged_parent: int | None = None
     staged_dir: str | None = None
@@ -1330,6 +1350,10 @@ def compact(
                 stats_entry=stats_entry,
                 txn=None,
                 content_identical=True,
+                # the staged dir's content predates the inherited racer
+                # deltas — keep a schema-evolving racer append LAST so
+                # read()'s newest-schema-dir assumption holds
+                data_dir_first=True,
             )
         except CommitConflict:
             continue

@@ -17,15 +17,39 @@ API a pipeline author actually mounts:
   last-write-wins by (ts, tiebreak), which makes redelivery a no-op by
   VALUE rather than by watermark; use it when batches are updates, not
   immutable events.
+
+``app_id`` IDENTIFIES A CHECKPOINT LINEAGE, not an application: the
+watermark skip (``batch_id <= recorded``) assumes batch ids from one
+``app_id`` are monotone, which only holds while the stream keeps its
+checkpoint. Deleting/resetting the checkpoint restarts batch ids at 0
+— against a table that retains the old lineage's higher watermark
+under the SAME app_id, every fresh batch below the stale watermark is
+silently skipped as "already merged" (the standard Delta txnAppId
+hazard). Derive the id from the checkpoint path
+(:func:`app_id_for_checkpoint`) so a new checkpoint is automatically a
+new lineage, or mint a fresh app_id whenever you reset the checkpoint.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+
+def app_id_for_checkpoint(checkpoint_dir: str, prefix: str = "ckpt") -> str:
+    """Stable exactly-once transaction id derived from the checkpoint
+    path — one id per checkpoint lineage, so a RESET checkpoint (new
+    directory, batch ids back at 0) can never collide with the
+    watermark a sink table retains for the old lineage (see module
+    docstring). Same-path restarts keep the same id, preserving the
+    redelivery skip they rely on."""
+    norm = os.path.abspath(checkpoint_dir)
+    return f"{prefix}-{hashlib.sha256(norm.encode()).hexdigest()[:16]}"
 
 
 def lake_append_sink(

@@ -291,3 +291,28 @@ def test_append_feed_skips_compact_too(spark, tmp_path):
     lakelog.append_commit(spark, table, _batch(spark, [(2, 20, 101, "b", 2.0)]))
     rows = lakelog.read_changes(spark, table, 1, 3).collect()
     assert [r.user_id for r in rows] == [2]
+
+
+def test_app_id_for_checkpoint_is_per_lineage(tmp_path):
+    """app_id identifies a checkpoint LINEAGE (module docstring): a new
+    checkpoint directory gets a new transaction id, so its batch ids
+    restarting at 0 cannot be skipped against a sink-table watermark
+    retained for the old lineage; same-path restarts keep the id so
+    redelivery skip still works."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.lake_sink import (
+        app_id_for_checkpoint,
+    )
+
+    a = app_id_for_checkpoint(str(tmp_path / "ckpt_a"))
+    assert a == app_id_for_checkpoint(str(tmp_path / "ckpt_a"))  # stable
+    assert a != app_id_for_checkpoint(str(tmp_path / "ckpt_b"))
+    # relative/absolute spellings of one path are one lineage
+    import os
+
+    os.makedirs(tmp_path / "ckpt_a", exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert app_id_for_checkpoint("ckpt_a") == a
+    finally:
+        os.chdir(cwd)

@@ -554,3 +554,99 @@ def test_compact_rebases_over_two_consecutive_append_races(spark, tmp_path):
     # one staged rewrite + both racers' deltas
     assert len(head["data_dirs"]) == 3
     assert head["content_identical"] is True
+
+
+def test_rebased_compact_keeps_racer_schema_newest(spark, tmp_path):
+    """A rebased compact links a staged dir whose CONTENT predates the
+    racers' deltas. read()'s all-files-pruned path (and read_changes)
+    takes data_dirs[-1] as the newest-schema dir, so the manifest must
+    order the stale staged dir FIRST and a schema-evolving racer
+    append LAST — otherwise the racer-added column vanishes from the
+    zero-row schema (round-8 advice)."""
+    table = str(tmp_path / "t")
+    lakelog.append_commit(
+        spark, table, spark.range(0, 5).select(F.col("id").alias("k")),
+        stat_cols=["k"],
+    )
+
+    default_claim = lakelog._link_claim
+    fired = {"done": False}
+
+    def racing_claim(tbl, version, tmp_manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # the racer's append ADDS a column (schema evolution)
+            lakelog.append_commit(
+                spark, tbl,
+                spark.range(5, 10).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+                ),
+                stat_cols=["k"],
+            )
+        default_claim(tbl, version, tmp_manifest)
+
+    prev = lakelog.set_commit_claim(racing_claim)
+    try:
+        v = lakelog.compact(spark, table, stat_cols=["k"])
+    finally:
+        lakelog.set_commit_claim(prev)
+
+    assert v == 3
+    head = lakelog.read_manifest(table, v)
+    assert len(head["data_dirs"]) == 2  # rebase, not restage
+    # the racer's (newer-schema) delta must be LAST
+    assert head["data_dirs"][0] != head["data_dirs"][-1]
+    got = lakelog.read(spark, table, where=[("k", ">", 99)], merge_schema=True)
+    assert got.count() == 0
+    assert "extra" in got.columns  # racer's column survives the prune
+    # and the full read still has every row exactly once
+    full = lakelog.read(spark, table, merge_schema=True)
+    assert sorted(r.k for r in full.collect()) == list(range(10))
+
+
+def test_compact_restages_when_vacuum_reclaims_history(spark, tmp_path):
+    """A concurrent vacuum that reclaims an intermediate manifest makes
+    the (staged_parent, head] history unreadable. _additive_since must
+    treat that as non-additive (restage at the current head), not leak
+    a raw FileNotFoundError out of compact's retry loop (round-8
+    advice)."""
+    table = str(tmp_path / "t")
+    lakelog.append_commit(spark, table, _rows(spark, [(1, 10, 100)]))
+    lakelog.append_commit(spark, table, _rows(spark, [(2, 20, 200)]))
+
+    default_claim = lakelog._link_claim
+    fired = {"done": False, "in_racer": False}
+
+    def racing_claim(tbl, version, tmp_manifest):
+        if not fired["done"] and not fired["in_racer"]:
+            fired["done"] = True
+            fired["in_racer"] = True
+            try:
+                # three appends, then an INTERMEDIATE manifest is
+                # reclaimed (what vacuum does once the retention age
+                # passes — removed directly here because min_age_s=0
+                # would also sweep the compactor's in-flight .tmp
+                # manifest, which the retention guard exists to
+                # protect; v3 stays so the compactor's pending claim
+                # on 3 still conflicts): the compactor cannot prove
+                # the races were additive
+                lakelog.append_commit(spark, tbl, _rows(spark, [(3, 30, 300)]))
+                lakelog.append_commit(spark, tbl, _rows(spark, [(4, 40, 400)]))
+                lakelog.append_commit(spark, tbl, _rows(spark, [(5, 50, 500)]))
+                os.remove(lakelog._manifest_file(tbl, 4))
+            finally:
+                fired["in_racer"] = False
+        default_claim(tbl, version, tmp_manifest)
+
+    prev = lakelog.set_commit_claim(racing_claim)
+    try:
+        v = lakelog.compact(spark, table)
+    finally:
+        lakelog.set_commit_claim(prev)
+
+    assert v == 6
+    got = sorted(r.user_id for r in lakelog.read(spark, table).collect())
+    assert got == [1, 2, 3, 4, 5]  # nothing lost across vacuum + restage
+    head = lakelog.read_manifest(table, v)
+    assert len(head["data_dirs"]) == 1  # full restage, single dir
+    assert head["content_identical"] is True

@@ -149,3 +149,28 @@ def test_cms_streaming_twin_equals_batch_sketch(spark, sf_dir):
         map(tuple, cms_build(ev, F.col("user_id"), depth=DEPTH, width=WIDTH).collect())
     )
     assert got == want
+
+
+def test_cms_estimate_preserves_duplicates_and_nulls(spark):
+    """Output cardinality == input cardinality, via retry-deterministic
+    value-grouping (round-8 advice replaced the pre-explode
+    monotonically_increasing_id regroup key): duplicate probe rows and
+    NULL-key rows each keep their own output row, and duplicates carry
+    identical estimates."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k="a")] * 5 + [Row(k="b")] * 2 + [Row(k=None)]
+    )
+    sketch = cms_build(base, F.col("k"), depth=DEPTH, width=WIDTH)
+    probes = spark.createDataFrame(
+        [Row(k="a"), Row(k="a"), Row(k=None), Row(k=None), Row(k="zzz")]
+    )
+    out = cms_estimate(probes, sketch, "k", depth=DEPTH, width=WIDTH).collect()
+    assert len(out) == 5  # 2 dups + 2 nulls + 1 miss, none collapsed
+    by_k: dict = {}
+    for r in out:
+        by_k.setdefault(r.k, []).append(r.cms_estimate)
+    assert by_k["a"] == [5, 5][: len(by_k["a"])] and len(by_k["a"]) == 2
+    assert len(by_k[None]) == 2  # NULL keys hash (xxhash64 seed-only)
+    assert all(e >= 1 for e in by_k[None])  # the one sketched NULL row
