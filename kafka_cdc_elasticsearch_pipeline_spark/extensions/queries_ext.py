@@ -3983,3 +3983,180 @@ def ext_text_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment — never a global rank sort. Composes the trained bigram
     LM end-to-end: train → score → bucket."""
     return tx.lm_quality_buckets(_docs(spark, sf_dir))
+
+
+# --- incrementally-maintained serving indexes (search_index.py) --------------
+
+
+@query(
+    "ext_search_bm25_index_maintained",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+        FROM documents
+      ), unnest(w) AS u(word)
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, word, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+    dft AS MATERIALIZED (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    bqw AS (SELECT doc_id AS query_id, word FROM tf WHERE doc_id IN (0, 1, 2)),
+    candterm AS (
+      SELECT q.query_id, t.doc_id, t.word,
+             (((s.n_docs - d.df)::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5))
+             * ((t.tf::DOUBLE * 2.2)
+                / (t.tf::DOUBLE + 1.2 * (0.25 + (0.75 * l.dl::DOUBLE)
+                     / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))) AS s
+      FROM tf t
+      JOIN bqw q USING (word)
+      JOIN dft d USING (word)
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.doc_id <> q.query_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+             list_reduce(list_prepend(0.0, list(s ORDER BY word)), (x, y) -> x + y)
+               AS bm25
+      FROM candterm GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_terms, round(bm25, 6) AS bm25, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM bm
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "search", "bm25", "lake", "ivm", "incremental"),
+)
+def ext_search_bm25_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query served from an INCREMENTALLY MAINTAINED
+    index: the corpus lands as three lake append commits, and after
+    each one ``search_index.bm25_index_maintain`` folds ONLY that
+    commit's change feed into the persisted tf/dl/df tables (signed
+    segment appends — O(changed rows), never a corpus rescan or index
+    rewrite; the LSM shape Lucene's segments use). Scoring reads the
+    merged index and reuses the exact from-scratch arithmetic
+    (``bm25_score_components``), so hashing equal to the oracle's
+    full-corpus recompute proves maintained == fresh-built — the
+    100 TB steady-state contract, where index MAINTENANCE, not build,
+    is the recurring cost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="bm25_index_lake_")
+    try:
+        source = f"{root}/documents"
+        index = f"{root}/index"
+        for i in range(3):
+            lakelog.append_commit(
+                spark, source, docs.filter(F.col("doc_id") % 3 == i)
+            )
+            si.bm25_index_maintain(spark, source, index)
+        scored = si.bm25_score_from_index(spark, index, (0, 1, 2))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), F.col("doc_id").asc()
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(
+                "query_id",
+                "doc_id",
+                "n_terms",
+                F.round("bm25", 6).alias("bm25"),
+                "rank",
+            )
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_sim_index_append_assign",
+    f"""
+    WITH {_SQL_PQ_CTES},
+    recon AS (
+      SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+      FROM pq_codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             {{cos}} AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {{cos}} DESC, r.vec_id) AS rank
+      FROM recon r, (SELECT * FROM embeddings WHERE vec_id < 3) q
+      WHERE r.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """.format(cos=_SQL_COS_RECON),
+    tags=("ext", "similarity", "pq", "lake", "incremental"),
+)
+def ext_sim_index_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index MAINTENANCE under appends: build the PQ index on the
+    first two-thirds of the corpus (codebook sampled there, then
+    FROZEN), append the remaining third via
+    ``search_index.pq_index_append`` — assign-only under the persisted
+    codebook, an O(new vectors) codes segment, no retraining and no
+    re-encode — then answer ADC top-10 from the grown persisted index.
+    Because encode is a pure function of (vector, codebook), the
+    result must hash-equal the oracle's from-scratch encode of the
+    FULL corpus under the same codebook: append-then-assign ==
+    rebuild, the identity that makes rolling ingest affordable (the
+    alternative — retrain per batch — re-encodes 100 TB every time).
+    ``pq_assignment_balance`` is the drift gauge for when a retrain
+    is genuinely due."""
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    embs = reuse(_embs(spark, sf_dir))
+    # bounded 1-row collect: the split point for the append simulation
+    max_id = embs.agg(F.max("vec_id").alias("m")).collect()[0].m
+    cut = (2 * (max_id + 1)) // 3
+    root = tempfile.mkdtemp(prefix="pq_index_append_")
+    try:
+        si.pq_index_build(spark, embs.filter(F.col("vec_id") < cut), root)
+        si.pq_index_append(
+            spark, root, embs.filter(F.col("vec_id") >= cut)
+        )
+        cb, codes = si.pq_index_read(spark, root)
+        recon = sim.pq_reconstruct(codes, cb)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        scored = (
+            recon.join(F.broadcast(queries))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    sim.cosine(F.col("recon"), F.col("q_embedding")), 6
+                ).alias("cosine"),
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        out = sim._ranked_topk(scored, 10)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,345 @@
+"""Incrementally-maintained serving indexes over the lake change feed.
+
+At 100 TB the steady-state cost of a search stack is MAINTAINING its
+indexes under streaming appends, not rebuilding them — rebuild scans
+the corpus per refresh, maintenance should touch O(changed rows).
+This module composes three things the engine already has:
+
+- the lake's row-level change feed (``lakelog.read_row_changes`` —
+  signed insert/update/delete rows per commit range),
+- the IVM signed-delta fold (``operators.ivm.delta_aggregate`` — the
+  BM25 index tables tf/dl/df are all COUNTS, exactly the
+  abelian-group aggregates IVM maintains),
+- the lake's append/compact machinery (segments + merge-on-read,
+  below).
+
+**BM25 index** (tf, dl, df as lake tables). Maintenance APPENDS each
+refresh's signed partial aggregate as a new segment — an O(delta)
+write, never an index rewrite (the same LSM/segment shape Lucene
+uses). Readers merge-on-read: group-sum the segments and drop groups
+whose count reached 0; ``lakelog.compact`` folds segments back to one
+dir when read amplification grows, and rebases over concurrent
+appends. Scoring reuses the exact arithmetic of
+``similarity.bm25_score_components``, so a maintained index provably
+scores identically to a from-scratch build — that identity is the
+gate row's hash.
+
+The df (document-frequency) table cannot be folded from the token
+stream alone — df counts DISTINCT docs per word, so a refresh must
+observe tf-group TRANSITIONS (a (doc, word) group appearing is +1, a
+group draining to 0 is −1). The transition join touches only the
+refresh's affected groups (delta-sized), probing the persisted tf
+restricted by a semi-join (bloom stats on ``word`` keep the probe off
+irrelevant segments at scale).
+
+Crash safety mirrors ``streaming.lake_sink.lake_ivm_sink``: every
+index table carries its own ``(app_id, source_version)`` watermark in
+the manifest txns, each fold is idempotent per table, and df commits
+FIRST — its transition math needs the persisted tf to sit exactly at
+df's own watermark, so on replay tf/dl (whose deltas are
+state-independent) catch up to df before the next joint range is
+folded. ``app_id`` identifies a maintenance lineage (same contract as
+``lake_sink``).
+
+**PQ/IVF index** (codebook + codes as lake tables, already persisted
+by ``ext_sim_index_persist_roundtrip``). Appends are assigned under
+the PERSISTED codebook — encode is a pure function of (vector,
+codebook), so appended codes are bit-identical to what a from-scratch
+encode of the grown corpus produces under the same codebook, and the
+codes table grows by an O(new vectors) append segment. The codebook
+is deliberately FROZEN (retraining invalidates every stored code —
+the full 100 TB re-encode); :func:`pq_assignment_balance` is the
+drift gauge that tells the operator when that rebuild is actually
+due.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import similarity as sim
+from kafka_cdc_elasticsearch_pipeline_spark.operators.ivm import delta_aggregate
+from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+# --- BM25: tf / dl / df lake tables ------------------------------------------
+
+_TF, _DL, _DF = "bm25_tf", "bm25_dl", "bm25_df"
+
+
+def _tables(index_root: str) -> dict[str, str]:
+    return {t: os.path.join(index_root, t) for t in (_TF, _DL, _DF)}
+
+
+def _applied(table: str, app_id: str) -> int:
+    """Highest source version folded into ``table`` (0 = nothing)."""
+    head = lakelog.latest_version(table)
+    if head is None:
+        return 0
+    return lakelog.read_manifest(table, head).get("txns", {}).get(app_id, 0)
+
+
+def _merged(spark: SparkSession, table: str, keys: list[str]) -> DataFrame | None:
+    """Merge-on-read view of a segmented count table: group-sum the
+    appended signed partials, drop drained groups. None if the table
+    has no commits yet."""
+    if lakelog.latest_version(table) is None:
+        return None
+    return (
+        lakelog.read(spark, table)
+        .groupBy(*keys)
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .filter(F.col("n_rows") != 0)
+    )
+
+
+def _append_segment(
+    table: str, delta: DataFrame, app_id: str, src_version: int, **commit_kw
+) -> int | None:
+    """O(delta) index refresh: append the signed partial aggregate as
+    a new segment (parent dirs inherited, only the delta written),
+    idempotently watermarked with the source version it folds —
+    ``txn_append_commit`` makes a redelivered fold a manifest-level
+    no-op (its ``spark`` arg is unused — the stage writes through the
+    DataFrame itself)."""
+    return lakelog.txn_append_commit(
+        None, table, delta, app_id=app_id, batch_id=src_version, **commit_kw
+    )
+
+
+def _signed_tokens(feed: DataFrame) -> DataFrame:
+    """(doc_id, word, _change_type) token stream of a change feed —
+    the same split/lower/filter tokenizer as ``similarity.bm25_tokens``
+    (kept literally in sync by ``tests/test_search_index.py``), with
+    the sign column carried through the explode."""
+    return feed.select(
+        "doc_id",
+        "_change_type",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+        ).alias("word"),
+    )
+
+
+def bm25_index_maintain(
+    spark: SparkSession,
+    source_table: str,
+    index_root: str,
+    app_id: str = "bm25",
+) -> int:
+    """Fold the source table's unapplied change feed into the tf/dl/df
+    index tables; returns the source version the index now reflects.
+    First call on an empty index folds the feed from version 0 — the
+    initial build IS maintenance (appends synthesize their own insert
+    feed), one code path for both.
+
+    Work per refresh is O(changed rows): two delta-group aggregates
+    (tf, dl), one delta-sized transition join for df, three segment
+    appends. Nothing rescans the corpus or rewrites the index."""
+    head = lakelog.latest_version(source_table)
+    if head is None:
+        raise FileNotFoundError(f"no committed version in {source_table}")
+    t = _tables(index_root)
+    a_df = _applied(t[_DF], app_id)
+
+    def tf_dl_deltas(lo: int, hi: int) -> tuple[DataFrame, DataFrame]:
+        feed = lakelog.read_row_changes(spark, source_table, lo, hi)
+        toks = _signed_tokens(feed)
+        return (
+            delta_aggregate(toks, ["doc_id", "word"]),
+            delta_aggregate(toks, ["doc_id"]),
+        )
+
+    # 1. catch tf/dl up to df's watermark (state-independent deltas; a
+    #    crash between the df commit and the tf/dl commits lands here)
+    for table, keys in ((t[_TF], ["doc_id", "word"]), (t[_DL], ["doc_id"])):
+        a = _applied(table, app_id)
+        if a < a_df:
+            tf_d, dl_d = tf_dl_deltas(a, a_df)
+            delta = tf_d if table == t[_TF] else dl_d
+            kw = {"bloom_cols": ["word"]} if table == t[_TF] else {}
+            _append_segment(table, delta, app_id, a_df, **kw)
+
+    if head <= a_df:
+        return a_df  # fully applied redelivery: touch nothing
+
+    # 2. joint (a_df, head] round. df transitions need the persisted
+    #    tf exactly at a_df — guaranteed by step 1 — and must be
+    #    COMMITTED first so a crash can only leave df ahead (the
+    #    recoverable direction).
+    tf_delta, dl_delta = tf_dl_deltas(a_df, head)
+    affected = tf_delta.select("doc_id", "word").distinct()
+    old_tf = _merged(spark, t[_TF], ["doc_id", "word"])
+    if old_tf is None:
+        old_slice = affected.limit(0).withColumn("old_n", F.lit(0)).select(
+            "doc_id", "word", "old_n"
+        )
+    else:
+        old_slice = old_tf.join(affected, ["doc_id", "word"], "left_semi").select(
+            "doc_id", "word", F.col("n_rows").alias("old_n")
+        )
+    trans = (
+        tf_delta.select("doc_id", "word", F.col("n_rows").alias("d_n"))
+        .join(old_slice, ["doc_id", "word"], "full")
+        .select(
+            "word",
+            (
+                (
+                    (F.coalesce(F.col("old_n"), F.lit(0))
+                     + F.coalesce(F.col("d_n"), F.lit(0)))
+                    > 0
+                ).cast("int")
+                - (F.coalesce(F.col("old_n"), F.lit(0)) > 0).cast("int")
+            ).alias("c"),
+        )
+    )
+    df_delta = (
+        trans.groupBy("word")
+        .agg(F.sum("c").alias("n_rows"))
+        .filter(F.col("n_rows") != 0)
+    )
+    _append_segment(t[_DF], df_delta, app_id, head, bloom_cols=["word"])
+    _append_segment(t[_TF], tf_delta, app_id, head, bloom_cols=["word"])
+    _append_segment(t[_DL], dl_delta, app_id, head)
+    return head
+
+
+def bm25_read_index(
+    spark: SparkSession, index_root: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, dl, df) merge-on-read views in the scoring schema —
+    exactly what ``similarity.bm25_score_components`` consumes."""
+    t = _tables(index_root)
+    tf = _merged(spark, t[_TF], ["doc_id", "word"])
+    dl = _merged(spark, t[_DL], ["doc_id"])
+    df = _merged(spark, t[_DF], ["word"])
+    if tf is None or dl is None or df is None:
+        raise FileNotFoundError(f"no maintained index under {index_root}")
+    return (
+        tf.withColumnRenamed("n_rows", "tf"),
+        dl.withColumnRenamed("n_rows", "dl"),
+        df.withColumnRenamed("n_rows", "df"),
+    )
+
+
+def bm25_score_from_index(
+    spark: SparkSession,
+    index_root: str,
+    query_ids: tuple[int, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 candidates scored FROM THE MAINTAINED INDEX — the serving
+    path: no tokenization, no corpus scan, identical arithmetic (and
+    therefore identical scores) to a from-scratch
+    ``bm25_scored_candidates`` on the same snapshot. The persisted df
+    is semi-joined to the query's terms before broadcasting
+    (query-term-sized, never vocabulary-sized)."""
+    tf, dl, df = bm25_read_index(spark, index_root)
+    return sim.bm25_score_components(tf, dl, query_ids, df=df, k1=k1, b=b)
+
+
+def bm25_index_compact(spark: SparkSession, index_root: str) -> None:
+    """Fold each index table's segments back into one data dir when
+    merge-on-read amplification grows — plain ``lakelog.compact`` of
+    the MERGED view is wrong (it would freeze partial counts), so this
+    rewrites the group-summed state and commits it as a purge-shaped
+    version; prior versions stay readable until vacuum."""
+    for table, keys in (
+        (_tables(index_root)[_TF], ["doc_id", "word"]),
+        (_tables(index_root)[_DL], ["doc_id"]),
+        (_tables(index_root)[_DF], ["word"]),
+    ):
+        head = lakelog.latest_version(table)
+        if head is None:
+            continue
+        merged = _merged(spark, table, keys)
+        # every maintenance watermark survives the rewrite: commit
+        # inherits the parent manifest's txns dict
+        lakelog.commit(table, merged, "purge", expect_parent=head)
+
+
+# --- PQ index: frozen codebook, append-assign --------------------------------
+
+
+def pq_index_build(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    index_root: str,
+    m: int = sim.PQ_M,
+    ks: int = sim.PQ_KS,
+) -> tuple[str, str]:
+    """Build and persist the PQ index: codebook (sampled from this
+    base corpus, then FROZEN) and codes, each a versioned lake table.
+    Returns (codebook_table, codes_table)."""
+    cb_table = os.path.join(index_root, "pq_codebook")
+    codes_table = os.path.join(index_root, "pq_codes")
+    cb = sim.pq_codebook(embeddings, m, ks)
+    lakelog.commit(cb_table, cb, "append")
+    codes = sim.pq_encode(embeddings, lakelog.read(spark, cb_table), m)
+    lakelog.append_commit(spark, codes_table, codes, stat_cols=["vec_id"])
+    return cb_table, codes_table
+
+
+def pq_index_append(
+    spark: SparkSession,
+    index_root: str,
+    new_embeddings: DataFrame,
+    m: int = sim.PQ_M,
+) -> int:
+    """Assign NEW vectors under the persisted (frozen) codebook and
+    append their codes as an O(new) segment — no retraining, no
+    re-encode of existing codes. Because ``pq_encode`` is a pure
+    function of (vector, codebook), the grown codes table is
+    bit-identical to a from-scratch encode of the grown corpus under
+    the same codebook: that identity is the gate row's hash. Returns
+    the committed codes version."""
+    cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
+    codes = sim.pq_encode(new_embeddings, cb, m)
+    return lakelog.append_commit(
+        spark,
+        os.path.join(index_root, "pq_codes"),
+        codes,
+        stat_cols=["vec_id"],
+    )
+
+
+def pq_index_read(
+    spark: SparkSession, index_root: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) from the latest committed index snapshot."""
+    return (
+        lakelog.read(spark, os.path.join(index_root, "pq_codebook")),
+        lakelog.read(spark, os.path.join(index_root, "pq_codes")),
+    )
+
+
+def pq_assignment_balance(codes: DataFrame) -> DataFrame:
+    """Retraining gauge for the frozen codebook: per subspace, how
+    evenly the corpus spreads over its codes. (m, n_codes, n_vecs,
+    max_share, imbalance) where ``max_share`` is the most-loaded
+    code's fraction and ``imbalance`` = max_share × n_codes (1.0 =
+    perfectly uniform; → n_codes as one code absorbs everything —
+    appended data has drifted off the codebook's sample and ADC
+    contrast is gone, time to retrain + re-encode). Shuffles (m, code)
+    count rows only — corpus-size-independent."""
+    per_code = codes.groupBy("m", "code").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_code.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_codes"),
+            F.sum("n").cast("bigint").alias("n_vecs"),
+            F.max("n").alias("max_n"),
+        )
+        .select(
+            "m",
+            "n_codes",
+            "n_vecs",
+            F.round(F.col("max_n") / F.col("n_vecs"), 6).alias("max_share"),
+            F.round(
+                F.col("max_n") * F.col("n_codes") / F.col("n_vecs"), 6
+            ).alias("imbalance"),
+        )
+    )

@@ -1,0 +1,247 @@
+"""Incrementally-maintained search indexes (extensions/search_index.py):
+BM25 tf/dl/df folded from the lake change feed, PQ codes appended
+under a frozen codebook. The load-bearing invariant everywhere:
+MAINTAINED state == FRESH-BUILT state on the same snapshot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import search_index as si
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import similarity as sim
+from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+
+def _doc_chunks(spark, sf_dir, n_chunks=3):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs, [
+        docs.filter(F.col("doc_id") % n_chunks == i) for i in range(n_chunks)
+    ]
+
+
+def _assert_df_equal(got, want, keys):
+    g = {tuple(r[k] for k in keys): r for r in got.collect()}
+    w = {tuple(r[k] for k in keys): r for r in want.collect()}
+    assert set(g) == set(w), (
+        f"key sets differ: extra={set(g) - set(w)} missing={set(w) - set(g)}"
+    )
+    for k in w:
+        assert g[k] == w[k], f"row mismatch at {k}: {g[k]} != {w[k]}"
+
+
+def test_bm25_maintained_equals_fresh_build_over_appends(spark, sf_dir, tmp_path):
+    """Three append commits, a maintain() after each: the merged
+    tf/dl/df must equal the from-scratch components over the full
+    corpus — the identity that makes the serving index trustworthy."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    docs, chunks = _doc_chunks(spark, sf_dir)
+    for chunk in chunks:
+        lakelog.append_commit(spark, source, chunk)
+        si.bm25_index_maintain(spark, source, index)
+
+    tf, dl, df = si.bm25_read_index(spark, index)
+    want_tf, want_dl = sim.bm25_index_components(docs)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    _assert_df_equal(dl, want_dl, ["doc_id"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+
+
+def test_bm25_index_scores_equal_from_scratch(spark, sf_dir, tmp_path):
+    """Scoring from the maintained index must produce bit-identical
+    BM25 doubles to bm25_scored_candidates on the same snapshot."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    docs, chunks = _doc_chunks(spark, sf_dir)
+    for chunk in chunks:
+        lakelog.append_commit(spark, source, chunk)
+    si.bm25_index_maintain(spark, source, index)
+
+    got = si.bm25_score_from_index(spark, index, (0, 1, 2)).collect()
+    want = sim.bm25_scored_candidates(docs, (0, 1, 2)).collect()
+    g = {(r.query_id, r.doc_id): (r.n_terms, r.bm25) for r in got}
+    w = {(r.query_id, r.doc_id): (r.n_terms, r.bm25) for r in want}
+    assert g == w and len(g) > 0
+
+
+def test_bm25_maintain_handles_updates_and_deletes(spark, tmp_path):
+    """CDC updates/deletes flow through as signed token deltas: tf
+    groups drain, dl shrinks, df decrements when a word's last doc
+    loses it — maintained state equals a recompute of the final
+    snapshot."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    rows = [(1, "alpha beta beta", 1), (2, "beta gamma", 1), (3, "delta", 1)]
+    base = spark.createDataFrame(rows, "doc_id bigint, text string, ts bigint")
+    lakelog.merge_upsert_cdf(spark, source, base, ["doc_id"], "ts")
+    si.bm25_index_maintain(spark, source, index)
+
+    # update doc 1 (drops alpha => df(alpha) must go to 0 and vanish),
+    # upsert doc 4
+    upd = spark.createDataFrame(
+        [(1, "beta epsilon", 2), (4, "gamma gamma", 2)],
+        "doc_id bigint, text string, ts bigint",
+    )
+    lakelog.merge_upsert_cdf(spark, source, upd, ["doc_id"], "ts")
+    si.bm25_index_maintain(spark, source, index)
+
+    tf, dl, df = si.bm25_read_index(spark, index)
+    snapshot = lakelog.read(spark, source).select("doc_id", "text")
+    want_tf, want_dl = sim.bm25_index_components(snapshot)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    _assert_df_equal(dl, want_dl, ["doc_id"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+    assert df.filter(F.col("word") == "alpha").count() == 0
+
+
+def test_bm25_maintain_is_idempotent(spark, sf_dir, tmp_path):
+    """A fully-applied redelivery (same source head) must not append
+    new segments or change any count."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    _, chunks = _doc_chunks(spark, sf_dir)
+    lakelog.append_commit(spark, source, chunks[0])
+    v1 = si.bm25_index_maintain(spark, source, index)
+    tf_table = si._tables(index)[si._TF]
+    head_before = lakelog.latest_version(tf_table)
+    v2 = si.bm25_index_maintain(spark, source, index)
+    assert v1 == v2
+    assert lakelog.latest_version(tf_table) == head_before
+
+
+def test_bm25_maintain_replays_after_crash_between_commits(spark, tmp_path):
+    """Crash order contract: df commits FIRST, so a crash can only
+    leave df AHEAD of tf/dl; the next maintain() catches tf/dl up
+    with their state-independent deltas and converges — never a
+    transition computed against a stale tf."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta", 1)], "doc_id bigint, text string, ts bigint"
+    )
+    lakelog.merge_upsert_cdf(spark, source, b1, ["doc_id"], "ts")
+    si.bm25_index_maintain(spark, source, index)
+
+    b2 = spark.createDataFrame(
+        [(2, "beta gamma", 1)], "doc_id bigint, text string, ts bigint"
+    )
+    lakelog.merge_upsert_cdf(spark, source, b2, ["doc_id"], "ts")
+
+    real_append = si._append_segment
+    state = {"n": 0}
+
+    def crashing_append(table, delta, app_id, src_version, **kw):
+        v = real_append(table, delta, app_id, src_version, **kw)
+        state["n"] += 1
+        if state["n"] == 1:  # die right after the df segment lands
+            raise RuntimeError("simulated crash after df commit")
+        return v
+
+    si._append_segment = crashing_append
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            si.bm25_index_maintain(spark, source, index)
+    finally:
+        si._append_segment = real_append
+
+    # df is ahead; tf/dl lag. Replay must converge to the snapshot.
+    si.bm25_index_maintain(spark, source, index)
+    tf, dl, df = si.bm25_read_index(spark, index)
+    snapshot = lakelog.read(spark, source).select("doc_id", "text")
+    want_tf, want_dl = sim.bm25_index_components(snapshot)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    _assert_df_equal(dl, want_dl, ["doc_id"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+
+
+def test_bm25_index_compact_preserves_state_and_watermark(spark, sf_dir, tmp_path):
+    """Compaction folds segments into one dir without changing any
+    merged count, keeps the maintenance watermark (so the next
+    maintain() is still incremental), and maintenance keeps working
+    afterwards."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    docs, chunks = _doc_chunks(spark, sf_dir)
+    for chunk in chunks[:2]:
+        lakelog.append_commit(spark, source, chunk)
+        si.bm25_index_maintain(spark, source, index)
+
+    tf_table = si._tables(index)[si._TF]
+    before = si._applied(tf_table, "bm25")
+    si.bm25_index_compact(spark, index)
+    assert si._applied(tf_table, "bm25") == before  # watermark survives
+    assert len(
+        lakelog.read_manifest(tf_table, lakelog.latest_version(tf_table))[
+            "data_dirs"
+        ]
+    ) == 1
+
+    lakelog.append_commit(spark, source, chunks[2])
+    si.bm25_index_maintain(spark, source, index)
+    tf, dl, df = si.bm25_read_index(spark, index)
+    want_tf, want_dl = sim.bm25_index_components(docs)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+
+
+def test_signed_tokens_matches_bm25_tokenizer(spark):
+    """The change-feed tokenizer must stay literally in sync with
+    similarity.bm25_tokens — a drift silently corrupts the index."""
+    docs = spark.createDataFrame(
+        [(1, "Foo  BAR baz"), (2, " x\ty ")], "doc_id bigint, text string"
+    )
+    feed = docs.withColumn("_change_type", F.lit("insert"))
+    got = sorted(
+        (r.doc_id, r.word) for r in si._signed_tokens(feed).collect()
+    )
+    want = sorted((r.doc_id, r.word) for r in sim.bm25_tokens(docs).collect())
+    assert got == want
+
+
+# --- PQ append path ----------------------------------------------------------
+
+
+def test_pq_append_equals_from_scratch_encode(spark, sf_dir, tmp_path):
+    """Codes appended under the frozen codebook must be bit-identical
+    to a from-scratch encode of the grown corpus under the same
+    codebook — encode is a pure function of (vector, codebook)."""
+    index = str(tmp_path / "pq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+    cut = (2 * n) // 3
+    base = embs.filter(F.col("vec_id") < cut)
+    extra = embs.filter(F.col("vec_id") >= cut)
+    assert extra.count() > 0
+
+    si.pq_index_build(spark, base, index)
+    si.pq_index_append(spark, index, extra)
+
+    cb, codes = si.pq_index_read(spark, index)
+    want = sim.pq_encode(embs, cb)
+    got = sorted((r.vec_id, r.m, r.code) for r in codes.collect())
+    assert got == sorted((r.vec_id, r.m, r.code) for r in want.collect())
+    # sanity: the codebook was sampled from the BASE corpus only
+    assert cb.count() == sim.PQ_M * sim.PQ_KS
+
+
+def test_pq_assignment_balance_metric(spark, sf_dir, tmp_path):
+    """The retraining gauge: per-subspace shares sum to coverage of
+    the corpus, imbalance ≥ 1 with equality only at perfect
+    uniformity, and every vector is counted."""
+    index = str(tmp_path / "pq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.pq_index_build(spark, embs, index)
+    _, codes = si.pq_index_read(spark, index)
+    bal = si.pq_assignment_balance(codes).collect()
+    n = embs.count()
+    assert len(bal) == sim.PQ_M
+    for r in bal:
+        assert r.n_vecs == n
+        assert r.imbalance >= 0.999999  # >= 1 up to rounding
+        assert 0 < r.max_share <= 1
