@@ -257,8 +257,42 @@ def bm25_index_compact(spark: SparkSession, index_root: str) -> None:
             continue
         merged = _merged(spark, table, keys)
         # every maintenance watermark survives the rewrite: commit
-        # inherits the parent manifest's txns dict
-        lakelog.commit(table, merged, "purge", expect_parent=head)
+        # inherits the parent manifest's txns dict. Re-record the word
+        # bloom the segments carried so the df-transition probe keeps
+        # skipping after the rewrite. A maintain() racing this commit
+        # raises CommitConflict — retry compaction at the new head.
+        bloom = ["word"] if "word" in keys else None
+        lakelog.commit(
+            table, merged, "purge", expect_parent=head, bloom_cols=bloom
+        )
+
+
+def bm25_indexing_sink(
+    spark: SparkSession,
+    source_table: str,
+    index_root: str,
+    app_id: str = "bm25-ingest",
+):
+    """foreachBatch callable — the full streaming ingest-to-serving
+    composition: each micro-batch of (doc_id, text) lands in the
+    source lake table EXACTLY ONCE (``txn_append_commit``, redelivery
+    a manifest no-op) and the BM25 index is folded forward to the new
+    head in the same call. A replayed batch re-enters idempotently on
+    both sides (the ingest skips by batch watermark; the maintain
+    skips by source-version watermark), so at-least-once delivery
+    yields an exactly-once index. ``app_id`` identifies a checkpoint
+    lineage — same contract as ``streaming.lake_sink`` (derive it via
+    ``app_id_for_checkpoint`` when resetting checkpoints)."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        lakelog.txn_append_commit(
+            spark, source_table, batch_df, app_id=app_id, batch_id=batch_id
+        )
+        return bm25_index_maintain(
+            spark, source_table, index_root, app_id=f"{app_id}-idx"
+        )
+
+    return sink
 
 
 # --- PQ index: frozen codebook, append-assign --------------------------------
@@ -313,6 +347,58 @@ def pq_index_read(
     return (
         lakelog.read(spark, os.path.join(index_root, "pq_codebook")),
         lakelog.read(spark, os.path.join(index_root, "pq_codes")),
+    )
+
+
+def pq_indexing_sink(
+    spark: SparkSession,
+    index_root: str,
+    m: int = sim.PQ_M,
+):
+    """foreachBatch callable — streaming ANN ingest: each micro-batch
+    of (vec_id, embedding) is assigned under the frozen persisted
+    codebook and appended as an O(batch) codes segment
+    (:func:`pq_index_append`). The index must already exist
+    (:func:`pq_index_build` on the base corpus — the codebook sample
+    needs data). Encode determinism makes replays value-idempotent
+    per vector; pair with a checkpoint for exactly-once segment
+    delivery at scale."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        return pq_index_append(spark, index_root, batch_df, m)
+
+    return sink
+
+
+def hybrid_search_from_index(
+    spark: SparkSession,
+    index_root: str,
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieve-then-rerank SERVED FROM THE MAINTAINED INDEX — the
+    production form of ``similarity.hybrid_search_topk``: BM25
+    candidates come from the persisted tf/dl/df (no tokenization, no
+    corpus scan), the top-``pool`` per query are reranked by embedding
+    cosine, top-``k`` returned. Identical scores to the from-scratch
+    two-stage on the same snapshot (pinned in
+    tests/test_search_index.py); the expensive vector stage still
+    touches only pool × |queries| rows."""
+    from pyspark.sql import Window as W
+
+    scored = bm25_score_from_index(spark, index_root, query_ids)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= pool)
+        .select("query_id", "doc_id")
+    )
+    return sim._cosine_rerank_topk(
+        cand, embeddings, sim._query_embeddings(embeddings, query_ids), k
     )
 
 

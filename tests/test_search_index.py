@@ -190,6 +190,50 @@ def test_bm25_index_compact_preserves_state_and_watermark(spark, sf_dir, tmp_pat
     _assert_df_equal(df, want_df, ["word"])
 
 
+def test_bm25_compact_racing_maintain_conflicts_then_succeeds(
+    spark, sf_dir, tmp_path
+):
+    """bm25_index_compact is optimistic: a maintain() landing between
+    its head read and its purge commit raises CommitConflict (it must
+    never silently freeze partial counts); the retry at the new head
+    compacts the racer's segments too, and the watermark + merged
+    state stay correct."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    _, chunks = _doc_chunks(spark, sf_dir)
+    lakelog.append_commit(spark, source, chunks[0])
+    si.bm25_index_maintain(spark, source, index)
+    lakelog.append_commit(spark, source, chunks[1])  # unapplied racer feed
+
+    real_merged = si._merged
+    state = {"raced": False}
+
+    def racing_merged(spark_, table, keys):
+        out = real_merged(spark_, table, keys)
+        if not state["raced"]:
+            state["raced"] = True  # racer lands between head read + commit
+            si.bm25_index_maintain(spark, source, index)
+        return out
+
+    si._merged = racing_merged
+    try:
+        with pytest.raises(lakelog.CommitConflict):
+            si.bm25_index_compact(spark, index)
+    finally:
+        si._merged = real_merged
+
+    si.bm25_index_compact(spark, index)  # retry at the new head
+    tf_table = si._tables(index)[si._TF]
+    assert si._applied(tf_table, "bm25") == lakelog.latest_version(source)
+    tf, dl, df = si.bm25_read_index(spark, index)
+    snapshot = lakelog.read(spark, source).select("doc_id", "text")
+    want_tf, want_dl = sim.bm25_index_components(snapshot)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    _assert_df_equal(dl, want_dl, ["doc_id"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+
+
 def test_signed_tokens_matches_bm25_tokenizer(spark):
     """The change-feed tokenizer must stay literally in sync with
     similarity.bm25_tokens — a drift silently corrupts the index."""
@@ -245,3 +289,152 @@ def test_pq_assignment_balance_metric(spark, sf_dir, tmp_path):
         assert r.n_vecs == n
         assert r.imbalance >= 0.999999  # >= 1 up to rounding
         assert 0 < r.max_share <= 1
+
+
+def test_bm25_indexing_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
+    """The streaming composition: a 4-chunk documents replay through
+    bm25_indexing_sink — every micro-batch lands exactly once in the
+    source lake table AND folds into the index in the same call; the
+    final maintained tf/dl/df equal a fresh build over the full
+    corpus."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+    )
+
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    stream, tmp = replay_stream(
+        spark, sf_dir, "documents", chunks=4, order_col="doc_id"
+    )
+    try:
+        q = (
+            stream.select("doc_id", "text")
+            .writeStream.foreachBatch(
+                si.bm25_indexing_sink(spark, source, index)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        cleanup(tmp)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert lakelog.read(spark, source).count() == docs.count()
+    tf, dl, df = si.bm25_read_index(spark, index)
+    want_tf, want_dl = sim.bm25_index_components(docs)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    _assert_df_equal(dl, want_dl, ["doc_id"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+    # the index watermark names the last source version folded
+    tf_table = si._tables(index)[si._TF]
+    assert si._applied(tf_table, "bm25-ingest-idx") == lakelog.latest_version(
+        source
+    )
+
+
+def test_bm25_indexing_sink_redelivery_is_noop(spark, sf_dir, tmp_path):
+    """At-least-once delivery → exactly-once index: redelivering a
+    micro-batch (same batch_id — the foreachBatch replay contract)
+    must leave both the source table and every index table at the
+    same version with the same counts."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    _, chunks = _doc_chunks(spark, sf_dir)
+    sink = si.bm25_indexing_sink(spark, source, index)
+    sink(chunks[0], 0)
+    sink(chunks[1], 1)
+
+    tf_table = si._tables(index)[si._TF]
+    src_head = lakelog.latest_version(source)
+    idx_head = lakelog.latest_version(tf_table)
+    before = {
+        r["word"]: r["df"]
+        for r in si.bm25_read_index(spark, index)[2].collect()
+    }
+
+    sink(chunks[1], 1)  # redelivered batch: no-op on both sides
+    assert lakelog.latest_version(source) == src_head
+    assert lakelog.latest_version(tf_table) == idx_head
+    after = {
+        r["word"]: r["df"]
+        for r in si.bm25_read_index(spark, index)[2].collect()
+    }
+    assert after == before
+
+
+def test_pq_indexing_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
+    """Streaming ANN ingest: build the index on a base corpus (the
+    codebook freezes there), then stream the remaining vectors through
+    pq_indexing_sink — the grown codes table must be bit-identical to
+    a from-scratch encode of the full corpus under the frozen
+    codebook."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+    )
+
+    index = str(tmp_path / "pq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    cut = (2 * embs.count()) // 3
+    si.pq_index_build(spark, embs.filter(F.col("vec_id") < cut), index)
+
+    stream, tmp = replay_stream(
+        spark, sf_dir, "embeddings", chunks=4, order_col="vec_id"
+    )
+    try:
+        q = (
+            stream.filter(F.col("vec_id") >= cut)  # base already indexed
+            .select("vec_id", "embedding")
+            .writeStream.foreachBatch(si.pq_indexing_sink(spark, index))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        cleanup(tmp)
+
+    cb, codes = si.pq_index_read(spark, index)
+    want = sim.pq_encode(embs, cb)
+    got = sorted((r.vec_id, r.m, r.code) for r in codes.collect())
+    assert got == sorted((r.vec_id, r.m, r.code) for r in want.collect())
+
+
+def test_hybrid_search_from_index_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Serving parity: hybrid retrieve-then-rerank FROM the maintained
+    index must equal the same two-stage built from scratch on the same
+    snapshot (BM25 candidates -> top-pool -> cosine rerank)."""
+    from pyspark.sql import Window as W
+
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    docs, chunks = _doc_chunks(spark, sf_dir)
+    for chunk in chunks:
+        lakelog.append_commit(spark, source, chunk)
+        si.bm25_index_maintain(spark, source, index)
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qids, pool, k = (0, 1, 2), 20, 10
+    got = si.hybrid_search_from_index(
+        spark, index, embs, query_ids=qids, pool=pool, k=k
+    ).collect()
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        sim.bm25_scored_candidates(docs, qids)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= pool)
+        .select("query_id", "doc_id")
+    )
+    want = sim._cosine_rerank_topk(
+        cand, embs, sim._query_embeddings(embs, qids), k
+    ).collect()
+    g = sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in got)
+    assert g == sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in want)
+    assert len(g) == len(qids) * k

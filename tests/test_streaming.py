@@ -798,8 +798,10 @@ def test_liststate_recent_events_matches_batch_topk(spark, sf_dir):
     from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
     from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
 
+    # the gate row string-joins its list for the driver canonicalizer
+    # (registry.py determinism rules) — split it back for the compare
     got = {
-        r.user_id: list(r.recent_event_ids)
+        r.user_id: [int(x) for x in r.recent_event_ids.split(",")]
         for r in QUERIES["stateful_recent_events_tws_v2"]
         .spark(spark, sf_dir)
         .collect()
