@@ -71,17 +71,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # breach at r10. Either keep r09 to ≤ 1 new query, or register ≥ 2
 # and verify `tools/check_oracle.py`'s floor line prints 5.
 #
-# r10 window math (written r09): r09 took the ≥2 branch — 2 new
-# registrations (the incremental BM25/PQ index rows) put the registry
-# at 202 (201 gated after the one exclusion) and the floor at
-# ceil(201/50) = 5 (check_oracle's floor line confirms). The r09
-# window = 2 never + 1 zero-green (the ListState re-entry) + 47 of
-# the 49 r05 rows; 2 r05 rows stay at r05 and hit 5-rounds-stale at
-# r10 — the oldest-first rotation puts them at the head of the r10
-# window automatically, so r10 needs no pin, and its new-registration
-# budget is ~48 (window = N new + 2 r05 + (48−N) r06; the r06 block
-# of 50 must finish refreshing by r11 to clear its own r11 floor, so
-# keep N modest — ≤ ~10 — or split across rounds).
+# r10 window math (written r09): r09 took the ≥2 branch — 3 new
+# registrations (the incremental BM25/PQ index rows and the CDC-to-
+# search-index composition) put the registry at 203 (202 gated after
+# the one exclusion) and the floor at ceil(202/50) = 5 (check_oracle's
+# floor line confirms). The r09 window = 3 never + 1 zero-green (the
+# ListState re-entry) + 46 of the 49 r05 rows; 3 r05 rows stay at r05
+# and hit 5-rounds-stale at r10 — the oldest-first rotation puts them
+# at the head of the r10 window automatically, so r10 needs no pin,
+# and its new-registration budget is ~47 (window = N new + 3 r05 +
+# (47−N) r06; the r06 block of 50 must finish refreshing by r11 to
+# clear its own r11 floor, so keep N modest — ≤ ~10 — or split across
+# rounds).
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

@@ -4160,3 +4160,149 @@ def ext_sim_index_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_search_cdc_index_maintained",
+    """
+    WITH snap AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 1 THEN text || ' updated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 7 <> 3
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+        FROM snap
+      ), unnest(w) AS u(word)
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, word, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+    dft AS MATERIALIZED (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    bqw AS (SELECT doc_id AS query_id, word FROM tf WHERE doc_id IN (0, 1, 2)),
+    candterm AS (
+      SELECT q.query_id, t.doc_id, t.word,
+             (((s.n_docs - d.df)::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5))
+             * ((t.tf::DOUBLE * 2.2)
+                / (t.tf::DOUBLE + 1.2 * (0.25 + (0.75 * l.dl::DOUBLE)
+                     / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))) AS s
+      FROM tf t
+      JOIN bqw q USING (word)
+      JOIN dft d USING (word)
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.doc_id <> q.query_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+             list_reduce(list_prepend(0.0, list(s ORDER BY word)), (x, y) -> x + y)
+               AS bm25
+      FROM candterm GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_terms, round(bm25, 6) AS bm25, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM bm
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "search", "bm25", "cdc", "lake", "incremental", "streaming"),
+)
+def ext_search_cdc_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFERENCE PIPELINE's shape driver-gated end to end: Debezium
+    change events — wrapped into real JSON envelopes and decoded back
+    through ``sources.cdc.wrap_envelope_cdc`` / ``unwrap_envelope_cdc``
+    (deletes ship ``after`` NULL with the key recovered from
+    ``before``) — keep a search index current, exactly what the
+    reference does with Kafka CDC and Elasticsearch (its Lucene index
+    here played by the maintained BM25 lake index). Batch 0 inserts the
+    corpus; batch 1 UPDATES every ``doc_id % 7 == 1`` (text + '
+    updated') and DELETES every ``doc_id % 7 == 3``. Each batch flows
+    through ``search_index.cdc_search_indexing_sink``:
+    ``lakelog.merge_apply_cdc`` lands the ops with a row-level change
+    feed (delete rows carry the full old row), and the index folds the
+    commit's signed deltas — a deleted doc's tokens enter at −1, its
+    tf/dl groups drain, df decrements through the tf-group transition.
+    Scoring from the maintained index must hash-equal the oracle's
+    from-scratch BM25 over the post-CDC snapshot: maintained-under-
+    updates-and-deletes == rebuilt, the contract that makes a 100 TB
+    search index affordable to keep current."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import cdc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    row_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def wire(batch: DataFrame) -> DataFrame:
+        return cdc.unwrap_envelope_cdc(
+            cdc.wrap_envelope_cdc(batch, op_col="_op", ts_col="_ts_ms"),
+            row_schema,
+            ["doc_id"],
+        )
+
+    b0 = docs.select(
+        "doc_id", "text",
+        F.lit("c").alias("_op"), F.lit(1).cast("long").alias("_ts_ms"),
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 7 == 1)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+            F.lit("u").alias("_op"),
+            F.lit(2).cast("long").alias("_ts_ms"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit("d").alias("_op"),
+                F.lit(2).cast("long").alias("_ts_ms"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="cdc_search_index_")
+    try:
+        sink = si.cdc_search_indexing_sink(
+            spark, f"{root}/documents", f"{root}/index"
+        )
+        sink(wire(b0), 0)
+        sink(wire(b1), 1)
+        scored = si.bm25_score_from_index(spark, f"{root}/index", (0, 1, 2))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), F.col("doc_id").asc()
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(
+                "query_id",
+                "doc_id",
+                "n_terms",
+                F.round("bm25", 6).alias("bm25"),
+                "rank",
+            )
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -295,6 +295,60 @@ def bm25_indexing_sink(
     return sink
 
 
+def cdc_search_indexing_sink(
+    spark: SparkSession,
+    source_table: str,
+    index_root: str,
+    keys: tuple[str, ...] = ("doc_id",),
+    ts_col: str = "_ts_ms",
+    op_col: str = "_op",
+    app_id: str = "cdc-search",
+):
+    """foreachBatch callable — the REFERENCE PIPELINE's shape end to
+    end (kafka-cdc-elasticsearch-pipeline: Debezium change events from Kafka
+    keep a search index current; here the maintained BM25 index plays
+    the Elasticsearch/Lucene role). Each micro-batch of decoded
+    Debezium rows (``sources.cdc.unwrap_envelope_cdc`` — op c/u/r
+    upserts, op 'd' deletes with the key recovered from ``before``)
+    MERGEs into the source lake table with a change feed
+    (``lakelog.merge_apply_cdc``), and the serving index folds the
+    commit's signed deltas forward in the same call: an update
+    re-scores the document, a DELETE removes it (its tokens enter the
+    fold at −1; df decrements through the tf-group transition, the
+    doc's tf/dl groups drain to 0 and vanish on merge-on-read).
+
+    Crash safety is the two-watermark scheme of
+    ``streaming.lake_sink.lake_ivm_sink``: the source manifest carries
+    (app_id, batch_id) so a redelivered batch skips the merge BEFORE
+    burning a version; the index tables carry (app_id+"-idx",
+    source_version) so the fold replays as an idempotent catch-up."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        src_head = lakelog.latest_version(source_table)
+        src_wm = -1
+        if src_head is not None:
+            src_wm = (
+                lakelog.read_manifest(source_table, src_head)
+                .get("txns", {})
+                .get(app_id, -1)
+            )
+        if batch_id > src_wm:
+            lakelog.merge_apply_cdc(
+                spark,
+                source_table,
+                batch_df,
+                list(keys),
+                ts_col,
+                op_col=op_col,
+                txn=(app_id, batch_id),
+            )
+        return bm25_index_maintain(
+            spark, source_table, index_root, app_id=f"{app_id}-idx"
+        )
+
+    return sink
+
+
 # --- PQ index: frozen codebook, append-assign --------------------------------
 
 
@@ -354,18 +408,32 @@ def pq_indexing_sink(
     spark: SparkSession,
     index_root: str,
     m: int = sim.PQ_M,
+    app_id: str = "pq-ingest",
 ):
     """foreachBatch callable — streaming ANN ingest: each micro-batch
     of (vec_id, embedding) is assigned under the frozen persisted
-    codebook and appended as an O(batch) codes segment
-    (:func:`pq_index_append`). The index must already exist
-    (:func:`pq_index_build` on the base corpus — the codebook sample
-    needs data). Encode determinism makes replays value-idempotent
-    per vector; pair with a checkpoint for exactly-once segment
-    delivery at scale."""
+    codebook and appended as an O(batch) codes segment. The index must
+    already exist (:func:`pq_index_build` on the base corpus — the
+    codebook sample needs data). Unlike the manual
+    :func:`pq_index_append`, the sink appends through
+    ``txn_append_commit`` keyed on (``app_id``, batch_id): foreachBatch
+    is at-least-once, and a plain append would land a replayed batch's
+    codes TWICE (duplicate candidate rows in every search). The
+    watermark makes redelivery a manifest no-op — an exactly-once
+    codes table. ``app_id`` identifies a checkpoint lineage (same
+    contract as ``streaming.lake_sink``)."""
 
     def sink(batch_df: DataFrame, batch_id: int):
-        return pq_index_append(spark, index_root, batch_df, m)
+        cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
+        codes = sim.pq_encode(batch_df, cb, m)
+        return lakelog.txn_append_commit(
+            spark,
+            os.path.join(index_root, "pq_codes"),
+            codes,
+            app_id=app_id,
+            batch_id=batch_id,
+            stat_cols=["vec_id"],
+        )
 
     return sink
 

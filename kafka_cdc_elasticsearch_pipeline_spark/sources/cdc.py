@@ -24,6 +24,8 @@ key range, then union with the change stream.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -70,6 +72,68 @@ def unwrap_envelope(
         F.col("_env.op").alias("_op"),
         F.col("_env.ts_ms").alias("_ts_ms"),
     )
+
+
+def unwrap_envelope_cdc(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    keys: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Envelope decode for a MERGE consumer: like
+    :func:`unwrap_envelope`, but delete events (``after IS NULL``,
+    op='d') recover their ``keys`` columns from ``before`` — the last
+    row image Debezium ships with a delete — so every decoded row
+    carries the key the merge needs. Output: row columns + ``_op`` +
+    ``_ts_ms``; feed it to ``lakelog.merge_apply_cdc(keys=...,
+    ts_col="_ts_ms", op_col="_op")``."""
+    env = debezium_envelope_schema(row_schema)
+    parsed = raw.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), env)
+    )
+    cols = []
+    for f in row_schema.fields:
+        c = F.col(f"_env.after.{f.name}")
+        if f.name in keys:
+            c = F.coalesce(c, F.col(f"_env.before.{f.name}"))
+        cols.append(c.alias(f.name))
+    return parsed.select(
+        *cols,
+        F.col("_env.op").alias("_op"),
+        F.col("_env.ts_ms").alias("_ts_ms"),
+    )
+
+
+def wrap_envelope_cdc(
+    df: DataFrame,
+    op_col: str = "_op",
+    ts_col: str | None = None,
+    delete_ops: Sequence[str] = ("d",),
+    db: str = "demo",
+    table: str = "customers",
+) -> DataFrame:
+    """Per-row-op inverse of :func:`unwrap_envelope_cdc`: rows whose
+    ``op_col`` ∈ ``delete_ops`` get the Debezium delete shape
+    (``after`` NULL, ``before`` = the row image); everything else gets
+    ``after`` = the row. Used by tests and the deterministic replay
+    path to exercise the full CDC delete flow without a broker."""
+    data_cols = [c for c in df.columns if c not in (op_col, ts_col)]
+    row = F.struct(*[F.col(c) for c in data_cols])
+    is_del = F.col(op_col).isin(list(delete_ops))
+    value = F.to_json(
+        F.struct(
+            F.when(is_del, row).alias("before"),
+            F.when(~is_del, row).alias("after"),
+            F.col(op_col).alias("op"),
+            (
+                F.col(ts_col).cast("long") if ts_col else F.lit(0).cast("long")
+            ).alias("ts_ms"),
+            F.struct(F.lit(db).alias("db"), F.lit(table).alias("table")).alias(
+                "source"
+            ),
+        )
+    )
+    return df.select(value.alias("value"))
 
 
 def extract_key(df: DataFrame, id_col: str, key_col: str = "kafka_key") -> DataFrame:

@@ -861,6 +861,128 @@ def merge_upsert_cdf(
     raise CommitConflict(f"merge into {table} lost {max_retries + 1} races")
 
 
+def merge_apply_cdc(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    op_col: str = "_op",
+    delete_ops: Sequence[str] = ("d",),
+    tiebreak: str | None = None,
+    max_retries: int = 3,
+    stat_cols: Sequence[str] | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """CDC APPLY with a change feed: :func:`merge_upsert_cdf` plus ROW
+    DELETION — the full Debezium op stream (c/u/r upsert, d delete)
+    applied to a lake table the way the reference pipeline's connector
+    applies it to its search index (a delete event removes the
+    document; reference `ksqldb-statements.sql` models it as the
+    tombstone flow). The winner per key is the latest of (current
+    snapshot row ∪ batch rows) by ``(ts_col, tiebreak)``; a winner
+    whose ``op_col`` ∈ ``delete_ops`` REMOVES the key, any other
+    winner upserts it (``op_col`` itself never lands in the table).
+
+    The staged feed records what happened to the TABLE: ``insert`` /
+    ``update_preimage``+``postimage`` / ``delete`` (the full old row,
+    so downstream signed folds — IVM views, the BM25 index — subtract
+    exactly what the table lost). A delete of an absent key, or any
+    change that loses the (ts, tiebreak) race to the snapshot row,
+    produces no feed row and no snapshot change.
+
+    Same scale shape as :func:`merge_upsert_cdf`: every feed join is
+    against the batch's distinct keys (batch-sized, broadcastable),
+    never snapshot × snapshot; the snapshot rewrite itself is the COW
+    fallback path, not the ingest path. ``txn`` as in
+    :func:`merge_upsert_cdf` — read the watermark back to skip a
+    redelivered batch BEFORE merging."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import latest_per_key
+
+    key_list = list(keys)
+    op_type = changes.schema[op_col].dataType
+    is_del = F.col(op_col).isin(list(delete_ops))
+    for _ in range(max_retries + 1):
+        parent = latest_version(table)
+        batch_keys = changes.select(*key_list).distinct()
+        if parent is None:
+            winners = latest_per_key(changes, key_list, ts_col, tiebreak=tiebreak)
+            result = winners.filter(~F.coalesce(is_del, F.lit(False))).drop(
+                op_col
+            )
+            feed = result.select("*", F.lit("insert").alias("_change_type"))
+        else:
+            snap = read(spark, table, parent)
+            # incumbents compete with op=NULL (never a delete); only
+            # batch keys can change, so the per-key reduce is batch-sized
+            incumbents = snap.join(batch_keys, key_list, "left_semi").select(
+                "*", F.lit(None).cast(op_type).alias(op_col)
+            )
+            winners = latest_per_key(
+                incumbents.unionByName(changes), key_list, ts_col,
+                tiebreak=tiebreak,
+            )
+            survivors = winners.filter(
+                ~F.coalesce(is_del, F.lit(False))
+            ).drop(op_col)
+            result = snap.join(batch_keys, key_list, "left_anti").unionByName(
+                survivors
+            )
+            data_cols = [c for c in snap.columns if c not in key_list]
+            old = snap.join(batch_keys, key_list).select(
+                *key_list, F.struct(*data_cols).alias("__old")
+            )
+            new = survivors.select(
+                *key_list, F.struct(*data_cols).alias("__new")
+            )
+            pair = old.join(new, key_list, "full")
+            inserts = pair.filter(
+                F.col("__old").isNull() & F.col("__new").isNotNull()
+            ).select(
+                *key_list, F.col("__new.*"), F.lit("insert").alias("_change_type")
+            )
+            deletes = pair.filter(
+                F.col("__old").isNotNull() & F.col("__new").isNull()
+            ).select(
+                *key_list, F.col("__old.*"), F.lit("delete").alias("_change_type")
+            )
+            changed = pair.filter(
+                F.col("__old").isNotNull()
+                & F.col("__new").isNotNull()
+                & ~F.col("__old").eqNullSafe(F.col("__new"))
+            )
+            pre = changed.select(
+                *key_list,
+                F.col("__old.*"),
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            post = changed.select(
+                *key_list,
+                F.col("__new.*"),
+                F.lit("update_postimage").alias("_change_type"),
+            )
+            feed = (
+                inserts.unionByName(pre).unionByName(post).unionByName(deletes)
+            )
+        change_dir = f"changes-{uuid.uuid4().hex}"
+        feed.write.mode("errorifexists").parquet(os.path.join(table, change_dir))
+        try:
+            return commit(
+                table,
+                result,
+                "merge_cdc",
+                expect_parent=parent,
+                stat_cols=stat_cols,
+                change_dir=change_dir,
+                txn=txn,
+            )
+        except CommitConflict:
+            # staged data + change dirs are unreferenced debris;
+            # vacuum reclaims them like any crashed commit's
+            continue
+    raise CommitConflict(f"merge into {table} lost {max_retries + 1} races")
+
+
 def read_row_changes(
     spark: SparkSession,
     table: str,

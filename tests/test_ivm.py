@@ -316,3 +316,125 @@ def test_app_id_for_checkpoint_is_per_lineage(tmp_path):
         assert app_id_for_checkpoint("ckpt_a") == a
     finally:
         os.chdir(cwd)
+
+
+# --- merge_apply_cdc: the delete-capable CDC apply ---------------------------
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=t, event_id=e, channel=c, value=float(v), _op=o)
+         for u, t, e, c, v, o in rows]
+    )
+
+
+def test_merge_apply_cdc_upserts_deletes_and_feed(spark, tmp_path):
+    """The Debezium op stream applied: c/u upsert, d removes the key;
+    the feed records the full OLD row for a delete (so signed folds
+    subtract exactly what the table lost), a delete of an absent key
+    is a no-op with no feed row."""
+    table = str(tmp_path / "t")
+    lakelog.merge_apply_cdc(
+        spark, table,
+        _cdc(spark, [(1, 10, 100, "a", 1.0, "c"), (2, 10, 101, "b", 2.0, "c")]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    snap1 = lakelog.read(spark, table)
+    assert "_op" not in snap1.columns  # the op never lands in the table
+    assert {r.user_id for r in snap1.collect()} == {1, 2}
+
+    lakelog.merge_apply_cdc(
+        spark, table,
+        _cdc(spark, [
+            (1, 20, 102, "c", 5.0, "u"),   # update
+            (2, 20, 103, "b", 2.0, "d"),   # delete existing
+            (3, 10, 104, "a", 7.0, "c"),   # insert
+            (9, 10, 105, "x", 0.0, "d"),   # delete absent: no-op
+        ]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    snap = {r.user_id: r for r in lakelog.read(spark, table).collect()}
+    assert set(snap) == {1, 3}
+    assert snap[1].value == 5.0 and snap[1].channel == "c"
+
+    feed = {(r._change_type, r.user_id): r
+            for r in lakelog.read_row_changes(spark, table, 1, 2).collect()}
+    assert set(feed) == {
+        ("update_preimage", 1), ("update_postimage", 1),
+        ("delete", 2), ("insert", 3),
+    }
+    # the delete row is the SNAPSHOT image, not the tombstone's payload
+    assert feed[("delete", 2)].event_id == 101
+    assert feed[("delete", 2)].value == 2.0
+
+
+def test_merge_apply_cdc_delete_losing_race_is_noop(spark, tmp_path):
+    """A delete older than the current row loses the (ts, tiebreak)
+    race: the table keeps the row and the feed stays empty — the feed
+    records what happened to the TABLE."""
+    table = str(tmp_path / "t")
+    lakelog.merge_apply_cdc(
+        spark, table, _cdc(spark, [(1, 50, 100, "a", 1.0, "c")]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    lakelog.merge_apply_cdc(
+        spark, table, _cdc(spark, [(1, 20, 101, "a", 1.0, "d")]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    assert lakelog.read(spark, table).count() == 1
+    assert lakelog.read_row_changes(spark, table, 1, 2).count() == 0
+
+
+def test_merge_apply_cdc_in_batch_order_resolves_by_ts(spark, tmp_path):
+    """Insert and delete of one key inside ONE batch resolve by
+    (ts, tiebreak): delete-last removes, insert-last lands."""
+    table = str(tmp_path / "t")
+    lakelog.merge_apply_cdc(
+        spark, table,
+        _cdc(spark, [
+            (1, 10, 100, "a", 1.0, "c"), (1, 20, 101, "a", 1.0, "d"),
+            (2, 10, 102, "b", 2.0, "d"), (2, 20, 103, "b", 3.0, "c"),
+        ]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    snap = {r.user_id: r for r in lakelog.read(spark, table).collect()}
+    assert set(snap) == {2}
+    assert snap[2].value == 3.0
+    feed = lakelog.read_row_changes(spark, table, 0, 1).collect()
+    assert [(r._change_type, r.user_id) for r in feed] == [("insert", 2)]
+
+
+def test_merge_apply_cdc_feed_folds_in_ivm(spark, tmp_path):
+    """Deletes flow through delta_aggregate as −1 rows: the maintained
+    per-channel view equals a recompute after a delete-bearing batch."""
+    table = str(tmp_path / "t")
+    lakelog.merge_apply_cdc(
+        spark, table,
+        _cdc(spark, [(1, 10, 100, "a", 1.0, "c"), (2, 10, 101, "a", 2.0, "c"),
+                     (3, 10, 102, "b", 4.0, "c")]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    view = delta_aggregate(
+        lakelog.read_row_changes(spark, table, 0, 1), ["channel"], ["value"]
+    )
+    lakelog.merge_apply_cdc(
+        spark, table,
+        _cdc(spark, [(2, 20, 103, "a", 2.0, "d"), (3, 20, 104, "b", 9.0, "u")]),
+        ["user_id"], "ts", tiebreak="event_id",
+    )
+    view = ivm_merge(
+        view, delta_aggregate(
+            lakelog.read_row_changes(spark, table, 1, 2), ["channel"], ["value"]
+        ),
+        ["channel"],
+    )
+    got = {r.channel: (r.n_rows, float(r.sum_value)) for r in view.collect()}
+    want = {
+        r.channel: (r.n_rows, float(r.sum_value))
+        for r in lakelog.read(spark, table)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+        .collect()
+    }
+    assert got == want == {"a": (1, 1.0), "b": (1, 9.0)}

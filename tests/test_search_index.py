@@ -5,6 +5,8 @@ MAINTAINED state == FRESH-BUILT state on the same snapshot."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -366,6 +368,87 @@ def test_bm25_indexing_sink_redelivery_is_noop(spark, sf_dir, tmp_path):
     assert after == before
 
 
+def test_cdc_search_indexing_sink_reference_pipeline_shape(spark, tmp_path):
+    """The reference pipeline end to end: Debezium change events
+    (insert/update/DELETE, wrapped and decoded through the real
+    envelope codec) keep a search index current. After every
+    micro-batch the maintained tf/dl/df equal a fresh build over the
+    lake snapshot; the deleted doc vanishes from the index (its words'
+    df decrement, its tf/dl groups drain)."""
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import cdc
+
+    row_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def decoded(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, _op string, _ts_ms bigint"
+        )
+        wire = cdc.wrap_envelope_cdc(df, op_col="_op", ts_col="_ts_ms")
+        return cdc.unwrap_envelope_cdc(wire, row_schema, ["doc_id"])
+
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    sink = si.cdc_search_indexing_sink(spark, source, index)
+
+    def assert_index_matches_snapshot():
+        snapshot = lakelog.read(spark, source).select("doc_id", "text")
+        tf, dl, df = si.bm25_read_index(spark, index)
+        want_tf, want_dl = sim.bm25_index_components(snapshot)
+        _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+        _assert_df_equal(dl, want_dl, ["doc_id"])
+        want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        _assert_df_equal(df, want_df, ["word"])
+
+    sink(
+        decoded(
+            [
+                (1, "alpha beta beta", "c", 1),
+                (2, "beta gamma", "c", 1),
+                (3, "delta", "c", 1),
+            ]
+        ),
+        0,
+    )
+    assert_index_matches_snapshot()
+
+    # update doc 1, DELETE doc 2 (a Debezium delete: after NULL, key
+    # recovered from before), insert doc 4
+    sink(
+        decoded(
+            [
+                (1, "beta epsilon", "u", 2),
+                (2, None, "d", 2),
+                (4, "gamma gamma", "c", 2),
+            ]
+        ),
+        1,
+    )
+    assert_index_matches_snapshot()
+    _, dl, df = si.bm25_read_index(spark, index)
+    assert dl.filter(F.col("doc_id") == 2).count() == 0  # doc gone
+    assert df.filter(F.col("word") == "alpha").count() == 0  # word gone
+    # gamma survives: doc 2 lost it, doc 4 brought it back -> df == 1
+    assert df.filter(F.col("word") == "gamma").collect()[0]["df"] == 1
+
+    # redelivery of the delete-bearing batch: manifest no-op both sides
+    src_head = lakelog.latest_version(source)
+    idx_head = lakelog.latest_version(si._tables(index)[si._TF])
+    sink(
+        decoded([(1, "beta epsilon", "u", 2), (2, None, "d", 2),
+                 (4, "gamma gamma", "c", 2)]),
+        1,
+    )
+    assert lakelog.latest_version(source) == src_head
+    assert lakelog.latest_version(si._tables(index)[si._TF]) == idx_head
+
+
 def test_pq_indexing_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
     """Streaming ANN ingest: build the index on a base corpus (the
     codebook freezes there), then stream the remaining vectors through
@@ -402,6 +485,27 @@ def test_pq_indexing_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
     want = sim.pq_encode(embs, cb)
     got = sorted((r.vec_id, r.m, r.code) for r in codes.collect())
     assert got == sorted((r.vec_id, r.m, r.code) for r in want.collect())
+
+
+def test_pq_indexing_sink_redelivery_is_noop(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: redelivering a micro-batch (same
+    batch_id) must not append its codes twice — a duplicate codes
+    segment would duplicate candidate rows in every search."""
+    index = str(tmp_path / "pq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    cut = (2 * embs.count()) // 3
+    si.pq_index_build(spark, embs.filter(F.col("vec_id") < cut), index)
+
+    sink = si.pq_indexing_sink(spark, index)
+    batch = embs.filter(F.col("vec_id") >= cut).select("vec_id", "embedding")
+    sink(batch, 0)
+    pq_codes = os.path.join(index, "pq_codes")
+    head = lakelog.latest_version(pq_codes)
+    n = lakelog.read(spark, pq_codes).count()
+
+    sink(batch, 0)  # redelivery: manifest no-op
+    assert lakelog.latest_version(pq_codes) == head
+    assert lakelog.read(spark, pq_codes).count() == n
 
 
 def test_hybrid_search_from_index_matches_from_scratch(spark, sf_dir, tmp_path):
