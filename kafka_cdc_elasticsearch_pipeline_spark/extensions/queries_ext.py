@@ -4306,3 +4306,132 @@ def ext_search_cdc_index_maintained(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_FROZEN_BASE_CENTS = """
+      SELECT label, list(c ORDER BY pos) AS centroid FROM (
+        SELECT label, pos,
+               round(list_reduce(list_prepend(0.0, list(embedding[pos]::DOUBLE ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*), 6) AS c
+        FROM embeddings, generate_series(1, 64) AS t(pos), cutv
+        WHERE vec_id < cutv.cut
+        GROUP BY label, pos
+      ) GROUP BY label
+"""
+
+
+@query(
+    "ext_sim_ivfpq_index_maintained",
+    f"""
+    WITH cutv AS (SELECT 2 * (max(vec_id) + 1) // 3 AS cut FROM embeddings),
+    cents AS ({_SQL_FROZEN_BASE_CENTS}),
+    assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT e.vec_id, c.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS_CENT} DESC, c.label ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c, cutv
+        WHERE e.vec_id >= cutv.cut
+      ) WHERE rn = 1
+    ),
+    grown AS (
+      SELECT e.vec_id, e.embedding, e.label
+      FROM embeddings e, cutv WHERE e.vec_id < cutv.cut
+      UNION ALL
+      SELECT e.vec_id, e.embedding, a.label
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    ),
+    rese AS (
+      SELECT g.vec_id, g.label,
+             list_transform(generate_series(1, 64),
+               i -> round(g.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
+      FROM grown g JOIN cents ON g.label = cents.label
+    ),
+    rcb AS (
+      SELECT gm.m, vec_id AS code, embedding[gm.m*8+1 : gm.m*8+8] AS sub
+      FROM rese, generate_series(0, 7) AS gm(m)
+      WHERE vec_id < 16
+    ),
+    rsv AS (
+      SELECT vec_id, gm.m, embedding[gm.m*8+1 : gm.m*8+8] AS sub
+      FROM rese, generate_series(0, 7) AS gm(m)
+    ),
+    rd AS ({_sql_pq_dist_step('r0', 'rcb', sv_table='rsv')}),
+    rcodes AS ({_sql_pq_argmin('rd')}),
+    rrecon AS (
+      SELECT rr.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> round(rr.rres[i] + cents.centroid[i], 6)) AS recon
+      FROM (
+        SELECT c.vec_id, flatten(list(rcb.sub ORDER BY c.m)) AS rres
+        FROM rcodes c JOIN rcb ON rcb.m = c.m AND rcb.code = c.code
+        GROUP BY c.vec_id
+      ) rr
+      JOIN grown g ON g.vec_id = rr.vec_id
+      JOIN cents ON g.label = cents.label
+    ),
+    ranked_probes AS (
+      SELECT q.vec_id AS query_id, q.embedding, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_COS_CENT.replace("e.embedding", "q.embedding")} DESC, c.label
+             ) AS pr
+      FROM (SELECT * FROM embeddings WHERE vec_id < 3) q CROSS JOIN cents c
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.query_id, r.vec_id AS neighbor_id, {_SQL_COS_RECON} AS cosine,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+      FROM ranked_probes p
+      JOIN grown g ON g.label = p.probe_label
+      JOIN rrecon r ON r.vec_id = g.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE p.pr <= 2 AND r.vec_id <> p.query_id
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "ivf", "pq", "lake", "incremental"),
+)
+def ext_sim_ivfpq_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL composed ANN index (FAISS-IVFPQ shape) persisted,
+    GROWN, and served: build on the first two-thirds of the corpus —
+    coarse centroids and residual PQ codebook both train there, then
+    FREEZE — append the remaining third via
+    ``search_index.ivfpq_index_append`` (each new vector ASSIGNED to
+    its nearest frozen centroid, residual-encoded under the frozen
+    codebook, landed as O(new) bucket + codes segments), then answer
+    nprobe=2 top-10 from the persisted artifacts alone
+    (``ivfpq_search_from_index``). The oracle rebuilds the grown index
+    from scratch under the SAME frozen artifacts (base-only centroid
+    means, base-sample codebook, appended labels re-derived by argmax
+    centroid cosine), so the hash proves assign-then-append == rebuild
+    for the COMPOSED index — coarse assignment included, which the
+    plain-PQ row (`ext_sim_index_append_assign`) cannot see. Serving
+    parity with ``similarity.ivfpq_topk`` on the grown corpus is
+    additionally unit-pinned (tests/test_search_index.py)."""
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    embs = reuse(_embs(spark, sf_dir))
+    # bounded 1-row collect: the split point for the append simulation
+    max_id = embs.agg(F.max("vec_id").alias("mx")).collect()[0].mx
+    cut = (2 * (max_id + 1)) // 3
+    root = tempfile.mkdtemp(prefix="ivfpq_index_")
+    try:
+        si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < cut), root)
+        si.ivfpq_index_append(
+            spark, root, embs.filter(F.col("vec_id") >= cut)
+        )
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        out = si.ivfpq_search_from_index(spark, root, queries, k=10, nprobe=2)
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -470,6 +470,153 @@ def hybrid_search_from_index(
     )
 
 
+# --- IVF-PQ index: frozen coarse quantizer + frozen residual codebook --------
+
+
+def ivfpq_index_build(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    index_root: str,
+    m: int = sim.PQ_M,
+    ks: int = sim.PQ_KS,
+) -> None:
+    """Persist the FULL composed ANN index (FAISS-IVFPQ shape) as four
+    lake tables: coarse centroids (from the base corpus's label
+    partition, then FROZEN), per-vector bucket assignments, the
+    residual PQ codebook (trained on base residuals, FROZEN), and the
+    residual codes. Base vectors keep their own labels as buckets —
+    the convention every ivf/ivfpq operator in ``similarity`` uses;
+    appended vectors get ASSIGNED (:func:`ivfpq_index_append`)."""
+    cents = sim.centroids(embeddings)
+    lakelog.commit(os.path.join(index_root, "ivf_centroids"), cents, "append")
+    cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
+    res = sim.residuals(embeddings, cents)
+    cb = sim.pq_codebook(res, m, ks)
+    lakelog.commit(os.path.join(index_root, "pq_codebook"), cb, "append")
+    cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
+    lakelog.append_commit(
+        spark,
+        os.path.join(index_root, "ivf_buckets"),
+        embeddings.select("vec_id", "label"),
+        stat_cols=["vec_id"],
+    )
+    lakelog.append_commit(
+        spark,
+        os.path.join(index_root, "pq_codes"),
+        sim.pq_encode(res, cb, m),
+        stat_cols=["vec_id"],
+    )
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    index_root: str,
+    new_embeddings: DataFrame,
+    m: int = sim.PQ_M,
+) -> None:
+    """Grow the persisted IVF-PQ index by O(new vectors): each new
+    vector is ASSIGNED to its nearest frozen coarse centroid (the
+    k-means assignment step — broadcast centroids, the batch never
+    shuffles), residual-encoded under the frozen codebook, and
+    appended as one bucket segment + one codes segment. Nothing
+    retrains and no existing code is touched, so the grown index is
+    bit-identical to a from-scratch encode of the grown corpus under
+    the SAME frozen artifacts — the identity the gate row hashes.
+    :func:`pq_assignment_balance` over the codes (or a bucket-count
+    twin over ``ivf_buckets``) is the drift gauge for when the frozen
+    quantizers are due a retrain + full re-encode."""
+    cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
+    cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
+    assigned = sim.assign_centroids(
+        new_embeddings.withColumn("label", F.lit(-1).cast("long")), cents
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    labeled = new_embeddings.select("vec_id", "embedding").join(
+        assigned, "vec_id"
+    )
+    res = sim.residuals(labeled, cents)
+    lakelog.append_commit(
+        spark,
+        os.path.join(index_root, "ivf_buckets"),
+        labeled.select("vec_id", "label"),
+        stat_cols=["vec_id"],
+    )
+    lakelog.append_commit(
+        spark,
+        os.path.join(index_root, "pq_codes"),
+        sim.pq_encode(res, cb, m),
+        stat_cols=["vec_id"],
+    )
+
+
+def ivfpq_search_from_index(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN serving from the PERSISTED IVF-PQ index — the production
+    read path of ``similarity.ivfpq_topk``: queries (query_id,
+    q_embedding — the application supplies raw query vectors; the
+    index stores only codes) probe their ``nprobe`` best buckets
+    against the persisted centroids, candidates are reconstructed
+    from codes + codebook with the centroid added back, and only
+    probed-bucket rows are scored. Candidate volume = nprobe/n_buckets
+    of the corpus; memory per candidate = m bytes + the broadcast
+    codebook — never the float corpus."""
+    from pyspark.sql import Window as W
+
+    cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
+    cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
+    buckets = lakelog.read(spark, os.path.join(index_root, "ivf_buckets"))
+    codes = lakelog.read(spark, os.path.join(index_root, "pq_codes"))
+
+    recon = (
+        sim.pq_reconstruct(codes, cb)
+        .join(buckets, "vec_id")
+        .join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "zip_with(recon, centroid, (r, c) -> round(r + c, 6))"
+            ).alias("recon"),
+        )
+    )
+    scored_cents = queries.join(
+        F.broadcast(
+            cents.select(F.col("label").alias("probe_label"), "centroid")
+        )
+    ).select(
+        "query_id",
+        "q_embedding",
+        "probe_label",
+        F.round(sim.cosine(F.col("q_embedding"), F.col("centroid")), 6).alias(
+            "cos_c"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("probe_label").asc()
+    )
+    probes = (
+        scored_cents.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_embedding", "probe_label")
+    )
+    scored = (
+        recon.join(F.broadcast(probes), recon["label"] == probes["probe_label"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                sim.cosine(F.col("recon"), F.col("q_embedding")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return sim._ranked_topk(scored, k)
+
+
 def pq_assignment_balance(codes: DataFrame) -> DataFrame:
     """Retraining gauge for the frozen codebook: per subspace, how
     evenly the corpus spreads over its codes. (m, n_codes, n_vecs,

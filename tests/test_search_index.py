@@ -276,6 +276,59 @@ def test_pq_append_equals_from_scratch_encode(spark, sf_dir, tmp_path):
     assert cb.count() == sim.PQ_M * sim.PQ_KS
 
 
+def test_ivfpq_index_append_assign_and_serve(spark, sf_dir, tmp_path):
+    """The FULL composed index persisted and grown: appended vectors
+    are assigned under the frozen coarse centroids and residual-encoded
+    under the frozen codebook, so (1) the grown codes/buckets are
+    bit-identical to a from-scratch encode of the grown corpus under
+    the same frozen artifacts, and (2) serving from the persisted
+    index equals ivfpq_topk run directly on the grown corpus with the
+    frozen centroids (whose internal codebook resample reproduces the
+    frozen one — the sample rows live in the base)."""
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    cut = (2 * embs.count()) // 3
+    base = embs.filter(F.col("vec_id") < cut)
+    extra = embs.filter(F.col("vec_id") >= cut)
+    si.ivfpq_index_build(spark, base, index)
+    si.ivfpq_index_append(spark, index, extra)
+
+    cents = lakelog.read(spark, os.path.join(index, "ivf_centroids"))
+    cb = lakelog.read(spark, os.path.join(index, "pq_codebook"))
+    assigned = sim.assign_centroids(
+        extra.withColumn("label", F.lit(-1).cast("long")), cents
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    grown = base.select("vec_id", "embedding", "label").unionByName(
+        extra.select("vec_id", "embedding").join(assigned, "vec_id")
+    )
+
+    got_codes = lakelog.read(spark, os.path.join(index, "pq_codes"))
+    want_codes = sim.pq_encode(sim.residuals(grown, cents), cb)
+    assert sorted(
+        (r.vec_id, r.m, r.code) for r in got_codes.collect()
+    ) == sorted((r.vec_id, r.m, r.code) for r in want_codes.collect())
+    got_buckets = lakelog.read(spark, os.path.join(index, "ivf_buckets"))
+    assert sorted((r.vec_id, r.label) for r in got_buckets.collect()) == sorted(
+        (r.vec_id, r.label) for r in grown.select("vec_id", "label").collect()
+    )
+
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    served = si.ivfpq_search_from_index(spark, index, queries, k=10, nprobe=2)
+    direct = sim.ivfpq_topk(
+        grown, queries, cents, k=10, nprobe=2, residual=True
+    )
+    g = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in served.collect()
+    )
+    assert g == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in direct.collect()
+    )
+    assert len(g) == 30
+
+
 def test_pq_assignment_balance_metric(spark, sf_dir, tmp_path):
     """The retraining gauge: per-subspace shares sum to coverage of
     the corpus, imbalance ≥ 1 with equality only at perfect
