@@ -491,3 +491,33 @@ def test_pq_append_assign_broadcasts_codebook(spark, tmp_path, sf_dir):
     p = final_plan(sim.pq_encode(embs.filter(F.col("vec_id") >= 64), cb))
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_ivfpq_serving_from_index_probe_shape(spark, tmp_path, sf_dir):
+    """Serving from the PERSISTED IVF-PQ index must keep ivfpq_topk's
+    shape: codebook/bucket joins are hash equi-joins, centroids and
+    probes broadcast (the only nested-loop is the few-queries × few-
+    centroids probe scoring), and no CartesianProduct — the float
+    corpus never shuffles."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < 100), index)
+    si.ivfpq_index_append(spark, index, embs.filter(F.col("vec_id") >= 100))
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    p = final_plan(si.ivfpq_search_from_index(spark, index, queries))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # queries x centroids only
+    # the probe side reaching the candidate join is broadcast, so the
+    # corpus-sized recon never shuffles for the join
+    assert "BroadcastExchange" in p
