@@ -29,8 +29,11 @@ stream alone — df counts DISTINCT docs per word, so a refresh must
 observe tf-group TRANSITIONS (a (doc, word) group appearing is +1, a
 group draining to 0 is −1). The transition join touches only the
 refresh's affected groups (delta-sized), probing the persisted tf
-restricted by a semi-join (bloom stats on ``word`` keep the probe off
-irrelevant segments at scale).
+restricted by a semi-join — and, for typical micro-batches (delta
+word set ≤ ``_PROBE_WORD_CAP``, checked by a bounded limit-probe),
+the word list is also pushed as an ``"in"`` predicate so the
+segments' word blooms skip files at listing time: the probe's scan
+cost follows the delta, not the accumulated segment count.
 
 Crash safety mirrors ``streaming.lake_sink.lake_ivm_sink``: every
 index table carries its own ``(app_id, source_version)`` watermark in
@@ -68,6 +71,13 @@ from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
 _TF, _DL, _DF = "bm25_tf", "bm25_dl", "bm25_df"
 
+#: Delta word sets up to this size are collected and pushed as an
+#: ``("word", "in", ...)`` predicate so segment blooms can skip files
+#: in the df-transition probe; larger deltas (backfills) read the full
+#: merged tf. Bounded by a limit(cap+1) probe — never an unbounded
+#: collect.
+_PROBE_WORD_CAP = 4096
+
 
 def _tables(index_root: str) -> dict[str, str]:
     return {t: os.path.join(index_root, t) for t in (_TF, _DL, _DF)}
@@ -81,14 +91,24 @@ def _applied(table: str, app_id: str) -> int:
     return lakelog.read_manifest(table, head).get("txns", {}).get(app_id, 0)
 
 
-def _merged(spark: SparkSession, table: str, keys: list[str]) -> DataFrame | None:
+def _merged(
+    spark: SparkSession,
+    table: str,
+    keys: list[str],
+    where: list | None = None,
+) -> DataFrame | None:
     """Merge-on-read view of a segmented count table: group-sum the
     appended signed partials, drop drained groups. None if the table
-    has no commits yet."""
+    has no commits yet. ``where`` (lakelog's ``(col, op, value)``
+    conjunction) restricts the view to the probed key domain — file
+    skipping via the segments' bloom/range stats makes the group-sum
+    touch only segments that may hold those keys; groups of every key
+    the predicate keeps are summed over ALL their segments (bloom has
+    no false negatives), so their merged counts are exact."""
     if lakelog.latest_version(table) is None:
         return None
     return (
-        lakelog.read(spark, table)
+        lakelog.read(spark, table, where=where)
         .groupBy(*keys)
         .agg(F.sum("n_rows").alias("n_rows"))
         .filter(F.col("n_rows") != 0)
@@ -171,7 +191,25 @@ def bm25_index_maintain(
     #    recoverable direction).
     tf_delta, dl_delta = tf_dl_deltas(a_df, head)
     affected = tf_delta.select("doc_id", "word").distinct()
-    old_tf = _merged(spark, t[_TF], ["doc_id", "word"])
+    # The transition probe only ever needs tf groups of the DELTA's
+    # words. When that word set is small enough to collect (a bounded
+    # limit-probe — typical micro-batches; a giant backfill falls back
+    # to the full merge-on-read), push it as an "in" predicate so the
+    # segments' word blooms skip files at listing time: the probe cost
+    # follows the delta, not the accumulated segment count.
+    delta_words = [
+        r.word
+        for r in affected.select("word")
+        .distinct()
+        .limit(_PROBE_WORD_CAP + 1)
+        .collect()
+    ]
+    probe_where = (
+        [("word", "in", delta_words)]
+        if len(delta_words) <= _PROBE_WORD_CAP
+        else None
+    )
+    old_tf = _merged(spark, t[_TF], ["doc_id", "word"], where=probe_where)
     if old_tf is None:
         old_slice = affected.limit(0).withColumn("old_n", F.lit(0)).select(
             "doc_id", "word", "old_n"

@@ -219,7 +219,7 @@ def read_manifest(table: str, version: int) -> dict:
 # columns must therefore be int or string (their Spark string cast
 # equals Python ``str()``).
 
-_PRUNE_OPS = ("==", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=", "in")
 
 BLOOM_BITS = 4096
 BLOOM_K = 4
@@ -374,6 +374,15 @@ def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
     keeps the file."""
     if op not in _PRUNE_OPS:
         raise ValueError(f"unsupported prune op {op!r}; use one of {_PRUNE_OPS}")
+    if op == "in":
+        # disjunction of equality probes: the file survives if ANY
+        # value may match (each probe uses the bloom + range stats);
+        # None members are null-rejecting, an empty list matches no row
+        return any(
+            _file_may_match(entry, col, "==", v)
+            for v in value
+            if v is not None
+        )
     if value is None:
         # Every supported op is null-rejecting (SQL 3VL): no row can
         # satisfy `col op NULL`, so a None probe prunes every file
@@ -490,13 +499,16 @@ def _where_expr(where: Sequence[tuple[str, str, object]]) -> Column:
     expr = F.lit(True)
     for c, op, v in where:
         col = F.col(c)
-        cond = {
-            "==": col == v,
-            "<": col < v,
-            "<=": col <= v,
-            ">": col > v,
-            ">=": col >= v,
-        }[op]
+        if op == "in":
+            cond = col.isin([x for x in v if x is not None])
+        else:
+            cond = {
+                "==": col == v,
+                "<": col < v,
+                "<=": col <= v,
+                ">": col > v,
+                ">=": col >= v,
+            }[op]
         expr = expr & cond
     return expr
 
@@ -512,10 +524,13 @@ def read(
     is just picking an older manifest — the data files are immutable.
 
     ``where`` — a conjunction of ``(col, op, value)`` with op in
-    ``("==", "<", "<=", ">", ">=")`` — prunes data files via the
+    ``("==", "<", "<=", ">", ">=", "in")`` — prunes data files via the
     manifest's per-file stats (see :func:`plan_scan`) and then applies
     the same predicate as a real Spark filter, so the result is exact
-    whether or not any file could be skipped.
+    whether or not any file could be skipped. ``"in"`` takes a list
+    and keeps a file if ANY member may match (bloom + range probes
+    per member) — the point-lookup index applied to a bounded key
+    batch.
 
     ``merge_schema`` — SCHEMA EVOLUTION on read (Delta's mergeSchema):
     when later appends added columns, the union schema is resolved

@@ -509,3 +509,38 @@ def test_zorder_key_rejects_overflow_and_uses_long(spark):
     ]
     assert all(z >= 0 for z in zs)
     assert max(zs) > 2**31  # top of the range actually uses bits >= 32
+
+
+def test_in_predicate_prunes_by_bloom_and_is_exact(spark, tmp_path):
+    """The "in" prune op: a file survives if ANY member may match
+    (bloom + range probes per member), the row filter applies isin
+    exactly, None members are null-rejecting, an empty list matches
+    nothing."""
+    t = _table(tmp_path, "tin")
+    df = spark.range(0, 4096).select(F.col("id").alias("k"))
+    lakelog.commit(
+        t, df.repartition(16, "k"), "full", stat_cols=["k"], bloom_cols=["k"]
+    )
+    man = lakelog.read_manifest(t, 1)
+
+    keys = [7, 1234, 4000]
+    kept, skipped = lakelog.plan_scan(t, man, [("k", "in", keys)])
+    # three point probes keep at most three files (plus bloom FPs)
+    assert skipped >= 8, f"bloom should prune most files, skipped {skipped}"
+    got = sorted(
+        r.k for r in lakelog.read(spark, t, where=[("k", "in", keys)]).collect()
+    )
+    assert got == keys
+
+    # None members are ignored (null-rejecting), result unchanged
+    got_n = sorted(
+        r.k
+        for r in lakelog.read(
+            spark, t, where=[("k", "in", [None, 7, 1234, 4000])]
+        ).collect()
+    )
+    assert got_n == keys
+
+    # empty list: every file pruned, empty result with the schema intact
+    empty = lakelog.read(spark, t, where=[("k", "in", [])])
+    assert empty.count() == 0 and empty.columns == ["k"]

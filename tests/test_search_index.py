@@ -210,8 +210,8 @@ def test_bm25_compact_racing_maintain_conflicts_then_succeeds(
     real_merged = si._merged
     state = {"raced": False}
 
-    def racing_merged(spark_, table, keys):
-        out = real_merged(spark_, table, keys)
+    def racing_merged(spark_, table, keys, **kw):
+        out = real_merged(spark_, table, keys, **kw)
         if not state["raced"]:
             state["raced"] = True  # racer lands between head read + commit
             si.bm25_index_maintain(spark, source, index)
@@ -234,6 +234,66 @@ def test_bm25_compact_racing_maintain_conflicts_then_succeeds(
     _assert_df_equal(dl, want_dl, ["doc_id"])
     want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     _assert_df_equal(df, want_df, ["word"])
+
+
+def test_bm25_maintain_probe_skips_segments_by_word_bloom(spark, tmp_path):
+    """The df-transition probe pushes the delta's word list as an "in"
+    predicate: with disjoint per-batch vocabularies the old tf
+    segments' files are provably irrelevant and skip at listing time
+    — the probe's scan cost follows the delta, not the accumulated
+    segment count. Counts stay exact (bloom has no false negatives)."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(10 * i + j, f"w{i}a w{i}b w{i}a") for j in range(3)],
+            "doc_id bigint, text string",
+        )
+        lakelog.append_commit(spark, source, batch)
+        si.bm25_index_maintain(spark, source, index)
+
+    tf_table = si._tables(index)[si._TF]
+    man = lakelog.read_manifest(tf_table, lakelog.latest_version(tf_table))
+    # batch 2's words miss every batch-0/1 segment bloom
+    kept, skipped = lakelog.plan_scan(
+        tf_table, man, [("word", "in", ["w2a", "w2b"])]
+    )
+    assert skipped > 0 and kept, f"expected bloom pruning, skipped={skipped}"
+
+    docs = lakelog.read(spark, source).select("doc_id", "text")
+    tf, dl, df = si.bm25_read_index(spark, index)
+    want_tf, _ = sim.bm25_index_components(docs)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+
+
+def test_bm25_maintain_backfill_falls_back_to_full_probe(
+    spark, tmp_path, monkeypatch
+):
+    """A delta whose word set exceeds the collect cap must take the
+    full merge-on-read probe (no driver-side word list) and still
+    converge to the fresh-built index."""
+    monkeypatch.setattr(si, "_PROBE_WORD_CAP", 1)
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    rows = [(1, "alpha beta", 1), (2, "beta gamma", 1)]
+    base = spark.createDataFrame(rows, "doc_id bigint, text string, ts bigint")
+    lakelog.merge_upsert_cdf(spark, source, base, ["doc_id"], "ts")
+    si.bm25_index_maintain(spark, source, index)
+    upd = spark.createDataFrame(
+        [(1, "beta epsilon zeta", 2)], "doc_id bigint, text string, ts bigint"
+    )
+    lakelog.merge_upsert_cdf(spark, source, upd, ["doc_id"], "ts")
+    si.bm25_index_maintain(spark, source, index)
+
+    snapshot = lakelog.read(spark, source).select("doc_id", "text")
+    tf, dl, df = si.bm25_read_index(spark, index)
+    want_tf, want_dl = sim.bm25_index_components(snapshot)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    want_df = want_tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    _assert_df_equal(df, want_df, ["word"])
+    assert df.filter(F.col("word") == "alpha").count() == 0
 
 
 def test_signed_tokens_matches_bm25_tokenizer(spark):
