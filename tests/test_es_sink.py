@@ -555,3 +555,81 @@ def test_tombstone_behaviors(spark, tmp_path):
         es_sink_foreach_batch(
             "http://es.test:9200", "idx", id_col="id", null_value_behavior="nope"
         )
+
+
+def test_es_sink_and_lake_cdc_merge_agree_on_debezium_stream(spark, tmp_path):
+    """Reference fidelity: ONE Debezium change stream, applied two ways
+    — the ES sink (tombstone -> bulk delete, upsert by _id) and the
+    lake's merge_apply_cdc — must leave the same document set. This is
+    the consistency the reference pipeline relies on when the same
+    topic feeds both a search index and a table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import cdc, lakelog
+
+    row_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def decoded(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, _op string, _ts_ms bigint"
+        )
+        return cdc.unwrap_envelope_cdc(
+            cdc.wrap_envelope_cdc(df, op_col="_op", ts_col="_ts_ms"),
+            row_schema,
+            ["doc_id"],
+        )
+
+    batches = [
+        decoded([(1, "alpha", "c", 1), (2, "beta", "c", 1), (3, "gamma", "c", 1)]),
+        decoded([(1, "alpha two", "u", 2), (2, None, "d", 2), (4, "delta", "c", 2)]),
+    ]
+
+    # ES side: (doc_id, text) only — a decoded delete (text NULL) IS
+    # the connector tombstone shape; upserts overwrite by _id
+    caps = []
+    for i, b in enumerate(batches):
+        cap = str(tmp_path / f"cap{i}")
+        os.makedirs(cap)
+        caps.append(cap)
+        es_sink_foreach_batch(
+            "http://es.test:9200",
+            "docs",
+            id_col="doc_id",
+            null_value_behavior="delete",
+            transport=make_delete_aware_transport(cap),
+        )(b.select("doc_id", "text").coalesce(1), i)
+
+    es_docs: dict[str, str] = {}
+    for cap in caps:  # batch order matters; within a batch keys are unique
+        for fn in sorted(os.listdir(cap)):
+            with open(os.path.join(cap, fn)) as f:
+                lines = [json.loads(x) for x in f.read().strip().splitlines()]
+            i = 0
+            while i < len(lines):
+                action = lines[i]
+                if "index" in action:
+                    es_docs[action["index"]["_id"]] = lines[i + 1]["text"]
+                    i += 2
+                else:
+                    es_docs.pop(action["delete"]["_id"], None)
+                    i += 1
+
+    # lake side: the same stream through the delete-capable CDC merge
+    table = str(tmp_path / "docs")
+    for b in batches:
+        lakelog.merge_apply_cdc(
+            spark, table, b, ["doc_id"], "_ts_ms", op_col="_op"
+        )
+    lake_docs = {
+        str(r.doc_id): r.text
+        for r in lakelog.read(spark, table).select("doc_id", "text").collect()
+    }
+    assert es_docs == lake_docs == {
+        "1": "alpha two", "3": "gamma", "4": "delta"
+    }
