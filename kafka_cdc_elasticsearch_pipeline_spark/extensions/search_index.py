@@ -54,6 +54,18 @@ is deliberately FROZEN (retraining invalidates every stored code —
 the full 100 TB re-encode); :func:`pq_assignment_balance` is the
 drift gauge that tells the operator when that rebuild is actually
 due.
+
+**Vector deletes/updates** are merge-on-read (the Lucene live-docs
+shape): bucket/code rows carry a ``seq`` logical clock, deletes are
+an O(batch) tombstone append (:func:`ivfpq_index_delete`), serving
+keeps rows with ``seq`` ≥ their vec_id's newest tombstone
+(:func:`_ivfpq_live` — tombstones broadcast, the codes never shuffle
+for the filter), and :func:`ivfpq_index_compact` folds tombstones
+into a physical rewrite. :func:`ivfpq_index_maintain` drives all of
+it from the source table's change feed — the vector twin of
+:func:`bm25_index_maintain`, so one CDC stream keeps BOTH serving
+indexes current (:func:`cdc_ann_indexing_sink` /
+:func:`cdc_search_indexing_sink`).
 """
 
 from __future__ import annotations
@@ -511,12 +523,17 @@ def hybrid_search_from_index(
 # --- IVF-PQ index: frozen coarse quantizer + frozen residual codebook --------
 
 
+_IVF_DELETES = "ivf_deletes"
+
+
 def ivfpq_index_build(
     spark: SparkSession,
     embeddings: DataFrame,
     index_root: str,
     m: int = sim.PQ_M,
     ks: int = sim.PQ_KS,
+    source_watermark: int | None = None,
+    app_id: str = "ivfpq-idx",
 ) -> None:
     """Persist the FULL composed ANN index (FAISS-IVFPQ shape) as four
     lake tables: coarse centroids (from the base corpus's label
@@ -524,7 +541,15 @@ def ivfpq_index_build(
     residual PQ codebook (trained on base residuals, FROZEN), and the
     residual codes. Base vectors keep their own labels as buckets —
     the convention every ivf/ivfpq operator in ``similarity`` uses;
-    appended vectors get ASSIGNED (:func:`ivfpq_index_append`)."""
+    appended vectors get ASSIGNED (:func:`ivfpq_index_append`).
+
+    Bucket and code rows carry ``seq`` — the merge-on-read logical
+    clock that :func:`ivfpq_index_delete` tombstones compare against
+    (build rows are seq 0). ``source_watermark`` stamps every index
+    table with (``app_id``, watermark) so a subsequent
+    :func:`ivfpq_index_maintain` over the source lake table resumes
+    from the version this build indexed instead of re-folding it —
+    the "build on snapshot V, maintain after V" composition."""
     cents = sim.centroids(embeddings)
     lakelog.commit(os.path.join(index_root, "ivf_centroids"), cents, "append")
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
@@ -532,17 +557,45 @@ def ivfpq_index_build(
     cb = sim.pq_codebook(res, m, ks)
     lakelog.commit(os.path.join(index_root, "pq_codebook"), cb, "append")
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
-    lakelog.append_commit(
-        spark,
-        os.path.join(index_root, "ivf_buckets"),
-        embeddings.select("vec_id", "label"),
-        stat_cols=["vec_id"],
+    seq0 = F.lit(0).cast("long").alias("seq")
+    txn = (
+        (app_id, source_watermark) if source_watermark is not None else None
     )
-    lakelog.append_commit(
-        spark,
-        os.path.join(index_root, "pq_codes"),
-        sim.pq_encode(res, cb, m),
+    lakelog.commit(
+        os.path.join(index_root, "ivf_buckets"),
+        embeddings.select("vec_id", "label", seq0),
+        "append",
         stat_cols=["vec_id"],
+        txn=txn,
+    )
+    lakelog.commit(
+        os.path.join(index_root, "pq_codes"),
+        sim.pq_encode(res, cb, m).select("vec_id", "m", "code", seq0),
+        "append",
+        stat_cols=["vec_id"],
+        txn=txn,
+    )
+    if source_watermark is not None:
+        lakelog.commit(
+            os.path.join(index_root, _IVF_DELETES),
+            spark.createDataFrame([], "vec_id bigint, seq bigint"),
+            "append",
+            txn=txn,
+        )
+
+
+def _next_seq(index_root: str) -> int:
+    """Next value of the index's merge-on-read logical clock for
+    MANUAL append/delete calls: 1 + the highest committed version
+    across the three mutable index tables — metadata-only, and
+    strictly above every seq a prior manual mutation could have
+    stamped (each mutation advances some table's version by ≥ 1).
+    :func:`ivfpq_index_maintain` uses the SOURCE table's commit
+    versions as the clock instead; don't interleave manual mutations
+    with maintenance on the same index lineage — the clocks differ."""
+    return 1 + max(
+        lakelog.latest_version(os.path.join(index_root, t)) or 0
+        for t in ("ivf_buckets", "pq_codes", _IVF_DELETES)
     )
 
 
@@ -551,6 +604,7 @@ def ivfpq_index_append(
     index_root: str,
     new_embeddings: DataFrame,
     m: int = sim.PQ_M,
+    seq: int | None = None,
 ) -> None:
     """Grow the persisted IVF-PQ index by O(new vectors): each new
     vector is ASSIGNED to its nearest frozen coarse centroid (the
@@ -562,9 +616,17 @@ def ivfpq_index_append(
     the SAME frozen artifacts — the identity the gate row hashes.
     :func:`pq_assignment_balance` over the codes (or a bucket-count
     twin over ``ivf_buckets``) is the drift gauge for when the frozen
-    quantizers are due a retrain + full re-encode."""
+    quantizers are due a retrain + full re-encode.
+
+    ``seq`` stamps the new rows on the merge-on-read clock (default:
+    :func:`_next_seq`) — a re-APPEND of a tombstoned ``vec_id`` gets a
+    seq above its tombstone and comes back live. Appending a vec_id
+    that is currently LIVE duplicates it: upsert goes through
+    :func:`ivfpq_index_delete` + append at the same seq (what
+    :func:`ivfpq_index_maintain` does for update feed rows)."""
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
+    s = _next_seq(index_root) if seq is None else seq
     assigned = sim.assign_centroids(
         new_embeddings.withColumn("label", F.lit(-1).cast("long")), cents
     ).select("vec_id", F.col("assigned_label").alias("label"))
@@ -572,18 +634,261 @@ def ivfpq_index_append(
         assigned, "vec_id"
     )
     res = sim.residuals(labeled, cents)
+    seq_col = F.lit(s).cast("long").alias("seq")
     lakelog.append_commit(
         spark,
         os.path.join(index_root, "ivf_buckets"),
-        labeled.select("vec_id", "label"),
+        labeled.select("vec_id", "label", seq_col),
         stat_cols=["vec_id"],
     )
     lakelog.append_commit(
         spark,
         os.path.join(index_root, "pq_codes"),
-        sim.pq_encode(res, cb, m),
+        sim.pq_encode(res, cb, m).select("vec_id", "m", "code", seq_col),
         stat_cols=["vec_id"],
     )
+
+
+def ivfpq_index_delete(
+    spark: SparkSession,
+    index_root: str,
+    vec_ids: DataFrame | list[int],
+    seq: int | None = None,
+) -> int:
+    """Tombstone vectors out of the served index WITHOUT touching the
+    codes — an O(delete batch) append to the ``ivf_deletes`` table,
+    never a rewrite of the 100 TB codes table (the Lucene live-docs
+    shape). Serving applies tombstones at read time (a code row is
+    live iff its ``seq`` ≥ every tombstone seq for its vec_id — ≥, so
+    an upsert's same-seq re-encode survives its own tombstone);
+    :func:`ivfpq_index_compact` folds them into a physical rewrite
+    when read amplification warrants one. Returns the tombstones'
+    seq."""
+    s = _next_seq(index_root) if seq is None else seq
+    ids = (
+        vec_ids
+        if isinstance(vec_ids, DataFrame)
+        else spark.createDataFrame([(int(v),) for v in vec_ids], "vec_id bigint")
+    )
+    lakelog.append_commit(
+        spark,
+        os.path.join(index_root, _IVF_DELETES),
+        ids.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.lit(s).cast("long").alias("seq"),
+        ),
+        stat_cols=["vec_id"],
+    )
+    return s
+
+
+def _with_seq(df: DataFrame) -> DataFrame:
+    """Adopt a pre-tombstone-era table (no ``seq`` column) as seq 0."""
+    if "seq" in df.columns:
+        return df
+    return df.withColumn("seq", F.lit(0).cast("long"))
+
+
+def _ivfpq_live(
+    spark: SparkSession, index_root: str
+) -> tuple[DataFrame, DataFrame]:
+    """(buckets, codes) restricted to LIVE rows — the merge-on-read
+    view every serve goes through: tombstones (one (vec_id, max seq)
+    row each — delta-sized between compactions, broadcast) left-join
+    the segments and drop rows whose seq predates their vec_id's
+    tombstone. The corpus-sized side never shuffles for this filter.
+    Tables from before the tombstone era read as seq 0 with no deletes
+    table — the filter is a no-op and serving is unchanged."""
+    buckets = _with_seq(
+        lakelog.read(spark, os.path.join(index_root, "ivf_buckets"))
+    )
+    codes = _with_seq(lakelog.read(spark, os.path.join(index_root, "pq_codes")))
+    dels = os.path.join(index_root, _IVF_DELETES)
+    if lakelog.latest_version(dels) is not None:
+        tomb = (
+            lakelog.read(spark, dels)
+            .groupBy("vec_id")
+            .agg(F.max("seq").alias("_tseq"))
+        )
+        live = F.col("_tseq").isNull() | (F.col("seq") >= F.col("_tseq"))
+        buckets = (
+            buckets.join(F.broadcast(tomb), "vec_id", "left")
+            .filter(live)
+            .drop("_tseq")
+        )
+        codes = (
+            codes.join(F.broadcast(tomb), "vec_id", "left")
+            .filter(live)
+            .drop("_tseq")
+        )
+    return buckets, codes
+
+
+def ivfpq_index_maintain(
+    spark: SparkSession,
+    source_table: str,
+    index_root: str,
+    app_id: str = "ivfpq-idx",
+    m: int = sim.PQ_M,
+) -> int:
+    """Fold the source lake table's unapplied row-level change feed
+    into the persisted IVF-PQ index — the vector twin of
+    :func:`bm25_index_maintain`, completing the steady-state story:
+    appends/updates are ASSIGNED + residual-encoded under the frozen
+    artifacts and land as O(delta) segments, deletes and update
+    preimages land as tombstones. Returns the source version the
+    index now reflects.
+
+    The merge-on-read clock is the source's ``_commit_version``:
+    a range fold keeps only the LATEST postimage per vec_id
+    (intermediate versions inside the range were never serveable) and
+    tombstones carry the max preimage/delete version, so an update at
+    v (tombstone v + code v, and ``seq ≥ tseq`` keeps the re-encode)
+    and a delete at v > the code's seq compose correctly in one fold.
+
+    Crash safety: each table keeps its own (``app_id``, source
+    version) watermark and every delta is a pure function of the feed
+    (no cross-table state dependence, unlike BM25's df). Tombstones
+    commit FIRST — a crash mid-refresh can briefly hide an updated
+    document (its re-encode lands on replay) but can never serve the
+    stale and fresh code side by side. The frozen centroids/codebook
+    must already exist (:func:`ivfpq_index_build` — PQ needs a
+    training corpus; pass ``source_watermark`` there so this resumes
+    after the build's snapshot)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.table import (
+        latest_per_key,
+    )
+
+    head = lakelog.latest_version(source_table)
+    if head is None:
+        raise FileNotFoundError(f"no committed version in {source_table}")
+    cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
+    cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
+
+    def deltas(lo: int, hi: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+        feed = lakelog.read_row_changes(spark, source_table, lo, hi)
+        tomb = (
+            feed.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            )
+            .groupBy("vec_id")
+            .agg(F.max("_commit_version").cast("long").alias("seq"))
+        )
+        latest_ins = latest_per_key(
+            feed.filter(F.col("_change_type").isin("insert", "update_postimage")),
+            ["vec_id"],
+            "_commit_version",
+        ).select(
+            "vec_id",
+            "embedding",
+            F.col("_commit_version").cast("long").alias("seq"),
+        )
+        assigned = sim.assign_centroids(
+            latest_ins.withColumn("label", F.lit(-1).cast("long")), cents
+        ).select("vec_id", F.col("assigned_label").alias("label"))
+        labeled = latest_ins.join(assigned, "vec_id")
+        return (
+            tomb,
+            labeled.select("vec_id", "label", "seq"),
+            sim.pq_encode(sim.residuals(labeled, cents), cb, m).join(
+                labeled.select("vec_id", "seq"), "vec_id"
+            ),
+        )
+
+    t_dels = os.path.join(index_root, _IVF_DELETES)
+    t_buckets = os.path.join(index_root, "ivf_buckets")
+    t_codes = os.path.join(index_root, "pq_codes")
+    for table, pick in ((t_dels, 0), (t_buckets, 1), (t_codes, 2)):
+        a = _applied(table, app_id)
+        if a < head:
+            _append_segment(
+                table, deltas(a, head)[pick], app_id, head,
+                stat_cols=["vec_id"],
+            )
+    return head
+
+
+def ivfpq_index_compact(spark: SparkSession, index_root: str) -> None:
+    """Physically apply accumulated tombstones: rewrite buckets and
+    codes to their LIVE state (tombstoned rows dropped, ``seq``
+    preserved) as purge-shaped commits, then reset the deletes table.
+    Run when the tombstone set has grown enough that the serve-time
+    broadcast filter is real work — between compactions it is
+    delta-sized. Prior versions stay readable until vacuum (delete
+    COMPLETES at vacuum — same contract as ``lakelog.purge_rows``).
+    Maintenance watermarks survive: ``commit`` carries the parent
+    manifest's txns forward. Ordering is crash-safe: rewritten tables
+    keep their seq, so still-pending tombstones re-apply as no-ops
+    until the deletes reset lands; a maintain racing any of the three
+    commits raises CommitConflict — retry compaction at the new
+    head."""
+    buckets, codes = _ivfpq_live(spark, index_root)
+    for table, live in (
+        (os.path.join(index_root, "ivf_buckets"), buckets),
+        (os.path.join(index_root, "pq_codes"), codes),
+    ):
+        head = lakelog.latest_version(table)
+        if head is not None:
+            lakelog.commit(
+                table, live, "purge", expect_parent=head, stat_cols=["vec_id"]
+            )
+    t_dels = os.path.join(index_root, _IVF_DELETES)
+    head = lakelog.latest_version(t_dels)
+    if head is not None:
+        lakelog.commit(
+            t_dels,
+            spark.createDataFrame([], "vec_id bigint, seq bigint"),
+            "purge",
+            expect_parent=head,
+        )
+
+
+def cdc_ann_indexing_sink(
+    spark: SparkSession,
+    source_table: str,
+    index_root: str,
+    keys: tuple[str, ...] = ("vec_id",),
+    ts_col: str = "_ts_ms",
+    op_col: str = "_op",
+    app_id: str = "cdc-ann",
+):
+    """foreachBatch callable — the reference pipeline's shape for the
+    VECTOR index (:func:`cdc_search_indexing_sink`'s twin): each
+    micro-batch of decoded Debezium rows (op c/u/r upserts, op 'd'
+    deletes) MERGEs into the source lake table with a change feed,
+    and the persisted IVF-PQ index folds the commit's deltas forward
+    in the same call — an update re-assigns + re-encodes the vector
+    under the frozen artifacts, a delete tombstones it out of every
+    subsequent search. Same two-watermark crash safety as the BM25
+    sink: the source manifest skips a redelivered merge, the index
+    tables' per-table watermarks replay the fold idempotently. The
+    index artifacts must already exist (:func:`ivfpq_index_build`
+    with ``source_watermark`` at the build snapshot)."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        src_head = lakelog.latest_version(source_table)
+        src_wm = -1
+        if src_head is not None:
+            src_wm = (
+                lakelog.read_manifest(source_table, src_head)
+                .get("txns", {})
+                .get(app_id, -1)
+            )
+        if batch_id > src_wm:
+            lakelog.merge_apply_cdc(
+                spark,
+                source_table,
+                batch_df,
+                list(keys),
+                ts_col,
+                op_col=op_col,
+                txn=(app_id, batch_id),
+            )
+        return ivfpq_index_maintain(
+            spark, source_table, index_root, app_id=f"{app_id}-idx"
+        )
+
+    return sink
 
 
 def ivfpq_search_from_index(
@@ -606,12 +911,23 @@ def ivfpq_search_from_index(
 
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
-    buckets = lakelog.read(spark, os.path.join(index_root, "ivf_buckets"))
-    codes = lakelog.read(spark, os.path.join(index_root, "pq_codes"))
+    buckets, codes = _ivfpq_live(spark, index_root)
 
+    # reconstruction groups on (vec_id, seq) and joins buckets on both
+    # — ``sim.pq_reconstruct`` minus the seq column, kept literally in
+    # sync by tests — so an update's superseded and live codes can
+    # never cross-join even transiently
     recon = (
-        sim.pq_reconstruct(codes, cb)
-        .join(buckets, "vec_id")
+        codes.join(F.broadcast(cb), ["m", "code"])
+        .groupBy("vec_id", "seq")
+        .agg(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("m", "sub"))).getField(
+                    "sub"
+                )
+            ).alias("recon")
+        )
+        .join(buckets, ["vec_id", "seq"])
         .join(F.broadcast(cents), "label")
         .select(
             "vec_id",

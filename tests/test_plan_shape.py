@@ -521,3 +521,13 @@ def test_ivfpq_serving_from_index_probe_shape(spark, tmp_path, sf_dir):
     # the probe side reaching the candidate join is broadcast, so the
     # corpus-sized recon never shuffles for the join
     assert "BroadcastExchange" in p
+
+    # with tombstones present the live-row filter must stay a BROADCAST
+    # left join (delta-sized deletes side) — never a shuffle of the
+    # corpus-sized codes/buckets for the filter
+    si.ivfpq_index_delete(spark, index, [50, 60])
+    p2 = final_plan(si.ivfpq_search_from_index(spark, index, queries))
+    assert "CartesianProduct" not in p2
+    assert "SortMergeJoin" not in p2
+    assert "BroadcastHashJoin" in p2
+    assert p2.count("LeftOuter") == 2  # buckets + codes tombstone joins

@@ -655,3 +655,339 @@ def test_hybrid_search_from_index_matches_from_scratch(spark, sf_dir, tmp_path):
     g = sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in got)
     assert g == sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in want)
     assert len(g) == len(qids) * k
+
+
+# --- IVF-PQ deletes / CDC maintenance (merge-on-read tombstones) -------------
+
+
+def _grown_ivfpq(spark, sf_dir, tmp_path):
+    """Build on the first two-thirds, append the rest — the shared
+    starting state for the tombstone tests. Returns (index_root,
+    grown-corpus-with-served-labels, queries, frozen cents)."""
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    cut = (2 * embs.count()) // 3
+    base = embs.filter(F.col("vec_id") < cut)
+    extra = embs.filter(F.col("vec_id") >= cut)
+    si.ivfpq_index_build(spark, base, index)
+    si.ivfpq_index_append(spark, index, extra)
+    cents = lakelog.read(spark, os.path.join(index, "ivf_centroids"))
+    assigned = sim.assign_centroids(
+        extra.withColumn("label", F.lit(-1).cast("long")), cents
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    grown = base.select("vec_id", "embedding", "label").unionByName(
+        extra.select("vec_id", "embedding").join(assigned, "vec_id")
+    )
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return index, grown, queries, cents
+
+
+def _serve_tuples(spark, index, queries):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in si.ivfpq_search_from_index(
+            spark, index, queries, k=10, nprobe=2
+        ).collect()
+    )
+
+
+def test_ivfpq_delete_tombstones_then_reinsert(spark, sf_dir, tmp_path):
+    """Tombstoned vectors vanish from every subsequent search; the
+    surviving ranking equals a from-scratch IVF-PQ over the surviving
+    corpus under the same frozen centroids; a re-APPEND of a deleted
+    vec_id (seq above its tombstone) comes back live."""
+    index, grown, queries, cents = _grown_ivfpq(spark, sf_dir, tmp_path)
+    before = si.ivfpq_search_from_index(
+        spark, index, queries, k=10, nprobe=2
+    ).collect()
+    # victims >= 16 keep the internal codebook resample of the direct
+    # twin identical to the frozen one (sample rows live in the base)
+    victims = sorted({r.neighbor_id for r in before if r.neighbor_id >= 16})[:3]
+    assert len(victims) == 3
+    si.ivfpq_index_delete(spark, index, victims)
+
+    served = _serve_tuples(spark, index, queries)
+    assert not {t[1] for t in served} & set(victims)
+    surviving = grown.filter(~F.col("vec_id").isin(victims))
+    direct = sim.ivfpq_topk(
+        surviving, queries, cents, k=10, nprobe=2, residual=True
+    )
+    assert served == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in direct.collect()
+    )
+
+    # reinsert one victim: assigned under the frozen centroids, so the
+    # direct twin carries its ASSIGNED label too
+    back = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == victims[0]
+    )
+    si.ivfpq_index_append(spark, index, back)
+    re_assigned = sim.assign_centroids(
+        back.withColumn("label", F.lit(-1).cast("long")), cents
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    surv2 = grown.filter(~F.col("vec_id").isin(victims)).unionByName(
+        back.select("vec_id", "embedding").join(re_assigned, "vec_id")
+    )
+    direct2 = sim.ivfpq_topk(
+        surv2, queries, cents, k=10, nprobe=2, residual=True
+    )
+    assert _serve_tuples(spark, index, queries) == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in direct2.collect()
+    )
+
+
+def test_ivfpq_compact_physically_drops_tombstoned_rows(spark, sf_dir, tmp_path):
+    """Compaction folds tombstones into a physical rewrite: the
+    deleted vec_ids are gone from the raw head snapshots, the deletes
+    table resets, serving is unchanged, and maintenance watermarks
+    survive the rewrite."""
+    index, grown, queries, _ = _grown_ivfpq(spark, sf_dir, tmp_path)
+    before = si.ivfpq_search_from_index(
+        spark, index, queries, k=10, nprobe=2
+    ).collect()
+    victims = sorted({r.neighbor_id for r in before if r.neighbor_id >= 16})[:3]
+    si.ivfpq_index_delete(spark, index, victims)
+    served_before = _serve_tuples(spark, index, queries)
+
+    # plant a maintenance watermark to prove compaction carries txns
+    buckets_t = os.path.join(index, "ivf_buckets")
+    lakelog.txn_append_commit(
+        spark,
+        buckets_t,
+        lakelog.read(spark, buckets_t).limit(0),
+        app_id="wm-probe",
+        batch_id=7,
+    )
+
+    si.ivfpq_index_compact(spark, index)
+    for t in ("ivf_buckets", "pq_codes"):
+        raw = lakelog.read(spark, os.path.join(index, t))
+        assert raw.filter(F.col("vec_id").isin(victims)).count() == 0
+    dels_t = os.path.join(index, "ivf_deletes")
+    assert lakelog.read(spark, dels_t).count() == 0
+    assert _serve_tuples(spark, index, queries) == served_before
+    head = lakelog.latest_version(buckets_t)
+    assert lakelog.read_manifest(buckets_t, head)["txns"]["wm-probe"] == 7
+
+
+def test_ivfpq_maintain_applies_cdc_stream(spark, sf_dir, tmp_path):
+    """The change-feed fold end to end: build on a snapshot (watermark
+    stamped), insert a batch, then update + delete a second batch —
+    the maintained live buckets/codes must equal a frozen-artifact
+    encode of the FINAL snapshot (original labels for untouched base
+    rows, assigned labels for inserted/updated ones), and a replayed
+    maintain is a manifest no-op."""
+    index = str(tmp_path / "ivfpq")
+    src = str(tmp_path / "src")
+    embs = load_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+    cut = (2 * n) // 3
+    base = embs.filter(F.col("vec_id") < cut)
+    lakelog.append_commit(
+        spark,
+        src,
+        base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
+    )
+    si.ivfpq_index_build(spark, base, index, source_watermark=1)
+    assert si.ivfpq_index_maintain(spark, src, index) == 1  # nothing to fold
+
+    # batch A (v2): insert the last third
+    lakelog.merge_apply_cdc(
+        spark,
+        src,
+        embs.filter(F.col("vec_id") >= cut).select(
+            "vec_id", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+        ),
+        ["vec_id"], "_ts_ms",
+    )
+    # batch B (v3): update vec%11==5 (embedding of (vec+1)%n), delete vec%13==7
+    nxt = embs.select(
+        F.col("vec_id").alias("src_of"), F.col("embedding").alias("new_emb")
+    )
+    updates = (
+        embs.filter((F.col("vec_id") % 11 == 5) & (F.col("vec_id") % 13 != 7))
+        .withColumn("src_of", (F.col("vec_id") + 1) % n)
+        .join(nxt, "src_of")
+        .select(
+            "vec_id", F.col("new_emb").alias("embedding"),
+            F.lit(3).alias("_ts_ms"), F.lit("u").alias("_op"),
+        )
+    )
+    deletes = embs.filter(F.col("vec_id") % 13 == 7).select(
+        "vec_id", F.col("embedding"),
+        F.lit(3).alias("_ts_ms"), F.lit("d").alias("_op"),
+    )
+    lakelog.merge_apply_cdc(
+        spark, src, updates.unionByName(deletes), ["vec_id"], "_ts_ms"
+    )
+    assert si.ivfpq_index_maintain(spark, src, index) == 3
+
+    # expected final state under the FROZEN artifacts
+    cents = lakelog.read(spark, os.path.join(index, "ivf_centroids"))
+    cb = lakelog.read(spark, os.path.join(index, "pq_codebook"))
+    snap = lakelog.read(spark, src).select("vec_id", "embedding")
+    needs_assign = (F.col("vec_id") >= cut) | (
+        (F.col("vec_id") % 11 == 5) & (F.col("vec_id") % 13 != 7)
+    )
+    assigned = sim.assign_centroids(
+        snap.filter(needs_assign).withColumn("label", F.lit(-1).cast("long")),
+        cents,
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    expected = (
+        snap.filter(~needs_assign)
+        .join(base.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "embedding", "label")
+        .unionByName(snap.join(assigned, "vec_id"))
+    )
+    live_buckets, live_codes = si._ivfpq_live(spark, index)
+    assert sorted(
+        (r.vec_id, r.label) for r in live_buckets.collect()
+    ) == sorted(
+        (r.vec_id, r.label)
+        for r in expected.select("vec_id", "label").collect()
+    )
+    want_codes = sim.pq_encode(sim.residuals(expected, cents), cb)
+    assert sorted(
+        (r.vec_id, r.m, r.code) for r in live_codes.collect()
+    ) == sorted((r.vec_id, r.m, r.code) for r in want_codes.collect())
+
+    # deleted ids never serve; replayed maintain is a manifest no-op
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    served = si.ivfpq_search_from_index(spark, index, queries, k=10, nprobe=2)
+    assert served.filter(F.col("neighbor_id") % 13 == 7).count() == 0
+    heads = {
+        t: lakelog.latest_version(os.path.join(index, t))
+        for t in ("ivf_buckets", "pq_codes", "ivf_deletes")
+    }
+    assert si.ivfpq_index_maintain(spark, src, index) == 3
+    assert heads == {
+        t: lakelog.latest_version(os.path.join(index, t))
+        for t in ("ivf_buckets", "pq_codes", "ivf_deletes")
+    }
+
+
+def test_ivfpq_maintain_replays_after_crash_between_commits(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Tombstones commit first; a crash before the buckets/codes
+    segments land replays to the same final state (per-table
+    watermarks, state-independent deltas)."""
+    index = str(tmp_path / "ivfpq")
+    src = str(tmp_path / "src")
+    embs = load_table(spark, sf_dir, "embeddings")
+    cut = (2 * embs.count()) // 3
+    base = embs.filter(F.col("vec_id") < cut)
+    lakelog.append_commit(
+        spark, src, base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms"))
+    )
+    si.ivfpq_index_build(spark, base, index, source_watermark=1)
+    lakelog.merge_apply_cdc(
+        spark,
+        src,
+        embs.filter(F.col("vec_id") >= cut).select(
+            "vec_id", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+        ),
+        ["vec_id"], "_ts_ms",
+    )
+
+    real = si._append_segment
+    calls = {"n": 0}
+
+    def crashing(table, delta, app_id, src_version, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # tombstones landed, buckets about to
+            raise RuntimeError("crash")
+        return real(table, delta, app_id, src_version, **kw)
+
+    monkeypatch.setattr(si, "_append_segment", crashing)
+    with pytest.raises(RuntimeError):
+        si.ivfpq_index_maintain(spark, src, index)
+    monkeypatch.setattr(si, "_append_segment", real)
+    assert si.ivfpq_index_maintain(spark, src, index) == 2
+
+    cents = lakelog.read(spark, os.path.join(index, "ivf_centroids"))
+    cb = lakelog.read(spark, os.path.join(index, "pq_codebook"))
+    assigned = sim.assign_centroids(
+        embs.filter(F.col("vec_id") >= cut)
+        .select("vec_id", "embedding")
+        .withColumn("label", F.lit(-1).cast("long")),
+        cents,
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    expected = base.select("vec_id", "embedding", "label").unionByName(
+        embs.filter(F.col("vec_id") >= cut)
+        .select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+    )
+    _, live_codes = si._ivfpq_live(spark, index)
+    want = sim.pq_encode(sim.residuals(expected, cents), cb)
+    assert sorted(
+        (r.vec_id, r.m, r.code) for r in live_codes.collect()
+    ) == sorted((r.vec_id, r.m, r.code) for r in want.collect())
+
+
+def test_cdc_ann_indexing_sink_reference_pipeline_shape(spark, sf_dir, tmp_path):
+    """The reference pipeline's shape for the VECTOR index: decoded
+    Debezium batches (upsert + delete) through cdc_ann_indexing_sink
+    keep the served ANN results equal to a frozen-artifact IVF-PQ over
+    the current snapshot; a redelivered batch is a no-op on both the
+    source and the index."""
+    index = str(tmp_path / "ivfpq")
+    src = str(tmp_path / "src")
+    embs = load_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+    cut = (2 * n) // 3
+    base = embs.filter(F.col("vec_id") < cut)
+    lakelog.append_commit(
+        spark, src, base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms"))
+    )
+    si.ivfpq_index_build(spark, base, index, source_watermark=1, app_id="cdc-ann-idx")
+    sink = si.cdc_ann_indexing_sink(spark, src, index)
+
+    batch = embs.filter(F.col("vec_id") >= cut).select(
+        "vec_id", "embedding", F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op")
+    ).unionByName(
+        # deletions >= 16 keep the direct twin's internal codebook
+        # resample identical to the frozen one (sample rows intact)
+        base.filter((F.col("vec_id") % 13 == 7) & (F.col("vec_id") >= 16)).select(
+            "vec_id", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+        )
+    )
+    assert sink(batch, 0) == 2
+
+    cents = lakelog.read(spark, os.path.join(index, "ivf_centroids"))
+    snap = lakelog.read(spark, src).select("vec_id", "embedding")
+    assigned = sim.assign_centroids(
+        snap.filter(F.col("vec_id") >= cut).withColumn(
+            "label", F.lit(-1).cast("long")
+        ),
+        cents,
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    current = (
+        snap.filter(F.col("vec_id") < cut)
+        .join(base.select("vec_id", "label"), "vec_id")
+        .unionByName(snap.join(assigned, "vec_id").select("vec_id", "embedding", "label"))
+    )
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    direct = sim.ivfpq_topk(current, queries, cents, k=10, nprobe=2, residual=True)
+    assert _serve_tuples(spark, index, queries) == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in direct.collect()
+    )
+
+    src_head = lakelog.latest_version(src)
+    idx_head = lakelog.latest_version(os.path.join(index, "pq_codes"))
+    assert sink(batch, 0) == 2  # redelivery: no-op both sides
+    assert lakelog.latest_version(src) == src_head
+    assert lakelog.latest_version(os.path.join(index, "pq_codes")) == idx_head
