@@ -4435,3 +4435,173 @@ def ext_sim_ivfpq_index_maintained(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_sim_ivfpq_cdc_maintained",
+    f"""
+    WITH cutv AS (SELECT 2 * (max(vec_id) + 1) // 3 AS cut FROM embeddings),
+    nv AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+    cents AS ({_SQL_FROZEN_BASE_CENTS}),
+    cur AS (
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id % 11 = 5 AND e.vec_id % 13 <> 7
+                  THEN e2.embedding ELSE e.embedding END AS embedding,
+             e.label AS orig_label,
+             (e.vec_id % 11 = 5 AND e.vec_id % 13 <> 7) AS updated
+      FROM embeddings e, nv, embeddings e2
+      WHERE e2.vec_id = (e.vec_id + 1) % nv.n
+        AND e.vec_id % 13 <> 7
+    ),
+    assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT e.vec_id, c.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS_CENT} DESC, c.label ASC) AS rn
+        FROM cur e CROSS JOIN cents c, cutv
+        WHERE e.vec_id >= cutv.cut OR e.updated
+      ) WHERE rn = 1
+    ),
+    grown AS (
+      SELECT e.vec_id, e.embedding, coalesce(a.label, e.orig_label) AS label
+      FROM cur e LEFT JOIN assigned a USING (vec_id)
+    ),
+    rese AS (
+      SELECT g.vec_id, g.label,
+             list_transform(generate_series(1, 64),
+               i -> round(g.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
+      FROM grown g JOIN cents ON g.label = cents.label
+    ),
+    brese AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> round(e.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
+      FROM embeddings e JOIN cents ON e.label = cents.label
+      WHERE e.vec_id < 16
+    ),
+    rcb AS (
+      SELECT gm.m, vec_id AS code, embedding[gm.m*8+1 : gm.m*8+8] AS sub
+      FROM brese, generate_series(0, 7) AS gm(m)
+    ),
+    rsv AS (
+      SELECT vec_id, gm.m, embedding[gm.m*8+1 : gm.m*8+8] AS sub
+      FROM rese, generate_series(0, 7) AS gm(m)
+    ),
+    rd AS ({_sql_pq_dist_step('r0', 'rcb', sv_table='rsv')}),
+    rcodes AS ({_sql_pq_argmin('rd')}),
+    rrecon AS (
+      SELECT rr.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> round(rr.rres[i] + cents.centroid[i], 6)) AS recon
+      FROM (
+        SELECT c.vec_id, flatten(list(rcb.sub ORDER BY c.m)) AS rres
+        FROM rcodes c JOIN rcb ON rcb.m = c.m AND rcb.code = c.code
+        GROUP BY c.vec_id
+      ) rr
+      JOIN grown g ON g.vec_id = rr.vec_id
+      JOIN cents ON g.label = cents.label
+    ),
+    ranked_probes AS (
+      SELECT q.vec_id AS query_id, q.embedding, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_COS_CENT.replace("e.embedding", "q.embedding")} DESC, c.label
+             ) AS pr
+      FROM (SELECT * FROM embeddings WHERE vec_id < 3) q CROSS JOIN cents c
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.query_id, r.vec_id AS neighbor_id, {_SQL_COS_RECON} AS cosine,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
+      FROM ranked_probes p
+      JOIN grown g ON g.label = p.probe_label
+      JOIN rrecon r ON r.vec_id = g.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE p.pr <= 2 AND r.vec_id <> p.query_id
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "ivf", "pq", "lake", "incremental", "cdc"),
+)
+def ext_sim_ivfpq_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector index under a FULL CDC stream — build, insert,
+    UPDATE, DELETE, serve, all through the maintained lake artifacts:
+    build the composed IVF-PQ index on the first two-thirds (frozen
+    centroids + frozen residual codebook, maintenance watermark
+    stamped at the build snapshot), land the remaining third as a CDC
+    insert batch, then a second batch that UPDATEs every vec_id
+    % 11 == 5 (its embedding becomes that of vec (id+1) mod n) and
+    DELETEs every vec_id % 13 == 7; ``ivfpq_index_maintain`` folds
+    both commits' change feed into tombstones + re-assigned/re-encoded
+    segments, and the answer is served from the persisted tables
+    alone (``ivfpq_search_from_index`` — tombstones applied at read).
+    The oracle rebuilds the FINAL corpus state from scratch under the
+    same frozen artifacts (updated/inserted vectors re-assigned by
+    argmax centroid cosine, deleted ones absent, codebook trained on
+    the ORIGINAL base sample), so the hash proves the merge-on-read
+    tombstone/seq machinery serves exactly what a from-scratch
+    rebuild would — updates and deletes included, which the
+    append-only `ext_sim_ivfpq_index_maintained` row cannot see."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    embs = reuse(_embs(spark, sf_dir))
+    # bounded 1-row collect: split point + modulus for the CDC batches
+    max_id = embs.agg(F.max("vec_id").alias("mx")).collect()[0].mx
+    n = max_id + 1
+    cut = (2 * n) // 3
+    root = tempfile.mkdtemp(prefix="ivfpq_cdc_")
+    src = os.path.join(root, "src")
+    index = os.path.join(root, "idx")
+    try:
+        base = embs.filter(F.col("vec_id") < cut)
+        lakelog.append_commit(
+            spark, src,
+            base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
+        )
+        si.ivfpq_index_build(spark, base, index, source_watermark=1)
+        lakelog.merge_apply_cdc(
+            spark, src,
+            embs.filter(F.col("vec_id") >= cut).select(
+                "vec_id", "embedding",
+                F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+            ),
+            ["vec_id"], "_ts_ms",
+        )
+        nxt = embs.select(
+            F.col("vec_id").alias("src_of"), F.col("embedding").alias("new_emb")
+        )
+        updates = (
+            embs.filter(
+                (F.col("vec_id") % 11 == 5) & (F.col("vec_id") % 13 != 7)
+            )
+            .withColumn("src_of", (F.col("vec_id") + 1) % n)
+            .join(nxt, "src_of")
+            .select(
+                "vec_id", F.col("new_emb").alias("embedding"),
+                F.lit(3).alias("_ts_ms"), F.lit("u").alias("_op"),
+            )
+        )
+        deletes = embs.filter(F.col("vec_id") % 13 == 7).select(
+            "vec_id", "embedding",
+            F.lit(3).alias("_ts_ms"), F.lit("d").alias("_op"),
+        )
+        lakelog.merge_apply_cdc(
+            spark, src, updates.unionByName(deletes), ["vec_id"], "_ts_ms"
+        )
+        si.ivfpq_index_maintain(spark, src, index)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        out = si.ivfpq_search_from_index(spark, index, queries, k=10, nprobe=2)
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
