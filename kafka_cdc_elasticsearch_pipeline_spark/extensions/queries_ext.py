@@ -4320,37 +4320,32 @@ _SQL_FROZEN_BASE_CENTS = """
 """
 
 
-@query(
-    "ext_sim_ivfpq_index_maintained",
-    f"""
-    WITH cutv AS (SELECT 2 * (max(vec_id) + 1) // 3 AS cut FROM embeddings),
-    cents AS ({_SQL_FROZEN_BASE_CENTS}),
-    assigned AS (
-      SELECT vec_id, label FROM (
-        SELECT e.vec_id, c.label,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_SQL_COS_CENT} DESC, c.label ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c, cutv
-        WHERE e.vec_id >= cutv.cut
-      ) WHERE rn = 1
-    ),
-    grown AS (
-      SELECT e.vec_id, e.embedding, e.label
-      FROM embeddings e, cutv WHERE e.vec_id < cutv.cut
-      UNION ALL
-      SELECT e.vec_id, e.embedding, a.label
-      FROM embeddings e JOIN assigned a USING (vec_id)
-    ),
+# Shared oracle tail for every "serve from the persisted IVF-PQ
+# artifacts" gate row: residualize the final corpus (CTE `grown`,
+# supplied by the row's prelude) under the frozen base centroids
+# (`cents`), train the frozen residual codebook on the ORIGINAL base
+# sample (vec_id < 16 — untouched by any later CDC, exactly what the
+# build froze), PQ-encode/reconstruct, probe the 2 best buckets per
+# query, top-10 by reconstructed cosine. One definition so the two
+# gate rows (append-only grown index / CDC update+delete index) can
+# never drift on the decode or ranking conventions.
+_SQL_IVFPQ_SERVE_TAIL = f"""
     rese AS (
       SELECT g.vec_id, g.label,
              list_transform(generate_series(1, 64),
                i -> round(g.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
       FROM grown g JOIN cents ON g.label = cents.label
     ),
+    brese AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> round(e.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
+      FROM embeddings e JOIN cents ON e.label = cents.label
+      WHERE e.vec_id < 16
+    ),
     rcb AS (
       SELECT gm.m, vec_id AS code, embedding[gm.m*8+1 : gm.m*8+8] AS sub
-      FROM rese, generate_series(0, 7) AS gm(m)
-      WHERE vec_id < 16
+      FROM brese, generate_series(0, 7) AS gm(m)
     ),
     rsv AS (
       SELECT vec_id, gm.m, embedding[gm.m*8+1 : gm.m*8+8] AS sub
@@ -4388,6 +4383,31 @@ _SQL_FROZEN_BASE_CENTS = """
       JOIN embeddings q ON q.vec_id = p.query_id
       WHERE p.pr <= 2 AND r.vec_id <> p.query_id
     ) WHERE rank <= 10
+"""
+
+
+@query(
+    "ext_sim_ivfpq_index_maintained",
+    f"""
+    WITH cutv AS (SELECT 2 * (max(vec_id) + 1) // 3 AS cut FROM embeddings),
+    cents AS ({_SQL_FROZEN_BASE_CENTS}),
+    assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT e.vec_id, c.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS_CENT} DESC, c.label ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c, cutv
+        WHERE e.vec_id >= cutv.cut
+      ) WHERE rn = 1
+    ),
+    grown AS (
+      SELECT e.vec_id, e.embedding, e.label
+      FROM embeddings e, cutv WHERE e.vec_id < cutv.cut
+      UNION ALL
+      SELECT e.vec_id, e.embedding, a.label
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    ),
+    {_SQL_IVFPQ_SERVE_TAIL}
     """,
     tags=("ext", "similarity", "ivf", "pq", "lake", "incremental"),
 )
@@ -4466,59 +4486,7 @@ def ext_sim_ivfpq_index_maintained(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT e.vec_id, e.embedding, coalesce(a.label, e.orig_label) AS label
       FROM cur e LEFT JOIN assigned a USING (vec_id)
     ),
-    rese AS (
-      SELECT g.vec_id, g.label,
-             list_transform(generate_series(1, 64),
-               i -> round(g.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
-      FROM grown g JOIN cents ON g.label = cents.label
-    ),
-    brese AS (
-      SELECT e.vec_id,
-             list_transform(generate_series(1, 64),
-               i -> round(e.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
-      FROM embeddings e JOIN cents ON e.label = cents.label
-      WHERE e.vec_id < 16
-    ),
-    rcb AS (
-      SELECT gm.m, vec_id AS code, embedding[gm.m*8+1 : gm.m*8+8] AS sub
-      FROM brese, generate_series(0, 7) AS gm(m)
-    ),
-    rsv AS (
-      SELECT vec_id, gm.m, embedding[gm.m*8+1 : gm.m*8+8] AS sub
-      FROM rese, generate_series(0, 7) AS gm(m)
-    ),
-    rd AS ({_sql_pq_dist_step('r0', 'rcb', sv_table='rsv')}),
-    rcodes AS ({_sql_pq_argmin('rd')}),
-    rrecon AS (
-      SELECT rr.vec_id,
-             list_transform(generate_series(1, 64),
-               i -> round(rr.rres[i] + cents.centroid[i], 6)) AS recon
-      FROM (
-        SELECT c.vec_id, flatten(list(rcb.sub ORDER BY c.m)) AS rres
-        FROM rcodes c JOIN rcb ON rcb.m = c.m AND rcb.code = c.code
-        GROUP BY c.vec_id
-      ) rr
-      JOIN grown g ON g.vec_id = rr.vec_id
-      JOIN cents ON g.label = cents.label
-    ),
-    ranked_probes AS (
-      SELECT q.vec_id AS query_id, q.embedding, c.label AS probe_label,
-             row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY {_SQL_COS_CENT.replace("e.embedding", "q.embedding")} DESC, c.label
-             ) AS pr
-      FROM (SELECT * FROM embeddings WHERE vec_id < 3) q CROSS JOIN cents c
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT p.query_id, r.vec_id AS neighbor_id, {_SQL_COS_RECON} AS cosine,
-             row_number() OVER (PARTITION BY p.query_id
-               ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS rank
-      FROM ranked_probes p
-      JOIN grown g ON g.label = p.probe_label
-      JOIN rrecon r ON r.vec_id = g.vec_id
-      JOIN embeddings q ON q.vec_id = p.query_id
-      WHERE p.pr <= 2 AND r.vec_id <> p.query_id
-    ) WHERE rank <= 10
+    {_SQL_IVFPQ_SERVE_TAIL}
     """,
     tags=("ext", "similarity", "ivf", "pq", "lake", "incremental", "cdc"),
 )

@@ -374,29 +374,49 @@ def cdc_search_indexing_sink(
     source_version) so the fold replays as an idempotent catch-up."""
 
     def sink(batch_df: DataFrame, batch_id: int):
-        src_head = lakelog.latest_version(source_table)
-        src_wm = -1
-        if src_head is not None:
-            src_wm = (
-                lakelog.read_manifest(source_table, src_head)
-                .get("txns", {})
-                .get(app_id, -1)
-            )
-        if batch_id > src_wm:
-            lakelog.merge_apply_cdc(
-                spark,
-                source_table,
-                batch_df,
-                list(keys),
-                ts_col,
-                op_col=op_col,
-                txn=(app_id, batch_id),
-            )
+        _cdc_merge_once(
+            spark, source_table, batch_df, keys, ts_col, op_col,
+            app_id, batch_id,
+        )
         return bm25_index_maintain(
             spark, source_table, index_root, app_id=f"{app_id}-idx"
         )
 
     return sink
+
+
+def _cdc_merge_once(
+    spark: SparkSession,
+    source_table: str,
+    batch_df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    op_col: str,
+    app_id: str,
+    batch_id: int,
+) -> None:
+    """The CDC sinks' shared redelivery-guarded merge: skip by the
+    source manifest's (app_id, batch_id) watermark BEFORE burning a
+    version, else ``merge_apply_cdc`` with the watermark recorded in
+    the same commit."""
+    src_head = lakelog.latest_version(source_table)
+    src_wm = -1
+    if src_head is not None:
+        src_wm = (
+            lakelog.read_manifest(source_table, src_head)
+            .get("txns", {})
+            .get(app_id, -1)
+        )
+    if batch_id > src_wm:
+        lakelog.merge_apply_cdc(
+            spark,
+            source_table,
+            batch_df,
+            list(keys),
+            ts_col,
+            op_col=op_col,
+            txn=(app_id, batch_id),
+        )
 
 
 # --- PQ index: frozen codebook, append-assign --------------------------------
@@ -586,17 +606,50 @@ def ivfpq_index_build(
 
 def _next_seq(index_root: str) -> int:
     """Next value of the index's merge-on-read logical clock for
-    MANUAL append/delete calls: 1 + the highest committed version
+    MANUAL append/delete calls: 1 + the SUM of committed versions
     across the three mutable index tables — metadata-only, and
     strictly above every seq a prior manual mutation could have
-    stamped (each mutation advances some table's version by ≥ 1).
-    :func:`ivfpq_index_maintain` uses the SOURCE table's commit
-    versions as the clock instead; don't interleave manual mutations
-    with maintenance on the same index lineage — the clocks differ."""
-    return 1 + max(
+    stamped, because each mutation advances at least one table's
+    version by ≥ 1 and versions never decrease (a max over the heads
+    would NOT be strict: two tables ticking alternately can hand a
+    later delete the same seq an earlier append stamped, silently
+    un-deleting it). :func:`ivfpq_index_maintain` uses the SOURCE
+    table's commit versions as the clock instead; don't interleave
+    manual mutations with maintenance on the same index lineage — the
+    clocks differ."""
+    return 1 + sum(
         lakelog.latest_version(os.path.join(index_root, t)) or 0
         for t in ("ivf_buckets", "pq_codes", _IVF_DELETES)
     )
+
+
+def _adopt_legacy(spark: SparkSession, index_root: str) -> None:
+    """One-time upgrade guard every seq-writing mutation runs first:
+    if the index predates the tombstone era (buckets/codes files with
+    no ``seq`` column), rewrite those tables with seq 0 BEFORE the
+    first seq-stamped segment lands. Without this, a mixed-schema
+    table reads legacy rows as seq NULL — the live filter and the
+    (vec_id, seq) recon join would silently drop every pre-upgrade
+    vector from serving. Because this guard runs before every seq
+    write, a table is always EITHER all-legacy or all-seq — never
+    mixed — so the plain (single-footer) read schema below is
+    authoritative and no mergeSchema footer sweep is needed: the
+    steady-state cost is a schema peek, the one-time upgrade is the
+    only data job."""
+    for t in ("ivf_buckets", "pq_codes"):
+        table = os.path.join(index_root, t)
+        head = lakelog.latest_version(table)
+        if head is None:
+            continue
+        df = lakelog.read(spark, table)
+        if "seq" not in df.columns:
+            lakelog.commit(
+                table,
+                df.withColumn("seq", F.lit(0).cast("long")),
+                "purge",
+                expect_parent=head,
+                stat_cols=["vec_id"],
+            )
 
 
 def ivfpq_index_append(
@@ -624,6 +677,7 @@ def ivfpq_index_append(
     that is currently LIVE duplicates it: upsert goes through
     :func:`ivfpq_index_delete` + append at the same seq (what
     :func:`ivfpq_index_maintain` does for update feed rows)."""
+    _adopt_legacy(spark, index_root)
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
     s = _next_seq(index_root) if seq is None else seq
@@ -664,6 +718,7 @@ def ivfpq_index_delete(
     :func:`ivfpq_index_compact` folds them into a physical rewrite
     when read amplification warrants one. Returns the tombstones'
     seq."""
+    _adopt_legacy(spark, index_root)
     s = _next_seq(index_root) if seq is None else seq
     ids = (
         vec_ids
@@ -762,11 +817,18 @@ def ivfpq_index_maintain(
     head = lakelog.latest_version(source_table)
     if head is None:
         raise FileNotFoundError(f"no committed version in {source_table}")
+    _adopt_legacy(spark, index_root)
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
 
     def deltas(lo: int, hi: int) -> tuple[DataFrame, DataFrame, DataFrame]:
-        feed = lakelog.read_row_changes(spark, source_table, lo, hi)
+        # the feed and the assignment are each checkpointed (both
+        # delta-sized) so the three segment commits share one feed
+        # scan and one centroid assignment instead of re-running them
+        # per commit
+        feed = lakelog.read_row_changes(
+            spark, source_table, lo, hi
+        ).localCheckpoint()
         tomb = (
             feed.filter(
                 F.col("_change_type").isin("delete", "update_preimage")
@@ -786,7 +848,7 @@ def ivfpq_index_maintain(
         assigned = sim.assign_centroids(
             latest_ins.withColumn("label", F.lit(-1).cast("long")), cents
         ).select("vec_id", F.col("assigned_label").alias("label"))
-        labeled = latest_ins.join(assigned, "vec_id")
+        labeled = latest_ins.join(assigned, "vec_id").localCheckpoint()
         return (
             tomb,
             labeled.select("vec_id", "label", "seq"),
@@ -798,13 +860,27 @@ def ivfpq_index_maintain(
     t_dels = os.path.join(index_root, _IVF_DELETES)
     t_buckets = os.path.join(index_root, "ivf_buckets")
     t_codes = os.path.join(index_root, "pq_codes")
-    for table, pick in ((t_dels, 0), (t_buckets, 1), (t_codes, 2)):
-        a = _applied(table, app_id)
-        if a < head:
+    tables = ((t_dels, 0), (t_buckets, 1), (t_codes, 2))
+    applied = {table: _applied(table, app_id) for table, _ in tables}
+    if len(set(applied.values())) == 1:
+        # steady state: one watermark, one shared delta computation
+        a = applied[t_dels]
+        if head <= a:
+            return a
+        shared = deltas(a, head)
+        for table, pick in tables:
             _append_segment(
-                table, deltas(a, head)[pick], app_id, head,
-                stat_cols=["vec_id"],
+                table, shared[pick], app_id, head, stat_cols=["vec_id"]
             )
+    else:
+        # crash recovery: fold each table's own lag independently
+        # (every delta is a pure function of the feed)
+        for table, pick in tables:
+            if applied[table] < head:
+                _append_segment(
+                    table, deltas(applied[table], head)[pick], app_id, head,
+                    stat_cols=["vec_id"],
+                )
     return head
 
 
@@ -821,25 +897,26 @@ def ivfpq_index_compact(spark: SparkSession, index_root: str) -> None:
     keep their seq, so still-pending tombstones re-apply as no-ops
     until the deletes reset lands; a maintain racing any of the three
     commits raises CommitConflict — retry compaction at the new
-    head."""
-    buckets, codes = _ivfpq_live(spark, index_root)
-    for table, live in (
-        (os.path.join(index_root, "ivf_buckets"), buckets),
-        (os.path.join(index_root, "pq_codes"), codes),
-    ):
-        head = lakelog.latest_version(table)
-        if head is not None:
-            lakelog.commit(
-                table, live, "purge", expect_parent=head, stat_cols=["vec_id"]
-            )
+    head. The heads are captured BEFORE the live view is built, so a
+    racer landing anywhere in the window conflicts instead of having
+    its segment silently dropped by a stale rewrite."""
+    t_buckets = os.path.join(index_root, "ivf_buckets")
+    t_codes = os.path.join(index_root, "pq_codes")
     t_dels = os.path.join(index_root, _IVF_DELETES)
-    head = lakelog.latest_version(t_dels)
-    if head is not None:
+    heads = {t: lakelog.latest_version(t) for t in (t_buckets, t_codes, t_dels)}
+    buckets, codes = _ivfpq_live(spark, index_root)
+    for table, live in ((t_buckets, buckets), (t_codes, codes)):
+        if heads[table] is not None:
+            lakelog.commit(
+                table, live, "purge",
+                expect_parent=heads[table], stat_cols=["vec_id"],
+            )
+    if heads[t_dels] is not None:
         lakelog.commit(
             t_dels,
             spark.createDataFrame([], "vec_id bigint, seq bigint"),
             "purge",
-            expect_parent=head,
+            expect_parent=heads[t_dels],
         )
 
 
@@ -851,6 +928,7 @@ def cdc_ann_indexing_sink(
     ts_col: str = "_ts_ms",
     op_col: str = "_op",
     app_id: str = "cdc-ann",
+    index_app_id: str = "ivfpq-idx",
 ):
     """foreachBatch callable — the reference pipeline's shape for the
     VECTOR index (:func:`cdc_search_indexing_sink`'s twin): each
@@ -863,29 +941,19 @@ def cdc_ann_indexing_sink(
     sink: the source manifest skips a redelivered merge, the index
     tables' per-table watermarks replay the fold idempotently. The
     index artifacts must already exist (:func:`ivfpq_index_build`
-    with ``source_watermark`` at the build snapshot)."""
+    with ``source_watermark`` at the build snapshot). ``index_app_id``
+    is the MAINTENANCE lineage and must match the one the build
+    stamped its watermark under (both default to "ivfpq-idx") — a
+    mismatched pair reads watermark 0 and refolds the already-indexed
+    base as duplicate live segments."""
 
     def sink(batch_df: DataFrame, batch_id: int):
-        src_head = lakelog.latest_version(source_table)
-        src_wm = -1
-        if src_head is not None:
-            src_wm = (
-                lakelog.read_manifest(source_table, src_head)
-                .get("txns", {})
-                .get(app_id, -1)
-            )
-        if batch_id > src_wm:
-            lakelog.merge_apply_cdc(
-                spark,
-                source_table,
-                batch_df,
-                list(keys),
-                ts_col,
-                op_col=op_col,
-                txn=(app_id, batch_id),
-            )
+        _cdc_merge_once(
+            spark, source_table, batch_df, keys, ts_col, op_col,
+            app_id, batch_id,
+        )
         return ivfpq_index_maintain(
-            spark, source_table, index_root, app_id=f"{app_id}-idx"
+            spark, source_table, index_root, app_id=index_app_id
         )
 
     return sink

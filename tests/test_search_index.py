@@ -949,7 +949,11 @@ def test_cdc_ann_indexing_sink_reference_pipeline_shape(spark, sf_dir, tmp_path)
     lakelog.append_commit(
         spark, src, base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms"))
     )
-    si.ivfpq_index_build(spark, base, index, source_watermark=1, app_id="cdc-ann-idx")
+    # DEFAULT composition: the build's watermark app_id and the sink's
+    # index_app_id must pair up out of the box (a mismatch refolds the
+    # base as duplicate live segments — pinned by the serve parity and
+    # row-count checks below)
+    si.ivfpq_index_build(spark, base, index, source_watermark=1)
     sink = si.cdc_ann_indexing_sink(spark, src, index)
 
     batch = embs.filter(F.col("vec_id") >= cut).select(
@@ -985,9 +989,74 @@ def test_cdc_ann_indexing_sink_reference_pipeline_shape(spark, sf_dir, tmp_path)
     assert _serve_tuples(spark, index, queries) == sorted(
         (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in direct.collect()
     )
+    # exactly one live row per surviving vector — a build/sink
+    # watermark mismatch would refold the base as duplicate segments
+    live_buckets, _ = si._ivfpq_live(spark, index)
+    assert live_buckets.count() == current.count()
 
     src_head = lakelog.latest_version(src)
     idx_head = lakelog.latest_version(os.path.join(index, "pq_codes"))
     assert sink(batch, 0) == 2  # redelivery: no-op both sides
     assert lakelog.latest_version(src) == src_head
     assert lakelog.latest_version(os.path.join(index, "pq_codes")) == idx_head
+
+
+def test_ivfpq_manual_seq_clock_is_strictly_monotonic(spark, sf_dir, tmp_path):
+    """Regression: delete, delete, append, delete — the final delete's
+    tombstone seq must be STRICTLY above the append's seq (a max-over-
+    heads clock hands both seq 3 because each delete bumps only the
+    deletes table, silently un-deleting the appended vector)."""
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") < 100)
+    si.ivfpq_index_build(spark, base, index)
+    si.ivfpq_index_delete(spark, index, [20])
+    si.ivfpq_index_delete(spark, index, [21])
+    x = embs.filter(F.col("vec_id") == 200)
+    si.ivfpq_index_append(spark, index, x)
+    s_del = si.ivfpq_index_delete(spark, index, [200])
+    buckets, codes = si._ivfpq_live(spark, index)
+    assert buckets.filter(F.col("vec_id") == 200).count() == 0
+    assert codes.filter(F.col("vec_id") == 200).count() == 0
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    served = si.ivfpq_search_from_index(spark, index, queries, k=10, nprobe=2)
+    assert served.filter(F.col("neighbor_id").isin([20, 21, 200])).count() == 0
+    # and a re-append after that delete comes back live (clock advanced)
+    si.ivfpq_index_append(spark, index, x)
+    buckets2, _ = si._ivfpq_live(spark, index)
+    assert buckets2.filter(F.col("vec_id") == 200).count() == 1
+    assert s_del > 0
+
+
+def test_ivfpq_mutations_adopt_pre_seq_index(spark, sf_dir, tmp_path, monkeypatch):
+    """A pre-tombstone-era index (buckets/codes with no seq column)
+    mutated by the new code must first be rewritten at seq 0 —
+    otherwise mixed-schema segments read legacy rows as seq NULL and
+    every pre-upgrade vector vanishes from serving."""
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") < 100)
+    si.ivfpq_index_build(spark, base, index)
+    # strip the seq column to recreate the legacy layout
+    for t in ("ivf_buckets", "pq_codes"):
+        table = os.path.join(index, t)
+        legacy = lakelog.read(spark, table).drop("seq")
+        lakelog.commit(
+            table, legacy, "purge",
+            expect_parent=lakelog.latest_version(table),
+            stat_cols=["vec_id"],
+        )
+    extra = embs.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    )
+    si.ivfpq_index_append(spark, index, extra)
+    si.ivfpq_index_delete(spark, index, [110])
+    buckets, codes = si._ivfpq_live(spark, index)
+    # every legacy vector still serves; the tombstoned new one doesn't
+    assert buckets.filter(F.col("vec_id") < 100).count() == 100
+    assert codes.filter(F.col("vec_id") < 100).count() == 800
+    assert buckets.filter(F.col("vec_id") == 110).count() == 0
+    assert buckets.count() == 100 + 19

@@ -260,11 +260,140 @@ def main() -> int:
         "their segments. Deltas whose word set exceeds the collect "
         "cap (4096) take the full path by design."
     )
+    # --- third table: ANN (IVF-PQ) maintenance under a CDC batch ---
+    # One fixed-size CDC batch (inserts + updates + deletes) folded
+    # into a vector index over a growing corpus: the fold must stay
+    # flat (feed-sized assign/encode + tombstone append) while the
+    # full re-encode follows the corpus; the serve pair shows the
+    # tombstone merge-on-read cost and what compaction reclaims.
+    def vecs(lo: int, hi: int, salt: int = 0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                f"round(pmod(id * 131 + i * 17 + {salt}, 1000)"
+                " / 250.0 - 2.0, 6))"
+            ).alias("embedding"),
+            F.pmod(F.col("id"), F.lit(8)).cast("long").alias("label"),
+        )
+
+    ann_rows = []
+    for n_vecs in [s * 4_000 for s in args.sizes]:
+        tmp = tempfile.mkdtemp(prefix="si_annprobe_")
+        src = os.path.join(tmp, "vecs")
+        idx = os.path.join(tmp, "idx")
+        try:
+            base = vecs(0, n_vecs)
+            lakelog.append_commit(
+                spark,
+                src,
+                base.select(
+                    "vec_id", "embedding", F.lit(1).alias("_ts_ms")
+                ),
+            )
+            si.ivfpq_index_build(spark, base, idx, source_watermark=1)
+
+            nxt, ts = n_vecs, 2
+            fold_times = []
+            for r in range(max(1, args.repeat)):
+                ins = vecs(nxt, nxt + 500).select(
+                    "vec_id", "embedding",
+                    F.lit(ts).alias("_ts_ms"), F.lit("c").alias("_op"),
+                )
+                # disjoint live id ranges per repeat so an update never
+                # touches an id a prior repeat deleted
+                upd = vecs(1000 * r, 1000 * r + 250, salt=90_000 + ts).select(
+                    "vec_id", "embedding",
+                    F.lit(ts).alias("_ts_ms"), F.lit("u").alias("_op"),
+                )
+                dels = vecs(1000 * r + 500, 1000 * r + 750).select(
+                    "vec_id", "embedding",
+                    F.lit(ts).alias("_ts_ms"), F.lit("d").alias("_op"),
+                )
+                lakelog.merge_apply_cdc(
+                    spark, src, ins.unionByName(upd).unionByName(dels),
+                    ["vec_id"], "_ts_ms",
+                )
+                t0 = time.time()
+                si.ivfpq_index_maintain(spark, src, idx)
+                fold_times.append(time.time() - t0)
+                nxt, ts = nxt + 500, ts + 1
+            t_fold = min(fold_times)
+
+            cents = lakelog.read(spark, os.path.join(idx, "ivf_centroids"))
+            cb = lakelog.read(spark, os.path.join(idx, "pq_codebook"))
+
+            def reencode():
+                snap = lakelog.read(spark, src).select("vec_id", "embedding")
+                assigned = sim.assign_centroids(
+                    snap.withColumn("label", F.lit(-1).cast("long")), cents
+                ).select(
+                    "vec_id", F.col("assigned_label").alias("label")
+                )
+                sim.pq_encode(
+                    sim.residuals(snap.join(assigned, "vec_id"), cents), cb
+                ).count()
+
+            t_reencode = best_of(reencode)
+
+            queries = base.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
+            t_serve_mor = best_of(
+                lambda: si.ivfpq_search_from_index(
+                    spark, idx, queries
+                ).count()
+            )
+            si.ivfpq_index_compact(spark, idx)
+            t_serve_compact = best_of(
+                lambda: si.ivfpq_search_from_index(
+                    spark, idx, queries
+                ).count()
+            )
+            ann_rows.append(
+                {
+                    "x_vecs": n_vecs,
+                    "fold_s": round(t_fold, 2),
+                    "reencode_s": round(t_reencode, 2),
+                    "serve_mor_s": round(t_serve_mor, 2),
+                    "serve_compact_s": round(t_serve_compact, 2),
+                }
+            )
+            print(json.dumps(ann_rows[-1]))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    ann_lines = [
+        "| corpus vectors | maintain (1 CDC batch) | full re-encode | "
+        "serve (tombstoned) | serve (compacted) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in ann_rows:
+        ann_lines.append(
+            f"| {r['x_vecs']:,} | {r['fold_s']:.2f}s | {r['reencode_s']:.2f}s"
+            f" | {r['serve_mor_s']:.2f}s | {r['serve_compact_s']:.2f}s |"
+        )
+    ann_note = (
+        "The VECTOR index twin (`ivfpq_index_maintain`): one fixed CDC "
+        "batch (500 inserts + 250 updates + 250 deletes through "
+        "`merge_apply_cdc`) folded into the persisted IVF-PQ index over "
+        "a 16×-growing corpus. The fold assigns/encodes only the feed "
+        "and appends tombstones + two segments, so its wall must stay "
+        "FLAT; the full re-encode (assign + residual PQ of every live "
+        "vector under the frozen artifacts — what a non-incremental "
+        "index re-runs per refresh) follows the corpus. The serve pair "
+        "prices the merge-on-read tombstone filter (a broadcast left "
+        "join against the delta-sized deletes table) against the "
+        "compacted index — the gap is what `ivfpq_index_compact` "
+        "reclaims."
+    )
     section = (
         "\n## Search index maintenance scaling "
         "(tools/search_index_scale_probe.py)\n\n"
         + note + "\n\n" + "\n".join(lines) + "\n\n"
-        + seg_note + "\n\n" + "\n".join(seg_lines) + "\n"
+        + seg_note + "\n\n" + "\n".join(seg_lines) + "\n\n"
+        + ann_note + "\n\n" + "\n".join(ann_lines) + "\n"
     )
     scaling_md = os.path.join(REPO, "SCALING.md")
     if os.path.exists(scaling_md):
