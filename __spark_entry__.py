@@ -71,19 +71,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # breach at r10. Either keep r09 to ≤ 1 new query, or register ≥ 2
 # and verify `tools/check_oracle.py`'s floor line prints 5.
 #
-# r10 window math (written r09): r09 took the ≥2 branch — 5 new
+# r10 window math (written r09): r09 took the ≥2 branch — 7 new
 # registrations (incremental BM25 + plain-PQ index rows, the CDC-to-
-# search-index composition, the composed IVF-PQ index, and the
-# CDC-maintained IVF-PQ update/delete row) put the registry at 205
-# (204 gated after the one exclusion) and the floor at
-# ceil(204/50) = 5 (check_oracle's floor line confirms). The r09
-# window = 5 never + 1 zero-green (the ListState re-entry) + 44 of
-# the 49 r05 rows; 5 r05 rows stay at r05 and hit 5-rounds-stale at
-# r10 — the oldest-first rotation puts them at the head of the r10
-# window automatically, so r10 needs no pin, and its new-registration
-# budget is ~45 (window = N new + 5 r05 + (45−N) r06; the r06 block
-# of 50 must finish refreshing by r11 to clear its own r11 floor, so
-# keep N modest — ≤ ~10 — or split across rounds).
+# search-index composition, the composed IVF-PQ index, the
+# CDC-maintained IVF-PQ update/delete row, and the index-only hybrid
+# serving row) put the registry at 206 (205 gated after the one
+# exclusion) and the floor at ceil(205/50) = 5 (check_oracle's floor
+# line confirms). The r09 window = 7 never + 1 zero-green (the
+# ListState re-entry) + 42 of the 49 r05 rows; 7 r05 rows stay at r05
+# and hit 5-rounds-stale at r10 — the oldest-first rotation puts them
+# at the head of the r10 window automatically, so r10 needs no pin,
+# and its new-registration budget is ~43 (window = N new + 7 r05 +
+# (43−N) r06; the r06 block of 50 must finish refreshing by r11 to
+# clear its own r11 floor, so keep N modest — ≤ ~10 — or split
+# across rounds).
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

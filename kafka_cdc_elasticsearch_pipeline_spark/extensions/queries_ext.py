@@ -486,13 +486,15 @@ def ext_search_hybrid_lexical_rerank(spark: SparkSession, sf_dir: str) -> DataFr
     return sim.hybrid_search_topk(docs, _embs(spark, sf_dir))
 
 
-@query(
-    "ext_search_bm25_rerank",
-    f"""
-    WITH toks AS MATERIALIZED (
+# Shared BM25 candidate CTEs (tokenize -> tf/dl/df -> ratio-idf ×
+# k1/b-normalized tf, ordered per-doc fold -> ranked candidates per
+# query) — one definition so the recall-comparison row and the
+# index-only serving row can never drift on the scoring arithmetic.
+_SQL_BM25_CAND_CTES = r"""
+    toks AS MATERIALIZED (
       SELECT doc_id, word FROM (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
         FROM documents
       ), unnest(w) AS u(word)
     ),
@@ -529,7 +531,14 @@ def ext_search_hybrid_lexical_rerank(spark: SparkSession, sf_dir: str) -> DataFr
              row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC)
                AS r
       FROM bm
-    ),
+    )
+"""
+
+
+@query(
+    "ext_search_bm25_rerank",
+    f"""
+    WITH {_SQL_BM25_CAND_CTES},
     truth AS MATERIALIZED (
       SELECT q.vec_id AS query_id, e.vec_id AS doc_id, 1 AS hit
       FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q
@@ -4569,6 +4578,76 @@ def ext_sim_ivfpq_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("q_embedding"),
         )
         out = si.ivfpq_search_from_index(spark, index, queries, k=10, nprobe=2)
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_search_hybrid_index_only",
+    f"""
+    WITH {_SQL_BM25_CAND_CTES},
+    {_SQL_PQ_CTES},
+    recon AS (
+      SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.m)) AS recon
+      FROM pq_codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT query_id, doc_id, cosine, rank FROM (
+      SELECT c.query_id, c.doc_id, {_SQL_COS_RECON} AS cosine,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {_SQL_COS_RECON} DESC, c.doc_id ASC) AS rank
+      FROM (SELECT query_id, doc_id FROM bmr WHERE r <= 20) c
+      JOIN recon r ON r.vec_id = c.doc_id
+      JOIN embeddings q ON q.vec_id = c.query_id
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "search", "bm25", "pq", "lake", "incremental"),
+)
+def ext_search_hybrid_index_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search with NO raw corpus anywhere in the serve path —
+    the memory endgame of the maintained-index stack: BM25 candidates
+    come from the persisted tf/dl/df (no tokenization, no text scan),
+    and the cosine rerank compares the query vector against each
+    candidate's PQ-RECONSTRUCTED embedding decoded from the persisted
+    codes (semi-joined to the candidate ids BEFORE reconstruction —
+    the decode is pool × |queries|-sized regardless of corpus size;
+    what serving holds is 8 bytes of code per vector + the broadcast
+    codebook). The oracle rebuilds both stages from scratch — BM25
+    over the documents table, PQ encode/reconstruct over the full
+    embeddings table under the same sampled codebook — so the hash
+    proves maintained-index + candidate-sized decode serves exactly
+    what the from-scratch two-stage would. Rerank quality inherits
+    PQ's quantization error (`ext_sim_pq_recall` measures it): the
+    price of serving without floats."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    embs = reuse(_embs(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="hybrid_idx_")
+    src = os.path.join(root, "docs")
+    bm25_root = os.path.join(root, "bm25")
+    pq_root = os.path.join(root, "pq")
+    try:
+        lakelog.append_commit(spark, src, _docs(spark, sf_dir))
+        si.bm25_index_maintain(spark, src, bm25_root)
+        si.pq_index_build(spark, embs, pq_root)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        out = si.hybrid_search_index_only(
+            spark, bm25_root, pq_root, queries, query_ids=(0, 1, 2),
+            pool=20, k=10,
+        )
         # materialize BEFORE the temp lake dir disappears
         return spark.createDataFrame(out.collect(), out.schema)
     finally:

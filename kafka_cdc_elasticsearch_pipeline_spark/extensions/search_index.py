@@ -540,6 +540,65 @@ def hybrid_search_from_index(
     )
 
 
+def hybrid_search_index_only(
+    spark: SparkSession,
+    bm25_root: str,
+    pq_root: str,
+    queries: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieve-then-rerank with NO raw corpus anywhere in the serve
+    path — the full index-serving memory story: BM25 candidates come
+    from the maintained tf/dl/df, and the rerank cosine compares the
+    application-supplied query vector against each candidate's
+    PQ-RECONSTRUCTED embedding decoded from the maintained codes
+    table. What serving holds is m bytes of code per vector plus the
+    broadcast codebook; the float corpus can live in cold storage (or
+    nowhere). Decode touches ONLY the candidates — the codes table is
+    semi-joined to the pool × |queries| candidate ids (broadcast)
+    before reconstruction, so the expensive stage is candidate-sized
+    regardless of corpus size. Rerank quality inherits PQ's
+    quantization error (measured by ``ext_sim_pq_recall``) — the
+    price of serving without floats."""
+    from pyspark.sql import Window as W
+
+    scored = bm25_score_from_index(spark, bm25_root, query_ids)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= pool)
+        .select("query_id", "doc_id")
+    )
+    cb, codes = pq_index_read(spark, pq_root)
+    cand_codes = codes.join(
+        F.broadcast(cand.select(F.col("doc_id").alias("vec_id")).distinct()),
+        "vec_id",
+        "left_semi",
+    )
+    recon = sim.pq_reconstruct(cand_codes, cb)
+    rescored = (
+        cand.join(recon, cand["doc_id"] == recon["vec_id"])
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                sim.cosine(F.col("recon"), F.col("q_embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 # --- IVF-PQ index: frozen coarse quantizer + frozen residual codebook --------
 
 

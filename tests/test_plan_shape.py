@@ -531,3 +531,38 @@ def test_ivfpq_serving_from_index_probe_shape(spark, tmp_path, sf_dir):
     assert "SortMergeJoin" not in p2
     assert "BroadcastHashJoin" in p2
     assert p2.count("LeftOuter") == 2  # buckets + codes tombstone joins
+
+
+def test_hybrid_index_only_decode_is_candidate_sized(spark, tmp_path, sf_dir):
+    """The no-floats hybrid serve must decode ONLY candidates: the
+    codes table is semi-joined (broadcast) to the candidate ids before
+    reconstruction, the codebook and queries broadcast, and nothing
+    cartesian-joins or sort-merge-joins a corpus-sized side."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    src = str(tmp_path / "docs")
+    bm25_root = str(tmp_path / "bm25")
+    pq_root = str(tmp_path / "pq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lakelog.append_commit(spark, src, docs)
+    si.bm25_index_maintain(spark, src, bm25_root)
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.pq_index_build(spark, embs, pq_root)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    p = final_plan(
+        si.hybrid_search_index_only(spark, bm25_root, pq_root, queries)
+    )
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # the candidate prune on the codes table is the broadcast LeftSemi
+    assert "LeftSemi" in p

@@ -1060,3 +1060,63 @@ def test_ivfpq_mutations_adopt_pre_seq_index(spark, sf_dir, tmp_path, monkeypatc
     assert codes.filter(F.col("vec_id") < 100).count() == 800
     assert buckets.filter(F.col("vec_id") == 110).count() == 0
     assert buckets.count() == 100 + 19
+
+
+def test_hybrid_search_index_only_matches_from_scratch(spark, sf_dir, tmp_path):
+    """The no-floats serve path: BM25 candidates from the maintained
+    index, reranked by cosine against PQ-RECONSTRUCTED candidates —
+    must equal the same two-stage built from scratch (bm25 candidates
+    -> full-corpus encode/reconstruct under the SAME persisted
+    codebook -> cosine top-k)."""
+    from pyspark.sql import Window as W
+
+    source = str(tmp_path / "docs")
+    bm25_root = str(tmp_path / "bm25")
+    pq_root = str(tmp_path / "pq")
+    docs, _ = _doc_chunks(spark, sf_dir)
+    lakelog.append_commit(spark, source, docs)
+    si.bm25_index_maintain(spark, source, bm25_root)
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.pq_index_build(spark, embs, pq_root)
+
+    qids, pool, k = (0, 1, 2), 20, 10
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = si.hybrid_search_index_only(
+        spark, bm25_root, pq_root, queries, query_ids=qids, pool=pool, k=k
+    ).collect()
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        sim.bm25_scored_candidates(docs, qids)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= pool)
+        .select("query_id", "doc_id")
+    )
+    cb = lakelog.read(spark, os.path.join(pq_root, "pq_codebook"))
+    recon = sim.pq_reconstruct(sim.pq_encode(embs, cb), cb)
+    rescored = (
+        cand.join(recon, cand["doc_id"] == recon["vec_id"])
+        .join(queries, "query_id")
+        .select(
+            "query_id", "doc_id",
+            F.round(
+                sim.cosine(F.col("recon"), F.col("q_embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    want = (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .collect()
+    )
+    g = sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in got)
+    assert g == sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in want)
+    assert len(g) == len(qids) * k
