@@ -385,6 +385,50 @@ def cdc_search_indexing_sink(
     return sink
 
 
+def cdc_dual_indexing_sink(
+    spark: SparkSession,
+    source_table: str,
+    bm25_root: str,
+    ivfpq_root: str,
+    keys: tuple[str, ...] = ("doc_id",),
+    ts_col: str = "_ts_ms",
+    op_col: str = "_op",
+    app_id: str = "cdc-dual",
+    index_app_id: str = "ivfpq-idx",
+):
+    """foreachBatch callable — the reference pipeline in FULL: one
+    Debezium stream over documents carrying BOTH a ``text`` and an
+    ``embedding`` column keeps the whole search stack current. Each
+    micro-batch MERGEs into the one source lake table exactly once,
+    then BOTH serving indexes fold the same commit range forward:
+    the BM25 tf/dl/df (signed token deltas) and the IVF-PQ
+    buckets/codes/tombstones (re-assign + re-encode under the frozen
+    artifacts). Because every fold is watermarked per index table
+    against the same source versions, the two indexes can never
+    diverge on WHICH snapshot they reflect — a crash between the two
+    maintains replays the lagging one idempotently — and
+    :func:`hybrid_search_index_only` serves retrieve-then-rerank off
+    the pair with no raw corpus at all. The IVF-PQ feed folds rows
+    whose ``embedding`` the merge recorded; build its frozen
+    artifacts first (:func:`ivfpq_index_build` with
+    ``source_watermark``, app_id ``index_app_id``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        _cdc_merge_once(
+            spark, source_table, batch_df, keys, ts_col, op_col,
+            app_id, batch_id,
+        )
+        bm25_index_maintain(
+            spark, source_table, bm25_root, app_id=f"{app_id}-bm25"
+        )
+        return ivfpq_index_maintain(
+            spark, source_table, ivfpq_root, app_id=index_app_id,
+            id_col=keys[0],
+        )
+
+    return sink
+
+
 def _cdc_merge_once(
     spark: SparkSession,
     source_table: str,
@@ -562,24 +606,70 @@ def hybrid_search_index_only(
     regardless of corpus size. Rerank quality inherits PQ's
     quantization error (measured by ``ext_sim_pq_recall``) — the
     price of serving without floats."""
-    from pyspark.sql import Window as W
-
-    scored = bm25_score_from_index(spark, bm25_root, query_ids)
-    w = W.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), F.col("doc_id").asc()
-    )
-    cand = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= pool)
-        .select("query_id", "doc_id")
-    )
+    cand = _bm25_cand_topk(spark, bm25_root, query_ids, pool)
     cb, codes = pq_index_read(spark, pq_root)
     cand_codes = codes.join(
         F.broadcast(cand.select(F.col("doc_id").alias("vec_id")).distinct()),
         "vec_id",
         "left_semi",
     )
-    recon = sim.pq_reconstruct(cand_codes, cb)
+    return _rerank_candidates(sim.pq_reconstruct(cand_codes, cb), cand,
+                              queries, k)
+
+
+def hybrid_search_from_cdc_indexes(
+    spark: SparkSession,
+    bm25_root: str,
+    ivfpq_root: str,
+    queries: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`hybrid_search_index_only` over the CDC-MAINTAINED stack
+    (:func:`cdc_dual_indexing_sink`'s read side): the rerank decodes
+    RESIDUAL codes from the tombstone-filtered IVF-PQ index (coarse
+    centroid added back) instead of plain PQ codes — still no raw
+    floats anywhere at serve time, still a candidate-sized decode.
+    Deleted documents can surface in NEITHER stage: their tf/dl
+    drained out of the BM25 candidates and their codes are
+    tombstone-filtered out of the decode; an update re-ranks under
+    its re-encoded vector."""
+    cand = _bm25_cand_topk(spark, bm25_root, query_ids, pool)
+    recon = _ivfpq_live_recon(
+        spark,
+        ivfpq_root,
+        vec_ids=cand.select(F.col("doc_id").alias("vec_id")).distinct(),
+    )
+    return _rerank_candidates(recon, cand, queries, k)
+
+
+def _bm25_cand_topk(
+    spark: SparkSession, bm25_root: str, query_ids: tuple[int, ...], pool: int
+) -> DataFrame:
+    """Top-``pool`` BM25 candidates per query from the maintained
+    index — the shared retrieve stage of every hybrid serve."""
+    from pyspark.sql import Window as W
+
+    scored = bm25_score_from_index(spark, bm25_root, query_ids)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= pool)
+        .select("query_id", "doc_id")
+    )
+
+
+def _rerank_candidates(
+    recon: DataFrame, cand: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Shared rerank stage: cosine of the broadcast query vectors
+    against the (candidate-sized) reconstructed embeddings, top-``k``
+    per query by (cosine DESC, doc_id ASC)."""
+    from pyspark.sql import Window as W
+
     rescored = (
         cand.join(recon, cand["doc_id"] == recon["vec_id"])
         .join(F.broadcast(queries), "query_id")
@@ -844,6 +934,7 @@ def ivfpq_index_maintain(
     index_root: str,
     app_id: str = "ivfpq-idx",
     m: int = sim.PQ_M,
+    id_col: str = "vec_id",
 ) -> int:
     """Fold the source lake table's unapplied row-level change feed
     into the persisted IVF-PQ index — the vector twin of
@@ -885,9 +976,12 @@ def ivfpq_index_maintain(
         # delta-sized) so the three segment commits share one feed
         # scan and one centroid assignment instead of re-running them
         # per commit
-        feed = lakelog.read_row_changes(
-            spark, source_table, lo, hi
-        ).localCheckpoint()
+        feed = lakelog.read_row_changes(spark, source_table, lo, hi)
+        if id_col != "vec_id":
+            # a documents stream keys on doc_id; the index tables
+            # always speak vec_id
+            feed = feed.withColumnRenamed(id_col, "vec_id")
+        feed = feed.localCheckpoint()
         tomb = (
             feed.filter(
                 F.col("_change_type").isin("delete", "update_preimage")
@@ -1018,33 +1112,27 @@ def cdc_ann_indexing_sink(
     return sink
 
 
-def ivfpq_search_from_index(
+def _ivfpq_live_recon(
     spark: SparkSession,
     index_root: str,
-    queries: DataFrame,
-    k: int = 10,
-    nprobe: int = 2,
+    vec_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """ANN serving from the PERSISTED IVF-PQ index — the production
-    read path of ``similarity.ivfpq_topk``: queries (query_id,
-    q_embedding — the application supplies raw query vectors; the
-    index stores only codes) probe their ``nprobe`` best buckets
-    against the persisted centroids, candidates are reconstructed
-    from codes + codebook with the centroid added back, and only
-    probed-bucket rows are scored. Candidate volume = nprobe/n_buckets
-    of the corpus; memory per candidate = m bytes + the broadcast
-    codebook — never the float corpus."""
-    from pyspark.sql import Window as W
-
+    """(vec_id, label, recon) — LIVE vectors reconstructed from the
+    persisted artifacts: tombstone-filtered codes decoded against the
+    broadcast codebook and the coarse centroid added back.
+    Reconstruction groups on (vec_id, seq) and joins buckets on both
+    — ``sim.pq_reconstruct`` minus the seq column, kept literally in
+    sync by tests — so an update's superseded and live codes can
+    never cross-join even transiently. ``vec_ids`` (a small broadcast
+    id set — e.g. a rerank's candidates) restricts the decode to just
+    those rows BEFORE any decode work."""
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
     buckets, codes = _ivfpq_live(spark, index_root)
-
-    # reconstruction groups on (vec_id, seq) and joins buckets on both
-    # — ``sim.pq_reconstruct`` minus the seq column, kept literally in
-    # sync by tests — so an update's superseded and live codes can
-    # never cross-join even transiently
-    recon = (
+    if vec_ids is not None:
+        codes = codes.join(F.broadcast(vec_ids), "vec_id", "left_semi")
+        buckets = buckets.join(F.broadcast(vec_ids), "vec_id", "left_semi")
+    return (
         codes.join(F.broadcast(cb), ["m", "code"])
         .groupBy("vec_id", "seq")
         .agg(
@@ -1064,6 +1152,28 @@ def ivfpq_search_from_index(
             ).alias("recon"),
         )
     )
+
+
+def ivfpq_search_from_index(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN serving from the PERSISTED IVF-PQ index — the production
+    read path of ``similarity.ivfpq_topk``: queries (query_id,
+    q_embedding — the application supplies raw query vectors; the
+    index stores only codes) probe their ``nprobe`` best buckets
+    against the persisted centroids, candidates are reconstructed
+    from codes + codebook with the centroid added back, and only
+    probed-bucket rows are scored. Candidate volume = nprobe/n_buckets
+    of the corpus; memory per candidate = m bytes + the broadcast
+    codebook — never the float corpus."""
+    from pyspark.sql import Window as W
+
+    cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
+    recon = _ivfpq_live_recon(spark, index_root)
     scored_cents = queries.join(
         F.broadcast(
             cents.select(F.col("label").alias("probe_label"), "centroid")

@@ -1120,3 +1120,163 @@ def test_hybrid_search_index_only_matches_from_scratch(spark, sf_dir, tmp_path):
     g = sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in got)
     assert g == sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in want)
     assert len(g) == len(qids) * k
+
+
+def test_cdc_dual_indexing_sink_full_reference_stack(spark, sf_dir, tmp_path):
+    """The reference pipeline in FULL: one Debezium stream over
+    documents carrying text AND an embedding keeps BOTH serving
+    indexes current, and hybrid search serves off the pair with no
+    raw corpus — after an insert+update+delete batch, the BM25 tables
+    equal a fresh build over the snapshot, the live IVF-PQ codes
+    equal a frozen-artifact encode of the expected corpus, the
+    deleted doc appears in neither stage, and a redelivered batch is
+    a no-op everywhere."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        embs.select(
+            F.col("vec_id").alias("doc_id"), "embedding", "label"
+        ),
+        "doc_id",
+    )
+    n = corpus.count()
+    cut = (2 * n) // 3
+    base = corpus.filter(F.col("doc_id") < cut)
+    lakelog.append_commit(
+        spark,
+        src,
+        base.select("doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")),
+    )
+    si.ivfpq_index_build(
+        spark,
+        base.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    sink = si.cdc_dual_indexing_sink(spark, src, bm25_root, ivfpq_root)
+
+    upd_id, del_id = 10, 20
+    nxt_emb = embs.filter(F.col("vec_id") == upd_id + 1).collect()[0].embedding
+    batch = (
+        corpus.filter(F.col("doc_id") >= cut)
+        .select(
+            "doc_id", "text", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(upd_id, "updated alpha text", nxt_emb)],
+                "doc_id bigint, text string, embedding array<float>",
+            ).select(
+                "doc_id", "text",
+                F.col("embedding").cast(
+                    corpus.schema["embedding"].dataType
+                ).alias("embedding"),
+                F.lit(2).alias("_ts_ms"), F.lit("u").alias("_op"),
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") == del_id).select(
+                "doc_id", "text", "embedding",
+                F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+            )
+        )
+    )
+    assert sink(batch, 0) == 2
+
+    # 1. BM25 tables == fresh build over the post-CDC snapshot
+    snapshot = lakelog.read(spark, src).select("doc_id", "text")
+    tf, dl, df = si.bm25_read_index(spark, bm25_root)
+    want_tf, want_dl = sim.bm25_index_components(snapshot)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    _assert_df_equal(dl, want_dl, ["doc_id"])
+    assert dl.filter(F.col("doc_id") == del_id).count() == 0
+
+    # 2. live IVF-PQ codes == frozen-artifact encode of expected state
+    cents = lakelog.read(spark, os.path.join(ivfpq_root, "ivf_centroids"))
+    cb = lakelog.read(spark, os.path.join(ivfpq_root, "pq_codebook"))
+    snap_vec = lakelog.read(spark, src).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    needs_assign = (F.col("vec_id") >= cut) | (F.col("vec_id") == upd_id)
+    assigned = sim.assign_centroids(
+        snap_vec.filter(needs_assign).withColumn(
+            "label", F.lit(-1).cast("long")
+        ),
+        cents,
+    ).select("vec_id", F.col("assigned_label").alias("label"))
+    expected = (
+        snap_vec.filter(~needs_assign)
+        .join(
+            base.select(F.col("doc_id").alias("vec_id"), "label"), "vec_id"
+        )
+        .select("vec_id", "embedding", "label")
+        .unionByName(snap_vec.join(assigned, "vec_id"))
+    )
+    _, live_codes = si._ivfpq_live(spark, ivfpq_root)
+    want_codes = sim.pq_encode(sim.residuals(expected, cents), cb)
+    assert sorted(
+        (r.vec_id, r.m, r.code) for r in live_codes.collect()
+    ) == sorted((r.vec_id, r.m, r.code) for r in want_codes.collect())
+
+    # 3. hybrid serve off the pair: candidate-sized residual decode,
+    #    deleted doc in neither stage, parity with a manual recompose
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = si.hybrid_search_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries, query_ids=(0, 1, 2),
+        pool=20, k=10,
+    )
+    got_rows = got.collect()
+    assert all(r.doc_id != del_id for r in got_rows)
+    assert {r.query_id for r in got_rows} == {0, 1, 2}
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        sim.bm25_scored_candidates(snapshot, (0, 1, 2))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 20)
+        .select("query_id", "doc_id")
+    )
+    recon = (
+        sim.pq_reconstruct(want_codes, cb)
+        .join(expected.select("vec_id", "label"), "vec_id")
+        .join(cents, "label")
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(recon, centroid, (r, c) -> round(r + c, 6))"
+            ).alias("recon"),
+        )
+    )
+    want = si._rerank_candidates(recon, cand, queries, 10).collect()
+    assert sorted(
+        (r.query_id, r.doc_id, r.cosine, r.rank) for r in got_rows
+    ) == sorted((r.query_id, r.doc_id, r.cosine, r.rank) for r in want)
+
+    # 4. redelivery: manifest no-op on source and both indexes
+    heads = [
+        lakelog.latest_version(t)
+        for t in (
+            src,
+            si._tables(bm25_root)[si._TF],
+            os.path.join(ivfpq_root, "pq_codes"),
+        )
+    ]
+    assert sink(batch, 0) == 2
+    assert heads == [
+        lakelog.latest_version(t)
+        for t in (
+            src,
+            si._tables(bm25_root)[si._TF],
+            os.path.join(ivfpq_root, "pq_codes"),
+        )
+    ]
