@@ -1208,6 +1208,64 @@ def ivfpq_search_from_index(
     return sim._ranked_topk(scored, k)
 
 
+def ivfpq_index_retrain(
+    spark: SparkSession,
+    source_table: str,
+    new_root: str,
+    old_root: str | None = None,
+    app_id: str = "ivfpq-idx",
+    m: int = sim.PQ_M,
+    ks: int = sim.PQ_KS,
+    iterations: int = 2,
+) -> int:
+    """The rebuild :func:`pq_assignment_balance` points at — the ONE
+    deliberate full-corpus pass in the index lifecycle (build →
+    maintain O(delta) → drift → retrain): train FRESH artifacts on the
+    source's CURRENT snapshot and re-encode everything under them,
+    into ``new_root``. Blue/green: the old index keeps serving until
+    the application swaps roots — nothing here touches ``old_root``
+    beyond reading its centroids as the k-means seed (when given;
+    otherwise a deterministic hash partition seeds the clustering, the
+    cold-build case). Coarse labels come from Lloyd-refining the seed
+    assignment on the snapshot (``sim.kmeans_refine`` — the shuffles
+    stay positional/broadcast), the residual codebook retrains on the
+    fresh residuals, codes land at seq 0, and the maintenance
+    watermark is stamped at the snapshot head so
+    :func:`ivfpq_index_maintain` resumes with ONLY post-retrain
+    commits — the new lineage starts exactly where the rebuild
+    looked. Returns that head."""
+    head = lakelog.latest_version(source_table)
+    if head is None:
+        raise FileNotFoundError(f"no committed version in {source_table}")
+    snap = lakelog.read(spark, source_table, head).select(
+        "vec_id", "embedding"
+    )
+    if old_root is not None:
+        seed_cents = lakelog.read(
+            spark, os.path.join(old_root, "ivf_centroids")
+        )
+        seeded = snap.join(
+            sim.assign_centroids(
+                snap.withColumn("label", F.lit(-1).cast("long")), seed_cents
+            ).select("vec_id", F.col("assigned_label").alias("label")),
+            "vec_id",
+        )
+    else:
+        n_seed = 8
+        seeded = snap.withColumn(
+            "label", F.pmod(F.hash("vec_id"), F.lit(n_seed)).cast("long")
+        )
+    refined = sim.kmeans_refine(seeded, iterations=iterations).select(
+        "vec_id", F.col("final_label").alias("label")
+    )
+    labeled = snap.join(refined, "vec_id")
+    ivfpq_index_build(
+        spark, labeled, new_root, m=m, ks=ks,
+        source_watermark=head, app_id=app_id,
+    )
+    return head
+
+
 def pq_assignment_balance(codes: DataFrame) -> DataFrame:
     """Retraining gauge for the frozen codebook: per subspace, how
     evenly the corpus spreads over its codes. (m, n_codes, n_vecs,

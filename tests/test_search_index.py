@@ -1280,3 +1280,67 @@ def test_cdc_dual_indexing_sink_full_reference_stack(spark, sf_dir, tmp_path):
             os.path.join(ivfpq_root, "pq_codes"),
         )
     ]
+
+
+def test_ivfpq_retrain_blue_green_lifecycle(spark, sf_dir, tmp_path):
+    """The full index lifecycle: build on a snapshot, maintain a
+    drifted append batch under the frozen artifacts, RETRAIN into a
+    new root (fresh centroids Lloyd-refined from the old ones, fresh
+    codebook, full re-encode, watermark at the snapshot head), then
+    maintenance resumes on the new lineage folding ONLY post-retrain
+    commits — never re-folding what the rebuild already saw."""
+    old_root = str(tmp_path / "old")
+    new_root = str(tmp_path / "new")
+    src = str(tmp_path / "src")
+    embs = load_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+    cut = (2 * n) // 3
+    base = embs.filter(F.col("vec_id") < cut)
+    lakelog.append_commit(
+        spark, src, base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms"))
+    )
+    si.ivfpq_index_build(spark, base, old_root, source_watermark=1)
+
+    # drift: the appended vectors live in a region the frozen
+    # centroids never saw (negated components)
+    drifted = embs.filter(F.col("vec_id") >= cut).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+        F.lit(2).alias("_ts_ms"),
+        F.lit("c").alias("_op"),
+    )
+    lakelog.merge_apply_cdc(spark, src, drifted, ["vec_id"], "_ts_ms")
+    assert si.ivfpq_index_maintain(spark, src, old_root) == 2
+
+    head = si.ivfpq_index_retrain(spark, src, new_root, old_root=old_root)
+    assert head == 2
+    old_cents = lakelog.read(spark, os.path.join(old_root, "ivf_centroids"))
+    new_cents = lakelog.read(spark, os.path.join(new_root, "ivf_centroids"))
+    assert sorted(map(tuple, old_cents.collect())) != sorted(
+        map(tuple, new_cents.collect())
+    )
+    # full snapshot encoded exactly once at seq 0
+    buckets, codes = si._ivfpq_live(spark, new_root)
+    assert buckets.count() == n
+    assert codes.count() == n * 8
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    assert (
+        si.ivfpq_search_from_index(spark, new_root, queries, k=10, nprobe=2)
+        .count() == 30
+    )
+
+    # maintenance resumes on the new lineage: the next commit folds,
+    # the pre-retrain history does NOT re-fold
+    extra = embs.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        "embedding",
+        F.lit(3).alias("_ts_ms"),
+        F.lit("c").alias("_op"),
+    )
+    lakelog.merge_apply_cdc(spark, src, extra, ["vec_id"], "_ts_ms")
+    assert si.ivfpq_index_maintain(spark, src, new_root) == 3
+    buckets2, _ = si._ivfpq_live(spark, new_root)
+    assert buckets2.count() == n + 5  # exactly the new rows, no refold
