@@ -395,6 +395,7 @@ def cdc_dual_indexing_sink(
     op_col: str = "_op",
     app_id: str = "cdc-dual",
     index_app_id: str = "ivfpq-idx",
+    bm25_app_id: str | None = None,
 ):
     """foreachBatch callable — the reference pipeline in FULL: one
     Debezium stream over documents carrying BOTH a ``text`` and an
@@ -403,15 +404,26 @@ def cdc_dual_indexing_sink(
     then BOTH serving indexes fold the same commit range forward:
     the BM25 tf/dl/df (signed token deltas) and the IVF-PQ
     buckets/codes/tombstones (re-assign + re-encode under the frozen
-    artifacts). Because every fold is watermarked per index table
-    against the same source versions, the two indexes can never
-    diverge on WHICH snapshot they reflect — a crash between the two
-    maintains replays the lagging one idempotently — and
-    :func:`hybrid_search_index_only` serves retrieve-then-rerank off
-    the pair with no raw corpus at all. The IVF-PQ feed folds rows
-    whose ``embedding`` the merge recorded; build its frozen
-    artifacts first (:func:`ivfpq_index_build` with
-    ``source_watermark``, app_id ``index_app_id``)."""
+    artifacts). Every fold is watermarked per index table against the
+    same source versions, so both indexes converge on the same
+    snapshot — with one honest caveat: a crash BETWEEN the two
+    maintains leaves the pair at different watermarks until the batch
+    replays (and :func:`hybrid_search_from_cdc_indexes`, the pair's
+    serve path, inner-joins its rerank, so a doc visible to only one
+    index during that window is simply not served rather than served
+    wrong). The IVF-PQ feed folds rows whose ``embedding`` the merge
+    recorded; build its frozen artifacts first
+    (:func:`ivfpq_index_build` with ``source_watermark``, app_id
+    ``index_app_id``). ``bm25_app_id`` / ``index_app_id`` name the two
+    MAINTENANCE lineages and must match whatever previously maintained
+    those roots (a mismatch reads watermark 0 and refolds the whole
+    source history as duplicate segments — the same trap
+    :func:`cdc_ann_indexing_sink` documents); the BM25 default is
+    ``f"{app_id}-bm25"``, right for a root this sink owns from its
+    first batch."""
+    bm25_lineage = (
+        bm25_app_id if bm25_app_id is not None else f"{app_id}-bm25"
+    )
 
     def sink(batch_df: DataFrame, batch_id: int):
         _cdc_merge_once(
@@ -419,7 +431,7 @@ def cdc_dual_indexing_sink(
             app_id, batch_id,
         )
         bm25_index_maintain(
-            spark, source_table, bm25_root, app_id=f"{app_id}-bm25"
+            spark, source_table, bm25_root, app_id=bm25_lineage
         )
         return ivfpq_index_maintain(
             spark, source_table, ivfpq_root, app_id=index_app_id,
@@ -1116,6 +1128,7 @@ def _ivfpq_live_recon(
     spark: SparkSession,
     index_root: str,
     vec_ids: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, label, recon) — LIVE vectors reconstructed from the
     persisted artifacts: tombstone-filtered codes decoded against the
@@ -1125,8 +1138,11 @@ def _ivfpq_live_recon(
     sync by tests — so an update's superseded and live codes can
     never cross-join even transiently. ``vec_ids`` (a small broadcast
     id set — e.g. a rerank's candidates) restricts the decode to just
-    those rows BEFORE any decode work."""
-    cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
+    those rows BEFORE any decode work; ``cents`` lets a caller that
+    already read the centroids (the probe stage) avoid a second
+    manifest resolve mid-serve."""
+    if cents is None:
+        cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
     buckets, codes = _ivfpq_live(spark, index_root)
     if vec_ids is not None:
@@ -1173,7 +1189,7 @@ def ivfpq_search_from_index(
     from pyspark.sql import Window as W
 
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
-    recon = _ivfpq_live_recon(spark, index_root)
+    recon = _ivfpq_live_recon(spark, index_root, cents=cents)
     scored_cents = queries.join(
         F.broadcast(
             cents.select(F.col("label").alias("probe_label"), "centroid")
@@ -1217,6 +1233,7 @@ def ivfpq_index_retrain(
     m: int = sim.PQ_M,
     ks: int = sim.PQ_KS,
     iterations: int = 2,
+    id_col: str = "vec_id",
 ) -> int:
     """The rebuild :func:`pq_assignment_balance` points at — the ONE
     deliberate full-corpus pass in the index lifecycle (build →
@@ -1233,12 +1250,14 @@ def ivfpq_index_retrain(
     watermark is stamped at the snapshot head so
     :func:`ivfpq_index_maintain` resumes with ONLY post-retrain
     commits — the new lineage starts exactly where the rebuild
-    looked. Returns that head."""
+    looked. ``id_col`` as in :func:`ivfpq_index_maintain` — pass the
+    source's key (e.g. ``doc_id`` for the dual-CDC stream) when it is
+    not ``vec_id``. Returns that head."""
     head = lakelog.latest_version(source_table)
     if head is None:
         raise FileNotFoundError(f"no committed version in {source_table}")
     snap = lakelog.read(spark, source_table, head).select(
-        "vec_id", "embedding"
+        F.col(id_col).alias("vec_id"), "embedding"
     )
     if old_root is not None:
         seed_cents = lakelog.read(
@@ -1258,7 +1277,10 @@ def ivfpq_index_retrain(
     refined = sim.kmeans_refine(seeded, iterations=iterations).select(
         "vec_id", F.col("final_label").alias("label")
     )
-    labeled = snap.join(refined, "vec_id")
+    # checkpoint the clustering once: ivfpq_index_build runs four
+    # actions (centroids, codebook, buckets, codes) and each would
+    # otherwise re-execute the full Lloyd lineage over the snapshot
+    labeled = snap.join(refined, "vec_id").localCheckpoint()
     ivfpq_index_build(
         spark, labeled, new_root, m=m, ks=ks,
         source_watermark=head, app_id=app_id,

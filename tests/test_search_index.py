@@ -1281,6 +1281,17 @@ def test_cdc_dual_indexing_sink_full_reference_stack(spark, sf_dir, tmp_path):
         )
     ]
 
+    # and the lifecycle's retrain step works on the doc_id-keyed
+    # stream this sink maintains (id_col threads through)
+    new_root = str(tmp_path / "ivfpq2")
+    assert si.ivfpq_index_retrain(
+        spark, src, new_root, old_root=ivfpq_root, id_col="doc_id"
+    ) == lakelog.latest_version(src)
+    assert (
+        si.ivfpq_search_from_index(spark, new_root, queries, k=10, nprobe=2)
+        .count() == 30
+    )
+
 
 def test_ivfpq_retrain_blue_green_lifecycle(spark, sf_dir, tmp_path):
     """The full index lifecycle: build on a snapshot, maintain a
