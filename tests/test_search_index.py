@@ -1355,3 +1355,88 @@ def test_ivfpq_retrain_blue_green_lifecycle(spark, sf_dir, tmp_path):
     assert si.ivfpq_index_maintain(spark, src, new_root) == 3
     buckets2, _ = si._ivfpq_live(spark, new_root)
     assert buckets2.count() == n + 5  # exactly the new rows, no refold
+
+
+def test_cdc_dual_indexing_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
+    """The dual sink under a REAL stream (writeStream / foreachBatch /
+    checkpoint, availableNow replay): artifacts built on the base
+    snapshot, the remaining corpus streamed as CDC inserts joined to
+    their static embeddings — after the run both indexes sit at the
+    source head and hybrid serving off the pair matches the manual
+    recompose."""
+    from kafka_cdc_elasticsearch_pipeline_spark.streaming.replay import (
+        cleanup,
+        replay_stream,
+    )
+
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    emb_dim = embs.select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    )
+    corpus = docs.join(emb_dim, "doc_id")
+    n = corpus.count()
+    cut = (2 * n) // 3
+    base = corpus.filter(F.col("doc_id") < cut)
+    lakelog.append_commit(
+        spark, src,
+        base.select("doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")),
+    )
+    si.ivfpq_index_build(
+        spark,
+        base.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+
+    stream, tmp = replay_stream(
+        spark, sf_dir, "documents", chunks=3, order_col="doc_id"
+    )
+    try:
+        q = (
+            stream.select("doc_id", "text")
+            .filter(F.col("doc_id") >= cut)
+            .join(emb_dim.drop("label"), "doc_id")  # stream-static join
+            .select(
+                "doc_id", "text", "embedding",
+                F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+            )
+            .writeStream.foreachBatch(
+                si.cdc_dual_indexing_sink(spark, src, bm25_root, ivfpq_root)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        cleanup(tmp)
+
+    head = lakelog.latest_version(src)
+    assert lakelog.read(spark, src).count() == n
+    # both maintenance lineages sit at the source head
+    assert si._applied(si._tables(bm25_root)[si._TF], "cdc-dual-bm25") == head
+    assert (
+        si._applied(os.path.join(ivfpq_root, "pq_codes"), "ivfpq-idx") == head
+    )
+
+    snapshot = lakelog.read(spark, src).select("doc_id", "text")
+    tf, dl, _ = si.bm25_read_index(spark, bm25_root)
+    want_tf, want_dl = sim.bm25_index_components(snapshot)
+    _assert_df_equal(tf, want_tf, ["doc_id", "word"])
+    _assert_df_equal(dl, want_dl, ["doc_id"])
+
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = si.hybrid_search_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries
+    )
+    assert got.count() == 30
+    # every live vector serves exactly once
+    live_buckets, _ = si._ivfpq_live(spark, ivfpq_root)
+    assert live_buckets.count() == n
