@@ -408,10 +408,15 @@ def cdc_dual_indexing_sink(
     same source versions, so both indexes converge on the same
     snapshot — with one honest caveat: a crash BETWEEN the two
     maintains leaves the pair at different watermarks until the batch
-    replays (and :func:`hybrid_search_from_cdc_indexes`, the pair's
-    serve path, inner-joins its rerank, so a doc visible to only one
-    index during that window is simply not served rather than served
-    wrong). The IVF-PQ feed folds rows whose ``embedding`` the merge
+    replays. Within that window, INSERTED and DELETED docs fail safe
+    (:func:`hybrid_search_from_cdc_indexes` inner-joins its rerank,
+    so a doc visible to only one index is simply not served), but an
+    UPDATED doc is visible to both and serves a MIXED result — BM25
+    candidacy from the new text, rerank cosine from the stale
+    pre-update code — until the replay lands the re-encode. No
+    maintain ordering removes that window for updates; applications
+    that cannot tolerate it should gate serving on the two
+    watermarks being equal. The IVF-PQ feed folds rows whose ``embedding`` the merge
     recorded; build its frozen artifacts first
     (:func:`ivfpq_index_build` with ``source_watermark``, app_id
     ``index_app_id``). ``bm25_app_id`` / ``index_app_id`` name the two
@@ -454,7 +459,11 @@ def _cdc_merge_once(
     """The CDC sinks' shared redelivery-guarded merge: skip by the
     source manifest's (app_id, batch_id) watermark BEFORE burning a
     version, else ``merge_apply_cdc`` with the watermark recorded in
-    the same commit."""
+    the same commit. Empty micro-batches (idle triggers) short-circuit
+    — a merge with zero change rows would still rewrite the full
+    snapshot as a new version (COW), O(corpus) work for nothing."""
+    if batch_df.isEmpty():
+        return
     src_head = lakelog.latest_version(source_table)
     src_wm = -1
     if src_head is not None:

@@ -1440,3 +1440,39 @@ def test_cdc_dual_indexing_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
     # every live vector serves exactly once
     live_buckets, _ = si._ivfpq_live(spark, ivfpq_root)
     assert live_buckets.count() == n
+
+
+def test_cdc_sink_empty_batch_is_free(spark, tmp_path):
+    """An idle trigger's empty micro-batch must not burn a source
+    version (a zero-row merge would still rewrite the full snapshot —
+    COW) nor append index segments."""
+    src = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    sink = si.cdc_search_indexing_sink(spark, src, index)
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import cdc
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    full = cdc.unwrap_envelope_cdc(
+        cdc.wrap_envelope_cdc(
+            spark.createDataFrame(
+                [(1, "alpha", "c", 1)],
+                "doc_id bigint, text string, _op string, _ts_ms bigint",
+            ),
+            op_col="_op",
+            ts_col="_ts_ms",
+        ),
+        row_schema,
+        ["doc_id"],
+    )
+    sink(full, 0)
+    src_head = lakelog.latest_version(src)
+    tf_head = lakelog.latest_version(si._tables(index)[si._TF])
+    sink(full.filter(F.lit(False)), 1)  # idle trigger
+    assert lakelog.latest_version(src) == src_head
+    assert lakelog.latest_version(si._tables(index)[si._TF]) == tf_head

@@ -2,11 +2,11 @@
 ``pq_assignment_balance`` with actual recall loss under the frozen
 artifacts — the number an operator sets the retrain threshold with.
 
-Protocol: build the IVF-PQ index on a base corpus, CDC-append an
-equal-sized batch whose SHIFTED FRACTION grows (0 → all — additive
-offset pushing vectors off the frozen centroids' manifold), maintain
-under the frozen artifacts, then measure for queries drawn from the
-appended region:
+Protocol: build the IVF-PQ index on a clustered base corpus, then
+CDC-UPDATE a growing fraction of it onto MOVED cluster centers (new
+directions, same cluster count — updates flow through the maintain
+fold's tombstone + re-encode path), and measure for queries drawn
+from the moved region:
 
 - recall@10 of the FROZEN maintained index vs brute-force truth on
   the grown corpus;
@@ -59,19 +59,30 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def vecs(lo: int, hi: int, shift: float = 0.0):
+    def vecs(lo: int, hi: int, moved: bool = False):
         # CLUSTERED synthetic data — per-label centers plus small
         # noise. Structureless uniform noise makes any coarse
         # quantizer meaningless (near-zero recall for frozen AND
-        # retrained — the harness trap README documents), which would
-        # measure nothing about drift.
+        # retrained — the harness trap README documents), as does a
+        # CONSTANT additive shift (all shifted vectors become one
+        # near-parallel cosine cone no index can rank within) — which
+        # would measure nothing about drift. ``moved=True`` reverses
+        # the dimension index inside each center — new directions at
+        # the same cluster count and scale, provably coinciding with
+        # no original center (a different multiplier mod 13 would
+        # collide by pigeonhole): the drift a retrain can chase.
+        iterm = "i" if not moved else "(65 - i)"
+        # center modulus 13 is coprime to the 8 labels (97 ≡ 6 mod
+        # 13; 6·{0..7} mod 13 all distinct) — a modulus sharing a
+        # factor with the label count would alias two labels onto one
+        # center
         return spark.range(lo, hi).select(
             F.col("id").alias("vec_id"),
             F.expr(
                 "transform(sequence(1, 64), i -> round("
-                f"(pmod(pmod(id, 8) * 97 + i * 31, 7) - 3.0)"
+                f"(pmod(pmod(id, 8) * 97 + {iterm} * 31, 13) - 6.0)"
                 f" + pmod(id * 131 + i * 17, 1000) / 2500.0 - 0.2"
-                f" + {shift}, 6))"
+                ", 6))"
             ).alias("embedding"),
             F.pmod(F.col("id"), F.lit(8)).cast("long").alias("label"),
         )
@@ -95,36 +106,33 @@ def main() -> int:
             )
             si.ivfpq_index_build(spark, base, old_root, source_watermark=1)
 
-            # appended batch: the first `frac` of it is shifted off the
-            # frozen manifold (+4.0 on every component)
-            n_app = n_base // 2
-            cut = n_base + int(frac * n_app)
-            appended = vecs(n_base, cut, shift=4.0).unionByName(
-                vecs(cut, n_base + n_app)
-            )
-            lakelog.merge_apply_cdc(
-                spark, src,
-                appended.select(
-                    "vec_id", "embedding",
-                    F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
-                ),
-                ["vec_id"], "_ts_ms",
-            )
+            # drift batch: a `frac` of the corpus is UPDATED onto
+            # moved cluster centers (update = tombstone + re-encode
+            # through the maintain fold — the steady-state verb)
+            n_upd = int(frac * n_base)
+            if n_upd > 0:
+                lakelog.merge_apply_cdc(
+                    spark, src,
+                    vecs(0, n_upd, moved=True).select(
+                        "vec_id", "embedding",
+                        F.lit(2).alias("_ts_ms"), F.lit("u").alias("_op"),
+                    ),
+                    ["vec_id"], "_ts_ms",
+                )
             si.ivfpq_index_maintain(spark, src, old_root)
 
-            # queries from the appended region (shifted when frac > 0)
-            queries = (
-                appended.filter(F.col("vec_id") < n_base + args.nq)
-                .select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("q_embedding"),
-                )
+            # queries from the (possibly moved) head of the corpus
+            current = vecs(0, n_upd, moved=True).unionByName(
+                vecs(n_upd, n_base)
             )
-            grown = base.unionByName(appended)
+            queries = current.filter(F.col("vec_id") < args.nq).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
             truth_rows = {
                 (r.query_id, r.neighbor_id)
                 for r in sim.brute_force_topk(
-                    grown, queries, k=args.k
+                    current, queries, k=args.k
                 ).collect()
             }
             r_frozen = recall(
@@ -149,7 +157,7 @@ def main() -> int:
             )
             rows.append(
                 {
-                    "shifted_frac": frac,
+                    "moved_frac": frac,
                     "imbalance_frozen": round(float(imb), 2),
                     "recall_frozen": r_frozen,
                     "recall_retrained": r_retrained,
@@ -160,30 +168,32 @@ def main() -> int:
             shutil.rmtree(tmp, ignore_errors=True)
 
     lines = [
-        "| shifted fraction of appends | imbalance (frozen index) | "
+        "| moved fraction of corpus | imbalance (frozen index) | "
         "recall@10 frozen | recall@10 retrained |",
         "|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
-            f"| {r['shifted_frac']:.2f} | {r['imbalance_frozen']:.2f}"
+            f"| {r['moved_frac']:.2f} | {r['imbalance_frozen']:.2f}"
             f" | {r['recall_frozen']:.3f} | {r['recall_retrained']:.3f} |"
         )
     note = (
-        "The retrain gauge given TEETH: a base corpus indexed, an "
-        "equal-half append whose shifted fraction grows (+4.0 additive "
-        "offset — off the frozen centroids' manifold), maintenance "
-        "folding under the FROZEN artifacts, queries drawn from the "
-        "appended region. As drift grows the frozen index's "
-        "per-subspace code imbalance (max over m of "
-        "`pq_assignment_balance`) rises in lockstep with its recall@10 "
-        "against brute-force truth collapsing, while "
-        "`ivfpq_index_retrain` (fresh Lloyd-refined centroids + fresh "
-        "codebook + full re-encode) recovers an order of magnitude of "
-        "it on the same corpus and queries — partial, honestly: the "
-        "drifted corpus has twice the cluster count for the same "
-        "centroid budget, so the retrained ceiling sits below the "
-        "pre-drift one (raising n_centroids is the other lever). "
+        "The retrain gauge given TEETH: a clustered base corpus "
+        "indexed, a growing fraction of it CDC-UPDATED onto moved "
+        "cluster centers (new directions, same cluster count — each "
+        "update tombstones + re-encodes through the maintain fold), "
+        "queries drawn from the moved region. As drift grows the "
+        "frozen index's per-subspace code imbalance (max over m of "
+        "`pq_assignment_balance`) jumps off its healthy baseline "
+        "(1.68 → 4-6; not monotone in the drift fraction — a fully "
+        "moved corpus skews more uniformly than a half-moved "
+        "mixture — so threshold on the departure, not the slope) "
+        "while its recall@10 against brute-force truth collapses — moved vectors sit far "
+        "from every frozen centroid, so their residuals dwarf what the "
+        "frozen codebook can express and reconstruction error swamps "
+        "the neighbor-scale distinctions — while `ivfpq_index_retrain` "
+        "(fresh Lloyd-refined centroids + fresh codebook + full "
+        "re-encode) recovers recall on the same corpus and queries. "
         "Absolute recall levels are quantization-bound on this "
         "16-entry-codebook harness; read the columns' MOVEMENT. The "
         "imbalance column is the cheap shuffle-free signal an operator "
@@ -194,19 +204,10 @@ def main() -> int:
         "(tools/ann_drift_probe.py)\n\n" + note + "\n\n"
         + "\n".join(lines) + "\n"
     )
+    from tools._md_sections import replace_section
+
     scaling_md = os.path.join(REPO, "SCALING.md")
-    with open(scaling_md) as f:
-        content = f.read()
-    marker = "\n## ANN drift and the retrain gauge"
-    if marker in content:
-        start = content.index(marker)
-        nxt = content.find("\n## ", start + len(marker))
-        tail = content[nxt:] if nxt != -1 else ""
-        content = content[:start] + section.rstrip("\n") + "\n" + tail
-    else:
-        content = content.rstrip("\n") + "\n" + section
-    with open(scaling_md, "w") as f:
-        f.write(content)
+    replace_section(scaling_md, "\n## ANN drift and the retrain gauge", section)
     print(f"updated {scaling_md}")
     return 0
 

@@ -218,25 +218,15 @@ def main() -> int:
         "\n## Lake commit scaling (tools/lake_scale_probe.py)\n\n"
         + note + "\n\n" + "\n".join(lines) + "\n"
     )
+    from tools._md_sections import replace_section
+
     scaling_md = os.path.join(REPO, "SCALING.md")
     if os.path.exists(scaling_md):
-        with open(scaling_md) as f:
-            content = f.read()
-        marker = "\n## Lake commit scaling"
-        if marker in content:
-            start = content.index(marker)
-            nxt = content.find("\n## ", start + len(marker))
-            tail = content[nxt:] if nxt != -1 else ""
-            content = content[:start] + section.rstrip("\n") + "\n" + tail
-        else:
-            # insert before the media section so probe order is stable
-            at = content.find("\n## Media decode")
-            if at == -1:
-                content = content + section
-            else:
-                content = content[:at] + section.rstrip("\n") + "\n" + content[at:]
-        with open(scaling_md, "w") as f:
-            f.write(content)
+        # insert before the media section so probe order is stable
+        replace_section(
+            scaling_md, "\n## Lake commit scaling", section,
+            insert_before="\n## Media decode",
+        )
         print(f"updated lake section in {scaling_md}")
     return 0
 

@@ -193,24 +193,13 @@ def main() -> int:
     )
     scaling_md = os.path.join(REPO, "SCALING.md")
     if os.path.exists(scaling_md):
-        with open(scaling_md) as f:
-            content = f.read()
-        # Replace ONLY this probe's section: splice from the marker to
-        # the next "## " heading, preserving whatever follows (the
-        # fact-table probe section lives after this one).
-        marker = "\n## Media decode + skew join scaling"
-        if not section.endswith("\n"):
-            section += "\n"
-        if marker in content:
-            # splice IN PLACE so section order is stable across runs
-            start = content.index(marker)
-            nxt = content.find("\n## ", start + len(marker))
-            tail = content[nxt:] if nxt != -1 else ""
-            content = content[:start] + section.rstrip("\n") + "\n" + tail
-        else:
-            content = content + section
-        with open(scaling_md, "w") as f:
-            f.write(content)
+        from tools._md_sections import replace_section
+
+        # Replace ONLY this probe's section IN PLACE so section order
+        # is stable across runs (the fact-table probe lives after it).
+        replace_section(
+            scaling_md, "\n## Media decode + skew join scaling", section
+        )
         print(f"updated media section in {scaling_md}")
     return 0
 

@@ -395,20 +395,13 @@ def main() -> int:
         + seg_note + "\n\n" + "\n".join(seg_lines) + "\n\n"
         + ann_note + "\n\n" + "\n".join(ann_lines) + "\n"
     )
+    from tools._md_sections import replace_section
+
     scaling_md = os.path.join(REPO, "SCALING.md")
     if os.path.exists(scaling_md):
-        with open(scaling_md) as f:
-            content = f.read()
-        marker = "\n## Search index maintenance scaling"
-        if marker in content:
-            start = content.index(marker)
-            nxt = content.find("\n## ", start + len(marker))
-            tail = content[nxt:] if nxt != -1 else ""
-            content = content[:start] + section.rstrip("\n") + "\n" + tail
-        else:
-            content = content.rstrip("\n") + "\n" + section
-        with open(scaling_md, "w") as f:
-            f.write(content)
+        replace_section(
+            scaling_md, "\n## Search index maintenance scaling", section
+        )
         print(f"updated {scaling_md}")
     return 0
 
