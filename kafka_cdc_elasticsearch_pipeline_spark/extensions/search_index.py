@@ -1233,6 +1233,30 @@ def ivfpq_search_from_index(
     return sim._ranked_topk(scored, k)
 
 
+def index_read_amplification(index_root: str) -> dict[str, dict[str, int]]:
+    """Compaction gauge — the metadata-only twin of
+    :func:`pq_assignment_balance`: per index table under
+    ``index_root``, how many data directories (segments) and, for the
+    deletes table, how many tombstone segments a merge-on-read serve
+    currently touches. Every maintenance refresh appends one segment
+    per table, so these counts ARE the read amplification;
+    :func:`bm25_index_compact` / :func:`ivfpq_index_compact` reset
+    them to 1. Reads manifests only — no Spark job, callable from a
+    scheduler loop at any frequency."""
+    out: dict[str, dict[str, int]] = {}
+    for t in (_TF, _DL, _DF, "ivf_buckets", "pq_codes", _IVF_DELETES):
+        table = os.path.join(index_root, t)
+        head = lakelog.latest_version(table)
+        if head is None:
+            continue
+        manifest = lakelog.read_manifest(table, head)
+        out[t] = {
+            "version": head,
+            "n_segments": len(manifest["data_dirs"]),
+        }
+    return out
+
+
 def ivfpq_index_retrain(
     spark: SparkSession,
     source_table: str,

@@ -1476,3 +1476,37 @@ def test_cdc_sink_empty_batch_is_free(spark, tmp_path):
     sink(full.filter(F.lit(False)), 1)  # idle trigger
     assert lakelog.latest_version(src) == src_head
     assert lakelog.latest_version(si._tables(index)[si._TF]) == tf_head
+
+
+def test_index_read_amplification_gauge(spark, sf_dir, tmp_path):
+    """The compaction gauge counts merge-on-read segments per index
+    table from manifests alone: grows by one per maintenance refresh,
+    resets to 1 at compaction."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    _, chunks = _doc_chunks(spark, sf_dir)
+    for chunk in chunks:
+        lakelog.append_commit(spark, source, chunk)
+        si.bm25_index_maintain(spark, source, index)
+    amp = si.index_read_amplification(index)
+    assert amp["bm25_tf"]["n_segments"] == 3
+    assert amp["bm25_dl"]["n_segments"] == 3
+    assert "ivf_buckets" not in amp  # no vector tables in this root
+    si.bm25_index_compact(spark, index)
+    amp2 = si.index_read_amplification(index)
+    assert {t: v["n_segments"] for t, v in amp2.items()} == {
+        "bm25_tf": 1, "bm25_dl": 1, "bm25_df": 1
+    }
+
+    ivfpq = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < 100), ivfpq)
+    si.ivfpq_index_append(spark, ivfpq, embs.filter(F.col("vec_id") >= 100))
+    si.ivfpq_index_delete(spark, ivfpq, [50])
+    vamp = si.index_read_amplification(ivfpq)
+    assert vamp["pq_codes"]["n_segments"] == 2
+    assert vamp["ivf_deletes"]["n_segments"] == 1
+    si.ivfpq_index_compact(spark, ivfpq)
+    vamp2 = si.index_read_amplification(ivfpq)
+    assert vamp2["pq_codes"]["n_segments"] == 1
+    assert vamp2["ivf_deletes"]["n_segments"] == 1
