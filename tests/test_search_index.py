@@ -1510,3 +1510,123 @@ def test_index_read_amplification_gauge(spark, sf_dir, tmp_path):
     vamp2 = si.index_read_amplification(ivfpq)
     assert vamp2["pq_codes"]["n_segments"] == 1
     assert vamp2["ivf_deletes"]["n_segments"] == 1
+
+
+# --- property test: random CDC histories through the maintain fold ----------
+
+
+def _pvec(key: int, version: int):
+    """Deterministic 64-dim vector for (key, version) — clustered by
+    key%2 so the coarse quantizer has structure, version moving the
+    noise so updates really change the embedding."""
+    return [
+        round(
+            ((key % 2) * 97 + i * 31) % 13 - 6.0
+            + ((key * 131 + version * 53 + i * 17) % 1000) / 2500.0 - 0.2,
+            6,
+        )
+        for i in range(1, 65)
+    ]
+
+
+def test_ivfpq_maintain_matches_replay_over_random_cdc_histories(
+    spark, tmp_path
+):
+    """PROPERTY: for any interleaving of upsert/delete batches, the
+    maintained live index equals a frozen-artifact encode of a naive
+    dict replay of the same history — the seq/tombstone algebra can't
+    be broken by any op order hypothesis finds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    KEYS = list(range(6))
+
+    batch_strategy = st.lists(
+        st.dictionaries(
+            st.sampled_from(KEYS),
+            st.sampled_from(["u", "d"]),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    counter = {"n": 0}
+
+    @given(history=batch_strategy)
+    @settings(max_examples=8, deadline=None)
+    def run(history):
+        counter["n"] += 1
+        root = str(tmp_path / f"case{counter['n']}")
+        src = os.path.join(root, "src")
+        index = os.path.join(root, "idx")
+        base_rows = [(k, _pvec(k, 0), (k % 2)) for k in KEYS]
+        base = spark.createDataFrame(
+            base_rows, "vec_id bigint, embedding array<double>, label bigint"
+        )
+        lakelog.append_commit(
+            spark, src,
+            base.select("vec_id", "embedding", F.lit(0).alias("_ts_ms")),
+        )
+        si.ivfpq_index_build(spark, base, index, source_watermark=1)
+
+        # replay the history naively in python
+        state = {k: 0 for k in KEYS}  # key -> surviving version
+        touched = set()
+        for ts, batch in enumerate(history, start=1):
+            rows = []
+            for k, op in sorted(batch.items()):
+                rows.append((k, _pvec(k, ts), ts, op))
+                if op == "d":
+                    state.pop(k, None)
+                else:
+                    state[k] = ts
+                    touched.add(k)
+            lakelog.merge_apply_cdc(
+                spark, src,
+                spark.createDataFrame(
+                    rows,
+                    "vec_id bigint, embedding array<double>, "
+                    "_ts_ms bigint, _op string",
+                ),
+                ["vec_id"], "_ts_ms",
+            )
+        si.ivfpq_index_maintain(spark, src, index)
+
+        cents = lakelog.read(spark, os.path.join(index, "ivf_centroids"))
+        cb = lakelog.read(spark, os.path.join(index, "pq_codebook"))
+        exp_rows = [(k, _pvec(k, v)) for k, v in sorted(state.items())]
+        if not exp_rows:
+            live_buckets, live_codes = si._ivfpq_live(spark, index)
+            assert live_buckets.count() == 0 and live_codes.count() == 0
+            return
+        exp = spark.createDataFrame(
+            exp_rows, "vec_id bigint, embedding array<double>"
+        )
+        # build label: keys never updated keep it; updated keys are
+        # re-assigned under the frozen centroids at their fold
+        assigned = sim.assign_centroids(
+            exp.filter(F.col("vec_id").isin(sorted(touched))).withColumn(
+                "label", F.lit(-1).cast("long")
+            ),
+            cents,
+        ).select("vec_id", F.col("assigned_label").alias("label"))
+        expected = (
+            exp.filter(~F.col("vec_id").isin(sorted(touched)))
+            .withColumn("label", (F.col("vec_id") % 2).cast("long"))
+            .unionByName(exp.join(assigned, "vec_id"))
+        )
+        live_buckets, live_codes = si._ivfpq_live(spark, index)
+        assert sorted(
+            (r.vec_id, r.label) for r in live_buckets.collect()
+        ) == sorted(
+            (r.vec_id, r.label)
+            for r in expected.select("vec_id", "label").collect()
+        )
+        want = sim.pq_encode(sim.residuals(expected, cents), cb)
+        assert sorted(
+            (r.vec_id, r.m, r.code) for r in live_codes.collect()
+        ) == sorted((r.vec_id, r.m, r.code) for r in want.collect())
+
+    run()
