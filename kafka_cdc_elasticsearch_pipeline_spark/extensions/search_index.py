@@ -90,6 +90,16 @@ _TF, _DL, _DF = "bm25_tf", "bm25_dl", "bm25_df"
 #: collect.
 _PROBE_WORD_CAP = 4096
 
+#: File count for bucket-CLUSTERED index segments (build/append/fold/
+#: compact write through ``repartitionByRange(N, "label")``): range
+#: partitioning gives each file a CONTIGUOUS label interval, so the
+#: per-file [min, max] stats prune probed-label scans tightly (a hash
+#: partition's collisions span the label domain and prune nothing),
+#: and the explicit N keeps AQE from coalescing a small segment into
+#: one all-label file. A production deployment sizes this by segment
+#: bytes; pruning correctness never depends on it.
+_SEGMENT_CLUSTER_FILES = 16
+
 
 def _tables(index_root: str) -> dict[str, str]:
     return {t: os.path.join(index_root, t) for t in (_TF, _DL, _DF)}
@@ -751,18 +761,26 @@ def ivfpq_index_build(
     txn = (
         (app_id, source_watermark) if source_watermark is not None else None
     )
+    # bucket-CLUSTER both tables (repartition by label + per-file
+    # label stats): serving probes nprobe buckets, and label-clustered
+    # files let plan_scan skip everything else at listing time — the
+    # scan cost becomes nprobe/n_buckets of the corpus, which at
+    # 100 TB is the serve cost
     lakelog.commit(
         os.path.join(index_root, "ivf_buckets"),
-        embeddings.select("vec_id", "label", seq0),
+        embeddings.select("vec_id", "label", seq0).repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
         "append",
-        stat_cols=["vec_id"],
+        stat_cols=["vec_id", "label"],
         txn=txn,
     )
     lakelog.commit(
         os.path.join(index_root, "pq_codes"),
-        sim.pq_encode(res, cb, m).select("vec_id", "m", "code", seq0),
+        sim.pq_encode(res, cb, m)
+        .join(embeddings.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "m", "code", "label", seq0)
+        .repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
         "append",
-        stat_cols=["vec_id"],
+        stat_cols=["vec_id", "label"],
         txn=txn,
     )
     if source_watermark is not None:
@@ -796,30 +814,45 @@ def _next_seq(index_root: str) -> int:
 def _adopt_legacy(spark: SparkSession, index_root: str) -> None:
     """One-time upgrade guard every seq-writing mutation runs first:
     if the index predates the tombstone era (buckets/codes files with
-    no ``seq`` column), rewrite those tables with seq 0 BEFORE the
-    first seq-stamped segment lands. Without this, a mixed-schema
-    table reads legacy rows as seq NULL — the live filter and the
-    (vec_id, seq) recon join would silently drop every pre-upgrade
-    vector from serving. Because this guard runs before every seq
-    write, a table is always EITHER all-legacy or all-seq — never
-    mixed — so the plain (single-footer) read schema below is
-    authoritative and no mergeSchema footer sweep is needed: the
-    steady-state cost is a schema peek, the one-time upgrade is the
-    only data job."""
+    no ``seq`` column) or the bucket-clustered era (codes with no
+    ``label``), rewrite those tables with the missing columns BEFORE
+    the first new-schema segment lands. Without this, a mixed-schema
+    table reads legacy rows with NULL in the new columns — the live
+    filter, the (vec_id, seq) recon join, and the label-pruned serve
+    scan would all silently drop every pre-upgrade vector. Because
+    this guard runs before every new-schema write, a table is always
+    EITHER all-legacy or all-current — never mixed — so the plain
+    (single-footer) read schema below is authoritative and no
+    mergeSchema footer sweep is needed: the steady-state cost is a
+    schema peek, the one-time upgrade is the only data job."""
+    t_buckets = os.path.join(index_root, "ivf_buckets")
     for t in ("ivf_buckets", "pq_codes"):
         table = os.path.join(index_root, t)
         head = lakelog.latest_version(table)
         if head is None:
             continue
         df = lakelog.read(spark, table)
-        if "seq" not in df.columns:
-            lakelog.commit(
-                table,
-                df.withColumn("seq", F.lit(0).cast("long")),
-                "purge",
-                expect_parent=head,
-                stat_cols=["vec_id"],
+        missing_seq = "seq" not in df.columns
+        missing_label = t == "pq_codes" and "label" not in df.columns
+        if not (missing_seq or missing_label):
+            continue
+        if missing_seq:
+            df = df.withColumn("seq", F.lit(0).cast("long"))
+        if missing_label:
+            # pre-cluster-era codes: recover each row's bucket from
+            # the buckets table (pre-seq-era rows are unique per
+            # vec_id, so the vec_id join is exact)
+            df = df.join(
+                lakelog.read(spark, t_buckets).select("vec_id", "label"),
+                "vec_id",
             )
+        lakelog.commit(
+            table,
+            df.repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
+            "purge",
+            expect_parent=head,
+            stat_cols=["vec_id", "label"],
+        )
 
 
 def ivfpq_index_append(
@@ -862,14 +895,17 @@ def ivfpq_index_append(
     lakelog.append_commit(
         spark,
         os.path.join(index_root, "ivf_buckets"),
-        labeled.select("vec_id", "label", seq_col),
-        stat_cols=["vec_id"],
+        labeled.select("vec_id", "label", seq_col).repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
+        stat_cols=["vec_id", "label"],
     )
     lakelog.append_commit(
         spark,
         os.path.join(index_root, "pq_codes"),
-        sim.pq_encode(res, cb, m).select("vec_id", "m", "code", seq_col),
-        stat_cols=["vec_id"],
+        sim.pq_encode(res, cb, m)
+        .join(labeled.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "m", "code", "label", seq_col)
+        .repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
+        stat_cols=["vec_id", "label"],
     )
 
 
@@ -915,7 +951,9 @@ def _with_seq(df: DataFrame) -> DataFrame:
 
 
 def _ivfpq_live(
-    spark: SparkSession, index_root: str
+    spark: SparkSession,
+    index_root: str,
+    probe_labels: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(buckets, codes) restricted to LIVE rows — the merge-on-read
     view every serve goes through: tombstones (one (vec_id, max seq)
@@ -923,11 +961,27 @@ def _ivfpq_live(
     the segments and drop rows whose seq predates their vec_id's
     tombstone. The corpus-sized side never shuffles for this filter.
     Tables from before the tombstone era read as seq 0 with no deletes
-    table — the filter is a no-op and serving is unchanged."""
-    buckets = _with_seq(
-        lakelog.read(spark, os.path.join(index_root, "ivf_buckets"))
+    table — the filter is a no-op and serving is unchanged.
+
+    ``probe_labels`` pushes the probed buckets down as a
+    ``("label", "in", ...)`` scan predicate: segments are written
+    bucket-CLUSTERED with per-file label stats, so plan_scan skips
+    every file holding only unprobed buckets at listing time — the
+    read follows nprobe/n_buckets of the corpus, not the corpus.
+    Pre-cluster-era codes (no label column) fall back to the full
+    read; the buckets prune alone still bounds the joined result."""
+    where = (
+        [("label", "in", probe_labels)] if probe_labels is not None else None
     )
-    codes = _with_seq(lakelog.read(spark, os.path.join(index_root, "pq_codes")))
+    buckets = _with_seq(
+        lakelog.read(
+            spark, os.path.join(index_root, "ivf_buckets"), where=where
+        )
+    )
+    t_codes = os.path.join(index_root, "pq_codes")
+    codes = _with_seq(lakelog.read(spark, t_codes))
+    if where is not None and "label" in codes.columns:
+        codes = _with_seq(lakelog.read(spark, t_codes, where=where))
     dels = os.path.join(index_root, _IVF_DELETES)
     if lakelog.latest_version(dels) is not None:
         tomb = (
@@ -1025,15 +1079,20 @@ def ivfpq_index_maintain(
         labeled = latest_ins.join(assigned, "vec_id").localCheckpoint()
         return (
             tomb,
-            labeled.select("vec_id", "label", "seq"),
-            sim.pq_encode(sim.residuals(labeled, cents), cb, m).join(
-                labeled.select("vec_id", "seq"), "vec_id"
-            ),
+            labeled.select("vec_id", "label", "seq").repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
+            sim.pq_encode(sim.residuals(labeled, cents), cb, m)
+            .join(labeled.select("vec_id", "label", "seq"), "vec_id")
+            .repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
         )
 
     t_dels = os.path.join(index_root, _IVF_DELETES)
     t_buckets = os.path.join(index_root, "ivf_buckets")
     t_codes = os.path.join(index_root, "pq_codes")
+    stats = {
+        t_dels: ["vec_id"],
+        t_buckets: ["vec_id", "label"],
+        t_codes: ["vec_id", "label"],
+    }
     tables = ((t_dels, 0), (t_buckets, 1), (t_codes, 2))
     applied = {table: _applied(table, app_id) for table, _ in tables}
     if len(set(applied.values())) == 1:
@@ -1044,7 +1103,7 @@ def ivfpq_index_maintain(
         shared = deltas(a, head)
         for table, pick in tables:
             _append_segment(
-                table, shared[pick], app_id, head, stat_cols=["vec_id"]
+                table, shared[pick], app_id, head, stat_cols=stats[table]
             )
     else:
         # crash recovery: fold each table's own lag independently
@@ -1053,7 +1112,7 @@ def ivfpq_index_maintain(
             if applied[table] < head:
                 _append_segment(
                     table, deltas(applied[table], head)[pick], app_id, head,
-                    stat_cols=["vec_id"],
+                    stat_cols=stats[table],
                 )
     return head
 
@@ -1081,9 +1140,16 @@ def ivfpq_index_compact(spark: SparkSession, index_root: str) -> None:
     buckets, codes = _ivfpq_live(spark, index_root)
     for table, live in ((t_buckets, buckets), (t_codes, codes)):
         if heads[table] is not None:
+            # re-CLUSTER by bucket on the rewrite: accumulated fold
+            # segments each span many labels, compaction restores the
+            # file-skipping efficiency of the probed-label serve scan
+            clustered = "label" in live.columns
             lakelog.commit(
-                table, live, "purge",
-                expect_parent=heads[table], stat_cols=["vec_id"],
+                table,
+                live.repartitionByRange(_SEGMENT_CLUSTER_FILES, "label") if clustered else live,
+                "purge",
+                expect_parent=heads[table],
+                stat_cols=["vec_id", "label"] if clustered else ["vec_id"],
             )
     if heads[t_dels] is not None:
         lakelog.commit(
@@ -1138,6 +1204,7 @@ def _ivfpq_live_recon(
     index_root: str,
     vec_ids: DataFrame | None = None,
     cents: DataFrame | None = None,
+    probe_labels: list[int] | None = None,
 ) -> DataFrame:
     """(vec_id, label, recon) — LIVE vectors reconstructed from the
     persisted artifacts: tombstone-filtered codes decoded against the
@@ -1149,14 +1216,19 @@ def _ivfpq_live_recon(
     id set — e.g. a rerank's candidates) restricts the decode to just
     those rows BEFORE any decode work; ``cents`` lets a caller that
     already read the centroids (the probe stage) avoid a second
-    manifest resolve mid-serve."""
+    manifest resolve mid-serve; ``probe_labels`` prunes both scans to
+    the probed buckets' files (see :func:`_ivfpq_live`)."""
     if cents is None:
         cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
-    buckets, codes = _ivfpq_live(spark, index_root)
+    buckets, codes = _ivfpq_live(spark, index_root, probe_labels=probe_labels)
     if vec_ids is not None:
         codes = codes.join(F.broadcast(vec_ids), "vec_id", "left_semi")
         buckets = buckets.join(F.broadcast(vec_ids), "vec_id", "left_semi")
+    if "label" in codes.columns:
+        # the codes' label column exists only for file pruning; the
+        # serving label comes from buckets after the (vec_id, seq) join
+        codes = codes.drop("label")
     return (
         codes.join(F.broadcast(cb), ["m", "code"])
         .groupBy("vec_id", "seq")
@@ -1192,13 +1264,14 @@ def ivfpq_search_from_index(
     index stores only codes) probe their ``nprobe`` best buckets
     against the persisted centroids, candidates are reconstructed
     from codes + codebook with the centroid added back, and only
-    probed-bucket rows are scored. Candidate volume = nprobe/n_buckets
-    of the corpus; memory per candidate = m bytes + the broadcast
-    codebook — never the float corpus."""
+    probed-bucket rows are scored — the probed labels are pushed into
+    the SCAN (bucket-clustered segments + per-file label stats), so
+    the files read follow nprobe/n_buckets of the corpus, not the
+    corpus. Memory per candidate = m bytes + the broadcast codebook —
+    never the float corpus."""
     from pyspark.sql import Window as W
 
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
-    recon = _ivfpq_live_recon(spark, index_root, cents=cents)
     scored_cents = queries.join(
         F.broadcast(
             cents.select(F.col("label").alias("probe_label"), "centroid")
@@ -1218,6 +1291,14 @@ def ivfpq_search_from_index(
         scored_cents.withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "q_embedding", "probe_label")
+    )
+    # bounded collect: ≤ min(|queries| × nprobe, n_buckets) labels —
+    # the probe selection that turns the decode scan bucket-local
+    probe_labels = sorted(
+        {r.probe_label for r in probes.select("probe_label").collect()}
+    )
+    recon = _ivfpq_live_recon(
+        spark, index_root, cents=cents, probe_labels=probe_labels
     )
     scored = (
         recon.join(F.broadcast(probes), recon["label"] == probes["probe_label"])

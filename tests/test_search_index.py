@@ -1630,3 +1630,42 @@ def test_ivfpq_maintain_matches_replay_over_random_cdc_histories(
         ) == sorted((r.vec_id, r.m, r.code) for r in want.collect())
 
     run()
+
+
+def test_ivfpq_serve_scan_prunes_to_probed_buckets(spark, sf_dir, tmp_path):
+    """Bucket-clustered segments + per-file label stats: a probed-
+    label predicate must SKIP files at listing time (the serve scan
+    follows nprobe/n_buckets of the corpus), while the rows read stay
+    exactly the probed buckets' rows — pruning is an optimization,
+    never a filter change."""
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.lakelog import (
+        plan_scan,
+        read_manifest,
+    )
+
+    index, grown, queries, cents = _grown_ivfpq(spark, sf_dir, tmp_path)
+    codes_t = os.path.join(index, "pq_codes")
+    head = lakelog.latest_version(codes_t)
+    man = read_manifest(codes_t, head)
+    total_files = sum(
+        len(v) for v in man.get("file_stats", {}).values()
+    )
+    kept, skipped = plan_scan(codes_t, man, [("label", "in", [0, 1])])
+    assert skipped > 0
+    assert len(kept) < total_files
+    # exactness: the pruned read returns exactly the probed rows
+    pruned = lakelog.read(spark, codes_t, where=[("label", "in", [0, 1])])
+    full = lakelog.read(spark, codes_t)
+    assert pruned.count() == full.filter(F.col("label").isin([0, 1])).count()
+    # and the pruned live view serves the same rows as an unpruned one
+    b_full, c_full = si._ivfpq_live(spark, index)
+    b_pruned, c_pruned = si._ivfpq_live(spark, index, probe_labels=[0, 1])
+    assert sorted(
+        (r.vec_id, r.seq) for r in b_pruned.collect()
+    ) == sorted(
+        (r.vec_id, r.seq)
+        for r in b_full.filter(F.col("label").isin([0, 1])).collect()
+    )
+    assert c_pruned.count() == c_full.filter(
+        F.col("label").isin([0, 1])
+    ).count()
