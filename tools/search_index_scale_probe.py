@@ -351,6 +351,15 @@ def main() -> int:
                     spark, idx, queries
                 ).count()
             )
+            # the serve-scan prune: files a 2-bucket probe reads vs
+            # skips on the compacted bucket-clustered codes table
+            codes_t = os.path.join(idx, "pq_codes")
+            man = lakelog.read_manifest(
+                codes_t, lakelog.latest_version(codes_t)
+            )
+            kept, skipped = lakelog.plan_scan(
+                codes_t, man, [("label", "in", [0, 1])]
+            )
             ann_rows.append(
                 {
                     "x_vecs": n_vecs,
@@ -358,6 +367,8 @@ def main() -> int:
                     "reencode_s": round(t_reencode, 2),
                     "serve_mor_s": round(t_serve_mor, 2),
                     "serve_compact_s": round(t_serve_compact, 2),
+                    "files_kept": len(kept),
+                    "files_skipped": skipped,
                 }
             )
             print(json.dumps(ann_rows[-1]))
@@ -366,13 +377,14 @@ def main() -> int:
 
     ann_lines = [
         "| corpus vectors | maintain (1 CDC batch) | full re-encode | "
-        "serve (tombstoned) | serve (compacted) |",
-        "|---|---|---|---|---|",
+        "serve (tombstoned) | serve (compacted) | probe scan kept/skipped |",
+        "|---|---|---|---|---|---|",
     ]
     for r in ann_rows:
         ann_lines.append(
             f"| {r['x_vecs']:,} | {r['fold_s']:.2f}s | {r['reencode_s']:.2f}s"
-            f" | {r['serve_mor_s']:.2f}s | {r['serve_compact_s']:.2f}s |"
+            f" | {r['serve_mor_s']:.2f}s | {r['serve_compact_s']:.2f}s"
+            f" | {r['files_kept']} / {r['files_skipped']} |"
         )
     ann_note = (
         "The VECTOR index twin (`ivfpq_index_maintain`): one fixed CDC "
@@ -386,7 +398,13 @@ def main() -> int:
         "prices the merge-on-read tombstone filter (a broadcast left "
         "join against the delta-sized deletes table) against the "
         "compacted index — the gap is what `ivfpq_index_compact` "
-        "reclaims."
+        "reclaims. The kept/skipped column is the serve-scan PRUNE: "
+        "segments are bucket-clustered (repartitionByRange on label + "
+        "per-file label stats), so a 2-of-8-bucket probe's "
+        "`(\"label\", \"in\", ...)` predicate skips every file "
+        "holding only unprobed buckets at listing time — at corpus "
+        "scale the files read follow nprobe/n_buckets, not the "
+        "corpus."
     )
     section = (
         "\n## Search index maintenance scaling "
