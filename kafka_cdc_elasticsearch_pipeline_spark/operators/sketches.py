@@ -107,12 +107,30 @@ def cms_estimate(
     a probe partition with fresh ids after some depth rows had already
     shuffled, splitting one probe row's min-fold into several rows
     with partial (inflated) minima (round-8 advice). Value-grouping is
-    retry-deterministic and strictly cheaper when probes repeat."""
+    retry-deterministic and strictly cheaper when probes repeat.
+
+    Value-grouping's contract (round-9 advice): every probe column
+    must be GROUPABLE — Spark cannot group on a MapType column, so a
+    probe DataFrame carrying one fails here with an explicit error
+    instead of a deep AnalysisException. Stringify such a side column
+    (``to_json``) or drop it before probing; the row-id grouping this
+    replaced accepted any column type but was retry-nondeterministic,
+    which is the worse trade."""
     for col in _RESERVED:
         if col in keys_df.columns:
             raise ValueError(
                 f"probe column {col!r} collides with the sketch schema; "
                 "rename it before cms_estimate"
+            )
+    from pyspark.sql import types as T
+
+    for f_ in keys_df.schema.fields:
+        if isinstance(f_.dataType, T.MapType):
+            raise ValueError(
+                f"probe column {f_.name!r} is a MapType — not groupable, "
+                "and cms_estimate groups probe rows by value (retry-"
+                "deterministic multiplicity). to_json() or drop it "
+                "before probing."
             )
     distinct = keys_df.groupBy(*keys_df.columns).agg(
         F.count(F.lit(1)).alias("__cms_mult")

@@ -1669,3 +1669,136 @@ def test_ivfpq_serve_scan_prunes_to_probed_buckets(spark, sf_dir, tmp_path):
     assert c_pruned.count() == c_full.filter(
         F.col("label").isin([0, 1])
     ).count()
+
+
+def test_cdc_sink_empty_first_batch_does_not_crash(spark, tmp_path):
+    """Round-9 advice: if the very FIRST micro-batch a CDC sink sees is
+    empty (an idle trigger before any data), the merge short-circuits
+    without creating the source table — the maintain call must not
+    then crash on the missing table. All three CDC sinks share the
+    guard; the dual sink exercises it for both indexes at once."""
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import cdc
+
+    src = str(tmp_path / "docs")
+    row_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    full = cdc.unwrap_envelope_cdc(
+        cdc.wrap_envelope_cdc(
+            spark.createDataFrame(
+                [(1, "alpha beta", "c", 1)],
+                "doc_id bigint, text string, _op string, _ts_ms bigint",
+            ),
+            op_col="_op",
+            ts_col="_ts_ms",
+        ),
+        row_schema,
+        ["doc_id"],
+    )
+    empty = full.filter(F.lit(False))
+    sink = si.cdc_search_indexing_sink(spark, src, str(tmp_path / "idx"))
+    assert sink(empty, 0) is None  # no table yet: nothing to maintain
+    assert lakelog.latest_version(src) is None
+    # the stream then proceeds normally once data arrives
+    assert sink(full, 1) == 1
+    tf, _, _ = si.bm25_read_index(spark, str(tmp_path / "idx"))
+    assert tf.count() == 2
+
+    ann_sink = si.cdc_ann_indexing_sink(
+        spark, str(tmp_path / "vecs"), str(tmp_path / "ivfpq")
+    )
+    assert ann_sink(empty, 0) is None
+    dual = si.cdc_dual_indexing_sink(
+        spark, str(tmp_path / "docs2"),
+        str(tmp_path / "bm25b"), str(tmp_path / "ivfpqb"),
+    )
+    assert dual(empty, 0) is None
+
+
+def test_bm25_indexing_sink_empty_batch_is_free(spark, sf_dir, tmp_path):
+    """Round-9 advice: the plain (non-CDC) BM25 ingest sink gets the
+    same idle-trigger guard as the CDC sinks — an empty batch must not
+    burn a source version nor append three empty index segments."""
+    src = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    _, chunks = _doc_chunks(spark, sf_dir)
+    sink = si.bm25_indexing_sink(spark, src, index)
+    empty = chunks[0].filter(F.lit(False))
+    assert sink(empty, 0) is None  # before any data: no table created
+    assert lakelog.latest_version(src) is None
+    sink(chunks[0], 1)
+    src_head = lakelog.latest_version(src)
+    tf_head = lakelog.latest_version(si._tables(index)[si._TF])
+    amp = si.index_read_amplification(index)
+    assert sink(empty, 2) is None  # idle trigger mid-stream
+    assert lakelog.latest_version(src) == src_head
+    assert lakelog.latest_version(si._tables(index)[si._TF]) == tf_head
+    assert si.index_read_amplification(index) == amp
+    # the pq ingest sink shares the guard
+    pq_root = str(tmp_path / "pq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.pq_index_build(spark, embs.filter(F.col("vec_id") < 50), pq_root)
+    codes_t = os.path.join(pq_root, "pq_codes")
+    codes_head = lakelog.latest_version(codes_t)
+    pq_sink = si.pq_indexing_sink(spark, pq_root)
+    assert pq_sink(embs.filter(F.lit(False)), 0) is None
+    assert lakelog.latest_version(codes_t) == codes_head
+
+
+def test_adopt_legacy_label_backfill_joins_on_seq(spark, sf_dir, tmp_path):
+    """Round-9 advice: a seq-era-but-pre-label-era index (an update
+    left TWO bucket rows per vec_id at different seqs) must backfill
+    the codes' missing label by joining buckets on (vec_id, seq) — a
+    vec_id-only join fans each code row out across both eras' bucket
+    rows and the recon groupBy then collects duplicated (m, sub)
+    pairs, corrupting every upserted vector's reconstruction."""
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < 100), index)
+    # upsert vec 5 to vec 60's embedding: tombstone + same-seq re-append
+    moved = embs.filter(F.col("vec_id") == 60).select(
+        F.lit(5).cast("long").alias("vec_id"), "embedding"
+    )
+    s = si.ivfpq_index_delete(spark, index, [5])
+    si.ivfpq_index_append(spark, index, moved, seq=s)
+    codes_t = os.path.join(index, "pq_codes")
+    assert (
+        lakelog.read(spark, codes_t).filter(F.col("vec_id") == 5).count() == 16
+    )  # two eras' codes on disk — the layout that fans out
+    want = {
+        r.vec_id: r.recon
+        for r in si._ivfpq_live_recon(spark, index).collect()
+    }
+    n_codes = lakelog.read(spark, codes_t).count()
+    # strip label (keep seq): the mid-PR intermediate layout
+    legacy = lakelog.read(spark, codes_t).drop("label")
+    lakelog.commit(
+        codes_t, legacy, "purge",
+        expect_parent=lakelog.latest_version(codes_t),
+        stat_cols=["vec_id"],
+    )
+    # serving is already correct pre-adoption (recon joins buckets on
+    # (vec_id, seq)); only the label file-prune is lost
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    assert si.ivfpq_search_from_index(
+        spark, index, queries, k=5, nprobe=2
+    ).count() == 10
+    # a seq-writing mutation triggers the one-time adoption rewrite
+    si.ivfpq_index_delete(spark, index, [99])
+    upgraded = lakelog.read(spark, codes_t)
+    assert "label" in upgraded.columns
+    assert upgraded.count() == n_codes  # exact join: no fan-out
+    got = {
+        r.vec_id: r.recon
+        for r in si._ivfpq_live_recon(spark, index).collect()
+    }
+    want.pop(99)
+    assert got == want  # upserted vec 5's recon survives uncorrupted

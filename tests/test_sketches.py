@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.extensions.sampling import (
@@ -174,3 +175,26 @@ def test_cms_estimate_preserves_duplicates_and_nulls(spark):
     assert by_k["a"] == [5, 5][: len(by_k["a"])] and len(by_k["a"]) == 2
     assert len(by_k[None]) == 2  # NULL keys hash (xxhash64 seed-only)
     assert all(e >= 1 for e in by_k[None])  # the one sketched NULL row
+
+
+def test_cms_estimate_rejects_map_probe_column(spark):
+    """Round-9 advice: value-grouping requires groupable probe columns
+    — a MapType side column must fail with the explicit contract error
+    (stringify or drop it), not a deep AnalysisException at groupBy."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})],
+        "k bigint, attrs map<string, bigint>",
+    )
+    sketch = cms_build(rows, F.col("k"))
+    with pytest.raises(ValueError, match="MapType"):
+        cms_estimate(rows, sketch, "k")
+    # the documented workaround passes
+    ok = cms_estimate(
+        rows.select("k", F.to_json("attrs").alias("attrs")), sketch, "k"
+    )
+    assert ok.count() == 2
