@@ -688,21 +688,140 @@ def hybrid_search_from_cdc_indexes(
 
 
 def _bm25_cand_topk(
-    spark: SparkSession, bm25_root: str, query_ids: tuple[int, ...], pool: int
+    spark: SparkSession,
+    bm25_root: str,
+    query_ids: tuple[int, ...],
+    pool: int,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Top-``pool`` BM25 candidates per query from the maintained
-    index — the shared retrieve stage of every hybrid serve."""
+    index — the shared retrieve stage of every hybrid serve.
+    ``with_rank`` keeps the lexical rank column (RRF consumes it;
+    the rerank serves drop it)."""
     from pyspark.sql import Window as W
 
     scored = bm25_score_from_index(spark, bm25_root, query_ids)
     w = W.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
+    cols = ["query_id", "doc_id"] + (["rank"] if with_rank else [])
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= pool)
-        .select("query_id", "doc_id")
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= pool)
+        .select(*cols)
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame], k0: int = 60, k: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists — the
+    standard hybrid the Elasticsearch world runs (and what the
+    reference pipeline's ES 8.x target exposes as ``rrf`` rank
+    fusion): each input is (query_id, doc_id, rank) with rank 1 the
+    best, and a document's fused score is Σ over the lists that
+    retrieved it of 1 / (k0 + rank). Rank positions only — no score
+    calibration across signals, no libm (the repo's determinism
+    discipline: integer ranks, plain division). ``k0`` (Cormack et
+    al.'s 60) damps the head so one list's #1 cannot drown the other
+    list's consensus.
+
+    Determinism: the per-(query, doc) sum folds the ≤ N reciprocal
+    terms in LIST ORDER (array_sort on the list index before the
+    fold) — with float addition commutative-but-not-associative,
+    an unordered SUM over 3+ lists could hash differently between
+    engines. Top-``k`` ties break on doc_id ASC after a round-6.
+
+    Scale shape: inputs are pool-sized per query (each list already
+    did its own top-``pool``), so the union, the group-fold, and the
+    window all run on |queries| × pool × N rows — never the corpus."""
+    from pyspark.sql import Window as W
+
+    tagged = None
+    for i, df in enumerate(ranked_lists):
+        t = df.select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.lit(i).alias("src"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = (
+        tagged.groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("src", "rank"))).alias("rs"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    "rs",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + F.lit(1.0) / (F.lit(float(k0)) + x["rank"].cast("double")),
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hybrid_search_rrf_index_only(
+    spark: SparkSession,
+    bm25_root: str,
+    pq_root: str,
+    queries: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 20,
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid serving by RANK FUSION from the maintained indexes —
+    the alternative to :func:`hybrid_search_index_only`'s
+    retrieve-then-rerank, which discards the lexical ORDERING the
+    BM25 index already paid for (BM25 only nominates; cosine alone
+    decides). Here both signals rank independently — BM25 top-``pool``
+    from the persisted tf/dl/df, dense top-``pool`` by cosine against
+    the PQ-RECONSTRUCTED corpus (codes + broadcast codebook; still no
+    raw floats in the serve path) — and :func:`rrf_fuse` merges the
+    two rank lists. A doc both signals agree on outranks either
+    signal's solo favorite, the property rerank-only cannot express.
+
+    The dense list here is the brute-force ADC scan (the recall
+    baseline); at corpus scale the IVF-PQ probe path
+    (:func:`ivfpq_search_from_index` — bucket-pruned files, top-k
+    per query) produces the same (query_id, doc_id, rank) shape and
+    plugs into :func:`rrf_fuse` unchanged."""
+    lex = _bm25_cand_topk(spark, bm25_root, query_ids, pool, with_rank=True)
+    from pyspark.sql import Window as W
+
+    cb, codes = pq_index_read(spark, pq_root)
+    recon = sim.pq_reconstruct(codes, cb)
+    scored = (
+        recon.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                sim.cosine(F.col("recon"), F.col("q_embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    wd = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        scored.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= pool)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse([lex, dense], k0=k0, k=k)
 
 
 def _rerank_candidates(

@@ -1802,3 +1802,92 @@ def test_adopt_legacy_label_backfill_joins_on_seq(spark, sf_dir, tmp_path):
     }
     want.pop(99)
     assert got == want  # upserted vec 5's recon survives uncorrupted
+
+
+def test_rrf_fuse_consensus_beats_solo_favorite(spark):
+    """RRF semantics: a doc BOTH lists rank mid-pool outranks a doc
+    one list ranks #1 and the other misses — 1/(60+3)+1/(60+3) >
+    1/(60+1). Also pins the N=3 ordered fold and doc_id tiebreak."""
+    lex = spark.createDataFrame(
+        [(0, 100, 1), (0, 7, 3), (0, 8, 4)],
+        "query_id bigint, doc_id bigint, rank bigint",
+    )
+    dense = spark.createDataFrame(
+        [(0, 200, 1), (0, 7, 3), (0, 8, 4)],
+        "query_id bigint, doc_id bigint, rank bigint",
+    )
+    out = {r.doc_id: r for r in si.rrf_fuse([lex, dense], k0=60, k=10).collect()}
+    assert out[7].rank == 1 and out[8].rank == 2
+    assert out[7].rrf == round(2 / 63.0, 6)
+    # solo #1s tie at 1/61 -> doc_id ASC breaks it
+    assert (out[100].rank, out[200].rank) == (3, 4)
+    # three lists: fold stays deterministic and adds the third signal
+    recency = spark.createDataFrame(
+        [(0, 200, 2)], "query_id bigint, doc_id bigint, rank bigint"
+    )
+    out3 = {
+        r.doc_id: r
+        for r in si.rrf_fuse([lex, dense, recency], k0=60, k=10).collect()
+    }
+    assert out3[200].rrf == round(1 / 61.0 + 1 / 62.0, 6)
+    assert out3[200].rank == 1  # two signals now beat every solo rank
+
+
+def test_hybrid_rrf_serves_from_indexes_only(spark, sf_dir, tmp_path):
+    """The RRF serve composes the two maintained-index rank lists:
+    every fused doc must come from one of the two top-pool lists, and
+    a doc present in both lists must carry the sum of its reciprocal
+    terms."""
+    source = str(tmp_path / "docs")
+    bm25_root = str(tmp_path / "bm25")
+    pq_root = str(tmp_path / "pq")
+    docs, _ = _doc_chunks(spark, sf_dir)
+    lakelog.append_commit(spark, source, docs)
+    si.bm25_index_maintain(spark, source, bm25_root)
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.pq_index_build(spark, embs, pq_root)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = si.hybrid_search_rrf_index_only(
+        spark, bm25_root, pq_root, queries, query_ids=(0, 1, 2), pool=20, k=10
+    ).collect()
+    assert len(got) == 30
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in si._bm25_cand_topk(
+            spark, bm25_root, (0, 1, 2), 20, with_rank=True
+        ).collect()
+    }
+    cb, codes = si.pq_index_read(spark, pq_root)
+    from pyspark.sql import Window as W
+
+    recon = sim.pq_reconstruct(codes, cb)
+    wd = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    dense = {
+        (r.query_id, r.doc_id): r.rank
+        for r in recon.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(sim.cosine(F.col("recon"), F.col("q_embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 20)
+        .collect()
+    }
+    for r in got:
+        key = (r.query_id, r.doc_id)
+        assert key in lex or key in dense
+        want = 0.0
+        if key in lex:
+            want += 1.0 / (60 + lex[key])
+        if key in dense:
+            want += 1.0 / (60 + dense[key])
+        assert r.rrf == round(want, 6)
