@@ -4331,13 +4331,16 @@ _SQL_FROZEN_BASE_CENTS = """
 
 # Shared oracle tail for every "serve from the persisted IVF-PQ
 # artifacts" gate row: residualize the final corpus (CTE `grown`,
-# supplied by the row's prelude) under the frozen base centroids
-# (`cents`), train the frozen residual codebook on the ORIGINAL base
-# sample (vec_id < 16 — untouched by any later CDC, exactly what the
-# build froze), PQ-encode/reconstruct, probe the 2 best buckets per
-# query, top-10 by reconstructed cosine. One definition so the two
-# gate rows (append-only grown index / CDC update+delete index) can
-# never drift on the decode or ranking conventions.
+# supplied by the row's prelude) under the frozen centroids (`cents`,
+# also from the prelude), train the frozen residual codebook on the
+# BUILD's sample (CTE `cbs` — (vec_id, embedding, label), the first
+# 16 vectors of whatever corpus the build trained on, labeled the way
+# the build saw them: original labels for a base build, refined
+# labels for a retrain), PQ-encode/reconstruct, probe the 2 best
+# buckets per query, top-10 by reconstructed cosine. One definition
+# so the three gate rows (append-only grown index / CDC update+delete
+# index / blue-green retrain swap) can never drift on the decode or
+# ranking conventions.
 _SQL_IVFPQ_SERVE_TAIL = f"""
     rese AS (
       SELECT g.vec_id, g.label,
@@ -4349,8 +4352,7 @@ _SQL_IVFPQ_SERVE_TAIL = f"""
       SELECT e.vec_id,
              list_transform(generate_series(1, 64),
                i -> round(e.embedding[i]::DOUBLE - cents.centroid[i], 6)) AS embedding
-      FROM embeddings e JOIN cents ON e.label = cents.label
-      WHERE e.vec_id < 16
+      FROM cbs e JOIN cents ON e.label = cents.label
     ),
     rcb AS (
       SELECT gm.m, vec_id AS code, embedding[gm.m*8+1 : gm.m*8+8] AS sub
@@ -4415,6 +4417,9 @@ _SQL_IVFPQ_SERVE_TAIL = f"""
       UNION ALL
       SELECT e.vec_id, e.embedding, a.label
       FROM embeddings e JOIN assigned a USING (vec_id)
+    ),
+    cbs AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 16
     ),
     {_SQL_IVFPQ_SERVE_TAIL}
     """,
@@ -4494,6 +4499,9 @@ def ext_sim_ivfpq_index_maintained(spark: SparkSession, sf_dir: str) -> DataFram
     grown AS (
       SELECT e.vec_id, e.embedding, coalesce(a.label, e.orig_label) AS label
       FROM cur e LEFT JOIN assigned a USING (vec_id)
+    ),
+    cbs AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 16
     ),
     {_SQL_IVFPQ_SERVE_TAIL}
     """,
@@ -4578,6 +4586,149 @@ def ext_sim_ivfpq_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("q_embedding"),
         )
         out = si.ivfpq_search_from_index(spark, index, queries, k=10, nprobe=2)
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_sim_ivfpq_retrain_swap",
+    f"""
+    WITH cutv AS (SELECT 2 * (max(vec_id) + 1) // 3 AS cut FROM embeddings),
+    nv AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+    cents1 AS MATERIALIZED ({_SQL_FROZEN_BASE_CENTS}),
+    snap AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    seed AS MATERIALIZED ({{assign_seed}}),
+    cseed AS MATERIALIZED ({{cents_seed}}),
+    final AS MATERIALIZED ({{assign_final}}),
+    cents AS MATERIALIZED ({{cents_final}}),
+    cbs AS (SELECT vec_id, embedding, label FROM final WHERE vec_id < 16),
+    cur AS (
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id % 11 = 5 AND e.vec_id % 13 <> 7
+                  THEN e2.embedding ELSE e.embedding END AS embedding,
+             (e.vec_id % 11 = 5 AND e.vec_id % 13 <> 7) AS updated
+      FROM embeddings e, nv, embeddings e2
+      WHERE e2.vec_id = (e.vec_id + 1) % nv.n
+        AND e.vec_id % 13 <> 7
+    ),
+    bassigned AS (
+      SELECT vec_id, label FROM (
+        SELECT e.vec_id, c.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS_CENT} DESC, c.label ASC) AS rn
+        FROM cur e CROSS JOIN cents c
+        WHERE e.updated
+      ) WHERE rn = 1
+    ),
+    grown AS (
+      SELECT e.vec_id, e.embedding, coalesce(b.label, f.label) AS label
+      FROM cur e
+      LEFT JOIN bassigned b USING (vec_id)
+      JOIN final f USING (vec_id)
+    ),
+    {_SQL_IVFPQ_SERVE_TAIL}
+    """.format(
+        assign_seed=_sql_assign_step("snap", "cents1"),
+        cents_seed=_sql_centroid_step("seed"),
+        assign_final=_sql_assign_step("seed", "cseed"),
+        cents_final=_sql_centroid_step("final"),
+    ),
+    tags=("ext", "similarity", "ivf", "pq", "lake", "incremental", "cdc",
+          "retrain", "bluegreen"),
+)
+def ext_sim_ivfpq_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL blue/green index lifecycle driver-gated end to end —
+    the round-9 verdict's #2: build on the base two-thirds (frozen
+    artifacts, watermark at snapshot v1), CDC-insert the rest (v2) and
+    maintain the OLD index current, then RETRAIN into a fresh root at
+    snapshot v2 (seed assignment under the old centroids, one Lloyd
+    iteration, fresh residual codebook — ``ivfpq_index_retrain``,
+    maintenance watermark stamped at v2) while MORE CDC lands
+    mid-retrain (v3: update every vec_id % 11 == 5, delete every
+    vec_id % 13 == 7 — traffic the retrain snapshot never saw), and
+    finally ``ivfpq_index_swap``: catch the new root up ((v2, v3]
+    folds from the stamped watermark — the handoff that makes
+    mid-retrain traffic neither lost nor double-applied), atomically
+    repoint the serving pointer (CAS against the root retrained
+    from), and serve THROUGH the pointer. The oracle rebuilds the
+    final corpus state from scratch under independently re-derived
+    retrained artifacts (seed argmax → means → argmax → means, the
+    codebook from the refined sample, mid-retrain updates re-assigned
+    under the new centroids), so the hash proves the whole
+    snapshot/watermark/tombstone/flip composition serves exactly what
+    a from-scratch rebuild of the final state would."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    embs = reuse(_embs(spark, sf_dir))
+    # bounded 1-row collect: split point + modulus for the CDC batches
+    max_id = embs.agg(F.max("vec_id").alias("mx")).collect()[0].mx
+    n = max_id + 1
+    cut = (2 * n) // 3
+    root = tempfile.mkdtemp(prefix="ivfpq_swap_")
+    src = os.path.join(root, "src")
+    old = os.path.join(root, "blue")
+    new = os.path.join(root, "green")
+    ptr = os.path.join(root, "serving")
+    try:
+        base = embs.filter(F.col("vec_id") < cut)
+        lakelog.append_commit(
+            spark, src,
+            base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
+        )
+        si.ivfpq_index_build(spark, base, old, source_watermark=1)
+        si.serving_pointer_set(ptr, old)
+        # v2: CDC-insert the remaining third; blue keeps serving current
+        lakelog.merge_apply_cdc(
+            spark, src,
+            embs.filter(F.col("vec_id") >= cut).select(
+                "vec_id", "embedding",
+                F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+            ),
+            ["vec_id"], "_ts_ms",
+        )
+        si.ivfpq_index_maintain(spark, src, old)
+        # retrain at snapshot v2 into the green root (watermark 2)
+        si.ivfpq_index_retrain(spark, src, new, old_root=old, iterations=1)
+        # v3 lands DURING the retrain window: updates + deletes
+        nxt = embs.select(
+            F.col("vec_id").alias("src_of"),
+            F.col("embedding").alias("new_emb"),
+        )
+        updates = (
+            embs.filter(
+                (F.col("vec_id") % 11 == 5) & (F.col("vec_id") % 13 != 7)
+            )
+            .withColumn("src_of", (F.col("vec_id") + 1) % n)
+            .join(nxt, "src_of")
+            .select(
+                "vec_id", F.col("new_emb").alias("embedding"),
+                F.lit(3).alias("_ts_ms"), F.lit("u").alias("_op"),
+            )
+        )
+        deletes = embs.filter(F.col("vec_id") % 13 == 7).select(
+            "vec_id", "embedding",
+            F.lit(3).alias("_ts_ms"), F.lit("d").alias("_op"),
+        )
+        lakelog.merge_apply_cdc(
+            spark, src, updates.unionByName(deletes), ["vec_id"], "_ts_ms"
+        )
+        # the swap: fold (v2, v3] into green, flip the pointer (CAS)
+        si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        out = si.ivfpq_search_serving(spark, ptr, queries, k=10, nprobe=2)
         # materialize BEFORE the temp lake dir disappears
         return spark.createDataFrame(out.collect(), out.schema)
     finally:

@@ -1891,3 +1891,178 @@ def test_hybrid_rrf_serves_from_indexes_only(spark, sf_dir, tmp_path):
         if key in dense:
             want += 1.0 / (60 + dense[key])
         assert r.rrf == round(want, 6)
+
+
+# --- blue/green serving pointer + retrain swap -------------------------------
+
+
+def test_serving_pointer_flip_cas_and_rollback(spark, tmp_path):
+    """The cutover primitive: versioned atomic flips, CAS against the
+    expected current root, rollback = pointing back."""
+    import pytest as _pytest
+
+    ptr = str(tmp_path / "ptr")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    with _pytest.raises(FileNotFoundError):
+        si.serving_pointer_get(ptr)
+    assert si.serving_pointer_set(ptr, a) == 1
+    assert si.serving_pointer_get(ptr) == os.path.abspath(a)
+    assert si.serving_pointer_set(ptr, b, expect_root=a) == 2
+    assert si.serving_pointer_get(ptr) == os.path.abspath(b)
+    # CAS: a racer that still believes 'a' is serving must conflict,
+    # not silently overwrite the cutover
+    with _pytest.raises(lakelog.CommitConflict):
+        si.serving_pointer_set(ptr, str(tmp_path / "c"), expect_root=a)
+    assert si.serving_pointer_get(ptr) == os.path.abspath(b)
+    # rollback is just pointing back
+    assert si.serving_pointer_set(ptr, a) == 3
+    assert si.serving_pointer_get(ptr) == os.path.abspath(a)
+
+
+def _swap_scenario(spark, sf_dir, tmp_path):
+    """Blue/green lifecycle up to the moment of the swap: blue built
+    on the base two-thirds and maintained through the insert commit,
+    green retrained at snapshot v2, a CDC update+delete batch landed
+    at v3 DURING the retrain window. Returns the paths + the set of
+    vec_ids that must survive."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    max_id = embs.agg(F.max("vec_id").alias("mx")).collect()[0].mx
+    n = max_id + 1
+    cut = (2 * n) // 3
+    src = str(tmp_path / "src")
+    old = str(tmp_path / "blue")
+    new = str(tmp_path / "green")
+    ptr = str(tmp_path / "serving")
+    base = embs.filter(F.col("vec_id") < cut)
+    lakelog.append_commit(
+        spark, src, base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms"))
+    )
+    si.ivfpq_index_build(spark, base, old, source_watermark=1)
+    si.serving_pointer_set(ptr, old)
+    lakelog.merge_apply_cdc(
+        spark, src,
+        embs.filter(F.col("vec_id") >= cut).select(
+            "vec_id", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+        ),
+        ["vec_id"], "_ts_ms",
+    )
+    si.ivfpq_index_maintain(spark, src, old)
+    si.ivfpq_index_retrain(spark, src, new, old_root=old, iterations=1)
+    nxt = embs.select(
+        F.col("vec_id").alias("src_of"), F.col("embedding").alias("new_emb")
+    )
+    updates = (
+        embs.filter((F.col("vec_id") % 11 == 5) & (F.col("vec_id") % 13 != 7))
+        .withColumn("src_of", (F.col("vec_id") + 1) % n)
+        .join(nxt, "src_of")
+        .select(
+            "vec_id", F.col("new_emb").alias("embedding"),
+            F.lit(3).alias("_ts_ms"), F.lit("u").alias("_op"),
+        )
+    )
+    deletes = embs.filter(F.col("vec_id") % 13 == 7).select(
+        "vec_id", "embedding", F.lit(3).alias("_ts_ms"), F.lit("d").alias("_op")
+    )
+    lakelog.merge_apply_cdc(
+        spark, src, updates.unionByName(deletes), ["vec_id"], "_ts_ms"
+    )
+    survivors = {
+        r.vec_id for r in embs.filter(F.col("vec_id") % 13 != 7).collect()
+    }
+    return src, old, new, ptr, survivors
+
+
+def test_ivfpq_swap_watermark_handoff(spark, sf_dir, tmp_path):
+    """The swap folds EXACTLY the mid-retrain window ((v2, v3]) into
+    the green root: nothing lost (deletes/updates from v3 applied),
+    nothing doubled (one live bucket row and m live code rows per
+    surviving vector — a watermark-0 amnesia would refold v1+v2 as
+    duplicate segments)."""
+    src, old, new, ptr, survivors = _swap_scenario(spark, sf_dir, tmp_path)
+    head = si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old)
+    assert head == 3
+    assert si.serving_pointer_get(ptr) == os.path.abspath(new)
+    buckets, codes = si._ivfpq_live(spark, new)
+    got_b = {r.vec_id: r for r in buckets.collect()}
+    assert set(got_b) == survivors  # nothing lost, deletes applied
+    assert buckets.count() == len(survivors)  # nothing doubled
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert {r.vec_id for r in per_vec} == survivors
+    assert all(r["count"] == sim.PQ_M for r in per_vec)
+    # an updated vector serves its re-encoded (post-update) embedding:
+    # its live seq is the v3 fold, not the retrain's seq-0 snapshot
+    upd = sorted(v for v in survivors if v % 11 == 5)
+    assert upd and all(got_b[v].seq == 3 for v in upd)
+    # a redelivered swap is a no-op end to end (idempotent fold +
+    # pointer re-flip is a fresh version but same target)
+    heads_before = {
+        t: lakelog.latest_version(os.path.join(new, t))
+        for t in ("ivf_buckets", "pq_codes", "ivf_deletes")
+    }
+    assert si.ivfpq_index_swap(spark, src, new, ptr, expect_root=new) == 3
+    assert {
+        t: lakelog.latest_version(os.path.join(new, t))
+        for t in ("ivf_buckets", "pq_codes", "ivf_deletes")
+    } == heads_before
+
+
+def test_ivfpq_swap_crash_between_fold_and_flip(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash AFTER the catch-up fold but BEFORE the pointer flip: the
+    old root keeps serving (pointer untouched), and the replayed swap
+    re-enters the fold as a fully-applied no-op (no new segments) then
+    lands the flip."""
+    import pytest as _pytest
+
+    src, old, new, ptr, survivors = _swap_scenario(spark, sf_dir, tmp_path)
+    real_flip = si.serving_pointer_set
+
+    def crash_flip(*a, **kw):
+        raise RuntimeError("crash before pointer flip")
+
+    monkeypatch.setattr(si, "serving_pointer_set", crash_flip)
+    with _pytest.raises(RuntimeError, match="crash before pointer flip"):
+        si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old)
+    # serving still resolves the old root — applications are unharmed
+    assert si.serving_pointer_get(ptr) == os.path.abspath(old)
+    heads_after_crash = {
+        t: lakelog.latest_version(os.path.join(new, t))
+        for t in ("ivf_buckets", "pq_codes", "ivf_deletes")
+    }
+    monkeypatch.setattr(si, "serving_pointer_set", real_flip)
+    assert si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old) == 3
+    # the replayed fold appended nothing (watermarks already at head)
+    assert {
+        t: lakelog.latest_version(os.path.join(new, t))
+        for t in ("ivf_buckets", "pq_codes", "ivf_deletes")
+    } == heads_after_crash
+    assert si.serving_pointer_get(ptr) == os.path.abspath(new)
+    buckets, _ = si._ivfpq_live(spark, new)
+    assert buckets.count() == len(survivors)
+
+
+def test_ivfpq_swap_crash_mid_fold_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash INSIDE the catch-up fold (tombstones committed, codes
+    not): the pointer still serves the old root, and the replay's
+    per-table catch-up converges to the same live state."""
+    import pytest as _pytest
+
+    src, old, new, ptr, survivors = _swap_scenario(spark, sf_dir, tmp_path)
+    real_append = si._append_segment
+    calls = {"n": 0}
+
+    def flaky_append(table, delta, app_id, src_version, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # dels, buckets land; codes crashes
+            raise RuntimeError("crash mid-fold")
+        return real_append(table, delta, app_id, src_version, **kw)
+
+    monkeypatch.setattr(si, "_append_segment", flaky_append)
+    with _pytest.raises(RuntimeError, match="crash mid-fold"):
+        si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old)
+    assert si.serving_pointer_get(ptr) == os.path.abspath(old)
+    monkeypatch.setattr(si, "_append_segment", real_append)
+    assert si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old) == 3
+    buckets, codes = si._ivfpq_live(spark, new)
+    assert {r.vec_id for r in buckets.collect()} == survivors
+    assert codes.count() == len(survivors) * sim.PQ_M
