@@ -71,6 +71,7 @@ indexes current (:func:`cdc_ann_indexing_sink` /
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -332,6 +333,7 @@ def bm25_indexing_sink(
     source_table: str,
     index_root: str,
     app_id: str = "bm25-ingest",
+    policy: "IndexMaintenancePolicy | None" = None,
 ):
     """foreachBatch callable — the full streaming ingest-to-serving
     composition: each micro-batch of (doc_id, text) lands in the
@@ -354,9 +356,12 @@ def bm25_indexing_sink(
         lakelog.txn_append_commit(
             spark, source_table, batch_df, app_id=app_id, batch_id=batch_id
         )
-        return bm25_index_maintain(
+        v = bm25_index_maintain(
             spark, source_table, index_root, app_id=f"{app_id}-idx"
         )
+        if policy is not None:
+            apply_index_policy(spark, index_root, policy)
+        return v
 
     return sink
 
@@ -369,6 +374,7 @@ def cdc_search_indexing_sink(
     ts_col: str = "_ts_ms",
     op_col: str = "_op",
     app_id: str = "cdc-search",
+    policy: "IndexMaintenancePolicy | None" = None,
 ):
     """foreachBatch callable — the REFERENCE PIPELINE's shape end to
     end (kafka-cdc-elasticsearch-pipeline: Debezium change events from Kafka
@@ -396,9 +402,12 @@ def cdc_search_indexing_sink(
         )
         if lakelog.latest_version(source_table) is None:
             return None  # empty batch 0: nothing ingested, no index yet
-        return bm25_index_maintain(
+        v = bm25_index_maintain(
             spark, source_table, index_root, app_id=f"{app_id}-idx"
         )
+        if policy is not None:
+            apply_index_policy(spark, index_root, policy)
+        return v
 
     return sink
 
@@ -414,6 +423,7 @@ def cdc_dual_indexing_sink(
     app_id: str = "cdc-dual",
     index_app_id: str = "ivfpq-idx",
     bm25_app_id: str | None = None,
+    policy: "IndexMaintenancePolicy | None" = None,
 ):
     """foreachBatch callable — the reference pipeline in FULL: one
     Debezium stream over documents carrying BOTH a ``text`` and an
@@ -443,7 +453,9 @@ def cdc_dual_indexing_sink(
     source history as duplicate segments — the same trap
     :func:`cdc_ann_indexing_sink` documents); the BM25 default is
     ``f"{app_id}-bm25"``, right for a root this sink owns from its
-    first batch."""
+    first batch. ``policy`` closes the gauge→action loop per batch on
+    BOTH roots (:func:`apply_index_policy`: threshold compaction,
+    drift flag, vacuum)."""
     bm25_lineage = (
         bm25_app_id if bm25_app_id is not None else f"{app_id}-bm25"
     )
@@ -458,10 +470,14 @@ def cdc_dual_indexing_sink(
         bm25_index_maintain(
             spark, source_table, bm25_root, app_id=bm25_lineage
         )
-        return ivfpq_index_maintain(
+        v = ivfpq_index_maintain(
             spark, source_table, ivfpq_root, app_id=index_app_id,
             id_col=keys[0],
         )
+        if policy is not None:
+            apply_index_policy(spark, bm25_root, policy)
+            apply_index_policy(spark, ivfpq_root, policy)
+        return v
 
     return sink
 
@@ -1320,6 +1336,7 @@ def cdc_ann_indexing_sink(
     op_col: str = "_op",
     app_id: str = "cdc-ann",
     index_app_id: str = "ivfpq-idx",
+    policy: "IndexMaintenancePolicy | None" = None,
 ):
     """foreachBatch callable — the reference pipeline's shape for the
     VECTOR index (:func:`cdc_search_indexing_sink`'s twin): each
@@ -1345,9 +1362,12 @@ def cdc_ann_indexing_sink(
         )
         if lakelog.latest_version(source_table) is None:
             return None  # empty batch 0: nothing ingested, no index yet
-        return ivfpq_index_maintain(
+        v = ivfpq_index_maintain(
             spark, source_table, index_root, app_id=index_app_id
         )
+        if policy is not None:
+            apply_index_policy(spark, index_root, policy)
+        return v
 
     return sink
 
@@ -1713,3 +1733,163 @@ def pq_assignment_balance(codes: DataFrame) -> DataFrame:
             ).alias("imbalance"),
         )
     )
+
+
+# --- gauge→action maintenance policy ------------------------------------------
+
+
+_BM25_TABLES = (_TF, _DL, _DF)
+_IVF_TABLES = ("ivf_buckets", "pq_codes", _IVF_DELETES)
+_STATUS_FILE = "_maintenance.json"
+
+
+@dataclass(frozen=True)
+class IndexMaintenancePolicy:
+    """The knobs that close the gauge→action loop (round-9 verdict
+    #1): the gauges — :func:`index_read_amplification` (segments per
+    table, metadata-only) and :func:`pq_assignment_balance` (codebook
+    drift) — existed measurement-only; this policy is what a
+    steady-state deployment runs on them after every fold.
+
+    ``max_segments`` — compact an index family when any of its tables
+    exceeds this many merge-on-read segments. Each fold appends one
+    segment per table, so the threshold directly caps serve-time read
+    amplification; the compaction cost amortizes to O(corpus /
+    max_segments) per fold. SCALING.md's segment-probe table (BM25
+    unpruned probe wall follows segment count 0.25→0.89s over 16
+    segments) is the calibration: the default 8 keeps the worst-case
+    merge fan-in below where that curve visibly bends while keeping
+    rewrites rare.
+
+    ``retrain_imbalance`` — surface ``retrain_due`` when any
+    subspace's code-load imbalance exceeds this. Calibrated by the
+    round-9 drift probe (tools/ann_drift_probe.py, SCALING.md): the
+    healthy corpus sits at ~1.7, drifted corpora depart to 4–6 as
+    frozen-index recall collapses — 4.0 fires exactly at the departure
+    knee. The policy only FLAGS (a retrain is a deliberate
+    full-corpus pass + blue/green swap — :func:`ivfpq_index_retrain`
+    / :func:`ivfpq_index_swap`); it never auto-retrains.
+
+    ``vacuum_keep_last`` — when set, vacuum every index table down to
+    its last N versions after the gauge pass (``None`` = never): a
+    long-running sink otherwise accumulates dead versions/dirs
+    without bound, the same unbounded-state class the streaming
+    operators all close. N is the retention window in VERSIONS — keep
+    it ≥ the deepest lag of any ``read_changes`` consumer of the
+    index tables (each consumer's checkpointed resume version makes
+    that computable); within the window incremental readers still
+    work, past it they re-read the snapshot (the vacuum contract).
+    ``vacuum_min_age_s`` guards concurrent not-yet-linked commits
+    exactly as :func:`lakelog.vacuum` documents.
+
+    ``always_check_balance`` — measure drift on every apply instead
+    of piggybacking on compactions. The balance gauge shuffles (m,
+    code) counts (corpus-size-independent rows, but a full codes
+    scan), so the default only pays for it when a compaction already
+    rewrote the codes; the flag is for probes and tests."""
+
+    max_segments: int = 8
+    retrain_imbalance: float = 4.0
+    vacuum_keep_last: int | None = None
+    vacuum_min_age_s: float = 3600.0
+    always_check_balance: bool = False
+
+
+def read_maintenance_status(index_root: str) -> dict:
+    """Last persisted policy report (empty dict before the first
+    apply) — where the operator reads ``retrain_due``; the flag is
+    sticky across applies that skip the balance measurement."""
+    import json
+
+    try:
+        with open(os.path.join(index_root, _STATUS_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_maintenance_status(index_root: str, report: dict) -> None:
+    import json
+    import uuid
+
+    path = os.path.join(index_root, _STATUS_FILE)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    os.makedirs(index_root, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(report, f)
+    os.replace(tmp, path)
+
+
+def apply_index_policy(
+    spark: SparkSession,
+    index_root: str,
+    policy: IndexMaintenancePolicy = IndexMaintenancePolicy(),
+) -> dict:
+    """One gauge→action pass over whatever index tables live under
+    ``index_root`` — what the indexing sinks run after each fold:
+
+    1. read :func:`index_read_amplification` (manifests only, no job);
+    2. compact each family whose segment count crossed
+       ``max_segments`` (:func:`bm25_index_compact` /
+       :func:`ivfpq_index_compact` — serving output is unchanged by
+       construction: both rewrite the merged state the readers were
+       already computing);
+    3. measure :func:`pq_assignment_balance` over the LIVE codes when
+       a vector compaction fired (or ``always_check_balance``) and
+       surface ``retrain_due`` — sticky in the status file until a
+       later measurement clears it;
+    4. vacuum each table to ``vacuum_keep_last`` versions.
+
+    Crash safety: every action is individually idempotent/replayable
+    (compaction commits are purge-shaped with ``expect_parent``; a
+    crash between the three per-table commits leaves the others above
+    threshold and the NEXT apply finishes the job — the kill/restart
+    test pins this), so the policy itself keeps no state beyond the
+    advisory status file. A maintain racing a compaction commit
+    raises CommitConflict out of this call; the sink's next batch
+    retries the policy at the new head."""
+    amp = index_read_amplification(index_root)
+    segs = {t: v["n_segments"] for t, v in amp.items()}
+    report: dict = {
+        "applied_at_versions": {t: v["version"] for t, v in amp.items()},
+        "n_segments": segs,
+        "compacted": [],
+        "vacuumed": {},
+    }
+    prev = read_maintenance_status(index_root)
+    report["retrain_due"] = prev.get("retrain_due", False)
+    report["imbalance"] = prev.get("imbalance")
+    if any(segs.get(t, 0) > policy.max_segments for t in _BM25_TABLES):
+        bm25_index_compact(spark, index_root)
+        report["compacted"].append("bm25")
+    if any(segs.get(t, 0) > policy.max_segments for t in _IVF_TABLES):
+        ivfpq_index_compact(spark, index_root)
+        report["compacted"].append("ivfpq")
+    has_codes_with_seq = "pq_codes" in segs and "ivf_buckets" in segs
+    if has_codes_with_seq and (
+        policy.always_check_balance or "ivfpq" in report["compacted"]
+    ):
+        _, live_codes = _ivfpq_live(spark, index_root)
+        worst = (
+            pq_assignment_balance(live_codes)
+            .agg(F.max("imbalance").alias("w"))
+            .collect()[0]
+            .w
+        )
+        if worst is not None:
+            report["imbalance"] = worst
+            report["retrain_due"] = bool(worst > policy.retrain_imbalance)
+    if policy.vacuum_keep_last is not None:
+        for t in (*_BM25_TABLES, *_IVF_TABLES):
+            table = os.path.join(index_root, t)
+            if lakelog.latest_version(table) is None:
+                continue
+            removed = lakelog.vacuum(
+                table,
+                keep_last=policy.vacuum_keep_last,
+                min_age_s=policy.vacuum_min_age_s,
+            )
+            if removed:
+                report["vacuumed"][t] = len(removed)
+    _write_maintenance_status(index_root, report)
+    return report
