@@ -840,6 +840,34 @@ def hybrid_search_rrf_index_only(
     return rrf_fuse([lex, dense], k0=k0, k=k)
 
 
+def hybrid_search_rrf_from_cdc_indexes(
+    spark: SparkSession,
+    bm25_root: str,
+    ivfpq_root: str,
+    queries: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 20,
+    k: int = 10,
+    k0: int = 60,
+    nprobe: int = 2,
+) -> DataFrame:
+    """RRF over the CDC-MAINTAINED stack (the production fusion —
+    :func:`hybrid_search_from_cdc_indexes`'s rank-fusion twin): the
+    lexical list from the maintained tf/dl/df, the dense list from
+    the tombstone-filtered IVF-PQ probe path
+    (:func:`ivfpq_search_from_index` at k=``pool`` — bucket-pruned
+    scan, candidate decode, merge-on-read deletes applied), fused by
+    :func:`rrf_fuse`. A deleted document can enter NEITHER list (its
+    tf/dl drained, its codes tombstoned), so it cannot appear fused;
+    the dense side's recall knob is ``nprobe`` exactly as in plain
+    ANN serving."""
+    lex = _bm25_cand_topk(spark, bm25_root, query_ids, pool, with_rank=True)
+    dense = ivfpq_search_from_index(
+        spark, ivfpq_root, queries, k=pool, nprobe=nprobe
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], k0=k0, k=k)
+
+
 def _rerank_candidates(
     recon: DataFrame, cand: DataFrame, queries: DataFrame, k: int
 ) -> DataFrame:
@@ -1704,6 +1732,42 @@ def ivfpq_search_serving(
     return ivfpq_search_from_index(
         spark, serving_pointer_get(pointer), queries, k=k, nprobe=nprobe
     )
+
+
+def retire_index_root(pointer: str, root: str, min_age_s: float = 3600.0) -> bool:
+    """The last step of a blue/green cycle: delete a root that no
+    longer serves. Two refusals make it safe to call from a scheduler:
+    the pointer's CURRENT target is never deleted (ValueError — the
+    caller raced a rollback), and a root younger than ``min_age_s``
+    is left alone (False — in-flight serves that resolved the pointer
+    BEFORE the swap may still be reading it; the age guard is the
+    same straggler-reader retention reasoning as ``lakelog.vacuum``).
+    Returns True when the root was removed. The pointer's version
+    history (each record carries ``previous``) is the audit trail of
+    what served when."""
+    import shutil
+    import time
+
+    if not os.path.isdir(root):
+        return False
+    current = serving_pointer_get(pointer)
+    if os.path.abspath(root) == current:
+        raise ValueError(
+            f"{root!r} is the CURRENT serving root — swap away from it "
+            "before retiring it"
+        )
+    newest = max(
+        (
+            os.path.getmtime(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(root)
+            for f in files
+        ),
+        default=os.path.getmtime(root),
+    )
+    if time.time() - newest < min_age_s:
+        return False
+    shutil.rmtree(root)
+    return True
 
 
 def pq_assignment_balance(codes: DataFrame) -> DataFrame:

@@ -2273,3 +2273,181 @@ def test_policy_retrain_due_flag_calibration_and_stickiness(
         spark, index, si.IndexMaintenancePolicy(always_check_balance=True)
     )
     assert rep4["retrain_due"] is False
+
+
+def test_retire_index_root_guards_and_deletes(spark, sf_dir, tmp_path):
+    """Old-root retirement (the blue/green cycle's last step): never
+    deletes the CURRENT serving root, leaves a too-young root alone
+    (straggler readers), deletes an old non-serving root."""
+    import pytest as _pytest
+
+    ptr = str(tmp_path / "ptr")
+    old = str(tmp_path / "blue")
+    new = str(tmp_path / "green")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < 50), old)
+    si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < 50), new)
+    si.serving_pointer_set(ptr, old)
+    with _pytest.raises(ValueError, match="CURRENT serving root"):
+        si.retire_index_root(ptr, old, min_age_s=0.0)
+    si.serving_pointer_set(ptr, new, expect_root=old)
+    # young root: refused (False), still on disk
+    assert si.retire_index_root(ptr, old, min_age_s=3600.0) is False
+    assert os.path.isdir(old)
+    # past retention: removed
+    assert si.retire_index_root(ptr, old, min_age_s=0.0) is True
+    assert not os.path.isdir(old)
+    # idempotent on a gone root
+    assert si.retire_index_root(ptr, old, min_age_s=0.0) is False
+    # serving is unharmed throughout
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    assert si.ivfpq_search_serving(spark, ptr, queries, k=5).count() == 10
+
+
+def test_ivfpq_swap_on_doc_keyed_dual_stream(spark, sf_dir, tmp_path):
+    """The swap on the REFERENCE pipeline's key shape: a documents
+    stream keyed on doc_id (the dual sink's source), retrained and
+    swapped with id_col='doc_id' end to end — the id_col rename seam
+    through retrain, catch-up maintain, and pointer-resolved serve."""
+    src = str(tmp_path / "src")
+    old = str(tmp_path / "blue")
+    new = str(tmp_path / "green")
+    ptr = str(tmp_path / "ptr")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = embs.select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    ).filter(F.col("doc_id") < 240)
+    base = corpus.filter(F.col("doc_id") < 160)
+    lakelog.append_commit(
+        spark, src, base.drop("label").select(
+            "doc_id", "embedding", F.lit(1).alias("_ts_ms")
+        )
+    )
+    si.ivfpq_index_build(
+        spark,
+        base.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        old,
+        source_watermark=1,
+    )
+    si.serving_pointer_set(ptr, old)
+    # retrain at v1, then CDC lands during the window (insert + delete)
+    si.ivfpq_index_retrain(
+        spark, src, new, old_root=old, iterations=1, id_col="doc_id"
+    )
+    lakelog.merge_apply_cdc(
+        spark, src,
+        corpus.filter(F.col("doc_id") >= 160).drop("label").select(
+            "doc_id", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("c").alias("_op"),
+        ).unionByName(
+            # delete only BASE docs: deleting a doc inserted in the
+            # same batch at the same ts would be a writer-side tie
+            corpus.filter(
+                (F.col("doc_id") % 16 == 3) & (F.col("doc_id") < 160)
+            ).drop("label").select(
+                "doc_id", "embedding",
+                F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+            )
+        ),
+        ["doc_id"], "_ts_ms",
+    )
+    head = si.ivfpq_index_swap(
+        spark, src, new, ptr, id_col="doc_id", expect_root=old
+    )
+    assert head == 2
+    survivors = {
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") % 16 != 3) | (F.col("doc_id") >= 160)
+        ).collect()
+    }
+    buckets, _ = si._ivfpq_live(spark, new)
+    assert {r.vec_id for r in buckets.collect()} == survivors
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    served = si.ivfpq_search_serving(spark, ptr, queries, k=10, nprobe=2)
+    rows = served.collect()
+    assert len(rows) == 30
+    assert all(r.neighbor_id in survivors for r in rows)
+
+
+def test_hybrid_rrf_from_cdc_indexes_respects_deletes(spark, sf_dir, tmp_path):
+    """The production RRF: both lists index-served off the dual-CDC
+    stack — a deleted doc enters NEITHER list so it cannot appear
+    fused, and every fused doc traces to one of the two top-pool
+    lists with the correct reciprocal sum."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    emb_dim = embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label")
+    corpus = docs.join(emb_dim, "doc_id")
+    lakelog.append_commit(
+        spark, src,
+        corpus.drop("label").select(
+            "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+        ),
+    )
+    si.ivfpq_index_build(
+        spark,
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    sink = si.cdc_dual_indexing_sink(spark, src, bm25_root, ivfpq_root)
+    # batch 0: no-op shaped batch to fold BM25 up (ivfpq already at 1)
+    sink(
+        corpus.drop("label").limit(0).select(
+            "doc_id", "text", "embedding",
+            F.lit(2).cast("long").alias("_ts_ms"), F.lit("c").alias("_op"),
+        ),
+        0,
+    )
+    si.bm25_index_maintain(spark, src, bm25_root, app_id="cdc-dual-bm25")
+    # batch 1: delete every doc_id % 9 == 4 through the dual sink
+    deleted = corpus.filter(F.col("doc_id") % 9 == 4)
+    sink(
+        deleted.drop("label").select(
+            "doc_id", "text", "embedding",
+            F.lit(3).cast("long").alias("_ts_ms"), F.lit("d").alias("_op"),
+        ),
+        1,
+    )
+    gone = {r.doc_id for r in deleted.select("doc_id").collect()}
+    assert gone
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    fused = si.hybrid_search_rrf_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries, query_ids=(0, 1, 2),
+        pool=20, k=10,
+    ).collect()
+    assert len(fused) == 30
+    assert all(r.doc_id not in gone for r in fused)
+    # trace every fused doc to its source lists + reciprocal sum
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in si._bm25_cand_topk(
+            spark, bm25_root, (0, 1, 2), 20, with_rank=True
+        ).collect()
+    }
+    dense = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in si.ivfpq_search_from_index(
+            spark, ivfpq_root, queries, k=20, nprobe=2
+        ).collect()
+    }
+    for r in fused:
+        key = (r.query_id, r.doc_id)
+        assert key in lex or key in dense
+        want = (1.0 / (60 + lex[key]) if key in lex else 0.0) + (
+            1.0 / (60 + dense[key]) if key in dense else 0.0
+        )
+        assert r.rrf == round(want, 6)
