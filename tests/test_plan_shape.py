@@ -566,3 +566,38 @@ def test_hybrid_index_only_decode_is_candidate_sized(spark, tmp_path, sf_dir):
     assert "BroadcastHashJoin" in p
     # the candidate prune on the codes table is the broadcast LeftSemi
     assert "LeftSemi" in p
+
+
+def test_rrf_fusion_plan_is_pool_sized(spark, tmp_path, sf_dir):
+    """RRF serving: both lists are top-pool windows, the fusion is a
+    group-fold over their union — no cartesian shapes anywhere, the
+    dense stage keeps pq_encode/reconstruct's broadcast-codebook
+    shape, and the BM25 stage keeps the query-term semi-join prune
+    (the round-8 df guard must survive under fusion)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from pyspark.sql import functions as F
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    source = str(tmp_path / "docs")
+    bm25_root = str(tmp_path / "bm25")
+    pq_root = str(tmp_path / "pq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lakelog.append_commit(spark, source, docs)
+    si.bm25_index_maintain(spark, source, bm25_root)
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.pq_index_build(spark, embs, pq_root)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    p = final_plan(
+        si.hybrid_search_rrf_index_only(
+            spark, bm25_root, pq_root, queries, query_ids=(0, 1, 2)
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p  # df pruned to query terms before broadcast
+    assert "BroadcastHashJoin" in p  # codebook / query-side broadcasts

@@ -2451,3 +2451,64 @@ def test_hybrid_rrf_from_cdc_indexes_respects_deletes(spark, sf_dir, tmp_path):
             1.0 / (60 + dense[key]) if key in dense else 0.0
         )
         assert r.rrf == round(want, 6)
+
+
+def test_policy_compacts_ivfpq_family_and_serving_unchanged(
+    spark, sf_dir, tmp_path
+):
+    """The vector side of the gauge→action loop: CDC folds grow
+    bucket/code/tombstone segments past the threshold, the policy
+    fires ivfpq_index_compact, and the served top-k is identical
+    before and after (merge-on-read ≡ compacted — the invariant the
+    compact tests pin, here triggered BY the policy)."""
+    src = str(tmp_path / "src")
+    index = str(tmp_path / "idx")
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") < 120)
+    lakelog.append_commit(
+        spark, src, base.select("vec_id", "embedding", F.lit(1).alias("_ts_ms"))
+    )
+    si.ivfpq_index_build(spark, base, index, source_watermark=1)
+    sink = si.cdc_ann_indexing_sink(
+        spark, src, index,
+        policy=si.IndexMaintenancePolicy(max_segments=2),
+    )
+    for i in range(4):
+        lo = 120 + i * 30
+        batch = embs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)
+        ).select(
+            "vec_id", "embedding",
+            F.lit(i + 2).cast("long").alias("_ts_ms"),
+            F.lit("c").alias("_op"),
+        )
+        sink(batch, i)
+    status = si.read_maintenance_status(index)
+    assert "ivfpq" in status["compacted"] or si.index_read_amplification(
+        index
+    )["pq_codes"]["n_segments"] <= 3
+    amp = si.index_read_amplification(index)
+    assert amp["pq_codes"]["n_segments"] <= 3
+    # the compaction measured balance and recorded the gauge
+    assert status["imbalance"] is not None
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in si.ivfpq_search_from_index(
+            spark, index, queries, k=10, nprobe=2
+        ).collect()
+    }
+    # reference: a never-compacted twin maintained over the same feed
+    twin = str(tmp_path / "twin")
+    si.ivfpq_index_build(spark, base, twin, source_watermark=1)
+    si.ivfpq_index_maintain(spark, src, twin)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in si.ivfpq_search_from_index(
+            spark, twin, queries, k=10, nprobe=2
+        ).collect()
+    }
+    assert got == want and len(got) == 30
