@@ -580,6 +580,7 @@ def pq_indexing_sink(
     index_root: str,
     m: int = sim.PQ_M,
     app_id: str = "pq-ingest",
+    policy: "IndexMaintenancePolicy | None" = None,
 ):
     """foreachBatch callable — streaming ANN ingest: each micro-batch
     of (vec_id, embedding) is assigned under the frozen persisted
@@ -599,7 +600,7 @@ def pq_indexing_sink(
             return None  # idle trigger: don't burn a codes version
         cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
         codes = sim.pq_encode(batch_df, cb, m)
-        return lakelog.txn_append_commit(
+        v = lakelog.txn_append_commit(
             spark,
             os.path.join(index_root, "pq_codes"),
             codes,
@@ -607,6 +608,9 @@ def pq_indexing_sink(
             batch_id=batch_id,
             stat_cols=["vec_id"],
         )
+        if policy is not None:
+            apply_index_policy(spark, index_root, policy)
+        return v
 
     return sink
 
@@ -1926,14 +1930,30 @@ def apply_index_policy(
     if any(segs.get(t, 0) > policy.max_segments for t in _BM25_TABLES):
         bm25_index_compact(spark, index_root)
         report["compacted"].append("bm25")
-    if any(segs.get(t, 0) > policy.max_segments for t in _IVF_TABLES):
+    is_ivfpq = "ivf_buckets" in segs  # vs a plain-PQ root (codes only)
+    if is_ivfpq and any(
+        segs.get(t, 0) > policy.max_segments for t in _IVF_TABLES
+    ):
         ivfpq_index_compact(spark, index_root)
         report["compacted"].append("ivfpq")
-    has_codes_with_seq = "pq_codes" in segs and "ivf_buckets" in segs
-    if has_codes_with_seq and (
-        policy.always_check_balance or "ivfpq" in report["compacted"]
-    ):
-        _, live_codes = _ivfpq_live(spark, index_root)
+    elif not is_ivfpq and segs.get("pq_codes", 0) > policy.max_segments:
+        # plain-PQ root (pq_index_build / pq_indexing_sink): the codes
+        # table is pure appends with no tombstones to apply, so the
+        # generic layout-only rewrite is the correct compaction
+        lakelog.compact(
+            spark,
+            os.path.join(index_root, "pq_codes"),
+            stat_cols=["vec_id"],
+        )
+        report["compacted"].append("pq")
+    measured = bool({"ivfpq", "pq"} & set(report["compacted"]))
+    if "pq_codes" in segs and (policy.always_check_balance or measured):
+        if is_ivfpq:
+            _, live_codes = _ivfpq_live(spark, index_root)
+        else:
+            live_codes = lakelog.read(
+                spark, os.path.join(index_root, "pq_codes")
+            )
         worst = (
             pq_assignment_balance(live_codes)
             .agg(F.max("imbalance").alias("w"))

