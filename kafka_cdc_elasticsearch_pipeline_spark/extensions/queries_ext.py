@@ -4603,6 +4603,62 @@ def ext_sim_ivfpq_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_sim_ivfpq_filtered_topk",
+    f"""
+    WITH cents AS MATERIALIZED ({_SQL_CENTROIDS}),
+    grown AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 3 = 0
+    ),
+    cbs AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 16
+    ),
+    {_SQL_IVFPQ_SERVE_TAIL}
+    """,
+    tags=("ext", "similarity", "ivf", "pq", "lake", "filtered"),
+)
+def ext_sim_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN from the persisted index — the FAISS
+    ``IDSelector`` / Lucene filtered-kNN shape, the serving feature
+    every metadata-scoped vector search needs (\"nearest docs WHERE
+    lang='en'\"): top-10 among only the vectors an application
+    predicate keeps (here vec_id % 3 == 0), served from the persisted
+    IVF-PQ artifacts with the filter applied BEFORE the rank (a
+    post-filter under-fills k whenever disallowed vectors crowd the
+    head — the correctness trap this row pins) and BEFORE the decode
+    (semi-join on the code rows: disallowed candidates never pay
+    reconstruction; no forced broadcast — a permissive filter would
+    be corpus-sized). The oracle rebuilds the filtered answer from
+    scratch: encode/reconstruct ONLY the allowed rows under the same
+    frozen artifacts (encode is per-row pure, so filtering before or
+    after encoding is the same math) and rank within probed buckets ∩
+    allowed — hash-equality proves pre-rank filter semantics exactly."""
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    embs = reuse(_embs(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="ivfpq_filtered_")
+    try:
+        si.ivfpq_index_build(spark, embs, root)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        allowed = embs.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+        out = si.ivfpq_search_from_index(
+            spark, root, queries, k=10, nprobe=2, allowed_ids=allowed
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "ext_sim_ivfpq_retrain_swap",
     f"""
     WITH cutv AS (SELECT 2 * (max(vec_id) + 1) // 3 AS cut FROM embeddings),

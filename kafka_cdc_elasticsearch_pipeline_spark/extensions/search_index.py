@@ -1410,6 +1410,7 @@ def _ivfpq_live_recon(
     vec_ids: DataFrame | None = None,
     cents: DataFrame | None = None,
     probe_labels: list[int] | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, label, recon) — LIVE vectors reconstructed from the
     persisted artifacts: tombstone-filtered codes decoded against the
@@ -1422,7 +1423,13 @@ def _ivfpq_live_recon(
     those rows BEFORE any decode work; ``cents`` lets a caller that
     already read the centroids (the probe stage) avoid a second
     manifest resolve mid-serve; ``probe_labels`` prunes both scans to
-    the probed buckets' files (see :func:`_ivfpq_live`)."""
+    the probed buckets' files (see :func:`_ivfpq_live`).
+    ``filter_ids`` is the APPLICATION-predicate twin of ``vec_ids``
+    (filtered ANN — see :func:`ivfpq_search_from_index`): also a
+    pre-decode semi-join, but WITHOUT the broadcast hint — a filter
+    can keep half the corpus, and forcing a corpus-scale broadcast
+    would OOM the executors; AQE picks broadcast vs shuffle from the
+    filter set's actual size."""
     if cents is None:
         cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
@@ -1430,6 +1437,10 @@ def _ivfpq_live_recon(
     if vec_ids is not None:
         codes = codes.join(F.broadcast(vec_ids), "vec_id", "left_semi")
         buckets = buckets.join(F.broadcast(vec_ids), "vec_id", "left_semi")
+    if filter_ids is not None:
+        ids = filter_ids.select("vec_id")
+        codes = codes.join(ids, "vec_id", "left_semi")
+        buckets = buckets.join(ids, "vec_id", "left_semi")
     if "label" in codes.columns:
         # the codes' label column exists only for file pruning; the
         # serving label comes from buckets after the (vec_id, seq) join
@@ -1462,6 +1473,7 @@ def ivfpq_search_from_index(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 2,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN serving from the PERSISTED IVF-PQ index — the production
     read path of ``similarity.ivfpq_topk``: queries (query_id,
@@ -1473,7 +1485,20 @@ def ivfpq_search_from_index(
     the SCAN (bucket-clustered segments + per-file label stats), so
     the files read follow nprobe/n_buckets of the corpus, not the
     corpus. Memory per candidate = m bytes + the broadcast codebook —
-    never the float corpus."""
+    never the float corpus.
+
+    ``allowed_ids`` — a (vec_id) DataFrame — turns this into FILTERED
+    ANN (the FAISS ``IDSelector`` / Lucene filtered-kNN shape): top-k
+    among the vectors an application predicate keeps. The filter
+    applies BEFORE the rank (a POST-filter of an unfiltered top-k
+    under-fills k whenever disallowed vectors crowd the head) and
+    BEFORE the decode (semi-join on the code rows — disallowed
+    candidates never pay reconstruction). No broadcast is forced on
+    the filter side: a selective predicate set broadcasts via AQE, a
+    half-the-corpus one shuffles — see ``_ivfpq_live_recon``. The
+    recall caveat every filtered-ANN system shares applies: with a
+    very selective filter, ``nprobe`` buckets may hold few allowed
+    vectors — raise ``nprobe`` as selectivity grows."""
     from pyspark.sql import Window as W
 
     cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
@@ -1503,7 +1528,8 @@ def ivfpq_search_from_index(
         {r.probe_label for r in probes.select("probe_label").collect()}
     )
     recon = _ivfpq_live_recon(
-        spark, index_root, cents=cents, probe_labels=probe_labels
+        spark, index_root, cents=cents, probe_labels=probe_labels,
+        filter_ids=allowed_ids,
     )
     scored = (
         recon.join(F.broadcast(probes), recon["label"] == probes["probe_label"])

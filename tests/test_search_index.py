@@ -2547,3 +2547,44 @@ def test_policy_compacts_plain_pq_root(spark, sf_dir, tmp_path):
     n = codes.select("vec_id").distinct().count()
     assert n == 180
     assert codes.count() == 180 * sim.PQ_M
+
+
+def test_filtered_ann_is_pre_rank_not_post_filter(spark, sf_dir, tmp_path):
+    """Filtered ANN semantics: top-k among ALLOWED vectors — the
+    filter must apply before the rank. A post-filter of the
+    unfiltered top-k under-fills k (and can miss allowed neighbors
+    entirely) whenever disallowed vectors crowd the head; this pins
+    the difference on the real corpus, plus composition with
+    tombstones (a deleted-but-allowed vector still cannot serve)."""
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.ivfpq_index_build(spark, embs, index)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    allowed = embs.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    got = si.ivfpq_search_from_index(
+        spark, index, queries, k=10, nprobe=2, allowed_ids=allowed
+    ).collect()
+    assert len(got) == 30  # k FILLED from the allowed set
+    assert all(r.neighbor_id % 3 == 0 for r in got)
+    # the post-filter strawman under-fills: unfiltered top-10 keeps
+    # only ~1/3 allowed rows per query
+    unfiltered = si.ivfpq_search_from_index(
+        spark, index, queries, k=10, nprobe=2
+    ).collect()
+    post = [r for r in unfiltered if r.neighbor_id % 3 == 0]
+    assert len(post) < 30
+    # pre-rank also promotes allowed neighbors the unfiltered head hid
+    got_ids = {(r.query_id, r.neighbor_id) for r in got}
+    assert got_ids - {(r.query_id, r.neighbor_id) for r in post}
+    # composes with tombstones: delete an allowed served neighbor and
+    # it vanishes while k stays filled
+    victim = got[0].neighbor_id
+    si.ivfpq_index_delete(spark, index, [int(victim)])
+    after = si.ivfpq_search_from_index(
+        spark, index, queries, k=10, nprobe=2, allowed_ids=allowed
+    ).collect()
+    assert len(after) == 30
+    assert all(r.neighbor_id != victim for r in after)
