@@ -86,17 +86,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # clear its own r11 floor, so keep N modest — ≤ ~10 — or split
 # across rounds).
 #
-# r11 window math (written r10): r10 registers exactly 2 new queries
-# (ext_search_hybrid_rrf, ext_sim_ivfpq_retrain_swap) — registry 207,
-# 206 gated, floor ceil(206/50) = 5 (check_oracle confirms). The r10
-# window = 2 never + 6 r05 (their floor round — refreshed exactly on
-# time) + 42 of the 50 r06 rows. That leaves 8 r06 rows whose floor
-# is r11; the oldest-first rotation puts them at the head of the r11
-# window automatically, so r11 needs no pin. r11's budget: window =
-# N new + 8 r06 + (42−N) r07, and the r07 block of 50 must finish
-# refreshing by r12 — the (8+N) r07 rows left over land at the head
-# of r12's window, safe for any N ≤ ~40, but keep N ≤ ~10 so the r08
-# block (49 rows, floor r13) doesn't start compounding behind it.
+# r11 window math (written r10): r10 registers exactly 3 new queries
+# (ext_search_hybrid_rrf, ext_sim_ivfpq_retrain_swap,
+# ext_sim_ivfpq_filtered_topk) — registry 208, 207 gated, floor
+# ceil(207/50) = 5 (check_oracle confirms). The r10 window = 3 never
+# + 6 r05 (their floor round — refreshed exactly on time) + 41 of
+# the 50 r06 rows. That leaves 9 r06 rows whose floor is r11; the
+# oldest-first rotation puts them at the head of the r11 window
+# automatically, so r11 needs no pin. r11's budget: window = N new +
+# 9 r06 + (41−N) r07, and the r07 block of 50 must finish refreshing
+# by r12 — the (9+N) r07 rows left over land at the head of r12's
+# window, safe for any N ≤ ~40, but keep N ≤ ~10 so the r08 block
+# (49 rows, floor r13) doesn't start compounding behind it.
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

@@ -2588,3 +2588,143 @@ def test_filtered_ann_is_pre_rank_not_post_filter(spark, sf_dir, tmp_path):
     ).collect()
     assert len(after) == 30
     assert all(r.neighbor_id != victim for r in after)
+
+
+def test_ivfpq_swap_matches_replay_over_random_retrain_points(spark, tmp_path):
+    """PROPERTY: for any CDC history and ANY retrain point inside it,
+    retrain-at-snapshot + swap (catch-up fold from the stamped
+    watermark) serves exactly the frozen-green-artifact encode of a
+    naive python replay of the FULL history — no interleaving can
+    lose, double, or misorder mid-retrain traffic. (The swap twin of
+    test_ivfpq_maintain_matches_replay_over_random_cdc_histories.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    KEYS = list(range(6))
+    batch_strategy = st.lists(
+        st.dictionaries(
+            st.sampled_from(KEYS),
+            st.sampled_from(["u", "d"]),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+    counter = {"n": 0}
+
+    @given(history=batch_strategy, data=st.data())
+    @settings(max_examples=5, deadline=None)
+    def run(history, data):
+        from hypothesis import assume
+
+        j = data.draw(
+            st.integers(min_value=0, max_value=len(history)), label="retrain_at"
+        )
+        # python replay: state at the retrain point and at the end
+        def replay(batches, start_state):
+            state = dict(start_state)
+            for ts, batch in batches:
+                for k, op in sorted(batch.items()):
+                    if op == "d":
+                        state.pop(k, None)
+                    else:
+                        state[k] = ts
+            return state
+
+        stamped = list(enumerate(history, start=1))
+        snap_state = replay(stamped[:j], {k: 0 for k in KEYS})
+        final_state = replay(stamped[j:], snap_state)
+        assume(snap_state)  # retrain needs a non-empty snapshot
+
+        counter["n"] += 1
+        root = str(tmp_path / f"swapcase{counter['n']}")
+        src = os.path.join(root, "src")
+        old = os.path.join(root, "blue")
+        green = os.path.join(root, "green")
+        ptr = os.path.join(root, "ptr")
+        base_rows = [(k, _pvec(k, 0), (k % 2)) for k in KEYS]
+        base = spark.createDataFrame(
+            base_rows, "vec_id bigint, embedding array<double>, label bigint"
+        )
+        lakelog.append_commit(
+            spark, src,
+            base.select("vec_id", "embedding", F.lit(0).alias("_ts_ms")),
+        )
+        si.ivfpq_index_build(spark, base, old, source_watermark=1)
+        si.serving_pointer_set(ptr, old)
+
+        def apply_batch(ts, batch):
+            rows = [(k, _pvec(k, ts), ts, op) for k, op in sorted(batch.items())]
+            lakelog.merge_apply_cdc(
+                spark, src,
+                spark.createDataFrame(
+                    rows,
+                    "vec_id bigint, embedding array<double>, "
+                    "_ts_ms bigint, _op string",
+                ),
+                ["vec_id"], "_ts_ms",
+            )
+
+        for ts, batch in stamped[:j]:
+            apply_batch(ts, batch)
+        si.ivfpq_index_retrain(spark, src, green, old_root=old, iterations=1)
+        touched_after = set()
+        for ts, batch in stamped[j:]:
+            apply_batch(ts, batch)
+            touched_after.update(batch.keys())
+        si.ivfpq_index_swap(spark, src, green, ptr, expect_root=old)
+        assert si.serving_pointer_get(ptr) == os.path.abspath(green)
+
+        live_buckets, live_codes = si._ivfpq_live(spark, green)
+        if not final_state:
+            assert live_buckets.count() == 0 and live_codes.count() == 0
+            return
+        # expected labels: snapshot rows carry the retrain's refined
+        # assignment (re-derived through the same lib calls retrain
+        # makes — deterministic); rows upserted after the retrain are
+        # assigned under green's PERSISTED centroids by the fold
+        old_cents = lakelog.read(spark, os.path.join(old, "ivf_centroids"))
+        cents2 = lakelog.read(spark, os.path.join(green, "ivf_centroids"))
+        cb2 = lakelog.read(spark, os.path.join(green, "pq_codebook"))
+        snap = spark.createDataFrame(
+            [(k, _pvec(k, v)) for k, v in sorted(snap_state.items())],
+            "vec_id bigint, embedding array<double>",
+        )
+        seeded = snap.join(
+            sim.assign_centroids(
+                snap.withColumn("label", F.lit(-1).cast("long")), old_cents
+            ).select("vec_id", F.col("assigned_label").alias("label")),
+            "vec_id",
+        )
+        refined = sim.kmeans_refine(seeded, iterations=1).select(
+            "vec_id", F.col("final_label").alias("label")
+        )
+        exp = spark.createDataFrame(
+            [(k, _pvec(k, v)) for k, v in sorted(final_state.items())],
+            "vec_id bigint, embedding array<double>",
+        )
+        after_ids = sorted(touched_after)
+        reassigned = sim.assign_centroids(
+            exp.filter(F.col("vec_id").isin(after_ids)).withColumn(
+                "label", F.lit(-1).cast("long")
+            ),
+            cents2,
+        ).select("vec_id", F.col("assigned_label").alias("label"))
+        expected = (
+            exp.filter(~F.col("vec_id").isin(after_ids))
+            .join(refined, "vec_id")
+            .unionByName(exp.join(reassigned, "vec_id"))
+        )
+        assert sorted(
+            (r.vec_id, r.label) for r in live_buckets.collect()
+        ) == sorted(
+            (r.vec_id, r.label)
+            for r in expected.select("vec_id", "label").collect()
+        )
+        want = sim.pq_encode(sim.residuals(expected, cents2), cb2)
+        assert sorted(
+            (r.vec_id, r.m, r.code) for r in live_codes.collect()
+        ) == sorted((r.vec_id, r.m, r.code) for r in want.collect())
+
+    run()
