@@ -2728,3 +2728,52 @@ def test_ivfpq_swap_matches_replay_over_random_retrain_points(spark, tmp_path):
         ) == sorted((r.vec_id, r.m, r.code) for r in want.collect())
 
     run()
+
+
+def test_serving_pointer_flip_goes_through_commit_claim_hook(spark, tmp_path):
+    """The pointer flip must honor lakelog's installed commit-claim
+    hook (the docstring's S3-deployment claim): with a coordination
+    layer installed, a racer that claimed the version first turns a
+    concurrent flip into a retry at the next version — and the flip
+    never bypasses the hook with a raw filesystem write."""
+    ptr = str(tmp_path / "ptr")
+    seen: list[tuple[str, int]] = []
+    real_claim = lakelog.set_commit_claim(None)  # capture default
+
+    def recording_claim(table, version, tmp_manifest):
+        seen.append((table, version))
+        return real_claim(table, version, tmp_manifest)
+
+    prev = lakelog.set_commit_claim(recording_claim)
+    try:
+        si.serving_pointer_set(ptr, str(tmp_path / "a"))
+        si.serving_pointer_set(ptr, str(tmp_path / "b"))
+    finally:
+        lakelog.set_commit_claim(prev)
+    assert [v for t, v in seen if t == ptr] == [1, 2]
+    # a hook that rejects version 3 once (racer owns it) forces a
+    # retry that lands on version 4 — no silent overwrite
+    fails = {"left": 1}
+
+    def contested_claim(table, version, tmp_manifest):
+        if table == ptr and version == 3 and fails["left"]:
+            fails["left"] -= 1
+            # the racer publishes version 3 out from under us
+            import json as _json
+
+            with open(lakelog._manifest_file(table, 3), "w") as f:
+                _json.dump(
+                    {"version": 3, "root": "/racer", "previous": None}, f
+                )
+            raise lakelog.CommitConflict("version 3 already committed")
+        return real_claim(table, version, tmp_manifest)
+
+    prev = lakelog.set_commit_claim(contested_claim)
+    try:
+        v = si.serving_pointer_set(ptr, str(tmp_path / "c"))
+    finally:
+        lakelog.set_commit_claim(prev)
+    assert v == 4
+    assert si.serving_pointer_get(ptr) == os.path.abspath(str(tmp_path / "c"))
+    # the racer's record is intact in the history
+    assert lakelog.read_manifest(ptr, 3)["root"] == "/racer"
