@@ -396,12 +396,19 @@ def cdc_search_indexing_sink(
     source_version) so the fold replays as an idempotent catch-up."""
 
     def sink(batch_df: DataFrame, batch_id: int):
+        # idle-trigger short-circuit BEFORE any work (round-10 review
+        # finding): an empty batch has nothing to merge or fold, and
+        # running maintain + the policy pass anyway pays watermark
+        # resolution, six tables of manifest reads, a vacuum sweep
+        # and a status rewrite per idle trigger. Safe to skip: a
+        # crashed non-empty batch is redelivered by foreachBatch and
+        # re-runs the full sink.
+        if batch_df.isEmpty():
+            return None
         _cdc_merge_once(
             spark, source_table, batch_df, keys, ts_col, op_col,
             app_id, batch_id,
         )
-        if lakelog.latest_version(source_table) is None:
-            return None  # empty batch 0: nothing ingested, no index yet
         v = bm25_index_maintain(
             spark, source_table, index_root, app_id=f"{app_id}-idx"
         )
@@ -461,12 +468,13 @@ def cdc_dual_indexing_sink(
     )
 
     def sink(batch_df: DataFrame, batch_id: int):
+        # idle-trigger short-circuit: see cdc_search_indexing_sink
+        if batch_df.isEmpty():
+            return None
         _cdc_merge_once(
             spark, source_table, batch_df, keys, ts_col, op_col,
             app_id, batch_id,
         )
-        if lakelog.latest_version(source_table) is None:
-            return None  # empty batch 0: nothing ingested, no index yet
         bm25_index_maintain(
             spark, source_table, bm25_root, app_id=bm25_lineage
         )
@@ -495,11 +503,11 @@ def _cdc_merge_once(
     """The CDC sinks' shared redelivery-guarded merge: skip by the
     source manifest's (app_id, batch_id) watermark BEFORE burning a
     version, else ``merge_apply_cdc`` with the watermark recorded in
-    the same commit. Empty micro-batches (idle triggers) short-circuit
-    — a merge with zero change rows would still rewrite the full
-    snapshot as a new version (COW), O(corpus) work for nothing."""
-    if batch_df.isEmpty():
-        return
+    the same commit. Callers short-circuit empty micro-batches (idle
+    triggers) BEFORE calling — a merge with zero change rows would
+    still rewrite the full snapshot as a new version (COW), and the
+    maintain/policy passes after it are pure amplification for zero
+    rows."""
     src_head = lakelog.latest_version(source_table)
     src_wm = -1
     if src_head is not None:
@@ -818,29 +826,18 @@ def hybrid_search_rrf_index_only(
     per query) produces the same (query_id, doc_id, rank) shape and
     plugs into :func:`rrf_fuse` unchanged."""
     lex = _bm25_cand_topk(spark, bm25_root, query_ids, pool, with_rank=True)
-    from pyspark.sql import Window as W
-
     cb, codes = pq_index_read(spark, pq_root)
     recon = sim.pq_reconstruct(codes, cb)
-    scored = (
-        recon.join(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                sim.cosine(F.col("recon"), F.col("q_embedding")), 6
-            ).alias("cosine"),
-        )
-    )
-    wd = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("doc_id").asc()
-    )
-    dense = (
-        scored.withColumn("rank", F.row_number().over(wd))
-        .filter(F.col("rank") <= pool)
-        .select("query_id", "doc_id", "rank")
-    )
+    # the dense list IS brute-force ADC top-pool over the decoded
+    # index — reuse the one ranking implementation (round-6 cosine,
+    # self-exclusion, id-ASC ties) instead of restating it here
+    # (round-10 review: three hand-rolled copies of the convention
+    # would drift independently)
+    dense = sim.brute_force_topk(
+        recon.select("vec_id", F.col("recon").alias("embedding")),
+        queries,
+        k=pool,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, dense], k0=k0, k=k)
 
 
@@ -1176,6 +1173,11 @@ def _ivfpq_live(
         # table because _adopt_legacy keeps it all-legacy or
         # all-current, never mixed.
         head = lakelog.latest_version(t_codes)
+        if head is None:
+            # half-built root (build crashed between the centroids
+            # and codes commits): fail the way lakelog.read does, not
+            # with a TypeError from formatting a None version
+            raise FileNotFoundError(f"no committed version in {t_codes}")
         manifest = lakelog.read_manifest(t_codes, head)
         newest = os.path.join(t_codes, manifest["data_dirs"][-1])
         if "label" not in spark.read.parquet(newest).schema.names:
@@ -1388,12 +1390,13 @@ def cdc_ann_indexing_sink(
     base as duplicate live segments."""
 
     def sink(batch_df: DataFrame, batch_id: int):
+        # idle-trigger short-circuit: see cdc_search_indexing_sink
+        if batch_df.isEmpty():
+            return None
         _cdc_merge_once(
             spark, source_table, batch_df, keys, ts_col, op_col,
             app_id, batch_id,
         )
-        if lakelog.latest_version(source_table) is None:
-            return None  # empty batch 0: nothing ingested, no index yet
         v = ivfpq_index_maintain(
             spark, source_table, index_root, app_id=index_app_id
         )
@@ -1656,43 +1659,49 @@ def serving_pointer_set(
     ``expect_root`` makes the flip a CAS: raise CommitConflict unless
     the CURRENT target is the given root — two operators racing swaps
     must not silently overwrite each other's cutover. Returns the
-    committed pointer version."""
-    import json
-    import uuid
+    committed pointer version.
 
-    os.makedirs(lakelog._log_path(pointer), exist_ok=True)
-    for _ in range(max_retries + 1):
-        cur_v = lakelog.latest_version(pointer)
-        cur_root = (
-            lakelog.read_manifest(pointer, cur_v)["root"]
-            if cur_v is not None
-            else None
-        )
-        if expect_root is not None and cur_root != os.path.abspath(expect_root):
+    IDEMPOTENT when the pointer already targets ``root``: the current
+    version returns with no new commit and WITHOUT consulting
+    ``expect_root`` — a replayed cutover (crash after the flip, an
+    at-least-once scheduler redelivering a completed swap) is a
+    success, not a conflict (round-10 review finding). The commit
+    goes through :func:`lakelog.commit_record`, so the CAS re-checks
+    against the new head after any lost race."""
+    target = os.path.abspath(root)
+    cur_v = lakelog.latest_version(pointer)
+    if cur_v is not None:
+        if lakelog.read_manifest(pointer, cur_v)["root"] == target:
+            return cur_v  # already pointing there: replay is a no-op
+
+    def build(version: int, prev: dict | None) -> dict:
+        prev_root = prev["root"] if prev is not None else None
+        if prev_root == target:
+            # a racer landed the same flip between our pre-check and
+            # the claim — publishing a same-target record is harmless
+            # but pointless; surface it as the no-op it is
+            raise _AlreadyPointing(version - 1)
+        if expect_root is not None and prev_root != os.path.abspath(
+            expect_root
+        ):
             raise lakelog.CommitConflict(
-                f"serving pointer targets {cur_root!r}, expected "
+                f"serving pointer targets {prev_root!r}, expected "
                 f"{os.path.abspath(expect_root)!r}"
             )
-        v = (cur_v or 0) + 1
-        record = {
-            "version": v,
-            "root": os.path.abspath(root),
-            "previous": cur_root,
-        }
-        tmp = lakelog._manifest_file(pointer, v) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        try:
-            lakelog._COMMIT_CLAIM(pointer, v, tmp)
-        except lakelog.CommitConflict:
-            continue  # racer took version v: re-read and retry
-        finally:
-            os.unlink(tmp)
-        lakelog._write_latest_hint(pointer, v)
-        return v
-    raise lakelog.CommitConflict(
-        f"serving pointer {pointer} lost {max_retries + 1} races"
-    )
+        return {"version": version, "root": target, "previous": prev_root}
+
+    try:
+        return lakelog.commit_record(pointer, build, max_retries=max_retries)
+    except _AlreadyPointing as done:
+        return done.version
+
+
+class _AlreadyPointing(Exception):
+    """Internal: a concurrent flip already landed this exact target."""
+
+    def __init__(self, version: int):
+        super().__init__(version)
+        self.version = version
 
 
 def serving_pointer_get(pointer: str) -> str:
@@ -1737,6 +1746,12 @@ def ivfpq_index_swap(
     - the flip itself is one atomic create-if-absent; pass
       ``expect_root`` (the root retrained FROM) to make it a CAS so a
       racing swap conflicts instead of silently winning.
+    - AFTER the flip: a replayed swap is a complete no-op — the fold
+      watermarks sit at head and :func:`serving_pointer_set` treats
+      already-pointing-at-``root`` as success without consulting
+      ``expect_root``, so an at-least-once scheduler redelivering a
+      finished swap sees success, not CommitConflict (round-10
+      review finding).
 
     The old root is left intact for rollback (point back — its own
     watermarks still say what it reflects, so maintenance can resume
@@ -1766,22 +1781,33 @@ def ivfpq_search_serving(
 
 def retire_index_root(pointer: str, root: str, min_age_s: float = 3600.0) -> bool:
     """The last step of a blue/green cycle: delete a root that no
-    longer serves. Two refusals make it safe to call from a scheduler:
-    the pointer's CURRENT target is never deleted (ValueError — the
-    caller raced a rollback), and a root younger than ``min_age_s``
-    is left alone (False — in-flight serves that resolved the pointer
-    BEFORE the swap may still be reading it; the age guard is the
-    same straggler-reader retention reasoning as ``lakelog.vacuum``).
-    Returns True when the root was removed. The pointer's version
-    history (each record carries ``previous``) is the audit trail of
-    what served when."""
+    longer serves. Two refusals make it safe to schedule: the
+    pointer's CURRENT target is never deleted (ValueError — checked
+    on entry AND re-checked immediately before the delete, so a
+    rollback landing mid-call is caught at the last possible read),
+    and a root younger than ``min_age_s`` is left alone (False —
+    in-flight serves that resolved the pointer BEFORE the swap may
+    still be reading it; the same straggler-reader retention
+    reasoning as ``lakelog.vacuum``). Returns True when the root was
+    removed.
+
+    Concurrency contract (round-10 review): the re-check NARROWS the
+    rollback/retire race to the instant before ``rmtree`` but cannot
+    close it — the pointer has no way to pin a root against deletion.
+    Retire and rollback are both OPERATOR actions on the same index
+    lineage; serialize them through the deployment's retention policy
+    (rollback is only promised within the retention window, retire
+    only runs after it — the discipline ``min_age_s`` encodes).
+    After a retire, a rollback targets :func:`ivfpq_index_retrain`'s
+    next root, not the deleted one; the pointer's version history
+    (every record carries ``previous``) is the audit trail of what
+    served when."""
     import shutil
     import time
 
     if not os.path.isdir(root):
         return False
-    current = serving_pointer_get(pointer)
-    if os.path.abspath(root) == current:
+    if os.path.abspath(root) == serving_pointer_get(pointer):
         raise ValueError(
             f"{root!r} is the CURRENT serving root — swap away from it "
             "before retiring it"
@@ -1796,6 +1822,11 @@ def retire_index_root(pointer: str, root: str, min_age_s: float = 3600.0) -> boo
     )
     if time.time() - newest < min_age_s:
         return False
+    if os.path.abspath(root) == serving_pointer_get(pointer):
+        raise ValueError(
+            f"{root!r} became the serving root mid-retire (rollback "
+            "raced the retention sweep) — not deleting it"
+        )
     shutil.rmtree(root)
     return True
 
@@ -1989,6 +2020,17 @@ def apply_index_policy(
         if worst is not None:
             report["imbalance"] = worst
             report["retrain_due"] = bool(worst > policy.retrain_imbalance)
+    if report["compacted"]:
+        # the status file must describe the index AS LEFT, not as
+        # found (round-10 review: persisting the pre-compaction
+        # counts next to compacted=[...] made the report claim an
+        # over-threshold index right after fixing it)
+        post = index_read_amplification(index_root)
+        report["n_segments_before"] = segs
+        report["n_segments"] = {t: v["n_segments"] for t, v in post.items()}
+        report["applied_at_versions"] = {
+            t: v["version"] for t, v in post.items()
+        }
     if policy.vacuum_keep_last is not None:
         for t in (*_BM25_TABLES, *_IVF_TABLES):
             table = os.path.join(index_root, t)

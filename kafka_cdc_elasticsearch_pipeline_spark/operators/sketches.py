@@ -124,13 +124,25 @@ def cms_estimate(
             )
     from pyspark.sql import types as T
 
+    def _holds_map(dt) -> bool:
+        # Spark rejects a map ANYWHERE inside a grouping expression,
+        # so the walk must recurse through structs/arrays (round-10
+        # review: the top-level-only check missed struct<map<...>>)
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _holds_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_holds_map(f.dataType) for f in dt.fields)
+        return False
+
     for f_ in keys_df.schema.fields:
-        if isinstance(f_.dataType, T.MapType):
+        if _holds_map(f_.dataType):
             raise ValueError(
-                f"probe column {f_.name!r} is a MapType — not groupable, "
-                "and cms_estimate groups probe rows by value (retry-"
-                "deterministic multiplicity). to_json() or drop it "
-                "before probing."
+                f"probe column {f_.name!r} holds a MapType — not "
+                "groupable, and cms_estimate groups probe rows by value "
+                "(retry-deterministic multiplicity). to_json() or drop "
+                "it before probing."
             )
     distinct = keys_df.groupBy(*keys_df.columns).agg(
         F.count(F.lit(1)).alias("__cms_mult")

@@ -1203,6 +1203,42 @@ def txn_append_commit(
     raise CommitConflict(f"txn append into {table} lost {max_retries + 1} races")
 
 
+def commit_record(table, build, max_retries: int = 3) -> int:
+    """Commit a raw JSON record as ``table``'s next version — the
+    METADATA-ONLY commit primitive behind auxiliary logs (e.g. the
+    search-index serving pointer): no data dirs, no Spark job, but the
+    same atomic version claim (including any ``set_commit_claim``
+    coordination hook — an S3 deployment's lock table covers these
+    commits too), the same retry-on-conflict discipline, and the same
+    latest-version hint. ``build(next_version, prev_record)`` produces
+    the dict to publish and is called INSIDE the retry loop, so a
+    CAS-style check against the previous record re-runs against the
+    new head after a lost race; raise from ``build`` (e.g.
+    :class:`CommitConflict`) to abort the commit. Tables written this
+    way are version logs of opaque records — don't point
+    :func:`read`/:func:`history` at them (no ``data_dirs``)."""
+    os.makedirs(_log_path(table), exist_ok=True)
+    for _ in range(max_retries + 1):
+        parent = latest_version(table)
+        prev = read_manifest(table, parent) if parent is not None else None
+        version = (parent or 0) + 1
+        record = build(version, prev)
+        tmp = _manifest_file(table, version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        try:
+            _COMMIT_CLAIM(table, version, tmp)
+        except CommitConflict:
+            continue  # racer took this version: re-read and retry
+        finally:
+            os.unlink(tmp)
+        _write_latest_hint(table, version)
+        return version
+    raise CommitConflict(
+        f"record commit into {table} lost {max_retries + 1} races"
+    )
+
+
 def history(table: str) -> list[dict]:
     """DESCRIBE HISTORY twin: one row per committed version, newest
     first — version, operation, parent, number of data dirs, recorded

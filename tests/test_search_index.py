@@ -2777,3 +2777,59 @@ def test_serving_pointer_flip_goes_through_commit_claim_hook(spark, tmp_path):
     assert si.serving_pointer_get(ptr) == os.path.abspath(str(tmp_path / "c"))
     # the racer's record is intact in the history
     assert lakelog.read_manifest(ptr, 3)["root"] == "/racer"
+
+
+def test_swap_replay_after_flip_is_noop_not_conflict(spark, sf_dir, tmp_path):
+    """Round-10 review: a swap redelivered AFTER its pointer flip
+    landed (crash between flip and ack, at-least-once scheduler) must
+    read as success — same head, same pointer version, no new
+    commits — not CommitConflict from the CAS seeing the new root."""
+    src, old, new, ptr, survivors = _swap_scenario(spark, sf_dir, tmp_path)
+    head = si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old)
+    ptr_v = lakelog.latest_version(ptr)
+    # the replay passes the ORIGINAL expect_root — exactly what the
+    # scheduler that launched the swap would redeliver
+    assert si.ivfpq_index_swap(spark, src, new, ptr, expect_root=old) == head
+    assert lakelog.latest_version(ptr) == ptr_v  # no redundant flip
+    assert si.serving_pointer_get(ptr) == os.path.abspath(new)
+    # same-target pointer set alone is also a version-stable no-op
+    assert si.serving_pointer_set(ptr, new) == ptr_v
+    assert lakelog.latest_version(ptr) == ptr_v
+
+
+def test_ivfpq_live_half_built_root_raises_cleanly(spark, sf_dir, tmp_path):
+    """Round-10 review: a root whose build crashed between the
+    centroids and codes commits must fail the pruned serve path with
+    FileNotFoundError naming the missing table, not a TypeError from
+    formatting a None version."""
+    import pytest as _pytest
+
+    index = str(tmp_path / "half")
+    embs = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    cents = sim.centroids(embs)
+    lakelog.commit(os.path.join(index, "ivf_centroids"), cents, "append")
+    lakelog.commit(
+        os.path.join(index, "ivf_buckets"),
+        embs.select("vec_id", "label", F.lit(0).cast("long").alias("seq")),
+        "append",
+        stat_cols=["vec_id", "label"],
+    )
+    with _pytest.raises(FileNotFoundError, match="pq_codes"):
+        si._ivfpq_live(spark, index, probe_labels=[0, 1])
+
+
+def test_policy_status_records_post_compaction_state(spark, sf_dir, tmp_path):
+    """Round-10 review: after a policy compaction the persisted status
+    must describe the index AS LEFT (counts back under threshold),
+    with the pre-compaction counts kept under n_segments_before."""
+    src = str(tmp_path / "docs")
+    index = str(tmp_path / "idx")
+    policy = si.IndexMaintenancePolicy(max_segments=2)
+    sink = si.bm25_indexing_sink(spark, src, index, policy=policy)
+    _, chunks = _doc_chunks(spark, sf_dir)
+    for i, chunk in enumerate(chunks):
+        sink(chunk, i)
+    status = si.read_maintenance_status(index)
+    assert status["compacted"] == ["bm25"]
+    assert all(v <= 2 for v in status["n_segments"].values())
+    assert max(status["n_segments_before"].values()) > 2

@@ -193,6 +193,13 @@ def test_cms_estimate_rejects_map_probe_column(spark):
     sketch = cms_build(rows, F.col("k"))
     with pytest.raises(ValueError, match="MapType"):
         cms_estimate(rows, sketch, "k")
+    # nested maps are just as ungroupable — the walk must recurse
+    nested = rows.select("k", F.struct("attrs").alias("wrapped"))
+    with pytest.raises(ValueError, match="MapType"):
+        cms_estimate(nested, sketch, "k")
+    arr = rows.select("k", F.array("attrs").alias("attrs_list"))
+    with pytest.raises(ValueError, match="MapType"):
+        cms_estimate(arr, sketch, "k")
     # the documented workaround passes
     ok = cms_estimate(
         rows.select("k", F.to_json("attrs").alias("attrs")), sketch, "k"
