@@ -124,6 +124,19 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--sf", default=DEFAULT_SF)
     p_serve.add_argument("--port", type=int, default=8088)
 
+    p_search = sub.add_parser(
+        "serve-search",
+        help="Elasticsearch-role REST server over the maintained "
+        "indexes (POST /search, GET /status)",
+    )
+    p_search.add_argument("--bm25-root", default=None)
+    p_search.add_argument("--ivfpq-root", default=None)
+    p_search.add_argument(
+        "--sf", default=DEFAULT_SF,
+        help="harness dir whose embeddings table resolves query_ids",
+    )
+    p_search.add_argument("--port", type=int, default=9200)
+
     args = ap.parse_args(argv)
 
     from kafka_cdc_elasticsearch_pipeline_spark.queries import QUERIES
@@ -211,6 +224,36 @@ def main(argv: list[str] | None = None) -> int:
             topics[t] = df.withColumn("rowtime", F.col(tc)) if tc else df
         server = KsqlRestServer(KsqlEngine(spark, topics), port=args.port).start()
         print(f"listening on {server.url} (POST /ksql, POST /query, GET /info)")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
+        return 0
+
+    if args.cmd == "serve-search":
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.search_rest import (
+            SearchRestServer,
+        )
+        from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import (
+            load_table,
+        )
+
+        qsrc = None
+        try:
+            qsrc = load_table(spark, args.sf, "embeddings")
+        except Exception:  # noqa: BLE001 - query_ids then need inline vectors
+            pass
+        server = SearchRestServer(
+            spark,
+            bm25_root=args.bm25_root,
+            ivfpq_root=args.ivfpq_root,
+            query_source=qsrc,
+            port=args.port,
+        ).start()
+        print(f"listening on {server.url} (POST /search, GET /status)")
         try:
             import time as _time
 
