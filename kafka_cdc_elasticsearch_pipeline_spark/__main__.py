@@ -132,6 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--bm25-root", default=None)
     p_search.add_argument("--ivfpq-root", default=None)
     p_search.add_argument(
+        "--ivfpq-pointer", default=None,
+        help="mount the vector index through a serving pointer "
+        "(blue/green swaps become invisible to consumers)",
+    )
+    p_search.add_argument(
         "--sf", default=DEFAULT_SF,
         help="harness dir whose embeddings table resolves query_ids",
     )
@@ -250,6 +255,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             bm25_root=args.bm25_root,
             ivfpq_root=args.ivfpq_root,
+            ivfpq_pointer=args.ivfpq_pointer,
             query_source=qsrc,
             port=args.port,
         ).start()

@@ -57,24 +57,34 @@ class SearchRestServer:
 
     ``bm25_root`` / ``ivfpq_root`` mount the two index families
     (either may be absent — modes needing a missing root return 400).
-    ``query_source`` is an optional (vec_id, embedding) DataFrame used
-    to resolve ``query_ids`` into query vectors (the demo shape where
-    queries are corpus members); applications that bring their own
-    vectors pass ``queries`` in the request body instead, keeping the
-    serve path free of any raw-corpus dependency."""
+    ``ivfpq_pointer`` mounts the vector side THROUGH a serving pointer
+    instead of a static root: every request resolves the pointer's
+    current target (one JSON read — ``serving_pointer_get``), so a
+    blue/green retrain swap (:func:`search_index.ivfpq_index_swap`)
+    is invisible to REST consumers — exactly the application-side
+    contract the pointer exists for. ``query_source`` is an optional
+    (vec_id, embedding) DataFrame used to resolve ``query_ids`` into
+    query vectors (the demo shape where queries are corpus members);
+    applications that bring their own vectors pass ``queries`` in the
+    request body instead, keeping the serve path free of any
+    raw-corpus dependency."""
 
     def __init__(
         self,
         spark: SparkSession,
         bm25_root: str | None = None,
         ivfpq_root: str | None = None,
+        ivfpq_pointer: str | None = None,
         query_source: DataFrame | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
     ):
+        if ivfpq_root is not None and ivfpq_pointer is not None:
+            raise ValueError("mount ivfpq_root OR ivfpq_pointer, not both")
         self.spark = spark
         self.bm25_root = bm25_root
-        self.ivfpq_root = ivfpq_root
+        self._ivfpq_static = ivfpq_root
+        self.ivfpq_pointer = ivfpq_pointer
         self.query_source = query_source
         outer = self
 
@@ -127,6 +137,16 @@ class SearchRestServer:
 
     # --- request handlers (plain methods so tests can call them directly) ---
 
+    @property
+    def ivfpq_root(self) -> str | None:
+        """The vector index actually served RIGHT NOW: the static
+        mount, or the pointer's current target re-resolved on every
+        access (requests capture it once on entry, so one response
+        never straddles a swap)."""
+        if self.ivfpq_pointer is not None:
+            return si.serving_pointer_get(self.ivfpq_pointer)
+        return self._ivfpq_static
+
     def status(self) -> dict:
         out: dict = {}
         for name, root in (("bm25", self.bm25_root), ("ivfpq", self.ivfpq_root)):
@@ -169,6 +189,9 @@ class SearchRestServer:
         k = int(req.get("k", 10))
         pool = int(req.get("pool", 20))
         nprobe = int(req.get("nprobe", 2))
+        # resolve the pointer ONCE per request: a swap landing
+        # mid-request cannot mix two roots in one response
+        ivfpq_root = self.ivfpq_root
         if mode == "bm25":
             if self.bm25_root is None:
                 raise ValueError("no bm25 index mounted")
@@ -192,7 +215,7 @@ class SearchRestServer:
                 )
             )
         elif mode == "ann":
-            if self.ivfpq_root is None:
+            if ivfpq_root is None:
                 raise ValueError("no ivfpq index mounted")
             qdf, _ = self._queries_df(req)
             allowed = None
@@ -201,7 +224,7 @@ class SearchRestServer:
                     [(int(v),) for v in req["allowed_ids"]], "vec_id bigint"
                 )
             df = si.ivfpq_search_from_index(
-                self.spark, self.ivfpq_root, qdf, k=k, nprobe=nprobe,
+                self.spark, ivfpq_root, qdf, k=k, nprobe=nprobe,
                 allowed_ids=allowed,
             ).select(
                 "query_id",
@@ -210,12 +233,12 @@ class SearchRestServer:
                 "rank",
             )
         elif mode in ("rerank", "rrf"):
-            if self.bm25_root is None or self.ivfpq_root is None:
+            if self.bm25_root is None or ivfpq_root is None:
                 raise ValueError(f"{mode} mode needs both indexes mounted")
             qdf, qids = self._queries_df(req)
             if mode == "rerank":
                 df = si.hybrid_search_from_cdc_indexes(
-                    self.spark, self.bm25_root, self.ivfpq_root, qdf,
+                    self.spark, self.bm25_root, ivfpq_root, qdf,
                     query_ids=qids, pool=pool, k=k,
                 ).select(
                     "query_id",
@@ -225,7 +248,7 @@ class SearchRestServer:
                 )
             else:
                 df = si.hybrid_search_rrf_from_cdc_indexes(
-                    self.spark, self.bm25_root, self.ivfpq_root, qdf,
+                    self.spark, self.bm25_root, ivfpq_root, qdf,
                     query_ids=qids, pool=pool, k=k, nprobe=nprobe,
                 ).select(
                     "query_id",

@@ -6,6 +6,7 @@ reason, and /status exposes the maintenance picture."""
 from __future__ import annotations
 
 import json
+import os
 import urllib.request
 
 import pytest
@@ -188,3 +189,55 @@ def test_query_ids_without_query_source_is_explicit(spark, stack):
         assert code == 400 and "query_source" in out["error"]["reason"]
     finally:
         noq.stop()
+
+
+def test_pointer_mounted_server_survives_blue_green_swap(
+    spark, sf_dir, tmp_path
+):
+    """THE application-side contract, end to end over HTTP: a server
+    mounted through the serving pointer answers before, during-ish,
+    and after a blue/green retrain swap with no restart and no config
+    change — the swap shows up only as fresher answers (a doc deleted
+    mid-retrain stops being served; /info's resolved root flips)."""
+    src = str(tmp_path / "src")
+    blue = str(tmp_path / "blue")
+    green = str(tmp_path / "green")
+    ptr = str(tmp_path / "ptr")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = embs.filter(F.col("vec_id") < 240)
+    lakelog.append_commit(
+        spark, src,
+        corpus.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
+    )
+    si.ivfpq_index_build(spark, corpus, blue, source_watermark=1)
+    si.serving_pointer_set(ptr, blue)
+    server = SearchRestServer(spark, ivfpq_pointer=ptr, query_source=embs).start()
+    try:
+        code, before = _post(
+            server.url, "/search", {"mode": "ann", "query_ids": [0], "k": 10}
+        )
+        assert code == 200 and before["hits"]["total"] == 10
+        victim = before["hits"]["hits"][0]["_id"]
+        code, info = _get(server.url, "/info")
+        assert info["ivfpq_root"] == os.path.abspath(blue)
+        # retrain, then the victim is CDC-deleted DURING the window
+        si.ivfpq_index_retrain(spark, src, green, old_root=blue, iterations=1)
+        lakelog.merge_apply_cdc(
+            spark, src,
+            embs.filter(F.col("vec_id") == victim).select(
+                "vec_id", "embedding",
+                F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+            ),
+            ["vec_id"], "_ts_ms",
+        )
+        si.ivfpq_index_swap(spark, src, green, ptr, expect_root=blue)
+        # same server, same request: now the green index answers
+        code, after = _post(
+            server.url, "/search", {"mode": "ann", "query_ids": [0], "k": 10}
+        )
+        assert code == 200 and after["hits"]["total"] == 10
+        assert all(h["_id"] != victim for h in after["hits"]["hits"])
+        code, info = _get(server.url, "/info")
+        assert info["ivfpq_root"] == os.path.abspath(green)
+    finally:
+        server.stop()
