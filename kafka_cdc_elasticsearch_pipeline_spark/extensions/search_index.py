@@ -154,15 +154,13 @@ def _append_segment(
 
 def _signed_tokens(feed: DataFrame) -> DataFrame:
     """(doc_id, word, _change_type) token stream of a change feed —
-    the same split/lower/filter tokenizer as ``similarity.bm25_tokens``
-    (kept literally in sync by ``tests/test_search_index.py``), with
-    the sign column carried through the explode."""
+    THE shared tokenizer (``similarity.bm25_tokenize``, one function
+    for index build, maintenance, and query-text serving) with the
+    sign column carried through the explode."""
     return feed.select(
         "doc_id",
         "_change_type",
-        F.explode(
-            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-        ).alias("word"),
+        F.explode(sim.bm25_tokenize(F.col("text"))).alias("word"),
     )
 
 
@@ -300,6 +298,42 @@ def bm25_score_from_index(
     (query-term-sized, never vocabulary-sized)."""
     tf, dl, df = bm25_read_index(spark, index_root)
     return sim.bm25_score_components(tf, dl, query_ids, df=df, k1=k1, b=b)
+
+
+def bm25_score_from_text(
+    spark: SparkSession,
+    index_root: str,
+    queries_text: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring of FREE-TEXT queries against the maintained index
+    — the shape the reference pipeline's consumers actually use: they
+    POST text to Elasticsearch ``/_search`` (readme.md's dashboard
+    curl), they do not name corpus-member ids. ``queries_text`` is a
+    (query_id, text) DataFrame; each query string is tokenized AT
+    SERVE TIME with the one shared tokenizer
+    (``similarity.bm25_tokenize`` — the same function the index fold
+    ran over the documents, so query terms normalize exactly like
+    indexed terms; a second tokenizer here would silently zero recall
+    on any term the two normalize differently).
+
+    Scoring is ``bm25_score_components`` with the tokenized
+    ``query_terms``: identical arithmetic to the corpus-member path,
+    the persisted df still semi-joined to the query's terms before
+    broadcasting (query-term-sized, never vocabulary-sized), and NO
+    self-exclusion — free-text query ids are their own id space, so a
+    doc_id colliding with a query_id is an ordinary candidate. A
+    query whose text shares no term with the corpus simply returns no
+    rows for that query_id (exactly ES's empty hits)."""
+    tf, dl, df = bm25_read_index(spark, index_root)
+    qw = queries_text.select(
+        "query_id",
+        F.explode(sim.bm25_tokenize(F.col("text"))).alias("word"),
+    ).distinct()
+    return sim.bm25_score_components(
+        tf, dl, df=df, k1=k1, b=b, query_terms=qw
+    )
 
 
 def bm25_index_compact(spark: SparkSession, index_root: str) -> None:
@@ -696,6 +730,8 @@ def hybrid_search_from_cdc_indexes(
     query_ids: tuple[int, ...] = (0, 1, 2),
     pool: int = 20,
     k: int = 10,
+    queries_text: DataFrame | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`hybrid_search_index_only` over the CDC-MAINTAINED stack
     (:func:`cdc_dual_indexing_sink`'s read side): the rerank decodes
@@ -705,8 +741,18 @@ def hybrid_search_from_cdc_indexes(
     Deleted documents can surface in NEITHER stage: their tf/dl
     drained out of the BM25 candidates and their codes are
     tombstone-filtered out of the decode; an update re-ranks under
-    its re-encoded vector."""
-    cand = _bm25_cand_topk(spark, bm25_root, query_ids, pool)
+    its re-encoded vector. ``queries_text`` switches the retrieve
+    stage to free-text queries (see :func:`_bm25_cand_topk`); the
+    rerank still needs each query_id's vector in ``queries``.
+    ``allowed_ids`` (one id column) makes this FILTERED hybrid — the
+    ES filtered-retriever shape: candidates are restricted to the
+    keep-set BEFORE the lexical rank, so the rerank pool is drawn
+    entirely from allowed docs (the decode stays candidate-sized and
+    never pays for disallowed rows)."""
+    cand = _bm25_cand_topk(
+        spark, bm25_root, query_ids, pool,
+        queries_text=queries_text, allowed_ids=allowed_ids,
+    )
     recon = _ivfpq_live_recon(
         spark,
         ivfpq_root,
@@ -721,14 +767,32 @@ def _bm25_cand_topk(
     query_ids: tuple[int, ...],
     pool: int,
     with_rank: bool = False,
+    queries_text: DataFrame | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``pool`` BM25 candidates per query from the maintained
     index — the shared retrieve stage of every hybrid serve.
     ``with_rank`` keeps the lexical rank column (RRF consumes it;
-    the rerank serves drop it)."""
+    the rerank serves drop it). ``queries_text`` (query_id, text)
+    switches the lexical stage to tokenize-at-serve free-text queries
+    (:func:`bm25_score_from_text`) instead of corpus-member
+    ``query_ids``. ``allowed_ids`` restricts candidates to an
+    application predicate's keep-set BEFORE the rank — the same
+    pre-rank argument as filtered ANN: a post-filter of an unfiltered
+    top-``pool`` under-fills whenever disallowed docs crowd the head.
+    The semi-join carries no broadcast hint (a permissive filter can
+    be corpus-sized; AQE picks broadcast for selective ones)."""
     from pyspark.sql import Window as W
 
-    scored = bm25_score_from_index(spark, bm25_root, query_ids)
+    if queries_text is not None:
+        scored = bm25_score_from_text(spark, bm25_root, queries_text)
+    else:
+        scored = bm25_score_from_index(spark, bm25_root, query_ids)
+    if allowed_ids is not None:
+        ids = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).cast("long").alias("doc_id")
+        )
+        scored = scored.join(ids, "doc_id", "left_semi")
     w = W.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
@@ -808,6 +872,7 @@ def hybrid_search_rrf_index_only(
     pool: int = 20,
     k: int = 10,
     k0: int = 60,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid serving by RANK FUSION from the maintained indexes —
     the alternative to :func:`hybrid_search_index_only`'s
@@ -824,9 +889,24 @@ def hybrid_search_rrf_index_only(
     baseline); at corpus scale the IVF-PQ probe path
     (:func:`ivfpq_search_from_index` — bucket-pruned files, top-k
     per query) produces the same (query_id, doc_id, rank) shape and
-    plugs into :func:`rrf_fuse` unchanged."""
-    lex = _bm25_cand_topk(spark, bm25_root, query_ids, pool, with_rank=True)
+    plugs into :func:`rrf_fuse` unchanged. ``allowed_ids`` filters
+    BOTH lists pre-rank (see
+    :func:`hybrid_search_rrf_from_cdc_indexes`) — on the dense side
+    the semi-join lands BEFORE the decode, so disallowed rows never
+    pay reconstruction."""
+    lex = _bm25_cand_topk(
+        spark, bm25_root, query_ids, pool, with_rank=True,
+        allowed_ids=allowed_ids,
+    )
     cb, codes = pq_index_read(spark, pq_root)
+    if allowed_ids is not None:
+        codes = codes.join(
+            allowed_ids.select(
+                F.col(allowed_ids.columns[0]).cast("long").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        )
     recon = sim.pq_reconstruct(codes, cb)
     # the dense list IS brute-force ADC top-pool over the decoded
     # index — reuse the one ranking implementation (round-6 cosine,
@@ -851,6 +931,8 @@ def hybrid_search_rrf_from_cdc_indexes(
     k: int = 10,
     k0: int = 60,
     nprobe: int = 2,
+    queries_text: DataFrame | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """RRF over the CDC-MAINTAINED stack (the production fusion —
     :func:`hybrid_search_from_cdc_indexes`'s rank-fusion twin): the
@@ -861,10 +943,24 @@ def hybrid_search_rrf_from_cdc_indexes(
     :func:`rrf_fuse`. A deleted document can enter NEITHER list (its
     tf/dl drained, its codes tombstoned), so it cannot appear fused;
     the dense side's recall knob is ``nprobe`` exactly as in plain
-    ANN serving."""
-    lex = _bm25_cand_topk(spark, bm25_root, query_ids, pool, with_rank=True)
+    ANN serving. ``queries_text`` switches the lexical list to
+    free-text queries; ``allowed_ids`` filters BOTH lists pre-rank
+    (ES's filtered kNN + filtered bm25 in one rrf retriever) — each
+    signal ranks within the keep-set, so the fusion is over allowed
+    docs only and cannot under-fill just because disallowed docs
+    crowded either head."""
+    lex = _bm25_cand_topk(
+        spark, bm25_root, query_ids, pool, with_rank=True,
+        queries_text=queries_text, allowed_ids=allowed_ids,
+    )
+    dense_allowed = None
+    if allowed_ids is not None:
+        dense_allowed = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).cast("long").alias("vec_id")
+        )
     dense = ivfpq_search_from_index(
-        spark, ivfpq_root, queries, k=pool, nprobe=nprobe
+        spark, ivfpq_root, queries, k=pool, nprobe=nprobe,
+        allowed_ids=dense_allowed,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, dense], k0=k0, k=k)
 
@@ -1548,6 +1644,77 @@ def ivfpq_search_from_index(
     return sim._ranked_topk(scored, k)
 
 
+def search_fill(
+    hits: DataFrame, query_ids: tuple[int, ...], k: int
+) -> DataFrame:
+    """Per-query FILL of a top-k result — the honesty gauge filtered
+    ANN needs (round-10 verdict: SCALING.md measured a 1/30-selective
+    filter returning 20/30 hits with no signal to the consumer): one
+    row per REQUESTED query — including queries that returned nothing
+    — with (query_id, n_hits, k, filled). ``hits`` is any serve
+    output carrying (query_id, rank ≤ k) rows; the right join against
+    the requested id list is what surfaces zero-hit queries, which a
+    plain groupBy over the hits would silently omit. Metadata-sized:
+    |queries| rows in, |queries| rows out."""
+    spark = hits.sparkSession
+    req = spark.createDataFrame(
+        [(int(q),) for q in query_ids], "query_id bigint"
+    )
+    got = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return req.join(got, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.lit(int(k)).cast("bigint").alias("k"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= k).alias("filled"),
+    )
+
+
+def index_applied_watermark(index_root: str, app_id: str) -> int:
+    """The SOURCE version this index root provably reflects: the MIN
+    of its tables' (``app_id``, version) maintenance watermarks —
+    min, because a crash between per-table folds leaves them briefly
+    unequal and the pair only serves consistently from the lowest.
+    Manifest reads only, no Spark job. 0 = nothing folded (or an
+    unknown ``app_id`` — the lineage trap the sinks document)."""
+    families = {
+        True: _BM25_TABLES,  # tf/dl/df present → BM25 root
+        False: _IVF_TABLES,
+    }[lakelog.latest_version(os.path.join(index_root, _TF)) is not None]
+    marks = [
+        _applied(os.path.join(index_root, t), app_id)
+        for t in families
+        if lakelog.latest_version(os.path.join(index_root, t)) is not None
+    ]
+    return min(marks) if marks else 0
+
+
+def indexes_converged(
+    source_table: str, *indexes: tuple[str, str]
+) -> dict:
+    """The serving gate :func:`cdc_dual_indexing_sink` documents but
+    round 10 gave no way to CHECK (round-10 verdict #7): a crash
+    between the two per-index maintains leaves BM25 and IVF-PQ at
+    different source watermarks, and within that window an updated doc
+    serves MIXED results. Each ``(index_root, app_id)`` pair is read
+    for its applied watermark and compared to the source head; the
+    pair (and any wider set) is ``converged`` iff every index sits
+    exactly at head. Manifest reads only — callable per-request by a
+    serving layer that cannot tolerate the update window. Returns
+    ``{"source_head", "indexes": {root: watermark}, "converged"}``."""
+    head = lakelog.latest_version(source_table) or 0
+    marks = {
+        root: index_applied_watermark(root, app_id)
+        for root, app_id in indexes
+    }
+    return {
+        "source_head": head,
+        "indexes": marks,
+        "converged": bool(marks) and all(m == head for m in marks.values()),
+    }
+
+
 def index_read_amplification(index_root: str) -> dict[str, dict[str, int]]:
     """Compaction gauge — the metadata-only twin of
     :func:`pq_assignment_balance`: per index table under
@@ -1779,54 +1946,62 @@ def ivfpq_search_serving(
     )
 
 
-def retire_index_root(pointer: str, root: str, min_age_s: float = 3600.0) -> bool:
+def _pointer_recent_roots(pointer: str, history_keep: int) -> set[str]:
+    """Every root the last ``history_keep`` pointer records reference
+    — each record's ``root`` (what served) plus its ``previous`` (what
+    an in-flight reader that resolved the pointer just before that
+    flip may still be scanning). Manifest reads only."""
+    head = lakelog.latest_version(pointer)
+    if head is None:
+        raise FileNotFoundError(f"no serving root committed in {pointer}")
+    recent: set[str] = set()
+    for v in range(head, max(head - history_keep, 0), -1):
+        rec = lakelog.read_manifest(pointer, v)
+        recent.add(rec["root"])
+        if rec.get("previous"):
+            recent.add(rec["previous"])
+    return recent
+
+
+def retire_index_root(
+    pointer: str, root: str, history_keep: int = 2
+) -> bool:
     """The last step of a blue/green cycle: delete a root that no
-    longer serves. Two refusals make it safe to schedule: the
-    pointer's CURRENT target is never deleted (ValueError — checked
-    on entry AND re-checked immediately before the delete, so a
-    rollback landing mid-call is caught at the last possible read),
-    and a root younger than ``min_age_s`` is left alone (False —
-    in-flight serves that resolved the pointer BEFORE the swap may
-    still be reading it; the same straggler-reader retention
-    reasoning as ``lakelog.vacuum``). Returns True when the root was
+    longer serves. Protection is driven by the POINTER LOG the engine
+    already writes — not filesystem mtimes (round-10 verdict: the old
+    mtime walk was a local-FS heuristic that does not survive the
+    object-store deployments ``lakelog``'s commit-claim hooks
+    accommodate): a root referenced by any of the last
+    ``history_keep`` pointer records — as ``root`` (it served within
+    the window) or as ``previous`` (an in-flight serve that resolved
+    the pointer just before that flip may still be reading it) — is
+    refused (False). The CURRENT target additionally raises
+    ValueError (an attempt to retire the live index is an operator
+    error, not a retention miss). Returns True when the root was
     removed.
 
-    Concurrency contract (round-10 review): the re-check NARROWS the
-    rollback/retire race to the instant before ``rmtree`` but cannot
-    close it — the pointer has no way to pin a root against deletion.
-    Retire and rollback are both OPERATOR actions on the same index
-    lineage; serialize them through the deployment's retention policy
-    (rollback is only promised within the retention window, retire
-    only runs after it — the discipline ``min_age_s`` encodes).
-    After a retire, a rollback targets :func:`ivfpq_index_retrain`'s
-    next root, not the deleted one; the pointer's version history
-    (every record carries ``previous``) is the audit trail of what
-    served when."""
+    ``history_keep`` IS the retention window, measured in FLIPS: the
+    rollback contract is that a rollback only ever re-targets a root
+    within the last ``history_keep`` records (older state is gone —
+    roll FORWARD via :func:`ivfpq_index_retrain` instead). Under that
+    contract the race the mtime version could only narrow is closed
+    BY CONSTRUCTION: a root this function deletes is outside the
+    window, so no in-contract rollback can concurrently re-point at
+    it, and every root a rollback may target is refused here. The
+    pointer's version history (every record carries ``previous``)
+    remains the audit trail of what served when."""
     import shutil
-    import time
 
     if not os.path.isdir(root):
         return False
-    if os.path.abspath(root) == serving_pointer_get(pointer):
+    target = os.path.abspath(root)
+    if target == serving_pointer_get(pointer):
         raise ValueError(
             f"{root!r} is the CURRENT serving root — swap away from it "
             "before retiring it"
         )
-    newest = max(
-        (
-            os.path.getmtime(os.path.join(dirpath, f))
-            for dirpath, _, files in os.walk(root)
-            for f in files
-        ),
-        default=os.path.getmtime(root),
-    )
-    if time.time() - newest < min_age_s:
+    if target in _pointer_recent_roots(pointer, history_keep):
         return False
-    if os.path.abspath(root) == serving_pointer_get(pointer):
-        raise ValueError(
-            f"{root!r} became the serving root mid-retire (rollback "
-            "raced the retention sweep) — not deleting it"
-        )
     shutil.rmtree(root)
     return True
 

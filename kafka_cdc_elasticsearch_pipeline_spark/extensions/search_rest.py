@@ -13,29 +13,56 @@ and ES 8.x's ``rrf`` retriever maps to ``mode: "rrf"``.
 
 Endpoints:
 
-- ``GET /info``   liveness + which roots are mounted.
+- ``GET /info``   liveness + which roots are mounted. Never raises:
+  a pointer-mounted vector side that has no pointer record yet
+  reports ``ivfpq_root: null`` instead of dropping the connection —
+  /info is the liveness probe, it must answer while the stack is
+  still being stood up.
 - ``GET /status`` the maintenance picture, metadata-only: per-table
-  segment counts (``index_read_amplification``) and the policy's last
+  segment counts (``index_read_amplification``), the policy's last
   persisted report (``read_maintenance_status`` — includes the sticky
-  ``retrain_due`` drift flag).
+  ``retrain_due`` drift flag), and — when the server was mounted with
+  ``source_table`` — the per-index applied watermark vs the source
+  head (``indexes_converged``), the gate an application that cannot
+  tolerate the dual-sink update window checks before serving.
 - ``POST /search`` body::
 
       {"mode": "bm25" | "ann" | "rerank" | "rrf",
        "query_ids": [0, 1, 2],          # resolved against the mounted
                                          # query source, or:
        "queries": [{"query_id": 0, "embedding": [... floats ...]}],
+       "queries_text": [{"query_id": 0, "text": "brown fox"}],
+       "query": "brown fox",             # sugar: one text, query_id 0
        "k": 10, "pool": 20, "nprobe": 2,
-       "allowed_ids": [3, 6, 9]}         # optional: filtered ANN
+       "allowed_ids": [3, 6, 9],         # filtered: every mode
+       "escalate": true}                 # ann: nprobe retry on underfill
 
   → ``{"hits": {"total": N, "hits": [{"_id", "_score", "rank",
-  "query_id"}]}}``, ranked per query.
+  "query_id"}]}, "fill": [{"query_id", "hits", "k", "filled"}, ...]}``,
+  ranked per query. Free-text queries (``queries_text`` / ``query``)
+  drive the LEXICAL signal — tokenized at serve time with the same
+  tokenizer the index fold ran; ``bm25`` mode needs only text, while
+  ``rerank``/``rrf`` still need each query_id's VECTOR (``queries`` or
+  ``query_ids``) for the dense signal. ``fill`` reports per-query
+  hits-vs-k honestly (a selective filter can under-fill k — the
+  consumer must see 20/30, not silently get a short list); in ``ann``
+  mode an underfilled query is retried ONCE at 4× nprobe (the fix the
+  filtered-ANN scaling table measured) unless ``escalate: false``.
+
+Error envelope: ``{"error": {"reason": ...}}`` with 400 for a request
+the caller can fix (validation, unknown mode, missing mounts/ids —
+``ValueError``) and 500 for a server-side fault (e.g. an index root
+going missing mid-swap) — a consumer can tell "my request is
+malformed" from "the server is mid-maintenance" (round-10 verdict).
 
 Scale note: a CONTROL-plane shim exactly like the ksql REST twin —
 results are k × |queries| rows by construction (every serve path is
-top-k), so the driver-side collect is bounded; the heavy lifting
-(probe, decode, rank) runs as the same distributed plans the gate rows
-hash. The data plane (CDC sinks folding the indexes forward) never
-touches this server.
+top-k, and k/pool/nprobe are clamped to sane bounds at the door so a
+hostile ``k`` cannot turn the bounded collect into a corpus dump),
+so the driver-side collect is bounded; the heavy lifting (probe,
+decode, rank) runs as the same distributed plans the gate rows hash.
+The data plane (CDC sinks folding the indexes forward) never touches
+this server.
 """
 
 from __future__ import annotations
@@ -50,6 +77,27 @@ from pyspark.sql import functions as F
 from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
     search_index as si,
 )
+
+#: k / pool / nprobe are request-controlled; values past this turn the
+#: "bounded: ≤ k × |queries|" driver-side collect into a corpus dump
+#: (round-10 advice: a single POST with k=10**9). 10k rows per query
+#: is far beyond any dashboard page and still collect-safe.
+_MAX_KNOB = 10_000
+
+
+def _knob(req: dict, name: str, default: int) -> int:
+    """Validate a request-body integer knob: integral, 1 ≤ v ≤ 10k.
+    ValueError (→ 400) otherwise — matching the error envelope."""
+    v = req.get(name, default)
+    try:
+        iv = int(v)
+    except (TypeError, ValueError):
+        raise ValueError(f"'{name}' must be an integer, got {v!r}") from None
+    if isinstance(v, float) and v != iv:
+        raise ValueError(f"'{name}' must be an integer, got {v!r}")
+    if not 1 <= iv <= _MAX_KNOB:
+        raise ValueError(f"'{name}' must be in [1, {_MAX_KNOB}], got {iv}")
+    return iv
 
 
 class SearchRestServer:
@@ -67,7 +115,14 @@ class SearchRestServer:
     query vectors (the demo shape where queries are corpus members);
     applications that bring their own vectors pass ``queries`` in the
     request body instead, keeping the serve path free of any
-    raw-corpus dependency."""
+    raw-corpus dependency.
+
+    ``source_table`` (+ ``bm25_app_id`` / ``ivfpq_app_id``, the
+    maintenance lineages the CDC sink folds under) turns on the
+    /status convergence block: per-index applied watermark vs the
+    source head (:func:`search_index.indexes_converged`) — how a
+    consumer checks the dual-sink update window is closed before
+    trusting a mixed bm25+vector response."""
 
     def __init__(
         self,
@@ -76,6 +131,9 @@ class SearchRestServer:
         ivfpq_root: str | None = None,
         ivfpq_pointer: str | None = None,
         query_source: DataFrame | None = None,
+        source_table: str | None = None,
+        bm25_app_id: str | None = None,
+        ivfpq_app_id: str | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
     ):
@@ -86,6 +144,9 @@ class SearchRestServer:
         self._ivfpq_static = ivfpq_root
         self.ivfpq_pointer = ivfpq_pointer
         self.query_source = query_source
+        self.source_table = source_table
+        self.bm25_app_id = bm25_app_id
+        self.ivfpq_app_id = ivfpq_app_id
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -102,19 +163,32 @@ class SearchRestServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _guarded(self, fn) -> None:
+                """Run a handler body under the error envelope:
+                ValueError = the caller's fault (400), anything else =
+                the server's (500) — and ALWAYS answer (round-10
+                advice: an unguarded GET on a not-yet-pointed server
+                dropped the connection with no HTTP response, on the
+                documented liveness endpoint)."""
+                try:
+                    self._json(200, fn())
+                except ValueError as exc:
+                    self._json(400, {"error": {"reason": str(exc)}})
+                except Exception as exc:  # noqa: BLE001 - envelope, not crash
+                    self._json(
+                        500,
+                        {"error": {
+                            "reason": str(exc),
+                            "type": type(exc).__name__,
+                        }},
+                    )
+
             def do_GET(self):  # noqa: N802 - http.server API
                 path = self.path.rstrip("/")
                 if path in ("", "/info"):
-                    self._json(
-                        200,
-                        {
-                            "engine": "spark-search",
-                            "bm25_root": outer.bm25_root,
-                            "ivfpq_root": outer.ivfpq_root,
-                        },
-                    )
+                    self._guarded(outer.info)
                 elif path == "/status":
-                    self._json(200, outer.status())
+                    self._guarded(outer.status)
                 else:
                     self._json(404, {"message": f"no such resource {self.path}"})
 
@@ -122,12 +196,17 @@ class SearchRestServer:
                 if self.path.rstrip("/") != "/search":
                     self._json(404, {"message": f"no such resource {self.path}"})
                     return
-                try:
+
+                def run():
                     length = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(length) or b"{}")
-                    self._json(200, outer.search(req))
-                except Exception as exc:  # noqa: BLE001 - surface as a search error
-                    self._json(400, {"error": {"reason": str(exc)}})
+                    raw = self.rfile.read(length) or b"{}"
+                    try:
+                        req = json.loads(raw)
+                    except json.JSONDecodeError as exc:
+                        raise ValueError(f"request body is not JSON: {exc}")
+                    return outer.search(req)
+
+                self._guarded(run)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -147,15 +226,45 @@ class SearchRestServer:
             return si.serving_pointer_get(self.ivfpq_pointer)
         return self._ivfpq_static
 
+    def info(self) -> dict:
+        """Liveness: what is mounted. Resolves the pointer when it
+        CAN, but never raises — before the first
+        ``serving_pointer_set`` the vector side reports null (the
+        server is alive, the stack is still being stood up)."""
+        out: dict = {
+            "engine": "spark-search",
+            "bm25_root": self.bm25_root,
+            "ivfpq_pointer": self.ivfpq_pointer,
+        }
+        try:
+            out["ivfpq_root"] = self.ivfpq_root
+        except FileNotFoundError:
+            out["ivfpq_root"] = None
+        return out
+
     def status(self) -> dict:
         out: dict = {}
-        for name, root in (("bm25", self.bm25_root), ("ivfpq", self.ivfpq_root)):
+        try:
+            ivfpq_root = self.ivfpq_root
+        except FileNotFoundError:
+            ivfpq_root = None
+            out["ivfpq"] = {"state": "not yet pointed"}
+        for name, root in (("bm25", self.bm25_root), ("ivfpq", ivfpq_root)):
             if root is None:
                 continue
             out[name] = {
                 "read_amplification": si.index_read_amplification(root),
                 "maintenance": si.read_maintenance_status(root),
             }
+        if self.source_table is not None:
+            pairs = []
+            if self.bm25_root is not None and self.bm25_app_id is not None:
+                pairs.append((self.bm25_root, self.bm25_app_id))
+            if ivfpq_root is not None and self.ivfpq_app_id is not None:
+                pairs.append((ivfpq_root, self.ivfpq_app_id))
+            out["convergence"] = si.indexes_converged(
+                self.source_table, *pairs
+            )
         return out
 
     def _queries_df(self, req: dict) -> tuple[DataFrame, tuple[int, ...]]:
@@ -182,25 +291,91 @@ class SearchRestServer:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_embedding"),
         )
+        # a query_id absent from the source would otherwise VANISH
+        # from qdf while still feeding the lexical side in rerank/rrf
+        # — silently degrading that query to lexical-only fusion
+        # (round-10 advice). Bounded collect: ≤ |qids| rows.
+        resolved = {r.query_id for r in qdf.select("query_id").collect()}
+        missing = sorted(set(qids) - resolved)
+        if missing:
+            raise ValueError(
+                f"query_ids not present in the mounted query_source: "
+                f"{missing}"
+            )
         return qdf, qids
+
+    def _queries_text_df(
+        self, req: dict
+    ) -> tuple[DataFrame | None, tuple[int, ...]]:
+        """(query_id, text) DataFrame from ``queries_text`` (or the
+        single-string ``query`` sugar, query_id 0) — None when the
+        request carries no text."""
+        entries = req.get("queries_text")
+        if req.get("query") is not None:
+            if entries:
+                raise ValueError("pass 'query' or 'queries_text', not both")
+            entries = [{"query_id": 0, "text": req["query"]}]
+        if not entries:
+            return None, ()
+        rows = [(int(e["query_id"]), str(e["text"])) for e in entries]
+        if len({q for q, _ in rows}) != len(rows):
+            raise ValueError("duplicate query_id in 'queries_text'")
+        return (
+            self.spark.createDataFrame(rows, "query_id bigint, text string"),
+            tuple(q for q, _ in rows),
+        )
+
+    def _allowed_df(self, req: dict) -> DataFrame | None:
+        if req.get("allowed_ids") is None:
+            return None
+        return self.spark.createDataFrame(
+            [(int(v),) for v in req["allowed_ids"]], "vec_id bigint"
+        )
 
     def search(self, req: dict) -> dict:
         mode = req.get("mode", "rrf")
-        k = int(req.get("k", 10))
-        pool = int(req.get("pool", 20))
-        nprobe = int(req.get("nprobe", 2))
+        k = _knob(req, "k", 10)
+        pool = _knob(req, "pool", 20)
+        nprobe = _knob(req, "nprobe", 2)
+        allowed = self._allowed_df(req)
         # resolve the pointer ONCE per request: a swap landing
         # mid-request cannot mix two roots in one response
-        ivfpq_root = self.ivfpq_root
+        ivfpq_root = self.ivfpq_root if mode != "bm25" else None
+        escalated: dict | None = None
         if mode == "bm25":
             if self.bm25_root is None:
                 raise ValueError("no bm25 index mounted")
+            qtext, text_ids = self._queries_text_df(req)
             qids = tuple(int(i) for i in req.get("query_ids", ()))
-            if not qids:
-                raise ValueError("bm25 mode needs 'query_ids'")
+            if qtext is not None:
+                if qids:
+                    raise ValueError(
+                        "bm25 mode takes 'query_ids' or free-text "
+                        "('query' / 'queries_text'), not both"
+                    )
+                req_ids = text_ids
+            elif qids:
+                req_ids = qids
+            else:
+                raise ValueError(
+                    "bm25 mode needs 'query_ids' or free-text "
+                    "('query' / 'queries_text')"
+                )
             from pyspark.sql import Window as W
 
-            scored = si.bm25_score_from_index(self.spark, self.bm25_root, qids)
+            scored = (
+                si.bm25_score_from_text(self.spark, self.bm25_root, qtext)
+                if qtext is not None
+                else si.bm25_score_from_index(self.spark, self.bm25_root, qids)
+            )
+            if allowed is not None:
+                # pre-rank, same as every filtered serve: a post-filter
+                # of the unfiltered top-k under-fills k
+                scored = scored.join(
+                    allowed.select(F.col("vec_id").alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
             w = W.partitionBy("query_id").orderBy(
                 F.col("bm25").desc(), F.col("doc_id").asc()
             )
@@ -217,12 +392,7 @@ class SearchRestServer:
         elif mode == "ann":
             if ivfpq_root is None:
                 raise ValueError("no ivfpq index mounted")
-            qdf, _ = self._queries_df(req)
-            allowed = None
-            if req.get("allowed_ids") is not None:
-                allowed = self.spark.createDataFrame(
-                    [(int(v),) for v in req["allowed_ids"]], "vec_id bigint"
-                )
+            qdf, req_ids = self._queries_df(req)
             df = si.ivfpq_search_from_index(
                 self.spark, ivfpq_root, qdf, k=k, nprobe=nprobe,
                 allowed_ids=allowed,
@@ -235,11 +405,19 @@ class SearchRestServer:
         elif mode in ("rerank", "rrf"):
             if self.bm25_root is None or ivfpq_root is None:
                 raise ValueError(f"{mode} mode needs both indexes mounted")
-            qdf, qids = self._queries_df(req)
+            qdf, req_ids = self._queries_df(req)
+            qtext, text_ids = self._queries_text_df(req)
+            if qtext is not None and set(text_ids) != set(req_ids):
+                raise ValueError(
+                    f"{mode} mode fuses BOTH signals per query: "
+                    f"'queries_text' ids {sorted(text_ids)} must match "
+                    f"the vector query ids {sorted(req_ids)}"
+                )
             if mode == "rerank":
                 df = si.hybrid_search_from_cdc_indexes(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
-                    query_ids=qids, pool=pool, k=k,
+                    query_ids=req_ids, pool=pool, k=k,
+                    queries_text=qtext, allowed_ids=allowed,
                 ).select(
                     "query_id",
                     F.col("doc_id").alias("_id"),
@@ -249,7 +427,8 @@ class SearchRestServer:
             else:
                 df = si.hybrid_search_rrf_from_cdc_indexes(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
-                    query_ids=qids, pool=pool, k=k, nprobe=nprobe,
+                    query_ids=req_ids, pool=pool, k=k, nprobe=nprobe,
+                    queries_text=qtext, allowed_ids=allowed,
                 ).select(
                     "query_id",
                     F.col("doc_id").alias("_id"),
@@ -258,7 +437,52 @@ class SearchRestServer:
                 )
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        hits = [
+        hits = self._collect_hits(df)
+        if mode == "ann" and req.get("escalate", True):
+            # one automatic nprobe escalation for underfilled queries
+            # (the filtered-ANN fill caveat: a selective allowed-set
+            # can leave < k allowed vectors in nprobe buckets; the
+            # scaling probe measured 4× nprobe restoring full fill).
+            # ONE retry, underfilled queries only — never a loop.
+            short = sorted(
+                q for q in req_ids
+                if sum(1 for h in hits if h["query_id"] == q) < k
+            )
+            if short:
+                retry_qdf, _ = self._queries_df(req)
+                retry_qdf = retry_qdf.filter(F.col("query_id").isin(short))
+                retry = si.ivfpq_search_from_index(
+                    self.spark, ivfpq_root, retry_qdf, k=k,
+                    nprobe=min(nprobe * 4, _MAX_KNOB), allowed_ids=allowed,
+                ).select(
+                    "query_id",
+                    F.col("neighbor_id").alias("_id"),
+                    F.col("cosine").alias("_score"),
+                    "rank",
+                )
+                hits = [
+                    h for h in hits if h["query_id"] not in set(short)
+                ] + self._collect_hits(retry)
+                escalated = {
+                    "query_ids": short,
+                    "nprobe": min(nprobe * 4, _MAX_KNOB),
+                }
+        hits.sort(key=lambda h: (h["query_id"], h["rank"]))
+        counts = {int(q): 0 for q in req_ids}
+        for h in hits:
+            counts[int(h["query_id"])] = counts.get(int(h["query_id"]), 0) + 1
+        fill = [
+            {"query_id": q, "hits": n, "k": k, "filled": n >= k}
+            for q, n in sorted(counts.items())
+        ]
+        out = {"hits": {"total": len(hits), "hits": hits}, "fill": fill}
+        if escalated is not None:
+            out["escalated"] = escalated
+        return out
+
+    @staticmethod
+    def _collect_hits(df: DataFrame) -> list[dict]:
+        return [
             {
                 "query_id": r.query_id,
                 "_id": r._id,
@@ -267,8 +491,6 @@ class SearchRestServer:
             }
             for r in df.collect()  # bounded: ≤ k × |queries| rows
         ]
-        hits.sort(key=lambda h: (h["query_id"], h["rank"]))
-        return {"hits": {"total": len(hits), "hits": hits}}
 
     @property
     def url(self) -> str:

@@ -1154,14 +1154,26 @@ def hybrid_search_topk(
     )
 
 
+def bm25_tokenize(text) -> "F.Column":
+    """THE BM25 tokenizer, as a column expression: whitespace-split
+    lowercased text, empties dropped. One function — not kept-in-sync
+    copies — feeds every BM25 path: from-scratch scoring
+    (:func:`bm25_tokens`), the maintained index's change-feed fold
+    (``search_index._signed_tokens``), and free-text QUERY
+    tokenization at serve time (``search_index.bm25_score_from_text``)
+    — the ES ``/_search`` shape where consumers post text, which is
+    only correct if query terms normalize exactly like indexed terms."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
 def bm25_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, word) token stream: whitespace-split lowercased text,
-    empties dropped — the shared tokenizer of every BM25 path (from-
-    scratch scoring, the persisted index build, and the incremental
-    index maintenance in ``extensions.search_index``), so all three
-    agree term-for-term."""
-    wf = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-    return docs.select("doc_id", F.explode(wf).alias("word"))
+    """(doc_id, word) token stream of :func:`bm25_tokenize` — the
+    from-scratch build/score side of the shared tokenizer."""
+    return docs.select(
+        "doc_id", F.explode(bm25_tokenize(F.col("text"))).alias("word")
+    )
 
 
 def bm25_index_components(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1181,10 +1193,11 @@ def bm25_index_components(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def bm25_score_components(
     tf: DataFrame,
     dl: DataFrame,
-    query_ids: tuple[int, ...],
+    query_ids: tuple[int, ...] = (),
     df: DataFrame | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    query_terms: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 scoring against prebuilt (tf, dl) index components —
     shared by the from-scratch path (:func:`bm25_scored_candidates`)
@@ -1198,14 +1211,33 @@ def bm25_score_components(
     broadcast: only query-term words can survive the candidate join,
     and at web scale the full vocabulary is 10⁸⁺ terms — a
     query-term-sized broadcast instead of a vocabulary-sized one
-    (round-8 verdict nit)."""
+    (round-8 verdict nit).
+
+    Query terms come from ONE of two places:
+
+    - ``query_ids`` — corpus-member queries (the demo shape): each
+      query's terms are its own doc's distinct tf words, and the query
+      doc EXCLUDES ITSELF from the candidates (it would trivially top
+      its own ranking).
+    - ``query_terms`` — a (query_id, word) DataFrame of already-
+      tokenized FREE-TEXT queries (the ES ``/_search`` shape,
+      ``search_index.bm25_score_from_text``): query ids live in their
+      own id space, so NO self-exclusion applies — a doc whose id
+      happens to equal a query id is an ordinary candidate."""
+    if (query_terms is None) == (not query_ids):
+        raise ValueError("pass exactly one of query_ids / query_terms")
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    qw = (
-        tf.filter(F.col("doc_id").isin(list(query_ids)))
-        .select(F.col("doc_id").alias("query_id"), "word")
-    )
+    if query_terms is not None:
+        qw = query_terms.select("query_id", "word").distinct()
+        exclude_self = False
+    else:
+        qw = (
+            tf.filter(F.col("doc_id").isin(list(query_ids)))
+            .select(F.col("doc_id").alias("query_id"), "word")
+        )
+        exclude_self = True
     qwords = qw.select("word").distinct()
     if df is None:
         # df only over query-term postings: the groupBy input is
@@ -1218,10 +1250,11 @@ def bm25_score_components(
         )
     else:
         df = df.join(F.broadcast(qwords), "word", "left_semi")
+    cand = tf.join(F.broadcast(qw), "word")
+    if exclude_self:
+        cand = cand.filter(F.col("doc_id") != F.col("query_id"))
     cand = (
-        tf.join(F.broadcast(qw), "word")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(df), "word")
+        cand.join(F.broadcast(df), "word")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))  # 1-row scalar
     )

@@ -2276,35 +2276,74 @@ def test_policy_retrain_due_flag_calibration_and_stickiness(
 
 
 def test_retire_index_root_guards_and_deletes(spark, sf_dir, tmp_path):
-    """Old-root retirement (the blue/green cycle's last step): never
-    deletes the CURRENT serving root, leaves a too-young root alone
-    (straggler readers), deletes an old non-serving root."""
+    """Old-root retirement (the blue/green cycle's last step), driven
+    by the POINTER LOG, not mtimes (round-10 verdict #1): never
+    deletes the CURRENT serving root, refuses any root referenced by
+    the last ``history_keep`` pointer records (as target OR as a
+    record's ``previous`` — straggler readers), deletes a root that
+    fell out of the window."""
     import pytest as _pytest
 
     ptr = str(tmp_path / "ptr")
-    old = str(tmp_path / "blue")
-    new = str(tmp_path / "green")
+    a = str(tmp_path / "blue")
+    b = str(tmp_path / "green")
+    c = str(tmp_path / "third")
     embs = load_table(spark, sf_dir, "embeddings")
-    si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < 50), old)
-    si.ivfpq_index_build(spark, embs.filter(F.col("vec_id") < 50), new)
-    si.serving_pointer_set(ptr, old)
+    base = embs.filter(F.col("vec_id") < 50)
+    for root in (a, b, c):
+        si.ivfpq_index_build(spark, base, root)
+    si.serving_pointer_set(ptr, a)
     with _pytest.raises(ValueError, match="CURRENT serving root"):
-        si.retire_index_root(ptr, old, min_age_s=0.0)
-    si.serving_pointer_set(ptr, new, expect_root=old)
-    # young root: refused (False), still on disk
-    assert si.retire_index_root(ptr, old, min_age_s=3600.0) is False
-    assert os.path.isdir(old)
-    # past retention: removed
-    assert si.retire_index_root(ptr, old, min_age_s=0.0) is True
-    assert not os.path.isdir(old)
+        si.retire_index_root(ptr, a)
+    si.serving_pointer_set(ptr, b, expect_root=a)
+    # one flip deep: 'a' is the head record's previous — refused even
+    # at the tightest window (an in-flight serve may still read it)
+    assert si.retire_index_root(ptr, a, history_keep=1) is False
+    assert os.path.isdir(a)
+    si.serving_pointer_set(ptr, c, expect_root=b)
+    # 'a' is still inside a 2-record window (record {b, previous=a})
+    assert si.retire_index_root(ptr, a, history_keep=2) is False
+    assert os.path.isdir(a)
+    # ...and outside a 1-record window ({c, previous=b}): removed
+    assert si.retire_index_root(ptr, a, history_keep=1) is True
+    assert not os.path.isdir(a)
     # idempotent on a gone root
-    assert si.retire_index_root(ptr, old, min_age_s=0.0) is False
+    assert si.retire_index_root(ptr, a, history_keep=1) is False
     # serving is unharmed throughout
     queries = embs.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
     )
     assert si.ivfpq_search_serving(spark, ptr, queries, k=5).count() == 10
+
+
+def test_retire_index_root_rollback_history(spark, sf_dir, tmp_path):
+    """The flip-flip-rollback history the round-10 verdict prescribed:
+    after a→b→(rollback)→a, the rolled-back-FROM root 'b' is head's
+    ``previous`` and must be refused at every window depth ≥ 1 — the
+    race the mtime heuristic could only narrow is closed by the log."""
+    ptr = str(tmp_path / "ptr")
+    a = str(tmp_path / "blue")
+    b = str(tmp_path / "green")
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") < 50)
+    for root in (a, b):
+        si.ivfpq_index_build(spark, base, root)
+    si.serving_pointer_set(ptr, a)
+    si.serving_pointer_set(ptr, b, expect_root=a)
+    si.serving_pointer_set(ptr, a, expect_root=b)  # rollback
+    assert si.retire_index_root(ptr, b, history_keep=1) is False
+    assert si.retire_index_root(ptr, b, history_keep=2) is False
+    assert os.path.isdir(b)
+    # two more forward flips push 'b' out of a 2-record window
+    c = str(tmp_path / "third")
+    si.ivfpq_index_build(spark, base, c)
+    si.serving_pointer_set(ptr, c, expect_root=a)
+    si.serving_pointer_set(ptr, a, expect_root=c)
+    # history now: ..., {c,prev=a}, {a,prev=c} — 'b' absent from the
+    # last 2 records in every role
+    assert si.retire_index_root(ptr, b, history_keep=2) is True
+    assert not os.path.isdir(b)
 
 
 def test_ivfpq_swap_on_doc_keyed_dual_stream(spark, sf_dir, tmp_path):
@@ -2833,3 +2872,224 @@ def test_policy_status_records_post_compaction_state(spark, sf_dir, tmp_path):
     assert status["compacted"] == ["bm25"]
     assert all(v <= 2 for v in status["n_segments"].values())
     assert max(status["n_segments_before"].values()) > 2
+
+
+def test_bm25_score_from_text_matches_member_path(spark, sf_dir, tmp_path):
+    """Free-text scoring (round-10 verdict #1): a query whose text IS
+    doc q's text scores every candidate identically to the member-id
+    path — the only difference is self-inclusion (text queries are
+    their own id space, so the source doc is an ordinary candidate) —
+    and the query string normalizes through the ONE shared tokenizer
+    (case, repeated whitespace)."""
+    source = str(tmp_path / "docs")
+    index = str(tmp_path / "bm25")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lakelog.append_commit(spark, source, docs)
+    si.bm25_index_maintain(spark, source, index)
+
+    by_ids = {
+        (r.query_id, r.doc_id): (r.n_terms, round(r.bm25, 9))
+        for r in si.bm25_score_from_index(spark, index, (0, 1, 2)).collect()
+    }
+    qtext = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    by_text = {
+        (r.query_id, r.doc_id): (r.n_terms, round(r.bm25, 9))
+        for r in si.bm25_score_from_text(spark, index, qtext).collect()
+    }
+    # text path = ids path plus exactly the three self rows
+    self_rows = {k for k in by_text if k[0] == k[1]}
+    assert self_rows == {(0, 0), (1, 1), (2, 2)}
+    assert {k: v for k, v in by_text.items() if k not in self_rows} == by_ids
+
+    # normalization: SHOUTED, tab-ridden text scores identically
+    mangled = qtext.select(
+        "query_id",
+        F.regexp_replace(F.upper("text"), " ", "\t  ").alias("text"),
+    )
+    by_mangled = {
+        (r.query_id, r.doc_id): (r.n_terms, round(r.bm25, 9))
+        for r in si.bm25_score_from_text(spark, index, mangled).collect()
+    }
+    assert by_mangled == by_text
+
+    # no shared vocabulary -> empty hits for that query only
+    mixed = spark.createDataFrame(
+        [(7, "zzzqqq xyzzy")], "query_id bigint, text string"
+    ).unionByName(qtext.filter(F.col("query_id") == 0))
+    got = si.bm25_score_from_text(spark, index, mixed)
+    assert got.filter(F.col("query_id") == 7).count() == 0
+    assert got.filter(F.col("query_id") == 0).count() > 0
+
+
+def test_filtered_hybrid_serves_within_allowed_set(spark, sf_dir, tmp_path):
+    """Filtered rerank/rrf over the CDC-maintained stack (round-10
+    verdict #3): allowed_ids restricts BOTH signals PRE-rank — every
+    hit is allowed, the pool is drawn from allowed docs only (top-k
+    equals a from-pieces recompute on the filtered lists), and a
+    doc that is deleted AND disallowed can never surface."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    )
+    lakelog.append_commit(
+        spark, src,
+        corpus.drop("label").select(
+            "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+        ),
+    )
+    si.ivfpq_index_build(
+        spark,
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    si.bm25_index_maintain(spark, src, bm25_root)
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    allowed = embs.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+
+    rrf = si.hybrid_search_rrf_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries,
+        query_ids=(0, 1, 2), pool=20, k=10, allowed_ids=allowed,
+    )
+    rows = rrf.collect()
+    assert all(r.doc_id % 3 == 0 for r in rows)
+    # parity with fusing the two filtered lists assembled by hand
+    lex = si._bm25_cand_topk(
+        spark, bm25_root, (0, 1, 2), 20, with_rank=True, allowed_ids=allowed
+    )
+    dense = si.ivfpq_search_from_index(
+        spark, ivfpq_root, queries, k=20, nprobe=2, allowed_ids=allowed
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    want = si.rrf_fuse([lex, dense], k0=60, k=10)
+    _assert_df_equal(rrf, want, ("query_id", "rank"))
+
+    rr = si.hybrid_search_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries,
+        query_ids=(0, 1, 2), pool=20, k=10, allowed_ids=allowed,
+    )
+    assert all(r.doc_id % 3 == 0 for r in rr.collect())
+
+    # pre-rank, not post-rank: the filtered pool must contain allowed
+    # docs an unfiltered top-20 would have crowded out
+    unfiltered_pool = {
+        (r.query_id, r.doc_id)
+        for r in si._bm25_cand_topk(
+            spark, bm25_root, (0, 1, 2), 20, with_rank=False
+        ).collect()
+    }
+    filtered_pool = {
+        (r.query_id, r.doc_id)
+        for r in lex.select("query_id", "doc_id").collect()
+    }
+    assert filtered_pool - unfiltered_pool, (
+        "filtered pool adds no new docs — post-filter semantics?"
+    )
+
+
+def test_filtered_rerank_excludes_deleted_and_disallowed(spark, sf_dir, tmp_path):
+    """Free-text + filter over the CDC stack: a doc deleted by CDC is
+    out (tombstone + drained tf), a disallowed doc is out (semi-join),
+    and the surviving hits rank by the same rerank arithmetic."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    ).filter(F.col("doc_id") < 300)
+    lakelog.append_commit(
+        spark, src,
+        corpus.drop("label").select(
+            "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+        ),
+    )
+    si.ivfpq_index_build(
+        spark,
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    sink = si.cdc_dual_indexing_sink(
+        spark, src, bm25_root, ivfpq_root, keys=("doc_id",),
+        bm25_app_id="bm25",
+    )
+    si.bm25_index_maintain(spark, src, bm25_root)
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    # find what WOULD be served, then CDC-delete the top hit
+    queries = embs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    qtext = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(0).cast("bigint").alias("query_id"), "text"
+    )
+    before = si.hybrid_search_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries, query_ids=(0,),
+        pool=20, k=10, queries_text=qtext,
+    ).collect()
+    victim = next(r.doc_id for r in before if r.rank == 1)
+    sink(
+        corpus.filter(F.col("doc_id") == victim).select(
+            "doc_id", "text", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+        ),
+        batch_id=1,
+    )
+    allowed = embs.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 300)
+    ).select("vec_id")
+    after = si.hybrid_search_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries, query_ids=(0,),
+        pool=20, k=10, queries_text=qtext, allowed_ids=allowed,
+    ).collect()
+    assert all(r.doc_id != victim for r in after)
+    assert all(r.doc_id % 2 == 0 for r in after)
+
+
+def test_search_fill_reports_zero_hit_queries(spark, sf_dir, tmp_path):
+    """search_fill (round-10 verdict #4): one row per REQUESTED query
+    — a query the serve returned nothing for must appear with
+    n_hits=0, not vanish."""
+    index = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings")
+    si.ivfpq_index_build(spark, embs, index)
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    # a filter keeping only 3 vectors guarantees underfill at k=10
+    allowed = spark.createDataFrame(
+        [(3,), (6,), (9,)], "vec_id bigint"
+    )
+    hits = si.ivfpq_search_from_index(
+        spark, index, queries, k=10, nprobe=1, allowed_ids=allowed
+    )
+    fill = {
+        r.query_id: (r.n_hits, r.k, r.filled)
+        for r in si.search_fill(hits, (0, 1, 7), k=10).collect()
+    }
+    assert set(fill) == {0, 1, 7}
+    assert fill[7] == (0, 10, False)  # never requested from the index
+    for q in (0, 1):
+        n, k, filled = fill[q]
+        assert 0 <= n <= 3 and k == 10 and filled is False
+    # full-fill case reports filled=True
+    full = si.ivfpq_search_from_index(spark, index, queries, k=5, nprobe=2)
+    fill2 = {
+        r.query_id: r.filled
+        for r in si.search_fill(full, (0, 1), k=5).collect()
+    }
+    assert fill2 == {0: True, 1: True}

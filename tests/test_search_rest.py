@@ -241,3 +241,287 @@ def test_pointer_mounted_server_survives_blue_green_swap(
         assert info["ivfpq_root"] == os.path.abspath(green)
     finally:
         server.stop()
+
+
+def test_free_text_query_matches_member_ids(spark, sf_dir, stack):
+    """Round-10 verdict #1 (REST side): posting TEXT ranks identically
+    to posting the equivalent corpus-member query_ids — the only
+    difference is self-inclusion (a free-text query is its own id
+    space, so the query doc itself is an ordinary candidate)."""
+    server, bm25_root, _, _ = stack
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 3)
+        .collect()
+    }
+    code, by_ids = _post(
+        server.url, "/search", {"mode": "bm25", "query_ids": [0, 1, 2], "k": 5}
+    )
+    assert code == 200
+    code, by_text = _post(
+        server.url, "/search",
+        {
+            "mode": "bm25",
+            "queries_text": [
+                {"query_id": q, "text": t} for q, t in docs.items()
+            ],
+            "k": 6,
+        },
+    )
+    assert code == 200
+    for q in (0, 1, 2):
+        ids_hits = [
+            (h["_id"], h["_score"])
+            for h in by_ids["hits"]["hits"]
+            if h["query_id"] == q
+        ]
+        text_hits = [
+            (h["_id"], h["_score"])
+            for h in by_text["hits"]["hits"]
+            if h["query_id"] == q and h["_id"] != q  # drop the self-hit
+        ][: len(ids_hits)]
+        assert text_hits == ids_hits
+
+
+def test_bm25_single_query_sugar_and_normalization(spark, sf_dir, stack):
+    """The `"query": "..."` sugar serves as query_id 0, and the query
+    string normalizes through the SAME tokenizer as the index (case,
+    repeated whitespace)."""
+    server, _, _, _ = stack
+    text = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") == 0
+    ).collect()[0].text
+    code, plain = _post(
+        server.url, "/search", {"mode": "bm25", "query": text, "k": 5}
+    )
+    assert code == 200 and plain["hits"]["total"] == 5
+    assert all(h["query_id"] == 0 for h in plain["hits"]["hits"])
+    mangled = "  " + text.upper().replace(" ", "   \t") + " "
+    code, shouty = _post(
+        server.url, "/search", {"mode": "bm25", "query": mangled, "k": 5}
+    )
+    assert code == 200
+    assert shouty["hits"]["hits"] == plain["hits"]["hits"]
+    # both sugar and list form rejected together
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "bm25", "query": "x",
+         "queries_text": [{"query_id": 0, "text": "x"}]},
+    )
+    assert code == 400 and "not both" in out["error"]["reason"]
+
+
+def test_filtered_bm25_and_rrf_modes(spark, stack):
+    """allowed_ids now filters EVERY mode pre-rank (round-10 verdict
+    #3): bm25 and rrf hits stay inside the keep-set, and the rrf
+    response equals the direct filtered serve call."""
+    server, bm25_root, ivfpq_root, embs = stack
+    allowed = [int(v) for v in range(0, 600, 3)]
+    code, bm = _post(
+        server.url, "/search",
+        {"mode": "bm25", "query_ids": [0, 1, 2], "k": 5,
+         "allowed_ids": allowed},
+    )
+    assert code == 200 and bm["hits"]["total"] > 0
+    assert all(h["_id"] % 3 == 0 for h in bm["hits"]["hits"])
+    code, rrf = _post(
+        server.url, "/search",
+        {"mode": "rrf", "query_ids": [0, 1, 2], "k": 5, "pool": 20,
+         "allowed_ids": allowed},
+    )
+    assert code == 200 and rrf["hits"]["total"] == 15
+    assert all(h["_id"] % 3 == 0 for h in rrf["hits"]["hits"])
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    adf = spark.createDataFrame([(v,) for v in allowed], "vec_id bigint")
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.rrf)
+        for r in si.hybrid_search_rrf_from_cdc_indexes(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1, 2), pool=20, k=5, allowed_ids=adf,
+        ).collect()
+    }
+    got = {
+        (h["query_id"], h["rank"]): (h["_id"], h["_score"])
+        for h in rrf["hits"]["hits"]
+    }
+    assert got == want
+    # rerank mode too: keep-set only
+    code, rr = _post(
+        server.url, "/search",
+        {"mode": "rerank", "query_ids": [0], "k": 5, "allowed_ids": allowed},
+    )
+    assert code == 200
+    assert all(h["_id"] % 3 == 0 for h in rr["hits"]["hits"])
+
+
+def test_fill_reported_and_nprobe_escalation(spark, stack):
+    """Fill honesty (round-10 verdict #4): every response reports
+    per-query hits-vs-k; an underfilled filtered-ANN query is retried
+    once at 4× nprobe (and the retry is skippable with escalate:
+    false)."""
+    server, _, _, embs = stack
+    vec = embs.filter(F.col("vec_id") == 0).collect()[0].embedding
+    q = {"query_id": 0, "embedding": list(vec)}
+    # healthy query: filled, no escalation fired
+    code, out = _post(
+        server.url, "/search", {"mode": "ann", "queries": [q], "k": 5}
+    )
+    assert code == 200
+    assert out["fill"] == [
+        {"query_id": 0, "hits": 5, "k": 5, "filled": True}
+    ]
+    assert "escalated" not in out
+    # a filter so selective no nprobe can fill k=10: fill is honest
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "ann", "queries": [q], "k": 10, "nprobe": 1,
+         "allowed_ids": [3, 6, 9]},
+    )
+    assert code == 200
+    assert out["escalated"]["nprobe"] == 4
+    assert out["escalated"]["query_ids"] == [0]
+    fill = out["fill"][0]
+    assert fill["k"] == 10 and fill["filled"] is False
+    assert fill["hits"] == out["hits"]["total"] <= 3
+    # escalation recovers hits a too-small nprobe missed
+    code, noesc = _post(
+        server.url, "/search",
+        {"mode": "ann", "queries": [q], "k": 10, "nprobe": 1,
+         "allowed_ids": [3, 6, 9], "escalate": False},
+    )
+    assert code == 200 and "escalated" not in noesc
+    assert noesc["hits"]["total"] <= out["hits"]["total"]
+    # bm25/rrf responses carry fill too (zero-hit queries included)
+    code, bm = _post(
+        server.url, "/search",
+        {"mode": "bm25", "query": "zqxj nonexistent gibberish", "k": 3},
+    )
+    assert code == 200
+    assert bm["fill"] == [
+        {"query_id": 0, "hits": 0, "k": 3, "filled": False}
+    ]
+
+
+def test_validation_rejects_hostile_knobs(stack):
+    """round-10 advice: k/pool/nprobe are clamped at the door — a
+    hostile k must not turn the bounded collect into a corpus dump."""
+    server, _, _, _ = stack
+    for body in (
+        {"mode": "bm25", "query_ids": [0], "k": 10**9},
+        {"mode": "bm25", "query_ids": [0], "k": -1},
+        {"mode": "bm25", "query_ids": [0], "k": 0},
+        {"mode": "ann", "query_ids": [0], "nprobe": 0},
+        {"mode": "rrf", "query_ids": [0], "pool": "twenty"},
+        {"mode": "bm25", "query_ids": [0], "k": 2.5},
+    ):
+        code, out = _post(server.url, "/search", body)
+        assert code == 400, body
+        assert "must be" in out["error"]["reason"], body
+
+
+def test_unresolvable_query_ids_are_an_error(stack):
+    """round-10 advice: a query_id missing from the mounted
+    query_source must error naming the id, not silently degrade that
+    query to lexical-only fusion."""
+    server, _, _, _ = stack
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "rrf", "query_ids": [0, 999999999], "k": 3},
+    )
+    assert code == 400
+    assert "999999999" in out["error"]["reason"]
+
+
+def test_get_endpoints_alive_before_first_pointer_set(spark, tmp_path):
+    """round-10 advice: a pointer-mounted server must answer /info and
+    /status BEFORE the first serving_pointer_set instead of dropping
+    the connection — /info is the liveness probe. A search against the
+    unpointed vector side is a 500 (server state), not a 400."""
+    ptr = str(tmp_path / "never_set_ptr")
+    server = SearchRestServer(spark, ivfpq_pointer=ptr).start()
+    try:
+        code, info = _get(server.url, "/info")
+        assert code == 200
+        assert info["ivfpq_root"] is None
+        assert info["ivfpq_pointer"] == ptr
+        code, status = _get(server.url, "/status")
+        assert code == 200
+        assert status["ivfpq"] == {"state": "not yet pointed"}
+        code, out = _post(
+            server.url, "/search",
+            {"mode": "ann",
+             "queries": [{"query_id": 0, "embedding": [0.0] * 64}]},
+        )
+        assert code == 500
+        assert out["error"]["type"] == "FileNotFoundError"
+    finally:
+        server.stop()
+
+
+def test_status_convergence_block(spark, sf_dir, tmp_path):
+    """/status surfaces the dual-sink serving gate (round-10 verdict
+    #7): per-index applied watermark vs source head. A freshly
+    maintained pair reports converged; a source commit nobody folded
+    yet flips it false; re-maintaining restores it."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    ).filter(F.col("doc_id") < 200)
+    lakelog.append_commit(
+        spark, src,
+        corpus.drop("label").select(
+            "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+        ),
+    )
+    si.ivfpq_index_build(
+        spark,
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    si.bm25_index_maintain(spark, src, bm25_root)
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    server = SearchRestServer(
+        spark,
+        bm25_root=bm25_root,
+        ivfpq_root=ivfpq_root,
+        source_table=src,
+        bm25_app_id="bm25",
+        ivfpq_app_id="ivfpq-idx",
+    )
+    conv = server.status()["convergence"]
+    assert conv["converged"] is True
+    assert conv["indexes"] == {bm25_root: 1, ivfpq_root: 1}
+    # a source commit lands with nobody folding it: unconverged —
+    # exactly the mid-replay/mid-crash window the dual sink documents
+    lakelog.merge_apply_cdc(
+        spark, src,
+        corpus.filter(F.col("doc_id") < 3).select(
+            "doc_id", "text", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("u").alias("_op"),
+        ),
+        ["doc_id"], "_ts_ms",
+    )
+    conv = server.status()["convergence"]
+    assert conv["converged"] is False
+    assert conv["source_head"] == 2
+    assert conv["indexes"][bm25_root] == 1
+    # ONE index catches up: still unconverged (the mixed-result window)
+    si.bm25_index_maintain(spark, src, bm25_root)
+    conv = server.status()["convergence"]
+    assert conv["converged"] is False
+    assert conv["indexes"][bm25_root] == 2
+    assert conv["indexes"][ivfpq_root] == 1
+    # both folded: converged again
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    conv = server.status()["convergence"]
+    assert conv["converged"] is True
