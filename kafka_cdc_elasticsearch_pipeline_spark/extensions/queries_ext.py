@@ -4351,7 +4351,11 @@ _SQL_FROZEN_BASE_CENTS = """
 # so the three gate rows (append-only grown index / CDC update+delete
 # index / blue-green retrain swap) can never drift on the decode or
 # ranking conventions.
-_SQL_IVFPQ_SERVE_TAIL = f"""
+# The reconstruction + probe CTE chain of the IVF-PQ serving oracle,
+# shared by the plain serve tail (top-10 select below) and the
+# filtered-RRF fusion oracle (which needs the DENSE RANK LIST at
+# pool depth instead). Expects cents / grown / cbs CTEs upstream.
+_SQL_IVFPQ_RECON_CTES = f"""
     rese AS (
       SELECT g.vec_id, g.label,
              list_transform(generate_series(1, 64),
@@ -4394,6 +4398,9 @@ _SQL_IVFPQ_SERVE_TAIL = f"""
              ) AS pr
       FROM (SELECT * FROM embeddings WHERE vec_id < 3) q CROSS JOIN cents c
     )
+"""
+
+_SQL_IVFPQ_SERVE_TAIL = f"""{_SQL_IVFPQ_RECON_CTES}
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT p.query_id, r.vec_id AS neighbor_id, {_SQL_COS_RECON} AS cosine,
              row_number() OVER (PARTITION BY p.query_id
@@ -4952,6 +4959,197 @@ def ext_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = si.hybrid_search_rrf_index_only(
             spark, bm25_root, pq_root, queries, query_ids=(0, 1, 2),
             pool=20, k=10,
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_search_bm25_text_query",
+    f"""
+    WITH {_SQL_BM25_CAND_CTES},
+    tcand AS (
+      SELECT q.query_id, t.doc_id, t.word,
+             (((s.n_docs - d.df)::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5))
+             * ((t.tf::DOUBLE * 2.2)
+                / (t.tf::DOUBLE + 1.2 * (0.25 + (0.75 * l.dl::DOUBLE)
+                     / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))) AS s
+      FROM tf t
+      JOIN bqw q USING (word)
+      JOIN dft d USING (word)
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    tbm AS (
+      SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+             list_reduce(list_prepend(0.0, list(s ORDER BY word)), (x, y) -> x + y)
+               AS bm25
+      FROM tcand GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_terms, round(bm25, 6) AS bm25, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM tbm
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "search", "bm25", "lake", "incremental",
+          "text"),
+)
+def ext_search_bm25_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREE-TEXT queries against the maintained BM25 index — the shape
+    the reference pipeline's consumers actually use (they POST text to
+    Elasticsearch ``/_search``, readme.md:74-84; Kibana's saved
+    searches are query strings, docker-compose.yml:344-349 — never
+    corpus-member ids): ``bm25_score_from_text`` tokenizes the query
+    string AT SERVE TIME with the ONE shared tokenizer the index fold
+    ran (``similarity.bm25_tokenize``) and scores with the identical
+    arithmetic, no self-exclusion (text queries are their own id
+    space). The query strings here are documents 0-2's text DELIBERATELY
+    MANGLED — upper-cased, tab-and-space-padded — while the oracle
+    derives the same queries' terms from the NORMALIZED index rows
+    (bqw, no self-exclusion in tcand): hash-equality therefore proves
+    the serve-time tokenizer normalizes exactly like the index
+    tokenizer cross-engine, the property free-text search silently
+    loses recall without."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bm25_text_")
+    src = os.path.join(root, "docs")
+    index = os.path.join(root, "bm25")
+    try:
+        lakelog.append_commit(spark, src, docs)
+        si.bm25_index_maintain(spark, src, index)
+        qtext = docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.regexp_replace(F.upper("text"), " ", "  \t ").alias("text"),
+        )
+        scored = si.bm25_score_from_text(spark, index, qtext)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), F.col("doc_id").asc()
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(
+                "query_id",
+                "doc_id",
+                "n_terms",
+                F.round("bm25", 6).alias("bm25"),
+                "rank",
+            )
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_search_hybrid_rrf_filtered",
+    f"""
+    WITH {_SQL_BM25_CAND_CTES},
+    bmrf AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id ASC) AS r
+      FROM bm WHERE doc_id % 3 = 0
+    ),
+    cents AS MATERIALIZED ({_SQL_CENTROIDS}),
+    grown AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 3 = 0
+    ),
+    cbs AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 16
+    ),
+    {_SQL_IVFPQ_RECON_CTES},
+    dense AS (
+      SELECT query_id, doc_id, dr FROM (
+        SELECT p.query_id, r.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS dr
+        FROM ranked_probes p
+        JOIN grown g ON g.label = p.probe_label
+        JOIN rrecon r ON r.vec_id = g.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE p.pr <= 2 AND r.vec_id <> p.query_id
+      ) WHERE dr <= 20
+    ),
+    tagged AS (
+      SELECT query_id, doc_id, 0 AS src, r AS rank FROM bmrf WHERE r <= 20
+      UNION ALL
+      SELECT query_id, doc_id, 1 AS src, dr AS rank FROM dense
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(
+               list_prepend(0.0, list(1.0 / (60.0 + rank) ORDER BY src)),
+               (x, y) -> x + y), 6) AS rrf
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "search", "bm25", "ivf", "pq", "rrf", "lake",
+          "incremental", "filtered"),
+)
+def ext_search_hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED rank-fusion hybrid — ES's filtered kNN + filtered bm25
+    in one ``rrf`` retriever, the standard metadata-scoped product
+    search (round-10 verdict #3): an application keep-set
+    (vec_id % 3 == 0) restricts BOTH signals BEFORE their ranks — the
+    lexical list semi-joins the maintained-index candidates pre-rank
+    (``_bm25_cand_topk(allowed_ids=...)``), the dense list is filtered
+    ANN from the persisted IVF-PQ artifacts
+    (``ivfpq_search_from_index(allowed_ids=...)`` — pre-rank AND
+    pre-decode) — then ``rrf_fuse`` merges the two allowed-only rank
+    lists. Post-filtering either list instead would under-fill and
+    MIS-RANK (rank positions of disallowed docs would leak into the
+    fusion); the oracle rebuilds both filtered lists from scratch
+    (bm candidates WHERE allowed, IVF-PQ recon ranked over allowed
+    rows within probed buckets), so hash-equality pins the pre-rank
+    semantics on both signals plus the ordered reciprocal fold."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    embs = reuse(_embs(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="hybrid_rrf_filtered_")
+    src = os.path.join(root, "docs")
+    bm25_root = os.path.join(root, "bm25")
+    ivfpq_root = os.path.join(root, "ivfpq")
+    try:
+        lakelog.append_commit(spark, src, _docs(spark, sf_dir))
+        si.bm25_index_maintain(spark, src, bm25_root)
+        si.ivfpq_index_build(spark, embs, ivfpq_root)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        allowed = embs.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+        out = si.hybrid_search_rrf_from_cdc_indexes(
+            spark, bm25_root, ivfpq_root, queries, query_ids=(0, 1, 2),
+            pool=20, k=10, nprobe=2, allowed_ids=allowed,
         )
         # materialize BEFORE the temp lake dir disappears
         return spark.createDataFrame(out.collect(), out.schema)
