@@ -141,6 +141,19 @@ def main(argv: list[str] | None = None) -> int:
         help="harness dir whose embeddings table resolves query_ids",
     )
     p_search.add_argument("--port", type=int, default=9200)
+    p_search.add_argument(
+        "--source-table", default=None,
+        help="the CDC source lake table: turns on /status's "
+        "convergence block (per-index applied watermark vs head)",
+    )
+    p_search.add_argument(
+        "--bm25-app-id", default=None,
+        help="BM25 maintenance lineage for the convergence block",
+    )
+    p_search.add_argument(
+        "--ivfpq-app-id", default=None,
+        help="IVF-PQ maintenance lineage for the convergence block",
+    )
 
     args = ap.parse_args(argv)
 
@@ -257,6 +270,9 @@ def main(argv: list[str] | None = None) -> int:
             ivfpq_root=args.ivfpq_root,
             ivfpq_pointer=args.ivfpq_pointer,
             query_source=qsrc,
+            source_table=args.source_table,
+            bm25_app_id=args.bm25_app_id,
+            ivfpq_app_id=args.ivfpq_app_id,
             port=args.port,
         ).start()
         print(f"listening on {server.url} (POST /search, GET /status)")
