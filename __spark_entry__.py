@@ -99,16 +99,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # window, safe for any N ≤ ~40, but keep N ≤ ~10 so the r08 block
 # (49 rows, floor r13) doesn't start compounding behind it.
 #
-# r12 window math (written r11): r11 registers exactly 2 new queries
-# (ext_search_bm25_text_query, ext_search_hybrid_rrf_filtered) —
-# registry 211, 210 gated, floor ceil(210/50) = 5 (check_oracle
-# confirms). The r11 window = 2 never + 9 r06 (their floor round —
-# refreshed exactly on time) + 39 of the 50 r07 rows. That leaves
-# 11 r07 rows whose floor is r12; the oldest-first rotation fronts
-# them automatically, so r12 needs no pin. r12's budget: window =
-# N new + 11 r07 + (39−N) r08, leaving (10+N) r08 rows for r13 —
-# their floor round — so any N ≤ ~10 keeps every block exactly on
-# schedule with no compounding.
+# r12 window math (written r11): r11 registers exactly 3 new queries
+# (ext_search_bm25_text_query, ext_search_hybrid_rrf_filtered,
+# ext_search_hybrid_rrf_pinned) — registry 212, 211 gated, floor
+# ceil(211/50) = 5 (check_oracle confirms). The r11 window = 3 never
+# + 9 r06 (their floor round — refreshed exactly on time) + 38 of
+# the 50 r07 rows. That leaves 12 r07 rows whose floor is r12; the
+# oldest-first rotation fronts them automatically, so r12 needs no
+# pin. r12's budget: window = N new + 12 r07 + (38−N) r08, leaving
+# (11+N) r08 rows for r13 — their floor round — so any N ≤ ~10 keeps
+# every block exactly on schedule with no compounding.
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

@@ -5155,3 +5155,136 @@ def ext_search_hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_search_hybrid_rrf_pinned",
+    f"""
+    WITH {_SQL_BM25_CAND_CTES},
+    cents AS MATERIALIZED ({_SQL_CENTROIDS}),
+    grown AS (SELECT vec_id, embedding, label FROM embeddings),
+    cbs AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 16
+    ),
+    {_SQL_IVFPQ_RECON_CTES},
+    dense AS (
+      SELECT query_id, doc_id, dr FROM (
+        SELECT p.query_id, r.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_SQL_COS_RECON} DESC, r.vec_id) AS dr
+        FROM ranked_probes p
+        JOIN grown g ON g.label = p.probe_label
+        JOIN rrecon r ON r.vec_id = g.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE p.pr <= 2 AND r.vec_id <> p.query_id
+      ) WHERE dr <= 20
+    ),
+    tagged AS (
+      SELECT query_id, doc_id, 0 AS src, r AS rank FROM bmr WHERE r <= 20
+      UNION ALL
+      SELECT query_id, doc_id, 1 AS src, dr AS rank FROM dense
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(
+               list_prepend(0.0, list(1.0 / (60.0 + rank) ORDER BY src)),
+               (x, y) -> x + y), 6) AS rrf
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    tags=("ext", "similarity", "search", "bm25", "ivf", "pq", "rrf", "lake",
+          "incremental", "cdc", "pinned"),
+)
+def ext_search_hybrid_rrf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINNED-WATERMARK hybrid serving — the dual-sink update window
+    CLOSED, not just detected (the caveat ``cdc_dual_indexing_sink``
+    documents: a crash between the pair's maintains leaves BM25 and
+    IVF-PQ at different source watermarks, and an updated doc serves
+    MIXED results until the replay). Here the stack indexes snapshot
+    v1, then a CDC batch (updates every doc_id % 11 == 5, deletes
+    every % 13 == 7) lands as v2 and ONLY the BM25 side folds it —
+    exactly the mid-crash divergence — and
+    ``hybrid_search_rrf_at_watermark`` serves both signals AT
+    min(applied watermarks) = v1 via index TIME TRAVEL (each table
+    pinned to the manifest version whose maintenance watermark equals
+    the target; lake versions are immutable). The oracle is the CLEAN
+    v1 fusion — full-corpus BM25 + probed IVF-PQ dense list, fused by
+    ordered reciprocal fold — computed from the UNMODIFIED harness
+    tables: hash-equality proves the pinned serve returns exactly the
+    consistent pre-divergence answer even though the live BM25 head
+    already reflects v2. ES's point-in-time search, from lake
+    manifests instead of segment refcounts."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    embs = reuse(_embs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    corpus = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    )
+    root = tempfile.mkdtemp(prefix="hybrid_rrf_pinned_")
+    src = os.path.join(root, "src")
+    bm25_root = os.path.join(root, "bm25")
+    ivfpq_root = os.path.join(root, "ivfpq")
+    try:
+        lakelog.append_commit(
+            spark, src,
+            corpus.drop("label").select(
+                "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+            ),
+        )
+        si.ivfpq_index_build(
+            spark,
+            corpus.select(
+                F.col("doc_id").alias("vec_id"), "embedding", "label"
+            ),
+            ivfpq_root,
+            source_watermark=1,
+        )
+        si.bm25_index_maintain(spark, src, bm25_root)
+        si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+        # v2: CDC updates + deletes — traffic the pinned serve must NOT
+        # see (the oracle is the clean v1 state)
+        updates = corpus.filter(
+            (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 13 != 7)
+        ).select(
+            "doc_id",
+            F.concat(F.lit("updated "), F.col("text")).alias("text"),
+            "embedding",
+            F.lit(2).alias("_ts_ms"),
+            F.lit("u").alias("_op"),
+        )
+        deletes = corpus.filter(F.col("doc_id") % 13 == 7).select(
+            "doc_id", "text", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+        )
+        lakelog.merge_apply_cdc(
+            spark, src, updates.unionByName(deletes), ["doc_id"], "_ts_ms"
+        )
+        # ONLY bm25 folds v2 — the documented mid-crash divergence
+        si.bm25_index_maintain(spark, src, bm25_root)
+        queries = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        out = si.hybrid_search_rrf_at_watermark(
+            spark, bm25_root, ivfpq_root, queries, query_ids=(0, 1, 2),
+            pool=20, k=10, nprobe=2,
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -119,6 +119,7 @@ def _merged(
     table: str,
     keys: list[str],
     where: list | None = None,
+    version: int | None = None,
 ) -> DataFrame | None:
     """Merge-on-read view of a segmented count table: group-sum the
     appended signed partials, drop drained groups. None if the table
@@ -127,11 +128,13 @@ def _merged(
     skipping via the segments' bloom/range stats makes the group-sum
     touch only segments that may hold those keys; groups of every key
     the predicate keeps are summed over ALL their segments (bloom has
-    no false negatives), so their merged counts are exact."""
+    no false negatives), so their merged counts are exact. ``version``
+    time-travels the view to an older table snapshot (pinned-watermark
+    serving — :func:`index_version_at_watermark`)."""
     if lakelog.latest_version(table) is None:
         return None
     return (
-        lakelog.read(spark, table, where=where)
+        lakelog.read(spark, table, version=version, where=where)
         .groupBy(*keys)
         .agg(F.sum("n_rows").alias("n_rows"))
         .filter(F.col("n_rows") != 0)
@@ -266,14 +269,20 @@ def bm25_index_maintain(
 
 
 def bm25_read_index(
-    spark: SparkSession, index_root: str
+    spark: SparkSession,
+    index_root: str,
+    at: dict[str, int] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(tf, dl, df) merge-on-read views in the scoring schema —
-    exactly what ``similarity.bm25_score_components`` consumes."""
+    exactly what ``similarity.bm25_score_components`` consumes.
+    ``at`` pins each table to an explicit version (basename → version,
+    from :func:`index_versions_at_watermark`) — pinned-watermark
+    serving; default latest."""
+    at = at or {}
     t = _tables(index_root)
-    tf = _merged(spark, t[_TF], ["doc_id", "word"])
-    dl = _merged(spark, t[_DL], ["doc_id"])
-    df = _merged(spark, t[_DF], ["word"])
+    tf = _merged(spark, t[_TF], ["doc_id", "word"], version=at.get(_TF))
+    dl = _merged(spark, t[_DL], ["doc_id"], version=at.get(_DL))
+    df = _merged(spark, t[_DF], ["word"], version=at.get(_DF))
     if tf is None or dl is None or df is None:
         raise FileNotFoundError(f"no maintained index under {index_root}")
     return (
@@ -289,6 +298,7 @@ def bm25_score_from_index(
     query_ids: tuple[int, ...],
     k1: float = 1.2,
     b: float = 0.75,
+    at: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 candidates scored FROM THE MAINTAINED INDEX — the serving
     path: no tokenization, no corpus scan, identical arithmetic (and
@@ -296,7 +306,7 @@ def bm25_score_from_index(
     ``bm25_scored_candidates`` on the same snapshot. The persisted df
     is semi-joined to the query's terms before broadcasting
     (query-term-sized, never vocabulary-sized)."""
-    tf, dl, df = bm25_read_index(spark, index_root)
+    tf, dl, df = bm25_read_index(spark, index_root, at=at)
     return sim.bm25_score_components(tf, dl, query_ids, df=df, k1=k1, b=b)
 
 
@@ -306,6 +316,7 @@ def bm25_score_from_text(
     queries_text: DataFrame,
     k1: float = 1.2,
     b: float = 0.75,
+    at: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 scoring of FREE-TEXT queries against the maintained index
     — the shape the reference pipeline's consumers actually use: they
@@ -326,7 +337,7 @@ def bm25_score_from_text(
     doc_id colliding with a query_id is an ordinary candidate. A
     query whose text shares no term with the corpus simply returns no
     rows for that query_id (exactly ES's empty hits)."""
-    tf, dl, df = bm25_read_index(spark, index_root)
+    tf, dl, df = bm25_read_index(spark, index_root, at=at)
     qw = queries_text.select(
         "query_id",
         F.explode(sim.bm25_tokenize(F.col("text"))).alias("word"),
@@ -769,6 +780,7 @@ def _bm25_cand_topk(
     with_rank: bool = False,
     queries_text: DataFrame | None = None,
     allowed_ids: DataFrame | None = None,
+    at: dict[str, int] | None = None,
 ) -> DataFrame:
     """Top-``pool`` BM25 candidates per query from the maintained
     index — the shared retrieve stage of every hybrid serve.
@@ -785,9 +797,9 @@ def _bm25_cand_topk(
     from pyspark.sql import Window as W
 
     if queries_text is not None:
-        scored = bm25_score_from_text(spark, bm25_root, queries_text)
+        scored = bm25_score_from_text(spark, bm25_root, queries_text, at=at)
     else:
-        scored = bm25_score_from_index(spark, bm25_root, query_ids)
+        scored = bm25_score_from_index(spark, bm25_root, query_ids, at=at)
     if allowed_ids is not None:
         ids = allowed_ids.select(
             F.col(allowed_ids.columns[0]).cast("long").alias("doc_id")
@@ -1235,6 +1247,7 @@ def _ivfpq_live(
     spark: SparkSession,
     index_root: str,
     probe_labels: list[int] | None = None,
+    at: dict[str, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(buckets, codes) restricted to LIVE rows — the merge-on-read
     view every serve goes through: tombstones (one (vec_id, max seq)
@@ -1250,13 +1263,17 @@ def _ivfpq_live(
     every file holding only unprobed buckets at listing time — the
     read follows nprobe/n_buckets of the corpus, not the corpus.
     Pre-cluster-era codes (no label column) fall back to the full
-    read; the buckets prune alone still bounds the joined result."""
+    read; the buckets prune alone still bounds the joined result.
+    ``at`` (basename → version, :func:`index_versions_at_watermark`)
+    time-travels all three tables to a pinned snapshot."""
+    at = at or {}
     where = (
         [("label", "in", probe_labels)] if probe_labels is not None else None
     )
     buckets = _with_seq(
         lakelog.read(
-            spark, os.path.join(index_root, "ivf_buckets"), where=where
+            spark, os.path.join(index_root, "ivf_buckets"),
+            version=at.get("ivf_buckets"), where=where,
         )
     )
     t_codes = os.path.join(index_root, "pq_codes")
@@ -1268,7 +1285,11 @@ def _ivfpq_live(
         # newest data dir's footer is authoritative for the whole
         # table because _adopt_legacy keeps it all-legacy or
         # all-current, never mixed.
-        head = lakelog.latest_version(t_codes)
+        head = (
+            at["pq_codes"]
+            if at.get("pq_codes") is not None
+            else lakelog.latest_version(t_codes)
+        )
         if head is None:
             # half-built root (build crashed between the centroids
             # and codes commits): fail the way lakelog.read does, not
@@ -1278,11 +1299,15 @@ def _ivfpq_live(
         newest = os.path.join(t_codes, manifest["data_dirs"][-1])
         if "label" not in spark.read.parquet(newest).schema.names:
             codes_where = None  # pre-cluster era: full read
-    codes = _with_seq(lakelog.read(spark, t_codes, where=codes_where))
+    codes = _with_seq(
+        lakelog.read(
+            spark, t_codes, version=at.get("pq_codes"), where=codes_where
+        )
+    )
     dels = os.path.join(index_root, _IVF_DELETES)
     if lakelog.latest_version(dels) is not None:
         tomb = (
-            lakelog.read(spark, dels)
+            lakelog.read(spark, dels, version=at.get(_IVF_DELETES))
             .groupBy("vec_id")
             .agg(F.max("seq").alias("_tseq"))
         )
@@ -1510,6 +1535,7 @@ def _ivfpq_live_recon(
     cents: DataFrame | None = None,
     probe_labels: list[int] | None = None,
     filter_ids: DataFrame | None = None,
+    at: dict[str, int] | None = None,
 ) -> DataFrame:
     """(vec_id, label, recon) — LIVE vectors reconstructed from the
     persisted artifacts: tombstone-filtered codes decoded against the
@@ -1532,7 +1558,9 @@ def _ivfpq_live_recon(
     if cents is None:
         cents = lakelog.read(spark, os.path.join(index_root, "ivf_centroids"))
     cb = lakelog.read(spark, os.path.join(index_root, "pq_codebook"))
-    buckets, codes = _ivfpq_live(spark, index_root, probe_labels=probe_labels)
+    buckets, codes = _ivfpq_live(
+        spark, index_root, probe_labels=probe_labels, at=at
+    )
     if vec_ids is not None:
         codes = codes.join(F.broadcast(vec_ids), "vec_id", "left_semi")
         buckets = buckets.join(F.broadcast(vec_ids), "vec_id", "left_semi")
@@ -1573,6 +1601,7 @@ def ivfpq_search_from_index(
     k: int = 10,
     nprobe: int = 2,
     allowed_ids: DataFrame | None = None,
+    at: dict[str, int] | None = None,
 ) -> DataFrame:
     """ANN serving from the PERSISTED IVF-PQ index — the production
     read path of ``similarity.ivfpq_topk``: queries (query_id,
@@ -1628,7 +1657,7 @@ def ivfpq_search_from_index(
     )
     recon = _ivfpq_live_recon(
         spark, index_root, cents=cents, probe_labels=probe_labels,
-        filter_ids=allowed_ids,
+        filter_ids=allowed_ids, at=at,
     )
     scored = (
         recon.join(F.broadcast(probes), recon["label"] == probes["probe_label"])
@@ -1713,6 +1742,130 @@ def indexes_converged(
         "indexes": marks,
         "converged": bool(marks) and all(m == head for m in marks.values()),
     }
+
+
+def index_version_at_watermark(
+    table: str, app_id: str, watermark: int
+) -> int | None:
+    """The latest committed version of an index TABLE whose
+    (``app_id``) maintenance watermark equals ``watermark`` — the
+    time-travel coordinate for pinned-watermark serving. Walks
+    manifests backward (watermarks are monotone per lineage, so the
+    walk stops as soon as it passes below the target); versions whose
+    manifests vacuum removed end the walk. None when the table never
+    folded that exact boundary (folds are RANGED — (a, head] in one
+    segment — so only fold-boundary watermarks correspond to a
+    serveable state). Manifest reads only."""
+    v = lakelog.latest_version(table)
+    while v is not None and v >= 0:
+        try:
+            wm = lakelog.read_manifest(table, v).get("txns", {}).get(app_id, 0)
+        except (OSError, ValueError):
+            return None  # vacuumed past: the pinned state is gone
+        if wm == watermark:
+            return v
+        if wm < watermark:
+            return None  # monotone: the boundary was never folded
+        v -= 1
+    return None
+
+
+def index_versions_at_watermark(
+    index_root: str, app_id: str, watermark: int
+) -> dict[str, int]:
+    """Per-table pinned versions of a whole index family at one
+    source ``watermark`` — what :func:`bm25_read_index` /
+    :func:`_ivfpq_live` accept as ``at``. ValueError when any present
+    table never folded that boundary: a pinned serve over MIXED
+    watermarks would be exactly the inconsistency pinning exists to
+    rule out. (Fold boundaries align across a family by construction
+    — every maintain commits all its tables at the same source head —
+    and across the bm25/ivfpq PAIR when one driver folds both per
+    batch, the :func:`cdc_dual_indexing_sink` shape.)"""
+    family = (
+        _BM25_TABLES
+        if lakelog.latest_version(os.path.join(index_root, _TF)) is not None
+        else _IVF_TABLES
+    )
+    out: dict[str, int] = {}
+    for t in family:
+        table = os.path.join(index_root, t)
+        if lakelog.latest_version(table) is None:
+            continue
+        v = index_version_at_watermark(table, app_id, watermark)
+        if v is None:
+            raise ValueError(
+                f"{table} has no committed state at source watermark "
+                f"{watermark} (never folded that boundary, or vacuumed "
+                "past it)"
+            )
+        out[t] = v
+    return out
+
+
+def hybrid_search_rrf_at_watermark(
+    spark: SparkSession,
+    bm25_root: str,
+    ivfpq_root: str,
+    queries: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 20,
+    k: int = 10,
+    k0: int = 60,
+    nprobe: int = 2,
+    bm25_app_id: str = "bm25",
+    ivfpq_app_id: str = "ivfpq-idx",
+    watermark: int | None = None,
+    queries_text: DataFrame | None = None,
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """RRF hybrid serving with the dual-sink update window CLOSED, not
+    just detected: both signals serve AT THE SAME source watermark —
+    by default the newest version BOTH indexes reflect (the min of
+    their applied watermarks, :func:`index_applied_watermark`) — via
+    index time travel (each table pinned to the manifest version whose
+    maintenance watermark equals the target; lake versions are
+    immutable, so the pinned read is exactly the state that served
+    when that fold landed). A crash between the pair's maintains —
+    the window :func:`cdc_dual_indexing_sink` documents, where an
+    updated doc otherwise serves MIXED results (new-text BM25
+    candidacy, stale-code rerank cosine) — leaves the lagging index's
+    head AND a leading-index historical version at the same boundary,
+    so pinned serving returns the consistent pre-update answer until
+    the replay lands, at the cost of bounded staleness. The explicit
+    ``watermark`` form is snapshot-reproducible serving: the same
+    pinned request returns the same hits regardless of folds landing
+    in between (ES's point-in-time search, minus the TTL).
+
+    Requires aligned fold boundaries across the pair (one driver
+    folding both per batch — the dual-sink shape); mismatched
+    cadences raise ValueError from the version resolution rather than
+    serve mixed state. Cost: identical plans to
+    :func:`hybrid_search_rrf_from_cdc_indexes` — the pin only swaps
+    which manifest each scan lists (compaction may make a pinned
+    historical read MORE segmented than head, the usual
+    time-travel-vs-compaction trade)."""
+    if watermark is None:
+        watermark = min(
+            index_applied_watermark(bm25_root, bm25_app_id),
+            index_applied_watermark(ivfpq_root, ivfpq_app_id),
+        )
+    bm25_at = index_versions_at_watermark(bm25_root, bm25_app_id, watermark)
+    ivf_at = index_versions_at_watermark(ivfpq_root, ivfpq_app_id, watermark)
+    lex = _bm25_cand_topk(
+        spark, bm25_root, query_ids, pool, with_rank=True,
+        queries_text=queries_text, allowed_ids=allowed_ids, at=bm25_at,
+    )
+    dense_allowed = None
+    if allowed_ids is not None:
+        dense_allowed = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).cast("long").alias("vec_id")
+        )
+    dense = ivfpq_search_from_index(
+        spark, ivfpq_root, queries, k=pool, nprobe=nprobe,
+        allowed_ids=dense_allowed, at=ivf_at,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], k0=k0, k=k)
 
 
 def index_read_amplification(index_root: str) -> dict[str, dict[str, int]]:

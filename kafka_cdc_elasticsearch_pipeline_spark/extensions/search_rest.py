@@ -35,7 +35,10 @@ Endpoints:
        "query": "brown fox",             # sugar: one text, query_id 0
        "k": 10, "pool": 20, "nprobe": 2,
        "allowed_ids": [3, 6, 9],         # filtered: every mode
-       "escalate": true}                 # ann: nprobe retry on underfill
+       "escalate": true,                 # ann: nprobe retry on underfill
+       "pinned": true, "watermark": 3}   # rrf: both signals served AT
+                                         # one source version (default:
+                                         # min of applied watermarks)
 
   → ``{"hits": {"total": N, "hits": [{"_id", "_score", "rank",
   "query_id"}]}, "fill": [{"query_id", "hits", "k", "filled"}, ...]}``,
@@ -422,6 +425,34 @@ class SearchRestServer:
                     "query_id",
                     F.col("doc_id").alias("_id"),
                     F.col("cosine").alias("_score"),
+                    "rank",
+                )
+            elif req.get("pinned"):
+                # consistent pinned-watermark fusion: both signals at
+                # the same source version (ES point-in-time search) —
+                # needs the maintenance lineages mounted to resolve
+                # watermark → table versions
+                if self.bm25_app_id is None or self.ivfpq_app_id is None:
+                    raise ValueError(
+                        "pinned serving needs bm25_app_id and "
+                        "ivfpq_app_id mounted on this server"
+                    )
+                wm = req.get("watermark")
+                if wm is not None and (not isinstance(wm, int) or wm < 1):
+                    raise ValueError(
+                        f"'watermark' must be a positive integer, got {wm!r}"
+                    )
+                df = si.hybrid_search_rrf_at_watermark(
+                    self.spark, self.bm25_root, ivfpq_root, qdf,
+                    query_ids=req_ids, pool=pool, k=k, nprobe=nprobe,
+                    bm25_app_id=self.bm25_app_id,
+                    ivfpq_app_id=self.ivfpq_app_id,
+                    watermark=wm,
+                    queries_text=qtext, allowed_ids=allowed,
+                ).select(
+                    "query_id",
+                    F.col("doc_id").alias("_id"),
+                    F.col("rrf").alias("_score"),
                     "rank",
                 )
             else:

@@ -3093,3 +3093,99 @@ def test_search_fill_reports_zero_hit_queries(spark, sf_dir, tmp_path):
         for r in si.search_fill(full, (0, 1), k=5).collect()
     }
     assert fill2 == {0: True, 1: True}
+
+
+def test_pinned_watermark_serving_closes_update_window(spark, sf_dir, tmp_path):
+    """Pinned-watermark hybrid serving (round 11): the dual-sink
+    update window CLOSED rather than detected — with the pair at
+    different applied watermarks (the documented crash shape), serving
+    at min(watermarks) returns exactly what the pair served BEFORE the
+    divergence (consistent, boundedly stale), the explicit-watermark
+    form is reproducible, a never-folded boundary raises, and once the
+    lagging index catches up the default pin serves the NEW state."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    )
+    lakelog.append_commit(
+        spark, src,
+        corpus.drop("label").select(
+            "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+        ),
+    )
+    si.ivfpq_index_build(
+        spark,
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    si.bm25_index_maintain(spark, src, bm25_root)
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    before = sorted(
+        map(tuple, si.hybrid_search_rrf_from_cdc_indexes(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1, 2), pool=20, k=10,
+        ).collect())
+    )
+    # v2: delete query 0's top hit; fold ONLY bm25 — the exact crash
+    # window cdc_dual_indexing_sink documents
+    victim = si.hybrid_search_rrf_from_cdc_indexes(
+        spark, bm25_root, ivfpq_root, queries, query_ids=(0,), pool=20, k=1,
+    ).collect()[0].doc_id
+    changes = corpus.filter(F.col("doc_id") == int(victim)).select(
+        "doc_id", "text", "embedding",
+        F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+    )
+    lakelog.merge_apply_cdc(spark, src, changes, ["doc_id"], "_ts_ms")
+    si.bm25_index_maintain(spark, src, bm25_root)
+    assert si.indexes_converged(
+        src, (bm25_root, "bm25"), (ivfpq_root, "ivfpq-idx")
+    )["converged"] is False
+
+    pinned = sorted(
+        map(tuple, si.hybrid_search_rrf_at_watermark(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1, 2), pool=20, k=10,
+        ).collect())
+    )
+    assert pinned == before
+    # explicit watermark: reproducible point-in-time serving
+    explicit = sorted(
+        map(tuple, si.hybrid_search_rrf_at_watermark(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1, 2), pool=20, k=10, watermark=1,
+        ).collect())
+    )
+    assert explicit == before
+    # a boundary nobody folded is an error, not mixed state
+    with pytest.raises(ValueError, match="no committed state"):
+        si.hybrid_search_rrf_at_watermark(
+            spark, bm25_root, ivfpq_root, queries, watermark=9
+        )
+    # the replay lands: default pin moves to v2 and serves the delete
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    assert si.indexes_converged(
+        src, (bm25_root, "bm25"), (ivfpq_root, "ivfpq-idx")
+    )["converged"] is True
+    after = si.hybrid_search_rrf_at_watermark(
+        spark, bm25_root, ivfpq_root, queries,
+        query_ids=(0, 1, 2), pool=20, k=10,
+    ).collect()
+    assert all(r.doc_id != victim for r in after)
+    # ...while the explicit wm=1 pin STILL serves the old state
+    explicit_again = sorted(
+        map(tuple, si.hybrid_search_rrf_at_watermark(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1, 2), pool=20, k=10, watermark=1,
+        ).collect())
+    )
+    assert explicit_again == before

@@ -525,3 +525,96 @@ def test_status_convergence_block(spark, sf_dir, tmp_path):
     si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
     conv = server.status()["convergence"]
     assert conv["converged"] is True
+
+
+def test_rrf_pinned_serving_over_rest(spark, sf_dir, tmp_path):
+    """`"pinned": true` in rrf mode serves BOTH signals at one source
+    watermark over HTTP — with the pair diverged (bm25 folded v2,
+    ivfpq still at v1), the pinned response equals the pre-divergence
+    serve, an explicit watermark pins reproducibly, and a server
+    without mounted lineages rejects the request."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    ).filter(F.col("doc_id") < 300)
+    lakelog.append_commit(
+        spark, src,
+        corpus.drop("label").select(
+            "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+        ),
+    )
+    si.ivfpq_index_build(
+        spark,
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    si.bm25_index_maintain(spark, src, bm25_root)
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    server = SearchRestServer(
+        spark,
+        bm25_root=bm25_root,
+        ivfpq_root=ivfpq_root,
+        query_source=embs,
+        source_table=src,
+        bm25_app_id="bm25",
+        ivfpq_app_id="ivfpq-idx",
+    ).start()
+    try:
+        code, before = _post(
+            server.url, "/search",
+            {"mode": "rrf", "query_ids": [0, 1], "k": 5},
+        )
+        assert code == 200
+        victim = before["hits"]["hits"][0]["_id"]
+        lakelog.merge_apply_cdc(
+            spark, src,
+            corpus.filter(F.col("doc_id") == victim).select(
+                "doc_id", "text", "embedding",
+                F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+            ),
+            ["doc_id"], "_ts_ms",
+        )
+        si.bm25_index_maintain(spark, src, bm25_root)
+        assert server.status()["convergence"]["converged"] is False
+        code, pinned = _post(
+            server.url, "/search",
+            {"mode": "rrf", "query_ids": [0, 1], "k": 5, "pinned": True},
+        )
+        assert code == 200
+        assert pinned["hits"] == before["hits"]
+        code, explicit = _post(
+            server.url, "/search",
+            {"mode": "rrf", "query_ids": [0, 1], "k": 5, "pinned": True,
+             "watermark": 1},
+        )
+        assert code == 200 and explicit["hits"] == before["hits"]
+        # a boundary nobody folded: 400, names the problem
+        code, out = _post(
+            server.url, "/search",
+            {"mode": "rrf", "query_ids": [0], "pinned": True,
+             "watermark": 9},
+        )
+        assert code == 400 and "no committed state" in out["error"]["reason"]
+        code, out = _post(
+            server.url, "/search",
+            {"mode": "rrf", "query_ids": [0], "pinned": True,
+             "watermark": 0},
+        )
+        assert code == 400 and "watermark" in out["error"]["reason"]
+    finally:
+        server.stop()
+    # lineages not mounted: explicit refusal
+    bare = SearchRestServer(
+        spark, bm25_root=bm25_root, ivfpq_root=ivfpq_root, query_source=embs
+    )
+    try:
+        bare.search({"mode": "rrf", "query_ids": [0], "pinned": True})
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "pinned serving needs" in str(exc)
