@@ -618,3 +618,50 @@ def test_rrf_pinned_serving_over_rest(spark, sf_dir, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as exc:
         assert "pinned serving needs" in str(exc)
+
+
+def test_rrf_with_free_text_lexical_side(spark, sf_dir, stack):
+    """rerank/rrf accept `queries_text` for the lexical signal while
+    the dense signal still comes from the query vectors — ids must
+    match across the two, and mismatches are a named 400."""
+    server, bm25_root, ivfpq_root, embs = stack
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2)
+        .collect()
+    }
+    body = {
+        "mode": "rrf",
+        "query_ids": [0, 1],
+        "queries_text": [
+            {"query_id": q, "text": t} for q, t in texts.items()
+        ],
+        "k": 5,
+    }
+    code, out = _post(server.url, "/search", body)
+    assert code == 200 and out["hits"]["total"] == 10
+    # equals the direct call with the same text driving the lexical side
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    qtext = spark.createDataFrame(
+        list(texts.items()), "query_id bigint, text string"
+    )
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.rrf)
+        for r in si.hybrid_search_rrf_from_cdc_indexes(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1), pool=20, k=5, queries_text=qtext,
+        ).collect()
+    }
+    got = {
+        (h["query_id"], h["rank"]): (h["_id"], h["_score"])
+        for h in out["hits"]["hits"]
+    }
+    assert got == want
+    # id mismatch between the text and vector sides: named 400
+    bad = dict(body, queries_text=[{"query_id": 7, "text": "x"}])
+    code, out = _post(server.url, "/search", bad)
+    assert code == 400 and "must match" in out["error"]["reason"]
