@@ -1749,25 +1749,40 @@ def index_version_at_watermark(
 ) -> int | None:
     """The latest committed version of an index TABLE whose
     (``app_id``) maintenance watermark equals ``watermark`` — the
-    time-travel coordinate for pinned-watermark serving. Walks
-    manifests backward (watermarks are monotone per lineage, so the
-    walk stops as soon as it passes below the target); versions whose
-    manifests vacuum removed end the walk. None when the table never
+    time-travel coordinate for pinned-watermark serving. Watermarks
+    are MONOTONE in table version per lineage (every fold advances
+    them, every other commit — compaction, vacuum-survivor — carries
+    them forward unchanged), so this is a BINARY SEARCH over version
+    numbers: O(log versions) manifest reads, never a linear history
+    walk — a pin deep into a 100 TB index's thousands-of-folds
+    history costs the same as a pin at head. A version whose manifest
+    vacuum removed reads as watermark −∞ (vacuum only removes the
+    OLDEST versions, so "missing" sorts below every kept watermark
+    and the search correctly moves right). None when the table never
     folded that exact boundary (folds are RANGED — (a, head] in one
     segment — so only fold-boundary watermarks correspond to a
-    serveable state). Manifest reads only."""
-    v = lakelog.latest_version(table)
-    while v is not None and v >= 0:
+    serveable state), or when vacuum already removed it."""
+    head = lakelog.latest_version(table)
+    if head is None:
+        return None
+
+    def wm_at(v: int) -> int:
         try:
-            wm = lakelog.read_manifest(table, v).get("txns", {}).get(app_id, 0)
+            return (
+                lakelog.read_manifest(table, v).get("txns", {}).get(app_id, 0)
+            )
         except (OSError, ValueError):
-            return None  # vacuumed past: the pinned state is gone
-        if wm == watermark:
-            return v
-        if wm < watermark:
-            return None  # monotone: the boundary was never folded
-        v -= 1
-    return None
+            return -(2**62)  # vacuumed: below every real watermark
+
+    # rightmost version with wm(v) <= watermark
+    lo, hi = 0, head
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if wm_at(mid) <= watermark:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo if wm_at(lo) == watermark else None
 
 
 def index_versions_at_watermark(
@@ -1801,6 +1816,66 @@ def index_versions_at_watermark(
             )
         out[t] = v
     return out
+
+
+def _pinned_pair_at(
+    bm25_root: str,
+    ivfpq_root: str,
+    bm25_app_id: str,
+    ivfpq_app_id: str,
+    watermark: int | None,
+) -> tuple[dict[str, int], dict[str, int], int]:
+    """Resolve one source watermark into per-table pinned versions for
+    BOTH index families — the shared setup of the pinned serves.
+    ``watermark=None`` picks the newest version both indexes reflect
+    (min of applied watermarks). Manifest reads only."""
+    if watermark is None:
+        watermark = min(
+            index_applied_watermark(bm25_root, bm25_app_id),
+            index_applied_watermark(ivfpq_root, ivfpq_app_id),
+        )
+    return (
+        index_versions_at_watermark(bm25_root, bm25_app_id, watermark),
+        index_versions_at_watermark(ivfpq_root, ivfpq_app_id, watermark),
+        watermark,
+    )
+
+
+def hybrid_search_rerank_at_watermark(
+    spark: SparkSession,
+    bm25_root: str,
+    ivfpq_root: str,
+    queries: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 20,
+    k: int = 10,
+    bm25_app_id: str = "bm25",
+    ivfpq_app_id: str = "ivfpq-idx",
+    watermark: int | None = None,
+    queries_text: DataFrame | None = None,
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Retrieve-then-rerank at a pinned source watermark — the rerank
+    twin of :func:`hybrid_search_rrf_at_watermark` (see there for the
+    window-closing and point-in-time semantics). The pin matters MORE
+    here than for rrf: the rerank serves one doc through BOTH indexes
+    (BM25 candidacy, then that doc's decoded vector), so a diverged
+    pair produces the MIXED single answer the dual sink documents,
+    not just blended rank positions."""
+    bm25_at, ivf_at, _ = _pinned_pair_at(
+        bm25_root, ivfpq_root, bm25_app_id, ivfpq_app_id, watermark
+    )
+    cand = _bm25_cand_topk(
+        spark, bm25_root, query_ids, pool,
+        queries_text=queries_text, allowed_ids=allowed_ids, at=bm25_at,
+    )
+    recon = _ivfpq_live_recon(
+        spark,
+        ivfpq_root,
+        vec_ids=cand.select(F.col("doc_id").alias("vec_id")).distinct(),
+        at=ivf_at,
+    )
+    return _rerank_candidates(recon, cand, queries, k)
 
 
 def hybrid_search_rrf_at_watermark(
@@ -1845,13 +1920,9 @@ def hybrid_search_rrf_at_watermark(
     which manifest each scan lists (compaction may make a pinned
     historical read MORE segmented than head, the usual
     time-travel-vs-compaction trade)."""
-    if watermark is None:
-        watermark = min(
-            index_applied_watermark(bm25_root, bm25_app_id),
-            index_applied_watermark(ivfpq_root, ivfpq_app_id),
-        )
-    bm25_at = index_versions_at_watermark(bm25_root, bm25_app_id, watermark)
-    ivf_at = index_versions_at_watermark(ivfpq_root, ivfpq_app_id, watermark)
+    bm25_at, ivf_at, watermark = _pinned_pair_at(
+        bm25_root, ivfpq_root, bm25_app_id, ivfpq_app_id, watermark
+    )
     lex = _bm25_cand_topk(
         spark, bm25_root, query_ids, pool, with_rank=True,
         queries_text=queries_text, allowed_ids=allowed_ids, at=bm25_at,

@@ -36,9 +36,12 @@ Endpoints:
        "k": 10, "pool": 20, "nprobe": 2,
        "allowed_ids": [3, 6, 9],         # filtered: every mode
        "escalate": true,                 # ann: nprobe retry on underfill
-       "pinned": true, "watermark": 3}   # rrf: both signals served AT
-                                         # one source version (default:
-                                         # min of applied watermarks)
+       "pinned": true, "watermark": 3}   # rerank/rrf: both signals
+                                         # served AT one source version
+                                         # (default: min of applied
+                                         # watermarks); bm25/ann take
+                                         # "watermark" alone for
+                                         # single-index point-in-time
 
   → ``{"hits": {"total": N, "hits": [{"_id", "_score", "rank",
   "query_id"}]}, "fill": [{"query_id", "hits", "k", "filled"}, ...]}``,
@@ -345,6 +348,23 @@ class SearchRestServer:
         # mid-request cannot mix two roots in one response
         ivfpq_root = self.ivfpq_root if mode != "bm25" else None
         escalated: dict | None = None
+        wm = req.get("watermark")
+        if wm is not None and (not isinstance(wm, int) or wm < 1):
+            raise ValueError(
+                f"'watermark' must be a positive integer, got {wm!r}"
+            )
+
+        def pinned_at(root, app_id, side):
+            """Per-table pinned versions for a single-index mode's
+            'watermark' field (point-in-time search on one index;
+            rrf's pinned mode resolves both sides jointly instead)."""
+            if wm is None:
+                return None
+            if app_id is None:
+                raise ValueError(
+                    f"'watermark' needs {side} mounted on this server"
+                )
+            return si.index_versions_at_watermark(root, app_id, wm)
         if mode == "bm25":
             if self.bm25_root is None:
                 raise ValueError("no bm25 index mounted")
@@ -366,10 +386,15 @@ class SearchRestServer:
                 )
             from pyspark.sql import Window as W
 
+            bm25_at = pinned_at(self.bm25_root, self.bm25_app_id, "bm25_app_id")
             scored = (
-                si.bm25_score_from_text(self.spark, self.bm25_root, qtext)
+                si.bm25_score_from_text(
+                    self.spark, self.bm25_root, qtext, at=bm25_at
+                )
                 if qtext is not None
-                else si.bm25_score_from_index(self.spark, self.bm25_root, qids)
+                else si.bm25_score_from_index(
+                    self.spark, self.bm25_root, qids, at=bm25_at
+                )
             )
             if allowed is not None:
                 # pre-rank, same as every filtered serve: a post-filter
@@ -399,6 +424,7 @@ class SearchRestServer:
             df = si.ivfpq_search_from_index(
                 self.spark, ivfpq_root, qdf, k=k, nprobe=nprobe,
                 allowed_ids=allowed,
+                at=pinned_at(ivfpq_root, self.ivfpq_app_id, "ivfpq_app_id"),
             ).select(
                 "query_id",
                 F.col("neighbor_id").alias("_id"),
@@ -416,7 +442,33 @@ class SearchRestServer:
                     f"'queries_text' ids {sorted(text_ids)} must match "
                     f"the vector query ids {sorted(req_ids)}"
                 )
-            if mode == "rerank":
+            pinned = bool(req.get("pinned")) or wm is not None
+            if pinned and (
+                self.bm25_app_id is None or self.ivfpq_app_id is None
+            ):
+                # consistent pinned-watermark serving: both signals at
+                # the same source version (ES point-in-time search) —
+                # needs the maintenance lineages mounted to resolve
+                # watermark → table versions
+                raise ValueError(
+                    "pinned serving needs bm25_app_id and "
+                    "ivfpq_app_id mounted on this server"
+                )
+            if mode == "rerank" and pinned:
+                df = si.hybrid_search_rerank_at_watermark(
+                    self.spark, self.bm25_root, ivfpq_root, qdf,
+                    query_ids=req_ids, pool=pool, k=k,
+                    bm25_app_id=self.bm25_app_id,
+                    ivfpq_app_id=self.ivfpq_app_id,
+                    watermark=wm,
+                    queries_text=qtext, allowed_ids=allowed,
+                ).select(
+                    "query_id",
+                    F.col("doc_id").alias("_id"),
+                    F.col("cosine").alias("_score"),
+                    "rank",
+                )
+            elif mode == "rerank":
                 df = si.hybrid_search_from_cdc_indexes(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
                     query_ids=req_ids, pool=pool, k=k,
@@ -427,21 +479,7 @@ class SearchRestServer:
                     F.col("cosine").alias("_score"),
                     "rank",
                 )
-            elif req.get("pinned"):
-                # consistent pinned-watermark fusion: both signals at
-                # the same source version (ES point-in-time search) —
-                # needs the maintenance lineages mounted to resolve
-                # watermark → table versions
-                if self.bm25_app_id is None or self.ivfpq_app_id is None:
-                    raise ValueError(
-                        "pinned serving needs bm25_app_id and "
-                        "ivfpq_app_id mounted on this server"
-                    )
-                wm = req.get("watermark")
-                if wm is not None and (not isinstance(wm, int) or wm < 1):
-                    raise ValueError(
-                        f"'watermark' must be a positive integer, got {wm!r}"
-                    )
+            elif pinned:
                 df = si.hybrid_search_rrf_at_watermark(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
                     query_ids=req_ids, pool=pool, k=k, nprobe=nprobe,
@@ -485,6 +523,9 @@ class SearchRestServer:
                 retry = si.ivfpq_search_from_index(
                     self.spark, ivfpq_root, retry_qdf, k=k,
                     nprobe=min(nprobe * 4, _MAX_KNOB), allowed_ids=allowed,
+                    at=pinned_at(
+                        ivfpq_root, self.ivfpq_app_id, "ivfpq_app_id"
+                    ),
                 ).select(
                     "query_id",
                     F.col("neighbor_id").alias("_id"),

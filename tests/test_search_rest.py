@@ -571,6 +571,11 @@ def test_rrf_pinned_serving_over_rest(spark, sf_dir, tmp_path):
             {"mode": "rrf", "query_ids": [0, 1], "k": 5},
         )
         assert code == 200
+        code, rerank_before = _post(
+            server.url, "/search",
+            {"mode": "rerank", "query_ids": [0, 1], "k": 5},
+        )
+        assert code == 200
         victim = before["hits"]["hits"][0]["_id"]
         lakelog.merge_apply_cdc(
             spark, src,
@@ -607,6 +612,30 @@ def test_rrf_pinned_serving_over_rest(spark, sf_dir, tmp_path):
              "watermark": 0},
         )
         assert code == 400 and "watermark" in out["error"]["reason"]
+        # rerank pins too (the mode where divergence yields a MIXED
+        # single answer), and bm25 takes a bare watermark: both serve
+        # the pre-divergence state
+        code, rr1 = _post(
+            server.url, "/search",
+            {"mode": "rerank", "query_ids": [0, 1], "k": 5, "pinned": True},
+        )
+        assert code == 200
+        assert rr1["hits"] == rerank_before["hits"]
+        code, bm1 = _post(
+            server.url, "/search",
+            {"mode": "bm25", "query_ids": [0, 1], "k": 5, "watermark": 1},
+        )
+        code2, bm2 = _post(
+            server.url, "/search",
+            {"mode": "bm25", "query_ids": [0, 1], "k": 5},
+        )
+        assert code == 200 and code2 == 200
+        # head already folded the delete; the wm=1 pin still sees it
+        pinned_ids = {h["_id"] for h in bm1["hits"]["hits"]}
+        head_ids = {h["_id"] for h in bm2["hits"]["hits"]}
+        assert victim not in head_ids
+        if victim in pinned_ids:
+            assert pinned_ids != head_ids
     finally:
         server.stop()
     # lineages not mounted: explicit refusal
