@@ -708,6 +708,8 @@ def hybrid_search_index_only(
     query_ids: tuple[int, ...] = (0, 1, 2),
     pool: int = 20,
     k: int = 10,
+    queries_text: DataFrame | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Retrieve-then-rerank with NO raw corpus anywhere in the serve
     path — the full index-serving memory story: BM25 candidates come
@@ -721,8 +723,15 @@ def hybrid_search_index_only(
     before reconstruction, so the expensive stage is candidate-sized
     regardless of corpus size. Rerank quality inherits PQ's
     quantization error (measured by ``ext_sim_pq_recall``) — the
-    price of serving without floats."""
-    cand = _bm25_cand_topk(spark, bm25_root, query_ids, pool)
+    price of serving without floats. ``queries_text`` /
+    ``allowed_ids`` as in :func:`hybrid_search_from_cdc_indexes`
+    (free-text lexical stage; keep-set filtered pre-rank — the
+    candidate set is already allowed-only, so the decode needs no
+    second filter)."""
+    cand = _bm25_cand_topk(
+        spark, bm25_root, query_ids, pool,
+        queries_text=queries_text, allowed_ids=allowed_ids,
+    )
     cb, codes = pq_index_read(spark, pq_root)
     cand_codes = codes.join(
         F.broadcast(cand.select(F.col("doc_id").alias("vec_id")).distinct()),
@@ -885,6 +894,7 @@ def hybrid_search_rrf_index_only(
     k: int = 10,
     k0: int = 60,
     allowed_ids: DataFrame | None = None,
+    queries_text: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid serving by RANK FUSION from the maintained indexes —
     the alternative to :func:`hybrid_search_index_only`'s
@@ -908,7 +918,7 @@ def hybrid_search_rrf_index_only(
     pay reconstruction."""
     lex = _bm25_cand_topk(
         spark, bm25_root, query_ids, pool, with_rank=True,
-        allowed_ids=allowed_ids,
+        allowed_ids=allowed_ids, queries_text=queries_text,
     )
     cb, codes = pq_index_read(spark, pq_root)
     if allowed_ids is not None:
