@@ -781,6 +781,14 @@ def hybrid_search_from_cdc_indexes(
     return _rerank_candidates(recon, cand, queries, k)
 
 
+def _ids_col(ids: DataFrame, name: str) -> DataFrame:
+    """Normalize a caller-supplied id set (``allowed_ids`` etc.) to a
+    single long column called ``name`` — first column wins, so callers
+    may pass (vec_id) or (doc_id) frames interchangeably. ONE place
+    (round-11 review finding: five inline copies would drift)."""
+    return ids.select(F.col(ids.columns[0]).cast("long").alias(name))
+
+
 def _bm25_cand_topk(
     spark: SparkSession,
     bm25_root: str,
@@ -810,10 +818,7 @@ def _bm25_cand_topk(
     else:
         scored = bm25_score_from_index(spark, bm25_root, query_ids, at=at)
     if allowed_ids is not None:
-        ids = allowed_ids.select(
-            F.col(allowed_ids.columns[0]).cast("long").alias("doc_id")
-        )
-        scored = scored.join(ids, "doc_id", "left_semi")
+        scored = scored.join(_ids_col(allowed_ids, "doc_id"), "doc_id", "left_semi")
     w = W.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
@@ -922,13 +927,7 @@ def hybrid_search_rrf_index_only(
     )
     cb, codes = pq_index_read(spark, pq_root)
     if allowed_ids is not None:
-        codes = codes.join(
-            allowed_ids.select(
-                F.col(allowed_ids.columns[0]).cast("long").alias("vec_id")
-            ),
-            "vec_id",
-            "left_semi",
-        )
+        codes = codes.join(_ids_col(allowed_ids, "vec_id"), "vec_id", "left_semi")
     recon = sim.pq_reconstruct(codes, cb)
     # the dense list IS brute-force ADC top-pool over the decoded
     # index — reuse the one ranking implementation (round-6 cosine,
@@ -977,9 +976,7 @@ def hybrid_search_rrf_from_cdc_indexes(
     )
     dense_allowed = None
     if allowed_ids is not None:
-        dense_allowed = allowed_ids.select(
-            F.col(allowed_ids.columns[0]).cast("long").alias("vec_id")
-        )
+        dense_allowed = _ids_col(allowed_ids, "vec_id")
     dense = ivfpq_search_from_index(
         spark, ivfpq_root, queries, k=pool, nprobe=nprobe,
         allowed_ids=dense_allowed,
@@ -1939,9 +1936,7 @@ def hybrid_search_rrf_at_watermark(
     )
     dense_allowed = None
     if allowed_ids is not None:
-        dense_allowed = allowed_ids.select(
-            F.col(allowed_ids.columns[0]).cast("long").alias("vec_id")
-        )
+        dense_allowed = _ids_col(allowed_ids, "vec_id")
     dense = ivfpq_search_from_index(
         spark, ivfpq_root, queries, k=pool, nprobe=nprobe,
         allowed_ids=dense_allowed, at=ivf_at,
@@ -2180,21 +2175,31 @@ def ivfpq_search_serving(
     )
 
 
-def _pointer_recent_roots(pointer: str, history_keep: int) -> set[str]:
-    """Every root the last ``history_keep`` pointer records reference
-    — each record's ``root`` (what served) plus its ``previous`` (what
-    an in-flight reader that resolved the pointer just before that
-    flip may still be scanning). Manifest reads only."""
+def _pointer_roots(
+    pointer: str, history_keep: int
+) -> tuple[set[str], set[str]]:
+    """(recent, ever): roots the last ``history_keep`` pointer records
+    reference — each record's ``root`` (what served) plus its
+    ``previous`` (what an in-flight reader that resolved the pointer
+    just before that flip may still be scanning) — and roots ANY
+    record ever referenced. Manifest reads only; ``ever`` is an
+    O(history) sweep, fine for an operator-frequency action."""
     head = lakelog.latest_version(pointer)
     if head is None:
         raise FileNotFoundError(f"no serving root committed in {pointer}")
     recent: set[str] = set()
-    for v in range(head, max(head - history_keep, 0), -1):
-        rec = lakelog.read_manifest(pointer, v)
-        recent.add(rec["root"])
-        if rec.get("previous"):
-            recent.add(rec["previous"])
-    return recent
+    ever: set[str] = set()
+    for v in range(head, 0, -1):
+        try:
+            rec = lakelog.read_manifest(pointer, v)
+        except (OSError, ValueError):
+            break  # vacuumed history: older records are gone
+        for r in (rec["root"], rec.get("previous")):
+            if r:
+                ever.add(r)
+                if v > head - history_keep:
+                    recent.add(r)
+    return recent, ever
 
 
 def retire_index_root(
@@ -2223,7 +2228,15 @@ def retire_index_root(
     window, so no in-contract rollback can concurrently re-point at
     it, and every root a rollback may target is refused here. The
     pointer's version history (every record carries ``previous``)
-    remains the audit trail of what served when."""
+    remains the audit trail of what served when.
+
+    A root the log has NEVER referenced is also refused (False): its
+    lifecycle is not witnessed here, and the obvious instance is a
+    freshly retrained green root whose :func:`ivfpq_index_swap` has
+    not flipped yet — deleting it would strand the imminent cutover
+    (round-11 review finding: the retired mtime guard used to protect
+    exactly this pre-swap window). Retire only retires roots the
+    pointer log shows served and then stopped."""
     import shutil
 
     if not os.path.isdir(root):
@@ -2234,7 +2247,8 @@ def retire_index_root(
             f"{root!r} is the CURRENT serving root — swap away from it "
             "before retiring it"
         )
-    if target in _pointer_recent_roots(pointer, history_keep):
+    recent, ever = _pointer_roots(pointer, history_keep)
+    if target in recent or target not in ever:
         return False
     shutil.rmtree(root)
     return True

@@ -275,10 +275,16 @@ class SearchRestServer:
 
     def _queries_df(self, req: dict) -> tuple[DataFrame, tuple[int, ...]]:
         if req.get("queries"):
-            rows = [
-                (int(q["query_id"]), [float(x) for x in q["embedding"]])
-                for q in req["queries"]
-            ]
+            try:
+                rows = [
+                    (int(q["query_id"]), [float(x) for x in q["embedding"]])
+                    for q in req["queries"]
+                ]
+            except (KeyError, TypeError, ValueError) as exc:
+                raise ValueError(
+                    "each 'queries' entry needs an integer 'query_id' "
+                    f"and a numeric 'embedding' list ({exc!r})"
+                ) from None
             qdf = self.spark.createDataFrame(
                 rows, "query_id bigint, q_embedding array<double>"
             )
@@ -323,7 +329,13 @@ class SearchRestServer:
             entries = [{"query_id": 0, "text": req["query"]}]
         if not entries:
             return None, ()
-        rows = [(int(e["query_id"]), str(e["text"])) for e in entries]
+        try:
+            rows = [(int(e["query_id"]), str(e["text"])) for e in entries]
+        except (KeyError, TypeError, ValueError) as exc:
+            raise ValueError(
+                "each 'queries_text' entry needs an integer 'query_id' "
+                f"and a 'text' string ({exc!r})"
+            ) from None
         if len({q for q, _ in rows}) != len(rows):
             raise ValueError("duplicate query_id in 'queries_text'")
         return (
@@ -334,19 +346,31 @@ class SearchRestServer:
     def _allowed_df(self, req: dict) -> DataFrame | None:
         if req.get("allowed_ids") is None:
             return None
-        return self.spark.createDataFrame(
-            [(int(v),) for v in req["allowed_ids"]], "vec_id bigint"
-        )
+        try:
+            rows = [(int(v),) for v in req["allowed_ids"]]
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"'allowed_ids' must be a list of integers ({exc!r})"
+            ) from None
+        return self.spark.createDataFrame(rows, "vec_id bigint")
 
     def search(self, req: dict) -> dict:
+        if not isinstance(req, dict):
+            raise ValueError("request body must be a JSON object")
         mode = req.get("mode", "rrf")
+        if mode not in ("bm25", "ann", "rerank", "rrf"):
+            raise ValueError(f"unknown mode {mode!r}")
         k = _knob(req, "k", 10)
         pool = _knob(req, "pool", 20)
         nprobe = _knob(req, "nprobe", 2)
         allowed = self._allowed_df(req)
-        # resolve the pointer ONCE per request: a swap landing
-        # mid-request cannot mix two roots in one response
-        ivfpq_root = self.ivfpq_root if mode != "bm25" else None
+        # the vector-side pointer is resolved ONCE per request (a swap
+        # landing mid-request cannot mix two roots in one response) but
+        # only INSIDE the branches, after the request itself validated
+        # — a not-yet-pointed server must answer a malformed request
+        # with the 400 the caller can act on, not a pointer 500
+        # (round-11 review finding)
+        ivfpq_root: str | None = None
         escalated: dict | None = None
         wm = req.get("watermark")
         if wm is not None and (not isinstance(wm, int) or wm < 1):
@@ -365,6 +389,11 @@ class SearchRestServer:
                     f"'watermark' needs {side} mounted on this server"
                 )
             return si.index_versions_at_watermark(root, app_id, wm)
+        if req.get("pinned") and mode in ("bm25", "ann"):
+            raise ValueError(
+                "'pinned' applies to rerank/rrf (two-signal consistency); "
+                "for single-index point-in-time pass 'watermark'"
+            )
         if mode == "bm25":
             if self.bm25_root is None:
                 raise ValueError("no bm25 index mounted")
@@ -418,9 +447,12 @@ class SearchRestServer:
                 )
             )
         elif mode == "ann":
-            if ivfpq_root is None:
+            if self._ivfpq_static is None and self.ivfpq_pointer is None:
                 raise ValueError("no ivfpq index mounted")
             qdf, req_ids = self._queries_df(req)
+            # resolve the pointer AFTER the caller-fixable validation
+            # (unset pointer = server standup state = 500)
+            ivfpq_root = self.ivfpq_root
             df = si.ivfpq_search_from_index(
                 self.spark, ivfpq_root, qdf, k=k, nprobe=nprobe,
                 allowed_ids=allowed,
@@ -431,8 +463,10 @@ class SearchRestServer:
                 F.col("cosine").alias("_score"),
                 "rank",
             )
-        elif mode in ("rerank", "rrf"):
-            if self.bm25_root is None or ivfpq_root is None:
+        else:  # rerank / rrf
+            if self.bm25_root is None or (
+                self._ivfpq_static is None and self.ivfpq_pointer is None
+            ):
                 raise ValueError(f"{mode} mode needs both indexes mounted")
             qdf, req_ids = self._queries_df(req)
             qtext, text_ids = self._queries_text_df(req)
@@ -454,6 +488,7 @@ class SearchRestServer:
                     "pinned serving needs bm25_app_id and "
                     "ivfpq_app_id mounted on this server"
                 )
+            ivfpq_root = self.ivfpq_root
             if mode == "rerank" and pinned:
                 df = si.hybrid_search_rerank_at_watermark(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
@@ -504,8 +539,6 @@ class SearchRestServer:
                     F.col("rrf").alias("_score"),
                     "rank",
                 )
-        else:
-            raise ValueError(f"unknown mode {mode!r}")
         hits = self._collect_hits(df)
         if mode == "ann" and req.get("escalate", True):
             # one automatic nprobe escalation for underfilled queries
@@ -518,8 +551,10 @@ class SearchRestServer:
                 if sum(1 for h in hits if h["query_id"] == q) < k
             )
             if short:
-                retry_qdf, _ = self._queries_df(req)
-                retry_qdf = retry_qdf.filter(F.col("query_id").isin(short))
+                # reuse the branch's qdf — a fresh _queries_df would
+                # re-run the missing-ids validation collect against
+                # the query_source (round-11 review finding)
+                retry_qdf = qdf.filter(F.col("query_id").isin(short))
                 retry = si.ivfpq_search_from_index(
                     self.spark, ivfpq_root, retry_qdf, k=k,
                     nprobe=min(nprobe * 4, _MAX_KNOB), allowed_ids=allowed,

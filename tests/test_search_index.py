@@ -3189,3 +3189,29 @@ def test_pinned_watermark_serving_closes_update_window(spark, sf_dir, tmp_path):
         ).collect())
     )
     assert explicit_again == before
+
+
+def test_retire_refuses_roots_the_pointer_log_never_saw(spark, sf_dir, tmp_path):
+    """round-11 review finding: a freshly retrained GREEN root whose
+    swap has not flipped yet appears in no pointer record — retiring
+    it would strand the imminent cutover. retire only retires roots
+    the log shows served and then stopped."""
+    ptr = str(tmp_path / "ptr")
+    blue = str(tmp_path / "blue")
+    green = str(tmp_path / "green")
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") < 50)
+    si.ivfpq_index_build(spark, base, blue)
+    si.serving_pointer_set(ptr, blue)
+    # the retrain built green; the swap has NOT happened yet
+    si.ivfpq_index_build(spark, base, green)
+    assert si.retire_index_root(ptr, green, history_keep=1) is False
+    assert os.path.isdir(green)
+    # the swap flips; green is now current (ValueError), blue is
+    # head's previous (refused while in window)
+    si.serving_pointer_set(ptr, green, expect_root=blue)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CURRENT serving root"):
+        si.retire_index_root(ptr, green)
+    assert si.retire_index_root(ptr, blue, history_keep=1) is False

@@ -694,3 +694,45 @@ def test_rrf_with_free_text_lexical_side(spark, sf_dir, stack):
     bad = dict(body, queries_text=[{"query_id": 7, "text": "x"}])
     code, out = _post(server.url, "/search", bad)
     assert code == 400 and "must match" in out["error"]["reason"]
+
+
+def test_malformed_payload_shapes_are_400_not_500(spark, stack, tmp_path):
+    """round-11 review finding: payload-shape mistakes (missing keys,
+    wrong types, non-object bodies) are the CALLER's to fix — they
+    must land as 400 with a reason, never as a 500 'server fault'."""
+    server, _, _, _ = stack
+    for body in (
+        {"mode": "ann", "queries": [{"text": "no id or embedding"}]},
+        {"mode": "ann", "queries": [{"query_id": 0}]},
+        {"mode": "bm25", "queries_text": [{"text": "no id"}]},
+        {"mode": "bm25", "query_ids": [0], "allowed_ids": 5},
+        {"mode": "ann", "query_ids": [0], "pinned": True},
+    ):
+        code, out = _post(server.url, "/search", body)
+        assert code == 400, (body, out)
+        assert "reason" in out["error"], body
+    # a non-object body is a 400 too
+    import urllib.request as _rq
+
+    req = _rq.Request(
+        server.url + "/search", data=b"[1, 2]",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with _rq.urlopen(req) as resp:
+            code = resp.status
+    except urllib.error.HTTPError as err:
+        code, out = err.code, json.loads(err.read())
+    assert code == 400 and "JSON object" in out["error"]["reason"]
+    # validation 400s win over pointer-resolution 500s on a
+    # not-yet-pointed server (round-11 review finding)
+    unset = SearchRestServer(
+        spark, ivfpq_pointer=str(tmp_path / "nope")
+    ).start()
+    try:
+        code, out = _post(unset.url, "/search", {"mode": "bogus"})
+        assert code == 400 and "unknown mode" in out["error"]["reason"]
+        code, out = _post(unset.url, "/search", {"mode": "rrf"})
+        assert code == 400 and "both indexes" in out["error"]["reason"]
+    finally:
+        unset.stop()
