@@ -3215,3 +3215,48 @@ def test_retire_refuses_roots_the_pointer_log_never_saw(spark, sf_dir, tmp_path)
     with _pytest.raises(ValueError, match="CURRENT serving root"):
         si.retire_index_root(ptr, green)
     assert si.retire_index_root(ptr, blue, history_keep=1) is False
+
+
+def test_pinned_serving_vs_compaction_and_vacuum(spark, sf_dir, tmp_path):
+    """Pin/lifecycle interplay: a compaction rewrites an index at the
+    SAME watermark, so a pin taken before and after compaction serves
+    identical rows (the bisect lands on the latest — compacted —
+    version of that watermark); a vacuum that removes the pinned
+    history makes the pin an explicit ValueError, never a partial
+    read."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # three folds so there is history to pin, compact, and vacuum
+    for i in range(3):
+        lakelog.append_commit(
+            spark, src, docs.filter(F.col("doc_id") % 3 == i)
+        )
+        si.bm25_index_maintain(spark, src, bm25_root)
+
+    def score_at(wm):
+        at = si.index_versions_at_watermark(bm25_root, "bm25", wm)
+        return sorted(
+            (r.query_id, r.doc_id, round(r.bm25, 9))
+            for r in si.bm25_score_from_index(
+                spark, bm25_root, (0, 1), at=at
+            ).collect()
+        )
+
+    pinned_head_before = score_at(3)
+    si.bm25_index_compact(spark, bm25_root)
+    # the compacted commit carries the watermark forward: pin at 3
+    # resolves to the compacted version and serves identical rows
+    assert score_at(3) == pinned_head_before
+    # mid-history pin still resolves (its versions are intact)
+    mid = score_at(2)
+    assert mid  # non-empty
+    # vacuum everything but the last version: the wm=2 state is gone
+    for t in ("bm25_tf", "bm25_dl", "bm25_df"):
+        lakelog.vacuum(
+            os.path.join(bm25_root, t), keep_last=1, min_age_s=0.0
+        )
+    with pytest.raises(ValueError, match="vacuumed past|no committed state"):
+        si.index_versions_at_watermark(bm25_root, "bm25", 2)
+    # the head pin survives vacuum (its version is the kept one)
+    assert score_at(3) == pinned_head_before
