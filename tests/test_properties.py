@@ -447,3 +447,79 @@ def test_bpe_batched_one_pass_apply_equals_rule_replay_on_any_corpus(spark, word
         for a, b in learned:
             s = apply_rule(s, a, b)
         assert got[w] == s, (w, got[w], s)
+
+
+# --- serving-pointer retirement over ARBITRARY flip histories -----------------
+#
+# Pointer ops are metadata-only (lakelog commit_record / manifest
+# reads — no Spark), so hypothesis can afford real filesystem runs.
+
+flip_histories = st.lists(
+    st.integers(min_value=0, max_value=3),  # which of 4 roots to flip to
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(flips=flip_histories, keep=st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retire_safety_over_random_flip_histories(flips, keep, tmp_path_factory):
+    """For ANY flip history and window depth: retire raises on the
+    current target, refuses every root the last ``keep`` records
+    reference (as root or previous) and every root the log never saw,
+    and deletes exactly the rest — the model recomputed directly from
+    the record sequence."""
+    import os
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+
+    base = tmp_path_factory.mktemp("retire_prop")
+    ptr = str(base / "ptr")
+    roots = [str(base / f"root{i}") for i in range(4)]
+    for r in roots:
+        os.makedirs(r, exist_ok=True)
+
+    # build the model from the SAME dedup rule serving_pointer_set
+    # applies (a flip to the current target publishes no record)
+    records = []  # (root, previous)
+    cur = None
+    for i in flips:
+        target = os.path.abspath(roots[i])
+        if target == cur:
+            continue
+        records.append((target, cur))
+        cur = target
+    if not records:
+        records.append((os.path.abspath(roots[flips[0]]), None))
+        cur = records[0][0]
+    for i in flips:
+        si.serving_pointer_set(ptr, roots[i])
+
+    recent_model: set[str] = set()
+    ever_model: set[str] = set()
+    for idx, (root, prev) in enumerate(reversed(records)):
+        for r in (root, prev):
+            if r:
+                ever_model.add(r)
+                if idx < keep:
+                    recent_model.add(r)
+
+    for r in roots:
+        target = os.path.abspath(r)
+        if target == cur:
+            try:
+                si.retire_index_root(ptr, r, history_keep=keep)
+                raise AssertionError("current target must raise")
+            except ValueError:
+                assert os.path.isdir(r)
+        else:
+            expect = target in ever_model and target not in recent_model
+            got = si.retire_index_root(ptr, r, history_keep=keep)
+            assert got is expect, (records, keep, target)
+            assert os.path.isdir(r) is (not expect)

@@ -3260,3 +3260,52 @@ def test_pinned_serving_vs_compaction_and_vacuum(spark, sf_dir, tmp_path):
         si.index_versions_at_watermark(bm25_root, "bm25", 2)
     # the head pin survives vacuum (its version is the kept one)
     assert score_at(3) == pinned_head_before
+
+
+def test_version_at_watermark_bisect_matches_linear_reference(
+    spark, sf_dir, tmp_path
+):
+    """The O(log) bisect must agree with a straight linear manifest
+    scan for EVERY watermark — including watermarks that were never
+    fold boundaries (None) and watermarks whose state spans several
+    table versions (compaction commits carry them forward: the bisect
+    must return the LATEST such version)."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # folds at source watermarks 1..4, with a compaction (same-wm
+    # version) injected after the second fold
+    for i in range(4):
+        lakelog.append_commit(
+            spark, src, docs.filter(F.col("doc_id") % 4 == i)
+        )
+        si.bm25_index_maintain(spark, src, bm25_root)
+        if i == 1:
+            si.bm25_index_compact(spark, bm25_root)
+
+    def linear(table, app_id, wm):
+        best = None
+        v = lakelog.latest_version(table)
+        while v is not None and v >= 1:
+            try:
+                m = lakelog.read_manifest(table, v)
+            except (OSError, ValueError):
+                break
+            if m.get("txns", {}).get(app_id, 0) == wm and best is None:
+                best = v
+            v -= 1
+        return best
+
+    for t in ("bm25_tf", "bm25_dl", "bm25_df"):
+        table = os.path.join(bm25_root, t)
+        for wm in range(0, 7):
+            got = si.index_version_at_watermark(table, "bm25", wm)
+            want = linear(table, "bm25", wm)
+            assert got == want, (t, wm, got, want)
+    # the compaction really did create a multi-version watermark (the
+    # scenario the "latest wins" clause exists for)
+    tf = os.path.join(bm25_root, "bm25_tf")
+    v2 = si.index_version_at_watermark(tf, "bm25", 2)
+    assert (
+        lakelog.read_manifest(tf, v2 - 1).get("txns", {}).get("bm25", 0) == 2
+    ), "expected the compacted same-watermark predecessor"
