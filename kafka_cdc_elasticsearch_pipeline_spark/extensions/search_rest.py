@@ -34,6 +34,8 @@ Endpoints:
        "queries_text": [{"query_id": 0, "text": "brown fox"}],
        "query": "brown fox",             # sugar: one text, query_id 0
        "k": 10, "pool": 20, "nprobe": 2,
+       "from": 10,                       # ES-style pagination: skip
+                                         # the first `from` ranks
        "allowed_ids": [3, 6, 9],         # filtered: every mode
        "escalate": true,                 # ann: nprobe retry on underfill
        "pinned": true, "watermark": 3}   # rerank/rrf: both signals
@@ -43,9 +45,10 @@ Endpoints:
                                          # "watermark" alone for
                                          # single-index point-in-time
 
-  → ``{"hits": {"total": N, "hits": [{"_id", "_score", "rank",
-  "query_id"}]}, "fill": [{"query_id", "hits", "k", "filled"}, ...]}``,
-  ranked per query. Free-text queries (``queries_text`` / ``query``)
+  → ``{"took": ms, "hits": {"total": N, "hits": [{"_id", "_score",
+  "rank", "query_id"}]}, "fill": [{"query_id", "hits", "k",
+  "filled"}, ...]}``, ranked per query (``rank`` stays ABSOLUTE under
+  pagination — page 2 of k=10 carries ranks 11-20). Free-text queries (``queries_text`` / ``query``)
   drive the LEXICAL signal — tokenized at serve time with the same
   tokenizer the index fold ran; ``bm25`` mode needs only text, while
   ``rerank``/``rrf`` still need each query_id's VECTOR (``queries`` or
@@ -360,9 +363,23 @@ class SearchRestServer:
         mode = req.get("mode", "rrf")
         if mode not in ("bm25", "ann", "rerank", "rrf"):
             raise ValueError(f"unknown mode {mode!r}")
+        import time as _time
+
+        t0 = _time.perf_counter()
         k = _knob(req, "k", 10)
         pool = _knob(req, "pool", 20)
         nprobe = _knob(req, "nprobe", 2)
+        # ES-style pagination: skip the first `from` ranks. Serves are
+        # top-k by construction, so page N is served as top-(from+k)
+        # with the head dropped — bounded by the same knob cap.
+        frm = req.get("from", 0)
+        if not isinstance(frm, int) or isinstance(frm, bool) or not (
+            0 <= frm <= _MAX_KNOB
+        ):
+            raise ValueError(
+                f"'from' must be an integer in [0, {_MAX_KNOB}], got {frm!r}"
+            )
+        k_page = k + frm
         allowed = self._allowed_df(req)
         # the vector-side pointer is resolved ONCE per request (a swap
         # landing mid-request cannot mix two roots in one response) but
@@ -438,7 +455,7 @@ class SearchRestServer:
             )
             df = (
                 scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+                .filter(F.col("rank") <= k_page)
                 .select(
                     "query_id",
                     F.col("doc_id").alias("_id"),
@@ -454,7 +471,7 @@ class SearchRestServer:
             # (unset pointer = server standup state = 500)
             ivfpq_root = self.ivfpq_root
             df = si.ivfpq_search_from_index(
-                self.spark, ivfpq_root, qdf, k=k, nprobe=nprobe,
+                self.spark, ivfpq_root, qdf, k=k_page, nprobe=nprobe,
                 allowed_ids=allowed,
                 at=pinned_at(ivfpq_root, self.ivfpq_app_id, "ivfpq_app_id"),
             ).select(
@@ -492,7 +509,7 @@ class SearchRestServer:
             if mode == "rerank" and pinned:
                 df = si.hybrid_search_rerank_at_watermark(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
-                    query_ids=req_ids, pool=pool, k=k,
+                    query_ids=req_ids, pool=pool, k=k_page,
                     bm25_app_id=self.bm25_app_id,
                     ivfpq_app_id=self.ivfpq_app_id,
                     watermark=wm,
@@ -506,7 +523,7 @@ class SearchRestServer:
             elif mode == "rerank":
                 df = si.hybrid_search_from_cdc_indexes(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
-                    query_ids=req_ids, pool=pool, k=k,
+                    query_ids=req_ids, pool=pool, k=k_page,
                     queries_text=qtext, allowed_ids=allowed,
                 ).select(
                     "query_id",
@@ -517,7 +534,7 @@ class SearchRestServer:
             elif pinned:
                 df = si.hybrid_search_rrf_at_watermark(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
-                    query_ids=req_ids, pool=pool, k=k, nprobe=nprobe,
+                    query_ids=req_ids, pool=pool, k=k_page, nprobe=nprobe,
                     bm25_app_id=self.bm25_app_id,
                     ivfpq_app_id=self.ivfpq_app_id,
                     watermark=wm,
@@ -531,7 +548,7 @@ class SearchRestServer:
             else:
                 df = si.hybrid_search_rrf_from_cdc_indexes(
                     self.spark, self.bm25_root, ivfpq_root, qdf,
-                    query_ids=req_ids, pool=pool, k=k, nprobe=nprobe,
+                    query_ids=req_ids, pool=pool, k=k_page, nprobe=nprobe,
                     queries_text=qtext, allowed_ids=allowed,
                 ).select(
                     "query_id",
@@ -540,6 +557,8 @@ class SearchRestServer:
                     "rank",
                 )
         hits = self._collect_hits(df)
+        if frm:
+            hits = [h for h in hits if h["rank"] > frm]
         if mode == "ann" and req.get("escalate", True):
             # one automatic nprobe escalation for underfilled queries
             # (the filtered-ANN fill caveat: a selective allowed-set
@@ -556,7 +575,7 @@ class SearchRestServer:
                 # the query_source (round-11 review finding)
                 retry_qdf = qdf.filter(F.col("query_id").isin(short))
                 retry = si.ivfpq_search_from_index(
-                    self.spark, ivfpq_root, retry_qdf, k=k,
+                    self.spark, ivfpq_root, retry_qdf, k=k_page,
                     nprobe=min(nprobe * 4, _MAX_KNOB), allowed_ids=allowed,
                     at=pinned_at(
                         ivfpq_root, self.ivfpq_app_id, "ivfpq_app_id"
@@ -567,9 +586,12 @@ class SearchRestServer:
                     F.col("cosine").alias("_score"),
                     "rank",
                 )
+                retry_hits = self._collect_hits(retry)
+                if frm:
+                    retry_hits = [h for h in retry_hits if h["rank"] > frm]
                 hits = [
                     h for h in hits if h["query_id"] not in set(short)
-                ] + self._collect_hits(retry)
+                ] + retry_hits
                 escalated = {
                     "query_ids": short,
                     "nprobe": min(nprobe * 4, _MAX_KNOB),
@@ -582,7 +604,11 @@ class SearchRestServer:
             {"query_id": q, "hits": n, "k": k, "filled": n >= k}
             for q, n in sorted(counts.items())
         ]
-        out = {"hits": {"total": len(hits), "hits": hits}, "fill": fill}
+        out = {
+            "took": int((_time.perf_counter() - t0) * 1000),
+            "hits": {"total": len(hits), "hits": hits},
+            "fill": fill,
+        }
         if escalated is not None:
             out["escalated"] = escalated
         return out

@@ -736,3 +736,48 @@ def test_malformed_payload_shapes_are_400_not_500(spark, stack, tmp_path):
         assert code == 400 and "both indexes" in out["error"]["reason"]
     finally:
         unset.stop()
+
+
+def test_pagination_and_took(stack):
+    """ES-style paging: `from` skips ranks with ABSOLUTE rank values
+    preserved, pages tile the unpaged list exactly, a page past the
+    end is empty-but-valid, and every response carries `took` ms."""
+    server, _, _, _ = stack
+    code, full = _post(
+        server.url, "/search", {"mode": "bm25", "query_ids": [0], "k": 10}
+    )
+    assert code == 200 and isinstance(full["took"], int)
+    code, p1 = _post(
+        server.url, "/search", {"mode": "bm25", "query_ids": [0], "k": 5}
+    )
+    code2, p2 = _post(
+        server.url, "/search",
+        {"mode": "bm25", "query_ids": [0], "k": 5, "from": 5},
+    )
+    assert code == 200 and code2 == 200
+    tiled = p1["hits"]["hits"] + p2["hits"]["hits"]
+    assert tiled == full["hits"]["hits"]
+    assert [h["rank"] for h in p2["hits"]["hits"]] == [6, 7, 8, 9, 10]
+    # a page past the end: empty hits, honest fill
+    code, far = _post(
+        server.url, "/search",
+        {"mode": "bm25", "query_ids": [0], "k": 5, "from": 9000},
+    )
+    assert code == 200 and far["hits"]["total"] == 0
+    assert far["fill"][0]["hits"] == 0
+    # rrf pages too
+    code, r1 = _post(
+        server.url, "/search", {"mode": "rrf", "query_ids": [0], "k": 6}
+    )
+    code2, r2 = _post(
+        server.url, "/search",
+        {"mode": "rrf", "query_ids": [0], "k": 3, "from": 3},
+    )
+    assert code == 200 and code2 == 200
+    assert r1["hits"]["hits"][3:6] == r2["hits"]["hits"]
+    # validation
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "bm25", "query_ids": [0], "from": -1},
+    )
+    assert code == 400 and "'from'" in out["error"]["reason"]
