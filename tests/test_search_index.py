@@ -3309,3 +3309,70 @@ def test_version_at_watermark_bisect_matches_linear_reference(
     assert (
         lakelog.read_manifest(tf, v2 - 1).get("txns", {}).get("bm25", 0) == 2
     ), "expected the compacted same-watermark predecessor"
+
+
+def test_pinned_rerank_matches_pre_divergence_serve(spark, sf_dir, tmp_path):
+    """hybrid_search_rerank_at_watermark — the mode where divergence
+    yields a MIXED single answer (new-text candidacy, stale-code
+    cosine): with the pair diverged, the pinned rerank equals the
+    serve taken BEFORE the divergence, bit for bit."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    ).filter(F.col("doc_id") < 300)
+    lakelog.append_commit(
+        spark, src,
+        corpus.drop("label").select(
+            "doc_id", "text", "embedding", F.lit(1).alias("_ts_ms")
+        ),
+    )
+    si.ivfpq_index_build(
+        spark,
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding", "label"),
+        ivfpq_root,
+        source_watermark=1,
+    )
+    si.bm25_index_maintain(spark, src, bm25_root)
+    si.ivfpq_index_maintain(spark, src, ivfpq_root, id_col="doc_id")
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    before = sorted(
+        map(tuple, si.hybrid_search_from_cdc_indexes(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1), pool=20, k=10,
+        ).collect())
+    )
+    # diverge: update every %5==2 doc's text+vector, fold bm25 only
+    nxt = corpus.select(
+        F.col("doc_id").alias("src_of"),
+        F.col("text").alias("new_text"),
+        F.col("embedding").alias("new_emb"),
+    )
+    updates = (
+        corpus.filter(F.col("doc_id") % 5 == 2)
+        .withColumn("src_of", (F.col("doc_id") + 1) % 300)
+        .join(nxt, "src_of")
+        .select(
+            "doc_id",
+            F.col("new_text").alias("text"),
+            F.col("new_emb").alias("embedding"),
+            F.lit(2).alias("_ts_ms"),
+            F.lit("u").alias("_op"),
+        )
+    )
+    lakelog.merge_apply_cdc(spark, src, updates, ["doc_id"], "_ts_ms")
+    si.bm25_index_maintain(spark, src, bm25_root)
+    pinned = sorted(
+        map(tuple, si.hybrid_search_rerank_at_watermark(
+            spark, bm25_root, ivfpq_root, queries,
+            query_ids=(0, 1), pool=20, k=10,
+        ).collect())
+    )
+    assert pinned == before
