@@ -299,6 +299,7 @@ def bm25_score_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     at: dict[str, int] | None = None,
+    with_terms: bool = False,
 ) -> DataFrame:
     """BM25 candidates scored FROM THE MAINTAINED INDEX — the serving
     path: no tokenization, no corpus scan, identical arithmetic (and
@@ -307,7 +308,9 @@ def bm25_score_from_index(
     is semi-joined to the query's terms before broadcasting
     (query-term-sized, never vocabulary-sized)."""
     tf, dl, df = bm25_read_index(spark, index_root, at=at)
-    return sim.bm25_score_components(tf, dl, query_ids, df=df, k1=k1, b=b)
+    return sim.bm25_score_components(
+        tf, dl, query_ids, df=df, k1=k1, b=b, with_terms=with_terms
+    )
 
 
 def bm25_score_from_text(
@@ -317,6 +320,7 @@ def bm25_score_from_text(
     k1: float = 1.2,
     b: float = 0.75,
     at: dict[str, int] | None = None,
+    with_terms: bool = False,
 ) -> DataFrame:
     """BM25 scoring of FREE-TEXT queries against the maintained index
     — the shape the reference pipeline's consumers actually use: they
@@ -343,7 +347,7 @@ def bm25_score_from_text(
         F.explode(sim.bm25_tokenize(F.col("text"))).alias("word"),
     ).distinct()
     return sim.bm25_score_components(
-        tf, dl, df=df, k1=k1, b=b, query_terms=qw
+        tf, dl, df=df, k1=k1, b=b, query_terms=qw, with_terms=with_terms
     )
 
 

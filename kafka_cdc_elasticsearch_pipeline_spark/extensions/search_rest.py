@@ -36,6 +36,9 @@ Endpoints:
        "k": 10, "pool": 20, "nprobe": 2,
        "from": 10,                       # ES-style pagination: skip
                                          # the first `from` ranks
+       "highlight": true,                # bm25: add matched_terms
+                                         # (which query terms each hit
+                                         # matched) to every hit
        "allowed_ids": [3, 6, 9],         # filtered: every mode
        "escalate": true,                 # ann: nprobe retry on underfill
        "pinned": true, "watermark": 3}   # rerank/rrf: both signals
@@ -433,13 +436,19 @@ class SearchRestServer:
             from pyspark.sql import Window as W
 
             bm25_at = pinned_at(self.bm25_root, self.bm25_app_id, "bm25_app_id")
+            # "highlight": true adds matched_terms per hit (which query
+            # terms the doc matched — ES highlighting's data, straight
+            # from the scoring fold's word list, no extra scan)
+            hl = bool(req.get("highlight"))
             scored = (
                 si.bm25_score_from_text(
-                    self.spark, self.bm25_root, qtext, at=bm25_at
+                    self.spark, self.bm25_root, qtext, at=bm25_at,
+                    with_terms=hl,
                 )
                 if qtext is not None
                 else si.bm25_score_from_index(
-                    self.spark, self.bm25_root, qids, at=bm25_at
+                    self.spark, self.bm25_root, qids, at=bm25_at,
+                    with_terms=hl,
                 )
             )
             if allowed is not None:
@@ -453,15 +462,16 @@ class SearchRestServer:
             w = W.partitionBy("query_id").orderBy(
                 F.col("bm25").desc(), F.col("doc_id").asc()
             )
+            cols = [
+                "query_id",
+                F.col("doc_id").alias("_id"),
+                F.col("bm25").alias("_score"),
+                "rank",
+            ] + ([F.col("matched_terms")] if hl else [])
             df = (
                 scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k_page)
-                .select(
-                    "query_id",
-                    F.col("doc_id").alias("_id"),
-                    F.col("bm25").alias("_score"),
-                    "rank",
-                )
+                .select(*cols)
             )
         elif mode == "ann":
             if self._ivfpq_static is None and self.ivfpq_pointer is None:
@@ -615,12 +625,14 @@ class SearchRestServer:
 
     @staticmethod
     def _collect_hits(df: DataFrame) -> list[dict]:
+        extra = [c for c in df.columns if c == "matched_terms"]
         return [
             {
                 "query_id": r.query_id,
                 "_id": r._id,
                 "_score": r._score,
                 "rank": r.rank,
+                **{c: r[c] for c in extra},
             }
             for r in df.collect()  # bounded: ≤ k × |queries| rows
         ]

@@ -1198,6 +1198,7 @@ def bm25_score_components(
     k1: float = 1.2,
     b: float = 0.75,
     query_terms: DataFrame | None = None,
+    with_terms: bool = False,
 ) -> DataFrame:
     """BM25 scoring against prebuilt (tf, dl) index components —
     shared by the from-scratch path (:func:`bm25_scored_candidates`)
@@ -1279,7 +1280,18 @@ def bm25_score_components(
         )
     )
     fold = F.aggregate(F.col("ws"), F.lit(0.0), lambda acc, x: acc + x["s"])
-    return per.select("query_id", "doc_id", "n_terms", fold.alias("bm25"))
+    cols = ["query_id", "doc_id", "n_terms", fold.alias("bm25")]
+    if with_terms:
+        # ES-highlighting's data: which query terms this doc matched.
+        # ws is already word-sorted (the ordered fold's array_sort), so
+        # the joined string is deterministic; a STRING, not an array —
+        # the driver canonicalizer cannot hash array cells.
+        cols.append(
+            F.array_join(F.col("ws").getField("word"), " ").alias(
+                "matched_terms"
+            )
+        )
+    return per.select(*cols)
 
 
 def bm25_scored_candidates(

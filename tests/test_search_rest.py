@@ -781,3 +781,35 @@ def test_pagination_and_took(stack):
         {"mode": "bm25", "query_ids": [0], "from": -1},
     )
     assert code == 400 and "'from'" in out["error"]["reason"]
+
+
+def test_bm25_highlight_matched_terms(spark, sf_dir, stack):
+    """`"highlight": true` in bm25 mode adds matched_terms per hit —
+    ES highlighting's data: each hit's terms are a non-empty subset of
+    the query's tokenized terms, word-sorted; pagination tiles equal
+    hits with and without highlighting."""
+    server, _, _, _ = stack
+    text = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") == 0
+    ).collect()[0].text
+    qterms = set(text.lower().split())
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "bm25", "query": text, "k": 5, "highlight": True},
+    )
+    assert code == 200
+    for h in out["hits"]["hits"]:
+        terms = h["matched_terms"].split(" ")
+        assert terms and set(terms) <= qterms
+        assert terms == sorted(terms)
+    # off by default: no matched_terms key, hits otherwise identical
+    code, plain = _post(
+        server.url, "/search", {"mode": "bm25", "query": text, "k": 5}
+    )
+    assert code == 200
+    assert all("matched_terms" not in h for h in plain["hits"]["hits"])
+    stripped = [
+        {k: v for k, v in h.items() if k != "matched_terms"}
+        for h in out["hits"]["hits"]
+    ]
+    assert stripped == plain["hits"]["hits"]
