@@ -1711,6 +1711,28 @@ def search_fill(
     )
 
 
+def fill_counts(
+    hit_query_ids, query_ids: tuple[int, ...], k: int
+) -> list[dict]:
+    """Pure-Python twin of :func:`search_fill` — ONE fill semantics
+    for both serving faces (round-11 verdict: the REST layer computed
+    fill inline from its already-collected hits while ``search_fill``
+    was the DataFrame gauge, and two independent implementations WILL
+    eventually drift on the zero-hit-query case). Counts hits per
+    REQUESTED query — zero-hit queries included — over an
+    already-collected iterable of hit query_ids. The REST layer calls
+    this on its bounded collect (a second Spark job there would be
+    pure waste); the DataFrame gauge stays for pipeline-side use, and
+    ``tests/test_search_rest.py`` pins the two to identical rows."""
+    counts = {int(q): 0 for q in query_ids}
+    for q in hit_query_ids:
+        counts[int(q)] = counts.get(int(q), 0) + 1
+    return [
+        {"query_id": q, "hits": n, "k": int(k), "filled": n >= int(k)}
+        for q, n in sorted(counts.items())
+    ]
+
+
 def index_applied_watermark(index_root: str, app_id: str) -> int:
     """The SOURCE version this index root provably reflects: the MIN
     of its tables' (``app_id``, version) maintenance watermarks —

