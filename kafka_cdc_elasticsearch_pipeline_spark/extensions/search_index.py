@@ -1316,7 +1316,15 @@ def _ivfpq_live(
         )
     )
     dels = os.path.join(index_root, _IVF_DELETES)
-    if lakelog.latest_version(dels) is not None:
+    # version 0 is the EMPTY-TABLE pin (no version 0 is ever
+    # committed): a pinned serve at a watermark from before the first
+    # tombstone landed must see no deletes at all, not the latest ones
+    # (round-11 advice #3 — index_versions_at_watermark emits it for
+    # build-era boundaries)
+    if (
+        lakelog.latest_version(dels) is not None
+        and at.get(_IVF_DELETES) != 0
+    ):
         tomb = (
             lakelog.read(spark, dels, version=at.get(_IVF_DELETES))
             .groupBy("vec_id")
@@ -1711,6 +1719,55 @@ def search_fill(
     )
 
 
+def ivfpq_bucket_count(spark: SparkSession, index_root: str) -> int:
+    """Number of IVF buckets (centroid rows) in a persisted index —
+    the first escalation bound: a serve that already probed every
+    bucket (``nprobe >= n_buckets``) cannot mint more candidates at
+    any higher nprobe, so retrying it is pure doubled latency
+    (round-11 advice #2). One scan of the centroids table —
+    n_clusters rows, the same table every serve already broadcasts."""
+    return lakelog.read(spark, os.path.join(index_root, "ivf_centroids")).count()
+
+
+def ivfpq_live_count(
+    spark: SparkSession,
+    index_root: str,
+    allowed_ids: DataFrame | None = None,
+    at: dict[str, int] | None = None,
+    member_ids: tuple[int, ...] = (),
+) -> tuple[int, set[int]]:
+    """(n_live, members): the MOST hits any query can ever receive
+    from this index under the given filter — live code rows after
+    tombstones and the ``allowed_ids`` keep-set — plus which of
+    ``member_ids`` are themselves live+allowed (a query that is a
+    corpus member is self-excluded from its own top-k, so its ceiling
+    is ``n_live - 1``). This is the second escalation bound (round-11
+    verdict #6): a query whose first pass already returned its ceiling
+    is EXHAUSTED — no nprobe can help, the corpus/allowed-set simply
+    holds fewer vectors than k — and must not pay the 4× retry.
+    One small aggregation over code-row IDS only (no decode, no
+    centroids join); runs ONLY on the underfill path, never on a
+    filled serve."""
+    _, codes = _ivfpq_live(spark, index_root, at=at)
+    if allowed_ids is not None:
+        codes = codes.join(
+            _ids_col(allowed_ids, "vec_id"), "vec_id", "left_semi"
+        )
+    # pq_codes is one row per (vec_id, m) SUBSPACE — the ceiling is
+    # vectors, so count distinct ids
+    ids = codes.select("vec_id").distinct()
+    mids = [int(m) for m in member_ids]
+    if not mids:
+        return int(ids.count()), set()
+    row = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(
+            F.when(F.col("vec_id").isin(mids), F.col("vec_id"))
+        ).alias("mem"),
+    ).collect()[0]
+    return int(row.n), {int(m) for m in (row.mem or ())}
+
+
 def fill_counts(
     hit_query_ids, query_ids: tuple[int, ...], k: int
 ) -> list[dict]:
@@ -1841,6 +1898,29 @@ def index_versions_at_watermark(
         if lakelog.latest_version(table) is None:
             continue
         v = index_version_at_watermark(table, app_id, watermark)
+        if v is None and t == _IVF_DELETES:
+            # Build-era boundaries predate the deletes table entirely
+            # (ivfpq_index_build stamps its watermark on buckets/codes
+            # only; the deletes table is created by the first
+            # tombstone fold). If the table's ORIGINAL manifest is
+            # still retained and its first fold boundary is beyond the
+            # target, the state at the target provably had no
+            # tombstones — pin to the empty-table sentinel (version 0,
+            # which _ivfpq_live serves as "no deletes") instead of
+            # rejecting a consistent pin (round-11 advice #3). A
+            # vacuumed version 1 proves nothing (tombstones may have
+            # existed at the target) and still raises below.
+            try:
+                first_wm = (
+                    lakelog.read_manifest(table, 1)
+                    .get("txns", {})
+                    .get(app_id, 0)
+                )
+            except (OSError, ValueError):
+                first_wm = 0  # vacuumed: cannot prove emptiness
+            if first_wm > watermark:
+                out[t] = 0
+                continue
         if v is None:
             raise ValueError(
                 f"{table} has no committed state at source watermark "
@@ -1849,6 +1929,64 @@ def index_versions_at_watermark(
             )
         out[t] = v
     return out
+
+
+def pinnable_watermarks(index_root: str, app_id: str) -> list[int]:
+    """Which source watermarks CAN a consumer pin? (round-11 verdict:
+    pinned serving correctly errors on a never-folded or vacuumed
+    boundary, but the consumer had no way to DISCOVER the valid
+    domain except trial-and-error.) Returns, ascending, every
+    watermark ``w`` for which :func:`index_versions_at_watermark`
+    resolves a full consistent pin: each present table either folded
+    ``w`` as a boundary in a still-retained manifest version, or — the
+    deletes table only — provably had no tombstones at ``w`` (its
+    original manifest is retained and records a later first fold).
+
+    Pin depth is governed by VACUUM RETENTION: ``lakelog.vacuum``'s
+    ``keep_last`` on each index table bounds how many fold boundaries
+    stay resolvable, so set ``keep_last`` ≥ the deepest point-in-time
+    window consumers may pin (a dashboard replaying the last N folds
+    needs ``keep_last`` ≥ N on every table of both index families —
+    one table vacuumed shorter truncates the COMMON pinnable set, by
+    construction here). Manifest reads only, but O(retained versions)
+    of them per table — a discovery/ops surface (mounted into
+    ``/status``), not the per-request path; per-request pins keep the
+    O(log versions) bisect of :func:`index_version_at_watermark`."""
+    family = (
+        _BM25_TABLES
+        if lakelog.latest_version(os.path.join(index_root, _TF)) is not None
+        else _IVF_TABLES
+    )
+    per_table: dict[str, tuple[set[int], int | None]] = {}
+    for t in family:
+        table = os.path.join(index_root, t)
+        head = lakelog.latest_version(table)
+        if head is None:
+            continue
+        wms: set[int] = set()
+        first_wm: int | None = None  # v1's watermark, None if vacuumed
+        for v in range(head, 0, -1):
+            try:
+                m = lakelog.read_manifest(table, v)
+            except (OSError, ValueError):
+                break  # vacuum removes oldest-first: older are gone too
+            wm = m.get("txns", {}).get(app_id, 0)
+            if wm > 0:
+                wms.add(wm)
+            if v == 1:
+                first_wm = wm
+        per_table[t] = (wms, first_wm)
+    non_deletes = [t for t in per_table if t != _IVF_DELETES]
+    if not non_deletes:
+        return []
+    common = set.intersection(*(per_table[t][0] for t in non_deletes))
+    if _IVF_DELETES in per_table:
+        dwms, dfirst = per_table[_IVF_DELETES]
+        common = {
+            w for w in common
+            if w in dwms or (dfirst is not None and dfirst > w)
+        }
+    return sorted(common)
 
 
 def _pinned_pair_at(
@@ -2229,7 +2367,7 @@ def _pointer_roots(
 
 
 def retire_index_root(
-    pointer: str, root: str, history_keep: int = 2
+    pointer: str, root: str, history_keep: int = 2, force: bool = False
 ) -> bool:
     """The last step of a blue/green cycle: delete a root that no
     longer serves. Protection is driven by the POINTER LOG the engine
@@ -2262,7 +2400,19 @@ def retire_index_root(
     not flipped yet — deleting it would strand the imminent cutover
     (round-11 review finding: the retired mtime guard used to protect
     exactly this pre-swap window). Retire only retires roots the
-    pointer log shows served and then stopped."""
+    pointer log shows served and then stopped.
+
+    VACUUM INTERACTION (round-11 advice #4): the ``ever`` sweep can
+    only see pointer records that still exist — ``lakelog.vacuum`` on
+    the pointer log removes the oldest ones, so a root whose only
+    references were vacuumed away reads as never-witnessed and is
+    refused forever, a silent disk leak. The supported order is
+    therefore RETIRE BEFORE VACUUMING POINTER HISTORY; for roots whose
+    witnesses are already gone, ``force=True`` retires a
+    log-unwitnessed root anyway — an explicit operator acknowledgment
+    that the root is not a pre-swap green build (the current target
+    and the ``history_keep`` rollback window stay protected even under
+    ``force``)."""
     import shutil
 
     if not os.path.isdir(root):
@@ -2274,7 +2424,9 @@ def retire_index_root(
             "before retiring it"
         )
     recent, ever = _pointer_roots(pointer, history_keep)
-    if target in recent or target not in ever:
+    if target in recent:
+        return False
+    if target not in ever and not force:
         return False
     shutil.rmtree(root)
     return True

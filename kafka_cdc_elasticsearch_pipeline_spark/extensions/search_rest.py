@@ -24,7 +24,12 @@ Endpoints:
   ``retrain_due`` drift flag), and — when the server was mounted with
   ``source_table`` — the per-index applied watermark vs the source
   head (``indexes_converged``), the gate an application that cannot
-  tolerate the dual-sink update window checks before serving.
+  tolerate the dual-sink update window checks before serving. When an
+  index's ``*_app_id`` is mounted, its block also carries
+  ``pinnable_watermarks`` — the valid domain of the ``watermark`` /
+  ``pinned`` request fields (fold boundaries still resolvable after
+  vacuum), so point-in-time consumers discover instead of
+  trial-and-error.
 - ``POST /search`` body::
 
       {"mode": "bm25" | "ann" | "rerank" | "rrf",
@@ -59,7 +64,12 @@ Endpoints:
   hits-vs-k honestly (a selective filter can under-fill k — the
   consumer must see 20/30, not silently get a short list); in ``ann``
   mode an underfilled query is retried ONCE at 4× nprobe (the fix the
-  filtered-ANN scaling table measured) unless ``escalate: false``.
+  filtered-ANN scaling table measured) unless ``escalate: false`` —
+  and never when the retry provably cannot help: a first pass that
+  already probed EVERY bucket, or a query that already received every
+  live (allowed) vector the index holds (the corpus is smaller than
+  k), is reported in ``escalated`` with a ``skipped`` reason instead
+  of paying a doubled-latency identical-result serve.
 
 Error envelope: ``{"error": {"reason": ...}}`` with 400 for a request
 the caller can fix (validation, unknown mode, missing mounts/ids —
@@ -261,13 +271,23 @@ class SearchRestServer:
         except FileNotFoundError:
             ivfpq_root = None
             out["ivfpq"] = {"state": "not yet pointed"}
-        for name, root in (("bm25", self.bm25_root), ("ivfpq", ivfpq_root)):
+        for name, root, app_id in (
+            ("bm25", self.bm25_root, self.bm25_app_id),
+            ("ivfpq", ivfpq_root, self.ivfpq_app_id),
+        ):
             if root is None:
                 continue
             out[name] = {
                 "read_amplification": si.index_read_amplification(root),
                 "maintenance": si.read_maintenance_status(root),
             }
+            if app_id is not None:
+                # the valid domain of the "watermark"/"pinned" request
+                # fields — discovery, not trial-and-error (round-11
+                # verdict #3); manifest reads only
+                out[name]["pinnable_watermarks"] = si.pinnable_watermarks(
+                    root, app_id
+                )
         if self.source_table is not None:
             pairs = []
             if self.bm25_root is not None and self.bm25_app_id is not None:
@@ -574,45 +594,85 @@ class SearchRestServer:
                     "rank",
                 )
         hits = self._collect_hits(df)
-        if frm:
-            hits = [h for h in hits if h["rank"] > frm]
         if mode == "ann" and req.get("escalate", True):
             # one automatic nprobe escalation for underfilled queries
             # (the filtered-ANN fill caveat: a selective allowed-set
             # can leave < k allowed vectors in nprobe buckets; the
             # scaling probe measured 4× nprobe restoring full fill).
             # ONE retry, underfilled queries only — never a loop.
-            short = sorted(
-                q for q in req_ids
-                if sum(1 for h in hits if h["query_id"] == q) < k
-            )
-            if short:
-                # reuse the branch's qdf — a fresh _queries_df would
-                # re-run the missing-ids validation collect against
-                # the query_source (round-11 review finding)
-                retry_qdf = qdf.filter(F.col("query_id").isin(short))
-                retry = si.ivfpq_search_from_index(
-                    self.spark, ivfpq_root, retry_qdf, k=k_page,
-                    nprobe=min(nprobe * 4, _MAX_KNOB), allowed_ids=allowed,
-                    at=pinned_at(
-                        ivfpq_root, self.ivfpq_app_id, "ivfpq_app_id"
-                    ),
-                ).select(
-                    "query_id",
-                    F.col("neighbor_id").alias("_id"),
-                    F.col("cosine").alias("_score"),
-                    "rank",
-                )
-                retry_hits = self._collect_hits(retry)
-                if frm:
-                    retry_hits = [h for h in retry_hits if h["rank"] > frm]
-                hits = [
-                    h for h in hits if h["query_id"] not in set(short)
-                ] + retry_hits
+            # Underfill is judged PRE-pagination (hits vs from + k):
+            # the ranks the serve minted, not the page slice.
+            pre = {int(q): 0 for q in req_ids}
+            for h in hits:
+                pre[int(h["query_id"])] += 1
+            short = sorted(q for q in req_ids if pre[int(q)] < k_page)
+            if short and nprobe >= si.ivfpq_bucket_count(
+                self.spark, ivfpq_root
+            ):
+                # first bound (round-11 advice): every bucket was
+                # already probed — a higher nprobe cannot mint more
+                # candidates, the retry would double latency for
+                # byte-identical results
                 escalated = {
                     "query_ids": short,
-                    "nprobe": min(nprobe * 4, _MAX_KNOB),
+                    "skipped": "all buckets already probed "
+                               "(nprobe >= n_buckets)",
                 }
+            elif short:
+                # second bound (round-11 verdict #6): a query that
+                # already received every live (allowed) vector it can
+                # ever match is EXHAUSTED — the corpus is simply
+                # smaller than k — and must not pay a hopeless retry
+                ivf_at = pinned_at(
+                    ivfpq_root, self.ivfpq_app_id, "ivfpq_app_id"
+                )
+                n_live, members = si.ivfpq_live_count(
+                    self.spark, ivfpq_root, allowed_ids=allowed,
+                    at=ivf_at, member_ids=tuple(short),
+                )
+                exhausted = [
+                    q for q in short
+                    if pre[int(q)] >= n_live - (1 if q in members else 0)
+                ]
+                retryable = [q for q in short if q not in set(exhausted)]
+                escalated = {}
+                if retryable:
+                    # reuse the branch's qdf — a fresh _queries_df
+                    # would re-run the missing-ids validation collect
+                    # against the query_source (round-11 review)
+                    retry_qdf = qdf.filter(
+                        F.col("query_id").isin(retryable)
+                    )
+                    retry = si.ivfpq_search_from_index(
+                        self.spark, ivfpq_root, retry_qdf, k=k_page,
+                        nprobe=min(nprobe * 4, _MAX_KNOB),
+                        allowed_ids=allowed, at=ivf_at,
+                    ).select(
+                        "query_id",
+                        F.col("neighbor_id").alias("_id"),
+                        F.col("cosine").alias("_score"),
+                        "rank",
+                    )
+                    retry_hits = self._collect_hits(retry)
+                    hits = [
+                        h for h in hits
+                        if h["query_id"] not in set(retryable)
+                    ] + retry_hits
+                    escalated = {
+                        "query_ids": retryable,
+                        "nprobe": min(nprobe * 4, _MAX_KNOB),
+                    }
+                if exhausted:
+                    escalated["exhausted_query_ids"] = exhausted
+                    escalated.setdefault(
+                        "skipped",
+                        f"only {n_live} live vectors under this filter",
+                    )
+        # the page slice applies AFTER escalation: underfill and its
+        # bounds are judged on the ranks the serve minted, and a page
+        # past the end must not read as a recoverable shortfall
+        if frm:
+            hits = [h for h in hits if h["rank"] > frm]
         hits.sort(key=lambda h: (h["query_id"], h["rank"]))
         # ONE fill semantics with the DataFrame gauge (search_fill) —
         # shared counter, not a parallel implementation (round-11

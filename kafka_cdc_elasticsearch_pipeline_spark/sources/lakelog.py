@@ -1569,7 +1569,10 @@ def vacuum(table: str, keep_last: int = 1, min_age_s: float = 3600.0) -> list[st
     live: set[str] = set()
     for v in keep_vs:
         m = read_manifest(table, v)
-        live.update(m["data_dirs"])
+        # record-only logs (commit_record — e.g. the search serving
+        # pointer) carry no data_dirs; vacuuming them is pure
+        # manifest-history truncation
+        live.update(m.get("data_dirs", ()))
         if m.get("change_dir"):
             live.add(m["change_dir"])
     removed = []

@@ -523,3 +523,86 @@ def test_retire_safety_over_random_flip_histories(flips, keep, tmp_path_factory)
             got = si.retire_index_root(ptr, r, history_keep=keep)
             assert got is expect, (records, keep, target)
             assert os.path.isdir(r) is (not expect)
+
+
+@given(
+    flips=flip_histories,
+    keep=st.integers(min_value=1, max_value=4),
+    log_keep=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retire_after_pointer_log_vacuum(flips, keep, log_keep, tmp_path_factory):
+    """round-11 advice #4: for ANY flip history, after the pointer log
+    itself is vacuumed to its last ``log_keep`` records, the normal
+    retire path only witnesses the RETAINED records (vacuumed-away
+    roots are refused — the documented leak, fixed by retiring before
+    vacuuming), ``force=True`` retires exactly the not-current,
+    not-recent roots, and the current target raises even under force."""
+    import os
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    base = tmp_path_factory.mktemp("retire_vac_prop")
+    ptr = str(base / "ptr")
+    roots = [str(base / f"root{i}") for i in range(4)]
+    for r in roots:
+        os.makedirs(r, exist_ok=True)
+
+    records = []  # (root, previous) — dedup rule of serving_pointer_set
+    cur = None
+    for i in flips:
+        target = os.path.abspath(roots[i])
+        if target == cur:
+            continue
+        records.append((target, cur))
+        cur = target
+    if not records:
+        records.append((os.path.abspath(roots[flips[0]]), None))
+        cur = records[0][0]
+    for i in flips:
+        si.serving_pointer_set(ptr, roots[i])
+    lakelog.vacuum(ptr, keep_last=log_keep, min_age_s=0.0)
+
+    retained = records[-log_keep:]
+    recent_model: set[str] = set()
+    ever_model: set[str] = set()
+    for idx, (root, prev) in enumerate(reversed(retained)):
+        for r in (root, prev):
+            if r:
+                ever_model.add(r)
+                if idx < keep:
+                    recent_model.add(r)
+
+    for r in roots:
+        target = os.path.abspath(r)
+        if target == cur:
+            for f in (False, True):
+                try:
+                    si.retire_index_root(ptr, r, history_keep=keep, force=f)
+                    raise AssertionError("current target must raise")
+                except ValueError:
+                    assert os.path.isdir(r)
+        elif target in recent_model:
+            assert si.retire_index_root(
+                ptr, r, history_keep=keep, force=True
+            ) is False
+            assert os.path.isdir(r)
+        else:
+            # normal path: only log-witnessed roots retire; force
+            # retires the rest (the post-vacuum escape hatch)
+            witnessed = target in ever_model
+            got = si.retire_index_root(ptr, r, history_keep=keep)
+            assert got is witnessed, (records, keep, log_keep, target)
+            if not witnessed:
+                assert os.path.isdir(r)
+                assert si.retire_index_root(
+                    ptr, r, history_keep=keep, force=True
+                ) is True
+            assert not os.path.isdir(r)

@@ -3376,3 +3376,149 @@ def test_pinned_rerank_matches_pre_divergence_serve(spark, sf_dir, tmp_path):
         ).collect())
     )
     assert pinned == before
+
+
+def test_pin_at_build_era_watermark_with_later_deletes(
+    spark, sf_dir, tmp_path
+):
+    """round-11 advice #3: the build stamps its watermark on
+    buckets/codes only — the deletes table is born at the FIRST
+    tombstone fold. A pin at a build-era boundary is a consistent
+    state (provably zero tombstones), so index_versions_at_watermark
+    must resolve it (deletes pinned to the empty-table sentinel 0,
+    which _ivfpq_live serves as "no deletes") instead of raising —
+    and the pinned serve returns the pre-delete answer."""
+    src = str(tmp_path / "src")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings").limit(120)
+    lakelog.append_commit(
+        spark, src,
+        embs.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
+    )
+    si.ivfpq_index_build(spark, embs, ivfpq_root, source_watermark=1)
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    before = sorted(
+        map(tuple, si.ivfpq_search_from_index(
+            spark, ivfpq_root, queries, k=5, nprobe=3
+        ).collect())
+    )
+    victim = int(before[0][1])
+    # v2: a delete lands and folds — ivf_deletes is born at boundary 2
+    lakelog.merge_apply_cdc(
+        spark, src,
+        embs.filter(F.col("vec_id") == victim).select(
+            "vec_id", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+        ),
+        ["vec_id"], "_ts_ms",
+    )
+    si.ivfpq_index_maintain(spark, src, ivfpq_root)
+    # head serve reflects the delete
+    after = si.ivfpq_search_from_index(
+        spark, ivfpq_root, queries, k=5, nprobe=3
+    ).collect()
+    assert all(r.neighbor_id != victim for r in after)
+    # the build-era pin resolves — deletes pinned EMPTY, not rejected
+    at = si.index_versions_at_watermark(ivfpq_root, "ivfpq-idx", 1)
+    assert at["ivf_deletes"] == 0
+    pinned = sorted(
+        map(tuple, si.ivfpq_search_from_index(
+            spark, ivfpq_root, queries, k=5, nprobe=3, at=at
+        ).collect())
+    )
+    assert pinned == before
+    # a never-folded boundary still raises
+    with pytest.raises(ValueError, match="no committed state"):
+        si.index_versions_at_watermark(ivfpq_root, "ivfpq-idx", 9)
+
+
+def test_pinnable_watermarks_discovery_and_vacuum(spark, sf_dir, tmp_path):
+    """round-11 verdict #3: consumers need the valid pin domain, not
+    trial-and-error. Every reported boundary actually resolves; a
+    vacuum shrinks the list; the deletes-table special case keeps
+    build-era boundaries pinnable; vacuum_keep_last bounds pin depth."""
+    src = str(tmp_path / "src")
+    bm25_root = str(tmp_path / "bm25")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        lakelog.append_commit(spark, src, docs.filter(F.col("doc_id") % 3 == i))
+        si.bm25_index_maintain(spark, src, bm25_root)
+    assert si.pinnable_watermarks(bm25_root, "bm25") == [1, 2, 3]
+    for wm in (1, 2, 3):  # every reported boundary resolves
+        assert si.index_versions_at_watermark(bm25_root, "bm25", wm)
+    # an unknown lineage has no pinnable state
+    assert si.pinnable_watermarks(bm25_root, "wrong-app") == []
+    # vacuum to the last version: only the head boundary remains
+    for t in ("bm25_tf", "bm25_dl", "bm25_df"):
+        lakelog.vacuum(os.path.join(bm25_root, t), keep_last=1, min_age_s=0.0)
+    assert si.pinnable_watermarks(bm25_root, "bm25") == [3]
+
+    # IVF family: deletes born at boundary 2 — boundary 1 stays
+    # pinnable through the empty-deletes special case
+    src2 = str(tmp_path / "src2")
+    ivfpq_root = str(tmp_path / "ivfpq")
+    embs = load_table(spark, sf_dir, "embeddings").limit(120)
+    lakelog.append_commit(
+        spark, src2,
+        embs.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
+    )
+    si.ivfpq_index_build(spark, embs, ivfpq_root, source_watermark=1)
+    lakelog.merge_apply_cdc(
+        spark, src2,
+        embs.filter(F.col("vec_id") == 0).select(
+            "vec_id", "embedding",
+            F.lit(2).alias("_ts_ms"), F.lit("d").alias("_op"),
+        ),
+        ["vec_id"], "_ts_ms",
+    )
+    si.ivfpq_index_maintain(spark, src2, ivfpq_root)
+    assert si.pinnable_watermarks(ivfpq_root, "ivfpq-idx") == [1, 2]
+    # vacuum the deletes table's birth manifest away: boundary 1 is no
+    # longer PROVABLY tombstone-free, so only the head boundary remains
+    lakelog.merge_apply_cdc(
+        spark, src2,
+        embs.filter(F.col("vec_id") == 1).select(
+            "vec_id", "embedding",
+            F.lit(3).alias("_ts_ms"), F.lit("d").alias("_op"),
+        ),
+        ["vec_id"], "_ts_ms",
+    )
+    si.ivfpq_index_maintain(spark, src2, ivfpq_root)
+    lakelog.vacuum(
+        os.path.join(ivfpq_root, "ivf_deletes"), keep_last=1, min_age_s=0.0
+    )
+    pins = si.pinnable_watermarks(ivfpq_root, "ivfpq-idx")
+    assert 1 not in pins and 2 not in pins
+
+
+def test_retire_force_retires_log_unwitnessed_roots(spark, tmp_path):
+    """round-11 advice #4: a root whose pointer-log witnesses were
+    vacuumed away is permanently unretirable through the normal path
+    (a silent disk leak) — force=True is the explicit operator
+    override; the current target and the rollback window stay
+    protected even under force."""
+    ptr = str(tmp_path / "ptr")
+    roots = [str(tmp_path / f"r{i}") for i in range(3)]
+    for r in roots:
+        os.makedirs(r)
+    for r in roots:  # r0 → r1 → r2
+        si.serving_pointer_set(ptr, r)
+    # vacuum the pointer log down to the last record (r2, previous=r1):
+    # r0's only witnesses are gone
+    lakelog.vacuum(ptr, keep_last=1, min_age_s=0.0)
+    assert si.retire_index_root(ptr, roots[0], history_keep=1) is False
+    assert os.path.isdir(roots[0])  # the documented leak without force
+    assert si.retire_index_root(
+        ptr, roots[0], history_keep=1, force=True
+    ) is True
+    assert not os.path.isdir(roots[0])
+    # force does NOT override the current target or the window
+    with pytest.raises(ValueError, match="CURRENT serving root"):
+        si.retire_index_root(ptr, roots[2], force=True)
+    assert si.retire_index_root(
+        ptr, roots[1], history_keep=1, force=True
+    ) is False
+    assert os.path.isdir(roots[1])

@@ -406,6 +406,69 @@ def test_fill_reported_and_nprobe_escalation(spark, stack):
     ]
 
 
+def test_escalation_skipped_when_hopeless(spark, stack, monkeypatch):
+    """round-11 verdict #6 / advice #2: the 4× nprobe retry must not
+    fire when it provably cannot help — (a) a query that already
+    received every live allowed vector (corpus smaller than k) pays
+    exactly ONE serve; (b) a first pass that probed every bucket is
+    never retried. Both report a `skipped` reason in `escalated`."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_rest as sr,
+    )
+
+    server, _, _, embs = stack
+    vec = embs.filter(F.col("vec_id") == 0).collect()[0].embedding
+    q = {"query_id": 0, "embedding": list(vec)}
+
+    calls = []
+    real = sr.si.ivfpq_search_from_index
+
+    def counting(*a, **kw):
+        calls.append(kw.get("nprobe"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sr.si, "ivfpq_search_from_index", counting)
+
+    # (a) allowed-set = the query itself: self-exclusion makes the
+    # ceiling ZERO — deterministically exhausted on the first pass
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "ann", "queries": [q], "k": 10, "nprobe": 1,
+         "allowed_ids": [0]},
+    )
+    assert code == 200
+    assert len(calls) == 1, "exhausted query must pay exactly one serve"
+    assert out["hits"]["total"] == 0
+    assert out["escalated"]["exhausted_query_ids"] == [0]
+    assert "skipped" in out["escalated"]
+    assert "query_ids" not in out["escalated"]  # nothing was retried
+    assert out["fill"] == [
+        {"query_id": 0, "hits": 0, "k": 10, "filled": False}
+    ]
+
+    # (b) nprobe past the bucket count: underfilled but all buckets
+    # probed — skip without even counting live vectors
+    calls.clear()
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "ann", "queries": [q], "k": 10000, "nprobe": 10000},
+    )
+    assert code == 200
+    assert len(calls) == 1, "all-buckets-probed must pay exactly one serve"
+    assert out["escalated"]["skipped"].startswith("all buckets")
+    assert out["escalated"]["query_ids"] == [0]
+
+    # a recoverable underfill still escalates (the round-10 behavior)
+    calls.clear()
+    code, out = _post(
+        server.url, "/search",
+        {"mode": "ann", "queries": [q], "k": 10, "nprobe": 1,
+         "allowed_ids": [3, 6, 9]},
+    )
+    assert code == 200 and len(calls) == 2
+    assert out["escalated"]["nprobe"] == 4
+
+
 def test_validation_rejects_hostile_knobs(stack):
     """round-10 advice: k/pool/nprobe are clamped at the door — a
     hostile k must not turn the bounded collect into a corpus dump."""
