@@ -5288,3 +5288,251 @@ def ext_search_hybrid_rrf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- /search serving: ES aggregations + sort-by-field ------------------------
+
+#: derived doc timestamp for the serving-face rows: deterministic,
+#: DuckDB-expressible, and spread over three day buckets × 72 hour
+#: slots so date_histogram boundaries and per-day terms truncation are
+#: both genuinely exercised
+_SQL_DOC_TS = (
+    "TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 72) * INTERVAL 1 HOUR"
+)
+
+
+def _doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ts, lang, n_chars) — the mounted doc-metadata side of
+    the ES-role face (the reference's mapped index fields)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, doc_id % 72, 0, 0)"
+        ).alias("ts"),
+        "lang",
+        "n_chars",
+    )
+
+
+@query(
+    "ext_search_aggs_histogram_terms",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+        FROM documents), unnest(w) AS u(word)
+    ),
+    m AS (SELECT DISTINCT doc_id FROM toks WHERE word = 'dup'),
+    meta AS (
+      SELECT d.doc_id, {_SQL_DOC_TS} AS ts, d.lang, d.n_chars
+      FROM documents d JOIN m USING (doc_id)
+    ),
+    rolled AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS by_day, lang AS by_lang,
+             grouping(time_bucket(INTERVAL 1 DAY, ts)) AS g1,
+             grouping(lang) AS g2,
+             count(*)::BIGINT AS doc_count,
+             count(n_chars)::BIGINT AS n_vals_raw,
+             quantile_cont(n_chars, 0.5) AS med_raw
+      FROM meta
+      GROUP BY ROLLUP (time_bucket(INTERVAL 1 DAY, ts), lang)
+    ),
+    lv AS (
+      SELECT (2 - g1 - g2)::INTEGER AS depth, by_day, by_lang, doc_count,
+             CASE WHEN g1 = 0 AND g2 = 1 THEN n_vals_raw END AS n_vals,
+             CASE WHEN g1 = 0 AND g2 = 0 THEN round(med_raw, 6) END AS med_chars
+      FROM rolled
+    ),
+    keep2 AS (
+      SELECT by_day, by_lang FROM (
+        SELECT by_day, by_lang, row_number() OVER (
+          PARTITION BY by_day ORDER BY doc_count DESC, by_lang ASC) AS rn
+        FROM lv WHERE depth = 2)
+      WHERE rn <= 2
+    )
+    SELECT l.depth, l.by_day, l.by_lang, l.doc_count, l.n_vals, l.med_chars
+    FROM lv l LEFT JOIN keep2 k
+      ON l.by_day = k.by_day AND l.by_lang = k.by_lang
+    WHERE l.depth < 2 OR k.by_lang IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "rollup", "serving", "text"),
+)
+def ext_search_aggs_histogram_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES AGGREGATIONS over a free-text match set — the reference's
+    actual steady-state consumers: Kibana dashboards whose saved
+    visualizations POST ``aggs`` bodies (median by date_histogram ×
+    terms, counts by date_histogram × terms, docker-compose.yml's
+    saved objects), computed here by the engine's distributed plans
+    instead of Elasticsearch. The serve: a free-text query (the
+    selective term 'dup', deliberately upper-cased and padded so the
+    shared-tokenizer property stays pinned) drives the maintained
+    BM25 index; the match set (ALL matching docs — never the hit
+    page) semi-joins the doc-metadata side; ``aggs_flat`` compiles
+    ``date_histogram(1d) > terms(lang, size=2) > percentiles(50)``
+    plus a per-day ``value_count`` into ONE rollup pass (grouping
+    sets: every prefix level in one shuffle, map-side partials,
+    ``grouping_id`` separating rolled-up from genuinely-NULL keys)
+    with per-parent terms truncation as bucket-frame windows. The
+    oracle rebuilds the whole thing from scratch — DuckDB ``GROUP BY
+    ROLLUP`` + ``grouping()`` + a ranked keep-list — so hash-equality
+    pins bucket boundaries (epoch-anchored 1d tumbling), per-level
+    metric placement, exact interpolated medians, doc-count-desc /
+    key-asc truncation INCLUDING its tie-breaks, and the
+    match-set-not-hit-page semantics cross-engine."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="search_aggs_")
+    src = os.path.join(root, "docs")
+    index = os.path.join(root, "bm25")
+    try:
+        lakelog.append_commit(spark, src, docs)
+        si.bm25_index_maintain(spark, src, index)
+        qtext = spark.createDataFrame(
+            [(0, "  DUP\t")], "query_id bigint, text string"
+        )
+        scored = si.bm25_score_from_text(spark, index, qtext)
+        matched = _doc_meta(spark, sf_dir).join(
+            scored.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        flat = serve.aggs_flat(
+            matched,
+            {
+                "by_day": {
+                    "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                    "aggs": {
+                        "n_vals": {"value_count": {"field": "n_chars"}},
+                        "by_lang": {
+                            "terms": {"field": "lang", "size": 2},
+                            "aggs": {
+                                "med_chars": {
+                                    "percentiles": {
+                                        "field": "n_chars",
+                                        "percents": [50],
+                                    }
+                                }
+                            },
+                        },
+                    },
+                }
+            },
+        )
+        out = flat.select(
+            "depth",
+            "by_day",
+            "by_lang",
+            "doc_count",
+            "n_vals",
+            F.round("med_chars_50_0", 6).alias("med_chars"),
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_search_sort_paginated",
+    f"""
+    WITH {_SQL_BM25_CAND_CTES},
+    qw AS (SELECT 0::BIGINT AS query_id, 'dup' AS word),
+    tcand AS (
+      SELECT q.query_id, t.doc_id, t.word,
+             (((s.n_docs - d.df)::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5))
+             * ((t.tf::DOUBLE * 2.2)
+                / (t.tf::DOUBLE + 1.2 * (0.25 + (0.75 * l.dl::DOUBLE)
+                     / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))) AS s
+      FROM tf t
+      JOIN qw q USING (word)
+      JOIN dft d USING (word)
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    tbm AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(s ORDER BY word)), (x, y) -> x + y)
+               AS bm25
+      FROM tcand GROUP BY 1, 2
+    ),
+    meta AS (SELECT doc_id, {_SQL_DOC_TS} AS ts FROM documents),
+    ranked AS (
+      SELECT b.query_id, b.doc_id, round(b.bm25, 6) AS bm25, m.ts,
+             row_number() OVER (PARTITION BY b.query_id
+               ORDER BY m.ts DESC, b.doc_id ASC) AS rank
+      FROM tbm b JOIN meta m USING (doc_id)
+    )
+    SELECT query_id, doc_id, bm25, rank, ts
+    FROM ranked WHERE rank BETWEEN 11 AND 20
+    """,
+    tags=("ext", "search", "sort", "pagination", "serving", "text"),
+)
+def ext_search_sort_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-BY-FIELD over the full match set, composed with
+    absolute-rank pagination — the reference's Kibana saved search
+    (sorts ``EXTRACT_TS`` desc, pages through hits). The serve: the
+    free-text match set ('dup', 25 docs at sf0.01) is ranked by the
+    doc-metadata timestamp DESC — ``sorted_rank`` joins the sort
+    fields from the mounted metadata and the rank window simply
+    orders by them (doc_id asc as the final tiebreak, ES ``missing:
+    _last`` nulls) — then PAGE TWO is served: from=10, k=10 → ranks
+    11-20 of the sorted match set, ranks staying ABSOLUTE. Deep
+    sorted pages must reach docs the relevance top-k would never
+    nominate, so sort ranks the whole match set, not a score-cut
+    pool; the oracle rebuilds score + sorted ranks from scratch and
+    hash-equality pins the ordering (including timestamp ties broken
+    by doc_id), the page boundary, and the untouched BM25 scores
+    riding along."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_index as si,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="search_sort_")
+    src = os.path.join(root, "docs")
+    index = os.path.join(root, "bm25")
+    try:
+        lakelog.append_commit(spark, src, docs)
+        si.bm25_index_maintain(spark, src, index)
+        qtext = spark.createDataFrame(
+            [(0, "dup")], "query_id bigint, text string"
+        )
+        scored = si.bm25_score_from_text(spark, index, qtext)
+        ranked = serve.sorted_rank(
+            scored.select("query_id", "doc_id", "bm25"),
+            _doc_meta(spark, sf_dir),
+            [("ts", False)],
+            k=20,
+        )
+        out = ranked.filter(F.col("rank") > 10).select(
+            "query_id",
+            "doc_id",
+            F.round("bm25", 6).alias("bm25"),
+            "rank",
+            F.col("_sort_0").alias("ts"),
+        )
+        # materialize BEFORE the temp lake dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

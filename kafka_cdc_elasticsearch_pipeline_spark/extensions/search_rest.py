@@ -46,6 +46,17 @@ Endpoints:
                                          # matched) to every hit
        "allowed_ids": [3, 6, 9],         # filtered: every mode
        "escalate": true,                 # ann: nprobe retry on underfill
+       "sort": [{"field": "ts", "order": "desc"}],
+                                         # rank by doc metadata instead
+                                         # of relevance (needs a mounted
+                                         # doc_source)
+       "aggs": {"by_day": {"date_histogram": {...},
+                "aggs": {"by_lang": {"terms": {...}}}}},
+                                         # ES aggregations over ALL
+                                         # matching docs (never the hit
+                                         # page); with no query fields
+                                         # at all = match_all over the
+                                         # mounted doc_source
        "pinned": true, "watermark": 3}   # rerank/rrf: both signals
                                          # served AT one source version
                                          # (default: min of applied
@@ -62,7 +73,22 @@ Endpoints:
   ``rerank``/``rrf`` still need each query_id's VECTOR (``queries`` or
   ``query_ids``) for the dense signal. ``fill`` reports per-query
   hits-vs-k honestly (a selective filter can under-fill k — the
-  consumer must see 20/30, not silently get a short list); in ``ann``
+  consumer must see 20/30, not silently get a short list). ``sort``
+  replaces relevance ranking with document-metadata order (the
+  reference's Kibana saved search sorts ``EXTRACT_TS`` desc,
+  docker-compose.yml:344): bm25 sorts the FULL match set (deep pages
+  reach docs the relevance top-k would never nominate), the vector
+  modes re-order within their retrieved top-(from+k) (ES kNN+sort);
+  hits carry the ES per-hit ``sort`` values array, and the
+  absolute-rank pagination contract carries over unchanged. ``aggs``
+  adds an ES ``aggregations`` envelope (terms / date_histogram /
+  histogram buckets, avg/sum/min/max/value_count/percentiles metrics,
+  nested one-chain trees — the Kibana dashboard shapes,
+  docker-compose.yml:346-349) computed over ALL matching documents:
+  the bm25 match set, a vector mode's retrieved set, or — with no
+  query fields at all — the whole mounted doc_source (match_all, the
+  dashboard steady state); aggs take exactly one query (or none) per
+  request, like ES. Both surfaces need ``doc_source`` mounted. In ``ann``
   mode an underfilled query is retried ONCE at 4× nprobe (the fix the
   filtered-ANN scaling table measured) unless ``escalate: false`` —
   and never when the retry provably cannot help: a first pass that
@@ -98,6 +124,9 @@ from pyspark.sql import functions as F
 
 from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
     search_index as si,
+)
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+    search_serve as serve,
 )
 
 #: k / pool / nprobe are request-controlled; values past this turn the
@@ -137,7 +166,10 @@ class SearchRestServer:
     query vectors (the demo shape where queries are corpus members);
     applications that bring their own vectors pass ``queries`` in the
     request body instead, keeping the serve path free of any
-    raw-corpus dependency.
+    raw-corpus dependency. ``doc_source`` is an optional (doc_id,
+    metadata…) DataFrame — the mapped fields of the ES role — that
+    powers the ``sort`` and ``aggs`` request surfaces; without it
+    those fields are a 400 naming the missing mount.
 
     ``source_table`` (+ ``bm25_app_id`` / ``ivfpq_app_id``, the
     maintenance lineages the CDC sink folds under) turns on the
@@ -153,6 +185,7 @@ class SearchRestServer:
         ivfpq_root: str | None = None,
         ivfpq_pointer: str | None = None,
         query_source: DataFrame | None = None,
+        doc_source: DataFrame | None = None,
         source_table: str | None = None,
         bm25_app_id: str | None = None,
         ivfpq_app_id: str | None = None,
@@ -166,6 +199,9 @@ class SearchRestServer:
         self._ivfpq_static = ivfpq_root
         self.ivfpq_pointer = ivfpq_pointer
         self.query_source = query_source
+        if doc_source is not None and "doc_id" not in doc_source.columns:
+            raise ValueError("doc_source needs a 'doc_id' column")
+        self.doc_source = doc_source
         self.source_table = source_table
         self.bm25_app_id = bm25_app_id
         self.ivfpq_app_id = ivfpq_app_id
@@ -383,12 +419,52 @@ class SearchRestServer:
     def search(self, req: dict) -> dict:
         if not isinstance(req, dict):
             raise ValueError("request body must be a JSON object")
-        mode = req.get("mode", "rrf")
-        if mode not in ("bm25", "ann", "rerank", "rrf"):
-            raise ValueError(f"unknown mode {mode!r}")
         import time as _time
 
         t0 = _time.perf_counter()
+        # sort / aggs need the doc-metadata mount; validate their
+        # specs at the door (caller-fixable = 400, before any job)
+        sort_spec = None
+        if req.get("sort") is not None:
+            if self.doc_source is None:
+                raise ValueError(
+                    "'sort' needs a doc_source mounted on this server"
+                )
+            sort_spec = serve.parse_sort(req["sort"], self.doc_source.columns)
+        aggs_spec = req.get("aggs")
+        if aggs_spec is not None:
+            if self.doc_source is None:
+                raise ValueError(
+                    "'aggs' needs a doc_source mounted on this server"
+                )
+            # parse for validation errors now; compiled again over the
+            # matched frame once the mode branch has produced it
+            serve.parse_aggs(aggs_spec, self.doc_source.columns)
+        has_query = bool(
+            req.get("query_ids") or req.get("queries")
+            or req.get("queries_text") or req.get("query") is not None
+        )
+        if aggs_spec is not None and not has_query:
+            # match_all: the dashboard steady state — aggregations over
+            # the whole mounted doc_source (∩ allowed_ids), no hits.
+            # ES would need "size": 0; here no query IS the signal.
+            matched = self.doc_source
+            allowed = self._allowed_df(req)
+            if allowed is not None:
+                matched = matched.join(
+                    allowed.select(F.col("vec_id").alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+            return {
+                "took": int((_time.perf_counter() - t0) * 1000),
+                "hits": {"total": matched.count(), "hits": []},
+                "fill": [],
+                "aggregations": serve.aggs_nested(matched, aggs_spec),
+            }
+        mode = req.get("mode", "rrf")
+        if mode not in ("bm25", "ann", "rerank", "rrf"):
+            raise ValueError(f"unknown mode {mode!r}")
         k = _knob(req, "k", 10)
         pool = _knob(req, "pool", 20)
         nprobe = _knob(req, "nprobe", 2)
@@ -419,6 +495,21 @@ class SearchRestServer:
         # (round-11 review finding)
         ivfpq_root: str | None = None
         escalated: dict | None = None
+        match_ids: DataFrame | None = None
+
+        def _maybe_sorted(df: DataFrame) -> DataFrame:
+            """ES ``sort``: re-rank by the doc-metadata fields and cut
+            at the page depth. bm25 passes its UNCUT match set (deep
+            sorted pages reach docs relevance would never nominate);
+            the vector modes pass their retrieved top-k_page frame
+            (ES kNN+sort re-orders within the k retrieved)."""
+            if sort_spec is None:
+                return df
+            return serve.sorted_rank(
+                df.drop("rank") if "rank" in df.columns else df,
+                self.doc_source, sort_spec, k_page, id_col="_id",
+            )
+
         wm = req.get("watermark")
         if wm is not None and (not isinstance(wm, int) or wm < 1):
             raise ValueError(
@@ -486,20 +577,26 @@ class SearchRestServer:
                     "doc_id",
                     "left_semi",
                 )
-            w = W.partitionBy("query_id").orderBy(
-                F.col("bm25").desc(), F.col("doc_id").asc()
-            )
-            cols = [
+            if aggs_spec is not None:
+                # aggs run over ALL matching docs (the full match set,
+                # never the hit page) — stash it pre-rank, post-filter
+                match_ids = scored.select("doc_id").distinct()
+            base = scored.select(
                 "query_id",
                 F.col("doc_id").alias("_id"),
                 F.col("bm25").alias("_score"),
-                "rank",
-            ] + ([F.col("matched_terms")] if hl else [])
-            df = (
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k_page)
-                .select(*cols)
+                *([F.col("matched_terms")] if hl else []),
             )
+            if sort_spec is not None:
+                df = base  # uncut: _maybe_sorted ranks the match set
+            else:
+                w = W.partitionBy("query_id").orderBy(
+                    F.col("_score").desc(), F.col("_id").asc()
+                )
+                df = (
+                    base.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k_page)
+                )
         elif mode == "ann":
             if self._ivfpq_static is None and self.ivfpq_pointer is None:
                 raise ValueError("no ivfpq index mounted")
@@ -593,7 +690,12 @@ class SearchRestServer:
                     F.col("rrf").alias("_score"),
                     "rank",
                 )
-        hits = self._collect_hits(df)
+        if aggs_spec is not None and len(set(req_ids)) != 1:
+            raise ValueError(
+                "'aggs' takes exactly one query per request (ES's "
+                "shape) — or no query at all for match_all"
+            )
+        hits = self._collect_hits(_maybe_sorted(df))
         if mode == "ann" and req.get("escalate", True):
             # one automatic nprobe escalation for underfilled queries
             # (the filtered-ANN fill caveat: a selective allowed-set
@@ -653,7 +755,7 @@ class SearchRestServer:
                         F.col("cosine").alias("_score"),
                         "rank",
                     )
-                    retry_hits = self._collect_hits(retry)
+                    retry_hits = self._collect_hits(_maybe_sorted(retry))
                     hits = [
                         h for h in hits
                         if h["query_id"] not in set(retryable)
@@ -668,6 +770,19 @@ class SearchRestServer:
                         "skipped",
                         f"only {n_live} live vectors under this filter",
                     )
+        aggregations: dict | None = None
+        if aggs_spec is not None:
+            # aggs are over ALL matching docs, never the hit page: the
+            # bm25 match set (stashed pre-rank), or a vector mode's
+            # full retrieved set (PRE-pagination, post-escalation —
+            # ES kNN aggregates over the k nearest)
+            if match_ids is None:
+                ids = sorted({int(h["_id"]) for h in hits})
+                match_ids = self.spark.createDataFrame(
+                    [(i,) for i in ids], "doc_id bigint"
+                )
+            matched = self.doc_source.join(match_ids, "doc_id", "left_semi")
+            aggregations = serve.aggs_nested(matched, aggs_spec)
         # the page slice applies AFTER escalation: underfill and its
         # bounds are judged on the ranks the serve minted, and a page
         # past the end must not read as a recoverable shortfall
@@ -685,11 +800,25 @@ class SearchRestServer:
         }
         if escalated is not None:
             out["escalated"] = escalated
+        if aggregations is not None:
+            out["aggregations"] = aggregations
         return out
 
     @staticmethod
     def _collect_hits(df: DataFrame) -> list[dict]:
         extra = [c for c in df.columns if c == "matched_terms"]
+        sort_cols = sorted(
+            (c for c in df.columns if c.startswith("_sort_")),
+            key=lambda c: int(c.rsplit("_", 1)[1]),
+        )
+
+        def jsonable(v):
+            import datetime
+
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            return v
+
         return [
             {
                 "query_id": r.query_id,
@@ -697,6 +826,11 @@ class SearchRestServer:
                 "_score": r._score,
                 "rank": r.rank,
                 **{c: r[c] for c in extra},
+                **(
+                    {"sort": [jsonable(r[c]) for c in sort_cols]}
+                    if sort_cols
+                    else {}
+                ),
             }
             for r in df.collect()  # bounded: ≤ k × |queries| rows
         ]

@@ -1,0 +1,569 @@
+"""ES-style aggregations and sort-by-field for the ``/search`` face.
+
+The reference pipeline's steady-state consumers are Kibana DASHBOARDS,
+and a Kibana visualization is an Elasticsearch ``aggs`` body — count
+metrics, ``median(STARS)`` by ``date_histogram`` × ``CLUB_STATUS``
+terms, counts by ``date_histogram`` × ``CHANNEL`` terms, counts by
+``FULL_NAME`` terms (the reference's saved objects,
+docker-compose.yml:346-349) — and its saved search sorts hits by
+``EXTRACT_TS`` desc (docker-compose.yml:344). This module gives the
+REST face (``search_rest.py``) those two missing consumer surfaces:
+
+- :func:`aggs_flat` compiles an ES ``aggs`` tree (one bucket chain —
+  ``terms`` / ``date_histogram`` / ``histogram`` — with metrics at any
+  level) into ONE distributed plan: a single ``rollup`` pass over the
+  matched documents (grouping sets = every prefix level in one
+  shuffle, partial aggregation map-side), ``grouping_id`` to tell a
+  rolled-up level from a genuinely-NULL key, and per-level ``terms``
+  truncation as bucket-frame windows — never a per-level re-scan of
+  the match set. The flat (depth, keys…, doc_count, metrics…) frame
+  is the gate-row surface: a DuckDB ``GROUP BY ROLLUP`` rebuilds it
+  exactly.
+- :func:`aggs_nested` folds the flat frame into ES's ``aggregations``
+  response envelope (``buckets``/``key``/``key_as_string``/
+  ``doc_count``/``sum_other_doc_count``) driver-side — bucket-count
+  work, capped at ES's own ``search.max_buckets`` default.
+- :func:`sorted_rank` re-ranks a serve by document metadata fields
+  (ES ``sort``), composing with the absolute-rank ``from`` pagination:
+  the rank window simply orders by the sort keys instead of the score.
+
+Scale notes: the heavy lifting is the one ``rollup`` over the matched
+set — shuffle on the bucket keys with map-side combine, exactly the
+plan the green ``a4_*`` dashboard-agg rows run; everything after it
+operates on the BUCKET frame (cardinality = Σ per-level buckets, not
+documents). ``percentiles`` uses Spark's exact ``percentile``
+(linear-interpolation, DuckDB ``quantile_cont``-identical) so the
+oracle can hash it; at 100 TB swap in the sketch family
+(``operators/sketches.py``'s GK quantiles, the ES-faithful
+approximation) — the compiler keeps that a one-line substitution.
+
+ES behavior references (all public): ``terms`` buckets order by
+doc_count desc then key asc and truncate to ``size`` PER PARENT with
+``sum_other_doc_count`` for the remainder; ``date_histogram`` keys are
+bucket-start epoch millis plus ``key_as_string``; docs whose bucket
+field is NULL land in no bucket (and therefore in no child bucket) but
+still count in their parent's ``doc_count``; aggregations run over ALL
+matching documents, never the paginated hit page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: ES's search.max_buckets default — the bound on the driver-side
+#: bucket collect (the flat frame is bucket-count-sized; a hostile
+#: high-cardinality terms field must 400, not OOM the driver).
+MAX_BUCKETS = 65_536
+
+_BUCKET_TYPES = ("terms", "date_histogram", "histogram")
+_METRIC_TYPES = ("avg", "sum", "min", "max", "value_count", "percentiles")
+
+#: calendar_interval → Spark/ISO date_trunc unit (the subset a
+#: dashboard uses; ES also has week/quarter — week starts differ
+#: between engines, so it is deliberately absent until pinned).
+_CALENDAR_UNITS = {
+    "minute": "minute", "1m": "minute",
+    "hour": "hour", "1h": "hour",
+    "day": "day", "1d": "day",
+    "month": "month", "1M": "month",
+    "year": "year", "1y": "year",
+}
+
+_FIXED_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(spec: str) -> int:
+    """``"15m"`` / ``"4h"`` / ``"1d"`` → seconds (ES fixed_interval
+    grammar, the units a dashboard uses)."""
+    s = str(spec).strip()
+    unit = s[-1:]
+    if unit not in _FIXED_UNIT_SECONDS or not s[:-1].isdigit():
+        raise ValueError(
+            f"fixed_interval must look like '15m'/'4h'/'1d', got {spec!r}"
+        )
+    n = int(s[:-1])
+    if n < 1:
+        raise ValueError(f"fixed_interval must be positive, got {spec!r}")
+    return n * _FIXED_UNIT_SECONDS[unit]
+
+
+class _Bucket:
+    """One parsed bucket level of the agg chain."""
+
+    def __init__(self, name: str, typ: str, body: dict):
+        if not isinstance(body, dict):
+            raise ValueError(f"agg {name!r}: {typ} body must be an object")
+        self.name = name
+        self.typ = typ
+        self.field = body.get("field")
+        if not isinstance(self.field, str):
+            raise ValueError(f"agg {name!r} needs a 'field' string")
+        self.size: int | None = None
+        self.interval = None
+        self.seconds: int | None = None
+        self.calendar: str | None = None
+        if typ == "terms":
+            size = body.get("size", 10)
+            if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+                raise ValueError(
+                    f"terms agg {name!r}: 'size' must be a positive integer"
+                )
+            self.size = size
+        elif typ == "histogram":
+            iv = body.get("interval")
+            if not isinstance(iv, (int, float)) or isinstance(iv, bool) or iv <= 0:
+                raise ValueError(
+                    f"histogram agg {name!r}: 'interval' must be a positive number"
+                )
+            self.interval = float(iv)
+        else:  # date_histogram
+            fixed = body.get("fixed_interval")
+            cal = body.get("calendar_interval")
+            if (fixed is None) == (cal is None):
+                raise ValueError(
+                    f"date_histogram agg {name!r}: exactly one of "
+                    "'fixed_interval' / 'calendar_interval'"
+                )
+            if fixed is not None:
+                self.seconds = _fixed_interval_seconds(fixed)
+            else:
+                if cal not in _CALENDAR_UNITS:
+                    raise ValueError(
+                        f"date_histogram agg {name!r}: unsupported "
+                        f"calendar_interval {cal!r} "
+                        f"(supported: {sorted(set(_CALENDAR_UNITS))})"
+                    )
+                self.calendar = _CALENDAR_UNITS[cal]
+
+    def key_col(self) -> Column:
+        c = F.col(self.field)
+        if self.typ == "terms":
+            return c
+        if self.typ == "histogram":
+            return F.floor(c / F.lit(self.interval)) * F.lit(self.interval)
+        if self.calendar is not None:
+            return F.date_trunc(self.calendar, c)
+        # fixed_interval: epoch-anchored tumbling bucket start — the
+        # same arithmetic as F.window(...).start / DuckDB time_bucket
+        us = F.lit(int(self.seconds) * 1_000_000).cast("bigint")
+        return F.timestamp_micros(
+            F.floor(F.unix_micros(c) / us).cast("bigint") * us
+        )
+
+
+class _Metric:
+    """One parsed metric agg; ``columns`` lists its output columns
+    (percentiles emit one per requested percent)."""
+
+    def __init__(self, name: str, typ: str, body: dict):
+        if not isinstance(body, dict):
+            raise ValueError(f"agg {name!r}: {typ} body must be an object")
+        self.name = name
+        self.typ = typ
+        self.field = body.get("field")
+        if not isinstance(self.field, str):
+            raise ValueError(f"agg {name!r} needs a 'field' string")
+        if typ == "percentiles":
+            pcts = body.get("percents", [50.0])
+            if not isinstance(pcts, list) or not pcts or not all(
+                isinstance(p, (int, float)) and not isinstance(p, bool)
+                and 0 <= p <= 100 for p in pcts
+            ):
+                raise ValueError(
+                    f"percentiles agg {name!r}: 'percents' must be a "
+                    "non-empty list of numbers in [0, 100]"
+                )
+            self.percents = [float(p) for p in pcts]
+            self.columns = [
+                f"{name}_{str(p).replace('.', '_')}" for p in self.percents
+            ]
+        else:
+            self.percents = []
+            self.columns = [name]
+
+    def exprs(self) -> list[Column]:
+        c = F.col(self.field)
+        if self.typ == "percentiles":
+            # exact linear-interpolation percentile — hash-identical to
+            # DuckDB quantile_cont (ES's TDigest is approximate; the
+            # sketch family is the 100 TB substitute, see module doc)
+            return [
+                F.percentile(c, F.lit(p / 100.0)).alias(col)
+                for p, col in zip(self.percents, self.columns)
+            ]
+        if self.typ == "value_count":
+            return [F.count(c).cast("bigint").alias(self.name)]
+        fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[self.typ]
+        return [fn(c).alias(self.name)]
+
+
+def parse_aggs(spec: dict, columns: list[str]) -> tuple[
+    list[_Bucket], dict[int, list[_Metric]]
+]:
+    """Parse an ES ``aggs`` tree into (bucket chain, metrics-by-depth).
+
+    One bucket agg per level (a Kibana visualization is one chain;
+    sibling bucket aggs are separate requests — rejected explicitly so
+    the restriction is visible, not silent). Metrics may sit at any
+    level: depth 0 = top-level metrics over the whole match set, depth
+    i = metrics inside level-i buckets. Every referenced field must
+    exist in ``columns`` (the mounted doc_source's schema)."""
+    chain: list[_Bucket] = []
+    metrics: dict[int, list[_Metric]] = {}
+    names: set[str] = set()
+
+    def walk(node: dict, depth: int) -> None:
+        """``depth`` = the bucket level whose buckets this node's
+        metrics describe: 0 at the request top (whole match set),
+        i inside level-i's ``aggs``."""
+        if not isinstance(node, dict) or not node:
+            raise ValueError("'aggs' must be a non-empty object")
+        bucket_here: _Bucket | None = None
+        child_aggs: dict | None = None
+        for name, body in node.items():
+            if not isinstance(body, dict):
+                raise ValueError(f"agg {name!r} must be an object")
+            if name in names:
+                raise ValueError(f"duplicate agg name {name!r}")
+            names.add(name)
+            typs = [t for t in body if t != "aggs"]
+            if len(typs) != 1:
+                raise ValueError(
+                    f"agg {name!r} needs exactly one type, got {typs}"
+                )
+            typ = typs[0]
+            if typ in _BUCKET_TYPES:
+                if bucket_here is not None:
+                    raise ValueError(
+                        "one bucket aggregation per level "
+                        f"({bucket_here.name!r} and {name!r} are siblings); "
+                        "send sibling bucket aggs as separate requests"
+                    )
+                bucket_here = _Bucket(name, typ, body[typ])
+                child_aggs = body.get("aggs")
+            elif typ in _METRIC_TYPES:
+                if "aggs" in body:
+                    raise ValueError(
+                        f"metric agg {name!r} cannot have sub-aggs"
+                    )
+                metrics.setdefault(depth, []).append(
+                    _Metric(name, typ, body[typ])
+                )
+            else:
+                raise ValueError(
+                    f"unsupported agg type {typ!r} (buckets: "
+                    f"{_BUCKET_TYPES}, metrics: {_METRIC_TYPES})"
+                )
+        if bucket_here is not None:
+            chain.append(bucket_here)
+            if child_aggs is not None:
+                walk(child_aggs, depth + 1)
+
+    walk(spec, 0)
+    reserved = {"depth", "doc_count"}
+    for b in chain:
+        if b.name in reserved:
+            raise ValueError(f"agg name {b.name!r} is reserved")
+        reserved.add(b.name)
+        if b.field not in columns:
+            raise ValueError(
+                f"agg {b.name!r}: field {b.field!r} not in the mounted "
+                f"doc_source (columns: {sorted(columns)})"
+            )
+    for ms in metrics.values():
+        for m in ms:
+            for col in m.columns:
+                if col in reserved:
+                    raise ValueError(f"agg column {col!r} is reserved")
+                reserved.add(col)
+            if m.field not in columns:
+                raise ValueError(
+                    f"agg {m.name!r}: field {m.field!r} not in the mounted "
+                    f"doc_source (columns: {sorted(columns)})"
+                )
+    if max(metrics, default=0) > len(chain):
+        raise ValueError("metrics nested deeper than the bucket chain")
+    return chain, metrics
+
+
+def _rollup_flat(
+    docs: DataFrame,
+    chain: list[_Bucket],
+    metrics: dict[int, list[_Metric]],
+) -> DataFrame:
+    """The one distributed pass: rollup over the bucket keys, metrics
+    computed at every grouping level (one shuffle, map-side partials),
+    then per-row depth from ``grouping_id`` and declared-depth
+    null-out so each metric column carries values only at its node's
+    level. Genuinely-NULL bucket keys (ES: the doc is in no bucket at
+    that level, nor any child) are dropped AFTER the rollup — their
+    docs still count in the parent row's doc_count, exactly ES."""
+    names = [b.name for b in chain]
+    keyed = docs.select(
+        *[b.key_col().alias(b.name) for b in chain],
+        *{m.field for ms in metrics.values() for m in ms},
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("doc_count")]
+    for ms in metrics.values():
+        for m in ms:
+            aggs.extend(m.exprs())
+    if not names:
+        flat = keyed.agg(*aggs).withColumn("depth", F.lit(0).cast("int"))
+        return flat.select("depth", "doc_count", *_metric_cols(metrics))
+    g = (
+        keyed.rollup(*names)
+        .agg(*aggs, F.grouping_id(*names).alias("_gid"))
+    )
+    n = len(names)
+    # rollup grouping_id = bitmask of ROLLED-UP keys (low bit =
+    # rightmost key); depth = how many prefix keys are live
+    depth = F.lit(n) - sum(
+        F.shiftright(F.col("_gid"), n - 1 - i).bitwiseAND(F.lit(1))
+        for i in range(n)
+    )
+    g = g.withColumn("depth", depth.cast("int")).drop("_gid")
+    # a genuinely-NULL key at any LIVE level drops the row from the
+    # bucket frame (grouping_id told us the null is data, not rollup)
+    cond = F.lit(True)
+    for i, name in enumerate(names, start=1):
+        cond = cond & (
+            (F.col("depth") < i) | F.col(name).isNotNull()
+        )
+    g = g.filter(cond)
+    # metrics only at their declared depth — "metrics live at nodes"
+    sel: list[Column] = [F.col("depth"), *[F.col(c) for c in names],
+                         F.col("doc_count")]
+    for d, ms in metrics.items():
+        for m in ms:
+            for col in m.columns:
+                sel.append(
+                    F.when(F.col("depth") == d, F.col(col)).alias(col)
+                )
+    return g.select(*sel)
+
+
+def _metric_cols(metrics: dict[int, list[_Metric]]) -> list[str]:
+    return [c for ms in metrics.values() for m in ms for c in m.columns]
+
+
+def _truncate_terms(
+    flat: DataFrame, chain: list[_Bucket]
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Apply each terms level's ``size`` (top-N per parent by
+    doc_count desc, key asc — ES's default order) on the BUCKET frame,
+    pruning deeper rows to kept parents. Returns the truncated frame
+    plus per-level "others" frames (parent keys → Σ truncated
+    doc_count) for ES's ``sum_other_doc_count``."""
+    names = [b.name for b in chain]
+    others: list[tuple[int, DataFrame]] = []
+    for d, b in enumerate(chain, start=1):
+        if b.typ != "terms":
+            continue
+        lvl = flat.filter(F.col("depth") == d)
+        w = Window.partitionBy(*names[: d - 1]).orderBy(
+            F.col("doc_count").desc(), F.col(b.name).asc()
+        )
+        ranked = lvl.withColumn("_rn", F.row_number().over(w))
+        keep = ranked.filter(F.col("_rn") <= b.size).select(*names[:d])
+        others.append((
+            d,
+            ranked.filter(F.col("_rn") > b.size)
+            .groupBy(*names[: d - 1])
+            .agg(F.sum("doc_count").cast("bigint").alias("sum_other")),
+        ))
+        flat = flat.filter(F.col("depth") < d).unionByName(
+            flat.filter(F.col("depth") >= d).join(keep, names[:d], "left_semi")
+        )
+    return flat, others
+
+
+def aggs_flat(docs: DataFrame, spec: dict) -> DataFrame:
+    """Compile an ES ``aggs`` tree over the matched-document frame into
+    one FLAT bucket DataFrame: a row per bucket at every level plus
+    the depth-0 (whole-match-set) row — columns ``depth``, one key
+    column per bucket level (named by its agg name), ``doc_count``,
+    and one column per metric (non-null only at its declared depth).
+    ``terms`` sizes are applied (top-N per parent). This is the
+    distributed surface the gate row hashes: DuckDB ``GROUP BY
+    ROLLUP`` + ``grouping()`` + a ranked keep-list rebuilds it
+    exactly."""
+    chain, metrics = parse_aggs(spec, docs.columns)
+    flat = _rollup_flat(docs, chain, metrics)
+    flat, _ = _truncate_terms(flat, chain)
+    return flat
+
+
+def _key_json(v):
+    """A bucket key as ES serves it: date buckets get epoch-millis
+    ``key`` + ISO ``key_as_string``; everything else verbatim."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1)
+        ms = int((v - epoch).total_seconds() * 1000)
+        return ms, v.isoformat(sep="T")
+    return v, None
+
+
+def _metric_json(m: _Metric, row: dict) -> dict:
+    if m.typ == "percentiles":
+        return {
+            "values": {
+                str(p): row.get(col)
+                for p, col in zip(m.percents, m.columns)
+            }
+        }
+    return {"value": row.get(m.name)}
+
+
+def aggs_nested(docs: DataFrame, spec: dict) -> dict:
+    """ES ``aggregations`` response envelope: the flat frame collected
+    (bounded by :data:`MAX_BUCKETS`, ES's own default cap) and folded
+    into nested ``buckets`` driver-side. terms buckets ordered
+    doc_count desc / key asc with ``sum_other_doc_count``;
+    date_histogram / histogram buckets ordered by key."""
+    chain, metrics = parse_aggs(spec, docs.columns)
+    flat = _rollup_flat(docs, chain, metrics)
+    flat, others = _truncate_terms(flat, chain)
+    rows = [r.asDict() for r in flat.limit(MAX_BUCKETS + 1).collect()]
+    if len(rows) > MAX_BUCKETS:
+        raise ValueError(
+            f"aggregation produced more than {MAX_BUCKETS} buckets; "
+            "narrow the query or raise the interval / lower terms sizes"
+        )
+    other_maps: dict[int, dict[tuple, int]] = {}
+    for d, odf in others:
+        parent = [b.name for b in chain[: d - 1]]
+        other_maps[d] = {
+            tuple(r[p] for p in parent): int(r["sum_other"])
+            for r in (x.asDict() for x in odf.collect())
+        }
+    names = [b.name for b in chain]
+
+    def level(depth: int, prefix: tuple) -> dict:
+        """The aggs object INSIDE a depth-(depth-1) bucket: the
+        depth-level bucket list (if the chain goes deeper) plus that
+        bucket's declared metrics are attached by the caller."""
+        out: dict = {}
+        if depth > len(chain):
+            return out
+        b = chain[depth - 1]
+        mine = [
+            r for r in rows
+            if r["depth"] == depth
+            and tuple(r[n] for n in names[: depth - 1]) == prefix
+        ]
+        if b.typ == "terms":
+            mine.sort(key=lambda r: (-r["doc_count"], r[b.name]))
+        else:
+            mine.sort(key=lambda r: r[b.name])
+        buckets = []
+        for r in mine:
+            key, key_str = _key_json(r[b.name])
+            bucket: dict = {"key": key}
+            if key_str is not None:
+                bucket["key_as_string"] = key_str
+            bucket["doc_count"] = int(r["doc_count"])
+            for m in metrics.get(depth, []):
+                bucket[m.name] = _metric_json(m, r)
+            bucket.update(level(depth + 1, prefix + (r[b.name],)))
+            buckets.append(bucket)
+        node: dict = {"buckets": buckets}
+        if b.typ == "terms":
+            node["sum_other_doc_count"] = other_maps.get(depth, {}).get(
+                prefix, 0
+            )
+        out[b.name] = node
+        return out
+
+    root_rows = [r for r in rows if r["depth"] == 0]
+    root = root_rows[0] if root_rows else {"doc_count": 0}
+    out = {m.name: _metric_json(m, root) for m in metrics.get(0, [])}
+    out.update(level(1, ()))
+    return out
+
+
+# --- sort-by-field -----------------------------------------------------------
+
+
+def parse_sort(sort, columns: list[str]) -> list[tuple[str, bool]]:
+    """``[{"field": f, "order": "asc"|"desc"}, ...]`` → [(field,
+    ascending)]. Every field must exist in the mounted doc_source
+    (ES rejects unmapped sort fields the same way)."""
+    if not isinstance(sort, list) or not sort:
+        raise ValueError(
+            "'sort' must be a non-empty list of "
+            '{"field": ..., "order": "asc"|"desc"} objects'
+        )
+    out: list[tuple[str, bool]] = []
+    for entry in sort:
+        if not isinstance(entry, dict) or not isinstance(
+            entry.get("field"), str
+        ):
+            raise ValueError(
+                "each 'sort' entry needs a 'field' string, got "
+                f"{entry!r}"
+            )
+        order = entry.get("order", "asc")
+        if order not in ("asc", "desc"):
+            raise ValueError(
+                f"sort order must be 'asc' or 'desc', got {order!r}"
+            )
+        field = entry["field"]
+        if field not in columns:
+            raise ValueError(
+                f"sort field {field!r} not in the mounted doc_source "
+                f"(columns: {sorted(columns)})"
+            )
+        out.append((field, order == "asc"))
+    return out
+
+
+def sorted_rank(
+    hits: DataFrame,
+    doc_source: DataFrame,
+    sort: list[tuple[str, bool]],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-rank a serve by document metadata fields (ES ``sort``):
+    joins the sort fields from ``doc_source`` (left — a hit missing
+    from the metadata sorts LAST, it is not silently dropped), ranks
+    per query by the sort keys (nulls last, ES's default ``missing:
+    _last``) with ``id_col`` asc as the final tiebreak, and cuts at
+    rank ≤ k. The rank column REPLACES the relevance rank, so ``from``
+    pagination's absolute-rank contract carries over unchanged; the
+    score column (if any) rides along untouched, and the sort-key
+    values come back as ``_sort_0..n`` for ES's per-hit ``sort``
+    array.
+
+    Two shapes, one function: bm25 passes the FULL match set (deep
+    sorted pages reach docs the relevance top-k would never nominate
+    — the Kibana saved search sorting EXTRACT_TS desc pages the whole
+    match set); the vector modes pass their already-cut top-k frame
+    (ES kNN+sort re-orders within the k retrieved)."""
+    fields = [f for f, _ in sort]
+    meta = doc_source.select(
+        F.col("doc_id").alias("_sort_doc_id"),
+        *[
+            F.col(f).alias(f"_sort_{i}")
+            for i, f in enumerate(fields)
+        ],
+    )
+    joined = hits.join(
+        meta, hits[id_col] == meta["_sort_doc_id"], "left"
+    ).drop("_sort_doc_id")
+    order = [
+        (
+            F.col(f"_sort_{i}").asc_nulls_last()
+            if asc
+            else F.col(f"_sort_{i}").desc_nulls_last()
+        )
+        for i, (_, asc) in enumerate(sort)
+    ] + [F.col(id_col).asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -941,3 +941,201 @@ def test_rest_fill_matches_search_fill_gauge(spark, stack):
     }
     assert rest == gauge
     assert rest[0] == (0, 5, False)  # the zero-hit query is REPORTED
+
+
+# --- ES aggregations + sort-by-field over /search ----------------------------
+
+
+@pytest.fixture(scope="module")
+def meta_server(spark, sf_dir, stack):
+    """The same maintained stack mounted WITH a doc-metadata source —
+    the sort/aggs surfaces need the mapped fields of the ES role.
+    Direct-call server (the HTTP layer is exercised once below)."""
+    _, bm25_root, ivfpq_root, embs = stack
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, doc_id % 72, 0, 0)"
+        ).alias("ts"),
+        "lang",
+        "n_chars",
+    )
+    server = SearchRestServer(
+        spark,
+        bm25_root=bm25_root,
+        ivfpq_root=ivfpq_root,
+        query_source=embs,
+        doc_source=meta,
+    )
+    return server, meta
+
+
+_AGGS = {
+    "by_day": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 2}}},
+    }
+}
+
+
+def test_aggs_match_all_over_rest(spark, meta_server):
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    server, meta = meta_server
+    out = server.search({"aggs": _AGGS})
+    # match_all: every doc in the mounted metadata, no hits, no fill
+    assert out["hits"]["hits"] == [] and out["fill"] == []
+    assert out["hits"]["total"] == meta.count()
+    assert out["aggregations"] == serve.aggs_nested(meta, _AGGS)
+    # allowed_ids scopes match_all too
+    scoped = server.search({"aggs": _AGGS, "allowed_ids": [0, 1, 2]})
+    assert scoped["hits"]["total"] == 3
+    days = scoped["aggregations"]["by_day"]["buckets"]
+    assert sum(d["doc_count"] for d in days) == 3
+
+
+def test_aggs_over_all_matches_not_the_hit_page(meta_server):
+    server, _ = meta_server
+    # a common word matches far more docs than one page holds
+    base = {"mode": "bm25", "query": "table value", "k": 3, "aggs": _AGGS}
+    page1 = server.search(base)
+    page2 = server.search({**base, "from": 3})
+    # pages differ; the aggregations are over the MATCH SET and
+    # identical across pages (ES: aggs ignore from/size)
+    assert [h["_id"] for h in page1["hits"]["hits"]] != [
+        h["_id"] for h in page2["hits"]["hits"]
+    ]
+    assert page1["aggregations"] == page2["aggregations"]
+    matched = sum(
+        d["doc_count"]
+        for d in page1["aggregations"]["by_day"]["buckets"]
+    )
+    assert matched > 3  # all matches, not the k-sized page
+
+
+def test_aggs_vector_mode_over_retrieved_set(meta_server):
+    server, _ = meta_server
+    out = server.search(
+        {"mode": "ann", "query_ids": [0], "k": 5, "nprobe": 2,
+         "aggs": _AGGS, "escalate": False}
+    )
+    # ES kNN: aggregations run over the k retrieved docs
+    agg_docs = sum(
+        d["doc_count"] for d in out["aggregations"]["by_day"]["buckets"]
+    )
+    assert agg_docs == len(out["hits"]["hits"])
+
+
+def test_aggs_validation_errors(stack, meta_server):
+    server_nometa = stack[0]
+    code, body = _post(
+        server_nometa.url, "/search", {"query": "table", "aggs": _AGGS}
+    )
+    assert code == 400 and "doc_source" in body["error"]["reason"]
+    server, _ = meta_server
+    with pytest.raises(ValueError, match="exactly one query"):
+        server.search(
+            {"mode": "bm25", "query_ids": [0, 1], "aggs": _AGGS}
+        )
+    with pytest.raises(ValueError, match="not in the mounted"):
+        server.search({"aggs": {"t": {"terms": {"field": "nope"}}}})
+
+
+def test_sort_pages_tile_and_match_batch_order(spark, meta_server):
+    server, meta = meta_server
+    sort = [{"field": "ts", "order": "desc"}]
+    base = {"mode": "bm25", "query": "table value", "k": 5, "sort": sort}
+    pages = [
+        server.search({**base, "from": frm})["hits"]["hits"]
+        for frm in (0, 5, 10)
+    ]
+    tiled = [h["_id"] for p in pages for h in p]
+    whole = server.search({**base, "k": 15})["hits"]["hits"]
+    # absolute ranks tile exactly across sorted pages
+    assert tiled == [h["_id"] for h in whole]
+    assert [h["rank"] for p in pages for h in p] == list(range(1, 16))
+    # and the order equals a batch orderBy over the joined metadata
+    got_ts = [h["sort"][0] for h in whole]
+    assert got_ts == sorted(got_ts, reverse=True)
+    rows = {r.doc_id: r.ts for r in meta.collect()}
+    assert got_ts == [rows[h["_id"]].isoformat() for h in whole]
+    # ties broken by doc_id asc within equal timestamps
+    for a, b in zip(whole, whole[1:]):
+        if a["sort"][0] == b["sort"][0]:
+            assert a["_id"] < b["_id"]
+
+
+def test_sort_fill_and_scores_unchanged(meta_server):
+    server, _ = meta_server
+    req = {"mode": "bm25", "query": "table value", "k": 5}
+    plain = server.search(req)
+    srt = server.search({**req, "sort": [{"field": "n_chars"}]})
+    # fill reports the same counts (sorting re-orders, never drops)
+    assert srt["fill"] == plain["fill"]
+    # scores still carried (rank follows the sort, _score stays bm25)
+    by_id = {h["_id"]: h["_score"] for h in plain["hits"]["hits"]}
+    for h in srt["hits"]["hits"]:
+        if h["_id"] in by_id:
+            assert h["_score"] == by_id[h["_id"]]
+
+
+def test_sort_vector_mode_reorders_within_retrieved(meta_server):
+    server, _ = meta_server
+    plain = server.search(
+        {"mode": "rrf", "query_ids": [0], "k": 6, "pool": 20}
+    )
+    srt = server.search(
+        {"mode": "rrf", "query_ids": [0], "k": 6, "pool": 20,
+         "sort": [{"field": "n_chars", "order": "desc"}]}
+    )
+    # same retrieved set (ES kNN+sort re-orders within the top-k)…
+    assert {h["_id"] for h in srt["hits"]["hits"]} == {
+        h["_id"] for h in plain["hits"]["hits"]
+    }
+    # …ordered by the metadata field
+    vals = [h["sort"][0] for h in srt["hits"]["hits"]]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_sort_validation_errors(stack, meta_server):
+    server_nometa = stack[0]
+    code, body = _post(
+        server_nometa.url, "/search",
+        {"mode": "bm25", "query": "table",
+         "sort": [{"field": "ts", "order": "desc"}]},
+    )
+    assert code == 400 and "doc_source" in body["error"]["reason"]
+    server, _ = meta_server
+    with pytest.raises(ValueError, match="not in the mounted"):
+        server.search(
+            {"mode": "bm25", "query": "table", "sort": [{"field": "no"}]}
+        )
+    with pytest.raises(ValueError, match="asc.*desc"):
+        server.search(
+            {"mode": "bm25", "query": "table",
+             "sort": [{"field": "ts", "order": "up"}]}
+        )
+
+
+def test_aggs_and_sort_over_http(spark, meta_server):
+    """One real HTTP round-trip for the new surfaces (the rest of the
+    coverage direct-calls the handler): the envelope is JSON-clean —
+    timestamps serialized, nested buckets intact."""
+    server, _ = meta_server
+    srv = server.start()
+    try:
+        code, out = _post(
+            srv.url, "/search",
+            {"mode": "bm25", "query": "table value", "k": 3,
+             "sort": [{"field": "ts", "order": "desc"}], "aggs": _AGGS},
+        )
+        assert code == 200
+        assert out["aggregations"]["by_day"]["buckets"]
+        hit = out["hits"]["hits"][0]
+        assert hit["sort"][0].startswith("2024-01-")
+        assert hit["rank"] == 1
+    finally:
+        srv.stop()

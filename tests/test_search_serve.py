@@ -1,0 +1,233 @@
+"""ES aggregations + sort-by-field compiler (extensions/search_serve.py):
+one-rollup agg plans, grouping-id null discipline, per-parent terms
+truncation with ES ordering, the nested envelope, and metadata sort
+ranking — the unit layer under the /search REST surface (the
+cross-engine value hashes live in the ext_search_aggs_* /
+ext_search_sort_* gate rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+    search_serve as serve,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    """Hand-built metadata frame with a genuinely-NULL lang doc and a
+    doc_count tie, so the ES edge semantics are pinned on knowable
+    rows: day1 = 2×en, 1×de, 1×NULL; day2 = 1×en, 1×fr (tie)."""
+    rows = [
+        (0, "2024-01-01 01:00:00", "en", 10),
+        (1, "2024-01-01 02:00:00", "en", 20),
+        (2, "2024-01-01 03:00:00", "de", 30),
+        (3, "2024-01-01 04:00:00", None, 40),
+        (4, "2024-01-02 01:00:00", "en", 50),
+        (5, "2024-01-02 02:00:00", "fr", 60),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, ts_s string, lang string, n_chars bigint"
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "lang", "n_chars")
+
+
+SPEC = {
+    "by_day": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 1},
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+            }
+        },
+    },
+    "total_chars": {"sum": {"field": "n_chars"}},
+}
+
+
+def test_flat_levels_null_keys_and_truncation(frame):
+    flat = serve.aggs_flat(frame, SPEC)
+    rows = {
+        (r["depth"], str(r["by_day"]), r["by_lang"]): r.asDict()
+        for r in flat.collect()
+    }
+    # depth 0: whole match set + the top-level metric
+    root = rows[(0, "None", None)]
+    assert root["doc_count"] == 6 and root["total_chars"] == 210
+    # depth 1: the NULL-lang doc still counts in its day bucket
+    assert rows[(1, "2024-01-01 00:00:00", None)]["doc_count"] == 4
+    assert rows[(1, "2024-01-02 00:00:00", None)]["doc_count"] == 2
+    # top-level metric only lives at depth 0
+    assert rows[(1, "2024-01-01 00:00:00", None)]["total_chars"] is None
+    # depth 2, size=1: day1 keeps en (count 2); day2's 1-1 tie breaks
+    # by key asc (ES terms order: doc_count desc, key asc) → en
+    d2 = {k: v for k, v in rows.items() if k[0] == 2}
+    assert set(d2) == {
+        (2, "2024-01-01 00:00:00", "en"),
+        (2, "2024-01-02 00:00:00", "en"),
+    }
+    assert d2[(2, "2024-01-01 00:00:00", "en")]["avg_chars"] == 15.0
+    assert d2[(2, "2024-01-02 00:00:00", "en")]["avg_chars"] == 50.0
+
+
+def test_nested_envelope_and_sum_other(frame):
+    out = serve.aggs_nested(frame, SPEC)
+    assert out["total_chars"] == {"value": 210}
+    days = out["by_day"]["buckets"]
+    assert [d["key_as_string"] for d in days] == [
+        "2024-01-01T00:00:00", "2024-01-02T00:00:00",
+    ]
+    assert days[0]["key"] == 1704067200000  # epoch ms, ES date key
+    d1 = days[0]["by_lang"]
+    # day1: en kept (2 docs); de truncated → sum_other 1; the
+    # NULL-lang doc is in NO bucket and NOT in sum_other (ES: missing
+    # field docs land nowhere) though it counts in the day bucket
+    assert days[0]["doc_count"] == 4
+    assert [b["key"] for b in d1["buckets"]] == ["en"]
+    assert d1["buckets"][0]["doc_count"] == 2
+    assert d1["buckets"][0]["avg_chars"] == {"value": 15.0}
+    assert d1["sum_other_doc_count"] == 1
+    # day2: tie kept en, truncated fr
+    assert days[1]["by_lang"]["sum_other_doc_count"] == 1
+
+
+def test_metrics_only_no_buckets(frame):
+    out = serve.aggs_nested(
+        frame,
+        {
+            "mx": {"max": {"field": "n_chars"}},
+            "n": {"value_count": {"field": "lang"}},
+        },
+    )
+    # value_count counts NON-NULL values (ES), not rows
+    assert out == {"mx": {"value": 60}, "n": {"value": 5}}
+
+
+def test_empty_match_set(frame):
+    out = serve.aggs_nested(frame.filter(F.lit(False)), SPEC)
+    assert out["by_day"]["buckets"] == []
+    assert out["total_chars"]["value"] is None
+
+
+def test_calendar_interval_equals_fixed_day(frame):
+    cal = serve.aggs_flat(
+        frame,
+        {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+    )
+    fixed = serve.aggs_flat(
+        frame,
+        {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}},
+    )
+    assert sorted(map(str, cal.collect())) == sorted(map(str, fixed.collect()))
+
+
+def test_histogram_buckets(frame):
+    out = serve.aggs_nested(
+        frame, {"h": {"histogram": {"field": "n_chars", "interval": 25.0}}}
+    )
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] == [
+        (0.0, 2), (25.0, 2), (50.0, 2),
+    ]
+
+
+def test_percentiles_multi(frame):
+    out = serve.aggs_nested(
+        frame,
+        {"p": {"percentiles": {"field": "n_chars", "percents": [25, 50, 75]}}},
+    )
+    # exact linear interpolation over 10..60 (DuckDB quantile_cont twin)
+    assert out["p"]["values"] == {"25.0": 22.5, "50.0": 35.0, "75.0": 47.5}
+
+
+@pytest.mark.parametrize(
+    "spec,msg",
+    [
+        ({"a": {"terms": {"field": "lang"}},
+          "b": {"terms": {"field": "lang2"}}}, "one bucket aggregation"),
+        ({"a": {"terms": {"field": "nope"}}}, "not in the mounted"),
+        ({"a": {"bogus": {"field": "lang"}}}, "unsupported agg type"),
+        ({"a": {"terms": {"field": "lang"}, "aggs": {
+            "m": {"avg": {"field": "n_chars"}, "aggs": {}}}}},
+         "cannot have sub-aggs"),
+        ({"doc_count": {"terms": {"field": "lang"}}}, "reserved"),
+        ({"a": {"terms": {"field": "lang", "size": 0}}}, "positive integer"),
+        ({"a": {"date_histogram": {"field": "ts"}}}, "exactly one of"),
+        ({"a": {"date_histogram": {"field": "ts",
+                                   "fixed_interval": "2w"}}},
+         "fixed_interval"),
+        ({"a": {"percentiles": {"field": "n_chars", "percents": []}}},
+         "percents"),
+        ({"a": {"terms": {"field": "lang"},
+                "aggs": {"a2": {"avg": {"field": "n_chars"}}}},
+          "dup": {"avg": {"field": "n_chars"}}},
+         None),  # sibling metric next to a bucket at top level is FINE
+    ],
+)
+def test_parse_aggs_validation(frame, spec, msg):
+    if msg is None:
+        serve.parse_aggs(spec, frame.columns)
+        return
+    with pytest.raises(ValueError, match=msg):
+        serve.parse_aggs(spec, frame.columns)
+
+
+def test_bucket_cap(frame, monkeypatch):
+    monkeypatch.setattr(serve, "MAX_BUCKETS", 3)
+    with pytest.raises(ValueError, match="more than 3 buckets"):
+        serve.aggs_nested(
+            frame, {"t": {"terms": {"field": "doc_id", "size": 100}}}
+        )
+
+
+# --- sorted_rank -------------------------------------------------------------
+
+
+def test_sorted_rank_nulls_and_missing_meta(spark, frame):
+    hits = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 3, 2.0), (0, 5, 3.0), (0, 99, 4.0)],
+        "query_id bigint, doc_id bigint, _score double",
+    )
+    # sort by lang asc: de/en sort first, NULL lang (doc 3) sorts
+    # last-but-before the hit MISSING from the metadata (doc 99 —
+    # left join keeps it, null keys, final doc_id tiebreak)
+    ranked = serve.sorted_rank(
+        hits, frame, [("lang", True)], k=10
+    ).orderBy("rank").collect()
+    assert [r.doc_id for r in ranked] == [0, 5, 3, 99]
+    assert [r.rank for r in ranked] == [1, 2, 3, 4]
+    # desc: nulls STILL last (ES missing:_last), doc_id asc tiebreak
+    ranked = serve.sorted_rank(
+        hits, frame, [("lang", False)], k=10
+    ).orderBy("rank").collect()
+    assert [r.doc_id for r in ranked] == [5, 0, 3, 99]
+
+
+def test_sorted_rank_cut_and_sort_values(spark, frame):
+    hits = spark.createDataFrame(
+        [(0, i, float(i)) for i in range(6)] + [(1, 0, 9.0)],
+        "query_id bigint, doc_id bigint, _score double",
+    )
+    ranked = serve.sorted_rank(hits, frame, [("ts", False)], k=2)
+    rows = ranked.orderBy("query_id", "rank").collect()
+    # per-query window: query 0 cut to 2, query 1 keeps its 1
+    assert [(r.query_id, r.doc_id) for r in rows] == [(0, 5), (0, 4), (1, 0)]
+    # the sort-key values ride along for ES's per-hit "sort" array
+    assert str(rows[0]._sort_0) == "2024-01-02 02:00:00"
+
+
+def test_parse_sort_validation(frame):
+    with pytest.raises(ValueError, match="non-empty list"):
+        serve.parse_sort({}, frame.columns)
+    with pytest.raises(ValueError, match="'field' string"):
+        serve.parse_sort([{"order": "asc"}], frame.columns)
+    with pytest.raises(ValueError, match="asc.*desc"):
+        serve.parse_sort([{"field": "ts", "order": "up"}], frame.columns)
+    with pytest.raises(ValueError, match="not in the mounted"):
+        serve.parse_sort([{"field": "nope"}], frame.columns)
+    assert serve.parse_sort(
+        [{"field": "ts", "order": "desc"}, {"field": "lang"}],
+        frame.columns,
+    ) == [("ts", False), ("lang", True)]
