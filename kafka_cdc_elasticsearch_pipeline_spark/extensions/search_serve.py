@@ -354,7 +354,26 @@ def _truncate_terms(
     doc_count desc, key asc — ES's default order) on the BUCKET frame,
     pruning deeper rows to kept parents. Returns the truncated frame
     plus per-level "others" frames (parent keys → Σ truncated
-    doc_count) for ES's ``sum_other_doc_count``."""
+    doc_count) for ES's ``sum_other_doc_count``.
+
+    The keep-list semi-join and the kept/uncut union reference the
+    rollup frame from several plan positions, and Spark recomputes a
+    subtree per reference — for this frame that means re-running the
+    WHOLE match-set rollup (scan included) once per reference, a 3×
+    heavy pass at 100 TB. The rollup output is bucket-count-sized
+    (≤ MAX_BUCKETS by the serve contract), so ``reuse()`` pins it
+    once and every branch reads the pin — the same
+    one-corpus-scan-not-two fix the dedup band tables use. (On a
+    trivially-recomputable source the pin's materialization barrier
+    costs a little — measured ~2s on a 3M-row ``range()`` — but the
+    serve path's matched frame is a parquet corpus semi-join, where
+    recomputation is the catastrophic direction.)"""
+    if any(b.typ == "terms" for b in chain):
+        from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (
+            reuse,
+        )
+
+        flat = reuse(flat)
     names = [b.name for b in chain]
     others: list[tuple[int, DataFrame]] = []
     for d, b in enumerate(chain, start=1):
