@@ -82,8 +82,9 @@ Endpoints:
   hits carry the ES per-hit ``sort`` values array, and the
   absolute-rank pagination contract carries over unchanged. ``aggs``
   adds an ES ``aggregations`` envelope (terms / date_histogram /
-  histogram buckets, avg/sum/min/max/value_count/percentiles metrics,
-  nested one-chain trees — the Kibana dashboard shapes,
+  histogram / disjoint-range buckets; avg/sum/min/max/value_count/
+  percentiles/cardinality metrics; nested one-chain trees — the
+  Kibana dashboard shapes,
   docker-compose.yml:346-349) computed over ALL matching documents:
   the bm25 match set, a vector mode's retrieved set, or — with no
   query fields at all — the whole mounted doc_source (match_all, the

@@ -10,8 +10,9 @@ docker-compose.yml:346-349) — and its saved search sorts hits by
 REST face (``search_rest.py``) those two missing consumer surfaces:
 
 - :func:`aggs_flat` compiles an ES ``aggs`` tree (one bucket chain —
-  ``terms`` / ``date_histogram`` / ``histogram`` — with metrics at any
-  level) into ONE distributed plan: a single ``rollup`` pass over the
+  ``terms`` / ``date_histogram`` / ``histogram`` / disjoint ``range``
+  — with metrics at any level: avg/sum/min/max/value_count/
+  percentiles/cardinality) into ONE distributed plan: a single ``rollup`` pass over the
   matched documents (grouping sets = every prefix level in one
   shuffle, partial aggregation map-side), ``grouping_id`` to tell a
   rolled-up level from a genuinely-NULL key, and per-level ``terms``
@@ -56,8 +57,10 @@ from pyspark.sql import functions as F
 #: high-cardinality terms field must 400, not OOM the driver).
 MAX_BUCKETS = 65_536
 
-_BUCKET_TYPES = ("terms", "date_histogram", "histogram")
-_METRIC_TYPES = ("avg", "sum", "min", "max", "value_count", "percentiles")
+_BUCKET_TYPES = ("terms", "date_histogram", "histogram", "range")
+_METRIC_TYPES = (
+    "avg", "sum", "min", "max", "value_count", "percentiles", "cardinality",
+)
 
 #: calendar_interval → Spark/ISO date_trunc unit (the subset a
 #: dashboard uses; ES also has week/quarter — week starts differ
@@ -103,7 +106,59 @@ class _Bucket:
         self.interval = None
         self.seconds: int | None = None
         self.calendar: str | None = None
-        if typ == "terms":
+        self.ranges: list[tuple[float | None, float | None]] | None = None
+        if typ == "range":
+            ranges = body.get("ranges")
+            if not isinstance(ranges, list) or not ranges:
+                raise ValueError(
+                    f"range agg {name!r}: 'ranges' must be a non-empty "
+                    'list of {"from": ..., "to": ...} objects'
+                )
+            parsed = []
+            for r in ranges:
+                if not isinstance(r, dict) or not (
+                    "from" in r or "to" in r
+                ):
+                    raise ValueError(
+                        f"range agg {name!r}: each range needs 'from' "
+                        f"and/or 'to', got {r!r}"
+                    )
+                lo, hi = r.get("from"), r.get("to")
+                for v in (lo, hi):
+                    if v is not None and (
+                        isinstance(v, bool) or not isinstance(v, (int, float))
+                    ):
+                        raise ValueError(
+                            f"range agg {name!r}: bounds must be numbers, "
+                            f"got {v!r}"
+                        )
+                if lo is not None and hi is not None and not lo < hi:
+                    raise ValueError(
+                        f"range agg {name!r}: 'from' must be < 'to' "
+                        f"in {r!r}"
+                    )
+                parsed.append((
+                    None if lo is None else float(lo),
+                    None if hi is None else float(hi),
+                ))
+            # ES allows OVERLAPPING ranges (a doc lands in every
+            # matching bucket) — that multiplies rows and would
+            # corrupt the shared-rollup parent counts, so this
+            # compiler requires disjoint ranges (the dashboard shape)
+            # and says so instead of silently double-counting.
+            by_lo = sorted(
+                parsed, key=lambda r: float("-inf") if r[0] is None else r[0]
+            )
+            for (lo1, hi1), (lo2, _hi2) in zip(by_lo, by_lo[1:]):
+                if hi1 is None or lo2 is None or lo2 < hi1:
+                    raise ValueError(
+                        f"range agg {name!r}: ranges must be disjoint "
+                        "(ES's overlapping-ranges semantics would "
+                        "double-count docs in the shared rollup; send "
+                        "overlapping ranges as separate requests)"
+                    )
+            self.ranges = parsed
+        elif typ == "terms":
             size = body.get("size", 10)
             if isinstance(size, bool) or not isinstance(size, int) or size < 1:
                 raise ValueError(
@@ -136,10 +191,35 @@ class _Bucket:
                     )
                 self.calendar = _CALENDAR_UNITS[cal]
 
+    @staticmethod
+    def range_label(lo: float | None, hi: float | None) -> str:
+        """ES's range bucket key: ``"from-to"`` with ``*`` for an
+        open bound (e.g. ``"10.0-20.0"``, ``"*-10.0"``)."""
+        return (
+            ("*" if lo is None else str(lo))
+            + "-"
+            + ("*" if hi is None else str(hi))
+        )
+
     def key_col(self) -> Column:
         c = F.col(self.field)
         if self.typ == "terms":
             return c
+        if self.typ == "range":
+            # [from, to) membership as a when-chain: ranges are
+            # disjoint (validated), so each doc lands in ≤ 1 bucket;
+            # docs outside every range get NULL = no bucket (ES)
+            expr = F.lit(None).cast("string")
+            for lo, hi in reversed(self.ranges):
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (c >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (c < F.lit(hi))
+                expr = F.when(cond, F.lit(self.range_label(lo, hi))).otherwise(
+                    expr
+                )
+            return expr
         if self.typ == "histogram":
             return F.floor(c / F.lit(self.interval)) * F.lit(self.interval)
         if self.calendar is not None:
@@ -194,6 +274,12 @@ class _Metric:
             ]
         if self.typ == "value_count":
             return [F.count(c).cast("bigint").alias(self.name)]
+        if self.typ == "cardinality":
+            # EXACT distinct (Kibana's "Unique Count"); ES
+            # approximates with HLL — the sketch family
+            # (operators/sketches.py HLL, error-bound-contracted) is
+            # the 100 TB substitution when exactness stops paying
+            return [F.countDistinct(c).cast("bigint").alias(self.name)]
         fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[self.typ]
         return [fn(c).alias(self.name)]
 
@@ -475,14 +561,34 @@ def aggs_nested(docs: DataFrame, spec: dict) -> dict:
         ]
         if b.typ == "terms":
             mine.sort(key=lambda r: (-r["doc_count"], r[b.name]))
+        elif b.typ == "range":
+            order = {
+                b.range_label(lo, hi): i
+                for i, (lo, hi) in enumerate(sorted(
+                    b.ranges,
+                    key=lambda r: float("-inf") if r[0] is None else r[0],
+                ))
+            }
+            mine.sort(key=lambda r: order[r[b.name]])
         else:
             mine.sort(key=lambda r: r[b.name])
+        bounds = (
+            {b.range_label(lo, hi): (lo, hi) for lo, hi in b.ranges}
+            if b.typ == "range"
+            else {}
+        )
         buckets = []
         for r in mine:
             key, key_str = _key_json(r[b.name])
             bucket: dict = {"key": key}
             if key_str is not None:
                 bucket["key_as_string"] = key_str
+            if b.typ == "range":
+                lo, hi = bounds[r[b.name]]
+                if lo is not None:
+                    bucket["from"] = lo
+                if hi is not None:
+                    bucket["to"] = hi
             bucket["doc_count"] = int(r["doc_count"])
             for m in metrics.get(depth, []):
                 bucket[m.name] = _metric_json(m, r)

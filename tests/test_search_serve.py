@@ -231,3 +231,70 @@ def test_parse_sort_validation(frame):
         [{"field": "ts", "order": "desc"}, {"field": "lang"}],
         frame.columns,
     ) == [("ts", False), ("lang", True)]
+
+
+def test_range_buckets_and_cardinality(frame):
+    out = serve.aggs_nested(
+        frame,
+        {
+            "r": {
+                "range": {
+                    "field": "n_chars",
+                    "ranges": [
+                        {"to": 25},
+                        {"from": 25, "to": 55},
+                        {"from": 55},
+                    ],
+                },
+                "aggs": {"langs": {"cardinality": {"field": "lang"}}},
+            }
+        },
+    )
+    buckets = out["r"]["buckets"]
+    # ordered by from asc, ES key grammar, from/to echoed, [from,to)
+    assert [b["key"] for b in buckets] == ["*-25.0", "25.0-55.0", "55.0-*"]
+    assert buckets[0] == {
+        "key": "*-25.0", "to": 25.0, "doc_count": 2,
+        "langs": {"value": 1},  # docs 10 & 20 are both en — EXACT distinct
+    }
+    assert buckets[1]["doc_count"] == 3  # n_chars 30, 40, 50
+    assert buckets[1]["langs"]["value"] == 2  # de, en (NULL lang excluded)
+    assert buckets[2] == {
+        "key": "55.0-*", "from": 55.0, "doc_count": 1,
+        "langs": {"value": 1},
+    }
+
+
+def test_range_validation(frame):
+    with pytest.raises(ValueError, match="disjoint"):
+        serve.parse_aggs(
+            {"r": {"range": {"field": "n_chars",
+                             "ranges": [{"to": 30}, {"from": 20}]}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="'from' must be <"):
+        serve.parse_aggs(
+            {"r": {"range": {"field": "n_chars",
+                             "ranges": [{"from": 30, "to": 30}]}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        serve.parse_aggs(
+            {"r": {"range": {"field": "n_chars", "ranges": []}}},
+            frame.columns,
+        )
+
+
+def test_docs_outside_every_range_land_nowhere(frame):
+    # only one narrow range: the other docs are in NO bucket but the
+    # depth-0 row still counts the whole match set (ES)
+    flat = serve.aggs_flat(
+        frame,
+        {"r": {"range": {"field": "n_chars",
+                         "ranges": [{"from": 15, "to": 35}]}}},
+    ).collect()
+    by_depth = {}
+    for r in flat:
+        by_depth.setdefault(r["depth"], []).append(r)
+    assert by_depth[0][0]["doc_count"] == 6
+    assert len(by_depth[1]) == 1 and by_depth[1][0]["doc_count"] == 2
