@@ -154,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
         "--ivfpq-app-id", default=None,
         help="IVF-PQ maintenance lineage for the convergence block",
     )
+    p_search.add_argument(
+        "--doc-meta", default=None,
+        help="parquet path (or lake table) of doc metadata keyed by "
+        "doc_id: turns on the 'sort' and 'aggs' request surfaces "
+        "(the mapped fields of the ES role)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -264,12 +270,21 @@ def main(argv: list[str] | None = None) -> int:
             qsrc = load_table(spark, args.sf, "embeddings")
         except Exception:  # noqa: BLE001 - query_ids then need inline vectors
             pass
+        dsrc = None
+        if args.doc_meta is not None:
+            from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
+
+            try:
+                dsrc = lakelog.read(spark, args.doc_meta)
+            except Exception:  # noqa: BLE001 - plain parquet dir fallback
+                dsrc = spark.read.parquet(args.doc_meta)
         server = SearchRestServer(
             spark,
             bm25_root=args.bm25_root,
             ivfpq_root=args.ivfpq_root,
             ivfpq_pointer=args.ivfpq_pointer,
             query_source=qsrc,
+            doc_source=dsrc,
             source_table=args.source_table,
             bm25_app_id=args.bm25_app_id,
             ivfpq_app_id=args.ivfpq_app_id,
