@@ -601,3 +601,64 @@ def test_rrf_fusion_plan_is_pool_sized(spark, tmp_path, sf_dir):
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p  # df pruned to query terms before broadcast
     assert "BroadcastHashJoin" in p  # codebook / query-side broadcasts
+
+
+def test_aggs_rollup_is_one_pass_with_pinned_bucket_frame(spark, sf_dir):
+    """The ES-aggs compiler's scale contract: the whole bucket tree is
+    ONE rollup over the match set (Expand → partial agg → ONE shuffle
+    on the grouping keys → final agg — grouping sets, never a
+    per-level re-aggregation of the documents), and the terms
+    truncation branches read the PINNED bucket frame instead of
+    re-running the match-set pass per reference (no ReusedExchange
+    fires for that self-union — verified when the pin landed)."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators import caching
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, doc_id % 72, 0, 0)"
+        ).alias("ts"),
+        "lang",
+        "n_chars",
+    )
+    spec = {
+        "by_day": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 2},
+                    "aggs": {"mean": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        }
+    }
+    try:
+        flat = serve.aggs_flat(meta, spec)
+        p = final_plan(flat)
+        # the truncation union's big branches read the pin, not the scan
+        assert "InMemoryTableScan" in p
+        assert p.count("InMemoryRelation") >= 1
+        # no per-level re-aggregation of the DOCUMENTS: the Expand
+        # (grouping sets) appears once per cached-plan printout, and
+        # the bucket-frame work after it is windows/joins only
+        assert "WindowGroupLimit" in p  # rank-limit pushed into window
+
+        # without a truncating terms level there is no self-union at
+        # all: exactly one Expand, one exchange pair, zero joins
+        flat2 = serve.aggs_flat(
+            meta,
+            {"by_day": {"date_histogram": {"field": "ts",
+                                           "fixed_interval": "1d"}}},
+        )
+        p2 = final_plan(flat2)
+        assert p2.count("Expand") == 1
+        assert "Join" not in p2 and "Union" not in p2
+    finally:
+        caching.release_pinned()

@@ -606,3 +606,81 @@ def test_retire_after_pointer_log_vacuum(flips, keep, log_keep, tmp_path_factory
                     ptr, r, history_keep=keep, force=True
                 ) is True
             assert not os.path.isdir(r)
+
+
+# --- aggs compiler vs a direct Python reference ------------------------------
+
+agg_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),              # hour offset
+        st.one_of(st.none(), st.sampled_from("abcd")),       # key (nullable)
+        st.one_of(st.none(), st.integers(0, 100)),           # metric value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=agg_docs, size=st.integers(min_value=1, max_value=3))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_aggs_flat_matches_python_reference(spark, rows, size):
+    """The one-rollup agg compiler vs a direct Python fold, for ANY
+    frame (null keys, null metric values, empty input, tied counts)
+    and any terms size: per-level doc_counts, ES null discipline (a
+    null-keyed doc is in no bucket at that level or below but counts
+    in its parent), value_count over non-nulls, and doc_count-desc /
+    key-asc truncation with exact tie-breaks."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    df = spark.createDataFrame(
+        [(EPOCH + datetime.timedelta(hours=h), k, v) for h, k, v in rows],
+        "ts timestamp, k string, v bigint",
+    )
+    flat = serve.aggs_flat(
+        df,
+        {
+            "day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {
+                    "keys": {
+                        "terms": {"field": "k", "size": size},
+                        "aggs": {"nv": {"value_count": {"field": "v"}}},
+                    }
+                },
+            }
+        },
+    )
+    got = {
+        (r["depth"], None if r["day"] is None else r["day"].isoformat(),
+         r["keys"]): (r["doc_count"], r["nv"])
+        for r in flat.collect()
+    }
+
+    # reference: plain dict folds
+    def day(h):
+        return (EPOCH + datetime.timedelta(hours=h)).replace(
+            hour=0
+        ).isoformat()
+
+    # Spark's rollup over EMPTY input yields zero rows (no grand-total
+    # row, unlike a global agg) — aggs_nested's root fallback supplies
+    # the doc_count-0 / metric-null ES envelope for that case
+    want = {} if not rows else {(0, None, None): (len(rows), None)}
+    by_day: dict = {}
+    for h, k, v in rows:
+        by_day.setdefault(day(h), []).append((k, v))
+    for d, items in by_day.items():
+        want[(1, d, None)] = (len(items), None)
+        per_key: dict = {}
+        for k, v in items:
+            if k is None:
+                continue  # ES: null key → no bucket at this level
+            cnt, nv = per_key.get(k, (0, 0))
+            per_key[k] = (cnt + 1, nv + (0 if v is None else 1))
+        kept = sorted(per_key.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for k, (cnt, nv) in kept[:size]:
+            want[(2, d, k)] = (cnt, nv)
+    assert got == want
