@@ -418,6 +418,21 @@ class SearchRestServer:
         return self.spark.createDataFrame(rows, "vec_id bigint")
 
     def search(self, req: dict) -> dict:
+        """Per-request pin lifecycle around :meth:`_search`: frames a
+        request references twice (the bm25 match set feeding both hits
+        and aggs; the aggs bucket frame across truncation branches)
+        are persisted for the request and ALWAYS unpersisted here —
+        the registry-lifecycle ``reuse()`` list must not be used from
+        a threaded long-running server (nothing would release it, and
+        concurrent requests would release each other's pins)."""
+        pins: list[DataFrame] = []
+        try:
+            return self._search(req, pins)
+        finally:
+            for df in pins:
+                df.unpersist()
+
+    def _search(self, req: dict, pins: list[DataFrame]) -> dict:
         if not isinstance(req, dict):
             raise ValueError("request body must be a JSON object")
         import time as _time
@@ -461,7 +476,7 @@ class SearchRestServer:
                 "took": int((_time.perf_counter() - t0) * 1000),
                 "hits": {"total": matched.count(), "hits": []},
                 "fill": [],
-                "aggregations": serve.aggs_nested(matched, aggs_spec),
+                "aggregations": serve.aggs_nested(matched, aggs_spec, pins),
             }
         mode = req.get("mode", "rrf")
         if mode not in ("bm25", "ann", "rerank", "rrf"):
@@ -580,7 +595,13 @@ class SearchRestServer:
                 )
             if aggs_spec is not None:
                 # aggs run over ALL matching docs (the full match set,
-                # never the hit page) — stash it pre-rank, post-filter
+                # never the hit page) — stash it pre-rank, post-filter.
+                # The scored frame now feeds BOTH the hits serve and
+                # the aggs match set: pin it for the request (measured
+                # at sf0.1: the dual reference re-ran the whole BM25
+                # pipeline, 6.1s → pinned serve below)
+                scored = scored.persist()
+                pins.append(scored)
                 match_ids = scored.select("doc_id").distinct()
             base = scored.select(
                 "query_id",
@@ -783,7 +804,7 @@ class SearchRestServer:
                     [(i,) for i in ids], "doc_id bigint"
                 )
             matched = self.doc_source.join(match_ids, "doc_id", "left_semi")
-            aggregations = serve.aggs_nested(matched, aggs_spec)
+            aggregations = serve.aggs_nested(matched, aggs_spec, pins)
         # the page slice applies AFTER escalation: underfill and its
         # bounds are judged on the ranks the serve minted, and a page
         # past the end must not read as a recoverable shortfall

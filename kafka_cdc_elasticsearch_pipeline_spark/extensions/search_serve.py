@@ -434,7 +434,9 @@ def _metric_cols(metrics: dict[int, list[_Metric]]) -> list[str]:
 
 
 def _truncate_terms(
-    flat: DataFrame, chain: list[_Bucket]
+    flat: DataFrame,
+    chain: list[_Bucket],
+    pins: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Apply each terms level's ``size`` (top-N per parent by
     doc_count desc, key asc — ES's default order) on the BUCKET frame,
@@ -453,13 +455,25 @@ def _truncate_terms(
     trivially-recomputable source the pin's materialization barrier
     costs a little — measured ~2s on a 3M-row ``range()`` — but the
     serve path's matched frame is a parquet corpus semi-join, where
-    recomputation is the catastrophic direction.)"""
-    if any(b.typ == "terms" for b in chain):
-        from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (
-            reuse,
-        )
+    recomputation is the catastrophic direction.)
 
-        flat = reuse(flat)
+    Pin lifecycle: with ``pins=None`` the pin goes through ``reuse()``
+    — the registry lifecycle (gate rows, batch pipelines) releases it
+    when the next query starts. A long-running THREADED server must
+    NOT use that global list (nothing ever releases it there, and
+    concurrent requests would release each other's pins), so the REST
+    layer passes a per-request ``pins`` list and unpersists in its
+    own ``finally``."""
+    if any(b.typ == "terms" for b in chain):
+        if pins is None:
+            from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (
+                reuse,
+            )
+
+            flat = reuse(flat)
+        else:
+            flat = flat.persist()
+            pins.append(flat)
     names = [b.name for b in chain]
     others: list[tuple[int, DataFrame]] = []
     for d, b in enumerate(chain, start=1):
@@ -483,7 +497,9 @@ def _truncate_terms(
     return flat, others
 
 
-def aggs_flat(docs: DataFrame, spec: dict) -> DataFrame:
+def aggs_flat(
+    docs: DataFrame, spec: dict, pins: list[DataFrame] | None = None
+) -> DataFrame:
     """Compile an ES ``aggs`` tree over the matched-document frame into
     one FLAT bucket DataFrame: a row per bucket at every level plus
     the depth-0 (whole-match-set) row — columns ``depth``, one key
@@ -495,7 +511,7 @@ def aggs_flat(docs: DataFrame, spec: dict) -> DataFrame:
     exactly."""
     chain, metrics = parse_aggs(spec, docs.columns)
     flat = _rollup_flat(docs, chain, metrics)
-    flat, _ = _truncate_terms(flat, chain)
+    flat, _ = _truncate_terms(flat, chain, pins)
     return flat
 
 
@@ -522,7 +538,9 @@ def _metric_json(m: _Metric, row: dict) -> dict:
     return {"value": row.get(m.name)}
 
 
-def aggs_nested(docs: DataFrame, spec: dict) -> dict:
+def aggs_nested(
+    docs: DataFrame, spec: dict, pins: list[DataFrame] | None = None
+) -> dict:
     """ES ``aggregations`` response envelope: the flat frame collected
     (bounded by :data:`MAX_BUCKETS`, ES's own default cap) and folded
     into nested ``buckets`` driver-side. terms buckets ordered
@@ -530,7 +548,7 @@ def aggs_nested(docs: DataFrame, spec: dict) -> dict:
     date_histogram / histogram buckets ordered by key."""
     chain, metrics = parse_aggs(spec, docs.columns)
     flat = _rollup_flat(docs, chain, metrics)
-    flat, others = _truncate_terms(flat, chain)
+    flat, others = _truncate_terms(flat, chain, pins)
     rows = [r.asDict() for r in flat.limit(MAX_BUCKETS + 1).collect()]
     if len(rows) > MAX_BUCKETS:
         raise ValueError(
