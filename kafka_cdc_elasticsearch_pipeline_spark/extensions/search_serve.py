@@ -370,6 +370,16 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 )
     if max(metrics, default=0) > len(chain):
         raise ValueError("metrics nested deeper than the bucket chain")
+    # a bucket agg NAMED like a metric's source FIELD would put two
+    # same-named columns into the rollup input (the key alias + the
+    # raw field) — ambiguous-column fault; reject it as the 400 it is
+    fields = {m.field for ms in metrics.values() for m in ms}
+    for b in chain:
+        if b.name in fields:
+            raise ValueError(
+                f"bucket agg name {b.name!r} collides with a metric "
+                "field of the same name — rename the agg"
+            )
     return chain, metrics
 
 

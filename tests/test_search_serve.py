@@ -160,6 +160,9 @@ def test_percentiles_multi(frame):
          "fixed_interval"),
         ({"a": {"percentiles": {"field": "n_chars", "percents": []}}},
          "percents"),
+        ({"lang": {"terms": {"field": "lang"},
+                   "aggs": {"n": {"value_count": {"field": "lang"}}}}},
+         "collides with a metric field"),
         ({"a": {"terms": {"field": "lang"},
                 "aggs": {"a2": {"avg": {"field": "n_chars"}}}},
           "dup": {"avg": {"field": "n_chars"}}},
