@@ -156,9 +156,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_search.add_argument(
         "--doc-meta", default=None,
-        help="parquet path (or lake table) of doc metadata keyed by "
-        "doc_id: turns on the 'sort' and 'aggs' request surfaces "
-        "(the mapped fields of the ES role)",
+        help="parquet path (or lake table) of doc metadata, ONE row "
+        "per doc_id (a changelog with duplicate ids fans out the "
+        "sort join — mount the latest-per-key view): turns on the "
+        "'sort' and 'aggs' request surfaces (the mapped fields of "
+        "the ES role)",
     )
 
     args = ap.parse_args(argv)

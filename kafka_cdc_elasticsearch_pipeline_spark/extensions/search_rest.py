@@ -170,7 +170,11 @@ class SearchRestServer:
     raw-corpus dependency. ``doc_source`` is an optional (doc_id,
     metadata…) DataFrame — the mapped fields of the ES role — that
     powers the ``sort`` and ``aggs`` request surfaces; without it
-    those fields are a 400 naming the missing mount.
+    those fields are a 400 naming the missing mount. CONTRACT: one
+    row per doc_id (an ES ``_id`` is unique by construction) —
+    duplicates would fan out the sort join into repeated hits and
+    count multiply in match_all aggs; mount the LATEST view of a CDC
+    export (``operators/table.latest_per_key``), not its changelog.
 
     ``source_table`` (+ ``bm25_app_id`` / ``ivfpq_app_id``, the
     maintenance lineages the CDC sink folds under) turns on the
@@ -438,6 +442,27 @@ class SearchRestServer:
         import time as _time
 
         t0 = _time.perf_counter()
+        # EVERY caller-fixable mistake is a 400 before any job — the
+        # match_all shortcut below must not exempt a request from the
+        # mode/knob discipline (review finding: a bogus mode or a
+        # string k rode the aggs-only path to a 200)
+        mode = req.get("mode", "rrf")
+        if mode not in ("bm25", "ann", "rerank", "rrf"):
+            raise ValueError(f"unknown mode {mode!r}")
+        k = _knob(req, "k", 10)
+        pool = _knob(req, "pool", 20)
+        nprobe = _knob(req, "nprobe", 2)
+        # ES-style pagination: skip the first `from` ranks. Serves are
+        # top-k by construction, so page N is served as top-(from+k)
+        # with the head dropped — bounded by the same knob cap.
+        frm = req.get("from", 0)
+        if not isinstance(frm, int) or isinstance(frm, bool) or not (
+            0 <= frm <= _MAX_KNOB
+        ):
+            raise ValueError(
+                f"'from' must be an integer in [0, {_MAX_KNOB}], got {frm!r}"
+            )
+        k_page = k + frm
         # sort / aggs need the doc-metadata mount; validate their
         # specs at the door (caller-fixable = 400, before any job)
         sort_spec = None
@@ -464,6 +489,11 @@ class SearchRestServer:
             # match_all: the dashboard steady state — aggregations over
             # the whole mounted doc_source (∩ allowed_ids), no hits.
             # ES would need "size": 0; here no query IS the signal.
+            if sort_spec is not None:
+                raise ValueError(
+                    "'sort' orders hits and a match_all aggregation "
+                    "serves none — drop 'sort' or send a query"
+                )
             matched = self.doc_source
             allowed = self._allowed_df(req)
             if allowed is not None:
@@ -472,29 +502,19 @@ class SearchRestServer:
                     "doc_id",
                     "left_semi",
                 )
+            # hits.total = the depth-0 rollup row's doc_count — a
+            # second count() scan of doc_source would double the
+            # dominant cost (review finding); took stamped AFTER the
+            # work, not before it
+            aggregations, total = serve.aggs_nested(
+                matched, aggs_spec, pins, with_total=True
+            )
             return {
                 "took": int((_time.perf_counter() - t0) * 1000),
-                "hits": {"total": matched.count(), "hits": []},
+                "hits": {"total": total, "hits": []},
                 "fill": [],
-                "aggregations": serve.aggs_nested(matched, aggs_spec, pins),
+                "aggregations": aggregations,
             }
-        mode = req.get("mode", "rrf")
-        if mode not in ("bm25", "ann", "rerank", "rrf"):
-            raise ValueError(f"unknown mode {mode!r}")
-        k = _knob(req, "k", 10)
-        pool = _knob(req, "pool", 20)
-        nprobe = _knob(req, "nprobe", 2)
-        # ES-style pagination: skip the first `from` ranks. Serves are
-        # top-k by construction, so page N is served as top-(from+k)
-        # with the head dropped — bounded by the same knob cap.
-        frm = req.get("from", 0)
-        if not isinstance(frm, int) or isinstance(frm, bool) or not (
-            0 <= frm <= _MAX_KNOB
-        ):
-            raise ValueError(
-                f"'from' must be an integer in [0, {_MAX_KNOB}], got {frm!r}"
-            )
-        k_page = k + frm
         # Pagination composes with the hybrid POOL: a rerank/rrf serve
         # can only return hits its pool-deep retrieve stages nominated,
         # so a page past the pool depth (from=30 with pool=20) would
@@ -599,9 +619,15 @@ class SearchRestServer:
                 # The scored frame now feeds BOTH the hits serve and
                 # the aggs match set: pin it for the request (measured
                 # at sf0.1: the dual reference re-ran the whole BM25
-                # pipeline, 6.1s → pinned serve below)
-                scored = scored.persist()
-                pins.append(scored)
+                # pipeline, 6.1s → 5.3s pinned). Honors the same
+                # SPARK_GRAFT_PIN_REUSED opt-out as every other pin.
+                from kafka_cdc_elasticsearch_pipeline_spark.operators import (
+                    caching,
+                )
+
+                if caching.pinning_enabled():
+                    scored = scored.persist()
+                    pins.append(scored)
                 match_ids = scored.select("doc_id").distinct()
             base = scored.select(
                 "query_id",

@@ -475,13 +475,11 @@ def _truncate_terms(
     layer passes a per-request ``pins`` list and unpersists in its
     own ``finally``."""
     if any(b.typ == "terms" for b in chain):
-        if pins is None:
-            from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import (
-                reuse,
-            )
+        from kafka_cdc_elasticsearch_pipeline_spark.operators import caching
 
-            flat = reuse(flat)
-        else:
+        if pins is None:
+            flat = caching.reuse(flat)
+        elif caching.pinning_enabled():
             flat = flat.persist()
             pins.append(flat)
     names = [b.name for b in chain]
@@ -526,30 +524,55 @@ def aggs_flat(
 
 
 def _key_json(v):
-    """A bucket key as ES serves it: date buckets get epoch-millis
-    ``key`` + ISO ``key_as_string``; everything else verbatim."""
+    """A bucket key as ES serves it: date/datetime buckets get
+    epoch-millis ``key`` + ISO ``key_as_string``; Decimals become
+    floats; everything else verbatim. Every value this returns must
+    survive ``json.dumps`` — the envelope goes straight onto the
+    wire."""
     import datetime
+    import decimal
 
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1)
         ms = int((v - epoch).total_seconds() * 1000)
         return ms, v.isoformat(sep="T")
+    if isinstance(v, datetime.date):
+        dt = datetime.datetime(v.year, v.month, v.day)
+        return _key_json(dt)
+    if isinstance(v, decimal.Decimal):
+        return float(v), None
     return v, None
+
+
+def _val_json(v):
+    """Metric values JSON-safe: Decimal sums (DECIMAL columns) and
+    date-typed min/max would otherwise 500 at ``json.dumps``."""
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
 
 
 def _metric_json(m: _Metric, row: dict) -> dict:
     if m.typ == "percentiles":
         return {
             "values": {
-                str(p): row.get(col)
+                str(p): _val_json(row.get(col))
                 for p, col in zip(m.percents, m.columns)
             }
         }
-    return {"value": row.get(m.name)}
+    return {"value": _val_json(row.get(m.name))}
 
 
 def aggs_nested(
-    docs: DataFrame, spec: dict, pins: list[DataFrame] | None = None
+    docs: DataFrame,
+    spec: dict,
+    pins: list[DataFrame] | None = None,
+    with_total: bool = False,
 ) -> dict:
     """ES ``aggregations`` response envelope: the flat frame collected
     (bounded by :data:`MAX_BUCKETS`, ES's own default cap) and folded
@@ -568,9 +591,14 @@ def aggs_nested(
     other_maps: dict[int, dict[tuple, int]] = {}
     for d, odf in others:
         parent = [b.name for b in chain[: d - 1]]
+        # a depth-1 terms level has NO parent keys, so its others
+        # frame is a global aggregate — which emits ONE row with a
+        # NULL sum even when nothing was truncated (review finding:
+        # int(None) crashed the common nothing-truncated case)
         other_maps[d] = {
             tuple(r[p] for p in parent): int(r["sum_other"])
             for r in (x.asDict() for x in odf.collect())
+            if r["sum_other"] is not None
         }
     names = [b.name for b in chain]
 
@@ -631,9 +659,16 @@ def aggs_nested(
         return out
 
     root_rows = [r for r in rows if r["depth"] == 0]
+    # rollup over EMPTY input yields zero rows (no grand-total row) —
+    # the fallback supplies ES's doc_count-0 / metric-null envelope
     root = root_rows[0] if root_rows else {"doc_count": 0}
     out = {m.name: _metric_json(m, root) for m in metrics.get(0, [])}
     out.update(level(1, ()))
+    if with_total:
+        # the depth-0 doc_count IS the match-set size — callers that
+        # need hits.total (match_all) read it here instead of paying
+        # a second full scan for a count() (review finding)
+        return out, int(root["doc_count"])
     return out
 
 

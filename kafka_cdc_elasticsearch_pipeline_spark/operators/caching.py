@@ -58,11 +58,19 @@ def reuse(df: DataFrame) -> DataFrame:
     ``SPARK_GRAFT_PIN_REUSED=0``. The lock below makes the list
     operations themselves safe; the lifecycle contract is the caller's.
     """
-    if os.environ.get("SPARK_GRAFT_PIN_REUSED", "1") != "0":
+    if pinning_enabled():
         df = df.persist()
         with _PINNED_LOCK:
             _PINNED.append(df)
     return df
+
+
+def pinning_enabled() -> bool:
+    """The ``SPARK_GRAFT_PIN_REUSED`` kill switch, shared by every
+    pin site (the registry-lifecycle list here AND the REST layer's
+    per-request pins) so a memory-constrained deployment's opt-out
+    governs the serve path too."""
+    return os.environ.get("SPARK_GRAFT_PIN_REUSED", "1") != "0"
 
 
 def release_pinned() -> int:

@@ -1139,3 +1139,22 @@ def test_aggs_and_sort_over_http(spark, meta_server):
         assert hit["rank"] == 1
     finally:
         srv.stop()
+
+
+def test_match_all_validates_like_any_request(meta_server):
+    """Review findings: the match_all shortcut must not exempt a
+    request from the mode/knob 400 discipline, must not silently drop
+    a validated 'sort', must stamp took AFTER the Spark work, and
+    must not pay a second count() scan for hits.total."""
+    server, meta = meta_server
+    with pytest.raises(ValueError, match="unknown mode"):
+        server.search({"aggs": _AGGS, "mode": "bogus"})
+    with pytest.raises(ValueError, match="'k' must be"):
+        server.search({"aggs": _AGGS, "k": "ten"})
+    with pytest.raises(ValueError, match="drop 'sort' or send a query"):
+        server.search(
+            {"aggs": _AGGS, "sort": [{"field": "ts", "order": "desc"}]}
+        )
+    out = server.search({"aggs": _AGGS})
+    assert out["hits"]["total"] == meta.count()
+    assert out["took"] >= 1  # stamped after the rollup ran, not before

@@ -301,3 +301,79 @@ def test_docs_outside_every_range_land_nowhere(frame):
         by_depth.setdefault(r["depth"], []).append(r)
     assert by_depth[0][0]["doc_count"] == 6
     assert len(by_depth[1]) == 1 and by_depth[1][0]["doc_count"] == 2
+
+
+def test_top_level_terms_nothing_truncated(frame):
+    """Review finding: a depth-1 terms agg whose field has ≤ size
+    distinct values crashed on the NULL sum a zero-column groupBy
+    emits for empty truncation input — the COMMON case."""
+    out = serve.aggs_nested(
+        frame, {"t": {"terms": {"field": "lang", "size": 10}}}
+    )
+    assert out["t"]["sum_other_doc_count"] == 0
+    assert [b["key"] for b in out["t"]["buckets"]] == ["en", "de", "fr"]
+    # and the empty-match-set flavor of the same shape
+    empty = serve.aggs_nested(
+        frame.filter(F.lit(False)),
+        {"t": {"terms": {"field": "lang", "size": 2}}},
+    )
+    assert empty["t"] == {"buckets": [], "sum_other_doc_count": 0}
+
+
+def test_envelope_is_json_safe_for_date_and_decimal(spark):
+    """Review finding: DATE bucket keys and DECIMAL metric values
+    reached json.dumps raw and 500d the response."""
+    import json
+
+    df = spark.createDataFrame(
+        [(0, "2024-01-01", "1.50"), (1, "2024-01-01", "2.50"),
+         (2, "2024-01-02", "4.00")],
+        "doc_id bigint, d_s string, amt_s string",
+    ).select(
+        "doc_id",
+        F.col("d_s").cast("date").alias("d"),
+        F.col("amt_s").cast("decimal(18,2)").alias("amt"),
+    )
+    out = serve.aggs_nested(
+        df,
+        {"days": {"terms": {"field": "d", "size": 5},
+                  "aggs": {"total": {"sum": {"field": "amt"}}}}},
+    )
+    json.dumps(out)  # the actual contract: survives the wire
+    b = out["days"]["buckets"][0]
+    assert b["key"] == 1704067200000 and b["key_as_string"].startswith(
+        "2024-01-01"
+    )
+    assert b["total"] == {"value": 4.0}
+
+
+def test_aggs_nested_with_total(frame):
+    _, total = serve.aggs_nested(
+        frame, {"t": {"terms": {"field": "lang"}}}, with_total=True
+    )
+    assert total == 6
+    _, total = serve.aggs_nested(
+        frame.filter(F.lit(False)),
+        {"t": {"terms": {"field": "lang"}}},
+        with_total=True,
+    )
+    assert total == 0
+
+
+def test_pin_kill_switch_respected(frame, monkeypatch):
+    """SPARK_GRAFT_PIN_REUSED=0 must govern the per-request pins too
+    (review finding: the REST path persisted unconditionally)."""
+    monkeypatch.setenv("SPARK_GRAFT_PIN_REUSED", "0")
+    pins = []
+    serve.aggs_flat(
+        frame, {"t": {"terms": {"field": "lang", "size": 1}}}, pins=pins
+    ).collect()
+    assert pins == []
+    monkeypatch.setenv("SPARK_GRAFT_PIN_REUSED", "1")
+    pins = []
+    serve.aggs_flat(
+        frame, {"t": {"terms": {"field": "lang", "size": 1}}}, pins=pins
+    ).collect()
+    assert len(pins) == 1
+    for df in pins:
+        df.unpersist()
