@@ -5536,3 +5536,78 @@ def ext_search_sort_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "ext_search_aggs_range_cardinality",
+    """
+    WITH meta AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN n_chars < 200 THEN '*-200.0'
+                  WHEN n_chars >= 200 AND n_chars < 400 THEN '200.0-400.0'
+                  WHEN n_chars >= 400 THEN '400.0-*' END AS by_size
+      FROM documents
+    ),
+    rolled AS (
+      SELECT by_size, grouping(by_size) AS g,
+             count(*)::BIGINT AS doc_count,
+             count(DISTINCT lang)::BIGINT AS n_langs_raw,
+             avg(n_chars) AS mean_raw
+      FROM meta GROUP BY ROLLUP (by_size)
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_size, doc_count,
+           CASE WHEN g = 0 THEN n_langs_raw END AS n_langs,
+           CASE WHEN g = 0 THEN round(mean_raw, 6) END AS mean_chars
+    FROM rolled WHERE g = 1 OR by_size IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "range", "cardinality", "serving"),
+)
+def ext_search_aggs_range_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The other two Kibana visualization primitives, hash-pinned
+    cross-engine: disjoint RANGE buckets ([from,to) membership as a
+    when-chain — ES's range agg with the overlap footgun rejected at
+    validation) carrying a CARDINALITY metric (exact distinct —
+    Kibana's "Unique Count"; ES approximates with HLL, and the sketch
+    family is this engine's documented approximation path) plus a
+    float mean. Same one-rollup compilation as the histogram×terms
+    row — the depth-0 row proving out-of-range docs still count in
+    the match-set total while landing in NO bucket (ES's
+    missing-field discipline applied to range membership). The oracle
+    rebuilds the bucket labels as a CASE over the same [from,to)
+    bounds and the metrics via DuckDB ROLLUP + grouping(), so
+    hash-equality pins the boundary arithmetic (< vs >=), the ES key
+    grammar ('*-200.0'), exact distinct counts, and integer-summed
+    float means bit-for-bit."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_size": {
+                "range": {
+                    "field": "n_chars",
+                    "ranges": [
+                        {"to": 200},
+                        {"from": 200, "to": 400},
+                        {"from": 400},
+                    ],
+                },
+                "aggs": {
+                    "n_langs": {"cardinality": {"field": "lang"}},
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_size",
+        "doc_count",
+        "n_langs",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )
