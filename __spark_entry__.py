@@ -110,16 +110,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (11+N) r08 rows for r13 — their floor round — so any N ≤ ~10 keeps
 # every block exactly on schedule with no compounding.
 #
-# r13 window math (written r12): r12 registers exactly 3 new queries
+# r13 window math (written r12): r12 registers exactly 4 new queries
 # (ext_search_aggs_histogram_terms, ext_search_sort_paginated,
-# ext_search_aggs_range_cardinality) — registry 215, 214 gated, floor
-# ceil(214/50) = 5 (check_oracle confirms: never×3, r07×12, r08×49,
-# r09×50, r10×50, r11×50). The r12 window = 3 never + 12 r07 (their
-# floor round) + 35 r08. That leaves 14 r08 rows whose floor is r13;
-# the oldest-first rotation fronts them automatically, so r13 needs
-# no pin. r13's budget: window = N new + 14 r08 + (36−N) r09, leaving
-# (14+N) r09 rows for r14 — their floor round — so any N ≤ ~35 stays
-# on schedule (keep N ≤ ~10 as usual so later blocks never compound).
+# ext_search_aggs_range_cardinality, ext_search_aggs_composite_page)
+# — registry 216, 215 gated, floor ceil(215/50) = 5 (check_oracle
+# confirms: never×4, r07×12, r08×49, r09×50, r10×50, r11×50). The r12
+# window = 4 never + 12 r07 (their floor round) + 34 r08. That leaves
+# 15 r08 rows whose floor is r13; the oldest-first rotation fronts
+# them automatically, so r13 needs no pin. r13's budget: window =
+# N new + 15 r08 + (35−N) r09, leaving (15+N) r09 rows for r14 —
+# their floor round — so any N ≤ ~35 stays on schedule (keep N ≤ ~10
+# as usual so later blocks never compound).
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

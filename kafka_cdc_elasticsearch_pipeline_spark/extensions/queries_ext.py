@@ -5611,3 +5611,73 @@ def ext_search_aggs_range_cardinality(
         "n_langs",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_composite_page",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, lang, n_chars,
+             time_bucket(INTERVAL 1 DAY, {_SQL_DOC_TS}) AS by_day
+      FROM documents
+    ),
+    g AS (
+      SELECT by_day, lang AS by_lang, count(*)::BIGINT AS doc_count,
+             round(avg(n_chars), 6) AS mean_chars
+      FROM meta
+      WHERE by_day IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT by_day, by_lang, doc_count, mean_chars
+    FROM g
+    WHERE by_day > TIMESTAMP '2024-01-01 00:00:00'
+       OR (by_day = TIMESTAMP '2024-01-01 00:00:00' AND by_lang > 'en')
+    ORDER BY by_day ASC, by_lang ASC
+    LIMIT 5
+    """,
+    tags=("ext", "search", "aggs", "composite", "pagination", "serving"),
+)
+def ext_search_aggs_composite_page(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE aggregation page — ES's scale path for bucket
+    enumeration: a terms panel over a high-cardinality field (the
+    reference's ``FULL_NAME`` visualization) has more buckets than
+    any one response may hold (``search.max_buckets``), so ES pages
+    the bucket space in KEY order with an ``after`` cursor. This row
+    serves the SECOND page: composite sources (date_histogram 1d ×
+    terms lang) with ``after = (2024-01-01, 'en')`` — the compiler is
+    groupBy the source keys (ONE shuffle, map-side partials) →
+    lexicographic seek predicate ((k1 > a1) OR (k1 = a1 AND k2 > a2),
+    sargable so a leading date key still prunes partitions) → ORDER
+    BY key tuple → LIMIT size, which Catalyst executes as
+    TakeOrderedAndProject (plan-guarded in
+    ``test_composite_plan_is_one_groupby_with_limit``) — a page over
+    a million-bucket space never materializes more than ``size``
+    buckets per task. The oracle rebuilds the page as GROUP BY +
+    the same OR-of-ANDs seek + ORDER BY + LIMIT, so hash-equality
+    pins the seek boundary (strictly-after semantics), the key
+    ordering, the page size, and the per-bucket metrics."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.composite_flat(
+        _doc_meta(spark, sf_dir),
+        {
+            "size": 5,
+            "sources": [
+                {"by_day": {"date_histogram": {"field": "ts",
+                                               "fixed_interval": "1d"}}},
+                {"by_lang": {"terms": {"field": "lang"}}},
+            ],
+            "after": {"by_day": 1704067200000, "by_lang": "en"},
+            "aggs": {"mean_chars": {"avg": {"field": "n_chars"}}},
+        },
+    )
+    return flat.select(
+        "by_day",
+        "by_lang",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

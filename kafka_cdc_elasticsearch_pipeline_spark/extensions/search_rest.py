@@ -83,8 +83,9 @@ Endpoints:
   absolute-rank pagination contract carries over unchanged. ``aggs``
   adds an ES ``aggregations`` envelope (terms / date_histogram /
   histogram / disjoint-range buckets; avg/sum/min/max/value_count/
-  percentiles/cardinality metrics; nested one-chain trees — the
-  Kibana dashboard shapes,
+  percentiles/cardinality metrics; nested one-chain trees; the
+  ``composite`` agg with ``after_key`` paging for high-cardinality
+  bucket spaces — the Kibana dashboard shapes,
   docker-compose.yml:346-349) computed over ALL matching documents:
   the bm25 match set, a vector mode's retrieved set, or — with no
   query fields at all — the whole mounted doc_source (match_all, the
@@ -410,6 +411,28 @@ class SearchRestServer:
             tuple(q for q, _ in rows),
         )
 
+    @staticmethod
+    def _composite_entry(aggs_spec) -> tuple[str, dict] | None:
+        """(name, body) when the aggs spec is a composite agg — which,
+        like in ES, must be the ONLY aggregation in the request (it
+        is a paging cursor over the bucket space, not a tree node)."""
+        if not isinstance(aggs_spec, dict):
+            return None
+        comps = [
+            (name, body["composite"])
+            for name, body in aggs_spec.items()
+            if isinstance(body, dict) and "composite" in body
+        ]
+        if not comps:
+            return None
+        if len(comps) > 1 or len(aggs_spec) > 1:
+            raise ValueError(
+                "a composite agg must be the only aggregation in the "
+                "request (it pages the bucket space; send siblings as "
+                "separate requests)"
+            )
+        return comps[0]
+
     def _allowed_df(self, req: dict) -> DataFrame | None:
         if req.get("allowed_ids") is None:
             return None
@@ -480,7 +503,11 @@ class SearchRestServer:
                 )
             # parse for validation errors now; compiled again over the
             # matched frame once the mode branch has produced it
-            serve.parse_aggs(aggs_spec, self.doc_source.columns)
+            comp = self._composite_entry(aggs_spec)
+            if comp is not None:
+                serve.parse_composite(comp[1], self.doc_source.columns)
+            else:
+                serve.parse_aggs(aggs_spec, self.doc_source.columns)
         has_query = bool(
             req.get("query_ids") or req.get("queries")
             or req.get("queries_text") or req.get("query") is not None
@@ -505,10 +532,19 @@ class SearchRestServer:
             # hits.total = the depth-0 rollup row's doc_count — a
             # second count() scan of doc_source would double the
             # dominant cost (review finding); took stamped AFTER the
-            # work, not before it
-            aggregations, total = serve.aggs_nested(
-                matched, aggs_spec, pins, with_total=True
-            )
+            # work, not before it. A composite page has no depth-0
+            # row (it is one LIMIT-bounded groupBy page), so only
+            # that path pays a count().
+            comp = self._composite_entry(aggs_spec)
+            if comp is not None:
+                aggregations = {
+                    comp[0]: serve.composite_nested(matched, comp[1], pins)
+                }
+                total = matched.count()
+            else:
+                aggregations, total = serve.aggs_nested(
+                    matched, aggs_spec, pins, with_total=True
+                )
             return {
                 "took": int((_time.perf_counter() - t0) * 1000),
                 "hits": {"total": total, "hits": []},
@@ -830,7 +866,13 @@ class SearchRestServer:
                     [(i,) for i in ids], "doc_id bigint"
                 )
             matched = self.doc_source.join(match_ids, "doc_id", "left_semi")
-            aggregations = serve.aggs_nested(matched, aggs_spec, pins)
+            comp = self._composite_entry(aggs_spec)
+            if comp is not None:
+                aggregations = {
+                    comp[0]: serve.composite_nested(matched, comp[1], pins)
+                }
+            else:
+                aggregations = serve.aggs_nested(matched, aggs_spec, pins)
         # the page slice applies AFTER escalation: underfill and its
         # bounds are judged on the ranks the serve minted, and a page
         # past the end must not read as a recoverable shortfall

@@ -27,6 +27,12 @@ REST face (``search_rest.py``) those two missing consumer surfaces:
 - :func:`sorted_rank` re-ranks a serve by document metadata fields
   (ES ``sort``), composing with the absolute-rank ``from`` pagination:
   the rank window simply orders by the sort keys instead of the score.
+- :func:`composite_flat` / :func:`composite_nested` implement ES's
+  ``composite`` agg — the SCALE path for bucket enumeration: pages of
+  the bucket space in key order with an ``after_key`` cursor,
+  compiled to groupBy → sargable lexicographic seek → ORDER BY +
+  LIMIT (TakeOrderedAndProject), so a million-bucket space serves in
+  ``size``-bounded pages instead of hitting the MAX_BUCKETS cap.
 
 Scale notes: the heavy lifting is the one ``rollup`` over the matched
 set — shuffle on the bucket keys with map-side combine, exactly the
@@ -755,3 +761,192 @@ def sorted_rank(
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- composite aggregation ----------------------------------------------------
+
+
+def parse_composite(body: dict, columns: list[str]) -> tuple[
+    list[_Bucket], list[_Metric], int, list | None
+]:
+    """ES ``composite`` agg: the SCALE path for bucket enumeration —
+    a terms agg over a high-cardinality field (the reference's
+    ``FULL_NAME`` panel at 100 TB) has more buckets than any response
+    can hold, so ES pages them in key order with ``after``. Shape::
+
+        {"size": N,
+         "sources": [{"day": {"date_histogram": {...}}},
+                     {"lang": {"terms": {...}}}],
+         "after": {"day": 1704067200000, "lang": "en"}}
+
+    ``sources`` each contribute one key column (terms /
+    date_histogram / histogram — ``size``/``ranges`` make no sense
+    inside a composite source and are rejected); sub-``aggs`` carry
+    metrics for each composite bucket. Docs with a NULL source value
+    are excluded (ES default, ``missing_bucket: false``)."""
+    sources = body.get("sources")
+    if not isinstance(sources, list) or not sources:
+        raise ValueError(
+            "composite needs a non-empty 'sources' list of "
+            "single-key {name: {type: {...}}} objects"
+        )
+    keys: list[_Bucket] = []
+    for entry in sources:
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise ValueError(
+                f"each composite source is one {{name: spec}} object, "
+                f"got {entry!r}"
+            )
+        (name, spec), = entry.items()
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(
+                f"composite source {name!r} needs exactly one type"
+            )
+        (typ, b), = spec.items()
+        if typ not in ("terms", "date_histogram", "histogram"):
+            raise ValueError(
+                f"composite source {name!r}: unsupported type {typ!r}"
+            )
+        if typ == "terms" and isinstance(b, dict) and "size" in b:
+            raise ValueError(
+                f"composite source {name!r}: 'size' belongs on the "
+                "composite, not a source"
+            )
+        keys.append(_Bucket(name, typ, b))
+    size = body.get("size", 10)
+    if isinstance(size, bool) or not isinstance(size, int) or not (
+        1 <= size <= MAX_BUCKETS
+    ):
+        raise ValueError(
+            f"composite 'size' must be an integer in [1, {MAX_BUCKETS}]"
+        )
+    after = body.get("after")
+    after_vals = None
+    if after is not None:
+        if not isinstance(after, dict) or set(after) != {
+            k.name for k in keys
+        }:
+            raise ValueError(
+                "'after' must carry exactly the source keys "
+                f"{[k.name for k in keys]}"
+            )
+        after_vals = [after[k.name] for k in keys]
+    names = {k.name for k in keys}
+    if len(names) != len(keys):
+        raise ValueError("duplicate composite source names")
+    metrics: list[_Metric] = []
+    for mname, mbody in (body.get("aggs") or {}).items():
+        typs = [t for t in mbody if t != "aggs"] if isinstance(
+            mbody, dict
+        ) else []
+        if len(typs) != 1 or typs[0] not in _METRIC_TYPES:
+            raise ValueError(
+                f"composite sub-agg {mname!r} must be a metric "
+                f"({_METRIC_TYPES})"
+            )
+        if mname in names or mname in ("doc_count",):
+            raise ValueError(f"agg name {mname!r} is reserved")
+        metrics.append(_Metric(mname, typs[0], mbody[typs[0]]))
+    for k in keys:
+        if k.field not in columns:
+            raise ValueError(
+                f"composite source {k.name!r}: field {k.field!r} not in "
+                f"the mounted doc_source (columns: {sorted(columns)})"
+            )
+    for m in metrics:
+        if m.field not in columns:
+            raise ValueError(
+                f"composite sub-agg {m.name!r}: field {m.field!r} not "
+                f"in the mounted doc_source (columns: {sorted(columns)})"
+            )
+        if m.field in names:
+            raise ValueError(
+                f"composite source name {m.field!r} collides with a "
+                "metric field — rename the source"
+            )
+    return keys, metrics, size, after_vals
+
+
+def _after_predicate(keys: list[_Bucket], after_vals: list) -> Column:
+    """Lexicographic (k1, k2, …) > (a1, a2, …) as an OR-of-ANDs
+    predicate — sargable, so partition pruning on a leading date key
+    survives; the date source's ``after`` value is epoch millis
+    (exactly what the response's ``after_key`` carried)."""
+    import datetime
+
+    def lit(k: _Bucket, v):
+        if k.typ == "date_histogram" and isinstance(v, (int, float)):
+            return F.lit(
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(milliseconds=int(v))
+            )
+        return F.lit(v)
+
+    clauses = []
+    for i, k in enumerate(keys):
+        eq = [
+            F.col(keys[j].name) == lit(keys[j], after_vals[j])
+            for j in range(i)
+        ]
+        gt = F.col(k.name) > lit(k, after_vals[i])
+        clause = gt
+        for e in eq:
+            clause = e & clause
+        clauses.append(clause)
+    out = clauses[0]
+    for c in clauses[1:]:
+        out = out | c
+    return out
+
+
+def composite_flat(docs: DataFrame, body: dict) -> DataFrame:
+    """One page of composite buckets as a DataFrame: groupBy the
+    source keys (ONE shuffle, map-side partials), drop null-keyed
+    docs (ES ``missing_bucket: false``), seek past ``after``
+    lexicographically, order by the key tuple, LIMIT size — Catalyst
+    executes the tail as TakeOrderedAndProject, so a page over a
+    million-bucket space never materializes more than ``size``
+    buckets per task. Columns: the source keys, ``doc_count``, one
+    column per metric."""
+    keys, metrics, size, after_vals = parse_composite(body, docs.columns)
+    keyed = docs.select(
+        *[k.key_col().alias(k.name) for k in keys],
+        *{m.field for m in metrics},
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("doc_count")]
+    for m in metrics:
+        aggs.extend(m.exprs())
+    g = keyed.groupBy(*[F.col(k.name) for k in keys]).agg(*aggs)
+    for k in keys:
+        g = g.filter(F.col(k.name).isNotNull())
+    if after_vals is not None:
+        g = g.filter(_after_predicate(keys, after_vals))
+    return g.orderBy(*[F.col(k.name).asc() for k in keys]).limit(size)
+
+
+def composite_nested(
+    docs: DataFrame, body: dict, pins: list[DataFrame] | None = None
+) -> dict:
+    """ES's composite response envelope: ``buckets`` (each key a
+    {name: value} object, dates as epoch millis) in key order, plus
+    ``after_key`` = the last bucket's key when the page is full —
+    the cursor the consumer feeds back as ``after``. ``pins`` is
+    accepted for symmetry with aggs_nested; the page is
+    LIMIT-bounded, nothing here needs pinning."""
+    del pins  # one bounded plan — no frame is referenced twice
+    keys, metrics, size, _ = parse_composite(body, docs.columns)
+    rows = [r.asDict() for r in composite_flat(docs, body).collect()]
+    buckets = []
+    for r in rows:
+        key = {}
+        for k in keys:
+            v, _s = _key_json(r[k.name])
+            key[k.name] = v
+        bucket = {"key": key, "doc_count": int(r["doc_count"])}
+        for m in metrics:
+            bucket[m.name] = _metric_json(m, r)
+        buckets.append(bucket)
+    out: dict = {"buckets": buckets}
+    if len(buckets) == size:
+        out["after_key"] = buckets[-1]["key"]
+    return out

@@ -1158,3 +1158,52 @@ def test_match_all_validates_like_any_request(meta_server):
     out = server.search({"aggs": _AGGS})
     assert out["hits"]["total"] == meta.count()
     assert out["took"] >= 1  # stamped after the rollup ran, not before
+
+
+def test_composite_aggs_over_rest(meta_server):
+    """The composite paging cursor over /search: match_all pages tile
+    the bucket space, after_key round-trips through the JSON envelope,
+    and a query-scoped composite runs over the match set."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    server, meta = meta_server
+    comp = {
+        "size": 4,
+        "sources": [
+            {"day": {"date_histogram": {"field": "ts",
+                                        "fixed_interval": "1d"}}},
+            {"lang": {"terms": {"field": "lang"}}},
+        ],
+        "aggs": {"mean": {"avg": {"field": "n_chars"}}},
+    }
+    walked, after = [], None
+    for _ in range(20):
+        body = {"composite": dict(comp)}
+        if after is not None:
+            body["composite"]["after"] = after
+        out = server.search({"aggs": {"pages": body}})
+        assert out["hits"]["hits"] == []
+        assert out["hits"]["total"] == meta.count()
+        walked.extend(out["aggregations"]["pages"]["buckets"])
+        if "after_key" not in out["aggregations"]["pages"]:
+            break
+        after = out["aggregations"]["pages"]["after_key"]
+    whole = serve.composite_nested(meta, {**comp, "size": 10000})["buckets"]
+    assert walked == whole
+    # composite must be the only agg in the request
+    with pytest.raises(ValueError, match="only aggregation"):
+        server.search({"aggs": {
+            "pages": {"composite": comp},
+            "extra": {"terms": {"field": "lang"}},
+        }})
+    # query-scoped composite runs over the MATCH SET
+    scoped = server.search(
+        {"mode": "bm25", "query": "dup", "k": 3,
+         "aggs": {"pages": {"composite": comp}}}
+    )
+    n_docs = sum(
+        b["doc_count"] for b in scoped["aggregations"]["pages"]["buckets"]
+    )
+    assert 0 < n_docs < meta.count()

@@ -377,3 +377,107 @@ def test_pin_kill_switch_respected(frame, monkeypatch):
     assert len(pins) == 1
     for df in pins:
         df.unpersist()
+
+
+# --- composite aggregation ----------------------------------------------------
+
+
+COMP = {
+    "size": 3,
+    "sources": [
+        {"day": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}},
+        {"lang": {"terms": {"field": "lang"}}},
+    ],
+    "aggs": {"mean": {"avg": {"field": "n_chars"}}},
+}
+
+
+def test_composite_pages_tile_the_bucket_space(frame):
+    """after_key paging: walking pages with the returned cursor
+    enumerates EXACTLY the buckets one big page holds, in key order —
+    the scale path for high-cardinality bucket spaces."""
+    pages, after = [], None
+    while True:
+        body = dict(COMP)
+        if after is not None:
+            body["after"] = after
+        out = serve.composite_nested(frame, body)
+        pages.append(out["buckets"])
+        if "after_key" not in out:
+            break
+        after = out["after_key"]
+    walked = [b for p in pages for b in p]
+    whole = serve.composite_nested(frame, {**COMP, "size": 100})["buckets"]
+    assert walked == whole
+    # key order, composite key shape, epoch-ms dates, metrics riding
+    assert [b["key"]["lang"] for b in whole] == ["de", "en", "en", "fr"]
+    assert whole[0]["key"]["day"] == 1704067200000
+    assert whole[1] == {
+        "key": {"day": 1704067200000, "lang": "en"},
+        "doc_count": 2,
+        "mean": {"value": 15.0},
+    }
+    # the NULL-lang doc is in no composite bucket (missing_bucket
+    # default) — day1 buckets count 1 (de) + 2 (en) of its 4 docs
+    assert sum(b["doc_count"] for b in whole) == 5
+    # a full final page still reports after_key; the page PAST the
+    # end is empty without one (the consumer's stop signal)
+    out = serve.composite_nested(frame, {**COMP, "size": 4})
+    assert "after_key" in out and out["after_key"] == whole[-1]["key"]
+    past = serve.composite_nested(
+        frame, {**COMP, "after": out["after_key"]}
+    )
+    assert past == {"buckets": []}
+
+
+def test_composite_after_mid_day_seek(frame):
+    """Lexicographic seek: after (day1, 'en') must surface day2's
+    buckets AND nothing from day1 ≤ 'en'."""
+    out = serve.composite_nested(
+        frame,
+        {**COMP, "after": {"day": 1704067200000, "lang": "en"}},
+    )
+    assert [(b["key"]["day"], b["key"]["lang"]) for b in out["buckets"]] == [
+        (1704153600000, "en"), (1704153600000, "fr"),
+    ]
+
+
+def test_composite_validation(frame):
+    with pytest.raises(ValueError, match="non-empty 'sources'"):
+        serve.parse_composite({"sources": []}, frame.columns)
+    with pytest.raises(ValueError, match="'size' belongs on the composite"):
+        serve.parse_composite(
+            {"sources": [{"l": {"terms": {"field": "lang", "size": 5}}}]},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="unsupported type"):
+        serve.parse_composite(
+            {"sources": [{"r": {"range": {"field": "n_chars",
+                                          "ranges": [{"to": 5}]}}}]},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="exactly the source keys"):
+        serve.parse_composite(
+            {"sources": [{"l": {"terms": {"field": "lang"}}}],
+             "after": {"bogus": 1}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="must be a metric"):
+        serve.parse_composite(
+            {"sources": [{"l": {"terms": {"field": "lang"}}}],
+             "aggs": {"t": {"terms": {"field": "lang"}}}},
+            frame.columns,
+        )
+
+
+def test_composite_plan_is_one_groupby_with_limit(frame):
+    """Scale contract: a composite page is groupBy → seek-filter →
+    TakeOrderedAndProject — one shuffle, never a window over the
+    whole bucket space, LIMIT enforced in the plan."""
+    df = serve.composite_flat(
+        frame, {**COMP, "after": {"day": 1704067200000, "lang": "en"}}
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "Expand" not in plan
