@@ -82,8 +82,10 @@ Endpoints:
   hits carry the ES per-hit ``sort`` values array, and the
   absolute-rank pagination contract carries over unchanged. ``aggs``
   adds an ES ``aggregations`` envelope (terms / date_histogram /
-  histogram / disjoint-range buckets; avg/sum/min/max/value_count/
-  percentiles/cardinality metrics; nested one-chain trees; the
+  histogram / disjoint-range buckets with min_doc_count gap fill +
+  extended_bounds on the histogram types; avg/sum/min/max/
+  value_count/percentiles/cardinality/stats metrics; nested
+  one-chain trees; the
   ``composite`` agg with ``after_key`` paging for high-cardinality
   bucket spaces — the Kibana dashboard shapes,
   docker-compose.yml:346-349) computed over ALL matching documents:

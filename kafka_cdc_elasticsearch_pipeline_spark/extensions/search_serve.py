@@ -12,7 +12,9 @@ REST face (``search_rest.py``) those two missing consumer surfaces:
 - :func:`aggs_flat` compiles an ES ``aggs`` tree (one bucket chain —
   ``terms`` / ``date_histogram`` / ``histogram`` / disjoint ``range``
   — with metrics at any level: avg/sum/min/max/value_count/
-  percentiles/cardinality) into ONE distributed plan: a single ``rollup`` pass over the
+  percentiles/cardinality/stats; date_histogram/histogram take
+  ``min_doc_count`` (0 = dense-timeline gap fill, the Kibana axis
+  contract) and ``extended_bounds``) into ONE distributed plan: a single ``rollup`` pass over the
   matched documents (grouping sets = every prefix level in one
   shuffle, partial aggregation map-side), ``grouping_id`` to tell a
   rolled-up level from a genuinely-NULL key, and per-level ``terms``
@@ -66,6 +68,7 @@ MAX_BUCKETS = 65_536
 _BUCKET_TYPES = ("terms", "date_histogram", "histogram", "range")
 _METRIC_TYPES = (
     "avg", "sum", "min", "max", "value_count", "percentiles", "cardinality",
+    "stats",
 )
 
 #: calendar_interval → Spark/ISO date_trunc unit (the subset a
@@ -113,6 +116,39 @@ class _Bucket:
         self.seconds: int | None = None
         self.calendar: str | None = None
         self.ranges: list[tuple[float | None, float | None]] | None = None
+        # dense-timeline knobs (date_histogram / histogram only):
+        # min_doc_count=0 emits EMPTY buckets for interior gaps (the
+        # Kibana timeline contract — a missing day must render as 0,
+        # not vanish), extended_bounds stretches the filled range
+        # beyond the data (epoch ms for dates)
+        self.min_doc_count = 1
+        self.bounds: tuple | None = None
+        if typ in ("date_histogram", "histogram"):
+            mdc = body.get("min_doc_count", 1)
+            if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < 0:
+                raise ValueError(
+                    f"agg {name!r}: 'min_doc_count' must be an integer ≥ 0"
+                )
+            self.min_doc_count = mdc
+            eb = body.get("extended_bounds")
+            if eb is not None:
+                if not isinstance(eb, dict) or not {"min", "max"} <= set(
+                    eb
+                ) or any(
+                    isinstance(eb[k], bool)
+                    or not isinstance(eb[k], (int, float))
+                    for k in ("min", "max")
+                ) or eb["min"] > eb["max"]:
+                    raise ValueError(
+                        f"agg {name!r}: 'extended_bounds' needs numeric "
+                        "min ≤ max (epoch millis for date_histogram)"
+                    )
+                self.bounds = (eb["min"], eb["max"])
+        elif "min_doc_count" in body or "extended_bounds" in body:
+            raise ValueError(
+                f"agg {name!r}: min_doc_count/extended_bounds apply to "
+                "date_histogram/histogram only"
+            )
         if typ == "range":
             ranges = body.get("ranges")
             if not isinstance(ranges, list) or not ranges:
@@ -264,6 +300,12 @@ class _Metric:
             self.columns = [
                 f"{name}_{str(p).replace('.', '_')}" for p in self.percents
             ]
+        elif typ == "stats":
+            # ES stats: count/min/max/avg/sum in one envelope — one
+            # column per component in the flat frame
+            self.percents = []
+            self.columns = [f"{name}_{c}" for c in
+                            ("count", "min", "max", "avg", "sum")]
         else:
             self.percents = []
             self.columns = [name]
@@ -280,6 +322,14 @@ class _Metric:
             ]
         if self.typ == "value_count":
             return [F.count(c).cast("bigint").alias(self.name)]
+        if self.typ == "stats":
+            return [
+                F.count(c).cast("bigint").alias(self.columns[0]),
+                F.min(c).alias(self.columns[1]),
+                F.max(c).alias(self.columns[2]),
+                F.avg(c).alias(self.columns[3]),
+                F.sum(c).alias(self.columns[4]),
+            ]
         if self.typ == "cardinality":
             # EXACT distinct (Kibana's "Unique Count"); ES
             # approximates with HLL — the sketch family
@@ -529,6 +579,87 @@ def aggs_flat(
     return flat
 
 
+def _spine(b: _Bucket, data_keys: list) -> list:
+    """The DENSE key list for a ``min_doc_count: 0`` histogram level:
+    every bucket start from min to max of (data ∪ extended_bounds),
+    generated in INDEX space (i × interval / epoch-step multiples) so
+    spine keys are bit-identical to the Spark-computed bucket keys —
+    float stepping would drift off the data keys and duplicate
+    buckets. Capped at MAX_BUCKETS: a consumer asking for 1-minute
+    buckets over ten years must get the 400, not an OOM."""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def from_bound(x):
+        if b.typ == "histogram":
+            return float(x)
+        return epoch + datetime.timedelta(milliseconds=int(x))
+
+    def floor_key(v):
+        if b.typ == "histogram":
+            import math
+
+            return math.floor(v / b.interval) * b.interval
+        if b.calendar == "month":
+            return v.replace(day=1, hour=0, minute=0, second=0,
+                             microsecond=0)
+        if b.calendar == "year":
+            return v.replace(month=1, day=1, hour=0, minute=0, second=0,
+                             microsecond=0)
+        step = b.seconds or {
+            "minute": 60, "hour": 3600, "day": 86400,
+        }[b.calendar]
+        us = int((v - epoch).total_seconds() * 1_000_000)
+        return epoch + datetime.timedelta(
+            microseconds=(us // (step * 1_000_000)) * step * 1_000_000
+        )
+
+    lo = min(data_keys) if data_keys else None
+    hi = max(data_keys) if data_keys else None
+    if b.bounds is not None:
+        blo, bhi = (floor_key(from_bound(x)) for x in b.bounds)
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+    if lo is None:
+        return []
+    if b.typ == "histogram":
+        i0, i1 = round(lo / b.interval), round(hi / b.interval)
+        if i1 - i0 + 1 > MAX_BUCKETS:
+            raise ValueError(
+                f"min_doc_count=0 would fill more than {MAX_BUCKETS} "
+                "buckets; raise the interval or narrow extended_bounds"
+            )
+        return [i * b.interval for i in range(i0, i1 + 1)]
+    if b.calendar in ("month", "year"):
+        months = 12 if b.calendar == "year" else 1
+        keys, v = [], lo
+        while v <= hi:
+            if len(keys) >= MAX_BUCKETS:
+                raise ValueError(
+                    f"min_doc_count=0 would fill more than {MAX_BUCKETS} "
+                    "buckets; raise the interval or narrow extended_bounds"
+                )
+            keys.append(v)
+            m = v.month - 1 + months
+            v = v.replace(year=v.year + m // 12, month=m % 12 + 1)
+        return keys
+    step = b.seconds or {"minute": 60, "hour": 3600, "day": 86400}[
+        b.calendar
+    ]
+    i0 = int((lo - epoch).total_seconds()) // step
+    i1 = int((hi - epoch).total_seconds()) // step
+    if i1 - i0 + 1 > MAX_BUCKETS:
+        raise ValueError(
+            f"min_doc_count=0 would fill more than {MAX_BUCKETS} "
+            "buckets; raise the interval or narrow extended_bounds"
+        )
+    return [
+        epoch + datetime.timedelta(seconds=i * step)
+        for i in range(i0, i1 + 1)
+    ]
+
+
 def _key_json(v):
     """A bucket key as ES serves it: date/datetime buckets get
     epoch-millis ``key`` + ISO ``key_as_string``; Decimals become
@@ -570,6 +701,13 @@ def _metric_json(m: _Metric, row: dict) -> dict:
                 str(p): _val_json(row.get(col))
                 for p, col in zip(m.percents, m.columns)
             }
+        }
+    if m.typ == "stats":
+        return {
+            part: _val_json(row.get(col))
+            for part, col in zip(
+                ("count", "min", "max", "avg", "sum"), m.columns
+            )
         }
     return {"value": _val_json(row.get(m.name))}
 
@@ -633,7 +771,21 @@ def aggs_nested(
             }
             mine.sort(key=lambda r: order[r[b.name]])
         else:
+            if b.min_doc_count > 1:
+                # ES: drop buckets under the threshold (dense-timeline
+                # knob's other direction)
+                mine = [r for r in mine if r["doc_count"] >= b.min_doc_count]
             mine.sort(key=lambda r: r[b.name])
+            if b.min_doc_count == 0:
+                # dense timeline: interior gaps (and extended_bounds
+                # stretch) become EMPTY buckets — doc_count 0, null
+                # metrics, empty children — so a Kibana date axis
+                # renders zeros instead of skipping days
+                by_val = {r[b.name]: r for r in mine}
+                mine = [
+                    by_val.get(v, {"depth": depth, b.name: v, "doc_count": 0})
+                    for v in _spine(b, list(by_val))
+                ]
         bounds = (
             {b.range_label(lo, hi): (lo, hi) for lo, hi in b.ranges}
             if b.typ == "range"

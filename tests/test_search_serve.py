@@ -481,3 +481,98 @@ def test_composite_plan_is_one_groupby_with_limit(frame):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan and "Expand" not in plan
+
+
+def test_stats_metric(frame):
+    out = serve.aggs_nested(
+        frame, {"s": {"stats": {"field": "n_chars"}}}
+    )
+    assert out["s"] == {
+        "count": 6, "min": 10, "max": 60, "avg": 35.0, "sum": 210,
+    }
+
+
+def test_min_doc_count_zero_fills_gaps(spark):
+    """Kibana's dense-timeline contract: a day with no docs renders as
+    a ZERO bucket, not a hole; extended_bounds stretches the axis."""
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 05:00:00", 10), (1, "2024-01-04 09:00:00", 20)],
+        "doc_id bigint, ts_s string, v bigint",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = serve.aggs_nested(
+        df,
+        {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                  "min_doc_count": 0},
+               "aggs": {"mean": {"avg": {"field": "v"}}}}},
+    )
+    got = [(b["key_as_string"], b["doc_count"], b["mean"]["value"])
+           for b in out["d"]["buckets"]]
+    assert got == [
+        ("2024-01-01T00:00:00", 1, 10.0),
+        ("2024-01-02T00:00:00", 0, None),   # interior gaps filled
+        ("2024-01-03T00:00:00", 0, None),
+        ("2024-01-04T00:00:00", 1, 20.0),
+    ]
+    # extended_bounds stretches past the data (epoch ms, aligned)
+    out = serve.aggs_nested(
+        df.filter("doc_id = 0"),
+        {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                  "min_doc_count": 0,
+                                  "extended_bounds": {
+                                      "min": 1704067200000,
+                                      "max": 1704240000000}}}},
+    )
+    assert [b["doc_count"] for b in out["d"]["buckets"]] == [1, 0, 0]
+    # min_doc_count > 1 drops thin buckets instead
+    out = serve.aggs_nested(
+        df,
+        {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                  "min_doc_count": 2}}},
+    )
+    assert out["d"]["buckets"] == []
+
+
+def test_min_doc_count_zero_histogram_and_month(spark):
+    df = spark.createDataFrame(
+        [(0, "2024-01-15 00:00:00", 5.0), (1, "2024-04-02 00:00:00", 95.0)],
+        "doc_id bigint, ts_s string, v double",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = serve.aggs_nested(
+        df,
+        {"h": {"histogram": {"field": "v", "interval": 25.0,
+                             "min_doc_count": 0}}},
+    )
+    assert [(b["key"], b["doc_count"]) for b in out["h"]["buckets"]] == [
+        (0.0, 1), (25.0, 0), (50.0, 0), (75.0, 1),
+    ]
+    out = serve.aggs_nested(
+        df,
+        {"m": {"date_histogram": {"field": "ts",
+                                  "calendar_interval": "month",
+                                  "min_doc_count": 0}}},
+    )
+    assert [b["key_as_string"][:7] for b in out["m"]["buckets"]] == [
+        "2024-01", "2024-02", "2024-03", "2024-04",
+    ]
+
+
+def test_gap_fill_capped(frame, monkeypatch):
+    monkeypatch.setattr(serve, "MAX_BUCKETS", 10)
+    with pytest.raises(ValueError, match="fill more than 10"):
+        serve.aggs_nested(
+            frame,
+            {"d": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1h",
+                                      "min_doc_count": 0,
+                                      "extended_bounds": {
+                                          "min": 0,
+                                          "max": 1704067200000}}}},
+        )
+
+
+def test_min_doc_count_rejected_on_terms(frame):
+    with pytest.raises(ValueError, match="date_histogram/histogram only"):
+        serve.parse_aggs(
+            {"t": {"terms": {"field": "lang", "min_doc_count": 0}}},
+            frame.columns,
+        )
