@@ -3381,21 +3381,38 @@ def test_pinned_rerank_matches_pre_divergence_serve(spark, sf_dir, tmp_path):
 def test_pin_at_build_era_watermark_with_later_deletes(
     spark, sf_dir, tmp_path
 ):
-    """round-11 advice #3: the build stamps its watermark on
-    buckets/codes only — the deletes table is born at the FIRST
-    tombstone fold. A pin at a build-era boundary is a consistent
-    state (provably zero tombstones), so index_versions_at_watermark
-    must resolve it (deletes pinned to the empty-table sentinel 0,
-    which _ivfpq_live serves as "no deletes") instead of raising —
-    and the pinned serve returns the pre-delete answer."""
+    """round-11 advice #3, on the LEGACY-root shape it actually
+    concerns: a root whose deletes table did not exist at the build
+    boundary (pre-round-9 builds never created one; a current build
+    with ``source_watermark`` commits an EMPTY stamped deletes v1, so
+    its build boundary pins through the ordinary bisect — asserted at
+    the end). Here the deletes table is born at the FIRST tombstone
+    fold, so a pin at the build-era boundary must resolve through the
+    empty-table sentinel 0 (which _ivfpq_live serves as "no deletes")
+    instead of raising — and the pinned serve returns the pre-delete
+    answer."""
+    import shutil
+
     src = str(tmp_path / "src")
     ivfpq_root = str(tmp_path / "ivfpq")
-    embs = load_table(spark, sf_dir, "embeddings").limit(120)
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 120
+    )  # deterministic subset: limit() samples arbitrary rows and can
+    # exclude the vec_id<2 query vectors under a different plan state
     lakelog.append_commit(
         spark, src,
         embs.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
     )
     si.ivfpq_index_build(spark, embs, ivfpq_root, source_watermark=1)
+    # the modern build stamps an empty deletes v1 AT the build
+    # boundary — that boundary resolves through the ordinary bisect
+    assert si.index_versions_at_watermark(
+        ivfpq_root, "ivfpq-idx", 1
+    )["ivf_deletes"] == 1
+    # strip it to the legacy shape the sentinel exists for: a root
+    # from the era when ONLY the first tombstone fold created the
+    # deletes table
+    shutil.rmtree(os.path.join(ivfpq_root, "ivf_deletes"))
     queries = embs.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
@@ -3456,16 +3473,24 @@ def test_pinnable_watermarks_discovery_and_vacuum(spark, sf_dir, tmp_path):
         lakelog.vacuum(os.path.join(bm25_root, t), keep_last=1, min_age_s=0.0)
     assert si.pinnable_watermarks(bm25_root, "bm25") == [3]
 
-    # IVF family: deletes born at boundary 2 — boundary 1 stays
-    # pinnable through the empty-deletes special case
+    # IVF family, LEGACY-root shape (the build's empty stamped
+    # deletes v1 stripped): deletes born at the boundary-2 tombstone
+    # fold — boundary 1 stays pinnable through the empty-deletes
+    # special case, not the ordinary bisect
     src2 = str(tmp_path / "src2")
     ivfpq_root = str(tmp_path / "ivfpq")
-    embs = load_table(spark, sf_dir, "embeddings").limit(120)
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 120
+    )  # deterministic subset: limit() samples arbitrary rows and can
+    # exclude the vec_id<2 query vectors under a different plan state
     lakelog.append_commit(
         spark, src2,
         embs.select("vec_id", "embedding", F.lit(1).alias("_ts_ms")),
     )
     si.ivfpq_index_build(spark, embs, ivfpq_root, source_watermark=1)
+    import shutil
+
+    shutil.rmtree(os.path.join(ivfpq_root, "ivf_deletes"))
     lakelog.merge_apply_cdc(
         spark, src2,
         embs.filter(F.col("vec_id") == 0).select(
