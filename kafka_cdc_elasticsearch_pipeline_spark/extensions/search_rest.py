@@ -84,8 +84,8 @@ Endpoints:
   adds an ES ``aggregations`` envelope (terms / date_histogram /
   histogram / disjoint-range buckets with min_doc_count gap fill +
   extended_bounds on the histogram types; avg/sum/min/max/
-  value_count/percentiles/cardinality/stats metrics; nested
-  one-chain trees; the
+  value_count/percentiles/cardinality/stats metrics; top_hits
+  sample docs per bucket; nested one-chain trees; the
   ``composite`` agg with ``after_key`` paging for high-cardinality
   bucket spaces — the Kibana dashboard shapes,
   docker-compose.yml:346-349) computed over ALL matching documents:

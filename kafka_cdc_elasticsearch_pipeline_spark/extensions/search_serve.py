@@ -29,6 +29,10 @@ REST face (``search_rest.py``) those two missing consumer surfaces:
 - :func:`sorted_rank` re-ranks a serve by document metadata fields
   (ES ``sort``), composing with the absolute-rank ``from`` pagination:
   the rank window simply orders by the sort keys instead of the score.
+- ``top_hits`` (envelope-only): example documents per bucket — the
+  Kibana data-table primitive — as ONE window pass over the matched
+  docs, semi-joined to the post-truncation kept buckets first so
+  truncated buckets cost nothing.
 - :func:`composite_flat` / :func:`composite_nested` implement ES's
   ``composite`` agg — the SCALE path for bucket enumeration: pages of
   the bucket space in key order with an ``after_key`` cursor,
@@ -340,10 +344,54 @@ class _Metric:
         return [fn(c).alias(self.name)]
 
 
+class _TopHits:
+    """A parsed ``top_hits`` node: example documents per bucket (the
+    Kibana data-table primitive). Envelope-only — it returns doc ROWS,
+    not an aggregate, so it rides a window pass in
+    :func:`aggs_nested`, never the hashable flat frame."""
+
+    def __init__(self, name: str, body: dict, columns: list[str]):
+        if not isinstance(body, dict):
+            raise ValueError(f"top_hits agg {name!r} must be an object")
+        self.name = name
+        size = body.get("size", 3)
+        if isinstance(size, bool) or not isinstance(size, int) or not (
+            1 <= size <= 100
+        ):
+            raise ValueError(
+                f"top_hits agg {name!r}: 'size' must be an integer in "
+                "[1, 100] (ES caps top_hits the same way)"
+            )
+        self.size = size
+        self.sort = (
+            parse_sort(body["sort"], columns) if "sort" in body else []
+        )
+        src = body.get("_source", [c for c in columns if c != "doc_id"])
+        if not isinstance(src, list) or not all(
+            isinstance(f, str) for f in src
+        ):
+            raise ValueError(
+                f"top_hits agg {name!r}: '_source' must be a list of "
+                "field names"
+            )
+        missing = [f for f in src if f not in columns]
+        if missing:
+            raise ValueError(
+                f"top_hits agg {name!r}: _source fields {missing} not in "
+                f"the mounted doc_source (columns: {sorted(columns)})"
+            )
+        self.source = src
+
+    @property
+    def fields(self) -> set[str]:
+        return set(self.source) | {f for f, _ in self.sort}
+
+
 def parse_aggs(spec: dict, columns: list[str]) -> tuple[
-    list[_Bucket], dict[int, list[_Metric]]
+    list[_Bucket], dict[int, list[_Metric]], dict[int, list["_TopHits"]]
 ]:
-    """Parse an ES ``aggs`` tree into (bucket chain, metrics-by-depth).
+    """Parse an ES ``aggs`` tree into (bucket chain, metrics-by-depth,
+    top_hits-by-depth).
 
     One bucket agg per level (a Kibana visualization is one chain;
     sibling bucket aggs are separate requests — rejected explicitly so
@@ -353,6 +401,7 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     exist in ``columns`` (the mounted doc_source's schema)."""
     chain: list[_Bucket] = []
     metrics: dict[int, list[_Metric]] = {}
+    tophits: dict[int, list[_TopHits]] = {}
     names: set[str] = set()
 
     def walk(node: dict, depth: int) -> None:
@@ -392,10 +441,19 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 metrics.setdefault(depth, []).append(
                     _Metric(name, typ, body[typ])
                 )
+            elif typ == "top_hits":
+                if "aggs" in body:
+                    raise ValueError(
+                        f"top_hits agg {name!r} cannot have sub-aggs"
+                    )
+                tophits.setdefault(depth, []).append(
+                    _TopHits(name, body[typ], columns)
+                )
             else:
                 raise ValueError(
                     f"unsupported agg type {typ!r} (buckets: "
-                    f"{_BUCKET_TYPES}, metrics: {_METRIC_TYPES})"
+                    f"{_BUCKET_TYPES}, metrics: {_METRIC_TYPES}, "
+                    "top_hits)"
                 )
         if bucket_here is not None:
             chain.append(bucket_here)
@@ -424,19 +482,31 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                     f"agg {m.name!r}: field {m.field!r} not in the mounted "
                     f"doc_source (columns: {sorted(columns)})"
                 )
-    if max(metrics, default=0) > len(chain):
+    if max(
+        [*metrics, *tophits], default=0
+    ) > len(chain):
         raise ValueError("metrics nested deeper than the bucket chain")
+    for ths in tophits.values():
+        for th in ths:
+            if th.name in reserved:
+                raise ValueError(f"agg name {th.name!r} is reserved")
+            reserved.add(th.name)
     # a bucket agg NAMED like a metric's source FIELD would put two
     # same-named columns into the rollup input (the key alias + the
     # raw field) — ambiguous-column fault; reject it as the 400 it is
+    # (the top_hits window pass selects source/sort fields next to the
+    # key aliases, so its fields obey the same rule)
     fields = {m.field for ms in metrics.values() for m in ms}
+    for ths in tophits.values():
+        for th in ths:
+            fields |= th.fields
     for b in chain:
         if b.name in fields:
             raise ValueError(
                 f"bucket agg name {b.name!r} collides with a metric "
                 "field of the same name — rename the agg"
             )
-    return chain, metrics
+    return chain, metrics, tophits
 
 
 def _rollup_flat(
@@ -573,7 +643,13 @@ def aggs_flat(
     distributed surface the gate row hashes: DuckDB ``GROUP BY
     ROLLUP`` + ``grouping()`` + a ranked keep-list rebuilds it
     exactly."""
-    chain, metrics = parse_aggs(spec, docs.columns)
+    chain, metrics, tophits = parse_aggs(spec, docs.columns)
+    if tophits:
+        raise ValueError(
+            "top_hits returns document rows, not an aggregate — it is "
+            "served by aggs_nested (the REST envelope), not the flat "
+            "bucket frame"
+        )
     flat = _rollup_flat(docs, chain, metrics)
     flat, _ = _truncate_terms(flat, chain, pins)
     return flat
@@ -723,7 +799,7 @@ def aggs_nested(
     into nested ``buckets`` driver-side. terms buckets ordered
     doc_count desc / key asc with ``sum_other_doc_count``;
     date_histogram / histogram buckets ordered by key."""
-    chain, metrics = parse_aggs(spec, docs.columns)
+    chain, metrics, tophits = parse_aggs(spec, docs.columns)
     flat = _rollup_flat(docs, chain, metrics)
     flat, others = _truncate_terms(flat, chain, pins)
     rows = [r.asDict() for r in flat.limit(MAX_BUCKETS + 1).collect()]
@@ -745,6 +821,21 @@ def aggs_nested(
             if r["sum_other"] is not None
         }
     names = [b.name for b in chain]
+    th_maps: dict[str, dict[tuple, list[dict]]] = {}
+    for d, nodes in tophits.items():
+        kept = (
+            sorted({
+                tuple(r[n] for n in names[:d])
+                for r in rows if r["depth"] == d
+            })
+            if d else [()]
+        )
+        for node in nodes:
+            th_maps[node.name] = _top_hits_map(docs, chain, node, d, kept)
+
+    def _th_envelope(node: _TopHits, key: tuple, total: int) -> dict:
+        hits = th_maps[node.name].get(key, [])
+        return {"hits": {"total": total, "hits": hits}}
 
     def level(depth: int, prefix: tuple) -> dict:
         """The aggs object INSIDE a depth-(depth-1) bucket: the
@@ -806,6 +897,10 @@ def aggs_nested(
             bucket["doc_count"] = int(r["doc_count"])
             for m in metrics.get(depth, []):
                 bucket[m.name] = _metric_json(m, r)
+            for th in tophits.get(depth, []):
+                bucket[th.name] = _th_envelope(
+                    th, prefix + (r[b.name],), int(r["doc_count"])
+                )
             bucket.update(level(depth + 1, prefix + (r[b.name],)))
             buckets.append(bucket)
         node: dict = {"buckets": buckets}
@@ -821,6 +916,8 @@ def aggs_nested(
     # the fallback supplies ES's doc_count-0 / metric-null envelope
     root = root_rows[0] if root_rows else {"doc_count": 0}
     out = {m.name: _metric_json(m, root) for m in metrics.get(0, [])}
+    for th in tophits.get(0, []):
+        out[th.name] = _th_envelope(th, (), int(root["doc_count"]))
     out.update(level(1, ()))
     if with_total:
         # the depth-0 doc_count IS the match-set size — callers that
@@ -828,6 +925,75 @@ def aggs_nested(
         # a second full scan for a count() (review finding)
         return out, int(root["doc_count"])
     return out
+
+
+def _top_hits_map(
+    docs: DataFrame,
+    chain: list[_Bucket],
+    node: _TopHits,
+    depth: int,
+    kept: list[tuple],
+) -> dict[tuple, list[dict]]:
+    """Per-bucket example documents for one ``top_hits`` node: ONE
+    window pass over the matched docs — partition by the level-depth
+    bucket keys, order by the node's sort (nulls last, doc_id
+    tiebreak), keep rank ≤ size. ``kept`` (the post-truncation bucket
+    keys, already collected for the envelope) bounds the pass: docs
+    whose bucket was truncated away are semi-joined out BEFORE the
+    window, so the shuffle carries only kept buckets' rows. The
+    collect is ≤ |kept| × size rows, guarded against the same
+    MAX_BUCKETS cap as the bucket frame."""
+    if not kept:
+        return {}
+    if len(kept) * node.size > MAX_BUCKETS:
+        raise ValueError(
+            f"top_hits {node.name!r} would collect more than "
+            f"{MAX_BUCKETS} rows ({len(kept)} buckets × size "
+            f"{node.size}); lower the size or the bucket cardinality"
+        )
+    names = [b.name for b in chain[:depth]]
+    keyed = docs.select(
+        *[b.key_col().alias(b.name) for b in chain[:depth]],
+        F.col("doc_id"),
+        *{f for f in node.fields if f != "doc_id"},
+    )
+    for n in names:
+        keyed = keyed.filter(F.col(n).isNotNull())
+    if names and kept != [()]:
+        spark = docs.sparkSession
+        kept_df = spark.createDataFrame(
+            [tuple(k) for k in kept],
+            keyed.select(*names).schema,
+        )
+        keyed = keyed.join(F.broadcast(kept_df), names, "left_semi")
+    order = [
+        (
+            F.col(f).asc_nulls_last() if asc else F.col(f).desc_nulls_last()
+        )
+        for f, asc in node.sort
+    ] + [F.col("doc_id").asc()]
+    w = (
+        Window.partitionBy(*names).orderBy(*order)
+        if names
+        else Window.partitionBy().orderBy(*order)
+    )
+    ranked = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= node.size)
+    )
+    grouped: dict[tuple, list[tuple[int, dict]]] = {}
+    for r in ranked.collect():  # bounded: ≤ |kept| × size (checked)
+        d = r.asDict()
+        key = tuple(d[n] for n in names)
+        hit = {"_id": d["doc_id"]}
+        if node.sort:
+            hit["sort"] = [_val_json(d[f]) for f, _ in node.sort]
+        hit["_source"] = {f: _val_json(d[f]) for f in node.source}
+        grouped.setdefault(key, []).append((int(d["_rn"]), hit))
+    return {
+        key: [hit for _, hit in sorted(pairs)]
+        for key, pairs in grouped.items()
+    }
 
 
 # --- sort-by-field -----------------------------------------------------------

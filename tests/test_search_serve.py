@@ -576,3 +576,64 @@ def test_min_doc_count_rejected_on_terms(frame):
             {"t": {"terms": {"field": "lang", "min_doc_count": 0}}},
             frame.columns,
         )
+
+
+def test_top_hits_per_bucket(frame):
+    """ES top_hits: example docs per bucket (Kibana's data-table
+    primitive) — size cut, sort order, _source projection, truncated
+    buckets never computed, root-level variant."""
+    out = serve.aggs_nested(
+        frame,
+        {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 2},
+                "aggs": {
+                    "sample": {"top_hits": {
+                        "size": 2,
+                        "sort": [{"field": "ts", "order": "desc"}],
+                        "_source": ["n_chars"],
+                    }}
+                },
+            }
+        },
+    )
+    buckets = {b["key"]: b for b in out["by_lang"]["buckets"]}
+    # terms size=2 keeps en (3 docs) and de (1); fr truncated
+    assert set(buckets) == {"en", "de"}
+    en = buckets["en"]["sample"]["hits"]
+    assert en["total"] == 3  # the bucket's doc_count, not the cut
+    # newest-first by ts: doc 4 (day2), then doc 1 — doc 0 cut by size
+    assert [h["_id"] for h in en["hits"]] == [4, 1]
+    assert en["hits"][0]["_source"] == {"n_chars": 50}
+    assert en["hits"][0]["sort"][0].startswith("2024-01-02")
+    assert buckets["de"]["sample"]["hits"]["hits"] == [
+        {"_id": 2, "sort": [buckets["de"]["sample"]["hits"]["hits"][0]["sort"][0]],
+         "_source": {"n_chars": 30}},
+    ]
+    # root-level top_hits over the whole match set
+    out = serve.aggs_nested(
+        frame,
+        {"first": {"top_hits": {"size": 2, "_source": ["lang"]}}},
+    )
+    assert out["first"]["hits"]["total"] == 6
+    assert [h["_id"] for h in out["first"]["hits"]["hits"]] == [0, 1]
+
+
+def test_top_hits_validation(frame):
+    with pytest.raises(ValueError, match="flat bucket frame"):
+        serve.aggs_flat(
+            frame, {"t": {"top_hits": {"size": 2}}}
+        )
+    with pytest.raises(ValueError, match="'size' must be an integer"):
+        serve.parse_aggs(
+            {"t": {"top_hits": {"size": 0}}}, frame.columns
+        )
+    with pytest.raises(ValueError, match="_source fields"):
+        serve.parse_aggs(
+            {"t": {"top_hits": {"_source": ["nope"]}}}, frame.columns
+        )
+    with pytest.raises(ValueError, match="not in the mounted"):
+        serve.parse_aggs(
+            {"t": {"top_hits": {"sort": [{"field": "nope"}]}}},
+            frame.columns,
+        )
