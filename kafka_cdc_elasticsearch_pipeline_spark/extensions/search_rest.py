@@ -514,15 +514,14 @@ class SearchRestServer:
             req.get("query_ids") or req.get("queries")
             or req.get("queries_text") or req.get("query") is not None
         )
-        if aggs_spec is not None and not has_query:
-            # match_all: the dashboard steady state — aggregations over
-            # the whole mounted doc_source (∩ allowed_ids), no hits.
-            # ES would need "size": 0; here no query IS the signal.
-            if sort_spec is not None:
-                raise ValueError(
-                    "'sort' orders hits and a match_all aggregation "
-                    "serves none — drop 'sort' or send a query"
-                )
+        if (aggs_spec is not None or sort_spec is not None) and not has_query:
+            # match_all: the dashboard steady state — no query fields
+            # is the signal (ES would say match_all + size 0 / sort).
+            # aggs aggregate the whole mounted doc_source (∩
+            # allowed_ids); sort serves the Kibana SAVED-SEARCH shape
+            # (the reference's "Unhappy Platinum Customers" panel: an
+            # empty-query search sorted EXTRACT_TS desc) — a sorted
+            # page of the doc_source with absolute ranks.
             matched = self.doc_source
             allowed = self._allowed_df(req)
             if allowed is not None:
@@ -531,6 +530,41 @@ class SearchRestServer:
                     "doc_id",
                     "left_semi",
                 )
+            if sort_spec is not None:
+                base = matched.select(
+                    F.lit(0).cast("bigint").alias("query_id"),
+                    F.col("doc_id").alias("_id"),
+                    # ES serves _score null on sorted match_all
+                    F.lit(None).cast("double").alias("_score"),
+                )
+                hits = self._collect_hits(
+                    serve.sorted_rank(
+                        base, self.doc_source, sort_spec, k_page,
+                        id_col="_id",
+                    )
+                )
+                if frm:
+                    hits = [h for h in hits if h["rank"] > frm]
+                out = {
+                    "hits": {"total": len(hits), "hits": hits},
+                    "fill": si.fill_counts(
+                        (h["query_id"] for h in hits), (0,), k
+                    ),
+                }
+                if aggs_spec is not None:
+                    comp = self._composite_entry(aggs_spec)
+                    if comp is not None:
+                        out["aggregations"] = {
+                            comp[0]: serve.composite_nested(
+                                matched, comp[1], pins
+                            )
+                        }
+                    else:
+                        out["aggregations"] = serve.aggs_nested(
+                            matched, aggs_spec, pins
+                        )
+                out["took"] = int((_time.perf_counter() - t0) * 1000)
+                return out
             # hits.total = the depth-0 rollup row's doc_count — a
             # second count() scan of doc_source would double the
             # dominant cost (review finding); took stamped AFTER the

@@ -1268,3 +1268,105 @@ def composite_nested(
     if len(buckets) == size:
         out["after_key"] = buckets[-1]["key"]
     return out
+
+
+# --- Kibana saved-object translation ------------------------------------------
+
+
+def kibana_vis_aggs(
+    vis_state: dict,
+    field_map: dict[str, str] | None = None,
+    fixed_interval: str = "1d",
+) -> dict | None:
+    """Translate a Kibana saved visualization's ``visState.aggs``
+    array — the pre-request form Kibana stores in its saved objects;
+    the reference ships four of them (docker-compose.yml:346-349) —
+    into this module's ES ``aggs`` tree, the same translation Kibana
+    itself performs when it builds the ``/_search`` request for a
+    panel:
+
+    - ``schema: segment/group/bucket`` entries become the bucket
+      chain in array order; ``schema: metric`` entries attach inside
+      the innermost bucket (``count`` is inherent ``doc_count`` — no
+      agg emitted; Kibana's ``median`` is ES percentiles at [50])
+    - ``.keyword`` sub-field suffixes (an ES mapping artifact) are
+      stripped, then ``field_map`` renames ES-face fields to the
+      mounted doc_source's columns
+    - ``interval: "auto"`` is a UI zoom-level choice — the caller
+      passes the ``fixed_interval`` to resolve it; an explicit
+      Kibana interval passes through
+    - terms ``size`` passes through; Kibana's ``orderBy``/``order``
+      are presentation-level (this compiler serves ES's default
+      doc_count-desc/key-asc; a consumer re-orders the returned
+      buckets for display)
+
+    Returns ``None`` when the panel needs no aggregations at all (a
+    bare count metric — the consumer reads ``hits.total``)."""
+    fm = field_map or {}
+
+    def xfield(f: str) -> str:
+        base = f[: -len(".keyword")] if f.endswith(".keyword") else f
+        return fm.get(base, base)
+
+    buckets: list[tuple[str, str, dict]] = []
+    metrics: dict[str, dict] = {}
+    for entry in vis_state.get("aggs", []):
+        typ = entry.get("type")
+        schema = entry.get("schema")
+        params = entry.get("params", {})
+        name = f"k{entry.get('id', len(buckets) + len(metrics) + 1)}"
+        if schema == "metric":
+            if typ == "count":
+                continue  # inherent doc_count
+            if typ == "median":
+                metrics[name] = {"percentiles": {
+                    "field": xfield(params["field"]),
+                    "percents": [float(p) for p in params.get(
+                        "percents", [50]
+                    )],
+                }}
+            elif typ in ("avg", "sum", "min", "max", "cardinality"):
+                metrics[name] = {typ: {"field": xfield(params["field"])}}
+            else:
+                raise ValueError(
+                    f"unsupported Kibana metric type {typ!r}"
+                )
+        elif schema in ("segment", "group", "bucket"):
+            if typ == "date_histogram":
+                iv = params.get("interval", "auto")
+                if iv in ("auto", "custom", None):
+                    iv = fixed_interval
+                body = {
+                    "field": xfield(params["field"]),
+                    "fixed_interval": iv,
+                }
+                mdc = params.get("min_doc_count")
+                if isinstance(mdc, int) and not isinstance(mdc, bool):
+                    body["min_doc_count"] = mdc
+                buckets.append((name, "date_histogram", body))
+            elif typ == "terms":
+                buckets.append((name, "terms", {
+                    "field": xfield(params["field"]),
+                    "size": int(params.get("size", 10)),
+                }))
+            elif typ == "histogram":
+                buckets.append((name, "histogram", {
+                    "field": xfield(params["field"]),
+                    "interval": float(params["interval"]),
+                }))
+            else:
+                raise ValueError(
+                    f"unsupported Kibana bucket type {typ!r}"
+                )
+    if not buckets and not metrics:
+        return None
+    # innermost-out: metrics inside the last bucket (Kibana's request
+    # nesting for a chart: each bucket level wraps the next, metrics
+    # at the leaf)
+    inner: dict = dict(metrics)
+    for name, typ, body in reversed(buckets):
+        node: dict = {typ: body}
+        if inner:
+            node["aggs"] = inner
+        inner = {name: node}
+    return inner

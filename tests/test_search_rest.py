@@ -1151,10 +1151,6 @@ def test_match_all_validates_like_any_request(meta_server):
         server.search({"aggs": _AGGS, "mode": "bogus"})
     with pytest.raises(ValueError, match="'k' must be"):
         server.search({"aggs": _AGGS, "k": "ten"})
-    with pytest.raises(ValueError, match="drop 'sort' or send a query"):
-        server.search(
-            {"aggs": _AGGS, "sort": [{"field": "ts", "order": "desc"}]}
-        )
     out = server.search({"aggs": _AGGS})
     assert out["hits"]["total"] == meta.count()
     assert out["took"] >= 1  # stamped after the rollup ran, not before
@@ -1207,3 +1203,26 @@ def test_composite_aggs_over_rest(meta_server):
         b["doc_count"] for b in scoped["aggregations"]["pages"]["buckets"]
     )
     assert 0 < n_docs < meta.count()
+
+
+def test_match_all_sorted_listing(meta_server):
+    """The Kibana saved-search shape: empty query + sort = a sorted
+    page of the doc_source (the reference's 'Unhappy Platinum
+    Customers' panel sorts EXTRACT_TS desc with no query). Pages tile,
+    ranks absolute, _score null (ES's sorted-match_all contract)."""
+    server, meta = meta_server
+    sort = [{"field": "ts", "order": "desc"}]
+    p1 = server.search({"sort": sort, "k": 5})
+    p2 = server.search({"sort": sort, "k": 5, "from": 5})
+    whole = server.search({"sort": sort, "k": 10})
+    assert [h["_id"] for h in p1["hits"]["hits"]] + [
+        h["_id"] for h in p2["hits"]["hits"]
+    ] == [h["_id"] for h in whole["hits"]["hits"]]
+    assert [h["rank"] for h in p2["hits"]["hits"]] == list(range(6, 11))
+    assert all(h["_score"] is None for h in whole["hits"]["hits"])
+    vals = [h["sort"][0] for h in whole["hits"]["hits"]]
+    assert vals == sorted(vals, reverse=True)
+    # aggs ride along on the sorted listing (one dashboard request)
+    both = server.search({"sort": sort, "k": 3, "aggs": _AGGS})
+    assert both["aggregations"]["by_day"]["buckets"]
+    assert len(both["hits"]["hits"]) == 3
