@@ -38,6 +38,16 @@ Endpoints:
        "queries": [{"query_id": 0, "embedding": [... floats ...]}],
        "queries_text": [{"query_id": 0, "text": "brown fox"}],
        "query": "brown fox",             # sugar: one text, query_id 0
+       "query": {"bool": {               # or ES query DSL (the shape
+           "must": {"match": {"text": "brown fox"}},
+           "filter": [{"range": {"ts": {"gte": 1704067200000}}},
+                      {"term": {"lang": "en"}}]}},
+                                         # Kibana sends): match → the
+                                         # free-text lexical signal;
+                                         # term/terms/range/exists →
+                                         # a derived keep-set over the
+                                         # doc_source, pre-rank like
+                                         # allowed_ids
        "k": 10, "pool": 20, "nprobe": 2,
        "from": 10,                       # ES-style pagination: skip
                                          # the first `from` ranks
@@ -194,6 +204,7 @@ class SearchRestServer:
         ivfpq_pointer: str | None = None,
         query_source: DataFrame | None = None,
         doc_source: DataFrame | None = None,
+        text_field: str = "text",
         source_table: str | None = None,
         bm25_app_id: str | None = None,
         ivfpq_app_id: str | None = None,
@@ -210,6 +221,9 @@ class SearchRestServer:
         if doc_source is not None and "doc_id" not in doc_source.columns:
             raise ValueError("doc_source needs a 'doc_id' column")
         self.doc_source = doc_source
+        #: the field name the BM25 index covers — what a query-DSL
+        #: ``match`` clause may target (ES mapping parity)
+        self.text_field = text_field
         self.source_table = source_table
         self.bm25_app_id = bm25_app_id
         self.ivfpq_app_id = ivfpq_app_id
@@ -435,16 +449,31 @@ class SearchRestServer:
             )
         return comps[0]
 
-    def _allowed_df(self, req: dict) -> DataFrame | None:
-        if req.get("allowed_ids") is None:
-            return None
-        try:
-            rows = [(int(v),) for v in req["allowed_ids"]]
-        except (TypeError, ValueError) as exc:
-            raise ValueError(
-                f"'allowed_ids' must be a list of integers ({exc!r})"
-            ) from None
-        return self.spark.createDataFrame(rows, "vec_id bigint")
+    def _allowed_df(self, req: dict, pred=None) -> DataFrame | None:
+        """The request's keep-set: caller-supplied ``allowed_ids``
+        ∩ the query-DSL filters' derived set (``pred``, a predicate
+        over the doc_source — evaluated as a distributed semi-join
+        side, never collected; no broadcast hint because a permissive
+        filter can be corpus-sized, same as allowed_ids)."""
+        base: DataFrame | None = None
+        if req.get("allowed_ids") is not None:
+            try:
+                rows = [(int(v),) for v in req["allowed_ids"]]
+            except (TypeError, ValueError) as exc:
+                raise ValueError(
+                    f"'allowed_ids' must be a list of integers ({exc!r})"
+                ) from None
+            base = self.spark.createDataFrame(rows, "vec_id bigint")
+        if pred is not None:
+            derived = self.doc_source.filter(pred).select(
+                F.col("doc_id").alias("vec_id")
+            )
+            base = (
+                derived
+                if base is None
+                else derived.join(base, "vec_id", "left_semi")
+            )
+        return base
 
     def search(self, req: dict) -> dict:
         """Per-request pin lifecycle around :meth:`_search`: frames a
@@ -510,6 +539,19 @@ class SearchRestServer:
                 serve.parse_composite(comp[1], self.doc_source.columns)
             else:
                 serve.parse_aggs(aggs_spec, self.doc_source.columns)
+        # ES query DSL: a dict "query" is the request shape Kibana
+        # actually sends — bool.filter time-range/term pills around an
+        # optional search-bar match. The match text becomes the plain
+        # free-text "query" (lexical signal); the metadata predicates
+        # become a DERIVED keep-set over the doc_source that pre-rank
+        # semi-joins every signal, exactly like caller allowed_ids.
+        dsl_pred = None
+        if isinstance(req.get("query"), dict):
+            text, dsl_pred = serve.parse_query_dsl(
+                req["query"], self.doc_source, text_field=self.text_field
+            )
+            req = dict(req)
+            req["query"] = text  # None = match_all (no lexical signal)
         has_query = bool(
             req.get("query_ids") or req.get("queries")
             or req.get("queries_text") or req.get("query") is not None
@@ -523,7 +565,7 @@ class SearchRestServer:
             # empty-query search sorted EXTRACT_TS desc) — a sorted
             # page of the doc_source with absolute ranks.
             matched = self.doc_source
-            allowed = self._allowed_df(req)
+            allowed = self._allowed_df(req, dsl_pred)
             if allowed is not None:
                 matched = matched.join(
                     allowed.select(F.col("vec_id").alias("doc_id")),
@@ -594,7 +636,7 @@ class SearchRestServer:
         # page natively (round-11 advice). Clamp pool to the page
         # depth; still bounded by 2 × _MAX_KNOB.
         pool = max(pool, k_page)
-        allowed = self._allowed_df(req)
+        allowed = self._allowed_df(req, dsl_pred)
         # the vector-side pointer is resolved ONCE per request (a swap
         # landing mid-request cannot mix two roots in one response) but
         # only INSIDE the branches, after the request itself validated

@@ -1370,3 +1370,176 @@ def kibana_vis_aggs(
             node["aggs"] = inner
         inner = {name: node}
     return inner
+
+
+# --- ES query DSL (subset) ----------------------------------------------------
+
+
+def parse_query_dsl(
+    body: dict, doc_source: DataFrame | None, text_field: str = "text"
+) -> tuple[str | None, Column | None]:
+    """Translate the ES query-DSL subset a dashboard actually sends —
+    every Kibana request wraps the panel in ``bool.filter`` clauses
+    (the time-range picker is a ``range`` on the time field; filter
+    pills are ``term``/``terms``) around an optional search-bar
+    ``match`` — into this engine's two signals:
+
+    - ``match`` on the indexed text field → the free-text LEXICAL
+      query string (serve-time tokenized, exactly the ``query`` body
+      field)
+    - ``term`` / ``terms`` / ``range`` / ``exists`` on doc-metadata
+      fields → ONE Spark predicate over the mounted doc_source; the
+      REST layer turns it into a derived keep-set that pre-rank
+      semi-joins every signal, exactly like a caller-supplied
+      ``allowed_ids`` — the filter stays a distributed semi-join, it
+      never collects ids to the driver
+    - ``bool``: ``must`` (text + predicates, ANDed), ``filter``
+      (predicates, ANDed), ``must_not`` (negated predicates),
+      ``should`` (ORed predicates — ES's minimum_should_match=1
+      default when no must/filter sibling scoring applies)
+    - ``match_all`` → (None, None): no text, no predicate
+
+    Returns (query_text | None, predicate Column | None). Rejections
+    are explicit 400s: a ``match`` on anything but ``text_field`` is
+    unanswerable (the BM25 index indexes THE document text, not
+    arbitrary fields), text inside ``must_not``/``should`` would need
+    negative/optional scoring the lexical index does not express, and
+    metadata predicates need the doc_source mount."""
+    texts: list[str] = []
+    dtypes = dict(doc_source.dtypes) if doc_source is not None else {}
+
+    def lit_for(field: str, v) -> Column:
+        if dtypes.get(field, "").startswith("timestamp"):
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return F.timestamp_millis(F.lit(int(v)))
+            return F.lit(str(v)).cast("timestamp")
+        return F.lit(v)
+
+    def meta_field(field: str, clause: str) -> str:
+        if doc_source is None:
+            raise ValueError(
+                f"query DSL {clause!r} filters need a doc_source "
+                "mounted on this server"
+            )
+        if field not in doc_source.columns:
+            raise ValueError(
+                f"query DSL {clause!r}: field {field!r} not in the "
+                f"mounted doc_source (columns: "
+                f"{sorted(doc_source.columns)})"
+            )
+        return field
+
+    def one_entry(clause: dict, kind: str) -> tuple[str, object]:
+        if not isinstance(clause, dict) or len(clause) != 1:
+            raise ValueError(
+                f"query DSL {kind!r} takes exactly one {{field: ...}}"
+            )
+        (f, v), = clause.items()
+        return f, v
+
+    def predicate(node: dict, allow_text: bool) -> Column | None:
+        if not isinstance(node, dict) or len(node) != 1:
+            raise ValueError(
+                "each query DSL clause is one {type: body} object, got "
+                f"{node!r}"
+            )
+        (typ, clause), = node.items()
+        if typ == "match_all":
+            return None
+        if typ == "match":
+            if not allow_text:
+                raise ValueError(
+                    "'match' inside must_not/should would need "
+                    "negative/optional lexical scoring — move it to "
+                    "'must' (or filter on metadata instead)"
+                )
+            f, v = one_entry(clause, "match")
+            if f != text_field:
+                raise ValueError(
+                    f"'match' is answered by the BM25 text index, which "
+                    f"indexes {text_field!r} — got field {f!r}"
+                )
+            # ES match accepts {"field": "text"} or {"field": {"query": ...}}
+            texts.append(str(v["query"] if isinstance(v, dict) else v))
+            return None
+        if typ == "term":
+            f, v = one_entry(clause, "term")
+            v = v["value"] if isinstance(v, dict) else v
+            return F.col(meta_field(f, "term")).eqNullSafe(lit_for(f, v))
+        if typ == "terms":
+            f, vs = one_entry(clause, "terms")
+            if not isinstance(vs, list) or not vs:
+                raise ValueError("'terms' takes a non-empty value list")
+            col = F.col(meta_field(f, "terms"))
+            out = col == lit_for(f, vs[0])
+            for v in vs[1:]:
+                out = out | (col == lit_for(f, v))
+            return out
+        if typ == "range":
+            f, bounds = one_entry(clause, "range")
+            if not isinstance(bounds, dict) or not bounds or not (
+                set(bounds) <= {"gte", "gt", "lte", "lt"}
+            ):
+                raise ValueError(
+                    "'range' takes {gte/gt/lte/lt: value} bounds"
+                )
+            col = F.col(meta_field(f, "range"))
+            out = F.lit(True)
+            for op, v in bounds.items():
+                lv = lit_for(f, v)
+                out = out & {
+                    "gte": col >= lv, "gt": col > lv,
+                    "lte": col <= lv, "lt": col < lv,
+                }[op]
+            return out
+        if typ == "exists":
+            f = clause.get("field") if isinstance(clause, dict) else None
+            if not isinstance(f, str):
+                raise ValueError("'exists' takes {'field': name}")
+            return F.col(meta_field(f, "exists")).isNotNull()
+        if typ == "bool":
+            if not isinstance(clause, dict) or not (
+                set(clause) <= {"must", "filter", "must_not", "should"}
+            ):
+                raise ValueError(
+                    "'bool' takes must/filter/must_not/should clause "
+                    f"lists, got {sorted(clause) if isinstance(clause, dict) else clause!r}"
+                )
+            preds: list[Column] = []
+            for key, allow in (("must", True), ("filter", True)):
+                entries = clause.get(key, [])
+                entries = entries if isinstance(entries, list) else [entries]
+                for e in entries:
+                    p = predicate(e, allow_text=allow and allow_text)
+                    if p is not None:
+                        preds.append(p)
+            for e in (
+                clause.get("must_not", [])
+                if isinstance(clause.get("must_not", []), list)
+                else [clause["must_not"]]
+            ):
+                p = predicate(e, allow_text=False)
+                if p is not None:
+                    preds.append(~p)
+            should = clause.get("should", [])
+            should = should if isinstance(should, list) else [should]
+            sp: Column | None = None
+            for e in should:
+                p = predicate(e, allow_text=False)
+                if p is not None:
+                    sp = p if sp is None else (sp | p)
+            if sp is not None:
+                preds.append(sp)
+            if not preds:
+                return None
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return out
+        raise ValueError(
+            f"unsupported query DSL type {typ!r} (supported: match_all, "
+            "match, term, terms, range, exists, bool)"
+        )
+
+    pred = predicate(body, allow_text=True)
+    return (" ".join(texts) if texts else None), pred

@@ -253,3 +253,47 @@ def test_saved_search_sorted_listing(saved_objects, es_face):
         ).limit(10).collect()
     ]
     assert got == want
+
+
+def test_median_panel_with_time_range_pick(saved_objects, es_face):
+    """What Kibana ACTUALLY posts when the user narrows the time
+    picker: the panel's aggs wrapped in a bool.filter range on the
+    time field. The buckets equal the unfiltered serve restricted to
+    the picked window."""
+    vis, _ = saved_objects
+    spec = serve.kibana_vis_aggs(
+        vis["Median Rating, by Club Status"], _FIELD_MAP,
+        fixed_interval="1m",
+    )
+    s_enriched, _, enriched, _ = es_face
+    lo_ms = int(
+        enriched.agg(F.min(F.unix_millis("EXTRACT_TS"))).collect()[0][0]
+    ) + 120_000  # skip the first two minutes
+    picked = s_enriched.search({
+        "aggs": spec,
+        "query": {"bool": {"filter": [
+            {"range": {"EXTRACT_TS": {"gte": lo_ms}}},
+        ]}},
+    })["aggregations"]
+    (day_name,) = spec.keys()
+    # ES semantics: the filter restricts DOCS, so a pick landing
+    # mid-bucket leaves a PARTIAL first bucket — compare against a
+    # direct computation over the filtered frame, not a slice of the
+    # unfiltered envelope
+    want = {
+        (r["m"].isoformat(), r["CLUB_STATUS"]): r["n"]
+        for r in enriched.filter(
+            F.unix_millis("EXTRACT_TS") >= lo_ms
+        ).groupBy(
+            _minute(F.col("EXTRACT_TS")).alias("m"), "CLUB_STATUS"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    (status_name,) = spec[day_name]["aggs"].keys()
+    got = {
+        (d["key_as_string"], b["key"]): b["doc_count"]
+        for d in picked[day_name]["buckets"]
+        for b in d[status_name]["buckets"]
+    }
+    assert got == want
+    assert min(d["key_as_string"] for d in picked[day_name]["buckets"]) \
+        >= "2023-11-14T22:15:00"

@@ -1226,3 +1226,94 @@ def test_match_all_sorted_listing(meta_server):
     both = server.search({"sort": sort, "k": 3, "aggs": _AGGS})
     assert both["aggregations"]["by_day"]["buckets"]
     assert len(both["hits"]["hits"]) == 3
+
+
+def test_query_dsl_filters_and_match(spark, meta_server):
+    """ES query DSL — the request shape Kibana sends: bool.filter
+    time-range/term pills around a search-bar match. The match text
+    equals the plain free-text serve; the filters equal the same
+    request with a caller-computed allowed_ids keep-set."""
+    server, meta = meta_server
+    dsl = {
+        "bool": {
+            "must": {"match": {"text": "table value"}},
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 200, "lt": 400}}},
+            ],
+        }
+    }
+    got = server.search({"mode": "bm25", "query": dsl, "k": 8})
+    allowed = [
+        r["doc_id"]
+        for r in meta.filter(
+            (F.col("lang") == "en")
+            & (F.col("n_chars") >= 200) & (F.col("n_chars") < 400)
+        ).collect()
+    ]
+    want = server.search({
+        "mode": "bm25", "query": "table value", "k": 8,
+        "allowed_ids": allowed,
+    })
+    assert got["hits"]["hits"] == want["hits"]["hits"]
+    assert got["fill"] == want["fill"]
+    # every hit satisfies the filters
+    assert {h["_id"] for h in got["hits"]["hits"]} <= set(allowed)
+    # DSL composes with caller allowed_ids (intersection)
+    half = [i for i in allowed if i % 2 == 0]
+    both = server.search({
+        "mode": "bm25", "query": dsl, "k": 8, "allowed_ids": half,
+    })
+    assert {h["_id"] for h in both["hits"]["hits"]} <= set(half)
+
+
+def test_query_dsl_match_all_and_filter_only_aggs(meta_server):
+    server, meta = meta_server
+    # match_all DSL ≡ no query: the aggs-over-everything path
+    plain = server.search({"aggs": _AGGS})
+    dsl = server.search({"aggs": _AGGS, "query": {"match_all": {}}})
+    assert dsl["aggregations"] == plain["aggregations"]
+    assert dsl["hits"]["total"] == plain["hits"]["total"]
+    # filter-only DSL (the time-range picker): aggs over the filtered
+    # doc_source — the Kibana dashboard steady state
+    lo = "2024-01-02 00:00:00"
+    filtered = server.search({
+        "aggs": _AGGS,
+        "query": {"bool": {"filter": [{"range": {"ts": {"gte": lo}}}]}},
+    })
+    days = filtered["aggregations"]["by_day"]["buckets"]
+    assert all(d["key_as_string"] >= "2024-01-02" for d in days)
+    assert filtered["hits"]["total"] == meta.filter(
+        F.col("ts") >= F.lit(lo).cast("timestamp")
+    ).count()
+
+
+def test_query_dsl_validation(meta_server, stack):
+    server, _ = meta_server
+    with pytest.raises(ValueError, match="indexes 'text'"):
+        server.search(
+            {"mode": "bm25", "k": 3,
+             "query": {"match": {"lang": "en"}}}
+        )
+    with pytest.raises(ValueError, match="unsupported query DSL type"):
+        server.search({"mode": "bm25", "query": {"fuzzy": {"text": "x"}}})
+    with pytest.raises(ValueError, match="must_not/should"):
+        server.search(
+            {"mode": "bm25",
+             "query": {"bool": {"must_not": [{"match": {"text": "x"}}]}}}
+        )
+    with pytest.raises(ValueError, match="gte/gt/lte/lt"):
+        server.search(
+            {"mode": "bm25", "query": {
+                "bool": {"must": {"match": {"text": "x"}},
+                         "filter": [{"range": {"n_chars": {"eq": 3}}}]}}}
+        )
+    # metadata filters need the doc_source mount
+    server_nometa = stack[0]
+    code, body = _post(
+        server_nometa.url, "/search",
+        {"mode": "bm25", "k": 3,
+         "query": {"bool": {"must": {"match": {"text": "table"}},
+                            "filter": [{"term": {"lang": "en"}}]}}},
+    )
+    assert code == 400 and "doc_source" in body["error"]["reason"]
