@@ -1393,10 +1393,14 @@ def parse_query_dsl(
       semi-joins every signal, exactly like a caller-supplied
       ``allowed_ids`` — the filter stays a distributed semi-join, it
       never collects ids to the driver
-    - ``bool``: ``must`` (text + predicates, ANDed), ``filter``
-      (predicates, ANDed), ``must_not`` (negated predicates),
-      ``should`` (ORed predicates — ES's minimum_should_match=1
-      default when no must/filter sibling scoring applies)
+    - ``bool``: ``must`` (text + predicates, predicates ANDed),
+      ``filter`` (predicates, ANDed), ``must_not`` (negated
+      predicates), ``should`` (ORed predicates — ES's
+      minimum_should_match=1 default when no must/filter sibling
+      scoring applies). Multiple ``match`` clauses merge into ONE
+      term-union query string (BM25 scores the union of their terms —
+      ES's per-clause must-match-every-clause conjunction is not
+      expressed; send one match clause per request for exact parity)
     - ``match_all`` → (None, None): no text, no predicate
 
     Returns (query_text | None, predicate Column | None). Rejections
