@@ -320,6 +320,12 @@ class SearchRestServer:
             out["ivfpq_root"] = self.ivfpq_root
         except FileNotFoundError:
             out["ivfpq_root"] = None
+        if self.doc_source is not None:
+            # the ES `_mapping` role: which fields sort/aggs/DSL
+            # filters may target, with their types — discovery, not
+            # trial-and-error (schema metadata only, no job)
+            out["doc_fields"] = dict(self.doc_source.dtypes)
+            out["text_field"] = self.text_field
         return out
 
     def status(self) -> dict:

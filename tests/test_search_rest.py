@@ -1317,3 +1317,13 @@ def test_query_dsl_validation(meta_server, stack):
                             "filter": [{"term": {"lang": "en"}}]}}},
     )
     assert code == 400 and "doc_source" in body["error"]["reason"]
+
+
+def test_info_exposes_doc_fields(meta_server):
+    """ES _mapping's role: /info lists the mounted metadata fields and
+    types so a consumer discovers what sort/aggs/DSL filters may
+    target."""
+    server, meta = meta_server
+    info = server.info()
+    assert info["doc_fields"] == dict(meta.dtypes)
+    assert info["text_field"] == "text"
