@@ -441,7 +441,7 @@ class SearchRestServer:
         if not isinstance(aggs_spec, dict):
             return None
         comps = [
-            (name, body["composite"])
+            (name, body)
             for name, body in aggs_spec.items()
             if isinstance(body, dict) and "composite" in body
         ]
@@ -453,7 +453,19 @@ class SearchRestServer:
                 "request (it pages the bucket space; send siblings as "
                 "separate requests)"
             )
-        return comps[0]
+        name, body = comps[0]
+        extra = set(body) - {"composite", "aggs"}
+        if extra:
+            raise ValueError(
+                f"composite agg {name!r}: unknown keys {sorted(extra)}"
+            )
+        comp = dict(body["composite"])
+        if "aggs" in body:
+            # ES's actual shape: sub-aggs are a SIBLING of "composite"
+            # (review finding: they were silently dropped); the
+            # inside-the-body form stays accepted, sibling wins
+            comp["aggs"] = body["aggs"]
+        return name, comp
 
     def _allowed_df(self, req: dict, pred=None) -> DataFrame | None:
         """The request's keep-set: caller-supplied ``allowed_ids``
@@ -593,24 +605,38 @@ class SearchRestServer:
                 )
                 if frm:
                     hits = [h for h in hits if h["rank"] > frm]
-                out = {
-                    "hits": {"total": len(hits), "hits": hits},
-                    "fill": si.fill_counts(
-                        (h["query_id"] for h in hits), (0,), k
-                    ),
-                }
+                # hits.total is the MATCH COUNT here, same as the
+                # aggs-only path (review finding: a page-sized total
+                # told saved-search consumers to stop paging); read it
+                # from the aggs depth-0 row when a tree rides along,
+                # else pay the one count(). Two passes over matched
+                # (sort window + rollup/count) are DELIBERATE: each is
+                # column-pruned to disjoint fields, while pinning the
+                # corpus-scale frame would materialize every column.
+                aggregations = None
+                total = None
                 if aggs_spec is not None:
                     comp = self._composite_entry(aggs_spec)
                     if comp is not None:
-                        out["aggregations"] = {
+                        aggregations = {
                             comp[0]: serve.composite_nested(
                                 matched, comp[1], pins
                             )
                         }
                     else:
-                        out["aggregations"] = serve.aggs_nested(
-                            matched, aggs_spec, pins
+                        aggregations, total = serve.aggs_nested(
+                            matched, aggs_spec, pins, with_total=True
                         )
+                if total is None:
+                    total = matched.count()
+                out = {
+                    "hits": {"total": total, "hits": hits},
+                    "fill": si.fill_counts(
+                        (h["query_id"] for h in hits), (0,), k
+                    ),
+                }
+                if aggregations is not None:
+                    out["aggregations"] = aggregations
                 out["took"] = int((_time.perf_counter() - t0) * 1000)
                 return out
             # hits.total = the depth-0 rollup row's doc_count — a

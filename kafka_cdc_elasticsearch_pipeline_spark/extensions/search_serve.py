@@ -473,7 +473,11 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
             )
     for ms in metrics.values():
         for m in ms:
-            for col in m.columns:
+            # the NAME matters too: a multi-column metric (stats,
+            # percentiles) named 'doc_count' has columns like
+            # doc_count_min that dodge the column check, then its
+            # envelope entry would overwrite the bucket's doc_count
+            for col in {m.name, *m.columns}:
                 if col in reserved:
                     raise ValueError(f"agg column {col!r} is reserved")
                 reserved.add(col)
@@ -837,6 +841,8 @@ def aggs_nested(
         hits = th_maps[node.name].get(key, [])
         return {"hits": {"total": total, "hits": hits}}
 
+    fabricated = {"n": 0}  # gap-fill budget across ALL parents
+
     def level(depth: int, prefix: tuple) -> dict:
         """The aggs object INSIDE a depth-(depth-1) bucket: the
         depth-level bucket list (if the chain goes deeper) plus that
@@ -877,6 +883,17 @@ def aggs_nested(
                     by_val.get(v, {"depth": depth, b.name: v, "doc_count": 0})
                     for v in _spine(b, list(by_val))
                 ]
+                # the per-parent spine cap cannot see ACROSS parents
+                # (review finding: 1000 kept parents × an under-cap
+                # spine each = millions of fabricated envelope
+                # buckets); budget the fabrication globally too
+                fabricated["n"] += len(mine) - len(by_val)
+                if fabricated["n"] + len(rows) > MAX_BUCKETS:
+                    raise ValueError(
+                        "min_doc_count=0 would fill more than "
+                        f"{MAX_BUCKETS} buckets across parents; raise "
+                        "the interval or lower the parent terms size"
+                    )
         bounds = (
             {b.range_label(lo, hi): (lo, hi) for lo, hi in b.ranges}
             if b.typ == "range"
@@ -972,18 +989,27 @@ def _top_hits_map(
         )
         for f, asc in node.sort
     ] + [F.col("doc_id").asc()]
-    w = (
-        Window.partitionBy(*names).orderBy(*order)
-        if names
-        else Window.partitionBy().orderBy(*order)
-    )
-    ranked = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= node.size)
-    )
+    if names:
+        w = Window.partitionBy(*names).orderBy(*order)
+        ranked_rows = [
+            r.asDict()
+            for r in keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= node.size)
+            .collect()  # bounded: ≤ |kept| × size (checked)
+        ]
+    else:
+        # root-level top_hits: an unpartitioned rank window would
+        # funnel the whole match set through ONE task (review
+        # finding); orderBy + limit runs as TakeOrderedAndProject —
+        # the same per-task-bounded shape the composite path uses
+        ranked_rows = [
+            {**r.asDict(), "_rn": i}
+            for i, r in enumerate(
+                keyed.orderBy(*order).limit(node.size).collect(), start=1
+            )
+        ]
     grouped: dict[tuple, list[tuple[int, dict]]] = {}
-    for r in ranked.collect():  # bounded: ≤ |kept| × size (checked)
-        d = r.asDict()
+    for d in ranked_rows:
         key = tuple(d[n] for n in names)
         hit = {"_id": d["doc_id"]}
         if node.sort:
@@ -1358,6 +1384,12 @@ def kibana_vis_aggs(
                 raise ValueError(
                     f"unsupported Kibana bucket type {typ!r}"
                 )
+        else:
+            raise ValueError(
+                f"unsupported Kibana agg schema {schema!r} (supported: "
+                "metric, segment, group, bucket) — silently dropping a "
+                "panel dimension would serve different results"
+            )
     if not buckets and not metrics:
         return None
     # innermost-out: metrics inside the last bucket (Kibana's request
@@ -1464,7 +1496,14 @@ def parse_query_dsl(
                     f"indexes {text_field!r} — got field {f!r}"
                 )
             # ES match accepts {"field": "text"} or {"field": {"query": ...}}
-            texts.append(str(v["query"] if isinstance(v, dict) else v))
+            if isinstance(v, dict):
+                if "query" not in v:
+                    raise ValueError(
+                        "'match' object form needs a 'query' key, got "
+                        f"{sorted(v)}"
+                    )
+                v = v["query"]
+            texts.append(str(v))
             return None
         if typ == "term":
             f, v = one_entry(clause, "term")
@@ -1510,6 +1549,7 @@ def parse_query_dsl(
                     f"lists, got {sorted(clause) if isinstance(clause, dict) else clause!r}"
                 )
             preds: list[Column] = []
+            n_texts_before = len(texts)
             for key, allow in (("must", True), ("filter", True)):
                 entries = clause.get(key, [])
                 entries = entries if isinstance(entries, list) else [entries]
@@ -1517,6 +1557,7 @@ def parse_query_dsl(
                     p = predicate(e, allow_text=allow and allow_text)
                     if p is not None:
                         preds.append(p)
+            has_required = bool(preds) or len(texts) > n_texts_before
             for e in (
                 clause.get("must_not", [])
                 if isinstance(clause.get("must_not", []), list)
@@ -1532,7 +1573,12 @@ def parse_query_dsl(
                 p = predicate(e, allow_text=False)
                 if p is not None:
                     sp = p if sp is None else (sp | p)
-            if sp is not None:
+            if sp is not None and not has_required:
+                # ES: should REQUIRES a match only when the bool has
+                # no must/filter sibling (minimum_should_match
+                # defaults to 1 then, 0 otherwise — with siblings it
+                # is scoring-only, which a filter predicate cannot
+                # express, so it is dropped rather than wrongly ANDed)
                 preds.append(sp)
             if not preds:
                 return None

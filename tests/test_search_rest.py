@@ -1327,3 +1327,41 @@ def test_info_exposes_doc_fields(meta_server):
     info = server.info()
     assert info["doc_fields"] == dict(meta.dtypes)
     assert info["text_field"] == "text"
+
+
+def test_sorted_match_all_total_is_match_count(meta_server):
+    """Review finding: the sorted listing's total was the PAGE size —
+    a saved-search consumer would stop paging one page in. Total is
+    the match count, same as the aggs-only path."""
+    server, meta = meta_server
+    out = server.search({"sort": [{"field": "ts"}], "k": 3})
+    assert out["hits"]["total"] == meta.count()
+    assert len(out["hits"]["hits"]) == 3
+    # and with an aggs tree riding along, the total comes from the
+    # depth-0 rollup row (no second count scan)
+    both = server.search({"sort": [{"field": "ts"}], "k": 3, "aggs": _AGGS})
+    assert both["hits"]["total"] == meta.count()
+
+
+def test_composite_sibling_aggs_honored(meta_server):
+    """ES's actual composite shape: sub-aggs as a SIBLING of
+    'composite' (review finding: they were silently dropped)."""
+    server, _ = meta_server
+    sources = [{"lang": {"terms": {"field": "lang"}}}]
+    sibling = server.search({"aggs": {"p": {
+        "composite": {"size": 10, "sources": sources},
+        "aggs": {"mean": {"avg": {"field": "n_chars"}}},
+    }}})
+    inside = server.search({"aggs": {"p": {
+        "composite": {"size": 10, "sources": sources,
+                      "aggs": {"mean": {"avg": {"field": "n_chars"}}}},
+    }}})
+    assert sibling["aggregations"] == inside["aggregations"]
+    assert all(
+        "mean" in b for b in sibling["aggregations"]["p"]["buckets"]
+    )
+    with pytest.raises(ValueError, match="unknown keys"):
+        server.search({"aggs": {"p": {
+            "composite": {"size": 5, "sources": sources},
+            "bogus": 1,
+        }}})

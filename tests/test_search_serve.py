@@ -637,3 +637,76 @@ def test_top_hits_validation(frame):
             {"t": {"top_hits": {"sort": [{"field": "nope"}]}}},
             frame.columns,
         )
+
+
+def test_should_is_optional_with_siblings(frame):
+    """ES bool semantics: 'should' REQUIRES a match only when the bool
+    has no must/filter sibling (minimum_should_match 1 vs 0) — with a
+    sibling it is scoring-only and must not shrink the match set."""
+    # sibling filter present: should must NOT exclude en docs
+    _, pred = serve.parse_query_dsl(
+        {"bool": {"filter": [{"term": {"lang": "en"}}],
+                  "should": [{"term": {"n_chars": 10}}]}},
+        frame,
+    )
+    assert frame.filter(pred).count() == 3  # all en docs, not just n=10
+    # no sibling: should is the requirement (msm=1)
+    _, pred = serve.parse_query_dsl(
+        {"bool": {"should": [{"term": {"lang": "en"}},
+                             {"term": {"lang": "de"}}]}},
+        frame,
+    )
+    assert frame.filter(pred).count() == 4  # en×3 + de×1
+    # a must MATCH also counts as a required sibling
+    text, pred = serve.parse_query_dsl(
+        {"bool": {"must": {"match": {"text": "x"}},
+                  "should": [{"term": {"lang": "en"}}]}},
+        frame.withColumn("text", F.lit("t")),
+    )
+    assert text == "x" and pred is None  # should dropped, not ANDed
+
+
+def test_match_object_without_query_is_400(frame):
+    with pytest.raises(ValueError, match="'query' key"):
+        serve.parse_query_dsl(
+            {"match": {"text": {"operator": "and"}}},
+            frame.withColumn("text", F.lit("t")),
+        )
+
+
+def test_metric_named_doc_count_rejected(frame):
+    with pytest.raises(ValueError, match="reserved"):
+        serve.parse_aggs(
+            {"by": {"terms": {"field": "lang"},
+                    "aggs": {"doc_count": {"stats": {"field": "n_chars"}}}}},
+            frame.columns,
+        )
+
+
+def test_gap_fill_budget_across_parents(spark, monkeypatch):
+    """The per-parent spine cap cannot see across parents: many kept
+    parents × an under-cap spine each must still 400, not fabricate
+    millions of envelope buckets."""
+    rows = []
+    for i in range(12):
+        rows.append((2 * i, f"p{i:02d}", "2024-01-01 00:00:00"))
+        rows.append((2 * i + 1, f"p{i:02d}", "2024-01-10 00:00:00"))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, parent string, ts_s string"
+    ).select("doc_id", "parent", F.col("ts_s").cast("timestamp").alias("ts"))
+    spec = {"p": {"terms": {"field": "parent", "size": 20},
+                  "aggs": {"d": {"date_histogram": {
+                      "field": "ts", "fixed_interval": "1d",
+                      "min_doc_count": 0}}}}}
+    monkeypatch.setattr(serve, "MAX_BUCKETS", 40)
+    # 12 parents × 10-day spine = 120 fabricated-ish buckets > 40
+    with pytest.raises(ValueError, match="across parents"):
+        serve.aggs_nested(df, spec)
+
+
+def test_kibana_unknown_schema_rejected(frame):
+    with pytest.raises(ValueError, match="unsupported Kibana agg schema"):
+        serve.kibana_vis_aggs(
+            {"aggs": [{"id": "1", "type": "terms", "schema": "split",
+                       "params": {"field": "lang"}}]},
+        )
