@@ -783,12 +783,25 @@ def _metric_json(m: _Metric, row: dict) -> dict:
             }
         }
     if m.typ == "stats":
-        return {
+        out = {
             part: _val_json(row.get(col))
             for part, col in zip(
                 ("count", "min", "max", "avg", "sum"), m.columns
             )
         }
+        # ES serves count: 0 / sum: 0.0 (min/max/avg null) on an
+        # empty or gap-filled bucket — the flat frame's F.count is
+        # never null on real rows, so None means a fabricated
+        # min_doc_count=0 bucket; consumers do arithmetic on these
+        if out["count"] is None:
+            out["count"] = 0
+        if out["sum"] is None:
+            out["sum"] = 0.0
+        return out
+    if m.typ in ("value_count", "cardinality"):
+        # same ES contract: counts serve 0, not null, on empty buckets
+        v = row.get(m.name)
+        return {"value": 0 if v is None else _val_json(v)}
     return {"value": _val_json(row.get(m.name))}
 
 
@@ -825,6 +838,18 @@ def aggs_nested(
             if r["sum_other"] is not None
         }
     names = [b.name for b in chain]
+    # pre-group the bucket rows by (depth, parent-key prefix) ONCE:
+    # the fold below visits every bucket, and a per-bucket filter of
+    # the full row list is O(|rows|²) driver time — ~4×10⁹ tuple
+    # compares at the MAX_BUCKETS cap (minutes of driver CPU on a
+    # deep dashboard) vs this one O(|rows|) pass
+    by_parent: dict[tuple, list[dict]] = {}
+    for r in rows:
+        d = r["depth"]
+        if d:
+            by_parent.setdefault(
+                (d, tuple(r[n] for n in names[: d - 1])), []
+            ).append(r)
     th_maps: dict[str, dict[tuple, list[dict]]] = {}
     for d, nodes in tophits.items():
         kept = (
@@ -851,11 +876,8 @@ def aggs_nested(
         if depth > len(chain):
             return out
         b = chain[depth - 1]
-        mine = [
-            r for r in rows
-            if r["depth"] == depth
-            and tuple(r[n] for n in names[: depth - 1]) == prefix
-        ]
+        # copy: the gap-fill branch below replaces entries in place
+        mine = list(by_parent.get((depth, prefix), ()))
         if b.typ == "terms":
             mine.sort(key=lambda r: (-r["doc_count"], r[b.name]))
         elif b.typ == "range":
@@ -1278,7 +1300,7 @@ def composite_nested(
     accepted for symmetry with aggs_nested; the page is
     LIMIT-bounded, nothing here needs pinning."""
     del pins  # one bounded plan — no frame is referenced twice
-    keys, metrics, size, _ = parse_composite(body, docs.columns)
+    keys, metrics, _size, _ = parse_composite(body, docs.columns)
     rows = [r.asDict() for r in composite_flat(docs, body).collect()]
     buckets = []
     for r in rows:
@@ -1291,7 +1313,10 @@ def composite_nested(
             bucket[m.name] = _metric_json(m, r)
         buckets.append(bucket)
     out: dict = {"buckets": buckets}
-    if len(buckets) == size:
+    # ES emits after_key whenever the response HAS buckets — including
+    # a partial final page (clients keying on after_key presence see
+    # ES's wire shape; termination is the next page coming back empty)
+    if buckets:
         out["after_key"] = buckets[-1]["key"]
     return out
 
@@ -1565,7 +1590,14 @@ def parse_query_dsl(
             ):
                 p = predicate(e, allow_text=False)
                 if p is not None:
-                    preds.append(~p)
+                    # NULL-SAFE negation: a terms/range/nested-bool
+                    # clause evaluates to SQL NULL on a doc whose
+                    # field is missing, and ~NULL is NULL = dropped —
+                    # but ES's must_not KEEPS docs missing the field
+                    # (the clause didn't match). coalesce(p, False)
+                    # makes every clause type behave like the
+                    # eqNullSafe term clause already did.
+                    preds.append(~F.coalesce(p, F.lit(False)))
             should = clause.get("should", [])
             should = should if isinstance(should, list) else [should]
             sp: Column | None = None

@@ -406,6 +406,9 @@ def test_composite_pages_tile_the_bucket_space(frame):
         if "after_key" not in out:
             break
         after = out["after_key"]
+    # ES emits after_key on EVERY non-empty page (a partial final
+    # page included) — the walk terminates on the first empty page
+    assert pages[-1] == [] and all(p for p in pages[:-1])
     walked = [b for p in pages for b in p]
     whole = serve.composite_nested(frame, {**COMP, "size": 100})["buckets"]
     assert walked == whole
@@ -710,3 +713,89 @@ def test_kibana_unknown_schema_rejected(frame):
             {"aggs": [{"id": "1", "type": "terms", "schema": "split",
                        "params": {"field": "lang"}}]},
         )
+
+
+# --- round-13: advice fixes ---------------------------------------------------
+
+
+def test_must_not_keeps_docs_missing_the_field(frame):
+    """ES ``must_not`` KEEPS docs missing the field (the clause did
+    not match them) — a terms/range/nested-bool clause is SQL-NULL on
+    a null field, and an un-coalesced ``~NULL`` silently dropped doc 3
+    (lang NULL) from every non-term must_not."""
+    for clause in (
+        {"terms": {"lang": ["en", "de"]}},
+        {"range": {"lang": {"gte": "a"}}},
+        {"term": {"lang": "en"}},
+        {"bool": {"should": [{"term": {"lang": "en"}},
+                             {"term": {"lang": "de"}}]}},
+    ):
+        _, pred = serve.parse_query_dsl(
+            {"bool": {"must_not": [clause]}}, frame
+        )
+        kept = {r.doc_id for r in frame.filter(pred).collect()}
+        assert 3 in kept, clause
+    # and docs the clause DOES match are excluded
+    _, pred = serve.parse_query_dsl(
+        {"bool": {"must_not": [{"terms": {"lang": ["en", "de"]}}]}}, frame
+    )
+    assert {r.doc_id for r in frame.filter(pred).collect()} == {3, 5}
+
+
+def test_gap_filled_counts_serve_zero_not_null(spark):
+    """ES serves value_count/cardinality as 0 and stats with count: 0,
+    sum: 0.0 on empty (gap-filled) buckets — consumers do arithmetic
+    on those fields; avg/min/max stay null."""
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 05:00:00", 10), (1, "2024-01-03 09:00:00", 20)],
+        "doc_id bigint, ts_s string, v bigint",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = serve.aggs_nested(
+        df,
+        {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                  "min_doc_count": 0},
+               "aggs": {"n": {"value_count": {"field": "v"}},
+                        "u": {"cardinality": {"field": "v"}},
+                        "s": {"stats": {"field": "v"}},
+                        "m": {"avg": {"field": "v"}}}}},
+    )
+    gap = out["d"]["buckets"][1]
+    assert gap["doc_count"] == 0
+    assert gap["n"] == {"value": 0}
+    assert gap["u"] == {"value": 0}
+    assert gap["s"]["count"] == 0 and gap["s"]["sum"] == 0.0
+    assert gap["s"]["min"] is None and gap["s"]["avg"] is None
+    assert gap["m"]["value"] is None
+    # real buckets unaffected
+    assert out["d"]["buckets"][0]["n"] == {"value": 1}
+    assert out["d"]["buckets"][0]["s"]["sum"] == 10
+
+
+def test_envelope_fold_is_linear_on_deep_trees(spark):
+    """The nested-envelope fold pre-groups the flat rows by (depth,
+    parent prefix) once — the per-bucket full-row-list filter it
+    replaced was O(|rows|²) driver time, minutes at this size (~1.3e4
+    bucket rows across 3 levels). Values are pinned against the
+    product construction."""
+    import time
+
+    n_a, n_b, n_c = 30, 25, 16  # 30 + 750 + 12000 bucket rows + root
+    df = spark.range(n_a * n_b * n_c).select(
+        (F.col("id") % n_a).alias("a"),
+        ((F.col("id") / n_a).cast("long") % n_b).alias("b"),
+        (F.col("id") / (n_a * n_b)).cast("long").alias("c"),
+    )
+    spec = {"A": {"terms": {"field": "a", "size": n_a}, "aggs": {
+        "B": {"terms": {"field": "b", "size": n_b}, "aggs": {
+            "C": {"terms": {"field": "c", "size": n_c}}}}}}}
+    t0 = time.perf_counter()
+    out = serve.aggs_nested(df, spec)
+    elapsed = time.perf_counter() - t0
+    assert len(out["A"]["buckets"]) == n_a
+    a0 = out["A"]["buckets"][0]
+    assert a0["doc_count"] == n_b * n_c
+    assert all(len(a["B"]["buckets"]) == n_b for a in out["A"]["buckets"])
+    c_buckets = a0["B"]["buckets"][0]["C"]["buckets"]
+    assert len(c_buckets) == n_c
+    assert all(b["doc_count"] == 1 for b in c_buckets)
+    assert elapsed < 90, f"envelope fold took {elapsed:.1f}s"
