@@ -5681,3 +5681,81 @@ def ext_search_aggs_composite_page(
         "doc_count",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_terms_order_metric",
+    """
+    WITH rolled AS (
+      SELECT lang AS by_lang, grouping(lang) AS g,
+             count(*)::BIGINT AS doc_count,
+             quantile_cont(n_chars, 0.5) AS med_raw
+      FROM documents
+      GROUP BY ROLLUP (lang)
+    ),
+    lv AS (
+      SELECT (1 - g)::INTEGER AS depth, by_lang, doc_count,
+             CASE WHEN g = 0 THEN round(med_raw, 6) END AS med_chars
+      FROM rolled
+    ),
+    keep AS (
+      SELECT by_lang FROM (
+        SELECT by_lang, row_number() OVER (
+          ORDER BY med_chars DESC NULLS LAST, by_lang ASC) AS rn
+        FROM lv WHERE depth = 1)
+      WHERE rn <= 2
+    )
+    SELECT l.depth, l.by_lang, l.doc_count, l.med_chars
+    FROM lv l LEFT JOIN keep k ON l.by_lang = k.by_lang
+    WHERE l.depth = 0 OR k.by_lang IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "order", "serving"),
+)
+def ext_search_aggs_terms_order_metric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TERMS ``order`` by a metric sub-agg — ES's order contract
+    changes WHICH top-N buckets survive ``size`` truncation, not just
+    display order (Kibana writes ``orderBy`` into every terms
+    visState by default; the reference's Club-Status panel orders by
+    ``_term``, docker-compose.yml:347). The serve:
+    ``terms(lang, size=2, order={"med_chars.50": "desc"})`` with an
+    exact interpolated median metric — the top-2 langs BY MEDIAN
+    n_chars, a different bucket set than the doc_count-desc default
+    would keep (the most frequent lang has a mid-pack median on the
+    synthetic corpus). The compiler runs the same ONE rollup pass as
+    every aggs tree; the order only parameterizes the truncation
+    window (``_terms_order_cols`` — metric desc NULLS LAST, key asc
+    tiebreak), so no extra shuffle or scan is added. The oracle
+    rebuilds it from scratch: DuckDB ROLLUP + grouping() + a ranked
+    keep-list ORDER BY the median DESC NULLS LAST — hash-equality
+    pins the surviving set, the NULLS-LAST discipline, and the
+    key-asc tiebreak cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.aggs_flat(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        {
+            "by_lang": {
+                "terms": {
+                    "field": "lang",
+                    "size": 2,
+                    "order": {"med_chars.50": "desc"},
+                },
+                "aggs": {
+                    "med_chars": {
+                        "percentiles": {"field": "n_chars",
+                                        "percents": [50]}
+                    }
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_lang",
+        "doc_count",
+        F.round("med_chars_50_0", 6).alias("med_chars"),
+    )

@@ -51,8 +51,11 @@ oracle can hash it; at 100 TB swap in the sketch family
 approximation) — the compiler keeps that a one-line substitution.
 
 ES behavior references (all public): ``terms`` buckets order by
-doc_count desc then key asc and truncate to ``size`` PER PARENT with
-``sum_other_doc_count`` for the remainder; ``date_histogram`` keys are
+doc_count desc then key asc (or an explicit ``"order"`` —
+``_key`` / ``_count`` / a metric sub-agg's name, which changes WHICH
+top-N buckets survive truncation, not just display order) and
+truncate to ``size`` PER PARENT with ``sum_other_doc_count`` for the
+remainder; ``date_histogram`` keys are
 bucket-start epoch millis plus ``key_as_string``; docs whose bucket
 field is NULL land in no bucket (and therefore in no child bucket) but
 still count in their parent's ``doc_count``; aggregations run over ALL
@@ -104,14 +107,50 @@ def _fixed_interval_seconds(spec: str) -> int:
     return n * _FIXED_UNIT_SECONDS[unit]
 
 
+#: the body keys each bucket type serves — anything else is a 400, not
+#: a silent ignore: a key this compiler does not implement (ES's
+#: shard_size, missing, script, ...) swallowed quietly would serve
+#: DIFFERENT results than ES for the same request (the same honesty
+#: rule kibana_vis_aggs applies to unknown schemas)
+_BUCKET_KEYS = {
+    "terms": {"field", "size", "order"},
+    "date_histogram": {
+        "field", "fixed_interval", "calendar_interval",
+        "min_doc_count", "extended_bounds",
+    },
+    "histogram": {"field", "interval", "min_doc_count", "extended_bounds"},
+    "range": {"field", "ranges"},
+}
+
+
+def _strict_keys(
+    name: str, typ: str, body: dict, allowed: set[str]
+) -> None:
+    unknown = sorted(set(body) - allowed)
+    if unknown:
+        raise ValueError(
+            f"agg {name!r} ({typ}): unsupported body keys {unknown} "
+            f"(supported: {sorted(allowed)})"
+        )
+
+
 class _Bucket:
     """One parsed bucket level of the agg chain."""
 
     def __init__(self, name: str, typ: str, body: dict):
         if not isinstance(body, dict):
             raise ValueError(f"agg {name!r}: {typ} body must be an object")
+        _strict_keys(name, typ, body, _BUCKET_KEYS[typ])
         self.name = name
         self.typ = typ
+        # terms bucket order: WHICH top-N buckets survive `size`
+        # truncation, not just display order. ES default: doc_count
+        # desc, key asc. "order": {"_key"|"_count"|<metric>: dir}
+        # switches it; a metric order key is resolved to its flat-
+        # frame column by parse_aggs once the metrics are known.
+        self.order_key = "_count"
+        self.order_asc = False
+        self.order_col: str | None = None
         self.field = body.get("field")
         if not isinstance(self.field, str):
             raise ValueError(f"agg {name!r} needs a 'field' string")
@@ -148,11 +187,6 @@ class _Bucket:
                         "min ≤ max (epoch millis for date_histogram)"
                     )
                 self.bounds = (eb["min"], eb["max"])
-        elif "min_doc_count" in body or "extended_bounds" in body:
-            raise ValueError(
-                f"agg {name!r}: min_doc_count/extended_bounds apply to "
-                "date_histogram/histogram only"
-            )
         if typ == "range":
             ranges = body.get("ranges")
             if not isinstance(ranges, list) or not ranges:
@@ -211,6 +245,22 @@ class _Bucket:
                     f"terms agg {name!r}: 'size' must be a positive integer"
                 )
             self.size = size
+            order = body.get("order")
+            if order is not None:
+                if not isinstance(order, dict) or len(order) != 1:
+                    raise ValueError(
+                        f"terms agg {name!r}: 'order' is one "
+                        '{"_key"|"_count"|<metric name>: "asc"|"desc"} '
+                        "object"
+                    )
+                (okey, odir), = order.items()
+                if not isinstance(okey, str) or odir not in ("asc", "desc"):
+                    raise ValueError(
+                        f"terms agg {name!r}: 'order' direction must be "
+                        f"'asc' or 'desc', got {{{okey!r}: {odir!r}}}"
+                    )
+                self.order_key = okey
+                self.order_asc = odir == "asc"
         elif typ == "histogram":
             iv = body.get("interval")
             if not isinstance(iv, (int, float)) or isinstance(iv, bool) or iv <= 0:
@@ -285,6 +335,10 @@ class _Metric:
     def __init__(self, name: str, typ: str, body: dict):
         if not isinstance(body, dict):
             raise ValueError(f"agg {name!r}: {typ} body must be an object")
+        _strict_keys(
+            name, typ, body,
+            {"field", "percents"} if typ == "percentiles" else {"field"},
+        )
         self.name = name
         self.typ = typ
         self.field = body.get("field")
@@ -344,6 +398,48 @@ class _Metric:
         return [fn(c).alias(self.name)]
 
 
+def _resolve_order_metric(b: _Bucket, level_metrics: list[_Metric]) -> str:
+    """A terms ``order`` key that names a metric resolves to that
+    metric's flat-frame column. ES's contract: the metric must be a
+    sub-agg OF the terms agg (same level); a multi-valued metric
+    (stats / percentiles) is addressed by a dotted component path —
+    ``"st.avg"``, ``"pct.50"`` — exactly the path ES accepts."""
+    name, _, part = b.order_key.partition(".")
+    m = next((m for m in level_metrics if m.name == name), None)
+    if m is None:
+        raise ValueError(
+            f"terms agg {b.name!r}: order key {b.order_key!r} is not "
+            "'_key'/'_count' or a metric sub-agg of this terms agg"
+        )
+    if m.typ == "stats":
+        if part not in ("count", "min", "max", "avg", "sum"):
+            raise ValueError(
+                f"terms agg {b.name!r}: ordering by stats {name!r} "
+                f"needs a component path like '{name}.avg' "
+                "(count/min/max/avg/sum)"
+            )
+        return f"{name}_{part}"
+    if m.typ == "percentiles":
+        try:
+            want = float(part)
+        except ValueError:
+            want = None
+        for p, col in zip(m.percents, m.columns):
+            if want is not None and p == want:
+                return col
+        raise ValueError(
+            f"terms agg {b.name!r}: ordering by percentiles {name!r} "
+            f"needs a computed percent path like '{name}.50' "
+            f"(computed: {m.percents})"
+        )
+    if part:
+        raise ValueError(
+            f"terms agg {b.name!r}: metric {name!r} is single-valued — "
+            f"order by {name!r}, not {b.order_key!r}"
+        )
+    return m.name
+
+
 class _TopHits:
     """A parsed ``top_hits`` node: example documents per bucket (the
     Kibana data-table primitive). Envelope-only — it returns doc ROWS,
@@ -353,6 +449,7 @@ class _TopHits:
     def __init__(self, name: str, body: dict, columns: list[str]):
         if not isinstance(body, dict):
             raise ValueError(f"top_hits agg {name!r} must be an object")
+        _strict_keys(name, "top_hits", body, {"size", "sort", "_source"})
         self.name = name
         size = body.get("size", 3)
         if isinstance(size, bool) or not isinstance(size, int) or not (
@@ -510,6 +607,11 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 f"bucket agg name {b.name!r} collides with a metric "
                 "field of the same name — rename the agg"
             )
+    # metric-ordered terms: resolve the order key to its flat-frame
+    # column now that this level's metrics are known
+    for d, b in enumerate(chain, start=1):
+        if b.typ == "terms" and b.order_key not in ("_key", "_count"):
+            b.order_col = _resolve_order_metric(b, metrics.get(d, []))
     return chain, metrics, tophits
 
 
@@ -573,6 +675,27 @@ def _metric_cols(metrics: dict[int, list[_Metric]]) -> list[str]:
     return [c for ms in metrics.values() for m in ms for c in m.columns]
 
 
+def _terms_order_cols(b: _Bucket) -> list[Column]:
+    """The truncation-window sort for one terms level: ES's default
+    (doc_count desc, key asc) or the bucket's explicit ``order``.
+    Key order needs no tiebreak (keys are unique per parent);
+    doc_count and metric orders tiebreak key asc (ES); a NULL metric
+    (bucket with no values for the field) sorts LAST either
+    direction — the bucket can't compete on a value it doesn't
+    have."""
+    if b.order_key == "_key":
+        kc = F.col(b.name)
+        return [kc.asc() if b.order_asc else kc.desc()]
+    if b.order_key == "_count":
+        cc = F.col("doc_count")
+        return [cc.asc() if b.order_asc else cc.desc(), F.col(b.name).asc()]
+    mc = F.col(b.order_col)
+    return [
+        mc.asc_nulls_last() if b.order_asc else mc.desc_nulls_last(),
+        F.col(b.name).asc(),
+    ]
+
+
 def _truncate_terms(
     flat: DataFrame,
     chain: list[_Bucket],
@@ -619,7 +742,7 @@ def _truncate_terms(
             continue
         lvl = flat.filter(F.col("depth") == d)
         w = Window.partitionBy(*names[: d - 1]).orderBy(
-            F.col("doc_count").desc(), F.col(b.name).asc()
+            *_terms_order_cols(b)
         )
         ranked = lvl.withColumn("_rn", F.row_number().over(w))
         keep = ranked.filter(F.col("_rn") <= b.size).select(*names[:d])
@@ -814,8 +937,9 @@ def aggs_nested(
     """ES ``aggregations`` response envelope: the flat frame collected
     (bounded by :data:`MAX_BUCKETS`, ES's own default cap) and folded
     into nested ``buckets`` driver-side. terms buckets ordered
-    doc_count desc / key asc with ``sum_other_doc_count``;
-    date_histogram / histogram buckets ordered by key."""
+    doc_count desc / key asc (or the level's explicit ``order``) with
+    ``sum_other_doc_count``; date_histogram / histogram buckets
+    ordered by key."""
     chain, metrics, tophits = parse_aggs(spec, docs.columns)
     flat = _rollup_flat(docs, chain, metrics)
     flat, others = _truncate_terms(flat, chain, pins)
@@ -879,7 +1003,23 @@ def aggs_nested(
         # copy: the gap-fill branch below replaces entries in place
         mine = list(by_parent.get((depth, prefix), ()))
         if b.typ == "terms":
-            mine.sort(key=lambda r: (-r["doc_count"], r[b.name]))
+            # mirror _terms_order_cols exactly (two-pass stable sorts:
+            # tiebreak first, then the primary key with its direction;
+            # NULL metric values last either direction)
+            if b.order_key == "_key":
+                mine.sort(key=lambda r: r[b.name], reverse=not b.order_asc)
+            elif b.order_key == "_count":
+                mine.sort(key=lambda r: r[b.name])
+                mine.sort(
+                    key=lambda r: r["doc_count"], reverse=not b.order_asc
+                )
+            else:
+                mine.sort(key=lambda r: r[b.name])
+                valued = [r for r in mine if r[b.order_col] is not None]
+                valued.sort(
+                    key=lambda r: r[b.order_col], reverse=not b.order_asc
+                )
+                mine = valued + [r for r in mine if r[b.order_col] is None]
         elif b.typ == "range":
             order = {
                 b.range_label(lo, hi): i
@@ -1150,12 +1290,25 @@ def parse_composite(body: dict, columns: list[str]) -> tuple[
     inside a composite source and are rejected); sub-``aggs`` carry
     metrics for each composite bucket. Docs with a NULL source value
     are excluded (ES default, ``missing_bucket: false``)."""
+    if not isinstance(body, dict):
+        raise ValueError("composite body must be an object")
+    _strict_keys(
+        "composite", "composite", body, {"sources", "size", "after", "aggs"}
+    )
     sources = body.get("sources")
     if not isinstance(sources, list) or not sources:
         raise ValueError(
             "composite needs a non-empty 'sources' list of "
             "single-key {name: {type: {...}}} objects"
         )
+    # composite sources enumerate the bucket space in KEY order —
+    # terms size/order and histogram gap-fill knobs make no sense
+    # here, so sources take a NARROWER key set than chain buckets
+    src_keys = {
+        "terms": {"field"},
+        "date_histogram": {"field", "fixed_interval", "calendar_interval"},
+        "histogram": {"field", "interval"},
+    }
     keys: list[_Bucket] = []
     for entry in sources:
         if not isinstance(entry, dict) or len(entry) != 1:
@@ -1169,7 +1322,7 @@ def parse_composite(body: dict, columns: list[str]) -> tuple[
                 f"composite source {name!r} needs exactly one type"
             )
         (typ, b), = spec.items()
-        if typ not in ("terms", "date_histogram", "histogram"):
+        if typ not in src_keys:
             raise ValueError(
                 f"composite source {name!r}: unsupported type {typ!r}"
             )
@@ -1178,6 +1331,8 @@ def parse_composite(body: dict, columns: list[str]) -> tuple[
                 f"composite source {name!r}: 'size' belongs on the "
                 "composite, not a source"
             )
+        if isinstance(b, dict):
+            _strict_keys(name, typ, b, src_keys[typ])
         keys.append(_Bucket(name, typ, b))
     size = body.get("size", 10)
     if isinstance(size, bool) or not isinstance(size, int) or not (
@@ -1346,10 +1501,15 @@ def kibana_vis_aggs(
     - ``interval: "auto"`` is a UI zoom-level choice — the caller
       passes the ``fixed_interval`` to resolve it; an explicit
       Kibana interval passes through
-    - terms ``size`` passes through; Kibana's ``orderBy``/``order``
-      are presentation-level (this compiler serves ES's default
-      doc_count-desc/key-asc; a consumer re-orders the returned
-      buckets for display)
+    - terms ``size`` passes through, and ``orderBy``/``order``
+      translate to the compiler's terms ``order`` — ``"_term"`` /
+      ``"_key"`` → key order, an agg id → that metric (the count
+      metric's id → ``_count``) — because ES order changes WHICH
+      top-N buckets survive ``size`` truncation, not just display
+      order (the reference's Club-Status panel orders by ``_term``
+      desc, docker-compose.yml:347); ``otherBucket`` /
+      ``missingBucket`` true are rejected (buckets this compiler
+      does not serve — silently dropping them would change results)
 
     Returns ``None`` when the panel needs no aggregations at all (a
     bare count metric — the consumer reads ``hits.total``)."""
@@ -1359,30 +1519,45 @@ def kibana_vis_aggs(
         base = f[: -len(".keyword")] if f.endswith(".keyword") else f
         return fm.get(base, base)
 
+    entries = vis_state.get("aggs", [])
     buckets: list[tuple[str, str, dict]] = []
     metrics: dict[str, dict] = {}
-    for entry in vis_state.get("aggs", []):
+    # agg id → translated metric name ("_count" for the inherent count
+    # metric) — what a terms entry's orderBy references; metrics are
+    # collected FIRST because Kibana's array may list a bucket before
+    # the metric its orderBy points at
+    metric_by_id: dict[str, str] = {}
+    for i, entry in enumerate(entries):
+        if entry.get("schema") != "metric":
+            continue
+        typ = entry.get("type")
+        params = entry.get("params", {})
+        name = f"k{entry.get('id', i + 1)}"
+        if typ == "count":
+            metric_by_id[str(entry.get("id", i + 1))] = "_count"
+            continue  # inherent doc_count
+        if typ == "median":
+            metrics[name] = {"percentiles": {
+                "field": xfield(params["field"]),
+                "percents": [float(p) for p in params.get(
+                    "percents", [50]
+                )],
+            }}
+        elif typ in ("avg", "sum", "min", "max", "cardinality"):
+            metrics[name] = {typ: {"field": xfield(params["field"])}}
+        else:
+            raise ValueError(
+                f"unsupported Kibana metric type {typ!r}"
+            )
+        metric_by_id[str(entry.get("id", i + 1))] = name
+    for i, entry in enumerate(entries):
         typ = entry.get("type")
         schema = entry.get("schema")
         params = entry.get("params", {})
-        name = f"k{entry.get('id', len(buckets) + len(metrics) + 1)}"
+        name = f"k{entry.get('id', i + 1)}"
         if schema == "metric":
-            if typ == "count":
-                continue  # inherent doc_count
-            if typ == "median":
-                metrics[name] = {"percentiles": {
-                    "field": xfield(params["field"]),
-                    "percents": [float(p) for p in params.get(
-                        "percents", [50]
-                    )],
-                }}
-            elif typ in ("avg", "sum", "min", "max", "cardinality"):
-                metrics[name] = {typ: {"field": xfield(params["field"])}}
-            else:
-                raise ValueError(
-                    f"unsupported Kibana metric type {typ!r}"
-                )
-        elif schema in ("segment", "group", "bucket"):
+            continue
+        if schema in ("segment", "group", "bucket"):
             if typ == "date_histogram":
                 iv = params.get("interval", "auto")
                 if iv in ("auto", "custom", None):
@@ -1396,10 +1571,44 @@ def kibana_vis_aggs(
                     body["min_doc_count"] = mdc
                 buckets.append((name, "date_histogram", body))
             elif typ == "terms":
-                buckets.append((name, "terms", {
+                if params.get("otherBucket") or params.get("missingBucket"):
+                    raise ValueError(
+                        "Kibana otherBucket/missingBucket would add "
+                        "buckets this compiler does not serve — disable "
+                        "them on the panel"
+                    )
+                body = {
                     "field": xfield(params["field"]),
                     "size": int(params.get("size", 10)),
-                }))
+                }
+                ob = params.get("orderBy")
+                if ob is not None:
+                    od = params.get("order", "desc")
+                    if od not in ("asc", "desc"):
+                        raise ValueError(
+                            f"unsupported Kibana terms order {od!r}"
+                        )
+                    ob = str(ob)
+                    if ob in ("_term", "_key"):
+                        body["order"] = {"_key": od}
+                    elif ob == "_count" or metric_by_id.get(ob) == "_count":
+                        body["order"] = {"_count": od}
+                    elif ob in metric_by_id:
+                        mname = metric_by_id[ob]
+                        (mtyp, mspec), = metrics[mname].items()
+                        okey = (
+                            f"{mname}.{mspec['percents'][0]}"
+                            if mtyp == "percentiles"
+                            else mname
+                        )
+                        body["order"] = {okey: od}
+                    else:
+                        raise ValueError(
+                            f"terms orderBy {ob!r} references no metric "
+                            "agg in this visState — dropping the order "
+                            "would serve a different top-N bucket set"
+                        )
+                buckets.append((name, "terms", body))
             elif typ == "histogram":
                 buckets.append((name, "histogram", {
                     "field": xfield(params["field"]),

@@ -176,6 +176,14 @@ def test_median_by_status_panel(saved_objects, es_face):
         ).collect()
     }
     assert got == want  # 4 statuses < size 5: nothing truncated
+    # the panel's visState orders terms by "_term" desc (key order,
+    # docker-compose.yml:347) — honored since round 13, not ignored
+    assert spec[day_name]["aggs"][status_name]["terms"]["order"] == {
+        "_key": "desc"
+    }
+    for d in out[day_name]["buckets"]:
+        keys = [b["key"] for b in d[status_name]["buckets"]]
+        assert keys == sorted(keys, reverse=True)
 
 
 def test_count_by_channel_panel(saved_objects, es_face):

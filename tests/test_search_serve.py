@@ -574,7 +574,7 @@ def test_gap_fill_capped(frame, monkeypatch):
 
 
 def test_min_doc_count_rejected_on_terms(frame):
-    with pytest.raises(ValueError, match="date_histogram/histogram only"):
+    with pytest.raises(ValueError, match="unsupported body keys"):
         serve.parse_aggs(
             {"t": {"terms": {"field": "lang", "min_doc_count": 0}}},
             frame.columns,
@@ -799,3 +799,201 @@ def test_envelope_fold_is_linear_on_deep_trees(spark):
     assert len(c_buckets) == n_c
     assert all(b["doc_count"] == 1 for b in c_buckets)
     assert elapsed < 90, f"envelope fold took {elapsed:.1f}s"
+
+
+# --- round-13: terms `order` + strict body keys -------------------------------
+
+
+def test_terms_order_by_key(frame):
+    """order {"_key": desc} changes WHICH bucket survives size
+    truncation, not just display order (keys de/en/fr → fr wins)."""
+    out = serve.aggs_nested(
+        frame,
+        {"l": {"terms": {"field": "lang", "size": 1,
+                         "order": {"_key": "desc"}}}},
+    )
+    assert [(b["key"], b["doc_count"]) for b in out["l"]["buckets"]] == [
+        ("fr", 1)
+    ]
+    # sum_other covers the truncated en (3) + de (1)
+    assert out["l"]["sum_other_doc_count"] == 4
+    out = serve.aggs_nested(
+        frame,
+        {"l": {"terms": {"field": "lang", "size": 2,
+                         "order": {"_key": "asc"}}}},
+    )
+    assert [b["key"] for b in out["l"]["buckets"]] == ["de", "en"]
+
+
+def test_terms_order_by_count_asc(frame):
+    """_count asc surfaces the RAREST terms; count ties break key
+    asc (ES)."""
+    out = serve.aggs_nested(
+        frame,
+        {"l": {"terms": {"field": "lang", "size": 2,
+                         "order": {"_count": "asc"}}}},
+    )
+    assert [(b["key"], b["doc_count"]) for b in out["l"]["buckets"]] == [
+        ("de", 1), ("fr", 1)
+    ]
+
+
+def test_terms_order_by_metric(frame):
+    """Order by a metric sub-agg: avg(n_chars) desc picks fr (60) over
+    the count winner en (~26.7) — a different surviving bucket SET
+    under size 1; the envelope order mirrors the truncation window."""
+    spec = {"l": {"terms": {"field": "lang", "size": 1,
+                            "order": {"m": "desc"}},
+                  "aggs": {"m": {"avg": {"field": "n_chars"}}}}}
+    out = serve.aggs_nested(frame, spec)
+    (b,) = out["l"]["buckets"]
+    assert b["key"] == "fr" and b["m"]["value"] == 60.0
+    assert out["l"]["sum_other_doc_count"] == 4
+    # asc keeps the smallest-average bucket instead
+    spec["l"]["terms"]["order"] = {"m": "asc"}
+    out = serve.aggs_nested(frame, spec)
+    (b,) = out["l"]["buckets"]
+    assert b["key"] == "en"
+    # multi-valued metrics take a dotted component path
+    spec = {"l": {"terms": {"field": "lang", "size": 1,
+                            "order": {"p.50": "desc"}},
+                  "aggs": {"p": {"percentiles": {"field": "n_chars",
+                                                 "percents": [50]}}}}}
+    out = serve.aggs_nested(frame, spec)
+    assert out["l"]["buckets"][0]["key"] == "fr"
+    spec = {"l": {"terms": {"field": "lang", "size": 1,
+                            "order": {"s.sum": "desc"}},
+                  "aggs": {"s": {"stats": {"field": "n_chars"}}}}}
+    out = serve.aggs_nested(frame, spec)
+    assert out["l"]["buckets"][0]["key"] == "en"  # sum 80 beats fr 60
+
+
+def test_terms_order_nested_per_parent(frame):
+    """Metric order applies PER PARENT inside a chain: each day keeps
+    its own max-avg lang."""
+    spec = {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                  "aggs": {"l": {"terms": {"field": "lang", "size": 1,
+                                           "order": {"m": "desc"}},
+                                 "aggs": {"m": {"avg": {
+                                     "field": "n_chars"}}}}}}}
+    out = serve.aggs_nested(frame, spec)
+    per_day = [
+        (d["key_as_string"][:10], d["l"]["buckets"][0]["key"])
+        for d in out["d"]["buckets"]
+    ]
+    # day1: de avg 30 > en avg 15; day2: fr 60 > en 50
+    assert per_day == [("2024-01-01", "de"), ("2024-01-02", "fr")]
+
+
+def test_terms_order_validation(frame):
+    with pytest.raises(ValueError, match="not .*_key.*_count.*or a metric"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "order": {"nope": "desc"}}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="component path"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "order": {"s": "desc"}},
+                   "aggs": {"s": {"stats": {"field": "n_chars"}}}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="single-valued"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "order": {"m.50": "desc"}},
+                   "aggs": {"m": {"avg": {"field": "n_chars"}}}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="computed percent path"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "order": {"p.99": "desc"}},
+                   "aggs": {"p": {"percentiles": {"field": "n_chars",
+                                                  "percents": [50]}}}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="'asc' or 'desc'"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "order": {"_key": "down"}}}},
+            frame.columns,
+        )
+    # order by a metric at a DIFFERENT level is not a sub-agg
+    with pytest.raises(ValueError, match="of this terms agg"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "order": {"m": "desc"}}},
+             "m": {"avg": {"field": "n_chars"}}},
+            frame.columns,
+        )
+
+
+def test_unknown_body_keys_are_400_not_ignored(frame):
+    """ES body keys this compiler does not serve (shard_size, missing,
+    ...) must 400 naming the key — swallowing them would serve
+    DIFFERENT results than ES for the same request."""
+    for spec in (
+        {"l": {"terms": {"field": "lang", "shard_size": 100}}},
+        {"l": {"terms": {"field": "lang", "missing": "N/A"}}},
+        {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                  "order": {"_key": "asc"}}}},
+        {"m": {"avg": {"field": "n_chars", "missing": 0}}},
+        {"m": {"avg": {"field": "n_chars", "percents": [50]}}},
+        {"t": {"top_hits": {"size": 2, "from": 1}}},
+    ):
+        with pytest.raises(ValueError, match="unsupported body keys"):
+            serve.parse_aggs(spec, frame.columns)
+    # composite: body-level and source-level strictness
+    with pytest.raises(ValueError, match="unsupported body keys"):
+        serve.parse_composite(
+            {"sources": [{"l": {"terms": {"field": "lang"}}}],
+             "after_key": {"l": "en"}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="unsupported body keys"):
+        serve.parse_composite(
+            {"sources": [{"d": {"date_histogram": {
+                "field": "ts", "fixed_interval": "1d",
+                "min_doc_count": 0}}}]},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="unsupported body keys"):
+        serve.parse_composite(
+            {"sources": [{"l": {"terms": {"field": "lang",
+                                          "order": {"_key": "desc"}}}}]},
+            frame.columns,
+        )
+
+
+def test_kibana_orderby_translation():
+    """Kibana orderBy/order → the compiler's terms order: '_term' →
+    key order, a metric agg id → that metric (dotted for percentiles),
+    the count id → _count; an unresolvable orderBy raises instead of
+    silently serving a different top-N set."""
+    vis = {"aggs": [
+        {"id": "1", "type": "median", "schema": "metric",
+         "params": {"field": "STARS", "percents": [50]}},
+        {"id": "2", "type": "terms", "schema": "segment",
+         "params": {"field": "CLUB_STATUS.keyword", "size": 3,
+                    "order": "desc", "orderBy": "1"}},
+    ]}
+    spec = serve.kibana_vis_aggs(
+        vis, {"STARS": "n_chars", "CLUB_STATUS": "lang"}
+    )
+    assert spec["k2"]["terms"]["order"] == {"k1.50.0": "desc"}
+    vis["aggs"][1]["params"]["orderBy"] = "_term"
+    spec = serve.kibana_vis_aggs(
+        vis, {"STARS": "n_chars", "CLUB_STATUS": "lang"}
+    )
+    assert spec["k2"]["terms"]["order"] == {"_key": "desc"}
+    count_vis = {"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "2", "type": "terms", "schema": "segment",
+         "params": {"field": "lang", "size": 5,
+                    "order": "desc", "orderBy": "1"}},
+    ]}
+    spec = serve.kibana_vis_aggs(count_vis)
+    assert spec["k2"]["terms"]["order"] == {"_count": "desc"}
+    count_vis["aggs"][1]["params"]["orderBy"] = "7"
+    with pytest.raises(ValueError, match="references no metric"):
+        serve.kibana_vis_aggs(count_vis)
+    count_vis["aggs"][1]["params"]["orderBy"] = "1"
+    count_vis["aggs"][1]["params"]["otherBucket"] = True
+    with pytest.raises(ValueError, match="otherBucket"):
+        serve.kibana_vis_aggs(count_vis)
