@@ -74,10 +74,16 @@ Endpoints:
                                          # "watermark" alone for
                                          # single-index point-in-time
 
-  → ``{"took": ms, "hits": {"total": N, "hits": [{"_id", "_score",
-  "rank", "query_id"}]}, "fill": [{"query_id", "hits", "k",
-  "filled"}, ...]}``, ranked per query (``rank`` stays ABSOLUTE under
-  pagination — page 2 of k=10 carries ranks 11-20). Free-text queries (``queries_text`` / ``query``)
+  → ``{"took": ms, "hits": {"total": N, "relation": "eq"|"retrieved",
+  "hits": [{"_id", "_score", "rank", "query_id"}]}, "fill":
+  [{"query_id", "hits", "k", "filled"}, ...]}``, ranked per query
+  (``rank`` stays ABSOLUTE under pagination — page 2 of k=10 carries
+  ranks 11-20). ``hits.total`` is the MATCH-SET size on the bm25 and
+  match_all paths (``relation: "eq"`` — identical on every page; with
+  multiple bm25 queries it counts (query, doc) match pairs), and the
+  pre-pagination RETRIEVED count on the vector modes (``relation:
+  "retrieved"`` — ES kNN retrieves exactly top-(from+k), the match
+  set is not enumerated). Free-text queries (``queries_text`` / ``query``)
   drive the LEXICAL signal — tokenized at serve time with the same
   tokenizer the index fold ran; ``bm25`` mode needs only text, while
   ``rerank``/``rrf`` still need each query_id's VECTOR (``queries`` or
@@ -630,7 +636,8 @@ class SearchRestServer:
                 if total is None:
                     total = matched.count()
                 out = {
-                    "hits": {"total": total, "hits": hits},
+                    "hits": {"total": total, "relation": "eq",
+                             "hits": hits},
                     "fill": si.fill_counts(
                         (h["query_id"] for h in hits), (0,), k
                     ),
@@ -657,7 +664,7 @@ class SearchRestServer:
                 )
             return {
                 "took": int((_time.perf_counter() - t0) * 1000),
-                "hits": {"total": total, "hits": []},
+                "hits": {"total": total, "relation": "eq", "hits": []},
                 "fill": [],
                 "aggregations": aggregations,
             }
@@ -678,6 +685,7 @@ class SearchRestServer:
         ivfpq_root: str | None = None
         escalated: dict | None = None
         match_ids: DataFrame | None = None
+        bm25_scored: DataFrame | None = None
 
         def _maybe_sorted(df: DataFrame) -> DataFrame:
             """ES ``sort``: re-rank by the doc-metadata fields and cut
@@ -759,21 +767,24 @@ class SearchRestServer:
                     "doc_id",
                     "left_semi",
                 )
+            # the scored frame always feeds MORE than one consumer
+            # now: the rank window/sort, hits.total's match count, and
+            # the aggs match set when a tree rides along — pin it for
+            # the request so the BM25 pipeline runs once (measured at
+            # sf0.1: a dual reference re-ran the whole pipeline, 6.1s
+            # → 5.3s pinned). Honors the same SPARK_GRAFT_PIN_REUSED
+            # opt-out as every other pin.
+            from kafka_cdc_elasticsearch_pipeline_spark.operators import (
+                caching,
+            )
+
+            if caching.pinning_enabled():
+                scored = scored.persist()
+                pins.append(scored)
+            bm25_scored = scored
             if aggs_spec is not None:
                 # aggs run over ALL matching docs (the full match set,
-                # never the hit page) — stash it pre-rank, post-filter.
-                # The scored frame now feeds BOTH the hits serve and
-                # the aggs match set: pin it for the request (measured
-                # at sf0.1: the dual reference re-ran the whole BM25
-                # pipeline, 6.1s → 5.3s pinned). Honors the same
-                # SPARK_GRAFT_PIN_REUSED opt-out as every other pin.
-                from kafka_cdc_elasticsearch_pipeline_spark.operators import (
-                    caching,
-                )
-
-                if caching.pinning_enabled():
-                    scored = scored.persist()
-                    pins.append(scored)
+                # never the hit page) — stash it pre-rank, post-filter
                 match_ids = scored.select("doc_id").distinct()
             base = scored.select(
                 "query_id",
@@ -794,6 +805,17 @@ class SearchRestServer:
         elif mode == "ann":
             if self._ivfpq_static is None and self.ivfpq_pointer is None:
                 raise ValueError("no ivfpq index mounted")
+            if req.get("query") is not None or req.get("queries_text"):
+                # free-text has no dense encoding here — silently
+                # serving results that IGNORE the text (a Kibana
+                # search-bar match riding an ann request) would
+                # violate the no-silent-drop discipline; DSL metadata
+                # filters (no match clause) still apply via `allowed`
+                raise ValueError(
+                    "ann mode takes vector queries ('queries'/"
+                    "'query_ids'); free-text ('query'/'queries_text') "
+                    "has no dense encoding — use bm25, rerank, or rrf"
+                )
             qdf, req_ids = self._queries_df(req)
             # resolve the pointer AFTER the caller-fixable validation
             # (unset pointer = server standup state = 500)
@@ -965,6 +987,7 @@ class SearchRestServer:
                         f"only {n_live} live vectors under this filter",
                     )
         aggregations: dict | None = None
+        agg_total: int | None = None
         if aggs_spec is not None:
             # aggs are over ALL matching docs, never the hit page: the
             # bm25 match set (stashed pre-rank), or a vector mode's
@@ -982,7 +1005,27 @@ class SearchRestServer:
                     comp[0]: serve.composite_nested(matched, comp[1], pins)
                 }
             else:
-                aggregations = serve.aggs_nested(matched, aggs_spec, pins)
+                aggregations, agg_total = serve.aggs_nested(
+                    matched, aggs_spec, pins, with_total=True
+                )
+        # hits.total (round-12 advice #3): bm25 serves the MATCH-SET
+        # size — ES's total, identical on every page, what a
+        # saved-search consumer sizes its pager from — read free from
+        # the aggs depth-0 row when a tree rides along (one query →
+        # pairs = distinct docs), else one extra pass over the PINNED
+        # match set (multi-query: the total counts (query, doc) match
+        # pairs). The vector modes retrieve exactly top-(from+k);
+        # their total is the RETRIEVED count pre-pagination (ES kNN
+        # semantics), flagged relation: "retrieved" so a consumer can
+        # tell the two meanings apart.
+        if mode == "bm25":
+            relation = "eq"
+            total = (
+                agg_total if agg_total is not None else bm25_scored.count()
+            )
+        else:
+            relation = "retrieved"
+            total = len(hits)
         # the page slice applies AFTER escalation: underfill and its
         # bounds are judged on the ranks the serve minted, and a page
         # past the end must not read as a recoverable shortfall
@@ -995,7 +1038,7 @@ class SearchRestServer:
         fill = si.fill_counts((h["query_id"] for h in hits), req_ids, k)
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
-            "hits": {"total": len(hits), "hits": hits},
+            "hits": {"total": total, "relation": relation, "hits": hits},
             "fill": fill,
         }
         if escalated is not None:

@@ -119,7 +119,9 @@ def test_search_modes_match_direct_calls(spark, stack):
     code, bm = _post(
         server.url, "/search", {"mode": "bm25", "query_ids": [0, 1, 2], "k": 3}
     )
-    assert code == 200 and bm["hits"]["total"] == 9
+    # bm25 total = the match-set size (relation "eq"), not the page
+    assert code == 200 and len(bm["hits"]["hits"]) == 9
+    assert bm["hits"]["total"] >= 9 and bm["hits"]["relation"] == "eq"
     code, rr = _post(
         server.url, "/search",
         {"mode": "rerank", "query_ids": [0], "k": 5},
@@ -169,7 +171,7 @@ def test_search_rejects_modes_for_unmounted_roots(spark, stack):
         code, out = _post(
             solo.url, "/search", {"mode": "bm25", "query_ids": [0], "k": 3}
         )
-        assert code == 200 and out["hits"]["total"] == 3
+        assert code == 200 and len(out["hits"]["hits"]) == 3
         # ann needs the (unmounted) vector index — explicit 400
         code, out = _post(
             solo.url, "/search", {"mode": "ann", "query_ids": [0]}
@@ -295,7 +297,7 @@ def test_bm25_single_query_sugar_and_normalization(spark, sf_dir, stack):
     code, plain = _post(
         server.url, "/search", {"mode": "bm25", "query": text, "k": 5}
     )
-    assert code == 200 and plain["hits"]["total"] == 5
+    assert code == 200 and len(plain["hits"]["hits"]) == 5
     assert all(h["query_id"] == 0 for h in plain["hits"]["hits"])
     mangled = "  " + text.upper().replace(" ", "   \t") + " "
     code, shouty = _post(
@@ -827,12 +829,15 @@ def test_pagination_and_took(stack):
     tiled = p1["hits"]["hits"] + p2["hits"]["hits"]
     assert tiled == full["hits"]["hits"]
     assert [h["rank"] for h in p2["hits"]["hits"]] == [6, 7, 8, 9, 10]
-    # a page past the end: empty hits, honest fill
+    # a page past the end: empty hits, honest fill — and total stays
+    # the MATCH count on every page, so the consumer can tell "past
+    # the end" from "no matches" (round-12 advice #3)
     code, far = _post(
         server.url, "/search",
         {"mode": "bm25", "query_ids": [0], "k": 5, "from": 9000},
     )
-    assert code == 200 and far["hits"]["total"] == 0
+    assert code == 200 and far["hits"]["hits"] == []
+    assert far["hits"]["total"] == full["hits"]["total"] > 0
     assert far["fill"][0]["hits"] == 0
     # rrf pages too
     code, r1 = _post(
@@ -1365,3 +1370,82 @@ def test_composite_sibling_aggs_honored(meta_server):
             "composite": {"size": 5, "sources": sources},
             "bogus": 1,
         }}})
+
+
+# --- round-13: hits.total semantics + ann free-text ---------------------------
+
+
+def test_bm25_total_is_match_count_on_every_page(meta_server):
+    """round-12 advice #3: bm25 hits.total was the post-from page size
+    — the same field meant two different things across one endpoint,
+    and a pager-sizing consumer stopped one page in. It is now the
+    MATCH-SET size (relation "eq") on every page, free from the aggs
+    depth-0 row when a tree rides along."""
+    server, _ = meta_server
+    full = server.search({"mode": "bm25", "query": "dup", "k": 10_000})
+    # k past the match set: total == served hits == the match count
+    want = full["hits"]["total"]
+    assert want == len(full["hits"]["hits"]) > 0
+    assert full["hits"]["relation"] == "eq"
+    page1 = server.search({"mode": "bm25", "query": "dup", "k": 3})
+    page2 = server.search(
+        {"mode": "bm25", "query": "dup", "k": 3, "from": 3}
+    )
+    assert page1["hits"]["total"] == page2["hits"]["total"] == want
+    assert len(page1["hits"]["hits"]) == 3
+    # with an aggs tree the total reads off the depth-0 rollup row —
+    # and must agree with the standalone count
+    both = server.search({
+        "mode": "bm25", "query": "dup", "k": 3,
+        "aggs": {"l": {"terms": {"field": "lang"}}},
+    })
+    assert both["hits"]["total"] == want
+    assert both["hits"]["relation"] == "eq"
+    # vector modes keep retrieved-set semantics and SAY so
+    knn = server.search({"mode": "rrf", "query_ids": [0], "k": 5})
+    assert knn["hits"]["relation"] == "retrieved"
+    assert knn["hits"]["total"] == 5
+    # ... pre-pagination: page 2 still reports the 8 minted ranks
+    knn2 = server.search(
+        {"mode": "rrf", "query_ids": [0], "k": 3, "from": 5}
+    )
+    assert knn2["hits"]["total"] == 8
+    assert [h["rank"] for h in knn2["hits"]["hits"]] == [6, 7, 8]
+
+
+def test_ann_rejects_free_text(meta_server, stack):
+    """round-12 advice #2: in ann mode a DSL match clause (or plain
+    'query' text) was silently dropped — filters applied, text did
+    not. It is now a 400; filter-only DSL still works."""
+    server, meta = meta_server
+    _, _, _, embs = stack
+    vec = list(embs.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    q = {"query_id": 0, "embedding": vec}
+    with pytest.raises(ValueError, match="no dense encoding"):
+        server.search({"mode": "ann", "queries": [q], "query": "brown fox"})
+    with pytest.raises(ValueError, match="no dense encoding"):
+        server.search({
+            "mode": "ann", "queries": [q],
+            "queries_text": [{"query_id": 0, "text": "brown fox"}],
+        })
+    # a Kibana-shaped DSL query whose match clause would have been
+    # silently dropped is the exact advice scenario
+    with pytest.raises(ValueError, match="no dense encoding"):
+        server.search({
+            "mode": "ann", "queries": [q],
+            "query": {"bool": {
+                "must": {"match": {"text": "brown fox"}},
+                "filter": [{"term": {"lang": "en"}}],
+            }},
+        })
+    # filter-only DSL (no text) still applies in ann mode
+    out = server.search({
+        "mode": "ann", "queries": [q], "k": 5,
+        "query": {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+    })
+    en_ids = {
+        r.doc_id for r in meta.filter("lang = 'en'").collect()
+    }
+    assert out["hits"]["hits"] and all(
+        h["_id"] in en_ids for h in out["hits"]["hits"]
+    )
