@@ -570,12 +570,16 @@ class SearchRestServer:
         # become a DERIVED keep-set over the doc_source that pre-rank
         # semi-joins every signal, exactly like caller allowed_ids.
         dsl_pred = None
+        dsl_texts: list[str] = []
         if isinstance(req.get("query"), dict):
-            text, dsl_pred = serve.parse_query_dsl(
+            dsl_texts, dsl_pred = serve.parse_query_dsl(
                 req["query"], self.doc_source, text_field=self.text_field
             )
             req = dict(req)
-            req["query"] = text  # None = match_all (no lexical signal)
+            # the term UNION drives scoring; None = match_all (no
+            # lexical signal). With >1 match clause the conjunction
+            # keep-set below restricts WHICH docs qualify.
+            req["query"] = " ".join(dsl_texts) if dsl_texts else None
         has_query = bool(
             req.get("query_ids") or req.get("queries")
             or req.get("queries_text") or req.get("query") is not None
@@ -721,6 +725,53 @@ class SearchRestServer:
             raise ValueError(
                 "'pinned' applies to rerank/rrf (two-signal consistency); "
                 "for single-index point-in-time pass 'watermark'"
+            )
+        if len(dsl_texts) > 1:
+            # ES bool.must conjunction: a doc must match EVERY match
+            # clause. Each clause's match set comes from the same BM25
+            # index; a doc qualifies when it appears in all N sets —
+            # a groupBy + semi-join over the index, exactly the
+            # allowed_ids machinery, never a driver id collect.
+            # Scoring still runs on the term UNION (req["query"]), so
+            # ranked hits are conjunction members scored on all terms.
+            if self.bm25_root is None:
+                raise ValueError(
+                    "multiple 'match' clauses need the bm25 index "
+                    "mounted — their conjunction is computed from the "
+                    "text index"
+                )
+            if mode != "bm25" and (req.get("pinned") or wm is not None):
+                # the hybrid pinned paths resolve their bm25 side at
+                # the watermark internally; a conjunction computed at
+                # the CURRENT version could disagree — refuse rather
+                # than silently mix versions
+                raise ValueError(
+                    "multiple 'match' clauses are not supported with "
+                    "pinned serving in hybrid modes — send one match "
+                    "clause, or drop 'pinned'/'watermark'"
+                )
+            clause_df = self.spark.createDataFrame(
+                [(i, t) for i, t in enumerate(dsl_texts)],
+                "query_id bigint, text string",
+            )
+            conj_at = (
+                pinned_at(self.bm25_root, self.bm25_app_id, "bm25_app_id")
+                if mode == "bm25"
+                else None
+            )
+            per_clause = si.bm25_score_from_text(
+                self.spark, self.bm25_root, clause_df, at=conj_at
+            )
+            conj = (
+                per_clause.groupBy("doc_id")
+                .agg(F.countDistinct("query_id").alias("_n_clauses"))
+                .filter(F.col("_n_clauses") == len(dsl_texts))
+                .select(F.col("doc_id").alias("vec_id"))
+            )
+            allowed = (
+                conj
+                if allowed is None
+                else conj.join(allowed, "vec_id", "left_semi")
             )
         if mode == "bm25":
             if self.bm25_root is None:

@@ -1643,7 +1643,7 @@ def kibana_vis_aggs(
 
 def parse_query_dsl(
     body: dict, doc_source: DataFrame | None, text_field: str = "text"
-) -> tuple[str | None, Column | None]:
+) -> tuple[list[str], Column | None]:
     """Translate the ES query-DSL subset a dashboard actually sends —
     every Kibana request wraps the panel in ``bool.filter`` clauses
     (the time-range picker is a ``range`` on the time field; filter
@@ -1663,13 +1663,14 @@ def parse_query_dsl(
       ``filter`` (predicates, ANDed), ``must_not`` (negated
       predicates), ``should`` (ORed predicates — ES's
       minimum_should_match=1 default when no must/filter sibling
-      scoring applies). Multiple ``match`` clauses merge into ONE
-      term-union query string (BM25 scores the union of their terms —
-      ES's per-clause must-match-every-clause conjunction is not
-      expressed; send one match clause per request for exact parity)
-    - ``match_all`` → (None, None): no text, no predicate
+      scoring applies). Multiple ``match`` clauses return as SEPARATE
+      texts: ES's bool.must conjunction means a doc must match EVERY
+      clause, so the REST layer intersects the per-clause match sets
+      (distributed semi-joins, like ``allowed_ids``) and scores the
+      term union
+    - ``match_all`` → ([], None): no text, no predicate
 
-    Returns (query_text | None, predicate Column | None). Rejections
+    Returns (per-clause query texts, predicate Column | None). Rejections
     are explicit 400s: a ``match`` on anything but ``text_field`` is
     unanswerable (the BM25 index indexes THE document text, not
     arbitrary fields), text inside ``must_not``/``should`` would need
@@ -1833,4 +1834,4 @@ def parse_query_dsl(
         )
 
     pred = predicate(body, allow_text=True)
-    return (" ".join(texts) if texts else None), pred
+    return texts, pred

@@ -1449,3 +1449,56 @@ def test_ann_rejects_free_text(meta_server, stack):
     assert out["hits"]["hits"] and all(
         h["_id"] in en_ids for h in out["hits"]["hits"]
     )
+
+
+def test_query_dsl_multi_match_conjunction(spark, meta_server, stack):
+    """round-12 verdict #4: N match clauses now require a doc to match
+    EVERY clause (ES bool.must conjunction), scored on the term union
+    — previously they merged into one term-union query and docs
+    matching only one clause could rank."""
+    server, _ = meta_server
+    _, bm25_root, _, _ = stack
+    dsl = {"bool": {"must": [
+        {"match": {"text": "dup"}},
+        {"match": {"text": "merge"}},
+    ]}}
+    got = server.search({"mode": "bm25", "query": dsl, "k": 500})
+    # the conjunction set, computed independently per clause
+    sets = []
+    for t in ("dup", "merge"):
+        qdf = spark.createDataFrame(
+            [(0, t)], "query_id bigint, text string"
+        )
+        sets.append({
+            r.doc_id
+            for r in si.bm25_score_from_text(spark, bm25_root, qdf)
+            .select("doc_id").collect()
+        })
+    both = sets[0] & sets[1]
+    one_only = (sets[0] | sets[1]) - both
+    assert both and one_only  # the corpus exercises both sides
+    assert got["hits"]["total"] == len(both)  # match-count semantics
+    got_ids = {h["_id"] for h in got["hits"]["hits"]}
+    assert got_ids == both and not (got_ids & one_only)
+    # ranked exactly like union-text scoring restricted to the set
+    want = server.search({
+        "mode": "bm25", "query": "dup merge", "k": 500,
+        "allowed_ids": sorted(both),
+    })
+    assert got["hits"]["hits"] == want["hits"]["hits"]
+    # conjunction composes with DSL filters (pills) and allowed_ids
+    en = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"must": [
+            {"match": {"text": "dup"}},
+            {"match": {"text": "merge"}},
+        ], "filter": [{"term": {"lang": "en"}}]}},
+    })
+    assert {h["_id"] for h in en["hits"]["hits"]} <= both
+    assert en["hits"]["total"] <= len(both)
+    # hybrid pinned serving refuses the mixed-version conjunction
+    with pytest.raises(ValueError, match="multiple 'match' clauses"):
+        server.search({
+            "mode": "rrf", "query_ids": [0], "pinned": True,
+            "query": dsl,
+        })

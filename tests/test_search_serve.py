@@ -661,12 +661,12 @@ def test_should_is_optional_with_siblings(frame):
     )
     assert frame.filter(pred).count() == 4  # en×3 + de×1
     # a must MATCH also counts as a required sibling
-    text, pred = serve.parse_query_dsl(
+    texts, pred = serve.parse_query_dsl(
         {"bool": {"must": {"match": {"text": "x"}},
                   "should": [{"term": {"lang": "en"}}]}},
         frame.withColumn("text", F.lit("t")),
     )
-    assert text == "x" and pred is None  # should dropped, not ANDed
+    assert texts == ["x"] and pred is None  # should dropped, not ANDed
 
 
 def test_match_object_without_query_is_400(frame):
