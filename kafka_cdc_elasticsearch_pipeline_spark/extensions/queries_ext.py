@@ -5759,3 +5759,74 @@ def ext_search_aggs_terms_order_metric(
         "doc_count",
         F.round("med_chars_50_0", 6).alias("med_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_composite_missing",
+    """
+    WITH m AS (
+      SELECT nullif(lang, 'en') AS lang_n, lang, n_chars FROM documents
+    ),
+    g AS (
+      SELECT lang_n AS by_nullable, lang AS by_lang,
+             count(*)::BIGINT AS doc_count,
+             round(avg(n_chars), 6) AS mean_chars
+      FROM m GROUP BY 1, 2
+    )
+    SELECT by_nullable, by_lang, doc_count, mean_chars
+    FROM g
+    WHERE by_nullable IS NOT NULL
+       OR (by_nullable IS NULL AND by_lang > 'de')
+    ORDER BY by_nullable ASC NULLS FIRST, by_lang ASC
+    LIMIT 4
+    """,
+    tags=("ext", "search", "aggs", "composite", "missing_bucket",
+          "serving"),
+)
+def ext_search_aggs_composite_missing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE ``missing_bucket: true`` — the last piece of ES's
+    composite contract: a source may keep null-keyed docs as an
+    explicit null bucket ordered FIRST, and the ``after`` cursor may
+    then carry null for that key. The serve: sources
+    ``(nullif(lang,'en') with missing_bucket, lang)`` — so the null
+    bucket genuinely exists (every en doc) and has children — paged
+    with ``after = (null, 'de')``: the seek must surface the REST of
+    the null bucket's children (null keys equal the null cursor
+    component, ``isNull`` not a three-valued ``==``) and then every
+    non-null key, while a null key must fail a non-null cursor's
+    ``>`` (the missing bucket precedes every value and never
+    reappears). Compiled exactly like every composite page: ONE
+    groupBy, a sargable null-aware seek predicate, ORDER BY
+    asc_nulls_first, LIMIT (TakeOrderedAndProject). The oracle
+    rebuilds it as GROUP BY + the same null-aware OR-of-ANDs + ORDER
+    BY ASC NULLS FIRST + LIMIT — hash-equality pins the null-first
+    placement, the null-cursor equality semantics, and the page
+    boundary cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select(
+        F.expr("nullif(lang, 'en')").alias("lang_n"), "lang", "n_chars"
+    )
+    flat = serve.composite_flat(
+        meta,
+        {
+            "size": 4,
+            "sources": [
+                {"by_nullable": {"terms": {"field": "lang_n",
+                                           "missing_bucket": True}}},
+                {"by_lang": {"terms": {"field": "lang"}}},
+            ],
+            "after": {"by_nullable": None, "by_lang": "de"},
+            "aggs": {"mean_chars": {"avg": {"field": "n_chars"}}},
+        },
+    )
+    return flat.select(
+        "by_nullable",
+        "by_lang",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

@@ -151,6 +151,9 @@ class _Bucket:
         self.order_key = "_count"
         self.order_asc = False
         self.order_col: str | None = None
+        # composite-only (parse_composite overrides): null keys form
+        # an explicit first-ordered bucket instead of being dropped
+        self.missing_bucket = False
         self.field = body.get("field")
         if not isinstance(self.field, str):
             raise ValueError(f"agg {name!r} needs a 'field' string")
@@ -1289,7 +1292,10 @@ def parse_composite(body: dict, columns: list[str]) -> tuple[
     date_histogram / histogram — ``size``/``ranges`` make no sense
     inside a composite source and are rejected); sub-``aggs`` carry
     metrics for each composite bucket. Docs with a NULL source value
-    are excluded (ES default, ``missing_bucket: false``)."""
+    are excluded by default (``missing_bucket: false``); a source
+    with ``missing_bucket: true`` gives them an explicit null bucket
+    ordered FIRST, and the ``after`` cursor may then carry null for
+    that key (rejected for sources without it)."""
     if not isinstance(body, dict):
         raise ValueError("composite body must be an object")
     _strict_keys(
@@ -1331,9 +1337,22 @@ def parse_composite(body: dict, columns: list[str]) -> tuple[
                 f"composite source {name!r}: 'size' belongs on the "
                 "composite, not a source"
             )
+        mb = False
         if isinstance(b, dict):
+            b = dict(b)
+            mb = b.pop("missing_bucket", False)
+            if not isinstance(mb, bool):
+                raise ValueError(
+                    f"composite source {name!r}: 'missing_bucket' "
+                    "must be a boolean"
+                )
             _strict_keys(name, typ, b, src_keys[typ])
-        keys.append(_Bucket(name, typ, b))
+        bucket = _Bucket(name, typ, b)
+        # ES composite missing_bucket: true puts null-keyed docs in an
+        # explicit null bucket ordered FIRST (asc); false (default)
+        # excludes them
+        bucket.missing_bucket = mb
+        keys.append(bucket)
     size = body.get("size", 10)
     if isinstance(size, bool) or not isinstance(size, int) or not (
         1 <= size <= MAX_BUCKETS
@@ -1352,6 +1371,13 @@ def parse_composite(body: dict, columns: list[str]) -> tuple[
                 f"{[k.name for k in keys]}"
             )
         after_vals = [after[k.name] for k in keys]
+        for k, v in zip(keys, after_vals):
+            if v is None and not k.missing_bucket:
+                raise ValueError(
+                    f"'after' value for {k.name!r} is null but the "
+                    "source has missing_bucket: false — null is not a "
+                    "bucket key there"
+                )
     names = {k.name for k in keys}
     if len(names) != len(keys):
         raise ValueError("duplicate composite source names")
@@ -1405,11 +1431,26 @@ def _after_predicate(keys: list[_Bucket], after_vals: list) -> Column:
 
     clauses = []
     for i, k in enumerate(keys):
-        eq = [
-            F.col(keys[j].name) == lit(keys[j], after_vals[j])
-            for j in range(i)
-        ]
-        gt = F.col(k.name) > lit(k, after_vals[i])
+        eq = []
+        for j in range(i):
+            vj = after_vals[j]
+            # a null cursor component (the missing bucket) equals only
+            # null keys; a plain == would be three-valued NULL there
+            eq.append(
+                F.col(keys[j].name).isNull()
+                if vj is None
+                else F.col(keys[j].name) == lit(keys[j], vj)
+            )
+        vi = after_vals[i]
+        if vi is None:
+            # strictly after the missing bucket (which orders FIRST):
+            # every non-null key qualifies
+            gt = F.col(k.name).isNotNull()
+        else:
+            # null keys fail `> v` (three-valued → false), which is
+            # exactly right: the missing bucket precedes every value,
+            # so it must not reappear after a non-null cursor
+            gt = F.col(k.name) > lit(k, vi)
         clause = gt
         for e in eq:
             clause = e & clause
@@ -1423,8 +1464,10 @@ def _after_predicate(keys: list[_Bucket], after_vals: list) -> Column:
 def composite_flat(docs: DataFrame, body: dict) -> DataFrame:
     """One page of composite buckets as a DataFrame: groupBy the
     source keys (ONE shuffle, map-side partials), drop null-keyed
-    docs (ES ``missing_bucket: false``), seek past ``after``
-    lexicographically, order by the key tuple, LIMIT size — Catalyst
+    docs (ES ``missing_bucket: false`` default; keep them as a
+    first-ordered null bucket when the source sets it true), seek
+    past ``after`` lexicographically, order by the key tuple, LIMIT
+    size — Catalyst
     executes the tail as TakeOrderedAndProject, so a page over a
     million-bucket space never materializes more than ``size``
     buckets per task. Columns: the source keys, ``doc_count``, one
@@ -1439,10 +1482,16 @@ def composite_flat(docs: DataFrame, body: dict) -> DataFrame:
         aggs.extend(m.exprs())
     g = keyed.groupBy(*[F.col(k.name) for k in keys]).agg(*aggs)
     for k in keys:
-        g = g.filter(F.col(k.name).isNotNull())
+        if not k.missing_bucket:
+            g = g.filter(F.col(k.name).isNotNull())
     if after_vals is not None:
         g = g.filter(_after_predicate(keys, after_vals))
-    return g.orderBy(*[F.col(k.name).asc() for k in keys]).limit(size)
+    # missing buckets (null keys) order FIRST under asc — ES's
+    # missing_bucket placement; explicit so the plan never depends on
+    # an engine default
+    return g.orderBy(
+        *[F.col(k.name).asc_nulls_first() for k in keys]
+    ).limit(size)
 
 
 def composite_nested(

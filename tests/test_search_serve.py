@@ -997,3 +997,86 @@ def test_kibana_orderby_translation():
     count_vis["aggs"][1]["params"]["otherBucket"] = True
     with pytest.raises(ValueError, match="otherBucket"):
         serve.kibana_vis_aggs(count_vis)
+
+
+# --- round-13: composite missing_bucket ---------------------------------------
+
+
+def test_composite_missing_bucket(frame):
+    """ES ``missing_bucket: true``: null-keyed docs form an explicit
+    null bucket ordered FIRST; the after cursor round-trips through
+    the null key; the default still excludes them."""
+    body = {
+        "size": 10,
+        "sources": [{"lang": {"terms": {"field": "lang",
+                                        "missing_bucket": True}}}],
+        "aggs": {"mean": {"avg": {"field": "n_chars"}}},
+    }
+    out = serve.composite_nested(frame, body)
+    got = [(b["key"]["lang"], b["doc_count"]) for b in out["buckets"]]
+    # doc 3 (lang NULL) leads; every doc is in exactly one bucket
+    assert got == [(None, 1), ("de", 1), ("en", 3), ("fr", 1)]
+    assert out["buckets"][0]["mean"] == {"value": 40.0}
+    # paging: a size-1 walk tiles the same list, null cursor included
+    walked, after = [], None
+    while True:
+        page = dict(body, size=1)
+        if after is not None:
+            page["after"] = after
+        o = serve.composite_nested(frame, page)
+        walked.extend(o["buckets"])
+        if not o["buckets"]:
+            break
+        after = o["after_key"]
+    assert [(b["key"]["lang"], b["doc_count"]) for b in walked] == got
+    # default (false): the null bucket is excluded, null after is 400
+    out = serve.composite_nested(
+        frame,
+        {"size": 10,
+         "sources": [{"lang": {"terms": {"field": "lang"}}}]},
+    )
+    assert [b["key"]["lang"] for b in out["buckets"]] == ["de", "en", "fr"]
+    with pytest.raises(ValueError, match="missing_bucket: false"):
+        serve.parse_composite(
+            {"sources": [{"lang": {"terms": {"field": "lang"}}}],
+             "after": {"lang": None}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="must be a boolean"):
+        serve.parse_composite(
+            {"sources": [{"lang": {"terms": {"field": "lang",
+                                             "missing_bucket": 1}}}]},
+            frame.columns,
+        )
+
+
+def test_composite_missing_bucket_multi_source_seek(frame):
+    """The lexicographic seek through a null cursor component: after
+    (null, X) must surface the rest of the null bucket's children and
+    then every non-null key — and a non-null cursor must never
+    resurface the null bucket."""
+    body = {
+        "size": 10,
+        "sources": [
+            {"lang": {"terms": {"field": "lang",
+                                "missing_bucket": True}}},
+            {"day": {"date_histogram": {"field": "ts",
+                                        "fixed_interval": "1d"}}},
+        ],
+    }
+    whole = serve.composite_nested(frame, body)["buckets"]
+    keys = [(b["key"]["lang"], b["key"]["day"]) for b in whole]
+    day1 = 1704067200000
+    assert keys[0] == (None, day1)  # the null bucket leads
+    # after the null bucket's last child: only non-null langs remain
+    after_null = serve.composite_nested(
+        frame, {**body, "after": {"lang": None, "day": day1}}
+    )["buckets"]
+    assert [(b["key"]["lang"], b["key"]["day"]) for b in after_null] == keys[1:]
+    assert all(b["key"]["lang"] is not None for b in after_null)
+    # after a non-null cursor the null bucket never reappears
+    after_de = serve.composite_nested(
+        frame, {**body, "after": {"lang": "de", "day": day1}}
+    )["buckets"]
+    assert all(b["key"]["lang"] is not None for b in after_de)
+    assert [(b["key"]["lang"], b["key"]["day"]) for b in after_de] == keys[2:]
