@@ -1701,7 +1701,9 @@ def parse_query_dsl(
 
     - ``match`` on the indexed text field → the free-text LEXICAL
       query string (serve-time tokenized, exactly the ``query`` body
-      field)
+      field); the object form takes ``operator: "or"`` (default, any
+      term matches) or ``"and"`` (every term must match — split into
+      per-term clauses for the REST conjunction)
     - ``term`` / ``terms`` / ``range`` / ``exists`` on doc-metadata
       fields → ONE Spark predicate over the mounted doc_source; the
       REST layer turns it into a derived keep-set that pre-rank
@@ -1780,14 +1782,41 @@ def parse_query_dsl(
                     f"indexes {text_field!r} — got field {f!r}"
                 )
             # ES match accepts {"field": "text"} or {"field": {"query": ...}}
+            op = "or"
             if isinstance(v, dict):
+                extra = sorted(set(v) - {"query", "operator"})
+                if extra:
+                    # same strict-keys honesty as the aggs bodies: a
+                    # swallowed fuzziness/minimum_should_match would
+                    # serve different results than ES
+                    raise ValueError(
+                        f"'match' object form: unsupported keys {extra} "
+                        "(supported: query, operator)"
+                    )
                 if "query" not in v:
                     raise ValueError(
                         "'match' object form needs a 'query' key, got "
                         f"{sorted(v)}"
                     )
+                op = v.get("operator", "or")
+                if op not in ("or", "and"):
+                    raise ValueError(
+                        f"'match' operator must be 'or' or 'and', "
+                        f"got {op!r}"
+                    )
                 v = v["query"]
-            texts.append(str(v))
+            if op == "and":
+                # ES operator=and: EVERY term must match. Split into
+                # one clause per distinct term — python str.split()
+                # is the shared tokenizer's whitespace split and the
+                # lowercase matches its normalization — and the REST
+                # layer's per-clause conjunction intersects the
+                # per-term match sets; scoring still runs on the
+                # union (= ES's sum over the all-matched terms).
+                terms = sorted({t.lower() for t in str(v).split()})
+                texts.extend(terms if terms else [str(v)])
+            else:
+                texts.append(str(v))
             return None
         if typ == "term":
             f, v = one_entry(clause, "term")

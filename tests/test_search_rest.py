@@ -1502,3 +1502,42 @@ def test_query_dsl_multi_match_conjunction(spark, meta_server, stack):
             "mode": "rrf", "query_ids": [0], "pinned": True,
             "query": dsl,
         })
+
+
+def test_match_operator_and(spark, meta_server, stack):
+    """ES ``"operator": "and"``: every term of the clause must match
+    (default "or" needs any one). Served through the per-clause
+    conjunction — one clause per distinct term — and scored on the
+    union; unknown match-object keys are a 400, not a silent ignore."""
+    server, _ = meta_server
+    _, bm25_root, _, _ = stack
+    anded = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"match": {"text": {"query": "DUP merge",
+                                     "operator": "and"}}},
+    })
+    explicit = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"must": [
+            {"match": {"text": "dup"}},
+            {"match": {"text": "merge"}},
+        ]}},
+    })
+    assert anded["hits"]["hits"] == explicit["hits"]["hits"]
+    assert anded["hits"]["total"] == explicit["hits"]["total"] > 0
+    # default or-semantics matches strictly more docs
+    ored = server.search({
+        "mode": "bm25", "k": 500, "query": {"match": {"text": "dup merge"}},
+    })
+    assert ored["hits"]["total"] > anded["hits"]["total"]
+    with pytest.raises(ValueError, match="unsupported keys"):
+        server.search({
+            "mode": "bm25",
+            "query": {"match": {"text": {"query": "x", "fuzziness": 2}}},
+        })
+    with pytest.raises(ValueError, match="'or' or 'and'"):
+        server.search({
+            "mode": "bm25",
+            "query": {"match": {"text": {"query": "x",
+                                         "operator": "not"}}},
+        })
