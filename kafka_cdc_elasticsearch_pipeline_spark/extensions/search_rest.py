@@ -571,15 +571,18 @@ class SearchRestServer:
         # semi-joins every signal, exactly like caller allowed_ids.
         dsl_pred = None
         dsl_texts: list[str] = []
+        dsl_opt_texts: list[str] = []
         if isinstance(req.get("query"), dict):
-            dsl_texts, dsl_pred = serve.parse_query_dsl(
+            dsl_texts, dsl_opt_texts, dsl_pred = serve.parse_query_dsl(
                 req["query"], self.doc_source, text_field=self.text_field
             )
             req = dict(req)
-            # the term UNION drives scoring; None = match_all (no
-            # lexical signal). With >1 match clause the conjunction
-            # keep-set below restricts WHICH docs qualify.
-            req["query"] = " ".join(dsl_texts) if dsl_texts else None
+            # the term UNION (required + optional should texts)
+            # drives scoring; None = match_all (no lexical signal).
+            # The conjunction keep-set below restricts membership to
+            # the REQUIRED clauses' intersection.
+            all_texts = dsl_texts + dsl_opt_texts
+            req["query"] = " ".join(all_texts) if all_texts else None
         has_query = bool(
             req.get("query_ids") or req.get("queries")
             or req.get("queries_text") or req.get("query") is not None
@@ -726,14 +729,19 @@ class SearchRestServer:
                 "'pinned' applies to rerank/rrf (two-signal consistency); "
                 "for single-index point-in-time pass 'watermark'"
             )
-        if len(dsl_texts) > 1:
-            # ES bool.must conjunction: a doc must match EVERY match
-            # clause. Each clause's match set comes from the same BM25
-            # index; a doc qualifies when it appears in all N sets —
-            # a groupBy + semi-join over the index, exactly the
-            # allowed_ids machinery, never a driver id collect.
-            # Scoring still runs on the term UNION (req["query"]), so
-            # ranked hits are conjunction members scored on all terms.
+        if dsl_texts and (len(dsl_texts) > 1 or dsl_opt_texts):
+            # ES bool.must conjunction: a doc must match EVERY
+            # REQUIRED match clause. Each clause's match set comes
+            # from the same BM25 index; a doc qualifies when it
+            # appears in all N sets — a groupBy + semi-join over the
+            # index, exactly the allowed_ids machinery, never a
+            # driver id collect. Scoring still runs on the term UNION
+            # (req["query"], optional should texts included), so
+            # ranked hits are conjunction members scored on all
+            # terms — which is also why a SINGLE required clause
+            # needs the keep-set when optional texts ride along: the
+            # union serve alone would admit docs matching only the
+            # optional terms.
             if self.bm25_root is None:
                 raise ValueError(
                     "multiple 'match' clauses need the bm25 index "

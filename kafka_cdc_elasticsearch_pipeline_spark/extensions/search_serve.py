@@ -1692,7 +1692,7 @@ def kibana_vis_aggs(
 
 def parse_query_dsl(
     body: dict, doc_source: DataFrame | None, text_field: str = "text"
-) -> tuple[list[str], Column | None]:
+) -> tuple[list[str], list[str], Column | None]:
     """Translate the ES query-DSL subset a dashboard actually sends —
     every Kibana request wraps the panel in ``bool.filter`` clauses
     (the time-range picker is a ``range`` on the time field; filter
@@ -1712,22 +1712,32 @@ def parse_query_dsl(
       never collects ids to the driver
     - ``bool``: ``must`` (text + predicates, predicates ANDed),
       ``filter`` (predicates, ANDed), ``must_not`` (negated
-      predicates), ``should`` (ORed predicates — ES's
-      minimum_should_match=1 default when no must/filter sibling
-      scoring applies). Multiple ``match`` clauses return as SEPARATE
-      texts: ES's bool.must conjunction means a doc must match EVERY
-      clause, so the REST layer intersects the per-clause match sets
-      (distributed semi-joins, like ``allowed_ids``) and scores the
-      term union
-    - ``match_all`` → ([], None): no text, no predicate
+      predicates), ``should``. Multiple must ``match`` clauses return
+      as SEPARATE required texts: ES's bool.must conjunction means a
+      doc must match EVERY clause, so the REST layer intersects the
+      per-clause match sets (distributed semi-joins, like
+      ``allowed_ids``) and scores the term union. ``should`` MATCH
+      clauses are OPTIONAL texts: with a must/filter sibling they are
+      scoring-only (their terms join the scoring union, the match set
+      stays the required set — exactly ES's minimum_should_match=0),
+      and with no sibling they ARE the requirement (msm=1: any-clause
+      = the term-union match BM25 already performs). ``should``
+      PREDICATE clauses OR together and are required only without a
+      sibling (with one they are scoring-only, which a filter cannot
+      express — dropped, documented)
+    - ``match_all`` → ([], [], None): no text, no predicate
 
-    Returns (per-clause query texts, predicate Column | None). Rejections
-    are explicit 400s: a ``match`` on anything but ``text_field`` is
-    unanswerable (the BM25 index indexes THE document text, not
-    arbitrary fields), text inside ``must_not``/``should`` would need
-    negative/optional scoring the lexical index does not express, and
-    metadata predicates need the doc_source mount."""
+    Returns (required texts, optional texts, predicate Column |
+    None). Rejections are explicit 400s: a ``match`` on anything but
+    ``text_field`` is unanswerable (the BM25 index indexes THE
+    document text, not arbitrary fields), text inside ``must_not``
+    would need negative scoring the lexical index does not express, a
+    sibling-less ``should`` MIXING match and metadata clauses would
+    need or-of-match-or-filter membership the serve cannot express,
+    and metadata predicates need the doc_source mount."""
     texts: list[str] = []
+    opt_texts: list[str] = []
+    in_should = [False]
     dtypes = dict(doc_source.dtypes) if doc_source is not None else {}
 
     def lit_for(field: str, v) -> Column:
@@ -1771,9 +1781,9 @@ def parse_query_dsl(
         if typ == "match":
             if not allow_text:
                 raise ValueError(
-                    "'match' inside must_not/should would need "
-                    "negative/optional lexical scoring — move it to "
-                    "'must' (or filter on metadata instead)"
+                    "'match' inside must_not would need negative "
+                    "lexical scoring — move it to 'must' (or filter "
+                    "on metadata instead)"
                 )
             f, v = one_entry(clause, "match")
             if f != text_field:
@@ -1805,6 +1815,9 @@ def parse_query_dsl(
                         f"got {op!r}"
                     )
                 v = v["query"]
+            # inside a should, a match is an OPTIONAL text — the REST
+            # layer scores its terms without requiring them
+            target = opt_texts if in_should[0] else texts
             if op == "and":
                 # ES operator=and: EVERY term must match. Split into
                 # one clause per distinct term — python str.split()
@@ -1813,10 +1826,12 @@ def parse_query_dsl(
                 # layer's per-clause conjunction intersects the
                 # per-term match sets; scoring still runs on the
                 # union (= ES's sum over the all-matched terms).
+                # (operator=and inside a should is still optional
+                # membership — served as its plain term union.)
                 terms = sorted({t.lower() for t in str(v).split()})
-                texts.extend(terms if terms else [str(v)])
+                target.extend(terms if terms else [str(v)])
             else:
-                texts.append(str(v))
+                target.append(str(v))
             return None
         if typ == "term":
             f, v = one_entry(clause, "term")
@@ -1889,17 +1904,57 @@ def parse_query_dsl(
             should = clause.get("should", [])
             should = should if isinstance(should, list) else [should]
             sp: Column | None = None
-            for e in should:
-                p = predicate(e, allow_text=False)
-                if p is not None:
-                    sp = p if sp is None else (sp | p)
+            n_opt_before = len(opt_texts)
+            outer_should = in_should[0]
+            in_should[0] = True
+            try:
+                for e in should:
+                    n_before_entry = len(opt_texts)
+                    p = predicate(e, allow_text=allow_text)
+                    if (
+                        isinstance(e, dict) and "bool" in e
+                        and len(opt_texts) > n_before_entry
+                    ):
+                        # a nested bool's internal must/should
+                        # structure does not survive the flat
+                        # union/conjunction split — refuse rather
+                        # than silently flatten its text semantics
+                        raise ValueError(
+                            "a nested 'bool' with match clauses "
+                            "inside 'should' is not supported — "
+                            "flatten the query"
+                        )
+                    if p is not None:
+                        sp = p if sp is None else (sp | p)
+            finally:
+                in_should[0] = outer_should
+            added = opt_texts[n_opt_before:]
             if sp is not None and not has_required:
                 # ES: should REQUIRES a match only when the bool has
                 # no must/filter sibling (minimum_should_match
-                # defaults to 1 then, 0 otherwise — with siblings it
-                # is scoring-only, which a filter predicate cannot
-                # express, so it is dropped rather than wrongly ANDed)
+                # defaults to 1 then, 0 otherwise — with siblings a
+                # PREDICATE should is scoring-only, which a filter
+                # cannot express, so it is dropped rather than
+                # wrongly ANDed; should TEXTS with siblings are
+                # scoring-only too: their terms join the scoring
+                # union via opt_texts)
+                if added:
+                    raise ValueError(
+                        "a sibling-less 'should' mixing match and "
+                        "metadata clauses needs or-of-match-or-filter "
+                        "membership the serve cannot express — add a "
+                        "must/filter sibling or split the request"
+                    )
                 preds.append(sp)
+            elif added and not has_required:
+                # msm=1 over match clauses only: any-of IS the term
+                # union — ONE required clause (a clause matches on
+                # ≥1 of its terms), so a nested sibling-less should
+                # composes correctly with outer must conjunctions
+                del opt_texts[n_opt_before:]
+                (opt_texts if outer_should else texts).append(
+                    " ".join(added)
+                )
             if not preds:
                 return None
             out = preds[0]
@@ -1912,4 +1967,4 @@ def parse_query_dsl(
         )
 
     pred = predicate(body, allow_text=True)
-    return texts, pred
+    return texts, opt_texts, pred

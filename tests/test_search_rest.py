@@ -1302,7 +1302,7 @@ def test_query_dsl_validation(meta_server, stack):
         )
     with pytest.raises(ValueError, match="unsupported query DSL type"):
         server.search({"mode": "bm25", "query": {"fuzzy": {"text": "x"}}})
-    with pytest.raises(ValueError, match="must_not/should"):
+    with pytest.raises(ValueError, match="inside must_not"):
         server.search(
             {"mode": "bm25",
              "query": {"bool": {"must_not": [{"match": {"text": "x"}}]}}}
@@ -1540,4 +1540,82 @@ def test_match_operator_and(spark, meta_server, stack):
             "mode": "bm25",
             "query": {"match": {"text": {"query": "x",
                                          "operator": "not"}}},
+        })
+
+
+def test_should_text_is_scoring_only_with_siblings(meta_server):
+    """ES minimum_should_match: a should MATCH clause with a
+    must/filter sibling is scoring-only — the match SET stays the
+    required clause's set (docs matching only the should text are
+    excluded), but the should terms join the scoring union."""
+    server, _ = meta_server
+    plain = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"must": [{"match": {"text": "dup"}}]}},
+    })
+    boosted = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"must": [{"match": {"text": "dup"}}],
+                           "should": [{"match": {"text": "merge"}}]}},
+    })
+    must_ids = {h["_id"] for h in plain["hits"]["hits"]}
+    assert {h["_id"] for h in boosted["hits"]["hits"]} == must_ids
+    assert boosted["hits"]["total"] == plain["hits"]["total"]
+    # scores equal union-text scoring restricted to the must set
+    want = server.search({
+        "mode": "bm25", "query": "dup merge", "k": 500,
+        "allowed_ids": sorted(must_ids),
+    })
+    assert boosted["hits"]["hits"] == want["hits"]["hits"]
+    # and the boost genuinely reranks: docs carrying both terms lead
+    assert boosted["hits"]["hits"] != plain["hits"]["hits"]
+
+
+def test_should_only_matches_are_msm1_union(meta_server):
+    """A sibling-less should over match clauses IS the requirement
+    (msm=1): any-of = the term union BM25 already performs."""
+    server, _ = meta_server
+    only = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"should": [{"match": {"text": "dup"}},
+                                      {"match": {"text": "merge"}}]}},
+    })
+    union = server.search({"mode": "bm25", "query": "dup merge", "k": 500})
+    assert only["hits"]["hits"] == union["hits"]["hits"]
+    assert only["hits"]["total"] == union["hits"]["total"]
+    # nested: must [match a, bool(should [b, c])] = a AND (b OR c)
+    nested = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"must": [
+            {"match": {"text": "dup"}},
+            {"bool": {"should": [{"match": {"text": "merge"}},
+                                 {"match": {"text": "window"}}]}},
+        ]}},
+    })
+    got = {h["_id"] for h in nested["hits"]["hits"]}
+    per = {}
+    for t in ("dup", "merge", "window"):
+        r = server.search({"mode": "bm25", "query": t, "k": 10_000})
+        per[t] = {h["_id"] for h in r["hits"]["hits"]}
+    assert got == per["dup"] & (per["merge"] | per["window"])
+    # a sibling-less should MIXING match and metadata clauses is the
+    # or-of-match-or-filter the serve cannot express — explicit 400
+    with pytest.raises(ValueError, match="mixing match and metadata"):
+        server.search({
+            "mode": "bm25",
+            "query": {"bool": {"should": [
+                {"match": {"text": "dup"}},
+                {"term": {"lang": "en"}},
+            ]}},
+        })
+    # a nested bool inside should carrying text: refused, not
+    # silently flattened
+    with pytest.raises(ValueError, match="nested 'bool'"):
+        server.search({
+            "mode": "bm25",
+            "query": {"bool": {
+                "must": [{"match": {"text": "dup"}}],
+                "should": [{"bool": {
+                    "must": [{"match": {"text": "merge"}}]}}],
+            }},
         })

@@ -647,21 +647,21 @@ def test_should_is_optional_with_siblings(frame):
     has no must/filter sibling (minimum_should_match 1 vs 0) — with a
     sibling it is scoring-only and must not shrink the match set."""
     # sibling filter present: should must NOT exclude en docs
-    _, pred = serve.parse_query_dsl(
+    _, _, pred = serve.parse_query_dsl(
         {"bool": {"filter": [{"term": {"lang": "en"}}],
                   "should": [{"term": {"n_chars": 10}}]}},
         frame,
     )
     assert frame.filter(pred).count() == 3  # all en docs, not just n=10
     # no sibling: should is the requirement (msm=1)
-    _, pred = serve.parse_query_dsl(
+    _, _, pred = serve.parse_query_dsl(
         {"bool": {"should": [{"term": {"lang": "en"}},
                              {"term": {"lang": "de"}}]}},
         frame,
     )
     assert frame.filter(pred).count() == 4  # en×3 + de×1
     # a must MATCH also counts as a required sibling
-    texts, pred = serve.parse_query_dsl(
+    texts, _, pred = serve.parse_query_dsl(
         {"bool": {"must": {"match": {"text": "x"}},
                   "should": [{"term": {"lang": "en"}}]}},
         frame.withColumn("text", F.lit("t")),
@@ -730,13 +730,13 @@ def test_must_not_keeps_docs_missing_the_field(frame):
         {"bool": {"should": [{"term": {"lang": "en"}},
                              {"term": {"lang": "de"}}]}},
     ):
-        _, pred = serve.parse_query_dsl(
+        _, _, pred = serve.parse_query_dsl(
             {"bool": {"must_not": [clause]}}, frame
         )
         kept = {r.doc_id for r in frame.filter(pred).collect()}
         assert 3 in kept, clause
     # and docs the clause DOES match are excluded
-    _, pred = serve.parse_query_dsl(
+    _, _, pred = serve.parse_query_dsl(
         {"bool": {"must_not": [{"terms": {"lang": ["en", "de"]}}]}}, frame
     )
     assert {r.doc_id for r in frame.filter(pred).collect()} == {3, 5}
