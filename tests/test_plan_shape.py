@@ -662,3 +662,50 @@ def test_aggs_rollup_is_one_pass_with_pinned_bucket_frame(spark, sf_dir):
         assert "Join" not in p2 and "Union" not in p2
     finally:
         caching.release_pinned()
+
+
+def test_metric_ordered_truncation_keeps_window_group_limit(spark, sf_dir):
+    """terms `order` by a metric only parameterizes the truncation
+    window's sort — the rank-limit pushdown (WindowGroupLimit), the
+    one-Expand rollup, and the pinned bucket frame must all survive
+    the re-parameterization (a lost WindowGroupLimit would sort every
+    bucket of a giant parent in one task)."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.operators import caching
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import load_table
+
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, doc_id % 72, 0, 0)"
+        ).alias("ts"),
+        "lang",
+        "n_chars",
+    )
+    spec = {
+        "by_day": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 2,
+                              "order": {"mean": "desc"}},
+                    "aggs": {"mean": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        }
+    }
+    try:
+        flat = serve.aggs_flat(meta, spec)
+        p = final_plan(flat)
+        assert "WindowGroupLimit" in p  # rank-limit still pushed down
+        assert "InMemoryTableScan" in p  # branches read the pin
+        assert "CartesianProduct" not in p
+        # the window orders by the metric column (not doc_count)
+        assert "mean" in p.split("WindowGroupLimit")[1].split("\n")[0]
+    finally:
+        caching.release_pinned()
