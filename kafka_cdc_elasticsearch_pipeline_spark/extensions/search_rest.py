@@ -97,14 +97,17 @@ Endpoints:
   modes re-order within their retrieved top-(from+k) (ES kNN+sort);
   hits carry the ES per-hit ``sort`` values array, and the
   absolute-rank pagination contract carries over unchanged. ``aggs``
-  adds an ES ``aggregations`` envelope (terms / date_histogram /
-  histogram / disjoint-range buckets with min_doc_count gap fill +
-  extended_bounds on the histogram types; avg/sum/min/max/
-  value_count/percentiles/cardinality/stats metrics; top_hits
-  sample docs per bucket; nested one-chain trees; the
-  ``composite`` agg with ``after_key`` paging for high-cardinality
-  bucket spaces — the Kibana dashboard shapes,
-  docker-compose.yml:346-349) computed over ALL matching documents:
+  adds an ES ``aggregations`` envelope (terms — with ``order`` by
+  ``_key``/``_count``/a metric sub-agg, which changes the surviving
+  top-N set — / date_histogram / histogram / disjoint-range buckets
+  with min_doc_count gap fill + extended_bounds on the histogram
+  types; avg/sum/min/max/value_count/percentiles/cardinality/stats
+  metrics; top_hits sample docs per bucket; nested one-chain trees;
+  the ``composite`` agg with ``after_key`` paging and per-source
+  ``missing_bucket`` for high-cardinality bucket spaces — the Kibana
+  dashboard shapes, docker-compose.yml:346-349; unknown body keys
+  are a 400, never a silent ignore) computed over ALL matching
+  documents:
   the bm25 match set, a vector mode's retrieved set, or — with no
   query fields at all — the whole mounted doc_source (match_all, the
   dashboard steady state); aggs take exactly one query (or none) per
@@ -729,6 +732,31 @@ class SearchRestServer:
                 "'pinned' applies to rerank/rrf (two-signal consistency); "
                 "for single-index point-in-time pass 'watermark'"
             )
+        if mode == "ann" and (
+            req.get("query") is not None or req.get("queries_text")
+        ):
+            # BEFORE the conjunction block: an ann request with DSL
+            # match clauses must get the actionable "use a lexical
+            # mode" 400, not a bm25-mount complaint about machinery
+            # the request can never use (review finding). Free-text
+            # has no dense encoding here — silently serving results
+            # that IGNORE the text (a Kibana search-bar match riding
+            # an ann request) would violate the no-silent-drop
+            # discipline; DSL metadata filters (no match clause)
+            # still apply via `allowed`.
+            raise ValueError(
+                "ann mode takes vector queries ('queries'/"
+                "'query_ids'); free-text ('query'/'queries_text') "
+                "has no dense encoding — use bm25, rerank, or rrf"
+            )
+        # resolved ONCE for both the conjunction keep-set and the bm25
+        # branch (review finding: watermark + multi-match walked the
+        # lakelog manifests twice); None unless a watermark is pinned
+        bm25_at = (
+            pinned_at(self.bm25_root, self.bm25_app_id, "bm25_app_id")
+            if mode == "bm25" and self.bm25_root is not None
+            else None
+        )
         if dsl_texts and (len(dsl_texts) > 1 or dsl_opt_texts):
             # ES bool.must conjunction: a doc must match EVERY
             # REQUIRED match clause. Each clause's match set comes
@@ -762,13 +790,8 @@ class SearchRestServer:
                 [(i, t) for i, t in enumerate(dsl_texts)],
                 "query_id bigint, text string",
             )
-            conj_at = (
-                pinned_at(self.bm25_root, self.bm25_app_id, "bm25_app_id")
-                if mode == "bm25"
-                else None
-            )
             per_clause = si.bm25_score_from_text(
-                self.spark, self.bm25_root, clause_df, at=conj_at
+                self.spark, self.bm25_root, clause_df, at=bm25_at
             )
             conj = (
                 per_clause.groupBy("doc_id")
@@ -802,7 +825,6 @@ class SearchRestServer:
                 )
             from pyspark.sql import Window as W
 
-            bm25_at = pinned_at(self.bm25_root, self.bm25_app_id, "bm25_app_id")
             # "highlight": true adds matched_terms per hit (which query
             # terms the doc matched — ES highlighting's data, straight
             # from the scoring fold's word list, no extra scan)
@@ -864,17 +886,8 @@ class SearchRestServer:
         elif mode == "ann":
             if self._ivfpq_static is None and self.ivfpq_pointer is None:
                 raise ValueError("no ivfpq index mounted")
-            if req.get("query") is not None or req.get("queries_text"):
-                # free-text has no dense encoding here — silently
-                # serving results that IGNORE the text (a Kibana
-                # search-bar match riding an ann request) would
-                # violate the no-silent-drop discipline; DSL metadata
-                # filters (no match clause) still apply via `allowed`
-                raise ValueError(
-                    "ann mode takes vector queries ('queries'/"
-                    "'query_ids'); free-text ('query'/'queries_text') "
-                    "has no dense encoding — use bm25, rerank, or rrf"
-                )
+            # (free-text already rejected above, before the
+            # conjunction block)
             qdf, req_ids = self._queries_df(req)
             # resolve the pointer AFTER the caller-fixable validation
             # (unset pointer = server standup state = 500)

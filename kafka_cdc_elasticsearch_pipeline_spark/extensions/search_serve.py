@@ -866,6 +866,14 @@ def _spine(b: _Bucket, data_keys: list) -> list:
     ]
 
 
+def _hashable(v):
+    """A collected bucket-key value as a dict/set key: array-typed
+    fields come back as Python lists — tuple-ize them (nested too)."""
+    if isinstance(v, list):
+        return tuple(_hashable(x) for x in v)
+    return v
+
+
 def _key_json(v):
     """A bucket key as ES serves it: date/datetime buckets get
     epoch-millis ``key`` + ISO ``key_as_string``; Decimals become
@@ -960,7 +968,7 @@ def aggs_nested(
         # NULL sum even when nothing was truncated (review finding:
         # int(None) crashed the common nothing-truncated case)
         other_maps[d] = {
-            tuple(r[p] for p in parent): int(r["sum_other"])
+            tuple(_hashable(r[p]) for p in parent): int(r["sum_other"])
             for r in (x.asDict() for x in odf.collect())
             if r["sum_other"] is not None
         }
@@ -969,19 +977,22 @@ def aggs_nested(
     # the fold below visits every bucket, and a per-bucket filter of
     # the full row list is O(|rows|²) driver time — ~4×10⁹ tuple
     # compares at the MAX_BUCKETS cap (minutes of driver CPU on a
-    # deep dashboard) vs this one O(|rows|) pass
+    # deep dashboard) vs this one O(|rows|) pass. Keys go through
+    # _hashable: an array-typed bucket field collects as a Python
+    # list, which a dict key cannot hold (review finding — the
+    # replaced equality filter compared lists fine).
     by_parent: dict[tuple, list[dict]] = {}
     for r in rows:
         d = r["depth"]
         if d:
             by_parent.setdefault(
-                (d, tuple(r[n] for n in names[: d - 1])), []
+                (d, tuple(_hashable(r[n]) for n in names[: d - 1])), []
             ).append(r)
     th_maps: dict[str, dict[tuple, list[dict]]] = {}
     for d, nodes in tophits.items():
         kept = (
             sorted({
-                tuple(r[n] for n in names[:d])
+                tuple(_hashable(r[n]) for n in names[:d])
                 for r in rows if r["depth"] == d
             })
             if d else [()]
@@ -1081,9 +1092,9 @@ def aggs_nested(
                 bucket[m.name] = _metric_json(m, r)
             for th in tophits.get(depth, []):
                 bucket[th.name] = _th_envelope(
-                    th, prefix + (r[b.name],), int(r["doc_count"])
+                    th, prefix + (_hashable(r[b.name]),), int(r["doc_count"])
                 )
-            bucket.update(level(depth + 1, prefix + (r[b.name],)))
+            bucket.update(level(depth + 1, prefix + (_hashable(r[b.name]),)))
             buckets.append(bucket)
         node: dict = {"buckets": buckets}
         if b.typ == "terms":
@@ -1175,7 +1186,7 @@ def _top_hits_map(
         ]
     grouped: dict[tuple, list[tuple[int, dict]]] = {}
     for d in ranked_rows:
-        key = tuple(d[n] for n in names)
+        key = tuple(_hashable(d[n]) for n in names)
         hit = {"_id": d["doc_id"]}
         if node.sort:
             hit["sort"] = [_val_json(d[f]) for f, _ in node.sort]
@@ -1499,8 +1510,9 @@ def composite_nested(
 ) -> dict:
     """ES's composite response envelope: ``buckets`` (each key a
     {name: value} object, dates as epoch millis) in key order, plus
-    ``after_key`` = the last bucket's key when the page is full —
-    the cursor the consumer feeds back as ``after``. ``pins`` is
+    ``after_key`` = the last bucket's key on EVERY non-empty page
+    (ES's wire shape — partial final pages included; the consumer's
+    stop signal is the next page coming back empty). ``pins`` is
     accepted for symmetry with aggs_nested; the page is
     LIMIT-bounded, nothing here needs pinning."""
     del pins  # one bounded plan — no frame is referenced twice
@@ -1717,14 +1729,18 @@ def parse_query_dsl(
       doc must match EVERY clause, so the REST layer intersects the
       per-clause match sets (distributed semi-joins, like
       ``allowed_ids``) and scores the term union. ``should`` MATCH
-      clauses are OPTIONAL texts: with a must/filter sibling they are
-      scoring-only (their terms join the scoring union, the match set
-      stays the required set — exactly ES's minimum_should_match=0),
-      and with no sibling they ARE the requirement (msm=1: any-clause
-      = the term-union match BM25 already performs). ``should``
-      PREDICATE clauses OR together and are required only without a
-      sibling (with one they are scoring-only, which a filter cannot
-      express — dropped, documented)
+      clauses are OPTIONAL texts: with a required MATCH sibling they
+      are scoring-only (their terms join the scoring union while the
+      conjunction keep-set holds membership to the required set —
+      exactly ES's minimum_should_match=0), and with no sibling at
+      all they ARE the requirement (msm=1: any-clause = the
+      term-union match BM25 already performs); with only METADATA
+      siblings they are rejected — ES would serve the whole filter
+      set with the text as a zero-or-more boost, membership a ranked
+      BM25 serve cannot mint. ``should`` PREDICATE clauses OR
+      together and are required only without a sibling (with one
+      they are scoring-only, which a filter cannot express —
+      dropped, documented)
     - ``match_all`` → ([], [], None): no text, no predicate
 
     Returns (required texts, optional texts, predicate Column |
@@ -1967,4 +1983,18 @@ def parse_query_dsl(
         )
 
     pred = predicate(body, allow_text=True)
+    if opt_texts and not texts:
+        # optional texts with NO required text imply the requirement
+        # is metadata-only (pure should-text would have become the
+        # requirement). ES then serves the WHOLE filter set with the
+        # should text as a zero-or-more boost — membership for docs
+        # matching no query term, which a ranked BM25 serve cannot
+        # mint. Refuse rather than silently shrink the match set to
+        # the text matches (review finding).
+        raise ValueError(
+            "a 'should' match clause whose only required siblings are "
+            "metadata filters would need zero-score membership (ES "
+            "serves the whole filter set, text as a boost) — move the "
+            "match to 'must', or drop it"
+        )
     return texts, opt_texts, pred

@@ -1619,3 +1619,37 @@ def test_should_only_matches_are_msm1_union(meta_server):
                     "must": [{"match": {"text": "merge"}}]}}],
             }},
         })
+
+
+def test_should_text_with_filter_only_siblings_is_400(meta_server):
+    """Review finding: should-text whose only required siblings are
+    metadata filters silently shrank the match set to the text
+    matches (ES serves the WHOLE filter set, text as a boost —
+    zero-score membership a ranked serve cannot mint). Explicit 400."""
+    server, _ = meta_server
+    with pytest.raises(ValueError, match="zero-score membership"):
+        server.search({
+            "mode": "bm25",
+            "query": {"bool": {
+                "filter": [{"term": {"lang": "en"}}],
+                "should": [{"match": {"text": "dup"}}],
+            }},
+        })
+
+
+def test_ann_multi_match_gets_dense_encoding_400(spark, stack):
+    """Review finding: in ann mode a multi-match DSL on a server with
+    no bm25 index got the misleading 'mount the bm25 index' 400; the
+    actionable answer is 'use a lexical mode'."""
+    _, _, ivfpq_root, embs = stack
+    solo = SearchRestServer(spark, ivfpq_root=ivfpq_root,
+                            query_source=embs)
+    vec = list(embs.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    with pytest.raises(ValueError, match="no dense encoding"):
+        solo.search({
+            "mode": "ann",
+            "queries": [{"query_id": 0, "embedding": vec}],
+            "query": {"bool": {"must": [
+                {"match": {"text": "a"}}, {"match": {"text": "b"}},
+            ]}},
+        })

@@ -1080,3 +1080,32 @@ def test_composite_missing_bucket_multi_source_seek(frame):
     )["buckets"]
     assert all(b["key"]["lang"] is not None for b in after_de)
     assert [(b["key"]["lang"], b["key"]["day"]) for b in after_de] == keys[2:]
+
+
+def test_array_typed_bucket_keys_fold(spark):
+    """Review finding: the pre-grouped envelope fold hashes parent-key
+    tuples, and an array-typed bucket field collects as an unhashable
+    Python list — keys normalize through ``_hashable`` so the shape
+    the old equality-filter fold served keeps working."""
+    df = spark.createDataFrame(
+        [
+            (0, ["a", "b"], "2024-01-01 01:00:00"),
+            (1, ["a", "b"], "2024-01-02 01:00:00"),
+            (2, ["c"], "2024-01-01 02:00:00"),
+        ],
+        "doc_id bigint, tags array<string>, ts_s string",
+    ).select("doc_id", "tags", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = serve.aggs_nested(
+        df,
+        {"t": {"terms": {"field": "tags", "size": 5},
+               "aggs": {"d": {"date_histogram": {
+                   "field": "ts", "fixed_interval": "1d"}}}}},
+    )
+    got = {
+        tuple(b["key"]): (
+            b["doc_count"],
+            [c["doc_count"] for c in b["d"]["buckets"]],
+        )
+        for b in out["t"]["buckets"]
+    }
+    assert got == {("a", "b"): (2, [1, 1]), ("c",): (1, [1])}
