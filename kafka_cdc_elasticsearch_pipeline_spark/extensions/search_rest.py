@@ -54,6 +54,9 @@ Endpoints:
        "highlight": true,                # bm25: add matched_terms
                                          # (which query terms each hit
                                          # matched) to every hit
+       "track_total_hits": false,        # ES opt-out: omit hits.total
+                                         # AND skip the match-count
+                                         # pass that mints it
        "allowed_ids": [3, 6, 9],         # filtered: every mode
        "escalate": true,                 # ann: nprobe retry on underfill
        "sort": [{"field": "ts", "order": "desc"}],
@@ -83,7 +86,9 @@ Endpoints:
   multiple bm25 queries it counts (query, doc) match pairs), and the
   pre-pagination RETRIEVED count on the vector modes (``relation:
   "retrieved"`` — ES kNN retrieves exactly top-(from+k), the match
-  set is not enumerated). Free-text queries (``queries_text`` / ``query``)
+  set is not enumerated). ``track_total_hits: false`` omits
+  ``total``/``relation`` entirely and skips the count pass (ES's
+  own opt-out for consumers that page blindly). Free-text queries (``queries_text`` / ``query``)
   drive the LEXICAL signal — tokenized at serve time with the same
   tokenizer the index fold ran; ``bm25`` mode needs only text, while
   ``rerank``/``rrf`` still need each query_id's VECTOR (``queries`` or
@@ -544,6 +549,16 @@ class SearchRestServer:
                 f"'from' must be an integer in [0, {_MAX_KNOB}], got {frm!r}"
             )
         k_page = k + frm
+        # ES's track_total_hits: false omits hits.total (and its
+        # relation) from the response AND skips the work of minting
+        # it — on the bm25/match_all paths that is the match-count
+        # pass, so a latency-sensitive consumer that pages blindly
+        # gets the pre-count serve cost back
+        tth = req.get("track_total_hits", True)
+        if not isinstance(tth, bool):
+            raise ValueError(
+                f"'track_total_hits' must be a boolean, got {tth!r}"
+            )
         # sort / aggs need the doc-metadata mount; validate their
         # specs at the door (caller-fixable = 400, before any job)
         sort_spec = None
@@ -643,11 +658,14 @@ class SearchRestServer:
                         aggregations, total = serve.aggs_nested(
                             matched, aggs_spec, pins, with_total=True
                         )
-                if total is None:
+                if total is None and tth:
                     total = matched.count()
                 out = {
-                    "hits": {"total": total, "relation": "eq",
-                             "hits": hits},
+                    "hits": (
+                        {"total": total, "relation": "eq", "hits": hits}
+                        if tth
+                        else {"hits": hits}
+                    ),
                     "fill": si.fill_counts(
                         (h["query_id"] for h in hits), (0,), k
                     ),
@@ -667,14 +685,18 @@ class SearchRestServer:
                 aggregations = {
                     comp[0]: serve.composite_nested(matched, comp[1], pins)
                 }
-                total = matched.count()
+                total = matched.count() if tth else None
             else:
                 aggregations, total = serve.aggs_nested(
                     matched, aggs_spec, pins, with_total=True
                 )
             return {
                 "took": int((_time.perf_counter() - t0) * 1000),
-                "hits": {"total": total, "relation": "eq", "hits": []},
+                "hits": (
+                    {"total": total, "relation": "eq", "hits": []}
+                    if tth
+                    else {"hits": []}
+                ),
                 "fill": [],
                 "aggregations": aggregations,
             }
@@ -848,18 +870,23 @@ class SearchRestServer:
                     "doc_id",
                     "left_semi",
                 )
-            # the scored frame always feeds MORE than one consumer
-            # now: the rank window/sort, hits.total's match count, and
-            # the aggs match set when a tree rides along — pin it for
-            # the request so the BM25 pipeline runs once (measured at
-            # sf0.1: a dual reference re-ran the whole pipeline, 6.1s
-            # → 5.3s pinned). Honors the same SPARK_GRAFT_PIN_REUSED
-            # opt-out as every other pin.
+            # with hits.total tracked (default) or aggs riding along,
+            # the scored frame feeds MORE than one consumer — the
+            # rank window/sort, the match count, the aggs match set —
+            # so pin it for the request and the BM25 pipeline runs
+            # once (measured at sf0.1: a dual reference re-ran the
+            # whole pipeline, 6.1s → 5.3s pinned; the pinned
+            # count-bearing plain serve is 1.83s vs 2.45s unpinned).
+            # track_total_hits: false with no aggs = one consumer =
+            # no pin (the pre-count serve path, 1.56s). Honors the
+            # same SPARK_GRAFT_PIN_REUSED opt-out as every other pin.
             from kafka_cdc_elasticsearch_pipeline_spark.operators import (
                 caching,
             )
 
-            if caching.pinning_enabled():
+            if caching.pinning_enabled() and (
+                tth or aggs_spec is not None
+            ):
                 scored = scored.persist()
                 pins.append(scored)
             bm25_scored = scored
@@ -1092,9 +1119,13 @@ class SearchRestServer:
         # tell the two meanings apart.
         if mode == "bm25":
             relation = "eq"
-            total = (
-                agg_total if agg_total is not None else bm25_scored.count()
-            )
+            total = None
+            if tth:
+                total = (
+                    agg_total
+                    if agg_total is not None
+                    else bm25_scored.count()
+                )
         else:
             relation = "retrieved"
             total = len(hits)
@@ -1110,7 +1141,11 @@ class SearchRestServer:
         fill = si.fill_counts((h["query_id"] for h in hits), req_ids, k)
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
-            "hits": {"total": total, "relation": relation, "hits": hits},
+            "hits": (
+                {"total": total, "relation": relation, "hits": hits}
+                if tth
+                else {"hits": hits}
+            ),
             "fill": fill,
         }
         if escalated is not None:

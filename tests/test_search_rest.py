@@ -1653,3 +1653,34 @@ def test_ann_multi_match_gets_dense_encoding_400(spark, stack):
                 {"match": {"text": "a"}}, {"match": {"text": "b"}},
             ]}},
         })
+
+
+def test_track_total_hits_false_omits_total(meta_server):
+    """ES's track_total_hits: false — total/relation omitted from the
+    envelope and the match-count pass skipped (the pre-count serve
+    cost back for consumers that page blindly); hits identical."""
+    server, _ = meta_server
+    on = server.search({"mode": "bm25", "query": "dup", "k": 5})
+    off = server.search({
+        "mode": "bm25", "query": "dup", "k": 5,
+        "track_total_hits": False,
+    })
+    assert "total" in on["hits"] and "relation" in on["hits"]
+    assert "total" not in off["hits"] and "relation" not in off["hits"]
+    assert off["hits"]["hits"] == on["hits"]["hits"]
+    assert off["fill"] == on["fill"]
+    # match_all sorted listing: the count pass is skipped there too
+    s_on = server.search({"sort": [{"field": "ts"}], "k": 3})
+    s_off = server.search({
+        "sort": [{"field": "ts"}], "k": 3, "track_total_hits": False,
+    })
+    assert "total" not in s_off["hits"]
+    assert s_off["hits"]["hits"] == s_on["hits"]["hits"]
+    # aggs-only: aggregations unchanged, envelope total omitted
+    a_off = server.search({"aggs": _AGGS, "track_total_hits": False})
+    a_on = server.search({"aggs": _AGGS})
+    assert "total" not in a_off["hits"]
+    assert a_off["aggregations"] == a_on["aggregations"]
+    with pytest.raises(ValueError, match="track_total_hits"):
+        server.search({"mode": "bm25", "query": "dup",
+                       "track_total_hits": 10000})
