@@ -5830,3 +5830,95 @@ def ext_search_aggs_composite_missing(
         "doc_count",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_terms_missing_mdc",
+    """
+    WITH m AS (
+      SELECT COALESCE(
+               CASE WHEN doc_id % 50 = 0
+                    THEN 'rare' || CAST(doc_id % 3 AS VARCHAR)
+                    WHEN lang <> 'en' THEN lang END,
+               'xx') AS key_l,
+             n_chars
+      FROM documents
+    ),
+    rolled AS (
+      SELECT key_l AS by_lang, grouping(key_l) AS g,
+             count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM m GROUP BY ROLLUP (key_l)
+    ),
+    lv AS (
+      SELECT (1 - g)::INTEGER AS depth, by_lang, doc_count,
+             CASE WHEN g = 0 THEN round(mean_raw, 6) END AS mean_chars
+      FROM rolled
+    ),
+    keep AS (
+      SELECT by_lang FROM (
+        SELECT by_lang, row_number() OVER (
+          ORDER BY doc_count DESC, by_lang ASC) AS rn
+        FROM lv WHERE depth = 1 AND doc_count >= 50)
+      WHERE rn <= 3
+    )
+    SELECT l.depth, l.by_lang, l.doc_count, l.mean_chars
+    FROM lv l LEFT JOIN keep k ON l.by_lang = k.by_lang
+    WHERE l.depth = 0 OR k.by_lang IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "terms", "serving"),
+)
+def ext_search_aggs_terms_missing_mdc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TERMS ``missing`` + ``min_doc_count`` — two ES terms knobs in
+    one pass: docs whose bucket field is NULL take the ``missing``
+    substitution value (they form a real bucket instead of landing
+    nowhere — the substituted key rides the same rollup, so the
+    genuinely-null drop never fires for the level), and buckets under
+    ``min_doc_count`` are pruned BEFORE ``size`` selection (ES's
+    reduce order; pruned buckets count in ``sum_other_doc_count``).
+    The serve derives a nullable key from ``documents`` (en → NULL →
+    substituted 'xx'; every 50th doc → a deliberately-rare 'rareN'
+    value that the threshold prunes) and runs ``terms(size=3,
+    missing='xx', min_doc_count=50)`` with an avg metric — still ONE
+    rollup, the knobs only parameterize the key expression
+    (``coalesce``) and the truncation window's candidate filter. The
+    oracle rebuilds it: COALESCE'd CASE key, DuckDB ROLLUP +
+    grouping(), a doc_count-thresholded ranked keep-list —
+    hash-equality pins the substitution, the prune-before-size order,
+    and the count-desc/key-asc selection cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select(
+        F.expr(
+            "CASE WHEN doc_id % 50 = 0"
+            " THEN 'rare' || CAST(doc_id % 3 AS STRING)"
+            " WHEN lang <> 'en' THEN lang END"
+        ).alias("lang_n"),
+        "n_chars",
+    )
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_lang": {
+                "terms": {
+                    "field": "lang_n",
+                    "size": 3,
+                    "missing": "xx",
+                    "min_doc_count": 50,
+                },
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}}
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_lang",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

@@ -113,7 +113,7 @@ def _fixed_interval_seconds(spec: str) -> int:
 #: DIFFERENT results than ES for the same request (the same honesty
 #: rule kibana_vis_aggs applies to unknown schemas)
 _BUCKET_KEYS = {
-    "terms": {"field", "size", "order"},
+    "terms": {"field", "size", "order", "missing", "min_doc_count"},
     "date_histogram": {
         "field", "fixed_interval", "calendar_interval",
         "min_doc_count", "extended_bounds",
@@ -154,6 +154,9 @@ class _Bucket:
         # composite-only (parse_composite overrides): null keys form
         # an explicit first-ordered bucket instead of being dropped
         self.missing_bucket = False
+        # terms-only ES 'missing' substitution value (None = ES
+        # default: null-field docs land in no bucket)
+        self.missing = None
         self.field = body.get("field")
         if not isinstance(self.field, str):
             raise ValueError(f"agg {name!r} needs a 'field' string")
@@ -248,6 +251,33 @@ class _Bucket:
                     f"terms agg {name!r}: 'size' must be a positive integer"
                 )
             self.size = size
+            # ES terms 'missing': docs with a null field take this
+            # value as their key — they form/join that bucket (and its
+            # children) instead of landing nowhere. The value must be
+            # type-compatible with the field (ES rejects the mismatch
+            # at mapping level; here Spark's coalesce coercion rules
+            # apply).
+            missing = body.get("missing")
+            if missing is not None and not isinstance(
+                missing, (str, int, float)
+            ):
+                raise ValueError(
+                    f"terms agg {name!r}: 'missing' must be a scalar "
+                    f"(string or number), got {missing!r}"
+                )
+            self.missing = missing
+            # ES terms min_doc_count (≥ 1): buckets under the
+            # threshold are pruned BEFORE size selection, exactly
+            # ES's reduce order. 0 would need the index dictionary
+            # (terms with zero matching docs) — rejected.
+            mdc = body.get("min_doc_count", 1)
+            if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < 1:
+                raise ValueError(
+                    f"terms agg {name!r}: 'min_doc_count' must be an "
+                    "integer ≥ 1 (0 would need the full term "
+                    "dictionary, which the match set does not carry)"
+                )
+            self.min_doc_count = mdc
             order = body.get("order")
             if order is not None:
                 if not isinstance(order, dict) or len(order) != 1:
@@ -303,6 +333,12 @@ class _Bucket:
     def key_col(self) -> Column:
         c = F.col(self.field)
         if self.typ == "terms":
+            if self.missing is not None:
+                # ES 'missing': the substituted key is never null, so
+                # the rollup's genuinely-null drop never fires for
+                # this level — the doc behaves exactly as if it
+                # carried the value (children included), like ES
+                return F.coalesce(c, F.lit(self.missing))
             return c
         if self.typ == "range":
             # [from, to) membership as a when-chain: ranges are
@@ -744,14 +780,25 @@ def _truncate_terms(
         if b.typ != "terms":
             continue
         lvl = flat.filter(F.col("depth") == d)
+        # ES terms min_doc_count: buckets under the threshold are
+        # pruned BEFORE size selection (ES's reduce order)
+        cand = (
+            lvl.filter(F.col("doc_count") >= b.min_doc_count)
+            if b.min_doc_count > 1
+            else lvl
+        )
         w = Window.partitionBy(*names[: d - 1]).orderBy(
             *_terms_order_cols(b)
         )
-        ranked = lvl.withColumn("_rn", F.row_number().over(w))
+        ranked = cand.withColumn("_rn", F.row_number().over(w))
         keep = ranked.filter(F.col("_rn") <= b.size).select(*names[:d])
+        # sum_other = docs at this level NOT in a returned bucket —
+        # size-truncated and min_doc_count-pruned alike (anti-join on
+        # the keep-list; for the default mdc=1 this equals the old
+        # rank-beyond-size sum)
         others.append((
             d,
-            ranked.filter(F.col("_rn") > b.size)
+            lvl.join(keep, names[:d], "left_anti")
             .groupBy(*names[: d - 1])
             .agg(F.sum("doc_count").cast("bigint").alias("sum_other")),
         ))

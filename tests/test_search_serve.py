@@ -574,7 +574,9 @@ def test_gap_fill_capped(frame, monkeypatch):
 
 
 def test_min_doc_count_rejected_on_terms(frame):
-    with pytest.raises(ValueError, match="unsupported body keys"):
+    # terms takes min_doc_count ≥ 1 since round 13; 0 would need the
+    # index term dictionary the match set does not carry
+    with pytest.raises(ValueError, match="full term"):
         serve.parse_aggs(
             {"t": {"terms": {"field": "lang", "min_doc_count": 0}}},
             frame.columns,
@@ -930,7 +932,7 @@ def test_unknown_body_keys_are_400_not_ignored(frame):
     DIFFERENT results than ES for the same request."""
     for spec in (
         {"l": {"terms": {"field": "lang", "shard_size": 100}}},
-        {"l": {"terms": {"field": "lang", "missing": "N/A"}}},
+        {"l": {"terms": {"field": "lang", "include": "en.*"}}},
         {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
                                   "order": {"_key": "asc"}}}},
         {"m": {"avg": {"field": "n_chars", "missing": 0}}},
@@ -1109,3 +1111,62 @@ def test_array_typed_bucket_keys_fold(spark):
         for b in out["t"]["buckets"]
     }
     assert got == {("a", "b"): (2, [1, 1]), ("c",): (1, [1])}
+
+
+# --- round-13: terms missing + min_doc_count ----------------------------------
+
+
+def test_terms_missing_param(frame):
+    """ES terms 'missing': null-field docs take the substituted key —
+    they form a real bucket (children included) instead of landing
+    nowhere; sum_other and the day doc_counts are unchanged."""
+    out = serve.aggs_nested(
+        frame,
+        {"l": {"terms": {"field": "lang", "size": 10, "missing": "N/A"},
+               "aggs": {"m": {"avg": {"field": "n_chars"}}}}},
+    )
+    got = {b["key"]: (b["doc_count"], b["m"]["value"])
+           for b in out["l"]["buckets"]}
+    assert got == {
+        "en": (3, 80 / 3), "N/A": (1, 40.0), "de": (1, 30.0),
+        "fr": (1, 60.0),
+    }
+    assert out["l"]["sum_other_doc_count"] == 0
+    # nested: the substituted doc's children compute normally
+    out = serve.aggs_nested(
+        frame,
+        {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+               "aggs": {"l": {"terms": {"field": "lang", "size": 10,
+                                        "missing": "N/A"}}}}},
+    )
+    day1 = out["d"]["buckets"][0]["l"]["buckets"]
+    assert {b["key"]: b["doc_count"] for b in day1} == {
+        "en": 2, "de": 1, "N/A": 1,
+    }
+    with pytest.raises(ValueError, match="'missing' must be a scalar"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "missing": ["x"]}}},
+            frame.columns,
+        )
+
+
+def test_terms_min_doc_count_prunes_before_size(frame):
+    """ES reduce order: min_doc_count prunes the bucket list BEFORE
+    size selection, and pruned buckets count in sum_other."""
+    out = serve.aggs_nested(
+        frame,
+        {"l": {"terms": {"field": "lang", "size": 10,
+                         "min_doc_count": 2}}},
+    )
+    assert [(b["key"], b["doc_count"]) for b in out["l"]["buckets"]] == [
+        ("en", 3)
+    ]
+    # de (1) + fr (1) pruned → counted as other docs
+    assert out["l"]["sum_other_doc_count"] == 2
+    # with key-desc order and size 1: fr/de pruned first, en survives
+    out = serve.aggs_nested(
+        frame,
+        {"l": {"terms": {"field": "lang", "size": 1, "min_doc_count": 2,
+                         "order": {"_key": "desc"}}}},
+    )
+    assert [b["key"] for b in out["l"]["buckets"]] == ["en"]
