@@ -77,6 +77,11 @@ _METRIC_TYPES = (
     "avg", "sum", "min", "max", "value_count", "percentiles", "cardinality",
     "stats",
 )
+#: sibling pipeline aggs — computed driver-side over the RETURNED
+#: bucket frame (ES's own semantics: pipelines run at reduce time
+#: over the buckets the response carries), so they add zero
+#: distributed work
+_PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
 
 #: calendar_interval → Spark/ISO date_trunc unit (the subset a
 #: dashboard uses; ES also has week/quarter — week starts differ
@@ -437,25 +442,75 @@ class _Metric:
         return [fn(c).alias(self.name)]
 
 
-def _resolve_order_metric(b: _Bucket, level_metrics: list[_Metric]) -> str:
-    """A terms ``order`` key that names a metric resolves to that
-    metric's flat-frame column. ES's contract: the metric must be a
-    sub-agg OF the terms agg (same level); a multi-valued metric
-    (stats / percentiles) is addressed by a dotted component path —
-    ``"st.avg"``, ``"pct.50"`` — exactly the path ES accepts."""
-    name, _, part = b.order_key.partition(".")
+class _PipelineAgg:
+    """A parsed sibling pipeline agg (``avg_bucket`` family):
+    ``buckets_path`` names a sibling multi-bucket agg chain ending in
+    a metric (``"by_day>med"``, dotted components for multi-valued
+    metrics, ``_count`` for doc_count). ES computes pipelines at
+    reduce time over the RETURNED buckets — here: driver-side over
+    the collected bucket frame, zero distributed work. ``gap_policy``
+    skip (the default) is the only policy: null metric values (empty
+    buckets) are skipped."""
+
+    def __init__(self, name: str, typ: str, body: dict):
+        if not isinstance(body, dict):
+            raise ValueError(f"agg {name!r}: {typ} body must be an object")
+        _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
+        path = body.get("buckets_path")
+        if not isinstance(path, str) or ">" not in path:
+            raise ValueError(
+                f"pipeline agg {name!r} needs a 'buckets_path' like "
+                "'bucket_agg>metric' (or '...>_count')"
+            )
+        gap = body.get("gap_policy", "skip")
+        if gap != "skip":
+            raise ValueError(
+                f"pipeline agg {name!r}: only gap_policy 'skip' is "
+                f"served, got {gap!r}"
+            )
+        self.name = name
+        self.typ = typ
+        self.segments = path.split(">")
+        #: flat-frame column of the terminal metric — resolved by
+        #: parse_aggs once the chain and metrics are known
+        self.column: str | None = None
+
+    def reduce(self, values: list) -> object:
+        vals = [v for v in values if v is not None]  # gap_policy skip
+        if not vals:
+            return 0.0 if self.typ == "sum_bucket" else None
+        if self.typ == "avg_bucket":
+            return sum(vals) / len(vals)
+        if self.typ == "sum_bucket":
+            return sum(vals)
+        return min(vals) if self.typ == "min_bucket" else max(vals)
+
+    @property
+    def empty(self):
+        """The value when a bucket has NO terminal buckets under it
+        (ES: sum_bucket 0.0, the rest null)."""
+        return 0.0 if self.typ == "sum_bucket" else None
+
+
+def _metric_column(
+    level_metrics: list[_Metric], key: str, who: str
+) -> str:
+    """A metric reference (terms ``order`` key, pipeline
+    ``buckets_path`` terminal) resolved to its flat-frame column. A
+    multi-valued metric (stats / percentiles) is addressed by a
+    dotted component path — ``"st.avg"``, ``"pct.50"`` — exactly the
+    path ES accepts."""
+    name, _, part = key.partition(".")
     m = next((m for m in level_metrics if m.name == name), None)
     if m is None:
         raise ValueError(
-            f"terms agg {b.name!r}: order key {b.order_key!r} is not "
-            "'_key'/'_count' or a metric sub-agg of this terms agg"
+            f"{who}: {key!r} names no metric agg at that level"
         )
     if m.typ == "stats":
         if part not in ("count", "min", "max", "avg", "sum"):
             raise ValueError(
-                f"terms agg {b.name!r}: ordering by stats {name!r} "
-                f"needs a component path like '{name}.avg' "
-                "(count/min/max/avg/sum)"
+                f"{who}: stats {name!r} needs a component path like "
+                f"'{name}.avg' (count/min/max/avg/sum)"
             )
         return f"{name}_{part}"
     if m.typ == "percentiles":
@@ -467,16 +522,28 @@ def _resolve_order_metric(b: _Bucket, level_metrics: list[_Metric]) -> str:
             if want is not None and p == want:
                 return col
         raise ValueError(
-            f"terms agg {b.name!r}: ordering by percentiles {name!r} "
-            f"needs a computed percent path like '{name}.50' "
-            f"(computed: {m.percents})"
+            f"{who}: percentiles {name!r} needs a computed percent "
+            f"path like '{name}.50' (computed: {m.percents})"
         )
     if part:
         raise ValueError(
-            f"terms agg {b.name!r}: metric {name!r} is single-valued — "
-            f"order by {name!r}, not {b.order_key!r}"
+            f"{who}: metric {name!r} is single-valued — reference "
+            f"{name!r}, not {key!r}"
         )
     return m.name
+
+
+def _resolve_order_metric(b: _Bucket, level_metrics: list[_Metric]) -> str:
+    """A terms ``order`` key that names a metric resolves to that
+    metric's flat-frame column. ES's contract: the metric must be a
+    sub-agg OF the terms agg (same level)."""
+    name = b.order_key.partition(".")[0]
+    if not any(m.name == name for m in level_metrics):
+        raise ValueError(
+            f"terms agg {b.name!r}: order key {b.order_key!r} is not "
+            "'_key'/'_count' or a metric sub-agg of this terms agg"
+        )
+    return _metric_column(level_metrics, b.order_key, f"terms agg {b.name!r}")
 
 
 class _TopHits:
@@ -524,10 +591,13 @@ class _TopHits:
 
 
 def parse_aggs(spec: dict, columns: list[str]) -> tuple[
-    list[_Bucket], dict[int, list[_Metric]], dict[int, list["_TopHits"]]
+    list[_Bucket],
+    dict[int, list[_Metric]],
+    dict[int, list["_TopHits"]],
+    dict[int, list[_PipelineAgg]],
 ]:
     """Parse an ES ``aggs`` tree into (bucket chain, metrics-by-depth,
-    top_hits-by-depth).
+    top_hits-by-depth, pipeline-aggs-by-depth).
 
     One bucket agg per level (a Kibana visualization is one chain;
     sibling bucket aggs are separate requests — rejected explicitly so
@@ -538,6 +608,7 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     chain: list[_Bucket] = []
     metrics: dict[int, list[_Metric]] = {}
     tophits: dict[int, list[_TopHits]] = {}
+    pipelines: dict[int, list[_PipelineAgg]] = {}
     names: set[str] = set()
 
     def walk(node: dict, depth: int) -> None:
@@ -585,11 +656,19 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 tophits.setdefault(depth, []).append(
                     _TopHits(name, body[typ], columns)
                 )
+            elif typ in _PIPELINE_TYPES:
+                if "aggs" in body:
+                    raise ValueError(
+                        f"pipeline agg {name!r} cannot have sub-aggs"
+                    )
+                pipelines.setdefault(depth, []).append(
+                    _PipelineAgg(name, typ, body[typ])
+                )
             else:
                 raise ValueError(
                     f"unsupported agg type {typ!r} (buckets: "
                     f"{_BUCKET_TYPES}, metrics: {_METRIC_TYPES}, "
-                    "top_hits)"
+                    f"top_hits, pipelines: {_PIPELINE_TYPES})"
                 )
         if bucket_here is not None:
             chain.append(bucket_here)
@@ -631,6 +710,30 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
             if th.name in reserved:
                 raise ValueError(f"agg name {th.name!r} is reserved")
             reserved.add(th.name)
+    # pipelines: the buckets_path must name the sibling bucket chain
+    # from this depth down, terminal segment a metric (or _count) at
+    # the terminal level
+    for d, plist in pipelines.items():
+        for p in plist:
+            if p.name in reserved:
+                raise ValueError(f"agg name {p.name!r} is reserved")
+            reserved.add(p.name)
+            who = f"pipeline agg {p.name!r}"
+            for i, seg in enumerate(p.segments[:-1]):
+                ci = d + i
+                if ci >= len(chain) or chain[ci].name != seg:
+                    raise ValueError(
+                        f"{who}: buckets_path segment {seg!r} does not "
+                        "name the sibling bucket chain at that level "
+                        f"(chain: {[b.name for b in chain]})"
+                    )
+            td = d + len(p.segments) - 1
+            term = p.segments[-1]
+            p.column = (
+                "doc_count"
+                if term == "_count"
+                else _metric_column(metrics.get(td, []), term, who)
+            )
     # a bucket agg NAMED like a metric's source FIELD would put two
     # same-named columns into the rollup input (the key alias + the
     # raw field) — ambiguous-column fault; reject it as the 400 it is
@@ -651,7 +754,7 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     for d, b in enumerate(chain, start=1):
         if b.typ == "terms" and b.order_key not in ("_key", "_count"):
             b.order_col = _resolve_order_metric(b, metrics.get(d, []))
-    return chain, metrics, tophits
+    return chain, metrics, tophits, pipelines
 
 
 def _rollup_flat(
@@ -820,12 +923,18 @@ def aggs_flat(
     distributed surface the gate row hashes: DuckDB ``GROUP BY
     ROLLUP`` + ``grouping()`` + a ranked keep-list rebuilds it
     exactly."""
-    chain, metrics, tophits = parse_aggs(spec, docs.columns)
+    chain, metrics, tophits, pipelines = parse_aggs(spec, docs.columns)
     if tophits:
         raise ValueError(
             "top_hits returns document rows, not an aggregate — it is "
             "served by aggs_nested (the REST envelope), not the flat "
             "bucket frame"
+        )
+    if pipelines:
+        raise ValueError(
+            "pipeline aggs compute over the RETURNED buckets at "
+            "reduce time — they are served by aggs_nested (the REST "
+            "envelope), not the flat bucket frame"
         )
     flat = _rollup_flat(docs, chain, metrics)
     flat, _ = _truncate_terms(flat, chain, pins)
@@ -998,7 +1107,7 @@ def aggs_nested(
     doc_count desc / key asc (or the level's explicit ``order``) with
     ``sum_other_doc_count``; date_histogram / histogram buckets
     ordered by key."""
-    chain, metrics, tophits = parse_aggs(spec, docs.columns)
+    chain, metrics, tophits, pipelines = parse_aggs(spec, docs.columns)
     flat = _rollup_flat(docs, chain, metrics)
     flat, others = _truncate_terms(flat, chain, pins)
     rows = [r.asDict() for r in flat.limit(MAX_BUCKETS + 1).collect()]
@@ -1035,6 +1144,21 @@ def aggs_nested(
             by_parent.setdefault(
                 (d, tuple(_hashable(r[n]) for n in names[: d - 1])), []
             ).append(r)
+    # pipeline aggs: ES computes them at reduce time over the
+    # RETURNED buckets — one O(|rows|) pass per pipeline grouping the
+    # terminal-level rows by the pipeline's own prefix depth
+    pipe_vals: dict[str, dict[tuple, object]] = {}
+    for d, plist in pipelines.items():
+        for p in plist:
+            td = d + len(p.segments) - 1
+            groups: dict[tuple, list] = {}
+            for r in rows:
+                if r["depth"] == td:
+                    key = tuple(_hashable(r[n]) for n in names[:d])
+                    groups.setdefault(key, []).append(r.get(p.column))
+            pipe_vals[p.name] = {
+                k: p.reduce(vs) for k, vs in groups.items()
+            }
     th_maps: dict[str, dict[tuple, list[dict]]] = {}
     for d, nodes in tophits.items():
         kept = (
@@ -1141,6 +1265,12 @@ def aggs_nested(
                 bucket[th.name] = _th_envelope(
                     th, prefix + (_hashable(r[b.name]),), int(r["doc_count"])
                 )
+            for p in pipelines.get(depth, []):
+                bucket[p.name] = {"value": _val_json(
+                    pipe_vals[p.name].get(
+                        prefix + (_hashable(r[b.name]),), p.empty
+                    )
+                )}
             bucket.update(level(depth + 1, prefix + (_hashable(r[b.name]),)))
             buckets.append(bucket)
         node: dict = {"buckets": buckets}
@@ -1158,6 +1288,10 @@ def aggs_nested(
     out = {m.name: _metric_json(m, root) for m in metrics.get(0, [])}
     for th in tophits.get(0, []):
         out[th.name] = _th_envelope(th, (), int(root["doc_count"]))
+    for p in pipelines.get(0, []):
+        out[p.name] = {"value": _val_json(
+            pipe_vals[p.name].get((), p.empty)
+        )}
     out.update(level(1, ()))
     if with_total:
         # the depth-0 doc_count IS the match-set size — callers that

@@ -1170,3 +1170,102 @@ def test_terms_min_doc_count_prunes_before_size(frame):
                          "order": {"_key": "desc"}}}},
     )
     assert [b["key"] for b in out["l"]["buckets"]] == ["en"]
+
+
+# --- round-13: sibling pipeline aggs ------------------------------------------
+
+
+def test_pipeline_bucket_aggs_root(frame):
+    """avg/sum/min/max_bucket — ES computes them at reduce time over
+    the RETURNED buckets; here driver-side over the bucket frame.
+    day1 mean n_chars = 25, day2 = 55."""
+    out = serve.aggs_nested(frame, {
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+              "aggs": {"mean": {"avg": {"field": "n_chars"}}}},
+        "avg_daily_mean": {"avg_bucket": {"buckets_path": "d>mean"}},
+        "total_docs": {"sum_bucket": {"buckets_path": "d>_count"}},
+        "max_daily": {"max_bucket": {"buckets_path": "d>mean"}},
+        "min_daily": {"min_bucket": {"buckets_path": "d>mean"}},
+    })
+    assert out["avg_daily_mean"] == {"value": 40.0}
+    assert out["total_docs"] == {"value": 6}
+    assert out["max_daily"] == {"value": 55.0}
+    assert out["min_daily"] == {"value": 25.0}
+    # empty match set: sum_bucket 0.0, the rest null (ES)
+    empty = serve.aggs_nested(frame.filter(F.lit(False)), {
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+              "aggs": {"mean": {"avg": {"field": "n_chars"}}}},
+        "avg_daily_mean": {"avg_bucket": {"buckets_path": "d>mean"}},
+        "total_docs": {"sum_bucket": {"buckets_path": "d>_count"}},
+    })
+    assert empty["total_docs"] == {"value": 0.0}
+    assert empty["avg_daily_mean"] == {"value": None}
+
+
+def test_pipeline_bucket_aggs_nested_and_deep_path(frame):
+    """A pipeline INSIDE a bucket consumes that bucket's children; a
+    multi-segment path from the root spans every leaf bucket. Both
+    respect terms truncation (returned buckets only)."""
+    out = serve.aggs_nested(frame, {
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+              "aggs": {
+                  "l": {"terms": {"field": "lang", "size": 10},
+                        "aggs": {"m": {"avg": {"field": "n_chars"}}}},
+                  "avg_lang_mean": {"avg_bucket": {"buckets_path": "l>m"}},
+              }},
+        "avg_all_leaves": {"avg_bucket": {"buckets_path": "d>l>m"}},
+    })
+    days = out["d"]["buckets"]
+    # day1 langs: en 15, de 30 → 22.5; day2: en 50, fr 60 → 55
+    assert days[0]["avg_lang_mean"] == {"value": 22.5}
+    assert days[1]["avg_lang_mean"] == {"value": 55.0}
+    assert out["avg_all_leaves"] == {"value": (15 + 30 + 50 + 60) / 4}
+    # truncation: size 1 keeps only the top lang per day — the
+    # pipeline sees the RETURNED buckets (en 15 / en 50)
+    out = serve.aggs_nested(frame, {
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+              "aggs": {
+                  "l": {"terms": {"field": "lang", "size": 1},
+                        "aggs": {"m": {"avg": {"field": "n_chars"}}}},
+                  "avg_lang_mean": {"avg_bucket": {"buckets_path": "l>m"}},
+              }},
+    })
+    assert [d["avg_lang_mean"]["value"] for d in out["d"]["buckets"]] == [
+        15.0, 50.0,
+    ]
+
+
+def test_pipeline_bucket_aggs_validation(frame):
+    with pytest.raises(ValueError, match="buckets_path"):
+        serve.parse_aggs(
+            {"p": {"avg_bucket": {"buckets_path": "nope"}}}, frame.columns
+        )
+    with pytest.raises(ValueError, match="sibling bucket chain"):
+        serve.parse_aggs(
+            {"d": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"}},
+             "p": {"avg_bucket": {"buckets_path": "x>_count"}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="names no metric"):
+        serve.parse_aggs(
+            {"d": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"}},
+             "p": {"avg_bucket": {"buckets_path": "d>nope"}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="gap_policy"):
+        serve.parse_aggs(
+            {"d": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"}},
+             "p": {"avg_bucket": {"buckets_path": "d>_count",
+                                  "gap_policy": "insert_zeros"}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="served by aggs_nested"):
+        serve.aggs_flat(
+            frame,
+            {"d": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"}},
+             "p": {"avg_bucket": {"buckets_path": "d>_count"}}},
+        )
