@@ -122,16 +122,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # their floor round — so any N ≤ ~35 stays on schedule (keep N ≤ ~10
 # as usual so later blocks never compound).
 #
-# r14 window math (written r13): r13 registers exactly 2 new queries
-# (ext_search_aggs_terms_order_metric,
-# ext_search_aggs_composite_missing) — registry 218, 217 gated,
-# floor ceil(217/50) = 5 (check_oracle confirms: never×2, r08×15,
-# r09×50, r10×50, r11×50, r12×50). The r13 window = 2 never + 15 r08
-# (their floor round) + 33 r09. That leaves 17 r09 rows whose floor
+# r14 window math (written r13, amended when the third registration
+# landed): r13 registers exactly 3 new queries
+# (ext_search_aggs_terms_order_metric, ext_search_aggs_composite_missing,
+# ext_search_aggs_terms_missing_mdc) — registry 219, 218 gated,
+# floor ceil(218/50) = 5 (check_oracle confirms: never×3, r08×15,
+# r09×50, r10×50, r11×50, r12×50). The r13 window = 3 never + 15 r08
+# (their floor round) + 32 r09. That leaves 18 r09 rows whose floor
 # is r14; the oldest-first rotation fronts them automatically, so
-# r14 needs no pin. r14's budget: window = N new + 17 r09 +
-# (33−N) r10, leaving (17+N) r10 rows for r15 — their floor round —
-# so any N ≤ ~33 stays on schedule (keep N ≤ ~10 as usual).
+# r14 needs no pin. r14's budget: window = N new + 18 r09 +
+# (32−N) r10, leaving (18+N) r10 rows for r15 — their floor round —
+# so any N ≤ ~32 stays on schedule (keep N ≤ ~10 as usual).
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

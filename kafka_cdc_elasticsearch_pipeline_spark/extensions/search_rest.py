@@ -179,6 +179,15 @@ def _knob(req: dict, name: str, default: int) -> int:
     return v
 
 
+
+def _hits_env(total, relation: str, hits: list, tth: bool) -> dict:
+    """The ES hits envelope, defined once: total/relation only when
+    track_total_hits is on (ES omits both with the opt-out)."""
+    if tth:
+        return {"total": total, "relation": relation, "hits": hits}
+    return {"hits": hits}
+
+
 class SearchRestServer:
     """Serve the maintained search stack over HTTP.
 
@@ -661,11 +670,7 @@ class SearchRestServer:
                 if total is None and tth:
                     total = matched.count()
                 out = {
-                    "hits": (
-                        {"total": total, "relation": "eq", "hits": hits}
-                        if tth
-                        else {"hits": hits}
-                    ),
+                    "hits": _hits_env(total, "eq", hits, tth),
                     "fill": si.fill_counts(
                         (h["query_id"] for h in hits), (0,), k
                     ),
@@ -692,11 +697,7 @@ class SearchRestServer:
                 )
             return {
                 "took": int((_time.perf_counter() - t0) * 1000),
-                "hits": (
-                    {"total": total, "relation": "eq", "hits": []}
-                    if tth
-                    else {"hits": []}
-                ),
+                "hits": _hits_env(total, "eq", [], tth),
                 "fill": [],
                 "aggregations": aggregations,
             }
@@ -1141,11 +1142,7 @@ class SearchRestServer:
         fill = si.fill_counts((h["query_id"] for h in hits), req_ids, k)
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
-            "hits": (
-                {"total": total, "relation": relation, "hits": hits}
-                if tth
-                else {"hits": hits}
-            ),
+            "hits": _hits_env(total, relation, hits, tth),
             "fill": fill,
         }
         if escalated is not None:

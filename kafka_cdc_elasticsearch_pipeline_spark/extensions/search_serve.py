@@ -471,25 +471,56 @@ class _PipelineAgg:
         self.name = name
         self.typ = typ
         self.segments = path.split(">")
-        #: flat-frame column of the terminal metric — resolved by
-        #: parse_aggs once the chain and metrics are known
-        self.column: str | None = None
+        #: how to read the terminal value OFF THE ENVELOPE bucket —
+        #: ("_count"|"value"|"stats"|"percentiles", agg name, part
+        #: key); resolved by parse_aggs once chain and metrics are
+        #: known. Envelope (not flat-frame) extraction is load-bearing:
+        #: the response buckets are the flat rows MINUS min_doc_count
+        #: pruning PLUS gap fill, and ES reduces pipelines over the
+        #: final list (review finding).
+        self.terminal: tuple[str, str | None, str | None] | None = None
+
+    def extract(self, bucket: dict):
+        kind, nm, part = self.terminal
+        if kind == "_count":
+            return bucket.get("doc_count")
+        node = bucket.get(nm)
+        if node is None:
+            return None
+        if kind == "stats":
+            return node.get(part)
+        if kind == "percentiles":
+            return node.get("values", {}).get(part)
+        return node.get("value")
 
     def reduce(self, values: list) -> object:
+        import decimal
+
         vals = [v for v in values if v is not None]  # gap_policy skip
         if not vals:
+            # ES over zero buckets: sum_bucket 0.0, the rest null
             return 0.0 if self.typ == "sum_bucket" else None
-        if self.typ == "avg_bucket":
-            return sum(vals) / len(vals)
-        if self.typ == "sum_bucket":
-            return sum(vals)
+        if self.typ in ("avg_bucket", "sum_bucket"):
+            bad = next(
+                (
+                    v for v in vals
+                    if isinstance(v, bool)
+                    or not isinstance(v, (int, float, decimal.Decimal))
+                ),
+                None,
+            )
+            if bad is not None:
+                # a date-typed metric under avg/sum would TypeError
+                # mid-fold (500); name the fix instead
+                raise ValueError(
+                    f"pipeline agg {self.name!r}: {self.typ} needs "
+                    "numeric bucket values, got "
+                    f"{type(bad).__name__} — use min_bucket/"
+                    "max_bucket for date metrics"
+                )
+            total = sum(vals)
+            return total / len(vals) if self.typ == "avg_bucket" else total
         return min(vals) if self.typ == "min_bucket" else max(vals)
-
-    @property
-    def empty(self):
-        """The value when a bucket has NO terminal buckets under it
-        (ES: sum_bucket 0.0, the rest null)."""
-        return 0.0 if self.typ == "sum_bucket" else None
 
 
 def _metric_column(
@@ -729,11 +760,26 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                     )
             td = d + len(p.segments) - 1
             term = p.segments[-1]
-            p.column = (
-                "doc_count"
-                if term == "_count"
-                else _metric_column(metrics.get(td, []), term, who)
-            )
+            if term == "_count":
+                p.terminal = ("_count", None, None)
+            else:
+                # validates the reference (same rules as terms order)
+                col = _metric_column(metrics.get(td, []), term, who)
+                tname, _, tpart = term.partition(".")
+                m = next(
+                    mm for mm in metrics.get(td, []) if mm.name == tname
+                )
+                if m.typ == "stats":
+                    p.terminal = ("stats", tname, tpart)
+                elif m.typ == "percentiles":
+                    pkey = next(
+                        str(pp)
+                        for pp, c in zip(m.percents, m.columns)
+                        if c == col
+                    )
+                    p.terminal = ("percentiles", tname, pkey)
+                else:
+                    p.terminal = ("value", tname, None)
     # a bucket agg NAMED like a metric's source FIELD would put two
     # same-named columns into the rollup input (the key alias + the
     # raw field) — ambiguous-column fault; reject it as the 400 it is
@@ -1144,21 +1190,6 @@ def aggs_nested(
             by_parent.setdefault(
                 (d, tuple(_hashable(r[n]) for n in names[: d - 1])), []
             ).append(r)
-    # pipeline aggs: ES computes them at reduce time over the
-    # RETURNED buckets — one O(|rows|) pass per pipeline grouping the
-    # terminal-level rows by the pipeline's own prefix depth
-    pipe_vals: dict[str, dict[tuple, object]] = {}
-    for d, plist in pipelines.items():
-        for p in plist:
-            td = d + len(p.segments) - 1
-            groups: dict[tuple, list] = {}
-            for r in rows:
-                if r["depth"] == td:
-                    key = tuple(_hashable(r[n]) for n in names[:d])
-                    groups.setdefault(key, []).append(r.get(p.column))
-            pipe_vals[p.name] = {
-                k: p.reduce(vs) for k, vs in groups.items()
-            }
     th_maps: dict[str, dict[tuple, list[dict]]] = {}
     for d, nodes in tophits.items():
         kept = (
@@ -1265,12 +1296,6 @@ def aggs_nested(
                 bucket[th.name] = _th_envelope(
                     th, prefix + (_hashable(r[b.name]),), int(r["doc_count"])
                 )
-            for p in pipelines.get(depth, []):
-                bucket[p.name] = {"value": _val_json(
-                    pipe_vals[p.name].get(
-                        prefix + (_hashable(r[b.name]),), p.empty
-                    )
-                )}
             bucket.update(level(depth + 1, prefix + (_hashable(r[b.name]),)))
             buckets.append(bucket)
         node: dict = {"buckets": buckets}
@@ -1288,11 +1313,35 @@ def aggs_nested(
     out = {m.name: _metric_json(m, root) for m in metrics.get(0, [])}
     for th in tophits.get(0, []):
         out[th.name] = _th_envelope(th, (), int(root["doc_count"]))
-    for p in pipelines.get(0, []):
-        out[p.name] = {"value": _val_json(
-            pipe_vals[p.name].get((), p.empty)
-        )}
     out.update(level(1, ()))
+    if pipelines:
+        # AFTER the fold: ES reduces pipelines over the FINAL bucket
+        # list — the flat rows minus min_doc_count pruning plus
+        # min_doc_count=0 gap fill (review finding: a pre-fold
+        # computation saw pruned buckets and missed fabricated ones).
+        # One envelope walk, O(total buckets).
+        def leaves(node: dict, segs: list[str]) -> list[dict]:
+            if not segs:
+                return [node]
+            got: list[dict] = []
+            for bk in node.get(segs[0], {}).get("buckets", []):
+                got.extend(leaves(bk, segs[1:]))
+            return got
+
+        def attach(node: dict, depth: int) -> None:
+            if depth < len(chain):
+                for bk in node.get(chain[depth].name, {}).get(
+                    "buckets", []
+                ):
+                    attach(bk, depth + 1)
+            for p in pipelines.get(depth, []):
+                vals = [
+                    p.extract(leaf)
+                    for leaf in leaves(node, p.segments[:-1])
+                ]
+                node[p.name] = {"value": _val_json(p.reduce(vals))}
+
+        attach(out, 0)
     if with_total:
         # the depth-0 doc_count IS the match-set size — callers that
         # need hits.total (match_all) read it here instead of paying
@@ -2015,6 +2064,18 @@ def parse_query_dsl(
             # inside a should, a match is an OPTIONAL text — the REST
             # layer scores its terms without requiring them
             target = opt_texts if in_should[0] else texts
+            if op == "and" and in_should[0]:
+                # an optional ALL-terms clause would need per-clause
+                # membership/scoring (sibling-less msm=1 must require
+                # the whole clause; with siblings the boost fires only
+                # when every term matches) — the flat union cannot
+                # express either (review finding: it silently served
+                # OR semantics)
+                raise ValueError(
+                    "'match' with operator 'and' inside 'should' is "
+                    "not supported — use operator 'or' or move the "
+                    "clause to 'must'"
+                )
             if op == "and":
                 # ES operator=and: EVERY term must match. Split into
                 # one clause per distinct term — python str.split()

@@ -1269,3 +1269,69 @@ def test_pipeline_bucket_aggs_validation(frame):
                                       "fixed_interval": "1d"}},
              "p": {"avg_bucket": {"buckets_path": "d>_count"}}},
         )
+
+
+def test_pipeline_reduces_over_final_buckets(spark):
+    """Review finding: pipelines must reduce over the FINAL bucket
+    list — min_doc_count-pruned buckets excluded, min_doc_count=0
+    gap-filled buckets included (their _count is a real 0)."""
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 05:00:00"), (1, "2024-01-01 06:00:00"),
+         (2, "2024-01-03 09:00:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    # min_doc_count=2 prunes the 1-doc day: avg over RETURNED = 2.0
+    out = serve.aggs_nested(df, {
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                 "min_doc_count": 2}},
+        "p": {"avg_bucket": {"buckets_path": "d>_count"}},
+    })
+    assert [b["doc_count"] for b in out["d"]["buckets"]] == [2]
+    assert out["p"] == {"value": 2.0}
+    # min_doc_count=0 fills the gap day: avg over (2, 0, 1) = 1.0
+    out = serve.aggs_nested(df, {
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                 "min_doc_count": 0}},
+        "p": {"avg_bucket": {"buckets_path": "d>_count"}},
+    })
+    assert [b["doc_count"] for b in out["d"]["buckets"]] == [2, 0, 1]
+    assert out["p"] == {"value": 1.0}
+
+
+def test_pipeline_date_metric_guards(frame):
+    """avg/sum_bucket over a date metric is a named 400 (not a
+    TypeError 500); min/max_bucket serve it (ISO strings compare
+    chronologically)."""
+    spec = {"d": {"date_histogram": {"field": "ts",
+                                     "fixed_interval": "1d"},
+                  "aggs": {"first": {"min": {"field": "ts"}}}}}
+    with pytest.raises(ValueError, match="numeric bucket values"):
+        serve.aggs_nested(frame, {
+            **spec, "p": {"avg_bucket": {"buckets_path": "d>first"}},
+        })
+    out = serve.aggs_nested(frame, {
+        **spec, "p": {"max_bucket": {"buckets_path": "d>first"}},
+    })
+    assert out["p"]["value"].startswith("2024-01-02")
+
+
+def test_operator_and_inside_should_is_400(frame):
+    """Review finding: operator=and inside should silently served OR
+    membership (the split terms re-joined into one union clause)."""
+    with pytest.raises(ValueError, match="operator 'and' inside"):
+        serve.parse_query_dsl(
+            {"bool": {"should": [
+                {"match": {"text": {"query": "alpha beta",
+                                    "operator": "and"}}},
+            ]}},
+            frame.withColumn("text", F.lit("t")),
+        )
+    with pytest.raises(ValueError, match="operator 'and' inside"):
+        serve.parse_query_dsl(
+            {"bool": {"must": [{"match": {"text": "x"}}],
+                      "should": [
+                          {"match": {"text": {"query": "a b",
+                                              "operator": "and"}}},
+                      ]}},
+            frame.withColumn("text", F.lit("t")),
+        )
