@@ -5922,3 +5922,85 @@ def ext_search_aggs_terms_missing_mdc(
         "doc_count",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_date_range",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, lang, n_chars FROM documents
+    ),
+    keyed AS (
+      SELECT CASE
+               WHEN ts < TIMESTAMP '2024-01-02 00:00:00'
+                 THEN '*-2024-01-02T00:00:00'
+               WHEN ts >= TIMESTAMP '2024-01-02 00:00:00'
+                AND ts < TIMESTAMP '2024-01-03 00:00:00'
+                 THEN '2024-01-02T00:00:00-2024-01-03T00:00:00'
+             END AS by_window,
+             lang, n_chars
+      FROM meta
+    ),
+    rolled AS (
+      SELECT by_window, grouping(by_window) AS g,
+             count(*)::BIGINT AS doc_count,
+             count(DISTINCT lang)::BIGINT AS n_langs_raw,
+             avg(n_chars) AS mean_raw
+      FROM keyed GROUP BY ROLLUP (by_window)
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_window, doc_count,
+           CASE WHEN g = 0 THEN n_langs_raw END AS n_langs,
+           CASE WHEN g = 0 THEN round(mean_raw, 6) END AS mean_chars
+    FROM rolled
+    WHERE g = 1 OR by_window IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "date_range", "serving"),
+)
+def ext_search_aggs_date_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``date_range`` aggregation — the date-typed sibling of the
+    disjoint ``range`` agg: bounds arrive as epoch millis (what a
+    Kibana request carries) or ISO-8601 strings, bucket keys are
+    ES's ``from-to`` labels with ISO forms, docs outside every range
+    land in no bucket but still count at the parent level. This row
+    serves two windows over the derived doc timestamp (an open-ended
+    ``*-day2`` and a ``[day2, day3)``; the third day's docs are
+    bucketless) with exact-cardinality and mean metrics — compiled
+    into the same ONE-rollup plan as every aggs tree (the when-chain
+    key expression is the only difference from numeric range). The
+    oracle rebuilds the labels as a CASE over timestamp literals +
+    DuckDB ROLLUP + grouping() — hash-equality pins the [from, to)
+    boundary arithmetic on timestamps, the epoch-ms/ISO bound
+    parsing, the label grammar, and the outside-every-range
+    discipline cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.aggs_flat(
+        _doc_meta(spark, sf_dir),
+        {
+            "by_window": {
+                "date_range": {
+                    "field": "ts",
+                    "ranges": [
+                        {"to": 1704153600000},
+                        {"from": 1704153600000,
+                         "to": "2024-01-03T00:00:00"},
+                    ],
+                },
+                "aggs": {
+                    "n_langs": {"cardinality": {"field": "lang"}},
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_window",
+        "doc_count",
+        "n_langs",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

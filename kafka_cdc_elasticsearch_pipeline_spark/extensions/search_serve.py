@@ -11,7 +11,7 @@ REST face (``search_rest.py``) those two missing consumer surfaces:
 
 - :func:`aggs_flat` compiles an ES ``aggs`` tree (one bucket chain —
   ``terms`` / ``date_histogram`` / ``histogram`` / disjoint ``range``
-  — with metrics at any level: avg/sum/min/max/value_count/
+  / ``date_range`` — with metrics at any level: avg/sum/min/max/value_count/
   percentiles/cardinality/stats; date_histogram/histogram take
   ``min_doc_count`` (0 = dense-timeline gap fill, the Kibana axis
   contract) and ``extended_bounds``) into ONE distributed plan: a single ``rollup`` pass over the
@@ -72,7 +72,8 @@ from pyspark.sql import functions as F
 #: high-cardinality terms field must 400, not OOM the driver).
 MAX_BUCKETS = 65_536
 
-_BUCKET_TYPES = ("terms", "date_histogram", "histogram", "range")
+_BUCKET_TYPES = ("terms", "date_histogram", "histogram", "range",
+                 "date_range")
 _METRIC_TYPES = (
     "avg", "sum", "min", "max", "value_count", "percentiles", "cardinality",
     "stats",
@@ -125,7 +126,35 @@ _BUCKET_KEYS = {
     },
     "histogram": {"field", "interval", "min_doc_count", "extended_bounds"},
     "range": {"field", "ranges"},
+    "date_range": {"field", "ranges"},
 }
+
+
+def _date_bound(name: str, v):
+    """A date_range bound: epoch millis (what a Kibana request
+    carries) or an ISO-8601 string → datetime."""
+    import datetime
+
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            milliseconds=int(v)
+        )
+    if isinstance(v, str):
+        try:
+            return datetime.datetime.fromisoformat(v)
+        except ValueError:
+            pass
+    raise ValueError(
+        f"date_range agg {name!r}: bound {v!r} is neither epoch "
+        "millis nor an ISO-8601 date string"
+    )
+
+
+def _lo_sort_key(r):
+    """Sort ranges by their lower bound with an open bound first —
+    without comparing None/−inf against datetimes (at most one open
+    lower bound survives the disjointness check)."""
+    return (r[0] is not None, r[0] if r[0] is not None else 0)
 
 
 def _strict_keys(
@@ -198,7 +227,7 @@ class _Bucket:
                         "min ≤ max (epoch millis for date_histogram)"
                     )
                 self.bounds = (eb["min"], eb["max"])
-        if typ == "range":
+        if typ in ("range", "date_range"):
             ranges = body.get("ranges")
             if not isinstance(ranges, list) or not ranges:
                 raise ValueError(
@@ -215,31 +244,33 @@ class _Bucket:
                         f"and/or 'to', got {r!r}"
                     )
                 lo, hi = r.get("from"), r.get("to")
-                for v in (lo, hi):
-                    if v is not None and (
-                        isinstance(v, bool) or not isinstance(v, (int, float))
-                    ):
-                        raise ValueError(
-                            f"range agg {name!r}: bounds must be numbers, "
-                            f"got {v!r}"
-                        )
+                if typ == "date_range":
+                    lo = None if lo is None else _date_bound(name, lo)
+                    hi = None if hi is None else _date_bound(name, hi)
+                else:
+                    for v in (lo, hi):
+                        if v is not None and (
+                            isinstance(v, bool)
+                            or not isinstance(v, (int, float))
+                        ):
+                            raise ValueError(
+                                f"range agg {name!r}: bounds must be "
+                                f"numbers, got {v!r}"
+                            )
+                    lo = None if lo is None else float(lo)
+                    hi = None if hi is None else float(hi)
                 if lo is not None and hi is not None and not lo < hi:
                     raise ValueError(
                         f"range agg {name!r}: 'from' must be < 'to' "
                         f"in {r!r}"
                     )
-                parsed.append((
-                    None if lo is None else float(lo),
-                    None if hi is None else float(hi),
-                ))
+                parsed.append((lo, hi))
             # ES allows OVERLAPPING ranges (a doc lands in every
             # matching bucket) — that multiplies rows and would
             # corrupt the shared-rollup parent counts, so this
             # compiler requires disjoint ranges (the dashboard shape)
             # and says so instead of silently double-counting.
-            by_lo = sorted(
-                parsed, key=lambda r: float("-inf") if r[0] is None else r[0]
-            )
+            by_lo = sorted(parsed, key=_lo_sort_key)
             for (lo1, hi1), (lo2, _hi2) in zip(by_lo, by_lo[1:]):
                 if hi1 is None or lo2 is None or lo2 < hi1:
                     raise ValueError(
@@ -326,13 +357,21 @@ class _Bucket:
                 self.calendar = _CALENDAR_UNITS[cal]
 
     @staticmethod
-    def range_label(lo: float | None, hi: float | None) -> str:
+    def range_label(lo, hi) -> str:
         """ES's range bucket key: ``"from-to"`` with ``*`` for an
-        open bound (e.g. ``"10.0-20.0"``, ``"*-10.0"``)."""
+        open bound (e.g. ``"10.0-20.0"``, ``"*-10.0"``; date_range
+        bounds render as ISO strings)."""
+        import datetime
+
+        def s(v):
+            if isinstance(v, datetime.datetime):
+                return v.isoformat(sep="T")
+            return str(v)
+
         return (
-            ("*" if lo is None else str(lo))
+            ("*" if lo is None else s(lo))
             + "-"
-            + ("*" if hi is None else str(hi))
+            + ("*" if hi is None else s(hi))
         )
 
     def key_col(self) -> Column:
@@ -345,10 +384,12 @@ class _Bucket:
                 # carried the value (children included), like ES
                 return F.coalesce(c, F.lit(self.missing))
             return c
-        if self.typ == "range":
+        if self.typ in ("range", "date_range"):
             # [from, to) membership as a when-chain: ranges are
             # disjoint (validated), so each doc lands in ≤ 1 bucket;
-            # docs outside every range get NULL = no bucket (ES)
+            # docs outside every range get NULL = no bucket (ES);
+            # date_range bounds are datetime literals on a timestamp
+            # column
             expr = F.lit(None).cast("string")
             for lo, hi in reversed(self.ranges):
                 cond = F.lit(True)
@@ -1236,13 +1277,12 @@ def aggs_nested(
                     key=lambda r: r[b.order_col], reverse=not b.order_asc
                 )
                 mine = valued + [r for r in mine if r[b.order_col] is None]
-        elif b.typ == "range":
+        elif b.typ in ("range", "date_range"):
             order = {
                 b.range_label(lo, hi): i
-                for i, (lo, hi) in enumerate(sorted(
-                    b.ranges,
-                    key=lambda r: float("-inf") if r[0] is None else r[0],
-                ))
+                for i, (lo, hi) in enumerate(
+                    sorted(b.ranges, key=_lo_sort_key)
+                )
             }
             mine.sort(key=lambda r: order[r[b.name]])
         else:
@@ -1274,7 +1314,7 @@ def aggs_nested(
                     )
         bounds = (
             {b.range_label(lo, hi): (lo, hi) for lo, hi in b.ranges}
-            if b.typ == "range"
+            if b.typ in ("range", "date_range")
             else {}
         )
         buckets = []
@@ -1289,6 +1329,14 @@ def aggs_nested(
                     bucket["from"] = lo
                 if hi is not None:
                     bucket["to"] = hi
+            elif b.typ == "date_range":
+                # ES date_range echoes epoch-ms from/to plus the
+                # *_as_string ISO forms
+                lo, hi = bounds[r[b.name]]
+                if lo is not None:
+                    bucket["from"], bucket["from_as_string"] = _key_json(lo)
+                if hi is not None:
+                    bucket["to"], bucket["to_as_string"] = _key_json(hi)
             bucket["doc_count"] = int(r["doc_count"])
             for m in metrics.get(depth, []):
                 bucket[m.name] = _metric_json(m, r)

@@ -1335,3 +1335,54 @@ def test_operator_and_inside_should_is_400(frame):
                       ]}},
             frame.withColumn("text", F.lit("t")),
         )
+
+
+# --- round-13: date_range -----------------------------------------------------
+
+
+def test_date_range_buckets(frame):
+    """ES date_range: bounds as epoch millis or ISO strings, bucket
+    key 'from-to' with ISO forms, epoch-ms from/to + *_as_string
+    echoed; docs outside every range land in no bucket but count at
+    the parent level."""
+    day2 = 1704153600000  # 2024-01-02 epoch ms
+    out = serve.aggs_nested(
+        frame,
+        {"r": {"date_range": {"field": "ts", "ranges": [
+            {"to": day2},
+            {"from": day2, "to": "2024-01-02T02:00:00"},
+        ]},
+            "aggs": {"m": {"avg": {"field": "n_chars"}}}},
+         "n": {"value_count": {"field": "doc_id"}}},
+    )
+    b1, b2 = out["r"]["buckets"]
+    assert b1["key"] == "*-2024-01-02T00:00:00"
+    assert "from" not in b1
+    assert b1["to"] == day2 and b1["to_as_string"] == "2024-01-02T00:00:00"
+    assert b1["doc_count"] == 4 and b1["m"]["value"] == 25.0
+    assert b2["key"] == "2024-01-02T00:00:00-2024-01-02T02:00:00"
+    assert b2["from"] == day2
+    assert b2["doc_count"] == 1 and b2["m"]["value"] == 50.0
+    # doc 5 (02:00) is outside both ranges: no bucket, still counted
+    assert out["n"] == {"value": 6}
+    # overlap and bad bounds are 400s
+    with pytest.raises(ValueError, match="disjoint"):
+        serve.parse_aggs(
+            {"r": {"date_range": {"field": "ts", "ranges": [
+                {"to": day2}, {"from": 0},
+            ]}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="neither epoch millis"):
+        serve.parse_aggs(
+            {"r": {"date_range": {"field": "ts", "ranges": [
+                {"from": "not-a-date"},
+            ]}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="unsupported body keys"):
+        serve.parse_aggs(
+            {"r": {"date_range": {"field": "ts", "format": "yyyy",
+                                  "ranges": [{"from": 0}]}}},
+            frame.columns,
+        )
