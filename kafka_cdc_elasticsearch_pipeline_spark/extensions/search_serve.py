@@ -1910,16 +1910,24 @@ def kibana_vis_aggs(
                     body["min_doc_count"] = mdc
                 buckets.append((name, "date_histogram", body))
             elif typ == "terms":
-                if params.get("otherBucket") or params.get("missingBucket"):
+                if params.get("otherBucket"):
                     raise ValueError(
-                        "Kibana otherBucket/missingBucket would add "
-                        "buckets this compiler does not serve — disable "
-                        "them on the panel"
+                        "Kibana otherBucket renders sum_other as a "
+                        "bucket this compiler does not serve — "
+                        "disable it on the panel (the response's "
+                        "sum_other_doc_count carries the number)"
                     )
                 body = {
                     "field": xfield(params["field"]),
                     "size": int(params.get("size", 10)),
                 }
+                if params.get("missingBucket"):
+                    # Kibana's "show missing values" is ES's terms
+                    # 'missing' param; the panel's display label is
+                    # the natural substitution key
+                    body["missing"] = str(
+                        params.get("missingBucketLabel", "Missing")
+                    )
                 ob = params.get("orderBy")
                 if ob is not None:
                     od = params.get("order", "desc")
@@ -2155,14 +2163,31 @@ def parse_query_dsl(
         if typ == "range":
             f, bounds = one_entry(clause, "range")
             if not isinstance(bounds, dict) or not bounds or not (
-                set(bounds) <= {"gte", "gt", "lte", "lt"}
-            ):
+                set(bounds) <= {"gte", "gt", "lte", "lt", "format"}
+            ) or set(bounds) <= {"format"}:
                 raise ValueError(
                     "'range' takes {gte/gt/lte/lt: value} bounds"
+                )
+            # Kibana's time picker sends a 'format' alongside the
+            # bounds; the two formats it uses are exactly the two
+            # shapes lit_for already parses (ISO strings / epoch
+            # millis), so the key validates instead of 400ing a real
+            # Kibana request — anything else would change how bounds
+            # parse and is refused
+            fmt = bounds.get("format")
+            if fmt is not None and fmt not in (
+                "strict_date_optional_time", "epoch_millis",
+                "strict_date_optional_time||epoch_millis",
+            ):
+                raise ValueError(
+                    f"'range' format {fmt!r} is not served (bounds "
+                    "parse as ISO-8601 strings or epoch millis)"
                 )
             col = F.col(meta_field(f, "range"))
             out = F.lit(True)
             for op, v in bounds.items():
+                if op == "format":
+                    continue
                 lv = lit_for(f, v)
                 out = out & {
                     "gte": col >= lv, "gt": col > lv,

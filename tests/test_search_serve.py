@@ -1386,3 +1386,38 @@ def test_date_range_buckets(frame):
                                   "ranges": [{"from": 0}]}}},
             frame.columns,
         )
+
+
+def test_kibana_range_format_and_missing_bucket(frame):
+    """Kibana request realities: the time picker sends a 'format' key
+    inside range bounds (must validate, not 400 a real request), and
+    terms missingBucket translates to ES's 'missing' param with the
+    panel's display label as the key."""
+    _, _, pred = serve.parse_query_dsl(
+        {"bool": {"filter": [{"range": {"ts": {
+            "gte": "2024-01-02 00:00:00",
+            "format": "strict_date_optional_time",
+        }}}]}},
+        frame,
+    )
+    assert frame.filter(pred).count() == 2  # the two day-2 docs
+    with pytest.raises(ValueError, match="format .* is not served"):
+        serve.parse_query_dsl(
+            {"range": {"ts": {"gte": 0, "format": "basic_date"}}}, frame
+        )
+    with pytest.raises(ValueError, match="gte/gt/lte/lt"):
+        serve.parse_query_dsl(
+            {"range": {"ts": {"format": "epoch_millis"}}}, frame
+        )
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "2", "type": "terms", "schema": "segment",
+         "params": {"field": "lang", "size": 10, "missingBucket": True,
+                    "missingBucketLabel": "N/A"}},
+    ]})
+    assert spec["k2"]["terms"]["missing"] == "N/A"
+    with pytest.raises(ValueError, match="otherBucket"):
+        serve.kibana_vis_aggs({"aggs": [
+            {"id": "2", "type": "terms", "schema": "segment",
+             "params": {"field": "lang", "otherBucket": True}},
+        ]})
