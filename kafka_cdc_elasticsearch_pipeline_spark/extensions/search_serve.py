@@ -132,18 +132,34 @@ _BUCKET_KEYS = {
 
 def _date_bound(name: str, v):
     """A date_range bound: epoch millis (what a Kibana request
-    carries) or an ISO-8601 string → datetime."""
+    carries) or an ISO-8601 string → NAIVE UTC datetime (the session
+    timezone is pinned UTC; a tz-suffixed bound — ES's 'Z' form —
+    converts instead of crashing naive-vs-aware comparisons, and an
+    out-of-range epoch is the caller's 400, not an OverflowError
+    500)."""
     import datetime
 
     if isinstance(v, (int, float)) and not isinstance(v, bool):
-        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
-            milliseconds=int(v)
-        )
+        try:
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                milliseconds=int(v)
+            )
+        except (OverflowError, OSError) as exc:
+            raise ValueError(
+                f"date_range agg {name!r}: epoch-millis bound {v!r} "
+                f"is out of range ({exc})"
+            ) from None
     if isinstance(v, str):
         try:
-            return datetime.datetime.fromisoformat(v)
+            dt = datetime.datetime.fromisoformat(v)
         except ValueError:
-            pass
+            dt = None
+        if dt is not None:
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return dt
     raise ValueError(
         f"date_range agg {name!r}: bound {v!r} is neither epoch "
         "millis nor an ISO-8601 date string"
@@ -191,6 +207,8 @@ class _Bucket:
         # terms-only ES 'missing' substitution value (None = ES
         # default: null-field docs land in no bucket)
         self.missing = None
+        # range/date_range bucket keys (custom 'key' or from-to label)
+        self.labels: list[str] = []
         self.field = body.get("field")
         if not isinstance(self.field, str):
             raise ValueError(f"agg {name!r} needs a 'field' string")
@@ -235,6 +253,7 @@ class _Bucket:
                     'list of {"from": ..., "to": ...} objects'
                 )
             parsed = []
+            labels: list[str] = []
             for r in ranges:
                 if not isinstance(r, dict) or not (
                     "from" in r or "to" in r
@@ -242,6 +261,21 @@ class _Bucket:
                     raise ValueError(
                         f"range agg {name!r}: each range needs 'from' "
                         f"and/or 'to', got {r!r}"
+                    )
+                extra = sorted(set(r) - {"from", "to", "key"})
+                if extra:
+                    # same strict-keys honesty as the agg bodies: a
+                    # swallowed per-range key would serve a different
+                    # bucket key than ES
+                    raise ValueError(
+                        f"range agg {name!r}: unsupported range keys "
+                        f"{extra} (supported: from, to, key)"
+                    )
+                custom = r.get("key")
+                if custom is not None and not isinstance(custom, str):
+                    raise ValueError(
+                        f"range agg {name!r}: 'key' must be a string, "
+                        f"got {custom!r}"
                     )
                 lo, hi = r.get("from"), r.get("to")
                 if typ == "date_range":
@@ -265,6 +299,18 @@ class _Bucket:
                         f"in {r!r}"
                     )
                 parsed.append((lo, hi))
+                # ES per-range 'key': a custom bucket key replacing
+                # the from-to label
+                labels.append(
+                    custom if custom is not None
+                    else self.range_label(lo, hi)
+                )
+            if len(set(labels)) != len(labels):
+                raise ValueError(
+                    f"range agg {name!r}: duplicate bucket keys "
+                    f"{sorted(labels)} — give overlapping labels "
+                    "distinct 'key' names"
+                )
             # ES allows OVERLAPPING ranges (a doc lands in every
             # matching bucket) — that multiplies rows and would
             # corrupt the shared-rollup parent counts, so this
@@ -280,6 +326,7 @@ class _Bucket:
                         "overlapping ranges as separate requests)"
                     )
             self.ranges = parsed
+            self.labels = labels
         elif typ == "terms":
             size = body.get("size", 10)
             if isinstance(size, bool) or not isinstance(size, int) or size < 1:
@@ -389,17 +436,17 @@ class _Bucket:
             # disjoint (validated), so each doc lands in ≤ 1 bucket;
             # docs outside every range get NULL = no bucket (ES);
             # date_range bounds are datetime literals on a timestamp
-            # column
+            # column; per-range custom 'key' labels ride along
             expr = F.lit(None).cast("string")
-            for lo, hi in reversed(self.ranges):
+            for (lo, hi), label in reversed(
+                list(zip(self.ranges, self.labels))
+            ):
                 cond = F.lit(True)
                 if lo is not None:
                     cond = cond & (c >= F.lit(lo))
                 if hi is not None:
                     cond = cond & (c < F.lit(hi))
-                expr = F.when(cond, F.lit(self.range_label(lo, hi))).otherwise(
-                    expr
-                )
+                expr = F.when(cond, F.lit(label)).otherwise(expr)
             return expr
         if self.typ == "histogram":
             return F.floor(c / F.lit(self.interval)) * F.lit(self.interval)
@@ -1279,10 +1326,11 @@ def aggs_nested(
                 mine = valued + [r for r in mine if r[b.order_col] is None]
         elif b.typ in ("range", "date_range"):
             order = {
-                b.range_label(lo, hi): i
-                for i, (lo, hi) in enumerate(
-                    sorted(b.ranges, key=_lo_sort_key)
-                )
+                label: i
+                for i, (_, label) in enumerate(sorted(
+                    zip(b.ranges, b.labels),
+                    key=lambda rl: _lo_sort_key(rl[0]),
+                ))
             }
             mine.sort(key=lambda r: order[r[b.name]])
         else:
@@ -1313,7 +1361,7 @@ def aggs_nested(
                         "the interval or lower the parent terms size"
                     )
         bounds = (
-            {b.range_label(lo, hi): (lo, hi) for lo, hi in b.ranges}
+            {label: rng for rng, label in zip(b.ranges, b.labels)}
             if b.typ in ("range", "date_range")
             else {}
         )
@@ -1383,11 +1431,23 @@ def aggs_nested(
                 ):
                     attach(bk, depth + 1)
             for p in pipelines.get(depth, []):
-                vals = [
-                    p.extract(leaf)
-                    for leaf in leaves(node, p.segments[:-1])
-                ]
-                node[p.name] = {"value": _val_json(p.reduce(vals))}
+                lvs = leaves(node, p.segments[:-1])
+                vals = [p.extract(leaf) for leaf in lvs]
+                red = p.reduce(vals)
+                env: dict = {"value": _val_json(red)}
+                if p.typ in ("min_bucket", "max_bucket"):
+                    # ES serves the bucket key(s) holding the extreme
+                    rv = env["value"]
+                    env["keys"] = (
+                        []
+                        if red is None
+                        else [
+                            leaf.get("key_as_string", leaf.get("key"))
+                            for leaf, v in zip(lvs, vals)
+                            if v is not None and _val_json(v) == rv
+                        ]
+                    )
+                node[p.name] = env
 
         attach(out, 0)
     if with_total:
@@ -1923,11 +1983,13 @@ def kibana_vis_aggs(
                 }
                 if params.get("missingBucket"):
                     # Kibana's "show missing values" is ES's terms
-                    # 'missing' param; the panel's display label is
-                    # the natural substitution key
-                    body["missing"] = str(
-                        params.get("missingBucketLabel", "Missing")
-                    )
+                    # 'missing' param — and Kibana itself sends the
+                    # sentinel "__missing__", relabeling client-side
+                    # with missingBucketLabel (using the display label
+                    # as the key would merge null-field docs into a
+                    # real bucket that happens to carry the label
+                    # text); the faithful request is the sentinel
+                    body["missing"] = "__missing__"
                 ob = params.get("orderBy")
                 if ob is not None:
                     od = params.get("order", "desc")
@@ -2140,8 +2202,6 @@ def parse_query_dsl(
                 # layer's per-clause conjunction intersects the
                 # per-term match sets; scoring still runs on the
                 # union (= ES's sum over the all-matched terms).
-                # (operator=and inside a should is still optional
-                # membership — served as its plain term union.)
                 terms = sorted({t.lower() for t in str(v).split()})
                 target.extend(terms if terms else [str(v)])
             else:

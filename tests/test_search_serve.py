@@ -1189,8 +1189,14 @@ def test_pipeline_bucket_aggs_root(frame):
     })
     assert out["avg_daily_mean"] == {"value": 40.0}
     assert out["total_docs"] == {"value": 6}
-    assert out["max_daily"] == {"value": 55.0}
-    assert out["min_daily"] == {"value": 25.0}
+    # min/max_bucket carry ES's 'keys' array — the bucket(s) holding
+    # the extreme (key_as_string form for date buckets)
+    assert out["max_daily"] == {
+        "value": 55.0, "keys": ["2024-01-02T00:00:00"],
+    }
+    assert out["min_daily"] == {
+        "value": 25.0, "keys": ["2024-01-01T00:00:00"],
+    }
     # empty match set: sum_bucket 0.0, the rest null (ES)
     empty = serve.aggs_nested(frame.filter(F.lit(False)), {
         "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
@@ -1415,9 +1421,63 @@ def test_kibana_range_format_and_missing_bucket(frame):
          "params": {"field": "lang", "size": 10, "missingBucket": True,
                     "missingBucketLabel": "N/A"}},
     ]})
-    assert spec["k2"]["terms"]["missing"] == "N/A"
+    # Kibana sends the sentinel and relabels client-side — using the
+    # display label as the key would merge null-field docs into a
+    # real bucket carrying the label text (third-review finding)
+    assert spec["k2"]["terms"]["missing"] == "__missing__"
     with pytest.raises(ValueError, match="otherBucket"):
         serve.kibana_vis_aggs({"aggs": [
             {"id": "2", "type": "terms", "schema": "segment",
              "params": {"field": "lang", "otherBucket": True}},
         ]})
+
+
+def test_date_range_tz_bounds_custom_keys_and_overflow(frame):
+    """Third-review findings: tz-suffixed ISO bounds (ES's 'Z' form)
+    convert to UTC instead of crashing naive-vs-aware comparisons;
+    per-range custom 'key' names the bucket like ES; out-of-range
+    epoch bounds and unknown per-range keys are 400s."""
+    day2 = 1704153600000
+    out = serve.aggs_nested(
+        frame,
+        {"r": {"date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-02T00:00:00Z", "key": "early"},
+            {"from": "2024-01-02T00:00:00+00:00", "key": "late"},
+        ]}}},
+    )
+    got = {b["key"]: b["doc_count"] for b in out["r"]["buckets"]}
+    assert got == {"early": 4, "late": 2}
+    late = out["r"]["buckets"][1]
+    assert late["from"] == day2
+    with pytest.raises(ValueError, match="out of range"):
+        serve.parse_aggs(
+            {"r": {"date_range": {"field": "ts", "ranges": [
+                {"from": 10**18},
+            ]}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="unsupported range keys"):
+        serve.parse_aggs(
+            {"r": {"range": {"field": "n_chars", "ranges": [
+                {"to": 30, "label": "small"},
+            ]}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="duplicate bucket keys"):
+        serve.parse_aggs(
+            {"r": {"range": {"field": "n_chars", "ranges": [
+                {"to": 30, "key": "x"}, {"from": 30, "key": "x"},
+            ]}}},
+            frame.columns,
+        )
+    # numeric range custom keys flow through metrics + sum_other-free
+    out = serve.aggs_nested(
+        frame,
+        {"r": {"range": {"field": "n_chars", "ranges": [
+            {"to": 35, "key": "small"}, {"from": 35, "key": "big"},
+        ]}, "aggs": {"m": {"avg": {"field": "n_chars"}}}}},
+    )
+    assert [(b["key"], b["doc_count"], b["m"]["value"])
+            for b in out["r"]["buckets"]] == [
+        ("small", 3, 20.0), ("big", 3, 50.0),
+    ]
