@@ -123,16 +123,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # as usual so later blocks never compound).
 #
 # r14 window math (written r13, amended per registration): r13
-# registers exactly 4 new queries (ext_search_aggs_terms_order_metric,
+# registers exactly 5 new queries (ext_search_aggs_terms_order_metric,
 # ext_search_aggs_composite_missing, ext_search_aggs_terms_missing_mdc,
-# ext_search_aggs_date_range) — registry 220, 219 gated, floor
-# ceil(219/50) = 5 (check_oracle confirms: never×4, r08×15, r09×50,
-# r10×50, r11×50, r12×50). The r13 window = 4 never + 15 r08 (their
-# floor round) + 31 r09. That leaves 19 r09 rows whose floor is r14;
-# the oldest-first rotation fronts them automatically, so r14 needs
-# no pin. r14's budget: window = N new + 19 r09 + (31−N) r10,
-# leaving (19+N) r10 rows for r15 — their floor round — so any
-# N ≤ ~31 stays on schedule (keep N ≤ ~10 as usual).
+# ext_search_aggs_date_range, ext_search_aggs_filters) — registry
+# 221, 220 gated, floor ceil(220/50) = 5 (check_oracle confirms:
+# never×5, r08×15, r09×50, r10×50, r11×50, r12×50). The r13 window =
+# 5 never + 15 r08 (their floor round) + 30 r09. That leaves 20 r09
+# rows whose floor is r14; the oldest-first rotation fronts them
+# automatically, so r14 needs no pin. r14's budget: window = N new +
+# 20 r09 + (30−N) r10, leaving (20+N) r10 rows for r15 — their floor
+# round — so any N ≤ ~30 stays on schedule (keep N ≤ ~10 as usual).
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

@@ -6004,3 +6004,83 @@ def ext_search_aggs_date_range(
         "n_langs",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_filters",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, lang, n_chars FROM documents
+    )
+    SELECT 'english' AS filter,
+           count(*) FILTER (WHERE lang = 'en')::BIGINT AS doc_count,
+           round(avg(n_chars) FILTER (WHERE lang = 'en'), 6)
+             AS mean_chars,
+           count(DISTINCT lang) FILTER (WHERE lang = 'en')::BIGINT
+             AS n_langs
+    FROM meta
+    UNION ALL
+    SELECT 'big',
+           count(*) FILTER (WHERE n_chars >= 300)::BIGINT,
+           round(avg(n_chars) FILTER (WHERE n_chars >= 300), 6),
+           count(DISTINCT lang) FILTER (WHERE n_chars >= 300)::BIGINT
+    FROM meta
+    UNION ALL
+    SELECT 'en_early',
+           count(*) FILTER (WHERE lang = 'en'
+             AND ts < TIMESTAMP '2024-01-02 00:00:00')::BIGINT,
+           round(avg(n_chars) FILTER (WHERE lang = 'en'
+             AND ts < TIMESTAMP '2024-01-02 00:00:00'), 6),
+           count(DISTINCT lang) FILTER (WHERE lang = 'en'
+             AND ts < TIMESTAMP '2024-01-02 00:00:00')::BIGINT
+    FROM meta
+    """,
+    tags=("ext", "search", "aggs", "filters", "serving"),
+)
+def ext_search_aggs_filters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``filters`` aggregation — Kibana's "split by filters"
+    control: NAMED metadata predicates (query-DSL nodes), each with
+    its own doc_count and metrics, and a doc may land in SEVERAL
+    filters. Multi-membership is exactly why this cannot ride the
+    shared rollup (it would double-count parents); it compiles
+    instead into ONE conditional-aggregation pass —
+    ``F.when(pred, field)`` feeds every metric, so count/avg/
+    cardinality see only that filter's docs, all filters in a single
+    global aggregate with map-side partials and the one collected
+    row bounded by construction. This row serves three overlapping
+    filters (term, range, and a bool combining both through the same
+    DSL translator the REST face uses) with avg +
+    exact-cardinality metrics; the oracle rebuilds it as DuckDB
+    ``agg FILTER (WHERE ...)`` branches — hash-equality pins the
+    conditional-aggregate semantics, the overlap discipline, and the
+    empty-vs-zero metric behavior cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.filters_flat(
+        _doc_meta(spark, sf_dir),
+        {
+            "filters": {
+                "english": {"term": {"lang": "en"}},
+                "big": {"range": {"n_chars": {"gte": 300}}},
+                "en_early": {"bool": {
+                    "must": [{"term": {"lang": "en"}}],
+                    "filter": [{"range": {"ts": {
+                        "lt": 1704153600000}}}],
+                }},
+            },
+            "aggs": {
+                "mean_chars": {"avg": {"field": "n_chars"}},
+                "n_langs": {"cardinality": {"field": "lang"}},
+            },
+        },
+    )
+    return flat.select(
+        "filter",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+        "n_langs",
+    )

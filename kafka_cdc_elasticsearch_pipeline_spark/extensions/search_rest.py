@@ -490,6 +490,46 @@ class SearchRestServer:
             comp["aggs"] = body["aggs"]
         return name, comp
 
+    @staticmethod
+    def _filters_entry(aggs_spec) -> tuple[str, dict] | None:
+        """(name, body) when the aggs spec is a filters agg — which,
+        like composite, must be the ONLY aggregation in the request
+        (multi-membership cannot ride the shared rollup chain; it is
+        its own one-pass conditional aggregate)."""
+        if not isinstance(aggs_spec, dict):
+            return None
+        hits = [
+            (name, body)
+            for name, body in aggs_spec.items()
+            if isinstance(body, dict) and "filters" in body
+        ]
+        if not hits:
+            return None
+        if len(hits) > 1 or len(aggs_spec) > 1:
+            raise ValueError(
+                "a filters agg must be the only aggregation in the "
+                "request (send siblings as separate requests)"
+            )
+        name, body = hits[0]
+        extra = set(body) - {"filters", "aggs"}
+        if extra:
+            raise ValueError(
+                f"filters agg {name!r}: unknown keys {sorted(extra)}"
+            )
+        if not isinstance(body["filters"], dict):
+            raise ValueError(
+                f"filters agg {name!r}: the 'filters' body must be an "
+                "object"
+            )
+        # ES's node shape: the TYPE body holds the named map
+        # ({name: {filters: {filters: {...}}, aggs: {...}}}) with
+        # sub-aggs a SIBLING of the type key — normalize to the
+        # serve-level {filters: {named}, aggs: {...}} form
+        node = dict(body["filters"])
+        if "aggs" in body:
+            node["aggs"] = body["aggs"]
+        return name, node
+
     def _allowed_df(self, req: dict, pred=None) -> DataFrame | None:
         """The request's keep-set: caller-supplied ``allowed_ids``
         ∩ the query-DSL filters' derived set (``pred``, a predicate
@@ -586,8 +626,11 @@ class SearchRestServer:
             # parse for validation errors now; compiled again over the
             # matched frame once the mode branch has produced it
             comp = self._composite_entry(aggs_spec)
+            filt = self._filters_entry(aggs_spec)
             if comp is not None:
                 serve.parse_composite(comp[1], self.doc_source.columns)
+            elif filt is not None:
+                serve.parse_filters(filt[1], self.doc_source)
             else:
                 serve.parse_aggs(aggs_spec, self.doc_source.columns)
         # ES query DSL: a dict "query" is the request shape Kibana
@@ -657,10 +700,17 @@ class SearchRestServer:
                 total = None
                 if aggs_spec is not None:
                     comp = self._composite_entry(aggs_spec)
+                    filt = self._filters_entry(aggs_spec)
                     if comp is not None:
                         aggregations = {
                             comp[0]: serve.composite_nested(
                                 matched, comp[1], pins
+                            )
+                        }
+                    elif filt is not None:
+                        aggregations = {
+                            filt[0]: serve.filters_nested(
+                                matched, filt[1]
                             )
                         }
                     else:
@@ -686,9 +736,17 @@ class SearchRestServer:
             # row (it is one LIMIT-bounded groupBy page), so only
             # that path pays a count().
             comp = self._composite_entry(aggs_spec)
+            filt = self._filters_entry(aggs_spec)
             if comp is not None:
                 aggregations = {
                     comp[0]: serve.composite_nested(matched, comp[1], pins)
+                }
+                total = matched.count() if tth else None
+            elif filt is not None:
+                # like composite: no depth-0 row — one count() if the
+                # total is tracked
+                aggregations = {
+                    filt[0]: serve.filters_nested(matched, filt[1])
                 }
                 total = matched.count() if tth else None
             else:
@@ -1100,9 +1158,14 @@ class SearchRestServer:
                 )
             matched = self.doc_source.join(match_ids, "doc_id", "left_semi")
             comp = self._composite_entry(aggs_spec)
+            filt = self._filters_entry(aggs_spec)
             if comp is not None:
                 aggregations = {
                     comp[0]: serve.composite_nested(matched, comp[1], pins)
+                }
+            elif filt is not None:
+                aggregations = {
+                    filt[0]: serve.filters_nested(matched, filt[1])
                 }
             else:
                 aggregations, agg_total = serve.aggs_nested(

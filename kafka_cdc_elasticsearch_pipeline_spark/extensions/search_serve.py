@@ -500,8 +500,20 @@ class _Metric:
             self.percents = []
             self.columns = [name]
 
-    def exprs(self) -> list[Column]:
-        c = F.col(self.field)
+    def exprs(
+        self, c: Column | None = None, prefix: str = ""
+    ) -> list[Column]:
+        """Aggregate expressions over ``c`` (default: the metric's
+        field). The filters agg passes ``F.when(pred, field)`` so one
+        pass computes every filter's metrics conditionally; ``prefix``
+        namespaces the aliases per filter."""
+        if c is None:
+            c = F.col(self.field)
+        if prefix:
+            return [
+                e.alias(prefix + col)
+                for e, col in zip(self.exprs(c), self.columns)
+            ]
         if self.typ == "percentiles":
             # exact linear-interpolation percentile — hash-identical to
             # DuckDB quantile_cont (ES's TDigest is approximate; the
@@ -1873,6 +1885,157 @@ def composite_nested(
     if buckets:
         out["after_key"] = buckets[-1]["key"]
     return out
+
+
+# --- filters aggregation -------------------------------------------------------
+
+
+def parse_filters(
+    body: dict, docs: DataFrame
+) -> tuple[dict[str, Column], list[_Metric]]:
+    """ES ``filters`` agg (the Kibana "split by filters" control):
+    NAMED predicates over the doc metadata, each a query-DSL node
+    (term/terms/range/exists/bool — ``match`` is rejected: filters
+    are metadata-only; text belongs to the request's own query).
+    Unlike chain buckets a doc may land in SEVERAL filters — which is
+    exactly why this cannot ride the shared rollup (multi-membership
+    would double-count parents) and is compiled instead as ONE
+    conditional-aggregation pass; like ``composite``, it must be the
+    only aggregation in the request."""
+    if not isinstance(body, dict):
+        raise ValueError("filters body must be an object")
+    _strict_keys("filters", "filters", body, {"filters", "aggs"})
+    named = body.get("filters")
+    if not isinstance(named, dict) or not named:
+        raise ValueError(
+            "'filters' takes a non-empty {name: <query DSL>} object "
+            "(ES's named-filters form)"
+        )
+    if len(named) > 64:
+        raise ValueError(
+            "filters agg: at most 64 named filters per request (each "
+            "adds a column set to the one-pass aggregate)"
+        )
+    preds: dict[str, Column] = {}
+    for fname, node in named.items():
+        if not isinstance(fname, str) or not fname:
+            raise ValueError(
+                f"filters agg: filter names must be non-empty strings, "
+                f"got {fname!r}"
+            )
+        texts, opt_texts, pred = parse_query_dsl(node, docs)
+        if texts or opt_texts:
+            raise ValueError(
+                f"filters agg {fname!r}: 'match' clauses are not "
+                "served here (filters are metadata predicates; put "
+                "text in the request's own query)"
+            )
+        # match_all is a legitimate filter (the everything bucket)
+        preds[fname] = pred if pred is not None else F.lit(True)
+    reserved = {"doc_count"}
+    metrics: list[_Metric] = []
+    for mname, mbody in (body.get("aggs") or {}).items():
+        typs = [t for t in mbody if t != "aggs"] if isinstance(
+            mbody, dict
+        ) else []
+        if len(typs) != 1 or typs[0] not in _METRIC_TYPES:
+            raise ValueError(
+                f"filters sub-agg {mname!r} must be a metric "
+                f"({_METRIC_TYPES})"
+            )
+        m = _Metric(mname, typs[0], mbody[typs[0]])
+        for col in {m.name, *m.columns}:
+            if col in reserved:
+                raise ValueError(f"agg column {col!r} is reserved")
+            reserved.add(col)
+        if m.field not in docs.columns:
+            raise ValueError(
+                f"filters sub-agg {mname!r}: field {m.field!r} not in "
+                f"the mounted doc_source (columns: "
+                f"{sorted(docs.columns)})"
+            )
+        metrics.append(m)
+    return preds, metrics
+
+
+def _filters_row(docs: DataFrame, body: dict):
+    """The ONE distributed pass behind both filters surfaces: every
+    filter's doc_count and metrics as conditional aggregates
+    (``F.when(pred, field)`` — a null where the predicate fails, so
+    count/avg/percentile see only that filter's docs) in a single
+    global aggregate with map-side partials. Filters may OVERLAP (a
+    doc counts in each it matches — ES) because each column set is
+    independent. Returns (ordered names, metrics, the collected
+    single row) — a bounded collect by construction (one row)."""
+    preds, metrics = parse_filters(body, docs)
+    names = list(preds)
+    aggs: list[Column] = []
+    for i, fname in enumerate(names):
+        pred = preds[fname]
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"f{i}__doc_count")
+        )
+        for m in metrics:
+            # index-prefixed aliases: filter NAMES are arbitrary
+            # strings and must never reach a column identifier
+            aggs.extend(
+                m.exprs(
+                    F.when(pred, F.col(m.field)), prefix=f"f{i}__"
+                )
+            )
+    agg_df = docs.agg(*aggs)
+    row = agg_df.collect()[0].asDict()  # bounded: ONE row
+    dtypes = {f.name: f.dataType for f in agg_df.schema.fields}
+    return names, metrics, row, dtypes
+
+
+def filters_flat(docs: DataFrame, body: dict) -> DataFrame:
+    """The filters agg as a flat DataFrame — one row per named filter
+    (columns: ``filter``, ``doc_count``, one per metric) in the
+    request's filter order. This is the gate-row surface: a DuckDB
+    ``agg FILTER (WHERE ...)`` union rebuilds it exactly. Built from
+    the one-pass aggregate's single collected row with its OWN
+    schema (inference would fail on an all-null metric column)."""
+    from pyspark.sql import types as T
+
+    names, metrics, row, dtypes = _filters_row(docs, body)
+    cols = [c for m in metrics for c in m.columns]
+    schema = T.StructType(
+        [
+            T.StructField("filter", T.StringType(), False),
+            T.StructField("doc_count", T.LongType(), False),
+            *[
+                T.StructField(c, dtypes[f"f0__{c}"], True)
+                for c in cols
+            ],
+        ]
+    )
+    data = [
+        tuple(
+            [fname, row[f"f{i}__doc_count"]]
+            + [row[f"f{i}__{c}"] for c in cols]
+        )
+        for i, fname in enumerate(names)
+    ]
+    return docs.sparkSession.createDataFrame(data, schema)
+
+
+def filters_nested(docs: DataFrame, body: dict) -> dict:
+    """ES's named-filters response envelope: ``buckets`` is an OBJECT
+    keyed by filter name (the named form's wire shape), each bucket
+    carrying ``doc_count`` and its metrics."""
+    names, metrics, row, _ = _filters_row(docs, body)
+    buckets: dict = {}
+    for i, fname in enumerate(names):
+        bucket: dict = {"doc_count": int(row[f"f{i}__doc_count"])}
+        for m in metrics:
+            bucket[m.name] = _metric_json(
+                m, {c: row[f"f{i}__{c}"] for c in m.columns}
+            )
+        buckets[fname] = bucket
+    return {"buckets": buckets}
 
 
 # --- Kibana saved-object translation ------------------------------------------

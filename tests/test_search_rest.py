@@ -1684,3 +1684,34 @@ def test_track_total_hits_false_omits_total(meta_server):
     with pytest.raises(ValueError, match="track_total_hits"):
         server.search({"mode": "bm25", "query": "dup",
                        "track_total_hits": 10000})
+
+
+def test_filters_agg_over_rest(meta_server):
+    """The filters agg over /search: match_all and query-scoped, the
+    named buckets object, and the only-aggregation rule."""
+    server, meta = meta_server
+    body = {"aggs": {"splits": {
+        "filters": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "big": {"range": {"n_chars": {"gte": 300}}},
+        }},
+        "aggs": {"mean": {"avg": {"field": "n_chars"}}},
+    }}}
+    out = server.search(body)
+    b = out["aggregations"]["splits"]["buckets"]
+    assert b["english"]["doc_count"] == meta.filter(
+        "lang = 'en'").count()
+    assert b["big"]["doc_count"] == meta.filter(
+        "n_chars >= 300").count()
+    assert out["hits"]["total"] == meta.count()
+    # query-scoped: the filters run over the MATCH SET
+    scoped = server.search({"mode": "bm25", "query": "dup", **body})
+    sb = scoped["aggregations"]["splits"]["buckets"]
+    assert sb["english"]["doc_count"] < b["english"]["doc_count"]
+    assert scoped["hits"]["total"] > 0
+    with pytest.raises(ValueError, match="only aggregation"):
+        server.search({"aggs": {
+            "splits": {"filters": {"filters": {
+                "e": {"term": {"lang": "en"}}}}},
+            "extra": {"terms": {"field": "lang"}},
+        }})

@@ -1481,3 +1481,72 @@ def test_date_range_tz_bounds_custom_keys_and_overflow(frame):
             for b in out["r"]["buckets"]] == [
         ("small", 3, 20.0), ("big", 3, 50.0),
     ]
+
+
+# --- round-13: filters agg ----------------------------------------------------
+
+
+def test_filters_agg(frame):
+    """ES named filters — overlapping metadata predicates, each with
+    its own doc_count and conditional metrics, in ONE pass; filters
+    may overlap (a doc counts in each it matches), which is exactly
+    why this is a conditional aggregate and not a rollup level."""
+    body = {
+        "filters": {
+            "english": {"term": {"lang": "en"}},
+            "big": {"range": {"n_chars": {"gte": 30}}},
+            "everything": {"match_all": {}},
+        },
+        "aggs": {
+            "mean": {"avg": {"field": "n_chars"}},
+            "p50": {"percentiles": {"field": "n_chars",
+                                    "percents": [50]}},
+            "langs": {"cardinality": {"field": "lang"}},
+        },
+    }
+    out = serve.filters_nested(frame, body)
+    b = out["buckets"]
+    assert set(b) == {"english", "big", "everything"}
+    assert b["english"]["doc_count"] == 3
+    assert b["english"]["mean"]["value"] == 80 / 3
+    assert b["big"]["doc_count"] == 4  # 30,40,50,60 — overlaps english
+    assert b["big"]["p50"]["values"]["50.0"] == 45.0
+    assert b["everything"]["doc_count"] == 6
+    assert b["everything"]["langs"]["value"] == 3
+    # an empty filter: count 0, avg null, cardinality 0
+    out = serve.filters_nested(frame, {
+        "filters": {"none": {"term": {"lang": "xx"}}},
+        "aggs": {"mean": {"avg": {"field": "n_chars"}},
+                 "langs": {"cardinality": {"field": "lang"}}},
+    })
+    nb = out["buckets"]["none"]
+    assert nb["doc_count"] == 0
+    assert nb["mean"]["value"] is None
+    assert nb["langs"]["value"] == 0
+    # the flat frame mirrors the envelope, one row per filter in order
+    flat = serve.filters_flat(frame, body).collect()
+    assert [(r["filter"], r["doc_count"]) for r in flat] == [
+        ("english", 3), ("big", 4), ("everything", 6),
+    ]
+
+
+def test_filters_agg_validation(frame):
+    with pytest.raises(ValueError, match="non-empty"):
+        serve.parse_filters({"filters": {}}, frame)
+    with pytest.raises(ValueError, match="metadata predicates"):
+        serve.parse_filters(
+            {"filters": {"t": {"match": {"text": "x"}}}},
+            frame.withColumn("text", F.lit("t")),
+        )
+    with pytest.raises(ValueError, match="unsupported body keys"):
+        serve.parse_filters(
+            {"filters": {"t": {"term": {"lang": "en"}}},
+             "other_bucket": True},
+            frame,
+        )
+    with pytest.raises(ValueError, match="must be a metric"):
+        serve.parse_filters(
+            {"filters": {"t": {"term": {"lang": "en"}}},
+             "aggs": {"b": {"terms": {"field": "lang"}}}},
+            frame,
+        )
