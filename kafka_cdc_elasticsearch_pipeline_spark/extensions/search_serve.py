@@ -1973,7 +1973,10 @@ def _filters_row(docs: DataFrame, body: dict):
     for i, fname in enumerate(names):
         pred = preds[fname]
         aggs.append(
-            F.sum(F.when(pred, 1).otherwise(0))
+            # coalesce: a global sum over an EMPTY match set is NULL,
+            # and the envelope's int() / the flat frame's non-null
+            # doc_count must see 0
+            F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias(f"f{i}__doc_count")
         )

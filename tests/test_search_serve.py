@@ -1550,3 +1550,21 @@ def test_filters_agg_validation(frame):
              "aggs": {"b": {"terms": {"field": "lang"}}}},
             frame,
         )
+
+
+def test_filters_agg_empty_match_set(frame):
+    """A global sum over an EMPTY frame is SQL-NULL — the filters
+    envelope must serve doc_count 0, not crash on int(None)."""
+    out = serve.filters_nested(
+        frame.filter(F.lit(False)),
+        {"filters": {"e": {"term": {"lang": "en"}}},
+         "aggs": {"mean": {"avg": {"field": "n_chars"}}}},
+    )
+    assert out["buckets"]["e"] == {
+        "doc_count": 0, "mean": {"value": None},
+    }
+    flat = serve.filters_flat(
+        frame.filter(F.lit(False)),
+        {"filters": {"e": {"term": {"lang": "en"}}}},
+    ).collect()
+    assert [(r["filter"], r["doc_count"]) for r in flat] == [("e", 0)]
