@@ -1036,6 +1036,11 @@ def _truncate_terms(
             if b.min_doc_count > 1
             else lvl
         )
+        # depth 1 has NO parent keys, so this window runs on a single
+        # partition (Spark warns "No Partition Defined") — intended:
+        # the input is the BUCKET frame (≤ MAX_BUCKETS rows by the
+        # serve contract), never the corpus, so one task ranking it
+        # is the cheap direction; deeper levels partition by parents.
         w = Window.partitionBy(*names[: d - 1]).orderBy(
             *_terms_order_cols(b)
         )
@@ -1516,6 +1521,11 @@ def _top_hits_map(
         for f, asc in node.sort
     ] + [F.col("doc_id").asc()]
     if names:
+        # partitions = the kept bucket keys: a one-bucket level runs
+        # this window in one task (Spark's "No Partition Defined"
+        # cousin) — intended: the input was semi-joined down to kept
+        # buckets' docs and the output is ≤ |kept| × size (checked
+        # above), so the rank never funnels the corpus anywhere.
         w = Window.partitionBy(*names).orderBy(*order)
         ranked_rows = [
             r.asDict()
@@ -1742,8 +1752,13 @@ def parse_composite(body: dict, columns: list[str]) -> tuple[
     names = {k.name for k in keys}
     if len(names) != len(keys):
         raise ValueError("duplicate composite source names")
+    sub_aggs = body.get("aggs")
+    if sub_aggs is not None and not isinstance(sub_aggs, dict):
+        # a truthy non-dict (string, list) would AttributeError below
+        # — a 500 for what is the caller's malformed body (advice)
+        raise ValueError("composite 'aggs' must be an object")
     metrics: list[_Metric] = []
-    for mname, mbody in (body.get("aggs") or {}).items():
+    for mname, mbody in (sub_aggs or {}).items():
         typs = [t for t in mbody if t != "aggs"] if isinstance(
             mbody, dict
         ) else []
@@ -1933,8 +1948,13 @@ def parse_filters(
         # match_all is a legitimate filter (the everything bucket)
         preds[fname] = pred if pred is not None else F.lit(True)
     reserved = {"doc_count"}
+    sub_aggs = body.get("aggs")
+    if sub_aggs is not None and not isinstance(sub_aggs, dict):
+        # same caller-fixable 400 as parse_composite: a truthy
+        # non-dict would AttributeError into the 500 bucket (advice)
+        raise ValueError("filters 'aggs' must be an object")
     metrics: list[_Metric] = []
-    for mname, mbody in (body.get("aggs") or {}).items():
+    for mname, mbody in (sub_aggs or {}).items():
         typs = [t for t in mbody if t != "aggs"] if isinstance(
             mbody, dict
         ) else []
@@ -2072,9 +2092,12 @@ def kibana_vis_aggs(
       metric's id → ``_count``) — because ES order changes WHICH
       top-N buckets survive ``size`` truncation, not just display
       order (the reference's Club-Status panel orders by ``_term``
-      desc, docker-compose.yml:347); ``otherBucket`` /
-      ``missingBucket`` true are rejected (buckets this compiler
-      does not serve — silently dropping them would change results)
+      desc, docker-compose.yml:347); ``missingBucket`` true
+      translates to ES terms ``missing`` with Kibana's own
+      ``"__missing__"`` sentinel key (the client relabels with
+      ``missingBucketLabel``); ``otherBucket`` true is rejected (a
+      bucket this compiler does not serve — silently dropping it
+      would change results)
 
     Returns ``None`` when the panel needs no aggregations at all (a
     bare count metric — the consumer reads ``hits.total``)."""
@@ -2362,13 +2385,23 @@ def parse_query_dsl(
                 )
             if op == "and":
                 # ES operator=and: EVERY term must match. Split into
-                # one clause per distinct term — python str.split()
-                # is the shared tokenizer's whitespace split and the
-                # lowercase matches its normalization — and the REST
-                # layer's per-clause conjunction intersects the
+                # one clause per distinct term and let the REST
+                # layer's per-clause conjunction intersect the
                 # per-term match sets; scoring still runs on the
-                # union (= ES's sum over the all-matched terms).
-                terms = sorted({t.lower() for t in str(v).split()})
+                # union (= ES's sum over the all-matched terms). The
+                # split MUST mirror the index tokenizer
+                # (similarity.bm25_tokenize = Java-regex \s+, the
+                # ASCII whitespace class) — python str.split() also
+                # breaks on Unicode whitespace (NBSP, ...), which
+                # would mint conjunction clauses the index never
+                # tokenized and silently empty the match set (advice)
+                import re
+
+                terms = sorted({
+                    t.lower()
+                    for t in re.split(r"[ \t\n\x0b\f\r]+", str(v))
+                    if t
+                })
                 target.extend(terms if terms else [str(v)])
             else:
                 target.append(str(v))

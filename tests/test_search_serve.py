@@ -1568,3 +1568,40 @@ def test_filters_agg_empty_match_set(frame):
         {"filters": {"e": {"term": {"lang": "en"}}}},
     ).collect()
     assert [(r["filter"], r["doc_count"]) for r in flat] == [("e", 0)]
+
+
+# --- round-14: advice fixes ---------------------------------------------------
+
+
+def test_non_dict_sub_aggs_are_400_not_500(frame):
+    """Advice: a truthy non-dict 'aggs' (a string, a list) hit
+    `.items()` and AttributeError'd into the 500 taxonomy — it is the
+    caller's malformed body, so both parsers must raise the
+    caller-fixable ValueError."""
+    with pytest.raises(ValueError, match="'aggs' must be an object"):
+        serve.parse_filters(
+            {"filters": {"t": {"term": {"lang": "en"}}},
+             "aggs": "mean"},
+            frame,
+        )
+    with pytest.raises(ValueError, match="'aggs' must be an object"):
+        serve.parse_composite(
+            {"sources": [{"l": {"terms": {"field": "lang"}}}],
+             "aggs": ["mean"]},
+            frame.columns,
+        )
+
+
+def test_operator_and_split_mirrors_index_tokenizer(frame):
+    """Advice: the operator=and split must mirror the index
+    tokenizer's Java-regex \\s+ (ASCII whitespace only). Python
+    str.split() also breaks on NBSP — which would mint a conjunction
+    clause ('foo') the index never tokenized ('foo\\xa0bar' is ONE
+    indexed term) and silently empty the match set."""
+    texts, _, _ = serve.parse_query_dsl(
+        {"match": {"text": {"query": "foo\xa0bar baz",
+                            "operator": "and"}}},
+        frame.withColumn("text", F.lit("t")),
+    )
+    # NBSP stays inside its token, exactly like the indexed term
+    assert texts == ["baz", "foo\xa0bar"]
