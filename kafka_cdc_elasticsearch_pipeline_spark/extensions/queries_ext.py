@@ -6084,3 +6084,87 @@ def ext_search_aggs_filters(
         F.round("mean_chars", 6).alias("mean_chars"),
         "n_langs",
     )
+
+
+_SQL_DST_TS = (
+    "TIMESTAMP '2024-03-09 12:00:00' + (doc_id % 72) * INTERVAL 1 HOUR"
+)
+
+
+@query(
+    "ext_search_aggs_dh_timezone",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DST_TS} AS ts, n_chars FROM documents
+    ),
+    keyed AS (
+      SELECT timezone('UTC', timezone('America/New_York',
+               date_trunc('day', timezone('America/New_York',
+                 timezone('UTC', ts))))) AS by_day,
+             n_chars
+      FROM meta
+    ),
+    rolled AS (
+      SELECT by_day, grouping(by_day) AS g,
+             count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM keyed GROUP BY ROLLUP (by_day)
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_day, doc_count,
+           CASE WHEN g = 0 THEN round(mean_raw, 6) END AS mean_chars
+    FROM rolled
+    WHERE g = 1 OR by_day IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "time_zone", "serving"),
+)
+def ext_search_aggs_dh_timezone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``date_histogram`` ``time_zone`` — the knob a LIVE Kibana
+    attaches to every browser-built date_histogram (its locale's IANA
+    zone): buckets land on the caller's LOCAL day boundaries, which
+    changes bucket MEMBERSHIP, not just labels. The derived doc
+    timestamps span 2024-03-09T12:00..2024-03-12T11:00 UTC — across
+    the US DST transition — so the New-York local-midnight instants
+    MOVE from 05:00 to 04:00 UTC mid-frame; a fixed-offset shift (or
+    a UTC trunc) would misbucket every post-transition doc. Compiled
+    as a from_utc_timestamp → date_trunc → to_utc_timestamp key
+    expression inside the same ONE-rollup plan as every aggs tree
+    (the shift is an expression, not an extra pass). The oracle
+    rebuilds the shift with DuckDB's ICU timezone() pair (naive→
+    instant→NY wall, trunc, NY wall→instant→naive UTC) + ROLLUP +
+    grouping() — hash-equality pins the DST-aware boundary
+    arithmetic cross-engine, including the transition day itself."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-03-09 12:00:00'"
+            " + make_interval(0, 0, 0, 0, doc_id % 72, 0, 0)"
+        ).alias("ts"),
+        "n_chars",
+    )
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_day": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "1d",
+                    "time_zone": "America/New_York",
+                },
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}}
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_day",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

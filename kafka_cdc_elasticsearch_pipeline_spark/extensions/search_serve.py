@@ -113,6 +113,126 @@ def _fixed_interval_seconds(spec: str) -> int:
     return n * _FIXED_UNIT_SECONDS[unit]
 
 
+def _parse_time_zone(name: str, tz) -> str:
+    """ES ``time_zone``: an IANA zone name (``America/New_York``) or a
+    fixed ``±HH:MM`` offset — the two forms a live Kibana attaches to
+    every browser-built date_histogram. Validated HERE (Python
+    zoneinfo shares the JVM's IANA tzdata) so a bad zone is the
+    caller's 400, not an AnalysisException 500 mid-plan; the returned
+    string goes verbatim into from_utc_timestamp/to_utc_timestamp,
+    which accept both forms."""
+    import re
+
+    if not isinstance(tz, str) or not tz:
+        raise ValueError(
+            f"date_histogram agg {name!r}: 'time_zone' must be an "
+            "IANA zone name or a ±HH:MM offset string"
+        )
+    if re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
+        hh = int(tz[1:3])
+        if hh > 18 or int(tz[4:6]) > 59:
+            raise ValueError(
+                f"date_histogram agg {name!r}: offset {tz!r} is out "
+                "of range"
+            )
+        return tz
+    import zoneinfo
+
+    try:
+        zoneinfo.ZoneInfo(tz)
+    except (zoneinfo.ZoneInfoNotFoundError, ValueError, KeyError):
+        raise ValueError(
+            f"date_histogram agg {name!r}: unknown time_zone {tz!r} "
+            "(IANA zone name or ±HH:MM offset)"
+        ) from None
+    return tz
+
+
+def _tzinfo(tz: str):
+    """The validated time_zone string as a Python tzinfo — the
+    driver-side twin of what from_utc_timestamp does JVM-side (same
+    IANA tzdata; gap/overlap local times resolve to the pre-
+    transition offset in both, so fabricated spine keys stay
+    bit-identical to Spark-computed bucket keys)."""
+    import datetime
+    import re
+
+    if re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
+        sign = 1 if tz[0] == "+" else -1
+        return datetime.timezone(
+            sign * datetime.timedelta(
+                hours=int(tz[1:3]), minutes=int(tz[4:6])
+            )
+        )
+    import zoneinfo
+
+    return zoneinfo.ZoneInfo(tz)
+
+
+def _utc_to_wall(dt, tz: str):
+    """Naive-UTC instant → naive local wall-clock reading."""
+    import datetime
+
+    return dt.replace(tzinfo=datetime.timezone.utc).astimezone(
+        _tzinfo(tz)
+    ).replace(tzinfo=None)
+
+
+def _wall_to_utc(dt, tz: str):
+    """Naive local wall-clock reading → naive-UTC instant (fold=0:
+    ambiguous readings take the earlier offset, skipped readings
+    resolve past the gap — Java's ZonedDateTime rules, which
+    to_utc_timestamp applies JVM-side)."""
+    import datetime
+
+    return dt.replace(tzinfo=_tzinfo(tz)).astimezone(
+        datetime.timezone.utc
+    ).replace(tzinfo=None)
+
+
+#: java date-pattern token runs → strftime (the subset a dashboard's
+#: ``format`` uses; anything else is a 400, not a silent mis-format)
+_JAVA_FMT = {
+    "yyyy": "%Y", "MM": "%m", "dd": "%d",
+    "HH": "%H", "mm": "%M", "ss": "%S",
+}
+
+
+def _java_date_format(name: str, fmt) -> str:
+    """ES ``format`` (a java DateTimeFormatter pattern like
+    ``yyyy-MM-dd``) → the equivalent strftime string for the
+    driver-side ``key_as_string`` rendering. Token runs must match
+    the supported table exactly — a half-supported pattern silently
+    serving a DIFFERENT string than ES would be worse than the
+    400."""
+    import re
+
+    if not isinstance(fmt, str) or not fmt:
+        raise ValueError(
+            f"date_histogram agg {name!r}: 'format' must be a "
+            "non-empty java date-pattern string"
+        )
+    out: list[str] = []
+    for run in re.findall(r"[A-Za-z]+|[^A-Za-z]+", fmt):
+        if run[0].isalpha():
+            got = _JAVA_FMT.get(run)
+            if got is None:
+                raise ValueError(
+                    f"date_histogram agg {name!r}: unsupported "
+                    f"'format' token {run!r} (supported: "
+                    f"{sorted(_JAVA_FMT)})"
+                )
+            out.append(got)
+        else:
+            if "%" in run:
+                raise ValueError(
+                    f"date_histogram agg {name!r}: literal '%' is "
+                    "not supported in 'format'"
+                )
+            out.append(run)
+    return "".join(out)
+
+
 #: the body keys each bucket type serves — anything else is a 400, not
 #: a silent ignore: a key this compiler does not implement (ES's
 #: shard_size, missing, script, ...) swallowed quietly would serve
@@ -122,7 +242,7 @@ _BUCKET_KEYS = {
     "terms": {"field", "size", "order", "missing", "min_doc_count"},
     "date_histogram": {
         "field", "fixed_interval", "calendar_interval",
-        "min_doc_count", "extended_bounds",
+        "min_doc_count", "extended_bounds", "time_zone", "format",
     },
     "histogram": {"field", "interval", "min_doc_count", "extended_bounds"},
     "range": {"field", "ranges"},
@@ -216,6 +336,11 @@ class _Bucket:
         self.interval = None
         self.seconds: int | None = None
         self.calendar: str | None = None
+        # date_histogram-only: ES time_zone (bucket at the caller's
+        # LOCAL day/hour boundaries — membership changes, not just
+        # labels) and format (key_as_string rendering)
+        self.time_zone: str | None = None
+        self.fmt: str | None = None
         self.ranges: list[tuple[float | None, float | None]] | None = None
         # dense-timeline knobs (date_histogram / histogram only):
         # min_doc_count=0 emits EMPTY buckets for interior gaps (the
@@ -402,6 +527,17 @@ class _Bucket:
                         f"(supported: {sorted(set(_CALENDAR_UNITS))})"
                     )
                 self.calendar = _CALENDAR_UNITS[cal]
+            tz = body.get("time_zone")
+            if tz is not None:
+                # "UTC" (what some Kibana locales send) is the
+                # engine's native frame — normalize to the no-shift
+                # plan instead of wrapping every key in a pair of
+                # identity timestamp conversions
+                parsed = _parse_time_zone(name, tz)
+                if parsed not in ("UTC", "+00:00", "-00:00"):
+                    self.time_zone = parsed
+            if "format" in body:
+                self.fmt = _java_date_format(name, body["format"])
 
     @staticmethod
     def range_label(lo, hi) -> str:
@@ -450,14 +586,32 @@ class _Bucket:
             return expr
         if self.typ == "histogram":
             return F.floor(c / F.lit(self.interval)) * F.lit(self.interval)
+        # ES time_zone: bucket at the caller's LOCAL boundaries —
+        # render the instant as local wall time (from_utc_timestamp),
+        # floor the wall reading, convert the local boundary back to
+        # the UTC instant (to_utc_timestamp). This changes bucket
+        # MEMBERSHIP (a 23:30 EST doc belongs to the local day, not
+        # the UTC one), and the double shift keeps day/week/month
+        # boundaries DST-correct: the key for a post-transition day
+        # is its local midnight's actual UTC instant, not a fixed
+        # offset. Same one-rollup plan — the shifts are expressions
+        # inside the key column.
+        if self.time_zone is not None:
+            c = F.from_utc_timestamp(c, self.time_zone)
         if self.calendar is not None:
-            return F.date_trunc(self.calendar, c)
-        # fixed_interval: epoch-anchored tumbling bucket start — the
-        # same arithmetic as F.window(...).start / DuckDB time_bucket
-        us = F.lit(int(self.seconds) * 1_000_000).cast("bigint")
-        return F.timestamp_micros(
-            F.floor(F.unix_micros(c) / us).cast("bigint") * us
-        )
+            key = F.date_trunc(self.calendar, c)
+        else:
+            # fixed_interval: epoch-anchored tumbling bucket start —
+            # the same arithmetic as F.window(...).start / DuckDB
+            # time_bucket (under time_zone: floored in wall space,
+            # ES's local rounding)
+            us = F.lit(int(self.seconds) * 1_000_000).cast("bigint")
+            key = F.timestamp_micros(
+                F.floor(F.unix_micros(c) / us).cast("bigint") * us
+            )
+        if self.time_zone is not None:
+            key = F.to_utc_timestamp(key, self.time_zone)
+        return key
 
 
 class _Metric:
@@ -1099,15 +1253,28 @@ def _spine(b: _Bucket, data_keys: list) -> list:
     spine keys are bit-identical to the Spark-computed bucket keys —
     float stepping would drift off the data keys and duplicate
     buckets. Capped at MAX_BUCKETS: a consumer asking for 1-minute
-    buckets over ten years must get the 400, not an OOM."""
+    buckets over ten years must get the 400, not an OOM.
+
+    Under ``time_zone`` the whole walk happens in LOCAL WALL space —
+    the same frame key_col floors in — then each generated boundary
+    converts back to its UTC instant. Stepping in UTC would drift off
+    the data keys at a DST transition (a 23- or 25-hour local day);
+    wall space keeps local days uniform, and the _wall_to_utc
+    conversion resolves gap/overlap readings by the same rules
+    to_utc_timestamp applies JVM-side, so fabricated keys stay
+    bit-identical to Spark-computed ones."""
     import datetime
 
     epoch = datetime.datetime(1970, 1, 1)
+    tz = b.time_zone if b.typ == "date_histogram" else None
+    if tz is not None:
+        data_keys = [_utc_to_wall(k, tz) for k in data_keys]
 
     def from_bound(x):
         if b.typ == "histogram":
             return float(x)
-        return epoch + datetime.timedelta(milliseconds=int(x))
+        inst = epoch + datetime.timedelta(milliseconds=int(x))
+        return _utc_to_wall(inst, tz) if tz is not None else inst
 
     def floor_key(v):
         if b.typ == "histogram":
@@ -1156,21 +1323,24 @@ def _spine(b: _Bucket, data_keys: list) -> list:
             keys.append(v)
             m = v.month - 1 + months
             v = v.replace(year=v.year + m // 12, month=m % 12 + 1)
-        return keys
-    step = b.seconds or {"minute": 60, "hour": 3600, "day": 86400}[
-        b.calendar
-    ]
-    i0 = int((lo - epoch).total_seconds()) // step
-    i1 = int((hi - epoch).total_seconds()) // step
-    if i1 - i0 + 1 > MAX_BUCKETS:
-        raise ValueError(
-            f"min_doc_count=0 would fill more than {MAX_BUCKETS} "
-            "buckets; raise the interval or narrow extended_bounds"
-        )
-    return [
-        epoch + datetime.timedelta(seconds=i * step)
-        for i in range(i0, i1 + 1)
-    ]
+    else:
+        step = b.seconds or {"minute": 60, "hour": 3600, "day": 86400}[
+            b.calendar
+        ]
+        i0 = int((lo - epoch).total_seconds()) // step
+        i1 = int((hi - epoch).total_seconds()) // step
+        if i1 - i0 + 1 > MAX_BUCKETS:
+            raise ValueError(
+                f"min_doc_count=0 would fill more than {MAX_BUCKETS} "
+                "buckets; raise the interval or narrow extended_bounds"
+            )
+        keys = [
+            epoch + datetime.timedelta(seconds=i * step)
+            for i in range(i0, i1 + 1)
+        ]
+    if tz is not None:
+        keys = [_wall_to_utc(k, tz) for k in keys]
+    return keys
 
 
 def _hashable(v):
@@ -1200,6 +1370,25 @@ def _key_json(v):
     if isinstance(v, decimal.Decimal):
         return float(v), None
     return v, None
+
+
+def _dh_key_string(b: _Bucket, v) -> str:
+    """A date_histogram bucket's ``key_as_string`` under ``time_zone``
+    / ``format``: ES renders the key in the request's zone (the local
+    boundary reading, offset-suffixed) and through the java pattern
+    when ``format`` is given. The ``key`` itself stays the UTC
+    instant's epoch millis either way."""
+    import datetime
+
+    if b.time_zone is not None:
+        local = v.replace(tzinfo=datetime.timezone.utc).astimezone(
+            _tzinfo(b.time_zone)
+        )
+        return (
+            local.strftime(b.fmt) if b.fmt is not None
+            else local.isoformat(sep="T")
+        )
+    return v.strftime(b.fmt) if b.fmt is not None else v.isoformat(sep="T")
 
 
 def _val_json(v):
@@ -1385,6 +1574,12 @@ def aggs_nested(
         buckets = []
         for r in mine:
             key, key_str = _key_json(r[b.name])
+            if b.typ == "date_histogram" and (
+                b.time_zone is not None or b.fmt is not None
+            ):
+                # ES renders key_as_string in the request's zone /
+                # format; key stays the UTC instant's epoch millis
+                key_str = _dh_key_string(b, r[b.name])
             bucket: dict = {"key": key}
             if key_str is not None:
                 bucket["key_as_string"] = key_str
@@ -2068,6 +2263,7 @@ def kibana_vis_aggs(
     vis_state: dict,
     field_map: dict[str, str] | None = None,
     fixed_interval: str = "1d",
+    time_zone: str | None = None,
 ) -> dict | None:
     """Translate a Kibana saved visualization's ``visState.aggs``
     array — the pre-request form Kibana stores in its saved objects;
@@ -2157,6 +2353,12 @@ def kibana_vis_aggs(
                 mdc = params.get("min_doc_count")
                 if isinstance(mdc, int) and not isinstance(mdc, bool):
                     body["min_doc_count"] = mdc
+                # a LIVE Kibana attaches the browser locale's zone to
+                # every date_histogram it builds — the panel's own
+                # params win over the caller-supplied session zone
+                tz = params.get("time_zone", time_zone)
+                if tz is not None:
+                    body["time_zone"] = tz
                 buckets.append((name, "date_histogram", body))
             elif typ == "terms":
                 if params.get("otherBucket"):

@@ -1605,3 +1605,161 @@ def test_operator_and_split_mirrors_index_tokenizer(frame):
     )
     # NBSP stays inside its token, exactly like the indexed term
     assert texts == ["baz", "foo\xa0bar"]
+
+
+# --- round-14: date_histogram time_zone / format -------------------------------
+
+
+@pytest.fixture(scope="module")
+def dst_frame(spark):
+    """12 docs, 7 h apart, spanning the 2024-03-10 US DST transition:
+    UTC instants 2024-03-09T12:00 .. 2024-03-12T17:00. New-York local
+    days split 3/3/4/2 (the 23-hour transition day included); plain
+    UTC days would split 2/3/3/4 — so any tz mistake changes
+    membership, not just labels."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 9, 12, 0, 0)
+    rows = [
+        (i, (base + datetime.timedelta(hours=7 * i)).strftime(
+            "%Y-%m-%d %H:%M:%S"), i * 10)
+        for i in range(12)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, ts_s string, n bigint"
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "n")
+
+
+def test_date_histogram_time_zone_dst_membership(dst_frame):
+    """ES time_zone: day boundaries land on the caller's LOCAL
+    midnight — whose UTC instant moves from 05:00 to 04:00 across the
+    DST transition (a fixed-offset shift would misbucket everything
+    after it)."""
+    import datetime
+
+    flat = serve.aggs_flat(dst_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "time_zone": "America/New_York"}}})
+    got = sorted(
+        (r["by_day"], r["doc_count"])
+        for r in flat.filter(F.col("depth") == 1).collect()
+    )
+    assert got == [
+        (datetime.datetime(2024, 3, 9, 5, 0), 3),
+        (datetime.datetime(2024, 3, 10, 5, 0), 3),   # EST midnight
+        (datetime.datetime(2024, 3, 11, 4, 0), 4),   # EDT midnight
+        (datetime.datetime(2024, 3, 12, 4, 0), 2),
+    ]
+
+
+def test_date_histogram_fixed_offset_and_fixed_interval(dst_frame):
+    """±HH:MM offset zones (here the half-hour +05:30) shift the
+    fixed_interval floor into wall space: 12h buckets start at local
+    00:00/12:00 = 18:30/06:30 UTC."""
+    flat = serve.aggs_flat(dst_frame, {
+        "by_half": {"date_histogram": {
+            "field": "ts", "fixed_interval": "12h",
+            "time_zone": "+05:30"}}})
+    keys = sorted(
+        r["by_half"] for r in flat.filter(F.col("depth") == 1).collect()
+    )
+    assert all(k.strftime("%H:%M") in ("06:30", "18:30") for k in keys)
+    # and the doc memberships tile the corpus
+    assert flat.filter(F.col("depth") == 1).agg(
+        F.sum("doc_count")
+    ).collect()[0][0] == 12
+
+
+def test_date_histogram_time_zone_key_as_string_and_format(dst_frame):
+    """key stays the UTC instant's epoch millis; key_as_string renders
+    the LOCAL boundary (offset-suffixed, DST-correct), and 'format'
+    runs the java pattern over the local reading."""
+    env = serve.aggs_nested(dst_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "time_zone": "America/New_York"}}})
+    strs = [b["key_as_string"] for b in env["by_day"]["buckets"]]
+    assert strs == [
+        "2024-03-09T00:00:00-05:00", "2024-03-10T00:00:00-05:00",
+        "2024-03-11T00:00:00-04:00", "2024-03-12T00:00:00-04:00",
+    ]
+    assert env["by_day"]["buckets"][0]["key"] == 1709960400000
+    env = serve.aggs_nested(dst_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "time_zone": "America/New_York",
+            "format": "yyyy-MM-dd HH:mm"}}})
+    assert [b["key_as_string"] for b in env["by_day"]["buckets"]] == [
+        "2024-03-09 00:00", "2024-03-10 00:00",
+        "2024-03-11 00:00", "2024-03-12 00:00",
+    ]
+
+
+def test_date_histogram_time_zone_gap_fill_walks_wall_space(spark):
+    """min_doc_count=0 under time_zone: the fabricated spine steps in
+    LOCAL wall space, so interior keys cross the DST transition at
+    the moving local-midnight instants (05:00 → 04:00 UTC) instead of
+    drifting off the data keys."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(0, "2024-03-09 12:00:00"), (1, "2024-03-12 12:00:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env = serve.aggs_nested(df, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "time_zone": "America/New_York", "min_doc_count": 0}}})
+    got = [(b["key_as_string"], b["doc_count"])
+           for b in env["by_day"]["buckets"]]
+    assert got == [
+        ("2024-03-09T00:00:00-05:00", 1),
+        ("2024-03-10T00:00:00-05:00", 0),
+        ("2024-03-11T00:00:00-04:00", 0),
+        ("2024-03-12T00:00:00-04:00", 1),
+    ]
+
+
+def test_date_histogram_time_zone_validation(dst_frame):
+    with pytest.raises(ValueError, match="unknown time_zone"):
+        serve.aggs_flat(dst_frame, {
+            "d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "1d",
+                "time_zone": "Mars/Olympus_Mons"}}})
+    with pytest.raises(ValueError, match="time_zone"):
+        serve.aggs_flat(dst_frame, {
+            "d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "1d",
+                "time_zone": 5}}})
+    with pytest.raises(ValueError, match="unsupported 'format' token"):
+        serve.aggs_flat(dst_frame, {
+            "d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "1d",
+                "format": "yyyy-ww"}}})
+    # UTC normalizes to the no-shift plan (no identity conversions)
+    flat = serve.aggs_flat(dst_frame, {
+        "d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "time_zone": "UTC"}}})
+    assert "to_utc_timestamp" not in flat._jdf.queryExecution().analyzed().toString()
+
+
+def test_kibana_vis_aggs_time_zone_passthrough():
+    """A LIVE Kibana attaches the browser zone to every
+    date_histogram; the translator forwards the panel's own
+    params.time_zone, falling back to the caller's session zone."""
+    vis = {"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "2", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "EXTRACT_TS", "interval": "auto",
+                    "time_zone": "America/New_York"}},
+    ]}
+    spec = serve.kibana_vis_aggs(vis, fixed_interval="3h")
+    assert spec["k2"]["date_histogram"]["time_zone"] == "America/New_York"
+    vis["aggs"][1]["params"].pop("time_zone")
+    spec = serve.kibana_vis_aggs(vis, fixed_interval="3h",
+                                 time_zone="Europe/Berlin")
+    assert spec["k2"]["date_histogram"]["time_zone"] == "Europe/Berlin"
+    spec = serve.kibana_vis_aggs(vis, fixed_interval="3h")
+    assert "time_zone" not in spec["k2"]["date_histogram"]
