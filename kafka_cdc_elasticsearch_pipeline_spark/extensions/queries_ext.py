@@ -6168,3 +6168,97 @@ def ext_search_aggs_dh_timezone(
         "doc_count",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_parent_pipeline",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, n_chars FROM documents
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS by_hour,
+             count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM meta GROUP BY 1
+    )
+    SELECT by_hour, doc_count,
+           round(mean_raw, 6) AS mean_chars,
+           (sum(doc_count) OVER (
+              ORDER BY by_hour ROWS UNBOUNDED PRECEDING))::DOUBLE
+             AS cum_docs,
+           round(mean_raw - lag(mean_raw) OVER (ORDER BY by_hour), 6)
+             AS d_mean
+    FROM hourly
+    """,
+    tags=("ext", "search", "aggs", "pipeline", "serving"),
+)
+def ext_search_aggs_parent_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARENT pipeline aggregations — ``cumulative_sum`` +
+    ``derivative``, the pair a TSVB/time-series panel sends: declared
+    INSIDE a date_histogram's ``aggs`` with a single-segment
+    ``buckets_path`` (a same-level metric or ``_count``) and computed
+    ALONG the returned bucket list — ES's reduce point, so here an
+    O(buckets) driver walk over the already-collected envelope, zero
+    distributed work beyond the one rollup every aggs tree pays. The
+    hourly chain over the 72-hour derived timeline carries a
+    cumulative doc count (running total on EVERY bucket) and the
+    hour-over-hour derivative of the mean-chars metric (first bucket
+    omitted — ES serves no entry, not null). The oracle rebuilds both
+    as DuckDB window functions (running SUM OVER ROWS UNBOUNDED
+    PRECEDING; mean − lag(mean)) — hash-equality pins the walk order,
+    the gap_policy-skip arithmetic, and the first-bucket omission
+    cross-engine."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _doc_meta(spark, sf_dir)
+    env = serve.aggs_nested(
+        meta,
+        {
+            "by_hour": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "1h",
+                },
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                    "cum_docs": {"cumulative_sum": {
+                        "buckets_path": "_count"}},
+                    "d_mean": {"derivative": {
+                        "buckets_path": "mean_chars"}},
+                },
+            }
+        },
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (
+            epoch + datetime.timedelta(milliseconds=b["key"]),
+            b["doc_count"],
+            None if b["mean_chars"]["value"] is None
+            else round(b["mean_chars"]["value"], 6),
+            b["cum_docs"]["value"],
+            None if "d_mean" not in b
+            else round(b["d_mean"]["value"], 6),
+        )
+        for b in env["by_hour"]["buckets"]
+    ]
+    schema = T.StructType([
+        T.StructField("by_hour", T.TimestampType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("mean_chars", T.DoubleType(), True),
+        T.StructField("cum_docs", T.DoubleType(), False),
+        T.StructField("d_mean", T.DoubleType(), True),
+    ])
+    # bounded by construction: ≤ 72 hourly buckets (the envelope cap
+    # guards the general case) — the driver-side list IS the ES wire
+    # envelope, re-framed so the oracle can hash it
+    return spark.createDataFrame(rows, schema)

@@ -84,6 +84,11 @@ _METRIC_TYPES = (
 #: distributed work
 _PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
 
+#: PARENT pipeline aggs — inside a histogram/date_histogram bucket's
+#: ``aggs``, computed along that bucket LIST (what TSVB/time-series
+#: panels send); the sibling family above reduces over it instead
+_PARENT_PIPELINE_TYPES = ("derivative", "cumulative_sum")
+
 #: calendar_interval → Spark/ISO date_trunc unit (the subset a
 #: dashboard uses; ES also has week/quarter — week starts differ
 #: between engines, so it is deliberately absent until pinned).
@@ -697,21 +702,37 @@ class _Metric:
 
 
 class _PipelineAgg:
-    """A parsed sibling pipeline agg (``avg_bucket`` family):
+    """A parsed pipeline agg. SIBLING family (``avg_bucket`` etc.):
     ``buckets_path`` names a sibling multi-bucket agg chain ending in
     a metric (``"by_day>med"``, dotted components for multi-valued
-    metrics, ``_count`` for doc_count). ES computes pipelines at
-    reduce time over the RETURNED buckets — here: driver-side over
-    the collected bucket frame, zero distributed work. ``gap_policy``
-    skip (the default) is the only policy: null metric values (empty
-    buckets) are skipped."""
+    metrics, ``_count`` for doc_count), reduced to ONE value. PARENT
+    family (``derivative`` / ``cumulative_sum`` — what TSVB/
+    time-series panels send): declared INSIDE a histogram/
+    date_histogram bucket's ``aggs`` with a single-segment
+    ``buckets_path`` naming a same-level metric (or ``_count``), and
+    computed ALONG that bucket list in its returned order — a value
+    attached to each bucket. ES computes both at reduce time over the
+    RETURNED buckets — here: driver-side over the collected bucket
+    frame, zero distributed work. ``gap_policy`` skip (the default)
+    is the only policy: null metric values (empty buckets) are
+    skipped."""
 
     def __init__(self, name: str, typ: str, body: dict):
         if not isinstance(body, dict):
             raise ValueError(f"agg {name!r}: {typ} body must be an object")
         _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
+        self.parent = typ in _PARENT_PIPELINE_TYPES
         path = body.get("buckets_path")
-        if not isinstance(path, str) or ">" not in path:
+        if self.parent:
+            if not isinstance(path, str) or not path or ">" in path:
+                raise ValueError(
+                    f"pipeline agg {name!r} ({typ}): 'buckets_path' "
+                    "names a sibling metric at the same level "
+                    "('the_sum', 'st.avg', or '_count') — parent "
+                    "pipelines walk their OWN bucket list, not a "
+                    "deeper chain"
+                )
+        elif not isinstance(path, str) or ">" not in path:
             raise ValueError(
                 f"pipeline agg {name!r} needs a 'buckets_path' like "
                 "'bucket_agg>metric' (or '...>_count')"
@@ -775,6 +796,23 @@ class _PipelineAgg:
             total = sum(vals)
             return total / len(vals) if self.typ == "avg_bucket" else total
         return min(vals) if self.typ == "min_bucket" else max(vals)
+
+
+def _pipe_num(p: _PipelineAgg, v) -> float:
+    """A parent pipeline's bucket value as a float — the same
+    numeric guard as the sibling reduce: a date-typed metric under
+    derivative/cumulative_sum must 400 naming the fix, not TypeError
+    mid-walk into the 500 taxonomy."""
+    import decimal
+
+    if isinstance(v, bool) or not isinstance(
+        v, (int, float, decimal.Decimal)
+    ):
+        raise ValueError(
+            f"pipeline agg {p.name!r}: {p.typ} needs numeric bucket "
+            f"values, got {type(v).__name__}"
+        )
+    return float(v)
 
 
 def _metric_column(
@@ -941,7 +979,7 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 tophits.setdefault(depth, []).append(
                     _TopHits(name, body[typ], columns)
                 )
-            elif typ in _PIPELINE_TYPES:
+            elif typ in _PIPELINE_TYPES or typ in _PARENT_PIPELINE_TYPES:
                 if "aggs" in body:
                     raise ValueError(
                         f"pipeline agg {name!r} cannot have sub-aggs"
@@ -953,7 +991,8 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 raise ValueError(
                     f"unsupported agg type {typ!r} (buckets: "
                     f"{_BUCKET_TYPES}, metrics: {_METRIC_TYPES}, "
-                    f"top_hits, pipelines: {_PIPELINE_TYPES})"
+                    f"top_hits, pipelines: "
+                    f"{_PIPELINE_TYPES + _PARENT_PIPELINE_TYPES})"
                 )
         if bucket_here is not None:
             chain.append(bucket_here)
@@ -1004,6 +1043,41 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 raise ValueError(f"agg name {p.name!r} is reserved")
             reserved.add(p.name)
             who = f"pipeline agg {p.name!r}"
+            if p.parent:
+                # ES's contract: derivative/cumulative_sum live
+                # inside a histogram/date_histogram (an ORDERED
+                # bucket list — walking terms buckets would derive
+                # over an arbitrary-by-value ordering)
+                if d < 1 or chain[d - 1].typ not in (
+                    "date_histogram", "histogram"
+                ):
+                    raise ValueError(
+                        f"{who}: {p.typ} must sit inside a "
+                        "histogram/date_histogram bucket's aggs "
+                        "(ES's parent-pipeline contract)"
+                    )
+                term = p.segments[0]
+                if term == "_count":
+                    p.terminal = ("_count", None, None)
+                else:
+                    col = _metric_column(metrics.get(d, []), term, who)
+                    tname, _, tpart = term.partition(".")
+                    m = next(
+                        mm for mm in metrics.get(d, [])
+                        if mm.name == tname
+                    )
+                    if m.typ == "stats":
+                        p.terminal = ("stats", tname, tpart)
+                    elif m.typ == "percentiles":
+                        pkey = next(
+                            str(pp)
+                            for pp, c in zip(m.percents, m.columns)
+                            if c == col
+                        )
+                        p.terminal = ("percentiles", tname, pkey)
+                    else:
+                        p.terminal = ("value", tname, None)
+                continue
             for i, seg in enumerate(p.segments[:-1]):
                 ci = d + i
                 if ci >= len(chain) or chain[ci].name != seg:
@@ -1638,11 +1712,45 @@ def aggs_nested(
 
         def attach(node: dict, depth: int) -> None:
             if depth < len(chain):
-                for bk in node.get(chain[depth].name, {}).get(
+                kids = node.get(chain[depth].name, {}).get(
                     "buckets", []
-                ):
+                )
+                # PARENT pipelines declared inside chain[depth]'s
+                # aggs walk THIS node's child list in its returned
+                # order — per parent bucket, so each timeline derives
+                # over its own series (ES's reduce point)
+                for p in pipelines.get(depth + 1, []):
+                    if not p.parent:
+                        continue
+                    if p.typ == "cumulative_sum":
+                        # ES: every bucket serves the running total;
+                        # null metric values (gap_policy skip) add
+                        # nothing but the total still serves
+                        run = 0.0
+                        for bk in kids:
+                            v = p.extract(bk)
+                            if v is not None:
+                                run += _pipe_num(p, v)
+                            bk[p.name] = {"value": run}
+                    else:  # derivative
+                        # ES: the first bucket (and any skipped-gap
+                        # bucket) carries NO derivative entry; each
+                        # valued bucket derives against the last
+                        # valued one
+                        prev = None
+                        for bk in kids:
+                            v = p.extract(bk)
+                            if v is None:
+                                continue
+                            cur = _pipe_num(p, v)
+                            if prev is not None:
+                                bk[p.name] = {"value": cur - prev}
+                            prev = cur
+                for bk in kids:
                     attach(bk, depth + 1)
             for p in pipelines.get(depth, []):
+                if p.parent:
+                    continue
                 lvs = leaves(node, p.segments[:-1])
                 vals = [p.extract(leaf) for leaf in lvs]
                 red = p.reduce(vals)

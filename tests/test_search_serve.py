@@ -1763,3 +1763,110 @@ def test_kibana_vis_aggs_time_zone_passthrough():
     assert spec["k2"]["date_histogram"]["time_zone"] == "Europe/Berlin"
     spec = serve.kibana_vis_aggs(vis, fixed_interval="3h")
     assert "time_zone" not in spec["k2"]["date_histogram"]
+
+
+# --- round-14: parent pipeline aggs (derivative / cumulative_sum) --------------
+
+
+@pytest.fixture(scope="module")
+def gap_frame(spark):
+    """Docs on days 1, 2 and 4 of Jan 2024 (day 3 empty): counts
+    2/5/0/3 under min_doc_count=0 — the TSVB shape where a derivative
+    must cross a gap-filled zero bucket."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, did = [], 0
+    for d, n in [(0, 2), (1, 5), (3, 3)]:
+        for j in range(n):
+            rows.append((
+                did,
+                (base + datetime.timedelta(days=d, hours=j)).strftime(
+                    "%Y-%m-%d %H:%M:%S"),
+                (did % 4) * 10,
+            ))
+            did += 1
+    return spark.createDataFrame(
+        rows, "doc_id bigint, ts_s string, n bigint"
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "n")
+
+
+def test_parent_pipelines_walk_the_returned_list(gap_frame):
+    """derivative/cumulative_sum compute over the FINAL bucket list —
+    gap-filled zero buckets included: _count derivatives see the 0,
+    metric derivatives skip the null (gap_policy skip) and derive
+    against the last valued bucket; cumulative_sum serves the running
+    total on EVERY bucket; the first bucket carries no derivative
+    entry at all (ES omits, not null)."""
+    env = serve.aggs_nested(gap_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "min_doc_count": 0},
+            "aggs": {"s": {"sum": {"field": "n"}},
+                     "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                     "dc": {"derivative": {"buckets_path": "_count"}},
+                     "ds": {"derivative": {"buckets_path": "s"}}}}})
+    got = [
+        (b["doc_count"], b["cum"]["value"],
+         b.get("dc", {}).get("value"), b.get("ds", {}).get("value"))
+        for b in env["by_day"]["buckets"]
+    ]
+    assert got == [
+        (2, 2.0, None, None),
+        (5, 7.0, 3.0, 70.0),
+        (0, 7.0, -5.0, None),      # zero bucket: no metric derivative
+        (3, 10.0, 3.0, -40.0),     # metric derives vs day 2 (gap skip)
+    ]
+    assert "dc" not in env["by_day"]["buckets"][0]  # omitted, not null
+
+
+def test_parent_pipelines_are_per_parent(gap_frame):
+    """Under a terms parent, each bucket's own date series derives
+    independently — series never bleed across parents."""
+    df = gap_frame.withColumn(
+        "grp", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    env = serve.aggs_nested(df, {
+        "g": {"terms": {"field": "grp"},
+              "aggs": {"by_day": {"date_histogram": {
+                  "field": "ts", "calendar_interval": "1d"},
+                  "aggs": {"cum": {"cumulative_sum": {
+                      "buckets_path": "_count"}}}}}}})
+    for gb in env["g"]["buckets"]:
+        days = gb["by_day"]["buckets"]
+        assert days[0]["cum"]["value"] == float(days[0]["doc_count"])
+        assert days[-1]["cum"]["value"] == float(gb["doc_count"])
+
+
+def test_parent_pipeline_contract_400s(gap_frame, frame):
+    # inside terms: ES's parent contract is histogram/date_histogram
+    with pytest.raises(ValueError, match="parent-pipeline contract"):
+        serve.parse_aggs(
+            {"g": {"terms": {"field": "lang"},
+                   "aggs": {"d": {"derivative": {
+                       "buckets_path": "_count"}}}}},
+            frame.columns,
+        )
+    # at the request top there is no parent bucket list at all
+    with pytest.raises(ValueError, match="parent-pipeline contract"):
+        serve.parse_aggs(
+            {"d": {"derivative": {"buckets_path": "_count"}}},
+            frame.columns,
+        )
+    # multi-segment paths belong to the sibling family
+    with pytest.raises(ValueError, match="walk their OWN bucket list"):
+        serve.parse_aggs(
+            {"by": {"date_histogram": {"field": "ts",
+                                       "fixed_interval": "1d"},
+                    "aggs": {"d": {"derivative": {
+                        "buckets_path": "by>_count"}}}}},
+            frame.columns,
+        )
+    # a date-typed metric under cumulative_sum: 400 naming the fix
+    with pytest.raises(ValueError, match="needs numeric bucket"):
+        serve.aggs_nested(frame, {
+            "by": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"},
+                   "aggs": {"latest": {"max": {"field": "ts"}},
+                            "c": {"cumulative_sum": {
+                                "buckets_path": "latest"}}}}})
