@@ -6262,3 +6262,79 @@ def ext_search_aggs_parent_pipeline(
     # guards the general case) — the driver-side list IS the ES wire
     # envelope, re-framed so the oracle can hash it
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ext_search_aggs_terms_other",
+    """
+    WITH meta AS (SELECT lang, n_chars FROM documents),
+    agg AS (
+      SELECT lang AS by_lang, count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw, sum(n_chars)::BIGINT AS tot
+      FROM meta WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        ORDER BY doc_count DESC, by_lang ASC) AS rn
+      FROM agg
+    )
+    SELECT 0 AS depth, NULL AS by_lang,
+           (SELECT count(*)::BIGINT FROM meta) AS doc_count,
+           CAST(NULL AS DOUBLE) AS mean_chars,
+           CAST(NULL AS BIGINT) AS tot
+    UNION ALL
+    SELECT 1, by_lang, doc_count, round(mean_raw, 6), tot
+    FROM ranked WHERE rn <= 2
+    UNION ALL
+    SELECT 1, '__other__', count(*)::BIGINT,
+           round(avg(n_chars), 6), sum(n_chars)::BIGINT
+    FROM meta
+    WHERE lang IS NOT NULL AND lang NOT IN (
+      SELECT by_lang FROM ranked WHERE rn <= 2)
+    """,
+    tags=("ext", "search", "aggs", "other_bucket", "serving"),
+)
+def ext_search_aggs_terms_other(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kibana's "group remaining as Other", served in ONE request:
+    ``other_bucket: true`` on a terms agg merges the truncated-away
+    buckets into an explicit ``__other__`` row carrying doc_count AND
+    metrics. The merge is ONE extra pass over the pinned BUCKET frame
+    (anti-join against the keep-list, then a re-aggregation of
+    mergeable metric states — sum/min/max/value_count directly, stats
+    componentwise, avg through hidden sum/count companions so the
+    result is the true mean over the other docs, never avg-of-avgs) —
+    bucket-frame-sized work, no corpus re-scan, where Kibana itself
+    fires a SECOND filters-agg request. The oracle rebuilds the kept
+    top-2 with a ranked keep-list and the __other__ row FROM SCRATCH
+    (count/avg/sum over the non-kept docs) — hash-equality pins the
+    keep/other tiling and the merged-metric arithmetic
+    cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.aggs_flat(
+        _docs(spark, sf_dir).select("lang", "n_chars"),
+        {
+            "by_lang": {
+                "terms": {
+                    "field": "lang",
+                    "size": 2,
+                    "other_bucket": True,
+                },
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                    "tot": {"sum": {"field": "n_chars"}},
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_lang",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+        "tot",
+    )

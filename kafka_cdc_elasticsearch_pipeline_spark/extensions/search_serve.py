@@ -244,7 +244,10 @@ def _java_date_format(name: str, fmt) -> str:
 #: DIFFERENT results than ES for the same request (the same honesty
 #: rule kibana_vis_aggs applies to unknown schemas)
 _BUCKET_KEYS = {
-    "terms": {"field", "size", "order", "missing", "min_doc_count"},
+    "terms": {
+        "field", "size", "order", "missing", "min_doc_count",
+        "other_bucket",
+    },
     "date_histogram": {
         "field", "fixed_interval", "calendar_interval",
         "min_doc_count", "extended_bounds", "time_zone", "format",
@@ -332,6 +335,8 @@ class _Bucket:
         # terms-only ES 'missing' substitution value (None = ES
         # default: null-field docs land in no bucket)
         self.missing = None
+        # terms-only Kibana other-bucket flag (parsed below)
+        self.other_bucket = False
         # range/date_range bucket keys (custom 'key' or from-to label)
         self.labels: list[str] = []
         self.field = body.get("field")
@@ -464,6 +469,20 @@ class _Bucket:
                     f"terms agg {name!r}: 'size' must be a positive integer"
                 )
             self.size = size
+            # Kibana's "group remaining as Other", served in ONE
+            # request: truncated-away buckets merge into an explicit
+            # '__other__' bucket (Kibana's own sentinel discipline —
+            # the client relabels) carrying doc_count AND merged
+            # metrics. ES itself has no terms other-bucket (Kibana
+            # fires a second filters-agg request); serving it here
+            # saves that second corpus pass.
+            ob = body.get("other_bucket", False)
+            if not isinstance(ob, bool):
+                raise ValueError(
+                    f"terms agg {name!r}: 'other_bucket' must be a "
+                    "boolean"
+                )
+            self.other_bucket = ob
             # ES terms 'missing': docs with a null field take this
             # value as their key — they form/join that bucket (and its
             # children) instead of landing nowhere. The value must be
@@ -658,6 +677,39 @@ class _Metric:
         else:
             self.percents = []
             self.columns = [name]
+        # hidden metrics ride the rollup for the __other__ bucket
+        # merge (an avg's sum/count companions) but never reach the
+        # envelope or the flat gate surface
+        self.hidden = False
+
+    def merge_exprs(self) -> list[Column]:
+        """Re-aggregate this metric ACROSS flat bucket rows — the
+        ``__other__`` bucket merge, which must stay bucket-frame-
+        sized (never a corpus re-scan). Only metric states whose
+        flat columns are mergeable qualify: sum/min/max/value_count
+        directly, stats componentwise (avg = sum/count), avg via its
+        hidden sum+count companions; parse_aggs 400s percentiles/
+        cardinality under an other_bucket level."""
+        if self.typ == "value_count":
+            return [F.sum(self.name).cast("bigint").alias(self.name)]
+        if self.typ == "stats":
+            cnt, mn, mx, avg, sm = self.columns
+            return [
+                F.sum(cnt).cast("bigint").alias(cnt),
+                F.min(mn).alias(mn),
+                F.max(mx).alias(mx),
+                (F.sum(sm) / F.sum(cnt)).alias(avg),
+                F.sum(sm).alias(sm),
+            ]
+        if self.typ == "avg":
+            return [
+                (
+                    F.sum(f"{self.name}__obs")
+                    / F.sum(f"{self.name}__obn")
+                ).alias(self.name)
+            ]
+        fn = {"sum": F.sum, "min": F.min, "max": F.max}[self.typ]
+        return [fn(self.name).alias(self.name)]
 
     def exprs(
         self, c: Column | None = None, prefix: str = ""
@@ -1128,6 +1180,44 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     for d, b in enumerate(chain, start=1):
         if b.typ == "terms" and b.order_key not in ("_key", "_count"):
             b.order_col = _resolve_order_metric(b, metrics.get(d, []))
+    # other_bucket levels: the __other__ merge re-aggregates flat
+    # bucket rows, so every metric at that depth must be MERGEABLE
+    # from its flat columns — avg gets hidden sum/count companions;
+    # percentiles/cardinality are not mergeable states (and top_hits
+    # rows for truncated-away buckets were never collected) — 400,
+    # not a silently wrong merge
+    for d, b in enumerate(chain, start=1):
+        if b.typ != "terms" or not b.other_bucket:
+            continue
+        if tophits.get(d):
+            raise ValueError(
+                f"terms agg {b.name!r}: top_hits is not served in the "
+                "__other__ bucket — drop other_bucket or move the "
+                "top_hits"
+            )
+        hidden: list[_Metric] = []
+        for m in metrics.get(d, []):
+            if m.typ in ("percentiles", "cardinality"):
+                raise ValueError(
+                    f"terms agg {b.name!r}: {m.typ} cannot be merged "
+                    "into the __other__ bucket from the bucket frame "
+                    "— drop other_bucket or send the other-set "
+                    "request separately (a filters agg over the "
+                    "non-kept terms)"
+                )
+            if m.typ == "avg":
+                for suffix, htyp in (
+                    ("__obs", "sum"), ("__obn", "value_count")
+                ):
+                    hm = _Metric(m.name + suffix, htyp, {"field": m.field})
+                    hm.hidden = True
+                    hidden.append(hm)
+        for hm in hidden:
+            for col in {hm.name, *hm.columns}:
+                if col in reserved:
+                    raise ValueError(f"agg column {col!r} is reserved")
+                reserved.add(col)
+        metrics.setdefault(d, []).extend(hidden)
     return chain, metrics, tophits, pipelines
 
 
@@ -1215,6 +1305,7 @@ def _terms_order_cols(b: _Bucket) -> list[Column]:
 def _truncate_terms(
     flat: DataFrame,
     chain: list[_Bucket],
+    metrics: dict[int, list[_Metric]] | None = None,
     pins: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Apply each terms level's ``size`` (top-N per parent by
@@ -1284,9 +1375,64 @@ def _truncate_terms(
             .groupBy(*names[: d - 1])
             .agg(F.sum("doc_count").cast("bigint").alias("sum_other")),
         ))
-        flat = flat.filter(F.col("depth") < d).unionByName(
+        pruned = flat.filter(F.col("depth") < d).unionByName(
             flat.filter(F.col("depth") >= d).join(keep, names[:d], "left_semi")
         )
+        if b.other_bucket:
+            # Kibana's "group remaining as Other", ONE extra pass over
+            # the BUCKET frame (never the corpus): anti-join the
+            # level's rows against the keep-list, merge doc_count and
+            # every mergeable metric per parent, and union the result
+            # back as an explicit depth-d '__other__' row. The frame
+            # is already pinned (the terms-pin above), so the extra
+            # reference reads the pin, not a rollup re-run.
+            from pyspark.sql import types as T
+
+            if not isinstance(flat.schema[b.name].dataType, T.StringType):
+                raise ValueError(
+                    f"terms agg {b.name!r}: other_bucket needs a "
+                    "string-keyed field (the '__other__' sentinel is "
+                    "a string)"
+                )
+            lvl_metrics = [
+                m for m in (metrics or {}).get(d, []) if not m.hidden
+            ]
+            merge_aggs = [
+                F.sum("doc_count").cast("bigint").alias("doc_count")
+            ]
+            for m in lvl_metrics:
+                merge_aggs.extend(m.merge_exprs())
+            grp = (
+                lvl.join(keep, names[:d], "left_anti")
+                .groupBy(*names[: d - 1])
+                .agg(*merge_aggs)
+            )
+            merged_cols = {"doc_count"} | {
+                c for m in lvl_metrics for c in m.columns
+            }
+            sel: list[Column] = []
+            for fld in flat.schema.fields:
+                if fld.name == "depth":
+                    sel.append(F.lit(d).cast(fld.dataType).alias("depth"))
+                elif fld.name == b.name:
+                    sel.append(
+                        F.lit("__other__").cast(fld.dataType)
+                        .alias(fld.name)
+                    )
+                elif fld.name in names[: d - 1] or fld.name in merged_cols:
+                    sel.append(
+                        F.col(fld.name).cast(fld.dataType).alias(fld.name)
+                    )
+                else:
+                    sel.append(
+                        F.lit(None).cast(fld.dataType).alias(fld.name)
+                    )
+            pruned = pruned.unionByName(
+                # the nothing-truncated case: a parentless level's
+                # global agg still emits one row (NULL sum) — drop it
+                grp.select(*sel).filter(F.col("doc_count") > 0)
+            )
+        flat = pruned
     return flat, others
 
 
@@ -1316,8 +1462,13 @@ def aggs_flat(
             "envelope), not the flat bucket frame"
         )
     flat = _rollup_flat(docs, chain, metrics)
-    flat, _ = _truncate_terms(flat, chain, pins)
-    return flat
+    flat, _ = _truncate_terms(flat, chain, metrics, pins)
+    hidden = [
+        c for ms in metrics.values() for m in ms if m.hidden
+        for c in m.columns
+    ]
+    # the avg-merge companions are plumbing, not surface
+    return flat.drop(*hidden) if hidden else flat
 
 
 def _spine(b: _Bucket, data_keys: list) -> list:
@@ -1523,7 +1674,7 @@ def aggs_nested(
     ordered by key."""
     chain, metrics, tophits, pipelines = parse_aggs(spec, docs.columns)
     flat = _rollup_flat(docs, chain, metrics)
-    flat, others = _truncate_terms(flat, chain, pins)
+    flat, others = _truncate_terms(flat, chain, metrics, pins)
     rows = [r.asDict() for r in flat.limit(MAX_BUCKETS + 1).collect()]
     if len(rows) > MAX_BUCKETS:
         raise ValueError(
@@ -1586,6 +1737,12 @@ def aggs_nested(
         b = chain[depth - 1]
         # copy: the gap-fill branch below replaces entries in place
         mine = list(by_parent.get((depth, prefix), ()))
+        other_mine: list[dict] = []
+        if b.typ == "terms" and b.other_bucket:
+            # the merged '__other__' row never competes in the terms
+            # order — Kibana renders it LAST, after the kept buckets
+            other_mine = [r for r in mine if r[b.name] == "__other__"]
+            mine = [r for r in mine if r[b.name] != "__other__"]
         if b.typ == "terms":
             # mirror _terms_order_cols exactly (two-pass stable sorts:
             # tiebreak first, then the primary key with its direction;
@@ -1640,6 +1797,7 @@ def aggs_nested(
                         f"{MAX_BUCKETS} buckets across parents; raise "
                         "the interval or lower the parent terms size"
                     )
+        mine.extend(other_mine)
         bounds = (
             {label: rng for rng, label in zip(b.ranges, b.labels)}
             if b.typ in ("range", "date_range")
@@ -1673,6 +1831,8 @@ def aggs_nested(
                     bucket["to"], bucket["to_as_string"] = _key_json(hi)
             bucket["doc_count"] = int(r["doc_count"])
             for m in metrics.get(depth, []):
+                if m.hidden:
+                    continue
                 bucket[m.name] = _metric_json(m, r)
             for th in tophits.get(depth, []):
                 bucket[th.name] = _th_envelope(
@@ -2398,10 +2558,11 @@ def kibana_vis_aggs(
       order (the reference's Club-Status panel orders by ``_term``
       desc, docker-compose.yml:347); ``missingBucket`` true
       translates to ES terms ``missing`` with Kibana's own
-      ``"__missing__"`` sentinel key (the client relabels with
-      ``missingBucketLabel``); ``otherBucket`` true is rejected (a
-      bucket this compiler does not serve — silently dropping it
-      would change results)
+      ``"__missing__"`` sentinel key, and ``otherBucket`` true to
+      the engine's ``other_bucket`` — a served ``"__other__"``
+      sentinel bucket merging the truncated-away terms, doc_count
+      AND metrics (the client relabels both with its
+      ``*BucketLabel`` params)
 
     Returns ``None`` when the panel needs no aggregations at all (a
     bare count metric — the consumer reads ``hits.total``)."""
@@ -2469,17 +2630,19 @@ def kibana_vis_aggs(
                     body["time_zone"] = tz
                 buckets.append((name, "date_histogram", body))
             elif typ == "terms":
-                if params.get("otherBucket"):
-                    raise ValueError(
-                        "Kibana otherBucket renders sum_other as a "
-                        "bucket this compiler does not serve — "
-                        "disable it on the panel (the response's "
-                        "sum_other_doc_count carries the number)"
-                    )
                 body = {
                     "field": xfield(params["field"]),
                     "size": int(params.get("size", 10)),
                 }
+                if params.get("otherBucket"):
+                    # Kibana's "group remaining as Other": served in
+                    # ONE request as the '__other__' sentinel bucket
+                    # (the client relabels with otherBucketLabel) —
+                    # Kibana itself fires a SECOND filters-agg
+                    # request for this; the engine merges the
+                    # truncated-away buckets from the frame it
+                    # already has
+                    body["other_bucket"] = True
                 if params.get("missingBucket"):
                     # Kibana's "show missing values" is ES's terms
                     # 'missing' param — and Kibana itself sends the

@@ -997,8 +997,8 @@ def test_kibana_orderby_translation():
         serve.kibana_vis_aggs(count_vis)
     count_vis["aggs"][1]["params"]["orderBy"] = "1"
     count_vis["aggs"][1]["params"]["otherBucket"] = True
-    with pytest.raises(ValueError, match="otherBucket"):
-        serve.kibana_vis_aggs(count_vis)
+    spec = serve.kibana_vis_aggs(count_vis)
+    assert spec["k2"]["terms"]["other_bucket"] is True
 
 
 # --- round-13: composite missing_bucket ---------------------------------------
@@ -1425,11 +1425,14 @@ def test_kibana_range_format_and_missing_bucket(frame):
     # display label as the key would merge null-field docs into a
     # real bucket carrying the label text (third-review finding)
     assert spec["k2"]["terms"]["missing"] == "__missing__"
-    with pytest.raises(ValueError, match="otherBucket"):
-        serve.kibana_vis_aggs({"aggs": [
-            {"id": "2", "type": "terms", "schema": "segment",
-             "params": {"field": "lang", "otherBucket": True}},
-        ]})
+    # otherBucket translates to the engine's served '__other__'
+    # sentinel bucket (round 14) — same relabel-client-side contract
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "2", "type": "terms", "schema": "segment",
+         "params": {"field": "lang", "otherBucket": True,
+                    "otherBucketLabel": "Other"}},
+    ]})
+    assert spec["k2"]["terms"]["other_bucket"] is True
 
 
 def test_date_range_tz_bounds_custom_keys_and_overflow(frame):
@@ -1870,3 +1873,90 @@ def test_parent_pipeline_contract_400s(gap_frame, frame):
                    "aggs": {"latest": {"max": {"field": "ts"}},
                             "c": {"cumulative_sum": {
                                 "buckets_path": "latest"}}}}})
+
+
+# --- round-14: terms other_bucket ----------------------------------------------
+
+
+def test_other_bucket_merges_metrics_and_tiles_parent(frame):
+    """Kibana's "group remaining as Other" in ONE request: the
+    truncated-away terms merge into a '__other__' bucket whose
+    doc_count AND metrics re-aggregate from the bucket frame — kept +
+    other doc_counts tile the parent exactly, and the merged avg is
+    the true mean over the other docs (hidden sum/count companions,
+    never avg-of-avgs)."""
+    env = serve.aggs_nested(frame, {
+        "by_lang": {"terms": {"field": "lang", "size": 1,
+                              "other_bucket": True},
+                    "aggs": {"mean": {"avg": {"field": "n_chars"}},
+                             "tot": {"sum": {"field": "n_chars"}}}}})
+    buckets = env["by_lang"]["buckets"]
+    assert [b["key"] for b in buckets] == ["en", "__other__"]  # other LAST
+    en, other = buckets
+    # lang frame: en×3 (10,20,50), de 30, fr 60; null-lang 40 in NO bucket
+    assert (en["doc_count"], other["doc_count"]) == (3, 2)
+    assert other["mean"]["value"] == 45.0      # (30+60)/2, not avg-of-avgs
+    assert other["tot"]["value"] == 90
+    assert env["by_lang"]["sum_other_doc_count"] == 2
+    # hidden companions never reach the envelope
+    assert set(other) == {"key", "doc_count", "mean", "tot"}
+    # flat surface: the same row, hidden columns dropped
+    flat = serve.aggs_flat(frame, {
+        "by_lang": {"terms": {"field": "lang", "size": 1,
+                              "other_bucket": True},
+                    "aggs": {"mean": {"avg": {"field": "n_chars"}}}}})
+    assert "mean__obs" not in flat.columns
+    rows = {r["by_lang"]: r["doc_count"]
+            for r in flat.filter(F.col("depth") == 1).collect()}
+    assert rows == {"en": 3, "__other__": 2}
+
+
+def test_other_bucket_nothing_truncated_serves_no_row(frame):
+    """size ≥ cardinality: no __other__ bucket is fabricated (the
+    parentless anti-join's one NULL-sum row must not survive)."""
+    env = serve.aggs_nested(frame, {
+        "by_lang": {"terms": {"field": "lang", "size": 10,
+                              "other_bucket": True}}})
+    assert [b["key"] for b in env["by_lang"]["buckets"]] == [
+        "en", "de", "fr"
+    ]
+
+
+def test_other_bucket_per_parent(frame):
+    """Under a parent level the merge groups by the parent keys —
+    each day's own truncated terms form that day's __other__."""
+    env = serve.aggs_nested(frame, {
+        "by_day": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"},
+                   "aggs": {"by_lang": {"terms": {
+                       "field": "lang", "size": 1,
+                       "other_bucket": True}}}}})
+    d1, d2 = env["by_day"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in d1["by_lang"]["buckets"]] \
+        == [("en", 2), ("__other__", 1)]
+    # day 2: en 1, fr 1 (tie → en kept by key asc); fr becomes other
+    assert [(b["key"], b["doc_count"]) for b in d2["by_lang"]["buckets"]] \
+        == [("en", 1), ("__other__", 1)]
+
+
+def test_other_bucket_contract_400s(frame):
+    with pytest.raises(ValueError, match="cannot be merged"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "other_bucket": True},
+                   "aggs": {"u": {"cardinality": {"field": "lang"}}}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="top_hits is not served"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "other_bucket": True},
+                   "aggs": {"t": {"top_hits": {"size": 1}}}}},
+            frame.columns,
+        )
+    with pytest.raises(ValueError, match="string-keyed"):
+        serve.aggs_flat(frame, {
+            "l": {"terms": {"field": "n_chars", "other_bucket": True}}})
+    with pytest.raises(ValueError, match="must be a boolean"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang", "other_bucket": "yes"}}},
+            frame.columns,
+        )
