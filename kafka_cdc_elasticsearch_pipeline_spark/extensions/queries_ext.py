@@ -6338,3 +6338,86 @@ def ext_search_aggs_terms_other(
         F.round("mean_chars", 6).alias("mean_chars"),
         "tot",
     )
+
+
+@query(
+    "ext_search_aggs_filters_chain",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, lang, n_chars FROM documents
+    ),
+    f AS (
+      SELECT 'english' AS filter, ts, n_chars FROM meta
+      WHERE lang = 'en'
+      UNION ALL
+      SELECT 'big', ts, n_chars FROM meta WHERE n_chars >= 300
+    ),
+    rolled AS (
+      SELECT filter, time_bucket(INTERVAL 1 DAY, ts) AS by_day,
+             grouping(time_bucket(INTERVAL 1 DAY, ts)) AS g,
+             count(*)::BIGINT AS doc_count,
+             sum(n_chars)::BIGINT AS tot_raw,
+             avg(n_chars) AS mean_raw
+      FROM f GROUP BY filter, ROLLUP (time_bucket(INTERVAL 1 DAY, ts))
+    )
+    SELECT (2 - g)::INTEGER AS depth, filter, by_day, doc_count,
+           CASE WHEN g = 1 THEN tot_raw END AS tot,
+           CASE WHEN g = 0 THEN round(mean_raw, 6) END AS mean_chars
+    FROM rolled
+    WHERE g = 1 OR by_day IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "filters", "serving"),
+)
+def ext_search_aggs_filters_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``filters`` agg WITH a bucket chain — Kibana's
+    split-by-filters × date-axis panel, previously an honest 400: ONE
+    pass tags each doc with every filter it matches (a null-compacted
+    array of matched names, exploded — multi-membership becomes row
+    multiplicity, which is exactly why this cannot ride the shared
+    single-membership rollup), and the filter name becomes the TOP
+    level of a regular bucket chain: the whole existing rollup/
+    truncation/envelope machinery applies unchanged one level down,
+    still one shuffle with map-side partials. The synthetic terms
+    level's size equals the filter count (never truncates), and the
+    doc-filter-pair depth-0 row is dropped (meaningless under
+    multi-membership). Two OVERLAPPING filters (term, range) each
+    carry a daily date_histogram with a mean metric plus a
+    filter-level sum; the oracle rebuilds it as a per-filter UNION
+    feeding one ``GROUP BY filter, ROLLUP(day)`` — hash-equality pins
+    the explode membership, the per-filter chain arithmetic, and the
+    declared-depth null-out cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.filters_chain_flat(
+        _doc_meta(spark, sf_dir),
+        {
+            "filters": {
+                "english": {"term": {"lang": "en"}},
+                "big": {"range": {"n_chars": {"gte": 300}}},
+            },
+            "aggs": {
+                "tot": {"sum": {"field": "n_chars"}},
+                "by_day": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "1d",
+                    },
+                    "aggs": {
+                        "mean_chars": {"avg": {"field": "n_chars"}}
+                    },
+                },
+            },
+        },
+    )
+    return flat.select(
+        "depth",
+        "filter",
+        "by_day",
+        "doc_count",
+        "tot",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

@@ -630,7 +630,7 @@ class SearchRestServer:
             if comp is not None:
                 serve.parse_composite(comp[1], self.doc_source.columns)
             elif filt is not None:
-                serve.parse_filters(filt[1], self.doc_source)
+                serve.validate_filters(filt[1], self.doc_source)
             else:
                 serve.parse_aggs(aggs_spec, self.doc_source.columns)
         # ES query DSL: a dict "query" is the request shape Kibana
@@ -710,7 +710,7 @@ class SearchRestServer:
                     elif filt is not None:
                         aggregations = {
                             filt[0]: serve.filters_nested(
-                                matched, filt[1]
+                                matched, filt[1], pins
                             )
                         }
                     else:
@@ -746,7 +746,7 @@ class SearchRestServer:
                 # like composite: no depth-0 row — one count() if the
                 # total is tracked
                 aggregations = {
-                    filt[0]: serve.filters_nested(matched, filt[1])
+                    filt[0]: serve.filters_nested(matched, filt[1], pins)
                 }
                 total = matched.count() if tth else None
             else:
@@ -1165,7 +1165,7 @@ class SearchRestServer:
                 }
             elif filt is not None:
                 aggregations = {
-                    filt[0]: serve.filters_nested(matched, filt[1])
+                    filt[0]: serve.filters_nested(matched, filt[1], pins)
                 }
             else:
                 aggregations, agg_total = serve.aggs_nested(

@@ -1657,6 +1657,12 @@ def _metric_json(m: _Metric, row: dict) -> dict:
         # same ES contract: counts serve 0, not null, on empty buckets
         v = row.get(m.name)
         return {"value": 0 if v is None else _val_json(v)}
+    if m.typ == "sum":
+        # ES's arithmetic contract: sum over an empty (or gap-filled)
+        # bucket serves 0.0 — consumers add these; stats.sum above
+        # already did
+        v = row.get(m.name)
+        return {"value": 0.0 if v is None else _val_json(v)}
     return {"value": _val_json(row.get(m.name))}
 
 
@@ -2368,18 +2374,14 @@ def composite_nested(
 # --- filters aggregation -------------------------------------------------------
 
 
-def parse_filters(
+def _filter_preds(
     body: dict, docs: DataFrame
-) -> tuple[dict[str, Column], list[_Metric]]:
-    """ES ``filters`` agg (the Kibana "split by filters" control):
-    NAMED predicates over the doc metadata, each a query-DSL node
-    (term/terms/range/exists/bool — ``match`` is rejected: filters
-    are metadata-only; text belongs to the request's own query).
-    Unlike chain buckets a doc may land in SEVERAL filters — which is
-    exactly why this cannot ride the shared rollup (multi-membership
-    would double-count parents) and is compiled instead as ONE
-    conditional-aggregation pass; like ``composite``, it must be the
-    only aggregation in the request."""
+) -> tuple[dict[str, Column], dict | None]:
+    """The filters agg's shared front half: the named predicate map
+    (each a query-DSL node over the doc metadata) plus the validated
+    sub-``aggs`` object (None when absent). Both serve paths —
+    metrics-only conditional aggregation and the bucket-chain
+    explode — build on this."""
     if not isinstance(body, dict):
         raise ValueError("filters body must be an object")
     _strict_keys("filters", "filters", body, {"filters", "aggs"})
@@ -2410,12 +2412,42 @@ def parse_filters(
             )
         # match_all is a legitimate filter (the everything bucket)
         preds[fname] = pred if pred is not None else F.lit(True)
-    reserved = {"doc_count"}
-    sub_aggs = body.get("aggs")
-    if sub_aggs is not None and not isinstance(sub_aggs, dict):
+    sub = body.get("aggs")
+    if sub is not None and not isinstance(sub, dict):
         # same caller-fixable 400 as parse_composite: a truthy
         # non-dict would AttributeError into the 500 bucket (advice)
         raise ValueError("filters 'aggs' must be an object")
+    return preds, sub
+
+
+def filters_has_bucket(body: dict) -> bool:
+    """True when the filters agg's sub-``aggs`` carry a bucket agg —
+    the split-by-filters × date-axis Kibana panel — which routes to
+    the explode/rollup path instead of the one-pass conditional
+    aggregate."""
+    sub = body.get("aggs") if isinstance(body, dict) else None
+    if not isinstance(sub, dict):
+        return False
+    return any(
+        isinstance(v, dict) and any(t in _BUCKET_TYPES for t in v)
+        for v in sub.values()
+    )
+
+
+def parse_filters(
+    body: dict, docs: DataFrame
+) -> tuple[dict[str, Column], list[_Metric]]:
+    """ES ``filters`` agg (the Kibana "split by filters" control):
+    NAMED predicates over the doc metadata, each a query-DSL node
+    (term/terms/range/exists/bool — ``match`` is rejected: filters
+    are metadata-only; text belongs to the request's own query).
+    Unlike chain buckets a doc may land in SEVERAL filters — which is
+    exactly why this cannot ride the shared rollup (multi-membership
+    would double-count parents) and is compiled instead as ONE
+    conditional-aggregation pass; like ``composite``, it must be the
+    only aggregation in the request."""
+    preds, sub_aggs = _filter_preds(body, docs)
+    reserved = {"doc_count"}
     metrics: list[_Metric] = []
     for mname, mbody in (sub_aggs or {}).items():
         typs = [t for t in mbody if t != "aggs"] if isinstance(
@@ -2424,7 +2456,8 @@ def parse_filters(
         if len(typs) != 1 or typs[0] not in _METRIC_TYPES:
             raise ValueError(
                 f"filters sub-agg {mname!r} must be a metric "
-                f"({_METRIC_TYPES})"
+                f"({_METRIC_TYPES}) — a bucket chain routes through "
+                "the explode path (filters_nested/filters_chain_flat)"
             )
         m = _Metric(mname, typs[0], mbody[typs[0]])
         for col in {m.name, *m.columns}:
@@ -2508,10 +2541,16 @@ def filters_flat(docs: DataFrame, body: dict) -> DataFrame:
     return docs.sparkSession.createDataFrame(data, schema)
 
 
-def filters_nested(docs: DataFrame, body: dict) -> dict:
+def filters_nested(
+    docs: DataFrame, body: dict, pins: list[DataFrame] | None = None
+) -> dict:
     """ES's named-filters response envelope: ``buckets`` is an OBJECT
     keyed by filter name (the named form's wire shape), each bucket
-    carrying ``doc_count`` and its metrics."""
+    carrying ``doc_count`` and its metrics — and, when the sub-aggs
+    carry a bucket chain (Kibana's split-by-filters × date-axis
+    panel), that chain's nested buckets via the explode path."""
+    if filters_has_bucket(body):
+        return _filters_chain_nested(docs, body, pins)
     names, metrics, row, _ = _filters_row(docs, body)
     buckets: dict = {}
     for i, fname in enumerate(names):
@@ -2522,6 +2561,134 @@ def filters_nested(docs: DataFrame, body: dict) -> dict:
             )
         buckets[fname] = bucket
     return {"buckets": buckets}
+
+
+#: the synthetic top level the explode path adds; user agg names
+#: collide with neither (parse_aggs rejects duplicates, and this name
+#: is reserved by construction below)
+_FILTER_KEY = "_filters_chain"
+
+
+def _filters_exploded(
+    docs: DataFrame, body: dict
+) -> tuple[list[str], DataFrame, dict]:
+    """The filters-with-bucket-chain front half: ONE pass tags each
+    doc with every filter it matches (an array of matched names,
+    null-compacted, exploded — a doc in k filters becomes k rows,
+    which is exactly ES's multi-membership), and the filter name
+    becomes the TOP level of a REGULAR bucket chain: the whole
+    existing rollup/truncation/envelope machinery applies unchanged
+    one level down. Docs matching no filter explode away. The
+    synthetic terms level's size equals the filter count — never
+    truncates — so the one logical pass stays bucket-bounded exactly
+    like every aggs tree (MAX_BUCKETS guards the total)."""
+    preds, sub = _filter_preds(body, docs)
+    if _FILTER_KEY in docs.columns:
+        raise ValueError(
+            f"the mounted doc_source reserves no {_FILTER_KEY!r} "
+            "column — rename it to serve a filters bucket chain"
+        )
+    arr = F.array(*[
+        F.when(pred, F.lit(fname)) for fname, pred in preds.items()
+    ])
+    exploded = docs.withColumn(
+        _FILTER_KEY,
+        F.explode(F.filter(arr, lambda x: x.isNotNull())),
+    )
+    spec = {
+        _FILTER_KEY: {
+            "terms": {"field": _FILTER_KEY, "size": len(preds)},
+            "aggs": sub,
+        }
+    }
+    return list(preds), exploded, spec
+
+
+def _filters_zero_bucket(
+    chain: list[_Bucket],
+    metrics: dict[int, list[_Metric]],
+    tophits: dict[int, list[_TopHits]],
+    pipelines: dict[int, list[_PipelineAgg]],
+) -> dict:
+    """What ES serves for a filter nothing matched: doc_count 0, the
+    metric envelope over no rows, an EMPTY child bucket list, sibling
+    pipelines reduced over zero buckets. (The rollup cannot emit a
+    zero-group, so the envelope fabricates it — same honesty as
+    min_doc_count=0 gap fill.)"""
+    bucket: dict = {"doc_count": 0}
+    for m in metrics.get(1, []):
+        if not m.hidden:
+            bucket[m.name] = _metric_json(m, {})
+    for th in tophits.get(1, []):
+        bucket[th.name] = {"hits": {"total": 0, "hits": []}}
+    if len(chain) > 1:
+        child: dict = {"buckets": []}
+        if chain[1].typ == "terms":
+            child["sum_other_doc_count"] = 0
+        bucket[chain[1].name] = child
+    for p in pipelines.get(1, []):
+        if not p.parent:
+            bucket[p.name] = {"value": _val_json(p.reduce([]))}
+    return bucket
+
+
+def _filters_chain_nested(
+    docs: DataFrame, body: dict, pins: list[DataFrame] | None = None
+) -> dict:
+    """The named-filters envelope with a bucket chain inside each
+    filter: run the exploded frame through the regular nested fold,
+    then re-key the synthetic top level by filter name (ES's OBJECT
+    bucket shape) and zero-fill filters nothing matched."""
+    names, exploded, spec = _filters_exploded(docs, body)
+    env = aggs_nested(exploded, spec, pins)
+    node = env[_FILTER_KEY]
+    buckets: dict = {}
+    for bk in node["buckets"]:
+        key = bk.pop("key")
+        bk.pop("key_as_string", None)
+        buckets[key] = bk
+    if len(buckets) < len(names):
+        chain, metrics, tophits, pipelines = parse_aggs(
+            spec, exploded.columns
+        )
+        for fname in names:
+            if fname not in buckets:
+                buckets[fname] = _filters_zero_bucket(
+                    chain, metrics, tophits, pipelines
+                )
+    # request order, like the one-pass path
+    return {"buckets": {n: buckets[n] for n in names}}
+
+
+def validate_filters(body: dict, docs: DataFrame) -> None:
+    """Parse-for-validation of either filters form — metrics-only or
+    bucket-chain — without running a job (the REST layer's fail-fast
+    pass before the mode branch does real work)."""
+    if filters_has_bucket(body):
+        _names, exploded, spec = _filters_exploded(docs, body)
+        parse_aggs(spec, exploded.columns)
+    else:
+        parse_filters(body, docs)
+
+
+def filters_chain_flat(docs: DataFrame, body: dict) -> DataFrame:
+    """The filters-with-bucket-chain agg as a flat DataFrame — the
+    gate-row surface: the exploded frame's rollup rows at depth ≥ 1
+    (depth 0 would count doc-filter PAIRS — meaningless under
+    multi-membership, and the filters envelope serves no grand-total
+    row), with the synthetic key column renamed ``filter``. A DuckDB
+    per-filter GROUP BY ROLLUP union rebuilds it exactly."""
+    if not filters_has_bucket(body):
+        raise ValueError(
+            "filters_chain_flat serves filters aggs WITH a bucket "
+            "chain — metrics-only bodies are filters_flat's one-pass "
+            "path"
+        )
+    _names, exploded, spec = _filters_exploded(docs, body)
+    flat = aggs_flat(exploded, spec)
+    return flat.filter(F.col("depth") >= 1).withColumnRenamed(
+        _FILTER_KEY, "filter"
+    )
 
 
 # --- Kibana saved-object translation ------------------------------------------

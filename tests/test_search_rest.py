@@ -1715,3 +1715,28 @@ def test_filters_agg_over_rest(meta_server):
                 "e": {"term": {"lang": "en"}}}}},
             "extra": {"terms": {"field": "lang"}},
         }})
+
+
+def test_filters_agg_with_bucket_chain_over_rest(meta_server):
+    """Round 14: the split-by-filters × date-axis Kibana panel in ONE
+    request — each named filter carries its own date_histogram chain;
+    overlap counts in both; the chain doc_counts tile the filter's
+    own doc_count."""
+    server, meta = meta_server
+    out = server.search({"aggs": {"splits": {
+        "filters": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "big": {"range": {"n_chars": {"gte": 300}}},
+        }},
+        "aggs": {"by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d"},
+            "aggs": {"mean": {"avg": {"field": "n_chars"}}}}},
+    }}})
+    b = out["aggregations"]["splits"]["buckets"]
+    assert b["english"]["doc_count"] == meta.filter("lang = 'en'").count()
+    for name in ("english", "big"):
+        assert sum(
+            d["doc_count"] for d in b[name]["by_day"]["buckets"]
+        ) == b[name]["doc_count"]
+        for d in b[name]["by_day"]["buckets"]:
+            assert d["mean"]["value"] is not None

@@ -109,7 +109,9 @@ def test_metrics_only_no_buckets(frame):
 def test_empty_match_set(frame):
     out = serve.aggs_nested(frame.filter(F.lit(False)), SPEC)
     assert out["by_day"]["buckets"] == []
-    assert out["total_chars"]["value"] is None
+    # ES's arithmetic contract (round 14): sum over zero docs serves
+    # 0.0, not null — consumers add it
+    assert out["total_chars"]["value"] == 0.0
 
 
 def test_calendar_interval_equals_fixed_day(frame):
@@ -1797,28 +1799,35 @@ def gap_frame(spark):
 def test_parent_pipelines_walk_the_returned_list(gap_frame):
     """derivative/cumulative_sum compute over the FINAL bucket list —
     gap-filled zero buckets included: _count derivatives see the 0,
-    metric derivatives skip the null (gap_policy skip) and derive
-    against the last valued bucket; cumulative_sum serves the running
-    total on EVERY bucket; the first bucket carries no derivative
-    entry at all (ES omits, not null)."""
+    and so do SUM derivatives (ES serves sum 0.0 on empty buckets, so
+    there is no gap to skip); an AVG metric serves null there, which
+    gap_policy skip jumps — the next valued bucket derives against
+    the last valued one. cumulative_sum serves the running total on
+    EVERY bucket; the first bucket carries no derivative entry at all
+    (ES omits, not null)."""
     env = serve.aggs_nested(gap_frame, {
         "by_day": {"date_histogram": {
             "field": "ts", "calendar_interval": "1d",
             "min_doc_count": 0},
             "aggs": {"s": {"sum": {"field": "n"}},
+                     "m": {"avg": {"field": "n"}},
                      "cum": {"cumulative_sum": {"buckets_path": "_count"}},
                      "dc": {"derivative": {"buckets_path": "_count"}},
-                     "ds": {"derivative": {"buckets_path": "s"}}}}})
+                     "ds": {"derivative": {"buckets_path": "s"}},
+                     "dm": {"derivative": {"buckets_path": "m"}}}}})
     got = [
         (b["doc_count"], b["cum"]["value"],
-         b.get("dc", {}).get("value"), b.get("ds", {}).get("value"))
+         b.get("dc", {}).get("value"), b.get("ds", {}).get("value"),
+         b.get("dm", {}).get("value"))
         for b in env["by_day"]["buckets"]
     ]
+    # n per day: day1 (0,10)=10, day2 (20,30,0,10,20)=80, day3 gap,
+    # day4 (30,0,10)=40; means 5.0, 16.0, null, 40/3
     assert got == [
-        (2, 2.0, None, None),
-        (5, 7.0, 3.0, 70.0),
-        (0, 7.0, -5.0, None),      # zero bucket: no metric derivative
-        (3, 10.0, 3.0, -40.0),     # metric derives vs day 2 (gap skip)
+        (2, 2.0, None, None, None),
+        (5, 7.0, 3.0, 70.0, 11.0),
+        (0, 7.0, -5.0, -80.0, None),   # sum 0.0 derives; avg gap-skips
+        (3, 10.0, 3.0, 40.0, 40.0 / 3 - 16.0),  # avg derives vs day 2
     ]
     assert "dc" not in env["by_day"]["buckets"][0]  # omitted, not null
 
@@ -1960,3 +1969,64 @@ def test_other_bucket_contract_400s(frame):
             {"l": {"terms": {"field": "lang", "other_bucket": "yes"}}},
             frame.columns,
         )
+
+
+# --- round-14: filters agg with a bucket chain ----------------------------------
+
+
+def test_filters_bucket_chain_envelope(frame):
+    """Kibana's split-by-filters × date-axis panel in ONE request: the
+    matched-filter explode makes the filter name a regular top bucket
+    level, so each filter carries its own date chain; docs in several
+    filters count in each (ES multi-membership); a filter nothing
+    matched zero-fills with an EMPTY child list and ES's empty-metric
+    envelope (sum 0.0)."""
+    body = {"filters": {"english": {"term": {"lang": "en"}},
+                        "early": {"range": {"ts": {
+                            "lt": "2024-01-02 00:00:00"}}},
+                        "never": {"term": {"lang": "xx"}}},
+            "aggs": {"tot": {"sum": {"field": "n_chars"}},
+                     "by_day": {"date_histogram": {
+                         "field": "ts", "fixed_interval": "1d"},
+                         "aggs": {"mean": {"avg": {"field": "n_chars"}}}}}}
+    env = serve.filters_nested(frame, body)
+    b = env["buckets"]
+    assert list(b) == ["english", "early", "never"]  # request order
+    # english: en×3 (days 1,1,2); early: day-1 docs ×4 — doc 0/1 in BOTH
+    assert b["english"]["doc_count"] == 3
+    assert b["early"]["doc_count"] == 4
+    days = {d["key_as_string"][:10]: d["doc_count"]
+            for d in b["english"]["by_day"]["buckets"]}
+    assert days == {"2024-01-01": 2, "2024-01-02": 1}
+    assert b["english"]["tot"]["value"] == 80
+    assert b["early"]["by_day"]["buckets"][0]["mean"]["value"] == 25.0
+    assert b["never"] == {
+        "doc_count": 0, "tot": {"value": 0.0},
+        "by_day": {"buckets": []},
+    }
+
+
+def test_filters_chain_flat_surface(frame):
+    """The gate surface: depth-1 per-filter totals + depth-2 chain
+    rows, no depth-0 row (it would count doc-filter PAIRS under
+    multi-membership)."""
+    body = {"filters": {"english": {"term": {"lang": "en"}},
+                        "early": {"range": {"ts": {
+                            "lt": "2024-01-02 00:00:00"}}}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5}}}}
+    flat = serve.filters_chain_flat(frame, body)
+    assert flat.filter(F.col("depth") == 0).count() == 0
+    rows = {(r["depth"], r["filter"], r["by_lang"]): r["doc_count"]
+            for r in flat.collect()}
+    assert rows[(1, "english", None)] == 3
+    assert rows[(1, "early", None)] == 4
+    assert rows[(2, "early", "en")] == 2
+    assert rows[(2, "early", "de")] == 1
+    # the null-lang day-1 doc: counted at the filter level, in no
+    # lang bucket (genuinely-null key discipline carries over)
+    assert (2, "early", None) not in rows
+    # metrics-only bodies stay on the one-pass path
+    with pytest.raises(ValueError, match="one-pass"):
+        serve.filters_chain_flat(frame, {
+            "filters": {"e": {"term": {"lang": "en"}}},
+            "aggs": {"m": {"avg": {"field": "n_chars"}}}})
