@@ -6421,3 +6421,105 @@ def ext_search_aggs_filters_chain(
         "tot",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_script_pipeline",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, n_chars FROM documents
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS by_hour,
+             count(*)::BIGINT AS doc_count,
+             sum(n_chars)::DOUBLE AS s_raw
+      FROM meta GROUP BY 1
+    ),
+    walked AS (
+      SELECT by_hour, doc_count,
+             round(s_raw / doc_count, 6) AS per_doc,
+             round(avg(doc_count::DOUBLE) OVER (
+               ORDER BY by_hour
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS mavg
+      FROM hourly
+    )
+    SELECT * FROM walked WHERE doc_count >= 7
+    """,
+    tags=("ext", "search", "aggs", "pipeline", "serving"),
+)
+def ext_search_aggs_script_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TSVB SCRIPT pipeline family at ES's reduce point —
+    ``bucket_script`` (per-bucket arithmetic over named buckets_path
+    variables, compiled by whitelisting the Python AST of the
+    Painless arithmetic subset — never eval), ``moving_fn`` (shift-0
+    window fold over the values BEFORE each bucket, MovingFunctions
+    builtins), and ``bucket_selector`` (drops buckets from the
+    RESPONSE only, AFTER the series walkers saw the full list — a
+    derivative/moving_fn never derives across a selector-punched
+    hole). All three are O(buckets) driver walks over the collected
+    envelope. The hourly chain computes chars-per-doc
+    (``params.s / c``), a 3-bucket trailing average of the doc count,
+    and keeps only hours with ≥ 7 docs; the oracle rebuilds them as a
+    DuckDB expression + window AVG(ROWS BETWEEN 3 PRECEDING AND 1
+    PRECEDING) + an outer WHERE applied after the window (the same
+    walk-then-select order) — hash-equality pins the script
+    arithmetic, the exclusive-of-current window, and the
+    selector-last ordering cross-engine."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    env = serve.aggs_nested(
+        _doc_meta(spark, sf_dir),
+        {
+            "by_hour": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "1h",
+                },
+                "aggs": {
+                    "s": {"sum": {"field": "n_chars"}},
+                    "per_doc": {"bucket_script": {
+                        "buckets_path": {"s": "s", "c": "_count"},
+                        "script": "params.s / c",
+                    }},
+                    "mavg": {"moving_fn": {
+                        "buckets_path": "_count",
+                        "window": 3,
+                        "script":
+                            "MovingFunctions.unweightedAvg(values)",
+                    }},
+                    "keep": {"bucket_selector": {
+                        "buckets_path": {"c": "_count"},
+                        "script": "c >= 7",
+                    }},
+                },
+            }
+        },
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (
+            epoch + datetime.timedelta(milliseconds=b["key"]),
+            b["doc_count"],
+            round(b["per_doc"]["value"], 6),
+            None if b["mavg"]["value"] is None
+            else round(b["mavg"]["value"], 6),
+        )
+        for b in env["by_hour"]["buckets"]
+    ]
+    schema = T.StructType([
+        T.StructField("by_hour", T.TimestampType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("per_doc", T.DoubleType(), False),
+        T.StructField("mavg", T.DoubleType(), True),
+    ])
+    # bounded: ≤ 72 hourly buckets (MAX_BUCKETS guards the general
+    # case) — the driver-side list IS the ES wire envelope
+    return spark.createDataFrame(rows, schema)

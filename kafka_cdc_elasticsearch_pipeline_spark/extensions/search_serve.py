@@ -84,10 +84,25 @@ _METRIC_TYPES = (
 #: distributed work
 _PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
 
-#: PARENT pipeline aggs — inside a histogram/date_histogram bucket's
-#: ``aggs``, computed along that bucket LIST (what TSVB/time-series
-#: panels send); the sibling family above reduces over it instead
-_PARENT_PIPELINE_TYPES = ("derivative", "cumulative_sum")
+#: PARENT pipeline aggs — inside a bucket's ``aggs``, computed along
+#: that bucket LIST (what TSVB/time-series panels send); the sibling
+#: family above reduces over it instead. derivative/cumulative_sum/
+#: moving_fn need an ORDERED (histogram) parent; bucket_script/
+#: bucket_selector are per-bucket arithmetic and run under terms too.
+_PARENT_PIPELINE_TYPES = (
+    "derivative", "cumulative_sum", "moving_fn",
+    "bucket_script", "bucket_selector",
+)
+_ORDERED_PARENT_TYPES = ("derivative", "cumulative_sum", "moving_fn")
+
+#: the MovingFunctions builtins moving_fn scripts may call — each a
+#: fold over the window's non-null values (ES's gap_policy skip)
+_MOVING_FNS = {
+    "unweightedAvg": lambda vs: sum(vs) / len(vs),
+    "sum": lambda vs: float(sum(vs)),
+    "min": lambda vs: float(min(vs)),
+    "max": lambda vs: float(max(vs)),
+}
 
 #: calendar_interval → Spark/ISO date_trunc unit (the subset a
 #: dashboard uses; ES also has week/quarter — week starts differ
@@ -753,29 +768,197 @@ class _Metric:
         return [fn(c).alias(self.name)]
 
 
+def _compile_bucket_script(
+    name: str, script, variables: set[str], boolean: bool
+):
+    """A bucket_script/bucket_selector ``script`` compiled to a safe
+    evaluator over ``{var: float}`` — the arithmetic subset of ES's
+    Painless a TSVB/table panel actually emits: numbers, the declared
+    ``buckets_path`` variables (bare or ``params.``-prefixed, both
+    Painless spellings), ``+ - * /`` and parentheses; selectors add
+    comparisons and ``and``/``or``. Compiled by whitelisting the
+    Python AST — never ``eval`` — so an unsupported construct is the
+    caller's 400 naming it, not an execution of arbitrary text."""
+    import ast
+
+    if not isinstance(script, str) or not script.strip():
+        raise ValueError(
+            f"pipeline agg {name!r}: 'script' must be a non-empty "
+            "arithmetic expression string"
+        )
+    try:
+        tree = ast.parse(script.strip(), mode="eval")
+    except SyntaxError as exc:
+        raise ValueError(
+            f"pipeline agg {name!r}: 'script' does not parse ({exc.msg})"
+        ) from None
+
+    _BIN = {ast.Add: lambda a, b: a + b, ast.Sub: lambda a, b: a - b,
+            ast.Mult: lambda a, b: a * b, ast.Div: lambda a, b: a / b}
+    _CMP = {ast.Lt: lambda a, b: a < b, ast.LtE: lambda a, b: a <= b,
+            ast.Gt: lambda a, b: a > b, ast.GtE: lambda a, b: a >= b,
+            ast.Eq: lambda a, b: a == b, ast.NotEq: lambda a, b: a != b}
+
+    def refuse(node) -> ValueError:
+        return ValueError(
+            f"pipeline agg {name!r}: unsupported 'script' construct "
+            f"{type(node).__name__} (served: numbers, buckets_path "
+            "variables, + - * /"
+            + (", comparisons, and/or" if boolean else "")
+            + ")"
+        )
+
+    def var_of(node) -> str | None:
+        if isinstance(node, ast.Name):
+            return node.id
+        if isinstance(node, ast.Attribute) and isinstance(
+            node.value, ast.Name
+        ) and node.value.id == "params":
+            return node.attr
+        return None
+
+    def build(node):
+        if isinstance(node, ast.Expression):
+            return build(node.body)
+        v = var_of(node)
+        if v is not None:
+            if v not in variables:
+                raise ValueError(
+                    f"pipeline agg {name!r}: script variable {v!r} is "
+                    f"not in buckets_path (declared: {sorted(variables)})"
+                )
+            return lambda vals: vals[v]
+        if isinstance(node, ast.Constant) and isinstance(
+            node.value, (int, float)
+        ) and not isinstance(node.value, bool):
+            c = float(node.value)
+            return lambda vals: c
+        if isinstance(node, ast.UnaryOp) and isinstance(
+            node.op, (ast.USub, ast.UAdd)
+        ):
+            inner = build(node.operand)
+            neg = isinstance(node.op, ast.USub)
+            return (lambda vals: -inner(vals)) if neg else inner
+        if isinstance(node, ast.BinOp) and type(node.op) in _BIN:
+            left, right = build(node.left), build(node.right)
+            op = _BIN[type(node.op)]
+            return lambda vals: op(left(vals), right(vals))
+        if boolean and isinstance(node, ast.Compare) and len(
+            node.ops
+        ) == 1 and type(node.ops[0]) in _CMP:
+            left, right = build(node.left), build(node.comparators[0])
+            op = _CMP[type(node.ops[0])]
+            return lambda vals: op(left(vals), right(vals))
+        if boolean and isinstance(node, ast.BoolOp) and isinstance(
+            node.op, (ast.And, ast.Or)
+        ):
+            parts = [build(x) for x in node.values]
+            if isinstance(node.op, ast.And):
+                return lambda vals: all(p(vals) for p in parts)
+            return lambda vals: any(p(vals) for p in parts)
+        raise refuse(node)
+
+    return build(tree)
+
+
 class _PipelineAgg:
     """A parsed pipeline agg. SIBLING family (``avg_bucket`` etc.):
     ``buckets_path`` names a sibling multi-bucket agg chain ending in
     a metric (``"by_day>med"``, dotted components for multi-valued
     metrics, ``_count`` for doc_count), reduced to ONE value. PARENT
-    family (``derivative`` / ``cumulative_sum`` — what TSVB/
-    time-series panels send): declared INSIDE a histogram/
-    date_histogram bucket's ``aggs`` with a single-segment
-    ``buckets_path`` naming a same-level metric (or ``_count``), and
-    computed ALONG that bucket list in its returned order — a value
-    attached to each bucket. ES computes both at reduce time over the
-    RETURNED buckets — here: driver-side over the collected bucket
-    frame, zero distributed work. ``gap_policy`` skip (the default)
-    is the only policy: null metric values (empty buckets) are
-    skipped."""
+    family (what TSVB/time-series panels send): declared INSIDE a
+    bucket's ``aggs`` and computed ALONG that bucket list in its
+    returned order — ``derivative`` / ``cumulative_sum`` /
+    ``moving_fn`` walk a histogram/date_histogram series via a
+    single-segment ``buckets_path`` (a same-level metric or
+    ``_count``); ``bucket_script`` / ``bucket_selector`` evaluate a
+    whitelisted-AST arithmetic ``script`` over a ``{var: path}``
+    map per bucket (order-free, so terms parents qualify too), the
+    selector dropping non-matching buckets from the RESPONSE after
+    the series walkers saw the full list. ES computes all of these at
+    reduce time over the RETURNED buckets — here: driver-side over
+    the collected bucket frame, zero distributed work. ``gap_policy``
+    skip (the default) is the only policy: null metric values (empty
+    buckets) are skipped."""
 
     def __init__(self, name: str, typ: str, body: dict):
+        import re
+
         if not isinstance(body, dict):
             raise ValueError(f"agg {name!r}: {typ} body must be an object")
-        _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
         self.parent = typ in _PARENT_PIPELINE_TYPES
+        self.name = name
+        self.typ = typ
+        #: script-family state (bucket_script / bucket_selector /
+        #: moving_fn); unused by the single-path types
+        self.script = None
+        self.window: int | None = None
+        self.fn = None
+        self.var_paths: dict[str, str] = {}
+        self.terminals: dict[str, tuple] = {}
         path = body.get("buckets_path")
-        if self.parent:
+        if typ in ("bucket_script", "bucket_selector"):
+            _strict_keys(
+                name, typ, body, {"buckets_path", "script", "gap_policy"}
+            )
+            if not isinstance(path, dict) or not path or not all(
+                isinstance(k, str) and k and isinstance(v, str) and v
+                and ">" not in v
+                for k, v in path.items()
+            ):
+                raise ValueError(
+                    f"pipeline agg {name!r} ({typ}): 'buckets_path' is "
+                    "a {var: same-level metric path} object (paths "
+                    "like 'the_sum', 'st.avg', '_count')"
+                )
+            self.var_paths = dict(path)
+            self.script = _compile_bucket_script(
+                name, body.get("script"), set(path),
+                boolean=typ == "bucket_selector",
+            )
+            self.segments = []
+        elif typ == "moving_fn":
+            _strict_keys(
+                name, typ, body,
+                {"buckets_path", "script", "window", "shift", "gap_policy"},
+            )
+            if not isinstance(path, str) or not path or ">" in path:
+                raise ValueError(
+                    f"pipeline agg {name!r} (moving_fn): 'buckets_path' "
+                    "names a sibling metric at the same level"
+                )
+            w = body.get("window")
+            if isinstance(w, bool) or not isinstance(w, int) or w < 1:
+                raise ValueError(
+                    f"pipeline agg {name!r}: 'window' must be a "
+                    "positive integer"
+                )
+            self.window = w
+            shift = body.get("shift", 0)
+            if shift != 0:
+                raise ValueError(
+                    f"pipeline agg {name!r}: only ES's default "
+                    "shift 0 is served (window = the values BEFORE "
+                    "the current bucket)"
+                )
+            script = body.get("script")
+            m = (
+                re.fullmatch(
+                    r"MovingFunctions\.(\w+)\(values\)", script.strip()
+                )
+                if isinstance(script, str)
+                else None
+            )
+            if m is None or m.group(1) not in _MOVING_FNS:
+                raise ValueError(
+                    f"pipeline agg {name!r}: moving_fn 'script' must "
+                    "be MovingFunctions.<fn>(values) with fn in "
+                    f"{sorted(_MOVING_FNS)}"
+                )
+            self.fn = _MOVING_FNS[m.group(1)]
+            self.segments = [path]
+        elif self.parent:
+            _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
             if not isinstance(path, str) or not path or ">" in path:
                 raise ValueError(
                     f"pipeline agg {name!r} ({typ}): 'buckets_path' "
@@ -784,20 +967,21 @@ class _PipelineAgg:
                     "pipelines walk their OWN bucket list, not a "
                     "deeper chain"
                 )
-        elif not isinstance(path, str) or ">" not in path:
-            raise ValueError(
-                f"pipeline agg {name!r} needs a 'buckets_path' like "
-                "'bucket_agg>metric' (or '...>_count')"
-            )
+            self.segments = path.split(">")
+        else:
+            _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
+            if not isinstance(path, str) or ">" not in path:
+                raise ValueError(
+                    f"pipeline agg {name!r} needs a 'buckets_path' like "
+                    "'bucket_agg>metric' (or '...>_count')"
+                )
+            self.segments = path.split(">")
         gap = body.get("gap_policy", "skip")
         if gap != "skip":
             raise ValueError(
                 f"pipeline agg {name!r}: only gap_policy 'skip' is "
                 f"served, got {gap!r}"
             )
-        self.name = name
-        self.typ = typ
-        self.segments = path.split(">")
         #: how to read the terminal value OFF THE ENVELOPE bucket —
         #: ("_count"|"value"|"stats"|"percentiles", agg name, part
         #: key); resolved by parse_aggs once chain and metrics are
@@ -807,8 +991,8 @@ class _PipelineAgg:
         #: final list (review finding).
         self.terminal: tuple[str, str | None, str | None] | None = None
 
-    def extract(self, bucket: dict):
-        kind, nm, part = self.terminal
+    def extract(self, bucket: dict, terminal: tuple | None = None):
+        kind, nm, part = terminal if terminal is not None else self.terminal
         if kind == "_count":
             return bucket.get("doc_count")
         node = bucket.get(nm)
@@ -1089,6 +1273,26 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     # pipelines: the buckets_path must name the sibling bucket chain
     # from this depth down, terminal segment a metric (or _count) at
     # the terminal level
+    def _terminal(td: int, term: str, who: str) -> tuple:
+        """A buckets_path terminal resolved against depth-``td``'s
+        metrics — validates the reference (same rules as terms
+        order) and returns the envelope extraction recipe."""
+        if term == "_count":
+            return ("_count", None, None)
+        col = _metric_column(metrics.get(td, []), term, who)
+        tname, _, tpart = term.partition(".")
+        m = next(mm for mm in metrics.get(td, []) if mm.name == tname)
+        if m.typ == "stats":
+            return ("stats", tname, tpart)
+        if m.typ == "percentiles":
+            pkey = next(
+                str(pp)
+                for pp, c in zip(m.percents, m.columns)
+                if c == col
+            )
+            return ("percentiles", tname, pkey)
+        return ("value", tname, None)
+
     for d, plist in pipelines.items():
         for p in plist:
             if p.name in reserved:
@@ -1096,39 +1300,33 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
             reserved.add(p.name)
             who = f"pipeline agg {p.name!r}"
             if p.parent:
-                # ES's contract: derivative/cumulative_sum live
-                # inside a histogram/date_histogram (an ORDERED
-                # bucket list — walking terms buckets would derive
-                # over an arbitrary-by-value ordering)
-                if d < 1 or chain[d - 1].typ not in (
-                    "date_histogram", "histogram"
+                # every parent pipeline needs a parent bucket list;
+                # the series walkers (derivative/cumulative_sum/
+                # moving_fn) additionally need it ORDERED — a
+                # histogram/date_histogram, never terms, whose
+                # by-value ordering would make "previous bucket"
+                # arbitrary. bucket_script/bucket_selector are
+                # per-bucket arithmetic and run under terms too.
+                needs = (
+                    "a histogram/date_histogram bucket's"
+                    if p.typ in _ORDERED_PARENT_TYPES
+                    else "a bucket agg's"
+                )
+                if d < 1 or (
+                    p.typ in _ORDERED_PARENT_TYPES
+                    and chain[d - 1].typ not in (
+                        "date_histogram", "histogram"
+                    )
                 ):
                     raise ValueError(
-                        f"{who}: {p.typ} must sit inside a "
-                        "histogram/date_histogram bucket's aggs "
-                        "(ES's parent-pipeline contract)"
+                        f"{who}: {p.typ} must sit inside {needs} "
+                        "aggs (ES's parent-pipeline contract)"
                     )
-                term = p.segments[0]
-                if term == "_count":
-                    p.terminal = ("_count", None, None)
+                if p.var_paths:
+                    for var, vpath in p.var_paths.items():
+                        p.terminals[var] = _terminal(d, vpath, who)
                 else:
-                    col = _metric_column(metrics.get(d, []), term, who)
-                    tname, _, tpart = term.partition(".")
-                    m = next(
-                        mm for mm in metrics.get(d, [])
-                        if mm.name == tname
-                    )
-                    if m.typ == "stats":
-                        p.terminal = ("stats", tname, tpart)
-                    elif m.typ == "percentiles":
-                        pkey = next(
-                            str(pp)
-                            for pp, c in zip(m.percents, m.columns)
-                            if c == col
-                        )
-                        p.terminal = ("percentiles", tname, pkey)
-                    else:
-                        p.terminal = ("value", tname, None)
+                    p.terminal = _terminal(d, p.segments[0], who)
                 continue
             for i, seg in enumerate(p.segments[:-1]):
                 ci = d + i
@@ -1138,28 +1336,9 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                         "name the sibling bucket chain at that level "
                         f"(chain: {[b.name for b in chain]})"
                     )
-            td = d + len(p.segments) - 1
-            term = p.segments[-1]
-            if term == "_count":
-                p.terminal = ("_count", None, None)
-            else:
-                # validates the reference (same rules as terms order)
-                col = _metric_column(metrics.get(td, []), term, who)
-                tname, _, tpart = term.partition(".")
-                m = next(
-                    mm for mm in metrics.get(td, []) if mm.name == tname
-                )
-                if m.typ == "stats":
-                    p.terminal = ("stats", tname, tpart)
-                elif m.typ == "percentiles":
-                    pkey = next(
-                        str(pp)
-                        for pp, c in zip(m.percents, m.columns)
-                        if c == col
-                    )
-                    p.terminal = ("percentiles", tname, pkey)
-                else:
-                    p.terminal = ("value", tname, None)
+            p.terminal = _terminal(
+                d + len(p.segments) - 1, p.segments[-1], who
+            )
     # a bucket agg NAMED like a metric's source FIELD would put two
     # same-named columns into the rollup input (the key alias + the
     # raw field) — ambiguous-column fault; reject it as the 400 it is
@@ -1886,7 +2065,7 @@ def aggs_nested(
                 # order — per parent bucket, so each timeline derives
                 # over its own series (ES's reduce point)
                 for p in pipelines.get(depth + 1, []):
-                    if not p.parent:
+                    if not p.parent or p.typ == "bucket_selector":
                         continue
                     if p.typ == "cumulative_sum":
                         # ES: every bucket serves the running total;
@@ -1898,7 +2077,7 @@ def aggs_nested(
                             if v is not None:
                                 run += _pipe_num(p, v)
                             bk[p.name] = {"value": run}
-                    else:  # derivative
+                    elif p.typ == "derivative":
                         # ES: the first bucket (and any skipped-gap
                         # bucket) carries NO derivative entry; each
                         # valued bucket derives against the last
@@ -1912,6 +2091,84 @@ def aggs_nested(
                             if prev is not None:
                                 bk[p.name] = {"value": cur - prev}
                             prev = cur
+                    elif p.typ == "moving_fn":
+                        # ES shift=0: the window is the p.window
+                        # values BEFORE the current bucket (current
+                        # excluded); gap_policy skip drops nulls from
+                        # the window; an empty window serves null
+                        # (the first bucket always does)
+                        series = [
+                            None if (v := p.extract(bk)) is None
+                            else _pipe_num(p, v)
+                            for bk in kids
+                        ]
+                        for i, bk in enumerate(kids):
+                            wvals = [
+                                v
+                                for v in series[max(0, i - p.window):i]
+                                if v is not None
+                            ]
+                            bk[p.name] = {
+                                "value": p.fn(wvals) if wvals else None
+                            }
+                    else:  # bucket_script
+                        # per-bucket arithmetic over the named paths;
+                        # any null input = gap_policy skip (no entry,
+                        # like derivative's first bucket)
+                        for bk in kids:
+                            vals = {
+                                var: p.extract(bk, t)
+                                for var, t in p.terminals.items()
+                            }
+                            if any(v is None for v in vals.values()):
+                                continue
+                            nums = {
+                                k: _pipe_num(p, v)
+                                for k, v in vals.items()
+                            }
+                            try:
+                                bk[p.name] = {"value": p.script(nums)}
+                            except ZeroDivisionError:
+                                raise ValueError(
+                                    f"pipeline agg {p.name!r}: script "
+                                    "divided by zero — guard the "
+                                    "denominator (e.g. multiply "
+                                    "instead, or bucket_selector the "
+                                    "zero buckets away first)"
+                                ) from None
+                # bucket_selector LAST: it drops buckets from the
+                # RESPONSE only, after the value pipelines saw the
+                # full series (a derivative next to a selector must
+                # not derive across a hole the selector punched). A
+                # null input keeps the bucket un-evaluated (ES's
+                # gap_policy skip for selectors).
+                selectors = [
+                    p
+                    for p in pipelines.get(depth + 1, [])
+                    if p.typ == "bucket_selector"
+                ]
+                if selectors:
+                    kept_kids = []
+                    for bk in kids:
+                        drop = False
+                        for p in selectors:
+                            vals = {
+                                var: p.extract(bk, t)
+                                for var, t in p.terminals.items()
+                            }
+                            if any(v is None for v in vals.values()):
+                                continue
+                            nums = {
+                                k: _pipe_num(p, v)
+                                for k, v in vals.items()
+                            }
+                            if not p.script(nums):
+                                drop = True
+                                break
+                        if not drop:
+                            kept_kids.append(bk)
+                    node[chain[depth].name]["buckets"] = kept_kids
+                    kids = kept_kids
                 for bk in kids:
                     attach(bk, depth + 1)
             for p in pipelines.get(depth, []):
@@ -2445,7 +2702,10 @@ def parse_filters(
     exactly why this cannot ride the shared rollup (multi-membership
     would double-count parents) and is compiled instead as ONE
     conditional-aggregation pass; like ``composite``, it must be the
-    only aggregation in the request."""
+    only aggregation in the request. This parser serves the
+    METRICS-ONLY form; a bucket chain inside the sub-aggs routes
+    through the explode path (:func:`filters_has_bucket` →
+    :func:`_filters_chain_nested` / :func:`filters_chain_flat`)."""
     preds, sub_aggs = _filter_preds(body, docs)
     reserved = {"doc_count"}
     metrics: list[_Metric] = []

@@ -2030,3 +2030,139 @@ def test_filters_chain_flat_surface(frame):
         serve.filters_chain_flat(frame, {
             "filters": {"e": {"term": {"lang": "en"}}},
             "aggs": {"m": {"avg": {"field": "n_chars"}}}})
+
+
+# --- round-14: script pipelines (bucket_script / bucket_selector / moving_fn) --
+
+
+def test_bucket_script_and_selector_and_moving_fn(gap_frame):
+    """The TSVB script family at ES's reduce point: bucket_script is
+    per-bucket arithmetic over named paths (params.-prefixed or bare,
+    both Painless spellings); moving_fn (shift 0) folds the window of
+    values BEFORE each bucket; bucket_selector drops buckets from the
+    RESPONSE only — after the series walkers saw the full list."""
+    env = serve.aggs_nested(gap_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d"},
+            "aggs": {"s": {"sum": {"field": "n"}},
+                     "per_doc": {"bucket_script": {
+                         "buckets_path": {"t": "s", "c": "_count"},
+                         "script": "params.t / c"}},
+                     "mavg": {"moving_fn": {
+                         "buckets_path": "_count", "window": 2,
+                         "script":
+                             "MovingFunctions.unweightedAvg(values)"}},
+                     "big": {"bucket_selector": {
+                         "buckets_path": {"c": "_count"},
+                         "script": "c >= 3"}}}}})
+    buckets = env["by_day"]["buckets"]
+    # days 1/2/4 have counts 2/5/3 — the selector drops day 1, but
+    # moving_fn already saw it: day 2's window is [2]; day 4's window
+    # is the two RETURNED-list predecessors [2, 5] (no gap fill under
+    # min_doc_count=1, so the window is positional, exactly ES)
+    assert [(b["doc_count"], b["per_doc"]["value"],
+             b["mavg"]["value"]) for b in buckets] == [
+        (5, 16.0, 2.0),
+        (3, 40.0 / 3, 3.5),
+    ]
+    # selector never minted an envelope entry of its own
+    assert all("big" not in b for b in buckets)
+
+
+def test_bucket_script_gap_skip_and_div_by_zero(gap_frame, frame):
+    # a null input (avg over a gap-filled bucket) skips the entry
+    env = serve.aggs_nested(gap_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "min_doc_count": 0},
+            "aggs": {"m": {"avg": {"field": "n"}},
+                     "r": {"bucket_script": {
+                         "buckets_path": {"m": "m"},
+                         "script": "m * 2"}}}}})
+    got = [("r" in b) for b in env["by_day"]["buckets"]]
+    assert got == [True, True, False, True]  # the gap bucket skips
+    # dividing by a zero path is the caller's 400, not a 500
+    with pytest.raises(ValueError, match="divided by zero"):
+        serve.aggs_nested(gap_frame, {
+            "by_day": {"date_histogram": {
+                "field": "ts", "calendar_interval": "1d",
+                "min_doc_count": 0},
+                "aggs": {"r": {"bucket_script": {
+                    "buckets_path": {"c": "_count"},
+                    "script": "1 / c"}}}}})
+    # bucket_script runs under terms too (per-bucket, order-free)
+    env = serve.aggs_nested(frame, {
+        "l": {"terms": {"field": "lang"},
+              "aggs": {"s": {"sum": {"field": "n_chars"}},
+                       "r": {"bucket_script": {
+                           "buckets_path": {"s": "s", "c": "_count"},
+                           "script": "s / c"}}}}})
+    for b in env["l"]["buckets"]:
+        assert b["r"]["value"] == b["s"]["value"] / b["doc_count"]
+
+
+def test_script_pipeline_400s(frame):
+    # arbitrary constructs never evaluate — whitelisted AST only
+    for script in ("__import__('os')", "c ** 2", "f(c)", "c if c else 1",
+                   "[c for c in []]", "'x' + 'y'"):
+        with pytest.raises(ValueError, match="script"):
+            serve.parse_aggs(
+                {"by": {"date_histogram": {"field": "ts",
+                                           "fixed_interval": "1d"},
+                        "aggs": {"r": {"bucket_script": {
+                            "buckets_path": {"c": "_count"},
+                            "script": script}}}}},
+                frame.columns,
+            )
+    # comparisons are selector-only
+    with pytest.raises(ValueError, match="unsupported 'script'"):
+        serve.parse_aggs(
+            {"by": {"date_histogram": {"field": "ts",
+                                       "fixed_interval": "1d"},
+                    "aggs": {"r": {"bucket_script": {
+                        "buckets_path": {"c": "_count"},
+                        "script": "c > 1"}}}}},
+            frame.columns,
+        )
+    # an undeclared variable names the declared set
+    with pytest.raises(ValueError, match="not in buckets_path"):
+        serve.parse_aggs(
+            {"by": {"date_histogram": {"field": "ts",
+                                       "fixed_interval": "1d"},
+                    "aggs": {"r": {"bucket_script": {
+                        "buckets_path": {"c": "_count"},
+                        "script": "c + d"}}}}},
+            frame.columns,
+        )
+    # moving_fn needs an ORDERED parent; terms is not one
+    with pytest.raises(ValueError, match="parent-pipeline contract"):
+        serve.parse_aggs(
+            {"l": {"terms": {"field": "lang"},
+                   "aggs": {"m": {"moving_fn": {
+                       "buckets_path": "_count", "window": 2,
+                       "script":
+                           "MovingFunctions.unweightedAvg(values)"}}}}},
+            frame.columns,
+        )
+    # only the MovingFunctions builtins are served
+    with pytest.raises(ValueError, match="MovingFunctions"):
+        serve.parse_aggs(
+            {"by": {"date_histogram": {"field": "ts",
+                                       "fixed_interval": "1d"},
+                    "aggs": {"m": {"moving_fn": {
+                        "buckets_path": "_count", "window": 2,
+                        "script": "values.sum()"}}}}},
+            frame.columns,
+        )
+    # non-default shift is refused, not silently ignored
+    with pytest.raises(ValueError, match="shift 0"):
+        serve.parse_aggs(
+            {"by": {"date_histogram": {"field": "ts",
+                                       "fixed_interval": "1d"},
+                    "aggs": {"m": {"moving_fn": {
+                        "buckets_path": "_count", "window": 2,
+                        "shift": 1,
+                        "script":
+                            "MovingFunctions.unweightedAvg(values)"}}}}},
+            frame.columns,
+        )
