@@ -495,7 +495,9 @@ class SearchRestServer:
         """(name, body) when the aggs spec is a filters agg — which,
         like composite, must be the ONLY aggregation in the request
         (multi-membership cannot ride the shared rollup chain; it is
-        its own one-pass conditional aggregate)."""
+        its own one-pass conditional aggregate, or — with a bucket
+        chain in its sub-aggs — one matched-filter explode feeding
+        the regular rollup one level down)."""
         if not isinstance(aggs_spec, dict):
             return None
         hits = [
@@ -857,22 +859,42 @@ class SearchRestServer:
                     "mounted — their conjunction is computed from the "
                     "text index"
                 )
+            conj_at = bm25_at
             if mode != "bm25" and (req.get("pinned") or wm is not None):
-                # the hybrid pinned paths resolve their bm25 side at
-                # the watermark internally; a conjunction computed at
-                # the CURRENT version could disagree — refuse rather
-                # than silently mix versions
-                raise ValueError(
-                    "multiple 'match' clauses are not supported with "
-                    "pinned serving in hybrid modes — send one match "
-                    "clause, or drop 'pinned'/'watermark'"
+                # the hybrid pinned serve resolves BOTH indexes at ONE
+                # source watermark; the conjunction keep-set must come
+                # from the SAME bm25 state or membership could
+                # disagree with the scoring it gates. Resolve the
+                # joint watermark HERE (the explicit wm, or the newest
+                # version both indexes reflect — the same min-of-
+                # applied rule _pinned_pair_at uses) and pin the
+                # hybrid call below to it by fixing wm, so keep-set
+                # and scoring read identical manifest versions. A
+                # never-folded boundary still refuses — from the
+                # version resolution, naming the table.
+                if self.bm25_app_id is None or self.ivfpq_app_id is None:
+                    raise ValueError(
+                        "pinned serving needs bm25_app_id and "
+                        "ivfpq_app_id mounted on this server"
+                    )
+                if wm is None:
+                    wm = min(
+                        si.index_applied_watermark(
+                            self.bm25_root, self.bm25_app_id
+                        ),
+                        si.index_applied_watermark(
+                            self.ivfpq_root, self.ivfpq_app_id
+                        ),
+                    )
+                conj_at = si.index_versions_at_watermark(
+                    self.bm25_root, self.bm25_app_id, wm
                 )
             clause_df = self.spark.createDataFrame(
                 [(i, t) for i, t in enumerate(dsl_texts)],
                 "query_id bigint, text string",
             )
             per_clause = si.bm25_score_from_text(
-                self.spark, self.bm25_root, clause_df, at=bm25_at
+                self.spark, self.bm25_root, clause_df, at=conj_at
             )
             conj = (
                 per_clause.groupBy("doc_id")

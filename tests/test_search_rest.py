@@ -647,6 +647,25 @@ def test_rrf_pinned_serving_over_rest(spark, sf_dir, tmp_path):
             {"mode": "rerank", "query_ids": [0, 1], "k": 5},
         )
         assert code == 200
+        # round 14: multi-clause match conjunction under pinned hybrid
+        # serving — the keep-set is computed AT the joint watermark
+        # (same bm25 manifest versions as the scoring side), so with
+        # head == watermark the pinned serve equals the unpinned one
+        # and the old refusal is gone
+        conj_req = {
+            "mode": "rrf", "query_ids": [0], "k": 5,
+            "query": {"bool": {"must": [
+                {"match": {"text": "dup"}},
+                {"match": {"text": "merge"}},
+            ]}},
+        }
+        code, conj_plain = _post(server.url, "/search", conj_req)
+        assert code == 200 and conj_plain["hits"]["hits"]
+        code, conj_pinned = _post(
+            server.url, "/search", {**conj_req, "pinned": True}
+        )
+        assert code == 200
+        assert conj_pinned["hits"]["hits"] == conj_plain["hits"]["hits"]
         victim = before["hits"]["hits"][0]["_id"]
         lakelog.merge_apply_cdc(
             spark, src,
@@ -1496,8 +1515,10 @@ def test_query_dsl_multi_match_conjunction(spark, meta_server, stack):
     })
     assert {h["_id"] for h in en["hits"]["hits"]} <= both
     assert en["hits"]["total"] <= len(both)
-    # hybrid pinned serving refuses the mixed-version conjunction
-    with pytest.raises(ValueError, match="multiple 'match' clauses"):
+    # hybrid pinned conjunction needs the maintenance lineages to
+    # resolve the joint watermark — this server mounts none (the
+    # served positive case lives in test_rrf_pinned_serving_over_rest)
+    with pytest.raises(ValueError, match="pinned serving needs"):
         server.search({
             "mode": "rrf", "query_ids": [0], "pinned": True,
             "query": dsl,
