@@ -1761,3 +1761,36 @@ def test_filters_agg_with_bucket_chain_over_rest(meta_server):
         ) == b[name]["doc_count"]
         for d in b[name]["by_day"]["buckets"]:
             assert d["mean"]["value"] is not None
+
+
+def test_other_bucket_tiles_parent_over_rest(meta_server):
+    """Round 14: a Kibana panel with otherBucket translated through
+    kibana_vis_aggs and served over /search — kept + __other__
+    doc_counts tile the parent exactly, and the merged avg rides
+    along."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    server, meta = meta_server
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "1", "type": "avg", "schema": "metric",
+         "params": {"field": "n_chars"}},
+        {"id": "2", "type": "terms", "schema": "segment",
+         "params": {"field": "lang", "size": 2, "otherBucket": True,
+                    "otherBucketLabel": "Other"}},
+    ]})
+    out = server.search({"aggs": spec})
+    node = out["aggregations"]["k2"]
+    keys = [b["key"] for b in node["buckets"]]
+    assert keys[-1] == "__other__" and len(keys) == 3
+    assert sum(b["doc_count"] for b in node["buckets"]) == meta.filter(
+        "lang IS NOT NULL").count()
+    other = node["buckets"][-1]
+    assert node["sum_other_doc_count"] == other["doc_count"] > 0
+    kept = {b["key"] for b in node["buckets"][:-1]}
+    rest = meta.filter(~F.col("lang").isin(*kept))
+    assert abs(
+        other["k1"]["value"]
+        - rest.agg(F.avg("n_chars")).collect()[0][0]
+    ) < 1e-9
