@@ -2892,6 +2892,25 @@ def _filters_zero_bucket(
     return bucket
 
 
+def _filters_chain_parsed(docs: DataFrame, body: dict):
+    """Explode + parse + the chain-path contract checks shared by the
+    envelope serve and the REST fail-fast: a ``bucket_selector`` at
+    the FILTERS level would drop filter buckets that the zero-fill
+    re-adds as doc_count-0 — the named envelope cannot distinguish
+    "selector dropped" from "nothing matched" (self-review finding) —
+    so it is refused with the client-side remediation named."""
+    names, exploded, spec = _filters_exploded(docs, body)
+    parsed = parse_aggs(spec, exploded.columns)
+    if any(p.typ == "bucket_selector" for p in parsed[3].get(1, [])):
+        raise ValueError(
+            "bucket_selector at the filters level is not served (a "
+            "dropped filter is indistinguishable from a no-match "
+            "filter in the named envelope) — nest it under the "
+            "bucket chain, or drop the named buckets client-side"
+        )
+    return names, exploded, spec, parsed
+
+
 def _filters_chain_nested(
     docs: DataFrame, body: dict, pins: list[DataFrame] | None = None
 ) -> dict:
@@ -2899,7 +2918,8 @@ def _filters_chain_nested(
     filter: run the exploded frame through the regular nested fold,
     then re-key the synthetic top level by filter name (ES's OBJECT
     bucket shape) and zero-fill filters nothing matched."""
-    names, exploded, spec = _filters_exploded(docs, body)
+    names, exploded, spec, parsed = _filters_chain_parsed(docs, body)
+    chain, metrics, tophits, pipelines = parsed
     env = aggs_nested(exploded, spec, pins)
     node = env[_FILTER_KEY]
     buckets: dict = {}
@@ -2908,9 +2928,6 @@ def _filters_chain_nested(
         bk.pop("key_as_string", None)
         buckets[key] = bk
     if len(buckets) < len(names):
-        chain, metrics, tophits, pipelines = parse_aggs(
-            spec, exploded.columns
-        )
         for fname in names:
             if fname not in buckets:
                 buckets[fname] = _filters_zero_bucket(
@@ -2925,8 +2942,7 @@ def validate_filters(body: dict, docs: DataFrame) -> None:
     bucket-chain — without running a job (the REST layer's fail-fast
     pass before the mode branch does real work)."""
     if filters_has_bucket(body):
-        _names, exploded, spec = _filters_exploded(docs, body)
-        parse_aggs(spec, exploded.columns)
+        _filters_chain_parsed(docs, body)
     else:
         parse_filters(body, docs)
 

@@ -2166,3 +2166,30 @@ def test_script_pipeline_400s(frame):
                             "MovingFunctions.unweightedAvg(values)"}}}}},
             frame.columns,
         )
+
+
+def test_filter_level_bucket_selector_is_400(frame):
+    """Self-review finding: a selector at the FILTERS level would drop
+    filter buckets the zero-fill re-adds as doc_count 0 — ambiguity
+    the named envelope cannot express, so it is a 400 naming the
+    client-side remediation."""
+    body = {"filters": {"e": {"term": {"lang": "en"}}},
+            "aggs": {"by_day": {"date_histogram": {
+                         "field": "ts", "fixed_interval": "1d"}},
+                     "k": {"bucket_selector": {
+                         "buckets_path": {"c": "_count"},
+                         "script": "c >= 1"}}}}
+    with pytest.raises(ValueError, match="filters level"):
+        serve.filters_nested(frame, body)
+    with pytest.raises(ValueError, match="filters level"):
+        serve.validate_filters(body, frame)
+    # nested under the chain it serves fine
+    ok = serve.filters_nested(frame, {
+        "filters": {"e": {"term": {"lang": "en"}}},
+        "aggs": {"by_day": {"date_histogram": {
+                     "field": "ts", "fixed_interval": "1d"},
+                 "aggs": {"k": {"bucket_selector": {
+                     "buckets_path": {"c": "_count"},
+                     "script": "c >= 2"}}}}}})
+    assert [d["doc_count"] for d
+            in ok["buckets"]["e"]["by_day"]["buckets"]] == [2]
