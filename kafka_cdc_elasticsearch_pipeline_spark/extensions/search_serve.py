@@ -896,6 +896,7 @@ class _PipelineAgg:
         self.fn = None
         self.var_paths: dict[str, str] = {}
         self.terminals: dict[str, tuple] = {}
+        self.unit_ms: int | None = None
         path = body.get("buckets_path")
         if typ in ("bucket_script", "bucket_selector"):
             _strict_keys(
@@ -958,7 +959,12 @@ class _PipelineAgg:
             self.fn = _MOVING_FNS[m.group(1)]
             self.segments = [path]
         elif self.parent:
-            _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
+            _strict_keys(
+                name, typ, body,
+                {"buckets_path", "gap_policy", "unit"}
+                if typ == "derivative"
+                else {"buckets_path", "gap_policy"},
+            )
             if not isinstance(path, str) or not path or ">" in path:
                 raise ValueError(
                     f"pipeline agg {name!r} ({typ}): 'buckets_path' "
@@ -968,6 +974,15 @@ class _PipelineAgg:
                     "deeper chain"
                 )
             self.segments = path.split(">")
+            if typ == "derivative" and "unit" in body:
+                # ES derivative 'unit': serve normalized_value =
+                # diff / (key spacing / unit) — the per-unit rate a
+                # TSVB "per second/minute/hour" panel asks for. Only
+                # meaningful over date keys; the fixed_interval
+                # grammar is the unit grammar.
+                self.unit_ms = (
+                    _fixed_interval_seconds(body["unit"]) * 1000
+                )
         else:
             _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
             if not isinstance(path, str) or ">" not in path:
@@ -1321,6 +1336,13 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                     raise ValueError(
                         f"{who}: {p.typ} must sit inside {needs} "
                         "aggs (ES's parent-pipeline contract)"
+                    )
+                if p.unit_ms is not None and chain[
+                    d - 1
+                ].typ != "date_histogram":
+                    raise ValueError(
+                        f"{who}: 'unit' normalizes by key spacing in "
+                        "TIME — it needs a date_histogram parent"
                     )
                 if p.var_paths:
                     for var, vpath in p.var_paths.items():
@@ -2081,16 +2103,26 @@ def aggs_nested(
                         # ES: the first bucket (and any skipped-gap
                         # bucket) carries NO derivative entry; each
                         # valued bucket derives against the last
-                        # valued one
-                        prev = None
+                        # valued one. With 'unit', normalized_value =
+                        # diff / (key spacing / unit) — the per-unit
+                        # rate, spacing taken from the ACTUAL epoch-ms
+                        # keys so a gap-skipped hole normalizes over
+                        # the real elapsed time.
+                        prev = prev_key = None
                         for bk in kids:
                             v = p.extract(bk)
                             if v is None:
                                 continue
                             cur = _pipe_num(p, v)
                             if prev is not None:
-                                bk[p.name] = {"value": cur - prev}
-                            prev = cur
+                                entry = {"value": cur - prev}
+                                if p.unit_ms is not None:
+                                    entry["normalized_value"] = (
+                                        (cur - prev) * p.unit_ms
+                                        / (bk["key"] - prev_key)
+                                    )
+                                bk[p.name] = entry
+                            prev, prev_key = cur, bk["key"]
                     elif p.typ == "moving_fn":
                         # ES shift=0: the window is the p.window
                         # values BEFORE the current bucket (current

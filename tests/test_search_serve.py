@@ -2193,3 +2193,28 @@ def test_filter_level_bucket_selector_is_400(frame):
                      "script": "c >= 2"}}}}}})
     assert [d["doc_count"] for d
             in ok["buckets"]["e"]["by_day"]["buckets"]] == [2]
+
+
+def test_derivative_unit_normalized_value(gap_frame):
+    """ES derivative 'unit': normalized_value = diff / (key spacing /
+    unit) — the per-unit rate, spacing from the ACTUAL epoch keys so
+    a skipped gap normalizes over real elapsed time; unit needs a
+    date_histogram parent (keys are time)."""
+    env = serve.aggs_nested(gap_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d"},
+            "aggs": {"d": {"derivative": {
+                "buckets_path": "_count", "unit": "12h"}}}}})
+    buckets = env["by_day"]["buckets"]
+    # counts 2/5/3 on days 1, 2, 4: day2 diff 3 over 1d = 1.5 per 12h;
+    # day4 diff -2 over the 2-day hole = -0.5 per 12h
+    assert "d" not in buckets[0]
+    assert buckets[1]["d"] == {"value": 3.0, "normalized_value": 1.5}
+    assert buckets[2]["d"] == {"value": -2.0, "normalized_value": -0.5}
+    with pytest.raises(ValueError, match="date_histogram parent"):
+        serve.parse_aggs(
+            {"h": {"histogram": {"field": "n", "interval": 10.0},
+                   "aggs": {"d": {"derivative": {
+                       "buckets_path": "_count", "unit": "1h"}}}}},
+            gap_frame.columns,
+        )
