@@ -134,17 +134,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # 20 r09 + (30−N) r10, leaving (20+N) r10 rows for r15 — their floor
 # round — so any N ≤ ~30 stays on schedule (keep N ≤ ~10 as usual).
 #
-# r15 window math (written r14): r14 registers exactly 5 new queries
-# (ext_search_aggs_dh_timezone, ext_search_aggs_parent_pipeline,
-# ext_search_aggs_terms_other, ext_search_aggs_filters_chain,
-# ext_search_aggs_script_pipeline) — registry 226, 225 gated, floor
-# ceil(225/50) = 5 (check_oracle confirms: never×5, r09×20, r10×50,
-# r11×50, r12×50, r13×50). The r14 window = 5 never + 20 r09 (their
+# r15 window math (written r14, amended per registration): r14
+# registers exactly 6 new queries (ext_search_aggs_dh_timezone,
+# ext_search_aggs_parent_pipeline, ext_search_aggs_terms_other,
+# ext_search_aggs_filters_chain, ext_search_aggs_script_pipeline,
+# ext_search_match_phrase) — registry 227, 226 gated, floor
+# ceil(226/50) = 5 (check_oracle confirms: never×6, r09×20, r10×50,
+# r11×50, r12×50, r13×50). The r14 window = 6 never + 20 r09 (their
 # floor round — the oldest-first rotation fronts them, no pin needed)
-# + 25 r10. That leaves 25 r10 rows whose floor is r15; the rotation
+# + 24 r10. That leaves 26 r10 rows whose floor is r15; the rotation
 # fronts them automatically, so r15 needs no pin. r15's budget:
-# window = N new + 25 r10 + (25−N) r11, leaving (25+N) r11 rows for
-# r16 — their floor round — so any N ≤ ~25 stays on schedule (keep
+# window = N new + 26 r10 + (24−N) r11, leaving (26+N) r11 rows for
+# r16 — their floor round — so any N ≤ ~24 stays on schedule (keep
 # N ≤ ~10 as usual so later blocks never compound).
 _GATE_FIRST: list[str] = []
 

@@ -6523,3 +6523,47 @@ def ext_search_aggs_script_pipeline(
     # bounded: ≤ 72 hourly buckets (MAX_BUCKETS guards the general
     # case) — the driver-side list IS the ES wire envelope
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ext_search_match_phrase",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             ' ' || array_to_string(
+               list_filter(
+                 string_split_regex(lower(text), '\\s+'),
+                 x -> x <> ''), ' ') || ' ' AS joined
+      FROM documents
+    )
+    SELECT doc_id, lang FROM toks
+    WHERE contains(joined, ' order fast ')
+    """,
+    tags=("ext", "search", "phrase", "serving"),
+)
+def ext_search_match_phrase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``match_phrase`` membership — the quoted search-bar gesture.
+    The BM25 index keeps no positions, so adjacency is verified
+    against the document text itself: the SHARED tokenizer normalizes
+    both sides (lowercase, ASCII-whitespace split), the token stream
+    joins on single spaces, and the phrase matches as space-delimited
+    containment — token-exact adjacency, order-sensitive, no raw-text
+    LIKE (word boundaries come from the tokenizer, not the bytes). At
+    serve time the predicate runs only on the docs the term machinery
+    nominated (the keep-set path) — candidate-bounded, never a corpus
+    phrase scan; this row pins the MEMBERSHIP arithmetic corpus-wide
+    so the hash covers every normalization and boundary case the
+    corpus contains. The oracle rebuilds the same normalization in
+    DuckDB (string_split_regex + array_to_string + contains) —
+    hash-equality proves serve-side adjacency == index-side
+    tokenization cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.filter(
+        serve.phrase_predicate(F.col("text"), "order fast")
+    ).select("doc_id", "lang")

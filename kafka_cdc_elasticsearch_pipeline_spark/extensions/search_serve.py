@@ -3187,6 +3187,43 @@ def kibana_vis_aggs(
 # --- ES query DSL (subset) ----------------------------------------------------
 
 
+def phrase_tokens(text: str) -> list[str]:
+    """A match_phrase query normalized EXACTLY like the index side:
+    the shared tokenizer's ASCII-whitespace split + lowercase. One
+    normalization, both sides — a second spelling here would silently
+    zero phrase recall (the operator-and lesson)."""
+    import re
+
+    return [t.lower() for t in re.split(r"[ \t\n\x0b\f\r]+", text) if t]
+
+
+def phrase_predicate(text_col: Column, phrase: str) -> Column:
+    """Adjacency WITHOUT a positions index: normalize the document
+    text with the shared tokenizer, join the token stream on single
+    spaces, and test space-delimited substring containment —
+    token-exact adjacency (never a raw-text LIKE: normalization and
+    word boundaries both come from the tokenizer). Runs only on the
+    docs the term machinery already nominated (the keep-set path), so
+    the scan is candidate-bounded at serve time; the expression is
+    whole-stage-codegen JVM work, no UDF."""
+    toks = phrase_tokens(phrase)
+    if not toks:
+        raise ValueError(
+            "'match_phrase' needs at least one token after "
+            "normalization"
+        )
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        similarity as _sim,
+    )
+
+    joined = F.concat(
+        F.lit(" "),
+        F.array_join(_sim.bm25_tokenize(text_col), " "),
+        F.lit(" "),
+    )
+    return joined.contains(" " + " ".join(toks) + " ")
+
+
 def parse_query_dsl(
     body: dict, doc_source: DataFrame | None, text_field: str = "text"
 ) -> tuple[list[str], list[str], Column | None]:
@@ -3354,6 +3391,61 @@ def parse_query_dsl(
             else:
                 target.append(str(v))
             return None
+        if typ == "match_phrase":
+            # a quoted search-bar phrase. The BM25 index stores no
+            # positions, so the phrase splits into TWO signals: its
+            # tokens join `texts` as one required clause (recall +
+            # BM25 scoring over the term union, through the existing
+            # conjunction machinery), and ADJACENCY becomes a
+            # token-exact containment predicate over the MOUNTED text
+            # — which the keep-set path evaluates on the nominated
+            # candidates only, never a corpus phrase scan. Scoring is
+            # BM25-over-terms restricted to phrase members, not ES's
+            # positional proximity — documented divergence.
+            if not allow_text:
+                raise ValueError(
+                    "'match_phrase' inside must_not would need "
+                    "negative lexical membership — move it to "
+                    "'must'/'filter'"
+                )
+            if in_should[0]:
+                raise ValueError(
+                    "'match_phrase' inside 'should' would need "
+                    "optional phrase membership/boosting the serve "
+                    "cannot express — move it to 'must'/'filter'"
+                )
+            f, v = one_entry(clause, "match_phrase")
+            if f != text_field:
+                raise ValueError(
+                    "'match_phrase' is verified against the mounted "
+                    f"document text, which is {text_field!r} — got "
+                    f"field {f!r}"
+                )
+            if isinstance(v, dict):
+                extra = sorted(set(v) - {"query"})
+                if extra:
+                    # slop would need real positions — refuse, never
+                    # silently serve slop-0 for a slop-2 request
+                    raise ValueError(
+                        "'match_phrase' object form: unsupported keys "
+                        f"{extra} (supported: query; 'slop' needs a "
+                        "positions index this engine does not keep)"
+                    )
+                if "query" not in v:
+                    raise ValueError(
+                        "'match_phrase' object form needs a 'query' "
+                        f"key, got {sorted(v)}"
+                    )
+                v = v["query"]
+            field = meta_field(f, "match_phrase")
+            toks = phrase_tokens(str(v))
+            if not toks:
+                raise ValueError(
+                    "'match_phrase' needs at least one token after "
+                    "normalization"
+                )
+            texts.append(" ".join(toks))
+            return phrase_predicate(F.col(field), str(v))
         if typ == "term":
             f, v = one_entry(clause, "term")
             v = v["value"] if isinstance(v, dict) else v
@@ -3501,7 +3593,7 @@ def parse_query_dsl(
             return out
         raise ValueError(
             f"unsupported query DSL type {typ!r} (supported: match_all, "
-            "match, term, terms, range, exists, bool)"
+            "match, match_phrase, term, terms, range, exists, bool)"
         )
 
     pred = predicate(body, allow_text=True)

@@ -1794,3 +1794,58 @@ def test_other_bucket_tiles_parent_over_rest(meta_server):
         other["k1"]["value"]
         - rest.agg(F.avg("n_chars")).collect()[0][0]
     ) < 1e-9
+
+
+def test_match_phrase_over_rest(spark, sf_dir, stack):
+    """Round 14: a quoted search-bar phrase end to end — membership is
+    the token-exact adjacency set (verified against the mounted text,
+    candidate-bounded), scoring is BM25 over the phrase's term union
+    restricted to that set (equals the union query + allowed_ids
+    oracle), and the phrase composes with filter pills."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    _, bm25_root, ivfpq_root, embs = stack
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    server = SearchRestServer(
+        spark, bm25_root=bm25_root, ivfpq_root=ivfpq_root,
+        query_source=embs, doc_source=docs,
+    )
+    got = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"match_phrase": {"text": "order fast"}},
+    })
+    members = {
+        r.doc_id
+        for r in docs.filter(
+            serve.phrase_predicate(F.col("text"), "order fast")
+        ).collect()
+    }
+    got_ids = {h["_id"] for h in got["hits"]["hits"]}
+    assert got_ids == members and members
+    assert got["hits"]["total"] == len(members)
+    # adjacency is strictly smaller than the term conjunction
+    both = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"must": [{"match": {"text": "order"}},
+                                    {"match": {"text": "fast"}}]}},
+    })
+    assert members < {h["_id"] for h in both["hits"]["hits"]}
+    # ranked exactly like the union text restricted to the phrase set
+    want = server.search({
+        "mode": "bm25", "k": 500, "query": "order fast",
+        "allowed_ids": sorted(members),
+    })
+    assert got["hits"]["hits"] == want["hits"]["hits"]
+    # composes with filter pills
+    en = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {
+            "must": [{"match_phrase": {"text": "order fast"}}],
+            "filter": [{"term": {"lang": "en"}}]}},
+    })
+    en_ids = {r.doc_id for r in docs.filter("lang = 'en'").collect()}
+    assert {h["_id"] for h in en["hits"]["hits"]} == members & en_ids

@@ -2218,3 +2218,69 @@ def test_derivative_unit_normalized_value(gap_frame):
                        "buckets_path": "_count", "unit": "1h"}}}}},
             gap_frame.columns,
         )
+
+
+# --- round-14: match_phrase -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def phrase_frame(spark):
+    return spark.createDataFrame(
+        [(0, "The Quick brown fox", "en"),
+         (1, "quick\tBROWN dog", "en"),
+         (2, "brown quick fox", "de"),
+         (3, "entirely other text", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+
+
+def test_match_phrase_token_exact_adjacency(phrase_frame):
+    """A quoted phrase: token-exact adjacency via the SHARED
+    tokenizer's normalization on BOTH sides (case, ASCII-whitespace
+    runs), order-sensitive, composable with metadata filters; the
+    phrase tokens also join `texts` as one required scoring clause."""
+    texts, opt, pred = serve.parse_query_dsl(
+        {"bool": {"must": [{"match_phrase": {"text": "Quick  BROWN"}}],
+                  "filter": [{"term": {"lang": "en"}}]}},
+        phrase_frame,
+    )
+    assert texts == ["quick brown"] and not opt
+    assert sorted(
+        r.doc_id for r in phrase_frame.filter(pred).collect()
+    ) == [0, 1]  # doc 2 has the tokens REVERSED — no phrase match
+    # object form, single-token phrase
+    _, _, pred = serve.parse_query_dsl(
+        {"match_phrase": {"text": {"query": "FOX"}}}, phrase_frame
+    )
+    assert sorted(
+        r.doc_id for r in phrase_frame.filter(pred).collect()
+    ) == [0, 2]
+
+
+def test_match_phrase_400s(phrase_frame, frame):
+    # slop needs positions — refused, never silently served as slop 0
+    with pytest.raises(ValueError, match="slop"):
+        serve.parse_query_dsl(
+            {"match_phrase": {"text": {"query": "a b", "slop": 2}}},
+            phrase_frame,
+        )
+    # adjacency verifies against the MOUNTED text
+    with pytest.raises(ValueError, match="not in the mounted"):
+        serve.parse_query_dsl(
+            {"match_phrase": {"text": "a b"}}, frame
+        )
+    with pytest.raises(ValueError, match="verified against"):
+        serve.parse_query_dsl(
+            {"match_phrase": {"lang": "en"}}, phrase_frame
+        )
+    with pytest.raises(ValueError, match="must_not"):
+        serve.parse_query_dsl(
+            {"bool": {"must_not": [{"match_phrase": {"text": "a b"}}]}},
+            phrase_frame,
+        )
+    with pytest.raises(ValueError, match="'should'"):
+        serve.parse_query_dsl(
+            {"bool": {"must": [{"term": {"lang": "en"}}],
+                      "should": [{"match_phrase": {"text": "a b"}}]}},
+            phrase_frame,
+        )
