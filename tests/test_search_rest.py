@@ -1849,3 +1849,44 @@ def test_match_phrase_over_rest(spark, sf_dir, stack):
     })
     en_ids = {r.doc_id for r in docs.filter("lang = 'en'").collect()}
     assert {h["_id"] for h in en["hits"]["hits"]} == members & en_ids
+
+
+def test_match_phrase_composes_with_match_conjunction(spark, sf_dir, stack):
+    """A phrase AND a separate match clause: two required clauses
+    through the per-clause conjunction, adjacency still enforced by
+    the keep-set — membership is (phrase set) ∩ (clause match set)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    _, bm25_root, ivfpq_root, embs = stack
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    server = SearchRestServer(
+        spark, bm25_root=bm25_root, ivfpq_root=ivfpq_root,
+        query_source=embs, doc_source=docs,
+    )
+    got = server.search({
+        "mode": "bm25", "k": 500,
+        "query": {"bool": {"must": [
+            {"match_phrase": {"text": "order fast"}},
+            {"match": {"text": "merge"}},
+        ]}},
+    })
+    phrase = {
+        r.doc_id
+        for r in docs.filter(
+            serve.phrase_predicate(F.col("text"), "order fast")
+        ).collect()
+    }
+    merge_docs = {
+        h["_id"]
+        for h in server.search(
+            {"mode": "bm25", "k": 5000, "query": "merge"}
+        )["hits"]["hits"]
+    }
+    want = phrase & merge_docs
+    assert want and want < phrase  # both constraints bite
+    assert {h["_id"] for h in got["hits"]["hits"]} == want
+    assert got["hits"]["total"] == len(want)
