@@ -3002,6 +3002,76 @@ def filters_chain_flat(docs: DataFrame, body: dict) -> DataFrame:
 # --- Kibana saved-object translation ------------------------------------------
 
 
+def kql_node(q: str, field_map: dict[str, str] | None = None) -> dict:
+    """A Kibana filters-control input (KQL) as a query-DSL node — the
+    subset those inputs actually hold: ``field: value`` (term, quoted
+    or bare, numbers coerced), ``field: *`` (exists), ``field >/>=/
+    </<= value`` (range), conjunctions with ``and``, and the empty
+    input (match_all). ``or``/``not``/parentheses/free text are
+    explicit 400s — a dropped or mis-parsed filter input would
+    silently serve a DIFFERENT split than the panel shows."""
+    import re
+
+    fm = field_map or {}
+
+    def xf(f: str) -> str:
+        f = f.strip()
+        base = f[: -len(".keyword")] if f.endswith(".keyword") else f
+        return fm.get(base, base)
+
+    def coerce(v: str):
+        v = v.strip()
+        if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+            return v[1:-1]
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+    q = (q or "").strip()
+    if not q:
+        return {"match_all": {}}
+    low = q.lower()
+    if re.search(r"\bor\b|\bnot\b|[()]", low):
+        raise ValueError(
+            f"KQL filter input {q!r}: only 'field: value', "
+            "'field: *', range comparisons, and 'and' conjunctions "
+            "are served — or/not/parentheses need a hand-written "
+            "query-DSL filter"
+        )
+    nodes: list[dict] = []
+    for part in re.split(r"\s+and\s+", q, flags=re.IGNORECASE):
+        part = part.strip()
+        m = re.fullmatch(r"([\w.@-]+)\s*(>=|<=|>|<)\s*(.+)", part)
+        if m:
+            op = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[
+                m.group(2)
+            ]
+            nodes.append(
+                {"range": {xf(m.group(1)): {op: coerce(m.group(3))}}}
+            )
+            continue
+        m = re.fullmatch(r"([\w.@-]+)\s*:\s*(.+)", part)
+        if m is None:
+            raise ValueError(
+                f"KQL filter input {q!r}: {part!r} is not "
+                "'field: value' / 'field: *' / a range comparison "
+                "(free text belongs to the search bar, not a filter)"
+            )
+        f, v = xf(m.group(1)), m.group(2).strip()
+        if v == "*":
+            nodes.append({"exists": {"field": f}})
+        else:
+            nodes.append({"term": {f: coerce(v)}})
+    if len(nodes) == 1:
+        return nodes[0]
+    return {"bool": {"filter": nodes}}
+
+
 def kibana_vis_aggs(
     vis_state: dict,
     field_map: dict[str, str] | None = None,
@@ -3025,6 +3095,10 @@ def kibana_vis_aggs(
     - ``interval: "auto"`` is a UI zoom-level choice — the caller
       passes the ``fixed_interval`` to resolve it; an explicit
       Kibana interval passes through
+    - a ``filters`` split (the "Split series by Filters" control)
+      translates each row's KQL input through :func:`kql_node` into
+      the engine's NAMED filters agg, nested OUTSIDE the chain —
+      Kibana's own group-outside-segment nesting
     - terms ``size`` passes through, and ``orderBy``/``order``
       translate to the compiler's terms ``order`` — ``"_term"`` /
       ``"_key"`` → key order, an agg id → that metric (the count
@@ -3049,6 +3123,7 @@ def kibana_vis_aggs(
 
     entries = vis_state.get("aggs", [])
     buckets: list[tuple[str, str, dict]] = []
+    filters_split: tuple[str, dict] | None = None
     metrics: dict[str, dict] = {}
     # agg id → translated metric name ("_count" for the inherent count
     # metric) — what a terms entry's orderBy references; metrics are
@@ -3160,6 +3235,52 @@ def kibana_vis_aggs(
                     "field": xfield(params["field"]),
                     "interval": float(params["interval"]),
                 }))
+            elif typ == "filters":
+                # Kibana's "Split series by Filters": each control
+                # row is a KQL input + optional label. Translates to
+                # the engine's NAMED filters agg (key = label, else
+                # the input string — the client relabels), nested
+                # OUTSIDE the chain like Kibana nests group outside
+                # segment; kql_node applies the same field_map.
+                if filters_split is not None:
+                    raise ValueError(
+                        "one filters split per visualization (two "
+                        "would need a filters×filters product the "
+                        "serve does not express)"
+                    )
+                rows = params.get("filters")
+                if not isinstance(rows, list) or not rows:
+                    raise ValueError(
+                        f"Kibana filters agg {name!r}: 'params."
+                        "filters' must be a non-empty list"
+                    )
+                named: dict[str, dict] = {}
+                for j, row in enumerate(rows):
+                    if not isinstance(row, dict):
+                        raise ValueError(
+                            f"Kibana filters agg {name!r}: each "
+                            "filter row is an object"
+                        )
+                    inp = row.get("input") or {}
+                    lang = inp.get("language", "kuery")
+                    if lang not in ("kuery", "lucene"):
+                        raise ValueError(
+                            f"Kibana filters agg {name!r}: filter "
+                            f"language {lang!r} is not served"
+                        )
+                    qstr = inp.get("query", "")
+                    label = row.get("label") or str(qstr) or f"*{j}"
+                    if label in named:
+                        raise ValueError(
+                            f"Kibana filters agg {name!r}: duplicate "
+                            f"filter label {label!r} — label the "
+                            "rows distinctly"
+                        )
+                    # lucene-mode inputs in these controls hold the
+                    # same field:value shapes the KQL subset parses;
+                    # anything richer 400s inside kql_node
+                    named[label] = kql_node(str(qstr), fm)
+                filters_split = (name, named)
             else:
                 raise ValueError(
                     f"unsupported Kibana bucket type {typ!r}"
@@ -3170,7 +3291,7 @@ def kibana_vis_aggs(
                 "metric, segment, group, bucket) — silently dropping a "
                 "panel dimension would serve different results"
             )
-    if not buckets and not metrics:
+    if not buckets and not metrics and filters_split is None:
         return None
     # innermost-out: metrics inside the last bucket (Kibana's request
     # nesting for a chart: each bucket level wraps the next, metrics
@@ -3181,6 +3302,12 @@ def kibana_vis_aggs(
         if inner:
             node["aggs"] = inner
         inner = {name: node}
+    if filters_split is not None:
+        fname, named = filters_split
+        fnode: dict = {"filters": {"filters": named}}
+        if inner:
+            fnode["aggs"] = inner
+        inner = {fname: fnode}
     return inner
 
 

@@ -2284,3 +2284,72 @@ def test_match_phrase_400s(phrase_frame, frame):
                       "should": [{"match_phrase": {"text": "a b"}}]}},
             phrase_frame,
         )
+
+
+# --- round-14: Kibana filters split + KQL subset --------------------------------
+
+
+def test_kql_node_subset():
+    assert serve.kql_node("lang: en") == {"term": {"lang": "en"}}
+    assert serve.kql_node('lang: "en gb"') == {"term": {"lang": "en gb"}}
+    assert serve.kql_node("n_chars >= 300") == {
+        "range": {"n_chars": {"gte": 300}}}
+    assert serve.kql_node("lang: *") == {"exists": {"field": "lang"}}
+    assert serve.kql_node("") == {"match_all": {}}
+    assert serve.kql_node("CLUB_STATUS.keyword: gold",
+                          {"CLUB_STATUS": "lang"}) == {
+        "term": {"lang": "gold"}}
+    assert serve.kql_node("lang: en and n_chars < 10") == {
+        "bool": {"filter": [{"term": {"lang": "en"}},
+                            {"range": {"n_chars": {"lt": 10}}}]}}
+    for bad in ("lang: en or lang: de", "not lang: en",
+                "(lang: en)", "bare free text"):
+        with pytest.raises(ValueError, match="KQL filter input"):
+            serve.kql_node(bad)
+
+
+def test_kibana_filters_split_translation(frame):
+    """The "Split series by Filters" control: each row's KQL input
+    becomes a named filter, nested OUTSIDE the date chain (Kibana's
+    group-outside-segment), and the whole spec serves through the
+    filters+chain path."""
+    vis = {"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "2", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "TS", "interval": "auto"}},
+        {"id": "3", "type": "filters", "schema": "group",
+         "params": {"filters": [
+             {"input": {"query": "LANG: en", "language": "kuery"},
+              "label": "English"},
+             {"input": {"query": "N_CHARS >= 30", "language": "kuery"}},
+         ]}},
+    ]}
+    spec = serve.kibana_vis_aggs(
+        vis, {"TS": "ts", "LANG": "lang", "N_CHARS": "n_chars"},
+        fixed_interval="1d",
+    )
+    node = spec["k3"]
+    assert node["filters"]["filters"] == {
+        "English": {"term": {"lang": "en"}},
+        "N_CHARS >= 30": {"range": {"n_chars": {"gte": 30}}},
+    }
+    assert "k2" in node["aggs"]
+    # and it SERVES through the filters+chain path
+    env = serve.filters_nested(
+        frame, {"filters": node["filters"]["filters"],
+                "aggs": node["aggs"]},
+    )
+    assert env["buckets"]["English"]["doc_count"] == 3
+    assert sum(
+        d["doc_count"]
+        for d in env["buckets"]["N_CHARS >= 30"]["k2"]["buckets"]
+    ) == env["buckets"]["N_CHARS >= 30"]["doc_count"] == 4
+    # duplicate labels and unsupported languages are 400s
+    vis["aggs"][2]["params"]["filters"].append(
+        {"input": {"query": "x: 1"}, "label": "English"})
+    with pytest.raises(ValueError, match="duplicate filter label"):
+        serve.kibana_vis_aggs(vis, {})
+    vis["aggs"][2]["params"]["filters"] = [
+        {"input": {"query": "x: 1", "language": "sql"}}]
+    with pytest.raises(ValueError, match="language"):
+        serve.kibana_vis_aggs(vis, {})
