@@ -709,3 +709,38 @@ def test_metric_ordered_truncation_keeps_window_group_limit(spark, sf_dir):
         assert "mean" in p.split("WindowGroupLimit")[1].split("\n")[0]
     finally:
         caching.release_pinned()
+
+
+def test_filters_chain_explode_rollup_shape(plans):
+    """Round 14: the filters+chain agg compiles to the matched-filter
+    EXPLODE feeding ONE shared rollup (Generate → Expand →
+    HashAggregate with map-side partials) — never N per-filter
+    aggregation plans unioned. The synthetic terms keep-list rides a
+    COLUMN-PRUNED count-only branch that ends in
+    TakeOrderedAndProject and semi-joins back — bucket-bounded, never
+    a per-filter corpus re-aggregation of the metric columns."""
+    p = plans("ext_search_aggs_filters_chain")
+    assert "Generate explode" in p      # the multi-membership explode
+    assert "Expand" in p                # the shared rollup
+    assert "LeftSemi" in p and "TakeOrderedAndProject" in p
+    # the keep-list branch prunes to count(1): no avg/sum of the
+    # metric fields is recomputed per filter on that side
+    keep_branch = p[p.index("TakeOrderedAndProject"):]
+    agg_lines = [
+        line for line in keep_branch.splitlines()
+        if "HashAggregate" in line
+    ]
+    assert agg_lines and all("avg(" not in line for line in agg_lines)
+
+
+def test_dh_timezone_is_key_expression_not_extra_pass(plans):
+    """Round 14: time_zone compiles to from_utc_timestamp →
+    date_trunc → to_utc_timestamp INSIDE the rollup key column — the
+    same one-rollup plan, no extra exchange, join, or pass relative
+    to the no-tz chain."""
+    p = plans("ext_search_aggs_dh_timezone")
+    assert "from_utc_timestamp" in p and "to_utc_timestamp" in p
+    assert "Expand" in p
+    # one shuffle total: the rollup's ENSURE_REQUIREMENTS exchange
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
