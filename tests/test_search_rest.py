@@ -1890,3 +1890,35 @@ def test_match_phrase_composes_with_match_conjunction(spark, sf_dir, stack):
     assert want and want < phrase  # both constraints bite
     assert {h["_id"] for h in got["hits"]["hits"]} == want
     assert got["hits"]["total"] == len(want)
+
+
+def test_kibana_filters_split_panel_over_rest(meta_server):
+    """Round 14: a filters-split Kibana panel translated and served in
+    ONE request — per-filter date chains whose doc_counts tile each
+    filter's own count, zero-row filters zero-filled."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    server, meta = meta_server
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "2", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "ts", "interval": "auto"}},
+        {"id": "3", "type": "filters", "schema": "group",
+         "params": {"filters": [
+             {"input": {"query": "lang: en"}, "label": "English"},
+             {"input": {"query": "n_chars >= 300 and lang: de"}},
+             {"input": {"query": "lang: xx"}, "label": "Nobody"},
+         ]}},
+    ]}, fixed_interval="1d")
+    out = server.search({"aggs": spec})
+    b = out["aggregations"]["k3"]["buckets"]
+    assert b["English"]["doc_count"] == meta.filter("lang = 'en'").count()
+    assert b["n_chars >= 300 and lang: de"]["doc_count"] == meta.filter(
+        "n_chars >= 300 AND lang = 'de'").count()
+    for name in ("English", "n_chars >= 300 and lang: de"):
+        assert sum(
+            d["doc_count"] for d in b[name]["k2"]["buckets"]
+        ) == b[name]["doc_count"]
+    assert b["Nobody"] == {"doc_count": 0, "k2": {"buckets": []}}
