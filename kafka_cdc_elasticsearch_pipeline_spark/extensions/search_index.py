@@ -1989,6 +1989,24 @@ def pinnable_watermarks(index_root: str, app_id: str) -> list[int]:
     return sorted(common)
 
 
+def joint_applied_watermark(
+    bm25_root: str,
+    bm25_app_id: str,
+    ivfpq_root: str,
+    ivfpq_app_id: str,
+) -> int:
+    """THE joint-watermark rule: the newest source version BOTH
+    indexes reflect (min of applied watermarks). One spelling — the
+    pinned pair resolver and the REST layer's pinned-conjunction
+    keep-set both call this, so they can never silently resolve
+    different boundaries (the mixed-version bug pinning exists to
+    close). Manifest reads only."""
+    return min(
+        index_applied_watermark(bm25_root, bm25_app_id),
+        index_applied_watermark(ivfpq_root, ivfpq_app_id),
+    )
+
+
 def _pinned_pair_at(
     bm25_root: str,
     ivfpq_root: str,
@@ -1999,11 +2017,10 @@ def _pinned_pair_at(
     """Resolve one source watermark into per-table pinned versions for
     BOTH index families — the shared setup of the pinned serves.
     ``watermark=None`` picks the newest version both indexes reflect
-    (min of applied watermarks). Manifest reads only."""
+    (:func:`joint_applied_watermark`). Manifest reads only."""
     if watermark is None:
-        watermark = min(
-            index_applied_watermark(bm25_root, bm25_app_id),
-            index_applied_watermark(ivfpq_root, ivfpq_app_id),
+        watermark = joint_applied_watermark(
+            bm25_root, bm25_app_id, ivfpq_root, ivfpq_app_id
         )
     return (
         index_versions_at_watermark(bm25_root, bm25_app_id, watermark),

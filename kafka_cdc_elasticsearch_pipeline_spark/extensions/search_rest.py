@@ -878,13 +878,12 @@ class SearchRestServer:
                         "ivfpq_app_id mounted on this server"
                     )
                 if wm is None:
-                    wm = min(
-                        si.index_applied_watermark(
-                            self.bm25_root, self.bm25_app_id
-                        ),
-                        si.index_applied_watermark(
-                            self.ivfpq_root, self.ivfpq_app_id
-                        ),
+                    # the SAME rule _pinned_pair_at applies — one
+                    # spelling, so keep-set and scoring can never
+                    # resolve different boundaries (review finding)
+                    wm = si.joint_applied_watermark(
+                        self.bm25_root, self.bm25_app_id,
+                        self.ivfpq_root, self.ivfpq_app_id,
                     )
                 conj_at = si.index_versions_at_watermark(
                     self.bm25_root, self.bm25_app_id, wm

@@ -149,11 +149,14 @@ def _parse_time_zone(name: str, tz) -> str:
             "IANA zone name or a ±HH:MM offset string"
         )
     if re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
-        hh = int(tz[1:3])
-        if hh > 18 or int(tz[4:6]) > 59:
+        hh, mm = int(tz[1:3]), int(tz[4:6])
+        # Java ZoneOffset caps at ±18:00 EXACTLY — +18:30 would sail
+        # through an hh-only check and DateTimeException into the 500
+        # taxonomy at plan time (review finding)
+        if hh > 18 or mm > 59 or (hh == 18 and mm > 0):
             raise ValueError(
                 f"date_histogram agg {name!r}: offset {tz!r} is out "
-                "of range"
+                "of range (±18:00 max)"
             )
         return tz
     import zoneinfo
@@ -363,8 +366,12 @@ class _Bucket:
         self.calendar: str | None = None
         # date_histogram-only: ES time_zone (bucket at the caller's
         # LOCAL day/hour boundaries — membership changes, not just
-        # labels) and format (key_as_string rendering)
+        # labels) and format (key_as_string rendering). tz_wall =
+        # whether the KEY arithmetic shifts into wall space (see the
+        # parse below for the DST soundness rule); key_as_string
+        # localizes whenever time_zone is set, either way.
         self.time_zone: str | None = None
+        self.tz_wall = False
         self.fmt: str | None = None
         self.ranges: list[tuple[float | None, float | None]] | None = None
         # dense-timeline knobs (date_histogram / histogram only):
@@ -568,6 +575,8 @@ class _Bucket:
                 self.calendar = _CALENDAR_UNITS[cal]
             tz = body.get("time_zone")
             if tz is not None:
+                import re
+
                 # "UTC" (what some Kibana locales send) is the
                 # engine's native frame — normalize to the no-shift
                 # plan instead of wrapping every key in a pair of
@@ -575,6 +584,29 @@ class _Bucket:
                 parsed = _parse_time_zone(name, tz)
                 if parsed not in ("UTC", "+00:00", "-00:00"):
                     self.time_zone = parsed
+                    # WALL-space key arithmetic is sound only when no
+                    # two grid keys can collapse (or one data reading
+                    # merge) across a DST transition: a fixed ±HH:MM
+                    # offset never transitions, and a grid coarser
+                    # than the 1 h transition step keeps wall keys >
+                    # 1 h apart (review finding: hourly NY buckets
+                    # merged the repeated fall-back hour, and the
+                    # spring-forward spine emitted one key twice).
+                    # For sub-hour/hourly grids under an IANA zone
+                    # the keys stay PLAIN UTC — which IS ES's bucket
+                    # set there (local hours start on UTC hours for
+                    # whole-hour-offset zones; key_as_string still
+                    # localizes, the offset suffix keeping the
+                    # repeated local hour's two buckets distinct).
+                    # Known micro-divergence: fractional-offset DST
+                    # zones (Lord Howe) with sub-hour grids.
+                    self.tz_wall = bool(
+                        re.fullmatch(r"[+-]\d{2}:\d{2}", parsed)
+                    ) or (
+                        self.calendar in ("day", "month", "year")
+                    ) or (
+                        self.seconds is not None and self.seconds > 3600
+                    )
             if "format" in body:
                 self.fmt = _java_date_format(name, body["format"])
 
@@ -635,20 +667,21 @@ class _Bucket:
         # is its local midnight's actual UTC instant, not a fixed
         # offset. Same one-rollup plan — the shifts are expressions
         # inside the key column.
-        if self.time_zone is not None:
+        if self.time_zone is not None and self.tz_wall:
             c = F.from_utc_timestamp(c, self.time_zone)
         if self.calendar is not None:
             key = F.date_trunc(self.calendar, c)
         else:
             # fixed_interval: epoch-anchored tumbling bucket start —
             # the same arithmetic as F.window(...).start / DuckDB
-            # time_bucket (under time_zone: floored in wall space,
-            # ES's local rounding)
+            # time_bucket (under a wall-sound time_zone: floored in
+            # wall space, ES's local rounding; sub-hour/hourly grids
+            # under an IANA zone stay plain UTC — tz_wall)
             us = F.lit(int(self.seconds) * 1_000_000).cast("bigint")
             key = F.timestamp_micros(
                 F.floor(F.unix_micros(c) / us).cast("bigint") * us
             )
-        if self.time_zone is not None:
+        if self.time_zone is not None and self.tz_wall:
             key = F.to_utc_timestamp(key, self.time_zone)
         return key
 
@@ -1390,35 +1423,52 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     for d, b in enumerate(chain, start=1):
         if b.typ != "terms" or not b.other_bucket:
             continue
-        if tophits.get(d):
-            raise ValueError(
-                f"terms agg {b.name!r}: top_hits is not served in the "
-                "__other__ bucket — drop other_bucket or move the "
-                "top_hits"
-            )
-        hidden: list[_Metric] = []
-        for m in metrics.get(d, []):
-            if m.typ in ("percentiles", "cardinality"):
+        # the merge spans THIS level and every deeper one (the
+        # __other__ bucket carries its own sub-chain — the Kibana
+        # terms-split × date-axis shape), so the mergeability rules
+        # apply at every depth ≥ d
+        for d2 in range(d, len(chain) + 1):
+            if tophits.get(d2):
                 raise ValueError(
-                    f"terms agg {b.name!r}: {m.typ} cannot be merged "
-                    "into the __other__ bucket from the bucket frame "
-                    "— drop other_bucket or send the other-set "
-                    "request separately (a filters agg over the "
-                    "non-kept terms)"
+                    f"terms agg {b.name!r}: top_hits at or below an "
+                    "other_bucket level is not served (truncated-"
+                    "away buckets' rows were never collected) — drop "
+                    "other_bucket or move the top_hits"
                 )
-            if m.typ == "avg":
-                for suffix, htyp in (
-                    ("__obs", "sum"), ("__obn", "value_count")
+            hidden: list[_Metric] = []
+            for m in metrics.get(d2, []):
+                if m.hidden:
+                    continue
+                if m.typ in ("percentiles", "cardinality"):
+                    raise ValueError(
+                        f"terms agg {b.name!r}: {m.typ} cannot be "
+                        "merged into the __other__ bucket from the "
+                        "bucket frame — drop other_bucket or send "
+                        "the other-set request separately (a filters "
+                        "agg over the non-kept terms)"
+                    )
+                if m.typ == "avg" and not any(
+                    mm.hidden and mm.name == m.name + "__obs"
+                    for mm in metrics.get(d2, [])
                 ):
-                    hm = _Metric(m.name + suffix, htyp, {"field": m.field})
-                    hm.hidden = True
-                    hidden.append(hm)
-        for hm in hidden:
-            for col in {hm.name, *hm.columns}:
-                if col in reserved:
-                    raise ValueError(f"agg column {col!r} is reserved")
-                reserved.add(col)
-        metrics.setdefault(d, []).extend(hidden)
+                    # (idempotent: a second other_bucket level above
+                    # must not re-add the same companions)
+                    for suffix, htyp in (
+                        ("__obs", "sum"), ("__obn", "value_count")
+                    ):
+                        hm = _Metric(
+                            m.name + suffix, htyp, {"field": m.field}
+                        )
+                        hm.hidden = True
+                        hidden.append(hm)
+            for hm in hidden:
+                for col in {hm.name, *hm.columns}:
+                    if col in reserved:
+                        raise ValueError(
+                            f"agg column {col!r} is reserved"
+                        )
+                    reserved.add(col)
+            metrics.setdefault(d2, []).extend(hidden)
     return chain, metrics, tophits, pipelines
 
 
@@ -1595,44 +1645,65 @@ def _truncate_terms(
                     "string-keyed field (the '__other__' sentinel is "
                     "a string)"
                 )
-            lvl_metrics = [
-                m for m in (metrics or {}).get(d, []) if not m.hidden
-            ]
-            merge_aggs = [
-                F.sum("doc_count").cast("bigint").alias("doc_count")
-            ]
-            for m in lvl_metrics:
-                merge_aggs.extend(m.merge_exprs())
-            grp = (
-                lvl.join(keep, names[:d], "left_anti")
-                .groupBy(*names[: d - 1])
-                .agg(*merge_aggs)
-            )
-            merged_cols = {"doc_count"} | {
-                c for m in lvl_metrics for c in m.columns
-            }
-            sel: list[Column] = []
-            for fld in flat.schema.fields:
-                if fld.name == "depth":
-                    sel.append(F.lit(d).cast(fld.dataType).alias("depth"))
-                elif fld.name == b.name:
-                    sel.append(
-                        F.lit("__other__").cast(fld.dataType)
-                        .alias(fld.name)
-                    )
-                elif fld.name in names[: d - 1] or fld.name in merged_cols:
-                    sel.append(
-                        F.col(fld.name).cast(fld.dataType).alias(fld.name)
-                    )
-                else:
-                    sel.append(
-                        F.lit(None).cast(fld.dataType).alias(fld.name)
-                    )
-            pruned = pruned.unionByName(
-                # the nothing-truncated case: a parentless level's
-                # global agg still emits one row (NULL sum) — drop it
-                grp.select(*sel).filter(F.col("doc_count") > 0)
-            )
+            # merge THIS level and every deeper one: the __other__
+            # bucket carries its own sub-chain (the Kibana
+            # terms-split × date-axis shape — review finding: a
+            # depth-d-only merge served __other__ with silently
+            # EMPTY children). Each deeper level d2 groups the
+            # anti-joined depth-d2 rows by (parents, deeper keys)
+            # with the level-d key replaced by the sentinel — still
+            # bucket-frame passes; deeper terms levels truncate the
+            # merged rows per-parent in their own loop iterations.
+            for d2 in range(d, len(names) + 1):
+                lvl_metrics = [
+                    m for m in (metrics or {}).get(d2, [])
+                    if not m.hidden
+                ]
+                merge_aggs = [
+                    F.sum("doc_count").cast("bigint").alias("doc_count")
+                ]
+                for m in lvl_metrics:
+                    merge_aggs.extend(m.merge_exprs())
+                group_keys = names[: d - 1] + names[d:d2]
+                grp = (
+                    flat.filter(F.col("depth") == d2)
+                    .join(keep, names[:d], "left_anti")
+                    .groupBy(*group_keys)
+                    .agg(*merge_aggs)
+                )
+                merged_cols = {"doc_count"} | {
+                    c for m in lvl_metrics for c in m.columns
+                }
+                sel: list[Column] = []
+                for fld in flat.schema.fields:
+                    if fld.name == "depth":
+                        sel.append(
+                            F.lit(d2).cast(fld.dataType).alias("depth")
+                        )
+                    elif fld.name == b.name:
+                        sel.append(
+                            F.lit("__other__").cast(fld.dataType)
+                            .alias(fld.name)
+                        )
+                    elif (
+                        fld.name in group_keys
+                        or fld.name in merged_cols
+                    ):
+                        sel.append(
+                            F.col(fld.name).cast(fld.dataType)
+                            .alias(fld.name)
+                        )
+                    else:
+                        sel.append(
+                            F.lit(None).cast(fld.dataType)
+                            .alias(fld.name)
+                        )
+                pruned = pruned.unionByName(
+                    # the nothing-truncated case: a parentless
+                    # level's global agg still emits one row (NULL
+                    # sum) — drop it
+                    grp.select(*sel).filter(F.col("doc_count") > 0)
+                )
         flat = pruned
     return flat, others
 
@@ -1692,7 +1763,11 @@ def _spine(b: _Bucket, data_keys: list) -> list:
     import datetime
 
     epoch = datetime.datetime(1970, 1, 1)
-    tz = b.time_zone if b.typ == "date_histogram" else None
+    tz = (
+        b.time_zone
+        if b.typ == "date_histogram" and b.tz_wall
+        else None
+    )
     if tz is not None:
         data_keys = [_utc_to_wall(k, tz) for k in data_keys]
 
@@ -1950,6 +2025,18 @@ def aggs_nested(
             # order — Kibana renders it LAST, after the kept buckets
             other_mine = [r for r in mine if r[b.name] == "__other__"]
             mine = [r for r in mine if r[b.name] != "__other__"]
+            if len(other_mine) > 1:
+                # a REAL kept term equal to the sentinel collided
+                # with the fabricated merge row — two same-key
+                # buckets would serve silently wrong (review
+                # finding); the same reserved-sentinel discipline
+                # Kibana itself assumes
+                raise ValueError(
+                    f"terms agg {b.name!r}: a kept field value "
+                    "collides with the reserved '__other__' sentinel "
+                    "— disable other_bucket for this field, or "
+                    "exclude the value"
+                )
         if b.typ == "terms":
             # mirror _terms_order_cols exactly (two-pass stable sorts:
             # tiebreak first, then the primary key with its direction;
@@ -2117,9 +2204,22 @@ def aggs_nested(
                             if prev is not None:
                                 entry = {"value": cur - prev}
                                 if p.unit_ms is not None:
+                                    delta = bk["key"] - prev_key
+                                    if delta <= 0:
+                                        # defense in depth: the key
+                                        # arithmetic guarantees
+                                        # strictly increasing keys —
+                                        # a zero spacing must 400,
+                                        # never ZeroDivision-500
+                                        raise ValueError(
+                                            f"pipeline agg "
+                                            f"{p.name!r}: "
+                                            "non-increasing bucket "
+                                            "keys under 'unit'"
+                                        )
                                     entry["normalized_value"] = (
                                         (cur - prev) * p.unit_ms
-                                        / (bk["key"] - prev_key)
+                                        / delta
                                     )
                                 bk[p.name] = entry
                             prev, prev_key = cur, bk["key"]
@@ -3035,16 +3135,58 @@ def kql_node(q: str, field_map: dict[str, str] | None = None) -> dict:
     q = (q or "").strip()
     if not q:
         return {"match_all": {}}
-    low = q.lower()
-    if re.search(r"\bor\b|\bnot\b|[()]", low):
+    if re.match(r"not\s", q, re.IGNORECASE):
         raise ValueError(
-            f"KQL filter input {q!r}: only 'field: value', "
-            "'field: *', range comparisons, and 'and' conjunctions "
-            "are served — or/not/parentheses need a hand-written "
-            "query-DSL filter"
+            f"KQL filter input {q!r}: negation is not served — "
+            "invert the filter, or hand-write a query-DSL must_not"
         )
+    # quote-aware scan: 'and' only splits, and or/not/parens only
+    # refuse, OUTSIDE double quotes — a quoted literal like
+    # 'title: "a and b"' is ONE value (review finding: a naive
+    # re.split cut inside the quotes and silently served a different
+    # split than the panel shows)
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n, in_q = 0, len(q), False
+    while i < n:
+        ch = q[i]
+        if ch == '"':
+            in_q = not in_q
+            buf.append(ch)
+            i += 1
+            continue
+        if not in_q:
+            if ch in "()":
+                raise ValueError(
+                    f"KQL filter input {q!r}: only 'field: value', "
+                    "'field: *', range comparisons, and 'and' "
+                    "conjunctions are served — or/not/parentheses "
+                    "need a hand-written query-DSL filter"
+                )
+            m = re.match(r"\s+(and|or|not)\s+", q[i:], re.IGNORECASE)
+            if m:
+                word = m.group(1).lower()
+                if word != "and":
+                    raise ValueError(
+                        f"KQL filter input {q!r}: only 'field: "
+                        "value', 'field: *', range comparisons, and "
+                        "'and' conjunctions are served — or/not/"
+                        "parentheses need a hand-written query-DSL "
+                        "filter"
+                    )
+                parts.append("".join(buf))
+                buf = []
+                i += m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    if in_q:
+        raise ValueError(
+            f"KQL filter input {q!r}: unbalanced double quote"
+        )
+    parts.append("".join(buf))
     nodes: list[dict] = []
-    for part in re.split(r"\s+and\s+", q, flags=re.IGNORECASE):
+    for part in parts:
         part = part.strip()
         m = re.fullmatch(r"([\w.@-]+)\s*(>=|<=|>|<)\s*(.+)", part)
         if m:

@@ -1955,7 +1955,7 @@ def test_other_bucket_contract_400s(frame):
                    "aggs": {"u": {"cardinality": {"field": "lang"}}}}},
             frame.columns,
         )
-    with pytest.raises(ValueError, match="top_hits is not served"):
+    with pytest.raises(ValueError, match="top_hits at or below"):
         serve.parse_aggs(
             {"l": {"terms": {"field": "lang", "other_bucket": True},
                    "aggs": {"t": {"top_hits": {"size": 1}}}}},
@@ -2353,3 +2353,131 @@ def test_kibana_filters_split_translation(frame):
         {"input": {"query": "x: 1", "language": "sql"}}]
     with pytest.raises(ValueError, match="language"):
         serve.kibana_vis_aggs(vis, {})
+
+
+# --- round-14 review pass: DST sub-day, other chain, KQL quotes ------------------
+
+
+def test_time_zone_subday_intervals_survive_dst(spark):
+    """Review findings: hourly NY buckets merged the repeated
+    fall-back hour, and spring-forward gap fill emitted one key
+    twice. Sub-hour/hourly grids under an IANA zone now keep PLAIN
+    UTC keys — ES's own bucket set there — with key_as_string's
+    offset suffix keeping the repeated local hour's two buckets
+    distinct; ≥-day calendars and >1h fixed grids keep the wall
+    arithmetic."""
+    df = spark.createDataFrame(
+        [(0, "2024-11-03 05:30:00"), (1, "2024-11-03 06:30:00"),
+         (2, "2024-11-03 07:30:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env = serve.aggs_nested(df, {"h": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1h",
+        "time_zone": "America/New_York"}}})
+    got = [(b["key_as_string"], b["doc_count"])
+           for b in env["h"]["buckets"]]
+    # the local 01:00 hour happens TWICE — two buckets, two offsets
+    assert got == [
+        ("2024-11-03T01:00:00-04:00", 1),
+        ("2024-11-03T01:00:00-05:00", 1),
+        ("2024-11-03T02:00:00-05:00", 1),
+    ]
+    # spring-forward gap fill: keys strictly distinct, the
+    # nonexistent local 02:00 never appears
+    df2 = spark.createDataFrame(
+        [(0, "2024-03-10 05:30:00"), (1, "2024-03-10 08:30:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env2 = serve.aggs_nested(df2, {"h": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1h",
+        "time_zone": "America/New_York", "min_doc_count": 0}}})
+    keys = [b["key"] for b in env2["h"]["buckets"]]
+    assert sorted(set(keys)) == keys and len(keys) == 4
+    strs = [b["key_as_string"] for b in env2["h"]["buckets"]]
+    assert "2024-03-10T02:00:00" not in " ".join(strs)
+    # a fixed ±HH:MM offset has no transitions: hourly wall
+    # arithmetic stays — buckets anchor at LOCAL whole hours, whose
+    # UTC instants carry the half-hour phase
+    env3 = serve.aggs_nested(df2, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h",
+        "time_zone": "+05:30"}}})
+    for b in env3["h"]["buckets"]:
+        assert b["key_as_string"].endswith(":00:00+05:30")
+        assert b["key"] % 3_600_000 == 1_800_000  # :30 UTC phase
+    # 12h fixed under the DST zone keeps LOCAL noon/midnight anchors
+    env4 = serve.aggs_nested(df2, {"t": {"date_histogram": {
+        "field": "ts", "fixed_interval": "12h",
+        "time_zone": "America/New_York"}}})
+    assert [b["key_as_string"] for b in env4["t"]["buckets"]] == [
+        "2024-03-10T00:00:00-05:00"
+    ]
+
+
+def test_time_zone_offset_cap(dst_frame):
+    """Review finding: +18:30 sailed past an hours-only check into a
+    JVM DateTimeException 500 — Java caps ZoneOffset at ±18:00."""
+    with pytest.raises(ValueError, match="18:00 max"):
+        serve.aggs_flat(dst_frame, {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d",
+            "time_zone": "+18:30"}}})
+    flat = serve.aggs_flat(dst_frame, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1d",
+        "time_zone": "+18:00"}}})
+    assert flat.filter(F.col("depth") == 1).count() > 0
+
+
+def test_other_bucket_carries_its_sub_chain(frame):
+    """Review finding: an other_bucket terms level with a DEEPER
+    chain served __other__ with silently EMPTY children. The merge
+    now spans every deeper level: the __other__ bucket carries its
+    own per-day chain and the chain doc_counts tile the bucket."""
+    env = serve.aggs_nested(frame, {
+        "g": {"terms": {"field": "lang", "size": 1,
+                        "other_bucket": True},
+              "aggs": {"m": {"avg": {"field": "n_chars"}},
+                       "by_day": {"date_histogram": {
+                           "field": "ts", "fixed_interval": "1d"},
+                           "aggs": {"s": {"sum": {"field": "n_chars"}}}}}}})
+    other = env["g"]["buckets"][-1]
+    assert other["key"] == "__other__"
+    # de 30 (day 1) + fr 60 (day 2)
+    days = [(d["key_as_string"][:10], d["doc_count"], d["s"]["value"])
+            for d in other["by_day"]["buckets"]]
+    assert days == [("2024-01-01", 1, 30), ("2024-01-02", 1, 60)]
+    assert sum(d for _, d, _ in days) == other["doc_count"] == 2
+    assert other["m"]["value"] == 45.0
+    # deeper-level mergeability rules apply too
+    with pytest.raises(ValueError, match="cannot be merged"):
+        serve.parse_aggs(
+            {"g": {"terms": {"field": "lang", "other_bucket": True},
+                   "aggs": {"by_day": {"date_histogram": {
+                       "field": "ts", "fixed_interval": "1d"},
+                       "aggs": {"u": {"cardinality": {
+                           "field": "lang"}}}}}}},
+            frame.columns,
+        )
+
+
+def test_other_bucket_sentinel_collision_is_400(spark):
+    """Review finding: a kept REAL '__other__' term colliding with
+    the fabricated merge row served two same-key buckets silently."""
+    df = spark.createDataFrame(
+        [(0, "__other__"), (1, "__other__"), (2, "en"), (3, "de")],
+        "doc_id bigint, lang string",
+    )
+    with pytest.raises(ValueError, match="reserved '__other__'"):
+        serve.aggs_nested(df, {"l": {"terms": {
+            "field": "lang", "size": 1, "other_bucket": True}}})
+
+
+def test_kql_quotes_protect_operators():
+    """Review finding: a quoted value containing ' and ' split inside
+    the quotes; quoted or/not falsely 400ed."""
+    assert serve.kql_node('title: "a and note: b"') == {
+        "term": {"title": "a and note: b"}}
+    assert serve.kql_node('genre: "rock or pop"') == {
+        "term": {"genre": "rock or pop"}}
+    with pytest.raises(ValueError, match="unbalanced"):
+        serve.kql_node('t: "open')
+    with pytest.raises(ValueError, match="negation"):
+        serve.kql_node("not lang: en")
