@@ -104,14 +104,20 @@ _MOVING_FNS = {
     "max": lambda vs: float(max(vs)),
 }
 
-#: calendar_interval → Spark/ISO date_trunc unit (the subset a
-#: dashboard uses; ES also has week/quarter — week starts differ
-#: between engines, so it is deliberately absent until pinned).
+#: calendar_interval → Spark/ISO date_trunc unit (the units a
+#: dashboard uses). Weeks are ISO Monday-start in ES, Spark
+#: date_trunc('week'), AND DuckDB date_trunc('week') — one shared
+#: convention, pinned by the ext_search_aggs_dh_week gate row whose
+#: oracle crosses a year boundary (the ISO week-1 edge). Kibana's
+#: auto-interval picks '1w' for any 1–3-month zoom, so this is a
+#: day-one unit, not a corner.
 _CALENDAR_UNITS = {
     "minute": "minute", "1m": "minute",
     "hour": "hour", "1h": "hour",
     "day": "day", "1d": "day",
+    "week": "week", "1w": "week",
     "month": "month", "1M": "month",
+    "quarter": "quarter", "1q": "quarter",
     "year": "year", "1y": "year",
 }
 
@@ -169,6 +175,73 @@ def _parse_time_zone(name: str, tz) -> str:
             "(IANA zone name or ±HH:MM offset)"
         ) from None
     return tz
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _zone_offsets(tz: str) -> frozenset:
+    """The DISTINCT UTC offsets (seconds) an IANA zone uses over the
+    1970–2038 era, probed every 3 days — cheap (≈8k datetime
+    conversions, cached per zone) and sound for real tzdata: every
+    DST regime and historical offset change persists for weeks, far
+    wider than the probe step. Two soundness facts derive from it:
+
+    - ``len == 1`` → the zone is TRANSITION-FREE (Asia/Kolkata,
+      Asia/Kathmandu, all fixed-offset aliases): wall-space key
+      arithmetic can never collapse or double a grid key, exactly
+      like a literal ``±HH:MM`` offset — so it is wall-sound at ANY
+      grid, fractional offset included.
+    - all offsets whole-hour → local hour boundaries coincide with
+      UTC hour boundaries at every instant, so for ≤1 h grids the
+      plain-UTC bucket set IS ES's bucket set (America/*, Europe/*).
+
+    A transitioning zone with a fractional offset (Australia/
+    Adelaide, Australia/Lord_Howe, Asia/Tehran pre-2023) at a ≤1 h
+    grid satisfies neither — the caller must refuse rather than
+    silently serve UTC-aligned buckets where ES serves :30/:45-
+    aligned ones."""
+    import datetime
+
+    zi = _tzinfo(tz)
+    utc = datetime.timezone.utc
+    t = datetime.datetime(1970, 1, 1, tzinfo=utc)
+    end = datetime.datetime(2038, 1, 1, tzinfo=utc)
+    step = datetime.timedelta(days=3)
+    offs = set()
+    while t < end:
+        offs.add(int(t.astimezone(zi).utcoffset().total_seconds()))
+        t += step
+    return frozenset(offs)
+
+
+_OFFSET_UNIT_MS = {
+    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000,
+}
+
+
+def _parse_dh_offset(name: str, off) -> int:
+    """ES date_histogram ``offset``: a signed duration (``"+6h"``,
+    ``"-30m"``) that shifts every bucket's start — Kibana sends it
+    for week-start preferences and "day starting at 06:00" panels.
+    Returns the shift in MICROSECONDS; grammar is the ES
+    date-histogram offset subset (±, integer, ms/s/m/h/d)."""
+    import re
+
+    if not isinstance(off, str):
+        raise ValueError(
+            f"date_histogram agg {name!r}: 'offset' must be a signed "
+            "duration string like '+6h' or '-30m'"
+        )
+    m = re.fullmatch(r"([+-])(\d+)(ms|s|m|h|d)", off.strip())
+    if m is None:
+        raise ValueError(
+            f"date_histogram agg {name!r}: offset {off!r} is not "
+            "±<integer><ms|s|m|h|d>"
+        )
+    sign = 1 if m.group(1) == "+" else -1
+    return sign * int(m.group(2)) * _OFFSET_UNIT_MS[m.group(3)] * 1000
 
 
 def _tzinfo(tz: str):
@@ -269,6 +342,7 @@ _BUCKET_KEYS = {
     "date_histogram": {
         "field", "fixed_interval", "calendar_interval",
         "min_doc_count", "extended_bounds", "time_zone", "format",
+        "offset",
     },
     "histogram": {"field", "interval", "min_doc_count", "extended_bounds"},
     "range": {"field", "ranges"},
@@ -373,6 +447,11 @@ class _Bucket:
         self.time_zone: str | None = None
         self.tz_wall = False
         self.fmt: str | None = None
+        # date_histogram-only: ES 'offset' — every bucket start
+        # shifted by a fixed signed duration (microseconds here);
+        # applied in the SAME space the flooring runs in (wall space
+        # under a wall-sound time_zone), ES's documented order
+        self.offset_us = 0
         self.ranges: list[tuple[float | None, float | None]] | None = None
         # dense-timeline knobs (date_histogram / histogram only):
         # min_doc_count=0 emits EMPTY buckets for interior gaps (the
@@ -587,26 +666,51 @@ class _Bucket:
                     # WALL-space key arithmetic is sound only when no
                     # two grid keys can collapse (or one data reading
                     # merge) across a DST transition: a fixed ±HH:MM
-                    # offset never transitions, and a grid coarser
-                    # than the 1 h transition step keeps wall keys >
-                    # 1 h apart (review finding: hourly NY buckets
-                    # merged the repeated fall-back hour, and the
-                    # spring-forward spine emitted one key twice).
-                    # For sub-hour/hourly grids under an IANA zone
-                    # the keys stay PLAIN UTC — which IS ES's bucket
-                    # set there (local hours start on UTC hours for
-                    # whole-hour-offset zones; key_as_string still
-                    # localizes, the offset suffix keeping the
-                    # repeated local hour's two buckets distinct).
-                    # Known micro-divergence: fractional-offset DST
-                    # zones (Lord Howe) with sub-hour grids.
-                    self.tz_wall = bool(
-                        re.fullmatch(r"[+-]\d{2}:\d{2}", parsed)
+                    # offset never transitions, a TRANSITION-FREE
+                    # IANA zone (constant utcoffset over the probed
+                    # era — Asia/Kolkata, Asia/Kathmandu) behaves
+                    # identically, and a grid coarser than the 1 h
+                    # transition step keeps wall keys > 1 h apart
+                    # (review finding: hourly NY buckets merged the
+                    # repeated fall-back hour, and the spring-forward
+                    # spine emitted one key twice). For ≤1 h grids
+                    # under a TRANSITIONING zone the keys stay PLAIN
+                    # UTC when every offset the zone uses is
+                    # whole-hour — which IS ES's bucket set there
+                    # (local hours start on UTC hours; key_as_string
+                    # still localizes, the offset suffix keeping the
+                    # repeated local hour's two buckets distinct). A
+                    # transitioning zone with a FRACTIONAL offset
+                    # (Australia/Adelaide +09:30/+10:30, Lord Howe)
+                    # at a ≤1 h grid satisfies neither soundness rule
+                    # — ES buckets on :30/:45 local boundaries there,
+                    # so serving plain UTC would silently diverge:
+                    # refuse instead (the repo's refuse-rather-than-
+                    # silently-diverge rule).
+                    fixed = bool(re.fullmatch(r"[+-]\d{2}:\d{2}", parsed))
+                    offs = None if fixed else _zone_offsets(parsed)
+                    self.tz_wall = fixed or (
+                        offs is not None and len(offs) == 1
                     ) or (
-                        self.calendar in ("day", "month", "year")
+                        self.calendar is not None
+                        and self.calendar not in ("minute", "hour")
                     ) or (
                         self.seconds is not None and self.seconds > 3600
                     )
+                    if not self.tz_wall and offs is not None and any(
+                        o % 3600 for o in offs
+                    ):
+                        raise ValueError(
+                            f"date_histogram agg {name!r}: time_zone "
+                            f"{parsed!r} transitions between "
+                            "fractional UTC offsets — hourly/sub-hour "
+                            "buckets under it would need per-instant "
+                            "wall alignment this serve cannot express "
+                            "soundly across a DST step; use a grid "
+                            "above 1h, or the fixed offset form"
+                        )
+            if "offset" in body:
+                self.offset_us = _parse_dh_offset(name, body["offset"])
             if "format" in body:
                 self.fmt = _java_date_format(name, body["format"])
 
@@ -669,6 +773,14 @@ class _Bucket:
         # inside the key column.
         if self.time_zone is not None and self.tz_wall:
             c = F.from_utc_timestamp(c, self.time_zone)
+        if self.offset_us:
+            # ES 'offset': shift the grid, not the data — bucket
+            # start = floor(t − offset) + offset, evaluated in the
+            # same (wall or UTC) space as the flooring. Still a key
+            # EXPRESSION inside the one rollup.
+            c = F.timestamp_micros(
+                F.unix_micros(c) - F.lit(self.offset_us).cast("bigint")
+            )
         if self.calendar is not None:
             key = F.date_trunc(self.calendar, c)
         else:
@@ -680,6 +792,10 @@ class _Bucket:
             us = F.lit(int(self.seconds) * 1_000_000).cast("bigint")
             key = F.timestamp_micros(
                 F.floor(F.unix_micros(c) / us).cast("bigint") * us
+            )
+        if self.offset_us:
+            key = F.timestamp_micros(
+                F.unix_micros(key) + F.lit(self.offset_us).cast("bigint")
             )
         if self.time_zone is not None and self.tz_wall:
             key = F.to_utc_timestamp(key, self.time_zone)
@@ -1655,10 +1771,13 @@ def _truncate_terms(
             # bucket-frame passes; deeper terms levels truncate the
             # merged rows per-parent in their own loop iterations.
             for d2 in range(d, len(names) + 1):
-                lvl_metrics = [
-                    m for m in (metrics or {}).get(d2, [])
-                    if not m.hidden
-                ]
+                # hidden companions (an avg's __obs/__obn) merge TOO:
+                # a later stacked other_bucket level re-aggregates
+                # the fabricated rows, and summing NULLed companions
+                # would serve a NULL avg for __other__-under-
+                # __other__ (review finding) — sum/count states are
+                # mergeable, so carry them through
+                lvl_metrics = list((metrics or {}).get(d2, []))
                 merge_aggs = [
                     F.sum("doc_count").cast("bigint").alias("doc_count")
                 ]
@@ -1770,21 +1889,42 @@ def _spine(b: _Bucket, data_keys: list) -> list:
     )
     if tz is not None:
         data_keys = [_utc_to_wall(k, tz) for k in data_keys]
+    # ES 'offset': data keys are floor(t − off) + off — shift the
+    # walk into the unshifted grid (subtract off), run the plain
+    # floor/step logic, add off back to every generated key at the
+    # end. Same space as the flooring (wall when tz_wall).
+    off = (
+        datetime.timedelta(microseconds=b.offset_us)
+        if b.typ == "date_histogram" and b.offset_us else None
+    )
+    if off is not None:
+        data_keys = [k - off for k in data_keys]
 
     def from_bound(x):
         if b.typ == "histogram":
             return float(x)
         inst = epoch + datetime.timedelta(milliseconds=int(x))
-        return _utc_to_wall(inst, tz) if tz is not None else inst
+        if tz is not None:
+            inst = _utc_to_wall(inst, tz)
+        return inst - off if off is not None else inst
 
     def floor_key(v):
         if b.typ == "histogram":
             import math
 
             return math.floor(v / b.interval) * b.interval
+        if b.calendar == "week":
+            # ISO Monday start — ES, Spark date_trunc('week'), and
+            # DuckDB date_trunc('week') all agree
+            return v.replace(
+                hour=0, minute=0, second=0, microsecond=0
+            ) - datetime.timedelta(days=v.weekday())
         if b.calendar == "month":
             return v.replace(day=1, hour=0, minute=0, second=0,
                              microsecond=0)
+        if b.calendar == "quarter":
+            return v.replace(month=(v.month - 1) // 3 * 3 + 1, day=1,
+                             hour=0, minute=0, second=0, microsecond=0)
         if b.calendar == "year":
             return v.replace(month=1, day=1, hour=0, minute=0, second=0,
                              microsecond=0)
@@ -1812,8 +1952,11 @@ def _spine(b: _Bucket, data_keys: list) -> list:
                 "buckets; raise the interval or narrow extended_bounds"
             )
         return [i * b.interval for i in range(i0, i1 + 1)]
-    if b.calendar in ("month", "year"):
-        months = 12 if b.calendar == "year" else 1
+    if b.calendar in ("week", "month", "quarter", "year"):
+        # week steps a uniform 7 wall-days (Monday → Monday — the
+        # epoch-multiple arithmetic below would anchor on the epoch's
+        # THURSDAY); month-family steps by calendar months
+        months = {"month": 1, "quarter": 3, "year": 12}.get(b.calendar)
         keys, v = [], lo
         while v <= hi:
             if len(keys) >= MAX_BUCKETS:
@@ -1822,8 +1965,11 @@ def _spine(b: _Bucket, data_keys: list) -> list:
                     "buckets; raise the interval or narrow extended_bounds"
                 )
             keys.append(v)
-            m = v.month - 1 + months
-            v = v.replace(year=v.year + m // 12, month=m % 12 + 1)
+            if b.calendar == "week":
+                v = v + datetime.timedelta(days=7)
+            else:
+                m = v.month - 1 + months
+                v = v.replace(year=v.year + m // 12, month=m % 12 + 1)
     else:
         step = b.seconds or {"minute": 60, "hour": 3600, "day": 86400}[
             b.calendar
@@ -1839,6 +1985,8 @@ def _spine(b: _Bucket, data_keys: list) -> list:
             epoch + datetime.timedelta(seconds=i * step)
             for i in range(i0, i1 + 1)
         ]
+    if off is not None:
+        keys = [k + off for k in keys]
     if tz is not None:
         keys = [_wall_to_utc(k, tz) for k in keys]
     return keys
@@ -1887,7 +2035,10 @@ def _dh_key_string(b: _Bucket, v) -> str:
         )
         return (
             local.strftime(b.fmt) if b.fmt is not None
-            else local.isoformat(sep="T")
+            # ES's default strict_date_optional_time renders explicit
+            # millis (2024-03-10T00:00:00.000-05:00) — a consumer
+            # string-matching ES-shaped keys must see that exact form
+            else local.isoformat(sep="T", timespec="milliseconds")
         )
     return v.strftime(b.fmt) if b.fmt is not None else v.isoformat(sep="T")
 
@@ -2025,12 +2176,18 @@ def aggs_nested(
             # order — Kibana renders it LAST, after the kept buckets
             other_mine = [r for r in mine if r[b.name] == "__other__"]
             mine = [r for r in mine if r[b.name] != "__other__"]
-            if len(other_mine) > 1:
-                # a REAL kept term equal to the sentinel collided
-                # with the fabricated merge row — two same-key
-                # buckets would serve silently wrong (review
-                # finding); the same reserved-sentinel discipline
-                # Kibana itself assumes
+            # a REAL kept term equal to the sentinel is detectable
+            # either way: with truncation the fabricated row makes
+            # two sentinel rows; with NOTHING truncated (sum_other
+            # 0 ⇔ no row merged ⇔ no fabricated row exists) the
+            # lone sentinel row must be the real term — silently
+            # re-labeling it as the Other slot would mislead the
+            # consumer (review finding). Same reserved-sentinel
+            # discipline Kibana itself assumes.
+            if len(other_mine) > 1 or (
+                other_mine
+                and other_maps.get(depth, {}).get(prefix, 0) == 0
+            ):
                 raise ValueError(
                     f"terms agg {b.name!r}: a kept field value "
                     "collides with the reserved '__other__' sentinel "
@@ -3102,14 +3259,72 @@ def filters_chain_flat(docs: DataFrame, body: dict) -> DataFrame:
 # --- Kibana saved-object translation ------------------------------------------
 
 
+def _kql_tokens(q: str) -> list[tuple]:
+    """Quote-aware KQL lexer: ``(``/``)`` tokens, word-delimited
+    ``and``/``or``/``not`` keyword tokens (case-insensitive, only
+    when standing alone — ``brand: android`` stays one atom), and
+    ATOM tokens holding the raw ``field: value`` / comparison text
+    between them. Double quotes suppress everything — a quoted
+    literal like ``title: "a and b"`` is ONE value (review finding:
+    a naive re.split cut inside the quotes and silently served a
+    different split than the panel shows)."""
+    import re
+
+    toks: list[tuple] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        s = "".join(buf).strip()
+        if s:
+            toks.append(("ATOM", s))
+        buf.clear()
+
+    i, n, in_q = 0, len(q), False
+    while i < n:
+        ch = q[i]
+        if ch == '"':
+            in_q = not in_q
+            buf.append(ch)
+            i += 1
+            continue
+        if not in_q:
+            if ch in "()":
+                flush()
+                toks.append((ch,))
+                i += 1
+                continue
+            m = re.match(r"(and|or|not)(?=[\s()]|$)", q[i:], re.IGNORECASE)
+            if m and (i == 0 or q[i - 1] in " \t()"):
+                flush()
+                toks.append((m.group(1).upper(),))
+                i += m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    if in_q:
+        raise ValueError(
+            f"KQL filter input {q!r}: unbalanced double quote"
+        )
+    flush()
+    return toks
+
+
 def kql_node(q: str, field_map: dict[str, str] | None = None) -> dict:
     """A Kibana filters-control input (KQL) as a query-DSL node — the
     subset those inputs actually hold: ``field: value`` (term, quoted
     or bare, numbers coerced), ``field: *`` (exists), ``field >/>=/
-    </<= value`` (range), conjunctions with ``and``, and the empty
-    input (match_all). ``or``/``not``/parentheses/free text are
-    explicit 400s — a dropped or mis-parsed filter input would
-    silently serve a DIFFERENT split than the panel shows."""
+    </<= value`` (range), the boolean connectives ``and``/``or``/
+    ``not`` with parentheses at KQL's own precedence (``not`` binds
+    tightest, then ``and``, then ``or`` — ``a:1 and b:2 or c:3``
+    parses as ``(a AND b) OR c``), and the empty input (match_all).
+    A recursive-descent parse over the quote-aware lexer emits the
+    bool nodes the DSL already serves: ``or`` → sibling-less
+    ``should`` (ES minimum_should_match=1 there = OR membership),
+    ``not`` → ``must_not`` (null-safe: docs missing the field are
+    KEPT, KQL's semantics), ``and`` → ``filter``. Free text and
+    value groups (``f: (a or b)``) are explicit 400s — a dropped or
+    mis-parsed filter input would silently serve a DIFFERENT split
+    than the panel shows."""
     import re
 
     fm = field_map or {}
@@ -3132,86 +3347,88 @@ def kql_node(q: str, field_map: dict[str, str] | None = None) -> dict:
         except ValueError:
             return v
 
-    q = (q or "").strip()
-    if not q:
-        return {"match_all": {}}
-    if re.match(r"not\s", q, re.IGNORECASE):
-        raise ValueError(
-            f"KQL filter input {q!r}: negation is not served — "
-            "invert the filter, or hand-write a query-DSL must_not"
-        )
-    # quote-aware scan: 'and' only splits, and or/not/parens only
-    # refuse, OUTSIDE double quotes — a quoted literal like
-    # 'title: "a and b"' is ONE value (review finding: a naive
-    # re.split cut inside the quotes and silently served a different
-    # split than the panel shows)
-    parts: list[str] = []
-    buf: list[str] = []
-    i, n, in_q = 0, len(q), False
-    while i < n:
-        ch = q[i]
-        if ch == '"':
-            in_q = not in_q
-            buf.append(ch)
-            i += 1
-            continue
-        if not in_q:
-            if ch in "()":
-                raise ValueError(
-                    f"KQL filter input {q!r}: only 'field: value', "
-                    "'field: *', range comparisons, and 'and' "
-                    "conjunctions are served — or/not/parentheses "
-                    "need a hand-written query-DSL filter"
-                )
-            m = re.match(r"\s+(and|or|not)\s+", q[i:], re.IGNORECASE)
-            if m:
-                word = m.group(1).lower()
-                if word != "and":
-                    raise ValueError(
-                        f"KQL filter input {q!r}: only 'field: "
-                        "value', 'field: *', range comparisons, and "
-                        "'and' conjunctions are served — or/not/"
-                        "parentheses need a hand-written query-DSL "
-                        "filter"
-                    )
-                parts.append("".join(buf))
-                buf = []
-                i += m.end()
-                continue
-        buf.append(ch)
-        i += 1
-    if in_q:
-        raise ValueError(
-            f"KQL filter input {q!r}: unbalanced double quote"
-        )
-    parts.append("".join(buf))
-    nodes: list[dict] = []
-    for part in parts:
-        part = part.strip()
+    def atom(part: str) -> dict:
         m = re.fullmatch(r"([\w.@-]+)\s*(>=|<=|>|<)\s*(.+)", part)
         if m:
             op = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[
                 m.group(2)
             ]
-            nodes.append(
-                {"range": {xf(m.group(1)): {op: coerce(m.group(3))}}}
-            )
-            continue
+            return {"range": {xf(m.group(1)): {op: coerce(m.group(3))}}}
         m = re.fullmatch(r"([\w.@-]+)\s*:\s*(.+)", part)
         if m is None:
             raise ValueError(
                 f"KQL filter input {q!r}: {part!r} is not "
                 "'field: value' / 'field: *' / a range comparison "
-                "(free text belongs to the search bar, not a filter)"
+                "(free text belongs to the search bar, not a "
+                "filter; value groups like 'f: (a or b)' spell out "
+                "as 'f: a or f: b')"
             )
         f, v = xf(m.group(1)), m.group(2).strip()
         if v == "*":
-            nodes.append({"exists": {"field": f}})
-        else:
-            nodes.append({"term": {f: coerce(v)}})
-    if len(nodes) == 1:
-        return nodes[0]
-    return {"bool": {"filter": nodes}}
+            return {"exists": {"field": f}}
+        return {"term": {f: coerce(v)}}
+
+    q = (q or "").strip()
+    if not q:
+        return {"match_all": {}}
+    toks = _kql_tokens(q)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]][0] if pos[0] < len(toks) else None
+
+    def parse_or() -> dict:
+        nodes = [parse_and()]
+        while peek() == "OR":
+            pos[0] += 1
+            nodes.append(parse_and())
+        if len(nodes) == 1:
+            return nodes[0]
+        return {"bool": {"should": nodes}}
+
+    def parse_and() -> dict:
+        nodes = [parse_not()]
+        while peek() == "AND":
+            pos[0] += 1
+            nodes.append(parse_not())
+        if len(nodes) == 1:
+            return nodes[0]
+        return {"bool": {"filter": nodes}}
+
+    def parse_not() -> dict:
+        if peek() == "NOT":
+            pos[0] += 1
+            return {"bool": {"must_not": [parse_not()]}}
+        return parse_primary()
+
+    def parse_primary() -> dict:
+        t = peek()
+        if t == "(":
+            pos[0] += 1
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError(
+                    f"KQL filter input {q!r}: unbalanced parenthesis"
+                )
+            pos[0] += 1
+            return node
+        if t == "ATOM":
+            part = toks[pos[0]][1]
+            pos[0] += 1
+            return atom(part)
+        raise ValueError(
+            f"KQL filter input {q!r}: expected 'field: value' / "
+            "'field: *' / a range comparison / '(' "
+            + ("at end of input" if t is None else f"before {t!r}")
+        )
+
+    node = parse_or()
+    if pos[0] != len(toks):
+        raise ValueError(
+            f"KQL filter input {q!r}: unexpected "
+            f"{toks[pos[0]][0]!r} after a complete expression"
+        )
+    return node
 
 
 def kibana_vis_aggs(
@@ -3307,10 +3524,25 @@ def kibana_vis_aggs(
                 iv = params.get("interval", "auto")
                 if iv in ("auto", "custom", None):
                     iv = fixed_interval
-                body = {
-                    "field": xfield(params["field"]),
-                    "fixed_interval": iv,
-                }
+                body = {"field": xfield(params["field"])}
+                # Kibana's week/month/quarter/year interval tokens
+                # are CALENDAR units (its auto-interval sends '1w'
+                # for any 1–3-month zoom; 'w'/'M'/'y' are the legacy
+                # spellings) — variable-length, so they must reach
+                # the compiler as calendar_interval, not a fixed
+                # seconds count ('1M' is not 30 days). Sub-day
+                # tokens stay fixed_interval: epoch-anchored and
+                # calendar flooring agree there.
+                cal = {
+                    "w": "1w", "1w": "1w", "week": "1w",
+                    "M": "1M", "1M": "1M", "month": "1M",
+                    "q": "1q", "1q": "1q", "quarter": "1q",
+                    "y": "1y", "1y": "1y", "year": "1y",
+                }.get(iv)
+                if cal is not None:
+                    body["calendar_interval"] = cal
+                else:
+                    body["fixed_interval"] = iv
                 mdc = params.get("min_doc_count")
                 if isinstance(mdc, int) and not isinstance(mdc, bool):
                     body["min_doc_count"] = mdc

@@ -1686,8 +1686,8 @@ def test_date_histogram_time_zone_key_as_string_and_format(dst_frame):
             "time_zone": "America/New_York"}}})
     strs = [b["key_as_string"] for b in env["by_day"]["buckets"]]
     assert strs == [
-        "2024-03-09T00:00:00-05:00", "2024-03-10T00:00:00-05:00",
-        "2024-03-11T00:00:00-04:00", "2024-03-12T00:00:00-04:00",
+        "2024-03-09T00:00:00.000-05:00", "2024-03-10T00:00:00.000-05:00",
+        "2024-03-11T00:00:00.000-04:00", "2024-03-12T00:00:00.000-04:00",
     ]
     assert env["by_day"]["buckets"][0]["key"] == 1709960400000
     env = serve.aggs_nested(dst_frame, {
@@ -1719,10 +1719,10 @@ def test_date_histogram_time_zone_gap_fill_walks_wall_space(spark):
     got = [(b["key_as_string"], b["doc_count"])
            for b in env["by_day"]["buckets"]]
     assert got == [
-        ("2024-03-09T00:00:00-05:00", 1),
-        ("2024-03-10T00:00:00-05:00", 0),
-        ("2024-03-11T00:00:00-04:00", 0),
-        ("2024-03-12T00:00:00-04:00", 1),
+        ("2024-03-09T00:00:00.000-05:00", 1),
+        ("2024-03-10T00:00:00.000-05:00", 0),
+        ("2024-03-11T00:00:00.000-04:00", 0),
+        ("2024-03-12T00:00:00.000-04:00", 1),
     ]
 
 
@@ -2302,10 +2302,44 @@ def test_kql_node_subset():
     assert serve.kql_node("lang: en and n_chars < 10") == {
         "bool": {"filter": [{"term": {"lang": "en"}},
                             {"range": {"n_chars": {"lt": 10}}}]}}
-    for bad in ("lang: en or lang: de", "not lang: en",
-                "(lang: en)", "bare free text"):
+    for bad in ("bare free text", "lang: en or", "and lang: en",
+                "f: (a or b)"):
         with pytest.raises(ValueError, match="KQL filter input"):
             serve.kql_node(bad)
+
+
+def test_kql_node_or_not_parens():
+    """Round 15: the boolean connectives a real Kibana filter row
+    routinely carries, at KQL's precedence (not > and > or)."""
+    assert serve.kql_node("lang: en or lang: de") == {
+        "bool": {"should": [{"term": {"lang": "en"}},
+                            {"term": {"lang": "de"}}]}}
+    assert serve.kql_node("not lang: en") == {
+        "bool": {"must_not": [{"term": {"lang": "en"}}]}}
+    assert serve.kql_node("(lang: en)") == {"term": {"lang": "en"}}
+    # precedence: a and b or c == (a AND b) OR c
+    assert serve.kql_node("a: 1 and b: 2 or c: 3") == {
+        "bool": {"should": [
+            {"bool": {"filter": [{"term": {"a": 1}},
+                                 {"term": {"b": 2}}]}},
+            {"term": {"c": 3}}]}}
+    # parens override it
+    assert serve.kql_node("a: 1 and (b: 2 or c: 3)") == {
+        "bool": {"filter": [
+            {"term": {"a": 1}},
+            {"bool": {"should": [{"term": {"b": 2}},
+                                 {"term": {"c": 3}}]}}]}}
+    assert serve.kql_node("not (a: 1 or b: 2) and c: 3") == {
+        "bool": {"filter": [
+            {"bool": {"must_not": [{"bool": {"should": [
+                {"term": {"a": 1}}, {"term": {"b": 2}}]}}]}},
+            {"term": {"c": 3}}]}}
+    # keywords only stand alone — prefixes stay atom text
+    assert serve.kql_node("brand: android") == {
+        "term": {"brand": "android"}}
+    assert serve.kql_node("f: note") == {"term": {"f": "note"}}
+    with pytest.raises(ValueError, match="unbalanced parenthesis"):
+        serve.kql_node("(a: 1 or b: 2")
 
 
 def test_kibana_filters_split_translation(frame):
@@ -2378,9 +2412,9 @@ def test_time_zone_subday_intervals_survive_dst(spark):
            for b in env["h"]["buckets"]]
     # the local 01:00 hour happens TWICE — two buckets, two offsets
     assert got == [
-        ("2024-11-03T01:00:00-04:00", 1),
-        ("2024-11-03T01:00:00-05:00", 1),
-        ("2024-11-03T02:00:00-05:00", 1),
+        ("2024-11-03T01:00:00.000-04:00", 1),
+        ("2024-11-03T01:00:00.000-05:00", 1),
+        ("2024-11-03T02:00:00.000-05:00", 1),
     ]
     # spring-forward gap fill: keys strictly distinct, the
     # nonexistent local 02:00 never appears
@@ -2402,14 +2436,14 @@ def test_time_zone_subday_intervals_survive_dst(spark):
         "field": "ts", "fixed_interval": "1h",
         "time_zone": "+05:30"}}})
     for b in env3["h"]["buckets"]:
-        assert b["key_as_string"].endswith(":00:00+05:30")
+        assert b["key_as_string"].endswith(":00:00.000+05:30")
         assert b["key"] % 3_600_000 == 1_800_000  # :30 UTC phase
     # 12h fixed under the DST zone keeps LOCAL noon/midnight anchors
     env4 = serve.aggs_nested(df2, {"t": {"date_histogram": {
         "field": "ts", "fixed_interval": "12h",
         "time_zone": "America/New_York"}}})
     assert [b["key_as_string"] for b in env4["t"]["buckets"]] == [
-        "2024-03-10T00:00:00-05:00"
+        "2024-03-10T00:00:00.000-05:00"
     ]
 
 
@@ -2477,7 +2511,258 @@ def test_kql_quotes_protect_operators():
         "term": {"title": "a and note: b"}}
     assert serve.kql_node('genre: "rock or pop"') == {
         "term": {"genre": "rock or pop"}}
+    assert serve.kql_node('t: "(x)" or u: "not y"') == {
+        "bool": {"should": [{"term": {"t": "(x)"}},
+                            {"term": {"u": "not y"}}]}}
     with pytest.raises(ValueError, match="unbalanced"):
         serve.kql_node('t: "open')
-    with pytest.raises(ValueError, match="negation"):
-        serve.kql_node("not lang: en")
+
+
+# --- round-15: week/quarter intervals, offset, fractional-offset zones,
+# --- stacked other_bucket, KQL connectives --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def year_edge_frame(spark):
+    """200 docs, 7 h apart, crossing the 2023→2024 year boundary —
+    the ISO week-1 edge (2024-01-01 is a Monday, so the week
+    containing New Year starts ON it; 2023-12-25's week is the prior
+    Monday)."""
+    import datetime
+
+    base = datetime.datetime(2023, 12, 20, 5, 0, 0)
+    rows = [
+        (i, (base + datetime.timedelta(hours=7 * i)).strftime(
+            "%Y-%m-%d %H:%M:%S"), float(i % 13))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, ts_s string, v double"
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+
+
+def test_date_histogram_week_iso_monday(year_edge_frame):
+    """calendar_interval week/1w: ISO Monday-start weeks (ES, Spark
+    date_trunc('week'), DuckDB all agree) — every key a Monday
+    midnight, memberships tiling the corpus across the year edge."""
+    flat = serve.aggs_flat(year_edge_frame, {
+        "w": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1w"}}})
+    keys = sorted(
+        r["w"] for r in flat.filter(F.col("depth") == 1).collect()
+    )
+    assert all(
+        k.weekday() == 0 and (k.hour, k.minute) == (0, 0) for k in keys
+    )
+    import datetime
+
+    assert keys[0] == datetime.datetime(2023, 12, 18)  # Mon before base
+    assert datetime.datetime(2024, 1, 1) in keys       # ISO week 1
+    assert flat.filter(F.col("depth") == 1).agg(
+        F.sum("doc_count")).collect()[0][0] == 200
+    # "week" spells the same unit
+    flat2 = serve.aggs_flat(year_edge_frame, {
+        "w": {"date_histogram": {
+            "field": "ts", "calendar_interval": "week"}}})
+    assert sorted(
+        r["w"] for r in flat2.filter(F.col("depth") == 1).collect()
+    ) == keys
+
+
+def test_date_histogram_quarter(year_edge_frame):
+    """calendar_interval quarter/1q: quarter-start keys."""
+    import datetime
+
+    flat = serve.aggs_flat(year_edge_frame, {
+        "q": {"date_histogram": {
+            "field": "ts", "calendar_interval": "quarter"}}})
+    got = sorted(
+        (r["q"], r["doc_count"])
+        for r in flat.filter(F.col("depth") == 1).collect()
+    )
+    assert got == [
+        (datetime.datetime(2023, 10, 1), 41),
+        (datetime.datetime(2024, 1, 1), 159),
+    ]
+
+
+def test_date_histogram_week_time_zone_gap_fill(spark):
+    """Weeks under an IANA zone start at LOCAL Monday midnight (the
+    same wall-space rule days use), and the min_doc_count=0 spine
+    steps 7 WALL-days — across the 2024-03-10 US DST transition one
+    UTC inter-key gap is a 167-hour week, which epoch-multiple
+    stepping would miss."""
+    df = spark.createDataFrame(
+        [(0, "2024-02-20 12:00:00"), (1, "2024-03-20 12:00:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env = serve.aggs_nested(df, {"w": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1w",
+        "time_zone": "America/New_York", "min_doc_count": 0}}})
+    bs = env["w"]["buckets"]
+    # local Mondays: first = 2024-02-19T00:00 EST
+    assert bs[0]["key_as_string"] == "2024-02-19T00:00:00.000-05:00"
+    assert [b["doc_count"] for b in bs] == [1, 0, 0, 0, 1]
+    deltas = [bs[i + 1]["key"] - bs[i]["key"] for i in range(len(bs) - 1)]
+    week_ms = 7 * 86_400_000
+    assert week_ms - 3_600_000 in deltas          # the 167 h DST week
+    assert all(d in (week_ms, week_ms - 3_600_000) for d in deltas)
+
+
+def test_date_histogram_offset(dst_frame):
+    """ES 'offset': every bucket start shifted by a fixed duration —
+    floor(t − off) + off, the 'day starting at 06:00' panel."""
+    import datetime
+
+    flat = serve.aggs_flat(dst_frame, {
+        "d": {"date_histogram": {
+            "field": "ts", "fixed_interval": "1d", "offset": "+6h"}}})
+    got = sorted(
+        (r["d"], r["doc_count"])
+        for r in flat.filter(F.col("depth") == 1).collect()
+    )
+    assert got == [
+        (datetime.datetime(2024, 3, 9, 6, 0), 3),
+        (datetime.datetime(2024, 3, 10, 6, 0), 3),
+        (datetime.datetime(2024, 3, 11, 6, 0), 4),
+        (datetime.datetime(2024, 3, 12, 6, 0), 2),
+    ]
+    # under a time_zone the offset applies in WALL space (ES's order):
+    # local 06:00 anchors, whose UTC instants move across the DST step
+    env = serve.aggs_nested(dst_frame, {
+        "d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d", "offset": "+6h",
+            "time_zone": "America/New_York"}}})
+    strs = [b["key_as_string"] for b in env["d"]["buckets"]]
+    assert all("T06:00:00.000" in s for s in strs)
+    assert strs[0].endswith("-05:00") and strs[-1].endswith("-04:00")
+    # gap fill steps the offset grid, not the plain one
+    env2 = serve.aggs_nested(dst_frame.limit(1).unionByName(
+        dst_frame.orderBy(F.desc("doc_id")).limit(1)
+    ), {"d": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1d", "offset": "+6h",
+        "min_doc_count": 0}}})
+    keys = [b["key"] for b in env2["d"]["buckets"]]
+    assert all(k % 86_400_000 == 6 * 3_600_000 for k in keys)
+    assert len(keys) == 4
+    for bad in ("6h", "+1w", "-", 6, "+6.5h"):
+        with pytest.raises(ValueError, match="offset"):
+            serve.aggs_flat(dst_frame, {"d": {"date_histogram": {
+                "field": "ts", "fixed_interval": "1d",
+                "offset": bad}}})
+
+
+def test_transition_free_fractional_zone_is_wall_sound(spark):
+    """Round 15 (review finding): Asia/Kolkata (+05:30, no
+    transitions since tzdata's era) is as DST-sound as a literal
+    ±HH:MM — hourly buckets anchor at :30-phase UTC instants like ES,
+    instead of silently serving plain UTC hours. A TRANSITIONING
+    fractional-offset zone (Australia/Adelaide +09:30/+10:30) at a
+    ≤1 h grid is refused — neither wall arithmetic nor plain UTC
+    matches ES there."""
+    df = spark.createDataFrame(
+        [(0, "2024-03-10 05:45:00"), (1, "2024-03-10 06:15:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env = serve.aggs_nested(df, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h",
+        "time_zone": "Asia/Kolkata"}}})
+    bs = env["h"]["buckets"]
+    # 05:45Z = 11:15 local, 06:15Z = 11:45 local — SAME local hour
+    assert len(bs) == 1 and bs[0]["doc_count"] == 2
+    assert bs[0]["key"] % 3_600_000 == 1_800_000  # :30 UTC phase
+    assert bs[0]["key_as_string"] == "2024-03-10T11:00:00.000+05:30"
+    with pytest.raises(ValueError, match="fractional UTC offsets"):
+        serve.aggs_flat(df, {"h": {"date_histogram": {
+            "field": "ts", "fixed_interval": "1h",
+            "time_zone": "Australia/Adelaide"}}})
+    # a >1h grid under the same zone is wall-sound and served
+    env2 = serve.aggs_nested(df, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1d",
+        "time_zone": "Australia/Adelaide"}}})
+    assert env2["d"]["buckets"][0]["key_as_string"].endswith("+10:30")
+
+
+def test_other_bucket_stacked_avg_merges_companions(spark):
+    """Round 15 (review finding): with TWO stacked other_bucket terms
+    levels and an avg metric, the deeper merge must re-aggregate the
+    hidden sum/count companions — NULLed companions summed to a NULL
+    avg for __other__-under-__other__ while doc_count stayed right."""
+    df = spark.createDataFrame(
+        [
+            ("x", "p", 1.0), ("x", "p", 3.0), ("x", "q", 5.0),
+            ("x", "r", 7.0),
+            ("y", "p", 10.0), ("y", "q", 20.0),
+            ("z", "p", 40.0),
+        ],
+        "a string, b string, v double",
+    )
+    env = serve.aggs_nested(df, {
+        "A": {"terms": {"field": "a", "size": 1, "other_bucket": True},
+              "aggs": {
+                  "B": {"terms": {"field": "b", "size": 1,
+                                  "other_bucket": True},
+                        "aggs": {"m": {"avg": {"field": "v"}}}}}}})
+    outer = {b["key"]: b for b in env["A"]["buckets"]}
+    assert set(outer) == {"x", "__other__"}
+    # under kept x: p kept (avg 2), q+r merged (true mean 6)
+    xb = {b["key"]: b for b in outer["x"]["B"]["buckets"]}
+    assert xb["p"]["m"]["value"] == 2.0
+    assert xb["__other__"]["doc_count"] == 2
+    assert xb["__other__"]["m"]["value"] == 6.0
+    # under outer __other__ (y+z merged): p kept (10+40 → 25),
+    # q merged into the INNER __other__ — the stacked case
+    ob = {b["key"]: b for b in outer["__other__"]["B"]["buckets"]}
+    assert ob["p"]["doc_count"] == 2 and ob["p"]["m"]["value"] == 25.0
+    assert ob["__other__"]["doc_count"] == 1
+    assert ob["__other__"]["m"]["value"] == 20.0
+
+
+def test_other_bucket_real_sentinel_without_truncation_400(spark):
+    """Round 15 (review finding): a REAL kept '__other__'-valued term
+    with NOTHING truncated used to be silently re-ordered into the
+    Other slot — now the same reserved-sentinel 400 as the collision
+    case (sum_other 0 ⇔ no fabricated row exists, so a lone sentinel
+    row must be the real term)."""
+    df = spark.createDataFrame(
+        [(0, "__other__"), (1, "en"), (2, "de")],
+        "doc_id bigint, lang string",
+    )
+    with pytest.raises(ValueError, match="reserved '__other__'"):
+        serve.aggs_nested(df, {"l": {"terms": {
+            "field": "lang", "size": 5, "other_bucket": True}}})
+
+
+def test_kibana_week_interval_translates_to_calendar(frame):
+    """Kibana's auto-interval sends '1w' for any 1–3-month zoom — it
+    must reach the compiler as calendar_interval (a week is not a
+    fixed seconds count once time_zone applies), and the legacy
+    'w'/'M'/'y' spellings with it."""
+    for iv, cal in (("1w", "1w"), ("w", "1w"), ("week", "1w"),
+                    ("M", "1M"), ("1M", "1M"), ("q", "1q"),
+                    ("y", "1y")):
+        spec = serve.kibana_vis_aggs({"aggs": [
+            {"id": "1", "type": "count", "schema": "metric",
+             "params": {}},
+            {"id": "2", "type": "date_histogram", "schema": "segment",
+             "params": {"field": "ts", "interval": iv}},
+        ]})
+        body = spec["k2"]["date_histogram"]
+        assert body == {"field": "ts", "calendar_interval": cal}, iv
+    # sub-day tokens stay fixed_interval
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "2", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "ts", "interval": "15m"}},
+    ]})
+    assert spec["k2"]["date_histogram"] == {
+        "field": "ts", "fixed_interval": "15m"}
+    # and the translated week serves end-to-end
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "2", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "TS", "interval": "1w"}},
+    ]}, {"TS": "ts"})
+    out = serve.aggs_nested(frame, spec)
+    assert all(
+        b["key"] % 1000 == 0 and b["doc_count"] > 0
+        for b in out["k2"]["buckets"]
+    )
