@@ -147,6 +147,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # window = N new + 26 r10 + (24−N) r11, leaving (26+N) r11 rows for
 # r16 — their floor round — so any N ≤ ~24 stays on schedule (keep
 # N ≤ ~10 as usual so later blocks never compound).
+#
+# r16 window math (written r15, amended per registration): r15
+# registers exactly 5 new queries (ext_search_aggs_dh_week_tz,
+# ext_search_aggs_dh_quarter_week, ext_search_aggs_dh_offset,
+# ext_search_aggs_dh_tz_kolkata, ext_search_filters_kql_bool) —
+# registry 232, 231 gated, floor ceil(231/50) = 5 (check_oracle
+# confirms: never×5, r10×26, r11×50, r12×50, r13×50, r14×50). The
+# r15 window = 5 never + 26 r10 (their floor round — the rotation
+# fronts them, no pin needed) + 19 r11. That leaves 31 r11 rows
+# whose floor is r16; the rotation fronts them automatically, so r16
+# needs no pin. r16's budget: window = N new + 31 r11 + (19−N) r12,
+# leaving (31+N) r12 rows for r17 — their floor round — so any
+# N ≤ ~19 stays on schedule (keep N ≤ ~10 as usual).
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

@@ -6532,7 +6532,7 @@ def ext_search_aggs_script_pipeline(
       SELECT doc_id, lang,
              ' ' || array_to_string(
                list_filter(
-                 string_split_regex(lower(text), '\\s+'),
+                 string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
                  x -> x <> ''), ' ') || ' ' AS joined
       FROM documents
     )
@@ -6567,3 +6567,365 @@ def ext_search_match_phrase(
     return docs.filter(
         serve.phrase_predicate(F.col("text"), "order fast")
     ).select("doc_id", "lang")
+
+
+# --- round 15: calendar week/quarter, offset, fractional-offset zones,
+# --- KQL boolean connectives ---------------------------------------------------
+
+#: derived doc timestamp for the week/quarter rows: 11-hour steps over
+#: 200 slots span 2023-12-20 .. 2024-03-20 — across BOTH the 2024
+#: ISO-week-1 year edge (2024-01-01 is a Monday) and the 2024-03-10 US
+#: DST transition, so week boundaries move in UTC mid-frame
+_SQL_WEEK_TS = (
+    "TIMESTAMP '2023-12-20 05:00:00'"
+    " + (doc_id % 200) * 11 * INTERVAL 1 HOUR"
+)
+
+
+@query(
+    "ext_search_aggs_dh_week_tz",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_WEEK_TS} AS ts, n_chars FROM documents
+    ),
+    keyed AS (
+      SELECT timezone('UTC', timezone('America/New_York',
+               date_trunc('week', timezone('America/New_York',
+                 timezone('UTC', ts))))) AS by_week,
+             n_chars
+      FROM meta
+    ),
+    rolled AS (
+      SELECT by_week, grouping(by_week) AS g,
+             count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM keyed GROUP BY ROLLUP (by_week)
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_week, doc_count,
+           CASE WHEN g = 0 THEN round(mean_raw, 6) END AS mean_chars
+    FROM rolled
+    WHERE g = 1 OR by_week IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "week", "time_zone", "serving"),
+)
+def ext_search_aggs_dh_week_tz(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``calendar_interval: 1w`` under an IANA ``time_zone`` — the
+    interval Kibana's auto-zoom sends for ANY 1–3-month time range,
+    so the day-one dashboard unit, not a corner. Weeks are ISO
+    Monday-start in ES, Spark ``date_trunc('week')``, and DuckDB
+    ``date_trunc('week')`` — one shared convention, and under
+    ``time_zone`` they begin at LOCAL Monday midnight (the same
+    wall-space rule days use; a week is >1h so the DST-soundness rule
+    always qualifies). The derived timestamps span 2023-12-20 →
+    2024-03-20: across the 2024 ISO-week-1 year edge AND the
+    2024-03-10 US DST transition, so the New-York Monday-midnight
+    instants move from 05:00 to 04:00 UTC mid-frame — a fixed-offset
+    shift, a UTC trunc, or a Sunday-start convention each change
+    MEMBERSHIP, not just labels. Same one-rollup plan as every aggs
+    tree (the shift is a key expression). The oracle rebuilds the
+    shift with DuckDB's ICU timezone() pair + ROLLUP + grouping() —
+    hash-equality pins the week convention and the DST-aware Monday
+    boundaries cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2023-12-20 05:00:00'"
+            " + make_interval(0, 0, 0, 0, (doc_id % 200) * 11, 0, 0)"
+        ).alias("ts"),
+        "n_chars",
+    )
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_week": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "1w",
+                    "time_zone": "America/New_York",
+                },
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}}
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_week",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )
+
+
+@query(
+    "ext_search_aggs_dh_quarter_week",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_WEEK_TS} AS ts FROM documents
+    ),
+    keyed AS (
+      SELECT date_trunc('quarter', ts)::TIMESTAMP AS by_q,
+             date_trunc('week', ts)::TIMESTAMP AS by_w
+      FROM meta
+    ),
+    rolled AS (
+      SELECT by_q, by_w,
+             grouping(by_q) AS g1, grouping(by_w) AS g2,
+             count(*)::BIGINT AS doc_count
+      FROM keyed GROUP BY ROLLUP (by_q, by_w)
+    )
+    SELECT (2 - g1 - g2)::INTEGER AS depth, by_q, by_w, doc_count
+    FROM rolled
+    """,
+    tags=("ext", "search", "aggs", "week", "quarter", "serving"),
+)
+def ext_search_aggs_dh_quarter_week(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``calendar_interval: quarter`` with a nested weekly chain —
+    the drill-down shape (quarter panel splitting into its weeks).
+    A quarter straddles weeks (2024-Q1 starts mid-ISO-week), so the
+    nesting genuinely exercises non-aligned calendar units sharing
+    one rollup: grouping sets (), (quarter), (quarter, week) in ONE
+    shuffle, exactly the plan every bucket chain compiles to. The
+    oracle is a from-scratch DuckDB GROUP BY ROLLUP over both
+    date_trunc keys — hash-equality pins quarter starts, ISO Monday
+    weeks, and the per-level grouping discipline cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2023-12-20 05:00:00'"
+            " + make_interval(0, 0, 0, 0, (doc_id % 200) * 11, 0, 0)"
+        ).alias("ts"),
+    )
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_q": {
+                "date_histogram": {
+                    "field": "ts", "calendar_interval": "quarter",
+                },
+                "aggs": {
+                    "by_w": {
+                        "date_histogram": {
+                            "field": "ts", "calendar_interval": "1w",
+                        }
+                    }
+                },
+            }
+        },
+    )
+    return flat.select("depth", "by_q", "by_w", "doc_count")
+
+
+@query(
+    "ext_search_aggs_dh_offset",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, n_chars FROM documents
+    ),
+    keyed AS (
+      SELECT TIMESTAMP '1970-01-01'
+               + (floor((epoch(ts) - 21600) / 86400)::BIGINT
+                  * 86400 + 21600) * INTERVAL 1 SECOND AS by_day,
+             n_chars
+      FROM meta
+    ),
+    rolled AS (
+      SELECT by_day, grouping(by_day) AS g,
+             count(*)::BIGINT AS doc_count,
+             sum(n_chars)::BIGINT AS sum_raw
+      FROM keyed GROUP BY ROLLUP (by_day)
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_day, doc_count,
+           CASE WHEN g = 0 THEN sum_raw END AS sum_chars
+    FROM rolled
+    WHERE g = 1 OR by_day IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "offset", "serving"),
+)
+def ext_search_aggs_dh_offset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``date_histogram`` ``offset`` — ES shifts every bucket start
+    by a fixed signed duration (Kibana sends it for "day starting at
+    06:00" panels and week-start preferences): bucket start =
+    floor(t − offset) + offset, here ``+6h`` over a daily grid so the
+    72-hour derived timeline re-tiles into 06:00-anchored days whose
+    memberships differ from the midnight tiling at every boundary.
+    Compiled as two epoch-micros adds around the same floor — a key
+    EXPRESSION inside the one-rollup plan, no extra pass. The oracle
+    rebuilds the shifted floor in naive epoch arithmetic — hash-
+    equality pins the shift direction, the boundary ownership, and
+    the grid phase cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _doc_meta(spark, sf_dir)
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_day": {
+                "date_histogram": {
+                    "field": "ts",
+                    "fixed_interval": "1d",
+                    "offset": "+6h",
+                },
+                "aggs": {
+                    "sum_chars": {"sum": {"field": "n_chars"}}
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth", "by_day", "doc_count",
+        F.col("sum_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@query(
+    "ext_search_aggs_dh_tz_kolkata",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + (doc_id % 90) * 40 * INTERVAL 1 MINUTE AS ts
+      FROM documents
+    ),
+    keyed AS (
+      SELECT timezone('UTC', timezone('Asia/Kolkata',
+               date_trunc('hour', timezone('Asia/Kolkata',
+                 timezone('UTC', ts))))) AS by_hour
+      FROM meta
+    ),
+    rolled AS (
+      SELECT by_hour, grouping(by_hour) AS g,
+             count(*)::BIGINT AS doc_count
+      FROM keyed GROUP BY ROLLUP (by_hour)
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_hour, doc_count
+    FROM rolled
+    WHERE g = 1 OR by_hour IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "time_zone", "serving"),
+)
+def ext_search_aggs_dh_tz_kolkata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOURLY buckets under a TRANSITION-FREE fractional-offset zone
+    (Asia/Kolkata, +05:30 with no transitions in tzdata's era) —
+    round 15's review-finding fix: such a zone is as DST-sound as a
+    literal ``±HH:MM`` offset, so hourly keys anchor at LOCAL whole
+    hours (:30-phase UTC instants), exactly ES's bucket set — where
+    the previous rule silently served plain UTC hours. The derived
+    40-minute-step timestamps put docs at :00/:20/:40 phases, so the
+    :30-aligned hour boundaries split memberships DIFFERENTLY than
+    :00-aligned ones — any regression to plain UTC changes doc_count,
+    not just labels. The oracle rebuilds the shift with DuckDB's ICU
+    timezone() pair — hash-equality pins the wall-soundness rule for
+    constant-offset IANA zones cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, (doc_id % 90) * 40, 0)"
+        ).alias("ts"),
+    )
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_hour": {
+                "date_histogram": {
+                    "field": "ts",
+                    "fixed_interval": "1h",
+                    "time_zone": "Asia/Kolkata",
+                }
+            }
+        },
+    )
+    return flat.select("depth", "by_hour", "doc_count")
+
+
+@query(
+    "ext_search_filters_kql_bool",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, lang, n_chars FROM documents
+    )
+    SELECT 'en_or_fr' AS filter,
+           count(*) FILTER (WHERE lang = 'en' OR lang = 'fr')::BIGINT
+             AS doc_count,
+           round(avg(n_chars) FILTER (WHERE lang = 'en' OR lang = 'fr'),
+                 6) AS mean_chars
+    FROM meta
+    UNION ALL
+    SELECT 'not_en',
+           count(*) FILTER (WHERE lang IS DISTINCT FROM 'en')::BIGINT,
+           round(avg(n_chars) FILTER (WHERE lang IS DISTINCT FROM 'en'),
+                 6)
+    FROM meta
+    UNION ALL
+    SELECT 'de_or_big',
+           count(*) FILTER (WHERE (lang = 'de' OR n_chars >= 300)
+             AND lang IS NOT NULL)::BIGINT,
+           round(avg(n_chars) FILTER (WHERE (lang = 'de'
+             OR n_chars >= 300) AND lang IS NOT NULL), 6)
+    FROM meta
+    """,
+    tags=("ext", "search", "filters", "kql", "serving"),
+)
+def ext_search_filters_kql_bool(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KQL boolean connectives END-TO-END — round 15's parser
+    (``or``/``not``/parentheses at KQL precedence) feeding the
+    ``filters`` agg exactly as a Kibana "split by filters" panel
+    does: each control row's KQL input translates through
+    :func:`kql_node` into bool ``should``/``must_not``/``filter``
+    nodes, which the DSL compiler turns into the one-pass
+    conditional-aggregation plan (multi-membership, map-side
+    partials). ``not_en`` pins the null-safe must_not contract (docs
+    missing the field are KEPT — KQL's semantics); ``de_or_big``
+    pins or-under-and precedence through parentheses. The oracle
+    rebuilds each input as a hand-written DuckDB FILTER(WHERE ...)
+    branch — hash-equality pins the parse → bool-node → predicate
+    pipeline cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.filters_flat(
+        _doc_meta(spark, sf_dir),
+        {
+            "filters": {
+                "en_or_fr": serve.kql_node("lang: en or lang: fr"),
+                "not_en": serve.kql_node("not lang: en"),
+                "de_or_big": serve.kql_node(
+                    "(lang: de or n_chars >= 300) and lang: *"
+                ),
+            },
+            "aggs": {
+                "mean_chars": {"avg": {"field": "n_chars"}},
+            },
+        },
+    )
+    return flat.select(
+        "filter",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

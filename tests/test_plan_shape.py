@@ -744,3 +744,24 @@ def test_dh_timezone_is_key_expression_not_extra_pass(plans):
     # one shuffle total: the rollup's ENSURE_REQUIREMENTS exchange
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_dh_week_tz_is_key_expression_not_extra_pass(plans):
+    """Round 15: calendar week under time_zone compiles to the same
+    one-rollup plan as every chain — the wall shift and the week
+    trunc are expressions inside the key column, no extra exchange
+    or join."""
+    p = plans("ext_search_aggs_dh_week_tz")
+    assert "from_utc_timestamp" in p and "to_utc_timestamp" in p
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_dh_offset_is_key_expression_not_extra_pass(plans):
+    """Round 15: 'offset' is two epoch-micros adds around the floor —
+    still ONE rollup, one exchange, no join."""
+    p = plans("ext_search_aggs_dh_offset")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
