@@ -6929,3 +6929,137 @@ def ext_search_filters_kql_bool(
         "doc_count",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_moving_fn",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, n_chars FROM documents
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS by_hour,
+             count(*)::BIGINT AS doc_count,
+             sum(n_chars)::DOUBLE AS s_raw
+      FROM meta GROUP BY 1
+    ),
+    winned AS (
+      SELECT by_hour, doc_count, s_raw,
+             sum(s_raw) OVER (ORDER BY by_hour
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS msum_raw,
+             list(s_raw) OVER (ORDER BY by_hour
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS l4,
+             list(s_raw) OVER (ORDER BY by_hour
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS l3,
+             list(s_raw) OVER (ORDER BY by_hour
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lc
+      FROM hourly
+    )
+    SELECT by_hour, doc_count,
+           round(s_raw, 6) AS s,
+           round(msum_raw, 6) AS msum,
+           CASE WHEN l4 IS NULL OR len(l4) = 0 THEN NULL ELSE round(
+             list_sum(list_transform(l4, (x, i) -> x * i))
+             / (len(l4) * (len(l4) + 1) / 2.0), 6) END AS lwa,
+           CASE WHEN l3 IS NULL OR len(l3) = 0 THEN NULL ELSE round(
+             list_reduce(l3, (acc, x) -> x * 0.3 + acc * 0.7), 6
+           ) END AS ew,
+           round(
+             sqrt(list_sum(list_transform(
+               lc, x -> (x - list_sum(lc) / len(lc))
+                        * (x - list_sum(lc) / len(lc))
+             )) / len(lc)), 6) AS sd
+    FROM winned
+    """,
+    tags=("ext", "search", "aggs", "pipeline", "serving"),
+)
+def ext_search_aggs_moving_fn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``moving_fn`` ``shift`` + the weighted MovingFunctions family
+    (round 15): window placement is ES's
+    ``[i − window + shift, i + shift)`` over the returned bucket
+    list — ``msum`` (window 3, shift 1) slides right to INCLUDE the
+    current bucket, ``sd`` (window 3, shift 2) is a centered window
+    that also pins the right-edge clamp; ``lwa`` weights
+    oldest→newest 1..n, ``ew`` seeds the fold with the window's
+    first value then ``v*α + avg*(1−α)``, and ``sd`` deviates
+    around the window mean — all O(buckets) driver walks at ES's
+    reduce point over the one-rollup hourly frame. The oracle
+    rebuilds every window as a DuckDB frame (``ROWS BETWEEN``),
+    the weighted folds as list lambdas over ``list()`` window
+    captures (``list_transform`` 1-based index = the 1..n weights;
+    ``list_reduce`` is literally the ewma recurrence) —
+    hash-equality pins placement, clamping, and the fold arithmetic
+    cross-engine."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    env = serve.aggs_nested(
+        _doc_meta(spark, sf_dir),
+        {
+            "by_hour": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "1h",
+                },
+                "aggs": {
+                    "s": {"sum": {"field": "n_chars"}},
+                    "msum": {"moving_fn": {
+                        "buckets_path": "s", "window": 3, "shift": 1,
+                        "script": "MovingFunctions.sum(values)",
+                    }},
+                    "lwa": {"moving_fn": {
+                        "buckets_path": "s", "window": 4,
+                        "script":
+                            "MovingFunctions.linearWeightedAvg(values)",
+                    }},
+                    "ew": {"moving_fn": {
+                        "buckets_path": "s", "window": 3,
+                        "script": "MovingFunctions.ewma(values, 0.3)",
+                    }},
+                    "sd": {"moving_fn": {
+                        "buckets_path": "s", "window": 3, "shift": 2,
+                        "script": "MovingFunctions.stdDev(values, "
+                                  "MovingFunctions.unweightedAvg(values))",
+                    }},
+                },
+            }
+        },
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def r6(v):
+        # the sum metric serves exact ints for an int field — the
+        # gate schema is DOUBLE both sides
+        return None if v is None else float(round(v, 6))
+
+    rows = [
+        (
+            epoch + datetime.timedelta(milliseconds=b["key"]),
+            b["doc_count"],
+            r6(b["s"]["value"]),
+            r6(b["msum"]["value"]),
+            r6(b["lwa"]["value"]),
+            r6(b["ew"]["value"]),
+            r6(b["sd"]["value"]),
+        )
+        for b in env["by_hour"]["buckets"]
+    ]
+    schema = T.StructType([
+        T.StructField("by_hour", T.TimestampType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+        T.StructField("msum", T.DoubleType(), False),
+        T.StructField("lwa", T.DoubleType(), True),
+        T.StructField("ew", T.DoubleType(), True),
+        T.StructField("sd", T.DoubleType(), True),
+    ])
+    # bounded: ≤ 72 hourly buckets (MAX_BUCKETS guards the general
+    # case) — the driver-side list IS the ES wire envelope
+    return spark.createDataFrame(rows, schema)

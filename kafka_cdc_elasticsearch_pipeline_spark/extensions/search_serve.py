@@ -96,13 +96,88 @@ _PARENT_PIPELINE_TYPES = (
 _ORDERED_PARENT_TYPES = ("derivative", "cumulative_sum", "moving_fn")
 
 #: the MovingFunctions builtins moving_fn scripts may call — each a
-#: fold over the window's non-null values (ES's gap_policy skip)
+#: fold over the window's non-null values (ES's gap_policy skip).
+#: Zero-arg fns take ``(values)``; the weighted family is parsed by
+#: :func:`_parse_moving_script` (ewma takes an alpha literal, stdDev
+#: the canonical nested-unweightedAvg spelling from ES's own docs).
+#: linearWeightedAvg weights oldest→newest 1..n (ES: "points closer
+#: to the end of the window are weighted more heavily"); ewma seeds
+#: with the window's first value then folds
+#: ``avg = v*alpha + avg*(1-alpha)`` (ES's documented recurrence).
+#: holt/holtWinters are refused by name: their seeding/damping
+#: details live in Lucene internals this engine does not pin —
+#: refusing beats silently serving a near-miss series.
 _MOVING_FNS = {
     "unweightedAvg": lambda vs: sum(vs) / len(vs),
     "sum": lambda vs: float(sum(vs)),
     "min": lambda vs: float(min(vs)),
     "max": lambda vs: float(max(vs)),
+    "linearWeightedAvg": lambda vs: (
+        sum((i + 1) * v for i, v in enumerate(vs))
+        / (len(vs) * (len(vs) + 1) / 2)
+    ),
 }
+
+
+def _moving_std_dev(vs: list) -> float:
+    """ES ``MovingFunctions.stdDev(values, avg)`` with the canonical
+    ``avg = unweightedAvg(values)``: population deviation around the
+    window mean."""
+    import math
+
+    mean = sum(vs) / len(vs)
+    return math.sqrt(sum((v - mean) ** 2 for v in vs) / len(vs))
+
+
+def _parse_moving_script(name: str, script):
+    """``moving_fn`` script → window fold. The served grammar is the
+    MovingFunctions call shapes ES's own docs show:
+    ``MovingFunctions.<fn>(values)`` for the zero-arg family,
+    ``MovingFunctions.ewma(values, <alpha>)``, and
+    ``MovingFunctions.stdDev(values,
+    MovingFunctions.unweightedAvg(values))``. Anything else —
+    arbitrary Painless, holt/holtWinters — is an explicit 400 naming
+    what is served."""
+    import re
+
+    s = script.strip() if isinstance(script, str) else ""
+    m = re.fullmatch(r"MovingFunctions\.(\w+)\(\s*values\s*\)", s)
+    if m and m.group(1) in _MOVING_FNS:
+        return _MOVING_FNS[m.group(1)]
+    m = re.fullmatch(r"MovingFunctions\.(\w+)\(\s*values\s*,(.+)\)", s)
+    fn = m.group(1) if m else None
+    args = m.group(2) if m else None
+    if fn == "ewma" and args is not None:
+        try:
+            alpha = float(args.strip())
+        except ValueError:
+            alpha = None
+        if alpha is None or not (0.0 <= alpha <= 1.0):
+            raise ValueError(
+                f"pipeline agg {name!r}: ewma takes a numeric alpha "
+                "in [0, 1] — MovingFunctions.ewma(values, 0.3)"
+            )
+
+        def ewma(vs: list, _a=alpha) -> float:
+            avg = vs[0]
+            for v in vs[1:]:
+                avg = v * _a + avg * (1 - _a)
+            return float(avg)
+
+        return ewma
+    if fn == "stdDev" and args is not None and re.fullmatch(
+        r"\s*MovingFunctions\.unweightedAvg\(\s*values\s*\)\s*",
+        args,
+    ):
+        return _moving_std_dev
+    raise ValueError(
+        f"pipeline agg {name!r}: moving_fn 'script' must be "
+        "MovingFunctions.<fn>(values) with fn in "
+        f"{sorted(_MOVING_FNS)}, MovingFunctions.ewma(values, "
+        "<alpha>), or MovingFunctions.stdDev(values, "
+        "MovingFunctions.unweightedAvg(values)) — holt/holtWinters "
+        "seeding lives in Lucene internals this engine does not pin"
+    )
 
 #: calendar_interval → Spark/ISO date_trunc unit (the units a
 #: dashboard uses). Weeks are ISO Monday-start in ES, Spark
@@ -1031,8 +1106,6 @@ class _PipelineAgg:
     buckets) are skipped."""
 
     def __init__(self, name: str, typ: str, body: dict):
-        import re
-
         if not isinstance(body, dict):
             raise ValueError(f"agg {name!r}: {typ} body must be an object")
         self.parent = typ in _PARENT_PIPELINE_TYPES
@@ -1042,6 +1115,7 @@ class _PipelineAgg:
         #: moving_fn); unused by the single-path types
         self.script = None
         self.window: int | None = None
+        self.shift = 0
         self.fn = None
         self.var_paths: dict[str, str] = {}
         self.terminals: dict[str, tuple] = {}
@@ -1085,27 +1159,14 @@ class _PipelineAgg:
                 )
             self.window = w
             shift = body.get("shift", 0)
-            if shift != 0:
+            if isinstance(shift, bool) or not isinstance(shift, int):
                 raise ValueError(
-                    f"pipeline agg {name!r}: only ES's default "
-                    "shift 0 is served (window = the values BEFORE "
-                    "the current bucket)"
+                    f"pipeline agg {name!r}: 'shift' must be an "
+                    "integer (ES: 0 = the window ends BEFORE the "
+                    "current bucket; +1 includes it)"
                 )
-            script = body.get("script")
-            m = (
-                re.fullmatch(
-                    r"MovingFunctions\.(\w+)\(values\)", script.strip()
-                )
-                if isinstance(script, str)
-                else None
-            )
-            if m is None or m.group(1) not in _MOVING_FNS:
-                raise ValueError(
-                    f"pipeline agg {name!r}: moving_fn 'script' must "
-                    "be MovingFunctions.<fn>(values) with fn in "
-                    f"{sorted(_MOVING_FNS)}"
-                )
-            self.fn = _MOVING_FNS[m.group(1)]
+            self.shift = shift
+            self.fn = _parse_moving_script(name, body.get("script"))
             self.segments = [path]
         elif self.parent:
             _strict_keys(
@@ -2381,20 +2442,26 @@ def aggs_nested(
                                 bk[p.name] = entry
                             prev, prev_key = cur, bk["key"]
                     elif p.typ == "moving_fn":
-                        # ES shift=0: the window is the p.window
-                        # values BEFORE the current bucket (current
-                        # excluded); gap_policy skip drops nulls from
-                        # the window; an empty window serves null
-                        # (the first bucket always does)
+                        # ES window placement: indices
+                        # [i − window + shift, i + shift) clamped to
+                        # the series — shift 0 (default) is the
+                        # p.window values BEFORE the current bucket
+                        # (current excluded), +1 slides right to
+                        # include it, window/2 centers. gap_policy
+                        # skip drops nulls from the window; an empty
+                        # window serves null (the first bucket under
+                        # shift 0 always does).
                         series = [
                             None if (v := p.extract(bk)) is None
                             else _pipe_num(p, v)
                             for bk in kids
                         ]
                         for i, bk in enumerate(kids):
+                            lo = max(0, i - p.window + p.shift)
+                            hi = max(0, min(len(series), i + p.shift))
                             wvals = [
                                 v
-                                for v in series[max(0, i - p.window):i]
+                                for v in series[lo:hi]
                                 if v is not None
                             ]
                             bk[p.name] = {

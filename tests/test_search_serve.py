@@ -2154,18 +2154,72 @@ def test_script_pipeline_400s(frame):
                         "script": "values.sum()"}}}}},
             frame.columns,
         )
-    # non-default shift is refused, not silently ignored
-    with pytest.raises(ValueError, match="shift 0"):
+    # shift must be an integer — a float/string never silently floors
+    for bad_shift in (1.5, "1", True):
+        with pytest.raises(ValueError, match="'shift' must be"):
+            serve.parse_aggs(
+                {"by": {"date_histogram": {"field": "ts",
+                                           "fixed_interval": "1d"},
+                        "aggs": {"m": {"moving_fn": {
+                            "buckets_path": "_count", "window": 2,
+                            "shift": bad_shift,
+                            "script":
+                                "MovingFunctions.unweightedAvg(values)"
+                        }}}}},
+                frame.columns,
+            )
+    # holt/holtWinters: refused by name (Lucene-internal seeding)
+    with pytest.raises(ValueError, match="holt"):
         serve.parse_aggs(
             {"by": {"date_histogram": {"field": "ts",
                                        "fixed_interval": "1d"},
                     "aggs": {"m": {"moving_fn": {
                         "buckets_path": "_count", "window": 2,
-                        "shift": 1,
                         "script":
-                            "MovingFunctions.unweightedAvg(values)"}}}}},
+                            "MovingFunctions.holt(values, 0.3, 0.1)"
+                    }}}}},
             frame.columns,
         )
+
+
+def test_moving_fn_shift_and_weighted(gap_frame):
+    """ES moving_fn window placement [i − window + shift, i + shift)
+    and the weighted builtins: shift 1 slides the window right to
+    include the current bucket; linearWeightedAvg weights
+    oldest→newest 1..n; ewma seeds with the window's first value;
+    stdDev deviates around the window mean. Counts on the returned
+    day list are [2, 5, 3]."""
+    import math
+
+    env = serve.aggs_nested(gap_frame, {
+        "by_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d"},
+            "aggs": {
+                "m1": {"moving_fn": {
+                    "buckets_path": "_count", "window": 2, "shift": 1,
+                    "script": "MovingFunctions.sum(values)"}},
+                "lwa": {"moving_fn": {
+                    "buckets_path": "_count", "window": 3,
+                    "script":
+                        "MovingFunctions.linearWeightedAvg(values)"}},
+                "ew": {"moving_fn": {
+                    "buckets_path": "_count", "window": 3,
+                    "script": "MovingFunctions.ewma(values, 0.5)"}},
+                "sd": {"moving_fn": {
+                    "buckets_path": "_count", "window": 3, "shift": 1,
+                    "script": "MovingFunctions.stdDev(values, "
+                              "MovingFunctions.unweightedAvg(values))"
+                }}}}})
+    buckets = env["by_day"]["buckets"]
+    # shift 1 includes the current bucket: [2], [2,5], [5,3]
+    assert [b["m1"]["value"] for b in buckets] == [2.0, 7.0, 8.0]
+    # shift 0 stays exclusive: lwa windows [], [2], [2,5]
+    assert [b["lwa"]["value"] for b in buckets] == [None, 2.0, 4.0]
+    # ewma over [2,5]: 2 → 5*.5 + 2*.5 = 3.5
+    assert [b["ew"]["value"] for b in buckets] == [None, 2.0, 3.5]
+    got = [b["sd"]["value"] for b in buckets]
+    assert got[0] == 0.0 and got[1] == 1.5
+    assert math.isclose(got[2], math.sqrt(14.0 / 9.0))
 
 
 def test_filter_level_bucket_selector_is_400(frame):
