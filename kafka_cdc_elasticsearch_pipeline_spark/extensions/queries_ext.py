@@ -7063,3 +7063,64 @@ def ext_search_aggs_moving_fn(
     # bounded: ≤ 72 hourly buckets (MAX_BUCKETS guards the general
     # case) — the driver-side list IS the ES wire envelope
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ext_search_match_phrase_slop",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(
+               string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+               x -> x <> '') AS tl
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang,
+             list_filter(list_transform(tl,
+               (x, i) -> CASE WHEN x = 'order' THEN i END),
+               p -> p IS NOT NULL) AS pa,
+             list_filter(list_transform(tl,
+               (x, i) -> CASE WHEN x = 'fast' THEN i END),
+               p -> p IS NOT NULL) AS pb
+      FROM toks
+    )
+    SELECT doc_id, lang FROM pos
+    WHERE len(list_filter(flatten(list_transform(pa,
+      i -> list_transform(pb,
+        j -> CASE WHEN j > i AND j - i - 1 <= 2 THEN 1
+                  WHEN i > j AND i - j + 1 <= 2 THEN 1 END))),
+      c -> c IS NOT NULL)) > 0
+    """,
+    tags=("ext", "search", "phrase", "serving"),
+)
+def ext_search_match_phrase_slop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``match_phrase`` with ``slop`` (round 15) — Lucene's two-term
+    proximity WITHOUT a positions index: the shared tokenizer's token
+    array yields each term's position list via an indexed
+    ``transform`` + ``filter``, and membership is an
+    ``exists × exists`` over position pairs with Lucene's move cost
+    (in-order pairs cost the gap ``j−i−1``; reversed pairs the
+    transposition ``i−j+1``, so adjacent transposed terms need slop
+    2 — ES's own documented example). All whole-stage-codegen JVM
+    expressions; at serve time the predicate runs only on the docs
+    the term machinery nominated, candidate-bounded. ``'order fast'``
+    at slop 2 widens the adjacency row's 27 matches to 86 — gaps AND
+    reversals both change membership mid-corpus. The oracle rebuilds
+    the identical position arithmetic as DuckDB list lambdas
+    (1-based indexes cancel in the differences) — hash-equality pins
+    tokenization, pair costs, and the slop threshold cross-engine.
+    Phrases of 3+ tokens with slop stay an explicit 400 (Lucene's
+    n-term sloppy alignment is not pinned here)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    docs = _docs(spark, sf_dir)
+    _texts, _opt, pred = serve.parse_query_dsl(
+        {"match_phrase": {"text": {"query": "order fast", "slop": 2}}},
+        docs,
+    )
+    return docs.filter(pred).select("doc_id", "lang")

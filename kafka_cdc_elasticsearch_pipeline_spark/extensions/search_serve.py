@@ -3792,6 +3792,49 @@ def phrase_predicate(text_col: Column, phrase: str) -> Column:
     return joined.contains(" " + " ".join(toks) + " ")
 
 
+def phrase_slop_predicate(
+    text_col: Column, tok_a: str, tok_b: str, slop: int
+) -> Column:
+    """Two-token ``match_phrase`` with ``slop`` — Lucene's sloppy
+    proximity WITHOUT a positions index, as whole-stage-codegen JVM
+    expressions over the shared tokenizer's token array: the two
+    terms' position lists come from an indexed ``transform`` +
+    ``filter``, and the match is an ``exists × exists`` over position
+    pairs with Lucene's two-term move cost — in-order pairs cost the
+    gap (``j − i − 1``), reversed pairs the transposition
+    (``i − j + 1``, so adjacent transposed terms need slop 2, ES's
+    own documented example). Runs only on the docs the term machinery
+    nominated (the keep-set path), so the O(|A|·|B|) pair scan is
+    candidate-bounded per document, never a corpus pass. Three-plus
+    token phrases with slop are refused at parse time: Lucene's
+    n-term sloppy alignment (repeats handling included) is not pinned
+    here, and a near-miss subset would silently diverge."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        similarity as _sim,
+    )
+
+    arr = _sim.bm25_tokenize(text_col)
+
+    def positions(tok: str) -> Column:
+        return F.filter(
+            F.transform(
+                arr, lambda x, i: F.when(x == F.lit(tok), i)
+            ),
+            lambda p: p.isNotNull(),
+        )
+
+    pa, pb = positions(tok_a), positions(tok_b)
+    lim = F.lit(int(slop))
+    return F.exists(
+        pa,
+        lambda i: F.exists(
+            pb,
+            lambda j: ((j > i) & (j - i - 1 <= lim))
+            | ((i > j) & (i - j + 1 <= lim)),
+        ),
+    )
+
+
 def parse_query_dsl(
     body: dict, doc_source: DataFrame | None, text_field: str = "text"
 ) -> tuple[list[str], list[str], Column | None]:
@@ -3989,20 +4032,28 @@ def parse_query_dsl(
                     f"document text, which is {text_field!r} — got "
                     f"field {f!r}"
                 )
+            slop = 0
             if isinstance(v, dict):
-                extra = sorted(set(v) - {"query"})
+                extra = sorted(set(v) - {"query", "slop"})
                 if extra:
-                    # slop would need real positions — refuse, never
-                    # silently serve slop-0 for a slop-2 request
                     raise ValueError(
                         "'match_phrase' object form: unsupported keys "
-                        f"{extra} (supported: query; 'slop' needs a "
-                        "positions index this engine does not keep)"
+                        f"{extra} (supported: query, slop)"
                     )
                 if "query" not in v:
                     raise ValueError(
                         "'match_phrase' object form needs a 'query' "
                         f"key, got {sorted(v)}"
+                    )
+                slop = v.get("slop", 0)
+                if (
+                    isinstance(slop, bool)
+                    or not isinstance(slop, int)
+                    or slop < 0
+                ):
+                    raise ValueError(
+                        "'match_phrase' slop must be a non-negative "
+                        f"integer, got {slop!r}"
                     )
                 v = v["query"]
             field = meta_field(f, "match_phrase")
@@ -4013,7 +4064,23 @@ def parse_query_dsl(
                     "normalization"
                 )
             texts.append(" ".join(toks))
-            return phrase_predicate(F.col(field), str(v))
+            if slop == 0 or len(toks) == 1:
+                # a one-token phrase is a term match at any slop
+                return phrase_predicate(F.col(field), str(v))
+            if len(toks) == 2:
+                return phrase_slop_predicate(
+                    F.col(field), toks[0], toks[1], slop
+                )
+            # Lucene's n-term sloppy alignment (repeats handling
+            # included) is not pinned here — a near-miss subset
+            # would silently diverge, so refuse with the contract
+            raise ValueError(
+                "'match_phrase' slop is served for two-token "
+                f"phrases (got {len(toks)} tokens) — Lucene's "
+                "n-term sloppy alignment is not pinned by this "
+                "engine; drop slop for exact adjacency, or split "
+                "the phrase into two-token proximity clauses"
+            )
         if typ == "term":
             f, v = one_entry(clause, "term")
             v = v["value"] if isinstance(v, dict) else v

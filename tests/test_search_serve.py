@@ -2311,13 +2311,43 @@ def test_match_phrase_token_exact_adjacency(phrase_frame):
     ) == [0, 2]
 
 
-def test_match_phrase_400s(phrase_frame, frame):
-    # slop needs positions — refused, never silently served as slop 0
-    with pytest.raises(ValueError, match="slop"):
-        serve.parse_query_dsl(
-            {"match_phrase": {"text": {"query": "a b", "slop": 2}}},
+def test_match_phrase_slop_two_token_proximity(phrase_frame):
+    """``slop`` over a two-token phrase: Lucene's move cost as JVM
+    position arithmetic — in-order pairs cost the gap, reversed pairs
+    the transposition (+1, so adjacent transposed terms need slop 2,
+    ES's documented example)."""
+    def ids(query, slop):
+        _, _, pred = serve.parse_query_dsl(
+            {"match_phrase": {"text": {"query": query, "slop": slop}}},
             phrase_frame,
         )
+        return sorted(r.doc_id for r in phrase_frame.filter(pred).collect())
+
+    # 'quick fox': doc 0 has one word between (cost 1), doc 2 adjacent
+    assert ids("quick fox", 1) == [0, 2]
+    assert ids("quick fox", 0) == [2]  # slop 0 = exact adjacency path
+    # reversed adjacent ('brown quick' in doc 2) costs exactly 2
+    assert ids("quick brown", 1) == [0, 1]
+    assert ids("quick brown", 2) == [0, 1, 2]
+    # a one-token phrase ignores slop (term semantics)
+    assert ids("fox", 3) == [0, 2]
+
+
+def test_match_phrase_400s(phrase_frame, frame):
+    # slop over 3+ tokens: Lucene's n-term alignment is not pinned —
+    # refused, never silently served as a near-miss subset
+    with pytest.raises(ValueError, match="two-token"):
+        serve.parse_query_dsl(
+            {"match_phrase": {"text": {"query": "a b c", "slop": 2}}},
+            phrase_frame,
+        )
+    for bad in (-1, 1.5, "2", True):
+        with pytest.raises(ValueError, match="slop"):
+            serve.parse_query_dsl(
+                {"match_phrase": {"text": {"query": "a b",
+                                           "slop": bad}}},
+                phrase_frame,
+            )
     # adjacency verifies against the MOUNTED text
     with pytest.raises(ValueError, match="not in the mounted"):
         serve.parse_query_dsl(
