@@ -7124,3 +7124,95 @@ def ext_search_match_phrase_slop(
         docs,
     )
     return docs.filter(pred).select("doc_id", "lang")
+
+
+@query(
+    "ext_search_filters_product",
+    """
+    WITH agg AS (
+      SELECT
+        count(*) FILTER (lang = 'en')::BIGINT AS en_n,
+        avg(n_chars) FILTER (lang = 'en') AS en_avg,
+        count(*) FILTER (lang <> 'en' OR lang IS NULL)::BIGINT AS ot_n,
+        avg(n_chars) FILTER (lang <> 'en' OR lang IS NULL) AS ot_avg,
+        count(*) FILTER (lang = 'en' AND n_chars >= 250)::BIGINT
+          AS en_big_n,
+        max(n_chars) FILTER (lang = 'en' AND n_chars >= 250)::BIGINT
+          AS en_big_mx,
+        count(*) FILTER (lang = 'en' AND n_chars < 250)::BIGINT
+          AS en_small_n,
+        max(n_chars) FILTER (lang = 'en' AND n_chars < 250)::BIGINT
+          AS en_small_mx,
+        count(*) FILTER ((lang <> 'en' OR lang IS NULL)
+                         AND n_chars >= 250)::BIGINT AS ot_big_n,
+        max(n_chars) FILTER ((lang <> 'en' OR lang IS NULL)
+                             AND n_chars >= 250)::BIGINT AS ot_big_mx,
+        count(*) FILTER ((lang <> 'en' OR lang IS NULL)
+                         AND n_chars < 250)::BIGINT AS ot_small_n,
+        max(n_chars) FILTER ((lang <> 'en' OR lang IS NULL)
+                             AND n_chars < 250)::BIGINT AS ot_small_mx
+      FROM documents
+    )
+    SELECT 'english' AS filter, NULL AS filter2, en_n AS doc_count,
+           round(en_avg, 6) AS oc, NULL::BIGINT AS mx FROM agg
+    UNION ALL
+    SELECT 'english', 'big', en_big_n, NULL, en_big_mx FROM agg
+    UNION ALL
+    SELECT 'english', 'small', en_small_n, NULL, en_small_mx FROM agg
+    UNION ALL
+    SELECT 'other', NULL, ot_n, round(ot_avg, 6), NULL FROM agg
+    UNION ALL
+    SELECT 'other', 'big', ot_big_n, NULL, ot_big_mx FROM agg
+    UNION ALL
+    SELECT 'other', 'small', ot_small_n, NULL, ot_small_mx FROM agg
+    """,
+    tags=("ext", "search", "filters", "serving"),
+)
+def ext_search_filters_product(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The filters×filters PRODUCT (round 15) — Kibana's two filters
+    splits (split series × x-axis) served as ONE conditional-
+    aggregation pass: every outer filter's doc_count and metric
+    siblings plus every (outer, inner) pair cell as independent
+    ``F.when(pred, field)`` aggregate columns in a single global
+    aggregate with map-side partials — one corpus scan whose column
+    count is the pair grid (capped at 64), flat in the data size,
+    where Kibana itself would fire one request per outer filter.
+    ``must_not`` keeps docs missing the field (the KQL contract), so
+    the ``other`` side is null-safe. The oracle rebuilds every cell
+    as a DuckDB ``FILTER (WHERE ...)`` branch over the same
+    predicates in one scan — hash-equality pins the pair grid, the
+    intersection arithmetic, and the outer-sibling scoping
+    cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    flat = serve.filters_product_flat(
+        _docs(spark, sf_dir),
+        {
+            "filters": {
+                "english": {"term": {"lang": "en"}},
+                "other": {"bool": {"must_not": [
+                    {"term": {"lang": "en"}}]}},
+            },
+            "aggs": {
+                "oc": {"avg": {"field": "n_chars"}},
+                "by_size": {
+                    "filters": {"filters": {
+                        "big": {"range": {"n_chars": {"gte": 250}}},
+                        "small": {"range": {"n_chars": {"lt": 250}}},
+                    }},
+                    "aggs": {"mx": {"max": {"field": "n_chars"}}},
+                },
+            },
+        },
+    )
+    return flat.select(
+        "filter",
+        "filter2",
+        "doc_count",
+        F.round("oc", 6).alias("oc"),
+        "mx",
+    )

@@ -3063,7 +3063,17 @@ def parse_filters(
     through the explode path (:func:`filters_has_bucket` →
     :func:`_filters_chain_nested` / :func:`filters_chain_flat`)."""
     preds, sub_aggs = _filter_preds(body, docs)
-    reserved = {"doc_count"}
+    return preds, _parse_filter_metrics(sub_aggs, docs)
+
+
+def _parse_filter_metrics(
+    sub_aggs: dict | None,
+    docs: DataFrame,
+    reserved: set[str] | None = None,
+) -> list[_Metric]:
+    """The metrics-only sub-``aggs`` contract shared by the one-pass
+    filters path and both sides of the filters×filters product."""
+    reserved = {"doc_count"} | (reserved or set())
     metrics: list[_Metric] = []
     for mname, mbody in (sub_aggs or {}).items():
         typs = [t for t in mbody if t != "aggs"] if isinstance(
@@ -3087,7 +3097,7 @@ def parse_filters(
                 f"{sorted(docs.columns)})"
             )
         metrics.append(m)
-    return preds, metrics
+    return metrics
 
 
 def _filters_row(docs: DataFrame, body: dict):
@@ -3164,9 +3174,13 @@ def filters_nested(
     keyed by filter name (the named form's wire shape), each bucket
     carrying ``doc_count`` and its metrics — and, when the sub-aggs
     carry a bucket chain (Kibana's split-by-filters × date-axis
-    panel), that chain's nested buckets via the explode path."""
+    panel), that chain's nested buckets via the explode path; a
+    nested FILTERS agg (Kibana's two filters splits) routes to the
+    one-pass product path."""
     if filters_has_bucket(body):
         return _filters_chain_nested(docs, body, pins)
+    if _product_inner_name(body) is not None:
+        return _filters_product_nested(docs, body)
     names, metrics, row, _ = _filters_row(docs, body)
     buckets: dict = {}
     for i, fname in enumerate(names):
@@ -3294,11 +3308,14 @@ def _filters_chain_nested(
 
 
 def validate_filters(body: dict, docs: DataFrame) -> None:
-    """Parse-for-validation of either filters form — metrics-only or
-    bucket-chain — without running a job (the REST layer's fail-fast
-    pass before the mode branch does real work)."""
+    """Parse-for-validation of any filters form — metrics-only,
+    bucket-chain, or filters×filters product — without running a job
+    (the REST layer's fail-fast pass before the mode branch does real
+    work)."""
     if filters_has_bucket(body):
         _filters_chain_parsed(docs, body)
+    elif _product_inner_name(body) is not None:
+        _filters_product_parsed(docs, body)
     else:
         parse_filters(body, docs)
 
@@ -3321,6 +3338,223 @@ def filters_chain_flat(docs: DataFrame, body: dict) -> DataFrame:
     return flat.filter(F.col("depth") >= 1).withColumnRenamed(
         _FILTER_KEY, "filter"
     )
+
+
+# --- filters × filters product (Kibana's two filters splits) -------------------
+
+
+def _product_inner_name(body: dict) -> str | None:
+    """Name of the single nested filters agg inside a filters body's
+    sub-``aggs`` (the filters×filters product marker), or None. Two
+    nested filters at one level is a 400 — the named envelope has one
+    slot per sub-agg name but the PAIR grid would be ambiguous to a
+    Kibana consumer, and no panel shape emits it."""
+    sub = body.get("aggs") if isinstance(body, dict) else None
+    if not isinstance(sub, dict):
+        return None
+    hits = [
+        k for k, v in sub.items() if isinstance(v, dict) and "filters" in v
+    ]
+    if len(hits) > 1:
+        raise ValueError(
+            "at most one nested filters agg per filters level — got "
+            f"{sorted(hits)}"
+        )
+    return hits[0] if hits else None
+
+
+def _filters_product_parsed(docs: DataFrame, body: dict):
+    """Parse both levels of a filters×filters product: outer named
+    predicates, the inner filters agg's named predicates, outer
+    metric SIBLINGS of the nested filters (computed over the outer
+    filter's docs — ES's sub-agg contract), and the inner's
+    metrics-only leaf. Depth is capped at two levels and the pair
+    grid at 64 (same bound discipline as the 64-filter cap: each
+    pair adds one conditional column set to the one-pass
+    aggregate)."""
+    preds, sub = _filter_preds(body, docs)
+    inner_name = _product_inner_name(body)
+    inner_node = sub[inner_name]
+    # the inner arrives in ES NODE shape ({"filters": {"filters":
+    # named}, "aggs": metrics} — only the TOP level is normalized by
+    # the REST entry); normalize to the serve-level form here
+    extra = set(inner_node) - {"filters", "aggs"}
+    if extra:
+        raise ValueError(
+            f"nested filters agg {inner_name!r}: unknown keys "
+            f"{sorted(extra)}"
+        )
+    es_body = inner_node.get("filters")
+    if not isinstance(es_body, dict) or not isinstance(
+        es_body.get("filters"), dict
+    ):
+        raise ValueError(
+            f"nested filters agg {inner_name!r} takes ES's named "
+            "form: {'filters': {'filters': {name: <query DSL>}}}"
+        )
+    inner_body = dict(es_body)
+    if "aggs" in inner_node:
+        inner_body["aggs"] = inner_node["aggs"]
+    if filters_has_bucket(inner_body):
+        raise ValueError(
+            "a bucket chain under the INNER filters level is not "
+            "served — nest the chain under the outer filters and "
+            "drop one split, or move the chain above the product"
+        )
+    if _product_inner_name(inner_body) is not None:
+        raise ValueError(
+            "filters nesting is served two levels deep "
+            "(outer × inner) — a third filters level would cube the "
+            "pair grid"
+        )
+    ipreds, isub = _filter_preds(inner_body, docs)
+    if len(preds) * len(ipreds) > 64:
+        raise ValueError(
+            "filters × filters product capped at 64 pairs (each "
+            "pair adds a conditional column set to the one-pass "
+            f"aggregate) — got {len(preds)}×{len(ipreds)}"
+        )
+    outer_metrics = _parse_filter_metrics(
+        {k: v for k, v in sub.items() if k != inner_name},
+        docs,
+        reserved={inner_name},
+    )
+    inner_metrics = _parse_filter_metrics(isub, docs)
+    return preds, inner_name, ipreds, outer_metrics, inner_metrics
+
+
+def filters_product_agg_df(
+    docs: DataFrame, body: dict
+) -> tuple[list[str], str, list[str], list, list, DataFrame]:
+    """The ONE distributed pass behind the product, UNCOLLECTED:
+    doc_count and metrics for every outer filter AND every (outer,
+    inner) pair as conditional aggregates in a single global
+    aggregate with map-side partials — where Kibana would fire one
+    request per outer filter (or ES would walk an n×m bucket tree),
+    this is one corpus scan whose column count is the pair grid,
+    flat in the data size. Public so the plan-shape guard can pin
+    the one-pass compilation (the serve collects its single row)."""
+    parsed = _filters_product_parsed(docs, body)
+    preds, inner_name, ipreds, om, im = parsed
+    names, inames = list(preds), list(ipreds)
+    aggs: list[Column] = []
+    for i, fname in enumerate(names):
+        p = preds[fname]
+        aggs.append(
+            F.coalesce(F.sum(F.when(p, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"f{i}__doc_count")
+        )
+        for m in om:
+            aggs.extend(
+                m.exprs(F.when(p, F.col(m.field)), prefix=f"f{i}__")
+            )
+        for j, gname in enumerate(inames):
+            q = p & ipreds[gname]
+            aggs.append(
+                F.coalesce(F.sum(F.when(q, 1).otherwise(0)), F.lit(0))
+                .cast("bigint")
+                .alias(f"f{i}_g{j}__doc_count")
+            )
+            for m in im:
+                aggs.extend(
+                    m.exprs(
+                        F.when(q, F.col(m.field)), prefix=f"f{i}_g{j}__"
+                    )
+                )
+    return names, inner_name, inames, om, im, docs.agg(*aggs)
+
+
+def _filters_product_row(docs: DataFrame, body: dict):
+    """:func:`filters_product_agg_df` collected — bounded by
+    construction (one row)."""
+    names, inner_name, inames, om, im, agg_df = filters_product_agg_df(
+        docs, body
+    )
+    row = agg_df.collect()[0].asDict()  # bounded: ONE row
+    dtypes = {f.name: f.dataType for f in agg_df.schema.fields}
+    return names, inner_name, inames, om, im, row, dtypes
+
+
+def _filters_product_nested(docs: DataFrame, body: dict) -> dict:
+    """The product's ES wire shape: the outer named envelope, each
+    outer bucket carrying its doc_count, its metric siblings, and
+    the inner filters agg's own named envelope over the
+    intersection. Zero pairs need no fabrication — the conditional
+    aggregate serves every named cell, empty ones at doc_count 0
+    (exactly ES, which enumerates named filters regardless of
+    matches)."""
+    names, inner_name, inames, om, im, row, _ = _filters_product_row(
+        docs, body
+    )
+    buckets: dict = {}
+    for i, fname in enumerate(names):
+        bucket: dict = {"doc_count": int(row[f"f{i}__doc_count"])}
+        for m in om:
+            bucket[m.name] = _metric_json(
+                m, {c: row[f"f{i}__{c}"] for c in m.columns}
+            )
+        inner: dict = {}
+        for j, gname in enumerate(inames):
+            g: dict = {"doc_count": int(row[f"f{i}_g{j}__doc_count"])}
+            for m in im:
+                g[m.name] = _metric_json(
+                    m, {c: row[f"f{i}_g{j}__{c}"] for c in m.columns}
+                )
+            inner[gname] = g
+        bucket[inner_name] = {"buckets": inner}
+        buckets[fname] = bucket
+    return {"buckets": buckets}
+
+
+def filters_product_flat(docs: DataFrame, body: dict) -> DataFrame:
+    """The filters×filters product as a flat DataFrame — the
+    gate-row surface: one row per outer filter (``filter2`` null,
+    outer metrics) plus one per (outer, inner) pair (inner
+    metrics), in request order. A DuckDB FILTER(WHERE ...) union
+    over the same predicates rebuilds it exactly."""
+    from pyspark.sql import types as T
+
+    if _product_inner_name(body) is None:
+        raise ValueError(
+            "filters_product_flat serves filters aggs with a NESTED "
+            "filters agg — single-level bodies are "
+            "filters_flat/filters_chain_flat"
+        )
+    names, _inner_name, inames, om, im, row, dtypes = (
+        _filters_product_row(docs, body)
+    )
+    ocols = [c for m in om for c in m.columns]
+    icols = [c for m in im for c in m.columns]
+    schema = T.StructType(
+        [
+            T.StructField("filter", T.StringType(), False),
+            T.StructField("filter2", T.StringType(), True),
+            T.StructField("doc_count", T.LongType(), False),
+            *[
+                T.StructField(c, dtypes[f"f0__{c}"], True)
+                for c in ocols
+            ],
+            *[
+                T.StructField(c, dtypes[f"f0_g0__{c}"], True)
+                for c in icols
+            ],
+        ]
+    )
+    data = []
+    for i, fname in enumerate(names):
+        data.append(tuple(
+            [fname, None, row[f"f{i}__doc_count"]]
+            + [row[f"f{i}__{c}"] for c in ocols]
+            + [None] * len(icols)
+        ))
+        for j, gname in enumerate(inames):
+            data.append(tuple(
+                [fname, gname, row[f"f{i}_g{j}__doc_count"]]
+                + [None] * len(ocols)
+                + [row[f"f{i}_g{j}__{c}"] for c in icols]
+            ))
+    return docs.sparkSession.createDataFrame(data, schema)
 
 
 # --- Kibana saved-object translation ------------------------------------------
@@ -3549,7 +3783,7 @@ def kibana_vis_aggs(
 
     entries = vis_state.get("aggs", [])
     buckets: list[tuple[str, str, dict]] = []
-    filters_split: tuple[str, dict] | None = None
+    filters_splits: list[tuple[str, dict, str]] = []
     metrics: dict[str, dict] = {}
     # agg id → translated metric name ("_count" for the inherent count
     # metric) — what a terms entry's orderBy references; metrics are
@@ -3683,11 +3917,11 @@ def kibana_vis_aggs(
                 # the input string — the client relabels), nested
                 # OUTSIDE the chain like Kibana nests group outside
                 # segment; kql_node applies the same field_map.
-                if filters_split is not None:
+                if len(filters_splits) == 2:
                     raise ValueError(
-                        "one filters split per visualization (two "
-                        "would need a filters×filters product the "
-                        "serve does not express)"
+                        "at most two filters splits per "
+                        "visualization (the serve expresses a "
+                        "two-level filters×filters product)"
                     )
                 rows = params.get("filters")
                 if not isinstance(rows, list) or not rows:
@@ -3721,7 +3955,7 @@ def kibana_vis_aggs(
                     # same field:value shapes the KQL subset parses;
                     # anything richer 400s inside kql_node
                     named[label] = kql_node(str(qstr), fm)
-                filters_split = (name, named)
+                filters_splits.append((name, named, schema))
             else:
                 raise ValueError(
                     f"unsupported Kibana bucket type {typ!r}"
@@ -3732,8 +3966,21 @@ def kibana_vis_aggs(
                 "metric, segment, group, bucket) — silently dropping a "
                 "panel dimension would serve different results"
             )
-    if not buckets and not metrics and filters_split is None:
+    if not buckets and not metrics and not filters_splits:
         return None
+    if len(filters_splits) == 2:
+        if buckets:
+            raise ValueError(
+                "two filters splits plus a bucket chain would need "
+                "a filters×filters×chain cube the serve does not "
+                "express — drop one split or the chain"
+            )
+        # group (split series) nests OUTSIDE segment (x-axis),
+        # Kibana's own group-outside-segment rule; a same-schema
+        # pair keeps panel order (sort is stable)
+        filters_splits.sort(
+            key=lambda t: {"group": 0, "segment": 1}.get(t[2], 1)
+        )
     # innermost-out: metrics inside the last bucket (Kibana's request
     # nesting for a chart: each bucket level wraps the next, metrics
     # at the leaf)
@@ -3743,8 +3990,7 @@ def kibana_vis_aggs(
         if inner:
             node["aggs"] = inner
         inner = {name: node}
-    if filters_split is not None:
-        fname, named = filters_split
+    for fname, named, _schema in reversed(filters_splits):
         fnode: dict = {"filters": {"filters": named}}
         if inner:
             fnode["aggs"] = inner

@@ -765,3 +765,39 @@ def test_dh_offset_is_key_expression_not_extra_pass(plans):
     assert "Expand" in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_filters_product_is_one_conditional_pass(spark, sf_dir):
+    """Round 15: the filters×filters product compiles to ONE global
+    conditional aggregate over the corpus — partial + final
+    HashAggregate with a SinglePartition exchange between them; no
+    explode, no join, no per-filter or per-pair re-scan. Where Kibana
+    fires one request per outer filter, this is one scan whose column
+    count is the pair grid — flat in the data size. (The served flat
+    frame collects its ONE row, so the guard pins the uncollected
+    aggregate the serve runs.)"""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    *_, agg_df = serve.filters_product_agg_df(docs, {
+        "filters": {"en": {"term": {"lang": "en"}},
+                    "all": {"match_all": {}}},
+        "aggs": {"oc": {"avg": {"field": "n_chars"}},
+                 "g": {"filters": {"filters": {
+                     "big": {"range": {"n_chars": {"gte": 250}}},
+                     "small": {"range": {"n_chars": {"lt": 250}}}}},
+                     "aggs": {"mx": {"max": {"field": "n_chars"}}}}}})
+    p = final_plan(agg_df)
+    assert "Generate" not in p          # never the explode path
+    assert "Join" not in p
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("Exchange SinglePartition") == 1
+    # exactly one partial/final aggregate pair over the one scan
+    assert sum(
+        1 for line in p.splitlines() if "HashAggregate" in line
+    ) == 2

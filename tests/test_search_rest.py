@@ -1763,6 +1763,43 @@ def test_filters_agg_with_bucket_chain_over_rest(meta_server):
             assert d["mean"]["value"] is not None
 
 
+def test_filters_product_over_rest(meta_server):
+    """Round 15: two filters splits (filters×filters) in ONE request —
+    each outer named bucket carries the inner named envelope over the
+    intersection, inner cells tile the outer count when the inner
+    partitions, and the query-scoped form runs the grid over the
+    MATCH SET."""
+    server, meta = meta_server
+    body = {"aggs": {"splits": {
+        "filters": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "all": {"match_all": {}},
+        }},
+        "aggs": {"by_size": {
+            "filters": {"filters": {
+                "big": {"range": {"n_chars": {"gte": 300}}},
+                "small": {"range": {"n_chars": {"lt": 300}}},
+            }},
+            "aggs": {"mx": {"max": {"field": "n_chars"}}}}},
+    }}}
+    out = server.search(body)
+    b = out["aggregations"]["splits"]["buckets"]
+    cells = b["english"]["by_size"]["buckets"]
+    assert cells["big"]["doc_count"] == meta.filter(
+        "lang = 'en' AND n_chars >= 300").count()
+    assert (cells["big"]["doc_count"] + cells["small"]["doc_count"]
+            ) == b["english"]["doc_count"]
+    assert b["all"]["doc_count"] == meta.count()
+    assert cells["big"]["mx"]["value"] >= cells["small"]["mx"]["value"]
+    # query-scoped: the whole grid runs over the match set
+    scoped = server.search({"mode": "bm25", "query": "dup", **body})
+    sb = scoped["aggregations"]["splits"]["buckets"]
+    assert sb["all"]["doc_count"] <= b["all"]["doc_count"]
+    s_cells = sb["all"]["by_size"]["buckets"]
+    assert (s_cells["big"]["doc_count"] + s_cells["small"]["doc_count"]
+            ) == sb["all"]["doc_count"]
+
+
 def test_other_bucket_tiles_parent_over_rest(meta_server):
     """Round 14: a Kibana panel with otherBucket translated through
     kibana_vis_aggs and served over /search — kept + __other__

@@ -2850,3 +2850,131 @@ def test_kibana_week_interval_translates_to_calendar(frame):
         b["key"] % 1000 == 0 and b["doc_count"] > 0
         for b in out["k2"]["buckets"]
     )
+
+
+# --- round-15: filters × filters product ----------------------------------------
+
+
+def test_filters_product_nested_and_flat(frame):
+    """Kibana's TWO filters splits: a nested filters agg inside the
+    outer's sub-aggs serves as ONE conditional-aggregation pass over
+    the pair grid — outer doc_count/metric siblings over the outer
+    filter's docs, inner cells over the intersection, empty cells at
+    doc_count 0 (ES enumerates named filters regardless of
+    matches)."""
+    body = {"filters": {"en": {"term": {"lang": "en"}},
+                        "all": {"match_all": {}}},
+            "aggs": {"oc": {"avg": {"field": "n_chars"}},
+                     "by_size": {"filters": {"filters": {
+                         "big": {"range": {"n_chars": {"gte": 40}}},
+                         "small": {"range": {"n_chars": {"lt": 40}}}}},
+                         "aggs": {"mx": {"max": {"field": "n_chars"}}}}}}
+    env = serve.filters_nested(frame, body)
+    en = env["buckets"]["en"]
+    assert en["doc_count"] == 3
+    assert en["oc"]["value"] == pytest.approx(80 / 3)
+    assert en["by_size"]["buckets"]["big"] == {
+        "doc_count": 1, "mx": {"value": 50}}
+    assert en["by_size"]["buckets"]["small"] == {
+        "doc_count": 2, "mx": {"value": 20}}
+    alle = env["buckets"]["all"]
+    assert alle["doc_count"] == 6
+    assert alle["by_size"]["buckets"]["big"]["mx"]["value"] == 60
+    # flat gate surface: outer rows (filter2 null) + pair rows
+    flat = serve.filters_product_flat(frame, body)
+    rows = {(r["filter"], r["filter2"]): r for r in flat.collect()}
+    assert len(rows) == 6
+    assert rows[("en", None)]["doc_count"] == 3
+    assert rows[("en", "big")]["mx"] == 50
+    assert rows[("all", "small")]["doc_count"] == 3
+    assert rows[("all", None)]["oc"] == pytest.approx(210 / 6)
+    # an empty pair cell serves doc_count 0, never a missing bucket
+    env0 = serve.filters_nested(frame, {
+        "filters": {"fr": {"term": {"lang": "fr"}}},
+        "aggs": {"g": {"filters": {"filters": {
+            "tiny": {"range": {"n_chars": {"lt": 5}}}}}}}})
+    assert env0["buckets"]["fr"]["g"]["buckets"]["tiny"] == {
+        "doc_count": 0}
+    # validate_filters covers the product form (REST fail-fast)
+    serve.validate_filters(body, frame)
+
+
+def test_filters_product_400s(frame):
+    base = {"filters": {"a": {"match_all": {}}}}
+    # a third filters level would cube the pair grid
+    with pytest.raises(ValueError, match="two levels deep"):
+        serve.validate_filters({**base, "aggs": {
+            "x": {"filters": {"filters": {"b": {"match_all": {}}}},
+                  "aggs": {"y": {"filters": {"filters": {
+                      "c": {"match_all": {}}}}}}}}}, frame)
+    # a bucket chain under the INNER level is refused with remediation
+    with pytest.raises(ValueError, match="INNER filters level"):
+        serve.validate_filters({**base, "aggs": {
+            "x": {"filters": {"filters": {"b": {"match_all": {}}}},
+                  "aggs": {"d": {"date_histogram": {
+                      "field": "ts", "fixed_interval": "1d"}}}}}}, frame)
+    # two nested filters at ONE level is ambiguous in the named shape
+    with pytest.raises(ValueError, match="at most one nested"):
+        serve.validate_filters({**base, "aggs": {
+            "x": {"filters": {"filters": {"b": {"match_all": {}}}}},
+            "y": {"filters": {"filters": {"c": {"match_all": {}}}}}}},
+            frame)
+    # the pair grid is capped at 64
+    many = {f"f{i}": {"match_all": {}} for i in range(9)}
+    with pytest.raises(ValueError, match="64 pairs"):
+        serve.validate_filters({
+            "filters": many,
+            "aggs": {"x": {"filters": {"filters": dict(many)}}}}, frame)
+    # the inner node takes ES's named form
+    with pytest.raises(ValueError, match="named"):
+        serve.validate_filters({**base, "aggs": {
+            "x": {"filters": [{"term": {"lang": "en"}}]}}}, frame)
+
+
+def test_kibana_two_filters_splits_translation(frame):
+    """Two filters controls (split series + x-axis) translate to the
+    nested filters×filters body — group nests OUTSIDE segment even
+    when the panel lists segment first — and serve through the
+    product path; a third dimension (date axis) stays a 400."""
+    seg = {"id": "2", "type": "filters", "schema": "segment",
+           "params": {"filters": [
+               {"input": {"query": "N_CHARS >= 40"}, "label": "big"},
+               {"input": {"query": "N_CHARS < 40"}, "label": "small"},
+           ]}}
+    grp = {"id": "3", "type": "filters", "schema": "group",
+           "params": {"filters": [
+               {"input": {"query": "LANG: en"}, "label": "English"},
+           ]}}
+    vis = {"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        seg, grp,
+    ]}
+    fm = {"LANG": "lang", "N_CHARS": "n_chars"}
+    spec = serve.kibana_vis_aggs(vis, fm)
+    assert set(spec) == {"k3"}  # the GROUP split is the outer level
+    inner_node = spec["k3"]["aggs"]["k2"]
+    assert set(inner_node["filters"]["filters"]) == {"big", "small"}
+    env = serve.filters_nested(
+        frame,
+        {"filters": spec["k3"]["filters"]["filters"],
+         "aggs": spec["k3"]["aggs"]},
+    )
+    cells = env["buckets"]["English"]["k2"]["buckets"]
+    assert cells["big"]["doc_count"] == 1
+    assert cells["small"]["doc_count"] == 2
+    # two splits + a date axis = a cube the serve does not express
+    vis3 = {"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "4", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "ts", "interval": "auto"}},
+        seg, grp,
+    ]}
+    with pytest.raises(ValueError, match="cube"):
+        serve.kibana_vis_aggs(vis3, fm, fixed_interval="1d")
+    # and a THIRD filters control is past the product's depth
+    vis4 = {"aggs": [seg, grp,
+                     {"id": "5", "type": "filters", "schema": "group",
+                      "params": {"filters": [
+                          {"input": {"query": "LANG: de"}}]}}]}
+    with pytest.raises(ValueError, match="at most two filters"):
+        serve.kibana_vis_aggs(vis4, fm)
