@@ -182,8 +182,8 @@ def _parse_moving_script(name: str, script):
 #: calendar_interval → Spark/ISO date_trunc unit (the units a
 #: dashboard uses). Weeks are ISO Monday-start in ES, Spark
 #: date_trunc('week'), AND DuckDB date_trunc('week') — one shared
-#: convention, pinned by the ext_search_aggs_dh_week gate row whose
-#: oracle crosses a year boundary (the ISO week-1 edge). Kibana's
+#: convention, pinned by the ext_search_aggs_dh_week_tz gate row
+#: whose oracle crosses a year boundary (the ISO week-1 edge). Kibana's
 #: auto-interval picks '1w' for any 1–3-month zoom, so this is a
 #: day-one unit, not a corner.
 _CALENDAR_UNITS = {
@@ -263,20 +263,23 @@ def _zone_offsets(tz: str) -> frozenset:
     DST regime and historical offset change persists for weeks, far
     wider than the probe step. Two soundness facts derive from it:
 
-    - ``len == 1`` → the zone is TRANSITION-FREE (Asia/Kolkata,
-      Asia/Kathmandu, all fixed-offset aliases): wall-space key
-      arithmetic can never collapse or double a grid key, exactly
-      like a literal ``±HH:MM`` offset — so it is wall-sound at ANY
-      grid, fractional offset included.
-    - all offsets whole-hour → local hour boundaries coincide with
-      UTC hour boundaries at every instant, so for ≤1 h grids the
-      plain-UTC bucket set IS ES's bucket set (America/*, Europe/*).
+    - ``len == 1`` → the zone is TRANSITION-FREE (Asia/Kolkata and
+      other constant-offset zones, all fixed-offset aliases):
+      wall-space key arithmetic can never collapse or double a grid
+      key, exactly like a literal ``±HH:MM`` offset — so it is
+      wall-sound at ANY grid, fractional offset included.
+    - all offsets CONGRUENT mod the grid → local grid boundaries sit
+      on one fixed UTC shift r at every instant, so ≤1 h buckets
+      serve as the UTC grid shifted by r (whole-hour zones → r = 0:
+      America/*, Europe/*; Australia/Adelaide hourly → r = 30 min,
+      ES's own :30-aligned set, DST steps included).
 
-    A transitioning zone with a fractional offset (Australia/
-    Adelaide, Australia/Lord_Howe, Asia/Tehran pre-2023) at a ≤1 h
-    grid satisfies neither — the caller must refuse rather than
-    silently serve UTC-aligned buckets where ES serves :30/:45-
-    aligned ones."""
+    Only a zone whose offsets have DIFFERING remainders mod the grid
+    (Asia/Singapore's 1982 +07:30→+08:00, Asia/Kathmandu's 1986
+    +05:30→+05:45) fails both — its alignment genuinely changed at a
+    historical instant, and the caller must refuse (naming the
+    modern fixed-offset remediation) rather than silently serve one
+    alignment where ES serves two."""
     import datetime
 
     zi = _tzinfo(tz)
@@ -316,7 +319,20 @@ def _parse_dh_offset(name: str, off) -> int:
             "±<integer><ms|s|m|h|d>"
         )
     sign = 1 if m.group(1) == "+" else -1
-    return sign * int(m.group(2)) * _OFFSET_UNIT_MS[m.group(3)] * 1000
+    us = int(m.group(2)) * _OFFSET_UNIT_MS[m.group(3)] * 1000
+    # magnitude cap (review finding): a well-formed but absurd offset
+    # ('+200000000d') overflows int64 epoch-micros deep in plan
+    # construction (or the spine's timedelta) — a 500, not the
+    # caller-fixable 400 this module contracts. ES's own offsets are
+    # sub-interval shifts; ±366d bounds every real panel (same
+    # discipline as the ±18:00 time_zone cap).
+    if us > 366 * 86_400_000_000:
+        raise ValueError(
+            f"date_histogram agg {name!r}: offset {off!r} exceeds "
+            "±366d — ES offsets shift bucket starts by less than "
+            "the interval, not by eras"
+        )
+    return sign * us
 
 
 def _tzinfo(tz: str):
@@ -728,6 +744,7 @@ class _Bucket:
                     )
                 self.calendar = _CALENDAR_UNITS[cal]
             tz = body.get("time_zone")
+            tz_align_us = 0
             if tz is not None:
                 import re
 
@@ -755,13 +772,27 @@ class _Bucket:
                     # (local hours start on UTC hours; key_as_string
                     # still localizes, the offset suffix keeping the
                     # repeated local hour's two buckets distinct). A
-                    # transitioning zone with a FRACTIONAL offset
-                    # (Australia/Adelaide +09:30/+10:30, Lord Howe)
-                    # at a ≤1 h grid satisfies neither soundness rule
-                    # — ES buckets on :30/:45 local boundaries there,
-                    # so serving plain UTC would silently diverge:
-                    # refuse instead (the repo's refuse-rather-than-
-                    # silently-diverge rule).
+                    # transitioning zone needs the CONGRUENCE rule at
+                    # ≤1 h grids (review finding: the r15 draft only
+                    # recognized whole-hour offsets, misclassifying
+                    # Asia/Kathmandu as transition-free and 400ing
+                    # Australia/Adelaide — which IS servable): if
+                    # every offset the zone ever uses is congruent
+                    # mod the grid, local grid boundaries sit on ONE
+                    # fixed UTC shift r at every instant, DST steps
+                    # included (Adelaide +09:30/+10:30 hourly →
+                    # r = 30 min, buckets at :30 — ES's own set; all
+                    # whole-hour zones → r = 0, the plain-UTC rule as
+                    # a special case) — served through the same grid-
+                    # shift arithmetic as 'offset', injective, no
+                    # collapse possible. Only when the remainders
+                    # DIFFER (Asia/Singapore's 1982 +07:30→+08:00,
+                    # Kathmandu's 1986 +05:30→+05:45) would sound
+                    # serving need the per-instant offset across a
+                    # historical step — refuse, naming the fixed-
+                    # offset remediation a modern-data caller wants
+                    # (the repo's refuse-rather-than-silently-diverge
+                    # rule).
                     fixed = bool(re.fullmatch(r"[+-]\d{2}:\d{2}", parsed))
                     offs = None if fixed else _zone_offsets(parsed)
                     self.tz_wall = fixed or (
@@ -772,20 +803,34 @@ class _Bucket:
                     ) or (
                         self.seconds is not None and self.seconds > 3600
                     )
-                    if not self.tz_wall and offs is not None and any(
-                        o % 3600 for o in offs
-                    ):
-                        raise ValueError(
-                            f"date_histogram agg {name!r}: time_zone "
-                            f"{parsed!r} transitions between "
-                            "fractional UTC offsets — hourly/sub-hour "
-                            "buckets under it would need per-instant "
-                            "wall alignment this serve cannot express "
-                            "soundly across a DST step; use a grid "
-                            "above 1h, or the fixed offset form"
-                        )
+                    if not self.tz_wall and offs is not None:
+                        g = self.seconds or {
+                            "minute": 60, "hour": 3600,
+                        }[self.calendar]
+                        rems = {o % g for o in offs}
+                        if len(rems) > 1:
+                            raise ValueError(
+                                f"date_histogram agg {name!r}: "
+                                f"time_zone {parsed!r} has used "
+                                "differently-aligned UTC offsets over "
+                                "1970–2038, so hourly/sub-hour "
+                                "buckets would need per-instant wall "
+                                "alignment across a historical "
+                                "offset change this serve cannot "
+                                "express soundly; pass the zone's "
+                                "modern fixed offset (e.g. '+08:00' "
+                                "for Asia/Singapore) or a grid "
+                                "above 1h"
+                            )
+                        # applied after the user offset parses below
+                        tz_align_us = rems.pop() * 1_000_000
             if "offset" in body:
                 self.offset_us = _parse_dh_offset(name, body["offset"])
+            # the congruent-zone alignment r composes with the user
+            # offset as one grid shift: ES's bucket start is the
+            # local floor plus the offset duration, and for a
+            # non-wall zone a local shift IS the same UTC shift
+            self.offset_us += tz_align_us
             if "format" in body:
                 self.fmt = _java_date_format(name, body["format"])
 
@@ -2101,7 +2146,15 @@ def _dh_key_string(b: _Bucket, v) -> str:
             # string-matching ES-shaped keys must see that exact form
             else local.isoformat(sep="T", timespec="milliseconds")
         )
-    return v.strftime(b.fmt) if b.fmt is not None else v.isoformat(sep="T")
+    # no time_zone: ES renders the UTC instant in the SAME default
+    # strict_date_optional_time form — explicit millis, 'Z' suffix
+    # (review finding: the tz path was fixed to .000±HH:MM for
+    # string-matching consumers while this path still served
+    # second-precision ISO with no zone designator)
+    return (
+        v.strftime(b.fmt) if b.fmt is not None
+        else v.isoformat(sep="T", timespec="milliseconds") + "Z"
+    )
 
 
 def _val_json(v):
@@ -3414,12 +3467,24 @@ def _filters_product_parsed(docs: DataFrame, body: dict):
             "pair adds a conditional column set to the one-pass "
             f"aggregate) — got {len(preds)}×{len(ipreds)}"
         )
+    # cross-level reservation (review finding): the flat gate surface
+    # lays BOTH levels' metric columns side by side next to the
+    # filter/filter2 key columns — a same-named metric at the two
+    # levels (legal per-level in ES) or a metric named 'filter'/
+    # 'filter2' would mint a duplicate StructType field, making
+    # select() ambiguous and Row-by-name access silently wrong
+    keys = {"filter", "filter2"}
     outer_metrics = _parse_filter_metrics(
         {k: v for k, v in sub.items() if k != inner_name},
         docs,
-        reserved={inner_name},
+        reserved=keys | {inner_name},
     )
-    inner_metrics = _parse_filter_metrics(isub, docs)
+    inner_metrics = _parse_filter_metrics(
+        isub,
+        docs,
+        reserved=keys | {c for m in outer_metrics
+                         for c in (m.name, *m.columns)},
+    )
     return preds, inner_name, ipreds, outer_metrics, inner_metrics
 
 
@@ -3594,8 +3659,16 @@ def _kql_tokens(q: str) -> list[tuple]:
                 toks.append((ch,))
                 i += 1
                 continue
-            m = re.match(r"(and|or|not)(?=[\s()]|$)", q[i:], re.IGNORECASE)
-            if m and (i == 0 or q[i - 1] in " \t()"):
+            # a closing quote is a token boundary too (review
+            # finding: 't: "x"or u: y' is valid KQL — Kibana parses
+            # the OR — but a space-only boundary set swallowed the
+            # operator into the atom and served a single never-
+            # matching term filter, the exact silent divergence this
+            # module vows to 400 or serve faithfully)
+            m = re.match(
+                r'(and|or|not)(?=[\s()"]|$)', q[i:], re.IGNORECASE
+            )
+            if m and (i == 0 or q[i - 1] in ' \t()"'):
                 flush()
                 toks.append((m.group(1).upper(),))
                 i += m.end()
@@ -3831,9 +3904,12 @@ def kibana_vis_aggs(
                 # for any 1–3-month zoom; 'w'/'M'/'y' are the legacy
                 # spellings) — variable-length, so they must reach
                 # the compiler as calendar_interval, not a fixed
-                # seconds count ('1M' is not 30 days). Sub-day
-                # tokens stay fixed_interval: epoch-anchored and
-                # calendar flooring agree there.
+                # seconds count ('1M' is not 30 days). The SAME
+                # legacy family's bare sub-day tokens ('d'/'h'/'m'/
+                # 's' — review finding: 'd' 400ed in
+                # _fixed_interval_seconds while its sibling 'w'
+                # served) normalize to fixed_interval spellings:
+                # epoch-anchored and calendar flooring agree there.
                 cal = {
                     "w": "1w", "1w": "1w", "week": "1w",
                     "M": "1M", "1M": "1M", "month": "1M",
@@ -3843,7 +3919,12 @@ def kibana_vis_aggs(
                 if cal is not None:
                     body["calendar_interval"] = cal
                 else:
-                    body["fixed_interval"] = iv
+                    body["fixed_interval"] = {
+                        "d": "1d", "day": "1d",
+                        "h": "1h", "hour": "1h",
+                        "m": "1m", "minute": "1m",
+                        "s": "1s", "second": "1s",
+                    }.get(iv, iv)
                 mdc = params.get("min_doc_count")
                 if isinstance(mdc, int) and not isinstance(mdc, bool):
                     body["min_doc_count"] = mdc

@@ -2734,16 +2734,19 @@ def test_date_histogram_offset(dst_frame):
             serve.aggs_flat(dst_frame, {"d": {"date_histogram": {
                 "field": "ts", "fixed_interval": "1d",
                 "offset": bad}}})
+    # a well-formed but absurd offset is a 400 naming the bound, not
+    # an int64 overflow 500 deep in plan construction (review finding)
+    with pytest.raises(ValueError, match="366d"):
+        serve.aggs_flat(dst_frame, {"d": {"date_histogram": {
+            "field": "ts", "fixed_interval": "1d",
+            "offset": "+200000000d"}}})
 
 
 def test_transition_free_fractional_zone_is_wall_sound(spark):
     """Round 15 (review finding): Asia/Kolkata (+05:30, no
     transitions since tzdata's era) is as DST-sound as a literal
     ±HH:MM — hourly buckets anchor at :30-phase UTC instants like ES,
-    instead of silently serving plain UTC hours. A TRANSITIONING
-    fractional-offset zone (Australia/Adelaide +09:30/+10:30) at a
-    ≤1 h grid is refused — neither wall arithmetic nor plain UTC
-    matches ES there."""
+    instead of silently serving plain UTC hours."""
     df = spark.createDataFrame(
         [(0, "2024-03-10 05:45:00"), (1, "2024-03-10 06:15:00")],
         "doc_id bigint, ts_s string",
@@ -2756,15 +2759,58 @@ def test_transition_free_fractional_zone_is_wall_sound(spark):
     assert len(bs) == 1 and bs[0]["doc_count"] == 2
     assert bs[0]["key"] % 3_600_000 == 1_800_000  # :30 UTC phase
     assert bs[0]["key_as_string"] == "2024-03-10T11:00:00.000+05:30"
-    with pytest.raises(ValueError, match="fractional UTC offsets"):
-        serve.aggs_flat(df, {"h": {"date_histogram": {
-            "field": "ts", "fixed_interval": "1h",
-            "time_zone": "Australia/Adelaide"}}})
-    # a >1h grid under the same zone is wall-sound and served
+    # a >1h grid under a transitioning fractional zone is wall-sound
     env2 = serve.aggs_nested(df, {"d": {"date_histogram": {
         "field": "ts", "calendar_interval": "1d",
         "time_zone": "Australia/Adelaide"}}})
     assert env2["d"]["buckets"][0]["key_as_string"].endswith("+10:30")
+
+
+def test_congruent_transitioning_zone_serves_aligned_hours(spark):
+    """Round 15 (second review pass): Australia/Adelaide's offsets
+    (+09:30/+10:30) are CONGRUENT mod 1h, so hourly buckets sit on
+    the :30 UTC phase at EVERY instant — DST steps included — and
+    serve as a fixed grid shift (ES's own bucket set), where the
+    first draft 400ed. A zone whose offsets changed ALIGNMENT at a
+    historical instant (Asia/Singapore's 1982 +07:30→+08:00) still
+    refuses, naming the modern fixed-offset remediation."""
+    # 2024-04-07 03:00 ACDT → 02:00 ACST (fall-back) = 16:30Z on the
+    # 6th; both docs read local 02:xx on the 7th — two DISTINCT
+    # buckets, the rendered offsets disambiguating the repeated hour
+    adf = spark.createDataFrame(
+        [(0, "2024-04-06 15:45:00"), (1, "2024-04-06 16:45:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env = serve.aggs_nested(adf, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h",
+        "time_zone": "Australia/Adelaide"}}})
+    bs = env["h"]["buckets"]
+    assert [b["key"] % 3_600_000 for b in bs] == [1_800_000, 1_800_000]
+    assert [b["key_as_string"] for b in bs] == [
+        "2024-04-07T02:00:00.000+10:30",
+        "2024-04-07T02:00:00.000+09:30",
+    ]
+    # sub-hour grids where the remainder is 0 serve plain UTC: both
+    # Adelaide offsets are whole multiples of 15 minutes
+    env15 = serve.aggs_nested(adf, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "15m",
+        "time_zone": "Australia/Adelaide"}}})
+    assert all(
+        b["key"] % 900_000 == 0 for b in env15["h"]["buckets"]
+    )
+    with pytest.raises(ValueError, match="differently-aligned"):
+        serve.aggs_flat(adf, {"h": {"date_histogram": {
+            "field": "ts", "fixed_interval": "1h",
+            "time_zone": "Asia/Singapore"}}})
+    # congruence composes with a user offset as one grid shift:
+    # local floor + 15m under +09:30/+10:30 = UTC :45 phase
+    env_off = serve.aggs_nested(adf, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h", "offset": "+15m",
+        "time_zone": "Australia/Adelaide"}}})
+    assert all(
+        b["key"] % 3_600_000 == 2_700_000
+        for b in env_off["h"]["buckets"]
+    )
 
 
 def test_other_bucket_stacked_avg_merges_companions(spark):
@@ -2978,3 +3024,59 @@ def test_kibana_two_filters_splits_translation(frame):
                           {"input": {"query": "LANG: de"}}]}}]}
     with pytest.raises(ValueError, match="at most two filters"):
         serve.kibana_vis_aggs(vis4, fm)
+
+
+def test_kibana_legacy_subday_interval_tokens():
+    """Round 15 (second review pass): the legacy bare tokens
+    'd'/'h'/'m'/'s' — the same spelling family as the 'w'/'M'/'q'/'y'
+    calendar tokens — normalize to fixed_interval spellings instead
+    of 400ing inside _fixed_interval_seconds."""
+    for tok, want in (("d", "1d"), ("h", "1h"), ("m", "1m"),
+                      ("s", "1s"), ("15m", "15m")):
+        spec = serve.kibana_vis_aggs({"aggs": [
+            {"id": "1", "type": "count", "schema": "metric",
+             "params": {}},
+            {"id": "2", "type": "date_histogram", "schema": "segment",
+             "params": {"field": "ts", "interval": tok}},
+        ]})
+        assert spec["k2"]["date_histogram"]["fixed_interval"] == want
+
+
+def test_filters_product_reserves_columns_across_levels(frame):
+    """Round 15 (second review pass): the flat product surface lays
+    both levels' metric columns side by side — a same-named metric at
+    the two levels, or one named 'filter'/'filter2', would mint a
+    duplicate StructType field (ambiguous select, silently-wrong
+    Row-by-name access) and is a 400 instead."""
+    def body(outer_metric, inner_metric):
+        return {"filters": {"a": {"match_all": {}}},
+                "aggs": {outer_metric: {"max": {"field": "n_chars"}},
+                         "g": {"filters": {"filters": {
+                             "b": {"match_all": {}}}},
+                             "aggs": {inner_metric: {
+                                 "max": {"field": "n_chars"}}}}}}
+    with pytest.raises(ValueError, match="reserved"):
+        serve.validate_filters(body("mx", "mx"), frame)
+    with pytest.raises(ValueError, match="reserved"):
+        serve.validate_filters(body("filter", "mx"), frame)
+    with pytest.raises(ValueError, match="reserved"):
+        serve.validate_filters(body("mx", "filter2"), frame)
+    serve.validate_filters(body("mx_outer", "mx_inner"), frame)  # ok
+
+
+def test_kql_quote_is_token_boundary():
+    """Round 15 (second review pass): a closing quote is a token
+    boundary — 't: "x"or u: y' is valid KQL that Kibana parses as an
+    OR; the space-only boundary set swallowed the operator into the
+    atom and served a single never-matching term filter."""
+    assert serve.kql_node('t: "x"or u: y') == {
+        "bool": {"should": [{"term": {"t": "x"}},
+                            {"term": {"u": "y"}}]}}
+    assert serve.kql_node('t: "a and b"and u: y') == {
+        "bool": {"filter": [{"term": {"t": "a and b"}},
+                            {"term": {"u": "y"}}]}}
+    # an operator glued to an OPENING quote is a boundary too — the
+    # bare quoted atom is then free text, an explicit 400 (never a
+    # silent never-matching term)
+    with pytest.raises(ValueError, match="free text"):
+        serve.kql_node('f: a or"b c"')
