@@ -5933,10 +5933,10 @@ def ext_search_aggs_terms_missing_mdc(
     keyed AS (
       SELECT CASE
                WHEN ts < TIMESTAMP '2024-01-02 00:00:00'
-                 THEN '*-2024-01-02T00:00:00'
+                 THEN '*-2024-01-02T00:00:00.000Z'
                WHEN ts >= TIMESTAMP '2024-01-02 00:00:00'
                 AND ts < TIMESTAMP '2024-01-03 00:00:00'
-                 THEN '2024-01-02T00:00:00-2024-01-03T00:00:00'
+                 THEN '2024-01-02T00:00:00.000Z-2024-01-03T00:00:00.000Z'
              END AS by_window,
              lang, n_chars
       FROM meta
@@ -7216,3 +7216,185 @@ def ext_search_filters_product(
         F.round("oc", 6).alias("oc"),
         "mx",
     )
+
+
+@query(
+    "ext_search_aggs_extended_stats",
+    """
+    WITH meta AS (SELECT lang, n_chars FROM documents),
+    rolled AS (
+      SELECT lang AS by_lang, grouping(lang) AS g,
+             count(*)::BIGINT AS doc_count,
+             count(n_chars)::BIGINT AS cnt,
+             min(n_chars) AS mn, max(n_chars) AS mx,
+             avg(n_chars) AS mean_raw,
+             sum(n_chars)::BIGINT AS sm,
+             sum(n_chars * n_chars)::BIGINT AS sos,
+             count(*) FILTER (WHERE n_chars <= 100) * 100.0
+               / count(n_chars) AS r1,
+             count(*) FILTER (WHERE n_chars <= 250.5) * 100.0
+               / count(n_chars) AS r2
+      FROM meta GROUP BY ROLLUP (lang)
+    ),
+    derived AS (
+      SELECT *,
+             greatest(sos::DOUBLE / cnt
+                      - (sm::DOUBLE / cnt) * (sm::DOUBLE / cnt),
+                      0.0) AS var_raw
+      FROM rolled
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_lang, doc_count,
+           CASE WHEN g = 0 THEN cnt END AS es_count,
+           CASE WHEN g = 0 THEN mn END AS es_min,
+           CASE WHEN g = 0 THEN mx END AS es_max,
+           CASE WHEN g = 0 THEN round(mean_raw, 6) END AS es_avg,
+           CASE WHEN g = 0 THEN sm END AS es_sum,
+           CASE WHEN g = 0 THEN sos END AS es_sum_of_squares,
+           CASE WHEN g = 0 THEN round(var_raw, 6) END AS es_variance,
+           CASE WHEN g = 0 THEN round(sqrt(var_raw), 6) END
+             AS es_std_deviation,
+           CASE WHEN g = 0 THEN round(r1, 6) END AS pr_100_0,
+           CASE WHEN g = 0 THEN round(r2, 6) END AS pr_250_5
+    FROM derived WHERE g = 1 OR by_lang IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "extended_stats", "serving"),
+)
+def ext_search_aggs_extended_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The last two classic-Kibana metric types (round 15):
+    ``extended_stats`` (Kibana's "Standard Deviation" metric — the
+    stats envelope plus sum_of_squares / variance / std_deviation and
+    sigma bounds) and ``percentile_ranks`` (Kibana's "Percentile
+    Rank" — the exact empirical CDF, the same exact-vs-TDigest
+    divergence as the percentiles metric, sketch-substitutable at
+    100 TB). Both ride the ONE shared rollup like every other metric
+    — extended_stats' variance computes from the exact integer
+    component sums (sum, sum_of_squares, count), never ``var_pop``,
+    whose central-moment merge is partition-order-sensitive in the
+    last float bits and would break this hash. The oracle rebuilds
+    the same arithmetic over a DuckDB ROLLUP — hash-equality pins the
+    component sums, the population-variance formula, the
+    negative-residue clamp, and the empirical-rank division
+    cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 10},
+                "aggs": {
+                    "es": {"extended_stats": {"field": "n_chars"}},
+                    "pr": {"percentile_ranks": {
+                        "field": "n_chars", "values": [100, 250.5],
+                    }},
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_lang",
+        "doc_count",
+        "es_count",
+        "es_min",
+        "es_max",
+        F.round("es_avg", 6).alias("es_avg"),
+        "es_sum",
+        "es_sum_of_squares",
+        F.round("es_variance", 6).alias("es_variance"),
+        F.round("es_std_deviation", 6).alias("es_std_deviation"),
+        F.round("pr_100_0", 6).alias("pr_100_0"),
+        F.round("pr_250_5", 6).alias("pr_250_5"),
+    )
+
+
+@query(
+    "ext_search_aggs_serial_diff",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_SQL_DOC_TS} AS ts, n_chars FROM documents
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS by_hour,
+             count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM meta GROUP BY 1
+    )
+    SELECT by_hour, doc_count,
+           round(mean_raw, 6) AS mean_chars,
+           (doc_count - lag(doc_count, 1) OVER (ORDER BY by_hour))::DOUBLE
+             AS sdc,
+           round(mean_raw - lag(mean_raw, 3) OVER (ORDER BY by_hour), 6)
+             AS sd3
+    FROM hourly
+    """,
+    tags=("ext", "search", "aggs", "pipeline", "serial_diff", "serving"),
+)
+def ext_search_aggs_serial_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``serial_diff`` (round 15) — TSVB's "Serial Difference" panel:
+    value minus the value ``lag`` VALUED buckets earlier along an
+    ordered histogram series (gap_policy skip — nulls never enter the
+    lag window, ES's EvictingQueue of non-null values), the first
+    ``lag`` valued buckets carrying no entry like derivative's first.
+    Same reduce-point contract as the rest of the parent-pipeline
+    family: an O(buckets) driver walk over the RETURNED envelope,
+    zero distributed work beyond the one rollup. The hourly chain is
+    dense at this scale, so the oracle rebuilds both lags as plain
+    DuckDB window ``lag`` — hash-equality pins the walk order, the
+    lag distance, and the first-``lag`` omission; the null-skip
+    semantics are pinned by the unit suite (a gap-filled series)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _doc_meta(spark, sf_dir)
+    env = serve.aggs_nested(
+        meta,
+        {
+            "by_hour": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "1h",
+                },
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                    "sdc": {"serial_diff": {"buckets_path": "_count"}},
+                    "sd3": {"serial_diff": {
+                        "buckets_path": "mean_chars", "lag": 3}},
+                },
+            }
+        },
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (
+            epoch + datetime.timedelta(milliseconds=b["key"]),
+            b["doc_count"],
+            None if b["mean_chars"]["value"] is None
+            else round(b["mean_chars"]["value"], 6),
+            None if "sdc" not in b else b["sdc"]["value"],
+            None if "sd3" not in b else round(b["sd3"]["value"], 6),
+        )
+        for b in env["by_hour"]["buckets"]
+    ]
+    schema = T.StructType([
+        T.StructField("by_hour", T.TimestampType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("mean_chars", T.DoubleType(), True),
+        T.StructField("sdc", T.DoubleType(), True),
+        T.StructField("sd3", T.DoubleType(), True),
+    ])
+    # bounded by construction: ≤ 72 hourly buckets (the envelope cap
+    # guards the general case)
+    return spark.createDataFrame(rows, schema)

@@ -12,7 +12,8 @@ REST face (``search_rest.py``) those two missing consumer surfaces:
 - :func:`aggs_flat` compiles an ES ``aggs`` tree (one bucket chain —
   ``terms`` / ``date_histogram`` / ``histogram`` / disjoint ``range``
   / ``date_range`` — with metrics at any level: avg/sum/min/max/value_count/
-  percentiles/cardinality/stats; date_histogram/histogram take
+  percentiles/percentile_ranks/cardinality/stats/extended_stats;
+  date_histogram/histogram take
   ``min_doc_count`` (0 = dense-timeline gap fill, the Kibana axis
   contract) and ``extended_bounds``) into ONE distributed plan: a single ``rollup`` pass over the
   matched documents (grouping sets = every prefix level in one
@@ -76,7 +77,16 @@ _BUCKET_TYPES = ("terms", "date_histogram", "histogram", "range",
                  "date_range")
 _METRIC_TYPES = (
     "avg", "sum", "min", "max", "value_count", "percentiles", "cardinality",
-    "stats",
+    "stats", "extended_stats", "percentile_ranks",
+)
+
+#: extended_stats flat-frame components, in column order. The
+#: population/sampling variance split and the sigma bounds are
+#: DERIVED driver-side in the envelope from these (variance is ES's
+#: population variance: sum_of_squares/count − mean²).
+_EXT_STATS_PARTS = (
+    "count", "min", "max", "avg", "sum", "sum_of_squares",
+    "variance", "std_deviation",
 )
 #: sibling pipeline aggs — computed driver-side over the RETURNED
 #: bucket frame (ES's own semantics: pipelines run at reduce time
@@ -90,10 +100,12 @@ _PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
 #: moving_fn need an ORDERED (histogram) parent; bucket_script/
 #: bucket_selector are per-bucket arithmetic and run under terms too.
 _PARENT_PIPELINE_TYPES = (
-    "derivative", "cumulative_sum", "moving_fn",
+    "derivative", "cumulative_sum", "moving_fn", "serial_diff",
     "bucket_script", "bucket_selector",
 )
-_ORDERED_PARENT_TYPES = ("derivative", "cumulative_sum", "moving_fn")
+_ORDERED_PARENT_TYPES = (
+    "derivative", "cumulative_sum", "moving_fn", "serial_diff",
+)
 
 #: the MovingFunctions builtins moving_fn scripts may call — each a
 #: fold over the window's non-null values (ES's gap_policy skip).
@@ -838,12 +850,13 @@ class _Bucket:
     def range_label(lo, hi) -> str:
         """ES's range bucket key: ``"from-to"`` with ``*`` for an
         open bound (e.g. ``"10.0-20.0"``, ``"*-10.0"``; date_range
-        bounds render as ISO strings)."""
+        bounds render in ES's default strict_date_optional_time form
+        — explicit millis + 'Z', same as ``_key_json``)."""
         import datetime
 
         def s(v):
             if isinstance(v, datetime.datetime):
-                return v.isoformat(sep="T")
+                return v.isoformat(sep="T", timespec="milliseconds") + "Z"
             return str(v)
 
         return (
@@ -931,14 +944,41 @@ class _Metric:
             raise ValueError(f"agg {name!r}: {typ} body must be an object")
         _strict_keys(
             name, typ, body,
-            {"field", "percents"} if typ == "percentiles" else {"field"},
+            {
+                "percentiles": {"field", "percents"},
+                "percentile_ranks": {"field", "values"},
+                "extended_stats": {"field", "sigma"},
+            }.get(typ, {"field"}),
         )
         self.name = name
         self.typ = typ
         self.field = body.get("field")
+        self.sigma = 2.0
+        self.values: list[float] = []
         if not isinstance(self.field, str):
             raise ValueError(f"agg {name!r} needs a 'field' string")
-        if typ == "percentiles":
+        if typ == "percentile_ranks":
+            # exact empirical CDF — the percent of non-null field
+            # values ≤ each requested value (Kibana's "Percentile
+            # Rank" metric). ES interpolates through its TDigest
+            # sketch; the same exact-vs-approximate divergence as
+            # 'percentiles'/'cardinality', and the same 100 TB
+            # substitution (operators/sketches.py).
+            vals = body.get("values")
+            if not isinstance(vals, list) or not vals or not all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                raise ValueError(
+                    f"percentile_ranks agg {name!r}: 'values' must be "
+                    "a non-empty list of numbers"
+                )
+            self.values = [float(v) for v in vals]
+            self.percents = []
+            self.columns = [
+                f"{name}_{str(v).replace('.', '_')}" for v in self.values
+            ]
+        elif typ == "percentiles":
             pcts = body.get("percents", [50.0])
             if not isinstance(pcts, list) or not pcts or not all(
                 isinstance(p, (int, float)) and not isinstance(p, bool)
@@ -958,6 +998,25 @@ class _Metric:
             self.percents = []
             self.columns = [f"{name}_{c}" for c in
                             ("count", "min", "max", "avg", "sum")]
+        elif typ == "extended_stats":
+            # ES extended_stats (Kibana's "Standard Deviation"
+            # metric): the stats envelope plus sum_of_squares /
+            # variance / std_deviation and the sigma bounds. The flat
+            # frame carries the eight mergeable-or-derivable
+            # components; population/sampling variants and the bounds
+            # derive from them at envelope time. 'sigma' (default 2)
+            # only shapes the bounds rendering.
+            sg = body.get("sigma", 2.0)
+            if isinstance(sg, bool) or not isinstance(
+                sg, (int, float)
+            ) or sg < 0:
+                raise ValueError(
+                    f"extended_stats agg {name!r}: 'sigma' must be a "
+                    "non-negative number"
+                )
+            self.sigma = float(sg)
+            self.percents = []
+            self.columns = [f"{name}_{c}" for c in _EXT_STATS_PARTS]
         else:
             self.percents = []
             self.columns = [name]
@@ -984,6 +1043,30 @@ class _Metric:
                 F.max(mx).alias(mx),
                 (F.sum(sm) / F.sum(cnt)).alias(avg),
                 F.sum(sm).alias(sm),
+            ]
+        if self.typ == "extended_stats":
+            # count/sum/sum_of_squares merge additively; avg/variance/
+            # std recompute from the merged sums — the same exact-
+            # component arithmetic as exprs(), so a merged __other__
+            # bucket serves the TRUE statistics, never stat-of-stats
+            cnt, mn, mx, avg, sm, sos, var, std = self.columns
+            mcnt, msm, msos = F.sum(cnt), F.sum(sm), F.sum(sos)
+            mvar = F.when(
+                mcnt > 0,
+                F.greatest(
+                    msos / mcnt - (msm / mcnt) * (msm / mcnt),
+                    F.lit(0.0),
+                ),
+            )
+            return [
+                mcnt.cast("bigint").alias(cnt),
+                F.min(mn).alias(mn),
+                F.max(mx).alias(mx),
+                (msm / mcnt).alias(avg),
+                msm.alias(sm),
+                msos.alias(sos),
+                mvar.alias(var),
+                F.sqrt(mvar).alias(std),
             ]
         if self.typ == "avg":
             return [
@@ -1017,6 +1100,22 @@ class _Metric:
                 F.percentile(c, F.lit(p / 100.0)).alias(col)
                 for p, col in zip(self.percents, self.columns)
             ]
+        if self.typ == "percentile_ranks":
+            # exact empirical CDF: 100 · |{x ≤ v}| / |{x non-null}|.
+            # Both counts are exact integers, so the one division is
+            # the only float op — deterministic across partition
+            # merge orders (unlike a double running sum); an empty
+            # bucket divides by zero → null, rendered NaN-free.
+            # the count guard doubles as the ANSI divide-by-zero
+            # guard: an empty bucket serves null, never a 500
+            n = F.count(c)
+            return [
+                F.when(
+                    n > 0,
+                    F.count(F.when(c <= F.lit(v), True)) * 100.0 / n,
+                ).alias(col)
+                for v, col in zip(self.values, self.columns)
+            ]
         if self.typ == "value_count":
             return [F.count(c).cast("bigint").alias(self.name)]
         if self.typ == "stats":
@@ -1026,6 +1125,34 @@ class _Metric:
                 F.max(c).alias(self.columns[2]),
                 F.avg(c).alias(self.columns[3]),
                 F.sum(c).alias(self.columns[4]),
+            ]
+        if self.typ == "extended_stats":
+            # variance from the exact component sums (ES's own
+            # accumulation: sum_of_squares/count − mean²), not
+            # var_pop — var_pop's central-moment merge is partition-
+            # order-sensitive in the last float bits, which would
+            # break the oracle's repr-exact hash; greatest(·, 0)
+            # guards the tiny negative cancellation residue so
+            # sqrt never NaNs
+            cnt, sm = F.count(c), F.sum(c)
+            sos = F.sum(c * c)
+            # the count guard matters: F.greatest SKIPS nulls, so an
+            # empty bucket's null variance would silently become 0.0
+            var = F.when(
+                cnt > 0,
+                F.greatest(
+                    sos / cnt - (sm / cnt) * (sm / cnt), F.lit(0.0)
+                ),
+            )
+            return [
+                cnt.cast("bigint").alias(self.columns[0]),
+                F.min(c).alias(self.columns[1]),
+                F.max(c).alias(self.columns[2]),
+                F.avg(c).alias(self.columns[3]),
+                sm.alias(self.columns[4]),
+                sos.alias(self.columns[5]),
+                var.alias(self.columns[6]),
+                F.sqrt(var).alias(self.columns[7]),
             ]
         if self.typ == "cardinality":
             # EXACT distinct (Kibana's "Unique Count"); ES
@@ -1161,6 +1288,7 @@ class _PipelineAgg:
         self.script = None
         self.window: int | None = None
         self.shift = 0
+        self.lag = 1
         self.fn = None
         self.var_paths: dict[str, str] = {}
         self.terminals: dict[str, tuple] = {}
@@ -1216,9 +1344,10 @@ class _PipelineAgg:
         elif self.parent:
             _strict_keys(
                 name, typ, body,
-                {"buckets_path", "gap_policy", "unit"}
-                if typ == "derivative"
-                else {"buckets_path", "gap_policy"},
+                {
+                    "derivative": {"buckets_path", "gap_policy", "unit"},
+                    "serial_diff": {"buckets_path", "gap_policy", "lag"},
+                }.get(typ, {"buckets_path", "gap_policy"}),
             )
             if not isinstance(path, str) or not path or ">" in path:
                 raise ValueError(
@@ -1229,6 +1358,20 @@ class _PipelineAgg:
                     "deeper chain"
                 )
             self.segments = path.split(">")
+            if typ == "serial_diff":
+                # ES serial_diff 'lag': the distance back along the
+                # VALUED series (gap_policy skip — null buckets never
+                # enter the lag window, mirroring ES's EvictingQueue
+                # of non-null values)
+                lag = body.get("lag", 1)
+                if isinstance(lag, bool) or not isinstance(
+                    lag, int
+                ) or lag < 1:
+                    raise ValueError(
+                        f"pipeline agg {name!r}: 'lag' must be a "
+                        "positive integer"
+                    )
+                self.lag = lag
             if typ == "derivative" and "unit" in body:
                 # ES derivative 'unit': serve normalized_value =
                 # diff / (key spacing / unit) — the per-unit rate a
@@ -1342,6 +1485,27 @@ def _metric_column(
                 f"'{name}.avg' (count/min/max/avg/sum)"
             )
         return f"{name}_{part}"
+    if m.typ == "extended_stats":
+        if part not in _EXT_STATS_PARTS:
+            raise ValueError(
+                f"{who}: extended_stats {name!r} needs a component "
+                f"path like '{name}.std_deviation' "
+                f"({'/'.join(_EXT_STATS_PARTS)})"
+            )
+        return f"{name}_{part}"
+    if m.typ == "percentile_ranks":
+        try:
+            want = float(part)
+        except ValueError:
+            want = None
+        for v, col in zip(m.values, m.columns):
+            if want is not None and v == want:
+                return col
+        raise ValueError(
+            f"{who}: percentile_ranks {name!r} needs a computed "
+            f"value path like '{name}.{m.values[0]}' "
+            f"(computed: {m.values})"
+        )
     if m.typ == "percentiles":
         try:
             want = float(part)
@@ -1552,7 +1716,9 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
         col = _metric_column(metrics.get(td, []), term, who)
         tname, _, tpart = term.partition(".")
         m = next(mm for mm in metrics.get(td, []) if mm.name == tname)
-        if m.typ == "stats":
+        if m.typ in ("stats", "extended_stats"):
+            # the extended_stats envelope lays its components flat
+            # like stats, so the same extraction recipe reads both
             return ("stats", tname, tpart)
         if m.typ == "percentiles":
             pkey = next(
@@ -1561,6 +1727,13 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 if c == col
             )
             return ("percentiles", tname, pkey)
+        if m.typ == "percentile_ranks":
+            vkey = next(
+                str(vv)
+                for vv, c in zip(m.values, m.columns)
+                if c == col
+            )
+            return ("percentiles", tname, vkey)
         return ("value", tname, None)
 
     for d, plist in pipelines.items():
@@ -1661,7 +1834,9 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
             for m in metrics.get(d2, []):
                 if m.hidden:
                     continue
-                if m.typ in ("percentiles", "cardinality"):
+                if m.typ in (
+                    "percentiles", "cardinality", "percentile_ranks"
+                ):
                     raise ValueError(
                         f"terms agg {b.name!r}: {m.typ} cannot be "
                         "merged into the __other__ bucket from the "
@@ -2118,7 +2293,11 @@ def _key_json(v):
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1)
         ms = int((v - epoch).total_seconds() * 1000)
-        return ms, v.isoformat(sep="T")
+        # ES's default strict_date_optional_time rendering: explicit
+        # millis + 'Z' (the r15 review fix landed in _dh_key_string's
+        # unreachable no-tz branch; THIS is the path every default
+        # key_as_string / date_range *_as_string actually takes)
+        return ms, v.isoformat(sep="T", timespec="milliseconds") + "Z"
     if isinstance(v, datetime.date):
         dt = datetime.datetime(v.year, v.month, v.day)
         return _key_json(dt)
@@ -2178,6 +2357,58 @@ def _metric_json(m: _Metric, row: dict) -> dict:
                 for p, col in zip(m.percents, m.columns)
             }
         }
+    if m.typ == "percentile_ranks":
+        return {
+            "values": {
+                str(v): _val_json(row.get(col))
+                for v, col in zip(m.values, m.columns)
+            }
+        }
+    if m.typ == "extended_stats":
+        out = {
+            part: _val_json(row.get(col))
+            for part, col in zip(_EXT_STATS_PARTS, m.columns)
+        }
+        # the same empty-bucket arithmetic contract as stats: counts
+        # and sums serve 0, derived statistics serve null
+        if out["count"] is None:
+            out["count"] = 0
+        if out["sum"] is None:
+            out["sum"] = 0.0
+        if out["sum_of_squares"] is None and out["count"] == 0:
+            out["sum_of_squares"] = 0.0
+        n, avg, var = out["count"], out["avg"], out["variance"]
+        # ES's envelope splits variance into population (its default
+        # 'variance') and sampling (n−1 denominator); both derive
+        # from the flat components at this reduce point
+        var_samp = (
+            var * n / (n - 1)
+            if var is not None and n is not None and n > 1
+            else None
+        )
+        import math
+
+        std_samp = None if var_samp is None else math.sqrt(var_samp)
+        out["variance_population"] = var
+        out["variance_sampling"] = var_samp
+        out["std_deviation_population"] = out["std_deviation"]
+        out["std_deviation_sampling"] = std_samp
+        sd = out["std_deviation"]
+        out["std_deviation_bounds"] = {
+            "upper": None if avg is None or sd is None
+            else avg + m.sigma * sd,
+            "lower": None if avg is None or sd is None
+            else avg - m.sigma * sd,
+            "upper_population": None if avg is None or sd is None
+            else avg + m.sigma * sd,
+            "lower_population": None if avg is None or sd is None
+            else avg - m.sigma * sd,
+            "upper_sampling": None if avg is None or std_samp is None
+            else avg + m.sigma * std_samp,
+            "lower_sampling": None if avg is None or std_samp is None
+            else avg - m.sigma * std_samp,
+        }
+        return out
     if m.typ == "stats":
         out = {
             part: _val_json(row.get(col))
@@ -2494,6 +2725,25 @@ def aggs_nested(
                                     )
                                 bk[p.name] = entry
                             prev, prev_key = cur, bk["key"]
+                    elif p.typ == "serial_diff":
+                        # ES: diff against the value 'lag' VALUED
+                        # buckets earlier — nulls (gap_policy skip)
+                        # never enter the lag window, and the first
+                        # 'lag' valued buckets carry no entry (like
+                        # derivative's first)
+                        from collections import deque
+
+                        window: deque = deque()
+                        for bk in kids:
+                            v = p.extract(bk)
+                            if v is None:
+                                continue
+                            cur = _pipe_num(p, v)
+                            if len(window) == p.lag:
+                                bk[p.name] = {
+                                    "value": cur - window.popleft()
+                                }
+                            window.append(cur)
                     elif p.typ == "moving_fn":
                         # ES window placement: indices
                         # [i − window + shift, i + shift) clamped to
@@ -3872,12 +4122,25 @@ def kibana_vis_aggs(
         if typ == "count":
             metric_by_id[str(entry.get("id", i + 1))] = "_count"
             continue  # inherent doc_count
-        if typ == "median":
+        if typ in ("median", "percentiles"):
             metrics[name] = {"percentiles": {
                 "field": xfield(params["field"]),
                 "percents": [float(p) for p in params.get(
                     "percents", [50]
                 )],
+            }}
+        elif typ == "percentile_ranks":
+            # Kibana's "Percentile Rank" metric — its params carry
+            # the probe values
+            metrics[name] = {"percentile_ranks": {
+                "field": xfield(params["field"]),
+                "values": [float(v) for v in params.get("values", [])],
+            }}
+        elif typ == "std_dev":
+            # Kibana's "Standard Deviation" metric is ES
+            # extended_stats (the panel reads the sigma bounds)
+            metrics[name] = {"extended_stats": {
+                "field": xfield(params["field"]),
             }}
         elif typ in ("avg", "sum", "min", "max", "cardinality"):
             metrics[name] = {typ: {"field": xfield(params["field"])}}
@@ -3973,11 +4236,14 @@ def kibana_vis_aggs(
                     elif ob in metric_by_id:
                         mname = metric_by_id[ob]
                         (mtyp, mspec), = metrics[mname].items()
-                        okey = (
-                            f"{mname}.{mspec['percents'][0]}"
-                            if mtyp == "percentiles"
-                            else mname
-                        )
+                        if mtyp == "percentiles":
+                            okey = f"{mname}.{mspec['percents'][0]}"
+                        elif mtyp == "percentile_ranks":
+                            okey = f"{mname}.{mspec['values'][0]}"
+                        elif mtyp == "extended_stats":
+                            okey = f"{mname}.std_deviation"
+                        else:
+                            okey = mname
                         body["order"] = {okey: od}
                     else:
                         raise ValueError(

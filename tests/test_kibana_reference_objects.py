@@ -167,7 +167,7 @@ def test_median_by_status_panel(saved_objects, es_face):
         for b in d[status_name]["buckets"]
     }
     want = {
-        (r["m"].isoformat(), r["CLUB_STATUS"]): (r["n"], r["med"])
+        (r["m"].isoformat(timespec="milliseconds") + "Z", r["CLUB_STATUS"]): (r["n"], r["med"])
         for r in enriched.groupBy(
             _minute(F.col("EXTRACT_TS")).alias("m"), "CLUB_STATUS"
         ).agg(
@@ -203,7 +203,7 @@ def test_count_by_channel_panel(saved_objects, es_face):
     ).count().collect()
     by_minute: dict = {}
     for r in want_rows:
-        by_minute.setdefault(r["m"].isoformat(), []).append(
+        by_minute.setdefault(r["m"].isoformat(timespec="milliseconds") + "Z", []).append(
             (r["CHANNEL"], r["count"])
         )
     for d in out[day_name]["buckets"]:
@@ -289,7 +289,7 @@ def test_median_panel_with_time_range_pick(saved_objects, es_face):
     # direct computation over the filtered frame, not a slice of the
     # unfiltered envelope
     want = {
-        (r["m"].isoformat(), r["CLUB_STATUS"]): r["n"]
+        (r["m"].isoformat(timespec="milliseconds") + "Z", r["CLUB_STATUS"]): r["n"]
         for r in enriched.filter(
             F.unix_millis("EXTRACT_TS") >= lo_ms
         ).groupBy(

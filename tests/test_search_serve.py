@@ -78,7 +78,7 @@ def test_nested_envelope_and_sum_other(frame):
     assert out["total_chars"] == {"value": 210}
     days = out["by_day"]["buckets"]
     assert [d["key_as_string"] for d in days] == [
-        "2024-01-01T00:00:00", "2024-01-02T00:00:00",
+        "2024-01-01T00:00:00.000Z", "2024-01-02T00:00:00.000Z",
     ]
     assert days[0]["key"] == 1704067200000  # epoch ms, ES date key
     d1 = days[0]["by_lang"]
@@ -513,10 +513,10 @@ def test_min_doc_count_zero_fills_gaps(spark):
     got = [(b["key_as_string"], b["doc_count"], b["mean"]["value"])
            for b in out["d"]["buckets"]]
     assert got == [
-        ("2024-01-01T00:00:00", 1, 10.0),
-        ("2024-01-02T00:00:00", 0, None),   # interior gaps filled
-        ("2024-01-03T00:00:00", 0, None),
-        ("2024-01-04T00:00:00", 1, 20.0),
+        ("2024-01-01T00:00:00.000Z", 1, 10.0),
+        ("2024-01-02T00:00:00.000Z", 0, None),   # interior gaps filled
+        ("2024-01-03T00:00:00.000Z", 0, None),
+        ("2024-01-04T00:00:00.000Z", 1, 20.0),
     ]
     # extended_bounds stretches past the data (epoch ms, aligned)
     out = serve.aggs_nested(
@@ -1194,10 +1194,10 @@ def test_pipeline_bucket_aggs_root(frame):
     # min/max_bucket carry ES's 'keys' array — the bucket(s) holding
     # the extreme (key_as_string form for date buckets)
     assert out["max_daily"] == {
-        "value": 55.0, "keys": ["2024-01-02T00:00:00"],
+        "value": 55.0, "keys": ["2024-01-02T00:00:00.000Z"],
     }
     assert out["min_daily"] == {
-        "value": 25.0, "keys": ["2024-01-01T00:00:00"],
+        "value": 25.0, "keys": ["2024-01-01T00:00:00.000Z"],
     }
     # empty match set: sum_bucket 0.0, the rest null (ES)
     empty = serve.aggs_nested(frame.filter(F.lit(False)), {
@@ -1364,11 +1364,11 @@ def test_date_range_buckets(frame):
          "n": {"value_count": {"field": "doc_id"}}},
     )
     b1, b2 = out["r"]["buckets"]
-    assert b1["key"] == "*-2024-01-02T00:00:00"
+    assert b1["key"] == "*-2024-01-02T00:00:00.000Z"
     assert "from" not in b1
-    assert b1["to"] == day2 and b1["to_as_string"] == "2024-01-02T00:00:00"
+    assert b1["to"] == day2 and b1["to_as_string"] == "2024-01-02T00:00:00.000Z"
     assert b1["doc_count"] == 4 and b1["m"]["value"] == 25.0
-    assert b2["key"] == "2024-01-02T00:00:00-2024-01-02T02:00:00"
+    assert b2["key"] == "2024-01-02T00:00:00.000Z-2024-01-02T02:00:00.000Z"
     assert b2["from"] == day2
     assert b2["doc_count"] == 1 and b2["m"]["value"] == 50.0
     # doc 5 (02:00) is outside both ranges: no bucket, still counted
@@ -3080,3 +3080,240 @@ def test_kql_quote_is_token_boundary():
     # silent never-matching term)
     with pytest.raises(ValueError, match="free text"):
         serve.kql_node('f: a or"b c"')
+
+
+def test_extended_stats_metric(frame):
+    """Round 15: extended_stats — Kibana's "Standard Deviation"
+    metric. The flat frame carries the eight components computed from
+    the exact integer sums (never var_pop, whose central-moment merge
+    is partition-order-sensitive); the envelope derives the
+    population/sampling split and the sigma bounds at reduce time."""
+    env = serve.aggs_nested(frame, {"s": {
+        "extended_stats": {"field": "n_chars", "sigma": 1.5}}})
+    s = env["s"]
+    # n_chars = 10,20,30,40,50,60: mean 35, sos 9100,
+    # var_pop = 9100/6 - 35² = 291.666..
+    assert s["count"] == 6 and s["min"] == 10 and s["max"] == 60
+    assert s["avg"] == 35.0 and s["sum"] == 210
+    assert s["sum_of_squares"] == 9100
+    assert round(s["variance"], 6) == 291.666667
+    assert s["variance_population"] == s["variance"]
+    assert round(s["variance_sampling"], 6) == 350.0
+    assert round(s["std_deviation"], 6) == 17.078251
+    assert s["std_deviation_population"] == s["std_deviation"]
+    assert round(s["std_deviation_sampling"], 6) == 18.708287
+    b = s["std_deviation_bounds"]
+    assert round(b["upper"], 6) == round(35 + 1.5 * s["std_deviation"], 6)
+    assert round(b["lower"], 6) == round(35 - 1.5 * s["std_deviation"], 6)
+    assert b["upper_population"] == b["upper"]
+    assert round(b["upper_sampling"], 6) == round(
+        35 + 1.5 * s["std_deviation_sampling"], 6)
+    # empty match set: counts/sums serve 0, derived stats null
+    empty = serve.aggs_nested(
+        frame.filter(F.lit(False)),
+        {"s": {"extended_stats": {"field": "n_chars"}}},
+    )["s"]
+    assert empty["count"] == 0 and empty["sum"] == 0.0
+    assert empty["sum_of_squares"] == 0.0
+    assert empty["avg"] is None and empty["variance"] is None
+    assert empty["std_deviation_bounds"]["upper"] is None
+    # single-value bucket: population variance 0, sampling null (n<2)
+    one = serve.aggs_nested(
+        frame.filter(F.col("doc_id") == 0),
+        {"s": {"extended_stats": {"field": "n_chars"}}},
+    )["s"]
+    assert one["variance"] == 0.0 and one["variance_sampling"] is None
+    # validation: sigma must be a non-negative number; strict keys
+    with pytest.raises(ValueError, match="sigma"):
+        serve.aggs_flat(frame, {"s": {"extended_stats": {
+            "field": "n_chars", "sigma": -1}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        serve.aggs_flat(frame, {"s": {"extended_stats": {
+            "field": "n_chars", "missing": 0}}})
+
+
+def test_extended_stats_pipeline_and_order_paths(frame):
+    """extended_stats components address like stats components — a
+    terms order key or a buckets_path terminal reaches any of the
+    eight parts by dotted path."""
+    env = serve.aggs_nested(frame, {
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+              "aggs": {"es": {"extended_stats": {"field": "n_chars"}}}},
+        "max_sd": {"max_bucket": {"buckets_path": "d>es.std_deviation"}},
+    })
+    sds = [b["es"]["std_deviation"] for b in env["d"]["buckets"]]
+    assert env["max_sd"]["value"] == max(sds)
+    # terms ordered by the std_deviation component
+    env2 = serve.aggs_nested(frame, {"by_lang": {
+        "terms": {"field": "lang", "size": 1,
+                  "order": {"es.std_deviation": "desc"}},
+        "aggs": {"es": {"extended_stats": {"field": "n_chars"}}}}})
+    # en: values 10,20,50 (sd ≈ 17.0) beats de/fr singletons (sd 0)
+    assert [b["key"] for b in env2["by_lang"]["buckets"]] == ["en"]
+    with pytest.raises(ValueError, match="component path"):
+        serve.aggs_nested(frame, {
+            "d": {"date_histogram": {"field": "ts",
+                                     "fixed_interval": "1d"},
+                  "aggs": {"es": {"extended_stats": {
+                      "field": "n_chars"}}}},
+            "m": {"max_bucket": {"buckets_path": "d>es.bogus"}},
+        })
+
+
+def test_percentile_ranks_metric(frame):
+    """Round 15: percentile_ranks — Kibana's "Percentile Rank"
+    metric as the exact empirical CDF (percent of non-null values ≤
+    each probe), the same exact-vs-TDigest divergence the percentiles
+    metric documents."""
+    env = serve.aggs_nested(frame, {"pr": {
+        "percentile_ranks": {"field": "n_chars",
+                             "values": [10, 35.5, 60, 1000]}}})
+    vals = env["pr"]["values"]
+    # 10,20,30,40,50,60: ≤10 → 1/6; ≤35.5 → 3/6; ≤60 → 6/6
+    assert round(vals["10.0"], 6) == round(100 / 6, 6)
+    assert vals["35.5"] == 50.0
+    assert vals["60.0"] == 100.0 and vals["1000.0"] == 100.0
+    # empty bucket: null ranks (never a ZeroDivision 500)
+    empty = serve.aggs_nested(
+        frame.filter(F.lit(False)),
+        {"pr": {"percentile_ranks": {"field": "n_chars",
+                                     "values": [10]}}},
+    )["pr"]
+    assert empty["values"]["10.0"] is None
+    # validation: values required, numbers only; strict keys
+    with pytest.raises(ValueError, match="values"):
+        serve.aggs_flat(frame, {"pr": {"percentile_ranks": {
+            "field": "n_chars"}}})
+    with pytest.raises(ValueError, match="values"):
+        serve.aggs_flat(frame, {"pr": {"percentile_ranks": {
+            "field": "n_chars", "values": ["a"]}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        serve.aggs_flat(frame, {"pr": {"percentile_ranks": {
+            "field": "n_chars", "values": [1], "keyed": False}}})
+    # not mergeable from the bucket frame → refused under other_bucket
+    with pytest.raises(ValueError, match="percentile_ranks"):
+        serve.aggs_flat(frame, {"by_lang": {
+            "terms": {"field": "lang", "size": 1, "other_bucket": True},
+            "aggs": {"pr": {"percentile_ranks": {
+                "field": "n_chars", "values": [10]}}}}})
+
+
+def test_serial_diff_walk(frame):
+    """Round 15: serial_diff (TSVB's "Serial Difference") — diff
+    against the value ``lag`` VALUED buckets earlier; gap_policy skip
+    keeps nulls out of the lag window; the first ``lag`` valued
+    buckets carry no entry."""
+    # day grid with min_doc_count 0 over a 2-day hole: mean is null
+    # on filled buckets (skipped), _count is 0 there (a VALUE)
+    df = frame.union(frame.sparkSession.createDataFrame(
+        [(9, "2024-01-05 01:00:00", "en", 90)],
+        "doc_id bigint, ts_s string, lang string, n_chars bigint",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "lang", "n_chars"))
+    env = serve.aggs_nested(df, {"d": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1d",
+                           "min_doc_count": 0},
+        "aggs": {
+            "mean": {"avg": {"field": "n_chars"}},
+            "sd_mean": {"serial_diff": {"buckets_path": "mean"}},
+            "sd_cnt": {"serial_diff": {"buckets_path": "_count",
+                                       "lag": 2}},
+        }}})
+    bs = env["d"]["buckets"]
+    # days: 01(mean 25, n 4) 02(55, 2) 03(null, 0) 04(null, 0)
+    # 05(90, 1)
+    assert [b["doc_count"] for b in bs] == [4, 2, 0, 0, 1]
+    # mean series skips the filled days: diffs 55-25, then 90-55
+    # ACROSS the hole (lag window holds valued entries only)
+    assert "sd_mean" not in bs[0]
+    assert bs[1]["sd_mean"]["value"] == 30.0
+    assert "sd_mean" not in bs[2] and "sd_mean" not in bs[3]
+    assert bs[4]["sd_mean"]["value"] == 35.0
+    # _count series: 0 is a value — lag-2 diffs over 4,2,0,0,1
+    assert "sd_cnt" not in bs[0] and "sd_cnt" not in bs[1]
+    assert [bs[i]["sd_cnt"]["value"] for i in (2, 3, 4)] == [
+        -4.0, -2.0, 1.0]
+    # validation: ordered parent required; lag a positive integer;
+    # strict keys
+    with pytest.raises(ValueError, match="histogram"):
+        serve.aggs_flat(frame, {"t": {
+            "terms": {"field": "lang"},
+            "aggs": {"s": {"serial_diff": {"buckets_path": "_count"}}}}})
+    with pytest.raises(ValueError, match="lag"):
+        serve.aggs_flat(frame, {"d": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {"s": {"serial_diff": {"buckets_path": "_count",
+                                           "lag": 0}}}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        serve.aggs_flat(frame, {"d": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {"s": {"serial_diff": {"buckets_path": "_count",
+                                           "unit": "1h"}}}}})
+
+
+def test_kibana_std_dev_and_percentile_ranks_translation():
+    """Round 15: the classic Kibana metric dropdown's last two types
+    — std_dev (ES extended_stats) and percentile_ranks — translate;
+    orderBy over them resolves to the right dotted component."""
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "1", "type": "std_dev", "schema": "metric",
+         "params": {"field": "RATING"}},
+        {"id": "2", "type": "percentile_ranks", "schema": "metric",
+         "params": {"field": "RATING", "values": [3, 4.5]}},
+        {"id": "3", "type": "percentiles", "schema": "metric",
+         "params": {"field": "RATING", "percents": [25, 75]}},
+        {"id": "4", "type": "terms", "schema": "segment",
+         "params": {"field": "CHANNEL", "size": 5,
+                    "orderBy": "1", "order": "desc"}},
+    ]})
+    assert spec["k4"]["terms"]["order"] == {"k1.std_deviation": "desc"}
+    sub = spec["k4"]["aggs"]
+    assert sub["k1"] == {"extended_stats": {"field": "RATING"}}
+    assert sub["k2"] == {"percentile_ranks": {
+        "field": "RATING", "values": [3.0, 4.5]}}
+    assert sub["k3"] == {"percentiles": {
+        "field": "RATING", "percents": [25.0, 75.0]}}
+    spec2 = serve.kibana_vis_aggs({"aggs": [
+        {"id": "2", "type": "percentile_ranks", "schema": "metric",
+         "params": {"field": "RATING", "values": [3]}},
+        {"id": "4", "type": "terms", "schema": "segment",
+         "params": {"field": "CHANNEL", "size": 2,
+                    "orderBy": "2", "order": "asc"}},
+    ]})
+    assert spec2["k4"]["terms"]["order"] == {"k2.3.0": "asc"}
+
+
+def test_default_key_as_string_is_es_millis_z(frame):
+    """Round 15 (review follow-through): the r15 draft's "default
+    key_as_string renders millis + Z" fix landed in _dh_key_string's
+    unreachable no-tz branch — the path every default key actually
+    takes is _key_json, now rendering ES's strict_date_optional_time
+    form there (and range_label for date_range keys)."""
+    env = serve.aggs_nested(frame, {"d": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1d"}}})
+    assert [b["key_as_string"] for b in env["d"]["buckets"]] == [
+        "2024-01-01T00:00:00.000Z", "2024-01-02T00:00:00.000Z"]
+    day2 = 1704153600000
+    env2 = serve.aggs_nested(frame, {"r": {"date_range": {
+        "field": "ts", "ranges": [{"to": day2}]}}})
+    b = env2["r"]["buckets"][0]
+    assert b["key"] == "*-2024-01-02T00:00:00.000Z"
+    assert b["to_as_string"] == "2024-01-02T00:00:00.000Z"
+
+
+def test_extended_stats_under_other_bucket_merges_true_stats(frame):
+    """extended_stats is MERGEABLE (count/sum/sum_of_squares re-sum;
+    avg/variance/std recompute from the merged sums), so an
+    other_bucket merge serves the TRUE statistics of the truncated-
+    away terms — never stat-of-stats."""
+    env = serve.aggs_nested(frame, {"by_lang": {
+        "terms": {"field": "lang", "size": 1, "other_bucket": True},
+        "aggs": {"es": {"extended_stats": {"field": "n_chars"}}}}})
+    other = env["by_lang"]["buckets"][-1]
+    assert other["key"] == "__other__"
+    # de(30) + fr(60): sum 90, sos 4500, var = 2250 − 45² = 225
+    s = other["es"]
+    assert s["count"] == 2 and s["sum"] == 90
+    assert s["sum_of_squares"] == 4500
+    assert s["avg"] == 45.0 and s["variance"] == 225.0
+    assert s["std_deviation"] == 15.0
