@@ -447,7 +447,8 @@ _BUCKET_KEYS = {
         "min_doc_count", "extended_bounds", "time_zone", "format",
         "offset",
     },
-    "histogram": {"field", "interval", "min_doc_count", "extended_bounds"},
+    "histogram": {"field", "interval", "min_doc_count", "extended_bounds",
+                  "offset"},
     "range": {"field", "ranges"},
     "date_range": {"field", "ranges"},
 }
@@ -555,6 +556,7 @@ class _Bucket:
         # applied in the SAME space the flooring runs in (wall space
         # under a wall-sound time_zone), ES's documented order
         self.offset_us = 0
+        self.num_offset = 0.0
         self.ranges: list[tuple[float | None, float | None]] | None = None
         # dense-timeline knobs (date_histogram / histogram only):
         # min_doc_count=0 emits EMPTY buckets for interior gaps (the
@@ -737,6 +739,18 @@ class _Bucket:
                     f"histogram agg {name!r}: 'interval' must be a positive number"
                 )
             self.interval = float(iv)
+            off = body.get("offset", 0)
+            # ES numeric histogram 'offset': bucket start =
+            # floor((v − off) / interval) · interval + off — ES's
+            # own bound is 0 ≤ offset < interval
+            if isinstance(off, bool) or not isinstance(
+                off, (int, float)
+            ) or not 0 <= off < self.interval:
+                raise ValueError(
+                    f"histogram agg {name!r}: 'offset' must be a "
+                    "number in [0, interval)"
+                )
+            self.num_offset = float(off)
         else:  # date_histogram
             fixed = body.get("fixed_interval")
             cal = body.get("calendar_interval")
@@ -893,7 +907,13 @@ class _Bucket:
                 expr = F.when(cond, F.lit(label)).otherwise(expr)
             return expr
         if self.typ == "histogram":
-            return F.floor(c / F.lit(self.interval)) * F.lit(self.interval)
+            key = (
+                F.floor((c - F.lit(self.num_offset)) / F.lit(self.interval))
+                * F.lit(self.interval)
+            )
+            if self.num_offset:
+                key = key + F.lit(self.num_offset)
+            return key
         # ES time_zone: bucket at the caller's LOCAL boundaries —
         # render the instant as local wall time (from_utc_timestamp),
         # floor the wall reading, convert the local boundary back to
@@ -2176,14 +2196,17 @@ def _spine(b: _Bucket, data_keys: list) -> list:
     # end. Same space as the flooring (wall when tz_wall).
     off = (
         datetime.timedelta(microseconds=b.offset_us)
-        if b.typ == "date_histogram" and b.offset_us else None
+        if b.typ == "date_histogram" and b.offset_us
+        else b.num_offset
+        if b.typ == "histogram" and b.num_offset
+        else None
     )
     if off is not None:
         data_keys = [k - off for k in data_keys]
 
     def from_bound(x):
         if b.typ == "histogram":
-            return float(x)
+            return float(x) - off if off is not None else float(x)
         inst = epoch + datetime.timedelta(milliseconds=int(x))
         if tz is not None:
             inst = _utc_to_wall(inst, tz)
@@ -2232,7 +2255,11 @@ def _spine(b: _Bucket, data_keys: list) -> list:
                 f"min_doc_count=0 would fill more than {MAX_BUCKETS} "
                 "buckets; raise the interval or narrow extended_bounds"
             )
-        return [i * b.interval for i in range(i0, i1 + 1)]
+        return [
+            # this branch returns before the shared off re-add below
+            i * b.interval + off if off is not None else i * b.interval
+            for i in range(i0, i1 + 1)
+        ]
     if b.calendar in ("week", "month", "quarter", "year"):
         # week steps a uniform 7 wall-days (Monday → Monday — the
         # epoch-multiple arithmetic below would anchor on the epoch's

@@ -1959,3 +1959,32 @@ def test_kibana_filters_split_panel_over_rest(meta_server):
             d["doc_count"] for d in b[name]["k2"]["buckets"]
         ) == b[name]["doc_count"]
     assert b["Nobody"] == {"doc_count": 0, "k2": {"buckets": []}}
+
+
+def test_classic_kibana_metrics_over_rest(meta_server):
+    """Round 15: the classic Kibana metric dropdown's last two types
+    — extended_stats (std_dev) and percentile_ranks — end-to-end over
+    /search, riding the generic aggs route with the ES envelope."""
+    server, meta = meta_server
+    body = {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {
+            "spread": {"extended_stats": {"field": "n_chars"}},
+            "ranks": {"percentile_ranks": {
+                "field": "n_chars", "values": [250]}},
+        },
+    }}
+    out = server.search({"aggs": body})
+    b0 = out["aggregations"]["by_lang"]["buckets"][0]
+    s = b0["spread"]
+    # the full ES extended_stats envelope shape
+    assert set(s) >= {"count", "avg", "sum_of_squares", "variance",
+                      "variance_sampling", "std_deviation",
+                      "std_deviation_bounds"}
+    assert s["std_deviation"] >= 0
+    assert s["std_deviation_bounds"]["upper"] >= s["avg"]
+    assert 0 <= b0["ranks"]["values"]["250.0"] <= 100
+    # unknown body keys stay the strict-400 contract through REST
+    with pytest.raises(ValueError, match="sigma"):
+        server.search({"aggs": {"s": {"extended_stats": {
+            "field": "n_chars", "sigma": "two"}}}})

@@ -3317,3 +3317,28 @@ def test_extended_stats_under_other_bucket_merges_true_stats(frame):
     assert s["sum_of_squares"] == 4500
     assert s["avg"] == 45.0 and s["variance"] == 225.0
     assert s["std_deviation"] == 15.0
+
+
+def test_numeric_histogram_offset(frame):
+    """Round 15: ES numeric histogram 'offset' — bucket start =
+    floor((v − off) / interval) · interval + off, the same grid-shift
+    contract as date_histogram's offset; min_doc_count=0 spines walk
+    the shifted grid with bit-identical keys."""
+    env = serve.aggs_nested(frame, {"h": {"histogram": {
+        "field": "n_chars", "interval": 20, "offset": 5}}})
+    got = [(b["key"], b["doc_count"]) for b in env["h"]["buckets"]]
+    # 10,20 → 5; 30,40 → 25; 50,60 → 45
+    assert got == [(5.0, 2), (25.0, 2), (45.0, 2)]
+    # gap fill steps the shifted grid (drop the middle bucket's docs)
+    env2 = serve.aggs_nested(
+        frame.filter(~F.col("n_chars").isin(30, 40)),
+        {"h": {"histogram": {"field": "n_chars", "interval": 20,
+                             "offset": 5, "min_doc_count": 0}}},
+    )
+    assert [(b["key"], b["doc_count"]) for b in env2["h"]["buckets"]] \
+        == [(5.0, 2), (25.0, 0), (45.0, 2)]
+    # ES's own bound: 0 ≤ offset < interval
+    for bad in (-5, 20, "5"):
+        with pytest.raises(ValueError, match="offset"):
+            serve.aggs_flat(frame, {"h": {"histogram": {
+                "field": "n_chars", "interval": 20, "offset": bad}}})
