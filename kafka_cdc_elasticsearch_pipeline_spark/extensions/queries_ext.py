@@ -7398,3 +7398,97 @@ def ext_search_aggs_serial_diff(
     # bounded by construction: ≤ 72 hourly buckets (the envelope cap
     # guards the general case)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ext_search_aggs_auto_dh",
+    f"""
+    WITH meta AS (
+      SELECT {_SQL_DOC_TS} AS ts, n_chars FROM documents
+    ),
+    span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM meta),
+    rungs AS (
+      SELECT * FROM (VALUES
+        ('1s', 1), ('5s', 5), ('10s', 10), ('30s', 30),
+        ('1m', 60), ('5m', 300), ('10m', 600), ('30m', 1800),
+        ('1h', 3600), ('3h', 10800), ('12h', 43200), ('1d', 86400)
+      ) AS t(lab, s)
+    ),
+    counts AS (
+      SELECT lab, s,
+             floor(epoch(hi) / s)::BIGINT
+               - floor(epoch(lo) / s)::BIGINT + 1 AS n
+      FROM rungs, span
+    ),
+    pick AS (SELECT lab, s FROM counts WHERE n <= 10 ORDER BY s LIMIT 1),
+    bucketed AS (
+      SELECT TIMESTAMP '1970-01-01'
+               + (floor(epoch(ts) / s)::BIGINT * s) * INTERVAL 1 SECOND
+               AS by_auto,
+             n_chars
+      FROM meta, pick
+    )
+    SELECT (SELECT lab FROM pick) AS auto_interval,
+           by_auto, count(*)::BIGINT AS doc_count,
+           round(avg(n_chars), 6) AS mean_chars
+    FROM bucketed GROUP BY 2
+    """,
+    tags=("ext", "search", "aggs", "auto_date_histogram", "serving"),
+)
+def ext_search_aggs_auto_dh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``auto_date_histogram`` (round 15) — the Lens/Discover
+    auto-zoom agg: ONE cheap column-pruned min/max pass picks the
+    smallest interval-ladder rung whose contiguous bucket count
+    (floor(min)..floor(max) inclusive — ES's reduce fills interior
+    gaps) stays ≤ the ``buckets`` target (default 10), then the
+    regular one-rollup date_histogram plan serves it with
+    min_doc_count=0 gap fill; the envelope carries ES's chosen
+    ``interval``. The unpinnable rungs ('7d' and the multi-year
+    family) refuse by name — this row's span (72 derived hours)
+    selects '12h' from the FIXED sub-day ladder at every testdata SF,
+    which is the scope the oracle rebuilds: the same ladder as a
+    VALUES list, the same floor-count selection as a window-free
+    scalar pick, the same epoch-anchored bucketing — hash-equality
+    pins the selection arithmetic AND the bucket membership
+    cross-engine."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _doc_meta(spark, sf_dir)
+    env = serve.aggs_nested(
+        meta,
+        {
+            "by_auto": {
+                "auto_date_histogram": {"field": "ts"},
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                },
+            }
+        },
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (
+            env["by_auto"]["interval"],
+            epoch + datetime.timedelta(milliseconds=b["key"]),
+            b["doc_count"],
+            None if b["mean_chars"]["value"] is None
+            else round(b["mean_chars"]["value"], 6),
+        )
+        for b in env["by_auto"]["buckets"]
+    ]
+    schema = T.StructType([
+        T.StructField("auto_interval", T.StringType(), False),
+        T.StructField("by_auto", T.TimestampType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("mean_chars", T.DoubleType(), True),
+    ])
+    # bounded by construction: ≤ the 10-bucket target
+    return spark.createDataFrame(rows, schema)

@@ -634,7 +634,13 @@ class SearchRestServer:
             elif filt is not None:
                 serve.validate_filters(filt[1], self.doc_source)
             else:
-                serve.parse_aggs(aggs_spec, self.doc_source.columns)
+                # auto_date_histogram validates job-free at the door
+                # (stub mode — the min/max selection pass runs only
+                # once the mode branch has produced the matched frame)
+                stubbed, _ = serve._resolve_auto_dh(
+                    self.doc_source, aggs_spec, resolve=False
+                )
+                serve.parse_aggs(stubbed, self.doc_source.columns)
         # ES query DSL: a dict "query" is the request shape Kibana
         # actually sends — bool.filter time-range/term pills around an
         # optional search-bar match. The match text becomes the plain

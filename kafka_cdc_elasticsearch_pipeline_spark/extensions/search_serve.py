@@ -10,7 +10,9 @@ docker-compose.yml:346-349) — and its saved search sorts hits by
 REST face (``search_rest.py``) those two missing consumer surfaces:
 
 - :func:`aggs_flat` compiles an ES ``aggs`` tree (one bucket chain —
-  ``terms`` / ``date_histogram`` / ``histogram`` / disjoint ``range``
+  ``terms`` / ``date_histogram`` (plus ``auto_date_histogram``,
+  resolved to a ladder rung by one min/max pass) / ``histogram`` /
+  disjoint ``range``
   / ``date_range`` — with metrics at any level: avg/sum/min/max/value_count/
   percentiles/percentile_ranks/cardinality/stats/extended_stats;
   date_histogram/histogram take
@@ -557,6 +559,9 @@ class _Bucket:
         # under a wall-sound time_zone), ES's documented order
         self.offset_us = 0
         self.num_offset = 0.0
+        #: set post-parse when the level was an auto_date_histogram —
+        #: the envelope serves ES's chosen-``interval`` field
+        self.auto_label: str | None = None
         self.ranges: list[tuple[float | None, float | None]] | None = None
         # dense-timeline knobs (date_histogram / histogram only):
         # min_doc_count=0 emits EMPTY buckets for interior gaps (the
@@ -1603,6 +1608,241 @@ class _TopHits:
         return set(self.source) | {f for f, _ in self.sort}
 
 
+#: auto_date_histogram's interval ladder — the rungs this serve can
+#: PIN. ES's public contract names the full ladder as second
+#: (1, 5, 10, 30), minute (1, 5, 10, 30), hour (1, 3, 12), day
+#: (1, 7), month (1, 3), year (1, 5, 10, 20, 50, 100); the sub-day
+#: multiples are epoch-anchored fixed intervals in UTC (ES's own
+#: rounding there), 1M/1y are calendar truncs, and 3M rounds months
+#: to multiples of 3 — exactly the quarter trunc. Two rungs are NOT
+#: pinned and refuse by name when the selection lands on them (the
+#: same holt/holtWinters discipline): '7d' (ES's 7-day inner
+#: interval's anchor — week vs epoch-multiple — is an internal this
+#: engine cannot verify) and the multi-year family (5y..100y).
+_AUTO_FIXED_LADDER = [
+    ("1s", 1), ("5s", 5), ("10s", 10), ("30s", 30),
+    ("1m", 60), ("5m", 300), ("10m", 600), ("30m", 1800),
+    ("1h", 3600), ("3h", 10800), ("12h", 43200), ("1d", 86400),
+]
+#: envelope label → the compiler's calendar_interval spelling
+_AUTO_CALENDAR_LADDER = [("1M", "1M"), ("3M", "1q"), ("1y", "1y")]
+_AUTO_MINIMUM = {
+    "second": 0, "minute": 4, "hour": 8, "day": 11,
+    "month": 12, "year": 14,
+}
+
+
+def _resolve_auto_dh(
+    docs: DataFrame, spec: dict, resolve: bool = True
+) -> tuple[dict, dict]:
+    """Resolve every ``auto_date_histogram`` node in ``spec`` into a
+    concrete ``date_histogram`` body (ES's Lens/Discover auto-zoom
+    agg): one cheap column-pruned min/max pass over the matched set
+    picks the smallest ladder rung whose CONTIGUOUS bucket count
+    (floor(min)..floor(max) inclusive — ES's reduce fills interior
+    gaps, so the target bounds the dense list) stays ≤ the ``buckets``
+    target, then the regular one-rollup plan serves it with
+    ``min_doc_count: 0`` gap fill. Returns the rewritten spec plus
+    ``{agg name: chosen interval label}`` for the envelope's
+    ``interval`` field. Two-pass by design — the min/max scan reads
+    one column and aggregates to a single row, the cheapest possible
+    prelude to the rollup every aggs tree pays; Kibana's alternative
+    is client-side trial requests.
+
+    ``time_zone`` is served for fixed offsets and transition-free
+    IANA zones (one uniform wall space for every rung); a
+    genuinely-transitioning zone would need per-rung wall/UTC count
+    rules this selection cannot express soundly — explicit 400 naming
+    the explicit-date_histogram remediation.
+
+    ``resolve=False`` is the REST door's JOB-FREE validation mode:
+    every auto body is fully validated, then stubbed to a fixed
+    1h date_histogram so the rest of the tree parses — no min/max
+    job runs at the door."""
+    import copy
+    import datetime
+    import math
+
+    from pyspark.sql import types as T
+
+    found: list[tuple[str, dict]] = []
+
+    def walk(level) -> None:
+        if not isinstance(level, dict):
+            return
+        for name, body in level.items():
+            if isinstance(body, dict):
+                if isinstance(body.get("auto_date_histogram"), dict):
+                    found.append((name, body))
+                walk(body.get("aggs"))
+
+    walk(spec)
+    if not found:
+        return spec, {}
+    spec = copy.deepcopy(spec)
+    found = []
+    walk(spec)
+
+    parsed = []
+    for name, node in found:
+        b = node["auto_date_histogram"]
+        _strict_keys(
+            name, "auto_date_histogram", b,
+            {"field", "buckets", "minimum_interval", "time_zone",
+             "format"},
+        )
+        fld = b.get("field")
+        if not isinstance(fld, str) or fld not in docs.columns:
+            raise ValueError(
+                f"auto_date_histogram agg {name!r}: field {fld!r} not "
+                f"in the mounted doc_source (columns: "
+                f"{sorted(docs.columns)})"
+            )
+        if not isinstance(docs.schema[fld].dataType, T.TimestampType):
+            raise ValueError(
+                f"auto_date_histogram agg {name!r}: field {fld!r} must "
+                "be timestamp-typed"
+            )
+        target = b.get("buckets", 10)
+        if isinstance(target, bool) or not isinstance(target, int) \
+                or not 1 <= target <= MAX_BUCKETS:
+            raise ValueError(
+                f"auto_date_histogram agg {name!r}: 'buckets' must be "
+                f"an integer in [1, {MAX_BUCKETS}]"
+            )
+        start = 0
+        mi = b.get("minimum_interval")
+        if mi is not None:
+            if mi not in _AUTO_MINIMUM:
+                raise ValueError(
+                    f"auto_date_histogram agg {name!r}: "
+                    f"minimum_interval {mi!r} is not one of "
+                    f"{sorted(_AUTO_MINIMUM)}"
+                )
+            start = _AUTO_MINIMUM[mi]
+        tz = b.get("time_zone")
+        if tz is not None:
+            import re
+
+            if not isinstance(tz, str) or not tz:
+                raise ValueError(
+                    f"auto_date_histogram agg {name!r}: 'time_zone' "
+                    "must be a non-empty string"
+                )
+            if tz in ("UTC", "+00:00", "-00:00", "Z"):
+                tz = None
+            elif not re.fullmatch(r"[+-]\d{2}:\d{2}", tz) and len(
+                _zone_offsets(tz)
+            ) > 1:
+                raise ValueError(
+                    f"auto_date_histogram agg {name!r}: time_zone "
+                    f"{tz!r} transitions between UTC offsets — the "
+                    "interval selection would need per-rung wall/UTC "
+                    "count rules this serve cannot express soundly; "
+                    "send an explicit date_histogram instead"
+                )
+        parsed.append((name, node, b, fld, target, start, tz))
+
+    if not resolve:
+        # door mode: validated; stub each node so the tree parses
+        for name, node, b, fld, _, _, _ in parsed:
+            stub = {"field": fld, "fixed_interval": "1h",
+                    "min_doc_count": 0}
+            if b.get("time_zone") is not None:
+                stub["time_zone"] = b["time_zone"]
+            if "format" in b:
+                stub["format"] = b["format"]
+            del node["auto_date_histogram"]
+            node["date_histogram"] = stub
+        return spec, {}
+
+    # ONE min/max pass covers every auto node (column-pruned scan,
+    # single-row result)
+    row = docs.agg(*[
+        e
+        for _, _, _, fld, _, _, _ in parsed
+        for e in (F.min(fld).alias(f"__lo_{fld}"),
+                  F.max(fld).alias(f"__hi_{fld}"))
+    ]).first()
+
+    epoch = datetime.datetime(1970, 1, 1)
+    labels: dict[str, str] = {}
+    for name, node, b, fld, target, start, tz in parsed:
+        lo, hi = row[f"__lo_{fld}"], row[f"__hi_{fld}"]
+        if lo is not None and tz is not None:
+            lo, hi = _utc_to_wall(lo, tz), _utc_to_wall(hi, tz)
+        chosen: tuple[str, str, str] | None = None
+        if lo is None:
+            # empty match set: ES serves no buckets at the finest
+            # allowed rung's interval
+            lab, s = _AUTO_FIXED_LADDER[min(start, 11)]
+            if start >= 12:
+                lab = _AUTO_CALENDAR_LADDER[start - 12][0]
+                chosen = (lab, "calendar_interval",
+                          _AUTO_CALENDAR_LADDER[start - 12][1])
+            else:
+                chosen = (lab, "fixed_interval", lab)
+        else:
+            for lab, s in _AUTO_FIXED_LADDER[start:]:
+                n = (
+                    math.floor((hi - epoch).total_seconds() / s)
+                    - math.floor((lo - epoch).total_seconds() / s)
+                    + 1
+                )
+                if n <= target:
+                    chosen = (lab, "fixed_interval", lab)
+                    break
+            if chosen is None:
+                # between 1d and 1M sits ES's '7d' rung; if the span
+                # COULD land there under any alignment, refuse rather
+                # than silently serve 1M where ES serves weeks
+                span = (hi - lo).total_seconds()
+                if start <= 11 and math.floor(
+                    span / (7 * 86400)
+                ) + 1 <= target:
+                    raise ValueError(
+                        f"auto_date_histogram agg {name!r}: the span "
+                        "selects ES's '7d' rung, whose bucket anchor "
+                        "this serve cannot pin — send an explicit "
+                        "date_histogram with calendar_interval '1w' "
+                        "(ISO Monday weeks) instead"
+                    )
+                mo = (
+                    (hi.year * 12 + hi.month)
+                    - (lo.year * 12 + lo.month) + 1
+                )
+                q = (
+                    (hi.year * 4 + (hi.month - 1) // 3)
+                    - (lo.year * 4 + (lo.month - 1) // 3) + 1
+                )
+                yr = hi.year - lo.year + 1
+                for (lab, cal), n in zip(
+                    _AUTO_CALENDAR_LADDER[max(0, start - 12):],
+                    ([mo, q, yr] if start <= 12 else [yr]),
+                ):
+                    if n <= target:
+                        chosen = (lab, "calendar_interval", cal)
+                        break
+            if chosen is None:
+                raise ValueError(
+                    f"auto_date_histogram agg {name!r}: the span "
+                    "exceeds the 1y rung at this target — ES's "
+                    "multi-year rungs (5y..100y) are not pinned; "
+                    "raise 'buckets' or send an explicit "
+                    "date_histogram"
+                )
+        lab, key, val = chosen
+        new_body = {"field": fld, key: val, "min_doc_count": 0}
+        if b.get("time_zone") is not None:
+            new_body["time_zone"] = b["time_zone"]
+        if "format" in b:
+            new_body["format"] = b["format"]
+        del node["auto_date_histogram"]
+        node["date_histogram"] = new_body
+        labels[name] = lab
+    return spec, labels
+
+
 def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     list[_Bucket],
     dict[int, list[_Metric]],
@@ -2140,6 +2380,7 @@ def aggs_flat(
     distributed surface the gate row hashes: DuckDB ``GROUP BY
     ROLLUP`` + ``grouping()`` + a ranked keep-list rebuilds it
     exactly."""
+    spec, auto_labels = _resolve_auto_dh(docs, spec)
     chain, metrics, tophits, pipelines = parse_aggs(spec, docs.columns)
     if tophits:
         raise ValueError(
@@ -2477,7 +2718,11 @@ def aggs_nested(
     doc_count desc / key asc (or the level's explicit ``order``) with
     ``sum_other_doc_count``; date_histogram / histogram buckets
     ordered by key."""
+    spec, auto_labels = _resolve_auto_dh(docs, spec)
     chain, metrics, tophits, pipelines = parse_aggs(spec, docs.columns)
+    for b in chain:
+        if b.name in auto_labels:
+            b.auto_label = auto_labels[b.name]
     flat = _rollup_flat(docs, chain, metrics)
     flat, others = _truncate_terms(flat, chain, metrics, pins)
     rows = [r.asDict() for r in flat.limit(MAX_BUCKETS + 1).collect()]
@@ -2664,6 +2909,10 @@ def aggs_nested(
             bucket.update(level(depth + 1, prefix + (_hashable(r[b.name]),)))
             buckets.append(bucket)
         node: dict = {"buckets": buckets}
+        if b.auto_label is not None:
+            # ES's auto_date_histogram envelope names the interval it
+            # chose
+            node["interval"] = b.auto_label
         if b.typ == "terms":
             node["sum_other_doc_count"] = other_maps.get(depth, {}).get(
                 prefix, 0

@@ -1988,3 +1988,34 @@ def test_classic_kibana_metrics_over_rest(meta_server):
     with pytest.raises(ValueError, match="sigma"):
         server.search({"aggs": {"s": {"extended_stats": {
             "field": "n_chars", "sigma": "two"}}}})
+
+
+def test_auto_date_histogram_over_rest(meta_server):
+    """Round 15: auto_date_histogram end-to-end — the door validates
+    job-free (stub mode), the serve runs the min/max selection over
+    the MATCHED frame, and the envelope carries ES's chosen
+    interval."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    server, meta = meta_server
+    body = {"a": {"auto_date_histogram": {"field": "ts"},
+                  "aggs": {"m": {"avg": {"field": "n_chars"}}}}}
+    out = server.search({"aggs": body})
+    a = out["aggregations"]["a"]
+    # the 72-derived-hour span selects 12h → 6 contiguous buckets
+    assert a["interval"] == "12h" and len(a["buckets"]) == 6
+    assert sum(b["doc_count"] for b in a["buckets"]) == meta.count()
+    assert out["aggregations"] == serve.aggs_nested(meta, body)
+    # door-level validation stays a clean 400, no job
+    with pytest.raises(ValueError, match="buckets"):
+        server.search({"aggs": {"a": {"auto_date_histogram": {
+            "field": "ts", "buckets": 0}}}})
+    # the selection follows the MATCH SET, not the corpus: a narrow
+    # allowed_ids span (hours 0-3 → 7 half-hour buckets ≤ 10) picks
+    # a finer rung
+    scoped = server.search({
+        "aggs": body, "allowed_ids": [0, 1, 2, 3],
+    })
+    assert scoped["aggregations"]["a"]["interval"] == "30m"

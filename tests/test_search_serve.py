@@ -3342,3 +3342,134 @@ def test_numeric_histogram_offset(frame):
         with pytest.raises(ValueError, match="offset"):
             serve.aggs_flat(frame, {"h": {"histogram": {
                 "field": "n_chars", "interval": 20, "offset": bad}}})
+
+
+@pytest.fixture(scope="module")
+def hourly_frame(spark):
+    """Docs every 2 hours across a 22-hour span: the auto ladder's
+    1h rung gives 23 contiguous buckets, 3h gives 8."""
+    rows = [(i, f"2024-01-01 {i:02d}:10:00", 10 * i)
+            for i in range(0, 24, 2)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, ts_s string, v bigint"
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+
+
+def test_auto_date_histogram_selection_and_fill(hourly_frame):
+    """Round 15: auto_date_histogram — one min/max pass picks the
+    smallest ladder rung whose CONTIGUOUS bucket count stays ≤ the
+    target (ES's reduce fills interior gaps, so the dense list is
+    what the target bounds); the envelope carries ES's chosen
+    'interval'."""
+    env = serve.aggs_nested(hourly_frame, {"a": {
+        "auto_date_histogram": {"field": "ts"},
+        "aggs": {"mx": {"max": {"field": "v"}}}}})
+    a = env["a"]
+    # 22h span: 1h → 23 > 10; 3h → 8 ≤ 10
+    assert a["interval"] == "3h" and len(a["buckets"]) == 8
+    assert a["buckets"][0]["mx"]["value"] == 20  # 00:10 + 02:10
+    # a larger target picks the finer rung — and the bucket list is
+    # CONTIGUOUS (every-2h docs gap-fill the odd hours)
+    env2 = serve.aggs_nested(hourly_frame, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 30}}})
+    assert env2["a"]["interval"] == "1h"
+    assert len(env2["a"]["buckets"]) == 23
+    assert [b["doc_count"] for b in env2["a"]["buckets"][:4]] \
+        == [1, 0, 1, 0]
+    # minimum_interval skips finer rungs
+    env3 = serve.aggs_nested(hourly_frame, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 30,
+                                "minimum_interval": "hour"}}})
+    assert env3["a"]["interval"] == "1h"
+    env4 = serve.aggs_nested(hourly_frame, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 3,
+                                "minimum_interval": "day"}}})
+    assert env4["a"]["interval"] == "1d"
+    # empty match set: no buckets, finest-allowed interval
+    env5 = serve.aggs_nested(
+        hourly_frame.filter(F.lit(False)),
+        {"a": {"auto_date_histogram": {"field": "ts"}}})
+    assert env5["a"] == {"buckets": [], "interval": "1s"}
+
+
+def test_auto_date_histogram_calendar_and_refusals(spark, frame):
+    """The month/quarter/year rungs are calendar truncs (3M = ES's
+    month-multiple-of-3 = the quarter trunc); the two UNPINNABLE
+    rungs — '7d' and the multi-year family — refuse by name instead
+    of silently serving a neighboring rung."""
+    months = spark.createDataFrame(
+        [(i, f"2024-{1 + i:02d}-15 00:00:00") for i in range(10)],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env = serve.aggs_nested(months, {"a": {
+        "auto_date_histogram": {"field": "ts",
+                                "minimum_interval": "month"}}})
+    assert env["a"]["interval"] == "1M"
+    assert env["a"]["buckets"][0]["key_as_string"] \
+        == "2024-01-01T00:00:00.000Z"
+    env2 = serve.aggs_nested(months, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 4,
+                                "minimum_interval": "month"}}})
+    assert env2["a"]["interval"] == "3M"
+    assert [b["key_as_string"][:7] for b in env2["a"]["buckets"]] \
+        == ["2024-01", "2024-04", "2024-07", "2024-10"]
+    # a ~40-day span at the default target lands on ES's 7d rung
+    days = spark.createDataFrame(
+        [(i, f"2024-{1 + i // 28:02d}-{1 + i % 28:02d} 00:00:00")
+         for i in range(40)],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="'7d' rung"):
+        serve.aggs_nested(days, {"a": {
+            "auto_date_histogram": {"field": "ts"}}})
+    # beyond 1y at the target → the multi-year rungs refuse
+    years = spark.createDataFrame(
+        [(i, f"{2000 + i}-06-01 00:00:00") for i in range(15)],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="multi-year"):
+        serve.aggs_nested(years, {"a": {
+            "auto_date_histogram": {"field": "ts", "buckets": 10}}})
+    # validation: buckets bound, minimum_interval grammar, strict
+    # keys, field typing; the caller's spec is NOT mutated
+    for bad, pat in ((0, "buckets"), (True, "buckets")):
+        with pytest.raises(ValueError, match=pat):
+            serve.aggs_nested(frame, {"a": {"auto_date_histogram": {
+                "field": "ts", "buckets": bad}}})
+    with pytest.raises(ValueError, match="minimum_interval"):
+        serve.aggs_nested(frame, {"a": {"auto_date_histogram": {
+            "field": "ts", "minimum_interval": "week"}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        serve.aggs_nested(frame, {"a": {"auto_date_histogram": {
+            "field": "ts", "offset": "+6h"}}})
+    with pytest.raises(ValueError, match="timestamp"):
+        serve.aggs_nested(frame, {"a": {"auto_date_histogram": {
+            "field": "n_chars"}}})
+    spec = {"a": {"auto_date_histogram": {"field": "ts"}}}
+    serve.aggs_nested(frame, spec)
+    assert "auto_date_histogram" in spec["a"]  # caller's dict intact
+
+
+def test_auto_date_histogram_time_zone(spark):
+    """time_zone on auto: fixed offsets and transition-free IANA
+    zones shift the selection's wall space AND the served buckets (one
+    uniform rule for every rung); transitioning zones refuse naming
+    the explicit-date_histogram remediation."""
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i} 23:00:00") for i in range(3)],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    # 23:00 UTC = 04:30 next day in Kolkata: 3 local DAYS span 3
+    # wall-days (Jan 2-4); under UTC the same docs span Jan 1-3
+    env = serve.aggs_nested(df, {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 3,
+                                "time_zone": "Asia/Kolkata"}}})
+    assert env["a"]["interval"] == "1d"
+    assert [b["key_as_string"] for b in env["a"]["buckets"]] == [
+        "2024-01-02T00:00:00.000+05:30",
+        "2024-01-03T00:00:00.000+05:30",
+        "2024-01-04T00:00:00.000+05:30",
+    ]
+    with pytest.raises(ValueError, match="transitions"):
+        serve.aggs_nested(df, {"a": {"auto_date_histogram": {
+            "field": "ts", "time_zone": "America/New_York"}}})
