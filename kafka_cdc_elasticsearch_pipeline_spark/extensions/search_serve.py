@@ -1672,7 +1672,11 @@ def _resolve_auto_dh(
             return
         for name, body in level.items():
             if isinstance(body, dict):
-                if isinstance(body.get("auto_date_histogram"), dict):
+                if "auto_date_histogram" in body:
+                    # non-dict bodies are caught in the validation
+                    # loop below — letting them fall through to
+                    # parse_aggs would 400 with "unsupported agg
+                    # type", misleadingly (review finding)
                     found.append((name, body))
                 walk(body.get("aggs"))
 
@@ -1686,6 +1690,11 @@ def _resolve_auto_dh(
     parsed = []
     for name, node in found:
         b = node["auto_date_histogram"]
+        if not isinstance(b, dict):
+            raise ValueError(
+                f"agg {name!r}: auto_date_histogram body must be an "
+                "object"
+            )
         _strict_keys(
             name, "auto_date_histogram", b,
             {"field", "buckets", "minimum_interval", "time_zone",
@@ -1724,11 +1733,10 @@ def _resolve_auto_dh(
         if tz is not None:
             import re
 
-            if not isinstance(tz, str) or not tz:
-                raise ValueError(
-                    f"auto_date_histogram agg {name!r}: 'time_zone' "
-                    "must be a non-empty string"
-                )
+            # the shared validator (unknown-zone / ±18:00-cap 400s —
+            # review finding: a bad IANA name here leaked
+            # ZoneInfoNotFoundError into the 500 taxonomy)
+            tz = _parse_time_zone(name, tz)
             if tz in ("UTC", "+00:00", "-00:00", "Z"):
                 tz = None
             elif not re.fullmatch(r"[+-]\d{2}:\d{2}", tz) and len(
@@ -1757,10 +1765,12 @@ def _resolve_auto_dh(
         return spec, {}
 
     # ONE min/max pass covers every auto node (column-pruned scan,
-    # single-row result)
+    # single-row result); fields dedupe first — two auto nodes over
+    # the same field would otherwise mint duplicate aliases and make
+    # the Row's by-name reads ambiguous (review finding)
     row = docs.agg(*[
         e
-        for _, _, _, fld, _, _, _ in parsed
+        for fld in sorted({p[3] for p in parsed})
         for e in (F.min(fld).alias(f"__lo_{fld}"),
                   F.max(fld).alias(f"__hi_{fld}"))
     ]).first()

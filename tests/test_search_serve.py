@@ -3473,3 +3473,29 @@ def test_auto_date_histogram_time_zone(spark):
     with pytest.raises(ValueError, match="transitions"):
         serve.aggs_nested(df, {"a": {"auto_date_histogram": {
             "field": "ts", "time_zone": "America/New_York"}}})
+
+
+def test_auto_date_histogram_review_findings(spark, frame):
+    """Round 15 review pass over the round's own additions: a bad
+    IANA name is the caller's 400 through the shared time_zone
+    validator (it leaked ZoneInfoNotFoundError — a 500); a non-dict
+    auto body 400s naming the object contract (it fell through to
+    the misleading 'unsupported agg type'); two auto nodes over the
+    SAME field share one deduped min/max pass (duplicate aliases made
+    the Row's by-name reads ambiguous)."""
+    with pytest.raises(ValueError, match="unknown time_zone"):
+        serve.aggs_nested(frame, {"a": {"auto_date_histogram": {
+            "field": "ts", "time_zone": "Mars/Olympus"}}})
+    with pytest.raises(ValueError, match="must be an"):
+        serve.aggs_nested(frame, {"a": {"auto_date_histogram": "1h"}})
+    env = serve.aggs_nested(frame, {
+        "by_lang": {"terms": {"field": "lang", "size": 1},
+                    "aggs": {"inner": {"auto_date_histogram": {
+                        "field": "ts", "buckets": 40}}}},
+    })
+    kept = env["by_lang"]["buckets"][0]
+    assert kept["inner"]["interval"] == "1h"
+    env2 = serve.aggs_nested(frame, {"outer": {
+        "auto_date_histogram": {"field": "ts", "buckets": 3},
+        "aggs": {"n": {"value_count": {"field": "ts"}}}}})
+    assert env2["outer"]["interval"] == "12h"
