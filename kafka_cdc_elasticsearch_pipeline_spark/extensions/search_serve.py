@@ -4344,7 +4344,7 @@ def kql_node(q: str, field_map: dict[str, str] | None = None) -> dict:
 def kibana_vis_aggs(
     vis_state: dict,
     field_map: dict[str, str] | None = None,
-    fixed_interval: str = "1d",
+    fixed_interval: str | None = "1d",
     time_zone: str | None = None,
 ) -> dict | None:
     """Translate a Kibana saved visualization's ``visState.aggs``
@@ -4362,8 +4362,11 @@ def kibana_vis_aggs(
       stripped, then ``field_map`` renames ES-face fields to the
       mounted doc_source's columns
     - ``interval: "auto"`` is a UI zoom-level choice — the caller
-      passes the ``fixed_interval`` to resolve it; an explicit
-      Kibana interval passes through
+      passes the ``fixed_interval`` to resolve it (default ``"1d"``);
+      an explicit Kibana interval passes through. Passing
+      ``fixed_interval=None`` serves ES's OWN resolution instead: an
+      ``auto_date_histogram`` resolved against the matched span at
+      serve time
     - a ``filters`` split (the "Split series by Filters" control)
       translates each row's KQL input through :func:`kql_node` into
       the engine's NAMED filters agg, nested OUTSIDE the chain —
@@ -4448,6 +4451,20 @@ def kibana_vis_aggs(
                 if iv in ("auto", "custom", None):
                     iv = fixed_interval
                 body = {"field": xfield(params["field"])}
+                if iv is None:
+                    # no caller override for the UI's zoom-level
+                    # choice: serve ES's own resolution — an
+                    # auto_date_histogram at Kibana's default
+                    # target, resolved against the matched span at
+                    # serve time (one min/max pass)
+                    body_auto = dict(body)
+                    tz = params.get("time_zone", time_zone)
+                    if tz is not None:
+                        body_auto["time_zone"] = tz
+                    buckets.append(
+                        (name, "auto_date_histogram", body_auto)
+                    )
+                    continue
                 # Kibana's week/month/quarter/year interval tokens
                 # are CALENDAR units (its auto-interval sends '1w'
                 # for any 1–3-month zoom; 'w'/'M'/'y' are the legacy

@@ -3499,3 +3499,27 @@ def test_auto_date_histogram_review_findings(spark, frame):
         "auto_date_histogram": {"field": "ts", "buckets": 3},
         "aggs": {"n": {"value_count": {"field": "ts"}}}}})
     assert env2["outer"]["interval"] == "12h"
+
+
+def test_kibana_auto_interval_translates_to_auto_dh():
+    """Round 15: a Kibana date_histogram whose interval is 'auto'
+    and the caller opts out of the override (fixed_interval=None)
+    now translates to ES's own
+    resolution — an auto_date_histogram resolved against the matched
+    span at serve time — instead of a confusing parse 400."""
+    spec = serve.kibana_vis_aggs({"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "2", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "EXTRACT_TS", "interval": "auto",
+                    "time_zone": "+05:30"}},
+    ]}, fixed_interval=None)
+    assert spec == {"k2": {"auto_date_histogram": {
+        "field": "EXTRACT_TS", "time_zone": "+05:30"}}}
+    # an explicit caller override still wins (the UI zoom contract)
+    spec2 = serve.kibana_vis_aggs({"aggs": [
+        {"id": "1", "type": "count", "schema": "metric", "params": {}},
+        {"id": "2", "type": "date_histogram", "schema": "segment",
+         "params": {"field": "EXTRACT_TS", "interval": "auto"}},
+    ]}, fixed_interval="1m")
+    assert spec2 == {"k2": {"date_histogram": {
+        "field": "EXTRACT_TS", "fixed_interval": "1m"}}}
