@@ -801,3 +801,50 @@ def test_filters_product_is_one_conditional_pass(spark, sf_dir):
     assert sum(
         1 for line in p.splitlines() if "HashAggregate" in line
     ) == 2
+
+
+def test_extended_stats_ranks_are_jvm_aggregate_expressions(plans):
+    """Round 15: extended_stats' component-sum variance and
+    percentile_ranks' conditional counts are plain aggregate
+    EXPRESSIONS inside the shared rollup — whole-stage-codegen JVM
+    work (no Python eval node anywhere), the truncation branches
+    reading the pinned bucket frame; the single join is the
+    keep-list semi-join over that bucket-sized pin, never a second
+    corpus pass."""
+    p = plans("ext_search_aggs_extended_stats")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Expand" in p                      # the one rollup
+    assert "InMemoryTableScan" in p           # branches read the pin
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 1
+
+
+def test_auto_dh_serves_as_one_plain_rollup(spark, sf_dir):
+    """Round 15: after the min/max selection pass (a separate
+    single-row job), auto_date_histogram's SERVED plan is exactly the
+    date_histogram plan the chosen rung implies — one Expand, one
+    exchange, no join, no Python eval."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+    from kafka_cdc_elasticsearch_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, doc_id % 72, 0, 0)"
+        ).alias("ts"),
+        "n_chars",
+    )
+    flat = serve.aggs_flat(meta, {"a": {
+        "auto_date_histogram": {"field": "ts"},
+        "aggs": {"mean": {"avg": {"field": "n_chars"}}}}})
+    p = final_plan(flat)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Expand") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
