@@ -3523,3 +3523,25 @@ def test_kibana_auto_interval_translates_to_auto_dh():
     ]}, fixed_interval="1m")
     assert spec2 == {"k2": {"date_histogram": {
         "field": "EXTRACT_TS", "fixed_interval": "1m"}}}
+
+
+def test_congruent_tz_offset_and_gap_fill_compose(spark):
+    """Round 15 hardening: the congruent-zone alignment r composes
+    with a user 'offset' AND min_doc_count=0 gap fill as one grid
+    shift — fabricated spine keys land on the same :45 UTC phase as
+    Spark-computed ones across Adelaide's fall-back step (the two
+    local-02:15 buckets disambiguated by the rendered offset)."""
+    df = spark.createDataFrame(
+        [(0, "2024-04-06 15:50:00"), (1, "2024-04-06 20:50:00")],
+        "doc_id bigint, ts_s string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    env = serve.aggs_nested(df, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h", "offset": "+15m",
+        "time_zone": "Australia/Adelaide", "min_doc_count": 0}}})
+    bs = env["h"]["buckets"]
+    assert [b["doc_count"] for b in bs] == [1, 0, 0, 0, 0, 1]
+    assert all(b["key"] % 3_600_000 == 2_700_000 for b in bs)
+    assert [b["key_as_string"] for b in bs[:2]] == [
+        "2024-04-07T02:15:00.000+10:30",
+        "2024-04-07T02:15:00.000+09:30",
+    ]
