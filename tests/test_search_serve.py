@@ -3545,3 +3545,27 @@ def test_congruent_tz_offset_and_gap_fill_compose(spark):
         "2024-04-07T02:15:00.000+10:30",
         "2024-04-07T02:15:00.000+09:30",
     ]
+
+
+def test_new_metrics_compose_through_filters_product(spark):
+    """Round 15 hardening: extended_stats and percentile_ranks ride
+    the filters×filters product's conditional-prefix path like any
+    metric — per-cell component sums stay correct (de = 10,30,50,70
+    → var_pop 500; the 'small' cell {10,30} ranks 45 at 100%)."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 10 * (i + 1)) for i in range(8)],
+        "doc_id bigint, lang string, n bigint")
+    flat = serve.filters_product_flat(df, {
+        "filters": {"en": {"term": {"lang": "en"}},
+                    "de": {"term": {"lang": "de"}}},
+        "aggs": {"spread": {"extended_stats": {"field": "n"}},
+                 "g": {"filters": {"filters": {
+                     "big": {"range": {"n": {"gte": 50}}},
+                     "small": {"range": {"n": {"lt": 50}}}}},
+                     "aggs": {"pr": {"percentile_ranks": {
+                         "field": "n", "values": [45]}}}}}})
+    rows = {(r["filter"], r["filter2"]): r.asDict()
+            for r in flat.collect()}
+    assert rows[("de", None)]["spread_variance"] == 500.0
+    assert rows[("de", "small")]["pr_45_0"] == 100.0
+    assert rows[("de", "big")]["pr_45_0"] == 0.0
