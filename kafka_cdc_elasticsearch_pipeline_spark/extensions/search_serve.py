@@ -999,6 +999,15 @@ class _Metric:
                     "a non-empty list of numbers"
                 )
             self.values = [float(v) for v in vals]
+            if len(set(self.values)) != len(self.values):
+                # [100, 100.0] coerces to one float — duplicate flat
+                # columns would make the frame's by-name reads
+                # ambiguous (review finding; percentiles shares the
+                # guard)
+                raise ValueError(
+                    f"percentile_ranks agg {name!r}: 'values' must be "
+                    "distinct"
+                )
             self.percents = []
             self.columns = [
                 f"{name}_{str(v).replace('.', '_')}" for v in self.values
@@ -1014,6 +1023,11 @@ class _Metric:
                     "non-empty list of numbers in [0, 100]"
                 )
             self.percents = [float(p) for p in pcts]
+            if len(set(self.percents)) != len(self.percents):
+                raise ValueError(
+                    f"percentiles agg {name!r}: 'percents' must be "
+                    "distinct"
+                )
             self.columns = [
                 f"{name}_{str(p).replace('.', '_')}" for p in self.percents
             ]

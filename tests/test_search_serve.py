@@ -3569,3 +3569,16 @@ def test_new_metrics_compose_through_filters_product(spark):
     assert rows[("de", None)]["spread_variance"] == 500.0
     assert rows[("de", "small")]["pr_45_0"] == 100.0
     assert rows[("de", "big")]["pr_45_0"] == 0.0
+
+
+def test_duplicate_probe_values_are_a_400(frame):
+    """Round 15 review pass: [100, 100.0] coerces to ONE float, so a
+    duplicate probe list would mint duplicate flat columns (the
+    set-based reserved check can't see it) — 400 for both
+    percentile_ranks values and percentiles percents."""
+    with pytest.raises(ValueError, match="distinct"):
+        serve.aggs_flat(frame, {"pr": {"percentile_ranks": {
+            "field": "n_chars", "values": [100, 100.0]}}})
+    with pytest.raises(ValueError, match="distinct"):
+        serve.aggs_flat(frame, {"p": {"percentiles": {
+            "field": "n_chars", "percents": [50, 50.0]}}})
