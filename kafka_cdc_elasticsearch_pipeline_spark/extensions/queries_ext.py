@@ -7492,3 +7492,63 @@ def ext_search_aggs_auto_dh(
     ])
     # bounded by construction: ≤ the 10-bucket target
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ext_search_aggs_filter_bucket",
+    """
+    WITH meta AS (
+      SELECT lang, n_chars FROM documents WHERE n_chars >= 250
+    ),
+    rolled AS (
+      SELECT lang AS by_lang, grouping(lang) AS g,
+             count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM meta GROUP BY ROLLUP (lang)
+    )
+    SELECT (1 - g)::INTEGER AS depth, by_lang, doc_count,
+           CASE WHEN g = 0 THEN round(mean_raw, 6) END AS mean_chars
+    FROM rolled WHERE g = 1 OR by_lang IS NOT NULL
+    """,
+    tags=("ext", "search", "aggs", "filter", "serving"),
+)
+def ext_search_aggs_filter_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The singular ``filter`` agg (round 15) — ES's single-bucket
+    panel-narrowing shape (TSVB's Filter Ratio wraps metrics in one;
+    Kibana panel filters emit it): served by NARROWING the matched
+    frame before any plan runs, so the sub-tree — here a terms chain
+    with an avg — compiles into exactly the regular one-rollup plan
+    over the filtered docs, and the flat frame's depth-0 row IS the
+    filter bucket's doc_count. (Its ``missing`` twin — the null-field
+    bucket — rides the same unwrap; its null semantics are pinned by
+    the unit suite over a null-carrying frame, since this corpus has
+    no null fields.) The oracle is the same ROLLUP over a WHERE — the
+    narrowing claim IS the query equivalence, hash-pinned."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "big": {
+                "filter": {"range": {"n_chars": {"gte": 250}}},
+                "aggs": {
+                    "by_lang": {
+                        "terms": {"field": "lang", "size": 10},
+                        "aggs": {"mean_chars": {
+                            "avg": {"field": "n_chars"}}},
+                    }
+                },
+            }
+        },
+    )
+    return flat.select(
+        "depth",
+        "by_lang",
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

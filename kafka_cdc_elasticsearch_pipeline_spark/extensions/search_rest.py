@@ -634,13 +634,34 @@ class SearchRestServer:
             elif filt is not None:
                 serve.validate_filters(filt[1], self.doc_source)
             else:
-                # auto_date_histogram validates job-free at the door
-                # (stub mode — the min/max selection pass runs only
-                # once the mode branch has produced the matched frame)
-                stubbed, _ = serve._resolve_auto_dh(
-                    self.doc_source, aggs_spec, resolve=False
-                )
-                serve.parse_aggs(stubbed, self.doc_source.columns)
+                # single-bucket filter/missing layers unwrap job-free
+                # (predicates compile lazily); then auto_date_histogram
+                # validates in stub mode (the min/max selection pass
+                # runs only once the mode branch has produced the
+                # matched frame)
+                inner = aggs_spec
+                while True:
+                    sb = serve._single_bucket_entry(
+                        self.doc_source, inner
+                    )
+                    if sb is None:
+                        break
+                    _, _, inner = sb
+                if inner:
+                    if self._composite_entry(
+                        inner
+                    ) is not None or self._filters_entry(
+                        inner
+                    ) is not None:
+                        raise ValueError(
+                            "composite/filters aggs are not served "
+                            "inside a filter/missing agg — send them "
+                            "with the predicate in query.bool.filter"
+                        )
+                    stubbed, _ = serve._resolve_auto_dh(
+                        self.doc_source, inner, resolve=False
+                    )
+                    serve.parse_aggs(stubbed, self.doc_source.columns)
         # ES query DSL: a dict "query" is the request shape Kibana
         # actually sends — bool.filter time-range/term pills around an
         # optional search-bar match. The match text becomes the plain

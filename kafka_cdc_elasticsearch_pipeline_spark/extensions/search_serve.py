@@ -1867,6 +1867,61 @@ def _resolve_auto_dh(
     return spec, labels
 
 
+def _single_bucket_entry(docs: DataFrame, spec: dict):
+    """A top-level ``filter`` / ``missing`` SINGLE-BUCKET agg — ES's
+    panel-narrowing shapes (TSVB's Filter Ratio wraps metrics in a
+    ``filter`` agg; ``missing`` is the null-field bucket). Both serve
+    by NARROWING the matched frame and running the regular machinery
+    on the sub-tree: the node's envelope is ``{"doc_count": N,
+    **sub_aggs}`` — no ``buckets`` list — and the narrowed frame is
+    exactly what every downstream plan (rollup, truncation, gap fill)
+    expects, so nothing else changes. Returns ``(name, narrowed_docs,
+    sub_spec)`` or None when the spec is not this shape.
+
+    Scope: the single-bucket agg must be the ONLY top-level agg
+    (nesting more single-bucket layers recurses naturally — each call
+    unwraps one). A ``filter`` sitting NEXT TO other aggs would need
+    per-branch frames inside one plan; parse_aggs names the
+    query-level remediation instead."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        return None
+    (name,) = spec
+    node = spec[name]
+    if not isinstance(node, dict):
+        return None
+    typs = [t for t in node if t != "aggs"]
+    if typs not in (["filter"], ["missing"]):
+        return None
+    sub = node.get("aggs")
+    if sub is not None and not isinstance(sub, dict):
+        raise ValueError(f"agg {name!r}: 'aggs' must be an object")
+    if typs == ["filter"]:
+        texts, opt_texts, pred = parse_query_dsl(node["filter"], docs)
+        if texts or opt_texts:
+            raise ValueError(
+                f"filter agg {name!r}: 'match' clauses are not served "
+                "here (filters are metadata predicates; put text in "
+                "the request's own query)"
+            )
+        if pred is None:  # match_all — the everything bucket
+            pred = F.lit(True)
+    else:
+        body = node["missing"]
+        if not isinstance(body, dict):
+            raise ValueError(
+                f"agg {name!r}: missing body must be an object"
+            )
+        _strict_keys(name, "missing", body, {"field"})
+        fld = body.get("field")
+        if not isinstance(fld, str) or fld not in docs.columns:
+            raise ValueError(
+                f"missing agg {name!r}: field {fld!r} not in the "
+                f"mounted doc_source (columns: {sorted(docs.columns)})"
+            )
+        pred = F.col(fld).isNull()
+    return name, docs.filter(pred), sub or {}
+
+
 def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     list[_Bucket],
     dict[int, list[_Metric]],
@@ -1940,6 +1995,16 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                     )
                 pipelines.setdefault(depth, []).append(
                     _PipelineAgg(name, typ, body[typ])
+                )
+            elif typ in ("filter", "missing"):
+                # the single-bucket aggs ARE served — as the only
+                # top-level agg, where they narrow the frame before
+                # any plan runs (the unwrap in aggs_nested/aggs_flat)
+                raise ValueError(
+                    f"agg {name!r}: {typ} is served as the ONLY "
+                    "top-level agg (it narrows the whole frame); "
+                    "next to siblings or nested, move the predicate "
+                    "into the request's query.bool.filter instead"
                 )
             else:
                 raise ValueError(
@@ -2404,6 +2469,19 @@ def aggs_flat(
     distributed surface the gate row hashes: DuckDB ``GROUP BY
     ROLLUP`` + ``grouping()`` + a ranked keep-list rebuilds it
     exactly."""
+    sb = _single_bucket_entry(docs, spec)
+    if sb is not None:
+        # the flat gate surface of a filter/missing bucket is the
+        # sub-tree's flat frame over the NARROWED docs — its depth-0
+        # doc_count row IS the bucket's count
+        name, narrowed, sub = sb
+        if not sub:
+            raise ValueError(
+                f"agg {name!r}: a bare filter/missing bucket has no "
+                "flat frame — aggs_nested serves its doc_count "
+                "envelope"
+            )
+        return aggs_flat(narrowed, sub, pins)
     spec, auto_labels = _resolve_auto_dh(docs, spec)
     chain, metrics, tophits, pipelines = parse_aggs(spec, docs.columns)
     if tophits:
@@ -2742,6 +2820,25 @@ def aggs_nested(
     doc_count desc / key asc (or the level's explicit ``order``) with
     ``sum_other_doc_count``; date_histogram / histogram buckets
     ordered by key."""
+    sb = _single_bucket_entry(docs, spec)
+    if sb is not None:
+        name, narrowed, sub = sb
+        if not sub:
+            # a bare filter/missing bucket: doc_count only
+            out = {name: {"doc_count": int(narrowed.count())}}
+        else:
+            # recursion unwraps nested single-bucket layers; the
+            # inner envelope's depth-0 total IS this bucket's
+            # doc_count (no second count pass for the bucket itself)
+            inner, n = aggs_nested(narrowed, sub, pins, with_total=True)
+            out = {name: {"doc_count": int(n), **inner}}
+        if with_total:
+            # the caller's total is the MATCH-SET size (hits.total),
+            # NOT the narrowed bucket's count — that needs its own
+            # count pass on this path (the depth-0 row the regular
+            # path reads for free belongs to the narrowed frame)
+            return out, int(docs.count())
+        return out
     spec, auto_labels = _resolve_auto_dh(docs, spec)
     chain, metrics, tophits, pipelines = parse_aggs(spec, docs.columns)
     for b in chain:

@@ -2019,3 +2019,22 @@ def test_auto_date_histogram_over_rest(meta_server):
         "aggs": body, "allowed_ids": [0, 1, 2, 3],
     })
     assert scoped["aggregations"]["a"]["interval"] == "30m"
+
+
+def test_filter_agg_over_rest(meta_server):
+    """Round 15: the singular filter agg end-to-end — hits.total
+    stays the MATCH-SET size while the bucket's doc_count is the
+    narrowed count; composite inside a filter 400s at the door."""
+    server, meta = meta_server
+    out = server.search({"aggs": {"big": {
+        "filter": {"range": {"n_chars": {"gte": 250}}},
+        "aggs": {"m": {"avg": {"field": "n_chars"}}}}}})
+    big = out["aggregations"]["big"]
+    assert out["hits"]["total"] == meta.count()
+    assert 0 < big["doc_count"] < meta.count()
+    assert big["m"]["value"] >= 250
+    with pytest.raises(ValueError, match="query.bool.filter"):
+        server.search({"aggs": {"f": {
+            "filter": {"match_all": {}},
+            "aggs": {"c": {"composite": {"sources": [
+                {"l": {"terms": {"field": "lang"}}}]}}}}}})

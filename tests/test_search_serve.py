@@ -3582,3 +3582,54 @@ def test_duplicate_probe_values_are_a_400(frame):
     with pytest.raises(ValueError, match="distinct"):
         serve.aggs_flat(frame, {"p": {"percentiles": {
             "field": "n_chars", "percents": [50, 50.0]}}})
+
+
+def test_filter_and_missing_single_bucket_aggs(frame):
+    """Round 15: the singular filter agg (TSVB's Filter Ratio shape)
+    and the missing agg (the null-field bucket) serve by NARROWING
+    the frame — the envelope is {doc_count, **sub_aggs}, no buckets
+    list; nesting recurses; siblings/nested placement 400 naming the
+    query-level remediation."""
+    env = serve.aggs_nested(frame, {"en_docs": {
+        "filter": {"term": {"lang": "en"}},
+        "aggs": {"m": {"avg": {"field": "n_chars"}},
+                 "by_day": {"date_histogram": {
+                     "field": "ts", "fixed_interval": "1d"}}}}})
+    node = env["en_docs"]
+    assert node["doc_count"] == 3 and node["m"]["value"] == pytest.approx(
+        (10 + 20 + 50) / 3)
+    assert [b["doc_count"] for b in node["by_day"]["buckets"]] == [2, 1]
+    # missing: the NULL-lang doc's bucket, sub-metrics included
+    env2 = serve.aggs_nested(frame, {"nolang": {
+        "missing": {"field": "lang"},
+        "aggs": {"mx": {"max": {"field": "n_chars"}}}}})
+    assert env2["nolang"] == {"doc_count": 1, "mx": {"value": 40}}
+    # nesting unwraps one layer per recursion; match_all filter works
+    env3, total = serve.aggs_nested(frame, {"a": {
+        "filter": {"match_all": {}},
+        "aggs": {"b": {"missing": {"field": "lang"}}}}},
+        with_total=True)
+    assert env3["a"]["doc_count"] == 6 and total == 6
+    assert env3["a"]["b"]["doc_count"] == 1
+    # flat surface = the sub-tree over the narrowed docs
+    flat = serve.aggs_flat(frame, {"en_docs": {
+        "filter": {"term": {"lang": "en"}},
+        "aggs": {"by_lang": {"terms": {"field": "lang"}}}}})
+    rows = {(r["depth"], r["by_lang"]): r["doc_count"]
+            for r in flat.collect()}
+    assert rows == {(0, None): 3, (1, "en"): 3}
+    # refusals: siblings, nested placement, bare-bucket flat, text
+    with pytest.raises(ValueError, match="ONLY top-level"):
+        serve.aggs_flat(frame, {"f": {"filter": {"match_all": {}}},
+                                "m": {"avg": {"field": "n_chars"}}})
+    with pytest.raises(ValueError, match="ONLY top-level"):
+        serve.aggs_nested(frame, {"d": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {"f": {"filter": {"match_all": {}}}}}})
+    with pytest.raises(ValueError, match="no flat frame"):
+        serve.aggs_flat(frame, {"f": {"filter": {"match_all": {}}}})
+    with pytest.raises(ValueError, match="match"):
+        serve.aggs_nested(frame, {"f": {"filter": {
+            "match": {"text": "hello"}}}})
+    with pytest.raises(ValueError, match="not in the mounted"):
+        serve.aggs_nested(frame, {"f": {"missing": {"field": "bogus"}}})
