@@ -149,21 +149,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # N ≤ ~10 as usual so later blocks never compound).
 #
 # r16 window math (written r15, amended per registration): r15
-# registers exactly 12 new queries (ext_search_aggs_dh_week_tz,
+# registers exactly 13 new queries (ext_search_aggs_dh_week_tz,
 # ext_search_aggs_dh_quarter_week, ext_search_aggs_dh_offset,
 # ext_search_aggs_dh_tz_kolkata, ext_search_filters_kql_bool,
 # ext_search_aggs_moving_fn, ext_search_match_phrase_slop,
 # ext_search_filters_product, ext_search_aggs_extended_stats,
 # ext_search_aggs_serial_diff, ext_search_aggs_auto_dh,
-# ext_search_aggs_filter_bucket) — registry 239, 238 gated, floor
-# ceil(238/50) = 5 (check_oracle confirms: never×12, r10×26, r11×50,
-# r12×50, r13×50, r14×50). The r15 window = 12 never + 26 r10 (their
-# floor round — the rotation fronts them, no pin needed) + 12 r11.
-# That leaves 38 r11 rows whose floor is r16; the rotation fronts
-# them automatically, so r16 needs no pin. r16's budget: window =
-# N new + 38 r11 + (12−N) r12, leaving (38+N) r12 rows for r17 —
-# their floor round — so any N ≤ ~12 stays on schedule (keep
-# N ≤ ~10 as usual so later blocks never compound).
+# ext_search_aggs_filter_bucket, ext_search_aggs_bucket_sort) —
+# registry 240, 239 gated, floor ceil(239/50) = 5 (check_oracle
+# confirms: never×13, r10×26, r11×50, r12×50, r13×50, r14×50). The
+# r15 window = 13 never + 26 r10 (their floor round — the rotation
+# fronts them, no pin needed) + 11 r11. That leaves 39 r11 rows
+# whose floor is r16; the rotation fronts them automatically, so r16
+# needs no pin. r16's budget: window = N new + 39 r11 + (11−N) r12,
+# leaving (39+N) r12 rows for r17 — their floor round — so any
+# N ≤ ~11 stays on schedule (keep N ≤ ~10 as usual so later blocks
+# never compound).
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

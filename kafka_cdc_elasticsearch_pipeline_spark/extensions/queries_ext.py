@@ -7552,3 +7552,105 @@ def ext_search_aggs_filter_bucket(
         "doc_count",
         F.round("mean_chars", 6).alias("mean_chars"),
     )
+
+
+@query(
+    "ext_search_aggs_bucket_sort",
+    f"""
+    WITH meta AS (
+      SELECT {_SQL_DOC_TS} AS ts, n_chars FROM documents
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS by_hour,
+             count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM meta GROUP BY 1
+    ),
+    top5 AS (
+      SELECT * FROM hourly ORDER BY mean_raw DESC, by_hour ASC LIMIT 5
+    ),
+    overall AS (
+      SELECT count(mean_raw)::BIGINT AS o_count,
+             round(min(mean_raw), 6) AS o_min,
+             round(max(mean_raw), 6) AS o_max,
+             round(avg(mean_raw), 6) AS o_avg,
+             round(sum(mean_raw), 6) AS o_sum
+      FROM top5
+    )
+    SELECT by_hour, doc_count, round(mean_raw, 6) AS mean_chars,
+           o_count, o_min, o_max, o_avg, o_sum
+    FROM top5, overall
+    """,
+    tags=("ext", "search", "aggs", "bucket_sort", "serving"),
+)
+def ext_search_aggs_bucket_sort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``bucket_sort`` + ``stats_bucket`` (round 15) — the Kibana
+    data-table shape: re-sort the hourly chain by its mean metric
+    (explicit key-asc tiebreak so the order is deterministic
+    cross-engine) and page to the top 5 at reduce time, with a
+    sibling stats_bucket reducing over the RETURNED (sorted + paged)
+    list — ES's reduce-over-returned-buckets contract, O(buckets)
+    driver walks over the envelope, zero distributed work beyond the
+    one rollup. The oracle rebuilds the sort as ORDER BY + LIMIT and
+    the sibling as an aggregate over that CTE — hash-equality pins
+    the sort keys, the tiebreak, the page boundary, and the
+    post-truncation reduce scope."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _doc_meta(spark, sf_dir)
+    env = serve.aggs_nested(
+        meta,
+        {
+            "by_hour": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "1h",
+                },
+                "aggs": {
+                    "mean_chars": {"avg": {"field": "n_chars"}},
+                    "top5": {"bucket_sort": {
+                        "sort": [{"mean_chars": "desc"},
+                                 {"_key": "asc"}],
+                        "size": 5,
+                    }},
+                },
+            },
+            "overall": {"stats_bucket": {
+                "buckets_path": "by_hour>mean_chars"}},
+        },
+    )
+    o = env["overall"]
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (
+            epoch + datetime.timedelta(milliseconds=b["key"]),
+            b["doc_count"],
+            round(b["mean_chars"]["value"], 6),
+            o["count"],
+            round(o["min"], 6),
+            round(o["max"], 6),
+            round(o["avg"], 6),
+            round(o["sum"], 6),
+        )
+        for b in env["by_hour"]["buckets"]
+    ]
+    schema = T.StructType([
+        T.StructField("by_hour", T.TimestampType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("mean_chars", T.DoubleType(), False),
+        T.StructField("o_count", T.LongType(), False),
+        T.StructField("o_min", T.DoubleType(), False),
+        T.StructField("o_max", T.DoubleType(), False),
+        T.StructField("o_avg", T.DoubleType(), False),
+        T.StructField("o_sum", T.DoubleType(), False),
+    ])
+    # bounded by construction: exactly the 5 paged buckets
+    return spark.createDataFrame(rows, schema)

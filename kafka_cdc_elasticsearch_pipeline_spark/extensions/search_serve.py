@@ -94,7 +94,10 @@ _EXT_STATS_PARTS = (
 #: bucket frame (ES's own semantics: pipelines run at reduce time
 #: over the buckets the response carries), so they add zero
 #: distributed work
-_PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+_PIPELINE_TYPES = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+    "stats_bucket", "extended_stats_bucket",
+)
 
 #: PARENT pipeline aggs — inside a bucket's ``aggs``, computed along
 #: that bucket LIST (what TSVB/time-series panels send); the sibling
@@ -103,7 +106,7 @@ _PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
 #: bucket_selector are per-bucket arithmetic and run under terms too.
 _PARENT_PIPELINE_TYPES = (
     "derivative", "cumulative_sum", "moving_fn", "serial_diff",
-    "bucket_script", "bucket_selector",
+    "bucket_script", "bucket_selector", "bucket_sort",
 )
 _ORDERED_PARENT_TYPES = (
     "derivative", "cumulative_sum", "moving_fn", "serial_diff",
@@ -1353,6 +1356,65 @@ class _PipelineAgg:
                 boolean=typ == "bucket_selector",
             )
             self.segments = []
+        elif typ == "bucket_sort":
+            # ES bucket_sort: re-sort and/or page the PARENT's bucket
+            # list at reduce time (the Kibana data-table primitive —
+            # sorted, paged bucket tables in ONE request). Runs after
+            # the series walkers and selectors saw the full list;
+            # gap_policy skip drops buckets whose sort path is null
+            # (ES's documented gap rule for this agg).
+            _strict_keys(
+                name, typ, body, {"sort", "from", "size", "gap_policy"}
+            )
+            frm = body.get("from", 0)
+            if isinstance(frm, bool) or not isinstance(frm, int) \
+                    or frm < 0:
+                raise ValueError(
+                    f"pipeline agg {name!r}: 'from' must be a "
+                    "non-negative integer"
+                )
+            size = body.get("size")
+            if size is not None and (
+                isinstance(size, bool) or not isinstance(size, int)
+                or size < 1
+            ):
+                raise ValueError(
+                    f"pipeline agg {name!r}: 'size' must be a "
+                    "positive integer"
+                )
+            self.sort_from, self.sort_size = frm, size
+            sort = body.get("sort", [])
+            if not isinstance(sort, list):
+                raise ValueError(
+                    f"pipeline agg {name!r}: 'sort' must be a list"
+                )
+            specs: list[tuple[str, bool]] = []
+            for ent in sort:
+                if isinstance(ent, str):
+                    specs.append((ent, False))  # ES default: desc
+                    continue
+                if isinstance(ent, dict) and len(ent) == 1:
+                    (pth, od), = ent.items()
+                    if isinstance(od, dict):
+                        _strict_keys(name, typ, od, {"order"})
+                        od = od.get("order", "desc")
+                    if od in ("asc", "desc") and isinstance(pth, str):
+                        specs.append((pth, od == "asc"))
+                        continue
+                raise ValueError(
+                    f"pipeline agg {name!r}: each sort entry is a "
+                    "path string or {path: 'asc'|'desc'} / "
+                    "{path: {'order': ...}}, got {ent!r}"
+                )
+            if not specs and size is None and frm == 0:
+                raise ValueError(
+                    f"pipeline agg {name!r}: bucket_sort needs "
+                    "'sort' and/or 'from'/'size' — an empty body "
+                    "would be a no-op"
+                )
+            self.sort_specs = specs
+            self.sort_terminals: list[tuple[tuple, bool]] = []
+            self.segments = []
         elif typ == "moving_fn":
             _strict_keys(
                 name, typ, body,
@@ -1421,7 +1483,23 @@ class _PipelineAgg:
                     _fixed_interval_seconds(body["unit"]) * 1000
                 )
         else:
-            _strict_keys(name, typ, body, {"buckets_path", "gap_policy"})
+            _strict_keys(
+                name, typ, body,
+                {"buckets_path", "gap_policy", "sigma"}
+                if typ == "extended_stats_bucket"
+                else {"buckets_path", "gap_policy"},
+            )
+            self.sigma = 2.0
+            if typ == "extended_stats_bucket":
+                sg = body.get("sigma", 2.0)
+                if isinstance(sg, bool) or not isinstance(
+                    sg, (int, float)
+                ) or sg < 0:
+                    raise ValueError(
+                        f"pipeline agg {name!r}: 'sigma' must be a "
+                        "non-negative number"
+                    )
+                self.sigma = float(sg)
             if not isinstance(path, str) or ">" not in path:
                 raise ValueError(
                     f"pipeline agg {name!r} needs a 'buckets_path' like "
@@ -1484,6 +1562,52 @@ class _PipelineAgg:
             total = sum(vals)
             return total / len(vals) if self.typ == "avg_bucket" else total
         return min(vals) if self.typ == "min_bucket" else max(vals)
+
+    def reduce_env(self, values: list) -> dict:
+        """stats_bucket / extended_stats_bucket: the multi-component
+        sibling reduces — exact arithmetic over the RETURNED bucket
+        values (gap_policy skip), the same component-sum variance
+        convention as the extended_stats metric, ES's empty contract
+        (count 0 / sum 0.0 / the rest null)."""
+        import math
+
+        vals = [_pipe_num(self, v) for v in values if v is not None]
+        n = len(vals)
+        out: dict = {
+            "count": n,
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "avg": sum(vals) / n if vals else None,
+            "sum": float(sum(vals)),
+        }
+        if self.typ == "stats_bucket":
+            return out
+        sos = float(sum(v * v for v in vals))
+        var = max(sos / n - (out["avg"]) ** 2, 0.0) if vals else None
+        sd = math.sqrt(var) if var is not None else None
+        var_samp = var * n / (n - 1) if var is not None and n > 1 else None
+        sd_samp = math.sqrt(var_samp) if var_samp is not None else None
+        avg, sg = out["avg"], self.sigma
+        out.update({
+            "sum_of_squares": sos if vals else 0.0,
+            "variance": var,
+            "variance_population": var,
+            "variance_sampling": var_samp,
+            "std_deviation": sd,
+            "std_deviation_population": sd,
+            "std_deviation_sampling": sd_samp,
+            "std_deviation_bounds": {
+                "upper": None if sd is None else avg + sg * sd,
+                "lower": None if sd is None else avg - sg * sd,
+                "upper_population": None if sd is None else avg + sg * sd,
+                "lower_population": None if sd is None else avg - sg * sd,
+                "upper_sampling": None if sd_samp is None
+                else avg + sg * sd_samp,
+                "lower_sampling": None if sd_samp is None
+                else avg - sg * sd_samp,
+            },
+        })
+        return out
 
 
 def _pipe_num(p: _PipelineAgg, v) -> float:
@@ -1996,6 +2120,20 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                 pipelines.setdefault(depth, []).append(
                     _PipelineAgg(name, typ, body[typ])
                 )
+            elif typ == "percentiles_bucket":
+                # deliberately NOT served: ES's exact index-selection
+                # convention for this reduce (which sorted element —
+                # or interpolation — a given percent picks) is a
+                # Lucene internal this engine does not pin, and a
+                # near-miss percentile silently diverges. The
+                # percentiles METRIC (exact, quantile_cont-identical)
+                # per bucket is the served spelling.
+                raise ValueError(
+                    f"agg {name!r}: percentiles_bucket's exact "
+                    "index-selection convention is not pinned — use "
+                    "the percentiles metric inside each bucket "
+                    "instead"
+                )
             elif typ in ("filter", "missing"):
                 # the single-bucket aggs ARE served — as the only
                 # top-level agg, where they narrow the frame before
@@ -2121,7 +2259,15 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
                         f"{who}: 'unit' normalizes by key spacing in "
                         "TIME — it needs a date_histogram parent"
                     )
-                if p.var_paths:
+                if p.typ == "bucket_sort":
+                    # sort paths resolve like any same-level metric
+                    # reference; "_key" reads the bucket key itself
+                    p.sort_terminals = [
+                        (("_key", None, None) if pth == "_key"
+                         else _terminal(d, pth, who), asc)
+                        for pth, asc in p.sort_specs
+                    ]
+                elif p.var_paths:
                     for var, vpath in p.var_paths.items():
                         p.terminals[var] = _terminal(d, vpath, who)
                 else:
@@ -3073,7 +3219,11 @@ def aggs_nested(
                 # order — per parent bucket, so each timeline derives
                 # over its own series (ES's reduce point)
                 for p in pipelines.get(depth + 1, []):
-                    if not p.parent or p.typ == "bucket_selector":
+                    if not p.parent or p.typ in (
+                        "bucket_selector", "bucket_sort"
+                    ):
+                        # both truncators run AFTER this value-walker
+                        # loop, in their own blocks below
                         continue
                     if p.typ == "cumulative_sum":
                         # ES: every bucket serves the running total;
@@ -3225,6 +3375,42 @@ def aggs_nested(
                             kept_kids.append(bk)
                     node[chain[depth].name]["buckets"] = kept_kids
                     kids = kept_kids
+                # bucket_sort LAST among the truncators: the series
+                # walkers saw the full list, the selectors dropped
+                # non-matching buckets, and THEN the survivors
+                # re-sort/page into the response (ES's data-table
+                # shape). gap_policy skip drops a bucket whose sort
+                # path is null.
+                for p in pipelines.get(depth + 1, []):
+                    if p.typ != "bucket_sort":
+                        continue
+                    if p.sort_terminals:
+                        decorated = []
+                        for bk in kids:
+                            ks = [
+                                bk.get("key")
+                                if t[0] == "_key"
+                                else p.extract(bk, t)
+                                for t, _ in p.sort_terminals
+                            ]
+                            if any(k is None for k in ks):
+                                continue
+                            decorated.append((ks, bk))
+                        # stable multi-key: sort by each key from the
+                        # LAST spec to the first, flipping per-key
+                        for i in range(len(p.sort_terminals) - 1, -1, -1):
+                            decorated.sort(
+                                key=lambda kv: kv[0][i],
+                                reverse=not p.sort_terminals[i][1],
+                            )
+                        kids = [bk for _, bk in decorated]
+                    lo = p.sort_from
+                    hi = (
+                        None if p.sort_size is None
+                        else lo + p.sort_size
+                    )
+                    kids = kids[lo:hi]
+                    node[chain[depth].name]["buckets"] = kids
                 for bk in kids:
                     attach(bk, depth + 1)
             for p in pipelines.get(depth, []):
@@ -3232,6 +3418,10 @@ def aggs_nested(
                     continue
                 lvs = leaves(node, p.segments[:-1])
                 vals = [p.extract(leaf) for leaf in lvs]
+                if p.typ in ("stats_bucket", "extended_stats_bucket"):
+                    # multi-component envelope, not a scalar value
+                    node[p.name] = p.reduce_env(vals)
+                    continue
                 red = p.reduce(vals)
                 env: dict = {"value": _val_json(red)}
                 if p.typ in ("min_bucket", "max_bucket"):

@@ -3633,3 +3633,60 @@ def test_filter_and_missing_single_bucket_aggs(frame):
             "match": {"text": "hello"}}}})
     with pytest.raises(ValueError, match="not in the mounted"):
         serve.aggs_nested(frame, {"f": {"missing": {"field": "bogus"}}})
+
+
+def test_bucket_sort_and_stats_pipelines(frame):
+    """Round 15: bucket_sort (the Kibana data-table primitive —
+    re-sort and/or page the parent's bucket list at reduce time,
+    after walkers and selectors saw the full list) plus the
+    stats_bucket / extended_stats_bucket sibling reduces;
+    percentiles_bucket refuses by name (its exact index convention is
+    not pinned)."""
+    env = serve.aggs_nested(frame, {
+        "by": {"terms": {"field": "lang", "size": 10},
+               "aggs": {"m": {"avg": {"field": "n_chars"}},
+                        "top": {"bucket_sort": {
+                            "sort": [{"m": "desc"}], "size": 2}}}},
+        "overall": {"stats_bucket": {"buckets_path": "by>m"}},
+        "spread": {"extended_stats_bucket": {
+            "buckets_path": "by>m", "sigma": 1}},
+    })
+    # en 26.67, de 30, fr 60 → sorted desc, top 2: fr, de
+    assert [b["key"] for b in env["by"]["buckets"]] == ["fr", "de"]
+    # siblings reduce over the RETURNED (sorted+paged) list: fr 60,
+    # de 30
+    assert env["overall"] == {"count": 2, "min": 30.0, "max": 60.0,
+                              "avg": 45.0, "sum": 90.0}
+    s = env["spread"]
+    assert s["variance"] == 225.0 and s["std_deviation"] == 15.0
+    assert s["std_deviation_bounds"]["upper"] == 60.0  # 45 + 1·15
+    assert s["variance_sampling"] == 450.0
+    # _key sort + from-only paging; empty-body refusal; top-level
+    # refusal; sort-entry grammar
+    env2 = serve.aggs_nested(frame, {"by": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {"pg": {"bucket_sort": {
+            "sort": [{"_key": "asc"}], "from": 2}}}}})
+    assert [b["key"] for b in env2["by"]["buckets"]] == ["fr"]
+    with pytest.raises(ValueError, match="no-op"):
+        serve.aggs_nested(frame, {"by": {
+            "terms": {"field": "lang"},
+            "aggs": {"s": {"bucket_sort": {}}}}})
+    with pytest.raises(ValueError, match="must sit inside"):
+        serve.aggs_nested(frame, {"s": {"bucket_sort": {"size": 1}}})
+    with pytest.raises(ValueError, match="sort entry"):
+        serve.aggs_nested(frame, {"by": {
+            "terms": {"field": "lang"},
+            "aggs": {"s": {"bucket_sort": {"sort": [7]}}}}})
+    with pytest.raises(ValueError, match="percentiles_bucket"):
+        serve.aggs_nested(frame, {"p": {"percentiles_bucket": {
+            "buckets_path": "by>m"}}})
+    # gap skip: a bucket whose sort metric is null drops from the
+    # sorted result (ES's documented gap rule for bucket_sort)
+    env3 = serve.aggs_nested(frame, {"d": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1d",
+                           "min_doc_count": 0},
+        "aggs": {"mean": {"avg": {"field": "n_chars"}},
+                 "s": {"bucket_sort": {"sort": [{"mean": "asc"}]}}}}})
+    assert all(b["mean"]["value"] is not None
+               for b in env3["d"]["buckets"])
