@@ -7654,3 +7654,69 @@ def ext_search_aggs_bucket_sort(
     ])
     # bounded by construction: exactly the 5 paged buckets
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ext_search_aggs_multi_terms",
+    """
+    WITH meta AS (SELECT lang, source, n_chars FROM documents),
+    agg AS (
+      SELECT lang, source, count(*)::BIGINT AS doc_count,
+             avg(n_chars) AS mean_raw
+      FROM meta WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        ORDER BY doc_count DESC, lang ASC, source ASC) AS rn
+      FROM agg
+    )
+    SELECT 0 AS depth, NULL AS lang, NULL AS source,
+           (SELECT count(*)::BIGINT FROM meta) AS doc_count,
+           CAST(NULL AS DOUBLE) AS mean_chars
+    UNION ALL
+    SELECT 1, lang, source, doc_count, round(mean_raw, 6)
+    FROM ranked WHERE rn <= 8
+    """,
+    tags=("ext", "search", "aggs", "multi_terms", "serving"),
+)
+def ext_search_aggs_multi_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``multi_terms`` (round 15) — the Lens multi-field split:
+    compound (lang, source) keys as ONE conditional-struct key column
+    inside the shared rollup, so truncation / ES ordering
+    (doc_count desc, compound key asc) / sum_other / the null-key
+    discipline (a doc missing ANY member field lands in no bucket but
+    counts at depth 0) all reuse the terms machinery unchanged — one
+    shuffle, no extra pass. The oracle rebuilds the ranked keep-list
+    over a two-column GROUP BY — hash-equality pins the compound
+    tiebreak order, the any-null exclusion, and the size boundary
+    cross-engine."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
+        search_serve as serve,
+    )
+
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source",
+                                       "n_chars")
+    flat = serve.aggs_flat(
+        meta,
+        {
+            "by_ls": {
+                "multi_terms": {
+                    "terms": [{"field": "lang"}, {"field": "source"}],
+                    "size": 8,
+                },
+                "aggs": {"mean_chars": {"avg": {"field": "n_chars"}}},
+            }
+        },
+    )
+    # the struct key expands into its member columns for the hashable
+    # gate surface (the driver canonicalizer holds scalars)
+    return flat.select(
+        "depth",
+        F.col("by_ls.lang").alias("lang"),
+        F.col("by_ls.source").alias("source"),
+        "doc_count",
+        F.round("mean_chars", 6).alias("mean_chars"),
+    )

@@ -75,8 +75,8 @@ from pyspark.sql import functions as F
 #: high-cardinality terms field must 400, not OOM the driver).
 MAX_BUCKETS = 65_536
 
-_BUCKET_TYPES = ("terms", "date_histogram", "histogram", "range",
-                 "date_range")
+_BUCKET_TYPES = ("terms", "multi_terms", "date_histogram", "histogram",
+                 "range", "date_range")
 _METRIC_TYPES = (
     "avg", "sum", "min", "max", "value_count", "percentiles", "cardinality",
     "stats", "extended_stats", "percentile_ranks",
@@ -454,6 +454,7 @@ _BUCKET_KEYS = {
     },
     "histogram": {"field", "interval", "min_doc_count", "extended_bounds",
                   "offset"},
+    "multi_terms": {"terms", "size", "min_doc_count", "order"},
     "range": {"field", "ranges"},
     "date_range": {"field", "ranges"},
 }
@@ -540,9 +541,32 @@ class _Bucket:
         self.other_bucket = False
         # range/date_range bucket keys (custom 'key' or from-to label)
         self.labels: list[str] = []
-        self.field = body.get("field")
-        if not isinstance(self.field, str):
-            raise ValueError(f"agg {name!r} needs a 'field' string")
+        #: multi_terms-only: the compound key's source fields (ES's
+        #: Lens multi-field split); ``field`` aliases the first so
+        #: single-field plumbing stays uniform
+        self.multi_fields: list[str] = []
+        if typ == "multi_terms":
+            terms = body.get("terms")
+            if not isinstance(terms, list) or len(terms) < 2 or not all(
+                isinstance(t, dict) for t in terms
+            ):
+                raise ValueError(
+                    f"multi_terms agg {name!r}: 'terms' takes a list "
+                    "of two or more {'field': ...} objects"
+                )
+            for t in terms:
+                _strict_keys(name, "multi_terms term", t, {"field"})
+                if not isinstance(t.get("field"), str):
+                    raise ValueError(
+                        f"multi_terms agg {name!r}: each term needs a "
+                        "'field' string"
+                    )
+            self.multi_fields = [t["field"] for t in terms]
+            self.field = self.multi_fields[0]
+        else:
+            self.field = body.get("field")
+            if not isinstance(self.field, str):
+                raise ValueError(f"agg {name!r} needs a 'field' string")
         self.size: int | None = None
         self.interval = None
         self.seconds: int | None = None
@@ -676,7 +700,7 @@ class _Bucket:
                     )
             self.ranges = parsed
             self.labels = labels
-        elif typ == "terms":
+        elif typ in ("terms", "multi_terms"):
             size = body.get("size", 10)
             if isinstance(size, bool) or not isinstance(size, int) or size < 1:
                 raise ValueError(
@@ -889,6 +913,17 @@ class _Bucket:
 
     def key_col(self) -> Column:
         c = F.col(self.field)
+        if self.typ == "multi_terms":
+            # ES multi_terms: a doc missing ANY of the fields lands in
+            # no bucket — the conditional struct goes NULL exactly
+            # then, riding the same genuinely-NULL-key discipline
+            # terms uses (no bucket, no children, still counted in the
+            # parent's doc_count)
+            cols = [F.col(f) for f in self.multi_fields]
+            notnull = cols[0].isNotNull()
+            for mc in cols[1:]:
+                notnull = notnull & mc.isNotNull()
+            return F.when(notnull, F.struct(*cols))
         if self.typ == "terms":
             if self.missing is not None:
                 # ES 'missing': the substituted key is never null, so
@@ -2162,11 +2197,12 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
         if b.name in reserved:
             raise ValueError(f"agg name {b.name!r} is reserved")
         reserved.add(b.name)
-        if b.field not in columns:
-            raise ValueError(
-                f"agg {b.name!r}: field {b.field!r} not in the mounted "
-                f"doc_source (columns: {sorted(columns)})"
-            )
+        for fld in (b.multi_fields or [b.field]):
+            if fld not in columns:
+                raise ValueError(
+                    f"agg {b.name!r}: field {fld!r} not in the mounted "
+                    f"doc_source (columns: {sorted(columns)})"
+                )
     for ms in metrics.values():
         for m in ms:
             # the NAME matters too: a multi-column metric (stats,
@@ -2302,7 +2338,9 @@ def parse_aggs(spec: dict, columns: list[str]) -> tuple[
     # metric-ordered terms: resolve the order key to its flat-frame
     # column now that this level's metrics are known
     for d, b in enumerate(chain, start=1):
-        if b.typ == "terms" and b.order_key not in ("_key", "_count"):
+        if b.typ in ("terms", "multi_terms") and b.order_key not in (
+            "_key", "_count"
+        ):
             b.order_col = _resolve_order_metric(b, metrics.get(d, []))
     # other_bucket levels: the __other__ merge re-aggregates flat
     # bucket rows, so every metric at that depth must be MERGEABLE
@@ -2477,7 +2515,7 @@ def _truncate_terms(
     concurrent requests would release each other's pins), so the REST
     layer passes a per-request ``pins`` list and unpersists in its
     own ``finally``."""
-    if any(b.typ == "terms" for b in chain):
+    if any(b.typ in ("terms", "multi_terms") for b in chain):
         from kafka_cdc_elasticsearch_pipeline_spark.operators import caching
 
         if pins is None:
@@ -2488,7 +2526,7 @@ def _truncate_terms(
     names = [b.name for b in chain]
     others: list[tuple[int, DataFrame]] = []
     for d, b in enumerate(chain, start=1):
-        if b.typ != "terms":
+        if b.typ not in ("terms", "multi_terms"):
             continue
         lvl = flat.filter(F.col("depth") == d)
         # ES terms min_doc_count: buckets under the threshold are
@@ -2806,6 +2844,12 @@ def _key_json(v):
     import datetime
     import decimal
 
+    if isinstance(v, tuple):
+        # a multi_terms compound key collects as a Row (tuple):
+        # ES's envelope = the member list + a '|'-joined
+        # key_as_string
+        members = [_val_json(m) for m in v]
+        return members, "|".join(str(m) for m in members)
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1)
         ms = int((v - epoch).total_seconds() * 1000)
@@ -3078,7 +3122,7 @@ def aggs_nested(
                     "— disable other_bucket for this field, or "
                     "exclude the value"
                 )
-        if b.typ == "terms":
+        if b.typ in ("terms", "multi_terms"):
             # mirror _terms_order_cols exactly (two-pass stable sorts:
             # tiebreak first, then the primary key with its direction;
             # NULL metric values last either direction)
@@ -3180,7 +3224,7 @@ def aggs_nested(
             # ES's auto_date_histogram envelope names the interval it
             # chose
             node["interval"] = b.auto_label
-        if b.typ == "terms":
+        if b.typ in ("terms", "multi_terms"):
             node["sum_other_doc_count"] = other_maps.get(depth, {}).get(
                 prefix, 0
             )
@@ -4143,7 +4187,7 @@ def _filters_zero_bucket(
         bucket[th.name] = {"hits": {"total": 0, "hits": []}}
     if len(chain) > 1:
         child: dict = {"buckets": []}
-        if chain[1].typ == "terms":
+        if chain[1].typ in ("terms", "multi_terms"):
             child["sum_other_doc_count"] = 0
         bucket[chain[1].name] = child
     for p in pipelines.get(1, []):

@@ -3690,3 +3690,62 @@ def test_bucket_sort_and_stats_pipelines(frame):
                  "s": {"bucket_sort": {"sort": [{"mean": "asc"}]}}}}})
     assert all(b["mean"]["value"] is not None
                for b in env3["d"]["buckets"])
+
+
+def test_multi_terms_compound_buckets(spark, frame):
+    """Round 15: multi_terms (the Lens multi-field split) — compound
+    keys as a CONDITIONAL struct, so a doc missing ANY field rides
+    the existing genuinely-NULL-key discipline (no bucket, no
+    children, still counted in the parent's doc_count); truncation /
+    order / sum_other / min_doc_count reuse the terms machinery over
+    the struct column; the envelope serves ES's member-list key +
+    '|'-joined key_as_string."""
+    df = spark.createDataFrame(
+        [(0, "en", "web", 10), (1, "en", "web", 20),
+         (2, "en", "book", 30), (3, "de", "web", 40),
+         (4, None, "web", 50), (5, "de", None, 60)],
+        "doc_id bigint, lang string, source string, n bigint")
+    env = serve.aggs_nested(df, {"ls": {
+        "multi_terms": {"terms": [{"field": "lang"},
+                                  {"field": "source"}], "size": 2},
+        "aggs": {"m": {"avg": {"field": "n"}}}}})
+    node = env["ls"]
+    # en|web (2 docs) first; the 1-1 tie breaks by compound key asc
+    # (de|web < en|book); doc 4/5 (a null member) land nowhere and
+    # never join sum_other
+    assert [(b["key"], b["key_as_string"], b["doc_count"])
+            for b in node["buckets"]] == [
+        (["en", "web"], "en|web", 2), (["de", "web"], "de|web", 1)]
+    assert node["sum_other_doc_count"] == 1
+    assert node["buckets"][0]["m"]["value"] == 15.0
+    # metric order changes WHICH bucket survives
+    env2 = serve.aggs_nested(df, {"ls": {
+        "multi_terms": {"terms": [{"field": "lang"},
+                                  {"field": "source"}],
+                        "size": 1, "order": {"m": "desc"}},
+        "aggs": {"m": {"max": {"field": "n"}}}}})
+    assert env2["ls"]["buckets"][0]["key"] == ["de", "web"]
+    assert env2["ls"]["sum_other_doc_count"] == 3
+    # chains compose: multi_terms under a date_histogram
+    env3 = serve.aggs_nested(frame, {"d": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+        "aggs": {"ll": {"multi_terms": {"terms": [
+            {"field": "lang"}, {"field": "lang"}]}}}}})
+    d1 = env3["d"]["buckets"][0]["ll"]["buckets"]
+    assert [b["key_as_string"] for b in d1] == ["en|en", "de|de"]
+    # validation: ≥2 terms, per-term strict keys, unknown body keys,
+    # bad field
+    with pytest.raises(ValueError, match="two or more"):
+        serve.aggs_flat(df, {"ls": {"multi_terms": {
+            "terms": [{"field": "lang"}]}}})
+    with pytest.raises(ValueError, match="unsupported body keys"):
+        serve.aggs_flat(df, {"ls": {"multi_terms": {
+            "terms": [{"field": "lang", "missing": "x"},
+                      {"field": "source"}]}}})
+    with pytest.raises(ValueError, match="unsupported body keys"):
+        serve.aggs_flat(df, {"ls": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}],
+            "other_bucket": True}}})
+    with pytest.raises(ValueError, match="not in the mounted"):
+        serve.aggs_flat(df, {"ls": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "bogus"}]}}})
