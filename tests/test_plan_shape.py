@@ -848,3 +848,26 @@ def test_auto_dh_serves_as_one_plain_rollup(spark, sf_dir):
     assert p.count("Expand") == 1
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_filter_bucket_predicate_reaches_the_scan(plans):
+    """Round 15: the singular filter agg's narrowing predicate is a
+    plain DataFrame filter BEFORE any agg plan builds — so it reaches
+    the parquet scan as a pushed data filter (at 100 TB the filter
+    bucket reads only its own rows), and the scan's column list is
+    pruned to the two columns the sub-tree touches."""
+    p = plans("ext_search_aggs_filter_bucket")
+    scan = next(l for l in p.splitlines() if "PushedFilters" in l
+                or ("FileScan" in l and "n_chars" in l))
+    assert "n_chars" in scan and "GreaterThanOrEqual" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in read.split("ReadSchema")[1]
+
+
+def test_multi_terms_is_the_same_one_rollup(plans):
+    """Round 15: the compound-key struct is an EXPRESSION inside the
+    shared rollup key column — multi_terms pays exactly the terms
+    plan (pin + keep-list), no extra pass, no Python eval."""
+    p = plans("ext_search_aggs_multi_terms")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Expand" in p and "InMemoryTableScan" in p
