@@ -229,7 +229,18 @@ def banded_hamming_pairs(
     dedup) — equi-join candidates on (band index, band bits), verify
     exact Hamming on candidates only. Candidate volume follows band
     collisions, never all-pairs. Shared by the image (aHash), audio
-    (energy profile) and video (frame-majority aHash) dedup paths."""
+    (energy profile) and video (frame-majority aHash) dedup paths.
+
+    The fingerprint table feeds BOTH self-join sides; the planner
+    broadcasts one side, so the two sides get different exchange types
+    and ReusedExchange never fires — without a pin the whole upstream
+    fingerprint pipeline (for images: a full Python encode+decode pass
+    over every payload) runs once PER SIDE. ``reuse()`` pins the
+    (doc_id, fp) rows — a few dozen bytes per doc — exactly like the
+    MinHash/SimHash band tables already do."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import reuse
+
+    hashes = reuse(hashes.select("doc_id", F.col(hash_col).alias(hash_col)))
     bands = hashes.select(
         "doc_id",
         F.col(hash_col).alias("fp"),

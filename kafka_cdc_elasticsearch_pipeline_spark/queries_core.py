@@ -50,8 +50,8 @@ _EVENT_COLS_SQL = "event_id, ts, user_id, event_type, value, props"
 # --- shared building blocks -------------------------------------------------
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    return load_table(spark, sf_dir, "events", spread=spread)
 
 
 def _live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,12 +1471,16 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     lineitem⋈orders on the orderkey. Catalyst/AQE picks this up from
     the declarative plan — no hand-scheduling.
     """
+    # spread=False on both big tables: orders lands in a broadcast
+    # build (collected anyway) and lineitem's only pre-exchange work is
+    # the broadcast-join probes — the parallelism round-robin re-ships
+    # 600k rows for nothing (r15 A/B: noop 1.21—1.25s → 0.73s).
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table(spark, sf_dir, "orders", spread=False).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -1534,7 +1538,13 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     the same orderkey partitioning across both aggs (no extra
     exchange).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # lineitem spread=False: the scan feeds the orderkey aggregation's
+    # own hash exchange with nothing but the column projection in
+    # between — the parallelism round-robin would ship all 600k rows
+    # an extra time before the partial agg (r15 A/B: q18 noop 1.32—
+    # 1.56s with it, 0.89—1.01s without; orders keeps its spread, its
+    # broadcast build overlaps the single-task partial agg for free).
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     # Single lineitem pass: the HAVING pre-aggregate per orderkey IS the
@@ -1656,10 +1666,17 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is broadcast (small dim); orders⋈lineitem shuffles on the
     orderkey; top-10 via TakeOrderedAndProject with a total order.
     """
+    # spread=False on both big tables: same rationale as q5 — orders
+    # feeds a broadcast build, lineitem only probes broadcast hashes
+    # before its agg exchange (r15 A/B: noop 1.17—1.26s → 0.79s).
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = load_table(spark, sf_dir, "orders", spread=False).filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem", spread=False).filter(
+        F.col("l_shipdate") > cutoff
+    )
     one = F.lit(1).cast("decimal(8,4)")
     joined = li.join(
         orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
@@ -1869,7 +1886,12 @@ def lake_cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources.lake import merge_upsert
 
-    ev = _events(spark, sf_dir)
+    # spread=False: each change batch goes straight into the MERGE's
+    # own hash exchange (latest-per-key agg) — the parallelism
+    # round-robin would be a third exchange per merge with only a
+    # trivial pmod filter between scan and agg (measured r15: the
+    # 3-merge chain 1.78s → 1.03s without it).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_upsert_") as tmp:
         path = f"{tmp}/events_table"
         for i in range(3):
@@ -2230,7 +2252,9 @@ def lake_versioned_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: see lake_cdc_upsert_compaction — the batch feeds
+    # the merge's own hash exchange directly (r15: 1.76s → 1.01s).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_log_") as tmp:
         table = f"{tmp}/events_table"
         for i in range(3):

@@ -111,12 +111,22 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one harness table (declarative — all pushdown-friendly)."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Scan one harness table (declarative — all pushdown-friendly).
+
+    ``spread=False`` skips the parallelism repartition for consumers
+    where it is pure overhead: a scan that feeds a broadcast build
+    side (the rows are collected to one place anyway) or a scan whose
+    very next operator is its own shuffle (an aggregation's hash
+    exchange) with only trivial per-row work in between. On a real
+    cluster the scan has splits ≫ cores and the flag is moot — spread
+    is a no-op there either way."""
     _prepare(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = _normalize_ts(spark.read.parquet(path), name)
-    if name in _FACT_TABLES:
+    if spread and name in _FACT_TABLES:
         # Cache the under-split check per path: getNumPartitions costs a
         # driver-side plan conversion we don't want on every load.
         decide = _SPREAD_DECISION.get(path)

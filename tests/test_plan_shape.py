@@ -871,3 +871,36 @@ def test_multi_terms_is_the_same_one_rollup(plans):
     p = plans("ext_search_aggs_multi_terms")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Expand" in p and "InMemoryTableScan" in p
+
+
+def test_banded_hamming_fingerprints_computed_once(plans):
+    """r15 optimization: the fingerprint table feeds BOTH sides of the
+    band self-join; the broadcast side gets a different exchange type,
+    so ReusedExchange can never dedupe it — the pin must. Signature of
+    the regression: the Python fingerprint pipeline (MapInPandas
+    encode+decode) planned outside an InMemoryRelation twice, i.e. the
+    whole image decode pass running once per join side (measured r15:
+    1.93s → 1.36s at sf0.1 with the pin)."""
+    p = plans("ext_multimodal_image_neardup")
+    assert "InMemoryTableScan" in p
+    # The executed plan must read the fingerprint cache on both sides;
+    # the MapInPandas chain may appear only inside the cached
+    # relation's definition, never as a live operator in the join.
+    live = p.split("InMemoryRelation")[0]
+    assert "MapInPandas" not in live
+
+
+def test_ngram_set_size_rides_the_explode(plans):
+    """r15 optimization: the per-doc shingle-set size ``n`` is
+    size(hs) computed BEFORE the explode and carried as a column —
+    recounting it downstream costs a second doc_id window pass (plan:
+    3 Window nodes → 2). The remaining windows are df over s and
+    row_number over doc_id."""
+    p = plans("ext_dedup_ngram_jaccard")
+    import re
+
+    bad = re.search(
+        r"Window \[count\(1\) windowspecdefinition\(doc_id#\d+L?,\s*specifiedwindowframe",
+        p,
+    )
+    assert bad is None, f"doc-count window reappeared: {bad.group(0)}"
