@@ -95,6 +95,12 @@ def _verify_jaccard(docs: DataFrame, cand: DataFrame, threshold: float) -> DataF
     the verify stage's cost follows the (small) candidate volume, not
     the corpus — the property that keeps the whole sweep linear at
     100 TB."""
+    # Pin the candidate pairs: the verify plan reads them TWICE (the
+    # id-set derivation below and the final join), and without a pin
+    # the whole candidate-generation join re-runs per read (r15
+    # decomposition: the verify stage dominated the ngram query at
+    # ~1.8s, half of it the doubled candidate join).
+    cand = reuse(cand)
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()

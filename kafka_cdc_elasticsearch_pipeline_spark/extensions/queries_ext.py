@@ -48,8 +48,8 @@ _SQL_DOCS_HASHSETS = f"""
 """
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", spread=spread)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3595,8 +3595,13 @@ def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count docs per line (the boilerplate table is ≪ corpus and
     broadcastable), join back, per-doc ratio. All exact-hashable
     integers/ratios; one shuffle for the line-frequency agg, one for
-    the per-doc agg."""
-    docs = _docs(spark, sf_dir)
+    the per-doc agg.
+
+    spread=False: the line explode is evaluated once per consumer
+    (freq side and join side) and each evaluation's only pre-exchange
+    work is split+trim — the parallelism round-robin shipped the docs
+    an extra time per side (r15 A/B: 0.87—0.96s → 0.43—0.50s)."""
+    docs = _docs(spark, sf_dir, spread=False)
     lines = (
         docs.select(
             "doc_id",

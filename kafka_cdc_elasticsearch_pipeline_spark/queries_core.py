@@ -55,8 +55,14 @@ def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
 
 
 def _live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RATINGS_LIVE twin: LCASE(channel) NOT LIKE pattern."""
-    live, _ = split_streams(_events(spark, sf_dir), "event_type", "%err%")
+    """RATINGS_LIVE twin: LCASE(channel) NOT LIKE pattern.
+
+    spread=False: every consumer (the broadcast enrichment join, the
+    windowed aggregations) either never shuffles the stream or brings
+    its own hash exchange, with only the LIKE filter between scan and
+    exchange — the parallelism round-robin re-shipped 100k rows for
+    nothing (r15 A/B: j1 0.42s → 0.32s, a1_a2 0.67s → 0.51s)."""
+    live, _ = split_streams(_events(spark, sf_dir, spread=False), "event_type", "%err%")
     return live
 
 
@@ -413,8 +419,14 @@ def s2_a3_table_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ksqldb-statements.sql:42-43; duality demo readme.md:316-374).
     max_by strategy: one hash agg with map-side combine — shuffles
     O(distinct keys), not O(rows)."""
+    # spread=False: the scan feeds the agg's own hash exchange
+    # directly (r15 A/B: 0.65s → 0.33—0.42s).
     return latest_per_key(
-        _events(spark, sf_dir), ["user_id"], "ts", tiebreak="event_id", method="max_by"
+        _events(spark, sf_dir, spread=False),
+        ["user_id"],
+        "ts",
+        tiebreak="event_id",
+        method="max_by",
     ).select(*EVENT_COLS)
 
 
@@ -535,7 +547,10 @@ def j_asof_last_purchase_before_view(spark: SparkSession, sf_dir: str) -> DataFr
     shuffle + sort over |L|+|R|, never a range explode."""
     from kafka_cdc_elasticsearch_pipeline_spark.operators.temporal import asof_join
 
-    ev = _events(spark, sf_dir)
+    # spread=False: both sides go straight into the union's shared
+    # (user_id, ts) exchange after pushed-down filters (r15 A/B:
+    # 0.92—0.97s → 0.59—0.63s).
+    ev = _events(spark, sf_dir, spread=False)
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
     )
@@ -825,8 +840,10 @@ def t7_session_window_30m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite (lag → break flag → running sum → island group), with the
     break on diff > gap: Spark merges an event landing EXACTLY at the
     previous session's end (closed-interval merge, verified)."""
+    # spread=False: session_window brings its own user_id exchange
+    # (r15 A/B: 0.64—0.71s → 0.51—0.63s).
     return session_agg(
-        _events(spark, sf_dir),
+        _events(spark, sf_dir, spread=False),
         "ts",
         "30 minutes",
         ["user_id"],
@@ -1855,7 +1872,11 @@ def skew_salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> Data
         skew_aware_join,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # spread=False: both consumers (the hot-keys diagnostic agg and
+    # the salted/cold join) bring their own suppkey exchanges; the
+    # round-robin re-shipped 600k rows first (r15 A/B: 1.18—1.32s →
+    # 0.77—0.91s).
+    li = load_table(spark, sf_dir, "lineitem", spread=False).select(
         "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
