@@ -98,6 +98,19 @@ PNG_STATS_SCHEMA = (
 )
 
 
+def _fill_png_pixels(doc_id: int):
+    """The constant-fill fixture pixels for ``doc_id`` (dims, channels,
+    value all doc_id-derived) — shared by the payload builder and the
+    fused build+decode stage so the two paths stay byte-identical."""
+    import numpy as np
+
+    w = 8 + doc_id % 16
+    h = 8 + (3 * doc_id) % 16
+    ch = 1 if doc_id % 2 else 3
+    v = doc_id % 251
+    return np.full((h, w, ch) if ch > 1 else (h, w), v, dtype=np.uint8)
+
+
 def attach_png_payload(docs: DataFrame) -> DataFrame:
     """Attach a REAL PNG payload per document, deterministically derived
     from ``doc_id`` (dims, channels, constant fill value) — the harness
@@ -107,18 +120,12 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
     from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
 
     def build(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                w = 8 + int(doc_id) % 16
-                h = 8 + (3 * int(doc_id)) % 16
-                ch = 1 if int(doc_id) % 2 else 3
-                v = int(doc_id) % 251
-                px = np.full((h, w, ch) if ch > 1 else (h, w), v, dtype=np.uint8)
-                payloads.append(png_encode(px))
+            payloads = [
+                png_encode(_fill_png_pixels(int(doc_id))) for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
@@ -138,6 +145,20 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
 IMG_SIDE = 16
 
 
+def _texture_pixels(doc_id: int, p):
+    """Texture fixture pixels for ``doc_id`` over the precomputed pixel
+    index grid ``p`` — shared by the payload builder and the fused
+    build+hash stage so both paths stay byte-identical."""
+    import numpy as np
+
+    near_dup = doc_id % 50 == 1
+    seed = doc_id - 1 if near_dup else doc_id
+    px = (seed % 239 + 1) * p * p + (seed % 251 + 3) * p + seed % 241
+    if near_dup:
+        px = px + np.where((p == 0) | (p == IMG_SIDE), 128, 0)
+    return (px % 256).astype(np.uint8)
+
+
 def attach_texture_png_payload(docs: DataFrame) -> DataFrame:
     """Textured 16×16 grayscale PNGs for image NEAR-DUP fixtures: the
     pixel function is a closed-form hash ramp (so the relational
@@ -155,19 +176,10 @@ def attach_texture_png_payload(docs: DataFrame) -> DataFrame:
         y, x = np.mgrid[0:IMG_SIDE, 0:IMG_SIDE]
         p = (x + IMG_SIDE * y).astype(np.int64)
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                near_dup = d % 50 == 1
-                seed = d - 1 if near_dup else d
-                px = (
-                    (seed % 239 + 1) * p * p
-                    + (seed % 251 + 3) * p
-                    + seed % 241
-                )
-                if near_dup:
-                    px = px + np.where((p == 0) | (p == IMG_SIDE), 128, 0)
-                payloads.append(png_encode((px % 256).astype(np.uint8)))
+            payloads = [
+                png_encode(_texture_pixels(int(doc_id), p))
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
@@ -188,36 +200,71 @@ def image_ahash(with_payload: DataFrame) -> DataFrame:
     leave the stage."""
 
     def fingerprint(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
 
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, mode, px = png_decode(bytes(payload))
-                if w < 8 or h < 8:
-                    # an 8×8 pooled grid needs ≥1 pixel per cell; a
-                    # smaller image would silently hash to all-zeros
-                    # (every such image "matches" every other)
-                    raise ValueError(
-                        f"image_ahash needs images ≥8×8, got {w}×{h}"
-                        f" (doc_id={int(doc_id)})"
-                    )
-                g = px if px.ndim == 2 else px.mean(axis=2).astype(np.int64)
-                g = g.astype(np.int64)
-                ch, cw = h // 8, w // 8
-                cells = (
-                    g[: ch * 8, : cw * 8]
-                    .reshape(8, ch, 8, cw)
-                    .sum(axis=(1, 3))
-                )
-                bits = (cells * 64 > g.sum()).astype(np.uint8).ravel()
-                rows.append((doc_id, "".join("1" if b else "0" for b in bits)))
+            rows = [
+                (doc_id, _ahash_of_decoded(int(doc_id), *png_decode(bytes(payload))))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
 
     return with_payload.mapInPandas(fingerprint, schema="doc_id bigint, ahash string")
+
+
+def _ahash_of_decoded(doc_id: int, w: int, h: int, mode: str, px) -> str:
+    """The aHash bit string over one decoded image — shared by
+    :func:`image_ahash` and the fused :func:`texture_ahash` stage."""
+    import numpy as np
+
+    if w < 8 or h < 8:
+        # an 8×8 pooled grid needs ≥1 pixel per cell; a smaller image
+        # would silently hash to all-zeros (every such image "matches"
+        # every other)
+        raise ValueError(
+            f"image_ahash needs images ≥8×8, got {w}×{h} (doc_id={doc_id})"
+        )
+    g = px if px.ndim == 2 else px.mean(axis=2).astype(np.int64)
+    g = g.astype(np.int64)
+    ch, cw = h // 8, w // 8
+    cells = g[: ch * 8, : cw * 8].reshape(8, ch, 8, cw).sum(axis=(1, 3))
+    bits = (cells * 64 > g.sum()).astype(np.uint8).ravel()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def texture_ahash(docs: DataFrame) -> DataFrame:
+    """:func:`attach_texture_png_payload` + :func:`image_ahash` fused
+    into ONE ``mapInPandas`` stage: build → encode → decode → hash per
+    row, so the PNG payload bytes never cross the JVM↔Python boundary
+    between back-to-back Python operators. The codec round trip stays
+    — the fingerprint is still computed from a REAL decode — and both
+    paths share ``_texture_pixels`` / ``_ahash_of_decoded``, so the
+    emitted rows are bit-identical to the two-stage composition."""
+
+    def build_and_hash(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
+            png_decode,
+            png_encode,
+        )
+
+        y, x = np.mgrid[0:IMG_SIDE, 0:IMG_SIDE]
+        p = (x + IMG_SIDE * y).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                decoded = png_decode(png_encode(_texture_pixels(d, p)))
+                rows.append((doc_id, _ahash_of_decoded(d, *decoded)))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_hash, schema="doc_id bigint, ahash string"
+    )
 
 
 def banded_hamming_pairs(
@@ -280,13 +327,17 @@ def image_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-duplicate pairs by banded aHash
     (:func:`banded_hamming_pairs` over :func:`image_ahash`).
 
-    ``docs`` may be (doc_id) rows — payloads get built in-stage — or a
-    prebuilt (doc_id, payload) frame (scale probes persist payloads so
-    the timed wall is decode+hash+pair, not the synthetic encoder)."""
-    with_payload = (
-        docs if "payload" in docs.columns else attach_texture_png_payload(docs)
+    ``docs`` may be (doc_id) rows — payloads get built in-stage via the
+    fused :func:`texture_ahash` (one Python stage, payloads never cross
+    the Arrow boundary) — or a prebuilt (doc_id, payload) frame (scale
+    probes persist payloads so the timed wall is decode+hash+pair, not
+    the synthetic encoder)."""
+    hashes = (
+        image_ahash(docs)
+        if "payload" in docs.columns
+        else texture_ahash(docs)
     )
-    return banded_hamming_pairs(image_ahash(with_payload), "ahash", max_hamming)
+    return banded_hamming_pairs(hashes, "ahash", max_hamming)
 
 
 def image_decontamination(docs: DataFrame, split: DataFrame) -> DataFrame:
@@ -297,8 +348,9 @@ def image_decontamination(docs: DataFrame, split: DataFrame) -> DataFrame:
     alone misses an eval image re-encoded alongside different captions.
     ``split`` is (doc_id, split) from ``text.train_holdout_split``.
     Candidates are cross-split band equi-joins; fingerprints come from
-    the same real-decode pass as ``image_neardup_pairs``."""
-    hashes = image_ahash(attach_texture_png_payload(docs)).join(split, "doc_id")
+    the same real-decode pass as ``image_neardup_pairs`` (the fused
+    :func:`texture_ahash` stage)."""
+    hashes = texture_ahash(docs).join(split, "doc_id")
     bands = hashes.select(
         "doc_id",
         "split",
@@ -358,6 +410,39 @@ def decode_png_stats(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(decode, schema=PNG_STATS_SCHEMA)
+
+
+def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """:func:`attach_png_payload` + :func:`decode_png_stats` fused into
+    ONE ``mapInPandas`` stage. The two-stage composition pays a full
+    JVM↔Python round trip of every encoded payload between back-to-back
+    Python operators; fused, the payload bytes never cross the Arrow
+    boundary at all (r15 A/B at sf0.1: 1.01—1.07s → 0.61—0.67s,
+    results bit-identical — both paths share ``_fill_png_pixels`` and
+    the same codec). The separate operators remain the building blocks
+    for payloads that arrive from storage."""
+
+    def build_and_decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
+            png_decode,
+            png_encode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w, h, mode, px = png_decode(png_encode(_fill_png_pixels(int(doc_id))))
+                rows.append((doc_id, w, h, mode, int(px.sum()), "png-numpy"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mode", "pixel_sum", "decoder"],
+            )
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_decode, schema=PNG_STATS_SCHEMA
+    )
 
 
 FEATURE_SCHEMA = "doc_id bigint, hist array<int>"

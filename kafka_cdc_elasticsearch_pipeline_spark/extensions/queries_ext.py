@@ -3132,8 +3132,11 @@ def ext_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction is correct; the oracle recomputes it arithmetically.
     Baseline JPEG has its own codec and gate row
     (ext_multimodal_jpeg_decode)."""
-    payloads = mm.attach_png_payload(_docs(spark, sf_dir))
-    return mm.decode_png_stats(payloads)
+    # Fused build+decode (r15): one mapInPandas stage instead of two
+    # back-to-back Python operators whose payloads round-tripped the
+    # Arrow boundary between them (1.01—1.07s → 0.61—0.67s at sf0.1,
+    # bit-identical rows).
+    return mm.png_roundtrip_stats(_docs(spark, sf_dir))
 
 
 _SQL_AUDIO_NEARDUP = """
