@@ -1019,7 +1019,14 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full ranked answer is under the value hash; its two error
     sources are measured separately by ext_sim_ivf_recall (bucket
     misses) and ext_sim_pq_recall (quantization)."""
-    embs = _embs(spark, sf_dir)
+    # spread=False (r15): the plan reads embeddings in ~6 subtrees
+    # (codebook, codes, labels, centroids, probes, queries) and each
+    # paid the parallelism round-robin; the heavy per-row stages are
+    # all downstream of their own exchanges/broadcasts. A/B 1.62—1.78s
+    # → 1.46—1.68s. Deliberately NOT applied to the other embedding
+    # consumers: semdedup's blocked pair scoring needs the spread
+    # (measured 2.3s → 7.3s without it).
+    embs = load_table(spark, sf_dir, "embeddings", spread=False)
     queries = embs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )

@@ -1947,7 +1947,9 @@ def lake_append_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_append_") as tmp:
         table = f"{tmp}/events_log"
         for i in range(4):
@@ -1983,7 +1985,9 @@ def lake_skipping_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     bounds = ["2024-01-08", "2024-01-15", "2024-01-22"]
     cut = "2024-01-22 00:00:00"
     with tempfile.TemporaryDirectory(prefix="lake_skip_") as tmp:
@@ -2026,7 +2030,9 @@ def lake_metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_meta_") as tmp:
         table = f"{tmp}/events_log"
         for i in range(4):
@@ -2067,7 +2073,9 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_bloom_") as tmp:
         table = f"{tmp}/events_log"
         for i in range(4):
@@ -2111,7 +2119,9 @@ def lake_purge_user_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_purge_") as tmp:
         table = f"{tmp}/events_log"
         for i in range(4):
@@ -2152,7 +2162,9 @@ def lake_change_feed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_cdf_") as tmp:
         table = f"{tmp}/events_log"
         for i in range(4):
@@ -2188,7 +2200,9 @@ def lake_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_schevo_") as tmp:
         table = f"{tmp}/events_log"
         gen1 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).drop("props")
@@ -2233,7 +2247,9 @@ def lake_cdc_deletes_tombstone_read(spark: SparkSession, sf_dir: str) -> DataFra
         merge_upsert,
     )
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_del_") as tmp:
         path = f"{tmp}/events_table"
         for i in range(3):
@@ -2313,7 +2329,9 @@ def lake_time_travel_version2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_tt_") as tmp:
         table = f"{tmp}/events_table"
         for i in range(3):
@@ -2372,7 +2390,9 @@ def lake_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_cdc_elasticsearch_pipeline_spark.sources import lakelog
 
-    ev = _events(spark, sf_dir)
+    # spread=False: the change batches feed the merge/commit's own
+    # hash exchange (see lake_cdc_upsert_compaction, r15).
+    ev = _events(spark, sf_dir, spread=False)
     with tempfile.TemporaryDirectory(prefix="lake_ivm_") as tmp:
         table = f"{tmp}/events_table"
         view = None
