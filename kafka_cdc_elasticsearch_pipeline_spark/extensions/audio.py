@@ -119,23 +119,28 @@ def attach_texture_wav_payload(docs: DataFrame) -> DataFrame:
 
         t = np.arange(AUDIO_SAMPLES, dtype=np.int64)
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                near_dup = d % 50 == 1
-                seed = d - 1 if near_dup else d
-                s = (
-                    (seed % 239 + 1) * t * t + (seed % 251 + 3) * t + seed % 241
-                ) % 2048 - 1024
-                if near_dup:
-                    s = s.copy()
-                    s[0:2] += 512
-                payloads.append(wav_encode(s.astype(np.int16), 8000))
+            payloads = [
+                wav_encode(_texture_samples(int(doc_id), t), 8000)
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
     )
+
+
+def _texture_samples(doc_id: int, t):
+    """Texture fixture samples for ``doc_id`` over the precomputed
+    sample-index vector ``t`` — shared by the payload builder and the
+    fused build+fingerprint stage so both paths stay byte-identical."""
+    near_dup = doc_id % 50 == 1
+    seed = doc_id - 1 if near_dup else doc_id
+    s = ((seed % 239 + 1) * t * t + (seed % 251 + 3) * t + seed % 241) % 2048 - 1024
+    if near_dup:
+        s = s.copy()
+        s[0:2] += 512
+    return s.astype("int16")
 
 
 def audio_energy_fingerprint(with_payload: DataFrame) -> DataFrame:
@@ -152,31 +157,63 @@ def audio_energy_fingerprint(with_payload: DataFrame) -> DataFrame:
     degeneracy SCALING.md records for 8-bit RHP-LSH bands."""
 
     def fingerprint(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, ch, n, samples = wav_decode(bytes(payload))
-                s = samples.astype(np.int64)
-                if ch > 1:  # average channels (integer floor division)
-                    s = s.reshape(-1, ch).sum(axis=1) // ch
-                if len(s) < 64:
-                    # 64 frames need ≥1 sample each; shorter clips
-                    # would silently fingerprint as all-zeros and
-                    # "match" every other short clip
-                    raise ValueError(
-                        f"audio fingerprint needs ≥64 samples, got"
-                        f" {len(s)} (doc_id={int(doc_id)})"
-                    )
-                frame = len(s) // 64
-                e = (s[: frame * 64] ** 2).reshape(64, frame).sum(axis=1)
-                bits = (e * 64 > e.sum()).astype(np.uint8)
-                rows.append((doc_id, "".join("1" if b else "0" for b in bits)))
+            rows = [
+                (doc_id, _energy_fp_of_decoded(int(doc_id), *wav_decode(bytes(payload))))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "fp"])
 
     return with_payload.mapInPandas(fingerprint, schema="doc_id bigint, fp string")
+
+
+def _energy_fp_of_decoded(doc_id: int, rate: int, ch: int, n: int, samples) -> str:
+    """The 64-bit energy fingerprint over one decoded clip — shared by
+    :func:`audio_energy_fingerprint` and the fused
+    :func:`texture_energy_fingerprint` stage."""
+    import numpy as np
+
+    s = samples.astype(np.int64)
+    if ch > 1:  # average channels (integer floor division)
+        s = s.reshape(-1, ch).sum(axis=1) // ch
+    if len(s) < 64:
+        # 64 frames need ≥1 sample each; shorter clips would silently
+        # fingerprint as all-zeros and "match" every other short clip
+        raise ValueError(
+            f"audio fingerprint needs ≥64 samples, got {len(s)} (doc_id={doc_id})"
+        )
+    frame = len(s) // 64
+    e = (s[: frame * 64] ** 2).reshape(64, frame).sum(axis=1)
+    bits = (e * 64 > e.sum()).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits)
+
+
+def texture_energy_fingerprint(docs: DataFrame) -> DataFrame:
+    """:func:`attach_texture_wav_payload` + :func:`audio_energy_fingerprint`
+    fused into ONE ``mapInPandas`` stage (same rationale as
+    ``multimodal.texture_ahash``: the WAV bytes never cross the Arrow
+    boundary between back-to-back Python operators; the RIFF
+    encode+decode round trip stays, and both paths share
+    ``_texture_samples`` / ``_energy_fp_of_decoded``)."""
+
+    def build_and_fp(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = wav_encode(_texture_samples(d, t), 8000)
+                rows.append((doc_id, _energy_fp_of_decoded(d, *wav_decode(payload))))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_fp, schema="doc_id bigint, fp string"
+    )
 
 
 def audio_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -192,12 +229,12 @@ def audio_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         banded_hamming_pairs,
     )
 
-    with_payload = (
-        docs if "payload" in docs.columns else attach_texture_wav_payload(docs)
+    fps = (
+        audio_energy_fingerprint(docs)
+        if "payload" in docs.columns
+        else texture_energy_fingerprint(docs)
     )
-    return banded_hamming_pairs(
-        audio_energy_fingerprint(with_payload), "fp", max_hamming
-    )
+    return banded_hamming_pairs(fps, "fp", max_hamming)
 
 
 def decode_wav_stats(with_payload: DataFrame) -> DataFrame:

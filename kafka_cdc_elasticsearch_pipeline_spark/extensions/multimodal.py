@@ -599,17 +599,57 @@ def attach_gif_payload(docs: DataFrame) -> DataFrame:
 
         pal = np.array(_GIF_PALETTE4, dtype=np.uint8)
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = 8 + d % 16
-                h = 8 + (3 * d) % 16
-                idx = np.full((h, w), d % 4, dtype=np.uint8)
-                payloads.append(gif_encode(idx, pal))
+            payloads = [
+                gif_encode(_gif_index_pixels(int(doc_id)), pal)
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
+    )
+
+
+def _gif_index_pixels(doc_id: int):
+    """Constant-index GIF fixture pixels — shared by the payload
+    builder and the fused build+decode stage (byte-identical paths)."""
+    import numpy as np
+
+    w = 8 + doc_id % 16
+    h = 8 + (3 * doc_id) % 16
+    return np.full((h, w), doc_id % 4, dtype=np.uint8)
+
+
+def gif_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """:func:`attach_gif_payload` + :func:`decode_gif_stats` fused into
+    one ``mapInPandas`` stage (same rationale and discipline as
+    :func:`png_roundtrip_stats`: the payload bytes never cross the
+    Arrow boundary between back-to-back Python operators; the LZW
+    encode+decode round trip stays)."""
+
+    def build_and_decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import (
+            gif_decode,
+            gif_encode,
+        )
+
+        pal = np.array(_GIF_PALETTE4, dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = gif_encode(_gif_index_pixels(int(doc_id)), pal)
+                w, h, pal2, idx = gif_decode(payload)
+                rows.append((doc_id, w, h, len(pal2), int(idx.sum()), "gif-lzw"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_colors", "index_sum", "decoder"],
+            )
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_decode, schema=GIF_STATS_SCHEMA
     )
 
 
@@ -713,28 +753,66 @@ def attach_jpeg_payload(
     from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_encode
 
     def build(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = px_base + d % px_range
-                h = px_base + (3 * d) % px_range
-                v = d % 251
-                if gradient:
-                    px = (
-                        (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5 + v)
-                        % 256
-                    ).astype(np.uint8)
-                else:
-                    px = np.full((h, w), v, dtype=np.uint8)
-                payloads.append(jpeg_encode(px, quality=100))
+            payloads = [
+                jpeg_encode(
+                    _jpeg_pixels(int(doc_id), px_base, px_range, gradient),
+                    quality=100,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
+    )
+
+
+def _jpeg_pixels(doc_id: int, px_base: int, px_range: int, gradient: bool):
+    """JPEG fixture pixels — shared by the payload builder and the
+    fused build+decode stage (byte-identical paths)."""
+    import numpy as np
+
+    w = px_base + doc_id % px_range
+    h = px_base + (3 * doc_id) % px_range
+    v = doc_id % 251
+    if gradient:
+        return (
+            (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5 + v) % 256
+        ).astype(np.uint8)
+    return np.full((h, w), v, dtype=np.uint8)
+
+
+def jpeg_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """:func:`attach_jpeg_payload` + :func:`decode_jpeg_stats` fused
+    into one ``mapInPandas`` stage (same rationale and discipline as
+    :func:`png_roundtrip_stats`; the full entropy-encode + Huffman
+    decode + IDCT round trip stays)."""
+
+    def build_and_decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = jpeg_encode(_jpeg_pixels(d, 8, 16, False), quality=100)
+                w, h, mode, px = jpeg_decode(payload)
+                rows.append((doc_id, w, h, mode, int(px.sum()), "jpeg-numpy"))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mode", "pixel_sum", "decoder"],
+            )
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_decode, schema=JPEG_STATS_SCHEMA
     )
 
 

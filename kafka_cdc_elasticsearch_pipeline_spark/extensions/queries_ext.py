@@ -3424,8 +3424,9 @@ def ext_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_sum only matches the arithmetic oracle if the dictionary
     reconstruction is exact. Complements the deflate-based PNG path
     with a different compression family."""
-    payloads = mm.attach_gif_payload(_docs(spark, sf_dir))
-    return mm.decode_gif_stats(payloads)
+    # Fused build+decode (r15): one Python stage, payloads never cross
+    # the Arrow boundary between operators (see png_roundtrip_stats).
+    return mm.gif_roundtrip_stats(_docs(spark, sf_dir))
 
 
 @query(
@@ -3568,8 +3569,9 @@ def ext_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic oracle. Lossy-regime accuracy is pinned by unit
     tolerance tests (tests/test_jpeg.py), as for any JPEG
     implementation."""
-    payloads = mm.attach_jpeg_payload(_docs(spark, sf_dir))
-    return mm.decode_jpeg_stats(payloads)
+    # Fused build+decode (r15): one Python stage, payloads never cross
+    # the Arrow boundary between operators (see png_roundtrip_stats).
+    return mm.jpeg_roundtrip_stats(_docs(spark, sf_dir))
 
 
 @query(

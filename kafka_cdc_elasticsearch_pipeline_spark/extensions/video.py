@@ -212,32 +212,42 @@ def attach_texture_mp4_payload(docs: DataFrame) -> DataFrame:
         y, x = np.mgrid[0:side, 0:side]
         p = (x + side * y).astype(np.int64)
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                near_dup = d % 50 == 1
-                seed0 = d - 1 if near_dup else d
-                frames = b""
-                for f in range(_video_frame_count(seed0)):
-                    sf = _video_frame_seed(seed0, f)
-                    px = (sf % 239 + 1) * p * p + (sf % 251 + 3) * p + sf % 241
-                    if near_dup and f == 0:
-                        px = px + np.where((p == 0) | (p == side), 128, 0)
-                    enc = png_encode((px % 256).astype(np.uint8))
-                    frames += struct.pack(">I", len(enc)) + enc
-                head = mp4_build_minimal(
-                    timescale=1000,
-                    duration=_video_frame_count(seed0) * 40,  # 25 fps
-                    width=side,
-                    height=side,
-                    n_tracks=1,
-                )
-                payloads.append(head + _box(b"mdat", frames))
+            payloads = [
+                _texture_mp4_payload(int(doc_id), p) for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
     )
+
+
+def _texture_mp4_payload(doc_id: int, p) -> bytes:
+    """One textured MP4 payload — shared by the payload builder and the
+    fused build+fingerprint stage so both paths stay byte-identical."""
+    import numpy as np
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    side = VIDEO_FRAME_SIDE
+    near_dup = doc_id % 50 == 1
+    seed0 = doc_id - 1 if near_dup else doc_id
+    frames = b""
+    for f in range(_video_frame_count(seed0)):
+        sf = _video_frame_seed(seed0, f)
+        px = (sf % 239 + 1) * p * p + (sf % 251 + 3) * p + sf % 241
+        if near_dup and f == 0:
+            px = px + np.where((p == 0) | (p == side), 128, 0)
+        enc = png_encode((px % 256).astype(np.uint8))
+        frames += struct.pack(">I", len(enc)) + enc
+    head = mp4_build_minimal(
+        timescale=1000,
+        duration=_video_frame_count(seed0) * 40,  # 25 fps
+        width=side,
+        height=side,
+        n_tracks=1,
+    )
+    return head + _box(b"mdat", frames)
 
 
 def mp4_extract_frames(data: bytes) -> list[bytes]:
@@ -276,35 +286,69 @@ def video_fingerprint(with_payload: DataFrame, every_nth: int = 2) -> DataFrame:
     the stage — at 100 TB of video that is the whole point."""
 
     def fingerprint(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
-        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
-
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = mp4_extract_frames(bytes(payload))
-                if not frames:
-                    raise ValueError(f"no mdat frames (doc_id={int(doc_id)})")
-                sampled = frames[::every_nth]
-                votes = np.zeros(64, dtype=np.int64)
-                for enc in sampled:
-                    w, h, mode, px = png_decode(enc)
-                    g = px if px.ndim == 2 else px.mean(axis=2).astype(np.int64)
-                    g = g.astype(np.int64)
-                    ch, cw = h // 8, w // 8
-                    cells = (
-                        g[: ch * 8, : cw * 8].reshape(8, ch, 8, cw).sum(axis=(1, 3))
-                    )
-                    votes += (cells * 64 > g.sum()).astype(np.int64).ravel()
-                bits = (votes * 2 > len(sampled)).astype(np.uint8)
-                rows.append(
-                    (doc_id, len(frames), "".join("1" if b else "0" for b in bits))
-                )
+            rows = [
+                _video_fp_of_payload(int(doc_id), bytes(payload), every_nth)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "vhash"])
 
     return with_payload.mapInPandas(fingerprint, schema=VIDEO_FP_SCHEMA)
+
+
+def _video_fp_of_payload(doc_id: int, payload: bytes, every_nth: int):
+    """(doc_id, n_frames, vhash) for one MP4 payload — shared by
+    :func:`video_fingerprint` and the fused
+    :func:`texture_video_fingerprint` stage."""
+    import numpy as np
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
+
+    frames = mp4_extract_frames(payload)
+    if not frames:
+        raise ValueError(f"no mdat frames (doc_id={doc_id})")
+    sampled = frames[::every_nth]
+    votes = np.zeros(64, dtype=np.int64)
+    for enc in sampled:
+        w, h, mode, px = png_decode(enc)
+        g = px if px.ndim == 2 else px.mean(axis=2).astype(np.int64)
+        g = g.astype(np.int64)
+        ch, cw = h // 8, w // 8
+        cells = g[: ch * 8, : cw * 8].reshape(8, ch, 8, cw).sum(axis=(1, 3))
+        votes += (cells * 64 > g.sum()).astype(np.int64).ravel()
+    bits = (votes * 2 > len(sampled)).astype(np.uint8)
+    return (doc_id, len(frames), "".join("1" if b else "0" for b in bits))
+
+
+def texture_video_fingerprint(docs: DataFrame, every_nth: int = 2) -> DataFrame:
+    """:func:`attach_texture_mp4_payload` + :func:`video_fingerprint`
+    fused into ONE ``mapInPandas`` stage: the MP4 payloads — the
+    heaviest synthetic fixtures in the suite — never cross the Arrow
+    boundary between back-to-back Python operators. The container
+    round trip stays (mux → walk → frame decode), and both paths share
+    ``_texture_mp4_payload`` / ``_video_fp_of_payload``."""
+
+    def build_and_fp(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        side = VIDEO_FRAME_SIDE
+        y, x = np.mgrid[0:side, 0:side]
+        p = (x + side * y).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    _video_fp_of_payload(d, _texture_mp4_payload(d, p), every_nth)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "vhash"])
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_fp, schema=VIDEO_FP_SCHEMA
+    )
 
 
 def video_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -320,9 +364,9 @@ def video_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         banded_hamming_pairs,
     )
 
-    with_payload = (
-        docs if "payload" in docs.columns else attach_texture_mp4_payload(docs)
+    fps = (
+        video_fingerprint(docs)
+        if "payload" in docs.columns
+        else texture_video_fingerprint(docs)
     )
-    return banded_hamming_pairs(
-        video_fingerprint(with_payload), "vhash", max_hamming
-    )
+    return banded_hamming_pairs(fps, "vhash", max_hamming)
