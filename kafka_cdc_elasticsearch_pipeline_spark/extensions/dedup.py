@@ -423,13 +423,15 @@ def containment_pairs(
     from pyspark.sql import Window
 
     sh = _doc_shingle_hashsets(docs)
-    ex = reuse(explode_expensive(sh, "hs", "s"))
+    # Same r15 shape fixes as ngram_jaccard_pairs: the set size ``n``
+    # rides the explode (size(hs) — no second doc_id window pass), and
+    # the exploded rows are NOT pinned (single consumer: ``tok``); the
+    # token table pin stays — probe and index both read it.
+    ex = explode_expensive(sh.withColumn("n", F.size("hs")), "hs", "s")
     w_s = Window.partitionBy("s")
-    w_doc = Window.partitionBy("doc_id")
     w_doc_ord = Window.partitionBy("doc_id").orderBy("df_", "s")
     tok = reuse(
         ex.withColumn("df_", F.count(F.lit(1)).over(w_s))
-        .withColumn("n", F.count(F.lit(1)).over(w_doc))
         .withColumn("pos", F.row_number().over(w_doc_ord))
     )
     probe = tok.filter(
@@ -448,6 +450,9 @@ def containment_pairs(
         )
         .distinct()
     )
+    # Pin the candidates: the verify plan reads them twice (id-set
+    # derivation + final join) — same fix as _verify_jaccard (r15).
+    cand = reuse(cand)
     ids = cand.select(
         F.explode(F.array("contained", "container")).alias("doc_id")
     ).distinct()
