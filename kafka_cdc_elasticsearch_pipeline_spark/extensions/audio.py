@@ -71,6 +71,20 @@ def wav_decode(data: bytes):
         return w.getframerate(), w.getnchannels(), w.getnframes(), samples
 
 
+def _wav_fixture_samples(doc_id: int):
+    """(samples, rate) for the deterministic WAV fixture — shared by
+    the payload builder and the fused build+decode stage so the two
+    paths stay byte-identical."""
+    import numpy as np
+
+    rate = 8000 + (doc_id % 4) * 4000
+    ch = 1 + doc_id % 2
+    n = 64 + doc_id % 128
+    amp = (doc_id % 1999) - 999
+    arr = np.full((n, ch) if ch > 1 else (n,), amp, dtype=np.int16)
+    return arr, rate
+
+
 def attach_wav_payload(docs: DataFrame) -> DataFrame:
     """Attach a REAL PCM-WAV payload per document, deterministically
     derived from ``doc_id`` (rate, channels, length, constant
@@ -78,18 +92,12 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
     the harness ships no media files."""
 
     def build(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                rate = 8000 + (d % 4) * 4000
-                ch = 1 + d % 2
-                n = 64 + d % 128
-                amp = (d % 1999) - 999
-                arr = np.full((n, ch) if ch > 1 else (n,), amp, dtype=np.int16)
+                arr, rate = _wav_fixture_samples(int(doc_id))
                 payloads.append(wav_encode(arr, rate))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -237,6 +245,32 @@ def audio_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return banded_hamming_pairs(fps, "fp", max_hamming)
 
 
+_WAV_STATS_COLUMNS = [
+    "doc_id",
+    "sample_rate",
+    "n_channels",
+    "n_samples",
+    "amp_sum",
+    "peak",
+    "decoder",
+]
+
+
+def _wav_stats_row(doc_id, data: bytes):
+    """One decoded-stats row — shared by the decode stage and the fused
+    build+decode stage so both paths stay byte-identical."""
+    rate, ch, n, samples = wav_decode(data)
+    return (
+        doc_id,
+        rate,
+        ch,
+        n,
+        int(samples.sum()),
+        int(abs(samples).max()) if len(samples) else 0,
+        "wav-stdlib",
+    )
+
+
 def decode_wav_stats(with_payload: DataFrame) -> DataFrame:
     """Real-decode stage with a content check: emits the container
     metadata AND the sum/peak over all decoded samples — values only a
@@ -247,34 +281,38 @@ def decode_wav_stats(with_payload: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, ch, n, samples = wav_decode(bytes(payload))
-                rows.append(
-                    (
-                        doc_id,
-                        rate,
-                        ch,
-                        n,
-                        int(samples.sum()),
-                        int(abs(samples).max()) if len(samples) else 0,
-                        "wav-stdlib",
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "sample_rate",
-                    "n_channels",
-                    "n_samples",
-                    "amp_sum",
-                    "peak",
-                    "decoder",
-                ],
-            )
+            rows = [
+                _wav_stats_row(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_WAV_STATS_COLUMNS)
 
     return with_payload.mapInPandas(decode, schema=WAV_STATS_SCHEMA)
+
+
+def wav_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """:func:`attach_wav_payload` + :func:`decode_wav_stats` fused into
+    ONE ``mapInPandas`` stage (guide §4: the WAV bytes never cross the
+    JVM↔Python Arrow boundary between back-to-back Python operators).
+    The RIFF encode+decode round trip stays — stats still come from a
+    REAL container parse — and both paths share
+    ``_wav_fixture_samples`` / ``_wav_stats_row``, so the emitted rows
+    are bit-identical to the two-stage composition, which remains the
+    building block for storage-sourced payloads."""
+
+    def build_and_decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                arr, rate = _wav_fixture_samples(int(doc_id))
+                rows.append(_wav_stats_row(doc_id, wav_encode(arr, rate)))
+            yield pd.DataFrame(rows, columns=_WAV_STATS_COLUMNS)
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_decode, schema=WAV_STATS_SCHEMA
+    )
 
 
 AUDIO_FEATURES_SCHEMA = (
@@ -298,19 +336,26 @@ def attach_tone_payload(docs: DataFrame) -> DataFrame:
 
         n = np.arange(TONE_N)
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                k = 1 + d % 100  # tone bin, < N/2
-                wave_i16 = np.round(
-                    8000.0 * np.sin(2.0 * np.pi * k * n / TONE_N)
-                ).astype("<i2")
-                payloads.append(wav_encode(wave_i16, 8000))
+            payloads = [
+                wav_encode(_tone_samples(int(doc_id), n), 8000)
+                for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
     )
+
+
+def _tone_samples(doc_id: int, n):
+    """The pure-tone fixture samples for ``doc_id`` over the
+    precomputed sample-index vector ``n`` — shared by the payload
+    builder and the fused build+featurize stage (byte-identical
+    paths)."""
+    import numpy as np
+
+    k = 1 + doc_id % 100  # tone bin, < N/2
+    return np.round(8000.0 * np.sin(2.0 * np.pi * k * n / TONE_N)).astype("<i2")
 
 
 def extract_audio_features(with_payload: DataFrame) -> DataFrame:
@@ -322,30 +367,64 @@ def extract_audio_features(with_payload: DataFrame) -> DataFrame:
     the oracle."""
 
     def featurize(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, ch, n, samples = wav_decode(bytes(payload))
-                mono = samples.reshape(n, ch).mean(axis=1)
-                spectrum = np.abs(np.fft.rfft(mono))
-                # bin 0 is DC; the dominant tone lives above it
-                k = int(spectrum[1:].argmax()) + 1
-                rows.append(
-                    (doc_id, rate, n, k, k * rate / len(mono), "wav-stdlib+rfft")
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "sample_rate",
-                    "n_samples",
-                    "dominant_bin",
-                    "dominant_hz",
-                    "decoder",
-                ],
-            )
+            rows = [
+                _audio_features_row(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_AUDIO_FEATURES_COLUMNS)
 
     return with_payload.mapInPandas(featurize, schema=AUDIO_FEATURES_SCHEMA)
+
+
+_AUDIO_FEATURES_COLUMNS = [
+    "doc_id",
+    "sample_rate",
+    "n_samples",
+    "dominant_bin",
+    "dominant_hz",
+    "decoder",
+]
+
+
+def _audio_features_row(doc_id, data: bytes):
+    """One decode→FFT feature row — shared by the featurize stage and
+    the fused build+featurize stage (byte-identical paths)."""
+    import numpy as np
+
+    rate, ch, n, samples = wav_decode(data)
+    mono = samples.reshape(n, ch).mean(axis=1)
+    spectrum = np.abs(np.fft.rfft(mono))
+    # bin 0 is DC; the dominant tone lives above it
+    k = int(spectrum[1:].argmax()) + 1
+    return (doc_id, rate, n, k, k * rate / len(mono), "wav-stdlib+rfft")
+
+
+def tone_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """:func:`attach_tone_payload` + :func:`extract_audio_features`
+    fused into ONE ``mapInPandas`` stage (guide §4: the WAV bytes never
+    cross the Arrow boundary between back-to-back Python operators).
+    The encode→decode→rfft chain stays — the dominant bin still comes
+    from a REAL FFT over decoded PCM — and both paths share
+    ``_tone_samples`` / ``_audio_features_row``, so rows are
+    bit-identical to the two-stage composition."""
+
+    def build_and_featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n = np.arange(TONE_N)
+        for pdf in batches:
+            rows = [
+                _audio_features_row(
+                    doc_id, wav_encode(_tone_samples(int(doc_id), n), 8000)
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=_AUDIO_FEATURES_COLUMNS)
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_featurize, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -34,7 +34,6 @@ from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import (
     MINHASH_B,
     MINHASH_P,
     NUM_MINHASH,
-    base_hashes,
     explode_expensive,
     minhash_signature,
     reuse,
@@ -88,13 +87,16 @@ def _doc_shingle_hashsets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _verify_jaccard(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(sh60: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over the hashed
-    shingle sets, recomputing them ONLY for docs that appear in a
-    candidate pair: the candidate-id set is broadcast into the scan, so
-    the verify stage's cost follows the (small) candidate volume, not
-    the corpus — the property that keeps the whole sweep linear at
-    100 TB."""
+    shingle sets. ``sh60`` is the query's ONE pinned (doc_id, hs)
+    hashset table — the same pass that fed candidate generation — so
+    verification is a broadcast-semi-join read of that pin, never a
+    second shingle+digest pass over the corpus (r16: the old
+    docs-rescan recomputed md5 for every candidate doc, and at sf0.1
+    the candidate set covered 98% of the corpus — a full second scan).
+    The candidate-id broadcast keeps the pin read pruned to docs that
+    appear in a pair, so verify cost still follows candidate volume."""
     # Pin the candidate pairs: the verify plan reads them TWICE (the
     # id-set derivation below and the final join), and without a pin
     # the whole candidate-generation join re-runs per read (r15
@@ -104,7 +106,7 @@ def _verify_jaccard(docs: DataFrame, cand: DataFrame, threshold: float) -> DataF
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    rsh = reuse(_doc_shingle_hashsets(docs.join(F.broadcast(ids), "doc_id")))
+    rsh = reuse(sh60.join(F.broadcast(ids), "doc_id"))
     x = rsh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     y = rsh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (
@@ -131,8 +133,24 @@ def minhash_candidates(
     """LSH band-collision candidate pairs (doc_a, doc_b), unverified —
     the candidate-generation stage of ``minhash_lsh_pairs``, factored
     out so other operators (the ngram df-cap fallback) can reuse it."""
-    sh = _doc_shingles(docs)
-    hashed = sh.select("doc_id", base_hashes("sh").alias("hs"))
+    return _minhash_candidates_from(_doc_shingle_hashsets(docs), k, rows_per_band)
+
+
+def _minhash_candidates_from(
+    sh60: DataFrame,
+    k: int = NUM_MINHASH,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
+    """Candidate generation over a prebuilt (doc_id, hs) 60-bit hashset
+    table, so callers that already paid the shingle+digest pass (the
+    verify stage shares it, pinned) never pay it twice. The 28-bit
+    MinHash base hash is the TOP 28 bits of the 60-bit shingle hash —
+    substr(md5,1,7) vs substr(md5,1,15) — so ``shiftright(h, 32)``
+    reproduces ``base_hashes`` exactly (bit-equality tested) with no
+    second digest."""
+    hashed = sh60.select(
+        "doc_id", F.expr("transform(hs, h -> shiftright(h, 32))").alias("hs")
+    )
     sigs = hashed.select("doc_id", *minhash_signature("hs", k))
     n_bands = k // rows_per_band
     # r=2 band key packed into one BIGINT (sig < p, so lo*p + hi is
@@ -196,9 +214,15 @@ def minhash_lsh_pairs(
     Probability a pair with true Jaccard s collides: 1-(1-s^r)^(k/r);
     with k=8, r=2: s=0.4 → ~46%, s=0.8 → ~92%. Raise k for recall —
     cost stays linear in k.
+
+    The shingle+digest pass runs ONCE: the pinned 60-bit hashset table
+    feeds both the signature pipeline (top-28-bit derivation) and the
+    exact-Jaccard verify (r16 — previously verify re-shingled every
+    candidate doc from text).
     """
-    cand = minhash_candidates(docs, k, rows_per_band)
-    return _verify_jaccard(docs, cand, threshold)
+    sh60 = reuse(_doc_shingle_hashsets(docs))
+    cand = _minhash_candidates_from(sh60, k, rows_per_band)
+    return _verify_jaccard(sh60, cand, threshold)
 
 
 #: Document-frequency cap for the AllPairs prefix index: an index
@@ -256,17 +280,20 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _doc_shingle_hashsets(docs)
-    # One full-corpus shingle pass as narrow (doc_id, n, hash) rows —
-    # 8-byte keys, not shingle strings. The set size ``n`` is known
-    # BEFORE the explode (size of the hashed shingle array), so it
-    # rides along as a column instead of being recounted by a second
-    # doc_id window downstream — one less Sort+Window pass over the
-    # exploded corpus (r15 plan diff: 3 Window nodes → 2). No pin
-    # here: the exploded rows feed exactly one consumer (the prefix
-    # build), so a persist would pay a cache write+read for a subtree
-    # read once.
-    ex = explode_expensive(sh.withColumn("n", F.size("hs")), "hs", "s")
+    # ONE full-corpus shingle+digest pass, pinned: the explode below,
+    # the hot-doc LSH fallback, and the exact-Jaccard verify all read
+    # this table (r16 — previously the verify re-shingled candidate
+    # docs from text, a second full md5 pass when candidates cover
+    # most of the corpus, as they do at sf0.1).
+    sh60 = reuse(_doc_shingle_hashsets(docs))
+    # Narrow (doc_id, n, hash) rows — 8-byte keys, not shingle
+    # strings. The set size ``n`` is known BEFORE the explode (size of
+    # the hashed shingle array), so it rides along as a column instead
+    # of being recounted by a second doc_id window downstream — one
+    # less Sort+Window pass over the exploded corpus (r15 plan diff:
+    # 3 Window nodes → 2). No pin on the exploded rows: they feed
+    # exactly one consumer (the prefix build).
+    ex = explode_expensive(sh60.withColumn("n", F.size("hs")), "hs", "s")
     w_s = Window.partitionBy("s")
     w_doc_ord = Window.partitionBy("doc_id").orderBy("df_", "s")
     # Global rarest-first order = (df, hash); per-doc prefix = the
@@ -316,9 +343,11 @@ def ngram_jaccard_pairs(
         # route them through the flat-cost LSH generator.
         hot_ids = pref.filter(F.col("df_") > df_cap).select("doc_id").distinct()
         if not hot_ids.isEmpty():
-            hot_docs = docs.join(hot_ids, "doc_id")
-            cand = cand.unionByName(minhash_candidates(hot_docs)).distinct()
-    return _verify_jaccard(docs, cand, threshold)
+            hot_sh = sh60.join(F.broadcast(hot_ids), "doc_id")
+            cand = cand.unionByName(
+                _minhash_candidates_from(hot_sh)
+            ).distinct()
+    return _verify_jaccard(sh60, cand, threshold)
 
 
 def minhash_cross_pairs(
@@ -340,9 +369,10 @@ def minhash_cross_pairs(
     artifact: each increment joins against it and appends its own
     bands, so marginal cost follows the increment, not the corpus."""
 
-    def bands_for(docs: DataFrame, side: str) -> DataFrame:
-        sh = _doc_shingles(docs)
-        hashed = sh.select("doc_id", base_hashes("sh").alias("hs"))
+    def bands_for(sh60: DataFrame, side: str) -> DataFrame:
+        hashed = sh60.select(
+            "doc_id", F.expr("transform(hs, h -> shiftright(h, 32))").alias("hs")
+        )
         sigs = hashed.select("doc_id", *minhash_signature("hs", k))
         n_bands = k // rows_per_band
         assert rows_per_band == 2, "band packing assumes r=2"
@@ -370,8 +400,13 @@ def minhash_cross_pairs(
             F.col("doc_id").alias(f"{side}_id"), "band_idx", "band_val"
         )
 
-    a = bands_for(new_docs, "new")
-    b = bands_for(corpus, "old")
+    # One shingle+digest pass per side, pinned: bands AND verify read
+    # it (r16 — the verify previously re-shingled candidate docs from
+    # both sides' text).
+    sh_new = reuse(_doc_shingle_hashsets(new_docs))
+    sh_old = reuse(_doc_shingle_hashsets(corpus))
+    a = bands_for(sh_new, "new")
+    b = bands_for(sh_old, "old")
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .select(F.col("new_id").alias("doc_a"), F.col("old_id").alias("doc_b"))
@@ -379,10 +414,8 @@ def minhash_cross_pairs(
     )
     # verify over the union of both sides' candidate docs
     ids = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
-    both = new_docs.select("doc_id", "text").unionByName(
-        corpus.select("doc_id", "text")
-    )
-    rsh = reuse(_doc_shingle_hashsets(both.join(F.broadcast(ids), "doc_id")))
+    both = sh_new.unionByName(sh_old)
+    rsh = reuse(both.join(F.broadcast(ids), "doc_id"))
     x = rsh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     y = rsh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (
@@ -422,12 +455,15 @@ def containment_pairs(
     (broadcast-ids rescan, as the Jaccard paths do)."""
     from pyspark.sql import Window
 
-    sh = _doc_shingle_hashsets(docs)
+    # One pinned shingle+digest pass: the token explode and the
+    # containment verify both read it (r16, same fix as the Jaccard
+    # paths — verify previously re-shingled candidate docs from text).
+    sh60 = reuse(_doc_shingle_hashsets(docs))
     # Same r15 shape fixes as ngram_jaccard_pairs: the set size ``n``
     # rides the explode (size(hs) — no second doc_id window pass), and
     # the exploded rows are NOT pinned (single consumer: ``tok``); the
     # token table pin stays — probe and index both read it.
-    ex = explode_expensive(sh.withColumn("n", F.size("hs")), "hs", "s")
+    ex = explode_expensive(sh60.withColumn("n", F.size("hs")), "hs", "s")
     w_s = Window.partitionBy("s")
     w_doc_ord = Window.partitionBy("doc_id").orderBy("df_", "s")
     tok = reuse(
@@ -456,7 +492,7 @@ def containment_pairs(
     ids = cand.select(
         F.explode(F.array("contained", "container")).alias("doc_id")
     ).distinct()
-    rsh = reuse(_doc_shingle_hashsets(docs.join(F.broadcast(ids), "doc_id")))
+    rsh = reuse(sh60.join(F.broadcast(ids), "doc_id"))
     x = rsh.select(F.col("doc_id").alias("contained"), F.col("hs").alias("sh_a"))
     y = rsh.select(F.col("doc_id").alias("container"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -857,13 +893,21 @@ def corpus_overlap_matrix(docs: DataFrame, group_col: str = "source") -> DataFra
         .filter(F.size("w") >= 3)
         .select(group_col, shingles("w").alias("sh"))
     )
-    sh = reuse(sh)
-    ex60 = (
-        explode_expensive(
-            sh.select(group_col, F.expr(f"transform(sh, s -> {_SHINGLE_HASH60})").alias("hs")),
-            "hs",
-            "h",
+    # Pin the 60-bit hashed shingles, not the shingle strings: the
+    # exact path (distinct + self-join) and the MinHash path both
+    # derive from the one digest pass (r16 — previously the two paths
+    # each ran their own md5 over the pinned strings: 15-hex here,
+    # 7-hex in base_hashes; the 28-bit base hash is the top 28 bits of
+    # the 60-bit hash, so shiftright(h, 32) replaces the second pass).
+    # The string-shingle pin moves here too: ``sh`` now has exactly
+    # one consumer, so pinning it would pay a cache write for nothing.
+    hs60 = reuse(
+        sh.select(
+            group_col, F.expr(f"transform(sh, s -> {_SHINGLE_HASH60})").alias("hs")
         )
+    )
+    ex60 = (
+        explode_expensive(hs60, "hs", "h")
         .select(group_col, "h")
         .distinct()
     )
@@ -883,7 +927,11 @@ def corpus_overlap_matrix(docs: DataFrame, group_col: str = "source") -> DataFra
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     base = explode_expensive(
-        sh.select(group_col, base_hashes("sh").alias("hs")), "hs", "h"
+        hs60.select(
+            group_col, F.expr("transform(hs, h -> shiftright(h, 32))").alias("hs")
+        ),
+        "hs",
+        "h",
     )
     sigs = base.groupBy(group_col).agg(
         *[

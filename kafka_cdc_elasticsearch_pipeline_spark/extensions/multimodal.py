@@ -52,44 +52,48 @@ def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_decode
-        from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_decode
-        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
-            PNG_SIG,
-            png_decode,
-        )
-
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                if data[:8] == PNG_SIG:
-                    w, h, mode, _ = png_decode(data)
-                    rows.append((doc_id, len(data), w, h, mode, "png-numpy"))
-                elif data[:6] in (b"GIF89a", b"GIF87a"):
-                    w, h, _pal, _idx = gif_decode(data)
-                    rows.append((doc_id, len(data), w, h, "P", "gif-lzw"))
-                elif data[:2] == b"\xff\xd8":
-                    w, h, mode, _ = jpeg_decode(data)
-                    rows.append((doc_id, len(data), w, h, mode, "jpeg-numpy"))
-                else:
-                    blen = len(data)
-                    rows.append(
-                        (
-                            doc_id,
-                            blen,
-                            64 + blen % 577,
-                            64 + (blen * 31) % 433,
-                            "RGB",
-                            "fake-deterministic",
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "byte_len", "width", "height", "mode", "decoder"],
-            )
+            rows = [
+                _image_metadata_row(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_DECODED_COLUMNS)
 
     return with_payload.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+_DECODED_COLUMNS = ["doc_id", "byte_len", "width", "height", "mode", "decoder"]
+
+
+def _image_metadata_row(doc_id, data: bytes):
+    """One sniff→decode metadata row (PNG / GIF / JPEG / labeled fake)
+    — shared by the decode stage and the fused build+decode stage so
+    both paths stay byte-identical."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_decode
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_decode
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import (
+        PNG_SIG,
+        png_decode,
+    )
+
+    if data[:8] == PNG_SIG:
+        w, h, mode, _ = png_decode(data)
+        return (doc_id, len(data), w, h, mode, "png-numpy")
+    if data[:6] in (b"GIF89a", b"GIF87a"):
+        w, h, _pal, _idx = gif_decode(data)
+        return (doc_id, len(data), w, h, "P", "gif-lzw")
+    if data[:2] == b"\xff\xd8":
+        w, h, mode, _ = jpeg_decode(data)
+        return (doc_id, len(data), w, h, mode, "jpeg-numpy")
+    blen = len(data)
+    return (
+        doc_id,
+        blen,
+        64 + blen % 577,
+        64 + (blen * 31) % 433,
+        "RGB",
+        "fake-deterministic",
+    )
 
 
 PNG_STATS_SCHEMA = (
@@ -515,21 +519,58 @@ def attach_gradient_png_payload(docs: DataFrame) -> DataFrame:
     from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
 
     def build(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = 8 + d % 16
-                h = 8 + (3 * d) % 16
-                px = (np.arange(h)[:, None] + np.arange(w)[None, :]).astype(np.uint8)
-                payloads.append(png_encode(px))
+            payloads = [
+                png_encode(_gradient_pixels(int(doc_id))) for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
+    )
+
+
+def _gradient_pixels(doc_id: int):
+    """The gradient fixture pixels px(r,c) = r + c for ``doc_id`` —
+    shared by the payload builder and the fused build+featurize stage
+    so both paths stay byte-identical."""
+    import numpy as np
+
+    w = 8 + doc_id % 16
+    h = 8 + (3 * doc_id) % 16
+    return (np.arange(h)[:, None] + np.arange(w)[None, :]).astype(np.uint8)
+
+
+_IMAGE_FEATURES_COLUMNS = [
+    "doc_id",
+    "width",
+    "height",
+    "px_sum",
+    "grad_x_sum",
+    "grad_y_sum",
+    "decoder",
+]
+
+
+def _image_features_row(doc_id, data: bytes):
+    """One decode→gradient feature row — shared by the featurize stage
+    and the fused build+featurize stage (byte-identical paths)."""
+    import numpy as np
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
+
+    w, h, mode, px = png_decode(data)
+    plane = px[:, :, 0].astype(np.int64)
+    return (
+        doc_id,
+        w,
+        h,
+        int(plane.sum()),
+        int(np.diff(plane, axis=1).sum()),
+        int(np.diff(plane, axis=0).sum()),
+        "png-numpy+grad",
     )
 
 
@@ -541,41 +582,43 @@ def extract_image_features(with_payload: DataFrame) -> DataFrame:
     even when dimensions parse fine."""
 
     def featurize(batches):
-        import numpy as np
         import pandas as pd
 
-        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_decode
-
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, mode, px = png_decode(bytes(payload))
-                plane = px[:, :, 0].astype(np.int64)
-                rows.append(
-                    (
-                        doc_id,
-                        w,
-                        h,
-                        int(plane.sum()),
-                        int(np.diff(plane, axis=1).sum()),
-                        int(np.diff(plane, axis=0).sum()),
-                        "png-numpy+grad",
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "width",
-                    "height",
-                    "px_sum",
-                    "grad_x_sum",
-                    "grad_y_sum",
-                    "decoder",
-                ],
-            )
+            rows = [
+                _image_features_row(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_IMAGE_FEATURES_COLUMNS)
 
     return with_payload.mapInPandas(featurize, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def gradient_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """:func:`attach_gradient_png_payload` + :func:`extract_image_features`
+    fused into ONE ``mapInPandas`` stage (guide §4: the PNG bytes never
+    cross the Arrow boundary between back-to-back Python operators).
+    The full encode→decode→numpy-gradient chain stays, and both paths
+    share ``_gradient_pixels`` / ``_image_features_row``, so rows are
+    bit-identical to the two-stage composition."""
+
+    def build_and_featurize(batches):
+        import pandas as pd
+
+        from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+        for pdf in batches:
+            rows = [
+                _image_features_row(
+                    doc_id, png_encode(_gradient_pixels(int(doc_id)))
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=_IMAGE_FEATURES_COLUMNS)
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_featurize, schema=IMAGE_FEATURES_SCHEMA
+    )
 
 
 GIF_STATS_SCHEMA = (
@@ -839,13 +882,31 @@ def decode_jpeg_stats(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode, schema=JPEG_STATS_SCHEMA)
 
 
+def _mixed_payload(doc_id: int, text: str, pal) -> bytes:
+    """One heterogeneous fixture payload (PNG / GIF / JPEG / raw text
+    bytes chosen by doc_id) — shared by the payload builder and the
+    fused build+decode stage so both paths stay byte-identical."""
+    import numpy as np
+
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_encode
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_encode
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
+
+    w, h, v = 8 + doc_id % 8, 8 + doc_id % 8, doc_id % 251
+    kind = doc_id % 4
+    if kind == 0:
+        return png_encode(np.full((h, w), v, dtype=np.uint8))
+    if kind == 1:
+        return gif_encode(np.full((h, w), doc_id % 4, dtype=np.uint8), pal)
+    if kind == 2:
+        return jpeg_encode(np.full((h, w), v, dtype=np.uint8))
+    return text.encode("utf-8")
+
+
 def attach_mixed_payload(docs: DataFrame) -> DataFrame:
     """A heterogeneous payload column — PNG / GIF / JPEG / raw text
     bytes chosen by doc_id — the real shape of a scraped corpus where
     format routing happens per row, not per table."""
-    from kafka_cdc_elasticsearch_pipeline_spark.extensions.gif import gif_encode
-    from kafka_cdc_elasticsearch_pipeline_spark.extensions.jpeg import jpeg_encode
-    from kafka_cdc_elasticsearch_pipeline_spark.extensions.png import png_encode
 
     def build(batches: Iterator) -> Iterator:
         import numpy as np
@@ -853,21 +914,38 @@ def attach_mixed_payload(docs: DataFrame) -> DataFrame:
 
         pal = np.array(_GIF_PALETTE4, dtype=np.uint8)
         for pdf in batches:
-            payloads = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = int(doc_id)
-                w, h, v = 8 + d % 8, 8 + d % 8, d % 251
-                kind = d % 4
-                if kind == 0:
-                    payloads.append(png_encode(np.full((h, w), v, dtype=np.uint8)))
-                elif kind == 1:
-                    payloads.append(gif_encode(np.full((h, w), d % 4, dtype=np.uint8), pal))
-                elif kind == 2:
-                    payloads.append(jpeg_encode(np.full((h, w), v, dtype=np.uint8)))
-                else:
-                    payloads.append(text.encode("utf-8"))
+            payloads = [
+                _mixed_payload(int(doc_id), text, pal)
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id", "text").mapInPandas(
         build, schema="doc_id bigint, payload binary"
+    )
+
+
+def mixed_roundtrip_metadata(docs: DataFrame) -> DataFrame:
+    """:func:`attach_mixed_payload` + :func:`decode_image_metadata`
+    fused into ONE ``mapInPandas`` stage (guide §4: the heterogeneous
+    payloads never cross the Arrow boundary between back-to-back
+    Python operators). Per-row format routing is unchanged — each
+    payload is still built by its REAL codec and re-sniffed/decoded by
+    the shared ``_image_metadata_row`` — so rows are bit-identical to
+    the two-stage composition."""
+
+    def build_and_decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        pal = np.array(_GIF_PALETTE4, dtype=np.uint8)
+        for pdf in batches:
+            rows = [
+                _image_metadata_row(doc_id, _mixed_payload(int(doc_id), text, pal))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=_DECODED_COLUMNS)
+
+    return spread(docs).select("doc_id", "text").mapInPandas(
+        build_and_decode, schema=DECODED_SCHEMA
     )

@@ -3311,8 +3311,10 @@ def ext_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sandbox scope, same rationale as JPEG."""
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
 
-    payloads = audio.attach_wav_payload(_docs(spark, sf_dir))
-    return audio.decode_wav_stats(payloads)
+    # r16: build+decode fused into one Python stage (guide §4) — the
+    # WAV bytes never round-trip the Arrow boundary; the unfused
+    # operators remain for storage-sourced payloads.
+    return audio.wav_roundtrip_stats(_docs(spark, sf_dir))
 
 
 @query(
@@ -3342,8 +3344,8 @@ def ext_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     of sandbox scope."""
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import video
 
-    payloads = video.attach_mp4_payload(_docs(spark, sf_dir))
-    return video.parse_mp4_stats(payloads)
+    # r16: build+parse fused into one Python stage (guide §4).
+    return video.mp4_roundtrip_stats(_docs(spark, sf_dir))
 
 
 @query(
@@ -3369,8 +3371,8 @@ def ext_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame
     the argmax and hash-fails."""
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import audio
 
-    tones = audio.attach_tone_payload(_docs(spark, sf_dir))
-    feats = audio.extract_audio_features(tones)
+    # r16: build+featurize fused into one Python stage (guide §4).
+    feats = audio.tone_roundtrip_features(_docs(spark, sf_dir))
     return feats.withColumn("dominant_hz", F.round(F.col("dominant_hz"), 6))
 
 
@@ -3398,8 +3400,8 @@ def ext_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame
     w(h-1)) the oracle recomputes. Unlike a constant fill, a gradient
     leaves non-trivial residuals under every scanline filter, so a
     broken unfilter pass corrupts the sums even when dims parse."""
-    payloads = mm.attach_gradient_png_payload(_docs(spark, sf_dir))
-    return mm.extract_image_features(payloads)
+    # r16: build+featurize fused into one Python stage (guide §4).
+    return mm.gradient_roundtrip_features(_docs(spark, sf_dir))
 
 
 @query(
@@ -3732,8 +3734,8 @@ def ext_multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. The decoder-distribution report only matches the oracle if
     every signature routed to the right codec and every codec decoded
     without error."""
-    payloads = mm.attach_mixed_payload(_docs(spark, sf_dir))
-    decoded = mm.decode_image_metadata(payloads)
+    # r16: build+sniff+decode fused into one Python stage (guide §4).
+    decoded = mm.mixed_roundtrip_metadata(_docs(spark, sf_dir))
     return decoded.groupBy("decoder").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc"),

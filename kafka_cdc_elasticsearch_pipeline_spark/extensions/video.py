@@ -116,6 +116,18 @@ def mp4_parse_metadata(data: bytes):
     return timescale, duration, width or 0, height or 0, n_tracks
 
 
+def _mp4_fixture_payload(doc_id: int) -> bytes:
+    """One minimal-MP4 fixture payload — shared by the payload builder
+    and the fused build+parse stage so both paths stay byte-identical."""
+    return mp4_build_minimal(
+        timescale=1000 * (1 + doc_id % 3),
+        duration=5000 + (doc_id * 37) % 100000,
+        width=320 + (doc_id % 8) * 160,
+        height=240 + (doc_id % 6) * 120,
+        n_tracks=1 + doc_id % 2,
+    )
+
+
 def attach_mp4_payload(docs: DataFrame) -> DataFrame:
     """Attach a REAL minimal MP4 container per document (deterministic
     timescale/duration/dims/tracks from ``doc_id``)."""
@@ -124,23 +136,32 @@ def attach_mp4_payload(docs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                payloads.append(
-                    mp4_build_minimal(
-                        timescale=1000 * (1 + d % 3),
-                        duration=5000 + (d * 37) % 100000,
-                        width=320 + (d % 8) * 160,
-                        height=240 + (d % 6) * 120,
-                        n_tracks=1 + d % 2,
-                    )
-                )
+            payloads = [
+                _mp4_fixture_payload(int(doc_id)) for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return spread(docs).select("doc_id").mapInPandas(
         build, schema="doc_id bigint, payload binary"
     )
+
+
+_MP4_META_COLUMNS = [
+    "doc_id",
+    "timescale",
+    "duration_ms",
+    "width",
+    "height",
+    "n_tracks",
+    "decoder",
+]
+
+
+def _mp4_meta_row(doc_id, data: bytes):
+    """One parsed-metadata row — shared by the parse stage and the
+    fused build+parse stage (byte-identical paths)."""
+    ts, dur, w, h, n = mp4_parse_metadata(data)
+    return (doc_id, ts, dur * 1000 // ts, w, h, n, "mp4-bmff")
 
 
 def parse_mp4_stats(with_payload: DataFrame) -> DataFrame:
@@ -152,24 +173,37 @@ def parse_mp4_stats(with_payload: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                ts, dur, w, h, n = mp4_parse_metadata(bytes(payload))
-                rows.append((doc_id, ts, dur * 1000 // ts, w, h, n, "mp4-bmff"))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "timescale",
-                    "duration_ms",
-                    "width",
-                    "height",
-                    "n_tracks",
-                    "decoder",
-                ],
-            )
+            rows = [
+                _mp4_meta_row(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_MP4_META_COLUMNS)
 
     return with_payload.mapInPandas(parse, schema=MP4_META_SCHEMA)
+
+
+def mp4_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """:func:`attach_mp4_payload` + :func:`parse_mp4_stats` fused into
+    ONE ``mapInPandas`` stage (guide §4: the container bytes never
+    cross the Arrow boundary between back-to-back Python operators).
+    The box-tree build→walk round trip stays — metadata still comes
+    from a REAL ISO-BMFF parse — and both paths share
+    ``_mp4_fixture_payload`` / ``_mp4_meta_row``, so rows are
+    bit-identical to the two-stage composition."""
+
+    def build_and_parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                _mp4_meta_row(doc_id, _mp4_fixture_payload(int(doc_id)))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=_MP4_META_COLUMNS)
+
+    return spread(docs).select("doc_id").mapInPandas(
+        build_and_parse, schema=MP4_META_SCHEMA
+    )
 
 
 # --- video near-duplicate detection (round-6 verdict #6) ---------------------

@@ -904,3 +904,59 @@ def test_ngram_set_size_rides_the_explode(plans):
         p,
     )
     assert bad is None, f"doc-count window reappeared: {bad.group(0)}"
+
+
+# --- r16: fused single-Python-stage media paths (guide §4) -------------------
+#
+# Every synthetic-media row whose payload is BUILT in-stage must run
+# build → codec round trip → stats/fingerprint as ONE MapInPandas
+# operator: a second Python stage means the payload bytes round-trip
+# the JVM↔Python Arrow boundary for nothing. A revert to the two-stage
+# composition fails these on the executed plan.
+
+_FUSED_SINGLE_STAGE = [
+    "ext_multimodal_png_decode",    # png_roundtrip_stats (r15)
+    "ext_multimodal_gif_decode",    # gif_roundtrip_stats (r15)
+    "ext_multimodal_jpeg_decode",   # jpeg_roundtrip_stats (r15)
+    "ext_multimodal_wav_decode",    # wav_roundtrip_stats (r16)
+    "ext_multimodal_mp4_metadata",  # mp4_roundtrip_stats (r16)
+    "ext_multimodal_audio_features",  # tone_roundtrip_features (r16)
+    "ext_multimodal_image_features",  # gradient_roundtrip_features (r16)
+    "ext_multimodal_format_sniff",  # mixed_roundtrip_metadata (r16)
+]
+
+
+@pytest.mark.parametrize("name", _FUSED_SINGLE_STAGE)
+def test_media_build_decode_is_one_python_stage(plans, name):
+    p = plans(name)
+    assert p.count("MapInPandas") == 1, (
+        f"{name}: expected ONE fused MapInPandas stage, plan has "
+        f"{p.count('MapInPandas')}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ext_multimodal_audio_neardup",   # texture_energy_fingerprint (r15)
+        "ext_multimodal_video_neardup",   # texture_video_fingerprint (r15)
+    ],
+)
+def test_neardup_fingerprint_pipeline_fused_and_pinned(plans, name):
+    """The audio/video near-dup fingerprint pipeline must be (a) ONE
+    fused MapInPandas stage and (b) pinned so the band self-join reads
+    it from cache on both sides (r15's banded-Hamming fix). The
+    two-stage regression signature is a SECOND distinct Python
+    function (attach builder feeding a separate fingerprint stage);
+    an InMemoryRelation's textual plan prints its cached subtree
+    twice, so we assert on distinct function names, not node count."""
+    import re
+
+    p = plans(name)
+    live = p.split("InMemoryRelation")[0]
+    assert "MapInPandas" not in live, f"{name}: fingerprint pass ran live"
+    names = set(re.findall(r"MapInPandas (\w+)\(", p))
+    assert names == {"build_and_fp"}, (
+        f"{name}: expected the single fused build_and_fp stage, plan "
+        f"has Python stages {sorted(names)}"
+    )
