@@ -166,6 +166,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # their floor round — so any N ≤ ~10 stays on schedule (the usual
 # cap is now the hard one: r15's 14 registrations spent the slack,
 # so keep r16 to ≤ 10).
+#
+# r17 window math (written r16): r16 is an optimization round and
+# registers ZERO new queries — registry stays 241, 240 gated, floor
+# ceil(240/50) = 5 (check_oracle confirms the r16 entry state:
+# r11×40, r12×50, r13×50, r14×50, r15×50). The r16 window = 40 r11
+# (their floor round — the rotation fronts them, no pin needed) +
+# 10 r12. That leaves 40 r12 rows whose floor is r17; the rotation
+# fronts them automatically, so r17 needs no pin. r17's budget:
+# window = N new + 40 r12 + (10−N) r13, leaving (40+N) r13 rows for
+# r18 — their floor round — so keep N ≤ ~10 as usual.
 _GATE_FIRST: list[str] = []
 
 # Registered (tests + bench + docs) but excluded from the driver gate:

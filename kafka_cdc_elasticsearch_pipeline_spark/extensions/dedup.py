@@ -543,7 +543,11 @@ def decontamination_flags(
             ).alias("gh"),
         )
     )
-    ex = explode_expensive(grams, "gh", "g")
+    # reuse(): the exploded gram rows feed BOTH join sides (train
+    # probe, holdout index) — without the pin the md5 n-gram pass over
+    # the corpus runs once per side (r16; the same two-consumer pattern
+    # as the banded-Hamming fingerprint fix in r15).
+    ex = reuse(explode_expensive(grams, "gh", "g"))
     train = ex.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc_id"), "g"
     )

@@ -1898,7 +1898,8 @@ def ext_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-stable 80/20 train/holdout split by id
     hash — stable across runs/engines/cluster sizes, never rand()."""
-    return tx.train_holdout_split(_docs(spark, sf_dir))
+    # spread=False (r16 A/B 0.258→0.226): map-only id-hash bucketing.
+    return tx.train_holdout_split(_docs(spark, sf_dir, spread=False))
 
 
 @query(
@@ -2330,8 +2331,15 @@ def ext_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample,
     )
 
+    # spread=False (r16 A/B 0.299→0.247): map-only md5+filter — the
+    # parallelism round-robin re-ships every row for a per-row hash
+    # that is cheaper than the exchange.
     return stratified_sample(
-        _docs(spark, sf_dir), "source", "doc_id", _STRATA_RATES, default_rate=0.9
+        _docs(spark, sf_dir, spread=False),
+        "source",
+        "doc_id",
+        _STRATA_RATES,
+        default_rate=0.9,
     ).select("doc_id", "source")
 
 
@@ -2365,8 +2373,11 @@ def ext_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFram
         reservoir_sample_per_group,
     )
 
+    # spread=False (r16 A/B 0.383→0.254): the WindowGroupLimit brings
+    # its own (source) exchange; the per-row work before it is one
+    # content hash — the round-robin re-ship bought nothing.
     return reservoir_sample_per_group(
-        _docs(spark, sf_dir), "source", "doc_id", k=8
+        _docs(spark, sf_dir, spread=False), "source", "doc_id", k=8
     ).select("doc_id", "source", "sample_rank")
 
 

@@ -536,15 +536,25 @@ def semdedup_from_pairs(embeddings: DataFrame, pairs: DataFrame) -> DataFrame:
     """The SemDeDup verdict given an already-computed near-dup pair
     set (vec_a, vec_b[, cosine]) — lets threshold sweeps reuse one
     candidate join across curve points."""
-    ccos = embeddings.join(
-        F.broadcast(centroids(embeddings)), "label"
-    ).select(
-        "vec_id",
-        "label",
-        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
-            "centroid_cosine"
-        ),
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    # reuse() pins (r16): the verdict plan reads ``ccos`` THREE times
+    # (my-rank side, partner side, final left join) and ``pairs``
+    # twice (both directions of the sym union) — without the pins the
+    # centroid aggregation + per-vector cosine scoring ran 3× and the
+    # label-blocked pair join (the operator's dominant cost) 2× per
+    # action (measured in the executed plan: 3 posexplode centroid
+    # subtrees, 10 parquet scans, 0 cached relations).
+    ccos = reuse(
+        embeddings.join(F.broadcast(centroids(embeddings)), "label").select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
     )
+    pairs = reuse(pairs)
     sym = pairs.select(
         F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner")
     ).unionByName(
@@ -812,6 +822,49 @@ def pq_residual_distortion(
     return out
 
 
+def _pq_vec_encoded(embeddings: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
+    """One VECTOR-LEVEL map pass that both encodes and reconstructs:
+    adds a ``_pq_w`` column — per subspace, the winning
+    (d, code, sub) struct from an ``array_min`` fold over the
+    broadcast codebook (lexicographic struct ordering = the
+    rounded-distance argmin with code-ascending ties, the same
+    cross-engine fact :func:`_pq_assign` pins; ``sub`` rides along so
+    reconstruction is a field read, never a second codebook lookup).
+
+    Why this shape (guide §2.4/§8): the sv-explode composition
+    materialized m rows per vector, joined codes back to the codebook,
+    and re-grouped by vec_id to reassemble the reconstruction — two
+    shuffles of corpus-order rows that exist only to undo the explode.
+    Here the whole codec is ONE projection after a 1-row broadcast
+    (the per-subspace codebook arrays — KB-sized at any corpus scale,
+    a deliberate bounded cross join, not an accidental cartesian):
+    encode/reconstruct never shuffle, and every passthrough column
+    (label for the IVF probe join) stays on the row for free."""
+    sub = _pq_subdim(m)
+    ent_all = (
+        codebook.groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "sub"))).alias("entries"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("m", "entries"))).alias("es"))
+    )
+    d_expr = (
+        f"round(aggregate(zip_with(slice(embedding, mi * {sub} + 1, {sub}), e.sub,"
+        f" (x, y) -> (cast(x as double) - cast(y as double))"
+        f" * (cast(x as double) - cast(y as double))),"
+        f" 0.0d, (acc, v) -> acc + v), 6)"
+    )
+    win_expr = (
+        f"transform(sequence(0, {m - 1}), mi ->"
+        f" array_min(transform(element_at(es, mi + 1).entries, e ->"
+        f" struct({d_expr} AS d, e.code AS code, e.sub AS sub))))"
+    )
+    return (
+        embeddings.join(F.broadcast(ent_all))
+        .withColumn("_pq_w", F.expr(win_expr))
+        .drop("es")
+    )
+
+
 def pq_encode(
     embeddings: DataFrame, codebook: DataFrame, m: int = PQ_M
 ) -> DataFrame:
@@ -819,16 +872,16 @@ def pq_encode(
     argmin squared-L2 against the (broadcast) codebook — ties break on
     code ascending over rounded distances, so the assignment is a
     cross-engine fact. The corpus scans ONCE and, since r16, NEVER
-    shuffles: the argmin is an ``array_min`` fold over the broadcast
-    per-subspace codebook array (see ``_pq_assign``), so encode is a
-    pure map pass — at 100 TB the old per-(vec_id, m) argmin exchange
-    carried ks × corpus rows.
+    shuffles: the argmin is a vector-level ``array_min`` fold over the
+    broadcast codebook (:func:`_pq_vec_encoded`) and the (vec_id, m,
+    code) rows fan out partition-locally — at 100 TB the old
+    per-(vec_id, m) argmin exchange carried ks × corpus rows.
 
     Output: (vec_id, m, code)."""
-    _pq_subdim(m)  # validate before building the plan
-    return _pq_assign(_subvectors(embeddings, m), codebook).select(
-        "vec_id", "m", "code"
-    )
+    return _pq_vec_encoded(embeddings, codebook, m).select(
+        "vec_id",
+        F.posexplode(F.expr("transform(_pq_w, x -> x.code)")).alias("m", "code"),
+    ).select("vec_id", F.col("m").cast("int").alias("m"), "code")
 
 
 def pq_codes_table(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
@@ -836,12 +889,14 @@ def pq_codes_table(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> Dat
     in subspace order — 8 bytes of code per vector standing in for 256
     bytes of float32: the 32× compression that lets a 100 TB corpus's
     index live in cluster RAM."""
-    codes = pq_encode(embeddings, pq_codebook(embeddings, m, ks), m)
-    return codes.groupBy("vec_id").agg(
-        F.array_join(
-            F.array_sort(F.collect_list(F.struct("m", "code"))).getField("code"),
-            ",",
-        ).alias("pq_codes")
+    # r16: the vector-level codec keeps all m codes on one row, so the
+    # stored index is a map-side array_join — the old explode → groupBy
+    # reassembly shuffled the whole code table to undo its own explode.
+    return _pq_vec_encoded(embeddings, pq_codebook(embeddings, m, ks), m).select(
+        "vec_id",
+        F.expr("array_join(transform(_pq_w, x -> cast(x.code as string)), ',')").alias(
+            "pq_codes"
+        ),
     )
 
 
@@ -874,7 +929,11 @@ def pq_adc_topk(
     recovers (distortion drop pinned by
     ``ext_sim_pq_refined_distortion``)."""
     cb = codebook if codebook is not None else pq_codebook(embeddings, m, ks)
-    recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb)
+    # r16: vector-level fused encode+reconstruct — one map pass, no
+    # codes explode, no reconstruct join/groupBy (see _pq_vec_encoded).
+    recon = _pq_vec_encoded(embeddings, cb, m).select(
+        "vec_id", F.expr("flatten(transform(_pq_w, x -> x.sub))").alias("recon")
+    )
     scored = recon.join(F.broadcast(queries)).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -931,12 +990,19 @@ def ivfpq_topk(
     quantization error, measured by ``ext_sim_ivfpq_residual_recall``.
     Plan shape is unchanged: one extra broadcast-centroid zip_with on
     each side of the codec, still no shuffle of float payloads."""
+    # r16: vector-level fused encode+reconstruct (_pq_vec_encoded) —
+    # one map pass; ``label`` rides the row, so the old join back to
+    # embeddings (which existed only to reattach it) is gone too.
     if residual:
         res = residuals(embeddings, cents)
         cb = pq_codebook(res, m, ks)
         recon = (
-            pq_reconstruct(pq_encode(res, cb, m), cb)
-            .join(embeddings.select("vec_id", "label"), "vec_id")
+            _pq_vec_encoded(res, cb, m)
+            .select(
+                "vec_id",
+                "label",
+                F.expr("flatten(transform(_pq_w, x -> x.sub))").alias("recon"),
+            )
             .join(F.broadcast(cents), "label")
             .select(
                 "vec_id",
@@ -948,8 +1014,10 @@ def ivfpq_topk(
         )
     else:
         cb = pq_codebook(embeddings, m, ks)
-        recon = pq_reconstruct(pq_encode(embeddings, cb, m), cb).join(
-            embeddings.select("vec_id", "label"), "vec_id"
+        recon = _pq_vec_encoded(embeddings, cb, m).select(
+            "vec_id",
+            "label",
+            F.expr("flatten(transform(_pq_w, x -> x.sub))").alias("recon"),
         )
     scored_cents = queries.join(
         F.broadcast(cents.select(F.col("label").alias("probe_label"), "centroid"))
@@ -993,17 +1061,20 @@ def kmeans_refine(embeddings: DataFrame, iterations: int = 2) -> DataFrame:
     order, assignment ties break on (rounded cosine DESC, label ASC).
     Returns (vec_id, final_label, cosine) after the last reassign.
 
-    Scale note: the composed plan re-derives iteration i's assignment
-    wherever iteration i+1 references it; at production scale persist
-    (or checkpoint, to truncate lineage) each iteration's assignment
-    exactly as ``dedup.connected_components`` does — omitted here
-    because gate queries must not leak cached state into later ones.
-    """
+    Each iteration's assignment is ``reuse()``-pinned (r16): iteration
+    i's result is read by iteration i+1's centroid recompute, its
+    reassign scan, AND the final cosine join — without the pin the
+    composed plan re-derives the whole earlier history per reference
+    (the old scale-note caveat; ``reuse``'s registry lifecycle already
+    guarantees pins never leak into later gate queries, the concern
+    that originally kept this lazy)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
     assigned = embeddings.select("vec_id", "embedding", "label")
     last = None
     for _ in range(iterations):
         cents = centroids(assigned)
-        last = assign_centroids(assigned, cents)
+        last = reuse(assign_centroids(assigned, cents))
         assigned = assigned.select("vec_id", "embedding").join(
             last.select("vec_id", F.col("assigned_label").alias("label")), "vec_id"
         )

@@ -368,13 +368,21 @@ def test_audio_neardup_band_equijoin_no_cartesian(plans):
 def test_pq_encode_broadcasts_codebook(plans):
     """PQ encode: the corpus scans once against a BROADCAST codebook
     (KB-sized at any corpus size — the point of PQ); the corpus side
-    must never shuffle for the scoring join."""
+    must never shuffle for the scoring join. r16 strengthens the
+    shape: the codec is a deliberate ONE-ROW broadcast (per-subspace
+    codebook arrays) + a vector-level array_min fold — a pure map
+    pass. The regressions to catch: the corpus shuffling for a
+    sort-merge join, or the old per-(vec_id, m) argmin reappearing as
+    a window/aggregate exchange keyed on vec_id."""
+    import re
+
     p = plans("ext_sim_pq_codes")
-    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # the bounded 1-row codebook cross
     assert "CartesianProduct" not in p
-    # the argmin is a window over (vec_id, m) — a hash shuffle of narrow
-    # (vec_id, m, code, d) rows, not a sort-merge join of data
     assert "SortMergeJoin" not in p
+    # no vec_id-keyed argmin shuffle: encode must stay map-only
+    bad = re.search(r"(Window|HashAggregate|SortAggregate).*vec_id#\d+", p)
+    assert bad is None, f"vec_id-keyed argmin shuffle is back: {bad.group(0)[:80]}"
 
 
 def test_cms_probe_broadcasts_sketch(plans):
@@ -960,3 +968,25 @@ def test_neardup_fingerprint_pipeline_fused_and_pinned(plans, name):
         f"{name}: expected the single fused build_and_fp stage, plan "
         f"has Python stages {sorted(names)}"
     )
+
+
+def test_semdedup_scoring_pinned_once(plans):
+    """r16: the semdedup verdict reads the centroid-cosine table three
+    times (mine/theirs/final) and the pair set twice (sym union) — all
+    four reads must come from reuse() pins. Regression signature: the
+    centroids subtree (posexplode + positional means) planned LIVE,
+    i.e. outside every InMemoryRelation."""
+    p = plans("ext_dedup_semdedup")
+    assert "InMemoryTableScan" in p
+    live = p.split("InMemoryRelation")[0]
+    assert "posexplode" not in live, "centroids re-evaluated outside the pin"
+
+
+def test_decontamination_grams_pinned_once(plans):
+    """r16: the exploded n-gram rows feed BOTH sides of the train ×
+    holdout join; the md5 gram pass must run once into a pin, never
+    once per side."""
+    p = plans("ext_dedup_decontamination")
+    assert "InMemoryTableScan" in p
+    live = p.split("InMemoryRelation")[0]
+    assert "md5" not in live, "gram digest pass re-evaluated outside the pin"
