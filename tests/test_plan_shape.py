@@ -480,9 +480,12 @@ def test_bm25_index_scoring_plan_is_pruned(spark, tmp_path, sf_dir):
 
 
 def test_pq_append_assign_broadcasts_codebook(spark, tmp_path, sf_dir):
-    """The append-assign path must keep pq_encode's shape: broadcast
-    codebook, corpus scans once, the only shuffle is the per-(vec, m)
-    argmin — appending may never introduce a corpus-sized join."""
+    """The append-assign path must keep pq_encode's shape (r16:
+    vector-level map pass after a bounded 1-row broadcast of the
+    per-subspace codebook arrays) — appending may never introduce a
+    corpus-sized join or a vec_id-keyed argmin shuffle."""
+    import re
+
     from pyspark.sql import functions as F
 
     from kafka_cdc_elasticsearch_pipeline_spark.extensions import (
@@ -498,7 +501,10 @@ def test_pq_append_assign_broadcasts_codebook(spark, tmp_path, sf_dir):
     cb = lakelog.read(spark, f"{index}/pq_codebook")
     p = final_plan(sim.pq_encode(embs.filter(F.col("vec_id") >= 64), cb))
     assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # the bounded 1-row codebook cross
+    assert "SortMergeJoin" not in p
+    bad = re.search(r"(Window|HashAggregate|SortAggregate).*vec_id#\d+", p)
+    assert bad is None, f"vec_id-keyed argmin shuffle is back: {bad.group(0)[:80]}"
 
 
 def test_ivfpq_serving_from_index_probe_shape(spark, tmp_path, sf_dir):
