@@ -539,6 +539,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             "term"
         ),
     )
+    # The tf table feeds BOTH the score join's left side and the df
+    # aggregation derived from it, and ReusedExchange never fires, so
+    # the tokenize+tf pass runs once per side. A reuse() pin here was
+    # measured (r16, interleaved): a WASH at sf0.1 (1.28 vs 1.22 best)
+    # AND at 80k docs (2.65 vs 2.68) — caching the token-level tf
+    # table costs what the second pass costs, and at 100 TB a
+    # corpus-token-sized pin is the wrong memory trade. Left unpinned.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
