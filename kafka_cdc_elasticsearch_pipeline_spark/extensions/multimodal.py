@@ -354,18 +354,34 @@ def image_decontamination(docs: DataFrame, split: DataFrame) -> DataFrame:
     Candidates are cross-split band equi-joins; fingerprints come from
     the same real-decode pass as ``image_neardup_pairs`` (the fused
     :func:`texture_ahash` stage)."""
+    from kafka_cdc_elasticsearch_pipeline_spark.extensions.textops import reuse
+
     hashes = texture_ahash(docs).join(split, "doc_id")
-    bands = hashes.select(
-        "doc_id",
-        "split",
-        "ahash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3),"
-                " b -> struct(b AS band, substring(ahash, b * 16 + 1, 16) AS bits))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "split", "ahash", F.col("s.band").alias("band"), F.col("s.bits").alias("bits"))
+    # reuse(): the band rows feed BOTH sides of the cross-split join —
+    # without the pin the fused Python fingerprint pass (a full PNG
+    # encode+decode per document) ran once per side (r16; the same
+    # two-consumer pattern banded_hamming_pairs pinned in r15 —
+    # verified live in the executed plan: 2 build_and_hash MapInPandas
+    # stages outside any cached relation).
+    bands = reuse(
+        hashes.select(
+            "doc_id",
+            "split",
+            "ahash",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3),"
+                    " b -> struct(b AS band, substring(ahash, b * 16 + 1, 16) AS bits))"
+                )
+            ).alias("s"),
+        ).select(
+            "doc_id",
+            "split",
+            "ahash",
+            F.col("s.band").alias("band"),
+            F.col("s.bits").alias("bits"),
+        )
+    )
     t = bands.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc_id"), F.col("ahash").alias("hash_t"),
         "band", "bits",

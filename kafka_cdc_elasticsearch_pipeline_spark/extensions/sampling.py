@@ -120,7 +120,14 @@ def temperature_cutoffs(
             "alpha must be one of 1.0, 0.5, 0.25 (sqrt-chains are "
             "correctly rounded cross-engine; pow is not)"
         )
-    per = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    # reuse(): the dim-sized per-source counts feed the total, the
+    # weight table, AND (transitively) the w_sum fold and cutoffs —
+    # without the pin every reference re-ran the corpus groupBy (r16:
+    # the executed plan showed 5 full document scans for one rate
+    # table).
+    per = reuse(df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")))
     tot = per.agg(F.sum("n").alias("n_total"))  # not "N": Spark resolves case-insensitively
     w_expr: Column = F.col("n").cast("double") / F.col("n_total")
     for _ in range(chains[alpha]):

@@ -310,16 +310,24 @@ def rhp_lsh_neardup(
     sigs = embeddings.select(
         "vec_id", _rhp_signature_arrow(planes)(F.col("embedding")).alias("sig")
     )
-    banded = sigs.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" i -> struct(i as band_idx,"
-                f" shiftright(sig, {band_bits} * i) & {(1 << band_bits) - 1} as band_val))"
-            )
-        ).alias("bv"),
-    ).select("vec_id", "bv.band_idx", "bv.band_val")
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
+    # reuse(): the band table feeds BOTH self-join sides — without the
+    # pin the Arrow signature pass over the corpus ran once per side
+    # (r16; the same two-consumer pattern as the MinHash/SimHash band
+    # pins — the executed plan showed 8 embeddings scans).
+    banded = reuse(
+        sigs.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" i -> struct(i as band_idx,"
+                    f" shiftright(sig, {band_bits} * i) & {(1 << band_bits) - 1} as band_val))"
+                )
+            ).alias("bv"),
+        ).select("vec_id", "bv.band_idx", "bv.band_val")
+    )
     a = banded.select(
         F.col("vec_id").alias("vec_a"), "band_idx", "band_val"
     )
@@ -328,7 +336,9 @@ def rhp_lsh_neardup(
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_val").alias("band_val_b"),
     )
-    cand = (
+    # Pin the candidates: the verify plan reads them twice (id-set
+    # derivation + final join) — same fix as dedup._verify_jaccard.
+    cand = reuse(
         a.join(
             b,
             (F.col("band_idx") == F.col("band_idx_b"))
@@ -1268,7 +1278,10 @@ def bm25_index_components(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     under a change feed via signed deltas (``search_index.py``)."""
     toks = bm25_tokens(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl = total tokens per doc = sum of tf — derived from tf instead
+    # of a SECOND pass over the token stream (r16): same doc set (a
+    # doc with ≥1 token has ≥1 tf row), same bigint counts.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return tf, dl
 
 
@@ -1404,6 +1417,12 @@ def bm25_scored_candidates(
     (N, sum_dl) scalar is 1 row. Output:
     (query_id, doc_id, n_terms, bm25)."""
     tf, dl = bm25_index_components(docs)
+    # NOT pinned: tf has four consumers (query words, df, candidates,
+    # dl), but a reuse() pin was measured SLOWER at sf0.1 AND at 80k
+    # docs (2.06 → 2.64 interleaved) — caching the corpus-token-sized
+    # tf table costs more than the extra map-side passes, the same
+    # receipt as tfidf's tf (r16). The pins that do pay here are the
+    # doc-level ones in search_method_recall.
     return bm25_score_components(tf, dl, query_ids, df=None, k1=k1, b=b)
 
 
@@ -1427,9 +1446,19 @@ def search_method_recall(
     — is exact cross-engine."""
     from pyspark.sql import Window as W
 
+    from kafka_cdc_elasticsearch_pipeline_spark.operators.caching import reuse
+
     queries = _query_embeddings(embeddings, query_ids)
-    truth = brute_force_topk(embeddings, queries, k=k).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), F.lit(1).alias("hit")
+    # reuse() pins (r16): ``truth`` is joined by all THREE method
+    # branches — without the pin the brute-force cosine pass over the
+    # corpus ran once per method; ``bm_ranked`` feeds both the bm25
+    # top-k and the hybrid candidate pool — without the pin the whole
+    # BM25 scoring ran twice (the executed plan showed 14 document
+    # scans / 8 embeddings scans for this one query).
+    truth = reuse(
+        brute_force_topk(embeddings, queries, k=k).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), F.lit(1).alias("hit")
+        )
     )
 
     w_lex = W.partitionBy("query_id").orderBy(
@@ -1446,7 +1475,7 @@ def search_method_recall(
     w_bm = W.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
-    bm_ranked = bm.withColumn("r", F.row_number().over(w_bm))
+    bm_ranked = reuse(bm.withColumn("r", F.row_number().over(w_bm)))
     bm_k = bm_ranked.filter(F.col("r") <= k).select("query_id", "doc_id")
 
     cand = bm_ranked.filter(F.col("r") <= pool).select("query_id", "doc_id")

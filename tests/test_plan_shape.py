@@ -996,3 +996,62 @@ def test_decontamination_grams_pinned_once(plans):
     assert "InMemoryTableScan" in p
     live = p.split("InMemoryRelation")[0]
     assert "md5" not in live, "gram digest pass re-evaluated outside the pin"
+
+
+# --- r16: multi-consumer subtrees must stay pinned ---------------------------
+#
+# These queries read an expensive subtree from 2+ plan sites; without a
+# reuse() pin the subtree re-evaluates once per site (broadcast
+# conversion defeats ReusedExchange). Guards assert the pin exists and
+# the scan/Python-stage inflation of the unpinned plan stays gone.
+# (Counts are over the full plan text, which prints each cached
+# relation's subtree twice — thresholds sit between the pinned and
+# unpinned shapes.)
+
+def test_bm25_rerank_truth_and_ranking_pinned(plans):
+    """truth feeds 3 method branches, the BM25 ranking feeds 2 —
+    unpinned, the plan re-derived the brute-force cosine pass per
+    method and the whole BM25 scoring per consumer (14 live document
+    scans / 8 live embeddings scans). With the pins the live plan
+    (everything above the first cached relation) holds at most the
+    lexical branch's scans."""
+    p = plans("ext_search_bm25_rerank")
+    assert "InMemoryTableScan" in p
+    live = p.split("InMemoryRelation")[0]
+    assert live.count("documents.parquet") <= 2
+    assert live.count("embeddings.parquet") == 0
+
+
+def test_rhp_signature_pass_pinned(plans):
+    """The Arrow RHP signature pass feeds both self-join sides —
+    unpinned, it ran once per side (8 live embeddings scans, 12 live
+    Python stages)."""
+    p = plans("ext_emb_rhp_lsh_neardup")
+    assert "InMemoryTableScan" in p
+    live = p.split("InMemoryRelation")[0]
+    assert live.count("embeddings.parquet") == 0
+    assert "ArrowEvalPython" not in live and "MapInPandas" not in live
+
+
+def test_image_decontamination_fingerprints_pinned(plans):
+    """The fused build_and_hash Python pass feeds both sides of the
+    cross-split band join — unpinned it ran twice (4 live Python
+    stages)."""
+    import re
+
+    p = plans("ext_multimodal_image_decontamination")
+    assert "InMemoryTableScan" in p
+    names = set(re.findall(r"MapInPandas (\w+)\(", p))
+    assert names == {"build_and_hash"}
+    live = p.split("InMemoryRelation")[0]
+    assert "MapInPandas" not in live
+
+
+def test_temperature_rate_table_pinned(plans):
+    """The per-source count table feeds the total, weights, w_sum and
+    cutoffs — unpinned, one rate table cost 5 corpus scans; pinned,
+    the live plan holds only the final keep-filter's scan."""
+    p = plans("ext_curation_temperature_mix")
+    assert "InMemoryTableScan" in p
+    live = p.split("InMemoryRelation")[0]
+    assert live.count("documents.parquet") <= 1
